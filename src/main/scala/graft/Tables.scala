@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All engine queries take an `sfDir` (e.g. /root/testdata/sf0.01) and read
+  * one parquet file per table. Filters/projections applied on top of these
+  * reads are pushed into the parquet scan by Catalyst (verified via
+  * .explain: PushedFilters / ReadSchema), which is the behavior that keeps
+  * a 100 TB scan from reading columns and row groups it does not need.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view so spark.sql(...) parity queries
+    * can share the exact SQL text with the DuckDB oracle when convenient. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}
