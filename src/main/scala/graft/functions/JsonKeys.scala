@@ -1,0 +1,88 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** O14 — schema-agnostic JSON key search (SURVEY.md §2.2, §3.3).
+  *
+  * Reproduces the reference's `check_file_content` search order
+  * (app/main.py:64-81): (a) key at the top level of a JSON object;
+  * (b) walking the object's entries in declaration order, the first
+  * entry whose value is an object containing the key; (c) interleaved
+  * in the same walk, the first entry whose value is a non-empty array
+  * whose FIRST element is an object containing the key. First match
+  * wins; a non-object root never matches.
+  *
+  * Values are coerced to strings Python-`str()`-style
+  * (app/main.py:70,76,81,89): numbers keep integer-vs-float rendering
+  * ("12" / "12.0"), booleans become "True"/"False", null becomes
+  * "None". (Python renders dict/list values via repr — we render JSON
+  * text; only relevant if the key maps to a container, which the
+  * reference would then string-compare and reject anyway.)
+  *
+  * Implemented as a Scala UDF over Jackson (ships with Spark; object
+  * nodes preserve field order). This is the single custom scalar
+  * function the parity surface needs — everything else is built-in
+  * (SURVEY.md §7.3).
+  */
+object JsonKeys {
+
+  @transient private lazy val mapper = new ObjectMapper()
+
+  private def pyStr(n: JsonNode): String =
+    if (n == null || n.isNull) "None"
+    else if (n.isBoolean) { if (n.asBoolean) "True" else "False" }
+    else if (n.isTextual) n.asText
+    else if (n.isIntegralNumber) n.bigIntegerValue.toString
+    else if (n.isFloatingPointNumber) {
+      val d = n.asDouble
+      if (d.isWhole && !d.isInfinite && math.abs(d) < 1e16) s"${d.toLong}.0"
+      else d.toString
+    } else n.toString
+
+  /** True iff the string parses as JSON at all (tri-state support,
+    * app/main.py:97-102).
+    */
+  def isValidJson(json: String): Boolean =
+    json != null && (try { mapper.readTree(json); true }
+    catch { case _: Exception => false })
+
+  /** The ordered key search. None ⇔ invalid JSON, non-object root, or
+    * key absent at all three probe locations.
+    */
+  def findKeyFirst(json: String, key: String): Option[String] = {
+    if (json == null || key == null) return None
+    val root =
+      try mapper.readTree(json)
+      catch { case _: Exception => return None }
+    if (root == null || !root.isObject) return None
+    if (root.has(key)) return Some(pyStr(root.get(key)))
+    val it = root.fields()
+    while (it.hasNext) {
+      val v = it.next().getValue
+      if (v.isObject && v.has(key)) return Some(pyStr(v.get(key)))
+      if (v.isArray && v.size() > 0 && v.get(0).isObject && v.get(0).has(key))
+        return Some(pyStr(v.get(0).get(key)))
+    }
+    None
+  }
+
+  val findKeyFirstUdf: UserDefinedFunction =
+    udf((json: String, key: String) => findKeyFirst(json, key))
+
+  /** Column form: first value of `key` found by the ordered search, or null. */
+  def jsonKeyFirst(json: Column, key: String): Column =
+    findKeyFirstUdf(json, lit(key))
+
+  /** O14's tri-state predicate (app/main.py:64-102): with no filter every
+    * file passes; with a filter, only valid-JSON objects whose located key
+    * string-equals the target pass (invalid JSON / missing key ⇒ false).
+    */
+  def contentPredicate(json: Column, key: String, filter: Option[String]): Column =
+    filter match {
+      case None    => lit(true)
+      case Some(f) => coalesce(jsonKeyFirst(json, key) === lit(f), lit(false))
+    }
+}

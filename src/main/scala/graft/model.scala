@@ -1,0 +1,34 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.types._
+
+/** Core case classes + schemas for the file-mover parity surface.
+  * See SURVEY.md §1 (data model) — reference shapes at
+  * app/app.py:80 (manifest), app/main.py:205-209 (listing),
+  * app/main.py:149-192 (move results).
+  */
+object model {
+
+  /** D1 — one manifest row (reference: archived_quotes.csv, README.md:74-79). */
+  final case class QuoteRef(QuoteId: String, unixtimestamp: Long, filename: String)
+
+  val manifestSchema: StructType = StructType(Seq(
+    StructField("QuoteId", StringType),
+    StructField("unixtimestamp", LongType),
+    StructField("filename", StringType)))
+
+  /** D2 — one listed file (reference: app/main.py:205-209). */
+  final case class LakeFile(name: String, size: Long, last_modified: Timestamp)
+
+  /** Per-file outcome of a move/copy — replaces the reference's prints
+    * (app/app.py:133-152, app/main.py:305-309) with a result DataFrame.
+    */
+  final case class MoveResult(
+      src: String,
+      dst: String,
+      ok: Boolean,
+      error: String, // null on success
+      bytes: Long)
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.model.MoveResult
+
+/** O6/O7 — the copy / move sinks (SURVEY.md §2.1, §4).
+  *
+  * Executes distributed: `mapPartitions` over a (src, dst) DataFrame,
+  * one Hadoop `FileSystem` handle per partition, per-file Try isolation
+  * (reference X3, app/app.py:182-183 / app/main.py:289-299 — one
+  * failure never stops the batch). The returned Dataset[MoveResult] IS
+  * the report; nothing is printed and nothing is collected to the
+  * driver. Partitions are the batches (reference O18's chunks of 50,
+  * app/app.py:174-187) — granularity is controlled by repartitioning
+  * the plan DataFrame, not by a driver loop.
+  *
+  * Modes:
+  *  - Copy      — copy bytes, keep source (pipeline A semantics: the
+  *                reference never deletes — delete is commented out at
+  *                app/app.py:62-66 — and does not await the async copy;
+  *                a distributed sink awaits completion per-task, which
+  *                strictly strengthens the contract).
+  *  - Move      — rename-first: `FileSystem.rename` is a metadata-only
+  *                O(1) op on HDFS/ABFS — no data motion — falling back
+  *                to copy+delete across filesystems (pipeline B's
+  *                download/upload/delete at app/main.py:174-185 always
+  *                moves the bytes through the client; rename-first is
+  *                the scale-correct design).
+  *
+  * Semantics kept from the reference: target parent dirs are created
+  * (app/main.py:167-172), existing targets are overwritten
+  * (`overwrite=True`, app/main.py:179-182).
+  *
+  * Added beyond the reference (SURVEY.md §4 item 3): idempotent retry —
+  * if the source is gone but the destination exists, a retried move
+  * reports success instead of failing as the reference would.
+  */
+object MoveSink {
+
+  sealed trait Mode
+  case object Copy extends Mode
+  case object Move extends Mode
+
+  /** Pure planning step: no side effects. `dryRun=true` callers just use
+    * this DataFrame as the report (replaces the reference's interactive
+    * confirmation X5, app/main.py:269-272).
+    */
+  def plan(files: DataFrame, srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    files.select(srcCol, dstCol)
+
+  /** Execute the plan. Input must have string columns (src, dst). */
+  def run(files: DataFrame, mode: Mode, overwrite: Boolean = true): Dataset[MoveResult] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val doMove = mode == Move
+    files.select("src", "dst").as[(String, String)].mapPartitions { it =>
+      it.map { case (src, dst) => transferOne(src, dst, doMove, overwrite, conf.value) }
+    }
+  }
+
+  /** One file, never throws (X3 error isolation). */
+  private[graft] def transferOne(src: String, dst: String, move: Boolean,
+      overwrite: Boolean, conf: Configuration): MoveResult = {
+    try {
+      val srcPath = new Path(src)
+      val dstPath = new Path(dst)
+      val srcFs = srcPath.getFileSystem(conf)
+      val dstFs = dstPath.getFileSystem(conf)
+      if (!srcFs.exists(srcPath)) {
+        // idempotent-retry guard: src gone ∧ dst present ⇒ already done
+        if (move && dstFs.exists(dstPath))
+          MoveResult(src, dst, ok = true, error = null,
+            bytes = dstFs.getFileStatus(dstPath).getLen)
+        else
+          MoveResult(src, dst, ok = false, error = s"source not found: $src", bytes = 0L)
+      } else {
+        val size = srcFs.getFileStatus(srcPath).getLen
+        if (dstFs.exists(dstPath)) {
+          if (!overwrite)
+            return MoveResult(src, dst, ok = false,
+              error = s"target exists and overwrite=false: $dst", bytes = 0L)
+          dstFs.delete(dstPath, false)
+        }
+        Option(dstPath.getParent).foreach(dstFs.mkdirs(_))
+        val moved =
+          if (move && sameFs(srcFs, dstFs) && srcFs.rename(srcPath, dstPath)) true
+          else {
+            // cross-fs (or rename refused): stream copy, delete src iff moving
+            FileUtil.copy(srcFs, srcPath, dstFs, dstPath, move, overwrite, conf)
+          }
+        if (moved) MoveResult(src, dst, ok = true, error = null, bytes = size)
+        else MoveResult(src, dst, ok = false, error = "transfer returned false", bytes = 0L)
+      }
+    } catch {
+      case NonFatal(e) =>
+        MoveResult(src, dst, ok = false,
+          error = s"${e.getClass.getSimpleName}: ${e.getMessage}", bytes = 0L)
+    }
+  }
+
+  private def sameFs(a: FileSystem, b: FileSystem): Boolean =
+    a.getUri == b.getUri
+}

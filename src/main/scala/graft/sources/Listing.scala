@@ -1,0 +1,54 @@
+package graft.sources
+
+import java.sql.Timestamp
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.model.LakeFile
+
+/** O2 (+O3) — recursive file-listing scan (SURVEY.md §2.1; reference
+  * app/main.py:195-216). Directories are skipped; each row carries
+  * (name, size, last_modified). The reference's separate per-file
+  * properties fetch (O3, app/main.py:219-226) is folded in: the listing
+  * already carries the modification time, eliminating one HTTP round
+  * trip per file.
+  *
+  * Two scan flavors:
+  *  - `list`: metadata-only, via Hadoop `FileSystem.listFiles(recursive)`.
+  *    The iterator is consumed on the driver (listing is a metadata
+  *    operation — cheap relative to data), then parallelized; at real
+  *    scale prefer `binaryFiles`/file-index sources which distribute
+  *    listing across partitions of top-level directories.
+  *  - `withContent`: Spark's `binaryFile` source — columns
+  *    (path, modificationTime, length, content) — used when the content
+  *    predicate (O5/O14) needs the bytes; ONE read per file where the
+  *    reference downloads each moved file twice (app/main.py:57,176).
+  */
+object Listing {
+
+  /** O2: metadata-only recursive listing as a Dataset[LakeFile]. */
+  def list(spark: SparkSession, prefix: String): Dataset[LakeFile] = {
+    import spark.implicits._
+    val p = new Path(prefix)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = ArrayBuffer.empty[LakeFile]
+    if (fs.exists(p)) {
+      val it = fs.listFiles(p, true) // recursive; yields files only
+      while (it.hasNext) {
+        val st = it.next()
+        out += LakeFile(st.getPath.toUri.getPath, st.getLen,
+          new Timestamp(st.getModificationTime))
+      }
+    }
+    spark.createDataset(out.toSeq)
+  }
+
+  /** O2+O5: listing WITH file bytes via the binaryFile source. */
+  def withContent(spark: SparkSession, prefix: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(prefix)
+}

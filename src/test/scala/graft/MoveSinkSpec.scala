@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.{Files, Path => JPath}
+
+import graft.operators.{MoveSink, Report}
+
+/** O6/O7 sink semantics: overwrite, error isolation, idempotent retry. */
+class MoveSinkSpec extends SparkSpec {
+
+  private def tmp(): JPath = Files.createTempDirectory("graft-sink")
+
+  private def planDf(pairs: (String, String)*) = {
+    import spark.implicits._
+    pairs.toSeq.toDF("src", "dst")
+  }
+
+  test("move: target overwritten, source deleted; failures isolated per file") {
+    val root = tmp()
+    Files.writeString(root.resolve("a.txt"), "AAA")
+    Files.writeString(root.resolve("exists.txt"), "OLD")
+    val df = planDf(
+      (s"file:$root/a.txt", s"file:$root/exists.txt"),
+      (s"file:$root/ghost.txt", s"file:$root/g.txt")) // missing source
+    val res = MoveSink.run(df, MoveSink.Move).collect()
+    val bySrc = res.map(r => r.src.split("/").last -> r).toMap
+    assert(bySrc("a.txt").ok)
+    assert(Files.readString(root.resolve("exists.txt")) === "AAA")
+    assert(!Files.exists(root.resolve("a.txt")))
+    assert(!bySrc("ghost.txt").ok)
+    assert(bySrc("ghost.txt").error.contains("source not found"))
+  }
+
+  test("move: overwrite=false refuses existing target") {
+    val root = tmp()
+    Files.writeString(root.resolve("a.txt"), "AAA")
+    Files.writeString(root.resolve("b.txt"), "BBB")
+    val res = MoveSink.run(
+      planDf((s"file:$root/a.txt", s"file:$root/b.txt")),
+      MoveSink.Move, overwrite = false).collect()
+    assert(!res(0).ok && res(0).error.contains("overwrite=false"))
+    assert(Files.readString(root.resolve("b.txt")) === "BBB")
+  }
+
+  test("idempotent retry: src gone + dst present ⇒ success (SURVEY §4.3)") {
+    val root = tmp()
+    Files.writeString(root.resolve("done.txt"), "X")
+    val res = MoveSink.run(
+      planDf((s"file:$root/gone.txt", s"file:$root/done.txt")),
+      MoveSink.Move).collect()
+    assert(res(0).ok && res(0).bytes === 1L)
+  }
+
+  test("copy keeps source; statusCounts report") {
+    val root = tmp()
+    Files.writeString(root.resolve("a.txt"), "AAA")
+    val results = MoveSink.run(
+      planDf(
+        (s"file:$root/a.txt", s"file:$root/sub/dir/a.txt"),
+        (s"file:$root/ghost.txt", s"file:$root/g.txt")),
+      MoveSink.Copy)
+    val counts = Report.statusCounts(results).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("success" -> 1L, "failed" -> 1L))
+    assert(Files.exists(root.resolve("a.txt")))
+    assert(Files.readString(root.resolve("sub/dir/a.txt")) === "AAA")
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.{Files, Path => JPath, Paths => JPaths}
+import java.sql.Timestamp
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.MoveSink
+
+/** End-to-end mini-lake tests (FIXTURES.md §3): pipeline A copies and
+  * retains sources; pipeline B moves (target exists ∧ source deleted);
+  * report counts match the reference's found/not-found semantics.
+  */
+class PipelinesSpec extends SparkSpec {
+
+  private def mkLake(): JPath = {
+    val root = Files.createTempDirectory("graft-lake")
+    Files.createDirectories(root.resolve("raw"))
+    root
+  }
+
+  private def write(root: JPath, rel: String, content: String): Unit = {
+    val p = root.resolve(rel)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
+  /** Relative file set, ignoring Hadoop LocalFileSystem's .crc shadows. */
+  private def lakeFiles(root: JPath): Set[String] =
+    Files.walk(root).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => root.relativize(p).toString)
+      .filterNot(_.split("/").last.startsWith("."))
+      .toSet
+
+  test("pipeline A: manifest semi/anti join, copy retains source, O11 rewrite") {
+    val root = mkLake()
+    write(root, "raw/1000_aaa.json", """{"SalesCompanyId":"1"}""")
+    write(root, "raw/1001_bbb.json", """{"SalesCompanyId":"2"}""")
+    val csv = root.resolve("manifest.csv")
+    Files.writeString(csv,
+      """QuoteId;unixtimestamp;filename
+        |q1;1761940950;1000_aaa.json
+        |q2;1761940950;raw/1001_bbb.json
+        |q3;1761940950;missing.json
+        |q4;1761940950;
+        |""".stripMargin)
+
+    val (found, notFound, results) = Pipelines.pipelineA(
+      spark, csv.toString, s"file:$root", "raw/", "archive/")
+
+    assert(found.collect().map(_.getString(0)).toSet
+      === Set("raw/1000_aaa.json", "raw/1001_bbb.json"))
+    assert(notFound.collect().map(_.getString(0)).toSet === Set("raw/missing.json"))
+
+    val res = results.get.collect()
+    assert(res.forall(_.ok), res.mkString("; "))
+    // copy mode: sources retained (reference never deletes, app/app.py:62-66)
+    assert(lakeFiles(root) === Set("manifest.csv",
+      "raw/1000_aaa.json", "raw/1001_bbb.json",
+      "archive/1000_aaa.json", "archive/1001_bbb.json"))
+  }
+
+  test("pipeline B: date + content filter, move deletes source, dirs created") {
+    val root = mkLake()
+    write(root, "raw/match.json", """{"SalesCompanyId":"12"}""")
+    write(root, "raw/sub/nested.json", """{"hdr":{"SalesCompanyId":12}}""")
+    write(root, "raw/wrong.json", """{"SalesCompanyId":"99"}""")
+    write(root, "raw/notjson.txt", "plain text")
+
+    val (decisions, results) = Pipelines.pipelineB(
+      spark, s"file:$root", "raw/", "files/sbt/quotes/",
+      companyId = Some("12"))
+
+    val dec = decisions.collect()
+      .map(r => r.getString(0).split("/").last -> r.getBoolean(2)).toMap
+    assert(dec === Map("match.json" -> true, "nested.json" -> true,
+      "wrong.json" -> false, "notjson.txt" -> false))
+
+    assert(results.get.collect().forall(_.ok))
+    assert(lakeFiles(root) === Set(
+      "raw/wrong.json", "raw/notjson.txt", // rejected files stay
+      "files/sbt/quotes/match.json", "files/sbt/quotes/sub/nested.json"))
+  }
+
+  test("pipeline B: no filters → everything moves (incl. non-JSON)") {
+    val root = mkLake()
+    write(root, "raw/a.json", """{"x":1}""")
+    write(root, "raw/b.txt", "not json")
+    val (decisions, results) = Pipelines.pipelineB(
+      spark, s"file:$root", "raw/", "tgt/")
+    assert(decisions.collect().forall(_.getBoolean(2)))
+    assert(results.get.collect().forall(_.ok))
+    assert(lakeFiles(root) === Set("tgt/a.json", "tgt/b.txt"))
+  }
+
+  test("pipeline B: date bounds against file mtime, null-safe") {
+    val root = mkLake()
+    write(root, "raw/old.json", """{"x":1}""")
+    // make the file "old" by back-dating its mtime
+    Files.setLastModifiedTime(root.resolve("raw/old.json"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        Timestamp.valueOf("2020-01-01 00:00:00").getTime))
+    write(root, "raw/new.json", """{"x":1}""")
+
+    val (decisions, _) = Pipelines.pipelineB(
+      spark, s"file:$root", "raw/", "tgt/",
+      after = Some(Timestamp.valueOf("2023-01-01 00:00:00")), dryRun = true)
+    val dec = decisions.collect()
+      .map(r => r.getString(0).split("/").last -> r.getBoolean(2)).toMap
+    assert(dec === Map("old.json" -> false, "new.json" -> true))
+    // dryRun: nothing moved
+    assert(lakeFiles(root) === Set("raw/old.json", "raw/new.json"))
+  }
+}
