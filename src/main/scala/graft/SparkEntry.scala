@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.queries.{FileOps, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
                             Map[String, String])] = Seq(
-    (Relational.queries, Relational.oracleSql)
+    (Relational.queries, Relational.oracleSql),
+    (FileOps.queries, FileOps.oracleSql)
   )
 
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */

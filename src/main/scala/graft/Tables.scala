@@ -16,7 +16,17 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
+      // vectorized reader rejects; read nanos as long and truncate to
+      // microseconds (Spark's native timestamp precision). DuckDB reads
+      // the same column as TIMESTAMP_NS directly — date-level outputs in
+      // oracles keep both sides comparable.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view so spark.sql(...) parity queries
     * can share the exact SQL text with the DuckDB oracle when convenient. */

@@ -1,0 +1,201 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.JsonKeys
+import graft.operators.{Paths, Select}
+
+/** Oracle-gated queries for the file-mover parity operators
+  * (SURVEY.md §2.2-§2.3: O10-O16), exercised over the driver-generated
+  * tables by synthesizing path / JSON columns deterministically from row
+  * keys, then applying the REAL library operators (graft.operators.*,
+  * graft.functions.JsonKeys). The DuckDB oracle replicates each
+  * transform in portable SQL.
+  *
+  * All path logic is pure Column expressions — whole-stage codegen'd,
+  * no shuffle beyond the final aggregate where present; at 100 TB these
+  * are embarrassingly parallel map stages.
+  */
+object FileOps {
+
+  private val after  = Some(Timestamp.valueOf("2024-01-05 00:00:00"))
+  private val before = Some(Timestamp.valueOf("2024-01-25 00:00:00"))
+
+  /** Synthesized filename column shared by the path queries. */
+  private def docFile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("doc_"), col("doc_id").cast("string"), lit(".json")).as("fname"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- O10: prefix normalization (app/app.py:104-111) ----
+    "o10_prefix_normalize" -> ((s, dir) => {
+      docFile(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(lit("raw/"), col("fname")))
+            .otherwise(col("fname")).as("fname"))
+        .select(col("doc_id"),
+          Paths.normalizeWithPrefix(col("fname"), "raw/").as("path"))
+    }),
+
+    // ---- O11: first-occurrence replace + basename fallback (app/app.py:45-53) ----
+    "o11_rewrite_first" -> ((s, dir) => {
+      docFile(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 4 === 0, concat(lit("x/raw/"), col("fname")))
+            .when(col("doc_id") % 4 === 1, concat(lit("raw/raw/"), col("fname")))
+            .otherwise(concat(lit("other/"), col("fname"))).as("path"))
+        .select(col("doc_id"),
+          Paths.rewriteFirstOccurrence(col("path"), "raw", "archive").as("dst"))
+    }),
+
+    // ---- O12: strip-prefix relocate + // collapse (app/main.py:153-159) ----
+    "o12_rewrite_relocate" -> ((s, dir) => {
+      docFile(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, concat(lit("raw/q/"), col("fname")))
+            .otherwise(concat(lit("elsewhere//"), col("fname"))).as("path"))
+        .select(col("doc_id"),
+          Paths.rewriteRelocate(col("path"), "raw/", "/files/sbt/quotes/").as("dst"))
+    }),
+
+    // ---- O13: optional-bound date range, null date passes (app/main.py:120-136) ----
+    "o13_date_filter" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          when(col("event_id") % 10 === 0, lit(null).cast("timestamp"))
+            .otherwise(col("ts")).as("d"))
+        .filter(Select.inDateRange(col("d"), after, before))
+        .select(col("event_id"), col("d").cast("date").as("d_date"))
+    }),
+
+    // ---- O14: ordered JSON key search — all three probe branches
+    //      (app/main.py:64-81), via the real UDF ----
+    "o14_json_key" -> ((s, dir) => {
+      t(s, dir, "events").select(
+        col("event_id"),
+        JsonKeys.jsonKeyFirst(col("props"), "k").as("k_top"),
+        JsonKeys.jsonKeyFirst(
+          concat(lit("{\"hdr\": "), col("props"), lit("}")), "k").as("k_nested"),
+        JsonKeys.jsonKeyFirst(
+          concat(lit("{\"lst\": ["), col("props"), lit("]}")), "k").as("k_list"))
+    }),
+
+    // ---- O15: conjunctive filter with reasons (app/main.py:109-146) ----
+    "o15_filter_reasons" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"),
+          when(col("event_id") % 10 === 0, lit(null).cast("timestamp"))
+            .otherwise(col("ts")).as("d"),
+          col("props"))
+      val (keep, _) = Select.selection(col("d"), col("props"),
+        after, before, "k", Some("42"))
+      // reason labels kept static so the oracle is timestamp-format-agnostic;
+      // the full reference messages are covered by SelectSpec.
+      val reason =
+        when(col("d").isNotNull && col("d") < lit(after.get), lit("before_window"))
+          .when(col("d").isNotNull && col("d") > lit(before.get), lit("after_window"))
+          .when(!JsonKeys.contentPredicate(col("props"), "k", Some("42")),
+            lit("content_mismatch"))
+          .otherwise(lit("match"))
+      e.select(col("event_id"), keep.as("keep"), reason.as("reason"))
+    }),
+
+    // ---- O16: report counts over the selection outcome ----
+    "o16_report_counts" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"),
+          when(col("event_id") % 10 === 0, lit(null).cast("timestamp"))
+            .otherwise(col("ts")).as("d"),
+          col("props"))
+      val reason =
+        when(col("d").isNotNull && col("d") < lit(after.get), lit("before_window"))
+          .when(col("d").isNotNull && col("d") > lit(before.get), lit("after_window"))
+          .when(!JsonKeys.contentPredicate(col("props"), "k", Some("42")),
+            lit("content_mismatch"))
+          .otherwise(lit("match"))
+      e.select(reason.as("reason"))
+        .groupBy("reason").agg(count(lit(1)).as("n"))
+    })
+  )
+
+  private val synthFname = "'doc_' || CAST(doc_id AS VARCHAR) || '.json'"
+
+  val oracleSql: Map[String, String] = Map(
+    "o10_prefix_normalize" ->
+      s"""SELECT doc_id,
+         | CASE WHEN starts_with(fname, 'raw/') THEN fname
+         |      ELSE 'raw/' || fname END AS path
+         |FROM (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'raw/' || $synthFname
+         |       ELSE $synthFname END AS fname FROM documents)""".stripMargin,
+
+    "o11_rewrite_first" ->
+      s"""WITH p AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 4 = 0 THEN 'x/raw/' || $synthFname
+         |       WHEN doc_id % 4 = 1 THEN 'raw/raw/' || $synthFname
+         |       ELSE 'other/' || $synthFname END AS path FROM documents),
+         |r AS (SELECT doc_id, path,
+         |  CASE WHEN strpos(path, 'raw') > 0
+         |       THEN substr(path, 1, strpos(path, 'raw') - 1) || 'archive'
+         |            || substr(path, strpos(path, 'raw') + 3)
+         |       ELSE path END AS rep FROM p)
+         |SELECT doc_id,
+         | CASE WHEN rep = path THEN 'archive/' || split_part(path, '/', -1)
+         |      ELSE rep END AS dst
+         |FROM r""".stripMargin,
+
+    "o12_rewrite_relocate" ->
+      s"""SELECT doc_id,
+         | regexp_replace('/files/sbt/quotes/' ||
+         |   regexp_replace(
+         |     CASE WHEN starts_with(path, 'raw/') THEN substr(path, 5)
+         |          ELSE path END, '^/+', ''),
+         |   '//', '/', 'g') AS dst
+         |FROM (SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'raw/q/' || $synthFname
+         |       ELSE 'elsewhere//' || $synthFname END AS path FROM documents)""".stripMargin,
+
+    "o13_date_filter" ->
+      """SELECT event_id, CAST(d AS DATE) AS d_date
+        |FROM (SELECT event_id,
+        |  CASE WHEN event_id % 10 = 0 THEN NULL ELSE ts END AS d FROM events)
+        |WHERE d IS NULL
+        |   OR (d >= TIMESTAMP '2024-01-05 00:00:00'
+        |       AND d <= TIMESTAMP '2024-01-25 00:00:00')""".stripMargin,
+
+    "o14_json_key" ->
+      """SELECT event_id,
+        | json_extract_string(props, '$.k') AS k_top,
+        | json_extract_string('{"hdr": ' || props || '}', '$.hdr.k') AS k_nested,
+        | json_extract_string('{"lst": [' || props || ']}', '$.lst[0].k') AS k_list
+        |FROM events""".stripMargin,
+
+    "o15_filter_reasons" ->
+      """SELECT event_id,
+        | (reason = 'match') AS keep, reason
+        |FROM (SELECT event_id,
+        |  CASE WHEN d IS NOT NULL AND d < TIMESTAMP '2024-01-05 00:00:00' THEN 'before_window'
+        |       WHEN d IS NOT NULL AND d > TIMESTAMP '2024-01-25 00:00:00' THEN 'after_window'
+        |       WHEN COALESCE(json_extract_string(props, '$.k') = '42', FALSE) = FALSE THEN 'content_mismatch'
+        |       ELSE 'match' END AS reason
+        |  FROM (SELECT event_id,
+        |    CASE WHEN event_id % 10 = 0 THEN NULL ELSE ts END AS d, props
+        |    FROM events))""".stripMargin,
+
+    "o16_report_counts" ->
+      """SELECT reason, COUNT(*) AS n
+        |FROM (SELECT
+        |  CASE WHEN d IS NOT NULL AND d < TIMESTAMP '2024-01-05 00:00:00' THEN 'before_window'
+        |       WHEN d IS NOT NULL AND d > TIMESTAMP '2024-01-25 00:00:00' THEN 'after_window'
+        |       WHEN COALESCE(json_extract_string(props, '$.k') = '42', FALSE) = FALSE THEN 'content_mismatch'
+        |       ELSE 'match' END AS reason
+        |  FROM (SELECT
+        |    CASE WHEN event_id % 10 = 0 THEN NULL ELSE ts END AS d, props
+        |    FROM events))
+        |GROUP BY reason""".stripMargin
+  )
+}
