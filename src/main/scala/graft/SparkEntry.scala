@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{FileOps, Relational}
+import graft.queries.{DedupQueries, FileOps, Relational, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,10 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
                             Map[String, String])] = Seq(
     (Relational.queries, Relational.oracleSql),
-    (FileOps.queries, FileOps.oracleSql)
+    (FileOps.queries, FileOps.oracleSql),
+    (TextQueries.queries, TextQueries.oracleSql),
+    (DedupQueries.queries, DedupQueries.oracleSql),
+    (SimilarityQueries.queries, SimilarityQueries.oracleSql)
   )
 
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline extensions:
+  * tokenization, n-gram shingling, language ID, quality scoring, and
+  * document fingerprinting. Everything here is built from Spark
+  * built-in / higher-order functions — no UDFs — so the hot path stays
+  * JVM-native and the expressions are replicable 1:1 in the DuckDB
+  * oracle SQL.
+  *
+  * Determinism note: every double-valued score is a FIXED expression
+  * tree of IEEE ops (single divisions, left-assoc weighted sums), so
+  * Spark and DuckDB produce bit-identical values — no rounding fudge
+  * needed in the correctness gate.
+  */
+object Text {
+
+  /** Whitespace tokenization (documents.text is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alnum runs and single non-alnum glyphs each
+    * count as one token (regexp over the raw text).
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "[^a-z0-9]+"), x => length(x) > 0)) +
+      (length(text) - length(regexp_replace(text, "[^a-z0-9 ]", "")))
+
+  /** Word n-gram shingles; empty array when the doc has < n tokens
+    * (guards Spark's descending `sequence(1, 0)` pitfall).
+    */
+  def shingles(tok: Column, n: Int): Column =
+    when(size(tok) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(tok) - (n - 1)),
+        i => array_join(slice(tok, i, lit(n)), " ")))
+
+  /** Per-language marker-word sets for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny and fixed — the heuristic IS the
+    * contract (the oracle replicates it; it is not ground truth).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "les", "une", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def markerHits(tok: Column, markers: Seq[String]): Column =
+    size(filter(tok, x => x.isin(markers.map(_.asInstanceOf[Any]): _*)))
+
+  /** Language ID: argmax of marker hits, ties resolved by declaration
+    * order (en, de, es, fr, zh); all-zero ⇒ "und".
+    */
+  def langId(tok: Column): Column = {
+    val scores = langMarkers.map { case (l, m) => l -> markerHits(tok, m) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** English-stopword ratio (marker set of `en`), one IEEE division. */
+  def stopwordRatio(tok: Column): Column =
+    markerHits(tok, langMarkers.head._2).cast("double") / size(tok).cast("double")
+
+  /** Ratio of non-[a-z0-9 space] chars, one IEEE division. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^a-z0-9 ]", ""))).cast("double") /
+      length(text).cast("double")
+
+  /** Composite quality score in [0,1]: stopword density + length credit
+    * + punctuation penalty, as one fixed left-assoc expression tree.
+    */
+  def qualityScore(text: Column, tok: Column): Column =
+    lit(0.5) * stopwordRatio(tok) +
+      lit(0.3) * least(lit(1.0), size(tok).cast("double") / lit(50.0)) +
+      lit(0.2) * (lit(1.0) - punctRatio(text))
+
+  /** Whole-document fingerprint. */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Min-shingle fingerprint (a 1-permutation MinHash): stable under
+    * local edits away from the minimizing shingle.
+    */
+  def minShingleFingerprint(tok: Column, n: Int): Column =
+    array_min(transform(shingles(tok, n), s => md5(s)))
+}

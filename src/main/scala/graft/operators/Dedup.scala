@@ -1,0 +1,186 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Deduplication for large-scale training-data pipelines: exact
+  * (hash-groupBy), n-gram Jaccard via an inverted shingle index,
+  * MinHash + LSH banding, and SimHash.
+  *
+  * Scale design (100 TB): every variant avoids the O(N²) cross join —
+  * exact dedup is one hash aggregation on a 128-bit digest; Jaccard and
+  * MinHash-LSH generate candidates by equi-joining on shingle / band
+  * keys (shuffle on the key, skew bounded by a document-frequency cap
+  * on pathological shingles); only candidate pairs — a tiny fraction —
+  * are verified exactly.
+  */
+object Dedup {
+
+  /** Exact dedup groups: content digest → representative (min id) +
+    * multiplicity. One map-side-combinable aggregation; no join.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct-shingle sets per doc, optionally dropping shingles whose
+    * document frequency exceeds `dfCap` (stop-shingle removal — the
+    * standard skew guard for inverted-index joins at scale).
+    */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                          n: Int, dfCap: Option[Int]): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(Text.shingles(Text.tokens(col(textCol)), n)).as("sh"))
+    dfCap match {
+      case None => sh
+      case Some(cap) =>
+        val ex = sh.select(col("id"), explode(col("sh")).as("s"))
+        val keep = ex.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("s")
+        ex.join(keep, "s").groupBy("id").agg(collect_list("s").as("sh"))
+    }
+  }
+
+  /** Near-duplicate pairs by exact n-gram Jaccard ≥ `threshold`,
+    * candidates from the inverted shingle index (docs sharing ≥ 1
+    * shingle) — never a cross join.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double,
+                   dfCap: Option[Int] = None): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol, n, dfCap)
+    val ex = sh.select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+    val common = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** MinHash signature: k permutations simulated by salted md5; element
+    * i is the minimum of md5(i + ":" + shingle) over the doc's distinct
+    * shingles. Pure higher-order expressions (no UDF), so the oracle
+    * can replicate it verbatim.
+    */
+  def minhashSignature(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, s => md5(concat(i.cast("string"), lit(":"), s)))))
+
+  /** LSH band keys: `bands` hashes, band b digesting rows
+    * [b*rowsPerBand, (b+1)*rowsPerBand) of the signature. Docs sharing
+    * any (band index, band hash) become candidates.
+    */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), "")))
+
+  /** MinHash+LSH near-dup pairs: band-key equi-join for candidates,
+    * exact Jaccard verification. k = bands * rowsPerBand.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, bands: Int, rowsPerBand: Int,
+                      threshold: Double): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol, n, None)
+      .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
+    val banded = sh.select(col("id"), col("sh"),
+      posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bkey")))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .dropDuplicates("a_id", "b_id")
+    cands
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  // ---- SimHash ----
+
+  private def md5Hex(s: String): String = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  /** 64-bit SimHash over the token multiset, emitted as 16 lowercase hex
+    * chars. Bit b votes +1/-1 per token according to bit b of the
+    * token's md5; positive sum ⇒ 1. Deterministic and replicated by the
+    * oracle in portable SQL (unnest + bit arithmetic on hex digits).
+    */
+  def simhashHex(tokens: Seq[String]): String = {
+    val acc = new Array[Int](64)
+    if (tokens != null) tokens.foreach { t =>
+      val hex = md5Hex(t)
+      var b = 0
+      while (b < 64) {
+        val digit = Character.digit(hex.charAt(b / 4), 16)
+        val bit = (digit >> (3 - b % 4)) & 1
+        acc(b) += (if (bit == 1) 1 else -1)
+        b += 1
+      }
+    }
+    val sb = new StringBuilder(16)
+    var nib = 0
+    while (nib < 16) {
+      var v = 0
+      var j = 0
+      while (j < 4) { v = (v << 1) | (if (acc(nib * 4 + j) > 0) 1 else 0); j += 1 }
+      sb.append("0123456789abcdef".charAt(v))
+      nib += 1
+    }
+    sb.toString
+  }
+
+  val simhashUdf: UserDefinedFunction = udf((tokens: Seq[String]) => simhashHex(tokens))
+
+  /** Hamming distance between two equal-length hex digests. */
+  def hammingHex(a: String, b: String): Int = {
+    var i = 0; var d = 0
+    while (i < a.length) {
+      var x = Character.digit(a.charAt(i), 16) ^ Character.digit(b.charAt(i), 16)
+      while (x != 0) { d += x & 1; x >>= 1 }
+      i += 1
+    }
+    d
+  }
+
+  val hammingUdf: UserDefinedFunction = udf((a: String, b: String) => hammingHex(a, b))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist. Candidate
+    * generation blocks on 16-bit quarters of the digest (pigeonhole: any
+    * pair within distance 3 shares at least one of 4 quarters exactly),
+    * so the join is an equi-join on (quarter index, quarter value).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int): DataFrame = {
+    require(maxDist < 4, "quarter blocking is exact only for maxDist <= 3")
+    val sigs = df.select(col(idCol).as("id"),
+      Dedup.simhashUdf(Text.tokens(col(textCol))).as("sig"))
+    val blocked = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        q => col("sig").substr(q * 4 + 1, lit(4)))).as(Seq("q", "qv")))
+    blocked.as("a").join(blocked.as("b"),
+        col("a.q") === col("b.q") && col("a.qv") === col("b.qv") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("dist", hammingUdf(col("sa"), col("sb")))
+      .filter(col("dist") <= maxDist)
+      .select("a_id", "b_id", "dist")
+  }
+}

@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.Text
+import graft.operators.Dedup
+
+/** Deduplication extension queries over `documents`.
+  *
+  * The raw table has no duplicates, so each query builds a corpus with
+  * KNOWN duplicates deterministically (exact copies / first-token-dropped
+  * near-copies under shifted ids), then runs the real
+  * graft.operators.Dedup machinery; the oracle rebuilds the same corpus
+  * and replicates the algorithm in SQL. Candidate generation is always
+  * an equi-join (shingle / LSH-band / digest-quarter key) — no O(N²)
+  * cross joins anywhere, which is the property that survives 100 TB.
+  */
+object DedupQueries {
+
+  /** documents ∪ exact copies under doc_id+1000000. */
+  private def withExactCopies(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    d.union(d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  /** documents(doc_id < 300) ∪ near-copies (first token dropped) under
+    * doc_id+100000.
+    */
+  private def withNearCopies(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 300).select("doc_id", "text")
+    val tok = Text.tokens(col("text"))
+    d.union(d.select((col("doc_id") + 100000).as("doc_id"),
+      array_join(slice(tok, lit(2), size(tok) - 1), " ").as("text")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact dedup: one hash aggregation, map-side combinable ----
+    "d_exact_groups" -> ((s, dir) => {
+      Dedup.exactGroups(withExactCopies(s, dir), "doc_id", "text")
+    }),
+
+    // ---- n-gram Jaccard near-dup via inverted shingle index ----
+    "d_jaccard_pairs" -> ((s, dir) => {
+      Dedup.jaccardPairs(withNearCopies(s, dir), "doc_id", "text",
+        n = 5, threshold = 0.5)
+    }),
+
+    // ---- MinHash signatures (salted-md5 permutations, k=6) ----
+    "d_minhash_sig" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val sh = array_distinct(Text.shingles(Text.tokens(col("text")), 5))
+      d.select(col("doc_id"),
+        array_join(Dedup.minhashSignature(sh, 6), ",").as("sig"))
+    }),
+
+    // ---- MinHash + LSH banding (3 bands × 2 rows) + exact verify ----
+    "d_minhash_lsh_pairs" -> ((s, dir) => {
+      Dedup.minhashLshPairs(withNearCopies(s, dir), "doc_id", "text",
+        n = 5, bands = 3, rowsPerBand = 2, threshold = 0.5)
+    }),
+
+    // ---- SimHash digests ----
+    "d_simhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        Dedup.simhashUdf(Text.tokens(col("text"))).as("simhash"))
+    })
+  )
+
+  // ---------- oracle SQL ----------
+
+  private val exactCorpus =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 1000000, text FROM documents""".stripMargin
+
+  private val nearCorpus =
+    """SELECT doc_id, text FROM documents WHERE doc_id < 300
+      |UNION ALL SELECT doc_id + 100000,
+      |  array_to_string(string_split(text, ' ')[2:], ' ')
+      |FROM documents WHERE doc_id < 300""".stripMargin
+
+  /** 5-gram distinct shingle list over a (id, text) relation. */
+  private val shingleCte =
+    """sh AS (SELECT id, list_distinct(
+      |  CASE WHEN len(tok) < 5 THEN []
+      |       ELSE list_transform(range(1, len(tok) - 3),
+      |              i -> array_to_string(tok[i:i+4], ' ')) END) AS sh
+      |FROM (SELECT id, string_split(text, ' ') AS tok FROM base))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "d_exact_groups" ->
+      s"""SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,
+         | count(*) AS n_copies
+         |FROM ($exactCorpus) GROUP BY md5(text)""".stripMargin,
+
+    "d_jaccard_pairs" ->
+      s"""WITH base AS (SELECT doc_id AS id, text FROM ($nearCorpus)),
+         |$shingleCte,
+         |ex AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+         |common AS (SELECT a.id AS a_id, b.id AS b_id, a.n_sh AS na,
+         |    b.n_sh AS nb, count(*) AS common
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT a_id, b_id,
+         |  CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
+         |FROM common
+         |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5""".stripMargin,
+
+    "d_minhash_sig" ->
+      """WITH base AS (SELECT doc_id AS id, text FROM documents),
+        |sh AS (SELECT id, list_distinct(
+        |  CASE WHEN len(tok) < 5 THEN []
+        |       ELSE list_transform(range(1, len(tok) - 3),
+        |              i -> array_to_string(tok[i:i+4], ' ')) END) AS sh
+        |FROM (SELECT id, string_split(text, ' ') AS tok FROM base))
+        |SELECT id AS doc_id,
+        | array_to_string(list_transform(range(0, 6),
+        |   i -> list_aggregate(list_transform(sh,
+        |          s -> md5(CAST(i AS VARCHAR) || ':' || s)), 'min')), ',') AS sig
+        |FROM sh""".stripMargin,
+
+    "d_minhash_lsh_pairs" ->
+      s"""WITH base AS (SELECT doc_id AS id, text FROM ($nearCorpus)),
+         |$shingleCte,
+         |sigs AS (SELECT id, sh, list_transform(range(0, 6),
+         |    i -> list_aggregate(list_transform(sh,
+         |           s -> md5(CAST(i AS VARCHAR) || ':' || s)), 'min')) AS sig
+         |  FROM sh WHERE len(sh) > 0),
+         |banded AS (SELECT id, sh, b,
+         |    md5(sig[2*b+1] || sig[2*b+2]) AS bkey
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 3)) AS b)),
+         |cands AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+         |  FROM banded a JOIN banded b
+         |    ON a.b = b.b AND a.bkey = b.bkey AND a.id < b.id),
+         |verif AS (SELECT c.a_id, c.b_id,
+         |    len(list_intersect(x.sh, y.sh)) AS common,
+         |    len(x.sh) AS na, len(y.sh) AS nb
+         |  FROM cands c JOIN sh x ON x.id = c.a_id JOIN sh y ON y.id = c.b_id)
+         |SELECT a_id, b_id,
+         |  CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
+         |FROM verif
+         |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5""".stripMargin,
+
+    "d_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |tb AS (SELECT doc_id, b,
+        |    CASE WHEN ((strpos('0123456789abcdef',
+        |        substring(md5(t), (b // 4) + 1, 1)) - 1)
+        |        >> (3 - (b % 4))) & 1 = 1 THEN 1 ELSE -1 END AS v
+        |  FROM tok CROSS JOIN (SELECT unnest(range(0, 64)) AS b)),
+        |bits AS (SELECT doc_id, b, CASE WHEN sum(v) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM tb GROUP BY doc_id, b),
+        |nibs AS (SELECT doc_id, b // 4 AS nib,
+        |    sum(bit << (3 - (b % 4))) AS nv
+        |  FROM bits GROUP BY doc_id, b // 4)
+        |SELECT doc_id, string_agg(substring('0123456789abcdef',
+        |    CAST(nv AS INT) + 1, 1), '' ORDER BY nib) AS simhash
+        |FROM nibs GROUP BY doc_id""".stripMargin
+  )
+}

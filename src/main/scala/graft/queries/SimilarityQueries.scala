@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.operators.Similarity
+
+/** Similarity-search extension queries over `embeddings`
+  * (array<float>, 64 dims).
+  *
+  * Cross-engine float discipline: embeddings are cast to double BEFORE
+  * any arithmetic on both sides, and emitted cosines are rounded to 4
+  * decimals (rank order itself is decided on full precision with a
+  * vec_id tiebreak; random-vector cosine gaps are orders of magnitude
+  * above cross-engine ulp differences).
+  */
+object SimilarityQueries {
+
+  /** embeddings ∪ 2×-scaled copies under vec_id+100000 (cosine with the
+    * original is exactly 1.0 in IEEE arithmetic — scaling by a power of
+    * two is exact, so near-dup detection is deterministic).
+    */
+  private def withScaledCopies(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    e.union(e.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0)).as("embedding")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- brute-force cosine top-k (baseline; queries broadcast) ----
+    "s_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Similarity.cosineTopK(e.filter(col("vec_id") < 20), e, k = 3)
+        .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cos"))
+    }),
+
+    // ---- sign-LSH bucketed ANN (the scale path) ----
+    "s_ann_signlsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Similarity.annTopK(e.filter(col("vec_id") < 50), e, k = 3, bits = 6)
+        .select(col("q_id"), col("bucket"), col("rank"), col("n_id"),
+          round(col("cos"), 4).as("cos"))
+    }),
+
+    // ---- embedding near-duplicates (cosine ≥ 0.999, sign-LSH blocked) ----
+    "d_embedding_neardup" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(withScaledCopies(s, dir),
+        threshold = 0.999, bits = 8)
+    })
+  )
+
+  private val dotSql = "list_cosine_similarity(qv, nv)"
+
+  val oracleSql: Map[String, String] = Map(
+    "s_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv
+         |  FROM embeddings),
+         |p AS (SELECT q_id, n_id, $dotSql AS cos
+         |  FROM q CROSS JOIN c WHERE q_id <> n_id),
+         |r AS (SELECT q_id, n_id, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM p)
+         |SELECT q_id, rank, n_id, ROUND(cos, 4) AS cos FROM r WHERE rank <= 3""".stripMargin,
+
+    "s_ann_signlsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    array_to_string(list_transform(CAST(embedding AS DOUBLE[])[1:6],
+         |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e WHERE vec_id < 50),
+         |c AS (SELECT vec_id AS n_id, v AS nv, bucket FROM e),
+         |p AS (SELECT q_id, c.bucket AS bucket, n_id, $dotSql AS cos
+         |  FROM q JOIN c ON q.bucket = c.bucket WHERE q_id <> n_id),
+         |r AS (SELECT q_id, bucket, n_id, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM p)
+         |SELECT q_id, bucket, rank, n_id, ROUND(cos, 4) AS cos
+         |FROM r WHERE rank <= 3""".stripMargin,
+
+    "d_embedding_neardup" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> x * 2) FROM embeddings),
+        |e AS (SELECT vec_id, v, array_to_string(list_transform(v[1:8],
+        |    x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM base)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.999""".stripMargin
+  )
+}

@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.Text
+
+/** Text-analysis extension queries over the `documents` table
+  * (token counting, language ID, quality scoring, fingerprinting),
+  * each backed by the graft.functions.Text library and replicated in
+  * portable DuckDB SQL for the oracle.
+  *
+  * Scale: every query is a single map-side projection (plus one
+  * aggregation-free scan) — embarrassingly parallel, no shuffle.
+  */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_token_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        Text.subwordCount(col("text")).as("n_subwords"),
+        length(col("text")).as("len_chars"))
+    }),
+
+    "t_lang_id" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        Text.langId(Text.tokens(col("text"))).as("lang_pred"))
+    }),
+
+    "t_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val tok = Text.tokens(col("text"))
+      d.select(col("doc_id"),
+        Text.stopwordRatio(tok).as("stop_ratio"),
+        Text.punctRatio(col("text")).as("punct_ratio"),
+        Text.qualityScore(col("text"), tok).as("quality"))
+    }),
+
+    "t_fingerprint" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val tok = Text.tokens(col("text"))
+      d.select(col("doc_id"),
+        Text.fingerprint(col("text")).as("fp"),
+        Text.minShingleFingerprint(tok, 5).as("minshingle_fp"))
+    })
+  )
+
+  // shared SQL fragments (documents.text is single-space-joined lowercase)
+  private val tok = "string_split(text, ' ')"
+  private def hits(set: Seq[String]) =
+    s"len(list_filter($tok, x -> x IN (${set.map("'" + _ + "'").mkString(",")})))"
+  private val scores = Text.langMarkers.map { case (l, m) => l -> hits(m) }
+  private val bestExpr = s"greatest(${scores.map(_._2).mkString(", ")})"
+
+  val oracleSql: Map[String, String] = Map(
+    "t_token_stats" ->
+      s"""SELECT doc_id,
+         | len($tok) AS n_tokens,
+         | len(list_filter(string_split_regex(text, '[^a-z0-9]+'), x -> len(x) > 0))
+         |   + (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) AS n_subwords,
+         | length(text) AS len_chars
+         |FROM documents""".stripMargin,
+
+    "t_lang_id" -> {
+      val whens = scores.map { case (l, e) =>
+        s"WHEN $e = best AND best > 0 THEN '$l'"
+      }.mkString("\n  ")
+      s"""SELECT doc_id,
+         | CASE $whens ELSE 'und' END AS lang_pred
+         |FROM (SELECT doc_id, text, $bestExpr AS best FROM documents)""".stripMargin
+    },
+
+    "t_quality" ->
+      s"""SELECT doc_id,
+         | CAST(${hits(Text.langMarkers.head._2)} AS DOUBLE) / CAST(len($tok) AS DOUBLE) AS stop_ratio,
+         | CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         | 0.5 * (CAST(${hits(Text.langMarkers.head._2)} AS DOUBLE) / CAST(len($tok) AS DOUBLE))
+         |  + 0.3 * least(1.0, CAST(len($tok) AS DOUBLE) / 50.0)
+         |  + 0.2 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) AS quality
+         |FROM documents""".stripMargin,
+
+    "t_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS fp,
+         | list_aggregate(list_transform(
+         |   CASE WHEN len($tok) < 5 THEN []
+         |        ELSE list_transform(range(1, len($tok) - 3),
+         |               i -> array_to_string(($tok)[i:i+4], ' ')) END,
+         |   s -> md5(s)), 'min') AS minshingle_fp
+         |FROM documents""".stripMargin
+  )
+}

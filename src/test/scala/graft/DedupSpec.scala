@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("exactGroups: representative is min id, multiplicity counted") {
+    val g = Dedup.exactGroups(
+      docs((1L, "a b c"), (5L, "a b c"), (3L, "x y z")), "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(g === Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("jaccardPairs: identical docs have jaccard 1.0; disjoint docs absent") {
+    val d = docs(
+      (1L, "a b c d e f"), (2L, "a b c d e f"),
+      (3L, "p q r s t u"))
+    val pairs = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("jaccardPairs dfCap drops ubiquitous shingles") {
+    // shared shingle "a b c" appears in all 3 docs → capped out at dfCap=2
+    val d = docs(
+      (1L, "a b c x1 y1"), (2L, "a b c x2 y2"), (3L, "a b c x3 y3"))
+    val noPairs = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.1, dfCap = Some(2))
+    assert(noPairs.collect().isEmpty)
+    val withPairs = Dedup.jaccardPairs(d, "doc_id", "text", 3, 0.1, dfCap = None)
+    assert(withPairs.count() === 3)
+  }
+
+  test("minhash LSH finds near-dups and skips distant docs") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val d = docs(
+      (1L, base), (2L, base + " w13"), // high overlap
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"))
+    val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+      n = 3, bands = 3, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("simhash: deterministic, near-identical token sets within small hamming") {
+    val a = Dedup.simhashHex(Seq("alpha", "beta", "gamma", "delta", "epsilon"))
+    val b = Dedup.simhashHex(Seq("alpha", "beta", "gamma", "delta", "epsilon"))
+    assert(a === b && a.length === 16)
+    val c = Dedup.simhashHex(Seq("alpha", "beta", "gamma", "delta", "zeta"))
+    assert(Dedup.hammingHex(a, c) < Dedup.hammingHex(a,
+      Dedup.simhashHex(Seq("one", "two", "three", "four", "five"))))
+  }
+
+  test("simhashPairs: exact copies at distance 0 via quarter blocking") {
+    val d = docs(
+      (1L, "m1 m2 m3 m4 m5 m6"), (2L, "m1 m2 m3 m4 m5 m6"),
+      (3L, "q1 q2 q3 q4 q5 q6"))
+    val pairs = Dedup.simhashPairs(d, "doc_id", "text", maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0)))
+  }
+}

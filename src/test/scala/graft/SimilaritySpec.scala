@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs(rows: (Long, Seq[Double])*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("vec_id", "embedding")
+  }
+
+  test("cosine: orthogonal 0, parallel 1, antiparallel -1") {
+    val df = vecs(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(2.0, 0.0)), (4L, Seq(-1.0, 0.0)))
+    val a = df.as("a").crossJoin(df.as("b"))
+      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(a((1L, 2L)) === 0.0)
+    assert(a((1L, 3L)) === 1.0)
+    assert(a((1L, 4L)) === -1.0)
+  }
+
+  test("cosineTopK: nearest first, self excluded, id tiebreak") {
+    val df = vecs(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.9, 0.1)),   // closest to 1
+      (3L, Seq(0.5, 0.5)),
+      (4L, Seq(0.0, 1.0)))   // farthest from 1
+    val top = Similarity.cosineTopK(df.filter(col("vec_id") === 1), df, k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(top.toSeq === Seq((1, 2L), (2, 3L), (3, 4L)))
+  }
+
+  test("signBucket groups by leading-dim signs; annTopK stays in bucket") {
+    val df = vecs(
+      (1L, Seq(1.0, 1.0, 1.0)), (2L, Seq(2.0, 1.0, 0.5)),
+      (3L, Seq(-1.0, 1.0, 1.0)))
+    val ann = Similarity.annTopK(df.filter(col("vec_id") === 1), df, k = 5, bits = 2)
+      .collect().map(r => r.getLong(3))
+    assert(ann.toSeq === Seq(2L)) // 3 is in bucket "01", unreachable
+  }
+
+  test("cosineNearDupPairs: scaled copy detected exactly") {
+    val base = vecs((1L, Seq(0.3, -0.2, 0.9)), (2L, Seq(-0.5, 0.1, 0.2)))
+    val withCopy = base.union(
+      base.select((col("vec_id") + 100).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0)).as("embedding")))
+    val pairs = Similarity.cosineNearDupPairs(withCopy, threshold = 0.999, bits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 101L), (2L, 102L)))
+  }
+}
