@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, FileOps, Relational, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, EventQueries, FileOps, MultimodalQueries, Relational, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,9 @@ object SparkEntry {
     (FileOps.queries, FileOps.oracleSql),
     (TextQueries.queries, TextQueries.oracleSql),
     (DedupQueries.queries, DedupQueries.oracleSql),
-    (SimilarityQueries.queries, SimilarityQueries.oracleSql)
+    (SimilarityQueries.queries, SimilarityQueries.oracleSql),
+    (EventQueries.queries, EventQueries.oracleSql),
+    (MultimodalQueries.queries, MultimodalQueries.oracleSql)
   )
 
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */

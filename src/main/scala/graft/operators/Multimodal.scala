@@ -1,0 +1,80 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.model
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with a typed metadata struct; decode / feature
+  * extraction runs per-partition over the binary batches.
+  *
+  * The actual codec step is STUBBED (this environment ships no
+  * image/audio libraries): `FakeDecoder` derives deterministic
+  * pseudo-features from the payload digest. Everything around it — the
+  * (content, meta) schema, the per-partition execution shape (one
+  * decoder instance per partition, batch iteration, never a driver-side
+  * loop), and the frame-sampling explode — is the real plumbing a
+  * production decoder drops into by swapping `decode`.
+  */
+object Multimodal {
+
+  final case class MediaMeta(n_bytes: Long, mime: String, digest: String)
+  final case class MediaFeatures(id: Long, width: Int, height: Int,
+                                 channels: Int, digest: String)
+
+  /** Attach a binary `content` column + metadata struct to (id, payload)
+    * rows. With real media, `content` comes straight off the
+    * `binaryFile` source instead.
+    */
+  def withBinary(df: DataFrame, idCol: String, payloadCol: String,
+                 mime: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      encode(col(payloadCol), "UTF-8").as("content"),
+      struct(
+        octet_length(encode(col(payloadCol), "UTF-8")).cast("long").as("n_bytes"),
+        lit(mime).as("mime"),
+        md5(encode(col(payloadCol), "UTF-8")).as("digest")).as("meta"))
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(bytes).map(b => f"$b%02x").mkString
+
+  /** STUB decoder: deterministic pseudo-dimensions from the digest —
+    * hex digit d0 → width 32*(1+d0), d1 → height 32*(1+d1),
+    * d2 → channels 1 + d2 % 3. A real decoder replaces this body.
+    */
+  private[graft] def decode(id: Long, content: Array[Byte]): MediaFeatures = {
+    val hex = md5Hex(content)
+    def d(i: Int) = Character.digit(hex.charAt(i), 16)
+    MediaFeatures(id, 32 * (1 + d(0)), 32 * (1 + d(1)), 1 + d(2) % 3, hex)
+  }
+
+  /** Distributed feature extraction: one decoder per partition, rows
+    * streamed through it — the execution shape for any per-payload
+    * media op (resize, transcode, embed).
+    */
+  def extractFeatures(df: DataFrame): Dataset[MediaFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder init would go here (native handles etc.)
+        it.map { case (id, bytes) => decode(id, bytes) }
+      }
+  }
+
+  /** Frame-sampling plumbing for video-like payloads: emit `n` evenly
+    * indexed frame descriptors per payload (a real implementation
+    * replaces the descriptor with decoded frame bytes).
+    */
+  def sampleFrames(df: DataFrame, n: Int): DataFrame =
+    df.select(col("id"), col("meta"),
+        posexplode(transform(sequence(lit(0), lit(n - 1)), i => i))
+          .as(Seq("frame_idx", "frame_no")))
+      .select(col("id"), col("frame_idx"),
+        concat(col("meta.digest"), lit(":"), col("frame_idx").cast("string"))
+          .as("frame_key"))
+}

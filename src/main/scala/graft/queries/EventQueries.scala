@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Event-stream analytics over `events` in batch form — the same plan
+  * shapes graft.streaming runs incrementally (tumbling windows,
+  * gap-based sessionization). Money-style sums use exact DECIMAL before
+  * the final double cast so 32-partition Spark and single-threaded
+  * DuckDB agree bitwise.
+  */
+object EventQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- tumbling 1-hour windows per event type ----
+    "e_tumbling_hourly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("total_value"))
+        .select(col("w.start").as("hour_start"), col("event_type"),
+          col("n"), col("total_value"))
+    }),
+
+    // ---- gap-based sessionization (30-min inactivity) ----
+    "e_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val gap = col("ts").cast("long") -
+        lag(col("ts"), 1).over(byUser).cast("long")
+      t(s, dir, "events")
+        .withColumn("new_session",
+          when(gap.isNull || gap > 1800, lit(1)).otherwise(lit(0)))
+        .withColumn("session_idx",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("event_id"), col("user_id"), col("session_idx"))
+    }),
+
+    // ---- per-user activity profile ----
+    "e_user_stats" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          min(col("ts")).cast("date").as("first_day"),
+          max(col("ts")).cast("date").as("last_day"),
+          sum(dec(col("value"))).cast("double").as("total_value"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "e_tumbling_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "e_sessionize" ->
+      """SELECT event_id, user_id,
+        | SUM(new_session) OVER (PARTITION BY user_id
+        |   ORDER BY ts ASC, event_id ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |FROM (SELECT event_id, user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id
+        |         ORDER BY ts ASC, event_id ASC) IS NULL
+        |    OR date_diff('second', lag(ts) OVER (PARTITION BY user_id
+        |         ORDER BY ts ASC, event_id ASC), ts) > 1800
+        |  THEN 1 ELSE 0 END AS new_session
+        |  FROM events)""".stripMargin,
+
+    "e_user_stats" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        | COUNT(DISTINCT event_type) AS n_types,
+        | CAST(MIN(ts) AS DATE) AS first_day,
+        | CAST(MAX(ts) AS DATE) AS last_day,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id""".stripMargin
+  )
+}

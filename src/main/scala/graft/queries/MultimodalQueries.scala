@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.operators.Multimodal
+
+/** Multimodal-plumbing queries: document text re-encoded as the opaque
+  * binary payload (the container ships no media codecs — see
+  * operators.Multimodal), exercising the real schema/partitioning/
+  * mapPartitions shape end-to-end. The stub decoder is digest-driven,
+  * so the oracle replicates it from md5(text) hex digits.
+  */
+object MultimodalQueries {
+
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Multimodal.withBinary(t(s, dir, "documents"), "doc_id", "text", "text/plain")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_binary_meta" -> ((s, dir) => {
+      media(s, dir).select(col("id"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.mime").as("mime"),
+        col("meta.digest").as("digest"))
+    }),
+
+    "m_features" -> ((s, dir) => {
+      Multimodal.extractFeatures(media(s, dir)).toDF()
+    }),
+
+    "m_frame_sample" -> ((s, dir) => {
+      Multimodal.sampleFrames(media(s, dir), 3)
+    })
+  )
+
+  private def hexDigit(i: Int) =
+    s"(strpos('0123456789abcdef', substring(md5(text), $i, 1)) - 1)"
+
+  val oracleSql: Map[String, String] = Map(
+    "m_binary_meta" ->
+      """SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        | 'text/plain' AS mime, md5(text) AS digest
+        |FROM documents""".stripMargin,
+
+    "m_features" ->
+      s"""SELECT doc_id AS id,
+         | CAST(32 * (1 + ${hexDigit(1)}) AS INT) AS width,
+         | CAST(32 * (1 + ${hexDigit(2)}) AS INT) AS height,
+         | CAST(1 + ${hexDigit(3)} % 3 AS INT) AS channels,
+         | md5(text) AS digest
+         |FROM documents""".stripMargin,
+
+    "m_frame_sample" ->
+      """SELECT doc_id AS id, b AS frame_idx,
+        | md5(text) || ':' || CAST(b AS VARCHAR) AS frame_key
+        |FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS b)""".stripMargin
+  )
+}

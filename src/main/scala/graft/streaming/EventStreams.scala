@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analytics over an event stream with columns
+  * (event_id long, ts timestamp, user_id long, event_type string,
+  * value double) — the incremental forms of the batch plans in
+  * queries.EventQueries.
+  *
+  * Watermarking bounds state: at 100 TB/day the tumbling-window state is
+  * |types| × |open windows| rows and sessions are per-active-user — both
+  * evicted once the watermark passes, so state size is workload-bounded
+  * rather than data-bounded.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type with a watermark. */
+  def tumblingCounts(events: DataFrame, window: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+                              session_end: Timestamp, n_events: Int)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: emits a
+    * session row once `gapSeconds` of inactivity elapse (event-time,
+    * enforced by processing-time timeout in this minimal form). Custom
+    * state is the Spark-native replacement for a hand-rolled
+    * session engine.
+    */
+  def sessionize(events: Dataset[Ev], gapSeconds: Long = 1800)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, new Timestamp(s.start * 1000),
+              new Timestamp(s.last * 1000), s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if sec - s.last <= gapSeconds =>
+                  cur = Some(s.copy(last = sec, n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, new Timestamp(s.start * 1000),
+                    new Timestamp(s.last * 1000), s.n)
+                  cur = Some(SessionState(sec, sec, 1))
+                case None =>
+                  cur = Some(SessionState(sec, sec, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapSeconds * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.{Files, Path => JPath}
+import java.sql.Timestamp
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.streaming.{Archive, EventStreams}
+
+class StreamingSpec extends SparkSpec {
+
+  private val docSchema = StructType(Seq(
+    StructField("QuoteId", StringType),
+    StructField("SalesCompanyId", StringType)))
+
+  test("file-stream archive: processed sources relocated to archive dir") {
+    val root = Files.createTempDirectory("graft-stream")
+    val src = root.resolve("raw"); Files.createDirectories(src)
+    val out = root.resolve("out"); val chk = root.resolve("chk")
+    val arch = root.resolve("archived")
+    Files.writeString(src.resolve("a.json"), """{"QuoteId":"q1","SalesCompanyId":"12"}""")
+    Files.writeString(src.resolve("b.json"), """{"QuoteId":"q2","SalesCompanyId":"99"}""")
+
+    val stream = Archive.readJsonStream(spark, s"file:$src", docSchema,
+      archiveDir = Some(s"file:$arch"))
+    // keep the query alive while polling: source-file archiving is done by
+    // an async cleaner owned by the running query
+    val q = Archive.toParquet(stream, s"file:$out", s"file:$chk")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"file:$out").collect()
+      assert(rows.map(_.getString(0)).toSet === Set("q1", "q2"))
+      // completed files are archived when the NEXT batch starts — feed one
+      // more file to advance the source, then poll the async cleaner
+      Files.writeString(src.resolve("c.json"),
+        """{"QuoteId":"q3","SalesCompanyId":"12"}""")
+      q.processAllAvailable()
+      def archived(): Long =
+        if (Files.exists(arch)) Files.walk(arch).iterator().asScala
+          .count(p => Files.isRegularFile(p) && p.toString.endsWith(".json"))
+        else 0
+      val deadline = System.currentTimeMillis() + 60000
+      while (archived() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      assert(archived() >= 2)
+      // the first batch's sources are gone from the source dir
+      val left = Files.list(src).iterator().asScala.map(_.getFileName.toString).toSet
+      assert(!left.contains("a.json") && !left.contains("b.json"))
+    } finally q.stop()
+  }
+
+  test("tumbling window counts over MemoryStream match batch semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    def ev(id: Long, t: String, typ: String, v: Double) =
+      EventStreams.Ev(id, Timestamp.valueOf(t), 1L, typ, v)
+    mem.addData(
+      ev(1, "2024-01-01 10:05:00", "click", 1.0),
+      ev(2, "2024-01-01 10:55:00", "click", 2.0),
+      ev(3, "2024-01-01 11:05:00", "click", 4.0),
+      ev(4, "2024-01-01 10:10:00", "view", 8.0))
+    val q = EventStreams.tumblingCounts(mem.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    val rows = spark.sql("SELECT * FROM tumbling").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(rows === Set(
+      ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 11:00:00.0", "click", 1L, 4.0),
+      ("2024-01-01 10:00:00.0", "view", 1L, 8.0)))
+  }
+
+  test("sessionize: gap splits sessions, counts preserved") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    def ev(id: Long, t: String) =
+      EventStreams.Ev(id, Timestamp.valueOf(t), 7L, "click", 0.0)
+    // session 1: two events 10 min apart; then one event far beyond the gap
+    // — its arrival closes session 1 within the same batch
+    mem.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:10:00"),
+      ev(3, "2024-01-01 11:30:00"))
+    val q = EventStreams.sessionize(mem.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    val rows = spark.sql("SELECT * FROM sessions").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getInt(3)))
+    assert(rows.toSeq === Seq((7L, "2024-01-01 10:00:00.0", 2)))
+  }
+}
