@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection utility: prints the formatted physical plan of one
+  * or all SparkEntry queries. Used to keep plans honest at scale —
+  * PushedFilters reaching the parquet scan, broadcast joins on
+  * dimension tables, WholeStageCodegen spans covering the hot path.
+  *
+  *   sbt 'runMain graft.Explain [queryName] [sfDir]'
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val targets = name match {
+      case Some(n) => Seq(n -> SparkEntry.queries(n))
+      case None    => SparkEntry.queries.toSeq.sortBy(_._1)
+    }
+    targets.foreach { case (n, fn) =>
+      println(s"\n========== $n ==========")
+      fn(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -4,7 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Similarity search over an embedding column (array<float>).
+import graft.expressions.VectorExprs
+
+/** Similarity search over an embedding column (array<float>, cast to
+  * array<double> at the boundary).
   *
   * Baseline: brute-force cosine top-k — the query set is broadcast, so
   * the corpus is scanned once, map-side, with no shuffle of corpus rows;
@@ -16,14 +19,16 @@ import org.apache.spark.sql.functions._
   * code (the sign bit of the first `bits` dimensions). Query and corpus
   * join on the bucket key, cutting candidates ~2^bits-fold; recall is
   * traded via `bits` (multi-probe = flipping bucket bits, not needed at
-  * test scale). All expressions are built-ins replicable in the oracle.
+  * test scale).
+  *
+  * Hot-path arithmetic is the native codegen'd
+  * [[graft.expressions.DotProduct]]; vector norms are computed ONCE per
+  * row before the join, never per candidate pair.
   */
 object Similarity {
 
-  /** Dot product in double precision, left-to-right accumulation. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product in double precision (native codegen expression). */
+  def dot(a: Column, b: Column): Column = VectorExprs.dot(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -35,15 +40,23 @@ object Similarity {
     concat_ws("", transform(slice(v, 1, bits),
       x => when(x >= 0, lit("1")).otherwise(lit("0"))))
 
+  /** cos from a precomputed-norm pair: dot/(|a|·|b|) — same expression
+    * shape as `cosine`, minus the per-pair norm recompute.
+    */
+  private def cosPre(av: Column, bv: Column, an: Column, bn: Column): Column =
+    dot(av, bv) / (an * bn)
+
   /** Brute-force cosine top-k: for each query row, the k nearest corpus
     * rows (self-pairs excluded), ties broken by corpus id.
     */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("qn"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nn"))
     val pairs = c.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("cos", cosPre(col("qv"), col("nv"), col("qn"), col("nn")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -54,12 +67,14 @@ object Similarity {
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("qn"),
       signBucket(col(vecCol), bits).as("bucket"))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nn"),
       signBucket(col(vecCol), bits).as("bucket"))
     val pairs = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("cos", cosPre(col("qv"), col("nv"), col("qn"), col("nn")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -73,10 +88,11 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, threshold: Double, bits: Int,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nrm"),
       signBucket(col(vecCol), bits).as("bucket"))
     v.as("a").join(v.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .withColumn("cos", cosPre(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
   }
