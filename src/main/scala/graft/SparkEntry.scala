@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, EventQueries, FileOps, MultimodalQueries, Relational, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, EventQueries, FileOps, MultimodalQueries, Relational, Relational2, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,6 +14,7 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
                             Map[String, String])] = Seq(
     (Relational.queries, Relational.oracleSql),
+    (Relational2.queries, Relational2.oracleSql),
     (FileOps.queries, FileOps.oracleSql),
     (TextQueries.queries, TextQueries.oracleSql),
     (DedupQueries.queries, DedupQueries.oracleSql),

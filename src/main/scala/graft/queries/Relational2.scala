@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.Tables.t
+
+/** Second relational batch: outer joins, HAVING, subquery SQL surface,
+  * string/math function batteries, pivot, deterministic sampling, cube.
+  *
+  * `sql_*` queries run ONE shared ANSI SQL text through BOTH engines
+  * (spark.sql over registered temp views; DuckDB over the same-named
+  * parquet views) — the strongest form of surface parity.
+  *
+  * Cross-engine numeric discipline as in Relational: exact decimal for
+  * sums, IEEE-exact ops only (sqrt, x*x — no pow/ln whose libm results
+  * may differ in the last ulp).
+  */
+object Relational2 {
+
+  private val q6Sql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |  CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.03 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  private val existsInSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders
+      |                    WHERE o_totalprice > 250000.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2
+      |                  WHERE o2.o_custkey = c_custkey
+      |                    AND o2.o_orderstatus = 'P')""".stripMargin
+
+  private val priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- left outer join preserving zero-order customers ----
+    "q_outer_left_count" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 200000.0)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_big_orders"))
+    }),
+
+    // ---- full outer join of two aggregates ----
+    "q_full_outer_nation" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sn = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_supp"))
+      cn.join(sn, Seq("nk"), "full_outer")
+        .select(col("nk").as("nationkey"), col("n_cust"), col("n_supp"))
+    }),
+
+    // ---- HAVING ----
+    "q_having" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 15)
+    }),
+
+    // ---- shared-SQL-text queries (spark.sql == DuckDB text) ----
+    "sql_q6_forecast" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(q6Sql)
+    }),
+    "sql_exists_in" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(existsInSql)
+    }),
+
+    // ---- string function battery ----
+    "q_string_funcs" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        substring(col("p_name"), 2, 3).as("sub"),
+        lpad(col("p_brand"), 12, "*").as("lpadded"),
+        expr("replace(p_type, 'E', 'X')").as("repl"),
+        instr(col("p_name"), "o").as("pos_o"),
+        reverse(col("p_name")).as("rev"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("cw"),
+        expr("left(p_name, 4)").as("l4"),
+        expr("split_part(p_name, ' ', 1)").as("word1"),
+        col("p_name").like("%bolt%").as("is_bolt"),
+        length(trim(concat(lit("  "), col("p_name"), lit("  ")))).as("trimlen"))
+    }),
+
+    // ---- math battery (IEEE-exact ops only) ----
+    "q_math_funcs" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        abs(col("o_totalprice") - 150000.0).as("abs_diff"),
+        ceil(col("o_totalprice")).as("ceil_p"),
+        floor(col("o_totalprice")).as("floor_p"),
+        signum(col("o_totalprice") - 150000.0).cast("int").as("sgn"),
+        (col("o_orderkey") % 7).as("mod7"),
+        expr("o_orderkey & 255").as("band"),
+        expr("o_orderkey ^ 129").as("bxor"),
+        shiftleft(col("o_orderkey") % 1024, 2).as("shl"),
+        sqrt(col("o_totalprice")).as("sqrt_p"),
+        (col("o_totalprice") * col("o_totalprice")).as("sq"),
+        greatest(col("o_totalprice"), lit(100000.0)).as("gr"),
+        least(col("o_orderkey"), col("o_custkey")).as("ls"),
+        round(col("o_totalprice"), 1).as("r1"))
+    }),
+
+    // ---- pivot (conditional aggregation; names = priority values) ----
+    "q_pivot_priority" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", priorities)
+        .count().na.fill(0L)
+    }),
+
+    // ---- deterministic hash sample (~1/8) ----
+    "q_sample_hash" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1)
+          .isin("0", "1"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    // ---- cube over status × order year ----
+    "q_cube_status_year" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    }),
+
+    // ---- cross join (tiny dims) ----
+    "q_cross_join" -> ((s, dir) => {
+      t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select(col("r_name"), col("n_name"),
+          (col("r_regionkey") === col("n_regionkey")).as("is_home"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_outer_left_count" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders
+        |FROM customer LEFT JOIN (
+        |  SELECT * FROM orders WHERE o_totalprice > 200000.0) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+
+    "q_full_outer_nation" ->
+      """SELECT COALESCE(a.nk, b.nk) AS nationkey, a.n_cust, b.n_supp
+        |FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+        |      FROM customer GROUP BY 1) a
+        |FULL JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+        |      FROM supplier GROUP BY 1) b ON a.nk = b.nk""".stripMargin,
+
+    "q_having" ->
+      """SELECT o_custkey, COUNT(*) AS n FROM orders
+        |GROUP BY o_custkey HAVING COUNT(*) >= 15""".stripMargin,
+
+    "sql_q6_forecast" -> q6Sql,
+    "sql_exists_in" -> existsInSql,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        | upper(p_name) AS up, lower(p_brand) AS lo,
+        | substring(p_name, 2, 3) AS sub,
+        | lpad(p_brand, 12, '*') AS lpadded,
+        | replace(p_type, 'E', 'X') AS repl,
+        | instr(p_name, 'o') AS pos_o,
+        | reverse(p_name) AS rev,
+        | concat_ws('-', p_brand, p_type) AS cw,
+        | left(p_name, 4) AS l4,
+        | split_part(p_name, ' ', 1) AS word1,
+        | p_name LIKE '%bolt%' AS is_bolt,
+        | length(trim('  ' || p_name || '  ')) AS trimlen
+        |FROM part""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT o_orderkey,
+        | abs(o_totalprice - 150000.0) AS abs_diff,
+        | CAST(ceil(o_totalprice) AS BIGINT) AS ceil_p,
+        | CAST(floor(o_totalprice) AS BIGINT) AS floor_p,
+        | CAST(sign(o_totalprice - 150000.0) AS INT) AS sgn,
+        | o_orderkey % 7 AS mod7,
+        | o_orderkey & 255 AS band,
+        | xor(o_orderkey, 129) AS bxor,
+        | (o_orderkey % 1024) << 2 AS shl,
+        | sqrt(o_totalprice) AS sqrt_p,
+        | o_totalprice * o_totalprice AS sq,
+        | greatest(o_totalprice, 100000.0) AS gr,
+        | least(o_orderkey, o_custkey) AS ls,
+        | round(o_totalprice, 1) AS r1
+        |FROM orders""".stripMargin,
+
+    "q_pivot_priority" ->
+      """SELECT o_orderstatus,
+        | SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS "1-URGENT",
+        | SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS "2-HIGH",
+        | SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS "3-MEDIUM",
+        | SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS "4-NOT SPECIFIED",
+        | SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')""".stripMargin,
+
+    "q_cube_status_year" ->
+      """SELECT o_orderstatus, yr, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (SELECT o_orderstatus,
+        |        CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr, o_totalprice
+        |      FROM orders)
+        |GROUP BY CUBE(o_orderstatus, yr)""".stripMargin,
+
+    "q_cross_join" ->
+      """SELECT r_name, n_name, r_regionkey = n_regionkey AS is_home
+        |FROM region CROSS JOIN nation""".stripMargin
+  )
+}
