@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.DotProduct
+
+/** SparkSessionExtensions hook exposing the engine's native expressions
+  * to the SQL surface:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions   (cluster conf), or
+  *   SparkSession.builder.withExtensions(new GraftExtensions)
+  *
+  * then `SELECT graft_dot(a, b)` anywhere SQL is accepted. For an
+  * already-running session (tests, notebooks) use
+  * [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.dotFunction)
+}
+
+object GraftExtensions {
+  private val dotFunction = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "graft_dot(arrA, arrB) takes 2 arguments")
+      DotProduct(args(0), args(1))
+    })
+
+  /** Session-scoped registration for an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", args => dotFunction._3(args), "built-in")
+}

@@ -1,0 +1,17 @@
+package graft
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("graft_dot usable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(r === 32.0)
+    // null-safe
+    val n = spark.sql(
+      "SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS d")
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+}
