@@ -55,8 +55,11 @@ object Similarity {
       sqrt(dot(col(vecCol), col(vecCol))).as("qn"))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"),
       sqrt(dot(col(vecCol), col(vecCol))).as("nn"))
+    // project BEFORE the window: only (q_id, n_id, cos) crosses the
+    // rank exchange, never the 64-dim vectors
     val pairs = c.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosPre(col("qv"), col("nv"), col("qn"), col("nn")))
+      .select(col("q_id"), col("n_id"),
+        cosPre(col("qv"), col("nv"), col("qn"), col("nn")).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -74,7 +77,8 @@ object Similarity {
       signBucket(col(vecCol), bits).as("bucket"))
     val pairs = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosPre(col("qv"), col("nv"), col("qn"), col("nn")))
+      .select(col("q_id"), col("bucket"), col("n_id"),
+        cosPre(col("qv"), col("nv"), col("qn"), col("nn")).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
