@@ -136,6 +136,19 @@ object Relational2 {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
     }),
 
+    // ---- salted skew join: result identical to the plain equi-join ----
+    "q_salted_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val o = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 250000.0)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
+      graft.operators.Skew.saltedJoin(l, o, "l_orderkey", "l_linenumber", 8)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+    }),
+
     // ---- cross join (tiny dims) ----
     "q_cross_join" -> ((s, dir) => {
       t(s, dir, "region").crossJoin(t(s, dir, "nation"))
@@ -221,6 +234,14 @@ object Relational2 {
 
     "q_cross_join" ->
       """SELECT r_name, n_name, r_regionkey = n_regionkey AS is_home
-        |FROM region CROSS JOIN nation""".stripMargin
+        |FROM region CROSS JOIN nation""".stripMargin,
+
+    // un-salted equivalent — proves salting preserves join semantics
+    "q_salted_join" ->
+      """SELECT l_orderkey, COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 250000.0
+        |GROUP BY l_orderkey""".stripMargin
   )
 }

@@ -30,6 +30,16 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact dedup: drops events whose `idCol` was already seen
+    * within the watermark horizon — state is bounded by the horizon, so
+    * at 100 TB/day the dedup store holds one key per unique id per
+    * window, not per all-time.
+    */
+  def dedupStream(events: DataFrame, idCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
                       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int)
