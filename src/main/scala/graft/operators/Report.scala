@@ -23,4 +23,20 @@ object Report {
     val total = df.count()
     (df.orderBy(col(orderCol)).limit(n), math.max(0L, total - n))
   }
+
+  /** Attach observe() metrics to a move-result plan: totals ride along
+    * with the action instead of costing a second pass over the data
+    * (SURVEY.md §7.2 item 3). Read them from the returned Observation
+    * after any action on the returned DataFrame.
+    */
+  def observed(results: Dataset[MoveResult])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("move_report")
+    val df = results.toDF().observe(obs,
+      count(lit(1)).as("n_total"),
+      sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+      sum(when(!col("ok"), 1L).otherwise(0L)).as("n_failed"),
+      sum(col("bytes")).as("bytes_moved"))
+    (df, obs)
+  }
 }

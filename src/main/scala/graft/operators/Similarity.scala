@@ -85,6 +85,39 @@ object Similarity {
       .select("q_id", "bucket", "rank", "n_id", "cos")
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
+    * vector to its nearest of `nLists` centroids; search probes only
+    * the query's list — the candidate set shrinks |corpus|/nLists-fold
+    * and the join is an equi-join on the list id, exactly like the
+    * sign-LSH path but with data-adaptive buckets (better recall on
+    * clustered corpora). `nProbe` > 1 would extend this to the nearest
+    * few centroids; at test scale one probe suffices.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nLists: Int,
+              seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nn"),
+      array_to_vector(col(vecCol)).as("fv"))
+    val model = new KMeans().setK(nLists).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("list").fit(c)
+    val cc = model.transform(c).drop("fv")
+    val qq = model.transform(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("qn"),
+        array_to_vector(col(vecCol)).as("fv"))).drop("fv")
+    val pairs = cc.join(broadcast(qq), Seq("list"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("list"), col("n_id"),
+        cosPre(col("qv"), col("nv"), col("qn"), col("nn")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "list", "rank", "n_id", "cos")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, bucketed by
     * sign-LSH so candidate generation is an equi-join (vectors with
     * cosine ≈ 1 share every sign bit almost surely).

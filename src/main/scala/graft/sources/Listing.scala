@@ -51,4 +51,25 @@ object Listing {
     spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
       .load(prefix)
+
+  /** O4 — distributed point-existence probe (app/app.py:119-131): for a
+    * manifest too large to semi-join against a full listing, probe each
+    * path directly, `mapPartitions`-parallel with one FileSystem handle
+    * per partition (the reference probes sequentially on one thread).
+    * Returns (path, exists).
+    */
+  def existsProbe(paths: DataFrame, pathCol: String = "path"): DataFrame = {
+    val spark = paths.sparkSession
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    paths.select(pathCol).as[String].mapPartitions { it =>
+      var fs: FileSystem = null
+      it.map { p =>
+        val hp = new Path(p)
+        if (fs == null) fs = hp.getFileSystem(conf.value)
+        (p, try fs.exists(hp) catch { case _: Exception => false })
+      }
+    }.toDF(pathCol, "exists")
+  }
 }

@@ -50,6 +50,31 @@ class MoveSinkSpec extends SparkSpec {
     assert(res(0).ok && res(0).bytes === 1L)
   }
 
+  test("O4 existsProbe: per-path distributed existence check") {
+    import spark.implicits._
+    val root = tmp()
+    Files.writeString(root.resolve("yes.txt"), "x")
+    val probed = graft.sources.Listing.existsProbe(
+      Seq(s"file:$root/yes.txt", s"file:$root/no.txt").toDF("path"))
+      .collect().map(r => r.getString(0).split("/").last -> r.getBoolean(1)).toMap
+    assert(probed === Map("yes.txt" -> true, "no.txt" -> false))
+  }
+
+  test("observe() metrics ride along with the action") {
+    val root = tmp()
+    Files.writeString(root.resolve("a.txt"), "AAA")
+    val results = MoveSink.run(
+      planDf(
+        (s"file:$root/a.txt", s"file:$root/b.txt"),
+        (s"file:$root/ghost.txt", s"file:$root/g.txt")),
+      MoveSink.Copy)
+    val (df, obs) = Report.observed(results)
+    df.collect()
+    val m = obs.get
+    assert(m("n_total") === 2L && m("n_ok") === 1L && m("n_failed") === 1L)
+    assert(m("bytes_moved") === 3L)
+  }
+
   test("copy keeps source; statusCounts report") {
     val root = tmp()
     Files.writeString(root.resolve("a.txt"), "AAA")

@@ -44,6 +44,26 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.toSeq === Seq(2L)) // 3 is in bucket "01", unreachable
   }
 
+  test("ivfTopK: clustered corpus — same top-1 as brute force") {
+    import spark.implicits._
+    // three well-separated clusters around e1, e2, e3
+    val rows = for {
+      c <- 0 until 3
+      i <- 0 until 20
+    } yield {
+      val base = Array.fill(3)(0.05 * ((i * 7 + c) % 5))
+      base(c) = 1.0 + 0.01 * i
+      ((c * 100 + i).toLong, base.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id").isin(0L, 100L, 200L))
+    val ivf = Similarity.ivfTopK(queries, df, k = 1, nLists = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val brute = Similarity.cosineTopK(queries, df, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ivf === brute)
+  }
+
   test("cosineNearDupPairs: scaled copy detected exactly") {
     val base = vecs((1L, Seq(0.3, -0.2, 0.9)), (2L, Seq(-0.5, 0.1, 0.2)))
     val withCopy = base.union(
