@@ -104,6 +104,28 @@ object FileOps {
       e.select(col("event_id"), keep.as("keep"), reason.as("reason"))
     }),
 
+    // ---- flagship end-to-end: build a 400-file mini lake, run the
+    //      pipeline-B move, report counts (the reference's whole job) ----
+    "a_pipeline_move" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths => JPaths}
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 400)
+        .select("doc_id", "text").collect() // 400 small fixture rows
+      val root = JPaths.get(System.getProperty("java.io.tmpdir"), "graft_move_lake")
+      if (Files.exists(root))
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val raw = root.resolve("raw")
+      Files.createDirectories(raw)
+      docs.foreach { r =>
+        Files.writeString(raw.resolve(s"doc_${r.getLong(0)}.json"),
+          s"""{"SalesCompanyId":"${r.getLong(0) % 7}","text":"${r.getString(1)}"}""")
+      }
+      val (_, results) = graft.Pipelines.pipelineB(
+        s, s"file:$root", "raw/", "archive/")
+      graft.operators.Report.statusCounts(results.get)
+        .select(col("status"), col("n"))
+    }),
+
     // ---- O16: report counts over the selection outcome ----
     "o16_report_counts" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -125,6 +147,10 @@ object FileOps {
   private val synthFname = "'doc_' || CAST(doc_id AS VARCHAR) || '.json'"
 
   val oracleSql: Map[String, String] = Map(
+    // the move either fully succeeds (one row) or the gate fails loudly
+    "a_pipeline_move" ->
+      "SELECT 'success' AS status, CAST(400 AS BIGINT) AS n",
+
     "o10_prefix_normalize" ->
       s"""SELECT doc_id,
          | CASE WHEN starts_with(fname, 'raw/') THEN fname

@@ -46,6 +46,46 @@ object Listing {
     spark.createDataset(out.toSeq)
   }
 
+  /** O2 at scale: distributed recursive listing — immediate children of
+    * `prefix` are parallelized across tasks and each task lists its
+    * subtree with its own FileSystem handle. Removes the driver-side
+    * iterator of `list` for prefixes with millions of files (the
+    * fan-out unit is a top-level child, so a billion-file lake lists
+    * with ~|children| way parallelism; nest once more for pathological
+    * single-directory layouts).
+    */
+  def listDistributed(spark: SparkSession, prefix: String): Dataset[LakeFile] = {
+    import spark.implicits._
+    val p = new Path(prefix)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return spark.emptyDataset[LakeFile]
+    val children = fs.listStatus(p).map(_.getPath.toString).toSeq
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    spark.createDataset(children)
+      .repartition(math.max(1, math.min(children.size, 64)))
+      .mapPartitions { it =>
+        it.flatMap { child =>
+          val cp = new Path(child)
+          val cfs = cp.getFileSystem(conf.value)
+          val st = cfs.getFileStatus(cp)
+          if (st.isFile)
+            Iterator(LakeFile(cp.toUri.getPath, st.getLen,
+              new Timestamp(st.getModificationTime)))
+          else {
+            val out = ArrayBuffer.empty[LakeFile]
+            val files = cfs.listFiles(cp, true)
+            while (files.hasNext) {
+              val f = files.next()
+              out += LakeFile(f.getPath.toUri.getPath, f.getLen,
+                new Timestamp(f.getModificationTime))
+            }
+            out.iterator
+          }
+        }
+      }
+  }
+
   /** O2+O5: listing WITH file bytes via the binaryFile source. */
   def withContent(spark: SparkSession, prefix: String): DataFrame =
     spark.read.format("binaryFile")

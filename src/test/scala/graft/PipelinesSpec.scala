@@ -85,6 +85,19 @@ class PipelinesSpec extends SparkSpec {
       "files/sbt/quotes/match.json", "files/sbt/quotes/sub/nested.json"))
   }
 
+  test("listDistributed matches driver-side list") {
+    val root = mkLake()
+    write(root, "raw/a.json", "x")
+    write(root, "raw/sub/b.json", "yy")
+    write(root, "raw/sub/deep/c.json", "zzz")
+    val a = graft.sources.Listing.list(spark, s"file:$root/raw")
+      .collect().map(f => (f.name.split("/").last, f.size)).toSet
+    val b = graft.sources.Listing.listDistributed(spark, s"file:$root/raw")
+      .collect().map(f => (f.name.split("/").last, f.size)).toSet
+    assert(a === b)
+    assert(a === Set(("a.json", 1L), ("b.json", 2L), ("c.json", 3L)))
+  }
+
   test("pipeline B: no filters → everything moves (incl. non-JSON)") {
     val root = mkLake()
     write(root, "raw/a.json", """{"x":1}""")
