@@ -149,6 +149,35 @@ object Relational2 {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
     }),
 
+    // ---- null-handling battery (nulls injected deterministically) ----
+    "q_null_funcs" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        when(col("o_orderkey") % 11 === 0, lit(null).cast("double"))
+          .otherwise(col("o_totalprice")).as("p"),
+        col("o_orderstatus"))
+      o.select(col("o_orderkey"),
+        coalesce(col("p"), lit(-1.0)).as("p_or_neg1"),
+        nullif(col("o_orderstatus"), lit("P")).as("status_np"),
+        col("p").isNull.as("p_missing"),
+        when(col("p").isNull, lit("missing"))
+          .when(col("p") > 200000.0, lit("big"))
+          .otherwise(lit("small")).as("bucket"))
+    }),
+
+    // ---- exact median by element selection (no interpolation —
+    //      deterministic across engines) ----
+    "q_median_price" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("o_orderstatus")))
+        .filter(col("rn") === expr("(cnt + 1) div 2")) // lower median
+        .select(col("o_orderstatus"), col("o_totalprice").as("median_price"))
+    }),
+
     // ---- cross join (tiny dims) ----
     "q_cross_join" -> ((s, dir) => {
       t(s, dir, "region").crossJoin(t(s, dir, "nation"))
@@ -235,6 +264,26 @@ object Relational2 {
     "q_cross_join" ->
       """SELECT r_name, n_name, r_regionkey = n_regionkey AS is_home
         |FROM region CROSS JOIN nation""".stripMargin,
+
+    "q_null_funcs" ->
+      """SELECT o_orderkey,
+        | COALESCE(p, -1.0) AS p_or_neg1,
+        | NULLIF(o_orderstatus, 'P') AS status_np,
+        | p IS NULL AS p_missing,
+        | CASE WHEN p IS NULL THEN 'missing'
+        |      WHEN p > 200000.0 THEN 'big' ELSE 'small' END AS bucket
+        |FROM (SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_totalprice END AS p
+        |  FROM orders)""".stripMargin,
+
+    "q_median_price" ->
+      """SELECT o_orderstatus, o_totalprice AS median_price
+        |FROM (SELECT o_orderstatus, o_totalprice, o_orderkey,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+        |  COUNT(*) OVER (PARTITION BY o_orderstatus) AS cnt
+        |  FROM orders)
+        |WHERE rn = (cnt + 1) // 2""".stripMargin,
 
     // un-salted equivalent — proves salting preserves join semantics
     "q_salted_join" ->
