@@ -27,7 +27,13 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
     (args: Seq[Expression]) => {
       require(args.length == 2, "graft_dot(arrA, arrB) takes 2 arguments")
-      DotProduct(args(0), args(1))
+      // accept any numeric array from SQL: cast to array<double> so the
+      // primitive ArrayData loop reads 8-byte slots correctly
+      val arrD = org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)
+      DotProduct(
+        org.apache.spark.sql.catalyst.expressions.Cast(args(0), arrD),
+        org.apache.spark.sql.catalyst.expressions.Cast(args(1), arrD))
     })
 
   /** Session-scoped registration for an existing session. */

@@ -38,8 +38,9 @@ object Pipelines {
     val root = lakeRoot.replaceAll("/+$", "")
     val manifest = Manifest.blobPaths(Manifest.read(spark, manifestCsv), sourcePrefix)
 
-    // listing restricted to the source prefix (partition-pruned scan)
-    val listed = Listing.list(spark, s"$root/$sourcePrefix")
+    // listing restricted to the source prefix (partition-pruned scan),
+    // distributed across tasks — no driver-side file buffer
+    val listed = Listing.listDistributed(spark, s"$root/$sourcePrefix")
       .select(regexp_replace(col("name"), "^" + java.util.regex.Pattern.quote(
         new org.apache.hadoop.fs.Path(root).toUri.getPath + "/"), "").as("path"))
 
@@ -73,9 +74,12 @@ object Pipelines {
                 companyId: Option[String] = None, dryRun: Boolean = false)
       : (DataFrame, Option[Dataset[MoveResult]]) = {
     val root = lakeRoot.replaceAll("/+$", "")
+    // binaryFile's `path` is a full URI; strip scheme + authority
+    // (e.g. abfss://container@acct.dfs.core.windows.net) then the root's
+    // own path, leaving the lake-relative path pipelineA also uses
     val files = Listing.withContent(spark, s"$root/$sourcePath")
       .withColumn("rel", regexp_replace(regexp_replace(
-        regexp_replace(col("path"), "^[a-z]+:/+", "/"),
+        regexp_replace(col("path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", ""),
         "^" + java.util.regex.Pattern.quote(
           new org.apache.hadoop.fs.Path(root).toUri.getPath), ""), "^/+", ""))
 

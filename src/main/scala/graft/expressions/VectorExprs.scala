@@ -22,11 +22,27 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * and the DuckDB oracle's sequential loop, so results are
   * bit-compatible with the previous implementation.
   */
-/** Inputs MUST be array<double> (callers cast at the boundary). */
+/** Inputs MUST be array<double>; enforced at analysis time (the SQL
+  * builder in GraftExtensions inserts casts, so `graft_dot` accepts any
+  * numeric-array input).
+  */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val ok = Seq(left, right).forall(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot requires two array<double> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {

@@ -36,11 +36,45 @@ object JsonKeys {
     else if (n.isBoolean) { if (n.asBoolean) "True" else "False" }
     else if (n.isTextual) n.asText
     else if (n.isIntegralNumber) n.bigIntegerValue.toString
-    else if (n.isFloatingPointNumber) {
-      val d = n.asDouble
-      if (d.isWhole && !d.isInfinite && math.abs(d) < 1e16) s"${d.toLong}.0"
-      else d.toString
-    } else n.toString
+    else if (n.isFloatingPointNumber) pyFloat(n.asDouble)
+    else n.toString
+
+  /** Python `str(float)` rendering: positional while the decimal
+    * exponent is in [-4, 16), else scientific with a lowercase `e`,
+    * explicit sign, and ≥2 exponent digits — Java's bands and `E`
+    * notation differ, which would break string-compared parity.
+    * (Digits come from Java's shortest round-trip repr; on JDK 17 that
+    * can very rarely carry an extra digit vs CPython's shortest.)
+    */
+  private[graft] def pyFloat(d: Double): String = {
+    if (d.isNaN) return "nan"
+    if (d.isInfinity) return if (d > 0) "inf" else "-inf"
+    if (d == 0.0) return if (1 / d < 0) "-0.0" else "0.0"
+    val sign = if (d < 0) "-" else ""
+    val s = java.lang.Double.toString(math.abs(d))
+    val (mant, e) = s.split('E') match {
+      case Array(m)     => (m, 0)
+      case Array(m, ex) => (m, ex.toInt)
+    }
+    val intLen = { val i = mant.indexOf('.'); if (i < 0) mant.length else i }
+    val raw = mant.replace(".", "")
+    val lead = raw.indexWhere(_ != '0') max 0
+    val digits0 = raw.drop(lead).reverse.dropWhile(_ == '0').reverse
+    val digits = if (digits0.isEmpty) "0" else digits0
+    val e10 = intLen + e - lead // value = 0.digits × 10^e10
+    val exp10 = e10 - 1         // exponent of the leading digit
+    if (exp10 >= -4 && exp10 < 16) {
+      if (e10 <= 0) sign + "0." + ("0" * -e10) + digits
+      else if (e10 >= digits.length)
+        sign + digits + ("0" * (e10 - digits.length)) + ".0"
+      else sign + digits.take(e10) + "." + digits.drop(e10)
+    } else {
+      val m =
+        if (digits.length == 1) digits else digits.head + "." + digits.tail
+      val es = if (exp10 < 0) "-" else "+"
+      sign + m + "e" + es + f"${math.abs(exp10)}%02d"
+    }
+  }
 
   /** True iff the string parses as JSON at all (tri-state support,
     * app/main.py:97-102).

@@ -71,10 +71,10 @@ object Multimodal {
     * replaces the descriptor with decoded frame bytes).
     */
   def sampleFrames(df: DataFrame, n: Int): DataFrame =
-    df.select(col("id"), col("meta"),
-        posexplode(transform(sequence(lit(0), lit(n - 1)), i => i))
-          .as(Seq("frame_idx", "frame_no")))
+    df.select(col("id"),
+        explode(sequence(lit(0), lit(n - 1))).as("frame_idx"),
+        col("meta.digest").as("digest"))
       .select(col("id"), col("frame_idx"),
-        concat(col("meta.digest"), lit(":"), col("frame_idx").cast("string"))
+        concat(col("digest"), lit(":"), col("frame_idx").cast("string"))
           .as("frame_key"))
 }

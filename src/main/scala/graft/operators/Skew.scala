@@ -30,9 +30,19 @@ object Skew {
     * @param distributeBy a left-side column whose hash spreads the hot
     *                     key's rows (e.g. the fact table's line number)
     */
+  /** Join types for which left-side salting preserves semantics —
+    * right/full outer would emit each unmatched right row once per salt.
+    */
+  private val saltSafe = Set("inner", "left", "leftouter", "leftsemi",
+    "leftanti", "cross")
+
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  distributeBy: String, salts: Int,
                  joinType: String = "inner"): DataFrame = {
+    require(saltSafe.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin preserves semantics only for inner/left_outer/left_semi/" +
+        s"left_anti/cross, got '$joinType' (right/full outer would duplicate " +
+        "unmatched right rows once per salt)")
     val l = left.withColumn("__salt", saltOf(col(distributeBy), salts))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))

@@ -122,7 +122,10 @@ object FileOps {
       }
       val (_, results) = graft.Pipelines.pipelineB(
         s, s"file:$root", "raw/", "archive/")
-      graft.operators.Report.statusCounts(results.get)
+      // localCheckpoint: the move executes exactly once, eagerly; the
+      // returned DataFrame is then stable under any number of actions
+      // (a lazy plan re-run would rescan sources the move already left)
+      graft.operators.Report.statusCounts(results.get.localCheckpoint(true))
         .select(col("status"), col("n"))
     }),
 

@@ -104,10 +104,13 @@ object Listing {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     paths.select(pathCol).as[String].mapPartitions { it =>
-      var fs: FileSystem = null
+      // one FileSystem per (scheme, authority) — paths may mix filesystems
+      val cache = scala.collection.mutable.HashMap.empty[String, FileSystem]
       it.map { p =>
         val hp = new Path(p)
-        if (fs == null) fs = hp.getFileSystem(conf.value)
+        val uri = hp.toUri
+        val key = s"${uri.getScheme}://${uri.getAuthority}"
+        val fs = cache.getOrElseUpdate(key, hp.getFileSystem(conf.value))
         (p, try fs.exists(hp) catch { case _: Exception => false })
       }
     }.toDF(pathCol, "exists")

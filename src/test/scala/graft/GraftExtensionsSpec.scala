@@ -13,5 +13,11 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS d")
       .collect()(0)
     assert(n.isNullAt(0))
+    // non-double numeric arrays are cast, not misread (float has 4-byte
+    // slots — an uncast ArrayData.getDouble would return garbage)
+    val f = spark.sql(
+      "SELECT graft_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(2, 3)) AS d").collect()(0).getDouble(0)
+    assert(f === 9.0)
   }
 }

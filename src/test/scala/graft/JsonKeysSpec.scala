@@ -56,6 +56,20 @@ class JsonKeysSpec extends SparkSpec {
     assert(findKeyFirst("""{"k": 12.5}""", "k") === Some("12.5"))
   }
 
+  test("pyFloat matches CPython's positional/scientific bands") {
+    import graft.functions.JsonKeys.pyFloat
+    assert(pyFloat(0.0001) === "0.0001")       // Java: 1.0E-4
+    assert(pyFloat(0.00001) === "1e-05")       // Java: 1.0E-5
+    assert(pyFloat(1.23e-7) === "1.23e-07")
+    assert(pyFloat(1e16) === "1e+16")          // Java: 1.0E16
+    assert(pyFloat(1.5e16) === "1.5e+16")
+    assert(pyFloat(1e15) === "1000000000000000.0")
+    assert(pyFloat(1234.5) === "1234.5")
+    assert(pyFloat(-0.25) === "-0.25")
+    assert(pyFloat(100.0) === "100.0")
+    assert(pyFloat(0.0) === "0.0")
+  }
+
   test("contentPredicate tri-state on DataFrame") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
