@@ -149,6 +149,59 @@ object Relational2 {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
     }),
 
+    // ---- TPC-H Q4 shape: EXISTS semi-join count by priority ----
+    "q4_order_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+                col("o_orderdate") < lit("1997-01-01"))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1996-01-01"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // ---- TPC-H Q12 shape: conditional aggregation over a join ----
+    "q12_priority_class" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+                col("l_shipdate") < lit("1997-01-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+    }),
+
+    // ---- TPC-H Q14 shape: ratio of conditional decimal sums ----
+    "q14_promo_share" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01") &&
+                col("l_shipdate") < lit("1996-04-01"))
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg((sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") * 100.0 /
+          sum(rev).cast("double")).as("promo_share"))
+    }),
+
+    // ---- window-function breadth: lag/lead/first/last/ntile ----
+    "q_window_funcs" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders").filter(col("o_custkey") < 30)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1, -1L).over(w).as("prev_key"),
+          lead(col("o_orderkey"), 1, -1L).over(w).as("next_key"),
+          first(col("o_orderkey")).over(w).as("first_key"),
+          ntile(4).over(w).as("quartile"))
+    }),
+
     // ---- null-handling battery (nulls injected deterministically) ----
     "q_null_funcs" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(col("o_orderkey"),
@@ -264,6 +317,49 @@ object Relational2 {
     "q_cross_join" ->
       """SELECT r_name, n_name, r_regionkey = n_regionkey AS is_home
         |FROM region CROSS JOIN nation""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00')
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q12_priority_class" ->
+      """SELECT l_returnflag,
+        | SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |     THEN 1 ELSE 0 END) AS high_line_count,
+        | SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |     THEN 1 ELSE 0 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q14_promo_share" ->
+      """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |   THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0 /
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        | AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        | lag(o_orderkey, 1, -1) OVER w AS prev_key,
+        | lead(o_orderkey, 1, -1) OVER w AS next_key,
+        | first_value(o_orderkey) OVER w AS first_key,
+        | ntile(4) OVER w AS quartile
+        |FROM orders WHERE o_custkey < 30
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
 
     "q_null_funcs" ->
       """SELECT o_orderkey,
