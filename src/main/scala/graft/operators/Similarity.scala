@@ -85,6 +85,43 @@ object Similarity {
       .select("q_id", "bucket", "rank", "n_id", "cos")
   }
 
+  /** Multi-probe bucket set: the exact sign bucket plus every
+    * single-bit flip — recovers neighbors that fall just across a
+    * hyperplane (the classic sign-LSH recall fix). bits+1 probes per
+    * query; corpus rows keep ONE bucket, so no result duplication.
+    */
+  def probeBuckets(v: Column, bits: Int): Column = {
+    val flips = (0 until bits).map { f =>
+      concat_ws("", transform(slice(v, 1, bits), (x, i) =>
+        when(i === f,
+          when(x >= 0, lit("0")).otherwise(lit("1")))   // flipped bit
+          .otherwise(when(x >= 0, lit("1")).otherwise(lit("0")))))
+    }
+    array(signBucket(v, bits) +: flips: _*)
+  }
+
+  /** Sign-LSH ANN with single-bit multi-probe: the query side explodes
+    * into bits+1 probe buckets; candidates = corpus rows in any probe.
+    */
+  def annTopKMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int,
+                        bits: Int, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("qn"),
+      explode(probeBuckets(col(vecCol), bits)).as("bucket"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nn"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val pairs = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosPre(col("qv"), col("nv"), col("qn"), col("nn")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cos")
+  }
+
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
     * vector to its nearest of `nLists` centroids; search probes only
     * the query's list — the candidate set shrinks |corpus|/nLists-fold

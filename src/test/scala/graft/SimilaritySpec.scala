@@ -64,6 +64,21 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("multi-probe recovers cross-hyperplane neighbors exact-bucket misses") {
+    import spark.implicits._
+    val df = vecs(
+      (1L, Seq(0.01, 1.0)),   // bucket "11"
+      (2L, Seq(-0.01, 0.98)), // bucket "01" — just across the dim-0 plane
+      (3L, Seq(-1.0, -1.0)))  // bucket "00" — far away
+    val q = df.filter(col("vec_id") === 1)
+    val exact = Similarity.annTopK(q, df, k = 3, bits = 2)
+      .collect().map(_.getLong(3))
+    assert(!exact.contains(2L)) // exact bucket misses the true neighbor
+    val multi = Similarity.annTopKMultiProbe(q, df, k = 3, bits = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(multi.toSeq === Seq((1, 2L))) // found; vec 3 still pruned
+  }
+
   test("cosineNearDupPairs: scaled copy detected exactly") {
     val base = vecs((1L, Seq(0.3, -0.2, 0.9)), (2L, Seq(-0.5, 0.1, 0.2)))
     val withCopy = base.union(
