@@ -66,6 +66,15 @@ object DedupQueries {
       val d = t(s, dir, "documents")
       d.select(col("doc_id"),
         Dedup.simhashUdf(Text.tokens(col("text"))).as("simhash"))
+    }),
+
+    // ---- SimHash near-dup pairs (quarter-blocked Hamming ≤ 3) ----
+    "d_simhash_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select("doc_id", "text")
+      val corpus = d.union(
+        d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.simhashPairs(corpus, "doc_id", "text", maxDist = 3)
     })
   )
 
@@ -142,6 +151,36 @@ object DedupQueries {
          |  CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
          |FROM verif
          |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5""".stripMargin,
+
+    // cross-join Hamming over the same simhash construction; pigeonhole
+    // guarantees the engine's quarter-blocked candidates cover dist<=3
+    "d_simhash_pairs" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 200
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents
+        |  WHERE doc_id < 200),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM corpus),
+        |tb AS (SELECT doc_id, b,
+        |    CASE WHEN ((strpos('0123456789abcdef',
+        |        substring(md5(t), (b // 4) + 1, 1)) - 1)
+        |        >> (3 - (b % 4))) & 1 = 1 THEN 1 ELSE -1 END AS v
+        |  FROM tok CROSS JOIN (SELECT unnest(range(0, 64)) AS b)),
+        |bits AS (SELECT doc_id, b, CASE WHEN sum(v) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM tb GROUP BY doc_id, b),
+        |nibs AS (SELECT doc_id, b // 4 AS nib,
+        |    sum(bit << (3 - (b % 4))) AS nv
+        |  FROM bits GROUP BY doc_id, b // 4),
+        |sigs AS (SELECT doc_id, string_agg(substring('0123456789abcdef',
+        |    CAST(nv AS INT) + 1, 1), '' ORDER BY nib) AS sig
+        |  FROM nibs GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(list_sum(list_transform(range(1, 17), p ->
+        |      bit_count(xor(
+        |        strpos('0123456789abcdef', substring(a.sig, p, 1)) - 1,
+        |        strpos('0123456789abcdef', substring(b.sig, p, 1)) - 1))))
+        |      AS INT) AS dist
+        |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, dist FROM pairs WHERE dist <= 3""".stripMargin,
 
     "d_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t

@@ -46,6 +46,15 @@ object SimilarityQueries {
           round(col("cos"), 4).as("cos"))
     }),
 
+    // ---- sign-LSH ANN with single-bit multi-probe ----
+    "s_ann_multiprobe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Similarity.annTopKMultiProbe(e.filter(col("vec_id") < 30), e, k = 3, bits = 6)
+        .select(col("q_id"), col("rank"), col("n_id"),
+          round(col("cos"), 4).as("cos"))
+    }),
+
     // ---- embedding near-duplicates (cosine ≥ 0.999, sign-LSH blocked) ----
     "d_embedding_neardup" -> ((s, dir) => {
       Similarity.cosineNearDupPairs(withScaledCopies(s, dir),
@@ -80,6 +89,27 @@ object SimilarityQueries {
          |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM p)
          |SELECT q_id, bucket, rank, n_id, ROUND(cos, 4) AS cos
          |FROM r WHERE rank <= 3""".stripMargin,
+
+    "s_ann_multiprobe" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |b AS (SELECT vec_id, v, array_to_string(list_transform(v[1:6],
+        |    x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM e),
+        |probes AS (SELECT vec_id AS q_id, v AS qv,
+        |    CASE WHEN f = 0 THEN bucket
+        |         ELSE substr(bucket, 1, f - 1) ||
+        |              (CASE substring(bucket, f, 1)
+        |                 WHEN '1' THEN '0' ELSE '1' END) ||
+        |              substr(bucket, f + 1) END AS bucket
+        |  FROM b CROSS JOIN (SELECT unnest(range(0, 7)) AS f)
+        |  WHERE vec_id < 30),
+        |c AS (SELECT vec_id AS n_id, v AS nv, bucket FROM b),
+        |p AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS cos
+        |  FROM probes q JOIN c ON q.bucket = c.bucket WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id, cos, ROW_NUMBER() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM p)
+        |SELECT q_id, rank, n_id, ROUND(cos, 4) AS cos FROM r WHERE rank <= 3""".stripMargin,
 
     "d_embedding_neardup" ->
       """WITH base AS (
