@@ -13,12 +13,12 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val name = args.headOption
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val targets = name match {
       case Some(n) => Seq(n -> SparkEntry.queries(n))
@@ -26,7 +26,10 @@ object Explain {
     }
     targets.foreach { case (n, fn) =>
       println(s"\n========== $n ==========")
-      fn(spark, sfDir).explain("formatted")
+      if (SparkEntry.sideEffecting(n))
+        println(s"(skipped: $n performs real file I/O when invoked — " +
+          "run it through Verify/Bench instead)")
+      else fn(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

@@ -31,6 +31,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     modules.iterator.map(_._2).reduce(_ ++ _)
 
+  /** Queries whose invocation performs real side effects (file I/O) —
+    * plan-only tools (Explain) must not execute these. */
+  val sideEffecting: Set[String] = Set("a_pipeline_move")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q3_shipping_priority")(spark, "/root/testdata/sf0.001")

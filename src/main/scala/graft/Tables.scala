@@ -15,14 +15,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session configs every graft entry point needs. In particular,
+    * events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; `nanosAsLong` reads nanos as long so
+    * `t` can truncate to microseconds (Spark's native precision). Set
+    * at session construction — NOT mutated per-read, which would leak
+    * into unrelated reads and race across threads.
+    */
+  val sessionConfigs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC")
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
-      // vectorized reader rejects; read nanos as long and truncate to
-      // microseconds (Spark's native timestamp precision). DuckDB reads
-      // the same column as TIMESTAMP_NS directly — date-level outputs in
-      // oracles keep both sides comparable.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Requires spark.sql.legacy.parquet.nanosAsLong=true (see
+      // sessionConfigs). DuckDB reads the same column as TIMESTAMP_NS
+      // directly — date-level outputs in oracles keep both sides
+      // comparable.
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts div 1000)"))

@@ -20,7 +20,9 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   *
   * Accumulation is left-to-right, matching both the HOF formulation
   * and the DuckDB oracle's sequential loop, so results are
-  * bit-compatible with the previous implementation.
+  * bit-compatible with the previous implementation. Null semantics also
+  * match the HOF form: a null element, or mismatched lengths (zip_with
+  * pads the shorter side with nulls), yields NULL — not a silent 0.
   */
 /** Inputs MUST be array<double>; enforced at analysis time (the SQL
   * builder in GraftExtensions inserts casts, so `graft_dot` accepts any
@@ -45,13 +47,22 @@ case class DotProduct(left: Expression, right: Expression)
   }
   override def prettyName: String = "graft_dot"
 
+  // Element-level nulls and length mismatches yield NULL even when the
+  // top-level array columns are non-nullable.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var i = 0
     var s = 0.0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -61,12 +72,20 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      $s += $a.getDouble($i) * $b.getDouble($i);
+         |    }
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

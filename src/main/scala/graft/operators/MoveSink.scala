@@ -83,15 +83,21 @@ object MoveSink {
           MoveResult(src, dst, ok = false, error = s"source not found: $src", bytes = 0L)
       } else {
         val size = srcFs.getFileStatus(srcPath).getLen
-        if (dstFs.exists(dstPath)) {
-          if (!overwrite)
-            return MoveResult(src, dst, ok = false,
-              error = s"target exists and overwrite=false: $dst", bytes = 0L)
-          dstFs.delete(dstPath, false)
-        }
+        val dstExists = dstFs.exists(dstPath)
+        if (dstExists && !overwrite)
+          return MoveResult(src, dst, ok = false,
+            error = s"target exists and overwrite=false: $dst", bytes = 0L)
         Option(dstPath.getParent).foreach(dstFs.mkdirs(_))
+        // Overwrite must not destroy the existing destination before the
+        // transfer is known to succeed: only the metadata-only same-fs
+        // rename path (which refuses to clobber) pre-deletes, immediately
+        // before the rename; the copy path relies on FileUtil.copy's own
+        // overwrite flag, so a mid-copy failure leaves dst as the copy
+        // target saw it rather than silently deleted up front.
         val moved =
-          if (move && sameFs(srcFs, dstFs) && srcFs.rename(srcPath, dstPath)) true
+          if (move && sameFs(srcFs, dstFs) &&
+              (!dstExists || dstFs.delete(dstPath, true)) &&
+              srcFs.rename(srcPath, dstPath)) true
           else {
             // cross-fs (or rename refused): stream copy, delete src iff moving
             FileUtil.copy(srcFs, srcPath, dstFs, dstPath, move, overwrite, conf)

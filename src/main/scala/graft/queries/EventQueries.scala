@@ -63,9 +63,9 @@ object EventQueries {
 
     "e_sessionize" ->
       """SELECT event_id, user_id,
-        | SUM(new_session) OVER (PARTITION BY user_id
+        | CAST(SUM(new_session) OVER (PARTITION BY user_id
         |   ORDER BY ts ASC, event_id ASC
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
         |FROM (SELECT event_id, user_id, ts,
         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id
         |         ORDER BY ts ASC, event_id ASC) IS NULL

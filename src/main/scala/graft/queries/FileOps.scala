@@ -105,28 +105,42 @@ object FileOps {
     }),
 
     // ---- flagship end-to-end: build a 400-file mini lake, run the
-    //      pipeline-B move, report counts (the reference's whole job) ----
+    //      pipeline-B move, report counts (the reference's whole job).
+    //      SIDE-EFFECTING (real file I/O) — listed in
+    //      SparkEntry.sideEffecting so Explain never executes it. ----
     "a_pipeline_move" -> ((s, dir) => {
-      import java.nio.file.{Files, Paths => JPaths}
-      val docs = t(s, dir, "documents").filter(col("doc_id") < 400)
-        .select("doc_id", "text").collect() // 400 small fixture rows
-      val root = JPaths.get(System.getProperty("java.io.tmpdir"), "graft_move_lake")
-      if (Files.exists(root))
-        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-      val raw = root.resolve("raw")
-      Files.createDirectories(raw)
-      docs.foreach { r =>
-        Files.writeString(raw.resolve(s"doc_${r.getLong(0)}.json"),
-          s"""{"SalesCompanyId":"${r.getLong(0) % 7}","text":"${r.getString(1)}"}""")
-      }
+      // per-run unique root: concurrent sessions never race on the lake,
+      // and the directory is deleted once the move has materialized
+      val root = System.getProperty("java.io.tmpdir") +
+        "/graft_move_lake_" + java.util.UUID.randomUUID().toString.take(8)
+      val rawUri = s"file:$root/raw"
+      // fixture build stays distributed: each task writes its partition's
+      // files through the Hadoop FS API — no driver collect()
+      t(s, dir, "documents").filter(col("doc_id") < 400)
+        .select("doc_id", "text")
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val fs = new org.apache.hadoop.fs.Path(rawUri)
+            .getFileSystem(new org.apache.hadoop.conf.Configuration())
+          it.foreach { r =>
+            val p = new org.apache.hadoop.fs.Path(rawUri, s"doc_${r.getLong(0)}.json")
+            val out = fs.create(p, true)
+            out.write(
+              s"""{"SalesCompanyId":"${r.getLong(0) % 7}","text":"${r.getString(1)}"}"""
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            out.close()
+          }
+        }
       val (_, results) = graft.Pipelines.pipelineB(
         s, s"file:$root", "raw/", "archive/")
       // localCheckpoint: the move executes exactly once, eagerly; the
       // returned DataFrame is then stable under any number of actions
       // (a lazy plan re-run would rescan sources the move already left)
-      graft.operators.Report.statusCounts(results.get.localCheckpoint(true))
-        .select(col("status"), col("n"))
+      val report = graft.operators.Report.statusCounts(
+        results.get.localCheckpoint(true)).select(col("status"), col("n"))
+      val rootPath = new org.apache.hadoop.fs.Path(s"file:$root")
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      report
     }),
 
     // ---- O16: report counts over the selection outcome ----

@@ -295,11 +295,11 @@ object Relational2 {
 
     "q_pivot_priority" ->
       """SELECT o_orderstatus,
-        | SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS "1-URGENT",
-        | SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS "2-HIGH",
-        | SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS "3-MEDIUM",
-        | SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS "4-NOT SPECIFIED",
-        | SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS "5-LOW"
+        | CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS "1-URGENT",
+        | CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS "2-HIGH",
+        | CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS "3-MEDIUM",
+        | CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS "4-NOT SPECIFIED",
+        | CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS "5-LOW"
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "q_sample_hash" ->
@@ -330,10 +330,10 @@ object Relational2 {
 
     "q12_priority_class" ->
       """SELECT l_returnflag,
-        | SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-        |     THEN 1 ELSE 0 END) AS high_line_count,
-        | SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-        |     THEN 1 ELSE 0 END) AS low_line_count
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
