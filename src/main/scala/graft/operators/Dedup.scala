@@ -40,20 +40,37 @@ object Dedup {
     dfCap match {
       case None => sh
       case Some(cap) =>
+        // The stop-shingle set (df > cap) is small by construction —
+        // heavy hitters only — so removal is a BROADCAST anti-join:
+        // the huge exploded side never shuffles on the shingle key.
         val ex = sh.select(col("id"), explode(col("sh")).as("s"))
-        val keep = ex.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("s")
-        ex.join(keep, "s").groupBy("id").agg(collect_list("s").as("sh"))
+        val stop = ex.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("s")
+        ex.join(broadcast(stop), Seq("s"), "left_anti")
+          .groupBy("id").agg(collect_list("s").as("sh"))
     }
   }
 
+  /** Default document-frequency cap for inverted-index candidate
+    * generation: a shingle present in more than this many documents is
+    * boilerplate, contributes ≥ cap² candidate pairs on its own key
+    * (one task at shuffle time), and carries almost no similarity
+    * signal — the standard stoplist skew guard.
+    */
+  val DefaultDfCap = 1024
+
   /** Near-duplicate pairs by exact n-gram Jaccard ≥ `threshold`,
     * candidates from the inverted shingle index (docs sharing ≥ 1
-    * shingle) — never a cross join.
+    * shingle) — never a cross join. Shingles above the `dfCap`
+    * document frequency are dropped BEFORE the self-join (capped by
+    * default: an uncapped index is quadratic in per-shingle df, and a
+    * single boilerplate shingle across K docs funnels K² candidate
+    * rows through one shuffle task). Pass `dfCap = None` only for
+    * corpora known to be boilerplate-free.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double,
-                   dfCap: Option[Int] = None): DataFrame = {
+                   dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
     val sh = shingleSets(df, idCol, textCol, n, dfCap)
     val ex = sh.select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
     val common = ex.as("a").join(ex.as("b"),

@@ -122,30 +122,40 @@ object Similarity {
       .select("q_id", "rank", "n_id", "cos")
   }
 
-  /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
-    * vector to its nearest of `nLists` centroids; search probes only
-    * the query's list — the candidate set shrinks |corpus|/nLists-fold
-    * and the join is an equi-join on the list id, exactly like the
-    * sign-LSH path but with data-adaptive buckets (better recall on
-    * clustered corpora). `nProbe` > 1 would extend this to the nearest
-    * few centroids; at test scale one probe suffices.
+  /** nProbe nearest centroid ids for a vector, as a map-side HOF over
+    * the centroid literals: argmin of squared L2 distance, tie-broken
+    * by centroid id. Per-row |v|² is constant under the argmin, so the
+    * ranking key is |c|² − 2·v·c — one codegen'd dot per centroid,
+    * zero shuffle, zero per-row allocation beyond the probe array.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nLists: Int,
-              seed: Long = 42L,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+  private def ivfProbes(v: Column, centroids: Seq[(Int, Seq[Double])],
+                        nProbe: Int): Column = {
+    val scored = array(centroids.map { case (cid, cv) =>
+      val cn2 = cv.foldLeft(0.0)((s, x) => s + x * x)
+      struct((lit(cn2) - lit(2.0) * dot(v, typedLit(cv))).as("d2"),
+        lit(cid).as("cid"))
+    }: _*)
+    transform(slice(sort_array(scored), 1, nProbe), c => c.getField("cid"))
+  }
+
+  /** IVF search core over a fixed coarse quantizer: every corpus row
+    * joins its single nearest list; each query probes its `nProbe`
+    * nearest lists. Candidates come from an equi-join on the list id —
+    * the candidate set shrinks |corpus|/nLists-fold, like the sign-LSH
+    * path but with data-adaptive buckets. A corpus row holds exactly
+    * one list, so multi-probe never duplicates a (query, neighbor)
+    * pair.
+    */
+  private def ivfSearch(queries: DataFrame, corpus: DataFrame, k: Int,
+                        nProbe: Int, cents: Seq[(Int, Seq[Double])],
+                        idCol: String, vecCol: String): DataFrame = {
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"),
       sqrt(dot(col(vecCol), col(vecCol))).as("nn"),
-      array_to_vector(col(vecCol)).as("fv"))
-    val model = new KMeans().setK(nLists).setSeed(seed)
-      .setFeaturesCol("fv").setPredictionCol("list").fit(c)
-    val cc = model.transform(c).drop("fv")
-    val qq = model.transform(
-      queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
-        sqrt(dot(col(vecCol), col(vecCol))).as("qn"),
-        array_to_vector(col(vecCol)).as("fv"))).drop("fv")
-    val pairs = cc.join(broadcast(qq), Seq("list"))
+      element_at(ivfProbes(col(vecCol), cents, 1), 1).as("list"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("qn"),
+      explode(ivfProbes(col(vecCol), cents, nProbe)).as("list"))
+    val pairs = c.join(broadcast(q), Seq("list"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("list"), col("n_id"),
         cosPre(col("qv"), col("nv"), col("qn"), col("nn")).as("cos"))
@@ -153,6 +163,42 @@ object Similarity {
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "list", "rank", "n_id", "cos")
+  }
+
+  /** IVF ANN over an explicit centroid table (`cid` int, `cv`
+    * array<double>). The table is the coarse quantizer — nLists rows,
+    * tiny by construction — so it is collected once and inlined as plan
+    * literals (the faiss-style layout: every worker holds the full
+    * coarse quantizer; assignment is local). Deterministic centroids
+    * (e.g. a fixed id-range of the corpus) make this path fully
+    * oracle-replicable in portable SQL.
+    */
+  def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame, k: Int,
+                           nProbe: Int, centroids: DataFrame,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val cents = centroids
+      .select(col("cid").cast("int"), col("cv").cast("array<double>"))
+      .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Double](1)))
+    ivfSearch(queries, corpus, k, nProbe, cents, idCol, vecCol)
+  }
+
+  /** IVF ANN with a KMeans-trained coarse quantizer (seeded — the
+    * centroid set is reproducible). Training touches only the corpus
+    * vectors; search delegates to the same list-equi-join core as the
+    * explicit-centroid path.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nLists: Int,
+              seed: Long = 42L, nProbe: Int = 1,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val model = new KMeans().setK(nLists).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("list")
+      .fit(corpus.select(array_to_vector(col(vecCol)).as("fv")))
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq
+    ivfSearch(queries, corpus, k, nProbe, cents, idCol, vecCol)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, bucketed by

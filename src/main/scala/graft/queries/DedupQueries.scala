@@ -41,10 +41,29 @@ object DedupQueries {
       Dedup.exactGroups(withExactCopies(s, dir), "doc_id", "text")
     }),
 
-    // ---- n-gram Jaccard near-dup via inverted shingle index ----
+    // ---- n-gram Jaccard near-dup via inverted shingle index; this
+    //      corpus is boilerplate-free (no shingle shared beyond a
+    //      handful of docs) so the uncapped path is explicitly safe
+    //      here — the capped default is exercised by d_jaccard_capped ----
     "d_jaccard_pairs" -> ((s, dir) => {
       Dedup.jaccardPairs(withNearCopies(s, dir), "doc_id", "text",
-        n = 5, threshold = 0.5)
+        n = 5, threshold = 0.5, dfCap = None)
+    }),
+
+    // ---- Jaccard with the df-cap skew guard live: every doc carries a
+    //      shared boilerplate header whose shingles hit df=300/600; the
+    //      cap drops them BEFORE the inverted-index self-join (uncapped
+    //      they alone would contribute ~600²/2 candidate pairs through
+    //      single shuffle keys) ----
+    "d_jaccard_capped" -> ((s, dir) => {
+      val bp = "standard legal disclaimer text appears before every document body"
+      val d = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), concat(lit(bp + " "), col("text")).as("text"))
+      val tok = Text.tokens(col("text"))
+      val corpus = d.union(d.select((col("doc_id") + 100000).as("doc_id"),
+        array_join(slice(tok, lit(2), size(tok) - 1), " ").as("text")))
+      Dedup.jaccardPairs(corpus, "doc_id", "text",
+        n = 5, threshold = 0.5, dfCap = Some(16))
     }),
 
     // ---- MinHash signatures (salted-md5 permutations, k=6) ----
@@ -108,6 +127,32 @@ object DedupQueries {
       s"""WITH base AS (SELECT doc_id AS id, text FROM ($nearCorpus)),
          |$shingleCte,
          |ex AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+         |common AS (SELECT a.id AS a_id, b.id AS b_id, a.n_sh AS na,
+         |    b.n_sh AS nb, count(*) AS common
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT a_id, b_id,
+         |  CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
+         |FROM common
+         |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5""".stripMargin,
+
+    // df<=16 filter BEFORE the self-join; n_sh recomputed over the
+    // surviving shingles, mirroring the engine's capped shingleSets
+    "d_jaccard_capped" ->
+      s"""WITH raw AS (SELECT doc_id,
+         |    'standard legal disclaimer text appears before every document body '
+         |      || text AS text
+         |  FROM documents WHERE doc_id < 300),
+         |base AS (SELECT doc_id AS id, text FROM raw
+         |  UNION ALL SELECT doc_id + 100000,
+         |    array_to_string(string_split(text, ' ')[2:], ' ') FROM raw),
+         |$shingleCte,
+         |ex0 AS (SELECT id, unnest(sh) AS s FROM sh),
+         |kept AS (SELECT s FROM (SELECT s, count(*) AS df FROM ex0 GROUP BY s)
+         |  WHERE df <= 16),
+         |ex AS (SELECT id, s,
+         |    count(*) OVER (PARTITION BY id) AS n_sh
+         |  FROM ex0 WHERE s IN (SELECT s FROM kept)),
          |common AS (SELECT a.id AS a_id, b.id AS b_id, a.n_sh AS na,
          |    b.n_sh AS nb, count(*) AS common
          |  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id

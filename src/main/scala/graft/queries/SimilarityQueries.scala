@@ -55,6 +55,22 @@ object SimilarityQueries {
           round(col("cos"), 4).as("cos"))
     }),
 
+    // ---- IVF ANN with deterministic centroids + multi-list probe ----
+    // centroids = embeddings with vec_id < 16 (fixed id-range, so the
+    // oracle rebuilds the identical quantizer in SQL); queries probe
+    // their 2 nearest lists. KMeans-trained centroids go through the
+    // same ivfSearch core (spec-gated — training isn't SQL).
+    "s_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      Similarity.ivfTopKWithCentroids(
+          e.filter(col("vec_id") < 30), e, k = 3, nProbe = 2, cents)
+        .select(col("q_id"), col("rank"), col("n_id"),
+          round(col("cos"), 4).as("cos"))
+    }),
+
     // ---- embedding near-duplicates (cosine ≥ 0.999, sign-LSH blocked) ----
     "d_embedding_neardup" -> ((s, dir) => {
       Similarity.cosineNearDupPairs(withScaledCopies(s, dir),
@@ -110,6 +126,31 @@ object SimilarityQueries {
         |r AS (SELECT q_id, n_id, cos, ROW_NUMBER() OVER (
         |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM p)
         |SELECT q_id, rank, n_id, ROUND(cos, 4) AS cos FROM r WHERE rank <= 3""".stripMargin,
+
+    // assignment by squared-L2 argmin (centroid-id tiebreak): Spark
+    // ranks |c|^2 - 2 v.c (the per-row |v|^2 shift is argmin-invariant),
+    // DuckDB ranks list_distance — same ordering; random-vector
+    // centroid gaps dwarf cross-engine ulp differences
+    "s_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cent AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv
+        |  FROM e WHERE vec_id < 16),
+        |ca AS (SELECT vec_id, v, cid, ROW_NUMBER() OVER (
+        |    PARTITION BY vec_id
+        |    ORDER BY list_distance(v, cv) ASC, cid ASC) AS crank
+        |  FROM e CROSS JOIN cent),
+        |corpus AS (SELECT vec_id AS n_id, v AS nv, cid AS list
+        |  FROM ca WHERE crank = 1),
+        |probes AS (SELECT vec_id AS q_id, v AS qv, cid AS list
+        |  FROM ca WHERE crank <= 2 AND vec_id < 30),
+        |p AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS cos
+        |  FROM probes q JOIN corpus c ON q.list = c.list
+        |  WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id, cos, ROW_NUMBER() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM p)
+        |SELECT q_id, rank, n_id, ROUND(cos, 4) AS cos
+        |FROM r WHERE rank <= 3""".stripMargin,
 
     "d_embedding_neardup" ->
       """WITH base AS (

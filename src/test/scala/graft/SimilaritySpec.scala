@@ -79,6 +79,25 @@ class SimilaritySpec extends SparkSpec {
     assert(multi.toSeq === Seq((1, 2L))) // found; vec 3 still pruned
   }
 
+  test("ivfTopKWithCentroids: nProbe=1 misses cross-list neighbor, nProbe=2 finds it") {
+    import spark.implicits._
+    // two centroids on the axes; query sits near e1 but its true
+    // neighbor landed in the e2 list — only the second probe reaches it
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+      .toDF("cid", "cv")
+    val df = vecs(
+      (1L, Seq(0.9, 0.8)),   // query: list 0 (closer to e1)
+      (2L, Seq(0.8, 0.9)),   // true neighbor: list 1
+      (3L, Seq(1.0, 0.1)))   // same-list filler, farther in cosine
+    val q = df.filter(col("vec_id") === 1)
+    val one = Similarity.ivfTopKWithCentroids(q, df, k = 1, nProbe = 1, cents)
+      .collect().map(_.getLong(3))
+    assert(one.toSeq === Seq(3L)) // best within list 0 only
+    val two = Similarity.ivfTopKWithCentroids(q, df, k = 1, nProbe = 2, cents)
+      .collect().map(_.getLong(3))
+    assert(two.toSeq === Seq(2L)) // second probe reaches list 1
+  }
+
   test("cosineNearDupPairs: scaled copy detected exactly") {
     val base = vecs((1L, Seq(0.3, -0.2, 0.9)), (2L, Seq(-0.5, 0.1, 0.2)))
     val withCopy = base.union(
