@@ -19,16 +19,29 @@ object model {
     StructField("unixtimestamp", LongType),
     StructField("filename", StringType)))
 
-  /** D2 — one listed file (reference: app/main.py:205-209). */
-  final case class LakeFile(name: String, size: Long, last_modified: Timestamp)
+  /** D2 — one listed file (reference: app/main.py:205-209).
+    * `creation_time` is null where the filesystem does not expose one
+    * (local FS, plain HDFS); cloud stores that do (via their FileStatus
+    * subclasses) populate it, giving Select.fileDate's
+    * creation-then-modified coalesce (app/main.py:120-124) two real
+    * inputs.
+    */
+  final case class LakeFile(name: String, size: Long,
+                            last_modified: Timestamp,
+                            creation_time: Timestamp = null)
 
   /** Per-file outcome of a move/copy — replaces the reference's prints
     * (app/app.py:133-152, app/main.py:305-309) with a result DataFrame.
+    * `status` is "success"/"failed" for awaited transfers; "pending"
+    * for fire-and-forget copies (MoveSink.CopyAsync) whose issuance
+    * succeeded but whose completion is not awaited — the reference's
+    * pipeline-A contract (app/app.py:57-64).
     */
   final case class MoveResult(
       src: String,
       dst: String,
       ok: Boolean,
       error: String, // null on success
-      bytes: Long)
+      bytes: Long,
+      status: String)
 }

@@ -21,11 +21,12 @@ import graft.model.MoveResult
   * the plan DataFrame, not by a driver loop.
   *
   * Modes:
-  *  - Copy      — copy bytes, keep source (pipeline A semantics: the
-  *                reference never deletes — delete is commented out at
-  *                app/app.py:62-66 — and does not await the async copy;
-  *                a distributed sink awaits completion per-task, which
-  *                strictly strengthens the contract).
+  *  - Copy      — copy bytes, keep source, await completion (pipeline A
+  *                semantics strengthened: the reference never deletes —
+  *                delete is commented out at app/app.py:62-66).
+  *  - CopyAsync — issue the copy and report `pending` without awaiting:
+  *                the reference's literal pipeline-A contract
+  *                (app/app.py:57-64).
   *  - Move      — rename-first: `FileSystem.rename` is a metadata-only
   *                O(1) op on HDFS/ABFS — no data motion — falling back
   *                to copy+delete across filesystems (pipeline B's
@@ -47,6 +48,17 @@ object MoveSink {
   case object Copy extends Mode
   case object Move extends Mode
 
+  /** Fire-and-forget copy — the reference's actual pipeline-A contract
+    * (app/app.py:57-64: the server-side copy is issued and never
+    * awaited; statuses are reported as pending). Issuance is
+    * synchronous and validated (missing source / overwrite refusal are
+    * real failures); the byte transfer itself is detached. On an
+    * object store the "detached worker" is the storage service's own
+    * async copy; in the Hadoop-FS embodiment it is an executor-local
+    * daemon pool.
+    */
+  case object CopyAsync extends Mode
+
   /** Pure planning step: no side effects. `dryRun=true` callers just use
     * this DataFrame as the report (replaces the reference's interactive
     * confirmation X5, app/main.py:269-272).
@@ -61,8 +73,12 @@ object MoveSink {
     val conf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val doMove = mode == Move
+    val async = mode == CopyAsync
     files.select("src", "dst").as[(String, String)].mapPartitions { it =>
-      it.map { case (src, dst) => transferOne(src, dst, doMove, overwrite, conf.value) }
+      it.map { case (src, dst) =>
+        if (async) issueCopyAsync(src, dst, overwrite, conf.value)
+        else transferOne(src, dst, doMove, overwrite, conf.value)
+      }
     }
   }
 
@@ -78,15 +94,17 @@ object MoveSink {
         // idempotent-retry guard: src gone ∧ dst present ⇒ already done
         if (move && dstFs.exists(dstPath))
           MoveResult(src, dst, ok = true, error = null,
-            bytes = dstFs.getFileStatus(dstPath).getLen)
+            bytes = dstFs.getFileStatus(dstPath).getLen, status = "success")
         else
-          MoveResult(src, dst, ok = false, error = s"source not found: $src", bytes = 0L)
+          MoveResult(src, dst, ok = false, error = s"source not found: $src",
+            bytes = 0L, status = "failed")
       } else {
         val size = srcFs.getFileStatus(srcPath).getLen
         val dstExists = dstFs.exists(dstPath)
         if (dstExists && !overwrite)
           return MoveResult(src, dst, ok = false,
-            error = s"target exists and overwrite=false: $dst", bytes = 0L)
+            error = s"target exists and overwrite=false: $dst",
+            bytes = 0L, status = "failed")
         Option(dstPath.getParent).foreach(dstFs.mkdirs(_))
         // Overwrite must not destroy the existing destination before the
         // transfer is known to succeed: only the metadata-only same-fs
@@ -102,13 +120,67 @@ object MoveSink {
             // cross-fs (or rename refused): stream copy, delete src iff moving
             FileUtil.copy(srcFs, srcPath, dstFs, dstPath, move, overwrite, conf)
           }
-        if (moved) MoveResult(src, dst, ok = true, error = null, bytes = size)
-        else MoveResult(src, dst, ok = false, error = "transfer returned false", bytes = 0L)
+        if (moved) MoveResult(src, dst, ok = true, error = null, bytes = size,
+          status = "success")
+        else MoveResult(src, dst, ok = false, error = "transfer returned false",
+          bytes = 0L, status = "failed")
       }
     } catch {
       case NonFatal(e) =>
         MoveResult(src, dst, ok = false,
-          error = s"${e.getClass.getSimpleName}: ${e.getMessage}", bytes = 0L)
+          error = s"${e.getClass.getSimpleName}: ${e.getMessage}",
+          bytes = 0L, status = "failed")
+    }
+  }
+
+  /** Executor-local daemon pool backing CopyAsync — the stand-in for an
+    * object store's server-side async copy. JVM-wide singleton: tasks
+    * from any partition share it, and it never blocks JVM exit (like
+    * the reference, which exits while server-side copies continue).
+    */
+  private lazy val asyncPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      8,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-copy-async")
+        t.setDaemon(true)
+        t
+      })
+
+  /** CopyAsync issuance: validate + submit, never await (reference
+    * app/app.py:57-64). Validation failures are real `failed` rows;
+    * a successful submission reports `pending` with the source size.
+    */
+  private[graft] def issueCopyAsync(src: String, dst: String,
+      overwrite: Boolean, conf: Configuration): MoveResult = {
+    try {
+      val srcPath = new Path(src)
+      val dstPath = new Path(dst)
+      val srcFs = srcPath.getFileSystem(conf)
+      val dstFs = dstPath.getFileSystem(conf)
+      if (!srcFs.exists(srcPath))
+        MoveResult(src, dst, ok = false, error = s"source not found: $src",
+          bytes = 0L, status = "failed")
+      else {
+        val size = srcFs.getFileStatus(srcPath).getLen
+        if (dstFs.exists(dstPath) && !overwrite)
+          return MoveResult(src, dst, ok = false,
+            error = s"target exists and overwrite=false: $dst",
+            bytes = 0L, status = "failed")
+        Option(dstPath.getParent).foreach(dstFs.mkdirs(_))
+        asyncPool.submit(new Runnable {
+          override def run(): Unit =
+            try FileUtil.copy(srcFs, srcPath, dstFs, dstPath, false, overwrite, conf)
+            catch { case NonFatal(_) => () } // detached: completion is unobserved
+        })
+        MoveResult(src, dst, ok = true, error = null, bytes = size,
+          status = "pending")
+      }
+    } catch {
+      case NonFatal(e) =>
+        MoveResult(src, dst, ok = false,
+          error = s"${e.getClass.getSimpleName}: ${e.getMessage}",
+          bytes = 0L, status = "failed")
     }
   }
 

@@ -11,10 +11,11 @@ import graft.model.MoveResult
   */
 object Report {
 
-  /** O16: status → count. */
+  /** O16: status → count ("success" / "failed" / "pending" for
+    * unawaited CopyAsync issuances).
+    */
   def statusCounts(results: Dataset[MoveResult]): DataFrame =
     results.toDF()
-      .withColumn("status", when(col("ok"), lit("success")).otherwise(lit("failed")))
       .groupBy("status")
       .agg(count(lit(1)).as("n"), sum(col("bytes")).as("bytes"))
 

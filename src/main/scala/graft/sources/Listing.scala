@@ -29,6 +29,34 @@ import graft.model.LakeFile
   */
 object Listing {
 
+  /** Creation time where the store exposes one. The base Hadoop
+    * `FileStatus` has no creation-time accessor; cloud connectors
+    * surface it on their FileStatus subclasses (e.g. a
+    * `getCreationTime` method), so probe reflectively — null (not a
+    * fake) when absent, which keeps Select.fileDate's coalesce honest.
+    * The Method lookup is cached per FileStatus class.
+    */
+  private val creationAccessors =
+    new java.util.concurrent.ConcurrentHashMap[Class[_], Option[java.lang.reflect.Method]]()
+
+  private[graft] def creationTimeOf(st: org.apache.hadoop.fs.FileStatus): Timestamp = {
+    val m = creationAccessors.computeIfAbsent(st.getClass, cls =>
+      try {
+        val meth = cls.getMethod("getCreationTime")
+        if (meth.getReturnType == java.lang.Long.TYPE) Some(meth) else None
+      } catch { case _: NoSuchMethodException => None })
+    m match {
+      case Some(meth) =>
+        val t = meth.invoke(st).asInstanceOf[Long]
+        if (t > 0L) new Timestamp(t) else null
+      case None => null
+    }
+  }
+
+  private def toLakeFile(st: org.apache.hadoop.fs.FileStatus): LakeFile =
+    LakeFile(st.getPath.toUri.getPath, st.getLen,
+      new Timestamp(st.getModificationTime), creationTimeOf(st))
+
   /** O2: metadata-only recursive listing as a Dataset[LakeFile]. */
   def list(spark: SparkSession, prefix: String): Dataset[LakeFile] = {
     import spark.implicits._
@@ -37,11 +65,7 @@ object Listing {
     val out = ArrayBuffer.empty[LakeFile]
     if (fs.exists(p)) {
       val it = fs.listFiles(p, true) // recursive; yields files only
-      while (it.hasNext) {
-        val st = it.next()
-        out += LakeFile(st.getPath.toUri.getPath, st.getLen,
-          new Timestamp(st.getModificationTime))
-      }
+      while (it.hasNext) out += toLakeFile(it.next())
     }
     spark.createDataset(out.toSeq)
   }
@@ -70,16 +94,11 @@ object Listing {
           val cfs = cp.getFileSystem(conf.value)
           val st = cfs.getFileStatus(cp)
           if (st.isFile)
-            Iterator(LakeFile(cp.toUri.getPath, st.getLen,
-              new Timestamp(st.getModificationTime)))
+            Iterator(toLakeFile(st))
           else {
             val out = ArrayBuffer.empty[LakeFile]
             val files = cfs.listFiles(cp, true)
-            while (files.hasNext) {
-              val f = files.next()
-              out += LakeFile(f.getPath.toUri.getPath, f.getLen,
-                new Timestamp(f.getModificationTime))
-            }
+            while (files.hasNext) out += toLakeFile(files.next())
             out.iterator
           }
         }

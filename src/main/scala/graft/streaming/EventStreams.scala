@@ -46,19 +46,22 @@ object EventStreams {
   final case class SessionOut(user_id: Long, session_start: Timestamp,
                               session_end: Timestamp, n_events: Int)
 
-  /** Gap-based sessionization via flatMapGroupsWithState: emits a
-    * session row once `gapSeconds` of inactivity elapse (event-time,
-    * enforced by processing-time timeout in this minimal form). Custom
-    * state is the Spark-native replacement for a hand-rolled
-    * session engine.
+  /** Gap-based sessionization via flatMapGroupsWithState with an
+    * EVENT-time timeout: a session closes when the watermark passes
+    * `last event + gapSeconds`, so replay and backfill — where
+    * wall-clock bears no relation to event time — close sessions
+    * identically to a live run. Custom state is the Spark-native
+    * replacement for a hand-rolled session engine.
     */
-  def sessionize(events: Dataset[Ev], gapSeconds: Long = 1800)
+  def sessionize(events: Dataset[Ev], gapSeconds: Long = 1800,
+                 watermarkDelay: String = "30 minutes")
       : Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -84,7 +87,13 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapSeconds * 1000)
+              // close at last-event-time + gap, in event time; Spark
+              // requires the target to be beyond the current watermark,
+              // so a fully-late session clamps to watermark + 1ms and
+              // closes on the next watermark advance
+              state.setTimeoutTimestamp(math.max(
+                s.last * 1000 + gapSeconds * 1000,
+                state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator
           }

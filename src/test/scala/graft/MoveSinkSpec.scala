@@ -41,6 +41,32 @@ class MoveSinkSpec extends SparkSpec {
     assert(Files.readString(root.resolve("b.txt")) === "BBB")
   }
 
+  test("CopyAsync: pending issuance, source kept, bytes land eventually") {
+    val root = tmp()
+    Files.writeString(root.resolve("a.txt"), "ASYNC")
+    val res = MoveSink.run(
+      planDf(
+        (s"file:$root/a.txt", s"file:$root/out/a.txt"),
+        (s"file:$root/ghost.txt", s"file:$root/out/g.txt")),
+      MoveSink.CopyAsync).collect()
+    val bySrc = res.map(r => r.src.split("/").last -> r).toMap
+    // issuance result is immediate: pending with the source size...
+    assert(bySrc("a.txt").ok && bySrc("a.txt").status === "pending")
+    assert(bySrc("a.txt").bytes === 5L)
+    // ...while a missing source is a REAL failure at issue time
+    assert(!bySrc("ghost.txt").ok && bySrc("ghost.txt").status === "failed")
+    // the detached copy completes without any further await on our side
+    // (poll on SIZE, not existence — the copier creates the file before
+    // the bytes land)
+    val dst = root.resolve("out/a.txt")
+    val deadline = System.currentTimeMillis() + 30000
+    while ((!Files.exists(dst) || Files.size(dst) < 5L) &&
+           System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(Files.readString(dst) === "ASYNC")
+    assert(Files.exists(root.resolve("a.txt"))) // source never deleted
+  }
+
   test("idempotent retry: src gone + dst present ⇒ success (SURVEY §4.3)") {
     val root = tmp()
     Files.writeString(root.resolve("done.txt"), "X")

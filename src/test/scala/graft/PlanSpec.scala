@@ -43,4 +43,42 @@ class PlanSpec extends SparkSpec {
     assert(planOf("o9_semi_join").contains("LeftSemi"))
     assert(planOf("o9_anti_join").contains("LeftAnti"))
   }
+
+  test("bucketed layout removes the fact-to-fact join exchange (SCALE.md §2)") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    // force the sort-merge path so the exchange (or its absence) is
+    // what's under test, not a size-based broadcast
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+
+      val orders = Tables.t(spark, dir, "orders").select("o_orderkey", "o_orderstatus")
+      val lineitem = Tables.t(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val plain = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      assert(exchanges(plain) === 2) // both facts shuffle on the key
+
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      orders.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("b_orders")
+      lineitem.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("b_lineitem")
+      val bucketed = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+      // co-located layout: the join consumes bucket-local sorted runs —
+      // zero shuffle, the property that makes repeated fact⋈fact joins
+      // affordable at 100 TB
+      assert(exchanges(bucketed) === 0, bucketed.queryExecution.executedPlan.toString)
+      assert(bucketed.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+      assert(bucketed.count() === plain.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
 }

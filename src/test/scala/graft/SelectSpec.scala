@@ -34,6 +34,48 @@ class SelectSpec extends SparkSpec {
                Some(ts("2024-06-01 00:00:00"))) === Set(1, 4))
   }
 
+  test("fileDate: creation time wins when present, modified is the fallback") {
+    import spark.implicits._
+    val df = Seq(
+      // distinct creation vs modified: the EARLIER creation time decides
+      (1, ts("2024-01-01 00:00:00"), ts("2024-06-01 00:00:00")),
+      // no creation time (local FS / HDFS): modified carries the date
+      (2, null.asInstanceOf[Timestamp], ts("2024-06-01 00:00:00"))
+    ).toDF("id", "creation_time", "last_modified")
+    val got = df.select(col("id"),
+        Select.fileDate(col("creation_time"), col("last_modified")).as("d"))
+      .collect().map(r => r.getInt(0) -> r.getTimestamp(1)).toMap
+    assert(got(1) === ts("2024-01-01 00:00:00"))
+    assert(got(2) === ts("2024-06-01 00:00:00"))
+    // and the coalesced date drives the range filter differently per row
+    val kept = df
+      .filter(Select.inDateRange(
+        Select.fileDate(col("creation_time"), col("last_modified")),
+        Some(ts("2024-03-01 00:00:00")), None))
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(kept === Set(2)) // row 1's creation time predates the bound
+  }
+
+  test("listing carries creation_time: null on local FS, populated when the FileStatus exposes it") {
+    import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+    val root = java.nio.file.Files.createTempDirectory("graft-ct")
+    java.nio.file.Files.writeString(root.resolve("a.txt"), "x")
+    val listed = graft.sources.Listing.list(spark, s"file:$root").collect()
+    assert(listed.length === 1)
+    assert(listed(0).creation_time === null) // local FS exposes none — no fake
+    // cloud-store FileStatus subclasses expose getCreationTime — the
+    // reflective probe picks it up (and ignores the base class)
+    class CloudStatus extends FileStatus(
+        1L, false, 1, 1L, 1700000000000L, new HPath("file:/c.txt")) {
+      def getCreationTime: Long = 1600000000000L
+    }
+    val ct = graft.sources.Listing.creationTimeOf(new CloudStatus)
+    assert(ct === new Timestamp(1600000000000L))
+    assert(graft.sources.Listing.creationTimeOf(
+      new FileStatus(1L, false, 1, 1L, 1700000000000L,
+        new HPath("file:/p.txt"))) === null)
+  }
+
   test("O15: keep + reason columns, reference check order") {
     import spark.implicits._
     val df = Seq(

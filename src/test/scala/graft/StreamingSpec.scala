@@ -79,6 +79,31 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:00:00.0", "view", 1L, 8.0)))
   }
 
+  test("sessionize: idle session closes on EVENT-time watermark, not wall-clock") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    def ev(id: Long, user: Long, t: String) =
+      EventStreams.Ev(id, Timestamp.valueOf(t), user, "click", 0.0)
+    // user 7 goes idle after 10:10 and NEVER returns; a later event from
+    // a different user pushes the watermark to 12:30 (> 10:10 + 30min
+    // gap), which must close user 7's session — replayed history, no
+    // wall-clock waiting anywhere
+    mem.addData(ev(1, 7L, "2024-01-01 10:00:00"), ev(2, 7L, "2024-01-01 10:10:00"))
+    mem.addData(ev(3, 8L, "2024-01-01 13:00:00"))
+    val q = EventStreams.sessionize(mem.toDS(), gapSeconds = 1800,
+        watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("evt_sessions")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    val rows = spark.sql("SELECT * FROM evt_sessions").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getInt(3)))
+    // user 8's session stays open (watermark 12:30 < 13:00 + gap)
+    assert(rows.toSeq === Seq((7L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2)))
+  }
+
   test("sessionize: gap splits sessions, counts preserved") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
