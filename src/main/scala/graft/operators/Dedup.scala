@@ -67,6 +67,11 @@ object Dedup {
     * single boilerplate shingle across K docs funnels K² candidate
     * rows through one shuffle task). Pass `dfCap = None` only for
     * corpora known to be boilerplate-free.
+    *
+    * The input is consumed from several plan branches (df counting when
+    * capped, plus both sides of the candidate self-join) — persist or
+    * checkpoint `df` before calling when the upstream is expensive to
+    * recompute.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double,

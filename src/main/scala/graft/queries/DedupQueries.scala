@@ -26,13 +26,18 @@ object DedupQueries {
   }
 
   /** documents(doc_id < 300) ∪ near-copies (first token dropped) under
-    * doc_id+100000.
+    * doc_id+100000. Eagerly checkpointed: the near-dup operators
+    * consume their input from several plan branches (df counting, both
+    * self-join sides), and materializing the 600-row corpus once
+    * replaces repeated parquet scans — the same persist-your-input
+    * guidance the operators document for full-scale corpora.
     */
   private def withNearCopies(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").filter(col("doc_id") < 300).select("doc_id", "text")
     val tok = Text.tokens(col("text"))
     d.union(d.select((col("doc_id") + 100000).as("doc_id"),
       array_join(slice(tok, lit(2), size(tok) - 1), " ").as("text")))
+      .localCheckpoint(true)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -62,6 +67,7 @@ object DedupQueries {
       val tok = Text.tokens(col("text"))
       val corpus = d.union(d.select((col("doc_id") + 100000).as("doc_id"),
         array_join(slice(tok, lit(2), size(tok) - 1), " ").as("text")))
+        .localCheckpoint(true) // see withNearCopies
       Dedup.jaccardPairs(corpus, "doc_id", "text",
         n = 5, threshold = 0.5, dfCap = Some(16))
     }),
@@ -93,6 +99,7 @@ object DedupQueries {
         .select("doc_id", "text")
       val corpus = d.union(
         d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .localCheckpoint(true) // see withNearCopies
       Dedup.simhashPairs(corpus, "doc_id", "text", maxDist = 3)
     })
   )

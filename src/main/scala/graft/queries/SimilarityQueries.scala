@@ -26,6 +26,8 @@ object SimilarityQueries {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     e.union(e.select((col("vec_id") + 100000).as("vec_id"),
       transform(col("embedding"), x => x * lit(2.0)).as("embedding")))
+      // materialized once: the near-dup self-join consumes both sides
+      .localCheckpoint(true)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
