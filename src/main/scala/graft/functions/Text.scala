@@ -80,6 +80,47 @@ object Text {
       lit(0.3) * least(lit(1.0), size(tok).cast("double") / lit(50.0)) +
       lit(0.2) * (lit(1.0) - punctRatio(text))
 
+  /** PII redaction for training corpora: emails, international phone
+    * numbers, then long digit runs (account/card ids) replaced by typed
+    * placeholders, in that order (emails contain digits; phones are
+    * consumed before bare digit runs). A pure `regexp_replace` chain —
+    * codegen'd, map-side, shuffle-free — using only the regex subset
+    * Java and RE2 share, so the oracle replicates it verbatim.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>")
+    val phone = regexp_replace(email, "\\+[0-9][0-9-]{7,14}[0-9]", "<PHONE>")
+    regexp_replace(phone, "[0-9]{9,}", "<ID>")
+  }
+
+  /** Mean word length without a per-word pass: text is single-space
+    * joined, so summed word length = chars − (n−1) separators. One
+    * IEEE division.
+    */
+  def meanWordLength(text: Column, tok: Column): Column =
+    (length(text) - (size(tok) - 1)).cast("double") / size(tok).cast("double")
+
+  def maxWordLength(tok: Column): Column =
+    array_max(transform(tok, w => length(w)))
+
+  /** Fraction of purely-alphabetic words — Gopher-style structural
+    * signal (symbol-heavy and id-heavy text scores low).
+    */
+  def alphaWordRatio(tok: Column): Column =
+    size(filter(tok, w => w.rlike("^[a-z]+$"))).cast("double") /
+      size(tok).cast("double")
+
+  /** Gopher-style keep decision: document length in tokens, mean word
+    * length, and alphabetic-word fraction within the published-rule
+    * bands. Thresholds are integer/exact-double comparisons — no
+    * cross-engine rounding hazard.
+    */
+  def gopherKeep(text: Column, tok: Column): Column =
+    size(tok) >= 10 && size(tok) <= 5000 &&
+      meanWordLength(text, tok) >= 2.0 && meanWordLength(text, tok) <= 12.0 &&
+      alphaWordRatio(tok) >= 0.6
+
   /** Whole-document fingerprint. */
   def fingerprint(text: Column): Column = md5(text)
 

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for every left row, attach the latest
+  * right row with `right.ts <= left.ts` for the same key — the feature
+  * lookup every training pipeline needs (label events joined to the
+  * most recent feature snapshot) and one Spark has no built-in for.
+  *
+  * Scale shape: NOT a range cross-join and NOT a per-key loop. Both
+  * sides are tagged, unioned, and shuffled ONCE on the key; one ordered
+  * window pass carries the last non-null right payload forward, and the
+  * left rows are peeled back off. Cost is a single hash exchange plus a
+  * per-key sort — the same as one groupBy over the combined inputs, at
+  * any scale. Equal timestamps count as matches (right sorts before
+  * left at the same instant).
+  *
+  * Determinism: requires (keys, tsCol) unique on the right (true for
+  * event streams with unique event ids; dedupe first otherwise). Null
+  * right payload values are treated as absent — the window looks
+  * further back.
+  */
+object AsOf {
+
+  /** @param leftCols  left payload columns carried through
+    * @param rightCols right payload columns attached as `prefix+name`
+    *                  from the as-of match (all null ⇔ no match yet)
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, leftCols: Seq[String], rightCols: Seq[String],
+               prefix: String = "m_"): DataFrame = {
+    val keyCols = keys.map(col)
+    val l = left.select(
+      keyCols ++ Seq(col(tsCol).as("__ts"), lit(1).as("__side")) ++
+        leftCols.map(col) ++
+        rightCols.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(prefix + c)): _*)
+    val r = right.select(
+      keyCols ++ Seq(col(tsCol).as("__ts"), lit(0).as("__side")) ++
+        leftCols.map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(c => col(c).as(prefix + c)): _*)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.union(r).select(
+      keyCols ++ Seq(col("__ts"), col("__side")) ++ leftCols.map(col) ++
+        rightCols.map(c =>
+          last(col(prefix + c), ignoreNulls = true).over(w).as(prefix + c)): _*)
+    carried.filter(col("__side") === 1)
+      .withColumnRenamed("__ts", tsCol)
+      .drop("__side")
+  }
+}

@@ -42,6 +42,35 @@ object EventQueries {
         .select(col("event_id"), col("user_id"), col("session_idx"))
     }),
 
+    // ---- as-of join: each purchase gets the user's most recent
+    //      at-or-before click (union + one keyed window — no range
+    //      cross join, single shuffle) ----
+    "e_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.AsOf.asOfJoin(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          keys = Seq("user_id"), tsCol = "ts",
+          leftCols = Seq("event_id"), rightCols = Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"),
+          col("m_event_id"), col("m_value"))
+    }),
+
+    // ---- range join: clicks in the 2 hours before each purchase
+    //      (bucketed equi-join on (user, time-bucket); the oracle
+    //      verifies it against the straightforward theta join) ----
+    "e_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.RangeJoin.rangeJoin(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          keys = Seq("user_id"), tsCol = "ts",
+          loSeconds = -7200L, hiSeconds = 0L,
+          leftCols = Seq("event_id"), rightCols = Seq("event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("r_event_id"), col("r_offset_sec"))
+    }),
+
     // ---- per-user activity profile ----
     "e_user_stats" -> ((s, dir) => {
       t(s, dir, "events")
@@ -73,6 +102,35 @@ object EventQueries {
         |         ORDER BY ts ASC, event_id ASC), ts) > 1800
         |  THEN 1 ELSE 0 END AS new_session
         |  FROM events)""".stripMargin,
+
+    // replicates the union+window construction; side 0 sorts right
+    // rows first at equal timestamps (the <= contract)
+    "e_asof_join" ->
+      """WITH l AS (SELECT user_id, ts, 1 AS side, event_id,
+        |    CAST(NULL AS BIGINT) AS r_eid, CAST(NULL AS DOUBLE) AS r_val
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts, 0 AS side, CAST(NULL AS BIGINT) AS event_id,
+        |    event_id AS r_eid, value AS r_val
+        |  FROM events WHERE event_type = 'click'),
+        |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        |m AS (SELECT event_id, user_id, side,
+        |    last_value(r_eid IGNORE NULLS) OVER w AS m_event_id,
+        |    last_value(r_val IGNORE NULLS) OVER w AS m_value
+        |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, side ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, m_event_id, m_value FROM m
+        |WHERE side = 1""".stripMargin,
+
+    // the oracle states the SEMANTICS as a plain theta join — it
+    // verifies the engine's bucketed equi-join produces exactly the
+    // theta-join pairs
+    "e_range_join" ->
+      """SELECT p.event_id, p.user_id, c.event_id AS r_event_id,
+        | (epoch_us(c.ts) - epoch_us(p.ts)) / 1000000.0 AS r_offset_sec
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 7200000000
+        |  AND epoch_us(c.ts) <= epoch_us(p.ts)""".stripMargin,
 
     "e_user_stats" ->
       """SELECT user_id, COUNT(*) AS n_events,

@@ -46,6 +46,37 @@ object TextQueries {
       d.select(col("doc_id"),
         Text.fingerprint(col("text")).as("fp"),
         Text.minShingleFingerprint(tok, 5).as("minshingle_fp"))
+    }),
+
+    // ---- PII redaction over a corpus with injected emails / phones /
+    //      account ids (documents.text itself is PII-free) ----
+    "t_pii_redact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val dirty = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or call +1-555-"),
+        lpad(col("doc_id").cast("string"), 7, "0"), lit(" account 9876543210"))
+      d.select(col("doc_id"), Text.redactPii(dirty).as("clean"))
+    }),
+
+    // ---- corpus bigram frequency, top-100: one map-combinable
+    //      aggregation + TakeOrderedAndProject (count-desc, bigram-asc
+    //      tiebreak keeps the top-k set deterministic) ----
+    "t_ngram_freq" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(explode(Text.shingles(Text.tokens(col("text")), 2)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram").asc).limit(100)
+    }),
+
+    // ---- Gopher-style structural quality rules + keep decision ----
+    "t_quality_rules" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val tok = Text.tokens(col("text"))
+      d.select(col("doc_id"),
+        Text.meanWordLength(col("text"), tok).as("mean_word_len"),
+        Text.maxWordLength(tok).as("max_word_len"),
+        Text.alphaWordRatio(tok).as("alpha_ratio"),
+        Text.gopherKeep(col("text"), tok).as("keep"))
     })
   )
 
@@ -90,6 +121,43 @@ object TextQueries {
          |        ELSE list_transform(range(1, len($tok) - 3),
          |               i -> array_to_string(($tok)[i:i+4], ' ')) END,
          |   s -> md5(s)), 'min') AS minshingle_fp
+         |FROM documents""".stripMargin,
+
+    "t_pii_redact" ->
+      """SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(
+        |   text || ' contact user' || doc_id
+        |        || '@example.com or call +1-555-'
+        |        || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+        |        || ' account 9876543210',
+        |   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |   '\+[0-9][0-9-]{7,14}[0-9]', '<PHONE>', 'g'),
+        |   '[0-9]{9,}', '<ID>', 'g') AS clean
+        |FROM documents""".stripMargin,
+
+    "t_ngram_freq" ->
+      s"""WITH ng AS (SELECT unnest(
+         |    CASE WHEN len($tok) < 2 THEN []
+         |         ELSE list_transform(range(1, len($tok)),
+         |                i -> array_to_string(($tok)[i:i+1], ' ')) END) AS ngram
+         |  FROM documents)
+         |SELECT ngram, count(*) AS n FROM ng GROUP BY ngram
+         |ORDER BY n DESC, ngram ASC LIMIT 100""".stripMargin,
+
+    "t_quality_rules" ->
+      s"""SELECT doc_id,
+         | CAST(length(text) - (len($tok) - 1) AS DOUBLE)
+         |   / CAST(len($tok) AS DOUBLE) AS mean_word_len,
+         | list_aggregate(list_transform($tok, w -> len(w)), 'max') AS max_word_len,
+         | CAST(len(list_filter($tok, w -> regexp_full_match(w, '[a-z]+'))) AS DOUBLE)
+         |   / CAST(len($tok) AS DOUBLE) AS alpha_ratio,
+         | len($tok) >= 10 AND len($tok) <= 5000
+         |   AND CAST(length(text) - (len($tok) - 1) AS DOUBLE)
+         |     / CAST(len($tok) AS DOUBLE) >= 2.0
+         |   AND CAST(length(text) - (len($tok) - 1) AS DOUBLE)
+         |     / CAST(len($tok) AS DOUBLE) <= 12.0
+         |   AND CAST(len(list_filter($tok, w -> regexp_full_match(w, '[a-z]+'))) AS DOUBLE)
+         |     / CAST(len($tok) AS DOUBLE) >= 0.6 AS keep
          |FROM documents""".stripMargin
   )
 }

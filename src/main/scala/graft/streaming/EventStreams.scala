@@ -40,6 +40,28 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-stream interval join: every left row joined to the right
+    * rows of the same key whose event time falls within the preceding
+    * `lookbackSeconds` (inclusive on both ends) — the streaming form of
+    * operators.RangeJoin. Both sides carry watermarks, so Spark bounds
+    * the join state: right rows are dropped once the watermark passes
+    * their eligibility window — state is interval-sized per key, not
+    * unbounded. Select result columns with "l." / "r." qualifiers.
+    */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+                         keyCol: String, tsCol: String,
+                         lookbackSeconds: Long,
+                         leftWatermark: String = "1 hour",
+                         rightWatermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(tsCol, leftWatermark).alias("l")
+    val r = right.withWatermark(tsCol, rightWatermark).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$tsCol") >= col(s"l.$tsCol") -
+          expr(s"INTERVAL $lookbackSeconds SECONDS") &&
+        col(s"r.$tsCol") <= col(s"l.$tsCol"))
+  }
+
   final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
                       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int)

@@ -6,6 +6,7 @@ import java.sql.Timestamp
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
@@ -77,6 +78,32 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
       ("2024-01-01 11:00:00.0", "click", 1L, 4.0),
       ("2024-01-01 10:00:00.0", "view", 1L, 8.0)))
+  }
+
+  test("stream-stream interval join: in-window pairs only, keyed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[EventStreams.Ev]
+    val clicks = MemoryStream[EventStreams.Ev]
+    def ev(id: Long, user: Long, t: String, typ: String) =
+      EventStreams.Ev(id, Timestamp.valueOf(t), user, typ, 0.0)
+    purchases.addData(ev(100, 7L, "2024-01-01 10:30:00", "purchase"))
+    clicks.addData(
+      ev(1, 7L, "2024-01-01 10:00:00", "click"),  // in the 1h lookback
+      ev(2, 7L, "2024-01-01 09:00:00", "click"),  // too old
+      ev(3, 7L, "2024-01-01 11:00:00", "click"),  // after the purchase
+      ev(4, 8L, "2024-01-01 10:15:00", "click"))  // other user
+    val joined = EventStreams.streamIntervalJoin(
+        purchases.toDF(), clicks.toDF(), "user_id", "ts",
+        lookbackSeconds = 3600)
+      .select(col("l.event_id").as("p_id"), col("r.event_id").as("c_id"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    val rows = spark.sql("SELECT * FROM ssjoin").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq === Seq((100L, 1L)))
   }
 
   test("sessionize: idle session closes on EVENT-time watermark, not wall-clock") {
