@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for reproducible dataset curation: rows are
+  * assigned to one of 256 buckets by the md5 of their id, and a sample
+  * keeps buckets below `round(256·fraction)`. Unlike `df.sample`, the
+  * decision is a pure function of the row — stable across runs, Spark
+  * versions, partitionings, and engines (the oracle replicates it),
+  * and a row's membership never changes when the corpus grows. Pure
+  * map-side predicate, pushes to the scan, zero shuffle.
+  */
+object Sampling {
+
+  /** 256-bucket assignment from the first two hex chars of md5(id). */
+  def hashBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("int")
+
+  /** Keep ~`fraction` of rows, deterministically (granularity 1/256). */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(hashBucket(col(idCol)) < math.round(fraction * 256).toInt)
+
+  /** Stratified: per-stratum fractions (e.g. downsample boilerplate
+    * web text, keep all books), `defaultFraction` for unlisted strata.
+    */
+  def stratifiedHashSample(df: DataFrame, idCol: String, strataCol: String,
+                           fractions: Map[String, Double],
+                           defaultFraction: Double = 0.0): DataFrame = {
+    val threshold = fractions.foldLeft(
+      lit(math.round(defaultFraction * 256).toInt): Column) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum,
+          lit(math.round(f * 256).toInt)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < threshold)
+  }
+}

@@ -71,6 +71,13 @@ object EventQueries {
           col("r_event_id"), col("r_offset_sec"))
     }),
 
+    // ---- JSON payload extraction (events.props is a JSON string) ----
+    "e_props_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+    }),
+
     // ---- per-user activity profile ----
     "e_user_stats" -> ((s, dir) => {
       t(s, dir, "events")
@@ -131,6 +138,11 @@ object EventQueries {
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 7200000000
         |  AND epoch_us(c.ts) <= epoch_us(p.ts)""".stripMargin,
+
+    "e_props_extract" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
 
     "e_user_stats" ->
       """SELECT user_id, COUNT(*) AS n_events,

@@ -77,6 +77,22 @@ object SimilarityQueries {
     "d_embedding_neardup" -> ((s, dir) => {
       Similarity.cosineNearDupPairs(withScaledCopies(s, dir),
         threshold = 0.999, bits = 8)
+    }),
+
+    // ---- exact per-group centroid vectors: bit-reproducible mean via
+    //      an ORDERED left-assoc fold (sort_array + aggregate HOF), so
+    //      the result is independent of partitioning — the property a
+    //      1000-executor run needs for reproducible cluster summaries ----
+    "s_group_centroid" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(pmod(col("vec_id"), lit(8)).as("grp"), col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy("grp", "pos")
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("x")))).as("xs"),
+          count(lit(1)).as("n"))
+        .select(col("grp"), col("pos"),
+          (aggregate(col("xs"), lit(0.0),
+            (acc, e) => acc + e.getField("x")) / col("n")).as("centroid"))
     })
   )
 
@@ -153,6 +169,21 @@ object SimilarityQueries {
         |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM p)
         |SELECT q_id, rank, n_id, ROUND(cos, 4) AS cos
         |FROM r WHERE rank <= 3""".stripMargin,
+
+    // ordered left fold both sides: Spark aggregate(sort_array(...)) and
+    // DuckDB list_reduce(array_agg(... ORDER BY vec_id)) add in the same
+    // sequence -> bit-identical doubles, no rounding fudge
+    "s_group_centroid" ->
+      """WITH base AS (SELECT vec_id, vec_id % 8 AS grp,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ex AS (SELECT grp, vec_id, CAST(p AS INT) AS pos, v[p + 1] AS x
+        |  FROM base CROSS JOIN (SELECT unnest(range(0, 64)) AS p)),
+        |agg AS (SELECT grp, pos,
+        |    list_reduce(list_prepend(0.0, array_agg(x ORDER BY vec_id)),
+        |                (a, b) -> a + b) AS sx,
+        |    count(*) AS n
+        |  FROM ex GROUP BY grp, pos)
+        |SELECT grp, pos, sx / n AS centroid FROM agg""".stripMargin,
 
     "d_embedding_neardup" ->
       """WITH base AS (
