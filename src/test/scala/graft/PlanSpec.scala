@@ -44,6 +44,31 @@ class PlanSpec extends SparkSpec {
     assert(planOf("o9_anti_join").contains("LeftAnti"))
   }
 
+  test("as-of join: one keyed exchange, never a cartesian") {
+    val p = planOf("e_asof_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the union+window shape shuffles once on the key
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).length === 1, p)
+  }
+
+  test("range join: bucketed equi-join, never a cartesian") {
+    val p = planOf("e_range_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join") && p.contains("__bucket"), p)
+  }
+
+  test("q7/q10: dimension joins broadcast; top-k avoids a global sort") {
+    assert(planOf("q7_volume_shipping").contains("BroadcastHashJoin"))
+    assert(planOf("q10_returned_items").contains("TakeOrderedAndProject"))
+  }
+
+  test("stratified sample: map-side predicate, zero shuffle") {
+    val p = planOf("q_stratified_sample")
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("bucketed layout removes the fact-to-fact join exchange (SCALE.md §2)") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"
