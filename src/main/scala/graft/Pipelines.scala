@@ -33,14 +33,19 @@ object Pipelines {
     */
   def pipelineA(spark: SparkSession, manifestCsv: String, lakeRoot: String,
                 sourcePrefix: String, targetPrefix: String,
-                mode: MoveSink.Mode = MoveSink.Copy, dryRun: Boolean = false)
+                mode: MoveSink.Mode = MoveSink.Copy, dryRun: Boolean = false,
+                fileIndex: Option[Dataset[graft.model.LakeFile]] = None)
       : (DataFrame, DataFrame, Option[Dataset[MoveResult]]) = {
     val root = lakeRoot.replaceAll("/+$", "")
     val manifest = Manifest.blobPaths(Manifest.read(spark, manifestCsv), sourcePrefix)
 
     // listing restricted to the source prefix (partition-pruned scan),
-    // distributed across tasks — no driver-side file buffer
-    val listed = Listing.listDistributed(spark, s"$root/$sourcePrefix")
+    // distributed across tasks — no driver-side file buffer. A persisted
+    // file-index table (Listing.readIndex) substitutes for the live walk
+    // at billion-file scale; the manifest semi-join below restricts it
+    // to the source prefix either way.
+    val listed = fileIndex
+      .getOrElse(Listing.listDistributed(spark, s"$root/$sourcePrefix"))
       .select(regexp_replace(col("name"), "^" + java.util.regex.Pattern.quote(
         new org.apache.hadoop.fs.Path(root).toUri.getPath + "/"), "").as("path"))
 
@@ -74,30 +79,88 @@ object Pipelines {
                 companyId: Option[String] = None, dryRun: Boolean = false)
       : (DataFrame, Option[Dataset[MoveResult]]) = {
     val root = lakeRoot.replaceAll("/+$", "")
+    val files = Listing.withContent(spark, s"$root/$sourcePath")
+    val decisions = decisionsOf(files, root, sourcePath, targetPath,
+      after, before, companyId)
+    val results =
+      if (dryRun) None
+      else Some(MoveSink.run(decisions.filter(col("keep")), MoveSink.Move))
+    (decisions, results)
+  }
+
+  /** The per-file decision plan shared by batch and streaming pipeline
+    * B: lake-relative path, rewritten destination, (keep, reason).
+    * Works on any DataFrame with binaryFile's columns
+    * (path, modificationTime, content) — batch scan or file stream.
+    */
+  private def decisionsOf(files: DataFrame, root: String,
+                          sourcePath: String, targetPath: String,
+                          after: Option[Timestamp], before: Option[Timestamp],
+                          companyId: Option[String]): DataFrame = {
     // binaryFile's `path` is a full URI; strip scheme + authority
     // (e.g. abfss://container@acct.dfs.core.windows.net) then the root's
     // own path, leaving the lake-relative path pipelineA also uses
-    val files = Listing.withContent(spark, s"$root/$sourcePath")
+    val withRel = files
       .withColumn("rel", regexp_replace(regexp_replace(
         regexp_replace(col("path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", ""),
         "^" + java.util.regex.Pattern.quote(
           new org.apache.hadoop.fs.Path(root).toUri.getPath), ""), "^/+", ""))
-
     // O13 date: binaryFile has no creation time — modificationTime is the
     // coalesced file date (reference fallback app/main.py:122-124).
     val (keep, reason) = Select.selection(
       col("modificationTime"), decode(col("content"), "UTF-8"),
       after, before, "SalesCompanyId", companyId)
-
-    val decisions = files.select(
+    withRel.select(
       col("path").as("src"),
       concat(lit(root + "/"), regexp_replace(
         Paths.rewriteRelocate(col("rel"), sourcePath, targetPath), "^/+", "")).as("dst"),
       keep.as("keep"), reason.as("reason"))
+  }
 
-    val results =
-      if (dryRun) None
-      else Some(MoveSink.run(decisions.filter(col("keep")), MoveSink.Move))
-    (decisions, results)
+  /** Streaming pipeline B: the same filter-and-move, continuously —
+    * files arriving under the source prefix are scanned ONCE (streaming
+    * binaryFile source, checkpointed exactly-once bookkeeping), their
+    * decisions computed with the identical plan as the batch form, and
+    * each micro-batch's keepers moved by the distributed sink inside
+    * `foreachBatch`; per-file MoveResults append to a durable parquet
+    * report. Skipped files stay in place (unlike `cleanSource=archive`,
+    * which would relocate everything) — this is the reference's
+    * selective-move contract running as continuous ingestion.
+    *
+    * Returns the started query; stop it (or use Trigger.AvailableNow)
+    * to drain.
+    */
+  def pipelineBStream(spark: SparkSession, lakeRoot: String,
+                      sourcePath: String, targetPath: String,
+                      checkpointDir: String, reportDir: String,
+                      after: Option[Timestamp] = None,
+                      before: Option[Timestamp] = None,
+                      companyId: Option[String] = None,
+                      maxFilesPerTrigger: Int = 50)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val root = lakeRoot.replaceAll("/+$", "")
+    // streaming file sources require an explicit schema; binaryFile's
+    // is fixed by the format
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val files = spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(s"$root/$sourcePath")
+    val decisions = decisionsOf(files, root, sourcePath, targetPath,
+      after, before, companyId)
+    decisions.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        MoveSink.run(batch.filter(col("keep")), MoveSink.Move)
+          .write.mode("append").parquet(reportDir)
+      }
   }
 }

@@ -93,6 +93,17 @@ object Relational3 {
           count(lit(1)).as("n_lines"))
     }),
 
+    // ---- sketch aggregates (HLL distinct, approx quantiles): the
+    //      100 TB substitutes for exact countDistinct / exact median.
+    //      No SQL oracle (sketches are engine-specific) — driver records
+    //      a rows-only check; RelationalSpec bounds the error vs exact ----
+    "q_approx_stats" -> ((s, dir) => {
+      t(s, dir, "orders").agg(
+        approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_customers"),
+        percentile_approx(col("o_totalprice"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("price_quartiles"))
+    }),
+
     // ---- deterministic stratified sample (256 md5 buckets/stratum) ----
     "q_stratified_sample" -> ((s, dir) => {
       Sampling.stratifiedHashSample(t(s, dir, "customer"),

@@ -105,6 +105,24 @@ object Listing {
       }
   }
 
+  /** Persist a listing as a parquet file-index table (Delta-style
+    * manifest). At billions of files the recursive listing is itself a
+    * big job — run it once (or incrementally from storage events),
+    * persist the index, and let every downstream pipeline join against
+    * the TABLE instead of re-walking the store: index scans get column
+    * pruning, predicate pushdown, and partition pruning for free.
+    */
+  def writeIndex(files: Dataset[LakeFile], path: String): Unit =
+    files.write.mode("overwrite").parquet(path)
+
+  /** Read a persisted file index back as the same typed listing the
+    * live scans produce — pipelines are source-agnostic.
+    */
+  def readIndex(spark: SparkSession, path: String): Dataset[LakeFile] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[LakeFile]
+  }
+
   /** O2+O5: listing WITH file bytes via the binaryFile source. */
   def withContent(spark: SparkSession, prefix: String): DataFrame =
     spark.read.format("binaryFile")

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.Listing
+
+/** Persisted file-index table: round trip + drop-in use in pipeline A. */
+class FileIndexSpec extends SparkSpec {
+
+  test("index round trip preserves the listing; pipelineA consumes it") {
+    val root = Files.createTempDirectory("graft-index")
+    val raw = root.resolve("raw"); Files.createDirectories(raw)
+    Files.writeString(raw.resolve("a.json"), """{"x":1}""")
+    Files.writeString(raw.resolve("b.json"), """{"x":2}""")
+    val csv = root.resolve("manifest.csv")
+    Files.writeString(csv,
+      """QuoteId;unixtimestamp;filename
+        |q1;1;a.json
+        |q2;1;missing.json
+        |""".stripMargin)
+
+    val live = Listing.listDistributed(spark, s"file:$root/raw")
+    val idxPath = s"file:$root/_index"
+    Listing.writeIndex(live, idxPath)
+    val idx = Listing.readIndex(spark, idxPath)
+    assert(idx.collect().map(f => (f.name.split("/").last, f.size)).sorted.toSeq
+      === Seq(("a.json", 7L), ("b.json", 7L)))
+
+    // the index substitutes for the live walk: same found/not-found
+    val (found, notFound, _) = Pipelines.pipelineA(
+      spark, csv.toString, s"file:$root", "raw/", "archive/",
+      dryRun = true, fileIndex = Some(idx))
+    assert(found.collect().map(_.getString(0)).toSeq === Seq("raw/a.json"))
+    assert(notFound.collect().map(_.getString(0)).toSeq === Seq("raw/missing.json"))
+  }
+
+  test("approx sketches stay within tolerance of exact answers") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val o = Tables.t(spark, dir, "orders")
+    val row = SparkEntry.queries("q_approx_stats")(spark, dir).collect()(0)
+    val exactDistinct = o.select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+    val approx = row.getAs[Long]("approx_customers")
+    assert(math.abs(approx - exactDistinct).toDouble / exactDistinct < 0.05)
+    val quartiles = row.getSeq[Double](row.fieldIndex("price_quartiles"))
+    val exactMedian = o.stat.approxQuantile("o_totalprice", Array(0.5), 0.0)(0)
+    assert(math.abs(quartiles(1) - exactMedian) / exactMedian < 0.05)
+    assert(quartiles(0) <= quartiles(1) && quartiles(1) <= quartiles(2))
+  }
+}

@@ -55,6 +55,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming pipeline B: continuous selective move with durable report") {
+    val root = Files.createTempDirectory("graft-bstream")
+    val raw = root.resolve("raw"); Files.createDirectories(raw)
+    Files.writeString(raw.resolve("keep.json"), """{"SalesCompanyId":"12"}""")
+    Files.writeString(raw.resolve("skip.json"), """{"SalesCompanyId":"99"}""")
+    val q = Pipelines.pipelineBStream(spark, s"file:$root", "raw/", "archive/",
+        checkpointDir = s"file:$root/chk", reportDir = s"file:$root/report",
+        companyId = Some("12"))
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    // keeper moved, skipper left in place
+    assert(!Files.exists(raw.resolve("keep.json")))
+    assert(Files.exists(root.resolve("archive/keep.json")))
+    assert(Files.exists(raw.resolve("skip.json")))
+    // durable per-file report
+    val rep = spark.read.parquet(s"file:$root/report").collect()
+      .map(r => (r.getAs[String]("src").split("/").last,
+        r.getAs[String]("status"))).toMap
+    assert(rep === Map("keep.json" -> "success"))
+    // late-arriving file: a second drain picks it up exactly once
+    Files.writeString(raw.resolve("late.json"), """{"SalesCompanyId":"12"}""")
+    val q2 = Pipelines.pipelineBStream(spark, s"file:$root", "raw/", "archive/",
+        checkpointDir = s"file:$root/chk", reportDir = s"file:$root/report",
+        companyId = Some("12"))
+      .trigger(Trigger.AvailableNow()).start()
+    try q2.awaitTermination(120000) finally q2.stop()
+    assert(Files.exists(root.resolve("archive/late.json")))
+    val rep2 = spark.read.parquet(s"file:$root/report").collect()
+    assert(rep2.length === 2) // keep.json not re-moved on restart
+  }
+
   test("tumbling window counts over MemoryStream match batch semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
