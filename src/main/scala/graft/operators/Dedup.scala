@@ -131,6 +131,23 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Benchmark decontamination: ids of training documents sharing ANY
+    * n-gram with the benchmark set (the standard eval-leakage sweep
+    * before training). The benchmark shingle set is small by nature —
+    * broadcast — so the sweep is one map-side semi-join over the
+    * exploded training shingles: no shuffle of the training corpus,
+    * scales to any corpus size.
+    */
+  def contaminated(train: DataFrame, benchmark: DataFrame,
+                   idCol: String, textCol: String, n: Int): DataFrame = {
+    def ex(df: DataFrame) = df.select(col(idCol).as("id"),
+      explode(array_distinct(Text.shingles(Text.tokens(col(textCol)), n))).as("s"))
+    ex(train)
+      .join(broadcast(ex(benchmark).select("s").distinct()), Seq("s"), "left_semi")
+      .select("id").distinct()
+      .withColumnRenamed("id", idCol)
+  }
+
   // ---- SimHash ----
 
   private def md5Hex(s: String): String = {

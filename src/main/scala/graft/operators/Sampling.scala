@@ -21,6 +21,26 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
     df.filter(hashBucket(col(idCol)) < math.round(fraction * 256).toInt)
 
+  /** Deterministic train/val/test split: cumulative bucket ranges over
+    * the same 256-bucket hash, so every row lands in exactly one split,
+    * assignment never changes as the corpus grows (no train/test
+    * leakage on refresh), and fractions sum to 1 with the remainder in
+    * the last split.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val bounds = splits.scanLeft(0)(
+      (acc, s) => acc + math.round(s._2 * 256).toInt).tail
+    val bucket = hashBucket(col(idCol))
+    val label = splits.map(_._1).zip(bounds).init.foldRight(
+      lit(splits.last._1): Column) {
+      case ((name, hi), acc) => when(bucket < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Stratified: per-stratum fractions (e.g. downsample boilerplate
     * web text, keep all books), `defaultFraction` for unlisted strata.
     */

@@ -86,6 +86,15 @@ object DedupQueries {
         n = 5, bands = 3, rowsPerBand = 2, threshold = 0.5)
     }),
 
+    // ---- benchmark decontamination: train docs sharing any 5-gram
+    //      with the benchmark slice (doc_id < 20) ----
+    "d_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.contaminated(
+        d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20),
+        "doc_id", "text", n = 5)
+    }),
+
     // ---- SimHash digests ----
     "d_simhash" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -203,6 +212,16 @@ object DedupQueries {
          |  CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
          |FROM verif
          |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5""".stripMargin,
+
+    "d_contamination" ->
+      """WITH sh AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(tok) < 5 THEN []
+        |         ELSE list_transform(range(1, len(tok) - 3),
+        |                i -> array_to_string(tok[i:i+4], ' ')) END)) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents))
+        |SELECT DISTINCT a.doc_id FROM sh a
+        |WHERE a.doc_id >= 20
+        |  AND a.s IN (SELECT s FROM sh WHERE doc_id < 20)""".stripMargin,
 
     // cross-join Hamming over the same simhash construction; pigeonhole
     // guarantees the engine's quarter-blocked candidates cover dist<=3

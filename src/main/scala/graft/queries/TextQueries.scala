@@ -58,6 +58,30 @@ object TextQueries {
       d.select(col("doc_id"), Text.redactPii(dirty).as("clean"))
     }),
 
+    // ---- sequence packing: assign docs to fixed-token-budget packs
+    //      (cumsum window per shard; integer arithmetic end-to-end).
+    //      The distributed form of greedy packing — each shard packs
+    //      independently, so 1000 executors pack 1000 shards at once ----
+    "t_seq_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(4)).as("shard"),
+          Text.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("shard"),
+          expr("(cum - n_tokens) div 512").as("pack_id"), col("n_tokens"))
+    }),
+
+    // ---- deterministic train/val/test split: stable hash-range
+    //      assignment (no leakage when the corpus grows) ----
+    "t_split_counts" -> ((s, dir) => {
+      graft.operators.Sampling.hashSplit(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split").agg(count(lit(1)).as("n"))
+    }),
+
     // ---- corpus bigram frequency, top-100: one map-combinable
     //      aggregation + TakeOrderedAndProject (count-desc, bigram-asc
     //      tiebreak keeps the top-k set deterministic) ----
@@ -134,6 +158,28 @@ object TextQueries {
         |   '\+[0-9][0-9-]{7,14}[0-9]', '<PHONE>', 'g'),
         |   '[0-9]{9,}', '<ID>', 'g') AS clean
         |FROM documents""".stripMargin,
+
+    "t_seq_pack" ->
+      s"""WITH base AS (SELECT doc_id, doc_id % 4 AS shard,
+         |    len($tok) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM base)
+         |SELECT doc_id, shard, (cum - n_tokens) // 512 AS pack_id, n_tokens
+         |FROM c""".stripMargin,
+
+    "t_split_counts" ->
+      """SELECT CASE
+        |   WHEN bucket < 205 THEN 'train'
+        |   WHEN bucket < 231 THEN 'val'
+        |   ELSE 'test' END AS split, COUNT(*) AS n
+        |FROM (SELECT (strpos('0123456789abcdef',
+        |        substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |        substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+        |  FROM documents)
+        |GROUP BY 1""".stripMargin,
 
     "t_ngram_freq" ->
       s"""WITH ng AS (SELECT unnest(

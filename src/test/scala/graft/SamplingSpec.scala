@@ -22,6 +22,25 @@ class SamplingSpec extends SparkSpec {
     assert(grown.filter(_ <= 4000L) === a)
   }
 
+  test("hashSplit: exhaustive, disjoint, stable under corpus growth") {
+    import spark.implicits._
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val small = Sampling.hashSplit((1L to 2000L).toDF("id"), "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(small.size === 2000) // every row labeled exactly once
+    val counts = small.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") / 2000.0 - 0.8) < 0.05)
+    assert(counts.keySet === Set("train", "val", "test"))
+    // growing the corpus never relabels an existing row (no leakage)
+    val grown = Sampling.hashSplit((1L to 4000L).toDF("id"), "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((1L to 2000L).forall(i => grown(i) === small(i)))
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(small.keys.toSeq.toDF("id"), "id",
+        Seq("a" -> 0.5, "b" -> 0.3)) // fractions must sum to 1
+    }
+  }
+
   test("stratifiedHashSample: per-stratum rates and default") {
     import spark.implicits._
     val df = (1L to 3000L).map(i =>
