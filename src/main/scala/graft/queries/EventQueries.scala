@@ -71,6 +71,19 @@ object EventQueries {
           col("r_event_id"), col("r_offset_sec"))
     }),
 
+    // ---- exact distinct-at-scale: two-phase salted countDistinct —
+    //      salt by the distinct key itself (user_id % 8), so per-salt
+    //      distinct sets are disjoint and their SUM is exact; a skewed
+    //      group fans over 8 reducers instead of melting one. Oracle =
+    //      plain COUNT(DISTINCT), proving equivalence ----
+    "e_distinct_twophase" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"), pmod(col("user_id"), lit(8)).as("salt"))
+        .agg(countDistinct(col("user_id")).as("part_users"))
+        .groupBy("event_type")
+        .agg(sum(col("part_users")).as("n_users"))
+    }),
+
     // ---- JSON payload extraction (events.props is a JSON string) ----
     "e_props_extract" -> ((s, dir) => {
       t(s, dir, "events")
@@ -138,6 +151,11 @@ object EventQueries {
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 7200000000
         |  AND epoch_us(c.ts) <= epoch_us(p.ts)""".stripMargin,
+
+    "e_distinct_twophase" ->
+      """SELECT event_type,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "e_props_extract" ->
       """SELECT event_id,
