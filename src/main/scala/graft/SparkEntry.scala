@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, EventQueries, FileOps, MultimodalQueries, Relational, Relational2, Relational3, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, EventQueries, FileOps, MultimodalQueries, Relational, Relational2, Relational3, Relational4, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,6 +16,7 @@ object SparkEntry {
     (Relational.queries, Relational.oracleSql),
     (Relational2.queries, Relational2.oracleSql),
     (Relational3.queries, Relational3.oracleSql),
+    (Relational4.queries, Relational4.oracleSql),
     (FileOps.queries, FileOps.oracleSql),
     (TextQueries.queries, TextQueries.oracleSql),
     (DedupQueries.queries, DedupQueries.oracleSql),

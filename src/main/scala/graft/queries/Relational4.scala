@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** TPC-H Q13/Q15/Q17/Q22 analogues — the shapes round 3 of the
+  * relational surface still lacked: outer-join histograms, scalar
+  * subqueries (global max / global avg), correlated per-group
+  * averages, and anti-join + scalar-threshold filters. Scalars are
+  * computed as exact decimal sums with one final division, then
+  * broadcast-cross-joined — deterministic cross-engine, no correlated
+  * re-execution per row.
+  */
+object Relational4 {
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def frac(c: Column): Column = c.cast("decimal(4,2)")
+  private val one = lit(1).cast("decimal(4,2)")
+  private def revenue(price: Column, disc: Column): Column =
+    dec(price) * (one - frac(disc))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Q13 shape: customer order-count distribution (left outer
+    //      join keeps zero-order customers; two cheap aggregations) ----
+    "q13_order_histogram" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders")
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // ---- Q15 shape: top supplier by quarterly revenue (scalar max
+    //      over a small aggregate, broadcast back — no correlated
+    //      subquery per row) ----
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+                col("l_shipdate") < lit("1996-04-01"))
+        .groupBy("l_suppkey")
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("total_rev"))
+      rev
+        .crossJoin(broadcast(rev.agg(max(col("total_rev")).as("max_rev"))))
+        .filter(col("total_rev") === col("max_rev"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    }),
+
+    // ---- Q17 shape: revenue from small-quantity lines, threshold =
+    //      0.2 × the part's average quantity (per-group average joined
+    //      back; quantities are integral doubles so the avg is exact) ----
+    "q17_small_quantity" -> ((s, dir) => {
+      val pa = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("pa_partkey"))
+        .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")).filter(col("p_brand") === "Brand#23"),
+          col("l_partkey") === col("p_partkey"))
+        .join(pa, col("l_partkey") === col("pa_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0))
+          .as("avg_yearly"))
+    }),
+
+    // ---- Q22 shape: well-funded customers with no RECENT orders
+    //      (scalar avg threshold + anti join against a pushed-down
+    //      date slice) ----
+    "q22_idle_balances" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg((sum(dec(col("c_acctbal"))).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("2000-01-01")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
+    })
+  )
+
+  private val revSql =
+    "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))"
+
+  val oracleSql: Map[String, String] = Map(
+    "q13_order_histogram" ->
+      """SELECT n_orders, COUNT(*) AS n_customers
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey)
+        |GROUP BY n_orders""".stripMargin,
+
+    "q15_top_supplier" ->
+      s"""WITH rev AS (SELECT l_suppkey,
+         |    CAST($revSql AS DOUBLE) AS total_rev
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_rev
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)""".stripMargin,
+
+    "q17_small_quantity" ->
+      """WITH pa AS (SELECT l_partkey AS pa_partkey,
+        |    SUM(l_quantity) / COUNT(*) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / 7.0 AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN pa ON l_partkey = pa_partkey
+        |WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty""".stripMargin,
+
+    "q22_idle_balances" ->
+      """WITH avg_bal AS (SELECT
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |      / COUNT(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_mktsegment, COUNT(*) AS n_customers,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer, avg_bal
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment""".stripMargin
+  )
+}
