@@ -31,6 +31,24 @@ object MultimodalQueries {
 
     "m_frame_sample" -> ((s, dir) => {
       Multimodal.sampleFrames(media(s, dir), 3)
+    }),
+
+    // ---- REAL header parsing: build valid PNG-headered binaries with
+    //      dimensions derived from doc_id, parse them back through the
+    //      actual byte-level IHDR reader — the oracle asserts the
+    //      round trip recovers the generating parameters ----
+    "m_png_dims" -> ((s, dir) => {
+      val w = (col("doc_id") % 1024 + 1).cast("long")
+      val h = ((col("doc_id") * 7) % 1024 + 1).cast("long")
+      val png = unhex(concat(
+        lit("89504E470D0A1A0A0000000D49484452"), // signature + IHDR
+        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+        lit("0806000000"))) // bit depth, color type, filler
+      val (isPng, width, height) = Multimodal.pngDims(col("content"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), png.as("content"))
+        .select(col("doc_id"), isPng.as("is_png"),
+          width.as("width"), height.as("height"))
     })
   )
 
@@ -54,6 +72,14 @@ object MultimodalQueries {
     "m_frame_sample" ->
       """SELECT doc_id AS id, b AS frame_idx,
         | md5(text) || ':' || CAST(b AS VARCHAR) AS frame_key
-        |FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS b)""".stripMargin
+        |FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS b)""".stripMargin,
+
+    // the oracle states the generating parameters; the Spark side must
+    // recover them through the real byte-level parser
+    "m_png_dims" ->
+      """SELECT doc_id, true AS is_png,
+        | CAST(doc_id % 1024 + 1 AS BIGINT) AS width,
+        | CAST((doc_id * 7) % 1024 + 1 AS BIGINT) AS height
+        |FROM documents""".stripMargin
   )
 }

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** Byte-level PNG header probe: real parse on valid headers, nulls on
+  * anything else.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  test("pngDims: parses IHDR dims; non-PNG bytes yield nulls") {
+    import spark.implicits._
+    // width 300 (0x12C), height 200 (0xC8) — real big-endian IHDR words
+    val png = "89504E470D0A1A0A0000000D49484452" + "0000012C" + "000000C8" + "08"
+    val df = Seq(
+      (1L, png),
+      (2L, "FFD8FFE000104A464946"), // JPEG magic — not a PNG
+      (3L, "0089504E")              // too short / misaligned
+    ).toDF("id", "hexs").select(col("id"), unhex(col("hexs")).as("content"))
+    val (isPng, w, h) = Multimodal.pngDims(col("content"))
+    val got = df.select(col("id"), isPng.as("p"), w.as("w"), h.as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.getAs[java.lang.Long]("w")),
+         Option(r.getAs[java.lang.Long]("h")))).toMap
+    assert(got(1L) === ((true, Some(300L), Some(200L))))
+    assert(got(2L) === ((false, None, None)))
+    assert(got(3L) === ((false, None, None)))
+  }
+}
