@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Physical-layout management: co-located bucketed tables.
+  *
+  * A fact⋈fact join (orders⋈lineitem on the order key) shuffles BOTH
+  * sides on every query. Writing the facts bucketed + sorted on the
+  * join key moves that cost to write time, once: every subsequent join
+  * on the key consumes bucket-local sorted runs with ZERO exchange and
+  * zero sort (proven by `PlanSpec`'s bucketed-join guard). At 100 TB
+  * this is the difference between an O(data) shuffle per query and a
+  * metadata-only plan — the single biggest repeatable-cost lever the
+  * engine exposes.
+  *
+  * Both sides must use the SAME bucket count; Spark's requirement for
+  * the exchange to be elided.
+  */
+object Layout {
+
+  /** Write `df` as a bucketed + in-bucket-sorted managed table. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int): Unit =
+    df.write
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
+  /** Read a bucketed table back (bucket metadata comes from the
+    * catalog — a plain parquet read of the same files would NOT carry
+    * the co-location guarantee).
+    */
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+}

@@ -88,12 +88,11 @@ class PlanSpec extends SparkSpec {
 
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
-      orders.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("b_orders")
-      lineitem.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("b_lineitem")
-      val bucketed = spark.table("b_lineitem")
-        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+      graft.operators.Layout.writeBucketed(orders, "b_orders", "o_orderkey", 4)
+      graft.operators.Layout.writeBucketed(lineitem, "b_lineitem", "l_orderkey", 4)
+      val bucketed = graft.operators.Layout.readBucketed(spark, "b_lineitem")
+        .join(graft.operators.Layout.readBucketed(spark, "b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
       // co-located layout: the join consumes bucket-local sorted runs —
       // zero shuffle, the property that makes repeated fact⋈fact joins
       // affordable at 100 TB
