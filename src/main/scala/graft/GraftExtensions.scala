@@ -17,8 +17,10 @@ import graft.expressions.DotProduct
   * [[GraftExtensions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.cosineFunction)
+  }
 }
 
 object GraftExtensions {
@@ -36,8 +38,31 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.expressions.Cast(args(1), arrD))
     })
 
+  /** graft_cosine(a, b): the same expression tree Similarity.cosine
+    * builds — native dot products with hoistable norms — available
+    * from SQL text.
+    */
+  private val cosineFunction = (
+    FunctionIdentifier("graft_cosine"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_cosine"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "graft_cosine(arrA, arrB) takes 2 arguments")
+      val arrD = org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)
+      val a = org.apache.spark.sql.catalyst.expressions.Cast(args(0), arrD)
+      val b = org.apache.spark.sql.catalyst.expressions.Cast(args(1), arrD)
+      org.apache.spark.sql.catalyst.expressions.Divide(
+        DotProduct(a, b),
+        org.apache.spark.sql.catalyst.expressions.Multiply(
+          org.apache.spark.sql.catalyst.expressions.Sqrt(DotProduct(a, a)),
+          org.apache.spark.sql.catalyst.expressions.Sqrt(DotProduct(b, b))))
+    })
+
   /** Session-scoped registration for an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", args => dotFunction._3(args), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine", args => cosineFunction._3(args), "built-in")
+  }
 }

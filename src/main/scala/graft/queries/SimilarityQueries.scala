@@ -79,6 +79,24 @@ object SimilarityQueries {
         threshold = 0.999, bits = 8)
     }),
 
+    // ---- the SQL surface: graft_cosine (native codegen DotProduct
+    //      under SQL text, via SparkSessionExtensions) driving a knn ----
+    "sql_cosine_knn" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+          |  FROM embeddings),
+          |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          |    graft_cosine(q.v, c.v) AS cos
+          |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+          |  WHERE q.vec_id < 10),
+          |r AS (SELECT q_id, n_id, cos, ROW_NUMBER() OVER (
+          |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM p)
+          |SELECT q_id, rank, n_id, ROUND(cos, 4) AS cos
+          |FROM r WHERE rank <= 3""".stripMargin)
+    }),
+
     // ---- exact per-group centroid vectors: bit-reproducible mean via
     //      an ORDERED left-assoc fold (sort_array + aggregate HOF), so
     //      the result is independent of partitioning — the property a
@@ -169,6 +187,18 @@ object SimilarityQueries {
         |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM p)
         |SELECT q_id, rank, n_id, ROUND(cos, 4) AS cos
         |FROM r WHERE rank <= 3""".stripMargin,
+
+    "sql_cosine_knn" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |    $dotSql AS cos
+         |  FROM (SELECT vec_id, v AS qv FROM e WHERE vec_id < 10) q
+         |  JOIN (SELECT vec_id, v AS nv FROM e) c ON q.vec_id <> c.vec_id),
+         |r AS (SELECT q_id, n_id, cos, ROW_NUMBER() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM p)
+         |SELECT q_id, rank, n_id, ROUND(cos, 4) AS cos
+         |FROM r WHERE rank <= 3""".stripMargin,
 
     // ordered left fold both sides: Spark aggregate(sort_array(...)) and
     // DuckDB list_reduce(array_agg(... ORDER BY vec_id)) add in the same
