@@ -66,6 +66,48 @@ object Relational4 {
           .as("avg_yearly"))
     }),
 
+    // ---- date/time function battery ----
+    "q_datetime_funcs" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+        last_day(col("o_orderdate")).as("eom"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        datediff(lit("2002-01-01").cast("date"),
+          col("o_orderdate").cast("date")).as("days_to_2002"))
+    }),
+
+    // ---- array function battery (over the embeddings table) ----
+    "q_array_funcs" -> ((s, dir) => {
+      val v = col("embedding").cast("array<double>")
+      t(s, dir, "embeddings").filter(col("vec_id") < 100).select(
+        col("vec_id"),
+        size(v).as("n"),
+        round(element_at(v, 1), 4).as("first"),
+        round(array_max(v), 4).as("vmax"),
+        round(array_min(v), 4).as("vmin"),
+        size(filter(v, x => x > 0)).as("n_pos"),
+        round(element_at(array_sort(v), 32), 4).as("sorted_32"),
+        round(aggregate(slice(v, 1, 8), lit(0.0), (a, x) => a + x), 4)
+          .as("head_sum"))
+    }),
+
+    // ---- RANGE window frame: per-user sliding 1-hour event-time sum ----
+    "q_window_range" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-3600L, 0L)
+      t(s, dir, "events")
+        .withColumn("hour_value",
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+        .select(col("event_id"), col("user_id"), col("hour_value"))
+    }),
+
     // ---- Q22 shape: well-funded customers with no RECENT orders
     //      (scalar avg threshold + anti join against a pushed-down
     //      date slice) ----
@@ -117,6 +159,44 @@ object Relational4 {
         |JOIN part ON l_partkey = p_partkey
         |JOIN pa ON l_partkey = pa_partkey
         |WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty""".stripMargin,
+
+    "q_datetime_funcs" ->
+      """SELECT o_orderkey,
+        | CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+        | CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+        | CAST(EXTRACT(day FROM o_orderdate) AS INT) AS dom,
+        | CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+        | CAST(o_orderdate AS DATE) + 30 AS plus30,
+        | last_day(CAST(o_orderdate AS DATE)) AS eom,
+        | CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+        |   AS INT) AS days_to_2002
+        |FROM orders""".stripMargin,
+
+    // list_reduce(list_prepend(0.0, ...)) = Spark's aggregate HOF left
+    // fold — bit-identical head_sum
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        | len(v) AS n,
+        | ROUND(v[1], 4) AS first,
+        | ROUND(list_aggregate(v, 'max'), 4) AS vmax,
+        | ROUND(list_aggregate(v, 'min'), 4) AS vmin,
+        | len(list_filter(v, x -> x > 0)) AS n_pos,
+        | ROUND(list_sort(v)[32], 4) AS sorted_32,
+        | ROUND(list_reduce(list_prepend(0.0, v[1:8]), (a, x) -> a + x), 4)
+        |   AS head_sum
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id < 100)""".stripMargin,
+
+    // integer epoch seconds both sides (truncation = floor for
+    // positive epochs); RANGE frame inclusive at both bounds
+    "q_window_range" ->
+      """SELECT event_id, user_id,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
+        |   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS hour_value
+        |FROM events""".stripMargin,
 
     "q22_idle_balances" ->
       """WITH avg_bal AS (SELECT
