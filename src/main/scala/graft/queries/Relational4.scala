@@ -66,6 +66,38 @@ object Relational4 {
           .as("avg_yearly"))
     }),
 
+    // ---- Q8 shape: a supplier nation's market share inside one
+    //      customer region, by year — ratio of conditional decimal
+    //      sums, single final division ----
+    "q8_market_share" -> ((s, dir) => {
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val rev = revenue(col("l_extendedprice"), col("l_discount"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(r), col("c_rk") === col("r_regionkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_3", rev)
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+          sum(rev).cast("double")).as("mkt_share"))
+    }),
+
+    // ---- GROUPING SETS beyond rollup/cube: two chosen groupings ----
+    "q_grouping_sets" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin)
+    }),
+
     // ---- date/time function battery ----
     "q_datetime_funcs" -> ((s, dir) => {
       t(s, dir, "orders").select(
@@ -159,6 +191,28 @@ object Relational4 {
         |JOIN part ON l_partkey = p_partkey
         |JOIN pa ON l_partkey = pa_partkey
         |WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty""".stripMargin,
+
+    "q8_market_share" -> {
+      val revTerm = "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+      s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         | CAST(SUM(CASE WHEN n1.n_name = 'NATION_3' THEN $revTerm
+         |   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         |  / CAST(SUM($revTerm) AS DOUBLE) AS mkt_share
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |GROUP BY 1""".stripMargin
+    },
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
 
     "q_datetime_funcs" ->
       """SELECT o_orderkey,
