@@ -148,6 +148,48 @@ object Dedup {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Duplicate-cluster consolidation: connected components over the
+    * near-dup pair graph, labeling every node with the minimum id
+    * reachable from it — the step after pair detection that turns
+    * (a,b) matches into dedup groups with one canonical keeper.
+    *
+    * Pregel-style min-label propagation: each round is ONE equi-join +
+    * aggregation (neighbors' current minima), converging in
+    * O(component diameter) rounds — near-dup components are shallow
+    * (dozens of hops at the extreme), so this is a handful of shuffles
+    * at any corpus size, never a transitive-closure blowup. Labels are
+    * checkpointed per round to keep lineage flat; convergence is
+    * detected by the monotone label-sum (strictly decreasing until
+    * fixed point). Only ids that appear in `pairs` are labeled —
+    * singletons need no cluster.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
+      .union(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("x").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var prevSum = Long.MaxValue
+    var sum = labels.agg(org.apache.spark.sql.functions.sum("cluster"))
+      .collect()(0).getLong(0)
+    var i = 0
+    while (sum < prevSum && i < maxIter) {
+      val neighborMin = edges.join(labels, col("y") === col("id"))
+        .groupBy(col("x")).agg(min(col("cluster")).as("nmin"))
+      labels = labels.join(neighborMin, col("id") === col("x"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint(true)
+      prevSum = sum
+      sum = labels.agg(org.apache.spark.sql.functions.sum("cluster"))
+        .collect()(0).getLong(0)
+      i += 1
+    }
+    labels
+  }
+
   // ---- SimHash ----
 
   private def md5Hex(s: String): String = {

@@ -65,4 +65,16 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.toSeq === Seq((1L, 2L, 0)))
   }
+
+  test("dupClusters: chain transitivity, disjoint components, min label") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3) plus separate pair 10-11: labels must
+    // propagate across hops the pair list never states directly
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val got = graft.operators.Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
 }
