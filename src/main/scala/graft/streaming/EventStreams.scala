@@ -62,6 +62,14 @@ object EventStreams {
         col(s"r.$tsCol") <= col(s"l.$tsCol"))
   }
 
+  /** Stream-static enrichment: join a stream against a dimension
+    * DataFrame. The static side is broadcast per micro-batch — no
+    * stream state at all, and dimension updates are picked up on the
+    * next batch (the standard slowly-changing-dimension pattern).
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
                       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int)

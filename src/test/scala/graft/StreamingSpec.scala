@@ -111,6 +111,25 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:00:00.0", "view", 1L, 8.0)))
   }
 
+  test("stream-static enrichment: dimension broadcast, unmatched keys kept") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    mem.addData(
+      EventStreams.Ev(1, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "click", 0.0),
+      EventStreams.Ev(2, Timestamp.valueOf("2024-01-01 10:01:00"), 9L, "click", 0.0))
+    val dim = Seq((7L, "pro")).toDF("user_id", "tier")
+    val q = EventStreams.enrich(mem.toDF(), dim, "user_id")
+      .select(col("event_id"), col("tier"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    val rows = spark.sql("SELECT * FROM enriched").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows === Map(1L -> Some("pro"), 2L -> None)) // left join keeps 9
+  }
+
   test("stream-stream interval join: in-window pairs only, keyed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
