@@ -128,6 +128,18 @@ object Relational4 {
           .as("head_sum"))
     }),
 
+    // ---- regex function battery (both engines run RE2-compatible
+    //      patterns; no-match extract is '' in both) ----
+    "q_regex_funcs" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+) ", 1).as("adjective"),
+        regexp_extract(col("p_name"), "([0-9]+)", 1).as("digits"),
+        col("p_name").rlike("widget|bolt").as("is_hw"),
+        expr("regexp_count(p_name, '[aeiou]')").as("n_vowels"),
+        regexp_replace(col("p_type"), "[AEIOU]", "_").as("masked"))
+    }),
+
     // ---- RANGE window frame: per-user sliding 1-hour event-time sum ----
     "q_window_range" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -241,6 +253,15 @@ object Relational4 {
         |   AS head_sum
         |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |      FROM embeddings WHERE vec_id < 100)""".stripMargin,
+
+    "q_regex_funcs" ->
+      """SELECT p_partkey,
+        | regexp_extract(p_name, '^([a-z]+) ', 1) AS adjective,
+        | regexp_extract(p_name, '([0-9]+)', 1) AS digits,
+        | regexp_matches(p_name, 'widget|bolt') AS is_hw,
+        | len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
+        | regexp_replace(p_type, '[AEIOU]', '_', 'g') AS masked
+        |FROM part""".stripMargin,
 
     // integer epoch seconds both sides (truncation = floor for
     // positive epochs); RANGE frame inclusive at both bounds
