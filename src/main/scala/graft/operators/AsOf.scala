@@ -27,10 +27,18 @@ object AsOf {
   /** @param leftCols  left payload columns carried through
     * @param rightCols right payload columns attached as `prefix+name`
     *                  from the as-of match (all null ⇔ no match yet)
+    * @param direction "backward" (latest right at-or-before, the
+    *                  default) or "forward" (earliest right
+    *                  at-or-after) — the forward form is the same
+    *                  single-shuffle window pass over a descending
+    *                  timestamp order
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, leftCols: Seq[String], rightCols: Seq[String],
-               prefix: String = "m_"): DataFrame = {
+               prefix: String = "m_",
+               direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val keyCols = keys.map(col)
     val l = left.select(
       keyCols ++ Seq(col(tsCol).as("__ts"), lit(1).as("__side")) ++
@@ -42,8 +50,10 @@ object AsOf {
         leftCols.map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)) ++
         rightCols.map(c => col(c).as(prefix + c)): _*)
+    val tsOrd =
+      if (direction == "backward") col("__ts").asc else col("__ts").desc
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(tsOrd, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.union(r).select(
       keyCols ++ Seq(col("__ts"), col("__side")) ++ leftCols.map(col) ++

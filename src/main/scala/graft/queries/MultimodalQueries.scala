@@ -33,6 +33,25 @@ object MultimodalQueries {
       Multimodal.sampleFrames(media(s, dir), 3)
     }),
 
+    // ---- REAL JPEG parsing via the native JpegDims expression: walk
+    //      the segment chain (APP0 skipped by its length word) to the
+    //      SOF marker, read the dimension words; the oracle asserts the
+    //      generate-then-parse round trip ----
+    "m_jpeg_dims" -> ((s, dir) => {
+      val h = (col("doc_id") % 900 + 1).cast("int")
+      val w = ((col("doc_id") * 3) % 1200 + 1).cast("int")
+      val jpg = unhex(concat(
+        lit("FFD8FFE00004AABBFFC0001108"), // SOI, APP0(skip), SOF0, prec
+        lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+        lit("03011100021100031100")))      // 3 component specs
+      val dims = graft.expressions.ImageExprs.jpegDims(col("content"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), jpg.as("content"))
+        .select(col("doc_id"),
+          dims.getField("width").as("width"),
+          dims.getField("height").as("height"))
+    }),
+
     // ---- REAL header parsing: build valid PNG-headered binaries with
     //      dimensions derived from doc_id, parse them back through the
     //      actual byte-level IHDR reader — the oracle asserts the
@@ -73,6 +92,12 @@ object MultimodalQueries {
       """SELECT doc_id AS id, b AS frame_idx,
         | md5(text) || ':' || CAST(b AS VARCHAR) AS frame_key
         |FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS b)""".stripMargin,
+
+    "m_jpeg_dims" ->
+      """SELECT doc_id,
+        | CAST((doc_id * 3) % 1200 + 1 AS INT) AS width,
+        | CAST(doc_id % 900 + 1 AS INT) AS height
+        |FROM documents""".stripMargin,
 
     // the oracle states the generating parameters; the Spark side must
     // recover them through the real byte-level parser

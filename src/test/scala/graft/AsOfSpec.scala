@@ -53,6 +53,23 @@ class AsOfSpec extends SparkSpec {
     assert(got(2L) === Some(9L))  // user 2's match isn't leaked to user 1
   }
 
+  test("asOfJoin forward: earliest at-or-after wins; past rows ignored") {
+    val left = evdf(
+      (10L, "2024-01-01 10:00:00", 0.0), // next right is row 2 (equal ts)
+      (11L, "2024-01-01 11:30:00", 0.0)) // nothing after → nulls
+    val right = evdf(
+      (1L, "2024-01-01 09:30:00", 1.5),  // in the past — never matches fwd
+      (2L, "2024-01-01 10:00:00", 2.5),
+      (3L, "2024-01-01 11:00:00", 3.5))
+    val got = AsOf.asOfJoin(left, right, Seq("user_id"), "ts",
+        leftCols = Seq("event_id"), rightCols = Seq("event_id"),
+        direction = "forward")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("m_event_id"))).toMap
+    assert(got(10L) === Some(2L)) // equal timestamp counts (at-or-after)
+    assert(got(11L) === None)
+  }
+
   test("rangeJoin: inclusive bounds, bucket straddling, each pair once") {
     // window: [-60s, 0] before each left row; bucket width = 60s —
     // right rows sit at the exact bounds and across a bucket boundary

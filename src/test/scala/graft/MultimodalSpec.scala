@@ -9,6 +9,28 @@ import graft.operators.Multimodal
   */
 class MultimodalSpec extends SparkSpec {
 
+  test("jpegDims: segment walk to SOF; bad magic / truncation yield null") {
+    import spark.implicits._
+    // SOI, APP0 (len 4, skipped), SOF0 with height 0x00F0=240 width 0x0140=320
+    val good = "FFD8" + "FFE00004AABB" + "FFC0001108" + "00F0" + "0140" +
+      "03011100021100031100"
+    val df = Seq(
+      (1L, good),
+      (2L, "89504E470D0A1A0A"),          // PNG magic — not a JPEG
+      (3L, "FFD8FFE00004AABB"),          // truncated before any SOF
+      (4L, "FFD8FFC000")                 // SOF but dimension words cut off
+    ).toDF("id", "hexs").select(col("id"), unhex(col("hexs")).as("content"))
+    val dims = graft.expressions.ImageExprs.jpegDims(col("content"))
+    val got = df.select(col("id"), dims.getField("width").as("w"),
+        dims.getField("height").as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getAs[Integer]("w")), Option(r.getAs[Integer]("h")))).toMap
+    assert(got(1L) === ((Some(320), Some(240))))
+    assert(got(2L) === ((None, None)))
+    assert(got(3L) === ((None, None)))
+    assert(got(4L) === ((None, None)))
+  }
+
   test("pngDims: parses IHDR dims; non-PNG bytes yield nulls") {
     import spark.implicits._
     // width 300 (0x12C), height 200 (0xC8) — real big-endian IHDR words
