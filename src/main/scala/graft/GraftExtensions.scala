@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.cosineFunction)
+    ext.injectFunction(GraftExtensions.jpegFunction)
   }
 }
 
@@ -58,11 +59,25 @@ object GraftExtensions {
           org.apache.spark.sql.catalyst.expressions.Sqrt(DotProduct(b, b))))
     })
 
+  /** graft_jpeg_dims(binary) → struct(width, height) — the native
+    * segment-walking parser under SQL text.
+    */
+  private val jpegFunction = (
+    FunctionIdentifier("graft_jpeg_dims"),
+    new ExpressionInfo(classOf[graft.expressions.JpegDims].getName,
+      "graft_jpeg_dims"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "graft_jpeg_dims(binary) takes 1 argument")
+      graft.expressions.JpegDims(args(0))
+    })
+
   /** Session-scoped registration for an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", args => dotFunction._3(args), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", args => cosineFunction._3(args), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jpeg_dims", args => jpegFunction._3(args), "built-in")
   }
 }

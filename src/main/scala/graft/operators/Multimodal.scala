@@ -83,6 +83,35 @@ object Multimodal {
     (isPng, when(isPng, w), when(isPng, h))
   }
 
+  /** Little-endian unsigned int read: bytes at 1-based `off`
+    * (width `n`), hex'd per byte and concatenated most-significant
+    * first. Pure column algebra — the audio counterpart of the PNG
+    * probe's big-endian reads.
+    */
+  private def leUint(c: org.apache.spark.sql.Column, off: Int, n: Int)
+      : org.apache.spark.sql.Column =
+    conv(concat((off + n - 1 to off by -1)
+      .map(i => hex(substring(c, i, 1))): _*), 16, 10).cast("long")
+
+  /** REAL WAV (RIFF) header probe: container magic check plus
+    * channels / sample rate / bits-per-sample from the canonical fmt
+    * chunk offsets — codegen'd column arithmetic, no audio library.
+    * Non-WAV payloads yield nulls. (Assumes the standard layout with
+    * `fmt ` as the first chunk — true for the overwhelming majority of
+    * real files; a chunk-walking variant would follow JpegDims'
+    * expression pattern.)
+    */
+  def wavMeta(content: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+         org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val isWav = hex(substring(content, 1, 4)) === "52494646" && // "RIFF"
+      hex(substring(content, 9, 8)) === "57415645666D7420"      // "WAVEfmt "
+    (isWav,
+      when(isWav, leUint(content, 23, 2)),  // channels
+      when(isWav, leUint(content, 25, 4)),  // sample rate
+      when(isWav, leUint(content, 35, 2)))  // bits per sample
+  }
+
   /** Frame-sampling plumbing for video-like payloads: emit `n` evenly
     * indexed frame descriptors per payload (a real implementation
     * replaces the descriptor with decoded frame bytes).

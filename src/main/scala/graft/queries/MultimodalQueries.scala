@@ -33,6 +33,33 @@ object MultimodalQueries {
       Multimodal.sampleFrames(media(s, dir), 3)
     }),
 
+    // ---- REAL WAV header parsing: build canonical RIFF/fmt headers
+    //      with rate/channels derived from doc_id (little-endian words
+    //      byte-swapped at build time), read them back through the
+    //      column-arithmetic probe ----
+    "m_wav_meta" -> ((s, dir) => {
+      val channels = (col("doc_id") % 2 + 1).cast("int")
+      val rate = (lit(8000) + (col("doc_id") % 8) * 4000).cast("int")
+      def le2(v: org.apache.spark.sql.Column) = {
+        val h = lpad(hex(v), 4, "0")
+        concat(substring(h, 3, 2), substring(h, 1, 2))
+      }
+      def le4(v: org.apache.spark.sql.Column) = {
+        val h = lpad(hex(v), 8, "0")
+        concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2))
+      }
+      val wav = unhex(concat(
+        lit("52494646" + "24000000" + "57415645666D7420" + "10000000" + "0100"),
+        le2(channels), le4(rate),
+        lit("00000000" + "0400"), le2(lit(16))))
+      val (isWav, ch, sr, bits) = Multimodal.wavMeta(col("content"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), wav.as("content"))
+        .select(col("doc_id"), isWav.as("is_wav"), ch.as("channels"),
+          sr.as("sample_rate"), bits.as("bits"))
+    }),
+
     // ---- REAL JPEG parsing via the native JpegDims expression: walk
     //      the segment chain (APP0 skipped by its length word) to the
     //      SOF marker, read the dimension words; the oracle asserts the
@@ -92,6 +119,13 @@ object MultimodalQueries {
       """SELECT doc_id AS id, b AS frame_idx,
         | md5(text) || ':' || CAST(b AS VARCHAR) AS frame_key
         |FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS b)""".stripMargin,
+
+    "m_wav_meta" ->
+      """SELECT doc_id, true AS is_wav,
+        | CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+        | CAST(8000 + (doc_id % 8) * 4000 AS BIGINT) AS sample_rate,
+        | CAST(16 AS BIGINT) AS bits
+        |FROM documents""".stripMargin,
 
     "m_jpeg_dims" ->
       """SELECT doc_id,

@@ -20,4 +20,18 @@ class GraftExtensionsSpec extends SparkSpec {
         "array(2, 3)) AS d").collect()(0).getDouble(0)
     assert(f === 9.0)
   }
+
+  test("graft_cosine and graft_jpeg_dims usable from SQL") {
+    GraftExtensions.register(spark)
+    val c = spark.sql(
+      "SELECT graft_cosine(array(1.0d, 0.0d), array(2.0d, 0.0d)) AS c")
+      .collect()(0).getDouble(0)
+    assert(c === 1.0)
+    val jpeg = "FFD8FFC0001108" + "00F0" + "0140" + "03011100021100031100"
+    val d = spark.sql(
+      s"SELECT graft_jpeg_dims(unhex('$jpeg')).width AS w, " +
+        s"graft_jpeg_dims(unhex('$jpeg')).height AS h")
+      .collect()(0)
+    assert(d.getInt(0) === 320 && d.getInt(1) === 240)
+  }
 }
