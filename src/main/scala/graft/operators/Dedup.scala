@@ -131,6 +131,45 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Incremental near-dup check: Jaccard pairs of a NEW batch against
+    * an EXISTING corpus (daily-ingestion dedup — only new×old
+    * candidates, never old×old again). Same inverted-index equi-join
+    * as `jaccardPairs`; the stop-shingle cap uses the historical
+    * side's document frequencies (the index already knows them).
+    * Emits (new_id, base_id, jaccard).
+    */
+  def jaccardPairsAgainst(newDocs: DataFrame, base: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int, threshold: Double,
+                          dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
+    def ex(df: DataFrame) = {
+      val sh = df.select(col(idCol).as("id"),
+        array_distinct(Text.shingles(Text.tokens(col(textCol)), n)).as("sh"))
+      sh.select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+    }
+    val exBase0 = ex(base)
+    val (exBase, exNew) = dfCap match {
+      case None => (exBase0, ex(newDocs))
+      case Some(cap) =>
+        val stop = exBase0.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("s")
+        // set sizes must reflect the CAPPED sets (as in jaccardPairs)
+        def capped(e: DataFrame) = e
+          .join(broadcast(stop), Seq("s"), "left_anti")
+          .withColumn("n_sh", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("id")))
+        (capped(exBase0), capped(ex(newDocs)))
+    }
+    exNew.as("a").join(exBase.as("b"), col("a.s") === col("b.s"))
+      .groupBy(col("a.id").as("new_id"), col("b.id").as("base_id"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "base_id", "jaccard")
+  }
+
   /** Benchmark decontamination: ids of training documents sharing ANY
     * n-gram with the benchmark set (the standard eval-leakage sweep
     * before training). The benchmark shingle set is small by nature —

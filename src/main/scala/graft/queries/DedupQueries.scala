@@ -86,6 +86,22 @@ object DedupQueries {
         n = 5, bands = 3, rowsPerBand = 2, threshold = 0.5)
     }),
 
+    // ---- incremental dedup: a "new batch" (near-copies of docs
+    //      100-199 under shifted ids) checked against the historical
+    //      corpus (docs < 300) — only new×old candidates ----
+    "d_jaccard_incremental" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select("doc_id", "text").localCheckpoint(true)
+      val tok = Text.tokens(col("text"))
+      val newBatch = t(s, dir, "documents")
+        .filter(col("doc_id") >= 100 && col("doc_id") < 200)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          array_join(slice(tok, lit(2), size(tok) - 1), " ").as("text"))
+        .localCheckpoint(true)
+      Dedup.jaccardPairsAgainst(newBatch, base, "doc_id", "text",
+        n = 5, threshold = 0.5, dfCap = None)
+    }),
+
     // ---- duplicate-cluster consolidation: three generations of near
     //      copies (drop 1 token, drop 2 tokens) collapse into one
     //      cluster per document family via min-label propagation over
@@ -231,6 +247,32 @@ object DedupQueries {
          |SELECT a_id, b_id,
          |  CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
          |FROM verif
+         |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5""".stripMargin,
+
+    "d_jaccard_incremental" ->
+      s"""WITH basec AS (SELECT doc_id AS id, text FROM documents
+         |  WHERE doc_id < 300),
+         |newc AS (SELECT doc_id + 500000 AS id,
+         |    array_to_string(string_split(text, ' ')[2:], ' ') AS text
+         |  FROM documents WHERE doc_id >= 100 AND doc_id < 200),
+         |shb AS (SELECT id, list_distinct(
+         |  CASE WHEN len(tok) < 5 THEN []
+         |       ELSE list_transform(range(1, len(tok) - 3),
+         |              i -> array_to_string(tok[i:i+4], ' ')) END) AS sh
+         |  FROM (SELECT id, string_split(text, ' ') AS tok FROM basec)),
+         |shn AS (SELECT id, list_distinct(
+         |  CASE WHEN len(tok) < 5 THEN []
+         |       ELSE list_transform(range(1, len(tok) - 3),
+         |              i -> array_to_string(tok[i:i+4], ' ')) END) AS sh
+         |  FROM (SELECT id, string_split(text, ' ') AS tok FROM newc)),
+         |exb AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM shb),
+         |exn AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM shn),
+         |common AS (SELECT a.id AS new_id, b.id AS base_id, a.n_sh AS na,
+         |    b.n_sh AS nb, count(*) AS common
+         |  FROM exn a JOIN exb b ON a.s = b.s GROUP BY 1, 2, 3, 4)
+         |SELECT new_id, base_id,
+         |  CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
+         |FROM common
          |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5""".stripMargin,
 
     // true connected components via recursive CTE (UNION dedups, so

@@ -77,4 +77,27 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L))
   }
+
+  test("jaccardPairsAgainst: new-vs-base only, base-frequency stoplist") {
+    import spark.implicits._
+    // base docs 1 and 2 consist of ONE shared 5-gram (df=2)
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // dup of base 1 and 2
+      (11L, "totally different words here now ok")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.jaccardPairsAgainst(
+        fresh, base, "doc_id", "text", n = 5, threshold = 0.5, dfCap = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((10L, 1L), (10L, 2L))) // new-vs-base only
+    // a cap of 1 stops the boilerplate shingle (df=2 in the base):
+    // the dup has no remaining shingle to be matched through
+    val capped = graft.operators.Dedup.jaccardPairsAgainst(
+        fresh, base, "doc_id", "text", n = 5, threshold = 0.5,
+        dfCap = Some(1))
+      .collect()
+    assert(capped.isEmpty)
+  }
 }
