@@ -55,4 +55,37 @@ class PropertySpec extends SparkSpec {
       assert((semi union anti) === manifest.toSet)
     }
   }
+
+  test("as-of join == brute-force nearest-preceding on random event sets") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    (1L to 5L).foreach { s =>
+      // random (id, user, second-offset) with collisions across users
+      val rows = sample(Gen.listOfN(60,
+        Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 5000L))), 400 + s)
+        .zipWithIndex.map { case ((u, sec), i) =>
+          (i.toLong, new Timestamp(1700000000000L + sec * 1000), u)
+        }
+      val (lrows, rrows0) = rows.splitAt(30)
+      // the operator requires (key, ts) unique on the RIGHT — dedupe
+      // the generated rows the way a caller would
+      val rrows = rrows0.groupBy(r => (r._3, r._2)).values.map(_.head).toSeq
+      val left = lrows.toDF("event_id", "ts", "user_id")
+      val right = rrows.toDF("event_id", "ts", "user_id")
+      val got = graft.operators.AsOf.asOfJoin(left, right, Seq("user_id"),
+          "ts", leftCols = Seq("event_id"), rightCols = Seq("event_id"))
+        .collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Long]("m_event_id")).map(_.toLong)).toMap
+      // brute force: the unique right row of the same user with the
+      // latest at-or-before timestamp
+      val expected = lrows.map { case (lid, lts, lu) =>
+        val c = rrows.filter { case (_, rts, ru) =>
+          ru == lu && !rts.after(lts) }
+        lid -> (if (c.isEmpty) None
+                else Some(c.maxBy { case (_, rts, _) => rts.getTime }._1))
+      }.toMap
+      assert(got === expected, s"seed ${400 + s}")
+    }
+  }
 }
