@@ -106,9 +106,13 @@ object JsonKeys {
   val findKeyFirstUdf: UserDefinedFunction =
     udf((json: String, key: String) => findKeyFirst(json, key))
 
-  /** Column form: first value of `key` found by the ordered search, or null. */
+  /** Column form: first value of `key` found by the ordered search, or
+    * null. Runs as a native eval expression ([[graft.expressions
+    * .JsonKeyFirst]]) — same `findKeyFirst` logic, minus the UDF's
+    * encoder round trip on every row of the content scan.
+    */
   def jsonKeyFirst(json: Column, key: String): Column =
-    findKeyFirstUdf(json, lit(key))
+    graft.expressions.JsonExprs.jsonKeyFirst(json, key)
 
   /** O14's tri-state predicate (app/main.py:64-102): with no filter every
     * file passes; with a filter, only valid-JSON objects whose located key
