@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.cosineFunction)
     ext.injectFunction(GraftExtensions.jpegFunction)
+    ext.injectFunction(GraftExtensions.jsonKeyFunction)
+    ext.injectFunction(GraftExtensions.simhashFunction)
   }
 }
 
@@ -71,13 +73,34 @@ object GraftExtensions {
       graft.expressions.JpegDims(args(0))
     })
 
+  /** graft_json_key_first(json, key) — O14's ordered search in SQL. */
+  private val jsonKeyFunction = (
+    FunctionIdentifier("graft_json_key_first"),
+    new ExpressionInfo(classOf[graft.expressions.JsonKeyFirst].getName,
+      "graft_json_key_first"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        "graft_json_key_first(json, key) takes 2 arguments")
+      graft.expressions.JsonKeyFirst(args(0), args(1))
+    })
+
+  /** graft_simhash(array<string>) — the 64-bit digest in SQL. */
+  private val simhashFunction = (
+    FunctionIdentifier("graft_simhash"),
+    new ExpressionInfo(classOf[graft.expressions.SimHash64].getName,
+      "graft_simhash"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "graft_simhash(tokens) takes 1 argument")
+      graft.expressions.SimHash64(args(0))
+    })
+
+  private val all = Seq(dotFunction, cosineFunction, jpegFunction,
+    jsonKeyFunction, simhashFunction)
+
   /** Session-scoped registration for an existing session. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", args => dotFunction._3(args), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine", args => cosineFunction._3(args), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_jpeg_dims", args => jpegFunction._3(args), "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, args => builder(args), "built-in")
+    }
 }

@@ -1,0 +1,57 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.Dedup
+
+/** 64-bit SimHash digest as a native expression: same algorithm as
+  * [[graft.operators.Dedup.simhashHex]] (the oracle replicates it in
+  * SQL), evaluated in-operator over the token ArrayData — no UDF
+  * encoder materialization for the one per-document digest pass that
+  * runs over the ENTIRE corpus at 100 TB. CodegenFallback: the md5 per
+  * token dominates, not the dispatch.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_simhash requires array<string>, got ${other.simpleString}")
+    }
+  }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val tokens = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      tokens(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).toString
+      i += 1
+    }
+    UTF8String.fromString(
+      Dedup.simhashHex(tokens.toSeq.filter(_ != null)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object TextExprs {
+  def simhash(tokens: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens)))
+}

@@ -289,7 +289,7 @@ object Dedup {
                    maxDist: Int): DataFrame = {
     require(maxDist < 4, "quarter blocking is exact only for maxDist <= 3")
     val sigs = df.select(col(idCol).as("id"),
-      Dedup.simhashUdf(Text.tokens(col(textCol))).as("sig"))
+      graft.expressions.TextExprs.simhash(Text.tokens(col(textCol))).as("sig"))
     val blocked = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         q => col("sig").substr(q * 4 + 1, lit(4)))).as(Seq("q", "qv")))

@@ -131,11 +131,13 @@ object DedupQueries {
         "doc_id", "text", n = 5)
     }),
 
-    // ---- SimHash digests ----
+    // ---- SimHash digests (native expression — no UDF boundary on the
+    //      whole-corpus digest pass) ----
     "d_simhash" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.select(col("doc_id"),
-        Dedup.simhashUdf(Text.tokens(col("text"))).as("simhash"))
+        graft.expressions.TextExprs.simhash(Text.tokens(col("text")))
+          .as("simhash"))
     }),
 
     // ---- SimHash near-dup pairs (quarter-blocked Hamming ≤ 3) ----

@@ -34,4 +34,17 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect()(0)
     assert(d.getInt(0) === 320 && d.getInt(1) === 240)
   }
+
+  test("graft_json_key_first and graft_simhash usable from SQL") {
+    GraftExtensions.register(spark)
+    val v = spark.sql(
+      """SELECT graft_json_key_first('{"a":{"SalesCompanyId":12}}',
+        | 'SalesCompanyId') AS v""".stripMargin).collect()(0).getString(0)
+    assert(v === "12")
+    val sig = spark.sql(
+      "SELECT graft_simhash(split('alpha beta gamma', ' ')) AS s")
+      .collect()(0).getString(0)
+    assert(sig === graft.operators.Dedup.simhashHex(
+      Seq("alpha", "beta", "gamma")))
+  }
 }
