@@ -51,7 +51,39 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Hamming distance between two equal-length hex digests — the
+  * verification step on candidate pairs, in-operator.
+  */
+case class HammingHex(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hamming requires (string, string), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_hamming"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    Dedup.hammingHex(a.toString, b.toString)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingHex =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExprs {
   def simhash(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
+
+  def hamming(a: Column, b: Column): Column =
+    Bridge.column(HammingHex(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -299,7 +299,8 @@ object Dedup {
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         col("a.sig").as("sa"), col("b.sig").as("sb"))
       .dropDuplicates("a_id", "b_id")
-      .withColumn("dist", hammingUdf(col("sa"), col("sb")))
+      .withColumn("dist",
+        graft.expressions.TextExprs.hamming(col("sa"), col("sb")))
       .filter(col("dist") <= maxDist)
       .select("a_id", "b_id", "dist")
   }
