@@ -121,6 +121,18 @@ object Text {
       meanWordLength(text, tok) >= 2.0 && meanWordLength(text, tok) <= 12.0 &&
       alphaWordRatio(tok) >= 0.6
 
+  /** Within-document repetition: fraction of n-gram occurrences that
+    * are repeats of an earlier n-gram (Gopher's duplicate-n-gram
+    * signal — high values flag boilerplate/spam). 0.0 for docs shorter
+    * than n tokens. One IEEE division.
+    */
+  def repetitionRatio(tok: Column, n: Int): Column = {
+    val sh = shingles(tok, n)
+    when(size(sh) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(sh)).cast("double") /
+        size(sh).cast("double"))
+  }
+
   /** Whole-document fingerprint. */
   def fingerprint(text: Column): Column = md5(text)
 

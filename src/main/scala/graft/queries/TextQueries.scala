@@ -58,6 +58,23 @@ object TextQueries {
       d.select(col("doc_id"), Text.redactPii(dirty).as("clean"))
     }),
 
+    // ---- within-document repetition (Gopher duplicate-n-gram signal)
+    //      over a corpus where half the docs get their own first half
+    //      appended — those must score high, originals near zero ----
+    "t_repetition" -> ((s, dir) => {
+      val tok = Text.tokens(col("text"))
+      val half = array_join(slice(tok, lit(1), (size(tok) / 2)
+        .cast("int")), " ")
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(" "), half)).otherwise(col("text"))
+          .as("text"))
+      val tok2 = Text.tokens(col("text"))
+      d.select(col("doc_id"),
+        Text.repetitionRatio(tok2, 2).as("rep2"),
+        Text.repetitionRatio(tok2, 3).as("rep3"))
+    }),
+
     // ---- sequence packing: assign docs to fixed-token-budget packs
     //      (cumsum window per shard; integer arithmetic end-to-end).
     //      The distributed form of greedy packing — each shard packs
@@ -158,6 +175,28 @@ object TextQueries {
         |   '\+[0-9][0-9-]{7,14}[0-9]', '<PHONE>', 'g'),
         |   '[0-9]{9,}', '<ID>', 'g') AS clean
         |FROM documents""".stripMargin,
+
+    "t_repetition" ->
+      """WITH aug AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN text || ' ' || array_to_string(
+        |    (string_split(text, ' '))[1:len(string_split(text, ' ')) // 2], ' ')
+        |  ELSE text END AS text FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(tok) < 2 THEN []
+        |       ELSE list_transform(range(1, len(tok)),
+        |              i -> array_to_string(tok[i:i+1], ' ')) END AS s2,
+        |  CASE WHEN len(tok) < 3 THEN []
+        |       ELSE list_transform(range(1, len(tok) - 1),
+        |              i -> array_to_string(tok[i:i+2], ' ')) END AS s3
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM aug))
+        |SELECT doc_id,
+        | CASE WHEN len(s2) = 0 THEN 0.0 ELSE
+        |   1.0 - CAST(len(list_distinct(s2)) AS DOUBLE)
+        |       / CAST(len(s2) AS DOUBLE) END AS rep2,
+        | CASE WHEN len(s3) = 0 THEN 0.0 ELSE
+        |   1.0 - CAST(len(list_distinct(s3)) AS DOUBLE)
+        |       / CAST(len(s3) AS DOUBLE) END AS rep3
+        |FROM sh""".stripMargin,
 
     "t_seq_pack" ->
       s"""WITH base AS (SELECT doc_id, doc_id % 4 AS shard,
