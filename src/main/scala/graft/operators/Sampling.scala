@@ -41,6 +41,18 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Deterministic pseudorandom training order: a stable permutation
+    * from md5(salt:id) sort keys. Reproducible across runs and
+    * engines (unlike `orderBy(rand())`), re-shuffled by changing the
+    * salt (epoch number), and distributed — the global sort is a range
+    * exchange, exactly what a training-data writer does before
+    * sharding.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, salt: String): DataFrame =
+    df.withColumn("shuffle_key",
+        md5(concat_ws(":", lit(salt), col(idCol).cast("string"))))
+      .orderBy(col("shuffle_key"))
+
   /** Stratified: per-stratum fractions (e.g. downsample boilerplate
     * web text, keep all books), `defaultFraction` for unlisted strata.
     */

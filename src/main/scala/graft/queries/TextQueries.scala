@@ -91,6 +91,17 @@ object TextQueries {
           expr("(cum - n_tokens) div 512").as("pack_id"), col("n_tokens"))
     }),
 
+    // ---- deterministic training order: stable md5(salt:id)
+    //      permutation with a row_number position ----
+    "t_shuffle_order" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.operators.Sampling.shuffleOrder(
+          t(s, dir, "documents").select("doc_id"), "doc_id", "epoch1")
+        .withColumn("pos", row_number().over(
+          Window.orderBy(col("shuffle_key"))))
+        .select(col("doc_id"), col("pos"))
+    }),
+
     // ---- deterministic train/val/test split: stable hash-range
     //      assignment (no leakage when the corpus grows) ----
     "t_split_counts" -> ((s, dir) => {
@@ -207,6 +218,11 @@ object TextQueries {
          |  FROM base)
          |SELECT doc_id, shard, (cum - n_tokens) // 512 AS pack_id, n_tokens
          |FROM c""".stripMargin,
+
+    "t_shuffle_order" ->
+      """SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |  ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR))) AS INT) AS pos
+        |FROM documents""".stripMargin,
 
     "t_split_counts" ->
       """SELECT CASE
