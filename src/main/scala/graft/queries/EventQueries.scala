@@ -71,6 +71,47 @@ object EventQueries {
           col("r_event_id"), col("r_offset_sec"))
     }),
 
+    // ---- ordered funnel with conversion windows: signup → click
+    //      within 24h → purchase within 24h of the click. Stage minima
+    //      computed in dependency order (three cheap per-user
+    //      aggregations, no window over the raw stream) ----
+    "e_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events").localCheckpoint(true)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("s_ts"))
+      val cl = ev.filter(col("event_type") === "click")
+        .join(su, "user_id")
+        .filter(col("ts") > col("s_ts") &&
+          col("ts") <= col("s_ts") + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(cl, "user_id")
+        .filter(col("ts") > col("c_ts") &&
+          col("ts") <= col("c_ts") + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+      su.join(cl.select(col("user_id"), lit(1).as("has_c")), Seq("user_id"), "left")
+        .join(pu.select(col("user_id"), lit(1).as("has_p")), Seq("user_id"), "left")
+        .select(when(col("has_p").isNotNull, 3)
+          .when(col("has_c").isNotNull, 2).otherwise(1).as("stage"))
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+    }),
+
+    // ---- weekly cohort retention: users grouped by first-seen week,
+    //      counted per week offset they return in ----
+    "e_cohort_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cohort = ev.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+      ev.select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("active_week"))
+        .distinct()
+        .join(cohort, "user_id")
+        .withColumn("week_offset",
+          (datediff(col("active_week"), col("cohort_week")) / 7).cast("int"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // ---- exact distinct-at-scale: two-phase salted countDistinct —
     //      salt by the distinct key itself (user_id % 8), so per-salt
     //      distinct sets are disjoint and their SUM is exact; a skewed
@@ -151,6 +192,40 @@ object EventQueries {
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 7200000000
         |  AND epoch_us(c.ts) <= epoch_us(p.ts)""".stripMargin,
+
+    "e_funnel" ->
+      """WITH su AS (SELECT user_id, MIN(ts) AS s_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |cl AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e
+        |  JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > su.s_ts
+        |    AND e.ts <= su.s_ts + INTERVAL 24 HOURS
+        |  GROUP BY e.user_id),
+        |pu AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e
+        |  JOIN cl ON e.user_id = cl.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > cl.c_ts
+        |    AND e.ts <= cl.c_ts + INTERVAL 24 HOURS
+        |  GROUP BY e.user_id)
+        |SELECT CASE WHEN pu.user_id IS NOT NULL THEN 3
+        |            WHEN cl.user_id IS NOT NULL THEN 2
+        |            ELSE 1 END AS stage, COUNT(*) AS n_users
+        |FROM su LEFT JOIN cl ON su.user_id = cl.user_id
+        |        LEFT JOIN pu ON su.user_id = pu.user_id
+        |GROUP BY 1""".stripMargin,
+
+    "e_cohort_retention" ->
+      """WITH cohort AS (SELECT user_id,
+        |    CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS active_week
+        |  FROM events)
+        |SELECT cohort_week,
+        | CAST(date_diff('day', cohort_week, active_week) // 7 AS INT)
+        |   AS week_offset,
+        | COUNT(*) AS n_users
+        |FROM act JOIN cohort ON act.user_id = cohort.user_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "e_distinct_twophase" ->
       """SELECT event_type,
