@@ -127,8 +127,10 @@ object Pipelines {
     * which would relocate everything) — this is the reference's
     * selective-move contract running as continuous ingestion.
     *
-    * Returns the started query; stop it (or use Trigger.AvailableNow)
-    * to drain.
+    * Returns a configured-but-unstarted `DataStreamWriter`: the caller
+    * picks the trigger and calls `.start()` (use
+    * `.trigger(Trigger.AvailableNow).start()` + `awaitTermination` to
+    * drain a backlog once).
     */
   def pipelineBStream(spark: SparkSession, lakeRoot: String,
                       sourcePath: String, targetPath: String,

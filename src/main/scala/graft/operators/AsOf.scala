@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   * left at the same instant).
   *
   * Determinism: requires (keys, tsCol) unique on the right (true for
-  * event streams with unique event ids; dedupe first otherwise). Null
-  * right payload values are treated as absent — the window looks
-  * further back.
+  * event streams with unique event ids; dedupe first otherwise). The
+  * matched right row is ATOMIC: all payload columns come from the same
+  * right row (carried as one struct), so a null in one payload column
+  * of the match stays null — it never mixes values from older rows.
+  * An all-null payload block means "no match yet".
   */
 object AsOf {
 
@@ -40,27 +42,30 @@ object AsOf {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     val keyCols = keys.map(col)
+    // The right payload travels as ONE struct so the as-of match is
+    // row-atomic (never a mix of columns from different right rows).
+    val matchType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c)))
     val l = left.select(
       keyCols ++ Seq(col(tsCol).as("__ts"), lit(1).as("__side")) ++
-        leftCols.map(col) ++
-        rightCols.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(prefix + c)): _*)
+        leftCols.map(col) :+
+        lit(null).cast(matchType).as("__m"): _*)
     val r = right.select(
       keyCols ++ Seq(col(tsCol).as("__ts"), lit(0).as("__side")) ++
         leftCols.map(c =>
-          lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(prefix + c)): _*)
+          lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightCols.map(col): _*).as("__m"): _*)
     val tsOrd =
       if (direction == "backward") col("__ts").asc else col("__ts").desc
     val w = Window.partitionBy(keyCols: _*)
       .orderBy(tsOrd, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.union(r).select(
-      keyCols ++ Seq(col("__ts"), col("__side")) ++ leftCols.map(col) ++
-        rightCols.map(c =>
-          last(col(prefix + c), ignoreNulls = true).over(w).as(prefix + c)): _*)
+      keyCols ++ Seq(col("__ts"), col("__side")) ++ leftCols.map(col) :+
+        last(col("__m"), ignoreNulls = true).over(w).as("__m"): _*)
     carried.filter(col("__side") === 1)
-      .withColumnRenamed("__ts", tsCol)
-      .drop("__side")
+      .select(
+        keyCols ++ Seq(col("__ts").as(tsCol)) ++ leftCols.map(col) ++
+          rightCols.map(c => col("__m").getField(c).as(prefix + c)): _*)
   }
 }

@@ -198,9 +198,14 @@ object Dedup {
     * (dozens of hops at the extreme), so this is a handful of shuffles
     * at any corpus size, never a transitive-closure blowup. Labels are
     * checkpointed per round to keep lineage flat; convergence is
-    * detected by the monotone label-sum (strictly decreasing until
-    * fixed point). Only ids that appear in `pairs` are labeled —
-    * singletons need no cluster.
+    * detected by counting labels that changed in the round (zero ⇔
+    * fixed point) — type-agnostic, so ids may be strings, longs, or
+    * anything orderable, with no overflow risk. Only ids that appear
+    * in `pairs` are labeled — singletons need no cluster.
+    *
+    * @throws IllegalStateException if `maxIter` rounds pass without
+    *         reaching the fixed point (a component deeper than
+    *         maxIter hops) — better loud than silently-wrong labels.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
@@ -209,23 +214,27 @@ object Dedup {
     var labels = edges.select(col("x").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)
-    var prevSum = Long.MaxValue
-    var sum = labels.agg(org.apache.spark.sql.functions.sum("cluster"))
-      .collect()(0).getLong(0)
+    var converged = false
     var i = 0
-    while (sum < prevSum && i < maxIter) {
+    while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels, col("y") === col("id"))
         .groupBy(col("x")).agg(min(col("cluster")).as("nmin"))
-      labels = labels.join(neighborMin, col("id") === col("x"), "left")
+      val next = labels.join(neighborMin, col("id") === col("x"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
             .as("cluster"))
         .localCheckpoint(true)
-      prevSum = sum
-      sum = labels.agg(org.apache.spark.sql.functions.sum("cluster"))
-        .collect()(0).getLong(0)
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.cluster") =!= col("p.cluster"))
+        .count()
+      labels = next
+      converged = changed == 0L
       i += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters did not converge in $maxIter rounds — raise maxIter " +
+        "(component diameter exceeds it); refusing to return partial labels")
     labels
   }
 

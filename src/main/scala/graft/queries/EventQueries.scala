@@ -165,21 +165,22 @@ object EventQueries {
         |  FROM events)""".stripMargin,
 
     // replicates the union+window construction; side 0 sorts right
-    // rows first at equal timestamps (the <= contract)
+    // rows first at equal timestamps (the <= contract). The right
+    // payload is ONE struct (row-atomic match, like the engine).
     "e_asof_join" ->
       """WITH l AS (SELECT user_id, ts, 1 AS side, event_id,
-        |    CAST(NULL AS BIGINT) AS r_eid, CAST(NULL AS DOUBLE) AS r_val
+        |    CAST(NULL AS STRUCT(r_eid BIGINT, r_val DOUBLE)) AS m
         |  FROM events WHERE event_type = 'purchase'),
         |r AS (SELECT user_id, ts, 0 AS side, CAST(NULL AS BIGINT) AS event_id,
-        |    event_id AS r_eid, value AS r_val
+        |    struct_pack(r_eid := event_id, r_val := "value") AS m
         |  FROM events WHERE event_type = 'click'),
         |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
-        |m AS (SELECT event_id, user_id, side,
-        |    last_value(r_eid IGNORE NULLS) OVER w AS m_event_id,
-        |    last_value(r_val IGNORE NULLS) OVER w AS m_value
+        |w AS (SELECT event_id, user_id, side,
+        |    last_value(m IGNORE NULLS) OVER w AS mm
         |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, side ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT event_id, user_id, m_event_id, m_value FROM m
+        |SELECT event_id, user_id, mm.r_eid AS m_event_id,
+        |  mm.r_val AS m_value FROM w
         |WHERE side = 1""".stripMargin,
 
     // the oracle states the SEMANTICS as a plain theta join — it

@@ -98,10 +98,16 @@ object Relational3 {
     //      No SQL oracle (sketches are engine-specific) — driver records
     //      a rows-only check; RelationalSpec bounds the error vs exact ----
     "q_approx_stats" -> ((s, dir) => {
+      // quartiles projected as scalars (p25/p50/p75) — array columns
+      // can't be hashed/sorted by the driver's rows-only comparator
       t(s, dir, "orders").agg(
         approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_customers"),
         percentile_approx(col("o_totalprice"),
-          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("price_quartiles"))
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("q"))
+        .select(col("approx_customers"),
+          col("q").getItem(0).as("p25"),
+          col("q").getItem(1).as("p50"),
+          col("q").getItem(2).as("p75"))
     }),
 
     // ---- deterministic stratified sample (256 md5 buckets/stratum) ----

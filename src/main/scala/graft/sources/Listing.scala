@@ -43,12 +43,24 @@ object Listing {
     val m = creationAccessors.computeIfAbsent(st.getClass, cls =>
       try {
         val meth = cls.getMethod("getCreationTime")
-        if (meth.getReturnType == java.lang.Long.TYPE) Some(meth) else None
-      } catch { case _: NoSuchMethodException => None })
+        if (meth.getReturnType == java.lang.Long.TYPE) {
+          // a public method on a package-private FileStatus subclass
+          // still throws IllegalAccessException at invoke time unless
+          // made accessible
+          meth.setAccessible(true)
+          Some(meth)
+        } else None
+      } catch { case scala.util.control.NonFatal(_) => None })
     m match {
       case Some(meth) =>
-        val t = meth.invoke(st).asInstanceOf[Long]
-        if (t > 0L) new Timestamp(t) else null
+        try {
+          val t = meth.invoke(st).asInstanceOf[Long]
+          if (t > 0L) new Timestamp(t) else null
+        } catch {
+          // never let a creation-time probe kill a listing — the
+          // column is best-effort by contract (null when absent)
+          case scala.util.control.NonFatal(_) => null
+        }
       case None => null
     }
   }

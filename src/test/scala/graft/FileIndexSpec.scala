@@ -42,7 +42,8 @@ class FileIndexSpec extends SparkSpec {
     val exactDistinct = o.select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
     val approx = row.getAs[Long]("approx_customers")
     assert(math.abs(approx - exactDistinct).toDouble / exactDistinct < 0.05)
-    val quartiles = row.getSeq[Double](row.fieldIndex("price_quartiles"))
+    val quartiles = Seq(row.getAs[Double]("p25"), row.getAs[Double]("p50"),
+      row.getAs[Double]("p75"))
     val exactMedian = o.stat.approxQuantile("o_totalprice", Array(0.5), 0.0)(0)
     assert(math.abs(quartiles(1) - exactMedian) / exactMedian < 0.05)
     assert(quartiles(0) <= quartiles(1) && quartiles(1) <= quartiles(2))
