@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, EventQueries, FileOps, MultimodalQueries, Relational, Relational2, Relational3, Relational4, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, EventQueries, FileOps, MultimodalQueries, Relational, Relational2, Relational3, Relational4, Relational5, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,6 +17,7 @@ object SparkEntry {
     (Relational2.queries, Relational2.oracleSql),
     (Relational3.queries, Relational3.oracleSql),
     (Relational4.queries, Relational4.oracleSql),
+    (Relational5.queries, Relational5.oracleSql),
     (FileOps.queries, FileOps.oracleSql),
     (TextQueries.queries, TextQueries.oracleSql),
     (DedupQueries.queries, DedupQueries.oracleSql),

@@ -69,6 +69,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("round-3 TPC-H shapes: broadcast dims, no cartesians, top-k") {
+    val q9 = planOf("q9_product_profit")
+    assert(q9.contains("BroadcastHashJoin"), q9)
+    assert(!q9.contains("CartesianProduct"), q9)
+    val q21 = planOf("q21_sole_late_shipper")
+    assert(q21.contains("TakeOrderedAndProject"), q21)
+    assert(q21.contains("LeftSemi"), q21)
+    val q16 = planOf("q16_parts_suppliers")
+    assert(q16.contains("LeftAnti") && q16.contains("BroadcastHashJoin"), q16)
+    // Q11's scalar-subquery threshold must be a broadcast of a 1-row
+    // agg, not a cartesian of two shuffled sides
+    val q11 = planOf("q11_important_parts")
+    assert(q11.contains("BroadcastNestedLoopJoin") ||
+      q11.contains("BroadcastExchange"), q11)
+  }
+
   test("bucketed layout removes the fact-to-fact join exchange (SCALE.md §2)") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"
