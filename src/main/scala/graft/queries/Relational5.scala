@@ -136,6 +136,18 @@ object Relational5 {
         .select("s_name", "n_name")
     }),
 
+    // ---- bloom-prefiltered existence semi-join: result is exactly
+    //      the plain semi-join (bloom has no false negatives); the
+    //      sketch prefilters lineitem map-side so only survivors reach
+    //      the exchange — the O9 probe at 100 TB selectivity ----
+    "o9_bloom_semi" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000.0).select("o_orderkey")
+      graft.operators.Bloom.semiJoin(
+          t(s, dir, "lineitem"), bigOrders, "l_orderkey", "o_orderkey")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    }),
+
     // ---- Q21 shape: suppliers who were the SOLE latest shipper on
     //      multi-supplier finished orders (exists another supplier /
     //      not-exists a later one, restated over shipdates). One
@@ -238,6 +250,13 @@ object Relational5 {
         |SELECT s_name, n_name FROM supplier
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE s_suppkey IN (SELECT l_suppkey FROM dom)""".stripMargin,
+
+    // the oracle states the SEMANTICS (plain existence join) — it
+    // verifies the bloom prefilter drops nothing and adds nothing
+    "o9_bloom_semi" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_orderkey = l_orderkey AND o_totalprice > 400000.0)""".stripMargin,
 
     "q21_sole_late_shipper" ->
       """WITH pos AS (SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS s_max
