@@ -238,6 +238,23 @@ object Dedup {
     labels
   }
 
+  /** Keeper selection per duplicate cluster: given `labels` (id,
+    * cluster) from [[dupClusters]] and the docs table, pick ONE
+    * representative per cluster — highest `score`, ties to the minimum
+    * id — the step that turns cluster labels into the actual dedup
+    * decision (keep the best copy, drop the rest). The window runs over
+    * (cluster, id, score) only — narrow rows, never the documents. */
+  def clusterRepresentatives(labels: DataFrame, docs: DataFrame,
+                             idCol: String, score: Column): DataFrame = {
+    val scored = labels.join(docs, labels("id") === docs(idCol))
+      .select(col("cluster"), col("id"), score.as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("cluster"), col("id").as("keeper_id"),
+        col("score").as("keeper_score"))
+  }
+
   // ---- SimHash ----
 
   private def md5Hex(s: String): String = {

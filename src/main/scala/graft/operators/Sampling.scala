@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for reproducible dataset curation: rows are
@@ -52,6 +53,52 @@ object Sampling {
     df.withColumn("shuffle_key",
         md5(concat_ws(":", lit(salt), col(idCol).cast("string"))))
       .orderBy(col("shuffle_key"))
+
+  /** Deterministic per-group rank: md5(id) order within each group —
+    * the stable "which rows first" tiebreak quota/mix sampling share. */
+  private def groupRank(idCol: String, groupCol: String) =
+    row_number().over(Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc))
+
+  /** Per-group quota cap: at most `quota` rows per `groupCol`, chosen
+    * deterministically by md5(id) rank — the per-domain cap a web-scale
+    * corpus needs so no one domain dominates training. One keyed window;
+    * pass a narrow projection and join wide payloads back if the rows
+    * carry large columns.
+    */
+  def quotaCap(df: DataFrame, idCol: String, groupCol: String,
+               quota: Int): DataFrame =
+    df.withColumn("__rn", groupRank(idCol, groupCol))
+      .filter(col("__rn") <= quota).drop("__rn")
+
+  /** Deterministic weighted source mix: the largest total consistent
+    * with `ratios` given per-source availability (total = min over
+    * sources of count/ratio), realized as the first floor(ratio·total)
+    * rows per source in md5(id) order. Sources not in `ratios` are
+    * excluded. The per-source counts and quotas are tiny aggregates
+    * (broadcast); the only data-sized cost is the per-source rank
+    * window — shuffle on the source key once, at any scale.
+    */
+  def weightedMix(df: DataFrame, idCol: String, sourceCol: String,
+                  ratios: Map[String, Double]): DataFrame = {
+    require(ratios.nonEmpty && ratios.values.forall(_ > 0),
+      "ratios must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ratioDf = ratios.toSeq.toDF(sourceCol, "__ratio")
+    val d = df.filter(col(sourceCol).isin(ratios.keys.toSeq: _*))
+    val withRatio = d.groupBy(sourceCol).agg(count(lit(1)).as("__cnt"))
+      .join(broadcast(ratioDf), sourceCol)
+    val feasible = withRatio
+      .agg(min(floor(col("__cnt") / col("__ratio"))).as("__total"))
+    val quota = withRatio.crossJoin(broadcast(feasible))
+      .select(col(sourceCol),
+        least(col("__cnt"), floor(col("__ratio") * col("__total"))).as("__quota"))
+    d.withColumn("__rn", groupRank(idCol, sourceCol))
+      .join(broadcast(quota), Seq(sourceCol))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
 
   /** Stratified: per-stratum fractions (e.g. downsample boilerplate
     * web text, keep all books), `defaultFraction` for unlisted strata.

@@ -122,6 +122,26 @@ object DedupQueries {
       Dedup.dupClusters(pairs)
     }),
 
+    // ---- keeper per duplicate cluster: the same synthetic near-dup
+    //      corpus as d_dup_clusters, then ONE representative per
+    //      cluster — longest text wins, ties to min id (the actual
+    //      keep/drop decision after clustering) ----
+    "d_cluster_keeper" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 150)
+        .select("doc_id", "text")
+      val tok = Text.tokens(col("text"))
+      val corpus = d
+        .union(d.select((col("doc_id") + 100000).as("doc_id"),
+          array_join(slice(tok, lit(2), size(tok) - 1), " ").as("text")))
+        .union(d.select((col("doc_id") + 200000).as("doc_id"),
+          array_join(slice(tok, lit(3), size(tok) - 2), " ").as("text")))
+        .localCheckpoint(true)
+      val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text",
+        n = 5, threshold = 0.5, dfCap = None).localCheckpoint(true)
+      Dedup.clusterRepresentatives(Dedup.dupClusters(pairs), corpus,
+        "doc_id", length(col("text")).cast("long"))
+    }),
+
     // ---- benchmark decontamination: train docs sharing any 5-gram
     //      with the benchmark slice (doc_id < 20) ----
     "d_contamination" -> ((s, dir) => {
@@ -308,6 +328,43 @@ object DedupQueries {
         |  UNION
         |  SELECT e.x, reach.r FROM edges e JOIN reach ON e.y = reach.id)
         |SELECT id, MIN(r) AS cluster FROM reach GROUP BY id""".stripMargin,
+
+    // same recursive-CC construction, then one keeper per cluster
+    // (longest text, ties to min id)
+    "d_cluster_keeper" ->
+      """WITH RECURSIVE raw AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 150),
+        |base AS (
+        |  SELECT doc_id AS id, text FROM raw
+        |  UNION ALL SELECT doc_id + 100000,
+        |    array_to_string(string_split(text, ' ')[2:], ' ') FROM raw
+        |  UNION ALL SELECT doc_id + 200000,
+        |    array_to_string(string_split(text, ' ')[3:], ' ') FROM raw),
+        |sh AS (SELECT id, list_distinct(
+        |  CASE WHEN len(tok) < 5 THEN []
+        |       ELSE list_transform(range(1, len(tok) - 3),
+        |              i -> array_to_string(tok[i:i+4], ' ')) END) AS sh
+        |  FROM (SELECT id, string_split(text, ' ') AS tok FROM base)),
+        |ex AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+        |common AS (SELECT a.id AS a_id, b.id AS b_id, a.n_sh AS na,
+        |    b.n_sh AS nb, count(*) AS common
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+        |  GROUP BY 1, 2, 3, 4),
+        |pairs AS (SELECT a_id, b_id FROM common
+        |  WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5),
+        |edges AS (SELECT a_id AS x, b_id AS y FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT x, x FROM edges
+        |  UNION
+        |  SELECT e.x, reach.r FROM edges e JOIN reach ON e.y = reach.id),
+        |cl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+        |SELECT cluster, id AS keeper_id, len AS keeper_score FROM (
+        |  SELECT cl.cluster, cl.id, length(b.text) AS len,
+        |    ROW_NUMBER() OVER (PARTITION BY cl.cluster
+        |      ORDER BY length(b.text) DESC, cl.id ASC) AS rn
+        |  FROM cl JOIN base b ON cl.id = b.id) x
+        |WHERE rn = 1""".stripMargin,
 
     "d_contamination" ->
       """WITH sh AS (SELECT doc_id, unnest(list_distinct(

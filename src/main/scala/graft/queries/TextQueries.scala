@@ -110,6 +110,26 @@ object TextQueries {
         .groupBy("split").agg(count(lit(1)).as("n"))
     }),
 
+    // ---- per-source quota cap: at most 15 docs per source, chosen by
+    //      deterministic md5(doc_id) rank — the per-domain cap that
+    //      stops one domain dominating a training mix ----
+    "t_source_quota" -> ((s, dir) => {
+      graft.operators.Sampling.quotaCap(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", "source", quota = 15)
+    }),
+
+    // ---- deterministic weighted source mix: largest total consistent
+    //      with the 50/30/20 ratios given availability, first
+    //      floor(ratio·total) docs per source in md5 order ----
+    "t_mix_weighted" -> ((s, dir) => {
+      graft.operators.Sampling.weightedMix(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", "source",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select("doc_id", "source")
+    }),
+
     // ---- corpus bigram frequency, top-100: one map-combinable
     //      aggregation + TakeOrderedAndProject (count-desc, bigram-asc
     //      tiebreak keeps the top-k set deterministic) ----
@@ -140,6 +160,31 @@ object TextQueries {
   private val bestExpr = s"greatest(${scores.map(_._2).mkString(", ")})"
 
   val oracleSql: Map[String, String] = Map(
+    "t_source_quota" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |  FROM documents) x
+        |WHERE rn <= 15""".stripMargin,
+
+    "t_mix_weighted" ->
+      """WITH d AS (SELECT doc_id, source FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2')),
+        |r AS (SELECT * FROM (VALUES
+        |    ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+        |    ('src2', CAST(0.2 AS DOUBLE))) v(source, ratio)),
+        |c AS (SELECT source, COUNT(*) AS cnt FROM d GROUP BY 1),
+        |f AS (SELECT MIN(CAST(FLOOR(cnt / ratio) AS BIGINT)) AS total
+        |  FROM c JOIN r USING (source)),
+        |q AS (SELECT source,
+        |    LEAST(cnt, CAST(FLOOR(ratio * total) AS BIGINT)) AS quota
+        |  FROM c JOIN r USING (source), f),
+        |rn AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |  FROM d)
+        |SELECT doc_id, source FROM rn JOIN q USING (source)
+        |WHERE rn <= quota""".stripMargin,
+
     "t_token_stats" ->
       s"""SELECT doc_id,
          | len($tok) AS n_tokens,

@@ -78,6 +78,35 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("dupClusters: string ids converge (no numeric-sum assumption)") {
+    import spark.implicits._
+    val pairs = Seq(("docA", "docB"), ("docB", "docC"), ("x", "y"))
+      .toDF("a_id", "b_id")
+    val got = graft.operators.Dedup.dupClusters(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("docA" -> "docA", "docB" -> "docA",
+      "docC" -> "docA", "x" -> "x", "y" -> "x"))
+    // a component deeper than maxIter must throw, not mislabel
+    val chain = (1L to 12L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("a_id", "b_id")
+    intercept[IllegalStateException] {
+      graft.operators.Dedup.dupClusters(chain, maxIter = 3)
+    }
+  }
+
+  test("clusterRepresentatives: best score wins, ties to min id") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster")
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 2L), (11L, 2L))
+      .toDF("doc_id", "quality")
+    val got = graft.operators.Dedup.clusterRepresentatives(
+        labels, docs, "doc_id", org.apache.spark.sql.functions.col("quality"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // cluster 1: docs 2 and 3 tie at 9 → min id 2; cluster 10: tie → 10
+    assert(got === Map(1L -> (2L, 9L), 10L -> (10L, 2L)))
+  }
+
   test("jaccardPairsAgainst: new-vs-base only, base-frequency stoplist") {
     import spark.implicits._
     // base docs 1 and 2 consist of ONE shared 5-gram (df=2)

@@ -41,6 +41,38 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("quotaCap: per-group cap enforced, selection deterministic and stable") {
+    import spark.implicits._
+    val df = (1L to 900L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val kept = Sampling.quotaCap(df, "id", "grp", quota = 10)
+    val byGrp = kept.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp === Map("g0" -> 10L, "g1" -> 10L, "g2" -> 10L))
+    // deterministic: same rows every run
+    val ids1 = kept.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.quotaCap(df, "id", "grp", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+    // under-quota groups are kept whole
+    val small = Seq((1L, "x"), (2L, "x")).toDF("id", "grp")
+    assert(Sampling.quotaCap(small, "id", "grp", 10).count() === 2)
+  }
+
+  test("weightedMix: realized mix matches ratios at the feasible total") {
+    import spark.implicits._
+    // availability 100/100/10; ratios 0.5/0.3/0.2 → total bound by
+    // src2: min(200, 333, 50) = 50 → quotas 25/15/10
+    val df = ((1L to 100L).map(i => (i, "a")) ++
+      (101L to 200L).map(i => (i, "b")) ++
+      (201L to 210L).map(i => (i, "c")) ++
+      (211L to 220L).map(i => (i, "excluded"))).toDF("id", "src")
+    val mixed = Sampling.weightedMix(df, "id", "src",
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+    val counts = mixed.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("a" -> 25L, "b" -> 15L, "c" -> 10L))
+  }
+
   test("stratifiedHashSample: per-stratum rates and default") {
     import spark.implicits._
     val df = (1L to 3000L).map(i =>
