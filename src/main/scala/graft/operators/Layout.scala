@@ -32,4 +32,21 @@ object Layout {
     */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Write `df` hive-partitioned on `partCols` (low-cardinality keys —
+    * ingest date, source, language). A filter on a partition column
+    * then prunes whole directories at PLANNING time (`PartitionFilters`
+    * on the scan): a day's query over a year of data lists one
+    * directory and reads 1/365th of the bytes. The companion lever to
+    * bucketing — pruning cuts what is read, bucketing cuts what is
+    * shuffled.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+
+  /** Read a partitioned layout back; partition columns are recovered
+    * from the directory structure. */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

@@ -83,6 +83,19 @@ object Multimodal {
     (isPng, when(isPng, w), when(isPng, h))
   }
 
+  /** REAL GIF header probe: GIF87a/GIF89a magic plus the
+    * little-endian logical-screen dimensions at offsets 7 and 9 —
+    * codegen'd column arithmetic like the PNG/WAV probes. Non-GIF
+    * payloads yield (false, null, null). */
+  def gifDims(content: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+         org.apache.spark.sql.Column) = {
+    val sig = hex(substring(content, 1, 6))
+    val isGif = sig === "474946383961" || sig === "474946383761"
+    (isGif, when(isGif, leUint(content, 7, 2)),
+      when(isGif, leUint(content, 9, 2)))
+  }
+
   /** Little-endian unsigned int read: bytes at 1-based `off`
     * (width `n`), hex'd per byte and concatenated most-significant
     * first. Pure column algebra — the audio counterpart of the PNG

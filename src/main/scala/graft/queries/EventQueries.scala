@@ -132,6 +132,19 @@ object EventQueries {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
     }),
 
+    // ---- Spark 4 VariantType ingestion: parse the semi-structured
+    //      props ONCE into the binary variant encoding, then typed
+    //      path gets — the modern schema-agnostic JSON path (O14's
+    //      per-probe string parsing, replaced by a decode-once
+    //      columnar form). try_variant_get on an absent path is null,
+    //      never an error ----
+    "e_variant_props" -> ((s, dir) => {
+      val v = parse_json(col("props"))
+      t(s, dir, "events").select(col("event_id"),
+        variant_get(v, "$.k", "long").as("k"),
+        try_variant_get(v, "$.missing", "string").as("absent"))
+    }),
+
     // ---- per-user activity profile ----
     "e_user_stats" -> ((s, dir) => {
       t(s, dir, "events")
@@ -236,6 +249,12 @@ object EventQueries {
     "e_props_extract" ->
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+
+    "e_variant_props" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        | CAST(NULL AS VARCHAR) AS absent
         |FROM events""".stripMargin,
 
     "e_user_stats" ->

@@ -79,6 +79,24 @@ object MultimodalQueries {
           dims.getField("height").as("height"))
     }),
 
+    // ---- REAL GIF header parsing: GIF89a magic + little-endian
+    //      screen dimensions, generated from doc_id and recovered
+    //      through the byte-level probe ----
+    "m_gif_dims" -> ((s, dir) => {
+      val w = (col("doc_id") % 1600 + 1).cast("int")
+      val h = ((col("doc_id") * 5) % 1200 + 1).cast("int")
+      def le2(v: org.apache.spark.sql.Column) = {
+        val x = lpad(hex(v), 4, "0")
+        concat(substring(x, 3, 2), substring(x, 1, 2))
+      }
+      val gif = unhex(concat(lit("474946383961"), le2(w), le2(h), lit("F70000")))
+      val (isGif, width, height) = Multimodal.gifDims(col("content"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), gif.as("content"))
+        .select(col("doc_id"), isGif.as("is_gif"),
+          width.as("width"), height.as("height"))
+    }),
+
     // ---- REAL header parsing: build valid PNG-headered binaries with
     //      dimensions derived from doc_id, parse them back through the
     //      actual byte-level IHDR reader — the oracle asserts the
@@ -131,6 +149,12 @@ object MultimodalQueries {
       """SELECT doc_id,
         | CAST((doc_id * 3) % 1200 + 1 AS INT) AS width,
         | CAST(doc_id % 900 + 1 AS INT) AS height
+        |FROM documents""".stripMargin,
+
+    "m_gif_dims" ->
+      """SELECT doc_id, true AS is_gif,
+        | CAST(doc_id % 1600 + 1 AS BIGINT) AS width,
+        | CAST((doc_id * 5) % 1200 + 1 AS BIGINT) AS height
         |FROM documents""".stripMargin,
 
     // the oracle states the generating parameters; the Spark side must

@@ -85,6 +85,32 @@ class PlanSpec extends SparkSpec {
       q11.contains("BroadcastExchange"), q11)
   }
 
+  test("partitioned layout: a partition-column filter prunes at planning time") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    try {
+      val ev = Tables.t(spark, dir, "events")
+        .withColumn("event_date", col("ts").cast("date"))
+      graft.operators.Layout.writePartitioned(ev, out, Seq("event_date"))
+      val back = graft.operators.Layout.readPartitioned(spark, out)
+      val oneDay = back.filter(col("event_date") ===
+        ev.select(min(col("ts").cast("date"))).head().getDate(0))
+      val plan = oneDay.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      // the filter lands in PartitionFilters (directory pruning), and
+      // is NOT a data filter the scan must evaluate per row
+      assert(plan.contains("PartitionFilters") &&
+        "PartitionFilters: \\[[^\\]]*event_date".r.findFirstIn(plan).isDefined, plan)
+      // pruning is semantically invisible
+      val want = ev.filter(col("ts").cast("date") ===
+        ev.select(min(col("ts").cast("date"))).head().getDate(0)).count()
+      assert(oneDay.count() === want)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("bucketed layout removes the fact-to-fact join exchange (SCALE.md §2)") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"
