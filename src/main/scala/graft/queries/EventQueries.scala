@@ -145,6 +145,19 @@ object EventQueries {
         try_variant_get(v, "$.missing", "string").as("absent"))
     }),
 
+    // ---- time-series resample + gap fill: hourly grid per event
+    //      type materialized from a generated spine; missing hours
+    //      zero-fill the count and carry the average forward ----
+    "e_gap_fill" -> ((s, dir) => {
+      val binned = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"),
+          (sum(dec(col("value"))).cast("double") / count(lit(1))).as("avg_val"))
+      graft.operators.TimeSeries.gapFill(binned,
+        keys = Seq("event_type"), binCol = "hour", step = "1 hour",
+        zeroFill = Seq("n"), forwardFill = Seq("avg_val"))
+    }),
+
     // ---- per-user activity profile ----
     "e_user_stats" -> ((s, dir) => {
       t(s, dir, "events")
@@ -250,6 +263,25 @@ object EventQueries {
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin,
+
+    "e_gap_fill" ->
+      """WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_val
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM ev),
+        |spine AS (SELECT event_type,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM (SELECT DISTINCT event_type FROM ev), b),
+        |j AS (SELECT s.event_type, s.hour,
+        |    COALESCE(e.n, 0) AS n, e.avg_val
+        |  FROM spine s LEFT JOIN ev e
+        |    ON s.event_type = e.event_type AND s.hour = e.hour)
+        |SELECT event_type, hour, n,
+        |  last_value(avg_val IGNORE NULLS) OVER (PARTITION BY event_type
+        |    ORDER BY hour ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_val
+        |FROM j""".stripMargin,
 
     "e_variant_props" ->
       """SELECT event_id,

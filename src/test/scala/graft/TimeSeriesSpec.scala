@@ -1,0 +1,36 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeries
+
+/** Gap fill: spine completeness, zero-fill vs forward-fill semantics,
+  * and per-key independence. */
+class TimeSeriesSpec extends SparkSpec {
+
+  private def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+
+  test("gapFill: missing bins materialize; counts zero, levels carry forward") {
+    import spark.implicits._
+    // key A observed at hours 0, 3; key B at hour 1 only; range 0..3
+    val binned = Seq(
+      ("A", ts(0), 2L, 10.0), ("A", ts(3), 1L, 30.0),
+      ("B", ts(1), 5L, 99.0))
+      .toDF("k", "hour", "n", "level")
+    val got = TimeSeries.gapFill(binned, Seq("k"), "hour", "1 hour",
+        zeroFill = Seq("n"), forwardFill = Seq("level"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getHours,
+        r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .sortBy(t => (t._1, t._2))
+    assert(got.length === 8) // 2 keys x 4 hourly bins
+    val a = got.filter(_._1 == "A").map(t => (t._2, t._3, t._4))
+    assert(a === Seq((0, 2L, Some(10.0)), (1, 0L, Some(10.0)),
+      (2, 0L, Some(10.0)), (3, 1L, Some(30.0))))
+    val b = got.filter(_._1 == "B").map(t => (t._2, t._3, t._4))
+    // B has no observation before hour 1: level stays null, count zero
+    assert(b === Seq((0, 0L, None), (1, 5L, Some(99.0)),
+      (2, 0L, Some(99.0)), (3, 0L, Some(99.0))))
+  }
+}
