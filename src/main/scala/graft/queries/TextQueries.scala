@@ -130,6 +130,24 @@ object TextQueries {
         .select("doc_id", "source")
     }),
 
+    // ---- document rarity scoring: mean-free IDF proxy — each doc
+    //      sums 1/df over its DISTINCT tokens (df = corpus document
+    //      frequency). Two aggregations + one token equi-join; the
+    //      per-token contribution is rounded to 6 decimals and summed
+    //      as exact DECIMAL so 32-partition Spark and DuckDB agree
+    //      bitwise (double sums are order-sensitive, decimals aren't) ----
+    "t_rarity" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val tokdf = d.select(col("doc_id"),
+        explode(array_distinct(Text.tokens(col("text")))).as("tok"))
+      val dfreq = tokdf.groupBy("tok").agg(count(lit(1)).as("df"))
+      tokdf.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(sum(round(lit(1.0) / col("df"), 6).cast("decimal(10,6)"))
+            .cast("double").as("rarity"),
+          count(lit(1)).as("n_distinct"))
+    }),
+
     // ---- corpus bigram frequency, top-100: one map-combinable
     //      aggregation + TakeOrderedAndProject (count-desc, bigram-asc
     //      tiebreak keeps the top-k set deterministic) ----
@@ -184,6 +202,16 @@ object TextQueries {
         |  FROM d)
         |SELECT doc_id, source FROM rn JOIN q USING (source)
         |WHERE rn <= quota""".stripMargin,
+
+    "t_rarity" ->
+      s"""WITH tokdf AS (SELECT doc_id,
+         |    unnest(list_distinct($tok)) AS tk FROM documents),
+         |dfreq AS (SELECT tk, COUNT(*) AS df FROM tokdf GROUP BY 1)
+         |SELECT doc_id,
+         |  CAST(SUM(CAST(round(CAST(1 AS DOUBLE) / df, 6) AS DECIMAL(10,6))) AS DOUBLE) AS rarity,
+         |  COUNT(*) AS n_distinct
+         |FROM tokdf JOIN dfreq USING (tk)
+         |GROUP BY 1""".stripMargin,
 
     "t_token_stats" ->
       s"""SELECT doc_id,
