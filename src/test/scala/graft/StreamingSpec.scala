@@ -181,6 +181,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq === Seq((7L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2)))
   }
 
+  test("streaming near-dup screen: dup flagged against static index, novel passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different reference text about spark engines and joins"))
+      .toDF("doc_id", "text")
+    val index = graft.streaming.DedupStream.bandIndex(
+      corpus, "doc_id", "text", n = 3, bands = 8, rowsPerBand = 1)
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(
+      // near-copy of doc 1 (one word changed at the end)
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      // novel document — must NOT be flagged
+      (11L, "unrelated fresh content with no overlap whatsoever here"))
+    val flagged = graft.streaming.DedupStream.flagNearDups(
+      mem.toDF().toDF("doc_id", "text"), index,
+      "doc_id", "text", n = 3, bands = 8, rowsPerBand = 1, threshold = 0.4)
+    val q = flagged.writeStream.format("memory").queryName("neardups")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    val pairs = spark.sql("SELECT DISTINCT new_id, base_id FROM neardups")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((10L, 1L)))
+  }
+
   test("sessionize: gap splits sessions, counts preserved") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
