@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical-layout management: co-located bucketed tables.
   *
@@ -49,4 +50,35 @@ object Layout {
     * from the directory structure. */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Morton (Z-order) interleave of two non-negative 16-bit column
+    * values into one 32-bit key — pure codegen'd bit twiddling. Rows
+    * close in BOTH dimensions are close in z, which is what makes the
+    * z-sorted layout skippable on either column. */
+  def morton2(x: Column, y: Column): Column = {
+    def spread(c: Column): Column = {
+      var v = c.cast("long").bitwiseAND(lit(0xFFFFL))
+      v = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FFL))
+      v = v.bitwiseOR(shiftleft(v, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      v = v.bitwiseOR(shiftleft(v, 2)).bitwiseAND(lit(0x33333333L))
+      v.bitwiseOR(shiftleft(v, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+  }
+
+  /** Z-ordered layout: range-partition + sort on the interleaved key,
+    * so each output file covers a compact RECTANGLE of (x, y) space
+    * instead of a slice of one column. A selective predicate on either
+    * column then touches only the files whose rectangle intersects it,
+    * and parquet min/max stats skip the rest — multi-dimensional data
+    * skipping without any table format, the standard layout trick for
+    * "filter by date AND tenant" at 100 TB. ZOrderSpec proves the
+    * file-touch reduction. */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String,
+                    yCol: String, nFiles: Int): Unit =
+    df.withColumn("__z", morton2(col(xCol), col(yCol)))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
 }
