@@ -201,6 +201,73 @@ object Similarity {
     ivfSearch(queries, corpus, k, nProbe, cents, idCol, vecCol)
   }
 
+  /** Product-quantization ANN (ADC + exact rerank) over explicit
+    * codebooks — the memory-side companion to IVF's candidate cut: the
+    * RANKING pass touches only m small codes per corpus row (m bytes,
+    * not the vector), so at 100 TB the approximate scan streams codes
+    * while full vectors are fetched only for the `rerank` candidates
+    * per query.
+    *
+    * Codebooks (`sub` int, `code` int, `cw` array<double> of dim/m) are
+    * tiny by construction — collected once and inlined as plan
+    * literals (like the IVF quantizer): corpus encoding is a map-side
+    * argmin per subspace, the per-query distance table is m×k dots
+    * computed map-side, and the ADC distance is an explicit
+    * left-associated sum of m table lookups (cross-engine
+    * reproducible). Asymmetric distance drops the |q_s|² constant —
+    * rank-invariant. Deterministic codebooks make the whole path
+    * oracle-replicable in portable SQL.
+    */
+  def pqTopKWithCodebooks(queries: DataFrame, corpus: DataFrame, k: Int,
+                          rerank: Int, codebooks: DataFrame, m: Int,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val books: Map[Int, Seq[(Int, Seq[Double])]] = codebooks
+      .select(col("sub").cast("int"), col("code").cast("int"),
+        col("cw").cast("array<double>"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(t => (t._2, t._3))).toMap
+    val subLen = books(0).head._2.length
+    def subV(v: Column, s: Int) = slice(v, s * subLen + 1, subLen)
+    def entries(v: Column, s: Int): Seq[(Int, Column)] =
+      books(s).map { case (code, cw) =>
+        val cn2 = cw.foldLeft(0.0)((acc, x) => acc + x * x)
+        code -> (lit(cn2) - lit(2.0) * dot(subV(v, s), typedLit(cw)))
+      }
+    def codeOf(v: Column, s: Int): Column =
+      element_at(sort_array(array(entries(v, s).map { case (code, d2) =>
+        struct(d2.as("d2"), lit(code).as("code"))
+      }: _*)), 1).getField("code")
+    def qTable(v: Column, s: Int): Column =
+      array(entries(v, s).map(_._2): _*)
+
+    val c = corpus.select(col(idCol).as("n_id") +:
+      (0 until m).map(s => codeOf(col(vecCol), s).as(s"c_$s")): _*)
+    val q = queries.select(col(idCol).as("q_id") +:
+      (0 until m).map(s => qTable(col(vecCol), s).as(s"t_$s")): _*)
+    val adist = (0 until m).map(s =>
+      element_at(col(s"t_$s"), col(s"c_$s") + 1)).reduceLeft(_ + _)
+    val wA = Window.partitionBy("q_id").orderBy(col("adist").asc, col("n_id").asc)
+    val cands = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), adist.as("adist"))
+      .withColumn("crank", row_number().over(wA))
+      .filter(col("crank") <= rerank)
+      .select("q_id", "n_id")
+    val cv = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nn"))
+    val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("qn"))
+    val wK = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    cands.join(cv, "n_id").join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("n_id"),
+        cosPre(col("qv"), col("nv"), col("qn"), col("nn")).as("cos"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cos")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, bucketed by
     * sign-LSH so candidate generation is an equi-join (vectors with
     * cosine ≈ 1 share every sign bit almost surely).

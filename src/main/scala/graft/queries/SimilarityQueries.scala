@@ -73,6 +73,24 @@ object SimilarityQueries {
           round(col("cos"), 4).as("cos"))
     }),
 
+    // ---- product-quantization ANN: 4×16-dim subspaces, codebooks =
+    //      slices of corpus vectors vec_id<16 (deterministic, like the
+    //      IVF centroid trick); ADC ranking over codes only, exact
+    //      rerank of the top-10 candidates ----
+    "s_ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val subs = s.range(0, 4).select(col("id").cast("int").as("sub"))
+      val books = e.filter(col("vec_id") < 16).crossJoin(subs)
+        .select(col("sub"), col("vec_id").cast("int").as("code"),
+          slice(col("embedding"), col("sub") * 16 + 1, lit(16)).as("cw"))
+      Similarity.pqTopKWithCodebooks(
+          e.filter(col("vec_id") < 30), e, k = 3, rerank = 10,
+          codebooks = books, m = 4)
+        .select(col("q_id"), col("rank"), col("n_id"),
+          round(col("cos"), 4).as("cos"))
+    }),
+
     // ---- embedding near-duplicates (cosine ≥ 0.999, sign-LSH blocked) ----
     "d_embedding_neardup" -> ((s, dir) => {
       Similarity.cosineNearDupPairs(withScaledCopies(s, dir),
@@ -185,6 +203,51 @@ object SimilarityQueries {
         |  WHERE q_id <> n_id),
         |r AS (SELECT q_id, n_id, cos, ROW_NUMBER() OVER (
         |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM p)
+        |SELECT q_id, rank, n_id, ROUND(cos, 4) AS cos
+        |FROM r WHERE rank <= 3""".stripMargin,
+
+    // replicates codes + ADC with the SAME expression trees: d2 =
+    // ip(cw,cw) - 2*ip(v_s,cw); the ADC distance is the explicit
+    // left-associated 4-term sum, matching the engine's reduceLeft
+    "s_ann_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |subs AS (SELECT unnest(range(0, 4)) AS sub),
+        |books AS (SELECT sub, CAST(vec_id AS INT) AS code,
+        |    v[(sub*16+1):(sub*16+16)] AS cw
+        |  FROM e CROSS JOIN subs WHERE vec_id < 16),
+        |scored AS (SELECT e.vec_id, b.sub, b.code,
+        |    list_inner_product(b.cw, b.cw)
+        |      - 2 * list_inner_product(e.v[(b.sub*16+1):(b.sub*16+16)], b.cw) AS d2
+        |  FROM e CROSS JOIN books b),
+        |codes AS (SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn
+        |    FROM scored) z WHERE rn = 1),
+        |cw AS (SELECT vec_id,
+        |    MAX(CASE WHEN sub = 0 THEN code END) AS c0,
+        |    MAX(CASE WHEN sub = 1 THEN code END) AS c1,
+        |    MAX(CASE WHEN sub = 2 THEN code END) AS c2,
+        |    MAX(CASE WHEN sub = 3 THEN code END) AS c3
+        |  FROM codes GROUP BY vec_id),
+        |pairs AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    s0.d2 + s1.d2 + s2.d2 + s3.d2 AS adist
+        |  FROM cw n
+        |  JOIN (SELECT vec_id FROM e WHERE vec_id < 30) q
+        |    ON q.vec_id <> n.vec_id
+        |  JOIN scored s0 ON s0.vec_id = q.vec_id AND s0.sub = 0 AND s0.code = n.c0
+        |  JOIN scored s1 ON s1.vec_id = q.vec_id AND s1.sub = 1 AND s1.code = n.c1
+        |  JOIN scored s2 ON s2.vec_id = q.vec_id AND s2.sub = 2 AND s2.code = n.c2
+        |  JOIN scored s3 ON s3.vec_id = q.vec_id AND s3.sub = 3 AND s3.code = n.c3),
+        |cands AS (SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id, ROW_NUMBER() OVER (
+        |      PARTITION BY q_id ORDER BY adist ASC, n_id ASC) AS crank
+        |    FROM pairs) z WHERE crank <= 10),
+        |x AS (SELECT q_id, n_id, list_cosine_similarity(qe.v, ne.v) AS cos
+        |  FROM cands JOIN e qe ON qe.vec_id = q_id
+        |  JOIN e ne ON ne.vec_id = n_id),
+        |r AS (SELECT q_id, n_id, cos, ROW_NUMBER() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM x)
         |SELECT q_id, rank, n_id, ROUND(cos, 4) AS cos
         |FROM r WHERE rank <= 3""".stripMargin,
 

@@ -98,6 +98,33 @@ class SimilaritySpec extends SparkSpec {
     assert(two.toSeq === Seq(2L)) // second probe reaches list 1
   }
 
+  test("pqTopKWithCodebooks: exact codeword match ranks first; top-1 recall high") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val e = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val subs = spark.range(0, 4).select(col("id").cast("int").as("sub"))
+    val books = e.filter(col("vec_id") < 16).crossJoin(subs)
+      .select(col("sub"), col("vec_id").cast("int").as("code"),
+        slice(col("embedding"), col("sub") * 16 + 1, lit(16)).as("cw"))
+    val q = e.filter(col("vec_id") < 20)
+    def top1(rerank: Int): Map[Long, Long] =
+      Similarity.pqTopKWithCodebooks(q, e, k = 1, rerank, books, m = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val exact = Similarity.cosineTopK(q, e, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // rerank = |corpus| keeps every candidate → the exact rerank IS
+    // brute force: results must match exactly (the correctness anchor)
+    assert(top1(500) === exact)
+    // untrained random-slice codebooks are a coarse quantizer; recall
+    // at small rerank is imperfect but must be real and must grow as
+    // the rerank budget widens (the PQ quality/IO dial)
+    val r10 = top1(10).count { case (k0, v) => exact(k0) == v }
+    val r50 = top1(50).count { case (k0, v) => exact(k0) == v }
+    assert(r10 >= 5, s"top-1 recall@10 $r10/20")
+    assert(r50 >= r10, s"recall@50 $r50 < recall@10 $r10")
+  }
+
   test("cosineNearDupPairs: scaled copy detected exactly") {
     val base = vecs((1L, Seq(0.3, -0.2, 0.9)), (2L, Seq(-0.5, 0.1, 0.2)))
     val withCopy = base.union(
