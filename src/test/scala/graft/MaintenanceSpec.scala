@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Diff, Layout}
+
+/** Table-maintenance operators: small-file compaction and snapshot
+  * diff. */
+class MaintenanceSpec extends SparkSpec {
+
+  test("compact: many small files become targetFiles, data unchanged") {
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    try {
+      // simulate a micro-batch sink's residue: 32 tiny files
+      spark.range(0, 10000L).repartition(32)
+        .write.mode("overwrite").parquet(out)
+      def dataFiles(): Int = new java.io.File(out)
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(dataFiles() === 32)
+      val before = spark.read.parquet(out)
+        .agg(count(lit(1)), sum(col("id"))).head()
+      val n = Layout.compact(spark, out, targetFiles = 4)
+      assert(n === 4 && dataFiles() === 4)
+      val after = spark.read.parquet(out)
+        .agg(count(lit(1)), sum(col("id"))).head()
+      assert(after === before)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
+  test("snapshotDiff: added/removed/changed classified; null values compare safely") {
+    import spark.implicits._
+    val old = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+      (3L, None: Option[String], 30.0), (4L, Some("d"), 40.0))
+      .toDF("k", "s", "v")
+    val neu = Seq((1L, Some("a"), 10.0),              // unchanged → dropped
+      (2L, Some("B"), 20.0),                          // changed value
+      (3L, None: Option[String], 30.0),               // null == null → unchanged
+      (5L, Some("e"), 50.0))                          // added
+    .toDF("k", "s", "v")
+    val got = Diff.snapshotDiff(old, neu, Seq("k"), Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(2L -> "changed", 4L -> "removed", 5L -> "added"))
+  }
+}
