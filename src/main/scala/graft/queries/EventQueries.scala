@@ -132,6 +132,20 @@ object EventQueries {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
     }),
 
+    // ---- corrupt-input robustness: a third of the payloads are
+    //      truncated mid-object; PERMISSIVE parsing yields null for
+    //      them (flagged, not failed) while valid rows parse — the
+    //      poison-pill contract a 100 TB ingest needs (one bad record
+    //      must never kill a 10-hour job) ----
+    "e_corrupt_json" -> ((s, dir) => {
+      val raw = when(col("event_id") % 3 === 0,
+        regexp_replace(col("props"), "\\}$", "")).otherwise(col("props"))
+      t(s, dir, "events").select(col("event_id"), raw.as("raw"))
+        .select(col("event_id"),
+          get_json_object(col("raw"), "$.k").cast("long").as("k"),
+          get_json_object(col("raw"), "$.k").isNotNull.as("is_valid"))
+    }),
+
     // ---- Spark 4 VariantType ingestion: parse the semi-structured
     //      props ONCE into the binary variant encoding, then typed
     //      path gets — the modern schema-agnostic JSON path (O14's
@@ -288,6 +302,18 @@ object EventQueries {
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         | CAST(NULL AS VARCHAR) AS absent
         |FROM events""".stripMargin,
+
+    "e_corrupt_json" ->
+      """WITH r AS (SELECT event_id,
+        |    CASE WHEN event_id % 3 = 0
+        |         THEN regexp_replace(props, '\}$', '')
+        |         ELSE props END AS raw
+        |  FROM events)
+        |SELECT event_id,
+        |  CASE WHEN json_valid(raw)
+        |       THEN CAST(json_extract_string(raw, '$.k') AS BIGINT) END AS k,
+        |  json_valid(raw) AS is_valid
+        |FROM r""".stripMargin,
 
     "e_user_stats" ->
       """SELECT user_id, COUNT(*) AS n_events,

@@ -148,6 +148,16 @@ object Relational5 {
         .select("l_orderkey", "l_linenumber", "l_quantity")
     }),
 
+    // ---- one-pass column profiling: nulls / distincts / ranges per
+    //      column via a map-side unpivot + one tiny grouped agg ----
+    "q_profile" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem").select(col("l_quantity"),
+        col("l_extendedprice"),
+        when(col("l_tax") > 0, col("l_tax")).as("l_tax_nz"))
+      graft.operators.Profile.numericProfile(d,
+        Seq("l_quantity", "l_extendedprice", "l_tax_nz"))
+    }),
+
     // ---- snapshot diff (CDC shape): added/removed/changed keys
     //      between two table states via one full-outer join with
     //      struct-packed null-safe change detection ----
@@ -271,6 +281,18 @@ object Relational5 {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_orderkey = l_orderkey AND o_totalprice > 400000.0)""".stripMargin,
+
+    "q_profile" ->
+      """WITH d AS (SELECT l_quantity, l_extendedprice,
+        |    CASE WHEN l_tax > 0 THEN l_tax END AS l_tax_nz FROM lineitem),
+        |s AS (SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS v FROM d
+        |  UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM d
+        |  UNION ALL SELECT 'l_tax_nz', CAST(l_tax_nz AS DOUBLE) FROM d)
+        |SELECT col_name, COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN v IS NULL THEN 1 END) AS n_nulls,
+        |  COUNT(DISTINCT v) AS n_distinct,
+        |  MIN(v) AS min_v, MAX(v) AS max_v
+        |FROM s GROUP BY 1""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice
