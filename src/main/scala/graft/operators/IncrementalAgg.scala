@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental (merge-on-write) aggregation: a running per-key
+  * aggregate maintained across batch arrivals WITHOUT recomputing
+  * history — the materialized-view pattern behind daily-refresh
+  * dashboards over append-only 100 TB facts.
+  *
+  * State is (keys, cnt, sum_d) — count and exact-DECIMAL sum, both
+  * MERGEABLE: folding a new batch is partial-aggregate(batch) ∪ state →
+  * re-aggregate, so each update costs O(batch + |state|) regardless of
+  * how much history the state summarizes. Exact decimal makes the
+  * merged sum independent of arrival order and batch boundaries — the
+  * state after N updates equals the one-shot aggregate bit-for-bit.
+  * Derived values (avg = sum/cnt) are computed at READ time from the
+  * mergeable parts, never stored (averages don't merge).
+  *
+  * The state table swaps atomically via a temp dir, like
+  * [[Layout.compact]].
+  */
+object IncrementalAgg {
+
+  private def partial(batch: DataFrame, keys: Seq[String],
+                      valueCol: String): DataFrame =
+    batch.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("cnt"),
+      sum(col(valueCol).cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_d"))
+
+  /** Fold one batch into the state at `stateDir` (created on first
+    * use); returns the updated state. */
+  def update(spark: SparkSession, stateDir: String, batch: DataFrame,
+             keys: Seq[String], valueCol: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = partial(batch, keys, valueCol)
+    val merged =
+      if (fs.exists(p))
+        spark.read.parquet(stateDir).union(fresh)
+          .groupBy(keys.map(col): _*).agg(
+            sum(col("cnt")).cast("long").as("cnt"),
+            sum(col("sum_d")).cast("decimal(38,2)").as("sum_d"))
+      else fresh
+    val tmp = stateDir.stripSuffix("/") + "__updating"
+    merged.write.mode("overwrite").parquet(tmp)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    spark.read.parquet(stateDir)
+  }
+
+  /** Read the state with derived columns (the query-facing view). */
+  def read(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(stateDir).withColumn("avg_v",
+      col("sum_d").cast("double") / col("cnt"))
+}

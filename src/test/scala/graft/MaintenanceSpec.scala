@@ -29,6 +29,36 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("incremental aggregation: N batch updates == one-shot aggregate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString + "/state"
+    try {
+      val all = (1L to 3000L).map(i => (s"k${i % 7}", (i % 100) / 4.0)).toDF("k", "v")
+      // three arrival batches with different boundaries
+      graft.operators.IncrementalAgg.update(spark, dir,
+        all.filter(col("v") < 10), Seq("k"), "v")
+      graft.operators.IncrementalAgg.update(spark, dir,
+        all.filter(col("v") >= 10 && col("v") < 20), Seq("k"), "v")
+      graft.operators.IncrementalAgg.update(spark, dir,
+        all.filter(col("v") >= 20), Seq("k"), "v")
+      val got = graft.operators.IncrementalAgg.read(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDecimal(2).doubleValue, r.getDouble(3))).toMap
+      val want = all.groupBy("k").agg(count(lit(1)).as("cnt"),
+          sum(col("v").cast("decimal(18,2)")).cast("double").as("s"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2))).toMap
+      assert(got.size === want.size)
+      want.foreach { case (k, (cnt, s)) =>
+        val (gc, gs, gavg) = got(k)
+        assert(gc === cnt && gs === s && gavg === s / cnt, k)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+    }
+  }
+
   test("snapshotDiff: added/removed/changed classified; null values compare safely") {
     import spark.implicits._
     val old = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
