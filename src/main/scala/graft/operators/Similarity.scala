@@ -230,23 +230,42 @@ object Similarity {
       .groupBy(_._1).view
       .mapValues(_.sortBy(_._2).map(t => (t._2, t._3))).toMap
     val subLen = books(0).head._2.length
-    def subV(v: Column, s: Int) = slice(v, s * subLen + 1, subLen)
-    def entries(v: Column, s: Int): Seq[(Int, Column)] =
-      books(s).map { case (code, cw) =>
-        val cn2 = cw.foldLeft(0.0)((acc, x) => acc + x * x)
-        code -> (lit(cn2) - lit(2.0) * dot(subV(v, s), typedLit(cw)))
-      }
-    def codeOf(v: Column, s: Int): Column =
-      element_at(sort_array(array(entries(v, s).map { case (code, d2) =>
-        struct(d2.as("d2"), lit(code).as("code"))
-      }: _*)), 1).getField("code")
-    def qTable(v: Column, s: Int): Column =
-      array(entries(v, s).map(_._2): _*)
+    // subvectors are sliced ONCE per row (a prior projection), not once
+    // per codeword — the k codeword distances then reference the same
+    // array column (64 fewer array copies per row at m=4, k=16)
+    def subCols(df: DataFrame, id: Column, idAs: String) = df.select(
+      id.as(idAs) +:
+        (0 until m).map(s =>
+          slice(col(vecCol), s * subLen + 1, subLen).as(s"__v_$s")): _*)
+    // distances to all k codewords as ONE zip_with over nested-array
+    // literals (k unrolled dot expressions would work too, but the
+    // generated code is k× larger and janino compile time dominates
+    // the whole query). d2 = |cw|² − 2·v_s·cw, |q_s|² dropped
+    // (rank-invariant); |cw|² precomputed left-assoc for oracle parity.
+    def scoredArr(s: Int): Column = zip_with(
+      typedLit(books(s).map(_._2.foldLeft(0.0)((acc, x) => acc + x * x))),
+      transform(typedLit(books(s).map(_._2)),
+        cw => dot(col(s"__v_$s"), cw)),
+      (cn2, d) => cn2 - lit(2.0) * d)
+    // argmin via array_position of the min — FIRST position on ties,
+    // i.e. the lowest code id, matching the oracle's tiebreak
+    def codeOf(s: Int): Column = element_at(
+      typedLit(books(s).map(_._1)),
+      array_position(scoredArr(s), array_min(scoredArr(s))).cast("int"))
+    def qTable(s: Int): Column = scoredArr(s)
 
-    val c = corpus.select(col(idCol).as("n_id") +:
-      (0 until m).map(s => codeOf(col(vecCol), s).as(s"c_$s")): _*)
-    val q = queries.select(col(idCol).as("q_id") +:
-      (0 until m).map(s => qTable(col(vecCol), s).as(s"t_$s")): _*)
+    // materialize codes and query tables BEFORE the pair join:
+    // without the barrier, projection collapse would inline the k-way
+    // argmin / distance-table expressions into the per-PAIR projection
+    // and recompute them |Q| times per corpus row (measured 30× slower).
+    // At scale the corpus code table is persisted offline anyway —
+    // codes are the stored representation in any real PQ index.
+    val c = subCols(corpus, col(idCol), "n_id")
+      .select(col("n_id") +: (0 until m).map(s => codeOf(s).as(s"c_$s")): _*)
+      .localCheckpoint(true)
+    val q = subCols(queries, col(idCol), "q_id")
+      .select(col("q_id") +: (0 until m).map(s => qTable(s).as(s"t_$s")): _*)
+      .localCheckpoint(true)
     val adist = (0 until m).map(s =>
       element_at(col(s"t_$s"), col(s"c_$s") + 1)).reduceLeft(_ + _)
     val wA = Window.partitionBy("q_id").orderBy(col("adist").asc, col("n_id").asc)
