@@ -148,6 +148,26 @@ object TextQueries {
           count(lit(1)).as("n_distinct"))
     }),
 
+    // ---- vocabulary build + token-id encoding: the tokenize-to-ids
+    //      step before training. Vocab = top-256 tokens by (freq desc,
+    //      token asc) with dense ids; docs encode positionally via a
+    //      broadcast join; out-of-vocab → id 0. Output is long-form
+    //      (doc_id, pos, tid) — the exploded shape a sharded tokenized
+    //      dataset is written in ----
+    "t_encode_ids" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+      val toks = d.select(col("doc_id"),
+        posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+        .withColumn("tid", row_number().over(
+          Window.orderBy(col("freq").desc, col("tok").asc)))
+        .filter(col("tid") <= 256).select("tok", "tid")
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .select(col("doc_id"), col("pos"),
+          coalesce(col("tid"), lit(0)).as("tid"))
+    }),
+
     // ---- corpus bigram frequency, top-100: one map-combinable
     //      aggregation + TakeOrderedAndProject (count-desc, bigram-asc
     //      tiebreak keeps the top-k set deterministic) ----
@@ -202,6 +222,18 @@ object TextQueries {
         |  FROM d)
         |SELECT doc_id, source FROM rn JOIN q USING (source)
         |WHERE rn <= quota""".stripMargin,
+
+    "t_encode_ids" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok,
+        |    CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT) AS pos
+        |  FROM documents),
+        |vocab AS (SELECT tok, tid FROM (
+        |    SELECT tok, CAST(ROW_NUMBER() OVER (
+        |      ORDER BY COUNT(*) DESC, tok ASC) AS INT) AS tid
+        |    FROM toks GROUP BY tok) v WHERE tid <= 256)
+        |SELECT t.doc_id, t.pos, COALESCE(v.tid, 0) AS tid
+        |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok""".stripMargin,
 
     "t_rarity" ->
       s"""WITH tokdf AS (SELECT doc_id,

@@ -59,6 +59,32 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("incremental aggregation fed by a stream (foreachBatch) == batch aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_sincr").toString + "/state"
+    try {
+      val mem = MemoryStream[(String, Double)]
+      mem.addData(("a", 1.5), ("b", 2.0), ("a", 3.25))
+      mem.addData(("b", 4.0), ("c", 0.25))
+      val q = mem.toDF().toDF("k", "v").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.operators.IncrementalAgg.update(spark, dir, batch, Seq("k"), "v")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+      val got = graft.operators.IncrementalAgg.read(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDecimal(2).doubleValue)).toMap
+      assert(got === Map("a" -> (2L, 4.75), "b" -> (2L, 6.0), "c" -> (1L, 0.25)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+    }
+  }
+
   test("snapshotDiff: added/removed/changed classified; null values compare safely") {
     import spark.implicits._
     val old = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
