@@ -83,6 +83,10 @@ class PlanSpec extends SparkSpec {
     val q11 = planOf("q11_important_parts")
     assert(q11.contains("BroadcastNestedLoopJoin") ||
       q11.contains("BroadcastExchange"), q11)
+    // the bloom prefilter must be a map-side might_contain BEFORE the
+    // exact semi-join — the sketch probe lives in the scan stage
+    val bloom = planOf("o9_bloom_semi")
+    assert(bloom.contains("might_contain") && bloom.contains("LeftSemi"), bloom)
   }
 
   test("partitioned layout: a partition-column filter prunes at planning time") {
