@@ -148,6 +148,15 @@ object TextQueries {
           count(lit(1)).as("n_distinct"))
     }),
 
+    // ---- fuzzy near-identical names: deletion-neighborhood blocking
+    //      (FastSS) — exact recall for edit distance ≤ 1 with an
+    //      equi-join on single-deletion variants, never a cross join ----
+    "t_fuzzy_pairs" -> ((s, dir) => {
+      graft.operators.Fuzzy.editNeighborPairs(
+        t(s, dir, "customer").filter(col("c_custkey") < 300),
+        "c_custkey", "c_name")
+    }),
+
     // ---- vocabulary build + token-id encoding: the tokenize-to-ids
     //      step before training. Vocab = top-256 tokens by (freq desc,
     //      token asc) with dense ids; docs encode positionally via a
@@ -222,6 +231,18 @@ object TextQueries {
         |  FROM d)
         |SELECT doc_id, source FROM rn JOIN q USING (source)
         |WHERE rn <= quota""".stripMargin,
+
+    "t_fuzzy_pairs" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer
+        |  WHERE c_custkey < 300),
+        |v AS (SELECT id, s, unnest(list_distinct(list_prepend(s,
+        |    list_transform(range(1, length(s) + 1),
+        |      i -> substring(s, 1, i - 1) || substring(s, i + 1, length(s)))))) AS k
+        |  FROM c),
+        |p AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.s AS sa, b.s AS sb
+        |  FROM v a JOIN v b ON a.k = b.k AND a.id < b.id)
+        |SELECT a_id, b_id, levenshtein(sa, sb) AS dist FROM p
+        |WHERE levenshtein(sa, sb) <= 1""".stripMargin,
 
     "t_encode_ids" ->
       """WITH toks AS (SELECT doc_id,
