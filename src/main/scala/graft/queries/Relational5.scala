@@ -148,6 +148,22 @@ object Relational5 {
         .select("l_orderkey", "l_linenumber", "l_quantity")
     }),
 
+    // ---- ranking-function battery: rank / dense_rank / percent_rank /
+    //      cume_dist / ntile on one keyed window (unique tiebreak →
+    //      fully deterministic; the two ratio functions are single
+    //      divisions, IEEE-identical across engines) ----
+    "q_window_ranks" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders").filter(col("o_orderkey") % 37 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"),
+          ntile(4).over(w).as("quartile"))
+    }),
+
     // ---- one-pass column profiling: nulls / distincts / ranges per
     //      column via a map-side unpivot + one tiny grouped agg ----
     "q_profile" -> ((s, dir) => {
@@ -281,6 +297,17 @@ object Relational5 {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_orderkey = l_orderkey AND o_totalprice > 400000.0)""".stripMargin,
+
+    "q_window_ranks" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cdist,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM orders WHERE o_orderkey % 37 = 0
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
 
     "q_profile" ->
       """WITH d AS (SELECT l_quantity, l_extendedprice,
