@@ -16,6 +16,22 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Attach zero-cost quality gates to a frame: named observed metrics
+    * (row count + per-predicate violation counts) accumulated DURING
+    * whatever action next runs over the frame — no extra pass over the
+    * data, which at 100 TB is the difference between "monitored" and
+    * "unmonitored". Read the results from
+    * `df.queryExecution.observedMetrics(name)` after the action, or a
+    * `QueryExecutionListener` / `StreamingQueryListener` in production.
+    *
+    * @param checks (metricName, violationPredicate) pairs — each
+    *               becomes a count of rows where the predicate holds
+    */
+  def observed(df: DataFrame, name: String,
+               checks: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+    df.observe(name, count(lit(1)).as("n_rows"),
+      checks.map { case (m, p) => count(when(p, 1)).as(m) }: _*)
+
   /** Profile numeric (double-castable) columns. Nulls count, distincts
     * are exact, min/max are raw values (no arithmetic — safe to compare
     * across engines). */

@@ -85,6 +85,20 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("observed quality gates: metrics accumulate during the action, no extra pass") {
+    import spark.implicits._
+    val df = Seq((1L, 5.0), (2L, -1.0), (3L, 120.0), (4L, 7.0))
+      .toDF("id", "v")
+    val gated = graft.operators.Profile.observed(df, "gate", Seq(
+      "n_negative" -> (col("v") < 0),
+      "n_outlier" -> (col("v") > 100)))
+    gated.collect() // one action; metrics ride along
+    val m = gated.queryExecution.observedMetrics("gate")
+    assert(m.getAs[Long]("n_rows") === 4L)
+    assert(m.getAs[Long]("n_negative") === 1L)
+    assert(m.getAs[Long]("n_outlier") === 1L)
+  }
+
   test("snapshotDiff: added/removed/changed classified; null values compare safely") {
     import spark.implicits._
     val old = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
