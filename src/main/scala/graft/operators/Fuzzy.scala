@@ -26,9 +26,12 @@ object Fuzzy {
   def editNeighborPairs(df: DataFrame, idCol: String,
                         strCol: String): DataFrame = {
     val s = col("s")
-    val dels = transform(sequence(lit(1), length(s)),
-      i => concat(s.substr(lit(1), i - lit(1)),
-        s.substr(i + lit(1), length(s))))
+    // guard empty strings: Spark's sequence(1, 0) yields DESCENDING
+    // [1, 0], which would emit bogus variants
+    val dels = when(length(s) === 0, array())
+      .otherwise(transform(sequence(lit(1), length(s)),
+        i => concat(s.substr(lit(1), i - lit(1)),
+          s.substr(i + lit(1), length(s)))))
     val v = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .select(col("id"), col("s"),
         explode(array_distinct(concat(array(s), dels))).as("k"))

@@ -50,4 +50,40 @@ object RangeJoin {
         (col("__rus") - col("__lus")) / 1000000.0)
       .drop("__bucket", "__lus", "__rus")
   }
+
+  /** Interval-OVERLAP join: left intervals `[lo, hi]` paired with
+    * same-key right intervals that overlap (`l.lo ≤ r.hi ∧ r.lo ≤
+    * l.hi`) — meeting/session/outage intersection queries.
+    *
+    * Scale shape: each interval explodes to the time buckets it spans
+    * (choose `bucketSeconds` ≥ the typical span so that is ~2), the
+    * join is a plain equi-join on (keys, bucket), and a pair sharing
+    * several buckets is kept ONLY at the first bucket both intervals
+    * cover (`greatest` of the two start buckets — a pure predicate, so
+    * dedup costs no extra shuffle). Exact overlap then filters
+    * bucket-level false positives. Integer epoch-micros arithmetic
+    * throughout, replicable verbatim in SQL.
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  loCol: String, hiCol: String, bucketSeconds: Long,
+                  leftCols: Seq[String], rightCols: Seq[String],
+                  prefix: String = "r_"): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val w = bucketSeconds * 1000000L
+    val keyCols = keys.map(col)
+    def side(df: DataFrame, lo: String, hi: String,
+             payload: Seq[org.apache.spark.sql.Column]) =
+      df.select(keyCols ++ Seq(unix_micros(col(loCol)).as(lo),
+          unix_micros(col(hiCol)).as(hi)) ++ payload: _*)
+        .withColumn("__bucket",
+          explode(sequence(expr(s"$lo div ${w}L"), expr(s"$hi div ${w}L"))))
+    val l = side(left, "__llo", "__lhi", leftCols.map(col))
+    val r = side(right, "__rlo", "__rhi",
+      rightCols.map(c => col(c).as(prefix + c)))
+    l.join(r, keys :+ "__bucket")
+      .filter(col("__llo") <= col("__rhi") && col("__rlo") <= col("__lhi"))
+      .filter(col("__bucket") ===
+        greatest(expr(s"__llo div ${w}L"), expr(s"__rlo div ${w}L")))
+      .drop("__bucket", "__llo", "__lhi", "__rlo", "__rhi")
+  }
 }

@@ -71,6 +71,23 @@ object EventQueries {
           col("r_event_id"), col("r_offset_sec"))
     }),
 
+    // ---- interval-overlap join: 2h purchase windows × 1h click
+    //      windows per user (span-bucketed equi-join; pairs deduped at
+    //      the first shared bucket — a predicate, not a shuffle) ----
+    "e_overlap_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def windowed(typ: String, spanH: Int) = ev
+        .filter(col("event_type") === typ)
+        .withColumn("lo", col("ts"))
+        .withColumn("hi", col("ts") + expr(s"INTERVAL $spanH HOURS"))
+      graft.operators.RangeJoin.overlapJoin(
+          windowed("purchase", 2), windowed("click", 1),
+          keys = Seq("user_id"), loCol = "lo", hiCol = "hi",
+          bucketSeconds = 7200L,
+          leftCols = Seq("event_id"), rightCols = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("r_event_id"))
+    }),
+
     // ---- ordered funnel with conversion windows: signup → click
     //      within 24h → purchase within 24h of the click. Stage minima
     //      computed in dependency order (three cheap per-user
@@ -222,6 +239,15 @@ object EventQueries {
         |SELECT event_id, user_id, mm.r_eid AS m_event_id,
         |  mm.r_val AS m_value FROM w
         |WHERE side = 1""".stripMargin,
+
+    // overlap semantics as a plain theta join — verifies the bucketed
+    // equi-join + first-shared-bucket dedup produces exactly the pairs
+    "e_overlap_join" ->
+      """SELECT p.event_id, p.user_id, c.event_id AS r_event_id
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+        |  AND epoch_us(c.ts) <= epoch_us(p.ts) + 7200000000""".stripMargin,
 
     // the oracle states the SEMANTICS as a plain theta join — it
     // verifies the engine's bucketed equi-join produces exactly the
