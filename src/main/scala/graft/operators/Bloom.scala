@@ -37,11 +37,24 @@ object Bloom {
   }
 
   /** Fold `keys(keyCol)` into a serialized bloom sketch (one aggregate
-    * job over the small side; the blob is a plan-literal thereafter). */
+    * job over the small side; the blob is a plan-literal thereafter).
+    * BloomFilterAggregate silently CLAMPS to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`
+    * (defaults 4M items / 64M bits) — past that the realized fpp
+    * quietly degrades — so the confs are raised here to the requested
+    * size before aggregating. */
   def bloomOf(keys: DataFrame, keyCol: String, fpp: Double = 0.01): Array[Byte] = {
     val n = math.max(keys.count(), 1L)
+    val bits = numBits(n, fpp)
+    val conf = keys.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    if (conf.get(itemsKey, "4000000").toLong < n)
+      conf.set(itemsKey, n.toString)
+    if (conf.get(bitsKey, "67108864").toLong < bits)
+      conf.set(bitsKey, bits.toString)
     val agg = new BloomFilterAggregate(xx(col(keyCol)),
-      Literal(n), Literal(numBits(n, fpp))).toAggregateExpression()
+      Literal(n), Literal(bits)).toAggregateExpression()
     keys.select(Bridge.column(agg).as("bf")).head().getAs[Array[Byte]](0)
   }
 
@@ -58,7 +71,10 @@ object Bloom {
   def semiJoin(big: DataFrame, keys: DataFrame, bigKey: String,
                keyCol: String, fpp: Double = 0.01): DataFrame = {
     val bf = bloomOf(keys, keyCol, fpp)
+    // rename the key side so bigKey == keyCol can't make the join
+    // condition ambiguous
     big.filter(mightContain(bf, col(bigKey)))
-      .join(keys.select(keyCol), col(bigKey) === col(keyCol), "left_semi")
+      .join(keys.select(col(keyCol).as("__bloom_key")),
+        col(bigKey) === col("__bloom_key"), "left_semi")
   }
 }

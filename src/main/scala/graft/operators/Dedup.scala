@@ -246,8 +246,14 @@ object Dedup {
     * (cluster, id, score) only — narrow rows, never the documents. */
   def clusterRepresentatives(labels: DataFrame, docs: DataFrame,
                              idCol: String, score: Column): DataFrame = {
-    val scored = labels.join(docs, labels("id") === docs(idCol))
-      .select(col("cluster"), col("id"), score.as("score"))
+    // rename the label columns up front so a docs table whose id/score
+    // columns are also named "id"/"cluster" can't make the post-join
+    // references ambiguous (dupClusters output IS (id, cluster))
+    val lab = labels.select(col("id").as("__lab_id"),
+      col("cluster").as("__lab_cluster"))
+    val scored = lab.join(docs, col("__lab_id") === docs(idCol))
+      .select(col("__lab_cluster").as("cluster"),
+        col("__lab_id").as("id"), score.as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster").orderBy(col("score").desc, col("id").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   * Derived values (avg = sum/cnt) are computed at READ time from the
   * mergeable parts, never stored (averages don't merge).
   *
-  * The state table swaps atomically via a temp dir, like
-  * [[Layout.compact]].
+  * The state table uses [[Layout.swapIn]]'s crash-safe
+  * rename-to-backup swap: a crash mid-swap leaves the backup intact
+  * and the next update/read recovers it — history is never silently
+  * lost.
   */
 object IncrementalAgg {
 
@@ -34,23 +36,29 @@ object IncrementalAgg {
              keys: Seq[String], valueCol: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(stateDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Layout.recoverSwap(fs, stateDir)
     val fresh = partial(batch, keys, valueCol)
     val merged =
-      if (fs.exists(p))
+      if (fs.exists(p)) {
+        // materialize the merge BEFORE the swap touches the directory
+        // the plan reads from
         spark.read.parquet(stateDir).union(fresh)
           .groupBy(keys.map(col): _*).agg(
             sum(col("cnt")).cast("long").as("cnt"),
             sum(col("sum_d")).cast("decimal(38,2)").as("sum_d"))
-      else fresh
+      } else fresh
     val tmp = stateDir.stripSuffix("/") + "__updating"
     merged.write.mode("overwrite").parquet(tmp)
-    fs.delete(p, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    Layout.swapIn(fs, stateDir, tmp)
     spark.read.parquet(stateDir)
   }
 
   /** Read the state with derived columns (the query-facing view). */
-  def read(spark: SparkSession, stateDir: String): DataFrame =
+  def read(spark: SparkSession, stateDir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Layout.recoverSwap(fs, stateDir)
     spark.read.parquet(stateDir).withColumn("avg_v",
       col("sum_d").cast("double") / col("cnt"))
+  }
 }

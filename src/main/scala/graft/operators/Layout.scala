@@ -51,26 +51,50 @@ object Layout {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Crash-safe directory swap: the current `path` (if any) renames to
+    * a `__old` backup, the fully-written `tmp` renames in, then the
+    * backup is dropped. Renames are metadata operations, so the window
+    * where `path` is absent is two namenode calls — and a crash inside
+    * it leaves the backup intact: [[recoverSwap]] (called by every
+    * consumer first) restores it instead of silently losing state. */
+  private[graft] def swapIn(fs: org.apache.hadoop.fs.FileSystem,
+                            path: String, tmp: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__old")
+    fs.delete(old, true)
+    if (fs.exists(p)) fs.rename(p, old)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    fs.delete(old, true)
+  }
+
+  /** Restore `path` from its `__old` backup if a previous swap crashed
+    * between the two renames (path gone, backup present). */
+  private[graft] def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                 path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__old")
+    if (!fs.exists(p) && fs.exists(old)) fs.rename(old, p)
+  }
+
   /** Compact a directory of small parquet files (the residue of
     * micro-batch sinks and over-parallel writes) into ~`targetFiles`
     * right-sized ones: a round-robin repartition — no shuffle key
-    * needed, sizes equalize — then an atomic swap via a temp dir so
-    * readers never observe a half-written layout. At 100 TB the
-    * listing/open overhead of millions of KB-files dominates scan
-    * time; periodic compaction is what keeps streaming-written tables
-    * scannable. Returns the number of data files after compaction. */
+    * needed, sizes equalize — then a crash-safe swap (see [[swapIn]]).
+    * At 100 TB the listing/open overhead of millions of KB-files
+    * dominates scan time; periodic compaction is what keeps
+    * streaming-written tables scannable. Returns the number of data
+    * files after compaction. */
   def compact(spark: SparkSession, path: String, targetFiles: Int): Int = {
     val tmp = path.stripSuffix("/") + "__compacting"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, path)
     spark.read.parquet(path)
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path)
-    val t = new org.apache.hadoop.fs.Path(tmp)
-    val fs = p.getFileSystem(conf)
-    fs.delete(p, true)
-    fs.rename(t, p)
-    fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    swapIn(fs, path, tmp)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .count(_.getPath.getName.endsWith(".parquet"))
   }
 
   /** Morton (Z-order) interleave of two non-negative 16-bit column

@@ -87,8 +87,13 @@ object Sampling {
     import spark.implicits._
     val ratioDf = ratios.toSeq.toDF(sourceCol, "__ratio")
     val d = df.filter(col(sourceCol).isin(ratios.keys.toSeq: _*))
-    val withRatio = d.groupBy(sourceCol).agg(count(lit(1)).as("__cnt"))
-      .join(broadcast(ratioDf), sourceCol)
+    // ratio-listed sources absent from the data must constrain the
+    // total to 0 (the only total consistent with the ratios), not be
+    // silently dropped — hence ratios LEFT JOIN counts, zero-filled
+    val withRatio = broadcast(ratioDf)
+      .join(d.groupBy(sourceCol).agg(count(lit(1)).as("__c")),
+        Seq(sourceCol), "left")
+      .withColumn("__cnt", coalesce(col("__c"), lit(0L))).drop("__c")
     val feasible = withRatio
       .agg(min(floor(col("__cnt") / col("__ratio"))).as("__total"))
     val quota = withRatio.crossJoin(broadcast(feasible))

@@ -248,10 +248,12 @@ object Similarity {
         cw => dot(col(s"__v_$s"), cw)),
       (cn2, d) => cn2 - lit(2.0) * d)
     // argmin via array_position of the min — FIRST position on ties,
-    // i.e. the lowest code id, matching the oracle's tiebreak
-    def codeOf(s: Int): Column = element_at(
-      typedLit(books(s).map(_._1)),
-      array_position(scoredArr(s), array_min(scoredArr(s))).cast("int"))
+    // i.e. the lowest code id (books are sorted by code id), matching
+    // the oracle's tiebreak. The stored value is the 1-based POSITION
+    // in the (code-sorted) book, not the raw code id, so the ADC table
+    // lookup is valid for sparse or non-zero-based code ids too.
+    def codeOf(s: Int): Column =
+      array_position(scoredArr(s), array_min(scoredArr(s))).cast("int")
     def qTable(s: Int): Column = scoredArr(s)
 
     // materialize codes and query tables BEFORE the pair join:
@@ -267,7 +269,7 @@ object Similarity {
       .select(col("q_id") +: (0 until m).map(s => qTable(s).as(s"t_$s")): _*)
       .localCheckpoint(true)
     val adist = (0 until m).map(s =>
-      element_at(col(s"t_$s"), col(s"c_$s") + 1)).reduceLeft(_ + _)
+      element_at(col(s"t_$s"), col(s"c_$s"))).reduceLeft(_ + _)
     val wA = Window.partitionBy("q_id").orderBy(col("adist").asc, col("n_id").asc)
     val cands = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), adist.as("adist"))

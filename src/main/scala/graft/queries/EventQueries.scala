@@ -157,10 +157,19 @@ object EventQueries {
     "e_corrupt_json" -> ((s, dir) => {
       val raw = when(col("event_id") % 3 === 0,
         regexp_replace(col("props"), "\\}$", "")).otherwise(col("props"))
+      // validity = does the document PARSE — tracked via the
+      // _corrupt_record channel (Spark 4's permissive from_json never
+      // returns a null struct), so it matches the oracle's json_valid
+      // for any object payload, not just ones where "$.k" is present
+      val opts = new java.util.HashMap[String, String]()
+      opts.put("columnNameOfCorruptRecord", "_corrupt_record")
       t(s, dir, "events").select(col("event_id"), raw.as("raw"))
         .select(col("event_id"),
-          get_json_object(col("raw"), "$.k").cast("long").as("k"),
-          get_json_object(col("raw"), "$.k").isNotNull.as("is_valid"))
+          from_json(col("raw"), lit("k BIGINT, _corrupt_record STRING"),
+            opts).as("p"))
+        .select(col("event_id"),
+          col("p").getField("k").as("k"),
+          col("p").getField("_corrupt_record").isNull.as("is_valid"))
     }),
 
     // ---- Spark 4 VariantType ingestion: parse the semi-structured

@@ -220,12 +220,14 @@ object TextQueries {
         |r AS (SELECT * FROM (VALUES
         |    ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
         |    ('src2', CAST(0.2 AS DOUBLE))) v(source, ratio)),
-        |c AS (SELECT source, COUNT(*) AS cnt FROM d GROUP BY 1),
+        |c AS (SELECT r.source, r.ratio, COALESCE(g.cnt, 0) AS cnt
+        |  FROM r LEFT JOIN (SELECT source, COUNT(*) AS cnt FROM d
+        |    GROUP BY 1) g USING (source)),
         |f AS (SELECT MIN(CAST(FLOOR(cnt / ratio) AS BIGINT)) AS total
-        |  FROM c JOIN r USING (source)),
+        |  FROM c),
         |q AS (SELECT source,
         |    LEAST(cnt, CAST(FLOOR(ratio * total) AS BIGINT)) AS quota
-        |  FROM c JOIN r USING (source), f),
+        |  FROM c, f),
         |rn AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
         |  FROM d)
