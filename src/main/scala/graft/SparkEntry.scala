@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, EventQueries, FileOps, MultimodalQueries, Relational, Relational2, Relational3, Relational4, Relational5, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, EventQueries, FileOps, MultimodalQueries, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,6 +18,7 @@ object SparkEntry {
     (Relational3.queries, Relational3.oracleSql),
     (Relational4.queries, Relational4.oracleSql),
     (Relational5.queries, Relational5.oracleSql),
+    (Relational6.queries, Relational6.oracleSql),
     (FileOps.queries, FileOps.oracleSql),
     (TextQueries.queries, TextQueries.oracleSql),
     (DedupQueries.queries, DedupQueries.oracleSql),
