@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, EventQueries, FileOps, MultimodalQueries, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, EventQueries, FileOps, MultimodalQueries, QualityQueries, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,6 +19,7 @@ object SparkEntry {
     (Relational4.queries, Relational4.oracleSql),
     (Relational5.queries, Relational5.oracleSql),
     (Relational6.queries, Relational6.oracleSql),
+    (QualityQueries.queries, QualityQueries.oracleSql),
     (FileOps.queries, FileOps.oracleSql),
     (TextQueries.queries, TextQueries.oracleSql),
     (DedupQueries.queries, DedupQueries.oracleSql),

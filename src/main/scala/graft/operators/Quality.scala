@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality metrics (Deequ-style), computed scan-once.
+  *
+  * A quality gate over a 100 TB table must not cost one job per rule:
+  * every requested metric here compiles into a single wide aggregation
+  * over one scan (completeness, uniqueness, numeric profile, boolean
+  * rule assertions all map-combine), and the 1-row wide result is
+  * exploded to the long (metric, value) report form driver-side-free.
+  * Referential integrity is the one rule that inherently needs a second
+  * table; it runs as a broadcast/shuffled anti-join count, not a scan
+  * per key.
+  *
+  * All metric values are DOUBLE so the report schema is stable across
+  * rule types (ratios, counts, extrema, 0/1 assertions).
+  */
+object Quality {
+
+  /** Non-null ratio per column (1.0 = fully populated). */
+  private def completenessExpr(c: String): Column =
+    count(col(c)).cast("double") / count(lit(1)).cast("double")
+
+  /** Exact distinct ratio per column (1.0 = key candidate). */
+  private def uniquenessExpr(c: String): Column =
+    count_distinct(col(c)).cast("double") / count(lit(1)).cast("double")
+
+  /** One-pass metric report, long form (metric, value).
+    *
+    * @param completenessCols columns scored count(col)/count(*)
+    * @param uniquenessCols   columns scored countDistinct/count(*)
+    * @param numericCols      columns profiled min/max/mean (mean uses
+    *                         exact DECIMAL sums so the value is
+    *                         partition-order independent)
+    * @param assertions       named boolean rules over the whole table,
+    *                         e.g. "value_non_negative" -> min(v) >= 0;
+    *                         reported as 1.0 (holds) / 0.0 (violated)
+    */
+  def metrics(df: DataFrame,
+              completenessCols: Seq[String] = Nil,
+              uniquenessCols: Seq[String] = Nil,
+              numericCols: Seq[String] = Nil,
+              assertions: Seq[(String, Column)] = Nil): DataFrame = {
+    val pairs: Seq[(String, Column)] =
+      completenessCols.map(c => s"completeness_$c" -> completenessExpr(c)) ++
+      uniquenessCols.map(c => s"uniqueness_$c" -> uniquenessExpr(c)) ++
+      numericCols.flatMap(c => Seq(
+        s"min_$c" -> min(col(c)).cast("double"),
+        s"max_$c" -> max(col(c)).cast("double"),
+        s"mean_$c" -> (sum(col(c).cast("decimal(18,6)")).cast("double") /
+          count(col(c)).cast("double")))) ++
+      assertions.map { case (n, rule) => n -> rule.cast("double") }
+    require(pairs.nonEmpty, "no metrics requested")
+    val kvs = pairs.flatMap { case (n, e) => Seq(lit(n), e) }
+    df.agg(map(kvs: _*).as("m"))
+      .select(explode(col("m")).as(Seq("metric", "value")))
+  }
+
+  /** Referential integrity of child.key → parent.pkey as (metric, value)
+    * rows: orphan row count and orphan ratio. Null child keys are not
+    * orphans (SQL FK semantics). */
+  def referentialIntegrity(child: DataFrame, key: String,
+                           parent: DataFrame, pkey: String,
+                           name: String): DataFrame = {
+    val total = child.agg(count(lit(1)).cast("double").as("total"))
+    val orphans = child.filter(col(key).isNotNull)
+      .join(parent.select(col(pkey).as(key)).distinct(), Seq(key), "left_anti")
+      .agg(count(lit(1)).cast("double").as("orphans"))
+    orphans.crossJoin(total).select(
+      explode(map(
+        lit(s"orphans_$name"), col("orphans"),
+        lit(s"orphan_ratio_$name"), col("orphans") / col("total")))
+        .as(Seq("metric", "value")))
+  }
+}

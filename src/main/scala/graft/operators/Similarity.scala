@@ -304,4 +304,62 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
   }
+
+  /** Per-vector int8 scalar quantization (SQ8): code_i =
+    * round((v_i − lo) / scale), scale = (hi − lo)/255 — the 4× smaller
+    * compressed-domain representation a 100 TB vector store scans
+    * instead of raw float32. Constant vectors (hi = lo) encode as 0s.
+    * Emits (id, lo, scale, codes array<int>); round-half-up is exact
+    * cross-engine for the non-negative operand.
+    */
+  def sq8Encode(df: DataFrame, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame =
+    // two-step select: lo/scale must exist as columns before the
+    // per-element lambda can reference them
+    df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        array_min(col(vecCol)).as("lo"),
+        ((array_max(col(vecCol)) - array_min(col(vecCol))) / lit(255.0))
+          .as("scale"))
+      .select(col("id"), col("lo"), col("scale"),
+        transform(col("v"), x =>
+          when(col("scale") === 0, lit(0))
+            .otherwise(round((x - col("lo")) / col("scale")).cast("int")))
+          .as("codes"))
+
+  /** SQ8 ANN top-k: compressed-domain cosine scan over dequantized
+    * codes selects k+`rerank` candidates per query; exact vectors are
+    * fetched (equi-join on id) only for those candidates and re-scored.
+    * The full-precision corpus is never broadcast, never windowed —
+    * only (q_id, n_id, score) crosses each rank exchange.
+    * Output: (q_id, rank, n_id, cos, cos_sq8).
+    */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              rerank: Int = 4, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("qn"))
+    val enc = sq8Encode(corpus, idCol, vecCol)
+      .select(col("id").as("n_id"),
+        transform(col("codes"), c =>
+          col("lo") + c.cast("double") * col("scale")).as("dv"))
+      .select(col("n_id"), col("dv"), sqrt(dot(col("dv"), col("dv"))).as("dn"))
+    val approx = enc.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("dv"), col("qv")) / (col("dn") * col("qn"))).as("cos_sq8"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_sq8").desc, col("n_id").asc)
+    val cand = approx.withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= k + rerank).drop("crank")
+    val exact = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nn"))
+    val rescored = cand
+      .join(exact, "n_id")
+      .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))), "q_id")
+      .select(col("q_id"), col("n_id"), col("cos_sq8"),
+        cosPre(col("qv"), col("nv"), col("qn"), col("nn")).as("cos"))
+    val w2 = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    rescored.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cos", "cos_sq8")
+  }
 }

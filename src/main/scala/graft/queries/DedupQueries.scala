@@ -151,6 +151,20 @@ object DedupQueries {
         "doc_id", "text", n = 5)
     }),
 
+    // ---- transitive contamination: BFS (operators/Graph.bfsHops) from
+    //      the benchmark slice (doc_id < 20) along near-dup edges — a
+    //      train doc two near-dup generations away from a benchmark doc
+    //      is still contaminated; the pairwise screen (d_contamination)
+    //      only sees generation one. Bounded hops, frontier-join rounds ----
+    "d_contamination_transitive" -> ((s, dir) => {
+      val corpus = withNearCopies(s, dir)
+      val edges = Dedup.jaccardPairs(corpus, "doc_id", "text",
+        n = 5, threshold = 0.5, dfCap = None).select("a_id", "b_id")
+      val seeds = corpus.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("id"))
+      graft.operators.Graph.bfsHops(edges, seeds, maxHops = 3)
+    }),
+
     // ---- SimHash digests (native expression — no UDF boundary on the
     //      whole-corpus digest pass) ----
     "d_simhash" -> ((s, dir) => {
@@ -192,6 +206,25 @@ object DedupQueries {
       |FROM (SELECT id, string_split(text, ' ') AS tok FROM base))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "d_contamination_transitive" ->
+      s"""WITH RECURSIVE base AS (SELECT doc_id AS id, text FROM ($nearCorpus)),
+         |$shingleCte,
+         |ex AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+         |common AS (SELECT a.id AS a_id, b.id AS b_id, a.n_sh AS na,
+         |    b.n_sh AS nb, count(*) AS common
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+         |  GROUP BY 1, 2, 3, 4),
+         |edges AS (SELECT a_id, b_id FROM common
+         |  WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5),
+         |und AS (SELECT a_id AS s, b_id AS d FROM edges
+         |  UNION ALL SELECT b_id, a_id FROM edges),
+         |reach AS (
+         |  SELECT id, 0 AS hops FROM base WHERE id < 20
+         |  UNION
+         |  SELECT u.d AS id, r.hops + 1 AS hops
+         |  FROM reach r JOIN und u ON u.s = r.id WHERE r.hops < 3)
+         |SELECT id, MIN(hops) AS hops FROM reach GROUP BY id""".stripMargin,
+
     "d_exact_groups" ->
       s"""SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,
          | count(*) AS n_copies

@@ -207,6 +207,27 @@ object EventQueries {
           min(col("ts")).cast("date").as("first_day"),
           max(col("ts")).cast("date").as("last_day"),
           sum(dec(col("value"))).cast("double").as("total_value"))
+    }),
+
+    // ---- z-score anomaly flagging per event_type: mean and E[x²] from
+    //      exact DECIMAL sums (partition-order independent), variance =
+    //      msq − mean² and sqrt are IEEE-exact given identical inputs,
+    //      so the |z| > 2 cut is bit-reproducible across engines AND
+    //      across cluster sizes. One small stats agg broadcast back —
+    //      the events table itself is never shuffled ----
+    "e_anomaly_zscore" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val stats = e.groupBy("event_type").agg(
+        (sum(col("value").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("mean"),
+        (sum(round(col("value") * col("value"), 6).cast("decimal(18,6)"))
+          .cast("double") / count(lit(1))).as("msq"))
+        .withColumn("std", sqrt(col("msq") - col("mean") * col("mean")))
+      e.join(broadcast(stats), "event_type")
+        .withColumn("z", (col("value") - col("mean")) / col("std"))
+        .filter(abs(col("z")) > 2)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z"), 4).as("z"))
     })
   )
 
@@ -356,6 +377,18 @@ object EventQueries {
         | CAST(MIN(ts) AS DATE) AS first_day,
         | CAST(MAX(ts) AS DATE) AS last_day,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY user_id""".stripMargin
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "e_anomaly_zscore" ->
+      """WITH st AS (SELECT event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        |    AS mean,
+        |  CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(18,6)))
+        |    AS DOUBLE) / COUNT(*) AS msq
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, event_type, value,
+        |  ROUND((value - mean) / sqrt(msq - mean * mean), 4) AS z
+        |FROM events JOIN st USING (event_type)
+        |WHERE ABS((value - mean) / sqrt(msq - mean * mean)) > 2""".stripMargin
   )
 }

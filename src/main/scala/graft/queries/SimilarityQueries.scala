@@ -91,6 +91,18 @@ object SimilarityQueries {
           round(col("cos"), 4).as("cos"))
     }),
 
+    // ---- int8 scalar-quantized ANN: compressed-domain cosine scan
+    //      (4× smaller codes) selects k+4 candidates, exact vectors are
+    //      fetched only for those and re-scored (Similarity.sq8TopK) ----
+    "s_ann_sq8" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Similarity.sq8TopK(e.filter(col("vec_id") < 20), e, k = 3, rerank = 4)
+        .select(col("q_id"), col("rank"), col("n_id"),
+          round(col("cos"), 4).as("cos"),
+          round(col("cos_sq8"), 4).as("cos_sq8"))
+    }),
+
     // ---- embedding near-duplicates (cosine ≥ 0.999, sign-LSH blocked) ----
     "d_embedding_neardup" -> ((s, dir) => {
       Similarity.cosineNearDupPairs(withScaledCopies(s, dir),
@@ -209,6 +221,36 @@ object SimilarityQueries {
     // replicates codes + ADC with the SAME expression trees: d2 =
     // ip(cw,cw) - 2*ip(v_s,cw); the ADC distance is the explicit
     // left-associated 4-term sum, matching the engine's reduceLeft
+    "s_ann_sq8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |mm AS (SELECT vec_id, v, list_aggregate(v, 'min') AS lo,
+        |    (list_aggregate(v, 'max') - list_aggregate(v, 'min')) / 255.0
+        |      AS scale
+        |  FROM e),
+        |enc AS (SELECT vec_id, lo, scale,
+        |    list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+        |      ELSE CAST(round((x - lo) / scale) AS INT) END) AS codes
+        |  FROM mm),
+        |dq AS (SELECT vec_id AS n_id,
+        |    list_transform(codes, c -> lo + CAST(c AS DOUBLE) * scale) AS dv
+        |  FROM enc),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+        |approx AS (SELECT q_id, n_id, list_cosine_similarity(qv, dv)
+        |    AS cos_sq8 FROM q CROSS JOIN dq WHERE q_id <> n_id),
+        |cand AS (SELECT q_id, n_id, cos_sq8 FROM (
+        |    SELECT q_id, n_id, cos_sq8, ROW_NUMBER() OVER (
+        |      PARTITION BY q_id ORDER BY cos_sq8 DESC, n_id ASC) AS crank
+        |    FROM approx) WHERE crank <= 3 + 4),
+        |resc AS (SELECT q_id, cand.n_id AS n_id, cos_sq8,
+        |    list_cosine_similarity(qv, c.v) AS cos
+        |  FROM cand JOIN e c ON c.vec_id = cand.n_id
+        |  JOIN q USING (q_id)),
+        |r AS (SELECT q_id, n_id, cos, cos_sq8, ROW_NUMBER() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM resc)
+        |SELECT q_id, rank, n_id, ROUND(cos, 4) AS cos,
+        |  ROUND(cos_sq8, 4) AS cos_sq8 FROM r WHERE rank <= 3""".stripMargin,
+
     "s_ann_pq" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),

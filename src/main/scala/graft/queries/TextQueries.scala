@@ -196,8 +196,52 @@ object TextQueries {
         Text.maxWordLength(tok).as("max_word_len"),
         Text.alphaWordRatio(tok).as("alpha_ratio"),
         Text.gopherKeep(col("text"), tok).as("keep"))
+    }),
+
+    // ---- exact heavy hitters via Misra–Gries sketch + verify pass:
+    //      per-partition bounded summaries nominate candidates, the
+    //      exact count runs restricted to them (operators/HeavyHitters).
+    //      The long-tail vocabulary never reaches the shuffle — the
+    //      shape that makes threshold-frequency mining affordable when
+    //      the token stream is 100 TB with billions of singletons ----
+    "t_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("item"))
+      graft.operators.HeavyHitters.frequentItems(
+        toks, col("item"), minCount = 50L, capacity = 8192, validate = true)
+    }),
+
+    // ---- BM25 retrieval (k1=1.2, b=0.75) for a fixed term set: two
+    //      corpus passes (per-doc tf/dl, then 1-row global df/avgdl
+    //      stats broadcast back) — no per-term join, no shuffle of the
+    //      token stream. Score rounded to 4 decimals for cross-engine
+    //      ln() parity ----
+    "t_bm25" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      val wtf = bm25Terms.foldLeft(d) { (acc, tm) =>
+        acc.withColumn(s"tf_$tm",
+          size(filter(col("toks"), x => x === lit(tm))).cast("double"))
+      }.withColumn("dl", size(col("toks")).cast("double")).drop("toks")
+      val stats = wtf.agg(
+        (sum(col("dl")) / count(lit(1))).as("avgdl"),
+        (count(lit(1)).as("n_docs") +:
+          bm25Terms.map(tm => sum((col(s"tf_$tm") > 0).cast("long"))
+            .as(s"df_$tm"))): _*)
+      val den = (tm: String) => col(s"tf_$tm") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))
+      val idf = (tm: String) => log(
+        ((col("n_docs") - col(s"df_$tm")).cast("double") + lit(0.5)) /
+          (col(s"df_$tm").cast("double") + lit(0.5)) + lit(1.0))
+      val score = bm25Terms.map(tm =>
+        idf(tm) * (col(s"tf_$tm") * lit(2.2)) / den(tm)).reduceLeft(_ + _)
+      wtf.crossJoin(broadcast(stats))
+        .select(col("doc_id"), round(score, 4).as("bm25"))
     })
   )
+
+  /** Fixed query terms for t_bm25 (shared with its oracle SQL). */
+  private val bm25Terms = Seq("hash", "join", "scan")
 
   // shared SQL fragments (documents.text is single-space-joined lowercase)
   private val tok = "string_split(text, ' ')"
@@ -206,7 +250,37 @@ object TextQueries {
   private val scores = Text.langMarkers.map { case (l, m) => l -> hits(m) }
   private val bestExpr = s"greatest(${scores.map(_._2).mkString(", ")})"
 
+  /** Oracle fragment for one t_bm25 score term (mirrors the Spark
+    * expression tree token-for-token — see memory: identical IEEE trees
+    * are bit-exact; ln() is the one libm call, absorbed by ROUND(,4)). */
+  private def bm25Term(tm: String): String =
+    s"ln((CAST(n_docs - df_$tm AS DOUBLE) + CAST(0.5 AS DOUBLE)) / " +
+      s"(CAST(df_$tm AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))" +
+      s" * (tf_$tm * CAST(2.2 AS DOUBLE)) / (tf_$tm + CAST(1.2 AS DOUBLE) * " +
+      s"(CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))"
+
   val oracleSql: Map[String, String] = Map(
+    "t_heavy_hitters" ->
+      s"""SELECT tok AS item, COUNT(*) AS n
+         |FROM (SELECT unnest($tok) AS tok FROM documents)
+         |GROUP BY 1 HAVING COUNT(*) >= 50""".stripMargin,
+
+    "t_bm25" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    CAST(len($tok) AS DOUBLE) AS dl,
+         |${bm25Terms.map(tm =>
+             s"    CAST(len(list_filter($tok, x -> x = '$tm')) AS DOUBLE) AS tf_$tm"
+           ).mkString(",\n")}
+         |  FROM documents),
+         |st AS (SELECT SUM(dl) / COUNT(*) AS avgdl, COUNT(*) AS n_docs,
+         |${bm25Terms.map(tm =>
+             s"    SUM(CASE WHEN tf_$tm > 0 THEN 1 ELSE 0 END) AS df_$tm"
+           ).mkString(",\n")}
+         |  FROM w)
+         |SELECT doc_id, ROUND(
+         |${bm25Terms.map(bm25Term).mkString("  ", "\n  + ", "")}
+         |, 4) AS bm25 FROM w, st""".stripMargin,
+
     "t_source_quota" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source

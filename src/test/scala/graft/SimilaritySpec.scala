@@ -134,4 +134,37 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 101L), (2L, 102L)))
   }
+
+  test("sq8Encode: codes bounded 0..255, dequant error ≤ scale/2 per dim") {
+    val df = vecs(
+      (1L, Seq(-1.0, 0.0, 0.5, 1.0)),
+      (2L, Seq(3.0, 3.0, 3.0, 3.0)))   // constant vector → scale 0
+    val enc = Similarity.sq8Encode(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getSeq[Int](3))).toMap
+    val (lo1, sc1, c1) = enc(1L)
+    assert(lo1 === -1.0 && c1.forall(c => c >= 0 && c <= 255))
+    assert(c1.head === 0 && c1.last === 255)
+    Seq(-1.0, 0.0, 0.5, 1.0).zip(c1).foreach { case (x, c) =>
+      assert(math.abs(x - (lo1 + c * sc1)) <= sc1 / 2 + 1e-12) }
+    val (_, sc2, c2) = enc(2L)
+    assert(sc2 === 0.0 && c2.forall(_ == 0))
+  }
+
+  test("sq8TopK: rerank restores the exact top-k on a small corpus") {
+    val df = vecs(
+      (1L, Seq(1.0, 0.02, -0.3)), (2L, Seq(0.95, 0.05, -0.28)),
+      (3L, Seq(0.1, 0.99, 0.4)), (4L, Seq(-0.7, 0.2, 0.6)),
+      (5L, Seq(0.9, -0.1, -0.4)), (6L, Seq(0.0, -1.0, 0.2)))
+    val q = df.filter(col("vec_id") === 1)
+    val exact = Similarity.cosineTopK(q, df, k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    val sq8 = Similarity.sq8TopK(q, df, k = 3, rerank = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(sq8 === exact)
+    // exact cos and compressed-domain cos agree to quantization noise
+    val errs = Similarity.sq8TopK(q, df, k = 3, rerank = 2).collect()
+      .map(r => math.abs(r.getDouble(3) - r.getDouble(4)))
+    assert(errs.forall(_ < 0.02), errs.toSeq)
+  }
 }
