@@ -362,4 +362,64 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "rank", "n_id", "cos", "cos_sq8")
   }
+
+  /** Maximal Marginal Relevance rerank: pick k results per query that
+    * balance relevance against redundancy — the diverse-retrieval step
+    * a training-mix curator runs so near-identical top hits don't crowd
+    * out coverage. Greedy: each round adds the candidate maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s).
+    *
+    * Execution shape: the greedy loop is k driver-side ROUNDS (k is
+    * small), but each round is one distributed join over ALL queries'
+    * candidate pools at once — never a per-query loop. Pools are capped
+    * at `poolSize` rows per query by relevance first, so the quadratic
+    * candidate×selected sim term is poolSize·k per query, independent
+    * of corpus size.
+    *
+    * Determinism contract: relevance and pairwise sims are rounded to 6
+    * decimals before any argmax, ties break by candidate id — so the
+    * selection is a total function of the input (and cross-engine
+    * checkable; the oracle unrolls the same greedy rounds in SQL).
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, k: Int,
+                poolSize: Int, lambda: Double,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && poolSize >= k)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
+    val rel = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("cv"),
+        round(cosine(col("qv"), col("cv")), 6).as("rel"))
+    val wPool = Window.partitionBy("q_id")
+      .orderBy(col("rel").desc, col("c_id").asc)
+    val pool = rel.withColumn("rn", row_number().over(wPool))
+      .filter(col("rn") <= poolSize).drop("rn")
+      .localCheckpoint(true) // consumed k times below
+    val wPick = (s: Column) => Window.partitionBy("q_id")
+      .orderBy(s.desc, col("c_id").asc)
+
+    var selected = pool
+      .withColumn("rn", row_number().over(wPick(col("rel"))))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id"), col("cv"), lit(1).as("sel_round"))
+      .localCheckpoint(true)
+    var roundNo = 1
+    while (roundNo < k) {
+      roundNo += 1
+      val rem = pool.join(selected.select("q_id", "c_id"),
+        Seq("q_id", "c_id"), "left_anti")
+      val div = rem.as("r").join(selected.as("s"), Seq("q_id"))
+        .select(col("q_id"), col("r.c_id").as("c_id"), col("r.cv").as("cv"),
+          col("r.rel").as("rel"),
+          round(cosine(col("r.cv"), col("s.cv")), 6).as("sim"))
+        .groupBy("q_id", "c_id", "cv", "rel").agg(max(col("sim")).as("mdiv"))
+      val score = lit(lambda) * col("rel") - lit(1.0 - lambda) * col("mdiv")
+      val pick = div.withColumn("rn", row_number().over(wPick(score)))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("c_id"), col("cv"),
+          lit(roundNo).as("sel_round"))
+      selected = selected.union(pick).localCheckpoint(true)
+    }
+    selected.select("q_id", "sel_round", "c_id")
+  }
 }

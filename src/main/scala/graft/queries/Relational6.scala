@@ -63,6 +63,38 @@ object Relational6 {
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
             .as("bucket_revenue"))
+    }),
+
+    // Audit-grade exact quantiles (Profile.exactQuantiles): range sort +
+    // zipWithIndex offsets, never a single-partition window. Pairs with
+    // the sketch path in q_approx_stats.
+    "q_exact_quantiles" -> ((s, dir) => {
+      graft.operators.Profile.exactQuantiles(
+        t(s, dir, "orders"), "o_totalprice", Seq(0.25, 0.5, 0.75))
+    }),
+
+    // Exact distributed Pearson correlation from DECIMAL moments: the
+    // five sums are exact (partition-order independent) and the closing
+    // formula is one identical IEEE tree per engine — bit-reproducible
+    // at any cluster size, unlike corr() over float accumulators.
+    "q_correlation" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      val m = l.agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(18,6)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(18,6)")).cast("double").as("sy"),
+        sum(round(col("x") * col("x"), 6).cast("decimal(28,6)"))
+          .cast("double").as("sxx"),
+        sum(round(col("y") * col("y"), 6).cast("decimal(28,6)"))
+          .cast("double").as("syy"),
+        sum(round(col("x") * col("y"), 6).cast("decimal(28,6)"))
+          .cast("double").as("sxy"))
+      m.select(col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("pearson_r"))
     })
   )
 
@@ -98,6 +130,35 @@ object Relational6 {
         |       COUNT(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |         AS bucket_revenue
-        |FROM orders GROUP BY 1""".stripMargin
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_exact_quantiles" ->
+      """WITH r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) - 1 AS idx
+        |  FROM (SELECT o_totalprice AS x FROM orders
+        |        WHERE o_totalprice IS NOT NULL)),
+        |n AS (SELECT COUNT(*) AS c FROM r),
+        |p AS (SELECT CAST(v.q AS DOUBLE) AS q,
+        |    CAST(c - 1 AS DOUBLE) * CAST(v.q AS DOUBLE) AS pos
+        |  FROM n, (VALUES (0.25), (0.5), (0.75)) v(q)),
+        |pp AS (SELECT q, CAST(FLOOR(pos) AS BIGINT) AS lo,
+        |    CAST(CEIL(pos) AS BIGINT) AS hi, pos - FLOOR(pos) AS frac
+        |  FROM p),
+        |j AS (SELECT q, frac,
+        |    MAX(CASE WHEN idx = lo THEN x END) AS vlo,
+        |    MAX(CASE WHEN idx = hi THEN x END) AS vhi
+        |  FROM r JOIN pp ON idx = lo OR idx = hi GROUP BY q, frac)
+        |SELECT q, vlo + (vhi - vlo) * frac AS value FROM j""".stripMargin,
+
+    "q_correlation" ->
+      """WITH m AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+        |  CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+        |  FROM (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem))
+        |SELECT n, ROUND((n * sxy - sx * sy) /
+        |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+        |  AS pearson_r FROM m""".stripMargin
   )
 }

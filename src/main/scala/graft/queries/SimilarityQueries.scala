@@ -103,6 +103,17 @@ object SimilarityQueries {
           round(col("cos_sq8"), 4).as("cos_sq8"))
     }),
 
+    // ---- MMR diverse rerank (λ=0.7, pool 8, k=3): greedy argmax of
+    //      λ·rel − (1−λ)·max-sim-to-selected, all queries advanced in
+    //      parallel per round (Similarity.mmrRerank); determinism via
+    //      round-6 scores + id tiebreaks, oracle unrolls the 3 rounds ----
+    "s_mmr_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Similarity.mmrRerank(e.filter(col("vec_id") < 10), e,
+        k = 3, poolSize = 8, lambda = 0.7)
+    }),
+
     // ---- embedding near-duplicates (cosine ≥ 0.999, sign-LSH blocked) ----
     "d_embedding_neardup" -> ((s, dir) => {
       Similarity.cosineNearDupPairs(withScaledCopies(s, dir),
@@ -221,6 +232,44 @@ object SimilarityQueries {
     // replicates codes + ADC with the SAME expression trees: d2 =
     // ip(cw,cw) - 2*ip(v_s,cw); the ADC distance is the explicit
     // left-associated 4-term sum, matching the engine's reduceLeft
+    // greedy MMR unrolled: s1 = top relevance; s2, s3 = argmax of
+    // 0.7·rel − (1.0 − 0.7)·max-sim-to-selected (literal 1.0 − 0.7, NOT
+    // 0.3 — must equal Scala's `1.0 - lambda` bit pattern)
+    "s_mmr_rerank" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |rel AS (SELECT q_id, vec_id AS c_id, v AS cv,
+        |    round(list_cosine_similarity(qv, v), 6) AS rel
+        |  FROM q CROSS JOIN e WHERE vec_id <> q_id),
+        |pool AS (SELECT q_id, c_id, cv, rel FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY rel DESC, c_id ASC) AS rn FROM rel) WHERE rn <= 8),
+        |s1 AS (SELECT q_id, c_id, cv FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY rel DESC, c_id ASC) AS rn FROM pool) WHERE rn = 1),
+        |r2 AS (SELECT p.q_id, p.c_id, p.cv, p.rel,
+        |    round(list_cosine_similarity(p.cv, s1.cv), 6) AS mdiv
+        |  FROM pool p JOIN s1 USING (q_id) WHERE p.c_id <> s1.c_id),
+        |s2 AS (SELECT q_id, c_id, cv FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY CAST(0.7 AS DOUBLE) * rel
+        |        - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * mdiv DESC,
+        |        c_id ASC) AS rn FROM r2) WHERE rn = 1),
+        |r3 AS (SELECT p.q_id, p.c_id, p.rel,
+        |    greatest(round(list_cosine_similarity(p.cv, s1.cv), 6),
+        |             round(list_cosine_similarity(p.cv, s2.cv), 6)) AS mdiv
+        |  FROM pool p JOIN s1 USING (q_id) JOIN s2 USING (q_id)
+        |  WHERE p.c_id <> s1.c_id AND p.c_id <> s2.c_id),
+        |s3 AS (SELECT q_id, c_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY CAST(0.7 AS DOUBLE) * rel
+        |        - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * mdiv DESC,
+        |        c_id ASC) AS rn FROM r3) WHERE rn = 1)
+        |SELECT q_id, 1 AS sel_round, c_id FROM s1
+        |UNION ALL SELECT q_id, 2, c_id FROM s2
+        |UNION ALL SELECT q_id, 3, c_id FROM s3""".stripMargin,
+
     "s_ann_sq8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),

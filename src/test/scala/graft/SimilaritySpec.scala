@@ -167,4 +167,32 @@ class SimilaritySpec extends SparkSpec {
       .map(r => math.abs(r.getDouble(3) - r.getDouble(4)))
     assert(errs.forall(_ < 0.02), errs.toSeq)
   }
+
+  test("mmrRerank skips the near-duplicate of an already-selected hit") {
+    // 2 ≈ 3 (near-identical, both highly relevant to 1); 4 is less
+    // relevant but diverse; 5 is irrelevant
+    val df = vecs(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.98, 0.20, 0.0)),
+      (3L, Seq(0.97, 0.21, 0.0)),
+      (4L, Seq(0.5, -0.8, 0.3)),
+      (5L, Seq(-0.9, 0.1, 0.4)))
+    val q = df.filter(col("vec_id") === 1)
+    val relOrder = Similarity.cosineTopK(q, df, k = 2)
+      .collect().map(_.getLong(2)).toSeq
+    assert(relOrder === Seq(2L, 3L)) // pure relevance keeps the near-dup
+    val mmr = Similarity.mmrRerank(q, df, k = 2, poolSize = 4, lambda = 0.5)
+      .orderBy("sel_round").collect().map(_.getLong(2)).toSeq
+    assert(mmr === Seq(2L, 4L), s"got $mmr") // diversity evicts 3 for 4
+  }
+
+  test("mmrRerank round 1 is the pure-relevance top hit, k rows per query") {
+    val df = vecs((1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)),
+      (3L, Seq(0.2, 0.9)), (4L, Seq(-0.5, 0.5)))
+    val out = Similarity.mmrRerank(df.filter(col("vec_id") <= 2), df,
+      k = 3, poolSize = 3, lambda = 0.7).collect()
+    assert(out.length === 6)
+    val r1 = out.filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(r1 === Map(1L -> 2L, 2L -> 1L))
+  }
 }
