@@ -95,6 +95,23 @@ object Relational6 {
           (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
           .as("pearson_r"))
+    }),
+
+    // Winsorization at exact p05/p95: the outlier clamp before a
+    // numeric feature feeds training. Quantile bounds come from the
+    // scalable exact path (one 2-row broadcast), the clamp itself is
+    // map-side, and the report is one aggregation.
+    "q_winsorize" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val bounds = graft.operators.Profile
+        .exactQuantiles(o, "o_totalprice", Seq(0.05, 0.95))
+        .agg(max(when(col("q") === 0.05, col("value"))).as("lo"),
+          max(when(col("q") === 0.95, col("value"))).as("hi"))
+      o.crossJoin(broadcast(bounds)).agg(
+        count(when(col("o_totalprice") < col("lo"), 1)).as("n_clipped_low"),
+        count(when(col("o_totalprice") > col("hi"), 1)).as("n_clipped_high"),
+        sum(least(greatest(col("o_totalprice"), col("lo")), col("hi"))
+          .cast("decimal(18,2)")).cast("double").as("winsorized_sum"))
     })
   )
 
@@ -159,6 +176,31 @@ object Relational6 {
         |  FROM (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem))
         |SELECT n, ROUND((n * sxy - sx * sy) /
         |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
-        |  AS pearson_r FROM m""".stripMargin
+        |  AS pearson_r FROM m""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) - 1 AS idx
+        |  FROM (SELECT o_totalprice AS x FROM orders
+        |        WHERE o_totalprice IS NOT NULL)),
+        |n AS (SELECT COUNT(*) AS c FROM r),
+        |p AS (SELECT CAST(v.q AS DOUBLE) AS q,
+        |    CAST(c - 1 AS DOUBLE) * CAST(v.q AS DOUBLE) AS pos
+        |  FROM n, (VALUES (0.05), (0.95)) v(q)),
+        |pp AS (SELECT q, CAST(FLOOR(pos) AS BIGINT) AS lo_i,
+        |    CAST(CEIL(pos) AS BIGINT) AS hi_i, pos - FLOOR(pos) AS frac
+        |  FROM p),
+        |j AS (SELECT q, frac,
+        |    MAX(CASE WHEN idx = lo_i THEN x END) AS vlo,
+        |    MAX(CASE WHEN idx = hi_i THEN x END) AS vhi
+        |  FROM r JOIN pp ON idx = lo_i OR idx = hi_i GROUP BY q, frac),
+        |qv AS (SELECT q, vlo + (vhi - vlo) * frac AS value FROM j),
+        |b AS (SELECT MAX(CASE WHEN q = 0.05 THEN value END) AS lo,
+        |    MAX(CASE WHEN q = 0.95 THEN value END) AS hi FROM qv)
+        |SELECT
+        |  COUNT(CASE WHEN o_totalprice < lo THEN 1 END) AS n_clipped_low,
+        |  COUNT(CASE WHEN o_totalprice > hi THEN 1 END) AS n_clipped_high,
+        |  CAST(SUM(CAST(LEAST(GREATEST(o_totalprice, lo), hi)
+        |    AS DECIMAL(18,2))) AS DOUBLE) AS winsorized_sum
+        |FROM orders, b""".stripMargin
   )
 }

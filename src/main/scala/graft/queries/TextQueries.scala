@@ -237,6 +237,27 @@ object TextQueries {
         idf(tm) * (col(s"tf_$tm") * lit(2.2)) / den(tm)).reduceLeft(_ + _)
       wtf.crossJoin(broadcast(stats))
         .select(col("doc_id"), round(score, 4).as("bm25"))
+    }),
+
+    // ---- capstone composition: the full corpus-curation pipeline as
+    //      ONE declarative plan — Gopher quality gate → exact dedup
+    //      (min doc_id per md5) → per-source quota cap → per-source
+    //      report. Catalyst fuses the filter into the scan and each
+    //      window shuffles once on its own key; no stage materializes
+    //      an intermediate corpus ----
+    "t_corpus_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+      val tok = Text.tokens(col("text"))
+      val kept = d.filter(Text.gopherKeep(col("text"), tok))
+        .select("doc_id", "source", "text")
+      val deduped = kept.withColumn("__rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)))
+        .filter(col("__rn") === 1).drop("__rn")
+      graft.operators.Sampling.quotaCap(deduped, "doc_id", "source", quota = 40)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(Text.tokens(col("text")))).as("n_tokens"))
     })
   )
 
@@ -260,6 +281,26 @@ object TextQueries {
       s"(CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))"
 
   val oracleSql: Map[String, String] = Map(
+    "t_corpus_pipeline" ->
+      s"""WITH kept AS (SELECT doc_id, source, text FROM documents
+         |  WHERE len($tok) >= 10 AND len($tok) <= 5000
+         |    AND CAST(length(text) - (len($tok) - 1) AS DOUBLE)
+         |      / CAST(len($tok) AS DOUBLE) >= 2.0
+         |    AND CAST(length(text) - (len($tok) - 1) AS DOUBLE)
+         |      / CAST(len($tok) AS DOUBLE) <= 12.0
+         |    AND CAST(len(list_filter($tok, w -> regexp_full_match(w, '[a-z]+'))) AS DOUBLE)
+         |      / CAST(len($tok) AS DOUBLE) >= 0.6),
+         |ded AS (SELECT doc_id, source, text FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+         |      ORDER BY doc_id ASC) AS rn FROM kept) WHERE rn = 1),
+         |capped AS (SELECT doc_id, source, text FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+         |    FROM ded) WHERE rn <= 40)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(len($tok)) AS BIGINT) AS n_tokens
+         |FROM capped GROUP BY source""".stripMargin,
+
     "t_heavy_hitters" ->
       s"""SELECT tok AS item, COUNT(*) AS n
          |FROM (SELECT unnest($tok) AS tok FROM documents)

@@ -89,6 +89,27 @@ class PlanSpec extends SparkSpec {
     assert(bloom.contains("might_contain") && bloom.contains("LeftSemi"), bloom)
   }
 
+  test("round-4 shapes: heavy-hitter verify broadcasts, histogram map-combines") {
+    // phase-2 exact count joins the tiny candidate set via broadcast and
+    // the count itself partial-aggregates before the exchange
+    val hh = planOf("t_heavy_hitters")
+    assert(hh.contains("BroadcastHashJoin"), hh)
+    assert(hh.contains("partial_count"), hh)
+    val hist = planOf("q_histogram")
+    assert(hist.contains("partial_count"), hist)
+    assert("""\(\d+\) Exchange""".r.findAllIn(hist).length === 1, hist)
+  }
+
+  test("round-4 shapes: exact quantiles never use a single-partition window") {
+    assert(!planOf("q_exact_quantiles").contains("Window"))
+    assert(!planOf("q_winsorize").contains("Window"))
+    // corpus pipeline: quality filter reaches the scan stage (no
+    // separate filter-after-exchange), windows shuffle on their keys
+    val cp = planOf("t_corpus_pipeline")
+    assert(cp.contains("Window"), cp)
+    assert(!cp.contains("CartesianProduct"), cp)
+  }
+
   test("partitioned layout: a partition-column filter prunes at planning time") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
