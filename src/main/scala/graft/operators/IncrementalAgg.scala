@@ -61,4 +61,47 @@ object IncrementalAgg {
     spark.read.parquet(stateDir).withColumn("avg_v",
       col("sum_d").cast("double") / col("cnt"))
   }
+
+  // ---- approximate-distinct state (DataSketches HLL) ----------------
+  //
+  // COUNT DISTINCT does not merge: yesterday's per-key distinct count
+  // plus today's is NOT the union's. The mergeable form is the sketch
+  // itself: state stores one HLL per key (KBs, error ~1/sqrt(2^lgK)),
+  // each batch folds in via hll_union_agg, and the estimate is derived
+  // at read time — the distinct-users-per-day-over-a-year query that is
+  // otherwise a full 100 TB rescan becomes O(batch + |state|).
+
+  private def partialHll(batch: DataFrame, keys: Seq[String],
+                         distinctCol: String, lgK: Int): DataFrame =
+    batch.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(distinctCol), lit(lgK)).as("hll"))
+
+  /** Fold one batch into the HLL-distinct state at `stateDir`. */
+  def updateDistinct(spark: SparkSession, stateDir: String,
+                     batch: DataFrame, keys: Seq[String],
+                     distinctCol: String, lgK: Int = 12): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Layout.recoverSwap(fs, stateDir)
+    val fresh = partialHll(batch, keys, distinctCol, lgK)
+    val merged =
+      if (fs.exists(p)) {
+        spark.read.parquet(stateDir).union(fresh)
+          .groupBy(keys.map(col): _*)
+          .agg(hll_union_agg(col("hll")).as("hll"))
+      } else fresh
+    val tmp = stateDir.stripSuffix("/") + "__updating"
+    merged.write.mode("overwrite").parquet(tmp)
+    Layout.swapIn(fs, stateDir, tmp)
+    spark.read.parquet(stateDir)
+  }
+
+  /** Read the distinct state with the derived estimate. */
+  def readDistinct(spark: SparkSession, stateDir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Layout.recoverSwap(fs, stateDir)
+    spark.read.parquet(stateDir)
+      .withColumn("approx_distinct", hll_sketch_estimate(col("hll")))
+  }
 }

@@ -363,6 +363,34 @@ object Similarity {
       .select("q_id", "rank", "n_id", "cos", "cos_sq8")
   }
 
+  /** Deterministic ±1 projection matrix for [[randomProjection]]: k
+    * rows × dim, from a seeded LCG (java.util.Random spec — stable
+    * across platforms). Exposed so callers (and the SQL oracle) can
+    * embed the exact same literals.
+    */
+  def projectionMatrix(k: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rng = new java.util.Random(seed)
+    Seq.fill(k)(Seq.fill(dim)(if (rng.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Johnson–Lindenstrauss random projection dim → k: coord_j =
+    * ⟨v, r_j⟩ / √k with a seeded ±1 matrix inlined as plan literals —
+    * one codegen'd dot per output dim, zero shuffle, zero state. The
+    * dimensionality-reduction step before ANN indexing when 64–4096-dim
+    * embeddings dominate scan cost: distances are preserved to
+    * 1 ± O(√(log n / k)) whp, and determinism (seed → matrix) means
+    * re-projection of new data stays consistent with the index.
+    */
+  def randomProjection(df: DataFrame, k: Int, dim: Int, seed: Long,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val m = projectionMatrix(k, dim, seed)
+    val scale = lit(math.sqrt(k.toDouble))
+    df.select(col(idCol).as("id") +: m.zipWithIndex.map { case (row, j) =>
+      (dot(col(vecCol), typedLit(row)) / scale).as(s"c$j")
+    }: _*)
+  }
+
   /** Maximal Marginal Relevance rerank: pick k results per query that
     * balance relevance against redundancy — the diverse-retrieval step
     * a training-mix curator runs so near-identical top hits don't crowd

@@ -103,6 +103,17 @@ object SimilarityQueries {
           round(col("cos_sq8"), 4).as("cos_sq8"))
     }),
 
+    // ---- seeded JL random projection 64→16 (map-side, plan-literal
+    //      matrix): the dim-reduction pass before ANN indexing ----
+    "s_random_projection" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        .filter(col("vec_id") < 100)
+      val proj = Similarity.randomProjection(e, k = 16, dim = 64, seed = 42L)
+      proj.select(col("id").as("vec_id") +:
+        (0 until 16).map(j => round(col(s"c$j"), 6).as(s"c$j")): _*)
+    }),
+
     // ---- MMR diverse rerank (λ=0.7, pool 8, k=3): greedy argmax of
     //      λ·rel − (1−λ)·max-sim-to-selected, all queries advanced in
     //      parallel per round (Similarity.mmrRerank); determinism via
@@ -156,6 +167,22 @@ object SimilarityQueries {
   )
 
   private val dotSql = "list_cosine_similarity(qv, nv)"
+
+  /** JL oracle: the EXACT ±1 literals the Spark plan uses (same seeded
+    * generator), one list_inner_product per output dim. */
+  private val rpSql: String = {
+    val m = Similarity.projectionMatrix(16, 64, 42L)
+    val cols = m.zipWithIndex.map { case (row, j) =>
+      s"round(list_inner_product(v, [${
+        row.map(x => if (x > 0) "1.0" else "-1.0").mkString(",")
+      }]) / sqrt(16.0), 6) AS c$j"
+    }.mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < 100)
+       |SELECT vec_id,
+       |  $cols
+       |FROM e""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "s_cosine_topk" ->
@@ -232,6 +259,8 @@ object SimilarityQueries {
     // replicates codes + ADC with the SAME expression trees: d2 =
     // ip(cw,cw) - 2*ip(v_s,cw); the ADC distance is the explicit
     // left-associated 4-term sum, matching the engine's reduceLeft
+    "s_random_projection" -> rpSql,
+
     // greedy MMR unrolled: s1 = top relevance; s2, s3 = argmax of
     // 0.7·rel − (1.0 − 0.7)·max-sim-to-selected (literal 1.0 − 0.7, NOT
     // 0.3 — must equal Scala's `1.0 - lambda` bit pattern)

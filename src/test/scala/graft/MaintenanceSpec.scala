@@ -29,6 +29,30 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("incremental HLL distinct: batched sketch merges track exact distinct") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll").toString + "/state"
+    try {
+      // overlapping user sets across batches — counts do NOT add, only
+      // the sketch union is correct
+      val all = (1L to 6000L).map(i => (s"d${i % 3}", i % 400)).toDF("day", "uid")
+      Seq(0L, 1L, 2L).foreach { b =>
+        graft.operators.IncrementalAgg.updateDistinct(spark, dir,
+          all.filter(col("uid") % 3 === b), Seq("day"), "uid")
+      }
+      val got = graft.operators.IncrementalAgg.readDistinct(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      val want = all.groupBy("day").agg(countDistinct(col("uid")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.keySet === want.keySet)
+      // lgK=12 HLL is exact at these cardinalities (dense mode far off)
+      want.foreach { case (k, n) => assert(got(k) === n, s"$k: ${got(k)} vs $n") }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+    }
+  }
+
   test("incremental aggregation: N batch updates == one-shot aggregate") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString + "/state"

@@ -186,6 +186,26 @@ class SimilaritySpec extends SparkSpec {
     assert(mmr === Seq(2L, 4L), s"got $mmr") // diversity evicts 3 for 4
   }
 
+  test("randomProjection: deterministic, scaled, distance-preserving-ish") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val df = (1L to 40L).map(i => (i, Seq.fill(64)(rng.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val p1 = Similarity.randomProjection(df, 16, 64, seed = 42L)
+      .orderBy("id").collect()
+    val p2 = Similarity.randomProjection(df, 16, 64, seed = 42L)
+      .orderBy("id").collect()
+    assert(p1.map(_.toString).toSeq === p2.map(_.toString).toSeq) // seed → same
+    // JL: squared norms preserved in expectation; check median ratio
+    val orig = df.orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).map(x => x * x).sum)
+    val proj = p1.map(r => (1 to 16).map(j => {
+      val c = r.getDouble(j); c * c }).sum)
+    val ratios = orig.zip(proj).map { case (o, p) => p / o }.sorted
+    val median = ratios(ratios.length / 2)
+    assert(median > 0.6 && median < 1.4, s"median distortion $median")
+  }
+
   test("mmrRerank round 1 is the pure-relevance top hit, k rows per query") {
     val df = vecs((1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)),
       (3L, Seq(0.2, 0.9)), (4L, Seq(-0.5, 0.5)))
