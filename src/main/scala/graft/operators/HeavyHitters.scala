@@ -50,8 +50,24 @@ object HeavyHitters {
     counters.keysIterator
   }
 
-  /** All items (cast to string) occurring ≥ `minCount` times, with their
-    * exact counts: columns (item, n).
+  /** All non-null items (cast to string) occurring ≥ `minCount` times,
+    * with their exact counts: columns (item, n). Null items are
+    * excluded by contract (an equi-join key cannot be null; callers
+    * wanting the null group count it separately with one
+    * `count(when(isnull…))`).
+    *
+    * With `validate=true` the one extra count() pass also SELF-HEALS:
+    * if the requested capacity is too small for the exactness bound at
+    * this data size, the capacity is raised to 2·N/minCount — output is
+    * identical either way (capacity only affects the guarantee, never
+    * the result), so the operator keeps its contract at any scale
+    * instead of failing when the corpus grows.
+    *
+    * The candidate join carries no broadcast hint: candidates are
+    * usually tiny (AQE broadcasts them automatically), but a
+    * pathological run — huge partition count × disjoint tails — can
+    * make the candidate set exceed broadcast limits, and then a keyed
+    * shuffle join is the correct fallback. AQE picks per run.
     */
   def frequentItems(df: DataFrame, itemCol: Column, minCount: Long,
                     capacity: Int = 8192,
@@ -61,16 +77,18 @@ object HeavyHitters {
     import spark.implicits._
 
     val items = df.select(itemCol.cast("string").as("item"))
-    if (validate) {
-      val n = items.count()
-      require(minCount > n / (capacity + 1L),
-        s"exactness precondition violated: minCount=$minCount must exceed " +
-          s"N/(capacity+1)=${n / (capacity + 1L)} — raise capacity")
-    }
+      .filter(col("item").isNotNull)
+    val cap =
+      if (!validate) capacity
+      else {
+        val n = items.count()
+        val needed = 2L * n / minCount
+        math.max(capacity.toLong, math.min(needed, Int.MaxValue / 2)).toInt
+      }
     val candidates = items.as[String]
-      .mapPartitions(part => misraGries(part, capacity))
+      .mapPartitions(part => misraGries(part, cap))
       .toDF("item").distinct()
-    items.join(broadcast(candidates), "item")
+    items.join(candidates, "item")
       .groupBy("item").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
   }

@@ -47,10 +47,15 @@ object Profile {
     require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1))
     val spark = df.sparkSession
     import spark.implicits._
+    // localCheckpoint: zipWithIndex already ran the sort eagerly for its
+    // partition-count pass, and the frame below is consumed from two
+    // plan branches (count agg + candidate join) — without the barrier
+    // the global sort would re-execute per branch
     val ranked = df.select(col(valueCol).cast("double").as("x"))
       .filter(col("x").isNotNull)
       .orderBy("x").as[Double].rdd
       .zipWithIndex.toDF("x", "idx")
+      .localCheckpoint(true)
     val positions = ranked.agg(count(lit(1)).as("n"))
       .select(explode(array(qs.map(lit): _*)).as("q"), col("n"))
       .withColumn("pos", (col("n") - 1).cast("double") * col("q"))

@@ -51,7 +51,10 @@ object Quality {
         s"max_$c" -> max(col(c)).cast("double"),
         s"mean_$c" -> (sum(col(c).cast("decimal(18,6)")).cast("double") /
           count(col(c)).cast("double")))) ++
-      assertions.map { case (n, rule) => n -> rule.cast("double") }
+      // NULL rule results (empty table, all-null column) report as 0.0
+      // — "not proven to hold" — matching the oracle's CASE...ELSE 0
+      assertions.map { case (n, rule) =>
+        n -> coalesce(rule.cast("double"), lit(0.0)) }
     require(pairs.nonEmpty, "no metrics requested")
     val kvs = pairs.flatMap { case (n, e) => Seq(lit(n), e) }
     df.agg(map(kvs: _*).as("m"))

@@ -31,12 +31,25 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got === Set(("hot", 40L), ("warm", 25L)))
   }
 
-  test("validate rejects thresholds below the exactness bound") {
-    val df = (1 to 500).map(i => s"t${i % 50}").toDF("item")
-    val e = intercept[IllegalArgumentException] {
-      HeavyHitters.frequentItems(df, col("item"), minCount = 2,
-        capacity = 4, validate = true).collect()
-    }
-    assert(e.getMessage.contains("exactness precondition"))
+  test("validate self-heals an undersized capacity to stay exact") {
+    // 50 distinct items × 10 copies; capacity=4 alone cannot guarantee
+    // minCount=2, so validate must escalate it — and the result must
+    // still equal the naive plan exactly
+    val df = (1 to 500).map(i => s"t${i % 50}").toDF("item").repartition(4)
+    val got = HeavyHitters.frequentItems(df, col("item"), minCount = 2,
+        capacity = 4, validate = true)
+      .as[(String, Long)].collect().toSet
+    val naive = df.groupBy("item").count().filter(col("count") >= 2)
+      .as[(String, Long)].collect().toSet
+    assert(got === naive && got.size === 50)
+  }
+
+  test("null items are excluded by contract") {
+    val df = (Seq.fill(30)(Some("a")) ++ Seq.fill(20)(Option.empty[String]))
+      .toDF("item")
+    val got = HeavyHitters.frequentItems(df, col("item"), minCount = 5,
+        capacity = 16, validate = true)
+      .as[(String, Long)].collect().toSet
+    assert(got === Set(("a", 30L))) // no (null, 20) row
   }
 }

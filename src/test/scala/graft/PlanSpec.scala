@@ -90,10 +90,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("round-4 shapes: heavy-hitter verify broadcasts, histogram map-combines") {
-    // phase-2 exact count joins the tiny candidate set via broadcast and
-    // the count itself partial-aggregates before the exchange
+    // phase-2 exact count joins the candidate set with a plain equi-join
+    // (AQE broadcasts the usually-tiny side at runtime; no forced hint,
+    // so a pathological candidate set degrades to a keyed shuffle
+    // instead of an oversized broadcast) and the count partial-aggregates
     val hh = planOf("t_heavy_hitters")
-    assert(hh.contains("BroadcastHashJoin"), hh)
+    assert(!hh.contains("CartesianProduct") &&
+      !hh.contains("BroadcastNestedLoopJoin"), hh)
     assert(hh.contains("partial_count"), hh)
     val hist = planOf("q_histogram")
     assert(hist.contains("partial_count"), hist)

@@ -34,6 +34,14 @@ class QualitySpec extends SparkSpec {
     assert("Scan ".r.findAllIn(qe).length <= 1, qe)
   }
 
+  test("assertions over empty/all-null input report 0.0, not NULL") {
+    val empty = fixture.filter(col("id") < 0)
+    val m = Quality.metrics(empty,
+      assertions = Seq("v_non_negative" -> (min(col("v")) >= lit(0))))
+      .as[(String, Double)].collect().toMap
+    assert(m("v_non_negative") === 0.0)
+  }
+
   test("referentialIntegrity counts orphans, nulls are not orphans") {
     val child = Seq(Some(1L), Some(2L), Some(99L), None).toDF("fk")
     val parent = Seq(1L, 2L, 3L).toDF("pk")
