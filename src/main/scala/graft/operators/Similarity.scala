@@ -391,6 +391,47 @@ object Similarity {
     }: _*)
   }
 
+  /** SemDeDup-style semantic dedup keepers: bucket the corpus with
+    * sign-LSH, compute each bucket's EXACT centroid (ordered
+    * left-assoc fold per dimension — bit-reproducible across
+    * partitionings, same contract as the group-centroid query), and
+    * keep the member closest to its centroid (cosine, round-6 +
+    * id-tiebreak determinism).
+    *
+    * Scale: the centroid pass is one keyed aggregation over exploded
+    * (bucket, pos, x) rows; scoring joins each row to its ONE bucket
+    * centroid — never member×member pairs, so a bucket with a million
+    * near-dups costs O(members), not O(members²).
+    */
+  def semdedupKeepers(df: DataFrame, bits: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val cent = e.select(col("bucket"), col("id"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("bucket", "pos")
+      .agg(sort_array(collect_list(struct(col("id"), col("x")))).as("xs"),
+        count(lit(1)).as("n"))
+      .select(col("bucket"), col("pos"),
+        (aggregate(col("xs"), lit(0.0), (a, s) => a + s.getField("x")) /
+          col("n")).as("c"))
+    val cv = cent.groupBy("bucket")
+      .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("bucket"), transform(col("pc"), p => p.getField("c")).as("cv"))
+    val scored = e.join(cv, "bucket")
+      .select(col("bucket"), col("id"),
+        round(cosine(col("v"), col("cv")), 6).as("cos_c"))
+    val w = Window.partitionBy("bucket")
+      .orderBy(col("cos_c").desc, col("id").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("bucket")))
+      .filter(col("rn") === 1)
+      .select(col("bucket"), col("id").as("keep_id"),
+        col("n_members"), col("cos_c"))
+  }
+
   /** Maximal Marginal Relevance rerank: pick k results per query that
     * balance relevance against redundancy — the diverse-retrieval step
     * a training-mix curator runs so near-identical top hits don't crowd

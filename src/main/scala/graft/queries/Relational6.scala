@@ -97,6 +97,35 @@ object Relational6 {
           .as("pearson_r"))
     }),
 
+    // Exact per-group median (quantile_cont 0.5 within each group):
+    // the keyed form of q_exact_quantiles — rank and count are ONE
+    // window pass partitioned by the group (scales with the group
+    // count, no global sort), the interpolation tree mirrors the
+    // oracle exactly.
+    "q_group_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("g"),
+          col("o_totalprice").as("x"))
+        .filter(col("x").isNotNull)
+      val w = Window.partitionBy("g").orderBy(col("x").asc)
+      val wc = Window.partitionBy("g")
+      val ranked = o
+        .withColumn("rn", row_number().over(w) - 1)
+        .withColumn("pos",
+          (count(lit(1)).over(wc) - 1).cast("double") * lit(0.5))
+      ranked
+        .filter(col("rn") === floor(col("pos")) ||
+          col("rn") === ceil(col("pos")))
+        .groupBy("g")
+        .agg(max(when(col("rn") === floor(col("pos")), col("x"))).as("vlo"),
+          max(when(col("rn") === ceil(col("pos")), col("x"))).as("vhi"),
+          max(col("pos") - floor(col("pos"))).as("frac"))
+        .select(col("g"),
+          (col("vlo") + (col("vhi") - col("vlo")) * col("frac"))
+            .as("median"))
+    }),
+
     // Winsorization at exact p05/p95: the outlier clamp before a
     // numeric feature feeds training. Quantile bounds come from the
     // scalable exact path (one 2-row broadcast), the clamp itself is
@@ -177,6 +206,21 @@ object Relational6 {
         |SELECT n, ROUND((n * sxy - sx * sy) /
         |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
         |  AS pearson_r FROM m""".stripMargin,
+
+    "q_group_median" ->
+      """WITH o AS (SELECT o_orderpriority AS g, o_totalprice AS x
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |r AS (SELECT g, x,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) - 1 AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY g) - 1 AS DOUBLE)
+        |      * CAST(0.5 AS DOUBLE) AS pos
+        |  FROM o),
+        |f AS (SELECT g,
+        |    MAX(CASE WHEN rn = FLOOR(pos) THEN x END) AS vlo,
+        |    MAX(CASE WHEN rn = CEIL(pos) THEN x END) AS vhi,
+        |    MAX(pos - FLOOR(pos)) AS frac
+        |  FROM r WHERE rn = FLOOR(pos) OR rn = CEIL(pos) GROUP BY g)
+        |SELECT g, vlo + (vhi - vlo) * frac AS median FROM f""".stripMargin,
 
     "q_winsorize" ->
       """WITH r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) - 1 AS idx

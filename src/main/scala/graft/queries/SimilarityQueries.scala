@@ -103,6 +103,15 @@ object SimilarityQueries {
           round(col("cos_sq8"), 4).as("cos_sq8"))
     }),
 
+    // ---- SemDeDup-style semantic dedup: sign-LSH buckets → exact
+    //      bucket centroid (ordered fold) → keep the centroid-closest
+    //      member. O(members) per bucket, never member×member ----
+    "s_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Similarity.semdedupKeepers(e, bits = 6)
+    }),
+
     // ---- seeded JL random projection 64→16 (map-side, plan-literal
     //      matrix): the dim-reduction pass before ANN indexing ----
     "s_random_projection" -> ((s, dir) => {
@@ -260,6 +269,32 @@ object SimilarityQueries {
     // ip(cw,cw) - 2*ip(v_s,cw); the ADC distance is the explicit
     // left-associated 4-term sum, matching the engine's reduceLeft
     "s_random_projection" -> rpSql,
+
+    "s_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    array_to_string(list_transform(CAST(embedding AS DOUBLE[])[1:6],
+        |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM embeddings),
+        |ex AS (SELECT bucket, vec_id, CAST(p AS INT) AS pos, v[p + 1] AS x
+        |  FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS p)),
+        |agg AS (SELECT bucket, pos,
+        |    list_reduce(list_prepend(0.0, array_agg(x ORDER BY vec_id)),
+        |                (a, b) -> a + b) AS sx,
+        |    count(*) AS n
+        |  FROM ex GROUP BY bucket, pos),
+        |cent AS (SELECT bucket, pos, sx / n AS c FROM agg),
+        |cv AS (SELECT bucket, list(c ORDER BY pos) AS cvv
+        |  FROM cent GROUP BY bucket),
+        |sc AS (SELECT e.bucket AS bucket, vec_id,
+        |    round(list_cosine_similarity(v, cvv), 6) AS cos_c
+        |  FROM e JOIN cv ON e.bucket = cv.bucket),
+        |r AS (SELECT bucket, vec_id, cos_c,
+        |    ROW_NUMBER() OVER (PARTITION BY bucket
+        |      ORDER BY cos_c DESC, vec_id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY bucket) AS n_members
+        |  FROM sc)
+        |SELECT bucket, vec_id AS keep_id, n_members, cos_c
+        |FROM r WHERE rn = 1""".stripMargin,
 
     // greedy MMR unrolled: s1 = top relevance; s2, s3 = argmax of
     // 0.7·rel − (1.0 − 0.7)·max-sim-to-selected (literal 1.0 − 0.7, NOT

@@ -239,6 +239,43 @@ object TextQueries {
         .select(col("doc_id"), round(score, 4).as("bm25"))
     }),
 
+    // ---- statistical bigram LM table: P(w2|w1) = c(w1w2)/Σ_w c(w1w),
+    //      top-50 bigrams — two map-combinable aggregations and one
+    //      keyed window; the numerator/denominator division is a single
+    //      shared IEEE tree ----
+    "t_bigram_lm" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+      val bi = d.select(explode(Text.shingles(Text.tokens(col("text")), 2))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c"))
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      bi.withColumn("cp", sum(col("c")).over(Window.partitionBy("w1")))
+        .select(col("bigram"), col("c"),
+          (col("c").cast("double") / col("cp").cast("double")).as("p_cond"))
+        .orderBy(col("c").desc, col("bigram").asc).limit(50)
+    }),
+
+    // ---- deterministic negative sampling for contrastive training:
+    //      per anchor, K pseudo-random negatives via md5-bucket
+    //      equi-joins (anchor probes bucket md5(anchor:j), corpus rows
+    //      key on md5(doc_id)) — no sampling shuffle, no cross join,
+    //      membership reproducible across runs and cluster sizes ----
+    "t_negative_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.select(col("doc_id").as("neg_id"),
+        substring(md5(col("doc_id").cast("string")), 1, 2).as("bucket"))
+      val probes = d.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("anchor_id"))
+        .crossJoin(s.range(1, 5).select(col("id").cast("int").as("j")))
+        .withColumn("bucket", substring(
+          md5(concat(col("anchor_id").cast("string"), lit(":"), col("j"))),
+          1, 2))
+      probes.join(corpus, "bucket")
+        .filter(col("neg_id") =!= col("anchor_id"))
+        .groupBy("anchor_id", "j").agg(min(col("neg_id")).as("neg_id"))
+    }),
+
     // ---- capstone composition: the full corpus-curation pipeline as
     //      ONE declarative plan — Gopher quality gate → exact dedup
     //      (min doc_id per md5) → per-source quota cap → per-source
@@ -281,6 +318,37 @@ object TextQueries {
       s"(CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))"
 
   val oracleSql: Map[String, String] = Map(
+    "t_bigram_lm" ->
+      s"""WITH ng AS (SELECT unnest(
+         |    CASE WHEN len($tok) < 2 THEN []
+         |         ELSE list_transform(range(1, len($tok)),
+         |                i -> array_to_string(($tok)[i:i+1], ' ')) END) AS bigram
+         |  FROM documents),
+         |bc AS (SELECT bigram, COUNT(*) AS c,
+         |    string_split(bigram, ' ')[1] AS w1
+         |  FROM ng GROUP BY bigram),
+         |wp AS (SELECT bigram, c,
+         |    CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY w1) AS DOUBLE)
+         |      AS p_cond
+         |  FROM bc)
+         |SELECT bigram, c, p_cond FROM wp
+         |ORDER BY c DESC, bigram ASC LIMIT 50""".stripMargin,
+
+    "t_negative_pairs" ->
+      """WITH corpus AS (SELECT doc_id AS neg_id,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+        |  FROM documents),
+        |probes AS (SELECT d.doc_id AS anchor_id, j.j,
+        |    substr(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+        |      CAST(j.j AS VARCHAR)), 1, 2) AS bucket
+        |  FROM documents d,
+        |       (SELECT CAST(unnest(range(1, 5)) AS INT) AS j) j
+        |  WHERE d.doc_id < 50)
+        |SELECT anchor_id, j, MIN(neg_id) AS neg_id
+        |FROM probes JOIN corpus USING (bucket)
+        |WHERE neg_id <> anchor_id
+        |GROUP BY anchor_id, j""".stripMargin,
+
     "t_corpus_pipeline" ->
       s"""WITH kept AS (SELECT doc_id, source, text FROM documents
          |  WHERE len($tok) >= 10 AND len($tok) <= 5000

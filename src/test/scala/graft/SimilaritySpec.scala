@@ -186,6 +186,19 @@ class SimilaritySpec extends SparkSpec {
     assert(mmr === Seq(2L, 4L), s"got $mmr") // diversity evicts 3 for 4
   }
 
+  test("semdedupKeepers: one keeper per bucket, the centroid-closest member") {
+    // 1,2,3 share the all-positive sign bucket; 2 sits between 1 and 3
+    // so it is nearest the bucket centroid. 4 is alone in its bucket.
+    val df = vecs(
+      (1L, Seq(1.0, 0.1, 0.1)), (2L, Seq(1.0, 0.3, 0.3)),
+      (3L, Seq(1.0, 0.5, 0.5)), (4L, Seq(-1.0, 0.2, 0.2)))
+    val out = Similarity.semdedupKeepers(df, bits = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size === 2)
+    assert(out("111") === ((2L, 3L)))  // keeper 2 of 3 members
+    assert(out("011") === ((4L, 1L)))
+  }
+
   test("randomProjection: deterministic, scaled, distance-preserving-ish") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
