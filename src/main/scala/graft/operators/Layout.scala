@@ -97,6 +97,35 @@ object Layout {
       .count(_.getPath.getName.endsWith(".parquet"))
   }
 
+  /** Training-shard export: write `df` as parquet shards of at most
+    * `rowsPerShard` rows each, plus a manifest DataFrame (shard file
+    * name, row count) read back from the written footers.
+    *
+    * Shape: `maxRecordsPerFile` enforces the per-file bound inside each
+    * write task (no extra pass), and the up-front `repartition(shards)`
+    * spreads rows so the dataloader-facing output is balanced — the
+    * export step of a tokenized dataset, where shard size bounds
+    * loader memory and shard count bounds parallelism. The manifest
+    * comes from parquet footer metadata only (no data re-read).
+    */
+  def writeSharded(df: DataFrame, path: String,
+                   rowsPerShard: Long): DataFrame = {
+    require(rowsPerShard > 0)
+    val spark = df.sparkSession
+    val n = df.count()
+    val shards = math.max(1L, (n + rowsPerShard - 1) / rowsPerShard).toInt
+    df.repartition(shards)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", rowsPerShard)
+      .parquet(path)
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select(input_file_name().as("shard"))
+      .groupBy("shard").agg(count(lit(1)).as("n_rows"))
+      .select(element_at(split(col("shard"), "/"), -1).as("shard"),
+        col("n_rows"))
+  }
+
   /** Morton (Z-order) interleave of two non-negative 16-bit column
     * values into one 32-bit key — pure codegen'd bit twiddling. Rows
     * close in BOTH dimensions are close in z, which is what makes the

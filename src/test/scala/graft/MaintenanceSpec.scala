@@ -29,6 +29,24 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("writeSharded: per-file row bound enforced, manifest sums to total") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_shard").toString + "/shards"
+    try {
+      val df = (1L to 1000L).map(i => (i, s"doc$i")).toDF("id", "text")
+      val manifest = graft.operators.Layout.writeSharded(df, out, rowsPerShard = 128)
+        .as[(String, Long)].collect()
+      assert(manifest.map(_._2).sum === 1000L)
+      assert(manifest.forall(_._2 <= 128), manifest.toSeq)
+      assert(manifest.length >= 8) // ceil(1000/128)
+      // round-trip intact
+      assert(spark.read.parquet(out).count() === 1000L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(out).getParentFile)
+    }
+  }
+
   test("incremental HLL distinct: batched sketch merges track exact distinct") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_hll").toString + "/state"

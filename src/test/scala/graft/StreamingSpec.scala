@@ -111,6 +111,33 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:00:00.0", "view", 1L, 8.0)))
   }
 
+  test("trending: windowed MG state emits exact top-k on watermark close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[graft.streaming.Trending.ItemEvent]
+    def it(t: String, item: String) =
+      graft.streaming.Trending.ItemEvent(Timestamp.valueOf(t), item)
+    // window [10:00,10:01): a×5, b×3, c×1; the 10:20 event advances the
+    // watermark (delay 10s) far past the window end, closing it
+    mem.addData(
+      (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")).zipWithIndex.map {
+        case (x, i) => it(f"2024-01-01 10:00:${i}%02d", x) } :+
+      it("2024-01-01 10:20:00", "later"): _*)
+    val q = graft.streaming.Trending.windowTopK(mem.toDS(), k = 2,
+        windowSeconds = 60, capacity = 16, watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("trending")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    val rows = spark.sql("SELECT * FROM trending").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getInt(1), r.getString(2),
+        r.getLong(3))).toSet
+    // only the closed window emits; distinct ≤ capacity → counts exact
+    assert(rows === Set(
+      ("2024-01-01 10:00:00.0", 1, "a", 5L),
+      ("2024-01-01 10:00:00.0", 2, "b", 3L)))
+  }
+
   test("stream-static enrichment: dimension broadcast, unmatched keys kept") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
