@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding vocabulary learning.
+  *
+  * Classic BPE (Sennrich et al., public algorithm): start from
+  * characters, repeatedly merge the most frequent adjacent symbol
+  * pair. The distributed shape mirrors the original map-reduce BPE
+  * trainers: the corpus collapses ONCE to a (word, freq) table (one
+  * aggregation — at 100 TB the word table is orders of magnitude
+  * smaller than the corpus and stays distributed), then each merge
+  * round is
+  *   1. one map-combinable pair-count aggregation weighted by freq,
+  *   2. one TakeOrderedAndProject argmax (a single row to the driver —
+  *      the only driver data per round),
+  *   3. one distributed map applying the merge.
+  * Ties break (count desc, pair asc) so the learned vocabulary is a
+  * total function of the corpus — independent of partitioning.
+  */
+object Bpe {
+
+  /** Merge all non-overlapping (a,b) occurrences left-to-right. */
+  private[graft] def mergeSeq(s: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Learn `nMerges` merges from a (word, freq) table. Returns the
+    * ordered merge list — the BPE vocabulary artifact. */
+  def learnMerges(words: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val Seq(wc, fc) = words.columns.take(2).toSeq
+    var syms: Dataset[(Seq[String], Long)] = words
+      .select(col(wc).cast("string"), col(fc).cast("long"))
+      .as[(String, Long)]
+      .map { case (w, f) => (w.map(_.toString): Seq[String], f) }
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(String, String)]
+    var rounds = 0
+    var exhausted = false
+    while (rounds < nMerges && !exhausted) {
+      val top = syms.flatMap { case (s, f) =>
+          if (s.length < 2) Iterator.empty
+          else s.iterator.zip(s.iterator.drop(1)).map(p => (p._1, p._2, f))
+        }.toDF("a", "b", "f")
+        .groupBy("a", "b").agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        syms = syms.map { case (s, f) => (mergeSeq(s, a, b), f) }
+          .localCheckpoint(true) // truncate the per-round lineage
+        rounds += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Segment one word with a learned merge list (applied in order) —
+    * the encode-side counterpart, usable in a map over any corpus. */
+  def segment(word: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(word.map(_.toString): Seq[String]) {
+      case (s, (a, b)) => mergeSeq(s, a, b)
+    }
+}

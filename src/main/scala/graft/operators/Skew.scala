@@ -48,4 +48,34 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Salting with MEASURED hot keys: a Misra–Gries pass over the left
+    * join column nominates keys above `hotMinCount` (exact verify, the
+    * HeavyHitters two-phase), and ONLY those keys are salted — the cold
+    * long tail joins plainly, so the right side is replicated
+    * `salts`-fold only for the handful of hot keys instead of the whole
+    * table. The adaptive form of `saltedJoin`: blanket salting pays
+    * salts× replication on 100% of the right side; adaptive pays it on
+    * |hot| keys (typically a few dozen at 100 TB).
+    *
+    * Result is identical to the plain equi-join for the salt-safe join
+    * types (hot and cold partitions are disjoint by key; union of the
+    * two joins = join of the union).
+    */
+  def adaptiveSaltedJoin(left: DataFrame, right: DataFrame, key: String,
+                         distributeBy: String, salts: Int,
+                         hotMinCount: Long,
+                         joinType: String = "inner"): DataFrame = {
+    require(saltSafe.contains(joinType.toLowerCase.replace("_", "")),
+      s"adaptiveSaltedJoin: unsupported join type '$joinType'")
+    val hot = HeavyHitters.frequentItems(left, col(key), hotMinCount)
+      .select(col("item").cast(left.schema(key).dataType).as(key))
+      .localCheckpoint(true) // consumed 4×
+    val lHot = left.join(broadcast(hot), Seq(key), "left_semi")
+    val lCold = left.join(broadcast(hot), Seq(key), "left_anti")
+    val rHot = right.join(broadcast(hot), Seq(key), "left_semi")
+    val rCold = right.join(broadcast(hot), Seq(key), "left_anti")
+    saltedJoin(lHot, rHot, key, distributeBy, salts, joinType)
+      .unionByName(lCold.join(rCold, Seq(key), joinType))
+  }
 }

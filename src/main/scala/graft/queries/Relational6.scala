@@ -126,6 +126,29 @@ object Relational6 {
             .as("median"))
     }),
 
+    // Adaptive salting (Skew.adaptiveSaltedJoin): a Misra-Gries pass
+    // measures the hot keys (here an injected key funnelling ~10% of
+    // lineitem into one value), only those salt — the cold tail joins
+    // plainly, so the right side replicates salts-fold for a handful of
+    // keys, not the whole table. Oracle runs the un-salted SQL.
+    "q_adaptive_salted" -> ((s, dir) => {
+      val skewKey = when(col("l_orderkey") % 10 === 0, lit(0L))
+        .otherwise(col("l_orderkey"))
+      val l = t(s, dir, "lineitem")
+        .select(skewKey.as("k"), col("l_linenumber"), col("l_quantity"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 250000.0)
+        .select(when(col("o_orderkey") % 10 === 0, lit(0L))
+          .otherwise(col("o_orderkey")).as("k"))
+        .distinct() // dim-like right side: one row per key
+      graft.operators.Skew.adaptiveSaltedJoin(l, o, "k", "l_linenumber",
+          salts = 8, hotMinCount = 1000)
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("qty"))
+    }),
+
     // Winsorization at exact p05/p95: the outlier clamp before a
     // numeric feature feeds training. Quantile bounds come from the
     // scalable exact path (one 2-row broadcast), the clamp itself is
@@ -221,6 +244,16 @@ object Relational6 {
         |    MAX(pos - FLOOR(pos)) AS frac
         |  FROM r WHERE rn = FLOOR(pos) OR rn = CEIL(pos) GROUP BY g)
         |SELECT g, vlo + (vhi - vlo) * frac AS median FROM f""".stripMargin,
+
+    "q_adaptive_salted" ->
+      """WITH l AS (SELECT CASE WHEN l_orderkey % 10 = 0 THEN 0
+        |    ELSE l_orderkey END AS k, l_quantity FROM lineitem),
+        |o AS (SELECT DISTINCT CASE WHEN o_orderkey % 10 = 0 THEN 0
+        |    ELSE o_orderkey END AS k FROM orders
+        |  WHERE o_totalprice > 250000.0)
+        |SELECT k, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM l JOIN o USING (k) GROUP BY k""".stripMargin,
 
     "q_winsorize" ->
       """WITH r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) - 1 AS idx

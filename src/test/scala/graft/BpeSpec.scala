@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Bpe
+
+/** Distributed BPE learner vs a single-threaded reference
+  * implementation of the same (public) algorithm. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference BPE: brute-force pair counting over an in-memory
+    * (word → freq) map, same tiebreak (count desc, pair asc). */
+  private def referenceMerges(words: Map[String, Long],
+                              n: Int): Seq[(String, String)] = {
+    var syms: Map[Seq[String], Long] =
+      words.map { case (w, f) => (w.map(_.toString): Seq[String]) -> f }
+    val out = Seq.newBuilder[(String, String)]
+    for (_ <- 1 to n) {
+      val counts = syms.toSeq.flatMap { case (s, f) =>
+        s.zip(s.drop(1)).map(p => p -> f)
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      if (counts.nonEmpty) {
+        val ((a, b), _) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((a, b))
+        syms = syms.toSeq.map { case (s, f) => Bpe.mergeSeq(s, a, b) -> f }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+      }
+    }
+    out.result()
+  }
+
+  private val corpus = Map(
+    "low" -> 5L, "lower" -> 2L, "lowest" -> 6L,
+    "newest" -> 3L, "widest" -> 2L, "nice" -> 1L)
+
+  test("learnMerges matches the reference algorithm, any partitioning") {
+    val want = referenceMerges(corpus, 8)
+    for (parts <- Seq(1, 4)) {
+      val df = corpus.toSeq.toDF("word", "freq").repartition(parts)
+      assert(Bpe.learnMerges(df, 8) === want, s"partitions=$parts")
+    }
+  }
+
+  test("segment applies merges in order; exhausted corpus stops early") {
+    val merges = Bpe.learnMerges(corpus.toSeq.toDF("word", "freq"), 8)
+    // "lowest" must segment into fewer symbols than characters
+    val seg = Bpe.segment("lowest", merges)
+    assert(seg.mkString === "lowest" && seg.length < 6)
+    // a single-char vocab exhausts pairs and returns fewer merges
+    val tiny = Bpe.learnMerges(Seq(("ab", 1L)).toDF("word", "freq"), 10)
+    assert(tiny === Seq(("a", "b")))
+  }
+}

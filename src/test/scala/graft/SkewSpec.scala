@@ -32,6 +32,23 @@ class SkewSpec extends SparkSpec {
     assert(rows.toSet === Set((1L, "a"), (9L, null)))
   }
 
+  test("adaptiveSaltedJoin == plain join; cold tail and null keys intact") {
+    import spark.implicits._
+    // key 1 is hot (400 rows), 2..40 are the cold tail, one null key
+    val l = ((1 to 400).map(i => (Some(1L), i)) ++
+      (2 to 40).map(k => (Some(k.toLong), k)) ++ Seq((Option.empty[Long], 0)))
+      .toDF("k", "ln")
+    val r = ((1 to 40).map(k => (k.toLong, s"v$k")) :+ (99L, "v99")).toDF("k", "v")
+    for (jt <- Seq("inner", "left_outer")) {
+      val adaptive = Skew.adaptiveSaltedJoin(l, r, "k", "ln", salts = 8,
+          hotMinCount = 100, joinType = jt)
+        .collect().map(_.toString).sorted.toSeq
+      val plain = l.join(r, Seq("k"), jt)
+        .collect().map(_.toString).sorted.toSeq
+      assert(adaptive === plain, jt)
+    }
+  }
+
   test("streaming dedup drops within-watermark duplicates") {
     import spark.implicits._
     import java.sql.Timestamp
