@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** Split into code points, NOT UTF-16 code units: a lone surrogate
+    * half is not a valid string, and Spark's UTF-8 encoding would
+    * mangle it to '?' — conflating every non-BMP symbol. */
+  private[graft] def codePoints(w: String): Seq[String] =
+    w.codePoints().toArray.toSeq.map(cp => new String(Character.toChars(cp)))
+
   /** Merge all non-overlapping (a,b) occurrences left-to-right. */
   private[graft] def mergeSeq(s: Seq[String], a: String, b: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -42,7 +48,7 @@ object Bpe {
     var syms: Dataset[(Seq[String], Long)] = words
       .select(col(wc).cast("string"), col(fc).cast("long"))
       .as[(String, Long)]
-      .map { case (w, f) => (w.map(_.toString): Seq[String], f) }
+      .map { case (w, f) => (codePoints(w), f) }
       .localCheckpoint(true)
     val merges = Seq.newBuilder[(String, String)]
     var rounds = 0
@@ -59,8 +65,13 @@ object Bpe {
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
+        val prev = syms
         syms = syms.map { case (s, f) => (mergeSeq(s, a, b), f) }
           .localCheckpoint(true) // truncate the per-round lineage
+        // release the previous round's checkpointed copy now — at 10k+
+        // merge rounds, waiting for driver GC pins thousands of stale
+        // symbol-table snapshots in executor storage
+        prev.unpersist(blocking = false)
         rounds += 1
       }
     }
@@ -70,7 +81,7 @@ object Bpe {
   /** Segment one word with a learned merge list (applied in order) —
     * the encode-side counterpart, usable in a map over any corpus. */
   def segment(word: String, merges: Seq[(String, String)]): Seq[String] =
-    merges.foldLeft(word.map(_.toString): Seq[String]) {
+    merges.foldLeft(codePoints(word)) {
       case (s, (a, b)) => mergeSeq(s, a, b)
     }
 }

@@ -31,22 +31,27 @@ import scala.collection.mutable
   */
 object HeavyHitters {
 
+  /** One Misra–Gries update on a mutable counter map — THE sketch step,
+    * shared by the batch operator below and the streaming state in
+    * [[graft.streaming.Trending]] so the two can never drift. */
+  private[graft] def mgStep(counters: mutable.HashMap[String, Long],
+                            item: String, capacity: Int): Unit =
+    counters.get(item) match {
+      case Some(c) => counters.update(item, c + 1)
+      case None if counters.size < capacity => counters.update(item, 1L)
+      case None =>
+        // decrement-all; O(capacity) but amortized O(1) per input item
+        val dead = mutable.ArrayBuffer.empty[String]
+        counters.mapValuesInPlace((_, c) => c - 1)
+        counters.foreach { case (k, c) => if (c == 0L) dead += k }
+        dead.foreach(counters.remove)
+    }
+
   /** Misra–Gries over one iterator: at most `capacity` live counters. */
   private[graft] def misraGries(it: Iterator[String], capacity: Int):
       Iterator[String] = {
     val counters = mutable.HashMap.empty[String, Long]
-    it.foreach { item =>
-      counters.get(item) match {
-        case Some(c) => counters.update(item, c + 1)
-        case None if counters.size < capacity => counters.update(item, 1L)
-        case None =>
-          // decrement-all; O(capacity) but amortized O(1) per input item
-          val dead = mutable.ArrayBuffer.empty[String]
-          counters.mapValuesInPlace((_, c) => c - 1)
-          counters.foreach { case (k, c) => if (c == 0L) dead += k }
-          dead.foreach(counters.remove)
-      }
-    }
+    it.foreach(mgStep(counters, _, capacity))
     counters.keysIterator
   }
 
@@ -83,7 +88,13 @@ object HeavyHitters {
       else {
         val n = items.count()
         val needed = 2L * n / minCount
-        math.max(capacity.toLong, math.min(needed, Int.MaxValue / 2)).toInt
+        // never silently clamp below the exactness bound — if the
+        // escalated capacity can't fit an Int, the threshold is too low
+        // for this data size and the caller must raise minCount
+        require(needed <= Int.MaxValue / 2,
+          s"cannot guarantee exactness: N=$n with minCount=$minCount " +
+            s"needs ~$needed counters per partition — raise minCount")
+        math.max(capacity.toLong, needed).toInt
       }
     val candidates = items.as[String]
       .mapPartitions(part => misraGries(part, cap))

@@ -112,9 +112,12 @@ object Layout {
                    rowsPerShard: Long): DataFrame = {
     require(rowsPerShard > 0)
     val spark = df.sparkSession
-    val n = df.count()
+    // materialize once: the sizing count() and the write would otherwise
+    // each execute the full upstream pipeline
+    val src = df.localCheckpoint(true)
+    val n = src.count()
     val shards = math.max(1L, (n + rowsPerShard - 1) / rowsPerShard).toInt
-    df.repartition(shards)
+    src.repartition(shards)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", rowsPerShard)
       .parquet(path)

@@ -392,16 +392,21 @@ object Similarity {
   }
 
   /** SemDeDup-style semantic dedup keepers: bucket the corpus with
-    * sign-LSH, compute each bucket's EXACT centroid (ordered
-    * left-assoc fold per dimension — bit-reproducible across
-    * partitionings, same contract as the group-centroid query), and
-    * keep the member closest to its centroid (cosine, round-6 +
-    * id-tiebreak determinism).
+    * sign-LSH, compute each bucket's centroid, and keep the member
+    * closest to it (cosine, round-6 + id-tiebreak determinism).
     *
-    * Scale: the centroid pass is one keyed aggregation over exploded
-    * (bucket, pos, x) rows; scoring joins each row to its ONE bucket
-    * centroid — never member×member pairs, so a bucket with a million
-    * near-dups costs O(members), not O(members²).
+    * Centroid determinism WITHOUT per-group buffers: per-dimension
+    * sums run as exact DECIMAL over round-6 contributions — partition-
+    * order independent like an ordered fold, but O(1) aggregation
+    * memory per (bucket, pos) where a collect_list fold would buffer
+    * every member (a million-member bucket would hold ~24 MB per
+    * dimension row). The 1e-6 contribution quantization is far below
+    * the round-6 score output.
+    *
+    * Scale: one keyed aggregation over exploded (bucket, pos, x) rows;
+    * scoring joins each row to its ONE bucket centroid — never
+    * member×member pairs, so a bucket with a million near-dups costs
+    * O(members), not O(members²).
     */
   def semdedupKeepers(df: DataFrame, bits: Int,
                       idCol: String = "vec_id",
@@ -411,11 +416,10 @@ object Similarity {
     val cent = e.select(col("bucket"), col("id"),
         posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("bucket", "pos")
-      .agg(sort_array(collect_list(struct(col("id"), col("x")))).as("xs"),
+      .agg(sum(round(col("x"), 6).cast("decimal(24,6)")).as("sx"),
         count(lit(1)).as("n"))
       .select(col("bucket"), col("pos"),
-        (aggregate(col("xs"), lit(0.0), (a, s) => a + s.getField("x")) /
-          col("n")).as("c"))
+        (col("sx").cast("double") / col("n")).as("c"))
     val cv = cent.groupBy("bucket")
       .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("bucket"), transform(col("pc"), p => p.getField("c")).as("cv"))

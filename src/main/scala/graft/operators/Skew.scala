@@ -68,13 +68,17 @@ object Skew {
                          joinType: String = "inner"): DataFrame = {
     require(saltSafe.contains(joinType.toLowerCase.replace("_", "")),
       s"adaptiveSaltedJoin: unsupported join type '$joinType'")
+    // no broadcast hint on the hot set: it is data-dependent (up to
+    // N/hotMinCount keys) — AQE broadcasts the usual tiny case and a
+    // pathological hot set degrades to a shuffle join instead of an
+    // oversized broadcast (same reasoning as frequentItems' phase 2)
     val hot = HeavyHitters.frequentItems(left, col(key), hotMinCount)
       .select(col("item").cast(left.schema(key).dataType).as(key))
       .localCheckpoint(true) // consumed 4×
-    val lHot = left.join(broadcast(hot), Seq(key), "left_semi")
-    val lCold = left.join(broadcast(hot), Seq(key), "left_anti")
-    val rHot = right.join(broadcast(hot), Seq(key), "left_semi")
-    val rCold = right.join(broadcast(hot), Seq(key), "left_anti")
+    val lHot = left.join(hot, Seq(key), "left_semi")
+    val lCold = left.join(hot, Seq(key), "left_anti")
+    val rHot = right.join(hot, Seq(key), "left_semi")
+    val rCold = right.join(hot, Seq(key), "left_anti")
     saltedJoin(lHot, rHot, key, distributeBy, salts, joinType)
       .unionByName(lCold.join(rCold, Seq(key), joinType))
   }

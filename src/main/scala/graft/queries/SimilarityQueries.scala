@@ -278,11 +278,10 @@ object SimilarityQueries {
         |ex AS (SELECT bucket, vec_id, CAST(p AS INT) AS pos, v[p + 1] AS x
         |  FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS p)),
         |agg AS (SELECT bucket, pos,
-        |    list_reduce(list_prepend(0.0, array_agg(x ORDER BY vec_id)),
-        |                (a, b) -> a + b) AS sx,
+        |    SUM(CAST(round(x, 6) AS DECIMAL(24,6))) AS sx,
         |    count(*) AS n
         |  FROM ex GROUP BY bucket, pos),
-        |cent AS (SELECT bucket, pos, sx / n AS c FROM agg),
+        |cent AS (SELECT bucket, pos, CAST(sx AS DOUBLE) / n AS c FROM agg),
         |cv AS (SELECT bucket, list(c ORDER BY pos) AS cvv
         |  FROM cent GROUP BY bucket),
         |sc AS (SELECT e.bucket AS bucket, vec_id,

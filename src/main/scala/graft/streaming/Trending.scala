@@ -58,21 +58,15 @@ object Trending {
               }.iterator
           } else {
             // fold the micro-batch into the bounded Misra–Gries summary
+            // (the shared sketch step — same semantics as the batch
+            // operator by construction)
             val prev = state.getOption.getOrElse(MgState(Array.empty, Array.empty, 0L))
             val m = scala.collection.mutable.HashMap.from(
               prev.items.zip(prev.counts))
             var n = prev.n
             rows.foreach { e =>
               n += 1
-              m.get(e.item) match {
-                case Some(c) => m.update(e.item, c + 1)
-                case None if m.size < capacity => m.update(e.item, 1L)
-                case None =>
-                  val dead = m.iterator.collect {
-                    case (it, c) if c <= 1 => it }.toList
-                  m.mapValuesInPlace((_, c) => c - 1)
-                  dead.foreach(m.remove)
-              }
+              graft.operators.HeavyHitters.mgStep(m, e.item, capacity)
             }
             val ks = m.keys.toArray
             state.update(MgState(ks, ks.map(m), n))

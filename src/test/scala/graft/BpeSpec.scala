@@ -12,7 +12,7 @@ class BpeSpec extends SparkSpec {
   private def referenceMerges(words: Map[String, Long],
                               n: Int): Seq[(String, String)] = {
     var syms: Map[Seq[String], Long] =
-      words.map { case (w, f) => (w.map(_.toString): Seq[String]) -> f }
+      words.map { case (w, f) => Bpe.codePoints(w) -> f }
     val out = Seq.newBuilder[(String, String)]
     for (_ <- 1 to n) {
       val counts = syms.toSeq.flatMap { case (s, f) =>
@@ -28,9 +28,12 @@ class BpeSpec extends SparkSpec {
     out.result()
   }
 
+  // includes a non-BMP (surrogate-pair) word: code-point splitting must
+  // keep 😀 one symbol or Spark's UTF-8 round-trip mangles it to '?'
   private val corpus = Map(
     "low" -> 5L, "lower" -> 2L, "lowest" -> 6L,
-    "newest" -> 3L, "widest" -> 2L, "nice" -> 1L)
+    "newest" -> 3L, "widest" -> 2L, "nice" -> 1L,
+    "😀😀a" -> 4L)
 
   test("learnMerges matches the reference algorithm, any partitioning") {
     val want = referenceMerges(corpus, 8)
