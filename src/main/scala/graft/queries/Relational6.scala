@@ -126,6 +126,34 @@ object Relational6 {
             .as("median"))
     }),
 
+    // Null-safe equi-join (<=>): NULL keys match each other — the join
+    // form for nullable dimension keys where dropping null rows is
+    // wrong. Still hash-joinable (null-safe equality is a valid
+    // shuffle key), no fallback to a nested loop.
+    "q_nullsafe_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(nullif(col("c_nationkey"), lit(3)).as("k"),
+          col("c_custkey"))
+      val su = t(s, dir, "supplier")
+        .select(nullif(col("s_nationkey"), lit(3)).as("sk"),
+          col("s_suppkey"))
+      c.join(su, col("k") <=> col("sk"))
+        .groupBy(coalesce(col("k"), lit(-1)).as("k_group"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // Levenshtein edit distance over near-identical entity names — the
+    // direct-verify companion to the FastSS blocking in t_fuzzy_pairs.
+    "q_levenshtein" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_custkey") < 60)
+        .select(col("c_custkey"), col("c_name"))
+      c.as("a").join(c.as("b"),
+          col("a.c_custkey") < col("b.c_custkey"))
+        .select(col("a.c_custkey").as("a_id"), col("b.c_custkey").as("b_id"),
+          levenshtein(col("a.c_name"), col("b.c_name")).as("dist"))
+        .filter(col("dist") <= 2)
+    }),
+
     // Adaptive salting (Skew.adaptiveSaltedJoin): a Misra-Gries pass
     // measures the hot keys (here an injected key funnelling ~10% of
     // lineitem into one value), only those salt — the cold tail joins
@@ -244,6 +272,20 @@ object Relational6 {
         |    MAX(pos - FLOOR(pos)) AS frac
         |  FROM r WHERE rn = FLOOR(pos) OR rn = CEIL(pos) GROUP BY g)
         |SELECT g, vlo + (vhi - vlo) * frac AS median FROM f""".stripMargin,
+
+    "q_nullsafe_join" ->
+      """WITH c AS (SELECT NULLIF(c_nationkey, 3) AS k FROM customer),
+        |s AS (SELECT NULLIF(s_nationkey, 3) AS sk FROM supplier)
+        |SELECT COALESCE(k, -1) AS k_group, COUNT(*) AS n_pairs
+        |FROM c JOIN s ON k IS NOT DISTINCT FROM sk
+        |GROUP BY 1""".stripMargin,
+
+    "q_levenshtein" ->
+      """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+        |  levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE a.c_custkey < 60 AND b.c_custkey < 60
+        |  AND levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
 
     "q_adaptive_salted" ->
       """WITH l AS (SELECT CASE WHEN l_orderkey % 10 = 0 THEN 0
