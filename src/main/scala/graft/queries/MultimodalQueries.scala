@@ -113,6 +113,24 @@ object MultimodalQueries {
         .select(col("doc_id"), png.as("content"))
         .select(col("doc_id"), isPng.as("is_png"),
           width.as("width"), height.as("height"))
+    }),
+
+    // ---- byte-distribution entropy: the binary-junk screen — natural
+    //      text sits ~3-4.5 nats, compressed/encrypted blobs ~ln(256).
+    //      Computed over the payload bytes (UTF-8 of text here, so the
+    //      oracle can replicate char-wise); per-byte -p·ln(p) terms are
+    //      rounded to 9 decimals and summed as exact DECIMAL so the
+    //      doc-level sum is partition-order independent ----
+    "m_byte_entropy" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val chars = d.select(col("doc_id"), length(col("text")).as("len"),
+        explode(split(col("text"), "")).as("ch"))
+      val p = col("c").cast("double") / col("len").cast("double")
+      chars.groupBy("doc_id", "len", "ch").agg(count(lit(1)).as("c"))
+        .select(col("doc_id"),
+          round(p * log(p), 9).cast("decimal(18,9)").as("term"))
+        .groupBy("doc_id")
+        .agg((-sum(col("term"))).cast("double").as("entropy_nats"))
     })
   )
 
@@ -163,6 +181,19 @@ object MultimodalQueries {
       """SELECT doc_id, true AS is_png,
         | CAST(doc_id % 1024 + 1 AS BIGINT) AS width,
         | CAST((doc_id * 7) % 1024 + 1 AS BIGINT) AS height
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "m_byte_entropy" ->
+      """WITH ch AS (SELECT doc_id, length(text) AS len,
+        |    unnest(list_transform(range(1, length(text) + 1),
+        |      i -> substr(text, CAST(i AS INT), 1))) AS ch
+        |  FROM documents),
+        |f AS (SELECT doc_id, len, ch, COUNT(*) AS c
+        |  FROM ch GROUP BY doc_id, len, ch)
+        |SELECT doc_id, CAST(-SUM(CAST(round(
+        |    (CAST(c AS DOUBLE) / CAST(len AS DOUBLE)) *
+        |    ln(CAST(c AS DOUBLE) / CAST(len AS DOUBLE)), 9)
+        |  AS DECIMAL(18,9))) AS DOUBLE) AS entropy_nats
+        |FROM f GROUP BY doc_id""".stripMargin
   )
 }
