@@ -127,6 +127,33 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("HLL distinct state fed by a stream (foreachBatch) tracks exact distinct") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_shll").toString + "/state"
+    try {
+      val mem = MemoryStream[(String, Long)]
+      mem.addData(("d1", 1L), ("d1", 2L), ("d2", 1L))
+      mem.addData(("d1", 2L), ("d1", 3L), ("d2", 1L)) // overlaps batch 1
+      val q = mem.toDF().toDF("day", "uid").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.operators.IncrementalAgg.updateDistinct(
+            spark, dir, batch, Seq("day"), "uid")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+      val got = graft.operators.IncrementalAgg.readDistinct(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      // sketch union across overlapping batches == distinct of the union
+      assert(got === Map("d1" -> 3L, "d2" -> 1L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+    }
+  }
+
   test("observed quality gates: metrics accumulate during the action, no extra pass") {
     import spark.implicits._
     val df = Seq((1L, 5.0), (2L, -1.0), (3L, 120.0), (4L, 7.0))
