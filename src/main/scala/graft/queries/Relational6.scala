@@ -126,6 +126,28 @@ object Relational6 {
             .as("median"))
     }),
 
+    // Map-column + higher-order-function battery: per-order
+    // linenumber→quantity maps (entries sorted for determinism),
+    // element_at lookup, exists/forall over map_values, aggregate over
+    // map_keys. The oracle computes the same facts relationally.
+    "q_map_funcs" -> ((s, dir) => {
+      // linenumber is NOT unique per order in this data — pre-aggregate
+      // to (order, line) so map keys are unique by construction
+      val l = t(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(max(col("l_quantity")).as("l_quantity"))
+      l.groupBy("l_orderkey")
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("l_linenumber"), col("l_quantity"))))).as("m"))
+        .select(col("l_orderkey"),
+          size(col("m")).as("n_lines"),
+          element_at(col("m"), 1).as("first_qty"),
+          exists(map_values(col("m")), q => q > 45.0).as("has_big"),
+          forall(map_values(col("m")), q => q > 0.0).as("all_pos"),
+          aggregate(map_keys(col("m")), lit(0), (a, k) => a + k)
+            .as("keys_sum"))
+    }),
+
     // Null-safe equi-join (<=>): NULL keys match each other — the join
     // form for nullable dimension keys where dropping null rows is
     // wrong. Still hash-joinable (null-safe equality is a valid
@@ -272,6 +294,19 @@ object Relational6 {
         |    MAX(pos - FLOOR(pos)) AS frac
         |  FROM r WHERE rn = FLOOR(pos) OR rn = CEIL(pos) GROUP BY g)
         |SELECT g, vlo + (vhi - vlo) * frac AS median FROM f""".stripMargin,
+
+    "q_map_funcs" ->
+      """WITH pre AS (SELECT l_orderkey, l_linenumber,
+        |    MAX(l_quantity) AS l_quantity
+        |  FROM lineitem WHERE l_orderkey < 2000
+        |  GROUP BY l_orderkey, l_linenumber)
+        |SELECT l_orderkey,
+        |  CAST(COUNT(*) AS INT) AS n_lines,
+        |  MAX(CASE WHEN l_linenumber = 1 THEN l_quantity END) AS first_qty,
+        |  MAX(l_quantity) > 45.0 AS has_big,
+        |  MIN(l_quantity) > 0.0 AS all_pos,
+        |  CAST(SUM(l_linenumber) AS INT) AS keys_sum
+        |FROM pre GROUP BY l_orderkey""".stripMargin,
 
     "q_nullsafe_join" ->
       """WITH c AS (SELECT NULLIF(c_nationkey, 3) AS k FROM customer),
