@@ -88,4 +88,57 @@ class PropertySpec extends SparkSpec {
       assert(got === expected, s"seed ${400 + s}")
     }
   }
+
+  test("TopK aggregate == window row_number on random skewed data") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    (1L to 5L).foreach { s =>
+      // heavy skew: most rows land in group 0
+      val rows = sample(Gen.listOfN(200, Gen.zip(
+        Gen.frequency(5 -> Gen.const(0L), 1 -> Gen.chooseNum(1L, 6L)),
+        Gen.chooseNum(-100, 100))), 500 + s)
+        .zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v.toDouble) }
+      val df = rows.toDF("g", "id", "score").repartition(5)
+      val agg = graft.operators.TopK.perGroup(df, col("g"), col("score"),
+          col("id"), 4).select("g", "rk", "id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val w = Window.partitionBy("g")
+        .orderBy(col("score").desc, col("id").asc)
+      val win = df.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 4).select("g", "rk", "id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(agg === win, s"seed ${500 + s}")
+    }
+  }
+
+  test("HeavyHitters == naive groupBy-count on random long-tail data") {
+    import spark.implicits._
+    (1L to 5L).foreach { s =>
+      val items = sample(Gen.listOfN(400, Gen.frequency(
+        3 -> Gen.oneOf("hot1", "hot2"),
+        1 -> Gen.chooseNum(0, 500).map(i => s"cold$i"))), 600 + s)
+      val df = items.toDF("item").repartition(7)
+      val got = graft.operators.HeavyHitters.frequentItems(df, col("item"),
+          minCount = 10, capacity = 64, validate = true)
+        .as[(String, Long)].collect().toSet
+      val naive = df.groupBy("item").count().filter(col("count") >= 10)
+        .as[(String, Long)].collect().toSet
+      assert(got === naive, s"seed ${600 + s}")
+    }
+  }
+
+  test("exactQuantiles(q) is order-stat correct on random data") {
+    import spark.implicits._
+    (1L to 5L).foreach { s =>
+      val vals = sample(Gen.listOfN(101, Gen.chooseNum(-1000, 1000)), 700 + s)
+        .map(_.toDouble)
+      val got = graft.operators.Profile
+        .exactQuantiles(vals.toDF("v").repartition(4), "v", Seq(0.0, 0.5, 1.0))
+        .as[(Double, Double)].collect().toMap
+      val sorted = vals.sorted
+      assert(got(0.0) === sorted.head, s"seed ${700 + s}")
+      assert(got(0.5) === sorted(50), s"seed ${700 + s}") // n=101 → exact mid
+      assert(got(1.0) === sorted.last, s"seed ${700 + s}")
+    }
+  }
 }
