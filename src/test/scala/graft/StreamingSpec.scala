@@ -138,6 +138,29 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:00:00.0", 2, "b", 3L)))
   }
 
+  test("trending: dominant item survives capacity pressure (MG guarantee)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[graft.streaming.Trending.ItemEvent]
+    def it(t: String, item: String) =
+      graft.streaming.Trending.ItemEvent(Timestamp.valueOf(t), item)
+    // 30×"dom" + 29 singletons in one window, capacity 4: the sketch
+    // must keep "dom" (count > n/(cap+1) = 59/5) whatever the tail does
+    val evs = (Seq.fill(30)("dom") ++ (1 to 29).map(i => s"tail$i"))
+      .zipWithIndex.map { case (x, i) =>
+        it(f"2024-01-01 11:00:${i % 60}%02d", x) }
+    mem.addData(evs :+ it("2024-01-01 11:30:00", "later"): _*)
+    val q = graft.streaming.Trending.windowTopK(mem.toDS(), k = 1,
+        windowSeconds = 60, capacity = 4, watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("trending_cap")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    val top = spark.sql("SELECT item FROM trending_cap WHERE rank = 1")
+      .collect().map(_.getString(0))
+    assert(top.toSeq === Seq("dom"))
+  }
+
   test("stream-static enrichment: dimension broadcast, unmatched keys kept") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
