@@ -256,6 +256,31 @@ object TextQueries {
         .orderBy(col("c").desc, col("bigram").asc).limit(50)
     }),
 
+    // ---- LM-based quality scoring (CCNet-style): average bigram
+    //      negative log-likelihood under the corpus's own bigram LM —
+    //      low avg_nll = predictable/fluent text, high = gibberish.
+    //      LM build = two map-combinable aggs + a keyed window; scoring
+    //      is one equi-join on the bigram. Per-term -ln p rounds to 9
+    //      decimals and sums as exact DECIMAL (partition-order
+    //      independent; ln parity survives the rounding) ----
+    "t_perplexity" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+      val bi = d.select(col("doc_id"),
+        explode(Text.shingles(Text.tokens(col("text")), 2)).as("bigram"))
+      val probs = bi.groupBy("bigram").agg(count(lit(1)).as("c"))
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("cp", sum(col("c")).over(Window.partitionBy("w1")))
+        .select(col("bigram"),
+          (col("c").cast("double") / col("cp").cast("double")).as("p"))
+      bi.join(probs, "bigram")
+        .select(col("doc_id"),
+          round(-log(col("p")), 9).cast("decimal(18,9)").as("nll"))
+        .groupBy("doc_id")
+        .agg((sum(col("nll")).cast("double") / count(lit(1))).as("avg_nll"),
+          count(lit(1)).as("n_bigrams"))
+    }),
+
     // ---- deterministic negative sampling for contrastive training:
     //      per anchor, K pseudo-random negatives via md5-bucket
     //      equi-joins (anchor probes bucket md5(anchor:j), corpus rows
@@ -333,6 +358,24 @@ object TextQueries {
          |  FROM bc)
          |SELECT bigram, c, p_cond FROM wp
          |ORDER BY c DESC, bigram ASC LIMIT 50""".stripMargin,
+
+    "t_perplexity" ->
+      s"""WITH bi AS (SELECT doc_id, unnest(
+         |    CASE WHEN len($tok) < 2 THEN []
+         |         ELSE list_transform(range(1, len($tok)),
+         |                i -> array_to_string(($tok)[i:i+1], ' ')) END) AS bigram
+         |  FROM documents),
+         |bc AS (SELECT bigram, COUNT(*) AS c,
+         |    string_split(bigram, ' ')[1] AS w1
+         |  FROM bi GROUP BY bigram),
+         |pr AS (SELECT bigram, CAST(c AS DOUBLE) /
+         |    CAST(SUM(c) OVER (PARTITION BY w1) AS DOUBLE) AS p
+         |  FROM bc)
+         |SELECT doc_id,
+         |  CAST(SUM(CAST(round(-ln(p), 9) AS DECIMAL(18,9))) AS DOUBLE)
+         |    / COUNT(*) AS avg_nll,
+         |  COUNT(*) AS n_bigrams
+         |FROM bi JOIN pr USING (bigram) GROUP BY doc_id""".stripMargin,
 
     "t_negative_pairs" ->
       """WITH corpus AS (SELECT doc_id AS neg_id,

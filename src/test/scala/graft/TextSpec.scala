@@ -39,6 +39,27 @@ class TextSpec extends SparkSpec {
     assert(lang("la la") === "es")
   }
 
+  test("t_perplexity: avg bigram NLL non-negative; deterministic LM cases") {
+    // LM over the whole corpus: "a b" occurs twice under w1=a alongside
+    // "a c" once -> p(b|a)=2/3, p(c|a)=1/3; "b a" and "c a" are the sole
+    // continuations of their w1 -> p=1 (nll 0).
+    val dir = java.nio.file.Files.createTempDirectory("tp").toString
+    import spark.implicits._
+    Seq((1L, "a b a c"), (2L, "a b"), (3L, "solo"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t_perplexity")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // doc 3 has <2 tokens -> no bigrams -> absent from the result
+    assert(out.keySet === Set(1L, 2L))
+    val ln3 = math.log(3.0)
+    // doc 1 bigrams: a b (nll ln(3/2)), b a (0), a c (ln 3)
+    assert(math.abs(out(1L)._1 - (math.log(1.5) + ln3) / 3.0) < 1e-6)
+    assert(out(1L)._2 === 3L)
+    // doc 2: single bigram "a b" -> nll ln(3/2)
+    assert(math.abs(out(2L)._1 - math.log(1.5)) < 1e-6)
+    assert(out(2L)._2 === 1L)
+  }
+
   test("quality score bounded and monotone in stopword density") {
     val hi = df1("the a of and to the a of and to").select(
       Text.qualityScore(col("text"), Text.tokens(col("text"))).as("q"))
