@@ -27,7 +27,12 @@ object Bench {
 
     // A crashing query must not masquerade as a timing: failures are
     // listed in a "failed" key and logged, never folded in silently.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional arg: comma-separated query names (fast iteration on one
+    // hotspot without the full 149-query sweep), same contract as Verify
+    val subset = args.headOption.map(_.split(",").toSet)
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => subset.forall(_.contains(n)) }
+    val results = picked.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }

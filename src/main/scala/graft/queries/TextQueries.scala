@@ -266,19 +266,27 @@ object TextQueries {
     "t_perplexity" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val d = t(s, dir, "documents")
-      val bi = d.select(col("doc_id"),
-        explode(Text.shingles(Text.tokens(col("text")), 2)).as("bigram"))
-      val probs = bi.groupBy("bigram").agg(count(lit(1)).as("c"))
+      // Pre-aggregate to (doc, bigram, multiplicity) so the corpus-sized
+      // explode runs ONCE; localCheckpoint because both the LM build and
+      // the scoring join consume this frame (Catalyst would otherwise
+      // re-explode per branch).
+      val bg = d.select(col("doc_id"),
+          explode(Text.shingles(Text.tokens(col("text")), 2)).as("bigram"))
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("k"))
+        .localCheckpoint(true)
+      val probs = bg.groupBy("bigram").agg(sum(col("k")).as("c"))
         .withColumn("w1", split(col("bigram"), " ").getItem(0))
         .withColumn("cp", sum(col("c")).over(Window.partitionBy("w1")))
         .select(col("bigram"),
           (col("c").cast("double") / col("cp").cast("double")).as("p"))
-      bi.join(probs, "bigram")
-        .select(col("doc_id"),
-          round(-log(col("p")), 9).cast("decimal(18,9)").as("nll"))
+      bg.join(probs, "bigram")
+        .select(col("doc_id"), col("k"),
+          (col("k").cast("decimal(18,0)") *
+            round(-log(col("p")), 9).cast("decimal(18,9)")).as("nll"))
         .groupBy("doc_id")
-        .agg((sum(col("nll")).cast("double") / count(lit(1))).as("avg_nll"),
-          count(lit(1)).as("n_bigrams"))
+        .agg((sum(col("nll")).cast("double") /
+          sum(col("k")).cast("double")).as("avg_nll"),
+          sum(col("k")).cast("long").as("n_bigrams"))
     }),
 
     // ---- deterministic negative sampling for contrastive training:
