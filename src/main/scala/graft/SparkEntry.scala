@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, EventQueries, FileOps, MultimodalQueries, QualityQueries, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, EventQueries, FileOps, GraphQueries, MultimodalQueries, QualityQueries, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,8 @@ object SparkEntry {
     (DedupQueries.queries, DedupQueries.oracleSql),
     (SimilarityQueries.queries, SimilarityQueries.oracleSql),
     (EventQueries.queries, EventQueries.oracleSql),
-    (MultimodalQueries.queries, MultimodalQueries.oracleSql)
+    (MultimodalQueries.queries, MultimodalQueries.oracleSql),
+    (GraphQueries.queries, GraphQueries.oracleSql)
   )
 
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */

@@ -48,4 +48,60 @@ object Graph {
     }
     visited
   }
+
+  /** Damped PageRank over an undirected edge list, fixed iteration
+    * count (web-crawl curation signal: rank sources/documents by link
+    * centrality before sampling a training mix).
+    *
+    * Scale shape: each iteration is one equi-join of the rank vector
+    * (one row per vertex) against the edge list on the source id plus a
+    * map-combinable sum on the destination — the classic Pregel
+    * message-passing round as two keyed shuffles, never an adjacency
+    * matrix. `localCheckpoint` truncates lineage per round. Treating
+    * the graph as undirected guarantees every vertex has degree ≥ 1,
+    * so no dangling-mass redistribution pass is needed.
+    *
+    * Determinism contract (oracle-replayable): ranks are fixed-point
+    * integers scaled by 1e9 and every step is BIGINT arithmetic —
+    * integral division for rank/deg and the damping ratio — so each
+    * iteration is bit-identical across engines and partition orders
+    * (no float rounding boundary to straddle; each term truncates
+    * ≤ 1e-9 of mass, which only ever shrinks ranks and never reorders
+    * a gap wider than iters·1e-9).
+    *
+    * @param edges two-column DataFrame (src, dst); treated undirected
+    * @param iters number of power iterations (typ. 3–20; cost is
+    *              iters × one edge-list shuffle)
+    * @param dampNum damping numerator: rank = (100-dampNum)%·1/N +
+    *                dampNum%·Σ in-contribs (dampNum=85 → d=0.85)
+    * @return (id, rank_e9) for every vertex; rank_e9 = rank · 1e9
+    */
+  def pageRank(edges: DataFrame, iters: Int,
+               dampNum: Long = 85L): DataFrame = {
+    require(iters >= 1 && dampNum > 0L && dampNum < 100L)
+    val scale = 1000000000L
+    val Seq(srcC, dstC) = edges.columns.take(2).toSeq
+    val und = edges.select(col(srcC).as("s"), col(dstC).as("d"))
+      .union(edges.select(col(dstC).as("s"), col(srcC).as("d")))
+      .distinct().localCheckpoint(true)
+    val deg = und.groupBy("s").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val nodes = und.select(col("s").as("id")).distinct().localCheckpoint(true)
+    val n = nodes.count() // one scalar job, not a data collect
+    val base = (scale * (100L - dampNum) / 100L) / n
+    var ranks = nodes
+      .withColumn("rank_e9", lit(scale / n)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = und
+        .join(ranks, und("s") === ranks("id"))
+        .join(deg, Seq("s"))
+        .select(und("d").as("id"), expr("rank_e9 div deg").as("c"))
+      ranks = contrib.groupBy("id")
+        .agg(sum(col("c")).as("in_sum"))
+        .select(col("id"),
+          (lit(base) + expr(s"($dampNum * in_sum) div 100")).as("rank_e9"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
 }

@@ -289,6 +289,33 @@ object TextQueries {
           sum(col("k")).cast("long").as("n_bigrams"))
     }),
 
+    // ---- C4-style corpus-wide segment dedup: split each doc into
+    //      fixed 10-token segments (the "lines" of a newline-free
+    //      corpus), keep a repeated segment only in its first-occurrence
+    //      doc (min doc_id), and rebuild the cleaned text in original
+    //      order. Shapes: one explode (~n_tokens/10 rows), a
+    //      map-combinable segment agg, one equi-join back on the
+    //      segment, and a per-doc ordered rebuild (array_sort bounds
+    //      work by doc length) ----
+    "t_segment_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val segs = d.select(col("doc_id"), Text.tokens(col("text")).as("tok"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, (size(tok)-1) div 10)," +
+            " i -> array_join(slice(tok, i*10+1, 10), ' '))")))
+        .toDF("doc_id", "pos", "seg")
+      val firstOcc = segs.groupBy("seg")
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("occ"))
+      val keep = col("occ") === 1 || col("doc_id") === col("keeper")
+      segs.join(firstOcc, "seg")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(keep, 1L).otherwise(0L)).cast("long").as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(when(keep, struct(col("pos"), col("seg"))))),
+            x => x.getField("seg")), " ").as("clean_text"))
+    }),
+
     // ---- deterministic negative sampling for contrastive training:
     //      per anchor, K pseudo-random negatives via md5-bucket
     //      equi-joins (anchor probes bucket md5(anchor:j), corpus rows
@@ -384,6 +411,23 @@ object TextQueries {
          |    / COUNT(*) AS avg_nll,
          |  COUNT(*) AS n_bigrams
          |FROM bi JOIN pr USING (bigram) GROUP BY doc_id""".stripMargin,
+
+    "t_segment_dedup" ->
+      s"""WITH base AS (SELECT doc_id, $tok AS tok FROM documents),
+         |segs AS (SELECT doc_id, u.pos AS pos, u.seg AS seg
+         |  FROM (SELECT doc_id, unnest(list_transform(
+         |      range(0, (len(tok)-1)//10 + 1),
+         |      i -> struct_pack(pos := i,
+         |        seg := array_to_string(tok[i*10+1:i*10+10], ' ')))) AS u
+         |    FROM base)),
+         |fo AS (SELECT seg, MIN(doc_id) AS keeper, COUNT(*) AS occ
+         |  FROM segs GROUP BY seg)
+         |SELECT doc_id, COUNT(*) AS n_segs,
+         |  CAST(SUM(CASE WHEN occ = 1 OR doc_id = keeper THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  COALESCE(string_agg(CASE WHEN occ = 1 OR doc_id = keeper
+         |      THEN seg END, ' ' ORDER BY pos), '') AS clean_text
+         |FROM segs JOIN fo USING (seg) GROUP BY doc_id""".stripMargin,
 
     "t_negative_pairs" ->
       """WITH corpus AS (SELECT doc_id AS neg_id,

@@ -35,4 +35,28 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(got === Map(1L -> 0, 9L -> 0))
   }
+
+  test("pageRank: hand-computed fixed-point iteration on a path graph") {
+    // a-b-c: r0 = 1e9/3 = 333333333 each; base = 150000000/3 = 50000000.
+    // contribs: ends send r0 div 1, middle sends r0 div 2 = 166666666
+    // ends:   50000000 + 85*166666666 div 100 = 191666666
+    // middle: 50000000 + 85*(2*166666666... no: b receives both ends'
+    //         full ranks: 85*666666666 div 100 = 566666666 -> 616666666
+    val p = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val got = Graph.pageRank(p, iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 191666666L, "b" -> 616666666L,
+      "c" -> 191666666L))
+  }
+
+  test("pageRank: more iterations concentrate rank on the hub") {
+    // star: hub h linked to 4 leaves — hub rank must exceed every leaf
+    // and total fixed-point mass stays <= 1e9 (truncation only shrinks)
+    val star = Seq(("h", "l1"), ("h", "l2"), ("h", "l3"), ("h", "l4"))
+      .toDF("src", "dst")
+    val got = Graph.pageRank(star, iters = 5)
+      .as[(String, Long)].collect().toMap
+    assert(got("h") > got("l1") && got("l1") === got("l4"))
+    assert(got.values.sum <= 1000000000L)
+  }
 }

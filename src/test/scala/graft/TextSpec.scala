@@ -60,6 +60,23 @@ class TextSpec extends SparkSpec {
     assert(out(2L)._2 === 1L)
   }
 
+  test("t_segment_dedup: repeated segment survives only in first doc") {
+    val dir = java.nio.file.Files.createTempDirectory("sd").toString
+    import spark.implicits._
+    val seg = (1 to 10).map(i => s"w$i").mkString(" ") // one full segment
+    Seq((1L, s"$seg tail one"), (2L, s"$seg other end"), (3L, "unique words"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t_segment_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 is the keeper: both its segments stay, in order
+    assert(out(1L) === ((2L, 2L, s"$seg tail one")))
+    // doc 2 loses the shared head segment, keeps its distinct tail
+    assert(out(2L) === ((2L, 1L, "other end")))
+    // doc 3 untouched
+    assert(out(3L) === ((1L, 1L, "unique words")))
+  }
+
   test("quality score bounded and monotone in stopword density") {
     val hi = df1("the a of and to the a of and to").select(
       Text.qualityScore(col("text"), Text.tokens(col("text"))).as("q"))
