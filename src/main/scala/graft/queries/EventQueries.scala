@@ -209,6 +209,29 @@ object EventQueries {
           sum(dec(col("value"))).cast("double").as("total_value"))
     }),
 
+    // ---- per-user exponential moving average (alpha = 3/10) of event
+    //      values in time order — sequential-by-nature semantics done
+    //      scale-right: collect only each user's own events (bounded by
+    //      per-key history, never a global sort), sort in-array, fold
+    //      left. Values live as 1e-6 fixed-point BIGINTs and the fold
+    //      is integer arithmetic (3·x + 7·acc) div 10, so the result is
+    //      bit-deterministic across engines and partitionings ----
+    "e_ema" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * lit(1000000.0)).cast("long").as("v6"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sort_array(collect_list(struct(col("ts"), col("event_id"),
+            col("v6")))).as("seq"))
+        .withColumn("vs", expr("transform(seq, x -> x.v6)"))
+        .withColumn("ema_e6", expr(
+          "aggregate(slice(vs, 2, greatest(size(vs) - 1, 0)), vs[0]," +
+            " (acc, x) -> (3 * x + 7 * acc) div 10)"))
+        .select(col("user_id"), col("n_events"), col("ema_e6"),
+          (col("ema_e6").cast("double") / lit(1000000.0)).as("ema"))
+    }),
+
     // ---- z-score anomaly flagging per event_type: mean and E[x²] from
     //      exact DECIMAL sums (partition-order independent), variance =
     //      msq − mean² and sqrt are IEEE-exact given identical inputs,
@@ -370,6 +393,18 @@ object EventQueries {
         |       THEN CAST(json_extract_string(raw, '$.k') AS BIGINT) END AS k,
         |  json_valid(raw) AS is_valid
         |FROM r""".stripMargin,
+
+    "e_ema" ->
+      """WITH b AS (SELECT user_id, ts, event_id,
+        |    CAST(round(value * CAST(1000000 AS DOUBLE)) AS BIGINT) AS v6
+        |  FROM events),
+        |f AS (SELECT user_id, COUNT(*) AS n_events,
+        |    list_reduce(array_agg(v6 ORDER BY ts, event_id),
+        |      (acc, x) -> (3 * x + 7 * acc) // 10) AS ema_e6
+        |  FROM b GROUP BY user_id)
+        |SELECT user_id, n_events, ema_e6,
+        |  CAST(ema_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE) AS ema
+        |FROM f""".stripMargin,
 
     "e_user_stats" ->
       """SELECT user_id, COUNT(*) AS n_events,

@@ -33,4 +33,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(b === Seq((0, 0L, None), (1, 5L, Some(99.0)),
       (2, 0L, Some(99.0)), (3, 0L, Some(99.0))))
   }
+
+  test("e_ema: hand-computed fixed-point fold in event-time order") {
+    val dir = java.nio.file.Files.createTempDirectory("ema").toString
+    import spark.implicits._
+    // events fixture stores ts as INT64 nanos (driver layout); values
+    // 1,2,3 arrive in ts order but are written shuffled to prove the
+    // in-array sort, with a 4th row for a second user
+    val h = 3600L * 1000000000L
+    Seq((3L, 3 * h, 1L, "c", 3.0, "{}"), (1L, 1 * h, 1L, "c", 1.0, "{}"),
+      (2L, 2 * h, 1L, "c", 2.0, "{}"), (4L, 1 * h, 2L, "c", 5.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("e_ema")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // user 1: acc=1000000 -> (3*2e6+7*1e6) div 10 = 1300000
+    //                     -> (3*3e6+7*1.3e6) div 10 = 1810000
+    assert(out(1L) === ((3L, 1810000L, 1.81)))
+    // single event: EMA is the value itself
+    assert(out(2L) === ((1L, 5500000L, 5.5)))
+  }
 }
