@@ -113,6 +113,30 @@ class PlanSpec extends SparkSpec {
     assert(!cp.contains("CartesianProduct"), cp)
   }
 
+  test("late round-4 shapes: EMA single-shuffle, dedup/graph cartesian-free") {
+    // EMA is ONE keyed shuffle (groupBy user_id) and nothing else — the
+    // whole point of the in-array fold over per-key history
+    val ema = planOf("e_ema")
+    assert("""\(\d+\) Exchange""".r.findAllIn(ema).length === 1, ema)
+    assert(!ema.contains("Window"), ema)
+    // segment dedup: equi-join back on the segment key only, map-side
+    // partial agg on the first-occurrence pass
+    val sd = planOf("t_segment_dedup")
+    assert(!sd.contains("CartesianProduct") &&
+      !sd.contains("BroadcastNestedLoopJoin"), sd)
+    assert(sd.contains("partial_min"), sd)
+    // pagerank output: top-100 via TakeOrderedAndProject, no cartesian
+    // (checkpointed iterations keep the final plan small)
+    val pr = planOf("g_pagerank")
+    assert(pr.contains("TakeOrderedAndProject"), pr)
+    assert(!pr.contains("CartesianProduct"), pr)
+    // perplexity: LM probabilities windowed by first token only after
+    // the bigram-count agg (vocab-bounded), scoring is an equi-join
+    val tp = planOf("t_perplexity")
+    assert(!tp.contains("CartesianProduct") &&
+      !tp.contains("BroadcastNestedLoopJoin"), tp)
+  }
+
   test("partitioned layout: a partition-column filter prunes at planning time") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
