@@ -27,9 +27,16 @@ object Bench {
 
     // A crashing query must not masquerade as a timing: failures are
     // listed in a "failed" key and logged, never folded in silently.
-    // optional arg: comma-separated query names (fast iteration on one
-    // hotspot without the full 149-query sweep), same contract as Verify
+    // optional first arg: comma-separated query names (fast iteration on
+    // one hotspot without the full sweep). Unknown names are loud — a
+    // typo'd or misplaced arg must not masquerade as an instant pass.
     val subset = args.headOption.map(_.split(",").toSet)
+    subset.foreach { ss =>
+      val unknown = ss -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[bench] WARNING: unknown query names skipped: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => subset.forall(_.contains(n)) }
     val results = picked.map { case (name, fn) =>

@@ -86,8 +86,10 @@ object Graph {
       .distinct().localCheckpoint(true)
     val deg = und.groupBy("s").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
-    val nodes = und.select(col("s").as("id")).distinct().localCheckpoint(true)
-    val n = nodes.count() // one scalar job, not a data collect
+    // deg already holds exactly one row per vertex — derive the vertex
+    // set from it instead of a second edge-list-wide distinct
+    val nodes = deg.select(col("s").as("id"))
+    val n = deg.count() // one scalar job, not a data collect
     val base = (scale * (100L - dampNum) / 100L) / n
     var ranks = nodes
       .withColumn("rank_e9", lit(scale / n)).localCheckpoint(true)

@@ -17,8 +17,9 @@ import graft.operators.Graph
   * frontiers.
   *
   * The oracle unrolls the fixed iteration count into chained CTEs;
-  * determinism comes from Graph.pageRank's round-9 DECIMAL-sum
-  * contract, replicated verbatim in SQL.
+  * determinism comes from Graph.pageRank's 1e-9 fixed-point BIGINT
+  * contract (integral division everywhere, no float rounding to
+  * straddle), replicated verbatim in SQL.
   */
 object GraphQueries {
 

@@ -260,9 +260,11 @@ object TextQueries {
     //      negative log-likelihood under the corpus's own bigram LM —
     //      low avg_nll = predictable/fluent text, high = gibberish.
     //      LM build = two map-combinable aggs + a keyed window; scoring
-    //      is one equi-join on the bigram. Per-term -ln p rounds to 9
-    //      decimals and sums as exact DECIMAL (partition-order
-    //      independent; ln parity survives the rounding) ----
+    //      is one equi-join on the bigram. Per-term -ln p rounds to 4
+    //      decimals (the project's ln/libm absorption margin — ulp
+    //      divergence between Math.log and DuckDB's log sits ~1e-15,
+    //      11 orders under the rounding boundary) and sums as exact
+    //      DECIMAL (partition-order independent) ----
     "t_perplexity" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val d = t(s, dir, "documents")
@@ -282,7 +284,7 @@ object TextQueries {
       bg.join(probs, "bigram")
         .select(col("doc_id"), col("k"),
           (col("k").cast("decimal(18,0)") *
-            round(-log(col("p")), 9).cast("decimal(18,9)")).as("nll"))
+            round(-log(col("p")), 4).cast("decimal(18,4)")).as("nll"))
         .groupBy("doc_id")
         .agg((sum(col("nll")).cast("double") /
           sum(col("k")).cast("double")).as("avg_nll"),
@@ -304,9 +306,10 @@ object TextQueries {
           "transform(sequence(0, (size(tok)-1) div 10)," +
             " i -> array_join(slice(tok, i*10+1, 10), ' '))")))
         .toDF("doc_id", "pos", "seg")
-      val firstOcc = segs.groupBy("seg")
-        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("occ"))
-      val keep = col("occ") === 1 || col("doc_id") === col("keeper")
+      // a unique segment's keeper is its own doc (min over one row), so
+      // doc_id = keeper alone decides — no occurrence count needed
+      val firstOcc = segs.groupBy("seg").agg(min(col("doc_id")).as("keeper"))
+      val keep = col("doc_id") === col("keeper")
       segs.join(firstOcc, "seg")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_segs"),
@@ -407,7 +410,7 @@ object TextQueries {
          |    CAST(SUM(c) OVER (PARTITION BY w1) AS DOUBLE) AS p
          |  FROM bc)
          |SELECT doc_id,
-         |  CAST(SUM(CAST(round(-ln(p), 9) AS DECIMAL(18,9))) AS DOUBLE)
+         |  CAST(SUM(CAST(round(-ln(p), 4) AS DECIMAL(18,4))) AS DOUBLE)
          |    / COUNT(*) AS avg_nll,
          |  COUNT(*) AS n_bigrams
          |FROM bi JOIN pr USING (bigram) GROUP BY doc_id""".stripMargin,
@@ -420,12 +423,11 @@ object TextQueries {
          |      i -> struct_pack(pos := i,
          |        seg := array_to_string(tok[i*10+1:i*10+10], ' ')))) AS u
          |    FROM base)),
-         |fo AS (SELECT seg, MIN(doc_id) AS keeper, COUNT(*) AS occ
-         |  FROM segs GROUP BY seg)
+         |fo AS (SELECT seg, MIN(doc_id) AS keeper FROM segs GROUP BY seg)
          |SELECT doc_id, COUNT(*) AS n_segs,
-         |  CAST(SUM(CASE WHEN occ = 1 OR doc_id = keeper THEN 1 ELSE 0 END)
+         |  CAST(SUM(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_kept,
-         |  COALESCE(string_agg(CASE WHEN occ = 1 OR doc_id = keeper
+         |  COALESCE(string_agg(CASE WHEN doc_id = keeper
          |      THEN seg END, ' ' ORDER BY pos), '') AS clean_text
          |FROM segs JOIN fo USING (seg) GROUP BY doc_id""".stripMargin,
 

@@ -51,12 +51,13 @@ class TextSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
     // doc 3 has <2 tokens -> no bigrams -> absent from the result
     assert(out.keySet === Set(1L, 2L))
-    val ln3 = math.log(3.0)
-    // doc 1 bigrams: a b (nll ln(3/2)), b a (0), a c (ln 3)
-    assert(math.abs(out(1L)._1 - (math.log(1.5) + ln3) / 3.0) < 1e-6)
+    // per-term nll rounds to 4 decimals (ln-absorption margin):
+    // ln(3/2) -> 0.4055, ln(3) -> 1.0986
+    // doc 1 bigrams: a b (0.4055), b a (0), a c (1.0986)
+    assert(math.abs(out(1L)._1 - (0.4055 + 1.0986) / 3.0) < 1e-9)
     assert(out(1L)._2 === 3L)
-    // doc 2: single bigram "a b" -> nll ln(3/2)
-    assert(math.abs(out(2L)._1 - math.log(1.5)) < 1e-6)
+    // doc 2: single bigram "a b"
+    assert(math.abs(out(2L)._1 - 0.4055) < 1e-9)
     assert(out(2L)._2 === 1L)
   }
 
