@@ -119,7 +119,9 @@ object MultimodalQueries {
     //      text sits ~3-4.5 nats, compressed/encrypted blobs ~ln(256).
     //      Computed over the payload bytes (UTF-8 of text here, so the
     //      oracle can replicate char-wise); per-byte -p·ln(p) terms are
-    //      rounded to 9 decimals and summed as exact DECIMAL so the
+    //      rounded to 4 decimals (the ln/libm absorption margin — at 9
+    //      decimals a ~1-ulp JVM/DuckDB log divergence can straddle a
+    //      rounding boundary) and summed as exact DECIMAL so the
     //      doc-level sum is partition-order independent ----
     "m_byte_entropy" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -128,7 +130,7 @@ object MultimodalQueries {
       val p = col("c").cast("double") / col("len").cast("double")
       chars.groupBy("doc_id", "len", "ch").agg(count(lit(1)).as("c"))
         .select(col("doc_id"),
-          round(p * log(p), 9).cast("decimal(18,9)").as("term"))
+          round(p * log(p), 4).cast("decimal(18,4)").as("term"))
         .groupBy("doc_id")
         .agg((-sum(col("term"))).cast("double").as("entropy_nats"))
     })
@@ -192,8 +194,8 @@ object MultimodalQueries {
         |  FROM ch GROUP BY doc_id, len, ch)
         |SELECT doc_id, CAST(-SUM(CAST(round(
         |    (CAST(c AS DOUBLE) / CAST(len AS DOUBLE)) *
-        |    ln(CAST(c AS DOUBLE) / CAST(len AS DOUBLE)), 9)
-        |  AS DECIMAL(18,9))) AS DOUBLE) AS entropy_nats
+        |    ln(CAST(c AS DOUBLE) / CAST(len AS DOUBLE)), 4)
+        |  AS DECIMAL(18,4))) AS DOUBLE) AS entropy_nats
         |FROM f GROUP BY doc_id""".stripMargin
   )
 }
