@@ -105,6 +105,31 @@ object Sampling {
       .drop("__rn", "__quota")
   }
 
+  /** Efraimidis–Spirakis weighted sampling without replacement: each
+    * row draws a deterministic uniform u from the first 8 hex chars of
+    * md5(id) and the k rows with the largest u^(1/w) win — equivalent
+    * (and computed as) the largest ln(u)/w. Inclusion probability is
+    * proportional to weight, the standard "sample by quality score"
+    * training-mix primitive, yet fully reproducible across runs,
+    * engines, and partitionings.
+    *
+    * Scale: one map-side projection + top-k (TakeOrderedAndProject —
+    * per-partition heaps, never a global sort). The selection key is
+    * rounded to 6 decimals with an id tiebreak so the chosen set is
+    * identical even where engines' ln() differ in ulps.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0)
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
+    df.filter(col(weightCol) > 0)
+      .withColumn("skey", round(log(u) / col(weightCol).cast("double"), 6))
+      .orderBy(col("skey").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Stratified: per-stratum fractions (e.g. downsample boilerplate
     * web text, keep all books), `defaultFraction` for unlisted strata.
     */

@@ -130,6 +130,17 @@ object TextQueries {
         .select("doc_id", "source")
     }),
 
+    // ---- weighted sampling without replacement (Efraimidis–Spirakis,
+    //      weight = document length): inclusion odds ∝ n_chars but the
+    //      draw is a pure function of doc_id — reproducible across
+    //      engines and cluster sizes. Top-k via per-partition heaps ----
+    "t_weighted_sample" -> ((s, dir) => {
+      graft.operators.Sampling.weightedSample(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "doc_id", "n_chars", k = 200)
+        .select("doc_id", "source", "skey")
+    }),
+
     // ---- document rarity scoring: mean-free IDF proxy — each doc
     //      sums 1/df over its DISTINCT tokens (df = corpus document
     //      frequency). Two aggregations + one token equi-join; the
@@ -414,6 +425,20 @@ object TextQueries {
          |    / COUNT(*) AS avg_nll,
          |  COUNT(*) AS n_bigrams
          |FROM bi JOIN pr USING (bigram) GROUP BY doc_id""".stripMargin,
+
+    "t_weighted_sample" ->
+      """WITH b AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS w,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 9),
+        |        i -> CAST(strpos('0123456789abcdef', substring(
+        |          md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1
+        |          AS BIGINT))),
+        |      (a, x) -> a * 16 + x) AS h
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, source,
+        |  round(ln((CAST(h AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |      / CAST(4294967296 AS DOUBLE)) / w, 6) AS skey
+        |FROM b ORDER BY skey DESC, doc_id ASC LIMIT 200""".stripMargin,
 
     "t_segment_dedup" ->
       s"""WITH base AS (SELECT doc_id, $tok AS tok FROM documents),

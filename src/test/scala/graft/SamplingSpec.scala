@@ -86,4 +86,25 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(kept("B") / 1000.0 - 0.125) < 0.08)
     assert(!kept.contains("C")) // default 0 drops the stratum entirely
   }
+
+  test("weightedSample: inclusion tracks weight, draw is deterministic") {
+    import spark.implicits._
+    // ids 0-99: first half weight 50, second half weight 1
+    val df = (0 until 100).map(i => (i.toLong, if (i < 50) 50.0 else 1.0))
+      .toDF("id", "w")
+    val pick = Sampling.weightedSample(df, "id", "w", k = 20)
+    val ids = pick.select("id").as[Long].collect().toSet
+    assert(ids.size === 20)
+    // E-S keys: ln(u)/50 vs ln(u)/1 — heavy rows dominate the top-20
+    assert(ids.count(_ < 50) >= 17)
+    // pure function of (id, w): re-evaluation returns the same set
+    val again = Sampling.weightedSample(df, "id", "w", k = 20)
+      .select("id").as[Long].collect().toSet
+    assert(again === ids)
+    // zero/negative weights are never sampled
+    val z = Sampling.weightedSample(
+      df.withColumn("w", when(col("id") < 99, lit(0.0)).otherwise(lit(2.0))),
+      "id", "w", k = 5).select("id").as[Long].collect().toSeq
+    assert(z === Seq(99L))
+  }
 }
