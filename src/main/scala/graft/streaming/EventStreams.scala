@@ -129,4 +129,44 @@ object EventStreams {
           }
       }
   }
+
+  final case class EmaState(emaE6: Long, lastTs: Long, lastId: Long, n: Long)
+  final case class EmaOut(user_id: Long, n_events: Long, ema_e6: Long,
+                          ema: Double)
+
+  /** Streaming per-user EMA — the incremental form of batch `e_ema`,
+    * same 1e-6 fixed-point fold ((3·x + 7·acc) div 10), so with
+    * in-order delivery (disorder only *within* a micro-batch, which is
+    * re-sorted by event time) the streamed state is bit-identical to
+    * the batch query over the same events. Events at or before the
+    * last folded (ts, event_id) are dropped, never re-folded — an EMA
+    * is order-sensitive, so silently folding stragglers out of order
+    * would diverge from batch; dropping keeps the prefix invariant.
+    *
+    * State per user is one 4-field record (no history), emitted in
+    * Update mode on every batch that touches the user.
+    */
+  def emaStream(events: Dataset[Ev]): Dataset[EmaOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EmaState, EmaOut](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[EmaState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption.getOrElse(EmaState(0L, Long.MinValue,
+            Long.MinValue, 0L))
+          sorted.foreach { e =>
+            val inOrder = e.ts.getTime > cur.lastTs ||
+              (e.ts.getTime == cur.lastTs && e.event_id > cur.lastId)
+            if (inOrder) {
+              val v6 = math.round(e.value * 1000000.0)
+              val ema = if (cur.n == 0L) v6
+                        else (3L * v6 + 7L * cur.emaE6) / 10L
+              cur = EmaState(ema, e.ts.getTime, e.event_id, cur.n + 1L)
+            }
+          }
+          state.update(cur)
+          EmaOut(userId, cur.n, cur.emaE6, cur.emaE6.toDouble / 1000000.0)
+      }
+  }
 }

@@ -111,6 +111,39 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:00:00.0", "view", 1L, 8.0)))
   }
 
+  test("streaming EMA across batches equals the batch fixed-point fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    def ev(id: Long, t: String, v: Double) =
+      EventStreams.Ev(id, Timestamp.valueOf(t), 1L, "c", v)
+    // batch 1: values 1,2 (written out of order; in-batch sort fixes) —
+    // then batch 2 appends value 3 plus a straggler older than folded
+    // state, which must be dropped, not re-folded. One continuous query
+    // so state carries across micro-batches (NoTimeout + no watermark:
+    // no no-data-batch hang for processAllAvailable).
+    val q = EventStreams.emaStream(mem.toDS())
+      .writeStream.format("memory").queryName("ema_stream")
+      .outputMode("update").start()
+    try {
+      mem.addData(ev(2, "2024-01-01 11:00:00", 2.0),
+        ev(1, "2024-01-01 10:00:00", 1.0))
+      q.processAllAvailable()
+      val mid = spark.sql("SELECT ema_e6 FROM ema_stream").collect()
+        .map(_.getLong(0)).toSeq
+      assert(mid === Seq(1300000L)) // (3*2e6 + 7*1e6) div 10
+      mem.addData(ev(3, "2024-01-01 12:00:00", 3.0),
+        ev(4, "2024-01-01 09:00:00", 99.0))
+      q.processAllAvailable()
+      // update-mode memory sink appends each batch's emission
+      val fin = spark.sql("SELECT n_events, ema_e6 FROM ema_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      // final state matches the batch e_ema hand case (1810000 over 3
+      // events); straggler id=4 was ignored, not re-folded
+      assert(fin === Seq((2L, 1300000L), (3L, 1810000L)))
+    } finally q.stop()
+  }
+
   test("trending: windowed MG state emits exact top-k on watermark close") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
