@@ -251,6 +251,38 @@ object EventQueries {
         .filter(abs(col("z")) > 2)
         .select(col("event_id"), col("event_type"), col("value"),
           round(col("z"), 4).as("z"))
+    }),
+
+    // ---- hopping (sliding) windows: 1-hour window sliding every
+    //      15 min. Spark's native window(slide) replicates each event
+    //      into its 4 overlapping windows before the aggregation, so
+    //      partial (map-side) aggregation still combines per
+    //      (window, type) — the shuffle carries pre-aggregated rows,
+    //      not the 4× exploded events ----
+    "e_hopping_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("total_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+    }),
+
+    // ---- SCD-2 dimension build: compress each user's event_type
+    //      history into validity intervals [valid_from, valid_to),
+    //      open-ended for the current state. One shuffle on user_id;
+    //      the change-filter and the lead() share the same sort ----
+    "e_scd2_intervals" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+        .select(col("user_id"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
     })
   )
 
@@ -424,6 +456,31 @@ object EventQueries {
         |SELECT event_id, event_type, value,
         |  ROUND((value - mean) / sqrt(msq - mean * mean), 4) AS z
         |FROM events JOIN st USING (event_type)
-        |WHERE ABS((value - mean) / sqrt(msq - mean * mean)) > 2""".stripMargin
+        |WHERE ABS((value - mean) / sqrt(msq - mean * mean)) > 2""".stripMargin,
+
+    // Each event belongs to exactly 4 hop windows (3600/900); window
+    // starts are the 4 preceding 15-min grid points, computed on
+    // epoch micros so DuckDB and Spark agree exactly.
+    "e_hopping_window" ->
+      """WITH x AS (SELECT
+        |    make_timestamp((epoch_us(ts) // 900000000 - k.k) * 900000000)
+        |      AS window_start,
+        |    event_type, value
+        |  FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k)
+        |SELECT window_start, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "e_scd2_intervals" ->
+      """WITH c AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS prev
+        |  FROM events)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC) IS NULL AS is_current
+        |FROM c WHERE prev IS NULL OR prev <> event_type""".stripMargin
   )
 }

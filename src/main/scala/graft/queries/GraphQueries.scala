@@ -39,6 +39,58 @@ object GraphQueries {
         .distinct()
       Graph.pageRank(edges, iters, dampNum = 85L)
         .orderBy(col("rank_e9").desc, col("id").asc).limit(100)
+    }),
+
+    // ---- degree-ordered triangle counting over the supplier
+    //      co-occurrence graph (suppliers filling the same order in
+    //      March 1995 — the date filter is partition-prunable and
+    //      keeps the projection sparse). Edges are oriented from the
+    //      (degree, id)-smaller endpoint, so every wedge is generated
+    //      at its lowest-degree apex: the join fanout per node is
+    //      bounded by its OUT-degree (≤ √(2·|E|) after orientation),
+    //      which is what keeps a power-law hub from exploding the
+    //      wedge join at 100 TB. Each triangle is counted exactly
+    //      once (its apex is unique under a total order) ----
+    "g_triangles" -> ((s, dir) => {
+      val sup = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-03-01") &&
+                col("o_orderdate") < lit("1995-04-01"))
+        .select(col("o_orderkey").as("ok"))
+        .join(t(s, dir, "lineitem"), col("ok") === col("l_orderkey"))
+        .select(col("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val e = sup.as("x").join(sup.as("y"),
+          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("u"), col("y.sk").as("v"))
+        .distinct()
+      val deg = e.select(col("u").as("n"))
+        .union(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val du = deg.select(col("n").as("u"), col("deg").as("udeg"))
+      val dv = deg.select(col("n").as("v"), col("deg").as("vdeg"))
+      val uFirst = col("udeg") < col("vdeg") ||
+        (col("udeg") === col("vdeg") && col("u") < col("v"))
+      // oriented edge + the π-rank (deg, id) of its dst, needed to
+      // order the two legs of a wedge without another deg join.
+      // deg is |V|-sized: left to AQE, which broadcasts it while it
+      // fits and falls back to a shuffle join when |V| outgrows that
+      val od = e.join(du, "u").join(dv, "v")
+        .select(
+          when(uFirst, col("u")).otherwise(col("v")).as("src"),
+          when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+          when(uFirst, col("vdeg")).otherwise(col("udeg")).as("ddeg"))
+      val wedges = od.as("a").join(od.as("b"),
+        col("a.src") === col("b.src") &&
+          (col("a.ddeg") < col("b.ddeg") ||
+            (col("a.ddeg") === col("b.ddeg") &&
+              col("a.dst") < col("b.dst"))))
+        .select(col("a.dst").as("w1"), col("b.dst").as("w2"))
+      val tri = wedges.join(od,
+          col("w1") === col("src") && col("w2") === col("dst"))
+        .agg(count(lit(1)).as("n_triangles"))
+      deg.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(tri)
     })
   )
 
@@ -65,6 +117,36 @@ object GraphQueries {
       }.mkString(",\n", ",\n", "\n")
       header + rounds +
         s"SELECT id, rank_e9 FROM r$iters ORDER BY rank_e9 DESC, id ASC LIMIT 100"
-    }
+    },
+
+    // Same degree-ordered orientation, spelled with row-value
+    // comparisons; the count is orientation-independent, so any
+    // correct triangle enumeration agrees.
+    "g_triangles" ->
+      """WITH sup AS (SELECT DISTINCT o_orderkey AS ok, l_suppkey AS sk
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+        |    AND o_orderdate < TIMESTAMP '1995-04-01'),
+        |e AS (SELECT DISTINCT x.sk AS u, y.sk AS v
+        |  FROM sup x JOIN sup y ON x.ok = y.ok AND x.sk < y.sk),
+        |deg AS (SELECT n, COUNT(*) AS deg FROM
+        |  (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+        |  GROUP BY n),
+        |o AS (SELECT
+        |    CASE WHEN (du.deg, e.u) < (dv.deg, e.v)
+        |         THEN e.u ELSE e.v END AS src,
+        |    CASE WHEN (du.deg, e.u) < (dv.deg, e.v)
+        |         THEN e.v ELSE e.u END AS dst
+        |  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+        |od AS (SELECT o.src, o.dst, d.deg AS ddeg
+        |  FROM o JOIN deg d ON d.n = o.dst),
+        |tri AS (SELECT COUNT(*) AS n_triangles
+        |  FROM od a JOIN od b ON a.src = b.src
+        |    AND (a.ddeg, a.dst) < (b.ddeg, b.dst)
+        |  JOIN o c ON c.src = a.dst AND c.dst = b.dst)
+        |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+        |       (SELECT COUNT(*) FROM e) AS n_edges,
+        |       n_triangles
+        |FROM tri""".stripMargin
   )
 }

@@ -214,6 +214,30 @@ object Relational6 {
         count(when(col("o_totalprice") > col("hi"), 1)).as("n_clipped_high"),
         sum(least(greatest(col("o_totalprice"), col("lo")), col("hi"))
           .cast("decimal(18,2)")).cast("double").as("winsorized_sum"))
+    }),
+
+    // 2-D Pareto frontier ("skyline"): parts where no other part is
+    // both cheaper-or-equal and larger-or-equal with one strict. The
+    // naive plan is an O(n²) dominance self-join; this one aggregates
+    // to one row per distinct price (map-combinable), runs the strict
+    // prefix-max over that *aggregated* domain (bounded by the price
+    // domain, not the row count — the single-task window is over
+    // thousands of rows at any SF), and joins the verdict back on the
+    // price key. A part survives iff no strictly-cheaper price reached
+    // its size and its own price group has nothing strictly larger.
+    "q_skyline" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.orderBy(col("p_retailprice").asc)
+        .rowsBetween(W.unboundedPreceding, -1)
+      val p = t(s, dir, "part")
+      val perPrice = p.groupBy(col("p_retailprice"))
+        .agg(max(col("p_size")).as("msize"))
+        .withColumn("strict_prefix", max(col("msize")).over(w))
+      p.join(perPrice, "p_retailprice")
+        .filter((col("strict_prefix").isNull ||
+            col("strict_prefix") < col("p_size")) &&
+          col("msize") <= col("p_size"))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
     })
   )
 
@@ -355,6 +379,17 @@ object Relational6 {
         |  COUNT(CASE WHEN o_totalprice > hi THEN 1 END) AS n_clipped_high,
         |  CAST(SUM(CAST(LEAST(GREATEST(o_totalprice, lo), hi)
         |    AS DECIMAL(18,2))) AS DOUBLE) AS winsorized_sum
-        |FROM orders, b""".stripMargin
+        |FROM orders, b""".stripMargin,
+
+    // The declarative (quadratic) dominance definition; the engine's
+    // prefix-max plan must produce the identical frontier.
+    "q_skyline" ->
+      """SELECT p.p_partkey, p.p_retailprice, p.p_size
+        |FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE (q.p_retailprice < p.p_retailprice
+        |         AND q.p_size >= p.p_size)
+        |     OR (q.p_retailprice <= p.p_retailprice
+        |         AND q.p_size > p.p_size))""".stripMargin
   )
 }

@@ -59,4 +59,29 @@ class GraphSpec extends SparkSpec {
     assert(got("h") > got("l1") && got("l1") === got("l4"))
     assert(got.values.sum <= 1000000000L)
   }
+
+  test("g_triangles: counts each triangle once, dedups edges, prunes by date") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("tri").toString
+    val in = Timestamp.valueOf("1995-03-15 00:00:00")
+    val out = Timestamp.valueOf("1995-06-01 00:00:00")
+    // o1 {1,2,3} closes a triangle; o3 {1,2} duplicates edge 1-2;
+    // o2 {3,4} adds a pendant edge; o4 {5,6,7} is outside the window
+    // and must contribute nothing
+    Seq((1L, 1L, "O", 1.0, in, "1-URGENT"),
+        (2L, 1L, "O", 1.0, in, "1-URGENT"),
+        (3L, 1L, "O", 1.0, in, "1-URGENT"),
+        (4L, 1L, "O", 1.0, out, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (3L, 1L), (3L, 2L), (2L, 3L),
+        (2L, 4L), (4L, 5L), (4L, 6L), (4L, 7L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("g_triangles")(spark, dir).collect()
+    assert(r.length === 1)
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2))
+      === ((4L, 4L, 1L)))
+  }
 }

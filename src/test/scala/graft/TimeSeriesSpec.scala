@@ -54,4 +54,43 @@ class TimeSeriesSpec extends SparkSpec {
     // single event: EMA is the value itself
     assert(out(2L) === ((1L, 5500000L, 5.5)))
   }
+
+  test("e_scd2_intervals: run compression, chained validity, open current row") {
+    val dir = java.nio.file.Files.createTempDirectory("scd2").toString
+    import spark.implicits._
+    val h = 3600L * 1000000000L
+    // user 1: a,a,b,a — the repeated 'a' compresses away; user 2: one row
+    Seq((1L, 1 * h, 1L, "a", 0.0, "{}"), (2L, 2 * h, 1L, "a", 0.0, "{}"),
+      (3L, 3 * h, 1L, "b", 0.0, "{}"), (4L, 4 * h, 1L, "a", 0.0, "{}"),
+      (5L, 1 * h, 2L, "z", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("e_scd2_intervals")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime, Option(r.getTimestamp(3)).map(_.getTime),
+        r.getBoolean(4)))
+      .sortBy(t => (t._1, t._3))
+    val hms = 3600L * 1000L
+    assert(rows === Seq(
+      (1L, "a", 1 * hms, Some(3 * hms), false),
+      (1L, "b", 3 * hms, Some(4 * hms), false),
+      (1L, "a", 4 * hms, None, true),
+      (2L, "z", 1 * hms, None, true)))
+  }
+
+  test("e_hopping_window: each event lands in exactly 4 sliding windows") {
+    val dir = java.nio.file.Files.createTempDirectory("hop").toString
+    import spark.implicits._
+    val h = 3600L * 1000000000L
+    // one event at 01:10 — covered by the 1-hour windows that start at
+    // 00:15, 00:30, 00:45 and 01:00 (15-min hop), and no others
+    Seq((1L, 1 * h + 600L * 1000000000L, 1L, "c", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("e_hopping_window")(spark, dir)
+      .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(rows.map(_._1) === Seq(15L, 30L, 45L, 60L))
+    assert(rows.forall(t => t._2 == 1L && t._3 == 2.0))
+  }
 }
