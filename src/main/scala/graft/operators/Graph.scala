@@ -83,26 +83,36 @@ object Graph {
     val Seq(srcC, dstC) = edges.columns.take(2).toSeq
     val und = edges.select(col(srcC).as("s"), col(dstC).as("d"))
       .union(edges.select(col(dstC).as("s"), col(srcC).as("d")))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     val deg = und.groupBy("s").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    // The edge list and the degree table are loop-invariant: join them
+    // ONCE, and checkpoint the result hash-partitioned + sorted on the
+    // join key (checkpoint preserves outputPartitioning/ordering), so
+    // every iteration's sort-merge join reuses the edge side as-is and
+    // only exchanges the vertex-sized rank vector. Partition count is
+    // pinned to the session shuffle setting so the rank side (a
+    // groupBy output on the same key arity) stays co-partitioned.
+    val nShuffle = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val undeg = und.join(deg, Seq("s"))
+      .repartition(nShuffle, col("s")).sortWithinPartitions("s")
+      .localCheckpoint(false)
     // deg already holds exactly one row per vertex — derive the vertex
     // set from it instead of a second edge-list-wide distinct
     val nodes = deg.select(col("s").as("id"))
     val n = deg.count() // one scalar job, not a data collect
     val base = (scale * (100L - dampNum) / 100L) / n
     var ranks = nodes
-      .withColumn("rank_e9", lit(scale / n)).localCheckpoint(true)
+      .withColumn("rank_e9", lit(scale / n)).localCheckpoint(false)
     for (_ <- 1 to iters) {
-      val contrib = und
-        .join(ranks, und("s") === ranks("id"))
-        .join(deg, Seq("s"))
-        .select(und("d").as("id"), expr("rank_e9 div deg").as("c"))
+      val contrib = undeg
+        .join(ranks, undeg("s") === ranks("id"))
+        .select(undeg("d").as("id"), expr("rank_e9 div deg").as("c"))
       ranks = contrib.groupBy("id")
         .agg(sum(col("c")).as("in_sum"))
         .select(col("id"),
           (lit(base) + expr(s"($dampNum * in_sum) div 100")).as("rank_e9"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     ranks
   }

@@ -31,14 +31,25 @@ object GraphQueries {
     //      Edge build: one equi-join on orderkey + distinct; the
     //      iterations are Graph.pageRank's keyed shuffles ----
     "g_pagerank" -> ((s, dir) => {
+      // Vertices travel as LONGS through every shuffle (customer 2k,
+      // supplier 2k+1) — fixed-width keys hash, sort and compare far
+      // cheaper than "c123"-style strings at 100 TB; the readable
+      // label is projected only onto the final 100 rows.
       val edges = t(s, dir, "orders")
         .join(t(s, dir, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
       Graph.pageRank(edges, iters, dampNum = 85L)
         .orderBy(col("rank_e9").desc, col("id").asc).limit(100)
+        .select(
+          when(col("id") % 2 === 0,
+            concat(lit("c"), expr("id div 2").cast("string")))
+            .otherwise(
+              concat(lit("s"), expr("(id - 1) div 2").cast("string")))
+            .as("id"),
+          col("rank_e9"))
     }),
 
     // ---- degree-ordered triangle counting over the supplier
@@ -97,8 +108,8 @@ object GraphQueries {
   val oracleSql: Map[String, String] = Map(
     "g_pagerank" -> {
       val header =
-        """WITH e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS s,
-          |    's' || CAST(l_suppkey AS VARCHAR) AS d
+        """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS s,
+          |    l_suppkey * 2 + 1 AS d
           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
           |und AS (SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0),
           |deg AS (SELECT s, COUNT(*) AS deg FROM und GROUP BY s),
@@ -116,7 +127,11 @@ object GraphQueries {
            |  FROM c$k, nn GROUP BY c$k.id, nn.n)""".stripMargin
       }.mkString(",\n", ",\n", "\n")
       header + rounds +
-        s"SELECT id, rank_e9 FROM r$iters ORDER BY rank_e9 DESC, id ASC LIMIT 100"
+        s"""SELECT CASE WHEN id % 2 = 0 THEN 'c' || CAST(id // 2 AS VARCHAR)
+           |    ELSE 's' || CAST((id - 1) // 2 AS VARCHAR) END AS id,
+           |  rank_e9
+           |FROM (SELECT id, rank_e9 FROM r$iters
+           |      ORDER BY rank_e9 DESC, id ASC LIMIT 100)""".stripMargin
     },
 
     // Same degree-ordered orientation, spelled with row-value
