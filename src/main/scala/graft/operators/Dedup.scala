@@ -208,12 +208,16 @@ object Dedup {
     *         maxIter hops) — better loud than silently-wrong labels.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Lazy (plan-truncating) checkpoints: each round runs exactly ONE
+    // job — the convergence count — which also materializes `next`'s
+    // blocks for the following round, instead of a separate eager
+    // checkpoint job per round.
     val edges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
       .union(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var labels = edges.select(col("x").as("id")).distinct()
       .withColumn("cluster", col("id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -223,7 +227,7 @@ object Dedup {
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
             .as("cluster"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val changed = next.as("n")
         .join(labels.as("p"), col("n.id") === col("p.id"))
         .filter(col("n.cluster") =!= col("p.cluster"))
