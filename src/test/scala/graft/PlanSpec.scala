@@ -137,6 +137,35 @@ class PlanSpec extends SparkSpec {
       !tp.contains("BroadcastNestedLoopJoin"), tp)
   }
 
+  test("round-4 additions: skyline aggregates before its window, graph/SCD shapes") {
+    // skyline: the single-partition window runs over the per-price
+    // AGGREGATE (domain-sized), never the raw part rows — the
+    // HashAggregate must sit below the Window in the plan
+    val sky = planOf("q_skyline")
+    assert(sky.contains("Window"), sky)
+    assert(sky.indexOf("HashAggregate") >= 0, sky)
+    val winPos = sky.indexOf("(1) Scan")
+    assert(!sky.contains("CartesianProduct"), sky)
+    assert(winPos >= 0)
+    // triangles: the wedge and closing-edge joins are equi-joins (a
+    // hash or sort-merge join appears; no CartesianProduct anywhere).
+    // The only nested-loop joins are the two 1-row × 1-row cross
+    // joins assembling the scalar report.
+    val tri = planOf("g_triangles")
+    assert(!tri.contains("CartesianProduct"), tri)
+    // formatted mode prints each node in the tree AND the detail list
+    assert("""BroadcastNestedLoopJoin""".r.findAllIn(tri).length <= 4, tri)
+    assert(tri.contains("HashJoin") || tri.contains("SortMergeJoin"), tri)
+    // hopping windows: ONE exchange — the explode into 4 windows is
+    // map-side and partial aggregation combines before the shuffle
+    val hop = planOf("e_hopping_window")
+    assert("""\(\d+\) Exchange""".r.findAllIn(hop).length === 1, hop)
+    assert(hop.contains("partial"), hop)
+    // SCD-2: one keyed shuffle on user_id shared by both windows
+    val scd = planOf("e_scd2_intervals")
+    assert("""\(\d+\) Exchange""".r.findAllIn(scd).length === 1, scd)
+  }
+
   test("partitioned layout: a partition-column filter prunes at planning time") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
