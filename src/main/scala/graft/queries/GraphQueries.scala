@@ -70,38 +70,10 @@ object GraphQueries {
         .join(t(s, dir, "lineitem"), col("ok") === col("l_orderkey"))
         .select(col("ok"), col("l_suppkey").as("sk"))
         .distinct()
-      val e = sup.as("x").join(sup.as("y"),
+      val pairs = sup.as("x").join(sup.as("y"),
           col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
         .select(col("x.sk").as("u"), col("y.sk").as("v"))
-        .distinct()
-      val deg = e.select(col("u").as("n"))
-        .union(e.select(col("v").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("deg"))
-      val du = deg.select(col("n").as("u"), col("deg").as("udeg"))
-      val dv = deg.select(col("n").as("v"), col("deg").as("vdeg"))
-      val uFirst = col("udeg") < col("vdeg") ||
-        (col("udeg") === col("vdeg") && col("u") < col("v"))
-      // oriented edge + the π-rank (deg, id) of its dst, needed to
-      // order the two legs of a wedge without another deg join.
-      // deg is |V|-sized: left to AQE, which broadcasts it while it
-      // fits and falls back to a shuffle join when |V| outgrows that
-      val od = e.join(du, "u").join(dv, "v")
-        .select(
-          when(uFirst, col("u")).otherwise(col("v")).as("src"),
-          when(uFirst, col("v")).otherwise(col("u")).as("dst"),
-          when(uFirst, col("vdeg")).otherwise(col("udeg")).as("ddeg"))
-      val wedges = od.as("a").join(od.as("b"),
-        col("a.src") === col("b.src") &&
-          (col("a.ddeg") < col("b.ddeg") ||
-            (col("a.ddeg") === col("b.ddeg") &&
-              col("a.dst") < col("b.dst"))))
-        .select(col("a.dst").as("w1"), col("b.dst").as("w2"))
-      val tri = wedges.join(od,
-          col("w1") === col("src") && col("w2") === col("dst"))
-        .agg(count(lit(1)).as("n_triangles"))
-      deg.agg(count(lit(1)).as("n_nodes"))
-        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-        .crossJoin(tri)
+      Graph.triangleStats(pairs)
     })
   )
 

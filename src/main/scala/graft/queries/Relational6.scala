@@ -225,20 +225,10 @@ object Relational6 {
     // thousands of rows at any SF), and joins the verdict back on the
     // price key. A part survives iff no strictly-cheaper price reached
     // its size and its own price group has nothing strictly larger.
-    "q_skyline" -> ((s, dir) => {
-      val W = org.apache.spark.sql.expressions.Window
-      val w = W.orderBy(col("p_retailprice").asc)
-        .rowsBetween(W.unboundedPreceding, -1)
-      val p = t(s, dir, "part")
-      val perPrice = p.groupBy(col("p_retailprice"))
-        .agg(max(col("p_size")).as("msize"))
-        .withColumn("strict_prefix", max(col("msize")).over(w))
-      p.join(perPrice, "p_retailprice")
-        .filter((col("strict_prefix").isNull ||
-            col("strict_prefix") < col("p_size")) &&
-          col("msize") <= col("p_size"))
-        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
-    })
+    "q_skyline" -> ((s, dir) =>
+      graft.operators.Frontier
+        .skyline2d(t(s, dir, "part"), "p_retailprice", "p_size")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size")))
   )
 
   val oracleSql: Map[String, String] = Map(

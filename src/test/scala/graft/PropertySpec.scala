@@ -141,4 +141,68 @@ class PropertySpec extends SparkSpec {
       assert(got(1.0) === sorted.last, s"seed ${700 + s}")
     }
   }
+
+  test("skyline2d equals the quadratic dominance definition on random points") {
+    import spark.implicits._
+    (1L to 5L).foreach { s =>
+      // small integer domain on purpose: dense duplicate prices/sizes
+      // stress the strictness edge cases
+      val pts = sample(Gen.listOfN(60,
+        Gen.zip(Gen.chooseNum(0, 9), Gen.chooseNum(0, 9))), 800 + s)
+        .zipWithIndex.map { case ((p, q), i) => (i.toLong, p.toDouble, q) }
+      val got = graft.operators.Frontier
+        .skyline2d(pts.toDF("id", "price", "size").repartition(5),
+          "price", "size")
+        .select("id").as[Long].collect().toSet
+      val naive = pts.filter { case (_, p, q) =>
+        !pts.exists { case (_, p2, q2) =>
+          (p2 < p && q2 >= q) || (p2 <= p && q2 > q) }
+      }.map(_._1).toSet
+      assert(got === naive, s"seed ${800 + s}")
+    }
+  }
+
+  test("triangleStats equals brute-force triple enumeration on random graphs") {
+    import spark.implicits._
+    (1L to 5L).foreach { s =>
+      // ~12 vertices, directed duplicates and self-loops allowed on
+      // input — the operator must normalize before counting
+      val raw = sample(Gen.listOfN(50,
+        Gen.zip(Gen.chooseNum(0L, 11L), Gen.chooseNum(0L, 11L))), 900 + s)
+      val got = graft.operators.Graph
+        .triangleStats(raw.toDF("src", "dst").repartition(3))
+        .as[(Long, Long, Long)].collect().head
+      val und = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.toSet
+      val nodes = und.flatMap(e => Set(e._1, e._2))
+      val tris = nodes.toSeq.combinations(3).count { c =>
+        val Seq(a, b, cc) = c.sorted
+        und((a, b)) && und((b, cc)) && und((a, cc))
+      }
+      assert(got === ((nodes.size.toLong, und.size.toLong, tris.toLong)),
+        s"seed ${900 + s}")
+    }
+  }
+
+  test("SCD-2 intervals tile each user's history: chained, typed, current-open") {
+    // invariants on the real events table at the smallest SF: per user
+    // the intervals chain exactly (valid_to == next valid_from), types
+    // never repeat consecutively, exactly one open current interval
+    val rows = SparkEntry.queries("e_scd2_intervals")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, iv) =>
+      val sorted = iv.sortBy(_._3.getTime)
+      sorted.sliding(2).foreach {
+        case Array((_, t1, _, to1), (_, t2, f2, _)) =>
+          assert(to1.contains(f2), s"user $u: gap or overlap")
+          assert(t1 != t2, s"user $u: uncompressed run")
+        case _ =>
+      }
+      assert(sorted.init.forall(_._4.isDefined) && sorted.last._4.isEmpty,
+        s"user $u: exactly the last interval must be open")
+    }
+  }
 }
