@@ -49,7 +49,7 @@ object Bpe {
       .select(col(wc).cast("string"), col(fc).cast("long"))
       .as[(String, Long)]
       .map { case (w, f) => (codePoints(w), f) }
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val merges = Seq.newBuilder[(String, String)]
     var rounds = 0
     var exhausted = false
@@ -67,7 +67,7 @@ object Bpe {
         merges += ((a, b))
         val prev = syms
         syms = syms.map { case (s, f) => (mergeSeq(s, a, b), f) }
-          .localCheckpoint(true) // truncate the per-round lineage
+          .localCheckpoint(false) // truncate the per-round lineage
         // release the previous round's checkpointed copy now — at 10k+
         // merge rounds, waiting for driver GC pins thousands of stale
         // symbol-table snapshots in executor storage

@@ -32,10 +32,10 @@ object Graph {
     val Seq(srcC, dstC) = edges.columns.take(2).toSeq
     val und = edges.select(col(srcC).as("s"), col(dstC).as("d"))
       .union(edges.select(col(dstC).as("s"), col(srcC).as("d")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     var visited = seeds.toDF("id").distinct()
-      .withColumn("hops", lit(0)).localCheckpoint(true)
+      .withColumn("hops", lit(0)).localCheckpoint(false)
     var frontier = visited
     var h = 0
     while (h < maxHops && !frontier.isEmpty) {
@@ -43,8 +43,8 @@ object Graph {
       frontier = frontier.join(und, frontier("id") === und("s"))
         .select(und("d").as("id")).distinct()
         .join(visited.select("id"), Seq("id"), "left_anti")
-        .withColumn("hops", lit(h)).localCheckpoint(true)
-      visited = visited.union(frontier).localCheckpoint(true)
+        .withColumn("hops", lit(h)).localCheckpoint(false)
+      visited = visited.union(frontier).localCheckpoint(false)
     }
     visited
   }

@@ -55,7 +55,7 @@ object Profile {
       .filter(col("x").isNotNull)
       .orderBy("x").as[Double].rdd
       .zipWithIndex.toDF("x", "idx")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val positions = ranked.agg(count(lit(1)).as("n"))
       .select(explode(array(qs.map(lit): _*)).as("q"), col("n"))
       .withColumn("pos", (col("n") - 1).cast("double") * col("q"))

@@ -264,10 +264,10 @@ object Similarity {
     // codes are the stored representation in any real PQ index.
     val c = subCols(corpus, col(idCol), "n_id")
       .select(col("n_id") +: (0 until m).map(s => codeOf(s).as(s"c_$s")): _*)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val q = subCols(queries, col(idCol), "q_id")
       .select(col("q_id") +: (0 until m).map(s => qTable(s).as(s"t_$s")): _*)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val adist = (0 until m).map(s =>
       element_at(col(s"t_$s"), col(s"c_$s"))).reduceLeft(_ + _)
     val wA = Window.partitionBy("q_id").orderBy(col("adist").asc, col("n_id").asc)
@@ -467,7 +467,7 @@ object Similarity {
       .orderBy(col("rel").desc, col("c_id").asc)
     val pool = rel.withColumn("rn", row_number().over(wPool))
       .filter(col("rn") <= poolSize).drop("rn")
-      .localCheckpoint(true) // consumed k times below
+      .localCheckpoint(false) // consumed k times below
     val wPick = (s: Column) => Window.partitionBy("q_id")
       .orderBy(s.desc, col("c_id").asc)
 
@@ -475,7 +475,7 @@ object Similarity {
       .withColumn("rn", row_number().over(wPick(col("rel"))))
       .filter(col("rn") === 1)
       .select(col("q_id"), col("c_id"), col("cv"), lit(1).as("sel_round"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var roundNo = 1
     while (roundNo < k) {
       roundNo += 1
@@ -491,7 +491,7 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("q_id"), col("c_id"), col("cv"),
           lit(roundNo).as("sel_round"))
-      selected = selected.union(pick).localCheckpoint(true)
+      selected = selected.union(pick).localCheckpoint(false)
     }
     selected.select("q_id", "sel_round", "c_id")
   }

@@ -37,7 +37,7 @@ object DedupQueries {
     val tok = Text.tokens(col("text"))
     d.union(d.select((col("doc_id") + 100000).as("doc_id"),
       array_join(slice(tok, lit(2), size(tok) - 1), " ").as("text")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -67,7 +67,7 @@ object DedupQueries {
       val tok = Text.tokens(col("text"))
       val corpus = d.union(d.select((col("doc_id") + 100000).as("doc_id"),
         array_join(slice(tok, lit(2), size(tok) - 1), " ").as("text")))
-        .localCheckpoint(true) // see withNearCopies
+        .localCheckpoint(false) // see withNearCopies
       Dedup.jaccardPairs(corpus, "doc_id", "text",
         n = 5, threshold = 0.5, dfCap = Some(16))
     }),
@@ -91,13 +91,13 @@ object DedupQueries {
     //      corpus (docs < 300) — only new×old candidates ----
     "d_jaccard_incremental" -> ((s, dir) => {
       val base = t(s, dir, "documents").filter(col("doc_id") < 300)
-        .select("doc_id", "text").localCheckpoint(true)
+        .select("doc_id", "text").localCheckpoint(false)
       val tok = Text.tokens(col("text"))
       val newBatch = t(s, dir, "documents")
         .filter(col("doc_id") >= 100 && col("doc_id") < 200)
         .select((col("doc_id") + 500000).as("doc_id"),
           array_join(slice(tok, lit(2), size(tok) - 1), " ").as("text"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       Dedup.jaccardPairsAgainst(newBatch, base, "doc_id", "text",
         n = 5, threshold = 0.5, dfCap = None)
     }),
@@ -116,9 +116,9 @@ object DedupQueries {
           array_join(slice(tok, lit(2), size(tok) - 1), " ").as("text")))
         .union(d.select((col("doc_id") + 200000).as("doc_id"),
           array_join(slice(tok, lit(3), size(tok) - 2), " ").as("text")))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text",
-        n = 5, threshold = 0.5, dfCap = None).localCheckpoint(true)
+        n = 5, threshold = 0.5, dfCap = None).localCheckpoint(false)
       Dedup.dupClusters(pairs)
     }),
 
@@ -135,9 +135,9 @@ object DedupQueries {
           array_join(slice(tok, lit(2), size(tok) - 1), " ").as("text")))
         .union(d.select((col("doc_id") + 200000).as("doc_id"),
           array_join(slice(tok, lit(3), size(tok) - 2), " ").as("text")))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text",
-        n = 5, threshold = 0.5, dfCap = None).localCheckpoint(true)
+        n = 5, threshold = 0.5, dfCap = None).localCheckpoint(false)
       Dedup.clusterRepresentatives(Dedup.dupClusters(pairs), corpus,
         "doc_id", length(col("text")).cast("long"))
     }),
@@ -180,7 +180,7 @@ object DedupQueries {
         .select("doc_id", "text")
       val corpus = d.union(
         d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
-        .localCheckpoint(true) // see withNearCopies
+        .localCheckpoint(false) // see withNearCopies
       Dedup.simhashPairs(corpus, "doc_id", "text", maxDist = 3)
     })
   )

@@ -93,7 +93,7 @@ object EventQueries {
     //      computed in dependency order (three cheap per-user
     //      aggregations, no window over the raw stream) ----
     "e_funnel" -> ((s, dir) => {
-      val ev = t(s, dir, "events").localCheckpoint(true)
+      val ev = t(s, dir, "events").localCheckpoint(false)
       val su = ev.filter(col("event_type") === "signup")
         .groupBy("user_id").agg(min(col("ts")).as("s_ts"))
       val cl = ev.filter(col("event_type") === "click")

@@ -27,7 +27,7 @@ object SimilarityQueries {
     e.union(e.select((col("vec_id") + 100000).as("vec_id"),
       transform(col("embedding"), x => x * lit(2.0)).as("embedding")))
       // materialized once: the near-dup self-join consumes both sides
-      .localCheckpoint(true)
+      .localCheckpoint(false)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

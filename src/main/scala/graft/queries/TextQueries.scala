@@ -286,7 +286,7 @@ object TextQueries {
       val bg = d.select(col("doc_id"),
           explode(Text.shingles(Text.tokens(col("text")), 2)).as("bigram"))
         .groupBy("doc_id", "bigram").agg(count(lit(1)).as("k"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val probs = bg.groupBy("bigram").agg(sum(col("k")).as("c"))
         .withColumn("w1", split(col("bigram"), " ").getItem(0))
         .withColumn("cp", sum(col("c")).over(Window.partitionBy("w1")))
