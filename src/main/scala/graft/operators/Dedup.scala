@@ -90,6 +90,35 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Asymmetric containment pairs: C(A→B) = |sh(A)∩sh(B)| / |sh(A)| ≥
+    * `threshold`. The quote/subset detector that Jaccard misses when
+    * lengths are asymmetric — a paragraph fully quoted inside a book
+    * scores near-zero Jaccard but containment 1.0 from the paragraph's
+    * side. Emits BOTH directions (a_id → b_id uses |sh(a)| as the
+    * denominator), since containment is not symmetric.
+    *
+    * Same inverted-index shape and `dfCap` skew guard as
+    * [[jaccardPairs]] — candidates come from shared shingles, never a
+    * cross join; the same persist-your-input guidance applies.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol, n, dfCap)
+    val ex = sh.select(col("id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s"))
+    val common = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.n_sh").as("na"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .withColumn("containment",
+        col("common").cast("double") / col("na").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("a_id", "b_id", "containment")
+  }
+
   /** MinHash signature: k permutations simulated by salted md5; element
     * i is the minimum of md5(i + ":" + shingle) over the doc's distinct
     * shingles. Pure higher-order expressions (no UDF), so the oracle

@@ -55,6 +55,16 @@ object DedupQueries {
         n = 5, threshold = 0.5, dfCap = None)
     }),
 
+    // ---- asymmetric containment: the truncated variants are strict
+    //      shingle-subsets of their originals, so variant→original
+    //      containment is exactly 1.0 while Jaccard only grazes the
+    //      threshold — the quote/subset case a symmetric measure
+    //      misses. Both directions emitted (C is not symmetric) ----
+    "d_containment_pairs" -> ((s, dir) => {
+      Dedup.containmentPairs(withNearCopies(s, dir), "doc_id", "text",
+        n = 5, threshold = 0.9, dfCap = None)
+    }),
+
     // ---- Jaccard with the df-cap skew guard live: every doc carries a
     //      shared boilerplate header whose shingles hit df=300/600; the
     //      cap drops them BEFORE the inverted-index self-join (uncapped
@@ -242,6 +252,19 @@ object DedupQueries {
          |  CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
          |FROM common
          |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5""".stripMargin,
+
+    "d_containment_pairs" ->
+      s"""WITH base AS (SELECT doc_id AS id, text FROM ($nearCorpus)),
+         |$shingleCte,
+         |ex AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+         |common AS (SELECT a.id AS a_id, b.id AS b_id, a.n_sh AS na,
+         |    count(*) AS common
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.id <> b.id
+         |  GROUP BY 1, 2, 3)
+         |SELECT a_id, b_id,
+         |  CAST(common AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+         |FROM common
+         |WHERE CAST(common AS DOUBLE) / CAST(na AS DOUBLE) >= 0.9""".stripMargin,
 
     // df<=16 filter BEFORE the self-join; n_sh recomputed over the
     // surviving shingles, mirroring the engine's capped shingleSets

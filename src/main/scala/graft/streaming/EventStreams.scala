@@ -30,6 +30,26 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Hopping (sliding) window counts/sums — the incremental form of the
+    * batch `e_hopping_window` query: each event enters its
+    * window/slide overlapping windows map-side, partial aggregation
+    * combines per (window, type) before the state store, and the
+    * watermark evicts a window's state once its end passes the
+    * horizon — so open state is (window/slide) × |types| × horizon,
+    * workload-bounded.
+    */
+  def hoppingCounts(events: DataFrame, window: String = "1 hour",
+                    slide: String = "15 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
   /** Streaming exact dedup: drops events whose `idCol` was already seen
     * within the watermark horizon — state is bounded by the horizon, so
     * at 100 TB/day the dedup store holds one key per unique id per

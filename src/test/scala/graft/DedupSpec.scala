@@ -37,6 +37,25 @@ class DedupSpec extends SparkSpec {
     assert(withPairs.count() === 3)
   }
 
+  test("containmentPairs is asymmetric: subset side scores 1.0, superset side less") {
+    // doc 2 = strict prefix of doc 1 → every 3-shingle of 2 is in 1:
+    // C(2→1) = 1.0 (4 of 4); C(1→2) = 4/6; disjoint doc 3 absent
+    val d = docs(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f"),
+      (3L, "p q r s t u"))
+    val got = Dedup.containmentPairs(d, "doc_id", "text", n = 3,
+        threshold = 0.0, dfCap = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((2L, 1L)) === 1.0)
+    assert(math.abs(got((1L, 2L)) - 4.0 / 6.0) < 1e-12)
+    assert(!got.keySet.exists(k => k._1 == 3L || k._2 == 3L))
+    // thresholding keeps only the subset direction
+    val strict = Dedup.containmentPairs(d, "doc_id", "text", 3, 0.9,
+        dfCap = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(strict.toSeq === Seq((2L, 1L)))
+  }
+
   test("minhash LSH finds near-dups and skips distant docs") {
     val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
     val d = docs(

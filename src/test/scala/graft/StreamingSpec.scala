@@ -142,6 +142,40 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:00:00.0", "view", 1L, 8.0)))
   }
 
+  test("hopping windows stream == batch e_hopping_window on the same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    def ev(id: Long, t: String, typ: String, v: Double) =
+      EventStreams.Ev(id, Timestamp.valueOf(t), 1L, typ, v)
+    val events = Seq(
+      ev(1, "2024-01-01 01:10:00", "click", 2.0),
+      ev(2, "2024-01-01 01:20:00", "click", 3.0),
+      ev(3, "2024-01-01 01:10:00", "view", 5.0))
+    mem.addData(events: _*)
+    val q = EventStreams.hoppingCounts(mem.toDF(), "1 hour", "15 minutes")
+      .writeStream.format("memory").queryName("hopping")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    val streamed = spark.sql("SELECT * FROM hopping").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    // batch oracle: the e_hopping_window query over the same rows
+    val dir = Files.createTempDirectory("hopeq").toString
+    events.map(e => (e.event_id,
+        e.ts.getTime * 1000000L, e.user_id, e.event_type, e.value, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val batch = SparkEntry.queries("e_hopping_window")(spark, dir)
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed === batch)
+    // clicks at 01:10/01:20 share 3 of their 4 windows → 5 click rows
+    // (00:15 alone, 00:30/00:45/01:00 merged, 01:15 alone) + 4 view rows
+    assert(streamed.size === 9)
+  }
+
   test("streaming EMA across batches equals the batch fixed-point fold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
