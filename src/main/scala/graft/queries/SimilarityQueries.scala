@@ -48,6 +48,33 @@ object SimilarityQueries {
           round(col("cos"), 4).as("cos"))
     }),
 
+    // ---- ANN quality evaluation: recall@3 of the sign-LSH path
+    //      against the brute-force ground truth — THE metric a real
+    //      pipeline reports when tuning bits/probes. Both rankings are
+    //      deterministic (cos desc, id asc), so the recall is a stable
+    //      oracle-checkable scalar, and the join of the two top-k sets
+    //      is (q_id, n_id)-keyed — never wider than k rows per query ----
+    "s_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+        .localCheckpoint(false) // both pipelines × both sides
+      val q = e.filter(col("vec_id") < 50)
+      val exact = Similarity.cosineTopK(q, e, k = 3)
+        .select(col("q_id"), col("n_id"))
+      val approx = Similarity.annTopK(q, e, k = 3, bits = 6)
+        .select(col("q_id"), col("n_id"))
+      val hits = exact.join(approx, Seq("q_id", "n_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("hits"))
+      exact.groupBy("q_id").agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("n_true"), coalesce(col("hits"), lit(0L)).as("hits"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("hits")).cast("long").as("total_hits"),
+          (sum(col("hits")).cast("double") /
+            sum(col("n_true")).cast("double")).as("recall_at_3"))
+    }),
+
     // ---- sign-LSH ANN with single-bit multi-probe ----
     "s_ann_multiprobe" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -218,6 +245,32 @@ object SimilarityQueries {
          |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM p)
          |SELECT q_id, bucket, rank, n_id, ROUND(cos, 4) AS cos
          |FROM r WHERE rank <= 3""".stripMargin,
+
+    "s_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    array_to_string(list_transform(CAST(embedding AS DOUBLE[])[1:6],
+         |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb
+         |  FROM e WHERE vec_id < 50),
+         |c AS (SELECT vec_id AS n_id, v AS nv, bucket AS cb FROM e),
+         |ex AS (SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY $dotSql DESC, n_id ASC) AS rank
+         |  FROM q CROSS JOIN c WHERE q_id <> n_id),
+         |tru AS (SELECT q_id, n_id FROM ex WHERE rank <= 3),
+         |ap AS (SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY $dotSql DESC, n_id ASC) AS rank
+         |  FROM q JOIN c ON qb = cb WHERE q_id <> n_id),
+         |appx AS (SELECT q_id, n_id FROM ap WHERE rank <= 3),
+         |h AS (SELECT t.q_id, COUNT(a.n_id) AS hits, COUNT(*) AS n_true
+         |  FROM tru t LEFT JOIN appx a
+         |    ON t.q_id = a.q_id AND t.n_id = a.n_id
+         |  GROUP BY t.q_id)
+         |SELECT COUNT(*) AS n_queries,
+         |  CAST(SUM(hits) AS BIGINT) AS total_hits,
+         |  CAST(SUM(hits) AS DOUBLE) / CAST(SUM(n_true) AS DOUBLE)
+         |    AS recall_at_3
+         |FROM h""".stripMargin,
 
     "s_ann_multiprobe" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
