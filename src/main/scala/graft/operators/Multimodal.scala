@@ -106,6 +106,26 @@ object Multimodal {
     conv(concat((off + n - 1 to off by -1)
       .map(i => hex(substring(c, i, 1))): _*), 16, 10).cast("long")
 
+  /** REAL BMP header probe: "BM" magic plus the little-endian signed
+    * INT32 width/height at BITMAPINFOHEADER offsets 19/23 (1-based).
+    * Height may legitimately be negative (top-down rows) — its
+    * magnitude is the pixel height, so the sign is folded out the way
+    * any raster reader does. Same codegen'd column algebra as the
+    * PNG/GIF probes; non-BMP payloads yield (false, null, null).
+    */
+  def bmpDims(content: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+         org.apache.spark.sql.Column) = {
+    val isBmp = hex(substring(content, 1, 2)) === "424D"
+    def leInt32(off: Int): org.apache.spark.sql.Column = {
+      val u = leUint(content, off, 4)
+      when(u >= 2147483648L, u - 4294967296L).otherwise(u)
+    }
+    val h = leInt32(23)
+    (isBmp, when(isBmp, leInt32(19)),
+      when(isBmp, when(h < 0, -h).otherwise(h)))
+  }
+
   /** REAL WAV (RIFF) header probe: container magic check plus
     * channels / sample rate / bits-per-sample from the canonical fmt
     * chunk offsets — codegen'd column arithmetic, no audio library.

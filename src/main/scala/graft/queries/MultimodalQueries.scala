@@ -97,6 +97,31 @@ object MultimodalQueries {
           width.as("width"), height.as("height"))
     }),
 
+    // ---- REAL BMP header parsing: "BM" magic + little-endian SIGNED
+    //      int32 dimensions; every third image is stored top-down
+    //      (negative height) to exercise the sign fold a real raster
+    //      reader performs ----
+    "m_bmp_dims" -> ((s, dir) => {
+      val w = (col("doc_id") % 2048 + 1).cast("long")
+      val mag = ((col("doc_id") * 3) % 2048 + 1).cast("long")
+      val h = when(col("doc_id") % 3 === 0, -mag).otherwise(mag)
+      def le4(v: org.apache.spark.sql.Column) = {
+        // two's-complement 32-bit, least-significant byte first
+        val u = ((v % 4294967296L) + 4294967296L) % 4294967296L
+        val x = lpad(hex(u), 8, "0")
+        concat(substring(x, 7, 2), substring(x, 5, 2),
+          substring(x, 3, 2), substring(x, 1, 2))
+      }
+      val bmp = unhex(concat(
+        lit("424D" + "00000000" + "00000000" + "36000000" + "28000000"),
+        le4(w), le4(h), lit("0100180000000000")))
+      val (isBmp, width, height) = Multimodal.bmpDims(col("content"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), bmp.as("content"))
+        .select(col("doc_id"), isBmp.as("is_bmp"),
+          width.as("width"), height.as("height"))
+    }),
+
     // ---- REAL header parsing: build valid PNG-headered binaries with
     //      dimensions derived from doc_id, parse them back through the
     //      actual byte-level IHDR reader — the oracle asserts the
@@ -163,6 +188,14 @@ object MultimodalQueries {
         | CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
         | CAST(8000 + (doc_id % 8) * 4000 AS BIGINT) AS sample_rate,
         | CAST(16 AS BIGINT) AS bits
+        |FROM documents""".stripMargin,
+
+    // the oracle states the generating parameters; the engine must
+    // recover them (height = magnitude: top-down sign folded out)
+    "m_bmp_dims" ->
+      """SELECT doc_id, true AS is_bmp,
+        | CAST(doc_id % 2048 + 1 AS BIGINT) AS width,
+        | CAST((doc_id * 3) % 2048 + 1 AS BIGINT) AS height
         |FROM documents""".stripMargin,
 
     "m_jpeg_dims" ->

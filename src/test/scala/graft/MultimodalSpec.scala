@@ -49,4 +49,24 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L) === ((false, None, None)))
     assert(got(3L) === ((false, None, None)))
   }
+
+  test("bmpDims: little-endian signed dims; top-down height folded; non-BMP null") {
+    import spark.implicits._
+    val head = "424D" + "00000000" + "00000000" + "36000000" + "28000000"
+    val df = Seq(
+      // 640 × 480 bottom-up: 0x280 LE, 0x1E0 LE
+      (1L, head + "80020000" + "E0010000"),
+      // 16 × 32 TOP-DOWN: height stored as -32 = 0xFFFFFFE0 LE
+      (2L, head + "10000000" + "E0FFFFFF"),
+      (3L, "474946383961AABB") // GIF magic — not a BMP
+    ).toDF("id", "hexs").select(col("id"), unhex(col("hexs")).as("content"))
+    val (isBmp, w, h) = Multimodal.bmpDims(col("content"))
+    val got = df.select(col("id"), isBmp.as("b"), w.as("w"), h.as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.getAs[java.lang.Long]("w")),
+         Option(r.getAs[java.lang.Long]("h")))).toMap
+    assert(got(1L) === ((true, Some(640L), Some(480L))))
+    assert(got(2L) === ((true, Some(16L), Some(32L))))
+    assert(got(3L) === ((false, None, None)))
+  }
 }
