@@ -269,6 +269,22 @@ object EventQueries {
           col("n"), col("total_value"))
     }),
 
+    // ---- path mining: each user's first-3-event sequence as a
+    //      ">"-joined path, counted across users — the "how do
+    //      sessions start" report. One groupBy collects a bounded
+    //      prefix per user (the slice bounds memory, not the
+    //      history); the count agg is map-combinable ----
+    "e_user_paths" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))).as("evs"))
+        .select(array_join(
+          transform(slice(col("evs"), 1, 3), e => e.getField("event_type")),
+          ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+    }),
+
     // ---- SCD-2 dimension build: compress each user's event_type
     //      history into validity intervals [valid_from, valid_to),
     //      open-ended for the current state. One shuffle on user_id;
@@ -470,6 +486,13 @@ object EventQueries {
         |SELECT window_start, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "e_user_paths" ->
+      """WITH p AS (SELECT user_id, array_to_string(
+        |    (array_agg(event_type ORDER BY ts, event_id))[1:3], '>')
+        |      AS path
+        |  FROM events GROUP BY user_id)
+        |SELECT path, COUNT(*) AS n_users FROM p GROUP BY path""".stripMargin,
 
     "e_scd2_intervals" ->
       """WITH c AS (SELECT user_id, event_type, ts, event_id,

@@ -228,7 +228,27 @@ object Relational6 {
     "q_skyline" -> ((s, dir) =>
       graft.operators.Frontier
         .skyline2d(t(s, dir, "part"), "p_retailprice", "p_size")
-        .select(col("p_partkey"), col("p_retailprice"), col("p_size")))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))),
+
+    // Month-over-month growth: the derived-metric report every
+    // dashboard runs. The lag window is over the MONTHLY aggregate
+    // (domain-bounded — dozens of rows at any corpus size), never the
+    // raw orders; revenue sums exact-DECIMAL before the double cast
+    // so both engines difference identical bits.
+    "q_mom_growth" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val m = t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+          .as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+      m.withColumn("prev_rev",
+          lag(col("revenue"), 1).over(W.orderBy(col("month").asc)))
+        .select(col("month"), col("n_orders"), col("revenue"),
+          round((col("revenue") - col("prev_rev")) / col("prev_rev") * 100,
+            4).as("mom_pct"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -380,6 +400,18 @@ object Relational6 {
         |  WHERE (q.p_retailprice < p.p_retailprice
         |         AND q.p_size >= p.p_size)
         |     OR (q.p_retailprice <= p.p_retailprice
-        |         AND q.p_size > p.p_size))""".stripMargin
+        |         AND q.p_size > p.p_size))""".stripMargin,
+
+    "q_mom_growth" ->
+      """WITH m AS (SELECT
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT month, n_orders, revenue,
+        |  ROUND((revenue - lag(revenue) OVER (ORDER BY month))
+        |    / lag(revenue) OVER (ORDER BY month) * 100, 4) AS mom_pct
+        |FROM m""".stripMargin
   )
 }
