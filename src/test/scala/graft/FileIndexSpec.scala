@@ -34,6 +34,28 @@ class FileIndexSpec extends SparkSpec {
     assert(notFound.collect().map(_.getString(0)).toSeq === Seq("raw/missing.json"))
   }
 
+  test("corrupt file among good ones: ignoreCorruptFiles reads the rest") {
+    // the poison-pill contract at the FILE level (e_corrupt_json covers
+    // the record level): one truncated/garbage parquet inside a 100 TB
+    // scan must cost its own rows only, never the 10-hour job
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-corrupt")
+    val dir = root.resolve("data")
+    Seq(1L, 2L, 3L).toDF("v").write.parquet(s"file:$dir")
+    Files.writeString(dir.resolve("part-junk.parquet"),
+      "this is not parquet at all")
+    // default (strict) mode must fail loudly…
+    val strict = intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(s"file:$dir").count()
+    }
+    assert(strict.getMessage.toLowerCase.contains("parquet") ||
+      strict.getCause != null)
+    // …opt-in resilience reads every healthy row
+    val got = spark.read.option("ignoreCorruptFiles", "true")
+      .parquet(s"file:$dir").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("approx sketches stay within tolerance of exact answers") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.01"
