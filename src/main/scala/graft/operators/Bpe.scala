@@ -84,4 +84,31 @@ object Bpe {
     merges.foldLeft(codePoints(word)) {
       case (s, (a, b)) => mergeSeq(s, a, b)
     }
+
+  /** Column-expression encode: apply a merge list to a word column as
+    * pure higher-order expressions (no UDF), one array fold per merge.
+    *
+    * The fold (merge the running LAST symbol with the next element
+    * when they equal the pair) is equivalent to the canonical
+    * left-to-right non-overlapping scan: a merge replaces the last
+    * symbol with a+b, and since b is non-empty a+b ≠ a, the freshly
+    * merged symbol can never re-trigger as the left half of the same
+    * pair — exactly the scan's skip-ahead.
+    *
+    * Merges are inlined as plan literals, so this path fits the
+    * bounded merge lists a demo/spec uses (plan size grows per merge);
+    * production-sized vocabularies (30k+ merges) should map with
+    * [[segment]] over a broadcast merge list instead. Char split is
+    * UTF-16-unit based (`split(w, "")`) — for non-BMP alphabets use
+    * [[segment]], which splits true code points.
+    */
+  def encodeExpr(word: org.apache.spark.sql.Column,
+                 merges: Seq[(String, String)]): org.apache.spark.sql.Column =
+    merges.foldLeft(split(word, "")) { case (syms, (a, b)) =>
+      aggregate(syms, array().cast("array<string>"), (acc, x) =>
+        when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+    }
 }

@@ -126,6 +126,22 @@ object Multimodal {
       when(isBmp, when(h < 0, -h).otherwise(h)))
   }
 
+  /** REAL ID3v2 (MP3 tag) header probe: "ID3" magic, major version,
+    * and the 28-bit SYNCSAFE tag size (four 7-bit groups, high bit of
+    * every byte zero — the MP3 framing trick that keeps tag bytes from
+    * mimicking an audio sync word). Same codegen'd column algebra as
+    * the other probes; non-ID3 payloads yield (false, null, null).
+    */
+  def id3Meta(content: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+         org.apache.spark.sql.Column) = {
+    val isId3 = hex(substring(content, 1, 3)) === "494433"
+    def b(i: Int): org.apache.spark.sql.Column =
+      conv(hex(substring(content, i, 1)), 16, 10).cast("long")
+    val size = b(7) * 2097152L + b(8) * 16384L + b(9) * 128L + b(10)
+    (isId3, when(isId3, b(4)), when(isId3, size))
+  }
+
   /** REAL WAV (RIFF) header probe: container magic check plus
     * channels / sample rate / bits-per-sample from the canonical fmt
     * chunk offsets — codegen'd column arithmetic, no audio library.

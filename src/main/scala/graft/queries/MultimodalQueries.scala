@@ -97,6 +97,24 @@ object MultimodalQueries {
           width.as("width"), height.as("height"))
     }),
 
+    // ---- REAL ID3v2 parsing: "ID3" magic + major version + the
+    //      28-bit SYNCSAFE tag size (7 bits per byte), generated from
+    //      doc_id and recovered through the byte-level probe ----
+    "m_id3_meta" -> ((s, dir) => {
+      val ver = (col("doc_id") % 2 + 3).cast("long")
+      def sb(shift: Int) = lpad(hex(expr(
+        s"CAST(doc_id * 131071 % 268435456 AS BIGINT) div ${1L << shift} % 128")),
+        2, "0")
+      val id3 = unhex(concat(lit("494433"),
+        lpad(hex(ver), 2, "0"), lit("0000"),
+        sb(21), sb(14), sb(7), sb(0)))
+      val (isId3, version, tagSize) = Multimodal.id3Meta(col("content"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), id3.as("content"))
+        .select(col("doc_id"), isId3.as("is_id3"),
+          version.as("version"), tagSize.as("tag_size"))
+    }),
+
     // ---- REAL BMP header parsing: "BM" magic + little-endian SIGNED
     //      int32 dimensions; every third image is stored top-down
     //      (negative height) to exercise the sign fold a real raster
@@ -188,6 +206,12 @@ object MultimodalQueries {
         | CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
         | CAST(8000 + (doc_id % 8) * 4000 AS BIGINT) AS sample_rate,
         | CAST(16 AS BIGINT) AS bits
+        |FROM documents""".stripMargin,
+
+    "m_id3_meta" ->
+      """SELECT doc_id, true AS is_id3,
+        | CAST(doc_id % 2 + 3 AS BIGINT) AS version,
+        | CAST(doc_id * 131071 % 268435456 AS BIGINT) AS tag_size
         |FROM documents""".stripMargin,
 
     // the oracle states the generating parameters; the engine must

@@ -191,6 +191,25 @@ object TextQueries {
     // ---- corpus bigram frequency, top-100: one map-combinable
     //      aggregation + TakeOrderedAndProject (count-desc, bigram-asc
     //      tiebreak keeps the top-k set deterministic) ----
+    // ---- BPE encode as pure column expressions: the 100 most
+    //      frequent words segmented with a fixed 6-merge list
+    //      (plan-literal merges — the bounded-artifact path; 30k-merge
+    //      production vocabularies go through Bpe.segment over a
+    //      broadcast list). The fold-per-merge is provably equivalent
+    //      to the canonical left-to-right scan (see Bpe.encodeExpr) ----
+    "t_bpe_encode" -> ((s, dir) => {
+      val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"),
+        ("a", "n"), ("e", "r"), ("an", "d"))
+      t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "") // empty-fold guard, mirrored in SQL
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc).limit(100)
+        .select(col("word"), col("n"),
+          array_join(graft.operators.Bpe.encodeExpr(col("word"), merges),
+            " ").as("bpe"))
+    }),
+
     "t_ngram_freq" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.select(explode(Text.shingles(Text.tokens(col("text")), 2)).as("ngram"))
@@ -677,6 +696,31 @@ object TextQueries {
          |  FROM documents)
          |SELECT ngram, count(*) AS n FROM ng GROUP BY ngram
          |ORDER BY n DESC, ngram ASC LIMIT 100""".stripMargin,
+
+    // same fold-per-merge as Bpe.encodeExpr: acc and elements are both
+    // LIST(VARCHAR) so list_reduce type-checks; the accumulator starts
+    // as the first single-symbol list, matching Spark's empty-init
+    // fold (the merge branch needs a preceding symbol either way)
+    "t_bpe_encode" -> {
+      val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"),
+        ("a", "n"), ("e", "r"), ("an", "d"))
+      val folds = merges.zipWithIndex.map { case ((a, b), i) =>
+        s"""s${i + 1} AS (SELECT word, n, list_reduce(
+           |    list_transform(syms, s -> [s]),
+           |    (acc, x) -> CASE WHEN acc[len(acc)] = '$a' AND x[1] = '$b'
+           |      THEN list_slice(acc, 1, len(acc) - 1) || ['$a$b']
+           |      ELSE acc || x END) AS syms FROM s$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |top AS (SELECT word, COUNT(*) AS n FROM w WHERE word <> ''
+         |  GROUP BY word ORDER BY n DESC, word ASC LIMIT 100),
+         |s0 AS (SELECT word, n, list_transform(range(1, length(word) + 1),
+         |    i -> substr(word, CAST(i AS INT), 1)) AS syms FROM top),
+         |$folds
+         |SELECT word, n, array_to_string(syms, ' ') AS bpe
+         |FROM s${merges.length}""".stripMargin
+    },
 
     "t_quality_rules" ->
       s"""SELECT doc_id,

@@ -52,4 +52,18 @@ class BpeSpec extends SparkSpec {
     val tiny = Bpe.learnMerges(Seq(("ab", 1L)).toDF("word", "freq"), 10)
     assert(tiny === Seq(("a", "b")))
   }
+
+  test("encodeExpr (column fold) == segment (scan) incl. repeat/chain cases") {
+    import org.apache.spark.sql.functions.col
+    val merges = Seq(("a", "a"), ("aa", "b"), ("b", "c"), ("t", "h"))
+    // aaaa: non-overlap left-to-right; aab: chained merge of a merged
+    // symbol; abcbc: merge that skips; empty-ish single chars pass through
+    val words = Seq("aaaa", "aab", "aabaab", "abcbc", "x", "thth", "a")
+    val got = words.toDF("w")
+      .select(col("w"), Bpe.encodeExpr(col("w"), merges).as("e"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    words.foreach { w =>
+      assert(got(w) === Bpe.segment(w, merges).toList, s"word $w")
+    }
+  }
 }
