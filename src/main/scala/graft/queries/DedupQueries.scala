@@ -96,6 +96,29 @@ object DedupQueries {
         n = 5, bands = 3, rowsPerBand = 2, threshold = 0.5)
     }),
 
+    // ---- LSH quality evaluation: the MinHash-LSH candidate path
+    //      scored against the exhaustive-Jaccard truth — the tuning
+    //      harness for bands/rows (the dedup analog of s_ann_recall).
+    //      The comparison join carries only (a_id, b_id) pairs ----
+    "d_lsh_recall" -> ((s, dir) => {
+      val corpus = withNearCopies(s, dir)
+      val truth = Dedup.jaccardPairs(corpus, "doc_id", "text",
+          n = 5, threshold = 0.5, dfCap = None)
+        .select("a_id", "b_id")
+      val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+          n = 5, bands = 3, rowsPerBand = 2, threshold = 0.5)
+        .select("a_id", "b_id")
+      val hits = truth.join(lsh, Seq("a_id", "b_id"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(col("n_true"), col("n_lsh"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_true").cast("double"))
+            .as("recall"),
+          (col("n_hits").cast("double") / col("n_lsh").cast("double"))
+            .as("prec"))
+    }),
+
     // ---- incremental dedup: a "new batch" (near-copies of docs
     //      100-199 under shifted ids) checked against the historical
     //      corpus (docs < 300) — only new×old candidates ----
@@ -326,6 +349,45 @@ object DedupQueries {
          |  CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
          |FROM verif
          |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5""".stripMargin,
+
+    "d_lsh_recall" ->
+      s"""WITH base AS (SELECT doc_id AS id, text FROM ($nearCorpus)),
+         |$shingleCte,
+         |ex AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+         |tc AS (SELECT a.id AS a_id, b.id AS b_id, a.n_sh AS na,
+         |    b.n_sh AS nb, count(*) AS common
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+         |  GROUP BY 1, 2, 3, 4),
+         |truth AS (SELECT a_id, b_id FROM tc
+         |  WHERE CAST(common AS DOUBLE)
+         |    / CAST(na + nb - common AS DOUBLE) >= 0.5),
+         |sigs AS (SELECT id, sh, list_transform(range(0, 6),
+         |    i -> list_aggregate(list_transform(sh,
+         |           s -> md5(CAST(i AS VARCHAR) || ':' || s)), 'min')) AS sig
+         |  FROM sh WHERE len(sh) > 0),
+         |banded AS (SELECT id, sh, b,
+         |    md5(sig[2*b+1] || sig[2*b+2]) AS bkey
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 3)) AS b)),
+         |cands AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+         |  FROM banded a JOIN banded b
+         |    ON a.b = b.b AND a.bkey = b.bkey AND a.id < b.id),
+         |verif AS (SELECT c.a_id, c.b_id,
+         |    len(list_intersect(x.sh, y.sh)) AS common,
+         |    len(x.sh) AS na, len(y.sh) AS nb
+         |  FROM cands c JOIN sh x ON x.id = c.a_id
+         |  JOIN sh y ON y.id = c.b_id),
+         |lsh AS (SELECT a_id, b_id FROM verif
+         |  WHERE CAST(common AS DOUBLE)
+         |    / CAST(na + nb - common AS DOUBLE) >= 0.5),
+         |h AS (SELECT COUNT(*) AS n_hits
+         |  FROM truth JOIN lsh USING (a_id, b_id))
+         |SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+         |  (SELECT COUNT(*) FROM lsh) AS n_lsh, h.n_hits,
+         |  CAST(h.n_hits AS DOUBLE)
+         |    / (SELECT COUNT(*) FROM truth) AS recall,
+         |  CAST(h.n_hits AS DOUBLE)
+         |    / (SELECT COUNT(*) FROM lsh) AS prec
+         |FROM h""".stripMargin,
 
     "d_jaccard_incremental" ->
       s"""WITH basec AS (SELECT doc_id AS id, text FROM documents

@@ -269,6 +269,27 @@ object EventQueries {
           col("n"), col("total_value"))
     }),
 
+    // ---- session-level rollup on top of the sessionize labels:
+    //      duration, event count, value per (user, session). The
+    //      labeling windows and the rollup share the user_id shuffle ----
+    "e_session_stats" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val gap = col("ts").cast("long") -
+        lag(col("ts"), 1).over(byUser).cast("long")
+      t(s, dir, "events")
+        .withColumn("new_session",
+          when(gap.isNull || gap > 1800, lit(1)).otherwise(lit(0)))
+        .withColumn("session_idx",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ts").cast("long")) - min(col("ts").cast("long")))
+            .as("duration_sec"),
+          sum(dec(col("value"))).cast("double").as("total_value"))
+    }),
+
     // ---- path mining: each user's first-3-event sequence as a
     //      ">"-joined path, counted across users — the "how do
     //      sessions start" report. One groupBy collects a bounded
@@ -486,6 +507,24 @@ object EventQueries {
         |SELECT window_start, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "e_session_stats" ->
+      """WITH lab AS (SELECT user_id, ts, value,
+        |  CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_idx
+        |FROM (SELECT event_id, user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id
+        |         ORDER BY ts ASC, event_id ASC) IS NULL
+        |    OR date_diff('second', lag(ts) OVER (PARTITION BY user_id
+        |         ORDER BY ts ASC, event_id ASC), ts) > 1800
+        |  THEN 1 ELSE 0 END AS new_session
+        |  FROM events))
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  date_diff('second', MIN(ts), MAX(ts)) AS duration_sec,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM lab GROUP BY 1, 2""".stripMargin,
 
     "e_user_paths" ->
       """WITH p AS (SELECT user_id, array_to_string(
