@@ -65,13 +65,14 @@ object Bpe {
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
-        val prev = syms
         syms = syms.map { case (s, f) => (mergeSeq(s, a, b), f) }
           .localCheckpoint(false) // truncate the per-round lineage
-        // release the previous round's checkpointed copy now — at 10k+
-        // merge rounds, waiting for driver GC pins thousands of stale
-        // symbol-table snapshots in executor storage
-        prev.unpersist(blocking = false)
+        // stale rounds' checkpoint blocks are reclaimed by the
+        // ContextCleaner once the previous Dataset is unreachable —
+        // Dataset.unpersist would NOT release them (it only clears
+        // CacheManager entries from persist()/cache()), and manually
+        // dropping the RDD blocks would break the not-yet-materialized
+        // lazy checkpoint of the round that reads them
         rounds += 1
       }
     }

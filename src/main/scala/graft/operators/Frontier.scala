@@ -24,14 +24,19 @@ object Frontier {
   /** Rows of `df` on the Pareto frontier of (minimize `minCol`,
     * maximize `maxCol`). Ties: identical (min, max) points do not
     * dominate each other — all survive. Input columns are preserved.
+    * Rows with NULL in either dimension are EXCLUDED up front —
+    * dominance is undefined for them (an implicit join/predicate drop
+    * would lose them silently; the explicit filter makes it a
+    * documented contract instead).
     */
   def skyline2d(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
+    val defined = df.filter(col(minCol).isNotNull && col(maxCol).isNotNull)
     val w = Window.orderBy(col(minCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val perKey = df.groupBy(col(minCol))
+    val perKey = defined.groupBy(col(minCol))
       .agg(max(col(maxCol)).as("__mmax"))
       .withColumn("__strict_prefix", max(col("__mmax")).over(w))
-    df.join(perKey, minCol)
+    defined.join(perKey, minCol)
       .filter((col("__strict_prefix").isNull ||
           col("__strict_prefix") < col(maxCol)) &&
         col("__mmax") <= col(maxCol))

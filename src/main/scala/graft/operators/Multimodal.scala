@@ -136,8 +136,7 @@ object Multimodal {
       : (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
          org.apache.spark.sql.Column) = {
     val isId3 = hex(substring(content, 1, 3)) === "494433"
-    def b(i: Int): org.apache.spark.sql.Column =
-      conv(hex(substring(content, i, 1)), 16, 10).cast("long")
+    def b(i: Int): org.apache.spark.sql.Column = leUint(content, i, 1)
     val size = b(7) * 2097152L + b(8) * 16384L + b(9) * 128L + b(10)
     (isId3, when(isId3, b(4)), when(isId3, size))
   }

@@ -102,12 +102,15 @@ object DedupQueries {
     //      The comparison join carries only (a_id, b_id) pairs ----
     "d_lsh_recall" -> ((s, dir) => {
       val corpus = withNearCopies(s, dir)
+      // each pipeline feeds two branches (its count + the hits join):
+      // checkpoint so the inverted-index self-joins run once, per the
+      // operators' own persist-your-input guidance
       val truth = Dedup.jaccardPairs(corpus, "doc_id", "text",
           n = 5, threshold = 0.5, dfCap = None)
-        .select("a_id", "b_id")
+        .select("a_id", "b_id").localCheckpoint(false)
       val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text",
           n = 5, bands = 3, rowsPerBand = 2, threshold = 0.5)
-        .select("a_id", "b_id")
+        .select("a_id", "b_id").localCheckpoint(false)
       val hits = truth.join(lsh, Seq("a_id", "b_id"), "left_semi")
       truth.agg(count(lit(1)).as("n_true"))
         .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))

@@ -292,16 +292,23 @@ object EventQueries {
 
     // ---- path mining: each user's first-3-event sequence as a
     //      ">"-joined path, counted across users — the "how do
-    //      sessions start" report. One groupBy collects a bounded
-    //      prefix per user (the slice bounds memory, not the
-    //      history); the count agg is map-combinable ----
+    //      sessions start" report. A rank<=3 window filter bounds the
+    //      rows BEFORE the collect, so per-user aggregation state is
+    //      O(3) regardless of history length (collect-then-slice
+    //      would buffer the whole history); both the window and the
+    //      collect share the user_id shuffle, and the final count agg
+    //      is map-combinable ----
     "e_user_paths" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
       t(s, dir, "events")
+        .withColumn("rn", row_number().over(byUser))
+        .filter(col("rn") <= 3)
         .groupBy("user_id")
         .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
           col("event_type")))).as("evs"))
         .select(array_join(
-          transform(slice(col("evs"), 1, 3), e => e.getField("event_type")),
+          transform(col("evs"), e => e.getField("event_type")),
           ">").as("path"))
         .groupBy("path").agg(count(lit(1)).as("n_users"))
     }),

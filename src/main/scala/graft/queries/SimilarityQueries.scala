@@ -60,10 +60,12 @@ object SimilarityQueries {
           col("embedding").cast("array<double>").as("embedding"))
         .localCheckpoint(false) // both pipelines × both sides
       val q = e.filter(col("vec_id") < 50)
+      // both top-k frames feed two branches (count + hits join):
+      // checkpoint so each ranking computes once
       val exact = Similarity.cosineTopK(q, e, k = 3)
-        .select(col("q_id"), col("n_id"))
+        .select(col("q_id"), col("n_id")).localCheckpoint(false)
       val approx = Similarity.annTopK(q, e, k = 3, bits = 6)
-        .select(col("q_id"), col("n_id"))
+        .select(col("q_id"), col("n_id")).localCheckpoint(false)
       val hits = exact.join(approx, Seq("q_id", "n_id"), "left_semi")
         .groupBy("q_id").agg(count(lit(1)).as("hits"))
       exact.groupBy("q_id").agg(count(lit(1)).as("n_true"))

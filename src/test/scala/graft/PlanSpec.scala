@@ -142,11 +142,15 @@ class PlanSpec extends SparkSpec {
     // AGGREGATE (domain-sized), never the raw part rows — the
     // HashAggregate must sit below the Window in the plan
     val sky = planOf("q_skyline")
-    assert(sky.contains("Window"), sky)
-    assert(sky.indexOf("HashAggregate") >= 0, sky)
-    val winPos = sky.indexOf("(1) Scan")
     assert(!sky.contains("CartesianProduct"), sky)
-    assert(winPos >= 0)
+    // ordering check: in the formatted tree a node's input subtree
+    // prints AFTER it, so the per-price aggregate feeding the window
+    // must appear after the Window line; an agg ABOVE the window (or
+    // a window straight over the raw scan) would print before it /
+    // not at all
+    val winAt = sky.indexOf("Window")
+    val aggAt = sky.indexOf("HashAggregate")
+    assert(winAt >= 0 && aggAt >= 0 && winAt < aggAt, sky)
     // triangles: the wedge and closing-edge joins are equi-joins (a
     // hash or sort-merge join appears; no CartesianProduct anywhere).
     // The only nested-loop joins are the two 1-row × 1-row cross

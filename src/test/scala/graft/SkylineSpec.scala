@@ -38,4 +38,15 @@ class SkylineSpec extends SparkSpec {
   test("single row is trivially the frontier") {
     assert(frontier(Seq((9L, 1.0, 1))) === Set(9L))
   }
+
+  test("NULL dimensions are excluded by contract, not silently via join") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq((1L, Some(5.0), Some(3)), (2L, None, Some(9)),
+      (3L, Some(1.0), None)).toDF("id", "price", "size")
+    val got = graft.operators.Frontier.skyline2d(df, "price", "size")
+      .select(col("id")).as[Long].collect().toSet
+    // only the fully-defined row participates (and wins)
+    assert(got === Set(1L))
+  }
 }
