@@ -70,7 +70,7 @@ object JsonKeys {
       else sign + digits.take(e10) + "." + digits.drop(e10)
     } else {
       val m =
-        if (digits.length == 1) digits else digits.head + "." + digits.tail
+        if (digits.length == 1) digits else s"${digits.head}.${digits.tail}"
       val es = if (exp10 < 0) "-" else "+"
       sign + m + "e" + es + f"${math.abs(exp10)}%02d"
     }
@@ -93,7 +93,7 @@ object JsonKeys {
       catch { case _: Exception => return None }
     if (root == null || !root.isObject) return None
     if (root.has(key)) return Some(pyStr(root.get(key)))
-    val it = root.fields()
+    val it = root.properties().iterator()
     while (it.hasNext) {
       val v = it.next().getValue
       if (v.isObject && v.has(key)) return Some(pyStr(v.get(key)))

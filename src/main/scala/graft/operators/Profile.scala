@@ -54,7 +54,7 @@ object Profile {
     val ranked = df.select(col(valueCol).cast("double").as("x"))
       .filter(col("x").isNotNull)
       .orderBy("x").as[Double].rdd
-      .zipWithIndex.toDF("x", "idx")
+      .zipWithIndex().toDF("x", "idx")
       .localCheckpoint(false)
     val positions = ranked.agg(count(lit(1)).as("n"))
       .select(explode(array(qs.map(lit): _*)).as("q"), col("n"))
