@@ -74,6 +74,19 @@ object GraphQueries {
           col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
         .select(col("x.sk").as("u"), col("y.sk").as("v"))
       Graph.triangleStats(pairs)
+    }),
+
+    // ---- degree distribution of the customer→supplier graph: how
+    //      many customers trade with exactly d suppliers. A distinct
+    //      + two map-combinable aggregations — the skew census run
+    //      before choosing join strategies (a heavy tail here is what
+    //      motivates the degree-ordered orientation above) ----
+    "g_degree_stats" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey")).distinct()
+        .groupBy("o_custkey").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_customers"))
     })
   )
 
@@ -134,6 +147,14 @@ object GraphQueries {
         |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
         |       (SELECT COUNT(*) FROM e) AS n_edges,
         |       n_triangles
-        |FROM tri""".stripMargin
+        |FROM tri""".stripMargin,
+
+    "g_degree_stats" ->
+      """WITH d AS (SELECT DISTINCT o_custkey, l_suppkey
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |deg AS (SELECT o_custkey, COUNT(*) AS degree
+        |  FROM d GROUP BY o_custkey)
+        |SELECT degree, COUNT(*) AS n_customers
+        |FROM deg GROUP BY degree""".stripMargin
   )
 }

@@ -130,6 +130,31 @@ object TextQueries {
         .select("doc_id", "source")
     }),
 
+    // ---- temperature-scaled source mixing (the mT5/T5 α-sampling
+    //      rule): sampling share ∝ p_i^α with α=0.7, up-weighting
+    //      low-resource sources. Two tiny aggregations over the
+    //      source-count table (map-combinable, |sources| rows);
+    //      p^α rounds to 4 decimals (the libm absorption rule —
+    //      pow may differ a ulp across engines) and normalizes in
+    //      exact DECIMAL so the shares are partition-order-free ----
+    "t_mix_temperature" -> ((s, dir) => {
+      val bySource = t(s, dir, "documents")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val tot = bySource.agg(sum(col("n_docs")).as("total"))
+      val w = bySource.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("total").cast("double"),
+            6).as("raw_share"),
+          round(pow(col("n_docs").cast("double") /
+            col("total").cast("double"), 0.7), 4)
+            .cast("decimal(18,4)").as("w4"))
+      val wsum = w.agg(sum(col("w4")).as("wsum"))
+      w.crossJoin(broadcast(wsum))
+        .select(col("source"), col("n_docs"), col("raw_share"),
+          round(col("w4").cast("double") / col("wsum").cast("double"), 6)
+            .as("temp_share"))
+    }),
+
     // ---- weighted sampling without replacement (Efraimidis–Spirakis,
     //      weight = document length): inclusion odds ∝ n_chars but the
     //      draw is a pure function of doc_id — reproducible across
@@ -537,6 +562,22 @@ object TextQueries {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
         |  FROM documents) x
         |WHERE rn <= 15""".stripMargin,
+
+    "t_mix_temperature" ->
+      """WITH s AS (SELECT source, COUNT(*) AS n_docs
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT SUM(n_docs) AS total FROM s),
+        |w AS (SELECT source, n_docs,
+        |    ROUND(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE), 6)
+        |      AS raw_share,
+        |    CAST(ROUND(pow(CAST(n_docs AS DOUBLE)
+        |      / CAST(total AS DOUBLE), 0.7), 4) AS DECIMAL(18,4)) AS w4
+        |  FROM s, t),
+        |ws AS (SELECT SUM(w4) AS wsum FROM w)
+        |SELECT source, n_docs, raw_share,
+        |  ROUND(CAST(w4 AS DOUBLE) / CAST(wsum AS DOUBLE), 6)
+        |    AS temp_share
+        |FROM w, ws""".stripMargin,
 
     "t_mix_weighted" ->
       """WITH d AS (SELECT doc_id, source FROM documents
