@@ -49,12 +49,40 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    def fmt(v: Double) = f"$v%.3f"
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
+    // Full per-query detail: printed early and persisted to a file. The
+    // harness keeps only the LAST ~2000 chars of output, so the full
+    // line (120+ queries, ~4 KB) can never be the final line — it would
+    // arrive truncated and unparseable.
+    println(full)
+    try {
+      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_FULL.json: ${e.getMessage}")
+    }
+    // Compact FINAL line (headline subset, 3-decimal secs) sized to fit
+    // whole inside a 2000-char output tail so the driver can parse it.
+    val headline = Seq(
+      "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+      "q9_product_profit", "q18_large_orders", "o9_semi_join",
+      "o14_json_key", "a_pipeline_move", "d_exact_groups",
+      "d_jaccard_capped", "d_minhash_lsh_pairs", "d_simhash_pairs",
+      "d_embedding_neardup", "d_dup_clusters", "s_cosine_topk",
+      "s_ann_ivf", "s_ann_pq", "t_token_stats", "t_encode_ids",
+      "e_sessionize", "e_asof_join", "e_tumbling_hourly", "g_pagerank",
+      "q_window_funcs")
+    val byName = results.map { case (k, v, _) => k -> v }.toMap
+    val hqs = headline.flatMap(h => byName.get(h).map(v => "\"" + h + "\":" + fmt(v)))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hqs,"failed":$failed,"n_queries":${results.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, EventQueries, FileOps, GraphQueries, MultimodalQueries, QualityQueries, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, SimilarityQueries, TextQueries}
+import graft.queries.{CurationQueries, DedupQueries, EventQueries, FileOps, GraphQueries, MultimodalQueries, QualityQueries, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,7 +26,8 @@ object SparkEntry {
     (SimilarityQueries.queries, SimilarityQueries.oracleSql),
     (EventQueries.queries, EventQueries.oracleSql),
     (MultimodalQueries.queries, MultimodalQueries.oracleSql),
-    (GraphQueries.queries, GraphQueries.oracleSql)
+    (GraphQueries.queries, GraphQueries.oracleSql),
+    (CurationQueries.queries, CurationQueries.oracleSql)
   )
 
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */

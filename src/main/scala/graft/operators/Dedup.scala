@@ -119,6 +119,52 @@ object Dedup {
       .select("a_id", "b_id", "containment")
   }
 
+  /** Near-duplicate pairs by exact n-gram Jaccard ≥ `threshold` with
+    * PREFIX-FILTERED candidate generation (AllPairs/PPJoin family):
+    * shingles are globally ordered by (document frequency asc, shingle
+    * asc) and only each set's first `|X| - ceil(t·|X|) + 1` shingles
+    * participate in the candidate equi-join. Two sets with
+    * J(A,B) ≥ t share ≥ ceil(t·max(|A|,|B|)) shingles, so their
+    * prefixes must intersect — the filter admits NO false negatives
+    * and the result equals [[jaccardPairs]] exactly.
+    *
+    * Scale shape vs the plain inverted index: boilerplate shingles
+    * (high df) sort to the END of the global order and fall outside
+    * almost every prefix, so the quadratic stop-shingle skew the
+    * `dfCap` guard fights never reaches the join — rare shingles carry
+    * the candidates, and their per-key fan-out is small by definition.
+    * A length filter (`t·|A| ≤ |B| ∧ t·|B| ≤ |A|`) prunes inside the
+    * join. Verification is one candidate-side array intersection, not
+    * a re-join of the full index.
+    */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleSets(df, idCol, textCol, n, None)
+    val ex = sh.select(col("id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val ranked = ex.join(dfreq, "s")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("id").orderBy(col("df").asc, col("s").asc)))
+    val prefix = ranked
+      .filter(col("pos") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select("id", "n_sh", "s")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          col("a.n_sh") >= col("b.n_sh") * threshold &&
+          col("b.n_sh") >= col("a.n_sh") * threshold)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id")).distinct()
+    cand
+      .join(sh.select(col("id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(sh.select(col("id").as("b_id"), col("sh").as("shb")), "b_id")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
   /** MinHash signature: k permutations simulated by salted md5; element
     * i is the minimum of md5(i + ":" + shingle) over the doc's distinct
     * shingles. Pure higher-order expressions (no UDF), so the oracle

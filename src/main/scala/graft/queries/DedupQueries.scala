@@ -55,6 +55,16 @@ object DedupQueries {
         n = 5, threshold = 0.5, dfCap = None)
     }),
 
+    // ---- same pairs, PREFIX-FILTERED candidates (AllPairs/PPJoin):
+    //      global (df asc, shingle asc) order, prefix equi-join +
+    //      length filter, candidate-side array-intersect verify. The
+    //      oracle is the EXACT inverted-index Jaccard — identical
+    //      output proves the filter admits no false negatives ----
+    "d_jaccard_prefix" -> ((s, dir) => {
+      Dedup.jaccardPairsPrefix(withNearCopies(s, dir), "doc_id", "text",
+        n = 5, threshold = 0.5)
+    }),
+
     // ---- asymmetric containment: the truncated variants are strict
     //      shingle-subsets of their originals, so variant→original
     //      containment is exactly 1.0 while Jaccard only grazes the
@@ -267,6 +277,21 @@ object DedupQueries {
          |FROM ($exactCorpus) GROUP BY md5(text)""".stripMargin,
 
     "d_jaccard_pairs" ->
+      s"""WITH base AS (SELECT doc_id AS id, text FROM ($nearCorpus)),
+         |$shingleCte,
+         |ex AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+         |common AS (SELECT a.id AS a_id, b.id AS b_id, a.n_sh AS na,
+         |    b.n_sh AS nb, count(*) AS common
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT a_id, b_id,
+         |  CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
+         |FROM common
+         |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5""".stripMargin,
+
+    // the prefix-filtered path must equal the exact inverted-index
+    // Jaccard verbatim — same oracle text as d_jaccard_pairs
+    "d_jaccard_prefix" ->
       s"""WITH base AS (SELECT doc_id AS id, text FROM ($nearCorpus)),
          |$shingleCte,
          |ex AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),

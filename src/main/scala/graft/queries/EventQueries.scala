@@ -327,6 +327,57 @@ object EventQueries {
         .select(col("user_id"), col("event_type"),
           col("ts").as("valid_from"), col("valid_to"),
           col("valid_to").isNull.as("is_current"))
+    }),
+
+    // ---- time-series anomaly: hourly error counts vs their trailing
+    //      24-hour window (exact integer sums of n and n², variance by
+    //      the textbook formula — every op after the sums is IEEE
+    //      +,-,*,/,sqrt, so z is bit-reproducible with no rounding).
+    //      The hourly rollup is map-combinable; the trailing window
+    //      runs over ONE row per hour — bounded by the time horizon,
+    //      not the event volume, so the single-partition window is
+    //      safe at any scale ----
+    "e_ts_anomaly" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .filter(col("event_type") === "error")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val trail = Window.orderBy("hour").rowsBetween(-24, -1)
+      hourly.select(col("hour"), col("n"),
+          sum("n").over(trail).as("s"),
+          sum(col("n") * col("n")).over(trail).as("ss"),
+          count("n").over(trail).as("c"))
+        .filter(col("c") === 24)
+        .withColumn("mean", col("s").cast("double") / col("c"))
+        .withColumn("variance",
+          (col("ss").cast("double") - col("s").cast("double") * col("s") /
+            col("c")) / (col("c") - 1))
+        .filter(col("variance") > 0)
+        .withColumn("z",
+          (col("n").cast("double") - col("mean")) / sqrt(col("variance")))
+        .select(col("hour"), col("n"), col("z"),
+          (abs(col("z")) > 3).as("is_anomaly"))
+    }),
+
+    // ---- last-touch attribution: each purchase credits the user's
+    //      most recent view/click within a 7-day lookback (atomic
+    //      as-of match — one keyed shuffle, no range cross join);
+    //      revenue sums in exact DECIMAL before the double cast ----
+    "e_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.AsOf.asOfJoin(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type").isin("view", "click")),
+          keys = Seq("user_id"), tsCol = "ts",
+          leftCols = Seq("event_id", "value"),
+          rightCols = Seq("event_id", "event_type", "ts"))
+        .withColumn("touch",
+          when(col("m_ts") >= col("ts") - expr("INTERVAL 7 DAYS"),
+            col("m_event_type")).otherwise(lit("none")))
+        .groupBy("touch")
+        .agg(count(lit(1)).as("n_conversions"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("revenue"))
     })
   )
 
@@ -550,6 +601,47 @@ object EventQueries {
         |    ORDER BY ts ASC, event_id ASC) AS valid_to,
         |  lead(ts) OVER (PARTITION BY user_id
         |    ORDER BY ts ASC, event_id ASC) IS NULL AS is_current
-        |FROM c WHERE prev IS NULL OR prev <> event_type""".stripMargin
+        |FROM c WHERE prev IS NULL OR prev <> event_type""".stripMargin,
+
+    // variance from exact integer sums with the same association as
+    // the engine: ((ss − s·s/c)/(c−1)); all post-sum ops IEEE-exact
+    "e_ts_anomaly" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS hour,
+        |    count(*) AS n FROM events WHERE event_type = 'error'
+        |  GROUP BY 1),
+        |w AS (SELECT hour, n,
+        |    sum(n) OVER t AS s, sum(n * n) OVER t AS ss,
+        |    count(n) OVER t AS c
+        |  FROM hourly WINDOW t AS (ORDER BY hour
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |v AS (SELECT hour, n, s, ss, c,
+        |    CAST(s AS DOUBLE) / c AS mean,
+        |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / c) / (c - 1)
+        |      AS variance
+        |  FROM w WHERE c = 24)
+        |SELECT hour, n,
+        |  (CAST(n AS DOUBLE) - mean) / sqrt(variance) AS z,
+        |  abs((CAST(n AS DOUBLE) - mean) / sqrt(variance)) > 3
+        |    AS is_anomaly
+        |FROM v WHERE variance > 0""".stripMargin,
+
+    "e_attribution" ->
+      """WITH l AS (SELECT user_id, ts, 1 AS side, "value",
+        |    CAST(NULL AS STRUCT(etype VARCHAR, rts TIMESTAMP)) AS m
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts, 0 AS side, CAST(NULL AS DOUBLE) AS "value",
+        |    struct_pack(etype := event_type, rts := ts) AS m
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        |w AS (SELECT user_id, ts, side, "value",
+        |    last_value(m IGNORE NULLS) OVER w AS mm
+        |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, side ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |a AS (SELECT CASE WHEN mm.rts >= ts - INTERVAL 7 DAY
+        |      THEN mm.etype ELSE 'none' END AS touch, "value"
+        |  FROM w WHERE side = 1)
+        |SELECT touch, COUNT(*) AS n_conversions,
+        |  CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM a GROUP BY 1""".stripMargin
   )
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{CurationQueries, EventQueries}
+
+/** Relevance-scoring curation queries + round-4 event analytics:
+  * structural invariants at sf0.001 (the DuckDB oracle hash-gates the
+  * exact values at sf0.01).
+  */
+class CurationSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("t_tfidf_topk: exactly ranks 1..3 per doc, scores non-increasing") {
+    val rows = CurationQueries.queries("t_tfidf_topk")(spark, dir)
+      .select("doc_id", "rn", "score").collect()
+      .groupBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to byRank.length))
+      val scores = byRank.map(_.getDecimal(2).doubleValue())
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("t_bm25_rank: top-20, scores non-increasing, only matching docs") {
+    val got = CurationQueries.queries("t_bm25_rank")(spark, dir).collect()
+    assert(got.length <= 20 && got.nonEmpty)
+    val scores = got.map(_.getDecimal(1).doubleValue())
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.forall(_ > 0.0))
+  }
+
+  test("e_attribution: touches partition the purchase set") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val purchases = ev.filter(col("event_type") === "purchase").count()
+    val got = EventQueries.queries("e_attribution")(spark, dir).collect()
+    assert(got.map(_.getString(0)).toSet.subsetOf(Set("view", "click", "none")))
+    assert(got.map(_.getLong(1)).sum === purchases)
+  }
+
+  test("e_ts_anomaly: full trailing windows only, z finite") {
+    val got = EventQueries.queries("e_ts_anomaly")(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val z = r.getDouble(2)
+      assert(!z.isNaN && !z.isInfinite)
+      assert(r.getBoolean(3) === (math.abs(z) > 3))
+    }
+  }
+}

@@ -37,6 +37,37 @@ class DedupSpec extends SparkSpec {
     assert(withPairs.count() === 3)
   }
 
+  test("jaccardPairsPrefix equals the exact inverted-index result on real docs") {
+    // equality against jaccardPairs proves the prefix filter admits no
+    // false negatives (and the verify step no false positives) on a
+    // corpus with genuine near-duplicates
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val near = d.union(d.select((col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" tail token")).as("text")))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e12))).toSet
+    val exact = canon(Dedup.jaccardPairs(near, "doc_id", "text",
+      n = 5, threshold = 0.4, dfCap = None))
+    val prefix = canon(Dedup.jaccardPairsPrefix(near, "doc_id", "text",
+      n = 5, threshold = 0.4))
+    assert(exact.nonEmpty)
+    assert(prefix === exact)
+  }
+
+  test("jaccardPairsPrefix: boilerplate-heavy shingles stay out of prefixes") {
+    // all docs share a ubiquitous header; rare distinguishing tokens
+    // drive candidates, so identical bodies still pair at 1.0 body overlap
+    val d = docs(
+      (1L, "common header words everywhere here alpha beta gamma delta one"),
+      (2L, "common header words everywhere here alpha beta gamma delta one"),
+      (3L, "common header words everywhere here zz yy xx ww vv"))
+    val got = Dedup.jaccardPairsPrefix(d, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
   test("containmentPairs is asymmetric: subset side scores 1.0, superset side less") {
     // doc 2 = strict prefix of doc 1 → every 3-shingle of 2 is in 1:
     // C(2→1) = 1.0 (4 of 4); C(1→2) = 4/6; disjoint doc 3 absent
