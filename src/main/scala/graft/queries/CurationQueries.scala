@@ -8,13 +8,14 @@ import graft.Tables.t
 import graft.functions.Text
 
 /** Relevance-scoring curation queries over `documents`: per-document
-  * TF-IDF keyword extraction and BM25 ranking against a fixed term
-  * set — the scoring half of a retrieval-based data-curation loop
-  * (pick the documents most relevant to a target domain mix).
+  * TF-IDF keyword extraction — the labeling half of a retrieval-based
+  * data-curation loop (tag every document with its most
+  * distinguishing terms; `t_bm25` covers query-side retrieval
+  * scoring).
   *
-  * Scale: both are two map-combinable aggregations (term frequencies,
-  * document frequencies) joined on the term key plus one broadcast of
-  * a single-row corpus-stats frame — no self-join, no cross join, and
+  * Scale: two map-combinable aggregations (term frequencies, document
+  * frequencies) joined on the term key plus one broadcast of a
+  * single-row corpus-stats frame — no self-join, no cross join, and
   * the per-term df frame is vocabulary-sized (tiny next to the
   * corpus). Scores round through DECIMAL(18,6) so ranking and hashes
   * are reproducible across engines (ln is the only non-IEEE-exact op;
@@ -44,34 +45,6 @@ object CurationQueries {
           .orderBy(col("score").desc, col("tok").asc)))
         .filter(col("rn") <= 3)
         .select("doc_id", "tok", "rn", "score")
-    }),
-
-    // ---- BM25 (k1=1.2, b=0.75) ranking of all documents against a
-    //      fixed query term set; top-20 by (score desc, doc_id asc) ----
-    "t_bm25_rank" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val tf = termFreqs(d)
-      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      val stats = d.agg(count(lit(1)).as("n_docs"))
-        .crossJoin(dl.agg(
-          (sum("dl").cast("double") / count(lit(1))).as("avgdl")))
-      val qterms = Seq("spark", "vector", "stream")
-      val scored = tf.filter(col("tok").isin(qterms: _*))
-        .join(dfreq, "tok").join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf",
-          log(lit(1.0) + (col("n_docs").cast("double") - col("df") + 0.5) /
-            (col("df").cast("double") + 0.5)))
-        .withColumn("term_score",
-          col("idf") * (col("tf") * (lit(1.2) + 1.0)) /
-            (col("tf") + lit(1.2) *
-              (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))))
-      scored.groupBy("doc_id")
-        .agg(sum(round(col("term_score"), 6).cast("decimal(18,6)"))
-          .as("bm25"))
-        .orderBy(col("bm25").desc, col("doc_id").asc)
-        .limit(20)
     })
   )
 
@@ -90,26 +63,6 @@ object CurationQueries {
          |r AS (SELECT doc_id, tok, score, row_number() OVER (
          |    PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rn
          |  FROM scored)
-         |SELECT doc_id, tok, rn, score FROM r WHERE rn <= 3""".stripMargin,
-
-    "t_bm25_rank" ->
-      s"""WITH toks AS (SELECT doc_id, unnest($tok) AS tok FROM documents),
-         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-         |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
-         |stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
-         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-         |scored AS (SELECT doc_id,
-         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) /
-         |      (CAST(df AS DOUBLE) + 0.5)) *
-         |    (tf * (1.2 + 1.0)) /
-         |    (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS term_score
-         |  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id)
-         |    CROSS JOIN stats
-         |  WHERE tok IN ('spark', 'vector', 'stream'))
-         |SELECT doc_id,
-         |  SUM(CAST(round(term_score, 6) AS DECIMAL(18,6))) AS bm25
-         |FROM scored GROUP BY 1
-         |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin
+         |SELECT doc_id, tok, rn, score FROM r WHERE rn <= 3""".stripMargin
   )
 }

@@ -25,14 +25,6 @@ class CurationSpec extends SparkSpec {
     }
   }
 
-  test("t_bm25_rank: top-20, scores non-increasing, only matching docs") {
-    val got = CurationQueries.queries("t_bm25_rank")(spark, dir).collect()
-    assert(got.length <= 20 && got.nonEmpty)
-    val scores = got.map(_.getDecimal(1).doubleValue())
-    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
-    assert(scores.forall(_ > 0.0))
-  }
-
   test("e_attribution: touches partition the purchase set") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val purchases = ev.filter(col("event_type") === "purchase").count()
