@@ -55,4 +55,41 @@ object TimeSeries {
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
   }
+
+  /** Trailing-window z-score over an already-binned count series:
+    * each bin scored against the `lookback` bins immediately before it
+    * (rows, not wall-time — sparse series score against what was
+    * observed). Mean and variance come from exact integer sums of n
+    * and n², and every post-sum op is IEEE +,-,*,/,sqrt — z is
+    * bit-reproducible under any partitioning and matches the
+    * streaming form (`EventStreams.anomalyStream`) exactly. Bins with
+    * fewer than `lookback` predecessors or zero variance are dropped.
+    *
+    * Scale: the window runs over ONE ROW PER BIN per key — bounded by
+    * the time horizon, not event volume. `keys` may be empty for a
+    * single global series (the window then runs single-partition,
+    * safe for the same reason).
+    *
+    * @param binned one row per (keys, binCol) with integer count `nCol`
+    */
+  def trailingZ(binned: DataFrame, keys: Seq[String], binCol: String,
+                nCol: String, lookback: Int = 24,
+                zCut: Double = 3.0): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(binCol).asc)
+      .rowsBetween(-lookback, -1)
+    binned.select(keys.map(col) ++ Seq(col(binCol), col(nCol),
+        sum(col(nCol)).over(w).as("__s"),
+        sum(col(nCol) * col(nCol)).over(w).as("__ss"),
+        count(col(nCol)).over(w).as("__c")): _*)
+      .filter(col("__c") === lookback)
+      .withColumn("__mean", col("__s").cast("double") / col("__c"))
+      .withColumn("__var",
+        (col("__ss").cast("double") - col("__s").cast("double") * col("__s") /
+          col("__c")) / (col("__c") - 1))
+      .filter(col("__var") > 0)
+      .withColumn("z",
+        (col(nCol).cast("double") - col("__mean")) / sqrt(col("__var")))
+      .select(keys.map(col) ++ Seq(col(binCol), col(nCol), col("z"),
+        (abs(col("z")) > zCut).as("is_anomaly")): _*)
+  }
 }

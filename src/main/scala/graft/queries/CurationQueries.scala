@@ -45,6 +45,25 @@ object CurationQueries {
           .orderBy(col("score").desc, col("tok").asc)))
         .filter(col("rn") <= 3)
         .select("doc_id", "tok", "rn", "score")
+    }),
+
+    // ---- overlapping chunking: fixed-size token windows (size 32,
+    //      stride 24 → 8-token overlap), the context-window
+    //      preprocessing step before embedding or pretraining. Pure
+    //      per-row HOF expressions (sequence → slice → posexplode) —
+    //      map-side only, no shuffle, output rows ≈ input tokens /
+    //      stride at any corpus size ----
+    "t_chunk_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), size(col("toks")) - 1, lit(24)),
+            st => slice(col("toks"), st + 1, lit(32)))))
+        .select(col("doc_id"), col("pos").as("chunk_idx"),
+          array_join(col("col"), " ").as("chunk_text"),
+          size(col("col")).as("n_chunk_tokens"))
     })
   )
 
@@ -63,6 +82,15 @@ object CurationQueries {
          |r AS (SELECT doc_id, tok, score, row_number() OVER (
          |    PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rn
          |  FROM scored)
-         |SELECT doc_id, tok, rn, score FROM r WHERE rn <= 3""".stripMargin
+         |SELECT doc_id, tok, rn, score FROM r WHERE rn <= 3""".stripMargin,
+
+    "t_chunk_overlap" ->
+      s"""WITH toks AS (SELECT doc_id, $tok AS tk FROM documents),
+         |st AS (SELECT doc_id, tk, unnest(range(0, len(tk), 24)) AS s
+         |  FROM toks WHERE len(tk) > 0)
+         |SELECT doc_id, CAST(s // 24 AS INTEGER) AS chunk_idx,
+         |  array_to_string(tk[s+1:s+32], ' ') AS chunk_text,
+         |  len(tk[s+1:s+32]) AS n_chunk_tokens
+         |FROM st""".stripMargin
   )
 }

@@ -342,21 +342,8 @@ object EventQueries {
         .filter(col("event_type") === "error")
         .groupBy(date_trunc("hour", col("ts")).as("hour"))
         .agg(count(lit(1)).as("n"))
-      val trail = Window.orderBy("hour").rowsBetween(-24, -1)
-      hourly.select(col("hour"), col("n"),
-          sum("n").over(trail).as("s"),
-          sum(col("n") * col("n")).over(trail).as("ss"),
-          count("n").over(trail).as("c"))
-        .filter(col("c") === 24)
-        .withColumn("mean", col("s").cast("double") / col("c"))
-        .withColumn("variance",
-          (col("ss").cast("double") - col("s").cast("double") * col("s") /
-            col("c")) / (col("c") - 1))
-        .filter(col("variance") > 0)
-        .withColumn("z",
-          (col("n").cast("double") - col("mean")) / sqrt(col("variance")))
-        .select(col("hour"), col("n"), col("z"),
-          (abs(col("z")) > 3).as("is_anomaly"))
+      graft.operators.TimeSeries.trailingZ(hourly, keys = Seq.empty,
+        binCol = "hour", nCol = "n", lookback = 24, zCut = 3.0)
     }),
 
     // ---- last-touch attribution: each purchase credits the user's

@@ -189,4 +189,87 @@ object EventStreams {
           EmaOut(userId, cur.n, cur.emaE6, cur.emaE6.toDouble / 1000000.0)
       }
   }
+
+  final case class HourCount(hour: Long, n: Long)
+  final case class TsAnomState(hours: Seq[HourCount], emittedUpTo: Long)
+  final case class TsAnomOut(event_type: String, hour_start: Timestamp,
+                             n: Long, z: Double, is_anomaly: Boolean)
+
+  /** Streaming trailing-window anomaly detection — the incremental form
+    * of `operators.TimeSeries.trailingZ` over per-type hourly counts.
+    * An hour closes when the EVENT-time watermark passes its end; it is
+    * then scored against the `lookback` observed hours immediately
+    * before it with the identical integer-sum variance arithmetic, so
+    * the emitted z is bit-equal to the batch operator over the same
+    * events (the spec asserts this).
+    *
+    * State per event type is at most `lookback` closed hours (kept as
+    * predecessors) plus the open tail — a few dozen 16-byte records
+    * regardless of event volume; hours are pruned as soon as they can
+    * no longer serve as a predecessor. Late rows for an already-closed
+    * hour are dropped by the watermark BEFORE reaching the state
+    * function (append-mode emissions are final, so the alternative —
+    * re-folding — would double-emit).
+    */
+  def anomalyStream(events: Dataset[Ev], lookback: Int = 24,
+                    zCut: Double = 3.0,
+                    watermarkDelay: String = "2 hours")
+      : Dataset[TsAnomOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[TsAnomState, TsAnomOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (etype: String, rows: Iterator[Ev], state: GroupState[TsAnomState]) =>
+          val prev = state.getOption.getOrElse(TsAnomState(Nil, Long.MinValue))
+          // fold this batch's rows into per-hour counts (hours in
+          // epoch-seconds; emitted hours never recur — watermark-dropped)
+          val newCounts = rows.foldLeft(Map.empty[Long, Long]) { (m, e) =>
+            val h = e.ts.getTime / 3600000L * 3600L
+            m.updated(h, m.getOrElse(h, 0L) + 1L)
+          }
+          val base = prev.hours.map(hc => hc.hour -> hc.n).toMap
+          val merged = newCounts.foldLeft(base) { case (m, (h, n)) =>
+              m.updated(h, m.getOrElse(h, 0L) + n)
+            }.toSeq.sortBy(_._1).map { case (h, n) => HourCount(h, n) }
+          val wmSec = state.getCurrentWatermarkMs() / 1000L
+          val out = Seq.newBuilder[TsAnomOut]
+          var emittedUpTo = prev.emittedUpTo
+          merged.zipWithIndex.foreach { case (hc, i) =>
+            if (hc.hour > emittedUpTo && hc.hour + 3600L <= wmSec) {
+              if (i >= lookback) {
+                val preds = merged.slice(i - lookback, i)
+                val s = preds.map(_.n).sum
+                val ss = preds.map(p => p.n * p.n).sum
+                val c = lookback.toLong
+                val mean = s.toDouble / c
+                val variance =
+                  (ss.toDouble - s.toDouble * s / c) / (c - 1)
+                if (variance > 0) {
+                  val z = (hc.n.toDouble - mean) / math.sqrt(variance)
+                  out += TsAnomOut(etype, new Timestamp(hc.hour * 1000L),
+                    hc.n, z, math.abs(z) > zCut)
+                }
+              }
+              emittedUpTo = hc.hour
+            }
+          }
+          // prune: keep the `lookback` hours before the first open hour
+          // (future predecessors) plus the open tail itself
+          val firstOpen = merged.indexWhere(_.hour > emittedUpTo) match {
+            case -1 => merged.length
+            case i  => i
+          }
+          val kept = merged.drop(math.max(0, firstOpen - lookback))
+          state.update(TsAnomState(kept, emittedUpTo))
+          // wake when the earliest open hour can close (event time)
+          kept.find(_.hour > emittedUpTo).foreach { hc =>
+            state.setTimeoutTimestamp(math.max(
+              hc.hour * 1000L + 3600000L,
+              state.getCurrentWatermarkMs() + 1))
+          }
+          out.result().iterator
+      }
+  }
 }

@@ -25,6 +25,29 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("t_chunk_overlap: full coverage, 8-token overlap between full chunks") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "split(text, ' ') AS toks").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val chunks = CurationQueries.queries("t_chunk_overlap")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2).split(" ").toSeq))
+      .groupBy(_._1)
+    assert(chunks.keySet === docs.keySet)
+    chunks.foreach { case (id, cs) =>
+      val ordered = cs.sortBy(_._2).map(_._3)
+      // stride 24: chunk i starts at token 24*i; size ≤ 32
+      ordered.zipWithIndex.foreach { case (c, i) =>
+        assert(c === docs(id).slice(24 * i, 24 * i + 32))
+      }
+      // consecutive full chunks share exactly 32-24 = 8 tokens
+      ordered.toSeq.sliding(2).foreach {
+        case Seq(a, b) if a.length == 32 => assert(a.takeRight(8) === b.take(8))
+        case _ => ()
+      }
+    }
+  }
+
   test("e_attribution: touches partition the purchase set") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val purchases = ev.filter(col("event_type") === "purchase").count()

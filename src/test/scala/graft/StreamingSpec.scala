@@ -6,7 +6,7 @@ import java.sql.Timestamp
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, date_trunc, lit}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
@@ -207,6 +207,52 @@ class StreamingSpec extends SparkSpec {
       // events); straggler id=4 was ignored, not re-folded
       assert(fin === Seq((2L, 1300000L), (3L, 1810000L)))
     } finally q.stop()
+  }
+
+  test("streaming trailing-z anomaly is bit-equal to batch TimeSeries.trailingZ") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 6-hour lookback; hours 0..7 with varying counts, hour 8 spikes.
+    // Counts per hour i: 2 + (i % 3) events; spike hour 8: 9 events.
+    def hourEvents(i: Int, n: Int): Seq[EventStreams.Ev] =
+      (0 until n).map { k =>
+        EventStreams.Ev(i * 100L + k,
+          Timestamp.valueOf(f"2024-01-01 $i%02d:0$k:00"), 1L, "error", 0.0)
+      }
+    val all = (0 to 7).flatMap(i => hourEvents(i, 2 + i % 3)) ++
+      hourEvents(8, 9)
+    val mem = MemoryStream[EventStreams.Ev]
+    // split across two micro-batches so predecessor state must carry
+    mem.addData(all.filter(_.ts.getTime < Timestamp.valueOf("2024-01-01 05:00:00").getTime): _*)
+    mem.addData(all.filter(_.ts.getTime >= Timestamp.valueOf("2024-01-01 05:00:00").getTime): _*)
+    // sentinel far in the future pushes the watermark past hour 8's end
+    mem.addData(EventStreams.Ev(9999L,
+      Timestamp.valueOf("2024-01-02 12:00:00"), 2L, "click", 0.0))
+    val q = EventStreams.anomalyStream(mem.toDS(), lookback = 6,
+        zCut = 3.0, watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("ts_anom")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    val streamed = spark.sql(
+        "SELECT hour_start, n, z, is_anomaly FROM ts_anom WHERE event_type = 'error'")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val hourly = all.toDF()
+      .filter(col("event_type") === "error")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val batch = graft.operators.TimeSeries.trailingZ(hourly,
+        keys = Seq.empty, binCol = "hour", nCol = "n", lookback = 6)
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    assert(batch.nonEmpty)
+    assert(streamed === batch)
+    // the spike hour is flagged
+    assert(streamed.exists { case (h, _, _, a) => h.startsWith("2024-01-01 08") && a })
   }
 
   test("trending: windowed MG state emits exact top-k on watermark close") {
