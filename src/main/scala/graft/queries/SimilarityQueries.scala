@@ -201,6 +201,43 @@ object SimilarityQueries {
         .select(col("grp"), col("pos"),
           (aggregate(col("xs"), lit(0.0),
             (acc, e) => acc + e.getField("x")) / col("n")).as("centroid"))
+    }),
+
+    // ---- hybrid retrieval with reciprocal-rank fusion: top-100
+    //      lexical candidates (query-term frequency) and top-100
+    //      vector candidates (cosine vs one query embedding) are each
+    //      ranked within their candidate set, then fused by
+    //      Σ 1/(60+rank) — the standard RRF. Candidate-bounded by
+    //      construction: both retrievers end in a distributed
+    //      TakeOrdered(100), so the rank windows and the fusion join
+    //      run over ≤100 rows regardless of corpus size ----
+    "s_rrf_hybrid" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = Seq("spark", "vector", "stream")
+      val tfTotal = terms.map(tm =>
+          size(filter(split(col("text"), " "), x => x === lit(tm))))
+        .reduce(_ + _)
+      val lex = t(s, dir, "documents")
+        .select(col("doc_id"), tfTotal.as("tf_total"))
+        .orderBy(col("tf_total").desc, col("doc_id").asc).limit(100)
+        .withColumn("lex_rank", row_number().over(
+          Window.orderBy(col("tf_total").desc, col("doc_id").asc)))
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val vec = emb.crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          Similarity.cosine(col("v"), col("qv")).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id").asc).limit(100)
+        .withColumn("vec_rank", row_number().over(
+          Window.orderBy(col("cos").desc, col("doc_id").asc)))
+      lex.select("doc_id", "lex_rank")
+        .join(vec.select("doc_id", "vec_rank"), Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+        .orderBy(col("rrf").desc, col("doc_id").asc).limit(15)
+        .select("doc_id", "lex_rank", "vec_rank", "rrf")
     })
   )
 
@@ -223,6 +260,33 @@ object SimilarityQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "s_rrf_hybrid" ->
+      """WITH lex0 AS (SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x = 'spark')) +
+        |    len(list_filter(string_split(text, ' '), x -> x = 'vector')) +
+        |    len(list_filter(string_split(text, ' '), x -> x = 'stream'))
+        |      AS tf_total
+        |  FROM documents),
+        |lex AS (SELECT doc_id, row_number() OVER (
+        |    ORDER BY tf_total DESC, doc_id ASC) AS lex_rank
+        |  FROM (SELECT * FROM lex0
+        |        ORDER BY tf_total DESC, doc_id ASC LIMIT 100)),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |vec0 AS (SELECT vec_id AS doc_id,
+        |    list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) AS cos
+        |  FROM embeddings CROSS JOIN q),
+        |vec AS (SELECT doc_id, row_number() OVER (
+        |    ORDER BY cos DESC, doc_id ASC) AS vec_rank
+        |  FROM (SELECT * FROM vec0 ORDER BY cos DESC, doc_id ASC LIMIT 100)),
+        |f AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+        |    lex_rank, vec_rank
+        |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+        |SELECT doc_id, lex_rank, vec_rank,
+        |  COALESCE(CAST(1 AS DOUBLE) / (60 + lex_rank), 0.0) +
+        |  COALESCE(CAST(1 AS DOUBLE) / (60 + vec_rank), 0.0) AS rrf
+        |FROM f ORDER BY rrf DESC, doc_id ASC LIMIT 15""".stripMargin,
+
     "s_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
          |  FROM embeddings WHERE vec_id < 20),

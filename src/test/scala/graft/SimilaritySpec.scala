@@ -11,6 +11,20 @@ class SimilaritySpec extends SparkSpec {
     rows.toSeq.toDF("vec_id", "embedding")
   }
 
+  test("s_rrf_hybrid: fused score matches rank formula, descending order") {
+    val rows = graft.queries.SimilarityQueries.queries("s_rrf_hybrid")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === 15)
+    def rrfOf(r: org.apache.spark.sql.Row): Double = {
+      def part(i: Int) =
+        if (r.isNullAt(i)) 0.0 else 1.0 / (60 + r.getInt(i))
+      part(1) + part(2)
+    }
+    rows.foreach(r => assert(r.getDouble(3) === rrfOf(r)))
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
   test("cosine: orthogonal 0, parallel 1, antiparallel -1") {
     val df = vecs(
       (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
