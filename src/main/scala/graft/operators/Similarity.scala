@@ -363,6 +363,51 @@ object Similarity {
       .select("q_id", "rank", "n_id", "cos", "cos_sq8")
   }
 
+  /** Matryoshka-style truncated-dimension funnel: approximate cosine
+    * over only the LEADING `mDims` dimensions (the MRL property —
+    * nested prefixes of the embedding are themselves usable
+    * embeddings), keep `k + rerank` candidates per query, then exact
+    * full-dimension rerank. The coarse scan reads mDims/dim of the
+    * bytes the brute-force pass would — the standard first stage when
+    * the full vectors don't fit scan bandwidth — while the funnel
+    * keeps final scores exact for the survivors.
+    *
+    * Same funnel contract as [[sq8TopK]]: `rank`/`cos` are exact for
+    * the reranked set; recall vs brute force is governed by `rerank`.
+    * Requires vectors whose leading `mDims` prefix is non-zero (true
+    * for any trained/normalized embedding).
+    */
+  def matryoshkaTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     mDims: Int, rerank: Int = 4, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("qn"),
+      slice(col(vecCol), 1, mDims).as("qm"))
+      .withColumn("qmn", sqrt(dot(col("qm"), col("qm"))))
+    val trunc = corpus.select(col(idCol).as("n_id"),
+        slice(col(vecCol), 1, mDims).as("nm"))
+      .withColumn("nmn", sqrt(dot(col("nm"), col("nm"))))
+    val approx = trunc
+      .join(broadcast(q.select("q_id", "qm", "qmn")), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("nm"), col("qm")) / (col("nmn") * col("qmn"))).as("cos_m"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_m").desc, col("n_id").asc)
+    val cand = approx.withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= k + rerank).drop("crank")
+    val exact = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nn"))
+    val rescored = cand
+      .join(exact, "n_id")
+      .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))), "q_id")
+      .select(col("q_id"), col("n_id"), col("cos_m"),
+        cosPre(col("qv"), col("nv"), col("qn"), col("nn")).as("cos"))
+    val w2 = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    rescored.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cos", "cos_m")
+  }
+
   /** Deterministic ±1 projection matrix for [[randomProjection]]: k
     * rows × dim, from a seeded LCG (java.util.Random spec — stable
     * across platforms). Exposed so callers (and the SQL oracle) can

@@ -132,6 +132,19 @@ object SimilarityQueries {
           round(col("cos_sq8"), 4).as("cos_sq8"))
     }),
 
+    // ---- Matryoshka truncation funnel: coarse cosine on the leading
+    //      16 of 64 dims (¼ the scan bytes), exact full-dim rerank of
+    //      the k+rerank survivors ----
+    "s_ann_matryoshka" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Similarity.matryoshkaTopK(e.filter(col("vec_id") < 20), e,
+          k = 3, mDims = 16, rerank = 4)
+        .select(col("q_id"), col("rank"), col("n_id"),
+          round(col("cos"), 4).as("cos"),
+          round(col("cos_m"), 4).as("cos_m"))
+    }),
+
     // ---- SemDeDup-style semantic dedup: sign-LSH buckets → exact
     //      bucket centroid (ordered fold) → keep the centroid-closest
     //      member. O(members) per bucket, never member×member ----
@@ -286,6 +299,29 @@ object SimilarityQueries {
         |  COALESCE(CAST(1 AS DOUBLE) / (60 + lex_rank), 0.0) +
         |  COALESCE(CAST(1 AS DOUBLE) / (60 + vec_rank), 0.0) AS rrf
         |FROM f ORDER BY rrf DESC, doc_id ASC LIMIT 15""".stripMargin,
+
+    "s_ann_matryoshka" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv, v[1:16] AS qm
+        |  FROM e WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS n_id, v AS nv, v[1:16] AS nm FROM e),
+        |a AS (SELECT q_id, n_id, list_cosine_similarity(nm, qm) AS cos_m
+        |  FROM c CROSS JOIN q WHERE q_id <> n_id),
+        |cand AS (SELECT q_id, n_id, cos_m, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos_m DESC, n_id ASC) AS crank
+        |  FROM a),
+        |r AS (SELECT cand.q_id, cand.n_id, cand.cos_m,
+        |    list_cosine_similarity(c.nv, q2.qv) AS cos
+        |  FROM cand JOIN c ON cand.n_id = c.n_id
+        |    JOIN q q2 ON cand.q_id = q2.q_id
+        |  WHERE crank <= 7),
+        |rr AS (SELECT q_id, n_id, cos_m, cos, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+        |  FROM r)
+        |SELECT q_id, rank, n_id, ROUND(cos, 4) AS cos,
+        |  ROUND(cos_m, 4) AS cos_m
+        |FROM rr WHERE rank <= 3""".stripMargin,
 
     "s_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

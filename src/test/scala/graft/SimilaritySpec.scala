@@ -182,6 +182,20 @@ class SimilaritySpec extends SparkSpec {
     assert(errs.forall(_ < 0.02), errs.toSeq)
   }
 
+  test("matryoshkaTopK: full rerank budget restores the exact top-k; exact cos emitted") {
+    val df = vecs(
+      (1L, Seq(1.0, 0.02, -0.3, 0.4)), (2L, Seq(0.95, 0.05, -0.28, 0.41)),
+      (3L, Seq(0.1, 0.99, 0.4, -0.2)), (4L, Seq(-0.7, 0.2, 0.6, 0.3)),
+      (5L, Seq(0.9, -0.1, -0.4, 0.1)), (6L, Seq(0.0, -1.0, 0.2, -0.6)))
+    val q = df.filter(col("vec_id") === 1)
+    val exact = Similarity.cosineTopK(q, df, k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    // rerank budget = whole corpus ⇒ recall 1 regardless of truncation
+    val mat = Similarity.matryoshkaTopK(q, df, k = 3, mDims = 2, rerank = 5)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(mat === exact)
+  }
+
   test("mmrRerank skips the near-duplicate of an already-selected hit") {
     // 2 ≈ 3 (near-identical, both highly relevant to 1); 4 is less
     // relevant but diverse; 5 is irrelevant
