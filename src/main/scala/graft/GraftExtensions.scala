@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.jpegFunction)
     ext.injectFunction(GraftExtensions.jsonKeyFunction)
     ext.injectFunction(GraftExtensions.simhashFunction)
+    ext.injectFunction(GraftExtensions.mp4Function)
   }
 }
 
@@ -94,8 +95,18 @@ object GraftExtensions {
       graft.expressions.SimHash64(args(0))
     })
 
+  /** graft_mp4_meta(binary) → struct(timescale, duration, version). */
+  private val mp4Function = (
+    FunctionIdentifier("graft_mp4_meta"),
+    new ExpressionInfo(classOf[graft.expressions.Mp4Meta].getName,
+      "graft_mp4_meta"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "graft_mp4_meta(binary) takes 1 argument")
+      graft.expressions.Mp4Meta(args(0))
+    })
+
   private val all = Seq(dotFunction, cosineFunction, jpegFunction,
-    jsonKeyFunction, simhashFunction)
+    jsonKeyFunction, simhashFunction, mp4Function)
 
   /** Session-scoped registration for an existing session. */
   def register(spark: SparkSession): Unit =

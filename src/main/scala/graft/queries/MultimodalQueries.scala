@@ -60,6 +60,29 @@ object MultimodalQueries {
           sr.as("sample_rate"), bits.as("bits"))
     }),
 
+    // ---- REAL MP4/ISO-BMFF parsing via the native Mp4Meta
+    //      expression: box walk over ftyp → moov → mvhd(v0), read
+    //      timescale + duration; fixture generated from doc_id and
+    //      recovered through the probe (round-trip oracle) ----
+    "m_mp4_meta" -> ((s, dir) => {
+      val timescale = (col("doc_id") % 48000 + 600).cast("int")
+      val duration = (col("doc_id") * 7919 % 1000000).cast("int")
+      def be4(v: org.apache.spark.sql.Column) = lpad(hex(v), 8, "0")
+      val mp4 = unhex(concat(
+        lit("00000010" + "66747970" + "69736F6D" + "00000000"), // ftyp isom
+        lit("00000024" + "6D6F6F76"),                           // moov (36)
+        lit("0000001C" + "6D766864" + "00000000"),              // mvhd v0
+        lit("00000000" + "00000000"),                           // ctime mtime
+        be4(timescale), be4(duration)))
+      val meta = graft.expressions.MediaExprs.mp4Meta(col("content"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), mp4.as("content"))
+        .select(col("doc_id"),
+          meta.getField("timescale").as("timescale"),
+          meta.getField("duration").as("duration"),
+          meta.getField("version").as("version"))
+    }),
+
     // ---- REAL JPEG parsing via the native JpegDims expression: walk
     //      the segment chain (APP0 skipped by its length word) to the
     //      SOF marker, read the dimension words; the oracle asserts the
@@ -200,6 +223,13 @@ object MultimodalQueries {
       """SELECT doc_id AS id, b AS frame_idx,
         | md5(text) || ':' || CAST(b AS VARCHAR) AS frame_key
         |FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS b)""".stripMargin,
+
+    "m_mp4_meta" ->
+      """SELECT doc_id,
+        | CAST(doc_id % 48000 + 600 AS INT) AS timescale,
+        | CAST(doc_id * 7919 % 1000000 AS BIGINT) AS duration,
+        | 0 AS version
+        |FROM documents""".stripMargin,
 
     "m_wav_meta" ->
       """SELECT doc_id, true AS is_wav,

@@ -31,6 +31,38 @@ class MultimodalSpec extends SparkSpec {
     assert(got(4L) === ((None, None)))
   }
 
+  test("mp4Meta: box walk to mvhd, v0 and v1; junk and truncation yield null") {
+    import spark.implicits._
+    val ftyp = "00000010" + "66747970" + "69736F6D" + "00000000"
+    // v0: timescale 0x00015F90 = 90000, duration 0x000186A0 = 100000
+    val v0 = ftyp + "00000024" + "6D6F6F76" +
+      "0000001C" + "6D766864" + "00000000" +
+      "00000000" + "00000000" + "00015F90" + "000186A0"
+    // v1: 64-bit times; timescale 1000, duration 0x1_00000001 (> 32 bit)
+    val v1 = ftyp + "00000030" + "6D6F6F76" +
+      "00000028" + "6D766864" + "01000000" +
+      "0000000000000000" + "0000000000000000" +
+      "000003E8" + "0000000100000001"
+    val df = Seq(
+      (1L, v0),
+      (2L, v1),
+      (3L, "89504E470D0A1A0A"),                    // PNG magic — not BMFF
+      (4L, ftyp + "00000024" + "6D6F6F76" + "0000001C" + "6D766864"), // cut mvhd
+      (5L, ftyp)                                   // no moov at all
+    ).toDF("id", "hexs").select(col("id"), unhex(col("hexs")).as("content"))
+    val m = graft.expressions.MediaExprs.mp4Meta(col("content"))
+    val got = df.select(col("id"), m.getField("timescale").as("ts"),
+        m.getField("duration").as("dur"), m.getField("version").as("v"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getAs[Integer]("ts")), Option(r.getAs[java.lang.Long]("dur")),
+          Option(r.getAs[Integer]("v")))).toMap
+    assert(got(1L) === ((Some(90000), Some(100000L), Some(0))))
+    assert(got(2L) === ((Some(1000), Some(4294967297L), Some(1))))
+    assert(got(3L) === ((None, None, None)))
+    assert(got(4L) === ((None, None, None)))
+    assert(got(5L) === ((None, None, None)))
+  }
+
   test("pngDims: parses IHDR dims; non-PNG bytes yield nulls") {
     import spark.implicits._
     // width 300 (0x12C), height 200 (0xC8) — real big-endian IHDR words
