@@ -49,7 +49,10 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    def fmt(v: Double) = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale (de_DE…) would turn
+    // every value into invalid JSON
+    def fmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
@@ -82,7 +85,12 @@ object Bench {
     val byName = results.map { case (k, v, _) => k -> v }.toMap
     val hqs = headline.flatMap(h => byName.get(h).map(v => "\"" + h + "\":" + fmt(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hqs,"failed":$failed,"n_queries":${results.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    // failed list capped: a systemic failure (bad sfDir) would otherwise
+    // push this line past the 2000-char tail exactly when it matters
+    val failedNames = results.collect { case (k, _, false) => k }
+    val failedCompact = failedNames.take(5).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hqs,"n_failed":${failedNames.size},"failed_sample":$failedCompact,"n_queries":${results.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

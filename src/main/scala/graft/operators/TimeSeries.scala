@@ -79,7 +79,11 @@ object TimeSeries {
       .rowsBetween(-lookback, -1)
     binned.select(keys.map(col) ++ Seq(col(binCol), col(nCol),
         sum(col(nCol)).over(w).as("__s"),
-        sum(col(nCol) * col(nCol)).over(w).as("__ss"),
+        // n² in DECIMAL: a long product wraps (ANSI: throws) once a bin
+        // exceeds ~3e9 rows — decimal keeps the sum exact, and the
+        // decimal→double cast below rounds identically to long→double
+        sum((col(nCol).cast("decimal(19,0)") * col(nCol)))
+          .over(w).as("__ss"),
         count(col(nCol)).over(w).as("__c")): _*)
       .filter(col("__c") === lookback)
       .withColumn("__mean", col("__s").cast("double") / col("__c"))

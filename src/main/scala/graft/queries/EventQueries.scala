@@ -352,9 +352,18 @@ object EventQueries {
     //      revenue sums in exact DECIMAL before the double cast ----
     "e_attribution" -> ((s, dir) => {
       val ev = t(s, dir, "events")
+      // AsOf requires (keys, ts) unique on the right; a view and a
+      // click at the same instant would otherwise make the credited
+      // touch nondeterministic — keep the max-event_id row per (user,
+      // ts), the same tie-break the oracle applies
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("user_id", "ts")
+            .orderBy(col("event_id").desc)))
+        .filter(col("__rn") === 1).drop("__rn")
       graft.operators.AsOf.asOfJoin(
           ev.filter(col("event_type") === "purchase"),
-          ev.filter(col("event_type").isin("view", "click")),
+          touches,
           keys = Seq("user_id"), tsCol = "ts",
           leftCols = Seq("event_id", "value"),
           rightCols = Seq("event_id", "event_type", "ts"))
@@ -618,7 +627,10 @@ object EventQueries {
         |  FROM events WHERE event_type = 'purchase'),
         |r AS (SELECT user_id, ts, 0 AS side, CAST(NULL AS DOUBLE) AS "value",
         |    struct_pack(etype := event_type, rts := ts) AS m
-        |  FROM events WHERE event_type IN ('view', 'click')),
+        |  FROM (SELECT user_id, ts, event_type, row_number() OVER (
+        |      PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type IN ('view', 'click'))
+        |  WHERE rn = 1),
         |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
         |w AS (SELECT user_id, ts, side, "value",
         |    last_value(m IGNORE NULLS) OVER w AS mm

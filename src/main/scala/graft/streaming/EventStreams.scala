@@ -190,6 +190,69 @@ object EventStreams {
       }
   }
 
+  final case class TouchState(touchTs: Long, touchType: String,
+                              lastTs: Long, lastSide: Int, lastId: Long)
+  final case class AttributionOut(event_id: Long, user_id: Long,
+                                  ts: Timestamp, value: Double,
+                                  touch: String)
+
+  /** Streaming last-touch attribution — the incremental form of batch
+    * `e_attribution`, and the streaming as-of join Spark has no native
+    * operator for: per-user state caches the latest view/click (one
+    * 4-field record — no history), and each purchase is credited on
+    * arrival from that cache, `'none'` when the cache is empty or
+    * older than `lookbackSeconds`.
+    *
+    * Same in-order contract as [[emaStream]]: rows are re-sorted by
+    * (ts, event_id) within a micro-batch, and rows at or before the
+    * last folded position are dropped, never re-folded — an as-of
+    * match is order-sensitive, and append-mode emissions are final.
+    */
+  def attributionStream(events: Dataset[Ev],
+                        lookbackSeconds: Long = 7L * 24 * 3600)
+      : Dataset[AttributionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "purchase" ||
+        e.event_type == "view" || e.event_type == "click")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, AttributionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[TouchState]) =>
+          // sort mirrors the batch as-of tie rule: at one instant the
+          // touch (side 0) folds BEFORE the purchase (side 1), so a
+          // same-timestamp touch is visible to that purchase
+          def side(e: Ev): Int = if (e.event_type == "purchase") 1 else 0
+          val sorted = rows.toSeq
+            .sortBy(e => (e.ts.getTime, side(e), e.event_id))
+          var cur = state.getOption.getOrElse(
+            TouchState(Long.MinValue, "", Long.MinValue, Int.MinValue,
+              Long.MinValue))
+          val out = Seq.newBuilder[AttributionOut]
+          sorted.foreach { e =>
+            val ord = (e.ts.getTime, side(e), e.event_id)
+            val inOrder =
+              Ordering[(Long, Int, Long)].gt(ord,
+                (cur.lastTs, cur.lastSide, cur.lastId))
+            if (inOrder) {
+              if (e.event_type == "purchase") {
+                val credited = cur.touchTs != Long.MinValue &&
+                  cur.touchTs >= e.ts.getTime - lookbackSeconds * 1000L
+                out += AttributionOut(e.event_id, userId, e.ts, e.value,
+                  if (credited) cur.touchType else "none")
+                cur = cur.copy(lastTs = e.ts.getTime, lastSide = 1,
+                  lastId = e.event_id)
+              } else {
+                cur = TouchState(e.ts.getTime, e.event_type,
+                  e.ts.getTime, 0, e.event_id)
+              }
+            }
+          }
+          state.update(cur)
+          out.result().iterator
+      }
+  }
+
   final case class HourCount(hour: Long, n: Long)
   final case class TsAnomState(hours: Seq[HourCount], emittedUpTo: Long)
   final case class TsAnomOut(event_type: String, hour_start: Timestamp,
@@ -241,7 +304,10 @@ object EventStreams {
               if (i >= lookback) {
                 val preds = merged.slice(i - lookback, i)
                 val s = preds.map(_.n).sum
-                val ss = preds.map(p => p.n * p.n).sum
+                // BigInt squares: mirrors the batch operator's DECIMAL
+                // n² (no long wrap); BigInt→double and decimal→double
+                // both round to nearest, so bit-equality holds
+                val ss = preds.map(p => BigInt(p.n) * BigInt(p.n)).sum
                 val c = lookback.toLong
                 val mean = s.toDouble / c
                 val variance =

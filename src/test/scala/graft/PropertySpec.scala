@@ -205,4 +205,27 @@ class PropertySpec extends SparkSpec {
         s"user $u: exactly the last interval must be open")
     }
   }
+
+  test("prefix-filtered Jaccard == exact inverted index on random corpora") {
+    import spark.implicits._
+    // small alphabet forces heavy shingle sharing (the prefix filter's
+    // hard case: many candidates, many ties in the global df order)
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")
+    val doc = Gen.listOfN(12, word).map(_.mkString(" "))
+    (1L to 5L).foreach { s =>
+      val docs = sample(Gen.listOfN(30, doc), 400 + s)
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e12))).toSet
+      Seq(0.3, 0.5, 0.8).foreach { t =>
+        val exact = canon(graft.operators.Dedup.jaccardPairs(
+          df, "doc_id", "text", n = 3, threshold = t, dfCap = None))
+        val prefix = canon(graft.operators.Dedup.jaccardPairsPrefix(
+          df, "doc_id", "text", n = 3, threshold = t))
+        assert(prefix === exact, s"seed $s threshold $t")
+      }
+    }
+  }
 }

@@ -209,6 +209,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming attribution: latest-touch cache, lookback, cross-batch state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    def ev(id: Long, user: Long, t: String, typ: String, v: Double = 0.0) =
+      EventStreams.Ev(id, Timestamp.valueOf(t), user, typ, v)
+    // batch 1: u1 purchase before any touch (none), then view + click →
+    //          the later click wins; u2 gets a touch only
+    mem.addData(
+      ev(1, 1L, "2024-01-10 09:00:00", "purchase", 5.0),
+      ev(2, 1L, "2024-01-10 10:00:00", "view"),
+      ev(3, 1L, "2024-01-10 10:30:00", "click"),
+      ev(4, 2L, "2024-01-01 08:00:00", "view"))
+    // batch 2: u1 purchase credits the click from batch 1 (state
+    //          carried); u2's purchase is 9 days after its view →
+    //          outside the 7-day lookback; u1 same-instant view+purchase
+    //          → the view at the purchase's own timestamp counts
+    mem.addData(
+      ev(5, 1L, "2024-01-10 11:00:00", "purchase", 7.0),
+      ev(6, 2L, "2024-01-10 08:00:00", "purchase", 11.0),
+      ev(7, 1L, "2024-01-10 12:00:00", "view"),
+      ev(8, 1L, "2024-01-10 12:00:00", "purchase", 13.0))
+    val q = EventStreams.attributionStream(mem.toDS())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    val got = spark.sql("SELECT event_id, touch FROM attrib").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "none", 5L -> "click", 6L -> "none",
+      8L -> "view"))
+  }
+
   test("streaming trailing-z anomaly is bit-equal to batch TimeSeries.trailingZ") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
