@@ -232,4 +232,30 @@ class PlanSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("round-4 session shapes: shuffle-free chunking, cartesian-free candidates") {
+    // chunking is pure per-row HOFs — NO exchange anywhere in the plan
+    val chunk = planOf("t_chunk_overlap")
+    assert(!chunk.contains("Exchange"), chunk)
+
+    // prefix-filtered Jaccard: candidates via equi-joins only
+    val prefix = planOf("d_jaccard_prefix")
+    assert(!prefix.contains("CartesianProduct"))
+
+    // RRF: both retrievers end in distributed TakeOrdered before any
+    // rank window; the one nested-loop join is the broadcast 1-row
+    // query vector, never a cartesian
+    val rrf = planOf("s_rrf_hybrid")
+    assert(rrf.contains("TakeOrderedAndProject"))
+    assert(!rrf.contains("CartesianProduct"))
+
+    // matryoshka funnel: query side broadcast in both stages
+    val mat = planOf("s_ann_matryoshka")
+    assert(mat.contains("Broadcast"))
+    assert(!mat.contains("CartesianProduct"))
+
+    // MP4 probe is a map-side projection — no exchange
+    val mp4 = planOf("m_mp4_meta")
+    assert(!mp4.contains("Exchange"), mp4)
+  }
 }
