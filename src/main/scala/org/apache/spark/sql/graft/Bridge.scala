@@ -12,4 +12,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Drain the async listener bus so stage metrics registered by a
+    * just-finished action are visible (`listenerBus` is
+    * private[spark]). */
+  def drainListenerBus(sc: org.apache.spark.SparkContext,
+                       timeoutMillis: Long): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMillis)
 }
