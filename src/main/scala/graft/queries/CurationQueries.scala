@@ -64,6 +64,23 @@ object CurationQueries {
         .select(col("doc_id"), col("pos").as("chunk_idx"),
           array_join(col("col"), " ").as("chunk_text"),
           size(col("col")).as("n_chunk_tokens"))
+    }),
+
+    // ---- file provenance: per-source-file row accounting from the
+    //      hidden `_metadata` column — the audit primitive behind
+    //      takedown sweeps and ingest reconciliation ("which file did
+    //      this row come from, and did every file land whole"). Pure
+    //      metadata projection + one map-combinable agg; at 100 TB
+    //      this is the same scan the query would do anyway, with a
+    //      constant-width column attached per row ----
+    "o_file_provenance" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          element_at(split(col("_metadata.file_path"), "/"), -1)
+            .as("file_name"))
+        .groupBy("file_name")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
     })
   )
 
@@ -91,6 +108,14 @@ object CurationQueries {
          |SELECT doc_id, CAST(s // 24 AS INTEGER) AS chunk_idx,
          |  array_to_string(tk[s+1:s+32], ' ') AS chunk_text,
          |  len(tk[s+1:s+32]) AS n_chunk_tokens
-         |FROM st""".stripMargin
+         |FROM st""".stripMargin,
+
+    // the driver reads {sfDir}/documents.parquet, so the only legal
+    // basename is the literal — the gate checks the engine's metadata
+    // extraction and the per-file accounting against it
+    "o_file_provenance" ->
+      """SELECT 'documents.parquet' AS file_name, count(*) AS n_rows,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents""".stripMargin
   )
 }
