@@ -346,6 +346,34 @@ object EventQueries {
         binCol = "hour", nCol = "n", lookback = 24, zCut = 3.0)
     }),
 
+    // ---- per-type linear trend: OLS slope/intercept of hourly event
+    //      counts vs hours-since-start, from exact integer sums
+    //      (Σx, Σy, Σxy, Σx² are BIGINT-exact; the closed form is then
+    //      pure IEEE doubles — bit-reproducible, no rounding). Two
+    //      map-combinable aggregations + one broadcast scalar; the
+    //      regression state per type is 5 numbers at any volume ----
+    "e_linear_trend" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("CAST(ts AS LONG) div 3600").as("hb"))
+        .agg(count(lit(1)).as("y"))
+      val minh = hourly.agg(min("hb").as("h0"))
+      val st = hourly.crossJoin(broadcast(minh))
+        .withColumn("x", col("hb") - col("h0"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+      st.withColumn("slope",
+          (col("n").cast("double") * col("sxy") -
+            col("sx").cast("double") * col("sy")) /
+          (col("n").cast("double") * col("sxx") -
+            col("sx").cast("double") * col("sx")))
+        .withColumn("intercept",
+          (col("sy").cast("double") - col("slope") * col("sx")) / col("n"))
+        .select("event_type", "n", "slope", "intercept")
+    }),
+
     // ---- last-touch attribution: each purchase credits the user's
     //      most recent view/click within a 7-day lookback (atomic
     //      as-of match — one keyed shuffle, no range cross join);
@@ -620,6 +648,25 @@ object EventQueries {
         |  abs((CAST(n AS DOUBLE) - mean) / sqrt(variance)) > 3
         |    AS is_anomaly
         |FROM v WHERE variance > 0""".stripMargin,
+
+    // identical association: exact BIGINT sums, then the same double
+    // expression tree as the engine
+    "e_linear_trend" ->
+      """WITH hourly AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS hb,
+        |    count(*) AS y FROM events GROUP BY 1, 2),
+        |m AS (SELECT min(hb) AS h0 FROM hourly),
+        |st AS (SELECT event_type, count(*) AS n,
+        |    sum(hb - h0) AS sx, sum(y) AS sy,
+        |    sum((hb - h0) * y) AS sxy, sum((hb - h0) * (hb - h0)) AS sxx
+        |  FROM hourly CROSS JOIN m GROUP BY 1),
+        |sl AS (SELECT event_type, n, sx, sy,
+        |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |    (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope
+        |  FROM st)
+        |SELECT event_type, n, slope,
+        |  (CAST(sy AS DOUBLE) - slope * sx) / n AS intercept
+        |FROM sl""".stripMargin,
 
     "e_attribution" ->
       """WITH l AS (SELECT user_id, ts, 1 AS side, "value",

@@ -56,6 +56,19 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).sum === purchases)
   }
 
+  test("e_linear_trend: one finite fit per event type") {
+    val got = EventQueries.queries("e_linear_trend")(spark, dir).collect()
+    assert(got.length === 5) // one per event type
+    got.foreach { r =>
+      val (slope, icpt) = (r.getDouble(2), r.getDouble(3))
+      assert(!slope.isNaN && !slope.isInfinite)
+      assert(!icpt.isNaN && !icpt.isInfinite)
+      // intercept ≈ typical hourly count (positive); slope near zero
+      // for a stationary synthetic stream
+      assert(icpt > 0.0)
+    }
+  }
+
   test("e_ts_anomaly: full trailing windows only, z finite") {
     val got = EventQueries.queries("e_ts_anomaly")(spark, dir).collect()
     assert(got.nonEmpty)
