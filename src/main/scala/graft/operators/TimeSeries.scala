@@ -96,4 +96,38 @@ object TimeSeries {
       .select(keys.map(col) ++ Seq(col(binCol), col(nCol), col("z"),
         (abs(col("z")) > zCut).as("is_anomaly")): _*)
   }
+
+  /** Per-key OLS trend over an already-binned series: slope/intercept
+    * of `yCol` vs `xCol`, with x rebased to each key's own minimum
+    * (keeps Σx² in long range at any epoch and makes the intercept
+    * "level at the key's first bin"). Σx, Σy, Σxy, Σx² are exact
+    * integer sums; the closed form is then pure IEEE doubles —
+    * bit-reproducible under any partitioning and matched exactly by
+    * the streaming form (`EventStreams.trendStream`).
+    *
+    * Scale: two map-combinable aggregations over one row per
+    * (key, bin) — regression state per key is 5 numbers.
+    */
+  def linearTrend(binned: DataFrame, keys: Seq[String], xCol: String,
+                  yCol: String): DataFrame = {
+    val x0 = binned.groupBy(keys.map(col): _*)
+      .agg(min(col(xCol)).as("__x0"))
+    val st = binned.join(broadcast(x0), keys)
+      .withColumn("__x", col(xCol) - col("__x0"))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum("__x").as("__sx"),
+        sum(col(yCol)).as("__sy"),
+        sum(col("__x") * col(yCol)).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+    st.withColumn("slope",
+        (col("n").cast("double") * col("__sxy") -
+          col("__sx").cast("double") * col("__sy")) /
+        (col("n").cast("double") * col("__sxx") -
+          col("__sx").cast("double") * col("__sx")))
+      .withColumn("intercept",
+        (col("__sy").cast("double") - col("slope") * col("__sx")) /
+          col("n"))
+      .select(keys.map(col) ++
+        Seq(col("n"), col("slope"), col("intercept")): _*)
+  }
 }

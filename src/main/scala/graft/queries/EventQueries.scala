@@ -357,21 +357,8 @@ object EventQueries {
         .groupBy(col("event_type"),
           expr("CAST(ts AS LONG) div 3600").as("hb"))
         .agg(count(lit(1)).as("y"))
-      val minh = hourly.agg(min("hb").as("h0"))
-      val st = hourly.crossJoin(broadcast(minh))
-        .withColumn("x", col("hb") - col("h0"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"))
-      st.withColumn("slope",
-          (col("n").cast("double") * col("sxy") -
-            col("sx").cast("double") * col("sy")) /
-          (col("n").cast("double") * col("sxx") -
-            col("sx").cast("double") * col("sx")))
-        .withColumn("intercept",
-          (col("sy").cast("double") - col("slope") * col("sx")) / col("n"))
-        .select("event_type", "n", "slope", "intercept")
+      graft.operators.TimeSeries.linearTrend(hourly,
+        keys = Seq("event_type"), xCol = "hb", yCol = "y")
     }),
 
     // ---- last-touch attribution: each purchase credits the user's
@@ -655,11 +642,12 @@ object EventQueries {
       """WITH hourly AS (SELECT event_type,
         |    epoch_us(ts) // 3600000000 AS hb,
         |    count(*) AS y FROM events GROUP BY 1, 2),
-        |m AS (SELECT min(hb) AS h0 FROM hourly),
-        |st AS (SELECT event_type, count(*) AS n,
+        |m AS (SELECT event_type, min(hb) AS h0 FROM hourly GROUP BY 1),
+        |st AS (SELECT hourly.event_type, count(*) AS n,
         |    sum(hb - h0) AS sx, sum(y) AS sy,
         |    sum((hb - h0) * y) AS sxy, sum((hb - h0) * (hb - h0)) AS sxx
-        |  FROM hourly CROSS JOIN m GROUP BY 1),
+        |  FROM hourly JOIN m ON hourly.event_type = m.event_type
+        |  GROUP BY 1),
         |sl AS (SELECT event_type, n, sx, sy,
         |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
         |    (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope

@@ -253,6 +253,58 @@ object EventStreams {
       }
   }
 
+  final case class TrendState(x0: Long, n: Long, sx: Long, sy: Long,
+                              sxy: Long, sxx: Long, seen: Seq[Long])
+  final case class TrendOut(event_type: String, n: Long, slope: Double,
+                            intercept: Double)
+
+  /** Streaming per-type OLS trend — the incremental form of
+    * `TimeSeries.linearTrend` over hourly counts. State per type is
+    * the five regression sums plus the set of observed hours
+    * (time-horizon-bounded, volume-independent); each event updates
+    * the sums in O(1) integer arithmetic, and an out-of-order hour
+    * BELOW the current origin rebases the sums algebraically instead
+    * of reprocessing (shift x by δ: Σx += n·δ, Σx² += 2δ·Σx + n·δ²,
+    * Σxy += δ·Σy). Because every update is exact integer addition,
+    * the emitted fit is bit-equal to the batch operator over the same
+    * events regardless of batch boundaries or arrival order — the
+    * spec asserts this including a rebasing batch.
+    */
+  def trendStream(events: Dataset[Ev]): Dataset[TrendOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[TrendState, TrendOut](GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[Ev], state: GroupState[TrendState]) =>
+          var st = state.getOption.getOrElse(
+            TrendState(Long.MaxValue, 0L, 0L, 0L, 0L, 0L, Nil))
+          var seen = st.seen.toSet
+          var (x0, n, sx, sy, sxy, sxx) =
+            (st.x0, st.n, st.sx, st.sy, st.sxy, st.sxx)
+          rows.foreach { e =>
+            val h = e.ts.getTime / 3600000L
+            if (h < x0) {
+              if (n > 0L) {
+                val d = x0 - h
+                sxx += 2L * d * sx + n * d * d
+                sx += n * d
+                sxy += d * sy
+              }
+              x0 = h
+            }
+            val x = h - x0
+            if (!seen(h)) {
+              seen += h; n += 1L; sx += x; sxx += x * x
+            }
+            sy += 1L; sxy += x
+          }
+          state.update(TrendState(x0, n, sx, sy, sxy, sxx, seen.toSeq))
+          val slope = (n.toDouble * sxy - sx.toDouble * sy) /
+            (n.toDouble * sxx - sx.toDouble * sx)
+          TrendOut(etype, n, slope, (sy.toDouble - slope * sx) / n)
+      }
+  }
+
   final case class HourCount(hour: Long, n: Long)
   final case class TsAnomState(hours: Seq[HourCount], emittedUpTo: Long)
   final case class TsAnomOut(event_type: String, hour_start: Timestamp,

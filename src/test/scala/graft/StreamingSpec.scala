@@ -6,7 +6,7 @@ import java.sql.Timestamp
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, count, date_trunc, lit}
+import org.apache.spark.sql.functions.{col, count, date_trunc, expr, lit}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
@@ -207,6 +207,51 @@ class StreamingSpec extends SparkSpec {
       // events); straggler id=4 was ignored, not re-folded
       assert(fin === Seq((2L, 1300000L), (3L, 1810000L)))
     } finally q.stop()
+  }
+
+  test("streaming OLS trend is bit-equal to batch linearTrend, incl. origin rebase") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    def ev(id: Long, t: String, typ: String) =
+      EventStreams.Ev(id, Timestamp.valueOf(t), 1L, typ, 0.0)
+    // batch 1: hours 10..13 with rising counts; batch 2 adds more to
+    // hour 12 AND an out-of-order hour 08 BELOW the origin → rebase
+    val b1 = Seq(
+      ev(1, "2024-01-01 10:05:00", "err"),
+      ev(2, "2024-01-01 11:05:00", "err"), ev(3, "2024-01-01 11:10:00", "err"),
+      ev(4, "2024-01-01 12:05:00", "err"), ev(5, "2024-01-01 12:10:00", "err"),
+      ev(6, "2024-01-01 13:05:00", "err"), ev(7, "2024-01-01 13:30:00", "err"),
+      ev(8, "2024-01-01 13:40:00", "err"))
+    val b2 = Seq(
+      ev(9, "2024-01-01 12:20:00", "err"),
+      ev(10, "2024-01-01 08:30:00", "err")) // below origin → rebase path
+    mem.addData(b1: _*)
+    val q = EventStreams.trendStream(mem.toDS())
+      .writeStream.format("memory").queryName("trend_stream")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // update-mode memory sink: the latest emission has the most hours
+    val streamed = spark.sql(
+        "SELECT n, slope, intercept FROM trend_stream ORDER BY n DESC")
+      .collect().head
+    val hourly = (b1 ++ b2).toDF()
+      .groupBy(col("event_type"),
+        expr("CAST(ts AS LONG) div 3600").as("hb"))
+      .agg(count(lit(1)).as("y"))
+    val batch = graft.operators.TimeSeries.linearTrend(hourly,
+      keys = Seq("event_type"), xCol = "hb", yCol = "y").collect().head
+    assert(streamed.getLong(0) === batch.getLong(1))
+    assert(java.lang.Double.doubleToLongBits(streamed.getDouble(1)) ===
+      java.lang.Double.doubleToLongBits(batch.getDouble(2)))
+    assert(java.lang.Double.doubleToLongBits(streamed.getDouble(2)) ===
+      java.lang.Double.doubleToLongBits(batch.getDouble(3)))
+    // sanity: counts rise ⇒ positive slope
+    assert(batch.getDouble(2) > 0.0)
   }
 
   test("streaming attribution: latest-touch cache, lookback, cross-batch state") {
