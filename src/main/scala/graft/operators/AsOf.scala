@@ -34,18 +34,29 @@ object AsOf {
     *                  at-or-after) — the forward form is the same
     *                  single-shuffle window pass over a descending
     *                  timestamp order
+    * @param toleranceSeconds maximum |left.ts − match.ts| for a match
+    *                  to count (pandas merge_asof tolerance — the
+    *                  feature-staleness bound every training join
+    *                  needs); a match further away degrades to
+    *                  no-match (all-null payload). None = unbounded.
+    *                  Applied per-row AFTER the window pass — no extra
+    *                  shuffle.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, leftCols: Seq[String], rightCols: Seq[String],
                prefix: String = "m_",
-               direction: String = "backward"): DataFrame = {
+               direction: String = "backward",
+               toleranceSeconds: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     val keyCols = keys.map(col)
     // The right payload travels as ONE struct so the as-of match is
     // row-atomic (never a mix of columns from different right rows).
+    // Field 0 is the matched right row's own timestamp (needed for the
+    // tolerance check); payload fields follow.
     val matchType = org.apache.spark.sql.types.StructType(
-      rightCols.map(c => right.schema(c)))
+      org.apache.spark.sql.types.StructField("__mts",
+        right.schema(tsCol).dataType) +: rightCols.map(c => right.schema(c)))
     val l = left.select(
       keyCols ++ Seq(col(tsCol).as("__ts"), lit(1).as("__side")) ++
         leftCols.map(col) :+
@@ -54,7 +65,7 @@ object AsOf {
       keyCols ++ Seq(col(tsCol).as("__ts"), lit(0).as("__side")) ++
         leftCols.map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)) :+
-        struct(rightCols.map(col): _*).as("__m"): _*)
+        struct(col(tsCol).as("__mts") +: rightCols.map(col): _*).as("__m"): _*)
     val tsOrd =
       if (direction == "backward") col("__ts").asc else col("__ts").desc
     val w = Window.partitionBy(keyCols: _*)
@@ -63,9 +74,22 @@ object AsOf {
     val carried = l.union(r).select(
       keyCols ++ Seq(col("__ts"), col("__side")) ++ leftCols.map(col) :+
         last(col("__m"), ignoreNulls = true).over(w).as("__m"): _*)
+    val bounded = toleranceSeconds match {
+      case None => col("__m")
+      case Some(t) =>
+        // by construction the match is at-or-before (backward) /
+        // at-or-after (forward), so one absolute difference covers both
+        val staleness = abs(col("__ts").cast("long") -
+          col("__m").getField("__mts").cast("long"))
+        when(col("__m").isNotNull && staleness <= t, col("__m"))
+          .otherwise(lit(null).cast(matchType))
+    }
     carried.filter(col("__side") === 1)
       .select(
-        keyCols ++ Seq(col("__ts").as(tsCol)) ++ leftCols.map(col) ++
+        keyCols ++ Seq(col("__ts").as(tsCol)) ++ leftCols.map(col) :+
+          bounded.as("__m"): _*)
+      .select(
+        keyCols ++ Seq(col(tsCol)) ++ leftCols.map(col) ++
           rightCols.map(c => col("__m").getField(c).as(prefix + c)): _*)
   }
 }

@@ -70,6 +70,21 @@ class AsOfSpec extends SparkSpec {
     assert(got(11L) === None)
   }
 
+  test("asOfJoin tolerance: stale matches degrade to no-match") {
+    val left = evdf(
+      (10L, "2024-01-01 10:10:00", 0.0), // match 10 min old → kept
+      (11L, "2024-01-01 13:00:00", 0.0)) // match 3 h old → nulled
+    val right = evdf(
+      (1L, "2024-01-01 10:00:00", 1.5))
+    val got = AsOf.asOfJoin(left, right, Seq("user_id"), "ts",
+        leftCols = Seq("event_id"), rightCols = Seq("event_id", "value"),
+        toleranceSeconds = Some(3600L))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("m_event_id"))).toMap
+    assert(got(10L) === Some(1L))
+    assert(got(11L) === None)
+  }
+
   test("rangeJoin: inclusive bounds, bucket straddling, each pair once") {
     // window: [-60s, 0] before each left row; bucket width = 60s —
     // right rows sit at the exact bounds and across a bucket boundary
