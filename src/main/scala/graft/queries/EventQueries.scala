@@ -381,10 +381,9 @@ object EventQueries {
           touches,
           keys = Seq("user_id"), tsCol = "ts",
           leftCols = Seq("event_id", "value"),
-          rightCols = Seq("event_id", "event_type", "ts"))
-        .withColumn("touch",
-          when(col("m_ts") >= col("ts") - expr("INTERVAL 7 DAYS"),
-            col("m_event_type")).otherwise(lit("none")))
+          rightCols = Seq("event_id", "event_type"),
+          toleranceSeconds = Some(7L * 24 * 3600))
+        .withColumn("touch", coalesce(col("m_event_type"), lit("none")))
         .groupBy("touch")
         .agg(count(lit(1)).as("n_conversions"),
           sum(col("value").cast("decimal(18,6)")).cast("double")
@@ -671,7 +670,8 @@ object EventQueries {
         |    last_value(m IGNORE NULLS) OVER w AS mm
         |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, side ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |a AS (SELECT CASE WHEN mm.rts >= ts - INTERVAL 7 DAY
+        |a AS (SELECT CASE WHEN (epoch_us(ts) // 1000000) -
+        |        (epoch_us(mm.rts) // 1000000) <= 604800
         |      THEN mm.etype ELSE 'none' END AS touch, "value"
         |  FROM w WHERE side = 1)
         |SELECT touch, COUNT(*) AS n_conversions,
