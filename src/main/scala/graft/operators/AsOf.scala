@@ -78,10 +78,12 @@ object AsOf {
       case None => col("__m")
       case Some(t) =>
         // by construction the match is at-or-before (backward) /
-        // at-or-after (forward), so one absolute difference covers both
-        val staleness = abs(col("__ts").cast("long") -
-          col("__m").getField("__mts").cast("long"))
-        when(col("__m").isNotNull && staleness <= t, col("__m"))
+        // at-or-after (forward), so one absolute difference covers
+        // both; microsecond-exact (a seconds floor would admit
+        // matches up to ~1s beyond the bound on sub-second data)
+        val staleness = abs(unix_micros(col("__ts")) -
+          unix_micros(col("__m").getField("__mts")))
+        when(col("__m").isNotNull && staleness <= t * 1000000L, col("__m"))
           .otherwise(lit(null).cast(matchType))
     }
     carried.filter(col("__side") === 1)

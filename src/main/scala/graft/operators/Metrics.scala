@@ -54,6 +54,12 @@ object Metrics {
         tasks.addAndGet(ev.stageInfo.numTasks)
       }
     }
+    // drain events still queued from PRIOR actions before registering —
+    // the async bus delivers queued events to listeners present at
+    // dispatch time, so without this a previous query's stages would be
+    // folded into the new measurement
+    org.apache.spark.sql.graft.Bridge.drainListenerBus(
+      spark.sparkContext, 60000L)
     spark.sparkContext.addSparkListener(listener)
     try {
       val result = body

@@ -117,13 +117,19 @@ object TimeSeries {
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"), sum("__x").as("__sx"),
         sum(col(yCol)).as("__sy"),
-        sum(col("__x") * col(yCol)).as("__sxy"),
-        sum(col("__x") * col("__x")).as("__sxx"))
+        // x·y and x² in DECIMAL — long products wrap silently at the
+        // bin volumes the 100 TB posture implies (same hardening as
+        // trailingZ's n² sums)
+        sum(col("__x").cast("decimal(19,0)") * col(yCol)).as("__sxy"),
+        sum(col("__x").cast("decimal(19,0)") * col("__x")).as("__sxx"))
+    // a single-bin key (or an all-equal-x degenerate) has no slope:
+    // emit NULL, not 0/0 NaN
+    val den = col("n").cast("double") * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx")
     st.withColumn("slope",
-        (col("n").cast("double") * col("__sxy") -
-          col("__sx").cast("double") * col("__sy")) /
-        (col("n").cast("double") * col("__sxx") -
-          col("__sx").cast("double") * col("__sx")))
+        when(den =!= 0.0,
+          (col("n").cast("double") * col("__sxy").cast("double") -
+            col("__sx").cast("double") * col("__sy")) / den))
       .withColumn("intercept",
         (col("__sy").cast("double") - col("slope") * col("__sx")) /
           col("n"))

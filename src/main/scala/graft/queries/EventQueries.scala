@@ -648,8 +648,10 @@ object EventQueries {
         |  FROM hourly JOIN m ON hourly.event_type = m.event_type
         |  GROUP BY 1),
         |sl AS (SELECT event_type, n, sx, sy,
-        |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
-        |    (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * sy) /
+        |    NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * sx, 0) AS slope
         |  FROM st)
         |SELECT event_type, n, slope,
         |  (CAST(sy AS DOUBLE) - slope * sx) / n AS intercept
@@ -670,8 +672,8 @@ object EventQueries {
         |    last_value(m IGNORE NULLS) OVER w AS mm
         |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, side ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |a AS (SELECT CASE WHEN (epoch_us(ts) // 1000000) -
-        |        (epoch_us(mm.rts) // 1000000) <= 604800
+        |a AS (SELECT CASE WHEN epoch_us(ts) - epoch_us(mm.rts)
+        |        <= 604800000000
         |      THEN mm.etype ELSE 'none' END AS touch, "value"
         |  FROM w WHERE side = 1)
         |SELECT touch, COUNT(*) AS n_conversions,

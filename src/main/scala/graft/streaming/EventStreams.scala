@@ -212,6 +212,11 @@ object EventStreams {
                         lookbackSeconds: Long = 7L * 24 * 3600)
       : Dataset[AttributionOut] = {
     import events.sparkSession.implicits._
+    // microsecond-exact timestamps (getTime is millis; the batch
+    // tolerance compares unix_micros) so boundary staleness agrees
+    // with the batch as-of join
+    def micros(t: Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
     events
       .filter(e => e.event_type == "purchase" ||
         e.event_type == "view" || e.event_type == "click")
@@ -224,27 +229,27 @@ object EventStreams {
           // same-timestamp touch is visible to that purchase
           def side(e: Ev): Int = if (e.event_type == "purchase") 1 else 0
           val sorted = rows.toSeq
-            .sortBy(e => (e.ts.getTime, side(e), e.event_id))
+            .sortBy(e => (micros(e.ts), side(e), e.event_id))
           var cur = state.getOption.getOrElse(
             TouchState(Long.MinValue, "", Long.MinValue, Int.MinValue,
               Long.MinValue))
           val out = Seq.newBuilder[AttributionOut]
           sorted.foreach { e =>
-            val ord = (e.ts.getTime, side(e), e.event_id)
+            val ord = (micros(e.ts), side(e), e.event_id)
             val inOrder =
               Ordering[(Long, Int, Long)].gt(ord,
                 (cur.lastTs, cur.lastSide, cur.lastId))
             if (inOrder) {
               if (e.event_type == "purchase") {
                 val credited = cur.touchTs != Long.MinValue &&
-                  cur.touchTs >= e.ts.getTime - lookbackSeconds * 1000L
+                  cur.touchTs >= micros(e.ts) - lookbackSeconds * 1000000L
                 out += AttributionOut(e.event_id, userId, e.ts, e.value,
                   if (credited) cur.touchType else "none")
-                cur = cur.copy(lastTs = e.ts.getTime, lastSide = 1,
+                cur = cur.copy(lastTs = micros(e.ts), lastSide = 1,
                   lastId = e.event_id)
               } else {
-                cur = TouchState(e.ts.getTime, e.event_type,
-                  e.ts.getTime, 0, e.event_id)
+                cur = TouchState(micros(e.ts), e.event_type,
+                  micros(e.ts), 0, e.event_id)
               }
             }
           }
@@ -254,54 +259,73 @@ object EventStreams {
   }
 
   final case class TrendState(x0: Long, n: Long, sx: Long, sy: Long,
-                              sxy: Long, sxx: Long, seen: Seq[Long])
-  final case class TrendOut(event_type: String, n: Long, slope: Double,
-                            intercept: Double)
+                              sxy: BigDecimal, sxx: BigDecimal,
+                              seen: Seq[Long])
+  final case class TrendOut(event_type: String, n: Long,
+                            slope: Option[Double],
+                            intercept: Option[Double])
 
   /** Streaming per-type OLS trend — the incremental form of
     * `TimeSeries.linearTrend` over hourly counts. State per type is
-    * the five regression sums plus the set of observed hours
-    * (time-horizon-bounded, volume-independent); each event updates
-    * the sums in O(1) integer arithmetic, and an out-of-order hour
-    * BELOW the current origin rebases the sums algebraically instead
-    * of reprocessing (shift x by δ: Σx += n·δ, Σx² += 2δ·Σx + n·δ²,
-    * Σxy += δ·Σy). Because every update is exact integer addition,
-    * the emitted fit is bit-equal to the batch operator over the same
-    * events regardless of batch boundaries or arrival order — the
-    * spec asserts this including a rebasing batch.
+    * the five regression sums plus the observed hours within the
+    * lateness horizon (`latenessHours` entries at most — events older
+    * than `max seen hour − latenessHours` are dropped, the same
+    * bounded-disorder contract a watermark would impose); each event
+    * updates the sums in O(1) exact arithmetic (Σxy/Σx² in
+    * BigDecimal, mirroring the batch operator's DECIMAL sums), and an
+    * out-of-order hour BELOW the current origin rebases the sums
+    * algebraically instead of reprocessing (shift x by δ: Σx += n·δ,
+    * Σx² += 2δ·Σx + n·δ², Σxy += δ·Σy). Because every update is
+    * exact, the emitted fit is bit-equal to the batch operator over
+    * the same events regardless of batch boundaries or arrival order
+    * — the spec asserts this including a rebasing batch. A single-bin
+    * type has no slope yet: None, not NaN (as in batch).
     */
-  def trendStream(events: Dataset[Ev]): Dataset[TrendOut] = {
+  def trendStream(events: Dataset[Ev],
+                  latenessHours: Int = 8760): Dataset[TrendOut] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.event_type)
       .mapGroupsWithState[TrendState, TrendOut](GroupStateTimeout.NoTimeout) {
         (etype: String, rows: Iterator[Ev], state: GroupState[TrendState]) =>
           var st = state.getOption.getOrElse(
-            TrendState(Long.MaxValue, 0L, 0L, 0L, 0L, 0L, Nil))
+            TrendState(Long.MaxValue, 0L, 0L, 0L, BigDecimal(0),
+              BigDecimal(0), Nil))
           var seen = st.seen.toSet
+          var maxh = if (seen.isEmpty) Long.MinValue else seen.max
           var (x0, n, sx, sy, sxy, sxx) =
             (st.x0, st.n, st.sx, st.sy, st.sxy, st.sxx)
           rows.foreach { e =>
             val h = e.ts.getTime / 3600000L
-            if (h < x0) {
-              if (n > 0L) {
-                val d = x0 - h
-                sxx += 2L * d * sx + n * d * d
-                sx += n * d
-                sxy += d * sy
+            // beyond the lateness horizon ⇒ its `seen` entry may be
+            // evicted; folding it again would double-count — drop
+            if (maxh == Long.MinValue || h >= maxh - latenessHours) {
+              maxh = math.max(maxh, h)
+              if (h < x0) {
+                if (n > 0L) {
+                  val d = BigDecimal(x0 - h)
+                  sxx += d * 2 * BigDecimal(sx) + BigDecimal(n) * d * d
+                  sx += n * (x0 - h)
+                  sxy += d * BigDecimal(sy)
+                }
+                x0 = h
               }
-              x0 = h
+              val x = h - x0
+              if (!seen(h)) {
+                seen += h; n += 1L; sx += x
+                sxx += BigDecimal(x) * BigDecimal(x)
+              }
+              sy += 1L; sxy += BigDecimal(x)
             }
-            val x = h - x0
-            if (!seen(h)) {
-              seen += h; n += 1L; sx += x; sxx += x * x
-            }
-            sy += 1L; sxy += x
           }
-          state.update(TrendState(x0, n, sx, sy, sxy, sxx, seen.toSeq))
-          val slope = (n.toDouble * sxy - sx.toDouble * sy) /
-            (n.toDouble * sxx - sx.toDouble * sx)
-          TrendOut(etype, n, slope, (sy.toDouble - slope * sx) / n)
+          val kept = seen.filter(_ >= maxh - latenessHours)
+          state.update(TrendState(x0, n, sx, sy, sxy, sxx, kept.toSeq))
+          val den = n.toDouble * sxx.toDouble - sx.toDouble * sx
+          val slope =
+            if (den == 0.0) None
+            else Some((n.toDouble * sxy.toDouble - sx.toDouble * sy) / den)
+          TrendOut(etype, n, slope,
+            slope.map(s => (sy.toDouble - s * sx) / n))
       }
   }
 

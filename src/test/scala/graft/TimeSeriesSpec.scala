@@ -93,4 +93,18 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rows.map(_._1) === Seq(15L, 30L, 45L, 60L))
     assert(rows.forall(t => t._2 == 1L && t._3 == 2.0))
   }
+
+  test("linearTrend: single-bin key fits NULL (not NaN); two-bin key exact") {
+    import spark.implicits._
+    val binned = Seq(("a", 10L, 4L), ("b", 10L, 2L), ("b", 11L, 6L))
+      .toDF("k", "x", "y")
+    val got = graft.operators.TimeSeries.linearTrend(binned,
+        keys = Seq("k"), xCol = "x", yCol = "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.getAs[java.lang.Double]("slope")),
+          Option(r.getAs[java.lang.Double]("intercept")))).toMap
+    assert(got("a") === ((1L, None, None)))
+    // b: points (0,2),(1,6) → slope 4, intercept 2
+    assert(got("b") === ((2L, Some(4.0), Some(2.0))))
+  }
 }
