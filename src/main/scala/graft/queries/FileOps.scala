@@ -108,6 +108,33 @@ object FileOps {
     //      pipeline-B move, report counts (the reference's whole job).
     //      SIDE-EFFECTING (real file I/O) — listed in
     //      SparkEntry.sideEffecting so Explain never executes it. ----
+    // ---- O1/O8/O8b/O10 end-to-end through a REAL ;-delimited CSV:
+    //      the manifest is written to disk (distributed CSV write,
+    //      header + null filenames included), read back through
+    //      Manifest.read with the fixed schema, filename-projected
+    //      with null-drop, and prefix-normalized — the oracle
+    //      recomputes the surviving blob paths from orders ----
+    "o1_manifest_scan" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") +
+        "/graft_manifest_" + java.util.UUID.randomUUID().toString.take(8)
+      t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey").cast("string").as("QuoteId"),
+          (col("o_orderkey") * 1000 + 500).as("unixtimestamp"),
+          when(col("o_orderkey") % 50 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("quote_"), col("o_orderkey"),
+              lit(".pdf"))).as("filename"))
+        .write.option("sep", ";").option("header", "true")
+        .mode("overwrite").csv(s"file:$root")
+      val paths = graft.sources.Manifest.blobPaths(
+        graft.sources.Manifest.read(s, s"file:$root"), "raw/")
+      // materialize before deleting the fixture
+      val out = paths.localCheckpoint(true)
+      org.apache.hadoop.fs.FileSystem.getLocal(
+          new org.apache.hadoop.conf.Configuration())
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      out
+    }),
+
     "a_pipeline_move" -> ((s, dir) => {
       // per-run unique root: concurrent sessions never race on the lake,
       // and the directory is deleted once the move has materialized
@@ -167,6 +194,11 @@ object FileOps {
     // the move either fully succeeds (one row) or the gate fails loudly
     "a_pipeline_move" ->
       "SELECT 'success' AS status, CAST(400 AS BIGINT) AS n",
+
+    "o1_manifest_scan" ->
+      """SELECT 'raw/quote_' || o_orderkey || '.pdf' AS path
+        |FROM orders
+        |WHERE o_orderkey < 2000 AND o_orderkey % 50 <> 0""".stripMargin,
 
     "o10_prefix_normalize" ->
       s"""SELECT doc_id,
