@@ -6,6 +6,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.model.LakeFile
 
@@ -163,5 +164,26 @@ object Listing {
         (p, try fs.exists(hp) catch { case _: Exception => false })
       }
     }.toDF(pathCol, "exists")
+  }
+
+  /** Storage rollup over a listing — the `du` of lake operations:
+    * per directory prefix at `depth` path segments, file count, total
+    * bytes, and newest modification time (where is the storage, and
+    * is it still growing). One map-combinable aggregation over
+    * metadata rows — at a billion files this runs against the
+    * persisted file index (`readIndex`), never a live walk.
+    */
+  def storageReport(files: DataFrame, depth: Int,
+                    pathCol: String = "name"): DataFrame = {
+    // segment 0 of an absolute path is the empty string before the
+    // leading slash — slice from 1 so "/a/b/c.txt" at depth 2 → "/a/b"
+    val segs = split(col(pathCol), "/")
+    files
+      .withColumn("prefix",
+        concat_ws("/", slice(segs, 1, depth + 1)))
+      .groupBy("prefix")
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("size")).as("total_bytes"),
+        max(col("last_modified")).as("latest_modified"))
   }
 }

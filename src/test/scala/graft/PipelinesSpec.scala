@@ -35,6 +35,20 @@ class PipelinesSpec extends SparkSpec {
       .filterNot(_.split("/").last.startsWith("."))
       .toSet
 
+  test("storageReport: per-prefix counts, bytes, and newest mtime") {
+    val root = mkLake()
+    write(root, "raw/a/one.json", "12345")
+    write(root, "raw/a/two.json", "123")
+    write(root, "raw/b/three.json", "1234567")
+    val files = graft.sources.Listing.list(spark, root.toString)
+    val rootDepth = root.toString.split("/").count(_.nonEmpty)
+    val got = graft.sources.Listing.storageReport(files.toDF(), rootDepth + 2)
+      .collect()
+      .map(r => r.getString(0).split("/").takeRight(2).mkString("/") ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map("raw/a" -> ((2L, 8L)), "raw/b" -> ((1L, 7L))))
+  }
+
   test("pipeline A: manifest semi/anti join, copy retains source, O11 rewrite") {
     val root = mkLake()
     write(root, "raw/1000_aaa.json", """{"SalesCompanyId":"1"}""")
