@@ -206,6 +206,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("binary probes never throw on arbitrary bytes (fuzz)") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // random payloads 0..64 bytes, plus adversarial prefixes: right
+    // magic with truncated bodies for every format
+    val rnd = new scala.util.Random(42L)
+    val random = (1 to 200).map(_ =>
+      Array.fill(rnd.nextInt(65))(rnd.nextInt(256).toByte))
+    val magics = Seq("89504E47", "474946383961", "424D", "494433",
+      "52494646", "FFD8", "FFD8FFC0", "0000001066747970",
+      "666747970", "000000086D6F6F76")
+      .map(h => h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+    val df = (random ++ magics).zipWithIndex
+      .map { case (b, i) => (i.toLong, b) }.toDF("id", "content")
+    val (isPng, pw, ph) = Multimodal.pngDims(col("content"))
+    val (isGif, gw, gh) = Multimodal.gifDims(col("content"))
+    val (isBmp, bw, bh) = Multimodal.bmpDims(col("content"))
+    val (isId3, ver, tsz) = Multimodal.id3Meta(col("content"))
+    val (isWav, ch, sr, bits) = Multimodal.wavMeta(col("content"))
+    val jpeg = graft.expressions.ImageExprs.jpegDims(col("content"))
+    val mp4 = graft.expressions.MediaExprs.mp4Meta(col("content"))
+    // the only assertion that matters: every probe evaluates every row
+    // without throwing — junk classifies as false/null, never an error
+    val n = df.select(col("id"), isPng, pw, ph, isGif, gw, gh,
+        isBmp, bw, bh, isId3, ver, tsz, isWav, ch, sr, bits,
+        jpeg.getField("width"), mp4.getField("duration"))
+      .collect().length
+    assert(n === random.length + magics.length)
+  }
+
   test("prefix-filtered Jaccard == exact inverted index on random corpora") {
     import spark.implicits._
     // small alphabet forces heavy shingle sharing (the prefix filter's
