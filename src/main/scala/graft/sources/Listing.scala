@@ -167,23 +167,30 @@ object Listing {
   }
 
   /** Storage rollup over a listing — the `du` of lake operations:
-    * per directory prefix at `depth` path segments, file count, total
-    * bytes, and newest modification time (where is the storage, and
-    * is it still growing). One map-combinable aggregation over
+    * per directory prefix at up to `depth` path segments, file count,
+    * total bytes, and newest modification time (where is the storage,
+    * and is it still growing). Paths are ABSOLUTE (as `list`/the
+    * persisted index produce); the filename segment never enters the
+    * prefix, so a file shallower than `depth` rolls into its own
+    * directory and a FILE named like a directory cannot merge into
+    * that directory's group. One map-combinable aggregation over
     * metadata rows — at a billion files this runs against the
     * persisted file index (`readIndex`), never a live walk.
     */
   def storageReport(files: DataFrame, depth: Int,
-                    pathCol: String = "name"): DataFrame = {
+                    pathCol: String = "name", sizeCol: String = "size",
+                    mtimeCol: String = "last_modified"): DataFrame = {
     // segment 0 of an absolute path is the empty string before the
-    // leading slash — slice from 1 so "/a/b/c.txt" at depth 2 → "/a/b"
+    // leading slash — slice from 1, depth+1 segments, but never past
+    // the parent directory (size-1 excludes the filename)
     val segs = split(col(pathCol), "/")
     files
       .withColumn("prefix",
-        concat_ws("/", slice(segs, 1, depth + 1)))
+        concat_ws("/", slice(segs, lit(1),
+          least(lit(depth + 1), size(segs) - 1))))
       .groupBy("prefix")
       .agg(count(lit(1)).as("n_files"),
-        sum(col("size")).as("total_bytes"),
-        max(col("last_modified")).as("latest_modified"))
+        sum(col(sizeCol)).as("total_bytes"),
+        max(col(mtimeCol)).as("latest_modified"))
   }
 }

@@ -47,6 +47,16 @@ class PipelinesSpec extends SparkSpec {
       .map(r => r.getString(0).split("/").takeRight(2).mkString("/") ->
         (r.getLong(1), r.getLong(2))).toMap
     assert(got === Map("raw/a" -> ((2L, 8L)), "raw/b" -> ((1L, 7L))))
+    // a file SHALLOWER than depth rolls into its parent directory —
+    // its filename never becomes a phantom directory group
+    write(root, "raw/shallow.json", "12")
+    val again = graft.sources.Listing.storageReport(
+        graft.sources.Listing.list(spark, root.toString).toDF(),
+        rootDepth + 2)
+      .collect()
+      .map(r => r.getString(0).split("/").last -> r.getLong(1)).toMap
+    assert(again("raw") === 1L)
+    assert(!again.contains("shallow.json"))
   }
 
   test("pipeline A: manifest semi/anti join, copy retains source, O11 rewrite") {

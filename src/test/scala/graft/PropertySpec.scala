@@ -216,7 +216,7 @@ class PropertySpec extends SparkSpec {
       Array.fill(rnd.nextInt(65))(rnd.nextInt(256).toByte))
     val magics = Seq("89504E47", "474946383961", "424D", "494433",
       "52494646", "FFD8", "FFD8FFC0", "0000001066747970",
-      "666747970", "000000086D6F6F76")
+      "66747970", "000000086D6F6F76")
       .map(h => h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
     val df = (random ++ magics).zipWithIndex
       .map { case (b, i) => (i.toLong, b) }.toDF("id", "content")
