@@ -136,6 +136,28 @@ object Listing {
     spark.read.parquet(path).as[LakeFile]
   }
 
+  /** Incremental index maintenance: merge a fresh listing of ONE
+    * prefix into the persisted index — new files insert, changed
+    * files (size or mtime) replace, vanished files under the prefix
+    * drop, and index rows OUTSIDE the prefix pass through untouched.
+    * This is the daily loop that keeps a billion-file index current
+    * by re-walking only the prefixes that churn, never the whole
+    * lake. Returns the merged index (caller persists with
+    * [[writeIndex]] to a new path, then swaps — parquet is immutable).
+    *
+    * Shape: one anti-join (index rows under the prefix not reproduced
+    * by the listing are dropped implicitly by rebuilding that slice
+    * from the listing) plus a union — no shuffle wider than the
+    * prefix slice.
+    */
+  def updateIndex(index: Dataset[LakeFile], fresh: Dataset[LakeFile],
+                  prefix: String): Dataset[LakeFile] = {
+    val p = if (prefix.endsWith("/")) prefix else prefix + "/"
+    // column predicate (codegen'd scan filter), not a typed lambda
+    index.filter(!concat(col("name"), lit("/")).startsWith(p))
+      .union(fresh)
+  }
+
   /** O2+O5: listing WITH file bytes via the binaryFile source. */
   def withContent(spark: SparkSession, prefix: String): DataFrame =
     spark.read.format("binaryFile")

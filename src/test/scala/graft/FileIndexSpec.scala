@@ -34,6 +34,25 @@ class FileIndexSpec extends SparkSpec {
     assert(notFound.collect().map(_.getString(0)).toSeq === Seq("raw/missing.json"))
   }
 
+  test("updateIndex: churned prefix refreshed, other prefixes untouched") {
+    val root = Files.createTempDirectory("graft-index-upd")
+    val raw = root.resolve("raw"); Files.createDirectories(raw)
+    val cold = root.resolve("cold"); Files.createDirectories(cold)
+    Files.writeString(raw.resolve("a.json"), "1234")
+    Files.writeString(raw.resolve("gone.json"), "12")
+    Files.writeString(cold.resolve("keep.json"), "123")
+    val idx0 = Listing.listDistributed(spark, s"file:$root")
+    // churn: one file deleted, one grown, one new — only under raw/
+    Files.delete(raw.resolve("gone.json"))
+    Files.writeString(raw.resolve("a.json"), "123456789")
+    Files.writeString(raw.resolve("new.json"), "12345")
+    val freshRaw = Listing.listDistributed(spark, s"file:$root/raw")
+    val merged = Listing.updateIndex(idx0, freshRaw, s"$root/raw")
+      .collect().map(f => f.name.split("/").last -> f.size).toMap
+    assert(merged === Map(
+      "a.json" -> 9L, "new.json" -> 5L, "keep.json" -> 3L))
+  }
+
   test("corrupt file among good ones: ignoreCorruptFiles reads the rest") {
     // the poison-pill contract at the FILE level (e_corrupt_json covers
     // the record level): one truncated/garbage parquet inside a 100 TB
