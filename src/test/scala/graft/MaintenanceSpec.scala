@@ -182,4 +182,25 @@ class MaintenanceSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === Map(2L -> "changed", 4L -> "removed", 5L -> "added"))
   }
+
+  test("schema evolution: mergeSchema unions columns, old rows null-fill") {
+    // the drift case a long-lived table hits: a writer starts emitting
+    // a new column; existing files must stay readable with the new
+    // column null — no rewrite, no failure
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 30.5)).toDF("id", "s", "score")
+      .write.mode("append").parquet(dir)
+    val all = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(all.columns.sorted.toSeq === Seq("id", "s", "score"))
+    val rows = all.collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Double]("score")))
+      .toMap
+    assert(rows === Map(1L -> None, 2L -> None, 3L -> Some(30.5)))
+    // and WITHOUT mergeSchema the read still succeeds on one footer's
+    // schema — evolution never poisons existing readers
+    assert(spark.read.parquet(dir).count() === 3)
+  }
 }
