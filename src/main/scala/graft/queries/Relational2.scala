@@ -36,6 +36,16 @@ object Relational2 {
       |                  WHERE o2.o_custkey = c_custkey
       |                    AND o2.o_orderstatus = 'P')""".stripMargin
 
+  // latest-per-key window dedup — the most common production dedup
+  // idiom, one text for both engines (decimal price tiebreak is exact)
+  private val latestPerKeySql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+      |  SELECT o_orderkey, o_custkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders) t
+      |WHERE rn = 1""".stripMargin
+
   private val priorities =
     Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
 
@@ -73,6 +83,9 @@ object Relational2 {
     }),
     "sql_exists_in" -> ((s, dir) => {
       Tables.registerAll(s, dir); s.sql(existsInSql)
+    }),
+    "sql_latest_per_key" -> ((s, dir) => {
+      Tables.registerAll(s, dir); s.sql(latestPerKeySql)
     }),
 
     // ---- string function battery ----
@@ -260,6 +273,7 @@ object Relational2 {
 
     "sql_q6_forecast" -> q6Sql,
     "sql_exists_in" -> existsInSql,
+    "sql_latest_per_key" -> latestPerKeySql,
 
     "q_string_funcs" ->
       """SELECT p_partkey,
