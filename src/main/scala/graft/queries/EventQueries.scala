@@ -346,6 +346,29 @@ object EventQueries {
         binCol = "hour", nCol = "n", lookback = 24, zCut = 3.0)
     }),
 
+    // ---- JSON key census: which keys exist in a semi-structured
+    //      column and what fraction of rows carry each — the schema
+    //      discovery report run before committing to a typed extract.
+    //      Keys come from the engine's native JSON parser
+    //      (json_object_keys ↔ DuckDB json_keys); the fixture builds
+    //      variant-keyed objects so coverage genuinely varies ----
+    "e_key_census" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val js = concat(lit("{\"uid\":"), col("user_id"),
+        when(col("event_id") % 2 === 0,
+          concat(lit(",\"eid\":"), col("event_id"))).otherwise(lit("")),
+        when(col("event_id") % 3 === 0,
+          concat(lit(",\"t\":\""), col("event_type"), lit("\"")))
+          .otherwise(lit("")),
+        lit("}"))
+      val keyed = ev.select(explode(json_object_keys(js)).as("key"))
+      val total = ev.agg(count(lit(1)).as("total"))
+      keyed.groupBy("key").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .select(col("key"), col("n"),
+          (col("n").cast("double") / col("total")).as("coverage"))
+    }),
+
     // ---- per-type linear trend: OLS slope/intercept of hourly event
     //      counts vs hours-since-start, from exact integer sums
     //      (Σx, Σy, Σxy, Σx² are BIGINT-exact; the closed form is then
@@ -634,6 +657,20 @@ object EventQueries {
         |  abs((CAST(n AS DOUBLE) - mean) / sqrt(variance)) > 3
         |    AS is_anomaly
         |FROM v WHERE variance > 0""".stripMargin,
+
+    "e_key_census" ->
+      """WITH j AS (SELECT '{"uid":' || user_id ||
+        |    CASE WHEN event_id % 2 = 0 THEN ',"eid":' || event_id
+        |         ELSE '' END ||
+        |    CASE WHEN event_id % 3 = 0 THEN ',"t":"' || event_type || '"'
+        |         ELSE '' END || '}' AS js
+        |  FROM events),
+        |k AS (SELECT unnest(json_keys(js)) AS key FROM j),
+        |tot AS (SELECT count(*) AS total FROM events)
+        |SELECT key, count(*) AS n,
+        |  CAST(count(*) AS DOUBLE) / total AS coverage
+        |FROM k CROSS JOIN tot
+        |GROUP BY key, total""".stripMargin,
 
     // identical association: exact BIGINT sums, then the same double
     // expression tree as the engine
