@@ -40,6 +40,42 @@ object TextQueries {
         Text.qualityScore(col("text"), tok).as("quality"))
     }),
 
+    // ---- per-source quality calibration: percent_rank of the quality
+    //      score WITHIN each source, so thresholds are comparable
+    //      across domains with different score distributions (a 0.9
+    //      forum doc and a 0.9 wiki doc mean different things; their
+    //      within-source ranks don't). One keyed window over the
+    //      map-side score — single shuffle on source ----
+    "t_quality_calibrated" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+      val tok = Text.tokens(col("text"))
+      d.select(col("doc_id"), col("source"),
+          Text.qualityScore(col("text"), tok).as("quality"))
+        .withColumn("pr", percent_rank().over(
+          Window.partitionBy("source").orderBy(col("quality"))))
+    }),
+
+    // ---- cross-split leakage check: identical texts (md5 fingerprint)
+    //      landing in DIFFERENT train/val/test splits — the governance
+    //      gate before any eval is trusted. Fingerprint equi-join (the
+    //      exact-dup join shape), never a cross join; the synthetic
+    //      copies under doc_id+100000 hash into other splits so the
+    //      gate provably fires ----
+    "t_split_leakage" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val base = d.union(
+        d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val sp = graft.operators.Sampling.hashSplit(base, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), md5(col("text")).as("fp"), col("split"))
+      sp.as("a").join(sp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.split") =!= col("b.split"))
+        .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     "t_fingerprint" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val tok = Text.tokens(col("text"))
@@ -658,6 +694,35 @@ object TextQueries {
          |  + 0.3 * least(1.0, CAST(len($tok) AS DOUBLE) / 50.0)
          |  + 0.2 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) AS quality
          |FROM documents""".stripMargin,
+
+    "t_quality_calibrated" ->
+      s"""SELECT doc_id, source,
+         | 0.5 * (CAST(${hits(Text.langMarkers.head._2)} AS DOUBLE) / CAST(len($tok) AS DOUBLE))
+         |  + 0.3 * least(1.0, CAST(len($tok) AS DOUBLE) / 50.0)
+         |  + 0.2 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) AS quality,
+         | percent_rank() OVER (PARTITION BY source ORDER BY
+         |  0.5 * (CAST(${hits(Text.langMarkers.head._2)} AS DOUBLE) / CAST(len($tok) AS DOUBLE))
+         |  + 0.3 * least(1.0, CAST(len($tok) AS DOUBLE) / 50.0)
+         |  + 0.2 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE))) AS pr
+         |FROM documents""".stripMargin,
+
+    "t_split_leakage" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+        |sp AS (SELECT doc_id, md5(text) AS fp, CASE
+        |    WHEN bucket < 205 THEN 'train'
+        |    WHEN bucket < 231 THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, text, (strpos('0123456789abcdef',
+        |          substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |        + strpos('0123456789abcdef',
+        |          substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+        |    FROM base))
+        |SELECT a.split AS split_a, b.split AS split_b,
+        |  count(*) AS n_pairs
+        |FROM sp a JOIN sp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  AND a.split <> b.split
+        |GROUP BY 1, 2""".stripMargin,
 
     "t_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS fp,
