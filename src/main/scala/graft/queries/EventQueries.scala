@@ -358,7 +358,12 @@ object EventQueries {
         when(col("event_id") % 2 === 0,
           concat(lit(",\"eid\":"), col("event_id"))).otherwise(lit("")),
         when(col("event_id") % 3 === 0,
-          concat(lit(",\"t\":\""), col("event_type"), lit("\"")))
+          // strip JSON-breaking characters from the embedded string so
+          // a free-text event_type can never make the object malformed
+          // (Spark would silently null it; the DuckDB oracle would
+          // ERROR — the sanitization keeps both sides total)
+          concat(lit(",\"t\":\""),
+            regexp_replace(col("event_type"), "[\"\\\\]", ""), lit("\"")))
           .otherwise(lit("")),
         lit("}"))
       val keyed = ev.select(explode(json_object_keys(js)).as("key"))
@@ -662,7 +667,8 @@ object EventQueries {
       """WITH j AS (SELECT '{"uid":' || user_id ||
         |    CASE WHEN event_id % 2 = 0 THEN ',"eid":' || event_id
         |         ELSE '' END ||
-        |    CASE WHEN event_id % 3 = 0 THEN ',"t":"' || event_type || '"'
+        |    CASE WHEN event_id % 3 = 0 THEN ',"t":"' ||
+        |           regexp_replace(event_type, '["\\]', '', 'g') || '"'
         |         ELSE '' END || '}' AS js
         |  FROM events),
         |k AS (SELECT unnest(json_keys(js)) AS key FROM j),

@@ -72,7 +72,10 @@ object TextQueries {
       sp.as("a").join(sp.as("b"),
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id") &&
             col("a.split") =!= col("b.split"))
-        .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
+        // canonical pair order: (train,val) and (val,train) are ONE
+        // leakage channel — never fragment its count across two rows
+        .groupBy(least(col("a.split"), col("b.split")).as("split_a"),
+          greatest(col("a.split"), col("b.split")).as("split_b"))
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
@@ -457,6 +460,19 @@ object TextQueries {
 
   // shared SQL fragments (documents.text is single-space-joined lowercase)
   private val tok = "string_split(text, ' ')"
+
+  // Sampling.hashSplit's 256-bucket md5 assignment + the 0.8/0.1/0.1
+  // thresholds, shared by every oracle that reproduces split labels —
+  // ONE copy so engine and oracles can't drift independently
+  private val md5Bucket =
+    """(strpos('0123456789abcdef',
+      |        substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef',
+      |        substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1""".stripMargin
+  private val splitCase =
+    """CASE WHEN bucket < 205 THEN 'train'
+      |     WHEN bucket < 231 THEN 'val'
+      |     ELSE 'test' END""".stripMargin
   private def hits(set: Seq[String]) =
     s"len(list_filter($tok, x -> x IN (${set.map("'" + _ + "'").mkString(",")})))"
   private val scores = Text.langMarkers.map { case (l, m) => l -> hits(m) }
@@ -707,22 +723,17 @@ object TextQueries {
          |FROM documents""".stripMargin,
 
     "t_split_leakage" ->
-      """WITH base AS (SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 100000, text FROM documents),
-        |sp AS (SELECT doc_id, md5(text) AS fp, CASE
-        |    WHEN bucket < 205 THEN 'train'
-        |    WHEN bucket < 231 THEN 'val'
-        |    ELSE 'test' END AS split
-        |  FROM (SELECT doc_id, text, (strpos('0123456789abcdef',
-        |          substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-        |        + strpos('0123456789abcdef',
-        |          substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
-        |    FROM base))
-        |SELECT a.split AS split_a, b.split AS split_b,
-        |  count(*) AS n_pairs
-        |FROM sp a JOIN sp b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |  AND a.split <> b.split
-        |GROUP BY 1, 2""".stripMargin,
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+         |sp AS (SELECT doc_id, md5(text) AS fp, $splitCase AS split
+         |  FROM (SELECT doc_id, text, $md5Bucket AS bucket
+         |    FROM base))
+         |SELECT least(a.split, b.split) AS split_a,
+         |  greatest(a.split, b.split) AS split_b,
+         |  count(*) AS n_pairs
+         |FROM sp a JOIN sp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  AND a.split <> b.split
+         |GROUP BY 1, 2""".stripMargin,
 
     "t_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS fp,
@@ -783,16 +794,9 @@ object TextQueries {
         |FROM documents""".stripMargin,
 
     "t_split_counts" ->
-      """SELECT CASE
-        |   WHEN bucket < 205 THEN 'train'
-        |   WHEN bucket < 231 THEN 'val'
-        |   ELSE 'test' END AS split, COUNT(*) AS n
-        |FROM (SELECT (strpos('0123456789abcdef',
-        |        substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-        |      + strpos('0123456789abcdef',
-        |        substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
-        |  FROM documents)
-        |GROUP BY 1""".stripMargin,
+      s"""SELECT $splitCase AS split, COUNT(*) AS n
+         |FROM (SELECT $md5Bucket AS bucket FROM documents)
+         |GROUP BY 1""".stripMargin,
 
     "t_ngram_freq" ->
       s"""WITH ng AS (SELECT unnest(

@@ -145,15 +145,19 @@ object Listing {
     * lake. Returns the merged index (caller persists with
     * [[writeIndex]] to a new path, then swaps — parquet is immutable).
     *
-    * Shape: one anti-join (index rows under the prefix not reproduced
-    * by the listing are dropped implicitly by rebuilding that slice
-    * from the listing) plus a union — no shuffle wider than the
-    * prefix slice.
+    * Shape: a codegen'd scan filter (keep index rows outside the
+    * prefix) plus a union — no join and no shuffle at all; deletes,
+    * inserts, and updates under the prefix all fall out of rebuilding
+    * that slice from the listing.
     */
   def updateIndex(index: Dataset[LakeFile], fresh: Dataset[LakeFile],
                   prefix: String): Dataset[LakeFile] = {
-    val p = if (prefix.endsWith("/")) prefix else prefix + "/"
-    // column predicate (codegen'd scan filter), not a typed lambda
+    // index names are scheme-stripped paths (toLakeFile uses
+    // getPath.toUri.getPath) — normalize the prefix the same way so
+    // "file:/data/raw" or "s3a://bucket/raw" matches them; without
+    // this the old slice would silently survive the merge
+    val bare = new Path(prefix).toUri.getPath
+    val p = if (bare.endsWith("/")) bare else bare + "/"
     index.filter(!concat(col("name"), lit("/")).startsWith(p))
       .union(fresh)
   }

@@ -47,7 +47,9 @@ class FileIndexSpec extends SparkSpec {
     Files.writeString(raw.resolve("a.json"), "123456789")
     Files.writeString(raw.resolve("new.json"), "12345")
     val freshRaw = Listing.listDistributed(spark, s"file:$root/raw")
-    val merged = Listing.updateIndex(idx0, freshRaw, s"$root/raw")
+    // scheme-qualified prefix — the natural call pattern; updateIndex
+    // must normalize it to the scheme-less names the index stores
+    val merged = Listing.updateIndex(idx0, freshRaw, s"file:$root/raw")
       .collect().map(f => f.name.split("/").last -> f.size).toMap
     assert(merged === Map(
       "a.json" -> 9L, "new.json" -> 5L, "keep.json" -> 3L))
