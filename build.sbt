@@ -12,6 +12,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked stdout must bypass the sbt logger: the bench driver parses the
+// final stdout line as bare JSON, and sbt's default output strategy
+// prefixes every line with "[info] " (and appends its own "[success]
+// Total time" trailer AFTER the program's output), which broke the
+// parse for four rounds. StdoutOutput drops the prefix; showSuccess
+// := false drops the trailer, so the bench's JSON line is genuinely
+// the last line of stdout.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

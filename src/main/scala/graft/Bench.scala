@@ -65,7 +65,16 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop blocks leaked by the queries' lazy localCheckpoints
+      // (outside the timed region): round 4 measured d_lsh_recall at
+      // 21.5 s deep into the sweep vs 2.6 s in isolation — the
+      // accumulated blocks of ~100 earlier queries had pushed the
+      // block manager into eviction thrash. Each query is measured
+      // against a clean cache.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      (name, dt, ok)
     }
     // Locale.ROOT: a comma-decimal default locale (de_DE…) would turn
     // every value into invalid JSON

@@ -26,6 +26,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries that localCheckpoint their synthetic corpora leave
+      // cached blocks behind; 180+ queries of accumulation pushes the
+      // block manager into eviction thrash. Results are already on
+      // disk — drop the leftovers before the next query.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -61,13 +61,21 @@ case class Mp4Meta(child: Expression)
           val csize = u32(j)
           if (csize < 8) return null
           if (boxType(j) == "mvhd") {
-            if (j + 9 > b.length) return null
+            // field reads must stay inside the DECLARED extents (the
+            // mvhd's own csize and the moov's end), not just the
+            // buffer: a truncated mvhd followed by more data would
+            // otherwise "parse" the next box's bytes as timescale /
+            // duration instead of classifying as malformed
+            if (j + 9 > b.length || 9 > csize || j + 9 > end)
+              return null
             u(j + 8) match {
               case 0 => // [ver 1][flags 3][ctime 4][mtime 4][timescale 4][duration 4]
-                if (j + 28 > b.length) return null
+                if (j + 28 > b.length || 28 > csize || j + 28 > end)
+                  return null
                 return InternalRow(u32(j + 20).toInt, u32(j + 24), 0)
               case 1 => // [ver 1][flags 3][ctime 8][mtime 8][timescale 4][duration 8]
-                if (j + 40 > b.length) return null
+                if (j + 40 > b.length || 40 > csize || j + 40 > end)
+                  return null
                 return InternalRow(u32(j + 28).toInt, u64(j + 32), 1)
               case _ => return null
             }

@@ -40,7 +40,11 @@ object AsOf {
     *                  needs); a match further away degrades to
     *                  no-match (all-null payload). None = unbounded.
     *                  Applied per-row AFTER the window pass — no extra
-    *                  shuffle.
+    *                  shuffle. REQUIRES `tsCol` to be TimestampType
+    *                  (the staleness is measured in microseconds via
+    *                  unix_micros); the untolerated join is
+    *                  type-generic (ordering-only) and accepts any
+    *                  orderable ts column.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, leftCols: Seq[String], rightCols: Seq[String],
@@ -49,6 +53,15 @@ object AsOf {
                toleranceSeconds: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
+    require(toleranceSeconds.isEmpty ||
+        left.schema(tsCol).dataType ==
+          org.apache.spark.sql.types.TimestampType,
+      "toleranceSeconds requires a TimestampType ts column (got " +
+        s"${left.schema(tsCol).dataType.simpleString}); convert epoch " +
+        "numerics with timestamp_micros/seconds first or omit tolerance")
+    require(!rightCols.contains("__mts"),
+      "rightCols may not contain the reserved name __mts (it would " +
+        "collide with the injected match-timestamp struct field)")
     val keyCols = keys.map(col)
     // The right payload travels as ONE struct so the as-of match is
     // row-atomic (never a mix of columns from different right rows).

@@ -140,6 +140,14 @@ object Dedup {
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                          n: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The required-overlap bound ceil(t·|X|) must be computed EXACTLY:
+    // in double arithmetic t·|X| can land one ulp above an integer
+    // (e.g. 0.07 × 100 = 7.000000000000001 → ceil 8), shortening the
+    // prefix and silently admitting false negatives. BigDecimal(d)
+    // goes through Double.toString, so the literal is the decimal the
+    // caller wrote, and decimal multiply/ceil/compare are exact.
+    val tDec = lit(BigDecimal(threshold))
+    def nshDec(c: Column): Column = c.cast("decimal(20,10)")
     val sh = shingleSets(df, idCol, textCol, n, None)
     val ex = sh.select(col("id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("s"))
@@ -148,12 +156,12 @@ object Dedup {
       .withColumn("pos", row_number().over(
         Window.partitionBy("id").orderBy(col("df").asc, col("s").asc)))
     val prefix = ranked
-      .filter(col("pos") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .filter(col("pos") <= col("n_sh") - ceil(nshDec(col("n_sh")) * tDec) + 1)
       .select("id", "n_sh", "s")
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
-          col("a.n_sh") >= col("b.n_sh") * threshold &&
-          col("b.n_sh") >= col("a.n_sh") * threshold)
+          nshDec(col("a.n_sh")) >= nshDec(col("b.n_sh")) * tDec &&
+          nshDec(col("b.n_sh")) >= nshDec(col("a.n_sh")) * tDec)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id")).distinct()
     cand
       .join(sh.select(col("id").as("a_id"), col("sh").as("sha")), "a_id")
@@ -163,6 +171,53 @@ object Dedup {
         (size(col("sha")) + size(col("shb")) - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Asymmetric containment pairs with PREFIX-FILTERED candidate
+    * generation — output-identical to [[containmentPairs]] with
+    * `dfCap = None`. C(A→B) ≥ t needs overlap ≥ ceil(t·|A|), so if
+    * none of A's first `|A| − ceil(t·|A|) + 1` shingles (global df
+    * asc, shingle asc order) is in B, the overlap can't reach the
+    * bound: only the SUBJECT side is prefix-cut (the filter is
+    * one-sided because containment's denominator is one-sided), the
+    * candidate side joins its full index, plus a `|B| ≥ ceil(t·|A|)`
+    * size prune. The bound is computed in exact decimal (see
+    * [[jaccardPairsPrefix]] for the double-ceil hazard).
+    *
+    * Scale shape: high-df boilerplate shingles fall outside subject
+    * prefixes, so the stop-shingle skew never reaches the join — the
+    * same structural win as [[jaccardPairsPrefix]], without giving up
+    * exactness the way a `dfCap` does.
+    */
+  def containmentPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                             n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1], got $threshold")
+    val tDec = lit(BigDecimal(threshold))
+    def nshDec(c: Column): Column = c.cast("decimal(20,10)")
+    val sh = shingleSets(df, idCol, textCol, n, None)
+    val ex = sh.select(col("id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val ranked = ex.join(dfreq, "s")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("id").orderBy(col("df").asc, col("s").asc)))
+    val prefix = ranked
+      .filter(col("pos") <= col("n_sh") - ceil(nshDec(col("n_sh")) * tDec) + 1)
+      .select("id", "n_sh", "s")
+    val cand = prefix.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.id") =!= col("b.id") &&
+          nshDec(col("b.n_sh")) >= ceil(nshDec(col("a.n_sh")) * tDec))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id")).distinct()
+    cand
+      .join(sh.select(col("id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(sh.select(col("id").as("b_id"), col("sh").as("shb")), "b_id")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("containment",
+        col("common").cast("double") / size(col("sha")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("a_id", "b_id", "containment")
   }
 
   /** MinHash signature: k permutations simulated by salted md5; element

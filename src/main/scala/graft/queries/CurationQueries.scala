@@ -17,9 +17,18 @@ import graft.functions.Text
   * frequencies) joined on the term key plus one broadcast of a
   * single-row corpus-stats frame — no self-join, no cross join, and
   * the per-term df frame is vocabulary-sized (tiny next to the
-  * corpus). Scores round through DECIMAL(18,6) so ranking and hashes
-  * are reproducible across engines (ln is the only non-IEEE-exact op;
-  * 6-decimal rounding absorbs it).
+  * corpus).
+  *
+  * Oracle discipline: the ranking uses the *raw* idf ratio
+  * `tf · (N+1)/(df+1)` computed in IEEE double (exact integer casts,
+  * one multiply, one divide — each correctly rounded, so bit-identical
+  * between Spark and any DuckDB build), with a full integer tie-break.
+  * No transcendental (`ln`) appears anywhere in the ranking or the
+  * hashed output: round-4 showed that even a 6-dp rounding of
+  * `tf·ln((N+1)/(df+1))` can straddle a rounding boundary on a
+  * different libm and flip a hash. The hashed output is pure integers
+  * (doc_id, tok, rn, tf, df, n_docs); a consumer who wants the
+  * log-scaled score can compute it from the exact counts emitted.
   */
 object CurationQueries {
 
@@ -29,22 +38,25 @@ object CurationQueries {
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- top-3 TF-IDF keywords per document: tf · ln((N+1)/(df+1)),
-    //      deterministic (score desc, tok asc) ranking ----
+    // ---- top-3 TF-IDF keywords per document: raw-idf variant
+    //      tf · (N+1)/(df+1) ranked with a full deterministic
+    //      tie-break (tf desc, df asc, tok asc); output is exact
+    //      integers only (see object Scaladoc for why) ----
     "t_tfidf_topk" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val tf = termFreqs(d)
       val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val ndocs = d.agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(dfreq, "tok").crossJoin(broadcast(ndocs))
-        .withColumn("score",
-          round(col("tf") * log((col("n_docs") + 1).cast("double") /
-            (col("df") + 1).cast("double")), 6).cast("decimal(18,6)"))
+        .withColumn("qscore",
+          col("tf").cast("double") * (col("n_docs") + 1).cast("double") /
+            (col("df") + 1).cast("double"))
       scored
         .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
-          .orderBy(col("score").desc, col("tok").asc)))
+          .orderBy(col("qscore").desc, col("tf").desc, col("df").asc,
+            col("tok").asc)))
         .filter(col("rn") <= 3)
-        .select("doc_id", "tok", "rn", "score")
+        .select("doc_id", "tok", "rn", "tf", "df", "n_docs")
     }),
 
     // ---- overlapping chunking: fixed-size token windows (size 32,
@@ -92,14 +104,16 @@ object CurationQueries {
          |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
          |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
          |nd AS (SELECT count(*) AS n_docs FROM documents),
-         |scored AS (SELECT doc_id, tok,
-         |    CAST(round(tf * ln(CAST(n_docs + 1 AS DOUBLE) /
-         |      CAST(df + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS score
+         |scored AS (SELECT doc_id, tok, tf, df, n_docs,
+         |    CAST(tf AS DOUBLE) * CAST(n_docs + 1 AS DOUBLE) /
+         |      CAST(df + 1 AS DOUBLE) AS qscore
          |  FROM tf JOIN dfreq USING (tok) CROSS JOIN nd),
-         |r AS (SELECT doc_id, tok, score, row_number() OVER (
-         |    PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rn
+         |r AS (SELECT doc_id, tok, tf, df, n_docs, row_number() OVER (
+         |    PARTITION BY doc_id
+         |    ORDER BY qscore DESC, tf DESC, df ASC, tok ASC) AS rn
          |  FROM scored)
-         |SELECT doc_id, tok, rn, score FROM r WHERE rn <= 3""".stripMargin,
+         |SELECT doc_id, tok, rn, tf, df, n_docs FROM r WHERE rn <= 3"""
+        .stripMargin,
 
     "t_chunk_overlap" ->
       s"""WITH toks AS (SELECT doc_id, $tok AS tk FROM documents),

@@ -69,10 +69,12 @@ object DedupQueries {
     //      shingle-subsets of their originals, so variant→original
     //      containment is exactly 1.0 while Jaccard only grazes the
     //      threshold — the quote/subset case a symmetric measure
-    //      misses. Both directions emitted (C is not symmetric) ----
+    //      misses. Both directions emitted (C is not symmetric).
+    //      PREFIX-FILTERED candidates (proven = exact containmentPairs;
+    //      the oracle is the exact inverted-index SQL) ----
     "d_containment_pairs" -> ((s, dir) => {
-      Dedup.containmentPairs(withNearCopies(s, dir), "doc_id", "text",
-        n = 5, threshold = 0.9, dfCap = None)
+      Dedup.containmentPairsPrefix(withNearCopies(s, dir), "doc_id", "text",
+        n = 5, threshold = 0.9)
     }),
 
     // ---- Jaccard with the df-cap skew guard live: every doc carries a
@@ -109,9 +111,19 @@ object DedupQueries {
     // ---- LSH quality evaluation: the MinHash-LSH candidate path
     //      scored against the exhaustive-Jaccard truth — the tuning
     //      harness for bands/rows (the dedup analog of s_ann_recall).
-    //      The comparison join carries only (a_id, b_id) pairs ----
+    //      The comparison join carries only (a_id, b_id) pairs.
+    //      The truth side is exhaustive BY DEFINITION, i.e. quadratic
+    //      in per-shingle df — so it runs on a deterministic md5
+    //      FAMILY sample of the corpus (~half): recall/precision are
+    //      ratios, preserved in expectation under doc sampling, and
+    //      sampling by base-document family (id mod 100000) keeps both
+    //      endpoints of every original↔near-copy pair together, so no
+    //      true pair is split by the sample boundary. This is the
+    //      bounded-cost shape an eval harness needs at 100 TB ----
     "d_lsh_recall" -> ((s, dir) => {
       val corpus = withNearCopies(s, dir)
+        .filter(substring(md5((col("doc_id") % 100000).cast("string")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"))
       // each pipeline feeds two branches (its count + the hits join):
       // checkpoint so the inverted-index self-joins run once, per the
       // operators' own persist-your-input guidance
@@ -163,8 +175,10 @@ object DedupQueries {
         .union(d.select((col("doc_id") + 200000).as("doc_id"),
           array_join(slice(tok, lit(3), size(tok) - 2), " ").as("text")))
         .localCheckpoint(false)
-      val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text",
-        n = 5, threshold = 0.5, dfCap = None).localCheckpoint(false)
+      // prefix-filtered pair generation (= exact Jaccard, proven by
+      // d_jaccard_prefix's oracle) — the scale-safe edge builder
+      val pairs = Dedup.jaccardPairsPrefix(corpus, "doc_id", "text",
+        n = 5, threshold = 0.5).localCheckpoint(false)
       Dedup.dupClusters(pairs)
     }),
 
@@ -182,8 +196,8 @@ object DedupQueries {
         .union(d.select((col("doc_id") + 200000).as("doc_id"),
           array_join(slice(tok, lit(3), size(tok) - 2), " ").as("text")))
         .localCheckpoint(false)
-      val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text",
-        n = 5, threshold = 0.5, dfCap = None).localCheckpoint(false)
+      val pairs = Dedup.jaccardPairsPrefix(corpus, "doc_id", "text",
+        n = 5, threshold = 0.5).localCheckpoint(false)
       Dedup.clusterRepresentatives(Dedup.dupClusters(pairs), corpus,
         "doc_id", length(col("text")).cast("long"))
     }),
@@ -379,7 +393,9 @@ object DedupQueries {
          |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5""".stripMargin,
 
     "d_lsh_recall" ->
-      s"""WITH base AS (SELECT doc_id AS id, text FROM ($nearCorpus)),
+      s"""WITH base AS (SELECT doc_id AS id, text FROM ($nearCorpus)
+         |  WHERE substring(md5(CAST(doc_id % 100000 AS VARCHAR)), 1, 1)
+         |    IN ('0','1','2','3','4','5','6','7')),
          |$shingleCte,
          |ex AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
          |tc AS (SELECT a.id AS a_id, b.id AS b_id, a.n_sh AS na,

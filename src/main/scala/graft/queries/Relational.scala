@@ -64,8 +64,11 @@ object Relational {
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1999-01-01"))
       val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1997-01-01"))
+      // no broadcast hint on customer: it grows with SF, so a forced
+      // hint would override AQE's size check at large scale (AQE still
+      // broadcasts it at small SF on its own)
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"))
         .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
           .cast("double").as("revenue"))
@@ -83,9 +86,11 @@ object Relational {
         .filter(col("o_orderdate") >= lit("1996-01-01") &&
                 col("o_orderdate") < lit("1999-01-01"))
       val l = t(s, dir, "lineitem")
+      // hints only on the genuinely bounded dims (nation ≤ 25 rows,
+      // region ≤ 5); customer/supplier grow with SF — AQE decides
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup),
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup,
           col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))

@@ -196,7 +196,8 @@ object Relational2 {
                 col("l_shipdate") < lit("1996-04-01"))
       val rev = col("l_extendedprice").cast("decimal(18,2)") *
         (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
-      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      // part grows with SF — no forced broadcast; AQE decides
+      l.join(p, col("l_partkey") === col("p_partkey"))
         .agg((sum(when(col("p_type") === "PROMO", rev)
             .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") * 100.0 /
           sum(rev).cast("double")).as("promo_share"))

@@ -32,8 +32,8 @@ object Relational3 {
         .filter(col("l_shipdate") >= lit("1996-01-01") &&
                 col("l_shipdate") < lit("1998-01-01"))
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
         .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
@@ -51,7 +51,7 @@ object Relational3 {
             .filter(col("o_orderdate") >= lit("1996-01-01") &&
                     col("o_orderdate") < lit("1996-07-01")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
@@ -68,7 +68,7 @@ object Relational3 {
         .filter(col("sum_qty_d") > 300)
       t(s, dir, "orders")
         .join(big, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
           col("o_orderdate").cast("date").as("o_date"),
           col("o_totalprice"),
@@ -80,7 +80,7 @@ object Relational3 {
     // ---- Q19 shape: OR-of-ANDs brand/size/quantity predicate ----
     "q19_discounted_revenue" -> ((s, dir) => {
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .filter(
           (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
             col("l_quantity").between(1, 11)) ||

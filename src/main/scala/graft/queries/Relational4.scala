@@ -45,7 +45,7 @@ object Relational4 {
       rev
         .crossJoin(broadcast(rev.agg(max(col("total_rev")).as("max_rev"))))
         .filter(col("total_rev") === col("max_rev"))
-        .join(broadcast(t(s, dir, "supplier")),
+        .join(t(s, dir, "supplier"),
           col("l_suppkey") === col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_rev")
     }),
@@ -58,7 +58,7 @@ object Relational4 {
         .groupBy(col("l_partkey").as("pa_partkey"))
         .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")).filter(col("p_brand") === "Brand#23"),
+        .join(t(s, dir, "part").filter(col("p_brand") === "Brand#23"),
           col("l_partkey") === col("p_partkey"))
         .join(pa, col("l_partkey") === col("pa_partkey"))
         .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
@@ -78,10 +78,10 @@ object Relational4 {
       val rev = revenue(col("l_extendedprice"), col("l_discount"))
       t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
         .join(broadcast(r), col("c_rk") === col("r_regionkey"))
-        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
         .agg((sum(when(col("supp_nation") === "NATION_3", rev)

@@ -34,14 +34,15 @@ object Relational5 {
 
     // ---- Q9 shape: product-type profit by supplier nation × order
     //      year. Cost proxy is p_retailprice × quantity (no partsupp
-    //      supplycost in this schema). part/supplier/nation broadcast;
-    //      the one shuffle is lineitem⋈orders on the order key ----
+    //      supplycost in this schema). Only nation carries a broadcast
+    //      hint — part/supplier grow with SF, AQE decides for them;
+    //      the one guaranteed shuffle is lineitem⋈orders ----
     "q9_product_profit" -> ((s, dir) => {
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part").filter(col("p_name").like("%bolt%"))),
+        .join(t(s, dir, "part").filter(col("p_name").like("%bolt%")),
           col("l_partkey") === col("p_partkey"))
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
         .agg(sum(revenue(col("l_extendedprice"), col("l_discount")) -
@@ -64,9 +65,9 @@ object Relational5 {
         .select("s_suppkey", "s_name", "n_name")
       val w = Window.partitionBy(col("l_partkey"))
       cat
-        .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(t(s, dir, "part")
-            .filter(col("p_size") === 15 && col("p_type") === "STANDARD")),
+        .join(eur, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "part")
+            .filter(col("p_size") === 15 && col("p_type") === "STANDARD"),
           col("l_partkey") === col("p_partkey"))
         .withColumn("min_cost_d", min(col("cost_d")).over(w))
         .filter(col("cost_d") === col("min_cost_d"))
@@ -85,7 +86,7 @@ object Relational5 {
           col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey")
       val vals = t(s, dir, "lineitem")
-        .join(broadcast(supp3), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .join(supp3, col("l_suppkey") === col("s_suppkey"), "left_semi")
         .groupBy(col("l_partkey"))
         .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("value_d"))
       val total = vals.agg(sum(col("value_d")).as("total_d"))
@@ -102,10 +103,10 @@ object Relational5 {
       val badSupp = t(s, dir, "supplier")
         .filter(col("s_acctbal") < 0).select("s_suppkey")
       t(s, dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
-        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
-        .join(broadcast(t(s, dir, "part")
+        .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(t(s, dir, "part")
             .filter(col("p_brand") =!= "Brand#12" && !col("p_type").like("PROMO%") &&
-              col("p_size").isin(1, 4, 7, 10, 15, 22, 36, 45))),
+              col("p_size").isin(1, 4, 7, 10, 15, 22, 36, 45)),
           col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -122,7 +123,7 @@ object Relational5 {
       val bySupp = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1995-01-01") &&
                 col("l_shipdate") < lit("1996-01-01"))
-        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(smallParts, col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(sum(dec(col("l_quantity"))).as("qty_d"))
       val w = Window.partitionBy("l_partkey")
@@ -131,7 +132,7 @@ object Relational5 {
         .filter(col("qty_d").cast("double") > col("tot_d").cast("double") * 0.25)
         .select("l_suppkey").distinct()
       t(s, dir, "supplier")
-        .join(broadcast(dominant), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
         .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .select("s_name", "n_name")
     }),

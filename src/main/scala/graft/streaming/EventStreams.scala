@@ -258,8 +258,13 @@ object EventStreams {
       }
   }
 
+  // sxy/sxx travel as exact decimal STRINGS, not BigDecimal: Spark's
+  // state encoder maps BigDecimal to Decimal(38,18) — only ~20 integer
+  // digits — and a long-lived key whose exact sums crossed ~1e20 would
+  // silently null at serialization. BigDecimal.toString/BigDecimal(s)
+  // round-trip exactly at any magnitude.
   final case class TrendState(x0: Long, n: Long, sx: Long, sy: Long,
-                              sxy: BigDecimal, sxx: BigDecimal,
+                              sxy: String, sxx: String,
                               seen: Seq[Long])
   final case class TrendOut(event_type: String, n: Long,
                             slope: Option[Double],
@@ -271,8 +276,9 @@ object EventStreams {
     * lateness horizon (`latenessHours` entries at most — events older
     * than `max seen hour − latenessHours` are dropped, the same
     * bounded-disorder contract a watermark would impose); each event
-    * updates the sums in O(1) exact arithmetic (Σxy/Σx² in
-    * BigDecimal, mirroring the batch operator's DECIMAL sums), and an
+    * updates the sums in O(1) exact arithmetic (Σxy/Σx² in BigDecimal
+    * in flight, persisted as exact decimal strings — see TrendState),
+    * and an
     * out-of-order hour BELOW the current origin rebases the sums
     * algebraically instead of reprocessing (shift x by δ: Σx += n·δ,
     * Σx² += 2δ·Σx + n·δ², Σxy += δ·Σy). Because every update is
@@ -289,12 +295,12 @@ object EventStreams {
       .mapGroupsWithState[TrendState, TrendOut](GroupStateTimeout.NoTimeout) {
         (etype: String, rows: Iterator[Ev], state: GroupState[TrendState]) =>
           var st = state.getOption.getOrElse(
-            TrendState(Long.MaxValue, 0L, 0L, 0L, BigDecimal(0),
-              BigDecimal(0), Nil))
+            TrendState(Long.MaxValue, 0L, 0L, 0L, "0", "0", Nil))
           var seen = st.seen.toSet
           var maxh = if (seen.isEmpty) Long.MinValue else seen.max
-          var (x0, n, sx, sy, sxy, sxx) =
-            (st.x0, st.n, st.sx, st.sy, st.sxy, st.sxx)
+          var (x0, n, sx, sy) = (st.x0, st.n, st.sx, st.sy)
+          var sxy = BigDecimal(st.sxy)
+          var sxx = BigDecimal(st.sxx)
           rows.foreach { e =>
             val h = e.ts.getTime / 3600000L
             // beyond the lateness horizon ⇒ its `seen` entry may be
@@ -319,7 +325,8 @@ object EventStreams {
             }
           }
           val kept = seen.filter(_ >= maxh - latenessHours)
-          state.update(TrendState(x0, n, sx, sy, sxy, sxx, kept.toSeq))
+          state.update(TrendState(x0, n, sx, sy, sxy.toString, sxx.toString,
+            kept.toSeq))
           val den = n.toDouble * sxx.toDouble - sx.toDouble * sx
           val slope =
             if (den == 0.0) None

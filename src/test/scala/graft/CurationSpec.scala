@@ -14,13 +14,17 @@ class CurationSpec extends SparkSpec {
 
   test("t_tfidf_topk: exactly ranks 1..3 per doc, scores non-increasing") {
     val rows = CurationQueries.queries("t_tfidf_topk")(spark, dir)
-      .select("doc_id", "rn", "score").collect()
+      .select("doc_id", "rn", "tf", "df", "n_docs").collect()
       .groupBy(_.getLong(0))
     assert(rows.nonEmpty)
     rows.foreach { case (_, rs) =>
       val byRank = rs.sortBy(_.getInt(1))
       assert(byRank.map(_.getInt(1)).toSeq == (1 to byRank.length))
-      val scores = byRank.map(_.getDecimal(2).doubleValue())
+      // the ranking quantity tf·(N+1)/(df+1) recomputed from the exact
+      // integers the query emits must be non-increasing by rank
+      val scores = byRank.map(r =>
+        r.getLong(2).toDouble * (r.getLong(4) + 1).toDouble /
+          (r.getLong(3) + 1).toDouble)
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     }
   }

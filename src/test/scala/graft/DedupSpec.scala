@@ -87,6 +87,28 @@ class DedupSpec extends SparkSpec {
     assert(strict.toSeq === Seq((2L, 1L)))
   }
 
+  test("containmentPairsPrefix equals the exact inverted-index result") {
+    // subject-side prefix + size prune must admit no false negatives:
+    // equality against containmentPairs on a corpus with genuine
+    // subset/near-dup structure (originals + truncated variants)
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val tok = graft.functions.Text.tokens(col("text"))
+    val corpus = d.union(d.select((col("doc_id") + 100000).as("doc_id"),
+      array_join(slice(tok, lit(2), size(tok) - 1), " ").as("text")))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e12))).toSet
+    Seq(0.5, 0.9).foreach { t =>
+      val exact = canon(Dedup.containmentPairs(corpus, "doc_id", "text",
+        n = 5, threshold = t, dfCap = None))
+      val prefix = canon(Dedup.containmentPairsPrefix(corpus, "doc_id",
+        "text", n = 5, threshold = t))
+      assert(exact.nonEmpty)
+      assert(prefix === exact, s"threshold $t")
+    }
+  }
+
   test("minhash LSH finds near-dups and skips distant docs") {
     val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
     val d = docs(

@@ -249,7 +249,11 @@ class PropertySpec extends SparkSpec {
       def canon(d: org.apache.spark.sql.DataFrame) =
         d.collect().map(r => (r.getLong(0), r.getLong(1),
           math.rint(r.getDouble(2) * 1e12))).toSet
-      Seq(0.3, 0.5, 0.8).foreach { t =>
+      // 0.07 and 0.15 are the double-rounding hazards: t·|X| can land
+      // one ulp above an integer (0.07 × 100 → 7.000000000000001), so
+      // a double-arithmetic ceil would shorten the prefix — the exact
+      // decimal bound must not
+      Seq(0.07, 0.15, 0.3, 0.5, 0.8).foreach { t =>
         val exact = canon(graft.operators.Dedup.jaccardPairs(
           df, "doc_id", "text", n = 3, threshold = t, dfCap = None))
         val prefix = canon(graft.operators.Dedup.jaccardPairsPrefix(
@@ -257,5 +261,24 @@ class PropertySpec extends SparkSpec {
         assert(prefix === exact, s"seed $s threshold $t")
       }
     }
+  }
+
+  test("prefix bound is exact at double-rounding boundaries (t·|X| integral)") {
+    import spark.implicits._
+    // |A| = 100 unigram shingles, |B| = 7, B ⊂ A, threshold 0.07:
+    // J(A,B) = 7/100 = 0.07 exactly, so the pair must be emitted. In
+    // double arithmetic 0.07·100 = 7.000000000000001, so BOTH exactness
+    // hazards fire: the ceil shortens A's prefix past the one shared
+    // low-df region, and the length filter rejects |B| = 7 <
+    // 7.000000000000001. The exact-decimal bound accepts both.
+    val shared = (1 to 7).map(i => f"s$i%03d")
+    val aOnly = (1 to 93).map(i => f"w$i%03d")
+    val d = Seq(
+      (1L, (aOnly ++ shared).mkString(" ")),
+      (2L, shared.mkString(" "))).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.jaccardPairsPrefix(
+      d, "doc_id", "text", n = 1, threshold = 0.07).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq === Seq((1L, 2L, 0.07)))
   }
 }
