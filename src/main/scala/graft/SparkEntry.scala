@@ -40,7 +40,8 @@ object SparkEntry {
 
   /** Queries whose invocation performs real side effects (file I/O) —
     * plan-only tools (Explain) must not execute these. */
-  val sideEffecting: Set[String] = Set("a_pipeline_move", "o1_manifest_scan")
+  val sideEffecting: Set[String] =
+    Set("a_pipeline_move", "o1_manifest_scan", "o1_catalog_scan")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -19,6 +19,19 @@ object model {
     StructField("unixtimestamp", LongType),
     StructField("filename", StringType)))
 
+  /** D1b — one TABLE-catalog row (reference: the second fixture
+    * app/quotes/Results.csv:1 — `SourceSchema;SourceTableName;Source`,
+    * 84 rows; SURVEY.md §1.1 documents table manifests as in-scope for
+    * the workload family).
+    */
+  final case class CatalogRef(SourceSchema: String, SourceTableName: String,
+                              Source: String)
+
+  val catalogSchema: StructType = StructType(Seq(
+    StructField("SourceSchema", StringType),
+    StructField("SourceTableName", StringType),
+    StructField("Source", StringType)))
+
   /** D2 — one listed file (reference: app/main.py:205-209).
     * `creation_time` is null where the filesystem does not expose one
     * (local FS, plain HDFS); cloud stores that do (via their FileStatus

@@ -12,19 +12,23 @@ import graft.model
   * `binary` columns with a typed metadata struct; decode / feature
   * extraction runs per-partition over the binary batches.
   *
-  * The actual codec step is STUBBED (this environment ships no
-  * image/audio libraries): `FakeDecoder` derives deterministic
-  * pseudo-features from the payload digest. Everything around it — the
-  * (content, meta) schema, the per-partition execution shape (one
-  * decoder instance per partition, batch iteration, never a driver-side
-  * loop), and the frame-sampling explode — is the real plumbing a
-  * production decoder drops into by swapping `decode`.
+  * Image decode is REAL: `decode` runs the JDK's own `javax.imageio`
+  * readers (PNG, GIF, BMP, JPEG, WBMP ship with every JRE — no
+  * external codec needed), yielding true pixel dimensions and
+  * color-model channel counts; payloads no reader recognizes classify
+  * as null-dimensioned rather than erroring. Audio/video decoders are
+  * NOT in the JDK, so those payloads take the same null path and the
+  * frame-sampling operator emits descriptors, not decoded frames — the
+  * per-partition execution shape (one decoder per partition, batch
+  * iteration, never a driver-side loop) is exactly where a production
+  * AV codec drops in.
   */
 object Multimodal {
 
   final case class MediaMeta(n_bytes: Long, mime: String, digest: String)
-  final case class MediaFeatures(id: Long, width: Int, height: Int,
-                                 channels: Int, digest: String)
+  final case class MediaFeatures(id: Long, width: Option[Int],
+                                 height: Option[Int], channels: Option[Int],
+                                 digest: String)
 
   /** Attach a binary `content` column + metadata struct to (id, payload)
     * rows. With real media, `content` comes straight off the
@@ -42,14 +46,42 @@ object Multimodal {
   private def md5Hex(bytes: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(bytes).map(b => f"$b%02x").mkString
 
-  /** STUB decoder: deterministic pseudo-dimensions from the digest —
-    * hex digit d0 → width 32*(1+d0), d1 → height 32*(1+d1),
-    * d2 → channels 1 + d2 % 3. A real decoder replaces this body.
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/GIF/BMP/
+    * JPEG/WBMP readers are part of the JRE): true pixel width/height
+    * and the color model's component count. Classify, never throw —
+    * unrecognized or corrupt payloads yield null dimensions (ImageIO
+    * returns null for unknown formats; a reader crashing on a
+    * truncated file is caught the same way).
     */
   private[graft] def decode(id: Long, content: Array[Byte]): MediaFeatures = {
-    val hex = md5Hex(content)
-    def d(i: Int) = Character.digit(hex.charAt(i), 16)
-    MediaFeatures(id, 32 * (1 + d(0)), 32 * (1 + d(1)), 1 + d(2) % 3, hex)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case _: Exception => null }
+    if (img == null) MediaFeatures(id, None, None, None, md5Hex(content))
+    else MediaFeatures(id, Some(img.getWidth), Some(img.getHeight),
+      Some(img.getColorModel.getNumComponents), md5Hex(content))
+  }
+
+  /** Deterministic RGB test image rendered through the REAL encoder
+    * (`ImageIO.write`, PNG): the generate side of the
+    * generate-then-decode round-trip gate. Pixel values derive from
+    * (id, x, y) so every payload differs.
+    */
+  private[graft] def renderPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((id * 2654435761L + x * 7 + y * 131) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Distributed feature extraction: one decoder per partition, rows

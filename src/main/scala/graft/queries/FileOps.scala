@@ -135,6 +135,36 @@ object FileOps {
       out
     }),
 
+    // ---- TABLE-catalog manifest end-to-end (the reference's second
+    //      fixture, app/quotes/Results.csv): a real ;-CSV catalog is
+    //      written (null table names included), read back through
+    //      Manifest.readCatalog with the fixed schema, and summarized
+    //      per (schema, source system) — the oracle recomputes the
+    //      inventory from part. SIDE-EFFECTING (temp-file fixture) ----
+    "o1_catalog_scan" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") +
+        "/graft_catalog_" + java.util.UUID.randomUUID().toString.take(8)
+      t(s, dir, "part").filter(col("p_partkey") < 2000)
+        .select(
+          concat(lit("SCHEMA_"), (col("p_partkey") % 5).cast("string"))
+            .as("SourceSchema"),
+          when(col("p_partkey") % 40 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("T_"), col("p_partkey").cast("string")))
+            .as("SourceTableName"),
+          when(col("p_partkey") % 3 === 0, lit("m3"))
+            .when(col("p_partkey") % 3 === 1, lit("crm"))
+            .otherwise(lit("erp")).as("Source"))
+        .write.option("sep", ";").option("header", "true")
+        .mode("overwrite").csv(s"file:$root")
+      val summary = graft.sources.Manifest.catalogSummary(
+        graft.sources.Manifest.readCatalog(s, s"file:$root"))
+      val out = summary.localCheckpoint(true) // materialize before delete
+      org.apache.hadoop.fs.FileSystem.getLocal(
+          new org.apache.hadoop.conf.Configuration())
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      out
+    }),
+
     "a_pipeline_move" -> ((s, dir) => {
       // per-run unique root: concurrent sessions never race on the lake,
       // and the directory is deleted once the move has materialized
@@ -199,6 +229,16 @@ object FileOps {
       """SELECT 'raw/quote_' || o_orderkey || '.pdf' AS path
         |FROM orders
         |WHERE o_orderkey < 2000 AND o_orderkey % 50 <> 0""".stripMargin,
+
+    "o1_catalog_scan" ->
+      """SELECT 'SCHEMA_' || CAST(p_partkey % 5 AS VARCHAR) AS SourceSchema,
+        |  CASE WHEN p_partkey % 3 = 0 THEN 'm3'
+        |       WHEN p_partkey % 3 = 1 THEN 'crm'
+        |       ELSE 'erp' END AS Source,
+        |  COUNT(DISTINCT 'T_' || CAST(p_partkey AS VARCHAR)) AS n_tables
+        |FROM part
+        |WHERE p_partkey < 2000 AND p_partkey % 40 <> 0
+        |GROUP BY 1, 2""".stripMargin,
 
     "o10_prefix_normalize" ->
       s"""SELECT doc_id,

@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.operators.Multimodal
 
-/** Multimodal-plumbing queries: document text re-encoded as the opaque
-  * binary payload (the container ships no media codecs — see
-  * operators.Multimodal), exercising the real schema/partitioning/
-  * mapPartitions shape end-to-end. The stub decoder is digest-driven,
-  * so the oracle replicates it from md5(text) hex digits.
+/** Multimodal queries: binary-column plumbing (metadata struct, frame
+  * sampling) over text-derived payloads, byte-level header probes over
+  * generated fixtures, and a REAL codec round trip — m_features
+  * encodes PNGs with the JDK's ImageIO and decodes them back to true
+  * pixel dimensions (see operators.Multimodal). Oracles state the
+  * generating parameters the engine must recover.
   */
 object MultimodalQueries {
 
@@ -25,8 +26,26 @@ object MultimodalQueries {
         col("meta.digest").as("digest"))
     }),
 
+    // ---- REAL codec round trip: per-partition PNG ENCODE
+    //      (BufferedImage → ImageIO.write) with doc_id-derived
+    //      dimensions, then the REAL per-partition ImageIO DECODE —
+    //      the oracle states the generating parameters and the engine
+    //      must recover them from actual pixels. digest (md5 of the
+    //      encoder's bytes) is intentionally not in the gated output:
+    //      PNG byte streams are encoder-version-specific ----
     "m_features" -> ((s, dir) => {
-      Multimodal.extractFeatures(media(s, dir)).toDF()
+      import s.implicits._
+      val imgs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") % 64 + 1).cast("int").as("w"),
+          ((col("doc_id") * 7) % 64 + 1).cast("int").as("h"))
+        .as[(Long, Int, Int)]
+        .mapPartitions(_.map { case (id, w, h) =>
+          (id, Multimodal.renderPng(id, w, h))
+        })
+        .toDF("id", "content")
+      Multimodal.extractFeatures(imgs).toDF()
+        .select("id", "width", "height", "channels")
     }),
 
     "m_frame_sample" -> ((s, dir) => {
@@ -211,13 +230,14 @@ object MultimodalQueries {
         | 'text/plain' AS mime, md5(text) AS digest
         |FROM documents""".stripMargin,
 
+    // generating parameters of the encode side; TYPE_INT_RGB decodes
+    // back with a 3-component color model
     "m_features" ->
-      s"""SELECT doc_id AS id,
-         | CAST(32 * (1 + ${hexDigit(1)}) AS INT) AS width,
-         | CAST(32 * (1 + ${hexDigit(2)}) AS INT) AS height,
-         | CAST(1 + ${hexDigit(3)} % 3 AS INT) AS channels,
-         | md5(text) AS digest
-         |FROM documents""".stripMargin,
+      """SELECT doc_id AS id,
+        | CAST(doc_id % 64 + 1 AS INT) AS width,
+        | CAST((doc_id * 7) % 64 + 1 AS INT) AS height,
+        | 3 AS channels
+        |FROM documents""".stripMargin,
 
     "m_frame_sample" ->
       """SELECT doc_id AS id, b AS frame_idx,

@@ -40,4 +40,28 @@ object Manifest {
   def blobPaths(df: DataFrame, sourcePrefix: String): DataFrame =
     filenames(df).select(
       Paths.normalizeWithPrefix(col("filename"), sourcePrefix).as("path"))
+
+  /** TABLE-catalog manifest reader — the reference's second fixture
+    * family (app/quotes/Results.csv:1, `SourceSchema;SourceTableName;
+    * Source`): which source-system tables feed the lake. Same CSV
+    * dialect as the file manifest (`;`, header), fixed schema.
+    */
+  def readCatalog(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("sep", ";")
+      .option("header", "true")
+      .schema(model.catalogSchema)
+      .csv(path)
+
+  /** Catalog summary: per (SourceSchema, Source) distinct-table counts
+    * — the "what does each source system contribute" inventory view.
+    * Rows with a null table name are dropped (same null-hygiene as
+    * [[filenames]]); one map-combinable aggregation.
+    */
+  def catalogSummary(df: DataFrame): DataFrame = {
+    assertColumn(df, "SourceTableName")
+    df.na.drop("any", Seq("SourceTableName"))
+      .groupBy("SourceSchema", "Source")
+      .agg(countDistinct(col("SourceTableName")).as("n_tables"))
+  }
 }

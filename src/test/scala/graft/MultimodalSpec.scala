@@ -82,6 +82,33 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L) === ((false, None, None)))
   }
 
+  test("decode: real ImageIO round trip (PNG/GIF/BMP), junk classifies null") {
+    import spark.implicits._
+    // PNG through the operator's own encoder
+    val png = Multimodal.renderPng(7L, 33, 21)
+    // GIF and BMP through the JDK's other built-in writers
+    def enc(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, png), (2L, enc("gif", 15, 9)), (3L, enc("bmp", 8, 5)),
+      (4L, "definitely not an image".getBytes("UTF-8")),
+      (5L, png.take(20))) // truncated PNG: classify, never throw
+      .toDF("id", "content")
+    val got = Multimodal.extractFeatures(rows).collect()
+      .map(f => f.id -> ((f.width, f.height, f.channels))).toMap
+    assert(got(1L) === ((Some(33), Some(21), Some(3))))
+    assert(got(2L)._1 === Some(15))
+    assert(got(2L)._2 === Some(9))
+    assert(got(3L) === ((Some(8), Some(5), Some(3))))
+    assert(got(4L) === ((None, None, None)))
+    assert(got(5L) === ((None, None, None)))
+  }
+
   test("bmpDims: little-endian signed dims; top-down height folded; non-BMP null") {
     import spark.implicits._
     val head = "424D" + "00000000" + "00000000" + "36000000" + "28000000"
