@@ -85,6 +85,56 @@ class AsOfSpec extends SparkSpec {
     assert(got(11L) === None)
   }
 
+  test("asOfJoin tolerance: 7-day horizon boundary is exact and order-blind") {
+    // the feature-staleness horizon a training join actually uses:
+    // matches EXACTLY 7 days old are kept (inclusive bound), one
+    // second past degrade to no-match — and the outcome must not
+    // depend on input arrival order (the window pass sorts by event
+    // time, so a shuffled history replays identically)
+    val week = 7L * 24 * 3600
+    val left = evdf(
+      (10L, "2024-01-08 10:00:00", 0.0), // exactly 7 days after r1 → kept
+      (11L, "2024-01-08 10:00:01", 0.0), // 7 days + 1 s after r1 → nulled
+      (12L, "2024-01-15 12:00:00", 0.0)) // 7 days + 2 h after r2 → nulled
+    val right = evdf(
+      (1L, "2024-01-01 10:00:00", 1.5),
+      (2L, "2024-01-08 10:00:00", 2.5))
+    // r2 is at-or-before rows 11/12 too, so 11 matches r2 (1 s stale —
+    // kept); 12's only candidate is r2 at 7 d 2 h — degraded
+    def run(l: org.apache.spark.sql.DataFrame) =
+      AsOf.asOfJoin(l, right, Seq("user_id"), "ts",
+          leftCols = Seq("event_id"), rightCols = Seq("event_id"),
+          toleranceSeconds = Some(week))
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Long]("m_event_id"))).toMap
+    val expected = Map(10L -> Some(2L), 11L -> Some(2L), 12L -> None)
+    // 10 ties r2's own timestamp exactly → r2 (latest at-or-before)
+    assert(run(left) === expected)
+    // shuffled arrival order — identical outcome
+    assert(run(left.orderBy(org.apache.spark.sql.functions.rand(42))) ===
+      expected)
+    // isolate the exact-boundary degrade: only r1 present → 10 keeps
+    // its exactly-7-day match, 11 (1 s past) and 12 degrade
+    val gotR1 = AsOf.asOfJoin(left, right.filter(col("event_id") === 1L),
+        Seq("user_id"), "ts",
+        leftCols = Seq("event_id"), rightCols = Seq("event_id"),
+        toleranceSeconds = Some(week))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("m_event_id"))).toMap
+    assert(gotR1 === Map(10L -> Some(1L), 11L -> None, 12L -> None))
+  }
+
+  test("asOfJoin tolerance: non-timestamp ts column fails loudly") {
+    import spark.implicits._
+    val l = Seq((1L, 100L)).toDF("event_id", "ts")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.asOfJoin(l, l, Seq.empty, "ts",
+        leftCols = Seq("event_id"), rightCols = Seq("event_id"),
+        toleranceSeconds = Some(60L))
+    }
+    assert(e.getMessage.contains("TimestampType"))
+  }
+
   test("rangeJoin: inclusive bounds, bucket straddling, each pair once") {
     // window: [-60s, 0] before each left row; bucket width = 60s —
     // right rows sit at the exact bounds and across a bucket boundary

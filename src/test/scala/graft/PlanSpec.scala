@@ -31,6 +31,20 @@ class PlanSpec extends SparkSpec {
     assert(planOf("q2_top_orders").contains("TakeOrderedAndProject"))
   }
 
+  test("q3/q5 carry no forced broadcast hints; AQE broadcasts at runtime") {
+    // round-4 finding: broadcast() hints on SF-growing tables
+    // (customer/part/supplier) override AQE's size check and would
+    // force-broadcast multi-GB tables at large scale. The hints are
+    // gone — so the EXECUTED adaptive plan must still show AQE
+    // choosing broadcast for the small sides on its own.
+    Seq("q3_shipping_priority", "q5_region_revenue").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val executed = df.queryExecution.executedPlan.toString
+      assert(executed.contains("BroadcastHashJoin"), s"$q: $executed")
+    }
+  }
+
   test("similarity top-k broadcasts the query side") {
     val p = planOf("s_cosine_topk")
     assert(p.contains("Broadcast"))

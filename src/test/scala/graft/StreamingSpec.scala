@@ -278,12 +278,26 @@ class StreamingSpec extends SparkSpec {
       ev(8, 1L, "2024-01-10 12:00:00", "purchase", 13.0))
     val q = EventStreams.attributionStream(mem.toDS())
       .writeStream.format("memory").queryName("attrib")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination(120000) finally q.stop()
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a LATER micro-batch replays out-of-order history: a view
+      // timestamped before u2's already-processed 01-10 purchase, and
+      // INSIDE the 7-day lookback of the next purchase — if the
+      // in-order guard failed to drop it, the attribution below would
+      // flip to "view" (within one batch the operator would instead
+      // legitimately sort it into place; late ARRIVAL is the case
+      // that must degrade). u2's only valid touch (2024-01-01) is
+      // outside 7 days of 2024-01-11 → "none".
+      mem.addData(
+        ev(9, 2L, "2024-01-09 07:00:00", "view"),
+        ev(10, 2L, "2024-01-11 08:00:00", "purchase", 17.0))
+      q.processAllAvailable()
+    } finally q.stop()
     val got = spark.sql("SELECT event_id, touch FROM attrib").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === Map(1L -> "none", 5L -> "click", 6L -> "none",
-      8L -> "view"))
+      8L -> "view", 10L -> "none"))
   }
 
   test("streaming trailing-z anomaly is bit-equal to batch TimeSeries.trailingZ") {
