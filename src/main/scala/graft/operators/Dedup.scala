@@ -470,4 +470,91 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select("a_id", "b_id", "dist")
   }
+
+  /** Positions whose word n-gram is duplicated ACROSS documents (≥ 2
+    * distinct doc ids share the n-gram) — the candidate set for
+    * exact-substring dedup at n-gram granularity (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499, which removes repeated ≥ 50-token spans
+    * corpus-wide; the n-gram grid is the relational form of its
+    * suffix-array scan).
+    *
+    * Columns: doc_id, n_tokens, p (1-based start of a duplicated
+    * n-gram). Scale: one explode (×L positions), one map-combinable
+    * distinct-doc count per n-gram, and one equi-join back on the
+    * n-gram key — each position matches at most once, so no pair
+    * explosion; heavy boilerplate n-grams cost their df in join rows,
+    * never df².
+    */
+  def dupSpanPositions(df: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame = {
+    val pos = df.select(col(idCol).as("doc_id"),
+        size(Text.tokens(col(textCol))).as("n_tokens"),
+        posexplode(Text.shingles(Text.tokens(col(textCol)), n))
+          .as(Seq("p0", "ng")))
+      .select(col("doc_id"), col("n_tokens"), (col("p0") + 1).as("p"),
+        col("ng"))
+    val dup = pos.groupBy("ng")
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2).select("ng")
+    pos.join(dup, Seq("ng")).select("doc_id", "n_tokens", "p")
+  }
+
+  /** Per-document duplicated-span coverage: how many tokens sit inside
+    * at least one cross-document duplicated n-gram. The union of the
+    * fixed-length intervals [p, p+n-1] resolves with one keyed window
+    * (lead): each interval contributes min(n, next_p - p) tokens —
+    * exact integer arithmetic, no interval materialization. Every
+    * input document appears (zero coverage included).
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+    val covered = dupSpanPositions(df, idCol, textCol, n)
+      .withColumn("np", lead(col("p"), 1).over(w))
+      .groupBy("doc_id")
+      .agg(sum(when(col("np").isNull, lit(n.toLong))
+        .otherwise(least(lit(n.toLong), col("np") - col("p"))))
+        .as("n_dup_tokens"))
+    df.select(col(idCol).as("doc_id"),
+        size(Text.tokens(col(textCol))).as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+  }
+
+  /** Exact-substring scrub: re-emit each document with every token that
+    * any cross-document duplicated n-gram covers REMOVED (the C4 /
+    * Lee-et-al. cleanup step, at n-gram granularity). The covered
+    * index set materializes relationally — explode each duplicated
+    * start into its n indices, distinct, anti-join the token grid —
+    * so the whole scrub is equi-joins plus one per-doc ordered
+    * reassembly; cost is linear in corpus size (the ×n index explode),
+    * never quadratic in document frequency.
+    */
+  def dupSpanScrub(df: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val covered = dupSpanPositions(df, idCol, textCol, n)
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (n - 1))).as("idx"))
+      .distinct()
+    val tokGrid = df.select(col(idCol).as("doc_id"),
+        posexplode(Text.tokens(col(textCol))).as(Seq("i0", "tok")))
+      .select(col("doc_id"), (col("i0") + 1).as("idx"), col("tok"))
+    val kept = tokGrid.join(covered, Seq("doc_id", "idx"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("idx"), col("tok")))),
+        s => s.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("doc_id"),
+        size(Text.tokens(col(textCol))).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"))
+  }
 }

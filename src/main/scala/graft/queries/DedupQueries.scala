@@ -242,6 +242,23 @@ object DedupQueries {
         d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
         .localCheckpoint(false) // see withNearCopies
       Dedup.simhashPairs(corpus, "doc_id", "text", maxDist = 3)
+    }),
+
+    // ---- cross-document duplicated-span coverage (exact-substring
+    //      dedup at 10-gram granularity, Lee et al. 2021): per doc,
+    //      how many tokens sit inside a span some OTHER doc repeats.
+    //      Interval union via one keyed lead() window — exact integer
+    //      output, no interval materialization ----
+    "d_span_stats" -> ((s, dir) => {
+      Dedup.dupSpanStats(withNearCopies(s, dir), "doc_id", "text", n = 10)
+    }),
+
+    // ---- the scrub itself: re-emit each doc with every covered token
+    //      removed (the C4/RefinedWeb cleanup step). Covered index set
+    //      is built relationally (explode + distinct + anti-join) so
+    //      the whole pass stays linear in corpus size ----
+    "d_span_scrub" -> ((s, dir) => {
+      Dedup.dupSpanScrub(withNearCopies(s, dir), "doc_id", "text", n = 10)
     })
   )
 
@@ -265,7 +282,54 @@ object DedupQueries {
       |              i -> array_to_string(tok[i:i+4], ' ')) END) AS sh
       |FROM (SELECT id, string_split(text, ' ') AS tok FROM base))""".stripMargin
 
+  /** Shared CTE chain for the duplicated-span (10-gram) oracles: token
+    * lists, the position/n-gram grid, the cross-doc duplicated n-gram
+    * set, and the duplicated start positions.
+    */
+  private val spanCtes =
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM ($nearCorpus) corpus(doc_id, text)),
+       |p2 AS (SELECT doc_id, u.p AS p, u.ng AS ng
+       |  FROM (SELECT doc_id, unnest(
+       |    CASE WHEN len(toks) < 10 THEN []
+       |         ELSE list_transform(range(1, len(toks) - 8),
+       |                i -> struct_pack(p := i,
+       |                       ng := array_to_string(toks[i:i+9], ' '))) END) AS u
+       |  FROM tk)),
+       |dup AS (SELECT ng FROM p2 GROUP BY ng
+       |  HAVING count(DISTINCT doc_id) >= 2),
+       |dp AS (SELECT doc_id, p FROM p2 WHERE ng IN (SELECT ng FROM dup))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "d_span_stats" ->
+      s"""WITH $spanCtes,
+         |cov AS (SELECT doc_id, p,
+         |    lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS np FROM dp),
+         |agg AS (SELECT doc_id, CAST(SUM(CASE WHEN np IS NULL THEN 10
+         |    ELSE LEAST(10, np - p) END) AS BIGINT) AS n_dup_tokens
+         |  FROM cov GROUP BY doc_id)
+         |SELECT t.doc_id, len(t.toks) AS n_tokens,
+         |  coalesce(a.n_dup_tokens, 0) AS n_dup_tokens
+         |FROM tk t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin,
+
+    "d_span_scrub" ->
+      s"""WITH $spanCtes,
+         |cov AS (SELECT DISTINCT doc_id, idx FROM
+         |  (SELECT doc_id, unnest(range(p, p + 10)) AS idx FROM dp)),
+         |tg AS (SELECT doc_id, u.idx AS idx, u.tok AS tok
+         |  FROM (SELECT doc_id, unnest(
+         |    list_transform(range(1, len(toks) + 1),
+         |      i -> struct_pack(idx := i, tok := toks[i]))) AS u FROM tk)),
+         |kept AS (SELECT tg.doc_id, tg.idx, tg.tok FROM tg
+         |  LEFT JOIN cov ON tg.doc_id = cov.doc_id AND tg.idx = cov.idx
+         |  WHERE cov.idx IS NULL),
+         |ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+         |    CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(k.clean_text, '') AS clean_text,
+         |  coalesce(k.n_kept, 0) AS n_kept,
+         |  len(t.toks) - coalesce(k.n_kept, 0) AS n_removed
+         |FROM tk t LEFT JOIN ka k ON t.doc_id = k.doc_id""".stripMargin,
+
     "d_contamination_transitive" ->
       s"""WITH RECURSIVE base AS (SELECT doc_id AS id, text FROM ($nearCorpus)),
          |$shingleCte,

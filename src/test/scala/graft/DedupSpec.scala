@@ -201,4 +201,53 @@ class DedupSpec extends SparkSpec {
       .collect()
     assert(capped.isEmpty)
   }
+
+  test("dupSpanStats: cross-doc spans only, interval union exact") {
+    val d = docs(
+      (1L, "a b c d e f"),   // "a b c" shared with doc 2 → tokens 1-3
+      (2L, "x a b c y z"),   // same 3-gram at p=2 → tokens 2-4
+      (3L, "q w e r t y"),   // nothing shared → 0
+      (4L, "a b c d e"),     // "a b c"+"b c d" shared with 5 → union 1-4
+      (5L, "a b c d z"))     // (overlapping intervals must not double-count)
+    val got = Dedup.dupSpanStats(d, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    // docs 1/4/5 all share "a b c"; 1 also shares "b c d"/"c d e" with 4
+    assert(got(3L) === ((6, 0L)))
+    assert(got(2L) === ((6, 3L)))
+    assert(got(4L) === ((5, 5L)))   // "a b c","b c d","c d e" → 1..5
+    assert(got(1L) === ((6, 5L)))   // same three 3-grams → 1..5, not 6
+    assert(got(5L) === ((5, 4L)))   // "a b c","b c d" → 1..4
+  }
+
+  test("dupSpanScrub: covered tokens removed, order kept, short docs intact") {
+    val d = docs(
+      (1L, "a b c d e f"),
+      (2L, "x a b c y z"),
+      (3L, "a b"))           // < n tokens: no n-grams, untouched
+    val got = Dedup.dupSpanScrub(d, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("d e f", 3L, 3L)))
+    assert(got(2L) === (("x y z", 3L, 3L)))
+    assert(got(3L) === (("a b", 2L, 0L)))
+  }
+
+  test("span stats and scrub agree on every doc (union = anti-join count)") {
+    // two independent exact algorithms for the covered-token count:
+    // the lead()-window interval union and the explode/distinct/
+    // anti-join grid. They must agree document-by-document.
+    import spark.implicits._
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val corpus = base.union(base.select(($"doc_id" + 500000).as("doc_id"),
+      concat_ws(" ", $"text", lit("tail marker")).as("text")))
+    val stats = Dedup.dupSpanStats(corpus, "doc_id", "text", n = 8)
+      .select($"doc_id", $"n_dup_tokens".as("a"))
+    val scrub = Dedup.dupSpanScrub(corpus, "doc_id", "text", n = 8)
+      .select($"doc_id", $"n_removed".as("b"))
+    val disagree = stats.join(scrub, "doc_id").filter($"a" =!= $"b").count()
+    assert(disagree === 0L)
+    // and the corpus genuinely exercises both paths
+    assert(stats.filter($"a" > 0).count() > 0)
+  }
 }
