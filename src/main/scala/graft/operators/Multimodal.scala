@@ -203,4 +203,131 @@ object Multimodal {
       .select(col("id"), col("frame_idx"),
         concat(col("digest"), lit(":"), col("frame_idx").cast("string"))
           .as("frame_key"))
+
+  // ------------------------------------------------------------------
+  // Pixel-level image statistics (REAL decoded raster, not headers)
+  // ------------------------------------------------------------------
+
+  final case class PixelStats(id: Long, n_px: Option[Long],
+                              px_sum: Option[Long])
+
+  /** Exact sum of all 8-bit color components (R+G+B per pixel) of a
+    * decoded raster. PNG truecolor is lossless, so the sum over a
+    * decoded image equals the sum over the values the encoder wrote —
+    * an exact-integer witness that the DECODED PIXELS are right, not
+    * just the header dimensions.
+    */
+  private[graft] def pixelComponentSum(
+      img: java.awt.image.BufferedImage): Long = {
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val v = img.getRGB(x, y)
+        sum += ((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
+  /** Per-payload pixel statistics via the real ImageIO decode: pixel
+    * count and exact component sum; undecodable payloads yield nulls.
+    * Same per-partition decoder shape as `extractFeatures`.
+    */
+  def pixelStats(df: DataFrame): Dataset[PixelStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img == null) PixelStats(id, None, None)
+        else PixelStats(id, Some(img.getWidth.toLong * img.getHeight),
+          Some(pixelComponentSum(img)))
+      })
+  }
+
+  // ------------------------------------------------------------------
+  // Sample-level audio statistics (REAL javax.sound.sampled decode)
+  // ------------------------------------------------------------------
+
+  final case class AudioStats(id: Long, n_samples: Option[Long],
+                              sample_sum: Option[Long],
+                              sample_rate: Option[Int])
+
+  /** Deterministic 16-bit signed PCM mono WAV rendered through the
+    * REAL encoder (`AudioSystem.write`, WAVE container): the generate
+    * side of the audio round-trip gate. `id % 50 + 10` samples at
+    * 8 kHz, sample(i) = (id·31 + i·17) mod 2¹⁶ − 2¹⁵.
+    */
+  private[graft] def renderWav(id: Long): Array[Byte] = {
+    val n = (id % 50 + 10).toInt
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = ((id * 31 + i * 17) % 65536 - 32768).toInt
+      data(2 * i) = (s & 0xFF).toByte            // little-endian PCM
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+      /* signed = */ true, /* bigEndian = */ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled`: the WAVE
+    * reader parses the container, reports the format, and streams PCM
+    * frames; the exact integer sample sum witnesses the decoded
+    * SAMPLES, the way `pixelStats` witnesses decoded pixels. Only
+    * 16-bit signed PCM is summed (the fixture's format); anything the
+    * audio stack cannot parse yields nulls — classify, never throw.
+    */
+  private[graft] def decodeAudio(id: Long, content: Array[Byte])
+      : AudioStats =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        AudioStats(id, None, None, None)
+      else {
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var sum = 0L
+        var i = 0
+        while (i < n) {
+          val s =
+            if (fmt.isBigEndian)
+              (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xFF)
+            else
+              (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xFF)
+          sum += s
+          i += 1
+        }
+        AudioStats(id, Some(n.toLong), Some(sum),
+          Some(fmt.getSampleRate.toInt))
+      }
+    } catch { case _: Exception => AudioStats(id, None, None, None) }
+
+  /** Per-payload audio statistics: per-partition decoder over binary
+    * batches, like every other media op here.
+    */
+  def audioStats(df: DataFrame): Dataset[AudioStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeAudio(id, bytes) })
+  }
 }

@@ -52,6 +52,36 @@ object MultimodalQueries {
       Multimodal.sampleFrames(media(s, dir), 3)
     }),
 
+    // ---- PIXEL-level round trip: encode deterministic rasters, decode
+    //      with the real reader, and prove the decoded PIXELS (exact
+    //      integer component sum), not just the header dimensions.
+    //      PNG truecolor is lossless, so the oracle can state the sum
+    //      in closed form from the generating function ----
+    "m_pixel_stats" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") % 64 + 1).cast("int").as("w"),
+          ((col("doc_id") * 7) % 64 + 1).cast("int").as("h"))
+        .as[(Long, Int, Int)]
+        .mapPartitions(_.map { case (id, w, h) =>
+          (id, Multimodal.renderPng(id, w, h))
+        })
+        .toDF("id", "content")
+      Multimodal.pixelStats(imgs).toDF().select("id", "n_px", "px_sum")
+    }),
+
+    // ---- SAMPLE-level audio round trip through javax.sound.sampled:
+    //      real WAVE encode, real decode, exact PCM sample sum ----
+    "m_audio_stats" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.renderWav(id))))
+        .toDF("id", "content")
+      Multimodal.audioStats(wavs).toDF()
+        .select("id", "n_samples", "sample_sum", "sample_rate")
+    }),
+
     // ---- REAL WAV header parsing: build canonical RIFF/fmt headers
     //      with rate/channels derived from doc_id (little-endian words
     //      byte-swapped at build time), read them back through the
@@ -243,6 +273,33 @@ object MultimodalQueries {
       """SELECT doc_id AS id, b AS frame_idx,
         | md5(text) || ':' || CAST(b AS VARCHAR) AS frame_key
         |FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS b)""".stripMargin,
+
+    // closed-form pixel-component sum of the generating function
+    // v(x,y) = (id*2654435761 + 7x + 131y) & 0xFFFFFF, summed as
+    // (v>>16) + ((v>>8)&255) + (v&255) over the w×h raster — what the
+    // decoded PNG must add up to exactly (lossless truecolor)
+    "m_pixel_stats" ->
+      """SELECT doc_id AS id,
+        | CAST((doc_id % 64 + 1) * ((doc_id * 7) % 64 + 1) AS BIGINT) AS n_px,
+        | CAST(list_sum(flatten(list_transform(
+        |   range(0, (doc_id * 7) % 64 + 1), y ->
+        |     list_transform(range(0, doc_id % 64 + 1), x ->
+        |       (((doc_id * 2654435761 + x * 7 + y * 131) & 16777215) >> 16)
+        |       + ((((doc_id * 2654435761 + x * 7 + y * 131) & 16777215) >> 8) & 255)
+        |       + ((doc_id * 2654435761 + x * 7 + y * 131) & 255)))))
+        |  AS BIGINT) AS px_sum
+        |FROM documents""".stripMargin,
+
+    // closed-form PCM sample sum: n = id%50+10 samples of
+    // (id*31 + i*17) mod 2^16 - 2^15 at 8 kHz
+    "m_audio_stats" ->
+      """SELECT doc_id AS id,
+        | CAST(doc_id % 50 + 10 AS BIGINT) AS n_samples,
+        | CAST(list_sum(list_transform(range(0, doc_id % 50 + 10),
+        |   i -> (doc_id * 31 + i * 17) % 65536 - 32768)) AS BIGINT)
+        |  AS sample_sum,
+        | 8000 AS sample_rate
+        |FROM documents""".stripMargin,
 
     "m_mp4_meta" ->
       """SELECT doc_id,

@@ -128,4 +128,44 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L) === ((true, Some(16L), Some(32L))))
     assert(got(3L) === ((false, None, None)))
   }
+
+  test("pixelStats: decoded component sum equals the generating function") {
+    // closed-form sum over the 3×2 raster of v = (id·2654435761 + 7x
+    // + 131y) & 0xFFFFFF, components (v>>16) + ((v>>8)&255) + (v&255)
+    val id = 9L
+    def comps(v: Long): Long = (v >> 16) + ((v >> 8) & 255) + (v & 255)
+    val expect = (for (y <- 0 until 2; x <- 0 until 3)
+      yield comps((id * 2654435761L + x * 7 + y * 131) & 0xFFFFFF)).sum
+    val f = Multimodal.decode(id, Multimodal.renderPng(id, 3, 2))
+    assert(f.width === Some(3) && f.height === Some(2))
+    import spark.implicits._
+    val got = Multimodal.pixelStats(
+        Seq((id, Multimodal.renderPng(id, 3, 2)),
+            (77L, "not an image".getBytes("UTF-8"))).toDF("id", "content"))
+      .collect().map(p => p.id -> ((p.n_px, p.px_sum))).toMap
+    assert(got(id) === ((Some(6L), Some(expect))))
+    assert(got(77L) === ((None, None)))   // classify, never throw
+  }
+
+  test("audioStats: WAVE round trip sums exact PCM samples; junk is null") {
+    val id = 123L
+    val n = (id % 50 + 10).toInt
+    val expect = (0 until n).map(i => (id * 31 + i * 17) % 65536 - 32768).sum
+    val a = Multimodal.decodeAudio(id, Multimodal.renderWav(id))
+    assert(a.n_samples === Some(n.toLong))
+    assert(a.sample_sum === Some(expect))
+    assert(a.sample_rate === Some(8000))
+    val junk = Multimodal.decodeAudio(1L, Array[Byte](1, 2, 3, 4))
+    assert(junk === Multimodal.AudioStats(1L, None, None, None))
+    // a structurally valid RIFF/WAVE whose format the summing contract
+    // rejects (8-bit) classifies as null too, not as a wrong number
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(Array[Byte](1, 2, 3, 4)), fmt8, 4)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val nonPcm16 = Multimodal.decodeAudio(2L, bos.toByteArray)
+    assert(nonPcm16 === Multimodal.AudioStats(2L, None, None, None))
+  }
 }
