@@ -254,6 +254,20 @@ class StreamingSpec extends SparkSpec {
     assert(batch.getDouble(2) > 0.0)
   }
 
+  test("TrendState sums survive the encoder past Decimal(38,18) range") {
+    // sxy/sxx persist as exact decimal STRINGS because the encoder
+    // would map BigDecimal to Decimal(38,18) (~20 integer digits) and
+    // silently null beyond it. Round-trip state magnitudes far past
+    // that bound through the same encoder the state store uses.
+    import spark.implicits._
+    val big = "1" + "0" * 39          // 1e39
+    val st = EventStreams.TrendState(-7L, 5L, 10L, 20L,
+      big, "-" + big + ".25", Seq(1L, 2L, 3L))
+    val got = Seq(st).toDS().repartition(2).collect().head
+    assert(got === st)
+    assert(BigDecimal(got.sxy) === BigDecimal(big)) // still exact
+  }
+
   test("streaming attribution: latest-touch cache, lookback, cross-batch state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
