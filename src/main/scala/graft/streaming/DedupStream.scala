@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 import graft.functions.Text
 import graft.operators.Dedup
@@ -59,4 +60,102 @@ object DedupStream {
           .cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("new_id", "base_id", "jaccard", "band")
+
+  // ------------------------------------------------------------------
+  // Self-building screen: stream vs everything streamed so far
+  // ------------------------------------------------------------------
+
+  /** Per-(band, band-hash) bucket of previously streamed documents:
+    * arrival-ordered ids and their concatenated minhash signatures
+    * (k × 32 hex chars — strings round-trip the state encoder exactly;
+    * see EventStreams.TrendState for the Decimal(38,18) hazard).
+    */
+  final case class BucketState(ids: Seq[Long], sigs: Seq[String])
+
+  final case class NearDupHit(a_id: Long, b_id: Long, band: Int,
+                              est: Double)
+
+  /** Fraction of equal minhash components — the standard unbiased
+    * Jaccard estimator (each component matches with probability J).
+    */
+  private[graft] def sigAgreement(a: String, b: String,
+                                  k: Int): Double = {
+    var m = 0
+    var i = 0
+    while (i < k) {
+      if (a.regionMatches(i * 32, b, i * 32, 32)) m += 1
+      i += 1
+    }
+    m.toDouble / k
+  }
+
+  /** Near-dup screen of a document stream AGAINST ITSELF: the LSH band
+    * index is streaming state that grows as documents flow, so each
+    * arrival is compared to every earlier document sharing a band
+    * bucket — `d_jaccard_incremental`'s daily-ingest shape collapsed
+    * to per-micro-batch granularity, with no offline index rebuild.
+    *
+    * Scale shape: banding is pure map-side expressions; the only
+    * stateful operator is keyed by (band, band-hash), so state and
+    * comparisons shard across executors by bucket. State per bucket
+    * is ids + signatures (k×32 B each), FIFO-capped at `maxPerBucket`
+    * — a boilerplate band bucket (the LSH analogue of a stop-shingle)
+    * degrades to "recent corpus" semantics instead of unbounded state
+    * and O(bucket²) work; legitimate near-dup buckets stay tiny.
+    * Similarity is the signature-agreement estimate (matching
+    * components / k): state never carries shingle sets, so the memory
+    * bound holds; route hits through exact verification
+    * (`Dedup.jaccardPairsAgainst`) downstream if estimates are not
+    * enough. Within a batch, rows process in doc-id order and pairs
+    * emit as (min, max) — the hit set is arrival-order independent
+    * under a fixed batching (spec-proven); as with `flagNearDups`, a
+    * pair agreeing in several bands appears once per band.
+    */
+  def nearDupSelfStream(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, bands: Int, rowsPerBand: Int,
+                        minEst: Double, maxPerBucket: Int = 256)
+      : Dataset[NearDupHit] = {
+    val k = bands * rowsPerBand
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bandedDocs = docs.select(col(idCol).as("doc_id"),
+        Dedup.minhashSignature(
+          array_distinct(Text.shingles(Text.tokens(col(textCol)), n)), k)
+          .as("sig"))
+      .select(col("doc_id"), array_join(col("sig"), "").as("sigcat"),
+        posexplode(Dedup.lshBandKeys(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "bkey")))
+      .select(col("doc_id"), col("band"), col("bkey"), col("sigcat"))
+      .as[(Long, Int, String, String)]
+    bandedDocs
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((band, _), rows, state) =>
+          val st = state.getOption.getOrElse(BucketState(Nil, Nil))
+          var ids = st.ids.toVector
+          var sigs = st.sigs.toVector
+          val out = Seq.newBuilder[NearDupHit]
+          rows.toSeq.sortBy(_._1).foreach { case (id, _, _, sig) =>
+            var j = 0
+            while (j < ids.length) {
+              if (ids(j) != id) {
+                val est = sigAgreement(sig, sigs(j), k)
+                if (est >= minEst)
+                  out += NearDupHit(math.min(id, ids(j)),
+                    math.max(id, ids(j)), band, est)
+              }
+              j += 1
+            }
+            ids :+= id
+            sigs :+= sig
+            if (ids.length > maxPerBucket) {
+              ids = ids.tail
+              sigs = sigs.tail
+            }
+          }
+          state.update(BucketState(ids, sigs))
+          out.result().iterator
+      }
+  }
 }

@@ -6,7 +6,7 @@ import java.sql.Timestamp
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, count, date_trunc, expr, lit}
+import org.apache.spark.sql.functions.{array_distinct, col, concat_ws, count, date_trunc, expr, lit, posexplode}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
@@ -504,6 +504,77 @@ class StreamingSpec extends SparkSpec {
     val pairs = spark.sql("SELECT DISTINCT new_id, base_id FROM neardups")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((10L, 1L)))
+  }
+
+  test("self-building near-dup screen: state grows across batches, matches batch LSH") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d1 = (1L, "the quick brown fox jumps over the lazy dog today ok")
+    val d2 = (2L, "completely different reference text about spark engines and joins")
+    val d3 = (3L, "the quick brown fox jumps over the lazy dog today maybe")
+    val d4 = (4L, "one more unrelated document with fresh novel words only")
+    val mem = MemoryStream[(Long, String)]
+    val hits = graft.streaming.DedupStream.nearDupSelfStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      n = 3, bands = 8, rowsPerBand = 1, minEst = 0.4)
+    val q = hits.writeStream.format("memory").queryName("selfdups")
+      .outputMode("append").start()
+    try {
+      mem.addData(d1, d2)          // batch 1: no near-dups yet
+      q.processAllAvailable()
+      val afterB1 = spark.sql("SELECT count(*) FROM selfdups").collect()
+        .head.getLong(0)
+      assert(afterB1 === 0L)
+      mem.addData(d3, d4)          // batch 2: d3 ~ d1 ACROSS the batches
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql(
+        "SELECT DISTINCT a_id, b_id, est FROM selfdups")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch truth with the SAME estimator: band self-join + agreement
+    val docs = Seq(d1, d2, d3, d4).toDF("doc_id", "text")
+    val banded = docs.select(col("doc_id"),
+        graft.operators.Dedup.minhashSignature(array_distinct(
+          graft.functions.Text.shingles(
+            graft.functions.Text.tokens(col("text")), 3)), 8).as("sig"))
+      .select(col("doc_id"), concat_ws("", col("sig")).as("sigcat"),
+        posexplode(graft.operators.Dedup.lshBandKeys(col("sig"), 8, 1))
+          .as(Seq("band", "bkey")))
+    val expected = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        col("a.sigcat"), col("b.sigcat"))
+      .distinct()
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1),
+          graft.streaming.DedupStream.sigAgreement(
+            r.getString(2), r.getString(3), 8))
+      }.filter(_._3 >= 0.4).toSet
+    assert(streamed === expected)
+    assert(streamed.map(p => (p._1, p._2)).contains((1L, 3L)))
+    assert(!streamed.exists(p => p._1 == 2L || p._2 == 2L ||
+      p._1 == 4L || p._2 == 4L))
+  }
+
+  test("self-building near-dup screen: FIFO bucket cap evicts oldest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val text = "the quick brown fox jumps over the lazy dog today ok"
+    val mem = MemoryStream[(Long, String)]
+    val hits = graft.streaming.DedupStream.nearDupSelfStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      n = 3, bands = 4, rowsPerBand = 2, minEst = 0.9, maxPerBucket = 1)
+    val q = hits.writeStream.format("memory").queryName("evicted")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, text)); q.processAllAvailable()
+      mem.addData((2L, text)); q.processAllAvailable() // pairs with 1, evicts it
+      mem.addData((3L, text)); q.processAllAvailable() // pairs with 2 ONLY
+    } finally q.stop()
+    val pairs = spark.sql("SELECT DISTINCT a_id, b_id FROM evicted")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (2L, 3L))) // (1,3) gone: 1 was evicted
   }
 
   test("sessionize: gap splits sessions, counts preserved") {
