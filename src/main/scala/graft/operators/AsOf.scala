@@ -40,11 +40,15 @@ object AsOf {
     *                  needs); a match further away degrades to
     *                  no-match (all-null payload). None = unbounded.
     *                  Applied per-row AFTER the window pass — no extra
-    *                  shuffle. REQUIRES `tsCol` to be TimestampType
-    *                  (the staleness is measured in microseconds via
-    *                  unix_micros); the untolerated join is
-    *                  type-generic (ordering-only) and accepts any
-    *                  orderable ts column.
+    *                  shuffle. For a TimestampType ts column the unit
+    *                  is SECONDS (measured microsecond-exact via
+    *                  unix_micros); for an integral epoch column
+    *                  (long/int) the unit is the COLUMN'S OWN — the
+    *                  pandas convention, where tolerance takes the
+    *                  dtype's units. Other ts types (double, string)
+    *                  fail loudly: exact staleness arithmetic needs an
+    *                  exact representation. The untolerated join stays
+    *                  type-generic (ordering-only).
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, leftCols: Seq[String], rightCols: Seq[String],
@@ -53,12 +57,14 @@ object AsOf {
                toleranceSeconds: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
-    require(toleranceSeconds.isEmpty ||
-        left.schema(tsCol).dataType ==
-          org.apache.spark.sql.types.TimestampType,
-      "toleranceSeconds requires a TimestampType ts column (got " +
-        s"${left.schema(tsCol).dataType.simpleString}); convert epoch " +
-        "numerics with timestamp_micros/seconds first or omit tolerance")
+    val tsType = left.schema(tsCol).dataType
+    val tsIsTimestamp = tsType == org.apache.spark.sql.types.TimestampType
+    val tsIsIntegral = tsType == org.apache.spark.sql.types.LongType ||
+      tsType == org.apache.spark.sql.types.IntegerType
+    require(toleranceSeconds.isEmpty || tsIsTimestamp || tsIsIntegral,
+      "tolerance requires a TimestampType or integral epoch ts column " +
+        s"(got ${tsType.simpleString}); exact staleness arithmetic " +
+        "needs an exact representation — cast or omit tolerance")
     require(!rightCols.contains("__mts"),
       "rightCols may not contain the reserved name __mts (it would " +
         "collide with the injected match-timestamp struct field)")
@@ -92,11 +98,17 @@ object AsOf {
       case Some(t) =>
         // by construction the match is at-or-before (backward) /
         // at-or-after (forward), so one absolute difference covers
-        // both; microsecond-exact (a seconds floor would admit
-        // matches up to ~1s beyond the bound on sub-second data)
-        val staleness = abs(unix_micros(col("__ts")) -
-          unix_micros(col("__m").getField("__mts")))
-        when(col("__m").isNotNull && staleness <= t * 1000000L, col("__m"))
+        // both; microsecond-exact on timestamps (a seconds floor
+        // would admit matches up to ~1s beyond the bound on
+        // sub-second data), column-unit-exact on integral epochs
+        val (staleness, bound) =
+          if (tsIsTimestamp)
+            (abs(unix_micros(col("__ts")) -
+              unix_micros(col("__m").getField("__mts"))), t * 1000000L)
+          else
+            (abs(col("__ts").cast("long") -
+              col("__m").getField("__mts").cast("long")), t)
+        when(col("__m").isNotNull && staleness <= bound, col("__m"))
           .otherwise(lit(null).cast(matchType))
     }
     carried.filter(col("__side") === 1)

@@ -124,15 +124,36 @@ class AsOfSpec extends SparkSpec {
     assert(gotR1 === Map(10L -> Some(1L), 11L -> None, 12L -> None))
   }
 
-  test("asOfJoin tolerance: non-timestamp ts column fails loudly") {
+  test("asOfJoin tolerance on integral epochs: column units, exact bound") {
     import spark.implicits._
-    val l = Seq((1L, 100L)).toDF("event_id", "ts")
+    // pandas convention: tolerance takes the column's own units
+    val l = Seq((10L, 100L), (11L, 161L)).toDF("event_id", "ts")
+    val r = Seq((1L, 95L), (2L, 100L)).toDF("event_id", "ts")
+    val got = AsOf.asOfJoin(l, r, Seq.empty, "ts",
+        leftCols = Seq("event_id"), rightCols = Seq("event_id"),
+        toleranceSeconds = Some(60L))
+      .collect().map(row => row.getAs[Long]("event_id") ->
+        Option(row.getAs[java.lang.Long]("m_event_id"))).toMap
+    // 10 matches r2 at distance 0; 11's latest-at-or-before is r2 at
+    // distance exactly 61 > 60 → degraded (the bound is inclusive at
+    // 60, so a 160-ts row would have kept it)
+    assert(got === Map(10L -> Some(2L), 11L -> None))
+    val exact = AsOf.asOfJoin(Seq((12L, 160L)).toDF("event_id", "ts"), r,
+        Seq.empty, "ts", leftCols = Seq("event_id"),
+        rightCols = Seq("event_id"), toleranceSeconds = Some(60L))
+      .collect().map(row => Option(row.getAs[java.lang.Long]("m_event_id")))
+    assert(exact.toSeq === Seq(Some(2L)))
+  }
+
+  test("asOfJoin tolerance: inexact ts column (double) fails loudly") {
+    import spark.implicits._
+    val l = Seq((1L, 100.5)).toDF("event_id", "ts")
     val e = intercept[IllegalArgumentException] {
       AsOf.asOfJoin(l, l, Seq.empty, "ts",
         leftCols = Seq("event_id"), rightCols = Seq("event_id"),
         toleranceSeconds = Some(60L))
     }
-    assert(e.getMessage.contains("TimestampType"))
+    assert(e.getMessage.contains("exact"))
   }
 
   test("rangeJoin: inclusive bounds, bucket straddling, each pair once") {
