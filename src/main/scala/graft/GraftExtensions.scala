@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.jsonKeyFunction)
     ext.injectFunction(GraftExtensions.simhashFunction)
     ext.injectFunction(GraftExtensions.mp4Function)
+    ext.injectFunction(GraftExtensions.hammingFunction)
   }
 }
 
@@ -105,8 +106,20 @@ object GraftExtensions {
       graft.expressions.Mp4Meta(args(0))
     })
 
+  /** graft_hamming(hexA, hexB) — bit distance between hex digests,
+    * the SimHash near-dup predicate in SQL.
+    */
+  private val hammingFunction = (
+    FunctionIdentifier("graft_hamming"),
+    new ExpressionInfo(classOf[graft.expressions.HammingHex].getName,
+      "graft_hamming"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "graft_hamming(hexA, hexB) takes 2 arguments")
+      graft.expressions.HammingHex(args(0), args(1))
+    })
+
   private val all = Seq(dotFunction, cosineFunction, jpegFunction,
-    jsonKeyFunction, simhashFunction, mp4Function)
+    jsonKeyFunction, simhashFunction, mp4Function, hammingFunction)
 
   /** Session-scoped registration for an existing session. */
   def register(spark: SparkSession): Unit =

@@ -47,4 +47,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sig === graft.operators.Dedup.simhashHex(
       Seq("alpha", "beta", "gamma")))
   }
+
+  test("graft_hamming usable from SQL; digest of self is distance 0") {
+    GraftExtensions.register(spark)
+    val d = spark.sql(
+      "SELECT graft_hamming('00ff', '00fe') AS d").collect()(0).getInt(0)
+    assert(d === 1)
+    val self = spark.sql(
+      """SELECT graft_hamming(graft_simhash(split(t, ' ')),
+        |  graft_simhash(split(t, ' '))) AS d
+        |FROM (SELECT 'alpha beta gamma' AS t)""".stripMargin)
+      .collect()(0).getInt(0)
+    assert(self === 0)
+  }
 }
