@@ -289,6 +289,118 @@ object Similarity {
       .select("q_id", "rank", "n_id", "cos")
   }
 
+  /** Residual of each vector against its assigned IVF list centroid:
+    * (id, list, rv). The subtraction is elementwise double arithmetic
+    * (IEEE-exact cross-engine), so callers — and the oracle — can
+    * derive residual-space PQ codebooks deterministically.
+    */
+  def ivfResiduals(df: DataFrame, centroids: DataFrame,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val cents = centroids
+      .select(col("cid").cast("int"), col("cv").cast("array<double>"))
+      .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val centMap = cents.toMap
+    df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        element_at(ivfProbes(col(vecCol), cents, 1), 1).as("list"))
+      .select(col("id"), col("list"),
+        zip_with(col("v"), element_at(typedLit(centMap), col("list")),
+          (a, b) => a - b).as("rv"))
+  }
+
+  /** IVF-PQ composite ANN — the production vector-store default
+    * (faiss IndexIVFPQ): the IVF coarse quantizer cuts candidates to
+    * the probed lists, and within them ranking reads only m-byte PQ
+    * codes of the RESIDUAL (vector − list centroid), so the
+    * approximate scan touches codes, never vectors. Exact cosine
+    * reranks the top `rerank` survivors.
+    *
+    * Cross-list comparability: ADC against residual codebooks drops
+    * |q_res|² per (query, list) — constant within a list but NOT
+    * across the nProbe probed lists — so it is added back explicitly
+    * (one number per probe, = |q − c_list|²). The ADC sum is the
+    * explicit left-associated m-term chain + that constant, making
+    * the candidate cut reproducible cross-engine. Quantizer and
+    * codebooks are tiny plan literals (the faiss layout: every worker
+    * holds them; assignment and table build are map-side); candidates
+    * come from the (list) equi-join, and a corpus row lives in exactly
+    * one list so multi-probe never duplicates a pair.
+    */
+  def ivfpqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                rerank: Int, nProbe: Int, centroids: DataFrame,
+                codebooks: DataFrame, m: Int,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val cents = centroids
+      .select(col("cid").cast("int"), col("cv").cast("array<double>"))
+      .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val centMap = cents.toMap
+    val books: Map[Int, Seq[(Int, Seq[Double])]] = codebooks
+      .select(col("sub").cast("int"), col("code").cast("int"),
+        col("cw").cast("array<double>"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(t => (t._2, t._3))).toMap
+    val subLen = books(0).head._2.length
+    def resid(v: Column, list: Column): Column =
+      zip_with(v, element_at(typedLit(centMap), list), (a, b) => a - b)
+    // per-subspace distances to every codeword (see pqTopKWithCodebooks
+    // for why this is one zip_with, not k unrolled dots)
+    def scoredArr(s: Int): Column = zip_with(
+      typedLit(books(s).map(_._2.foldLeft(0.0)((acc, x) => acc + x * x))),
+      transform(typedLit(books(s).map(_._2)),
+        cw => dot(col(s"__v_$s"), cw)),
+      (cn2, d) => cn2 - lit(2.0) * d)
+    def codeOf(s: Int): Column =
+      array_position(scoredArr(s), array_min(scoredArr(s))).cast("int")
+    def subSlices(rv: Column): Seq[Column] =
+      (0 until m).map(s => slice(rv, s * subLen + 1, subLen).as(s"__v_$s"))
+
+    // corpus: one list + m residual codes per row — the stored index
+    // representation (persisted offline in a real deployment; the
+    // checkpoint is this query's stand-in, same as the PQ path)
+    val c = corpus
+      .select(col(idCol).as("n_id"), col(vecCol).as("v"),
+        element_at(ivfProbes(col(vecCol), cents, 1), 1).as("list"))
+      .select(col("n_id") +: col("list") +: subSlices(resid(col("v"), col("list"))): _*)
+      .select(col("n_id") +: col("list") +:
+        (0 until m).map(s => codeOf(s).as(s"c_$s")): _*)
+      .localCheckpoint(false)
+    // queries: nProbe (list, residual table, |q_res|²) triples
+    val q = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("v"),
+        explode(ivfProbes(col(vecCol), cents, nProbe)).as("list"))
+      .select(Seq(col("q_id"), col("list"),
+        resid(col("v"), col("list")).as("__qr")): _*)
+      .select(col("q_id") +: col("list") +:
+        dot(col("__qr"), col("__qr")).as("qrn2") +: subSlices(col("__qr")): _*)
+      .select(col("q_id") +: col("list") +: col("qrn2") +:
+        (0 until m).map(s => scoredArr(s).as(s"t_$s")): _*)
+      .localCheckpoint(false)
+    val adist = (0 until m).map(s =>
+      element_at(col(s"t_$s"), col(s"c_$s"))).reduceLeft(_ + _) + col("qrn2")
+    val wA = Window.partitionBy("q_id")
+      .orderBy(col("adist").asc, col("n_id").asc)
+    val cands = c.join(broadcast(q), Seq("list"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), adist.as("adist"))
+      .withColumn("crank", row_number().over(wA))
+      .filter(col("crank") <= rerank)
+      .select("q_id", "n_id")
+    val cv = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nn"))
+    val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("qn"))
+    val wK = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    cands.join(cv, "n_id").join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("n_id"),
+        cosPre(col("qv"), col("nv"), col("qn"), col("nn")).as("cos"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cos")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, bucketed by
     * sign-LSH so candidate generation is an equi-join (vectors with
     * cosine ≈ 1 share every sign bit almost surely).

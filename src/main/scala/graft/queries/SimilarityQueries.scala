@@ -120,6 +120,30 @@ object SimilarityQueries {
           round(col("cos"), 4).as("cos"))
     }),
 
+    // ---- IVF-PQ composite (faiss IndexIVFPQ): coarse quantizer =
+    //      vec_id<16 (as s_ann_ivf), residual codebooks = 4×16-dim
+    //      slices of the RESIDUALS of vec_id∈[16,32) (deterministic,
+    //      oracle-rebuildable); nProbe=2 lists per query, ADC over
+    //      residual codes with the |q−c|² cross-list term added back,
+    //      exact rerank of the top-10 ----
+    "s_ann_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+      val subs = s.range(0, 4).select(col("id").cast("int").as("sub"))
+      val books = Similarity.ivfResiduals(
+          e.filter(col("vec_id") >= 16 && col("vec_id") < 32), cents)
+        .crossJoin(subs)
+        .select(col("sub"), col("id").cast("int").as("code"),
+          slice(col("rv"), col("sub") * 16 + 1, lit(16)).as("cw"))
+      Similarity.ivfpqTopK(e.filter(col("vec_id") < 30), e, k = 3,
+          rerank = 10, nProbe = 2, centroids = cents, codebooks = books,
+          m = 4)
+        .select(col("q_id"), col("rank"), col("n_id"),
+          round(col("cos"), 4).as("cos"))
+    }),
+
     // ---- int8 scalar-quantized ANN: compressed-domain cosine scan
     //      (4× smaller codes) selects k+4 candidates, exact vectors are
     //      fetched only for those and re-scored (Similarity.sq8TopK) ----
@@ -548,6 +572,72 @@ object SimilarityQueries {
         |  JOIN scored s1 ON s1.vec_id = q.vec_id AND s1.sub = 1 AND s1.code = n.c1
         |  JOIN scored s2 ON s2.vec_id = q.vec_id AND s2.sub = 2 AND s2.code = n.c2
         |  JOIN scored s3 ON s3.vec_id = q.vec_id AND s3.sub = 3 AND s3.code = n.c3),
+        |cands AS (SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id, ROW_NUMBER() OVER (
+        |      PARTITION BY q_id ORDER BY adist ASC, n_id ASC) AS crank
+        |    FROM pairs) z WHERE crank <= 10),
+        |x AS (SELECT q_id, n_id, list_cosine_similarity(qe.v, ne.v) AS cos
+        |  FROM cands JOIN e qe ON qe.vec_id = q_id
+        |  JOIN e ne ON ne.vec_id = n_id),
+        |r AS (SELECT q_id, n_id, cos, ROW_NUMBER() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM x)
+        |SELECT q_id, rank, n_id, ROUND(cos, 4) AS cos
+        |FROM r WHERE rank <= 3""".stripMargin,
+
+    // composite IVF-PQ: same assignment CTEs as s_ann_ivf, same ADC
+    // term shapes as s_ann_pq but over RESIDUALS, plus the explicit
+    // |q−c|² cross-list constant; all sums left-associated to match
+    // the engine's reduceLeft chain
+    "s_ann_ivfpq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cent AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv
+        |  FROM e WHERE vec_id < 16),
+        |ca AS (SELECT vec_id, v, cid, cv, ROW_NUMBER() OVER (
+        |    PARTITION BY vec_id
+        |    ORDER BY list_distance(v, cv) ASC, cid ASC) AS crank
+        |  FROM e CROSS JOIN cent),
+        |res AS (SELECT vec_id, cid AS list, crank,
+        |    list_transform(range(1, 65), i -> v[i] - cv[i]) AS rv
+        |  FROM ca),
+        |corpus AS (SELECT vec_id AS n_id, list, rv FROM res WHERE crank = 1),
+        |subs AS (SELECT unnest(range(0, 4)) AS sub),
+        |books AS (SELECT sub, CAST(n_id AS INT) AS code,
+        |    rv[(sub*16+1):(sub*16+16)] AS cw
+        |  FROM corpus CROSS JOIN subs WHERE n_id >= 16 AND n_id < 32),
+        |cscored AS (SELECT c.n_id, c.list, b.sub, b.code,
+        |    list_inner_product(b.cw, b.cw)
+        |      - 2 * list_inner_product(c.rv[(b.sub*16+1):(b.sub*16+16)], b.cw) AS d2
+        |  FROM corpus c CROSS JOIN books b),
+        |codes AS (SELECT n_id, list, sub, code FROM (
+        |    SELECT n_id, list, sub, code, ROW_NUMBER() OVER (
+        |      PARTITION BY n_id, sub ORDER BY d2 ASC, code ASC) AS rn
+        |    FROM cscored) z WHERE rn = 1),
+        |cwf AS (SELECT n_id, list,
+        |    MAX(CASE WHEN sub = 0 THEN code END) AS c0,
+        |    MAX(CASE WHEN sub = 1 THEN code END) AS c1,
+        |    MAX(CASE WHEN sub = 2 THEN code END) AS c2,
+        |    MAX(CASE WHEN sub = 3 THEN code END) AS c3
+        |  FROM codes GROUP BY n_id, list),
+        |probes AS (SELECT vec_id AS q_id, list, rv AS qr,
+        |    list_inner_product(rv, rv) AS qrn2
+        |  FROM res WHERE crank <= 2 AND vec_id < 30),
+        |qscored AS (SELECT p.q_id, p.list, b.sub, b.code,
+        |    list_inner_product(b.cw, b.cw)
+        |      - 2 * list_inner_product(p.qr[(b.sub*16+1):(b.sub*16+16)], b.cw) AS d2
+        |  FROM probes p CROSS JOIN books b),
+        |pairs AS (SELECT p.q_id, n.n_id,
+        |    s0.d2 + s1.d2 + s2.d2 + s3.d2 + p.qrn2 AS adist
+        |  FROM cwf n
+        |  JOIN probes p ON p.list = n.list AND p.q_id <> n.n_id
+        |  JOIN qscored s0 ON s0.q_id = p.q_id AND s0.list = p.list
+        |    AND s0.sub = 0 AND s0.code = n.c0
+        |  JOIN qscored s1 ON s1.q_id = p.q_id AND s1.list = p.list
+        |    AND s1.sub = 1 AND s1.code = n.c1
+        |  JOIN qscored s2 ON s2.q_id = p.q_id AND s2.list = p.list
+        |    AND s2.sub = 2 AND s2.code = n.c2
+        |  JOIN qscored s3 ON s3.q_id = p.q_id AND s3.list = p.list
+        |    AND s3.sub = 3 AND s3.code = n.c3),
         |cands AS (SELECT q_id, n_id FROM (
         |    SELECT q_id, n_id, ROW_NUMBER() OVER (
         |      PARTITION BY q_id ORDER BY adist ASC, n_id ASC) AS crank

@@ -256,4 +256,40 @@ class SimilaritySpec extends SparkSpec {
     val r1 = out.filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(r1 === Map(1L -> 2L, 2L -> 1L))
   }
+
+  test("ivfpqTopK: k rows per query, no duplicate pairs, useful recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+    val subs = spark.range(0, 4).select(col("id").cast("int").as("sub"))
+    val books = Similarity.ivfResiduals(
+        e.filter(col("vec_id") >= 16 && col("vec_id") < 32), cents)
+      .crossJoin(subs)
+      .select(col("sub"), col("id").cast("int").as("code"),
+        slice(col("rv"), col("sub") * 16 + 1, lit(16)).as("cw"))
+    val queries = e.filter(col("vec_id") < 20)
+    val approx = Similarity.ivfpqTopK(queries, e, k = 3, rerank = 10,
+      nProbe = 2, centroids = cents, codebooks = books, m = 4).collect()
+    assert(approx.map(_.getLong(0)).distinct.length === 20)
+    assert(approx.length === 60)                        // k per query
+    assert(approx.map(r => (r.getLong(0), r.getLong(2))).distinct.length
+      === 60)                                            // no dup pairs
+    // recall@3 vs brute force: nProbe=2 of 16 lists covers ~12.5% of
+    // an UNCLUSTERED random corpus, so chance recall is ~7-8/60; the
+    // floor asserts genuine centroid signal (measured 19/60), not
+    // production recall — real embeddings cluster, random ones don't
+    val exact = Similarity.cosineTopK(queries, e, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hit = approx.map(r => (r.getLong(0), r.getLong(2)))
+      .count(exact.contains)
+    assert(hit >= 13, s"recall@3 at or below chance: $hit/60")
+    // rerank is exact cosine: emitted cos equals the true cosine
+    val truth = Similarity.cosineTopK(queries, e, k = 200)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    approx.foreach { r =>
+      val c = truth((r.getLong(0), r.getLong(2)))
+      assert(math.abs(c - r.getDouble(3)) < 1e-12)
+    }
+  }
 }
