@@ -401,6 +401,44 @@ object Similarity {
       .select("q_id", "rank", "n_id", "cos")
   }
 
+  /** IVF-PQ with a trained pipeline: seeded KMeans coarse quantizer
+    * (as `ivfTopK`), residual codebooks from per-subspace seeded
+    * KMeans over the corpus residuals — the full faiss training recipe
+    * distributed as two ML fits. Search delegates to the same
+    * plan-literal core as the explicit-parameter path (spec-gated;
+    * training is not SQL-expressible).
+    */
+  def ivfpqTopKTrained(queries: DataFrame, corpus: DataFrame, k: Int,
+                       rerank: Int, nProbe: Int, nLists: Int,
+                       m: Int, codesPerSub: Int, seed: Long = 42L,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val coarse = new KMeans().setK(nLists).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("list")
+      .fit(corpus.select(array_to_vector(col(vecCol)).as("fv")))
+    val cents = coarse.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq
+    import spark.implicits._
+    val centDf = cents.toDF("cid", "cv")
+    val res = ivfResiduals(corpus, centDf, idCol, vecCol)
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val subLen = dim / m
+    val books = (0 until m).flatMap { s =>
+      val sub = new KMeans().setK(codesPerSub).setSeed(seed + s)
+        .setFeaturesCol("fv").setPredictionCol("c")
+        .fit(res.select(array_to_vector(
+          slice(col("rv"), s * subLen + 1, subLen)).as("fv")))
+      sub.clusterCenters.zipWithIndex.map { case (v, i) =>
+        (s, i, v.toArray.toSeq)
+      }
+    }
+    ivfpqTopK(queries, corpus, k, rerank, nProbe, centDf,
+      books.toDF("sub", "code", "cw"), m, idCol, vecCol)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, bucketed by
     * sign-LSH so candidate generation is an equi-join (vectors with
     * cosine ≈ 1 share every sign bit almost surely).

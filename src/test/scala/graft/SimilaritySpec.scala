@@ -292,4 +292,17 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(c - r.getDouble(3)) < 1e-12)
     }
   }
+
+  test("ivfpqTopKTrained: seeded end-to-end training is deterministic, k rows per query") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val queries = e.filter(col("vec_id") < 10)
+    def run() = Similarity.ivfpqTopKTrained(queries, e, k = 3,
+        rerank = 10, nProbe = 2, nLists = 8, m = 4, codesPerSub = 8)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val a = run()
+    assert(a.length === 30)
+    assert(a === run()) // same seed → same quantizers → same answer
+  }
 }
