@@ -272,4 +272,21 @@ class PlanSpec extends SparkSpec {
     val mp4 = planOf("m_mp4_meta")
     assert(!mp4.contains("Exchange"), mp4)
   }
+
+  test("round-5 shapes: span dedup equi-joins, IVF-PQ broadcast, no cartesians") {
+    // duplicated-span dedup: candidate generation is the n-gram
+    // equi-join + the covered-grid anti-join — never a cartesian
+    val stats = planOf("d_span_stats")
+    assert(!stats.contains("CartesianProduct"), stats)
+    val scrub = planOf("d_span_scrub")
+    assert(!scrub.contains("CartesianProduct"), scrub)
+    assert(scrub.contains("LeftAnti"), scrub) // covered-index removal
+
+    // IVF-PQ: candidates via the (list) equi-join with the tiny query
+    // side broadcast; codes/tables are plan literals, so no cartesian
+    // anywhere in the composite
+    val ivfpq = planOf("s_ann_ivfpq")
+    assert(ivfpq.contains("Broadcast"), ivfpq)
+    assert(!ivfpq.contains("CartesianProduct"), ivfpq)
+  }
 }
