@@ -232,6 +232,44 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) === (("a b", 2L, 0L)))
   }
 
+  test("dupSpanStats/Scrub match a brute-force model on random corpora") {
+    // seeded random corpora over a tiny vocabulary (high n-gram
+    // collision rate) vs an independent in-memory model: dup set =
+    // n-grams in >= 2 distinct docs; covered = union of [p, p+n-1]
+    val rnd = new scala.util.Random(421)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    for (_ <- 1 to 3) {
+      val n = 3
+      val corpus = (1L to 20L).map { id =>
+        val len = 5 + rnd.nextInt(26)
+        id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val grams = toks.view.mapValues(ts =>
+        ts.sliding(n).zipWithIndex
+          .map { case (g, i) => (i + 1, g.mkString(" ")) }.toSeq).toMap
+      val dup = grams.toSeq.flatMap { case (id, gs) =>
+        gs.map(g => (g._2, id)) }.groupBy(_._1)
+        .filter(_._2.map(_._2).distinct.length >= 2).keySet
+      val expected = toks.map { case (id, ts) =>
+        val covered = grams(id).filter(g => dup(g._2))
+          .flatMap { case (p, _) => p until p + n }.toSet
+        id -> ((ts.length, covered.size.toLong,
+          ts.zipWithIndex.collect {
+            case (t, i) if !covered(i + 1) => t }.mkString(" ")))
+      }
+      val df = docs(corpus: _*)
+      val stats = Dedup.dupSpanStats(df, "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+      val scrub = Dedup.dupSpanScrub(df, "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      expected.foreach { case (id, (nTok, nCov, clean)) =>
+        assert(stats(id) === ((nTok, nCov)), s"stats doc $id")
+        assert(scrub(id) === clean, s"scrub doc $id")
+      }
+    }
+  }
+
   test("span stats and scrub agree on every doc (union = anti-join count)") {
     // two independent exact algorithms for the covered-token count:
     // the lead()-window interval union and the explode/distinct/
