@@ -252,6 +252,48 @@ object Multimodal {
       })
   }
 
+  final case class ResizeStats(id: Long, rw: Option[Int], rh: Option[Int],
+                               px_sum: Option[Long])
+
+  /** REAL image resize over the decoded raster: the standard
+    * nearest-neighbor kernel, sampled explicitly (src = ⌊dst·srcDim /
+    * dstDim⌋, exact integer arithmetic) rather than through Java2D's
+    * implementation-defined filtered scaler — so the resized image is
+    * bit-deterministic and its exact component sum is closed-form
+    * predictable from the generating function. Emits the resized
+    * dimensions and that sum; undecodable payloads yield nulls. Same
+    * per-partition decoder shape as the other media ops (a production
+    * resize kernel drops into the same seam).
+    */
+  def resizeStats(df: DataFrame, w2: Int, h2: Int): Dataset[ResizeStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img == null) ResizeStats(id, None, None, None)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y2 = 0
+          while (y2 < h2) {
+            val sy = y2 * h / h2
+            var x2 = 0
+            while (x2 < w2) {
+              val v = img.getRGB(x2 * w / w2, sy)
+              sum += ((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)
+              x2 += 1
+            }
+            y2 += 1
+          }
+          ResizeStats(id, Some(w2), Some(h2), Some(sum))
+        }
+      })
+  }
+
   // ------------------------------------------------------------------
   // Sample-level audio statistics (REAL javax.sound.sampled decode)
   // ------------------------------------------------------------------

@@ -71,6 +71,25 @@ object MultimodalQueries {
       Multimodal.pixelStats(imgs).toDF().select("id", "n_px", "px_sum")
     }),
 
+    // ---- REAL resize (nearest-neighbor, explicit integer sampling)
+    //      of the decoded raster to 8×6; the oracle predicts the exact
+    //      component sum of the RESIZED image from the generating
+    //      function — proving decode + kernel, not just dimensions ----
+    "m_resize" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") % 64 + 1).cast("int").as("w"),
+          ((col("doc_id") * 7) % 64 + 1).cast("int").as("h"))
+        .as[(Long, Int, Int)]
+        .mapPartitions(_.map { case (id, w, h) =>
+          (id, Multimodal.renderPng(id, w, h))
+        })
+        .toDF("id", "content")
+      Multimodal.resizeStats(imgs, 8, 6).toDF()
+        .select("id", "rw", "rh", "px_sum")
+    }),
+
     // ---- SAMPLE-level audio round trip through javax.sound.sampled:
     //      real WAVE encode, real decode, exact PCM sample sum ----
     "m_audio_stats" -> ((s, dir) => {
@@ -289,6 +308,24 @@ object MultimodalQueries {
         |       + ((doc_id * 2654435761 + x * 7 + y * 131) & 255)))))
         |  AS BIGINT) AS px_sum
         |FROM documents""".stripMargin,
+
+    // nearest-neighbor resize to 8×6: src pixel (x2·w)//8, (y2·h)//6 —
+    // same generating-function components as m_pixel_stats, sampled at
+    // the kernel's source coordinates (term built programmatically so
+    // the three component extractions share one balanced expression)
+    "m_resize" -> {
+      val term = "(doc_id * 2654435761" +
+        " + ((x2 * (doc_id % 64 + 1)) // 8) * 7" +
+        " + ((y2 * ((doc_id * 7) % 64 + 1)) // 6) * 131)"
+      val comps = s"((($term & 16777215) >> 16)" +
+        s" + ((($term & 16777215) >> 8) & 255)" +
+        s" + ($term & 255))"
+      s"""SELECT doc_id AS id, 8 AS rw, 6 AS rh,
+         | CAST(list_sum(flatten(list_transform(range(0, 6), y2 ->
+         |   list_transform(range(0, 8), x2 -> $comps)))) AS BIGINT)
+         |  AS px_sum
+         |FROM documents""".stripMargin
+    },
 
     // closed-form PCM sample sum: n = id%50+10 samples of
     // (id*31 + i*17) mod 2^16 - 2^15 at 8 kHz

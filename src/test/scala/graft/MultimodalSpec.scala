@@ -147,6 +147,21 @@ class MultimodalSpec extends SparkSpec {
     assert(got(77L) === ((None, None)))   // classify, never throw
   }
 
+  test("resizeStats: nearest-neighbor kernel samples exactly; junk is null") {
+    // 4×2 source → 2×1: kernel samples src (0,0) and (2,0)
+    val id = 5L
+    def comps(v: Long): Long = (v >> 16) + ((v >> 8) & 255) + (v & 255)
+    def px(x: Int, y: Int): Long =
+      comps((id * 2654435761L + x * 7 + y * 131) & 0xFFFFFF)
+    import spark.implicits._
+    val got = graft.operators.Multimodal.resizeStats(
+        Seq((id, graft.operators.Multimodal.renderPng(id, 4, 2)),
+            (9L, Array[Byte](1, 2, 3))).toDF("id", "content"), 2, 1)
+      .collect().map(r => r.id -> ((r.rw, r.rh, r.px_sum))).toMap
+    assert(got(id) === ((Some(2), Some(1), Some(px(0, 0) + px(2, 0)))))
+    assert(got(9L) === ((None, None, None)))
+  }
+
   test("audioStats: WAVE round trip sums exact PCM samples; junk is null") {
     val id = 123L
     val n = (id % 50 + 10).toInt
