@@ -334,17 +334,22 @@ object TextQueries {
     }),
 
     // ---- statistical bigram LM table: P(w2|w1) = c(w1w2)/Σ_w c(w1w),
-    //      top-50 bigrams — two map-combinable aggregations and one
-    //      keyed window; the numerator/denominator division is a single
-    //      shared IEEE tree ----
+    //      top-50 bigrams — the conditional denominator is a
+    //      groupBy(w1) + equi-join back, NOT a window over w1: at
+    //      corpus scale w1="the" holds ~vocabulary-many bigram types
+    //      in one un-splittable window partition (AQE splits skewed
+    //      joins, not skewed windows), while the agg is map-side
+    //      combinable and the join AQE-skew-splittable; the
+    //      numerator/denominator division is a single shared IEEE
+    //      tree ----
     "t_bigram_lm" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val d = t(s, dir, "documents")
       val bi = d.select(explode(Text.shingles(Text.tokens(col("text")), 2))
           .as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("c"))
         .withColumn("w1", split(col("bigram"), " ").getItem(0))
-      bi.withColumn("cp", sum(col("c")).over(Window.partitionBy("w1")))
+      val den = bi.groupBy("w1").agg(sum(col("c")).as("cp"))
+      bi.join(den, "w1")
         .select(col("bigram"), col("c"),
           (col("c").cast("double") / col("cp").cast("double")).as("p_cond"))
         .orderBy(col("c").desc, col("bigram").asc).limit(50)
@@ -353,14 +358,15 @@ object TextQueries {
     // ---- LM-based quality scoring (CCNet-style): average bigram
     //      negative log-likelihood under the corpus's own bigram LM —
     //      low avg_nll = predictable/fluent text, high = gibberish.
-    //      LM build = two map-combinable aggs + a keyed window; scoring
+    //      LM build = three map-combinable aggs + a w1 equi-join (the
+    //      denominator deliberately avoids a window over the Zipfian
+    //      w1 key — see t_bigram_lm); scoring
     //      is one equi-join on the bigram. Per-term -ln p rounds to 4
     //      decimals (the project's ln/libm absorption margin — ulp
     //      divergence between Math.log and DuckDB's log sits ~1e-15,
     //      11 orders under the rounding boundary) and sums as exact
     //      DECIMAL (partition-order independent) ----
     "t_perplexity" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val d = t(s, dir, "documents")
       // Pre-aggregate to (doc, bigram, multiplicity) so the corpus-sized
       // explode runs ONCE; localCheckpoint because both the LM build and
@@ -370,9 +376,10 @@ object TextQueries {
           explode(Text.shingles(Text.tokens(col("text")), 2)).as("bigram"))
         .groupBy("doc_id", "bigram").agg(count(lit(1)).as("k"))
         .localCheckpoint(false)
-      val probs = bg.groupBy("bigram").agg(sum(col("k")).as("c"))
+      val cnt = bg.groupBy("bigram").agg(sum(col("k")).as("c"))
         .withColumn("w1", split(col("bigram"), " ").getItem(0))
-        .withColumn("cp", sum(col("c")).over(Window.partitionBy("w1")))
+      val den = cnt.groupBy("w1").agg(sum(col("c")).as("cp"))
+      val probs = cnt.join(den, "w1")
         .select(col("bigram"),
           (col("c").cast("double") / col("cp").cast("double")).as("p"))
       bg.join(probs, "bigram")

@@ -144,11 +144,24 @@ class PlanSpec extends SparkSpec {
     val pr = planOf("g_pagerank")
     assert(pr.contains("TakeOrderedAndProject"), pr)
     assert(!pr.contains("CartesianProduct"), pr)
-    // perplexity: LM probabilities windowed by first token only after
-    // the bigram-count agg (vocab-bounded), scoring is an equi-join
+    // perplexity: LM probabilities equi-joined on the bigram, scoring
+    // is an equi-join — no cartesian anywhere
     val tp = planOf("t_perplexity")
     assert(!tp.contains("CartesianProduct") &&
       !tp.contains("BroadcastNestedLoopJoin"), tp)
+  }
+
+  test("round-6 shapes: bigram-LM denominator is agg+join, never a w1 window") {
+    // the Zipfian w1 key (w1="the" ~ vocabulary-many bigram types) must
+    // NOT be a window partition key: AQE can split a skewed join but
+    // not a skewed window. The denominator is groupBy(w1)+equi-join —
+    // map-side combinable, skew-splittable, same values.
+    Seq("t_bigram_lm", "t_perplexity").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q plan contains a Window:\n$p")
+      assert(p.contains("HashAggregate") || p.contains("SortAggregate"), q)
+      assert(p.contains("Join"), s"$q: denominator join missing\n$p")
+    }
   }
 
   test("round-4 additions: skyline aggregates before its window, graph/SCD shapes") {
