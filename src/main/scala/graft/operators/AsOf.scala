@@ -65,6 +65,14 @@ object AsOf {
       "tolerance requires a TimestampType or integral epoch ts column " +
         s"(got ${tsType.simpleString}); exact staleness arithmetic " +
         "needs an exact representation — cast or omit tolerance")
+    // Same loud contract for the right side: a long left vs timestamp
+    // right would otherwise pass here and die inside the union/struct
+    // build with a far less diagnostic error.
+    require(toleranceSeconds.isEmpty ||
+      right.schema(tsCol).dataType == tsType,
+      s"tolerance requires both sides' $tsCol to have the same type; " +
+        s"left is ${tsType.simpleString}, right is " +
+        s"${right.schema(tsCol).dataType.simpleString} — cast one side")
     require(!rightCols.contains("__mts"),
       "rightCols may not contain the reserved name __mts (it would " +
         "collide with the injected match-timestamp struct field)")

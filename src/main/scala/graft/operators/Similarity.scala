@@ -342,7 +342,18 @@ object Similarity {
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
       .groupBy(_._1).view
       .mapValues(_.sortBy(_._2).map(t => (t._2, t._3))).toMap
+    // Loud contract checks: a dim not divisible into m equal subspaces
+    // would silently drop trailing components from code assignment, and
+    // a missing subspace would surface as a bare NoSuchElementException.
+    require(books.keySet == (0 until m).toSet,
+      s"PQ codebooks must cover exactly subspaces 0..${m - 1}; " +
+        s"got {${books.keySet.toSeq.sorted.mkString(",")}}")
     val subLen = books(0).head._2.length
+    val dim = cents.head._2.length
+    require(dim == m * subLen,
+      s"vector dim $dim (from IVF centroids) must equal m*subLen = " +
+        s"$m*$subLen = ${m * subLen}; trailing components would be " +
+        "silently excluded from PQ code assignment")
     def resid(v: Column, list: Column): Column =
       zip_with(v, element_at(typedLit(centMap), list), (a, b) => a - b)
     // per-subspace distances to every codeword (see pqTopKWithCodebooks

@@ -147,11 +147,17 @@ object DedupStream {
               }
               j += 1
             }
-            ids :+= id
-            sigs :+= sig
-            if (ids.length > maxPerBucket) {
-              ids = ids.tail
-              sigs = sigs.tail
+            // idempotent on replay: a doc_id already in the bucket (batch
+            // reprocessing, duplicate input) must not occupy a second
+            // state slot — it would inflate state toward the FIFO cap and
+            // re-emit hits against the same document on later arrivals
+            if (!ids.contains(id)) {
+              ids :+= id
+              sigs :+= sig
+              if (ids.length > maxPerBucket) {
+                ids = ids.tail
+                sigs = sigs.tail
+              }
             }
           }
           state.update(BucketState(ids, sigs))

@@ -261,8 +261,12 @@ object EventStreams {
   // sxy/sxx travel as exact decimal STRINGS, not BigDecimal: Spark's
   // state encoder maps BigDecimal to Decimal(38,18) — only ~20 integer
   // digits — and a long-lived key whose exact sums crossed ~1e20 would
-  // silently null at serialization. BigDecimal.toString/BigDecimal(s)
-  // round-trip exactly at any magnitude.
+  // silently null at serialization. The string round-trip is bounded by
+  // scala.math.BigDecimal's default MathContext.DECIMAL128 (34
+  // significant digits — BigDecimal(s) rounds on parse past that), but
+  // the in-flight scala BigDecimal arithmetic carries the same 34-digit
+  // context, so persistence is never the weakest link: the stored
+  // string is exactly the value the arithmetic held.
   final case class TrendState(x0: Long, n: Long, sx: Long, sy: Long,
                               sxy: String, sxx: String,
                               seen: Seq[Long])

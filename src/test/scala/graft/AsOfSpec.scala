@@ -156,6 +156,23 @@ class AsOfSpec extends SparkSpec {
     assert(e.getMessage.contains("exact"))
   }
 
+  test("asOfJoin tolerance: mismatched left/right ts types fail loudly") {
+    import spark.implicits._
+    // long left vs timestamp right previously passed the left-only type
+    // check and died deep inside the union/struct build; now it names
+    // both types up front
+    val l = Seq((1L, 100L)).toDF("event_id", "ts")
+    val r = Seq((2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("event_id", "ts")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.asOfJoin(l, r, Seq.empty, "ts",
+        leftCols = Seq("event_id"), rightCols = Seq("event_id"),
+        toleranceSeconds = Some(60L))
+    }
+    assert(e.getMessage.contains("same type") &&
+      e.getMessage.contains("bigint") && e.getMessage.contains("timestamp"))
+  }
+
   test("rangeJoin: inclusive bounds, bucket straddling, each pair once") {
     // window: [-60s, 0] before each left row; bucket width = 60s —
     // right rows sit at the exact bounds and across a bucket boundary

@@ -293,6 +293,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfpqTopK: dim/codebook contract violations fail loudly") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val cents = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+    def booksFor(m: Int, subLen: Int) = {
+      val subs = spark.range(0, m).select(col("id").cast("int").as("sub"))
+      Similarity.ivfResiduals(
+          e.filter(col("vec_id") >= 4 && col("vec_id") < 8), cents)
+        .crossJoin(subs)
+        .select(col("sub"), col("id").cast("int").as("code"),
+          slice(col("rv"), col("sub") * subLen + 1, lit(subLen)).as("cw"))
+    }
+    // dim=64 with m=5, subLen=12 → 60 ≠ 64: the trailing 4 components
+    // would silently drop from code assignment — must refuse instead
+    val dimErr = intercept[IllegalArgumentException] {
+      Similarity.ivfpqTopK(e.filter(col("vec_id") < 2), e, k = 1,
+        rerank = 4, nProbe = 1, centroids = cents,
+        codebooks = booksFor(5, 12), m = 5)
+    }
+    assert(dimErr.getMessage.contains("m*subLen"))
+    // codebooks covering subspaces 0..2 with m=4 → missing subspace 3
+    val missErr = intercept[IllegalArgumentException] {
+      Similarity.ivfpqTopK(e.filter(col("vec_id") < 2), e, k = 1,
+        rerank = 4, nProbe = 1, centroids = cents,
+        codebooks = booksFor(3, 16), m = 4)
+    }
+    assert(missErr.getMessage.contains("subspaces"))
+  }
+
   test("ivfpqTopKTrained: seeded end-to-end training is deterministic, k rows per query") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
