@@ -76,6 +76,45 @@ class SelectSpec extends SparkSpec {
         new HPath("file:/p.txt"))) === null)
   }
 
+  test("O13 end-to-end: a store-side creation time (≠ mtime) drives the date filter") {
+    // contract test for the cloud branch of the reflective probe: a
+    // FileSystem whose listing yields FileStatus subclasses with
+    // getCreationTime (creation = mtime − 30 days) must flow that value
+    // through Listing.list → LakeFile.creation_time → the O13 coalesce,
+    // flipping a decision the mtime alone would not flip
+    // (reference semantics app/main.py:120-124)
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mockct.impl", classOf[CreationTimeFs].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft-ctfs")
+    java.nio.file.Files.writeString(root.resolve("q.json"), "{}")
+    try {
+      val cloud = graft.sources.Listing.list(spark, s"mockct:$root")
+      val row = cloud.collect().head
+      assert(row.creation_time !== null) // the probe took the cloud branch
+      assert(row.creation_time.getTime ===
+        row.last_modified.getTime - CreationTimeFs.CreationLagMs)
+
+      // bound strictly between creation and mtime: the coalesced date is
+      // the CREATION time, so the file is rejected as too early even
+      // though its mtime is inside the window...
+      val after = Some(new Timestamp(
+        row.last_modified.getTime - CreationTimeFs.CreationLagMs / 2))
+      def keptCount(listed: org.apache.spark.sql.Dataset[graft.model.LakeFile]) =
+        listed.filter(Select.inDateRange(
+          Select.fileDate(col("creation_time"), col("last_modified")),
+          after, None)).count()
+      assert(keptCount(cloud) === 0L)
+      // ...while the SAME directory through file:// (no creation time)
+      // falls back to mtime and passes — the two branches of the
+      // coalesce, same file, different stores
+      val local = graft.sources.Listing.list(spark, s"file:$root")
+      assert(local.collect().head.creation_time === null)
+      assert(keptCount(local) === 1L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }
+  }
+
   test("O15: keep + reason columns, reference check order") {
     import spark.implicits._
     val df = Seq(
