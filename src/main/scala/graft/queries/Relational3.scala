@@ -110,6 +110,47 @@ object Relational3 {
           col("q").getItem(2).as("p75"))
     }),
 
+    // ---- relational exactness gate for the sketch path: recompute the
+    //      sketches ALONGSIDE the exact count-distinct and exact
+    //      rank-window quantile bounds, and emit only exact values plus
+    //      the asserted error bounds as booleans. The oracle states the
+    //      exact side and literal TRUE for every bound, so a sketch
+    //      drifting out of its error envelope flips a boolean and turns
+    //      this row red in the driver's hash compare — q_approx_stats
+    //      itself stays rows-only (sketch values are engine-specific by
+    //      design). HLL at rsd=1% gates at 3% (3σ); percentile_approx
+    //      at accuracy 10000 has rank error ≤ 1e-4·n, gated via exact
+    //      quantiles at fraction ±0.005 (50× margin) — quantile
+    //      monotonicity makes the bound interpolation-free ----
+    "q_approx_stats_gate" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val qs = Seq(0.25, 0.5, 0.75)
+      val eps = 0.005
+      val sk = o.agg(
+        approx_count_distinct(col("o_custkey"), rsd = 0.01).as("hll"),
+        percentile_approx(col("o_totalprice"),
+          array(qs.map(lit): _*), lit(10000)).as("qarr"),
+        countDistinct(col("o_custkey")).as("exact_customers"))
+      val bounds = graft.operators.Profile.exactQuantiles(
+        o, "o_totalprice", qs.flatMap(q => Seq(q - eps, q + eps)))
+      val b = bounds.agg(
+        max(when(col("q") === qs.head - eps, col("value"))).as("lo_0"),
+        (qs.zipWithIndex.tail.flatMap { case (q, i) =>
+          Seq(max(when(col("q") === q - eps, col("value"))).as(s"lo_$i"),
+            max(when(col("q") === q + eps, col("value"))).as(s"hi_$i"))
+        } :+ max(when(col("q") === qs.head + eps, col("value"))).as("hi_0")): _*)
+      val okCols = qs.indices.map { i =>
+        val v = col("qarr").getItem(i)
+        (v >= col(s"lo_$i") && v <= col(s"hi_$i")).as(s"p${(qs(i) * 100).toInt}_ok")
+      }
+      sk.crossJoin(broadcast(b)).select(
+        (col("exact_customers") +:
+          (abs(col("hll").cast("double") -
+              col("exact_customers").cast("double")) <=
+            lit(0.03) * col("exact_customers").cast("double")).as("hll_ok") +:
+          okCols): _*)
+    }),
+
     // ---- deterministic stratified sample (256 md5 buckets/stratum) ----
     "q_stratified_sample" -> ((s, dir) => {
       Sampling.stratifiedHashSample(t(s, dir, "customer"),
@@ -128,6 +169,13 @@ object Relational3 {
       | + strpos('0123456789abcdef', substring(md5(CAST(c_custkey AS VARCHAR)), 2, 1)) - 1)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle is the EXACT side plus the asserted error bounds: a
+    // sketch outside its envelope flips a boolean and fails the hash
+    "q_approx_stats_gate" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS exact_customers,
+        | TRUE AS hll_ok, TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+        |FROM orders""".stripMargin,
+
     "q7_volume_shipping" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          | CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
