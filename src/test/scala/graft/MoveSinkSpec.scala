@@ -67,6 +67,41 @@ class MoveSinkSpec extends SparkSpec {
     assert(Files.exists(root.resolve("a.txt"))) // source never deleted
   }
 
+  test("CopyAsync: report stays truthful when the target rejects the write mid-flight") {
+    // the reference's fire-and-forget contract (app/app.py:57-64): the
+    // copy is issued and never awaited, so the report can only ever say
+    // `pending` — never `success`. When the target store kills the
+    // transfer AFTER issuance, that already-reported status must remain
+    // the honest one: no retroactive success, no thrown error, source
+    // intact, and nothing materialized at the destination.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.failwrite.impl", classOf[FailingWriteFs].getName)
+    val root = tmp()
+    Files.writeString(root.resolve("a.txt"), "DOOMED")
+    FailingWriteFs.createAttempts.set(0)
+    val res = MoveSink.run(
+      planDf((s"file:$root/a.txt", s"failwrite:$root/out/a.txt")),
+      MoveSink.CopyAsync).collect()
+    // issuance succeeded (exists/mkdirs on the target fs pass), so the
+    // truthful immediate status is pending — explicitly NOT success
+    assert(res.length === 1)
+    assert(res(0).ok && res(0).status === "pending")
+    assert(res(0).bytes === 6L)
+    // await the detached worker actually attempting (and failing) the
+    // write — counter, not sleep, so the assertion is deterministic
+    val deadline = System.currentTimeMillis() + 30000
+    while (FailingWriteFs.createAttempts.get() == 0 &&
+           System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    assert(FailingWriteFs.createAttempts.get() >= 1,
+      "detached copy never reached the target fs")
+    // the rejection is absorbed by the detached worker: source intact,
+    // no destination, and the already-collected report is unchanged
+    Thread.sleep(100) // let the worker's catch run after create() threw
+    assert(Files.readString(root.resolve("a.txt")) === "DOOMED")
+    assert(!Files.exists(root.resolve("out/a.txt")))
+  }
+
   test("idempotent retry: src gone + dst present ⇒ success (SURVEY §4.3)") {
     val root = tmp()
     Files.writeString(root.resolve("done.txt"), "X")
