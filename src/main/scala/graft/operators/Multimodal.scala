@@ -194,15 +194,28 @@ object Multimodal {
 
   /** Frame-sampling plumbing for video-like payloads: emit `n` evenly
     * indexed frame descriptors per payload (a real implementation
-    * replaces the descriptor with decoded frame bytes).
+    * replaces the descriptor with decoded frame bytes — the JDK ships
+    * no video codec, so the decode seam stays a stub here).
+    *
+    * Each descriptor carries a byte offset a real demuxer could seek
+    * to: evenly spaced floor(i·len/n) positions — monotone
+    * non-decreasing in frame_idx and always inside [0, n_bytes) for a
+    * non-empty payload (exact integer arithmetic, no doubles). This
+    * keeps the seam verifiable until a codec exists: swapping in a
+    * real demuxer only REPLACES the offset source (the container's
+    * sample table) — the descriptor contract is already load-bearing.
     */
   def sampleFrames(df: DataFrame, n: Int): DataFrame =
     df.select(col("id"),
         explode(sequence(lit(0), lit(n - 1))).as("frame_idx"),
-        col("meta.digest").as("digest"))
+        col("meta.digest").as("digest"),
+        col("meta.n_bytes").cast("bigint").as("n_bytes"))
       .select(col("id"), col("frame_idx"),
         concat(col("digest"), lit(":"), col("frame_idx").cast("string"))
-          .as("frame_key"))
+          .as("frame_key"),
+        expr(s"(CAST(frame_idx AS BIGINT) * n_bytes) div ${n.toLong}")
+          .as("byte_offset"),
+        col("n_bytes"))
 
   // ------------------------------------------------------------------
   // Pixel-level image statistics (REAL decoded raster, not headers)

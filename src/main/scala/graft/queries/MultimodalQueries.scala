@@ -290,7 +290,9 @@ object MultimodalQueries {
 
     "m_frame_sample" ->
       """SELECT doc_id AS id, b AS frame_idx,
-        | md5(text) || ':' || CAST(b AS VARCHAR) AS frame_key
+        | md5(text) || ':' || CAST(b AS VARCHAR) AS frame_key,
+        | CAST((b * octet_length(encode(text))) // 3 AS BIGINT) AS byte_offset,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS b)""".stripMargin,
 
     // closed-form pixel-component sum of the generating function

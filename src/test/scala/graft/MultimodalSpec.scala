@@ -183,4 +183,39 @@ class MultimodalSpec extends SparkSpec {
     val nonPcm16 = Multimodal.decodeAudio(2L, bos.toByteArray)
     assert(nonPcm16 === Multimodal.AudioStats(2L, None, None, None))
   }
+
+  test("sampleFrames descriptors are demuxer-honest: monotone, in-range offsets") {
+    // video decode is descriptor-only (no codec in the JDK); this pins
+    // the seam's contract so it stays verifiable until a codec exists:
+    // a real demuxer must be able to SEEK to every descriptor's offset,
+    // so offsets are monotone non-decreasing per payload, start at 0,
+    // and live inside [0, n_bytes) for non-empty payloads — including
+    // payloads shorter than the frame count (offsets then repeat, never
+    // overshoot)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x" * 1000),   // normal payload
+      (2L, "ab"),         // shorter than the frame count
+      (3L, "y" * 7)       // length not divisible by n
+    ).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(
+        Multimodal.withBinary(docs, "doc_id", "text", "video/mp4"), 3)
+      .orderBy("id", "frame_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(3), r.getLong(4)))
+    assert(frames.length === 9)
+    frames.groupBy(_._1).foreach { case (id, fs) =>
+      val sorted = fs.sortBy(_._2)
+      assert(sorted.head._3 === 0L, s"id=$id first offset must be 0")
+      sorted.sliding(2).foreach {
+        case Array((_, _, o1, _), (_, _, o2, _)) =>
+          assert(o1 <= o2, s"id=$id offsets not monotone: $o1 > $o2")
+        case _ => ()
+      }
+      sorted.foreach { case (_, i, off, nb) =>
+        assert(off >= 0L && off < nb, s"id=$id frame=$i offset $off outside [0,$nb)")
+        assert(off === i.toLong * nb / 3, s"id=$id frame=$i offset not floor(i*len/n)")
+      }
+    }
+  }
 }
