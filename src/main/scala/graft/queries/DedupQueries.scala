@@ -259,6 +259,27 @@ object DedupQueries {
       Dedup.simhashPairs(corpus, "doc_id", "text", maxDist = 3)
     }),
 
+    // ---- URL canonicalization dedup (the crawl pipeline's first
+    //      pass): each doc is "fetched" under a messy surface form —
+    //      case-varied host, explicit default port, duplicate path
+    //      slashes, tracking params, unordered query, fragment — and
+    //      canonicalization (map-side column algebra, zero shuffle
+    //      until the final group) collapses the families. The oracle
+    //      states the canonical form in CLOSED FORM from doc_id, so it
+    //      checks the semantics, not a SQL re-implementation ----
+    "d_url_dedup" -> ((s, dir) => {
+      val raw = concat(
+        lit("HTTPS://Site"), (col("doc_id") % 5).cast("string"),
+        lit(".COM:443/a//b"), (col("doc_id") % 3).cast("string"),
+        lit("/?utm_source=feed&id="), (col("doc_id") % 100).cast("string"),
+        lit("&b=2&a=1#frag"))
+      t(s, dir, "documents").select(col("doc_id"), raw.as("raw_url"))
+        .select(col("doc_id"),
+          graft.functions.Urls.canonicalizeUrl(col("raw_url")).as("url"))
+        .groupBy("url")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+    }),
+
     // ---- cross-document duplicated-span coverage (exact-substring
     //      dedup at 10-gram granularity, Lee et al. 2021): per doc,
     //      how many tokens sit inside a span some OTHER doc repeats.
@@ -316,6 +337,18 @@ object DedupQueries {
        |dp AS (SELECT doc_id, p FROM p2 WHERE ng IN (SELECT ng FROM dup))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // closed-form canonical URL: scheme/host lowercased, :443 dropped,
+    // '//' collapsed, trailing slash dropped, utm param removed, rest
+    // sorted ('a=1' < 'b=2' < 'id=N'), fragment dropped
+    "d_url_dedup" ->
+      """SELECT url, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM (SELECT doc_id,
+        |  'https://site' || CAST(doc_id % 5 AS VARCHAR) ||
+        |  '.com/a/b' || CAST(doc_id % 3 AS VARCHAR) ||
+        |  '?a=1&b=2&id=' || CAST(doc_id % 100 AS VARCHAR) AS url
+        | FROM documents)
+        |GROUP BY url""".stripMargin,
+
     "d_span_stats" ->
       s"""WITH $spanCtes,
          |cov AS (SELECT doc_id, p,
