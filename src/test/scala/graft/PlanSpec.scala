@@ -162,6 +162,12 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("HashAggregate") || p.contains("SortAggregate"), q)
       assert(p.contains("Join"), s"$q: denominator join missing\n$p")
     }
+    // URL canonicalization is map-side column algebra: the whole query
+    // is ONE exchange (the final groupBy) with partial aggregation
+    // before it — no join, no window, no extra shuffle
+    val u = planOf("d_url_dedup")
+    assert("""\(\d+\) Exchange""".r.findAllIn(u).length === 1, u)
+    assert(u.contains("partial_count"), u)
   }
 
   test("round-4 additions: skyline aggregates before its window, graph/SCD shapes") {
