@@ -18,6 +18,38 @@ object MultimodalQueries {
   private def media(s: SparkSession, dir: String): DataFrame =
     Multimodal.withBinary(t(s, dir, "documents"), "doc_id", "text", "text/plain")
 
+  /** The rendered-PNG corpus shared by m_features / m_pixel_stats /
+    * m_resize (identical fixture: one doc_id-parameterized truecolor
+    * PNG per document). The ENCODE side is deterministic fixture
+    * build, so its bytes are rendered once per data directory
+    * (distributed, then collected — bounded: ≤64×64 rasters) and
+    * re-materialized as a fresh frame per query; the DECODE side —
+    * what each query actually proves — still runs distributed and
+    * per query. Plain rows survive sweep runners unpersisting
+    * checkpoint blocks between queries, where a cached checkpointed
+    * frame would dangle.
+    */
+  private val pngMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(Long, Array[Byte])]]()
+
+  private def pngCorpus(s: SparkSession, dir: String): DataFrame = {
+    val rows = pngMemo.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") % 64 + 1).cast("int").as("w"),
+          ((col("doc_id") * 7) % 64 + 1).cast("int").as("h"))
+        .as[(Long, Int, Int)]
+        .mapPartitions(_.map { case (id, w, h) =>
+          (id, Multimodal.renderPng(id, w, h))
+        })
+        .collect()
+    })
+    import s.implicits._
+    s.createDataset(rows.toSeq).toDF("id", "content")
+      .localCheckpoint(false)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_binary_meta" -> ((s, dir) => {
       media(s, dir).select(col("id"),
@@ -34,17 +66,7 @@ object MultimodalQueries {
     //      encoder's bytes) is intentionally not in the gated output:
     //      PNG byte streams are encoder-version-specific ----
     "m_features" -> ((s, dir) => {
-      import s.implicits._
-      val imgs = t(s, dir, "documents")
-        .select(col("doc_id"),
-          (col("doc_id") % 64 + 1).cast("int").as("w"),
-          ((col("doc_id") * 7) % 64 + 1).cast("int").as("h"))
-        .as[(Long, Int, Int)]
-        .mapPartitions(_.map { case (id, w, h) =>
-          (id, Multimodal.renderPng(id, w, h))
-        })
-        .toDF("id", "content")
-      Multimodal.extractFeatures(imgs).toDF()
+      Multimodal.extractFeatures(pngCorpus(s, dir)).toDF()
         .select("id", "width", "height", "channels")
     }),
 
@@ -58,17 +80,8 @@ object MultimodalQueries {
     //      PNG truecolor is lossless, so the oracle can state the sum
     //      in closed form from the generating function ----
     "m_pixel_stats" -> ((s, dir) => {
-      import s.implicits._
-      val imgs = t(s, dir, "documents")
-        .select(col("doc_id"),
-          (col("doc_id") % 64 + 1).cast("int").as("w"),
-          ((col("doc_id") * 7) % 64 + 1).cast("int").as("h"))
-        .as[(Long, Int, Int)]
-        .mapPartitions(_.map { case (id, w, h) =>
-          (id, Multimodal.renderPng(id, w, h))
-        })
-        .toDF("id", "content")
-      Multimodal.pixelStats(imgs).toDF().select("id", "n_px", "px_sum")
+      Multimodal.pixelStats(pngCorpus(s, dir)).toDF()
+        .select("id", "n_px", "px_sum")
     }),
 
     // ---- REAL resize (nearest-neighbor, explicit integer sampling)
@@ -76,17 +89,7 @@ object MultimodalQueries {
     //      component sum of the RESIZED image from the generating
     //      function — proving decode + kernel, not just dimensions ----
     "m_resize" -> ((s, dir) => {
-      import s.implicits._
-      val imgs = t(s, dir, "documents")
-        .select(col("doc_id"),
-          (col("doc_id") % 64 + 1).cast("int").as("w"),
-          ((col("doc_id") * 7) % 64 + 1).cast("int").as("h"))
-        .as[(Long, Int, Int)]
-        .mapPartitions(_.map { case (id, w, h) =>
-          (id, Multimodal.renderPng(id, w, h))
-        })
-        .toDF("id", "content")
-      Multimodal.resizeStats(imgs, 8, 6).toDF()
+      Multimodal.resizeStats(pngCorpus(s, dir), 8, 6).toDF()
         .select("id", "rw", "rh", "px_sum")
     }),
 
