@@ -58,4 +58,37 @@ class UrlsSpec extends SparkSpec {
     assert(canon("not a url", "/relative/path", "", "example.com/x")
       === Seq(null, null, null, null))
   }
+
+  test("canonical form is a fixed point: canon(canon(u)) == canon(u)") {
+    // property over generated messy URLs: random case, optional default
+    // or odd port, duplicate slashes, shuffled params with tracking
+    // noise, optional fragment — idempotence is what lets a pipeline
+    // re-canonicalize already-clean URLs (re-crawls, merged corpora)
+    // without drift
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+    val gen = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS")
+      host <- Gen.oneOf("Example.COM", "sub.Host.org", "X.io")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      slashes <- Gen.oneOf("/", "//", "///")
+      segs <- Gen.listOfN(2, Gen.alphaNumStr.suchThat(_.nonEmpty))
+      trail <- Gen.oneOf("", "/")
+      params <- Gen.someOf(Seq("a=1", "b=2", "utm_source=x", "gclid=g", "z=9"))
+      frag <- Gen.oneOf("", "#sec")
+    } yield s"$scheme://$host$port$slashes${segs.mkString("/")}$trail" +
+      (if (params.isEmpty) "" else params.mkString("?", "&", "")) + frag
+    (1L to 5L).foreach { s =>
+      val urls = sample(Gen.listOfN(40, gen), 400 + s)
+      val once = canon(urls: _*)
+      val twice = canon(once.filter(_ != null): _*)
+      assert(once.filter(_ != null) === twice)
+      // and canonicalization never yields an empty or fragment-bearing form
+      once.filter(_ != null).foreach { c =>
+        assert(c.matches("^https?://[^#]*$"), c)
+      }
+    }
+  }
 }
