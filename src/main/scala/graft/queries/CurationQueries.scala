@@ -78,6 +78,78 @@ object CurationQueries {
           size(col("col")).as("n_chunk_tokens"))
     }),
 
+    // ---- DSIR-style importance weights (hashed n-gram importance
+    //      resampling, after Xie et al. 2023): bag of hashed bigram
+    //      features (256 md5-prefix buckets), bucket-level unigram LMs
+    //      for the target domain (source = src18, the "wiki-like"
+    //      slice) and the raw corpus with add-1 smoothing, per-doc log
+    //      importance weight Σ_b k_b·ln(p_tgt(b)/p_raw(b)), top-100
+    //      selection. Shapes: the corpus explode pre-aggregates to
+    //      (doc, bucket, multiplicity) and runs once (localCheckpoint
+    //      feeds the raw LM, the target LM, and scoring); both LM
+    //      tables are ≤256 rows → broadcast; scoring is an equi-join
+    //      on the bucket key. Oracle discipline: the ln argument is
+    //      one IEEE division of two exact ≤2^53 integer products,
+    //      per-bucket ln rounds to 4 dp into DECIMAL, the per-doc sum
+    //      is exact DECIMAL (partition-order independent) ----
+    "t_dsir_weights" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val feats = d.select(col("doc_id"), col("source"),
+          explode(Text.shingles(Text.tokens(col("text")), 2)).as("bg"))
+        .select(col("doc_id"), col("source"),
+          substring(md5(col("bg")), 1, 2).as("b"))
+        .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("k"))
+        .localCheckpoint(false)
+      val raw = feats.groupBy("b").agg(sum(col("k")).as("nr"))
+      val tgt = feats.filter(col("source") === lit(DsirTarget))
+        .groupBy("b").agg(sum(col("k")).as("nt"))
+      val tot = raw.agg(sum(col("nr")).as("rtot"))
+        .crossJoin(tgt.agg(sum(col("nt")).as("ttot")))
+      val lam = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(tot))
+        .select(col("b"),
+          round(log(
+            ((coalesce(col("nt"), lit(0L)) + 1) * (col("rtot") + 256))
+              .cast("double") /
+              ((col("nr") + 1) * (col("ttot") + 256)).cast("double")), 4)
+            .cast("decimal(18,4)").as("lam"))
+      feats.join(broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(sum(col("k")).cast("long").as("n_bigrams"),
+          sum(col("k").cast("decimal(18,0)") * col("lam"))
+            .cast("double").as("logw"))
+        .orderBy(col("logw").desc, col("doc_id").asc).limit(100)
+    }),
+
+    // ---- fastText-style hashed linear quality classifier: bag of
+    //      hashed token features (16 md5-prefix buckets here; the
+    //      bucket count only changes the literal table's width, not
+    //      the plan), score = Σ_b k_b·w_b / n_tokens with the weight
+    //      vector a broadcast plan literal — exactly how a trained
+    //      model artifact ships to 1000 executors (swap `ClfWeights`
+    //      for real trained weights; the demo vector is fixed and
+    //      documented). Weight lookup is map-side column algebra; the
+    //      whole query is ONE map-combinable shuffle on doc_id.
+    //      keep/drop decides on the exact DECIMAL dot product (sign
+    //      never touches IEEE); the reported logit is one
+    //      correctly-rounded double division ----
+    "t_quality_classifier" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val wmap = map(ClfWeights.flatMap { case (b, w) =>
+        Seq(lit(b), lit(new java.math.BigDecimal(w)))
+      }: _*)
+      d.select(col("doc_id"),
+          explode(Text.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          element_at(wmap, substring(md5(col("tok")), 1, 1)).as("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          sum(col("w")).as("dot"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("dot").cast("double") /
+            col("n_tokens").cast("double"), 4).as("logit"),
+          (col("dot") > 0).as("kept"))
+    }),
+
     // ---- file provenance: per-source-file row accounting from the
     //      hidden `_metadata` column — the audit primitive behind
     //      takedown sweeps and ingest reconciliation ("which file did
@@ -97,6 +169,20 @@ object CurationQueries {
   )
 
   private val tok = "string_split(text, ' ')"
+
+  /** DSIR target domain: the slice whose distribution the resampled
+    * corpus should match (a stand-in for "wiki-quality" text).
+    */
+  private val DsirTarget = "src18"
+
+  /** Demo weight vector for the hashed linear classifier, one exact
+    * one-decimal weight per md5-prefix bucket '0'..'f'. Deterministic
+    * and sign-mixed; a real deployment broadcasts trained weights the
+    * same way.
+    */
+  private val ClfWeights: Seq[(String, String)] =
+    "0123456789abcdef".map(c =>
+      (c.toString, s"${((c.toInt * 13) % 17 - 8) / 10.0}"))
 
   val oracleSql: Map[String, String] = Map(
     "t_tfidf_topk" ->
@@ -123,6 +209,46 @@ object CurationQueries {
          |  array_to_string(tk[s+1:s+32], ' ') AS chunk_text,
          |  len(tk[s+1:s+32]) AS n_chunk_tokens
          |FROM st""".stripMargin,
+
+    "t_dsir_weights" ->
+      s"""WITH bg AS (SELECT doc_id, source, substr(md5(bigram), 1, 2) AS b
+         |  FROM (SELECT doc_id, source, unnest(
+         |      CASE WHEN len($tok) < 2 THEN []
+         |           ELSE list_transform(range(1, len($tok)),
+         |                  i -> array_to_string(($tok)[i:i+1], ' ')) END)
+         |      AS bigram FROM documents)),
+         |f AS (SELECT doc_id, source, b, COUNT(*) AS k FROM bg GROUP BY 1, 2, 3),
+         |raw AS (SELECT b, CAST(SUM(k) AS BIGINT) AS nr FROM f GROUP BY 1),
+         |tgt AS (SELECT b, CAST(SUM(k) AS BIGINT) AS nt FROM f
+         |  WHERE source = '$DsirTarget' GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(SUM(k) AS BIGINT) FROM f) AS rtot,
+         |    (SELECT CAST(SUM(k) AS BIGINT) FROM f
+         |     WHERE source = '$DsirTarget') AS ttot),
+         |lam AS (SELECT b, CAST(round(ln(
+         |      CAST((COALESCE(nt, 0) + 1) * (rtot + 256) AS DOUBLE) /
+         |      CAST((nr + 1) * (ttot + 256) AS DOUBLE)), 4)
+         |    AS DECIMAL(18,4)) AS lam
+         |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot)
+         |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(CAST(k AS DECIMAL(18,0)) * lam) AS DOUBLE) AS logw
+         |FROM f JOIN lam USING (b) GROUP BY doc_id
+         |ORDER BY logw DESC, doc_id ASC LIMIT 100""".stripMargin,
+
+    "t_quality_classifier" -> {
+      val cases = ClfWeights.map { case (b, w) =>
+        s"WHEN '$b' THEN CAST($w AS DECIMAL(2,1))"
+      }.mkString(" ")
+      s"""WITH f AS (SELECT doc_id,
+         |    (CASE substr(md5(tok), 1, 1) $cases END) AS w
+         |  FROM (SELECT doc_id, unnest($tok) AS tok FROM documents)),
+         |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    SUM(w) AS dot
+         |  FROM f GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  round(CAST(dot AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS logit,
+         |  dot > 0 AS kept
+         |FROM d""".stripMargin
+    },
 
     // the driver reads {sfDir}/documents.parquet, so the only legal
     // basename is the literal — the gate checks the engine's metadata

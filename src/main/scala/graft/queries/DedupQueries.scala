@@ -295,6 +295,40 @@ object DedupQueries {
     //      the whole pass stays linear in corpus size ----
     "d_span_scrub" -> ((s, dir) => {
       Dedup.dupSpanScrub(withNearCopies(s, dir), "doc_id", "text", n = 10)
+    }),
+
+    // ---- soft dedup: instead of dropping near-duplicates, weight
+    //      each document by how common its content is (the
+    //      down-weight-don't-delete school of dedup). Commonness =
+    //      mean log document-frequency fraction over the doc's
+    //      DISTINCT 5-gram shingles: logc = (1/|G_d|)·Σ_g ln(df_g/N);
+    //      shared_frac = fraction of those shingles seen in ≥2 docs.
+    //      A sampler downstream turns -logc into sampling weights
+    //      (t_mix_temperature is that stage). Shapes: one explode →
+    //      distinct (doc,gram) → vocabulary-sized df agg → equi-join
+    //      back on the gram; N is a broadcast single-row frame. Runs
+    //      on the near-copy corpus so commonness actually varies.
+    //      Oracle discipline: df/N is one IEEE division of exact
+    //      ints, ln rounds to 4 dp into DECIMAL, per-doc sums are
+    //      exact DECIMAL; shared_frac is an exact-int ratio ----
+    "d_softdedup" -> ((s, dir) => {
+      val d = withNearCopies(s, dir)
+      val g = d.select(col("doc_id"),
+          explode(Text.shingles(Text.tokens(col("text")), 5)).as("g"))
+        .distinct()
+      val dfg = g.groupBy("g").agg(count(lit(1)).as("df"))
+      val nd = d.agg(count(lit(1)).as("n_docs"))
+      g.join(dfg, "g").crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("df"),
+          round(log(col("df").cast("double") /
+            col("n_docs").cast("double")), 4)
+            .cast("decimal(18,4)").as("lng"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_grams"),
+          (sum(col("lng")).cast("double") /
+            count(lit(1)).cast("double")).as("log_commonness"),
+          (sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double")).as("shared_frac"))
     })
   )
 
@@ -377,6 +411,23 @@ object DedupQueries {
          |  coalesce(k.n_kept, 0) AS n_kept,
          |  len(t.toks) - coalesce(k.n_kept, 0) AS n_removed
          |FROM tk t LEFT JOIN ka k ON t.doc_id = k.doc_id""".stripMargin,
+
+    "d_softdedup" ->
+      s"""WITH base AS (SELECT doc_id AS id, text FROM ($nearCorpus)),
+         |$shingleCte,
+         |ex AS (SELECT id, unnest(sh) AS g FROM sh),
+         |dfg AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY 1),
+         |nd AS (SELECT COUNT(*) AS n_docs FROM base),
+         |l AS (SELECT id, df,
+         |    CAST(round(ln(CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE)), 4)
+         |      AS DECIMAL(18,4)) AS lng
+         |  FROM ex JOIN dfg USING (g) CROSS JOIN nd)
+         |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |  CAST(SUM(lng) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS log_commonness,
+         |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS shared_frac
+         |FROM l GROUP BY id""".stripMargin,
 
     "d_contamination_transitive" ->
       s"""WITH RECURSIVE base AS (SELECT doc_id AS id, text FROM ($nearCorpus)),

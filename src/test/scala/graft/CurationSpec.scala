@@ -52,6 +52,47 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("t_dsir_weights: target-domain docs dominate the selected slice") {
+    val top = CurationQueries.queries("t_dsir_weights")(spark, dir).collect()
+    assert(top.length === 100)
+    // weights sorted descending with the doc_id tie-break the query
+    // promises (the deterministic selection order)
+    val ws = top.map(r => (r.getDouble(2), r.getLong(0)))
+    assert(ws.zip(ws.tail).forall { case ((w1, i1), (w2, i2)) =>
+      w1 > w2 || (w1 == w2 && i1 < i2)
+    })
+    // importance resampling must pull the target domain (src18, 5% of
+    // the corpus) far above its base rate in the selected top-100
+    val srcOf = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nTarget = top.count(r => srcOf(r.getLong(0)) == "src18")
+    assert(nTarget >= 20, s"only $nTarget/100 selected docs are src18")
+  }
+
+  test("t_quality_classifier: logit and keep flag recompute from raw tokens") {
+    val weights = "0123456789abcdef".map(c =>
+      c.toString -> BigDecimal((c.toInt * 13) % 17 - 8) / 10).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(tok: String): String =
+      md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(1)
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = CurationQueries.queries("t_quality_classifier")(spark, dir)
+      .collect()
+    assert(got.length === texts.size)
+    got.take(50).foreach { r =>
+      val toks = texts(r.getLong(0)).split(" ").toSeq
+      val dot = toks.map(t => weights(bucket(t))).sum
+      assert(r.getLong(1) === toks.length)
+      assert(r.getDouble(2) ===
+        BigDecimal(dot.toDouble / toks.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r.getBoolean(3) === (dot > 0))
+    }
+  }
+
   test("e_attribution: touches partition the purchase set") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val purchases = ev.filter(col("event_type") === "purchase").count()

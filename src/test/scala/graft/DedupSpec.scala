@@ -288,4 +288,31 @@ class DedupSpec extends SparkSpec {
     // and the corpus genuinely exercises both paths
     assert(stats.filter($"a" > 0).count() > 0)
   }
+
+  test("d_softdedup: copies fully shared, commonness strictly negative") {
+    import spark.implicits._
+    val rows = graft.queries.DedupQueries.queries("d_softdedup")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (logc, frac) = (r.getDouble(2), r.getDouble(3))
+      // every 5-gram df is in [1, n_docs) on this corpus → ln < 0
+      assert(logc < 0.0, s"doc ${r.getLong(0)}: logc=$logc")
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    // a drop-1-token copy's distinct 5-grams are a subset of its
+    // original's, so every one of them has df >= 2: shared_frac == 1
+    val copies = rows.filter(_.getLong(0) >= 100000L)
+    assert(copies.nonEmpty)
+    copies.foreach { r =>
+      assert(r.getDouble(3) === 1.0,
+        s"copy ${r.getLong(0)}: shared_frac=${r.getDouble(3)}")
+    }
+    // and the copy can never have MORE distinct 5-grams than its original
+    val byId = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    copies.foreach { r =>
+      val orig = r.getLong(0) - 100000L
+      byId.get(orig).foreach(n => assert(r.getLong(1) <= n))
+    }
+  }
 }
