@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhashFunction)
     ext.injectFunction(GraftExtensions.mp4Function)
     ext.injectFunction(GraftExtensions.hammingFunction)
+    ext.injectFunction(GraftExtensions.nfcFunction)
   }
 }
 
@@ -118,8 +119,19 @@ object GraftExtensions {
       graft.expressions.HammingHex(args(0), args(1))
     })
 
+  /** graft_nfc(string) — Unicode NFC canonicalization in SQL. */
+  private val nfcFunction = (
+    FunctionIdentifier("graft_nfc"),
+    new ExpressionInfo(classOf[graft.expressions.NormalizeNfc].getName,
+      "graft_nfc"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "graft_nfc(s) takes 1 argument")
+      graft.expressions.NormalizeNfc(args(0))
+    })
+
   private val all = Seq(dotFunction, cosineFunction, jpegFunction,
-    jsonKeyFunction, simhashFunction, mp4Function, hammingFunction)
+    jsonKeyFunction, simhashFunction, mp4Function, hammingFunction,
+    nfcFunction)
 
   /** Session-scoped registration for an existing session. */
   def register(spark: SparkSession): Unit =

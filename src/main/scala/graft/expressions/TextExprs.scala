@@ -80,10 +80,65 @@ case class HammingHex(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Unicode NFC normalization as a native expression with REAL codegen
+  * — the canonicalization pass a crawl corpus needs before any
+  * hash-based dedup (a decomposed "cafe&#x301;" and a precomposed
+  * "café" md5 differently but are the same text). The generated code
+  * calls only JDK classes (java.text.Normalizer), stays inside
+  * whole-stage codegen, and skips allocation entirely on
+  * already-normalized input via the isNormalized fast path — on a
+  * mostly-ASCII corpus the pass runs at scan speed.
+  */
+case class NormalizeNfc(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_nfc requires string, got ${child.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("nfcStr")
+      s"""
+         |String $s = $c.toString();
+         |${ev.value} =
+         |  java.text.Normalizer.isNormalized($s, java.text.Normalizer.Form.NFC)
+         |    ? $c
+         |    : org.apache.spark.unsafe.types.UTF8String.fromString(
+         |        java.text.Normalizer.normalize(
+         |          $s, java.text.Normalizer.Form.NFC));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NormalizeNfc = copy(child = newChild)
+}
+
 object TextExprs {
   def simhash(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
 
   def hamming(a: Column, b: Column): Column =
     Bridge.column(HammingHex(Bridge.expression(a), Bridge.expression(b)))
+
+  def nfc(s: Column): Column =
+    Bridge.column(NormalizeNfc(Bridge.expression(s)))
 }

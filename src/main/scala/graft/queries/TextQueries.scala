@@ -459,6 +459,35 @@ object TextQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(size(Text.tokens(col("text")))).as("n_tokens"))
+    }),
+
+    // ---- Unicode NFC canonicalization (native codegen'd expression,
+    //      `graft_nfc` on the SQL surface): the hygiene pass before
+    //      any hash-based dedup — a decomposed "café" and a
+    //      precomposed "café" hash differently but are the same
+    //      text. The corpus is ASCII, so the messy surface forms are
+    //      built in closed form from doc_id (combining acute,
+    //      combining diaeresis, the ANGSTROM SIGN singleton); the
+    //      oracle replays the same construction with DuckDB's
+    //      nfc_normalize — two independent NFC implementations (JDK
+    //      vs utf8proc) must agree byte-for-byte. Pure map-side
+    //      column work; one count agg for the report ----
+    "t_unicode_norm" -> ((s, dir) => {
+      val raw = concat(
+        when(col("doc_id") % 4 === 0, lit("cafe\u0301 menu"))
+          .when(col("doc_id") % 4 === 1, lit("caf\u00e9 menu"))
+          .when(col("doc_id") % 4 === 2,
+            lit("\u212Bngstro\u0308m unit"))
+          .otherwise(lit("plain ascii row")),
+        lit(" #"), col("doc_id").cast("string"))
+      t(s, dir, "documents").select(col("doc_id"), raw.as("s"))
+        .select(col("doc_id"),
+          graft.expressions.TextExprs.nfc(col("s")).as("norm"),
+          (graft.expressions.TextExprs.nfc(col("s")) =!= col("s"))
+            .as("changed"),
+          length(col("s")).as("len_before"),
+          length(graft.expressions.TextExprs.nfc(col("s")))
+            .as("len_after"))
     })
   )
 
@@ -853,6 +882,26 @@ object TextQueries {
          |     / CAST(len($tok) AS DOUBLE) <= 12.0
          |   AND CAST(len(list_filter($tok, w -> regexp_full_match(w, '[a-z]+'))) AS DOUBLE)
          |     / CAST(len($tok) AS DOUBLE) >= 0.6 AS keep
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+
+    // two independent NFC implementations must agree byte-for-byte:
+    // Spark runs the JDK's java.text.Normalizer, DuckDB utf8proc.
+    // chr(769)=combining acute, chr(233)=precomposed e-acute,
+    // chr(8491)=ANGSTROM SIGN (a singleton that NFC rewrites to
+    // U+00C5), chr(776)=combining diaeresis
+    "t_unicode_norm" ->
+      """WITH raw AS (SELECT doc_id,
+        |  (CASE CAST(doc_id % 4 AS INT)
+        |     WHEN 0 THEN 'cafe' || chr(769) || ' menu'
+        |     WHEN 1 THEN 'caf' || chr(233) || ' menu'
+        |     WHEN 2 THEN chr(8491) || 'ngstro' || chr(776) || 'm unit'
+        |     ELSE 'plain ascii row' END)
+        |    || ' #' || CAST(doc_id AS VARCHAR) AS s
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(s) AS norm,
+        |  nfc_normalize(s) <> s AS changed,
+        |  length(s) AS len_before,
+        |  length(nfc_normalize(s)) AS len_after
+        |FROM raw""".stripMargin
   )
 }

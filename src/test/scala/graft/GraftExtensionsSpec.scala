@@ -60,4 +60,17 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect()(0).getInt(0)
     assert(self === 0)
   }
+
+  test("graft_nfc usable from SQL: composes, fixes singletons, null-safe") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_nfc('cafe\\u0301'), graft_nfc('caf\\u00e9'), " +
+        "graft_nfc('\\u212b'), graft_nfc(CAST(NULL AS STRING)), " +
+        "length(graft_nfc('cafe\\u0301'))").collect()(0)
+    assert(r.getString(0) === "caf\u00e9") // decomposed -> composed
+    assert(r.getString(1) === "caf\u00e9") // already NFC: unchanged
+    assert(r.getString(2) === "\u00c5")    // ANGSTROM SIGN singleton
+    assert(r.isNullAt(3))
+    assert(r.getInt(4) === 4)             // combining mark absorbed
+  }
 }

@@ -281,4 +281,33 @@ class PropertySpec extends SparkSpec {
     assert(got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSeq === Seq((1L, 2L, 0.07)))
   }
+
+  test("graft_nfc: idempotent and Normalizer-equal over messy unicode") {
+    import spark.implicits._
+    // generator mixes plain ASCII runs, combining marks (acute 0x301,
+    // diaeresis 0x308, cedilla 0x327), precomposed latin-1 letters,
+    // and NFC-singleton codepoints (ANGSTROM 0x212b, OHM 0x2126)
+    val piece = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("\u0301", "\u0308", "\u0327"),
+      Gen.oneOf("\u00e9", "\u00c5", "\u00fc"),
+      Gen.oneOf("\u212b", "\u2126"))
+    val messy = Gen.listOfN(8, piece).map(_.mkString)
+    (1L to 10L).foreach { s =>
+      val rows = sample(Gen.listOfN(30, messy), 400 + s)
+      val df = rows.toDF("s")
+      val once = df.select(
+        graft.expressions.TextExprs.nfc(col("s")).as("n"))
+      val got = once.collect().map(_.getString(0)).toSeq
+      // idempotence: a second pass is the identity
+      val twice = once.select(
+          graft.expressions.TextExprs.nfc(col("n")).as("n"))
+        .collect().map(_.getString(0)).toSeq
+      assert(got === twice)
+      // and the codegen'd result equals the JDK reference directly
+      val want = rows.map(java.text.Normalizer.normalize(_,
+        java.text.Normalizer.Form.NFC))
+      assert(got === want)
+    }
+  }
 }
