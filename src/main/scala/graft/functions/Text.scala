@@ -141,4 +141,28 @@ object Text {
     */
   def minShingleFingerprint(tok: Column, n: Int): Column =
     array_min(transform(shingles(tok, n), s => md5(s)))
+
+  /** Hashed-bag-of-words dot product with a literal weight vector —
+    * the scoring core of a fastText-style linear quality classifier.
+    * Weights are (md5-prefix bucket -> fixed-point decimal string);
+    * the map ships as a broadcast plan literal (the trained-model
+    * artifact shape) and the per-document sum is an `aggregate` HOF
+    * over the token array in EXACT decimal — fully map-side, zero
+    * shuffle, and the resulting sign (keep/drop) is bit-stable under
+    * any partitioning or row order.
+    */
+  def hashedLinearDot(tok: Column, weights: Seq[(String, String)]): Column = {
+    val wmap = map(weights.flatMap { case (b, w) =>
+      Seq(lit(b), lit(new java.math.BigDecimal(w)))
+    }: _*)
+    // the accumulator type must be a fixed point of the merge lambda:
+    // pin the scale to the weights' own scale and cast the sum back
+    // (exact — precision 38 is never approached by a real document)
+    val scale = weights.map(w => new java.math.BigDecimal(w._2).scale).max
+    val accTy = s"decimal(38,$scale)"
+    aggregate(tok,
+      lit(new java.math.BigDecimal(0)).cast(accTy),
+      (acc, x) =>
+        (acc + element_at(wmap, substring(md5(x), 1, 1))).cast(accTy))
+  }
 }

@@ -127,28 +127,17 @@ object CurationQueries {
     //      vector a broadcast plan literal — exactly how a trained
     //      model artifact ships to 1000 executors (swap `ClfWeights`
     //      for real trained weights; the demo vector is fixed and
-    //      documented). Weight lookup is map-side column algebra; the
-    //      whole query is ONE map-combinable shuffle on doc_id.
+    //      documented). The per-doc dot product is an exact-decimal
+    //      `aggregate` HOF over the token array — ZERO shuffle, the
+    //      whole query runs at scan speed — and the identical
+    //      projection scores streaming ingest
+    //      (streaming/CurationStream, spec-proven bit-equal).
     //      keep/drop decides on the exact DECIMAL dot product (sign
     //      never touches IEEE); the reported logit is one
     //      correctly-rounded double division ----
-    "t_quality_classifier" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val wmap = map(ClfWeights.flatMap { case (b, w) =>
-        Seq(lit(b), lit(new java.math.BigDecimal(w)))
-      }: _*)
-      d.select(col("doc_id"),
-          explode(Text.tokens(col("text"))).as("tok"))
-        .select(col("doc_id"),
-          element_at(wmap, substring(md5(col("tok")), 1, 1)).as("w"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).cast("long").as("n_tokens"),
-          sum(col("w")).as("dot"))
-        .select(col("doc_id"), col("n_tokens"),
-          round(col("dot").cast("double") /
-            col("n_tokens").cast("double"), 4).as("logit"),
-          (col("dot") > 0).as("kept"))
-    }),
+    "t_quality_classifier" -> ((s, dir) =>
+      graft.streaming.CurationStream.scored(
+        t(s, dir, "documents"), "doc_id", "text", ClfWeights)),
 
     // ---- file provenance: per-source-file row accounting from the
     //      hidden `_metadata` column — the audit primitive behind
@@ -180,7 +169,7 @@ object CurationQueries {
     * and sign-mixed; a real deployment broadcasts trained weights the
     * same way.
     */
-  private val ClfWeights: Seq[(String, String)] =
+  private[graft] val ClfWeights: Seq[(String, String)] =
     "0123456789abcdef".map(c =>
       (c.toString, s"${((c.toInt * 13) % 17 - 8) / 10.0}"))
 

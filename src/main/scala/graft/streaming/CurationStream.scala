@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** In-flight corpus curation: quality-classifier scoring at ingest.
+  *
+  * The hashed linear classifier is STATELESS per document (a
+  * broadcast-literal weight vector dotted with the document's hashed
+  * bag of words — see [[graft.functions.Text.hashedLinearDot]]), so
+  * the streaming twin is the batch projection applied to a streaming
+  * DataFrame: no state store, no watermark, no output-mode caveats —
+  * every micro-batch scores independently, and stream output is
+  * BIT-EQUAL to the batch query over the same rows by construction
+  * (the spec still proves it end-to-end through a MemoryStream).
+  *
+  * At ingest scale this is the filter that decides keep/drop BEFORE
+  * a document is ever written to the lake — the cheapest place to
+  * spend a quality model.
+  */
+object CurationStream {
+
+  /** Score each document with the hashed linear classifier: emits
+    * (idCol, n_tokens, logit, kept). Works identically on a static or
+    * a streaming DataFrame — that sameness IS the batch/stream
+    * equivalence.
+    */
+  def scored(docs: DataFrame, idCol: String, textCol: String,
+             weights: Seq[(String, String)]): DataFrame = {
+    val tok = Text.tokens(col(textCol))
+    val dot = Text.hashedLinearDot(tok, weights)
+    docs.select(col(idCol),
+      size(tok).cast("long").as("n_tokens"),
+      round(dot.cast("double") / size(tok).cast("double"), 4).as("logit"),
+      (dot > 0).as("kept"))
+  }
+}

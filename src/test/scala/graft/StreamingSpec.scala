@@ -620,4 +620,37 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getInt(3)))
     assert(rows.toSeq === Seq((7L, "2024-01-01 10:00:00.0", 2)))
   }
+
+  test("streaming quality classifier is bit-equal to batch on real docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").limit(60).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val weights = graft.queries.CurationQueries.ClfWeights
+    val mem = MemoryStream[(Long, String)]
+    val scored = graft.streaming.CurationStream.scored(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", weights)
+    val q = scored.writeStream.format("memory").queryName("clf")
+      .outputMode("append").start()
+    // two micro-batches through ONE query: scoring is stateless, so
+    // batch boundaries must be invisible in the output
+    try {
+      mem.addData(docs.take(30).toSeq)
+      q.processAllAvailable()
+      mem.addData(docs.drop(30).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT * FROM clf").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    val want = graft.streaming.CurationStream.scored(
+      docs.toSeq.toDF("doc_id", "text"), "doc_id", "text", weights)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(got.length === 60)
+    assert(got.toSeq === want.toSeq)
+  }
 }
