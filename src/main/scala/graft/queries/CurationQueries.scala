@@ -93,30 +93,10 @@ object CurationQueries {
     //      per-bucket ln rounds to 4 dp into DECIMAL, the per-doc sum
     //      is exact DECIMAL (partition-order independent) ----
     "t_dsir_weights" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val feats = d.select(col("doc_id"), col("source"),
-          explode(Text.shingles(Text.tokens(col("text")), 2)).as("bg"))
-        .select(col("doc_id"), col("source"),
-          substring(md5(col("bg")), 1, 2).as("b"))
-        .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("k"))
-        .localCheckpoint(false)
-      val raw = feats.groupBy("b").agg(sum(col("k")).as("nr"))
-      val tgt = feats.filter(col("source") === lit(DsirTarget))
-        .groupBy("b").agg(sum(col("k")).as("nt"))
-      val tot = raw.agg(sum(col("nr")).as("rtot"))
-        .crossJoin(tgt.agg(sum(col("nt")).as("ttot")))
-      val lam = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(tot))
-        .select(col("b"),
-          round(log(
-            ((coalesce(col("nt"), lit(0L)) + 1) * (col("rtot") + 256))
-              .cast("double") /
-              ((col("nr") + 1) * (col("ttot") + 256)).cast("double")), 4)
-            .cast("decimal(18,4)").as("lam"))
-      feats.join(broadcast(lam), "b")
-        .groupBy("doc_id")
-        .agg(sum(col("k")).cast("long").as("n_bigrams"),
-          sum(col("k").cast("decimal(18,0)") * col("lam"))
-            .cast("double").as("logw"))
+      val d = t(s, dir, "documents").localCheckpoint(false)
+      val lam = graft.operators.Dsir.lamTable(
+        d, "text", col("source") === lit(DsirTarget))
+      graft.operators.Dsir.scoreRelational(d, lam, "doc_id", "text")
         .orderBy(col("logw").desc, col("doc_id").asc).limit(100)
     }),
 

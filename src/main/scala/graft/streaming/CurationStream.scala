@@ -36,4 +36,17 @@ object CurationStream {
       round(dot.cast("double") / size(tok).cast("double"), 4).as("logit"),
       (dot > 0).as("kept"))
   }
+
+  /** DSIR importance scoring at ingest: the offline-built λ table
+    * (collected once via [[graft.operators.Dsir.lamLiteral]]) rides
+    * as a plan literal, and each arriving document gets its log
+    * importance weight statelessly — bit-equal to the batch
+    * [[graft.operators.Dsir.scoreRelational]] over the same rows.
+    */
+  def dsirScored(docs: DataFrame,
+                 lamMap: Map[String, java.math.BigDecimal],
+                 defaultLam: java.math.BigDecimal,
+                 idCol: String, textCol: String): DataFrame =
+    graft.operators.Dsir.scoreInline(docs, lamMap, defaultLam,
+      idCol, textCol)
 }

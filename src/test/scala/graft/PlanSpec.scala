@@ -308,4 +308,32 @@ class PlanSpec extends SparkSpec {
     assert(ivfpq.contains("Broadcast"), ivfpq)
     assert(!ivfpq.contains("CartesianProduct"), ivfpq)
   }
+
+  test("round-6 curation shapes: DSIR broadcasts, classifier shuffle-free") {
+    // DSIR: the ≤256-row bucket-LM table joins the corpus-sized
+    // feature frame as a BROADCAST (never shuffles the corpus on the
+    // bucket key), selection is a distributed TakeOrdered (never a
+    // global Sort), and nothing is a window
+    val dsir = planOf("t_dsir_weights")
+    assert(dsir.contains("BroadcastHashJoin"), dsir)
+    assert(dsir.contains("TakeOrderedAndProject"), dsir)
+    assert(!dsir.contains("Window"), dsir)
+    assert(!dsir.contains("CartesianProduct"), dsir)
+
+    // hashed linear classifier: pure per-row projection — ZERO
+    // exchanges, the filter runs at scan speed
+    val clf = planOf("t_quality_classifier")
+    assert(!clf.contains("Exchange"), clf)
+    assert(!clf.contains("Join"), clf)
+
+    // soft dedup: gram-key equi-joins only; the single-row corpus
+    // count may ride a BroadcastNestedLoopJoin, but a true cartesian
+    // over data-sized frames must never appear
+    val soft = planOf("d_softdedup")
+    assert(!soft.contains("CartesianProduct"), soft)
+
+    // NFC canonicalization: map-side only — no exchange at all
+    val nfc = planOf("t_unicode_norm")
+    assert(!nfc.contains("Exchange"), nfc)
+  }
 }

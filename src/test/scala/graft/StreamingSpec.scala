@@ -653,4 +653,45 @@ class StreamingSpec extends SparkSpec {
     assert(got.length === 60)
     assert(got.toSeq === want.toSeq)
   }
+
+  test("streaming DSIR scoring: plan-literal lambda map bit-equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", $"source").localCheckpoint(false)
+    val lam = graft.operators.Dsir.lamTable(
+      corpus, "text", $"source" === "src18")
+    val (lamMap, default) = graft.operators.Dsir.lamLiteral(lam)
+    // nearly all 256 md5-prefix buckets occupied at even this tiny SF
+    // (the 10 empty ones are what the default-λ fallback is for)
+    assert(lamMap.size >= 200 && lamMap.size <= 256, s"${lamMap.size}")
+    // batch truth over the relational (join) path
+    val want = graft.operators.Dsir.scoreRelational(
+      corpus, lam, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    // stream the same docs through the literal-map path, two batches
+    val docs = corpus.select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val scored = graft.streaming.CurationStream.dsirScored(
+      mem.toDF().toDF("doc_id", "text"), lamMap, default, "doc_id", "text")
+    val q = scored.writeStream.format("memory").queryName("dsir")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.take(200).toSeq)
+      q.processAllAvailable()
+      mem.addData(docs.drop(200).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT * FROM dsir").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+    // and the unseen-bucket fallback is total: a doc whose bigrams the
+    // corpus never saw still scores (the smoothed default), not null
+    val novel = graft.operators.Dsir.scoreInline(
+      Seq((999L, "zzqx9 wwvk7 rrtn3 ppmh5")).toDF("doc_id", "text"),
+      lamMap, default, "doc_id", "text").collect()
+    assert(novel.length === 1 && !novel(0).isNullAt(2))
+  }
 }
