@@ -173,6 +173,32 @@ object MultimodalQueries {
           dims.getField("height").as("height"))
     }),
 
+    // ---- EXIF orientation probe: APP1 walked to the TIFF IFD in
+    //      BOTH byte orders (doc_id parity picks II vs MM), the
+    //      rotate/flip flag every camera writes recovered through the
+    //      native expression; every 31st doc carries a truncated APP1
+    //      and must probe null. Oracle is the CLOSED FORM the fixture
+    //      encodes (doc_id % 8 + 1), so the gate checks the parser's
+    //      semantics, not a SQL re-implementation ----
+    "m_exif_orientation" -> ((s, dir) => {
+      val orient = (col("doc_id") % 8 + 1).cast("int")
+      val beVal = concat(lpad(hex(orient), 4, "0"), lit("0000"))
+      val leVal = concat(lpad(hex(orient), 2, "0"), lit("000000"))
+      val tiffBe = concat(lit("4D4D002A00000008" + "0001" + "01120003" +
+        "00000001"), beVal, lit("00000000"))
+      val tiffLe = concat(lit("49492A0008000000" + "0100" + "12010300" +
+        "01000000"), leVal, lit("00000000"))
+      val app1 = concat(lit("FFD8FFE10022457869660000"),
+        when(col("doc_id") % 2 === 0, tiffBe).otherwise(tiffLe))
+      val bytes = unhex(when(col("doc_id") % 31 === 0,
+        lit("FFD8FFE10006457869")).otherwise(app1)) // truncated APP1
+      t(s, dir, "documents")
+        .select(col("doc_id"), bytes.as("content"))
+        .select(col("doc_id"),
+          graft.expressions.ImageExprs.exifOrientation(col("content"))
+            .as("orientation"))
+    }),
+
     // ---- REAL GIF header parsing: GIF89a magic + little-endian
     //      screen dimensions, generated from doc_id and recovered
     //      through the byte-level probe ----
@@ -375,6 +401,12 @@ object MultimodalQueries {
       """SELECT doc_id,
         | CAST((doc_id * 3) % 1200 + 1 AS INT) AS width,
         | CAST(doc_id % 900 + 1 AS INT) AS height
+        |FROM documents""".stripMargin,
+
+    "m_exif_orientation" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 31 = 0 THEN NULL
+        |      ELSE CAST(doc_id % 8 + 1 AS INT) END AS orientation
         |FROM documents""".stripMargin,
 
     "m_gif_dims" ->

@@ -189,6 +189,32 @@ object Relational5 {
         Seq("o_orderstatus", "o_totalprice"))
     }),
 
+    // ---- MERGE/upsert (the apply half of CDC; q_snapshot_diff is
+    //      the detect half): a change batch of price corrections on
+    //      keys ≡ 0 (mod 13) plus brand-new keys under +10_000_000
+    //      merges into the base slice. One full-outer equi-join on
+    //      the key — bucket both sides on it and the plan is
+    //      exchange-free (PlanSpec proves that shape for the
+    //      fact⋈fact join) — with a per-row __op audit column.
+    //      The "no-op update" rows (keys ≡ 0 mod 26: same values
+    //      resubmitted) must report unchanged, not updated ----
+    "q_merge_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .filter(col("o_orderkey") < 20000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val upd = base.filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 26 === 0, col("o_orderstatus"))
+            .otherwise(lit("P")).as("o_orderstatus"),
+          when(col("o_orderkey") % 26 === 0, col("o_totalprice"))
+            .otherwise(col("o_totalprice") + 1000.0).as("o_totalprice"))
+        .union(base.filter(col("o_orderkey") % 17 === 0)
+          .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+            lit("O").as("o_orderstatus"), col("o_totalprice")))
+      graft.operators.Diff.mergeUpsert(base, upd, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"))
+    }),
+
     // ---- Q21 shape: suppliers who were the SOLE latest shipper on
     //      multi-supplier finished orders (exists another supplier /
     //      not-exists a later one, restated over shipdates). One
@@ -339,6 +365,32 @@ object Relational5 {
         |         ELSE 'unchanged' END AS change
         |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey) d
         |WHERE change <> 'unchanged'""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey < 20000),
+        |upd AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 26 = 0 THEN o_orderstatus
+        |         ELSE 'P' END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 26 = 0 THEN o_totalprice
+        |         ELSE o_totalprice + 1000.0 END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'O', o_totalprice
+        |  FROM base WHERE o_orderkey % 17 = 0)
+        |SELECT COALESCE(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+        |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+        |       ELSE b.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+        |       ELSE b.o_totalprice END AS o_totalprice,
+        |  CASE WHEN b.o_orderkey IS NULL THEN 'inserted'
+        |       WHEN u.o_orderkey IS NULL
+        |         OR (u.o_orderstatus, u.o_totalprice) IS NOT DISTINCT FROM
+        |            (b.o_orderstatus, b.o_totalprice) THEN 'unchanged'
+        |       ELSE 'updated' END AS "__op"
+        |FROM base b FULL OUTER JOIN upd u
+        |  ON b.o_orderkey = u.o_orderkey""".stripMargin,
 
     "q21_sole_late_shipper" ->
       """WITH pos AS (SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS s_max

@@ -183,6 +183,30 @@ class MaintenanceSpec extends SparkSpec {
     assert(got === Map(2L -> "changed", 4L -> "removed", 5L -> "added"))
   }
 
+  test("mergeUpsert: update wins incl. explicit NULL, no-op reports unchanged") {
+    import spark.implicits._
+    val base = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+      (3L, Some("c"), 30.0), (4L, Some("d"), 40.0))
+      .toDF("k", "s", "v")
+    val upd = Seq((2L, Some("B"), 20.0),              // real update
+      (3L, None: Option[String], 30.0),               // update sets NULL
+      (4L, Some("d"), 40.0),                          // no-op resubmission
+      (9L, Some("z"), 90.0))                          // insert
+      .toDF("k", "s", "v")
+    val got = Diff.mergeUpsert(base, upd, Seq("k"), Seq("s", "v"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getDouble(2)), r.getString(3)))
+      .toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 9L))
+    assert(got(1L) === ((Some("a"), 10.0), "unchanged")) // untouched base
+    assert(got(2L) === ((Some("B"), 20.0), "updated"))
+    // the deliberate NULL must WIN over the base value, not coalesce
+    assert(got(3L) === ((None, 30.0), "updated"))
+    assert(got(4L) === ((Some("d"), 40.0), "unchanged"))
+    assert(got(9L) === ((Some("z"), 90.0), "inserted"))
+  }
+
   test("schema evolution: mergeSchema unions columns, old rows null-fill") {
     // the drift case a long-lived table hits: a writer starts emitting
     // a new column; existing files must stay readable with the new

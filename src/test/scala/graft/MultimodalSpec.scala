@@ -218,4 +218,32 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("EXIF orientation: both TIFF byte orders, rejects out-of-range/missing") {
+    import spark.implicits._
+    def hexBytes(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def exifBe(v: Int): String =
+      "FFD8FFE10022457869660000" + "4D4D002A00000008" + "0001" +
+        "01120003" + "00000001" + f"$v%04X0000" + "00000000"
+    def exifLe(v: Int): String =
+      "FFD8FFE10022457869660000" + "49492A0008000000" + "0100" +
+        "12010300" + "01000000" + f"$v%02X000000" + "00000000"
+    // a non-orientation tag only (0x011A XResolution) — probe must
+    // return null, not misread the value field
+    val noTag = "FFD8FFE10022457869660000" + "4D4D002A00000008" + "0001" +
+      "011A0003" + "00000001" + "00480000" + "00000000"
+    val rows = Seq(
+      1L -> exifBe(1), 2L -> exifBe(8), 3L -> exifLe(1), 4L -> exifLe(6),
+      5L -> exifBe(0), 6L -> exifBe(9), // out of range -> null
+      7L -> noTag)
+      .map { case (id, h) => (id, hexBytes(h)) }.toDF("id", "content")
+    val got = rows.select(col("id"),
+        graft.expressions.ImageExprs.exifOrientation(col("content")))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(got === Map(1L -> Some(1), 2L -> Some(8), 3L -> Some(1),
+      4L -> Some(6), 5L -> None, 6L -> None, 7L -> None))
+  }
 }

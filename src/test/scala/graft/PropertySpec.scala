@@ -216,7 +216,11 @@ class PropertySpec extends SparkSpec {
       Array.fill(rnd.nextInt(65))(rnd.nextInt(256).toByte))
     val magics = Seq("89504E47", "474946383961", "424D", "494433",
       "52494646", "FFD8", "FFD8FFC0", "0000001066747970",
-      "66747970", "000000086D6F6F76")
+      "66747970", "000000086D6F6F76",
+      // EXIF adversarial prefixes: bare APP1, preamble-only, TIFF
+      // header with an IFD offset pointing past the segment
+      "FFD8FFE1", "FFD8FFE10008457869660000",
+      "FFD8FFE10012457869660000" + "4D4D002A" + "000000FF")
       .map(h => h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
     val df = (random ++ magics).zipWithIndex
       .map { case (b, i) => (i.toLong, b) }.toDF("id", "content")
@@ -226,12 +230,13 @@ class PropertySpec extends SparkSpec {
     val (isId3, ver, tsz) = Multimodal.id3Meta(col("content"))
     val (isWav, ch, sr, bits) = Multimodal.wavMeta(col("content"))
     val jpeg = graft.expressions.ImageExprs.jpegDims(col("content"))
+    val exif = graft.expressions.ImageExprs.exifOrientation(col("content"))
     val mp4 = graft.expressions.MediaExprs.mp4Meta(col("content"))
     // the only assertion that matters: every probe evaluates every row
     // without throwing — junk classifies as false/null, never an error
     val n = df.select(col("id"), isPng, pw, ph, isGif, gw, gh,
         isBmp, bw, bh, isId3, ver, tsz, isWav, ch, sr, bits,
-        jpeg.getField("width"), mp4.getField("duration"))
+        jpeg.getField("width"), exif, mp4.getField("duration"))
       .collect().length
     assert(n === random.length + magics.length)
   }
