@@ -119,6 +119,45 @@ object CurationQueries {
       graft.streaming.CurationStream.scored(
         t(s, dir, "documents"), "doc_id", "text", ClfWeights)),
 
+    // ---- RefinedWeb-style per-domain boilerplate scrub: a segment
+    //      recurring in >= 2 DISTINCT docs of one source is boilerplate
+    //      (nav bars, footers, cookie banners) and is removed from
+    //      EVERY doc — unlike t_segment_dedup's first-occurrence-keeps
+    //      semantics, here no occurrence survives. The fixture
+    //      prepends each source's 10-token nav header to every doc
+    //      (the exact artifact this operator exists to strip), so the
+    //      scrub provably fires on all rows, plus whatever natural
+    //      collisions the corpus has. Shapes: one explode, an exact
+    //      two-phase distinct-count agg on (source, seg), and one
+    //      equi-join back on (source, seg) — the boilerplate table is
+    //      repeated-segments-only (tiny next to the corpus), and a
+    //      domain-wide banner key fans out in the join where AQE skew
+    //      split applies, never in a window ----
+    "t_boilerplate_scrub" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        concat_ws(" ", lit("nav"), col("source"), lit(NavTail),
+          col("text")).as("text"))
+      val segs = d.select(col("doc_id"), col("source"),
+          Text.tokens(col("text")).as("tok"))
+        .select(col("doc_id"), col("source"), posexplode(expr(
+          "transform(sequence(0, (size(tok)-1) div 10)," +
+            " i -> array_join(slice(tok, i*10+1, 10), ' '))")))
+        .toDF("doc_id", "source", "pos", "seg")
+      val boiler = segs.groupBy("source", "seg")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("source"), col("seg"), lit(true).as("is_boiler"))
+      segs.join(boiler, Seq("source", "seg"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("is_boiler"), 1L).otherwise(0L)).cast("long")
+            .as("n_boiler"),
+          coalesce(array_join(transform(
+            array_sort(collect_list(when(col("is_boiler").isNull,
+              struct(col("pos"), col("seg"))))),
+            x => x.getField("seg")), " "), lit("")).as("clean_text"))
+    }),
+
     // ---- file provenance: per-source-file row accounting from the
     //      hidden `_metadata` column — the audit primitive behind
     //      takedown sweeps and ingest reconciliation ("which file did
@@ -138,6 +177,13 @@ object CurationQueries {
   )
 
   private val tok = "string_split(text, ' ')"
+
+  /** Tokens 3–10 of the synthetic per-source nav header (token 1 is
+    * the literal `nav`, token 2 the source name), making the header
+    * exactly one 10-token segment in every doc of a source.
+    */
+  private val NavTail =
+    "home login about contact privacy terms careers press"
 
   /** DSIR target domain: the slice whose distribution the resampled
     * corpus should match (a stand-in for "wiki-quality" text).
@@ -218,6 +264,27 @@ object CurationQueries {
          |  dot > 0 AS kept
          |FROM d""".stripMargin
     },
+
+    "t_boilerplate_scrub" ->
+      s"""WITH base AS (SELECT doc_id, source,
+         |    string_split('nav ' || source || ' $NavTail ' || text, ' ')
+         |      AS tok FROM documents),
+         |segs AS (SELECT doc_id, source, u.pos AS pos, u.seg AS seg
+         |  FROM (SELECT doc_id, source, unnest(list_transform(
+         |      range(0, (len(tok)-1)//10 + 1),
+         |      i -> struct_pack(pos := i,
+         |        seg := array_to_string(tok[i*10+1:i*10+10], ' ')))) AS u
+         |    FROM base)),
+         |boiler AS (SELECT source, seg FROM segs
+         |  GROUP BY source, seg HAVING COUNT(DISTINCT doc_id) >= 2)
+         |SELECT doc_id, COUNT(*) AS n_segs,
+         |  CAST(SUM(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_boiler,
+         |  COALESCE(string_agg(CASE WHEN b.seg IS NULL
+         |      THEN s.seg END, ' ' ORDER BY pos), '') AS clean_text
+         |FROM segs s LEFT JOIN boiler b
+         |  ON s.source = b.source AND s.seg = b.seg
+         |GROUP BY doc_id""".stripMargin,
 
     // the driver reads {sfDir}/documents.parquet, so the only legal
     // basename is the literal — the gate checks the engine's metadata

@@ -78,6 +78,29 @@ class TextSpec extends SparkSpec {
     assert(out(3L) === ((1L, 1L, "unique words")))
   }
 
+  test("t_boilerplate_scrub: per-source threshold removes ALL occurrences") {
+    val dir = java.nio.file.Files.createTempDirectory("bp").toString
+    import spark.implicits._
+    val seg = (1 to 10).map(i => s"x$i").mkString(" ")
+    Seq((1L, "A", s"$seg tail one"), (2L, "A", s"$seg other end"),
+      (3L, "B", s"$seg solo words"))
+      .toDF("doc_id", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t_boilerplate_scrub")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // source A (2 docs): its nav header AND the shared segment recur in
+    // 2 distinct docs -> boilerplate, removed from BOTH docs (no
+    // first-occurrence keeper — that's t_segment_dedup's contract)
+    assert(out(1L) === ((3L, 2L, "tail one")))
+    assert(out(2L) === ((3L, 2L, "other end")))
+    // source B (1 doc): the same segment occurs in only ONE doc of B ->
+    // kept, and B's nav header is kept too (singleton source)
+    assert(out(3L) === ((3L, 0L,
+      "nav B home login about contact privacy terms careers press " +
+        s"$seg solo words")))
+  }
+
   test("quality score bounded and monotone in stopword density") {
     val hi = df1("the a of and to the a of and to").select(
       Text.qualityScore(col("text"), Text.tokens(col("text"))).as("q"))
