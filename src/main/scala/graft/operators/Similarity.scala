@@ -524,6 +524,72 @@ object Similarity {
       .select("q_id", "rank", "n_id", "cos", "cos_sq8")
   }
 
+  /** 1-bit binary quantization: bit i of the code is set iff
+    * `vec[i] > 0`, packed 32 dimensions per BIGINT word (`w0` = dims
+    * 1–32, `w1` = dims 33–64, …). 32-bit packing keeps every shift
+    * far from the sign bit, so the identical word values are
+    * reproducible in any engine with checked 64-bit shifts; the word
+    * array is the layout real binary indexes scan. The packing
+    * expression is a fixed OR tree over plan-literal masks —
+    * integer-only, codegen'd, map-side.
+    */
+  def binaryCodes(vec: Column, dim: Int): Seq[Column] = {
+    require(dim % 32 == 0, s"dim must be a multiple of 32, got $dim")
+    (0 until dim / 32).map { w =>
+      (0 until 32).map { i =>
+        when(element_at(vec, w * 32 + i + 1) > lit(0.0),
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _).as(s"w$w")
+    }
+  }
+
+  /** Binary (Hamming) ANN funnel: corpus and queries are collapsed to
+    * 1-bit codes (64× smaller than the double vectors — the cheapest
+    * compressed-domain scan there is), candidates are the `k + rerank`
+    * smallest Hamming distances per query (`bit_count(xor)` per word,
+    * summed; ties broken on id), and only the survivors fetch exact
+    * vectors for the cosine rerank. Same funnel contract as
+    * [[sq8TopK]]: `rank`/`cos` are exact for the reranked set, recall
+    * is governed by `rerank`.
+    *
+    * Scale: the code table is 8·(dim/32) bytes + id per row; the scan
+    * is integer XOR/POPCNT inside whole-stage codegen against a
+    * broadcast query side — no shuffle until the bounded candidate
+    * window, and the exact-vector join touches `|Q|·(k+rerank)` rows
+    * only.
+    */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                  dim: Int, rerank: Int = 4, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val nWords = dim / 32
+    def codes(df: DataFrame, id: String, pfx: String) =
+      df.select(col(idCol).as(id) +:
+        binaryCodes(col(vecCol), dim).zipWithIndex
+          .map { case (c, w) => c.as(s"$pfx$w") }: _*)
+    val q = codes(queries, "q_id", "qw")
+    val c = codes(corpus, "n_id", "nw")
+    val ham = (0 until nWords)
+      .map(w => bit_count(col(s"qw$w").bitwiseXOR(col(s"nw$w"))))
+      .reduce(_ + _).cast("int")
+    val approx = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), ham.as("hamming"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("hamming").asc, col("n_id").asc)
+    val cand = approx.withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= k + rerank).drop("crank")
+    val exact = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nn"))
+    val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("qn"))
+    val rescored = cand.join(exact, "n_id").join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("n_id"), col("hamming"),
+        cosPre(col("qv"), col("nv"), col("qn"), col("nn")).as("cos"))
+    val w2 = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    rescored.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cos", "hamming")
+  }
+
   /** Matryoshka-style truncated-dimension funnel: approximate cosine
     * over only the LEADING `mDims` dimensions (the MRL property —
     * nested prefixes of the embedding are themselves usable

@@ -156,6 +156,19 @@ object SimilarityQueries {
           round(col("cos_sq8"), 4).as("cos_sq8"))
     }),
 
+    // ---- binary-quantization ANN: 1-bit sign codes packed 32 dims
+    //      per word (64× smaller than the doubles), XOR+POPCNT Hamming
+    //      scan selects candidates, exact cosine rerank of the
+    //      survivors (Similarity.hammingTopK) ----
+    "s_ann_hamming" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Similarity.hammingTopK(e.filter(col("vec_id") < 20), e, k = 3,
+          dim = 64, rerank = 4)
+        .select(col("q_id"), col("rank"), col("n_id"),
+          round(col("cos"), 4).as("cos"), col("hamming"))
+    }),
+
     // ---- Matryoshka truncation funnel: coarse cosine on the leading
     //      16 of 64 dims (¼ the scan bytes), exact full-dim rerank of
     //      the k+rerank survivors ----
@@ -541,6 +554,37 @@ object SimilarityQueries {
         |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM resc)
         |SELECT q_id, rank, n_id, ROUND(cos, 4) AS cos,
         |  ROUND(cos_sq8, 4) AS cos_sq8 FROM r WHERE rank <= 3""".stripMargin,
+
+    "s_ann_hamming" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |codes AS (SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(0, 32), i ->
+        |      CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i)
+        |           ELSE 0::BIGINT END)) AS BIGINT) AS w0,
+        |    CAST(list_sum(list_transform(range(0, 32), i ->
+        |      CASE WHEN v[i+33] > 0 THEN (1::BIGINT << i)
+        |           ELSE 0::BIGINT END)) AS BIGINT) AS w1
+        |  FROM e),
+        |q AS (SELECT vec_id AS q_id, w0 AS qw0, w1 AS qw1 FROM codes
+        |  WHERE vec_id < 20),
+        |approx AS (SELECT q_id, c.vec_id AS n_id,
+        |    CAST(bit_count(xor(qw0, w0)) + bit_count(xor(qw1, w1)) AS INT)
+        |      AS hamming
+        |  FROM q CROSS JOIN codes c WHERE c.vec_id <> q_id),
+        |cand AS (SELECT q_id, n_id, hamming FROM (
+        |    SELECT q_id, n_id, hamming, ROW_NUMBER() OVER (
+        |      PARTITION BY q_id ORDER BY hamming ASC, n_id ASC) AS crank
+        |    FROM approx) WHERE crank <= 3 + 4),
+        |qv AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+        |resc AS (SELECT q_id, cand.n_id AS n_id, hamming,
+        |    list_cosine_similarity(qv, c.v) AS cos
+        |  FROM cand JOIN e c ON c.vec_id = cand.n_id
+        |  JOIN qv USING (q_id)),
+        |r AS (SELECT q_id, n_id, cos, hamming, ROW_NUMBER() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM resc)
+        |SELECT q_id, rank, n_id, ROUND(cos, 4) AS cos, hamming
+        |FROM r WHERE rank <= 3""".stripMargin,
 
     "s_ann_pq" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

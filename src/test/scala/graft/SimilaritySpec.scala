@@ -323,6 +323,44 @@ class SimilaritySpec extends SparkSpec {
     assert(missErr.getMessage.contains("subspaces"))
   }
 
+  test("binaryCodes/hammingTopK: packing matches Long.bitCount model, sign-twin is top-1") {
+    import spark.implicits._
+    // hand-built 64-dim vectors with known sign patterns
+    def vec(signs: Int => Boolean): Seq[Double] =
+      (0 until 64).map(i => if (signs(i)) 1.0 else -1.0)
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 64).map(_ => rnd.nextBoolean())
+    val rows = Seq(
+      (0L, vec(base)),                                   // query
+      (1L, vec(i => if (i < 3) !base(i) else base(i))),  // hamming 3
+      (2L, vec(i => !base(i))),                          // hamming 64
+      (3L, vec(base).updated(10, 0.0)))                  // zero dim: bit clear
+      .toDF("vec_id", "embedding")
+    // packing model: reference Long.bitCount over the sign bits
+    def words(v: Seq[Double]): (Long, Long) = {
+      def pack(off: Int) = (0 until 32).foldLeft(0L)((acc, i) =>
+        if (v(off + i) > 0) acc | (1L << i) else acc)
+      (pack(0), pack(32))
+    }
+    val got = rows.select(col("vec_id") +:
+        Similarity.binaryCodes(col("embedding"), 64): _*)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Seq((0L, vec(base)), (1L, vec(i => if (i < 3) !base(i) else base(i))),
+      (2L, vec(i => !base(i))), (3L, vec(base).updated(10, 0.0)))
+      .foreach { case (id, v) => assert(got(id) === words(v), s"id $id") }
+    // funnel: exact-cosine rerank puts vec 3 (one zeroed dim,
+    // cos = √63/8 ≈ .992) above vec 1 (three flipped signs,
+    // cos = 58/64 ≈ .906); vec 2 (hamming 64) never reaches the top
+    val top = Similarity.hammingTopK(
+        rows.filter(col("vec_id") === 0L), rows, k = 2, dim = 64, rerank = 1)
+      .orderBy("rank").collect()
+    assert(top.map(_.getLong(2)).toSeq === Seq(3L, 1L))
+    // vec 3's hamming is 1 only if dim 10's sign bit was set in base
+    // (zeroing a clear bit changes nothing) — derive, don't hardcode
+    assert(top.map(_.getInt(4)).toSeq ===
+      Seq(if (base(10)) 1 else 0, 3))
+  }
+
   test("ivfpqTopKTrained: seeded end-to-end training is deterministic, k rows per query") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
