@@ -355,6 +355,46 @@ object TextQueries {
         .orderBy(col("c").desc, col("bigram").asc).limit(50)
     }),
 
+    // ---- interpolated Kneser-Ney bigram LM (the smoothing every
+    //      production n-gram LM ships — Chen & Goodman 1999):
+    //      P_KN(w2|w1) = max(c−D,0)/c(w1·)
+    //                  + (D·N1+(w1·)/c(w1·)) · N1+(·w2)/T
+    //      with absolute discount D = 0.75 (exact in binary) and
+    //      continuation probability N1+(·w2)/T over bigram TYPES, so
+    //      frequent-but-predictable words ("Francisco") score low as
+    //      continuations — the property plain MLE (t_bigram_lm) lacks.
+    //      Shapes: one corpus explode, then type-level aggs only
+    //      (vocabulary-sized): per-w1 totals+fanout in ONE groupBy,
+    //      per-w2 fanin in another, total types broadcast as a 1-row
+    //      frame; all joins are equi-joins on vocab keys — no window
+    //      over the Zipfian w1 (t_bigram_lm's de-skew note applies).
+    //      Oracle discipline: every count is an exact integer, D and
+    //      the formula are single correctly-rounded IEEE ops with the
+    //      identical tree in both engines — the emitted double hashes
+    //      bit-identically, unrounded ----
+    "t_kneser_ney" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val cnt = d.select(explode(Text.shingles(Text.tokens(col("text")), 2))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c"))
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("w2", split(col("bigram"), " ").getItem(1))
+        .localCheckpoint(false) // three type-level aggs consume it
+      val den = cnt.groupBy("w1")
+        .agg(sum(col("c")).as("cp"), count(lit(1)).as("t1"))
+      val cont = cnt.groupBy("w2").agg(count(lit(1)).as("t2"))
+      val types = cnt.agg(count(lit(1)).as("tt"))
+      cnt.join(den, "w1").join(cont, "w2").crossJoin(broadcast(types))
+        .select(col("bigram"), col("c"), col("cp"), col("t1"), col("t2"),
+          (greatest(col("c").cast("double") - lit(0.75), lit(0.0)) /
+            col("cp").cast("double") +
+            (lit(0.75) * col("t1").cast("double") /
+              col("cp").cast("double")) *
+              (col("t2").cast("double") / col("tt").cast("double")))
+            .as("p_kn"))
+        .orderBy(col("c").desc, col("bigram").asc).limit(50)
+    }),
+
     // ---- LM-based quality scoring (CCNet-style): average bigram
     //      negative log-likelihood under the corpus's own bigram LM —
     //      low avg_nll = predictable/fluent text, high = gibberish.
@@ -538,6 +578,27 @@ object TextQueries {
          |      AS p_cond
          |  FROM bc)
          |SELECT bigram, c, p_cond FROM wp
+         |ORDER BY c DESC, bigram ASC LIMIT 50""".stripMargin,
+
+    "t_kneser_ney" ->
+      s"""WITH ng AS (SELECT unnest(
+         |    CASE WHEN len($tok) < 2 THEN []
+         |         ELSE list_transform(range(1, len($tok)),
+         |                i -> array_to_string(($tok)[i:i+1], ' ')) END) AS bigram
+         |  FROM documents),
+         |bc AS (SELECT bigram, COUNT(*) AS c,
+         |    string_split(bigram, ' ')[1] AS w1,
+         |    string_split(bigram, ' ')[2] AS w2
+         |  FROM ng GROUP BY bigram),
+         |den AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cp,
+         |    COUNT(*) AS t1 FROM bc GROUP BY w1),
+         |cont AS (SELECT w2, COUNT(*) AS t2 FROM bc GROUP BY w2),
+         |ty AS (SELECT COUNT(*) AS tt FROM bc)
+         |SELECT bigram, c, cp, t1, t2,
+         |  greatest(CAST(c AS DOUBLE) - 0.75, 0.0) / CAST(cp AS DOUBLE)
+         |    + (0.75 * CAST(t1 AS DOUBLE) / CAST(cp AS DOUBLE))
+         |      * (CAST(t2 AS DOUBLE) / CAST(tt AS DOUBLE)) AS p_kn
+         |FROM bc JOIN den USING (w1) JOIN cont USING (w2) CROSS JOIN ty
          |ORDER BY c DESC, bigram ASC LIMIT 50""".stripMargin,
 
     "t_perplexity" ->

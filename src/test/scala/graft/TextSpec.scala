@@ -78,6 +78,33 @@ class TextSpec extends SparkSpec {
     assert(out(3L) === ((1L, 1L, "unique words")))
   }
 
+  test("t_kneser_ney: P_KN sums to 1 per context over the full vocabulary") {
+    val dir = java.nio.file.Files.createTempDirectory("kn").toString
+    import spark.implicits._
+    // small corpus, few enough bigram types that LIMIT 50 keeps all
+    Seq((1L, "a b a c a b d"), (2L, "b a b c d a"), (3L, "c a a b"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("t_kneser_ney")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val tt = rows.length.toDouble // all types present (< 50)
+    val t2of = rows.map(r => r._1.split(" ")(1) -> r._5).toMap
+    // interpolated KN: observed mass + discount mass routed through
+    // the continuation distribution over UNOBSERVED w2 must total 1
+    rows.groupBy(_._1.split(" ")(0)).foreach { case (w1, rs) =>
+      val (cp, t1) = (rs.head._3.toDouble, rs.head._4.toDouble)
+      val observed = rs.map(_._6).sum
+      val contObserved = rs.map(r => t2of(r._1.split(" ")(1)) / tt).sum
+      val backoffUnseen = (0.75 * t1 / cp) * (1.0 - contObserved)
+      assert(math.abs(observed + backoffUnseen - 1.0) < 1e-12,
+        s"context '$w1' mass ${observed + backoffUnseen}")
+    }
+    // discounting strictly moves mass off the MLE for seen bigrams
+    rows.foreach { case (bg, c, cp, t1, _, p) =>
+      assert(p > 0.0 && p < 1.0, s"$bg p=$p")
+    }
+  }
+
   test("t_boilerplate_scrub: per-source threshold removes ALL occurrences") {
     val dir = java.nio.file.Files.createTempDirectory("bp").toString
     import spark.implicits._
