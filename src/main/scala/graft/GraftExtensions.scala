@@ -129,9 +129,20 @@ object GraftExtensions {
       graft.expressions.NormalizeNfc(args(0))
     })
 
+  /** graft_exif_orientation(binary) — EXIF rotate/flip flag 1–8. */
+  private val exifFunction = (
+    FunctionIdentifier("graft_exif_orientation"),
+    new ExpressionInfo(classOf[graft.expressions.ExifOrientation].getName,
+      "graft_exif_orientation"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1,
+        "graft_exif_orientation(binary) takes 1 argument")
+      graft.expressions.ExifOrientation(args(0))
+    })
+
   private val all = Seq(dotFunction, cosineFunction, jpegFunction,
     jsonKeyFunction, simhashFunction, mp4Function, hammingFunction,
-    nfcFunction)
+    nfcFunction, exifFunction)
 
   /** Session-scoped registration for an existing session. */
   def register(spark: SparkSession): Unit =

@@ -200,6 +200,38 @@ object FileOps {
       report
     }),
 
+    // ---- multi-format source round-trips: the same per-lang corpus
+    //      stats must survive parquet → ORC → read and parquet →
+    //      JSONL → read byte-for-byte. ORC is the second columnar
+    //      format a lake encounters (predicate pushdown + column
+    //      pruning work the same as parquet); JSONL is the interchange
+    //      format crawl dumps actually arrive in — read back with the
+    //      EXPLICIT source schema, because a schema-inference pass is
+    //      a second full scan nobody runs at 100 TB. Both fixtures
+    //      write to a per-run unique temp root (concurrent sessions
+    //      never race) that is deleted after the stats materialize ----
+    "o_orc_roundtrip" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") +
+        "/graft_orc_" + java.util.UUID.randomUUID().toString.take(8)
+      t(s, dir, "documents").write.mode("overwrite").orc(root)
+      val out = langStats(s.read.orc(root)).localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(s"file:$root")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }),
+
+    "o_jsonl_roundtrip" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") +
+        "/graft_jsonl_" + java.util.UUID.randomUUID().toString.take(8)
+      val src = t(s, dir, "documents")
+      src.write.mode("overwrite").json(root)
+      val out = langStats(s.read.schema(src.schema).json(root))
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(s"file:$root")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }),
+
     // ---- O16: report counts over the selection outcome ----
     "o16_report_counts" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -218,9 +250,33 @@ object FileOps {
     })
   )
 
+  /** Per-lang corpus stats used by the format round-trip gates: every
+    * column type in `documents` participates, so a format that
+    * corrupts any value (string, bigint) breaks the hash.
+    */
+  private def langStats(d: DataFrame): DataFrame =
+    d.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"),
+      min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+      countDistinct(col("source")).as("n_sources"))
+
   private val synthFname = "'doc_' || CAST(doc_id AS VARCHAR) || '.json'"
 
+  /** Shared oracle for both format round-trips: the stats straight
+    * off the parquet table — any value corruption in the detour
+    * format diverges the hash.
+    */
+  private val langStatsSql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+      |  COUNT(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY lang""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "o_orc_roundtrip" -> langStatsSql,
+    "o_jsonl_roundtrip" -> langStatsSql,
+
     // the move either fully succeeds (one row) or the gate fails loudly
     "a_pipeline_move" ->
       "SELECT 'success' AS status, CAST(400 AS BIGINT) AS n",

@@ -73,4 +73,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.isNullAt(3))
     assert(r.getInt(4) === 4)             // combining mark absorbed
   }
+
+  test("graft_exif_orientation usable from SQL; junk probes null") {
+    GraftExtensions.register(spark)
+    // minimal big-endian EXIF APP1 carrying orientation 6
+    val hex = "FFD8FFE10022457869660000" + "4D4D002A00000008" + "0001" +
+      "01120003" + "00000001" + "00060000" + "00000000"
+    val r = spark.sql(
+      s"SELECT graft_exif_orientation(unhex('$hex')), " +
+        "graft_exif_orientation(unhex('DEADBEEF')), " +
+        "graft_exif_orientation(CAST(NULL AS BINARY))").collect()(0)
+    assert(r.getInt(0) === 6)
+    assert(r.isNullAt(1))
+    assert(r.isNullAt(2))
+  }
 }
