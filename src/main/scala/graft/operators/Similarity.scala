@@ -466,6 +466,36 @@ object Similarity {
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
   }
 
+  /** Directional embedding decontamination: flag TRAIN vectors whose
+    * cosine with ANY eval vector reaches `threshold` — the semantic
+    * twin of n-gram benchmark decontamination ([[Dedup.contaminated]])
+    * for paraphrased/embedded leakage that exact shingles miss.
+    *
+    * The eval set (tiny by definition) broadcasts with its sign-LSH
+    * bucket; the train corpus streams past it in ONE map-side pass —
+    * bucket equi-probe, then exact cosine only on bucket collisions.
+    * No shuffle of the corpus, no self-join: at 100 TB this is scan
+    * bandwidth plus a constant-size hash probe per row. Sign-LSH
+    * blocking keeps the usual contract: cos ≥ threshold pairs collide
+    * in-bucket for high thresholds (a negated vector lands in the
+    * complementary bucket and is never even a candidate).
+    */
+  def crossSetContamination(evalSet: DataFrame, train: DataFrame,
+                            threshold: Double, bits: Int,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val e = evalSet.select(col(idCol).as("eval_id"), col(vecCol).as("ev"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("en"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val tr = train.select(col(idCol).as("train_id"), col(vecCol).as("tv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("tn"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    tr.join(broadcast(e), "bucket")
+      .withColumn("cos", cosPre(col("tv"), col("ev"), col("tn"), col("en")))
+      .filter(col("cos") >= threshold)
+      .select(col("eval_id"), col("train_id"), col("cos"))
+  }
+
   /** Per-vector int8 scalar quantization (SQ8): code_i =
     * round((v_i − lo) / scale), scale = (hi − lo)/255 — the 4× smaller
     * compressed-domain representation a 100 TB vector store scans

@@ -17,6 +17,56 @@ import graft.operators.TopK
 object Relational6 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- time travel over a base snapshot + ordered CDC log: state
+    //      "as of seq 2" — the lakehouse read every audit and
+    //      reproducible-training-run needs. The log is synthesized
+    //      from the base slice (updates at seq 1, status flips +
+    //      deletes at seq 2, and a seq-3 price zeroing that must NOT
+    //      be visible). Fold = latest log entry per key ≤ asOf (one
+    //      row_number window over the high-cardinality orderkey —
+    //      skew-free), then ONE full-outer equi-join applies it:
+    //      delete drops the row, upsert takes the log values,
+    //      untouched base passes through. At scale both sides bucket
+    //      on the key and the join is exchange-free; nothing rescans
+    //      history ----
+    "q_time_travel" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .filter(col("o_orderkey") < 20000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val log = base.filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey"), lit(1L).as("seq"), lit("U").as("op"),
+          col("o_orderstatus"),
+          (col("o_totalprice") + 100.0).as("o_totalprice"))
+        .union(base.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), lit(2L).as("seq"), lit("U").as("op"),
+            lit("X").as("o_orderstatus"), col("o_totalprice")))
+        .union(base.filter(col("o_orderkey") % 19 === 0)
+          .select(col("o_orderkey"), lit(2L).as("seq"), lit("D").as("op"),
+            lit(null).cast("string").as("o_orderstatus"),
+            lit(null).cast("double").as("o_totalprice")))
+        .union(base.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), lit(3L).as("seq"), lit("U").as("op"),
+            col("o_orderstatus"), lit(0.0).as("o_totalprice")))
+      val asOf = 2L
+      // op asc tie-break: a delete and an update sharing one seq (keys
+      // divisible by both 7 and 19) must resolve the same everywhere —
+      // 'D' sorts before 'U', so the delete wins deterministically
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderkey").orderBy(col("seq").desc, col("op").asc)
+      val latest = log.filter(col("seq") <= asOf)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_orderkey"), col("op"),
+          col("o_orderstatus").as("u_status"),
+          col("o_totalprice").as("u_price"))
+      base.join(latest, Seq("o_orderkey"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("o_orderkey"),
+          when(col("op").isNotNull, col("u_status"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(col("op").isNotNull, col("u_price"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+    }),
+
     // Top-3 orders per customer via the bounded-buffer aggregate
     // (operators/TopK.scala) — the skew-immune form of
     // q_window_topn_per_customer: partial ObjectHashAggregate reduces
@@ -252,6 +302,35 @@ object Relational6 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_time_travel" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey < 20000),
+        |log AS (
+        |  SELECT o_orderkey, 1 AS seq, 'U' AS op, o_orderstatus,
+        |    o_totalprice + 100.0 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'U', 'X', o_totalprice
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'D', NULL, NULL
+        |  FROM base WHERE o_orderkey % 19 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'U', o_orderstatus, 0.0
+        |  FROM base WHERE o_orderkey % 5 = 0),
+        |latest AS (SELECT o_orderkey, op, o_orderstatus AS u_status,
+        |    o_totalprice AS u_price
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |      ORDER BY seq DESC, op ASC) AS rn
+        |    FROM log WHERE seq <= 2) WHERE rn = 1)
+        |SELECT COALESCE(b.o_orderkey, l.o_orderkey) AS o_orderkey,
+        |  CASE WHEN l.op IS NOT NULL THEN l.u_status
+        |       ELSE b.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN l.op IS NOT NULL THEN l.u_price
+        |       ELSE b.o_totalprice END AS o_totalprice
+        |FROM base b FULL OUTER JOIN latest l USING (o_orderkey)
+        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
+
     "q_topk_agg" ->
       """SELECT o_custkey, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,

@@ -213,6 +213,27 @@ object SimilarityQueries {
         k = 3, poolSize = 8, lambda = 0.7)
     }),
 
+    // ---- directional eval→train decontamination: the eval set is 10
+    //      planted twins (×2 exact scaling of train ids 0–9 → cosine
+    //      exactly 1.0) and 10 negations (×−1 of ids 50–59 → cosine
+    //      −1, complementary bucket, never a candidate). The gate must
+    //      flag exactly the twins' sources. Eval broadcasts; the train
+    //      corpus passes it in one map-side bucket-probe scan ----
+    "s_contamination_cos" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val evalSet = e.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 200000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0)).as("embedding"))
+        .union(e.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+          .select((col("vec_id") + 300000).as("vec_id"),
+            transform(col("embedding"), x => x * lit(-1.0)).as("embedding")))
+      graft.operators.Similarity
+        .crossSetContamination(evalSet, e, threshold = 0.999, bits = 8)
+        .select(col("eval_id"), col("train_id"),
+          round(col("cos"), 4).as("cos"))
+    }),
+
     // ---- embedding near-duplicates (cosine ≥ 0.999, sign-LSH blocked) ----
     "d_embedding_neardup" -> ((s, dir) => {
       Similarity.cosineNearDupPairs(withScaledCopies(s, dir),
@@ -720,6 +741,28 @@ object SimilarityQueries {
         |    count(*) AS n
         |  FROM ex GROUP BY grp, pos)
         |SELECT grp, pos, sx / n AS centroid FROM agg""".stripMargin,
+
+    "s_contamination_cos" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |ev AS (
+        |  SELECT vec_id + 200000 AS eval_id,
+        |    list_transform(v, x -> x * 2) AS v FROM e WHERE vec_id < 10
+        |  UNION ALL
+        |  SELECT vec_id + 300000,
+        |    list_transform(v, x -> x * -1) FROM e
+        |  WHERE vec_id >= 50 AND vec_id < 60),
+        |eb AS (SELECT eval_id, v, array_to_string(list_transform(v[1:8],
+        |    x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM ev),
+        |tb AS (SELECT vec_id AS train_id, v,
+        |    array_to_string(list_transform(v[1:8],
+        |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM e)
+        |SELECT eval_id, train_id,
+        |  ROUND(list_cosine_similarity(t.v, b.v), 4) AS cos
+        |FROM tb t JOIN eb b USING (bucket)
+        |WHERE list_cosine_similarity(t.v, b.v) >= 0.999""".stripMargin,
 
     "d_embedding_neardup" ->
       """WITH base AS (

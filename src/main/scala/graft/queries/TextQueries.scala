@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
@@ -355,6 +356,65 @@ object TextQueries {
         .orderBy(col("c").desc, col("bigram").asc).limit(50)
     }),
 
+    // ---- tokenizer-budget planning: coverage share of the top-100
+    //      vocabulary — the curve that decides how large a vocab must
+    //      be before OOV rates are acceptable. One map-combinable
+    //      token count, one single-row total (broadcast), one
+    //      TakeOrdered(100); the running-sum window orders a
+    //      100-ROW frame post-limit — bounded by the vocab cut, not
+    //      the corpus. Counts exact integers; the share is one IEEE
+    //      division ----
+    "t_vocab_coverage" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val tf = d.select(explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val total = tf.agg(sum(col("freq")).as("total"))
+      val ord = Window.orderBy(col("freq").desc, col("tok").asc)
+      tf.orderBy(col("freq").desc, col("tok").asc).limit(100)
+        .crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(ord))
+        .withColumn("cum_freq", sum(col("freq")).over(ord))
+        .select(col("rank"), col("tok"), col("freq"),
+          (col("cum_freq").cast("double") / col("total").cast("double"))
+            .as("cum_share"))
+    }),
+
+    // ---- classifier threshold sweep: precision/recall of the hashed
+    //      linear quality classifier against a deterministic length
+    //      proxy label (n_chars ≥ 400) at 17 thresholds — the curve a
+    //      real curation run reads before picking its keep cutoff.
+    //      Score once (zero-shuffle scan, same projection as
+    //      t_quality_classifier), cross-join the broadcast 17-row
+    //      threshold frame, one map-combinable count agg per
+    //      threshold. Ratios are integer counts + one IEEE division;
+    //      empty denominators emit NULL ----
+    "t_classifier_pr_curve" -> ((s, dir) => {
+      val scored = graft.streaming.CurationStream.scored(
+          t(s, dir, "documents"), "doc_id", "text",
+          CurationQueries.ClfWeights)
+        .join(t(s, dir, "documents").select("doc_id", "n_chars"), "doc_id")
+        .select(col("logit"), (col("n_chars") >= 400).as("label"))
+      val thr = s.range(-8, 9).select(col("id").cast("int").as("i"))
+      scored.crossJoin(broadcast(thr))
+        .withColumn("pred", col("logit") >= col("i").cast("double") / lit(10.0))
+        .groupBy("i")
+        .agg(sum(when(col("pred") && col("label"), 1L).otherwise(0L))
+            .cast("long").as("tp"),
+          sum(when(col("pred") && !col("label"), 1L).otherwise(0L))
+            .cast("long").as("fp"),
+          sum(when(!col("pred") && col("label"), 1L).otherwise(0L))
+            .cast("long").as("fn"),
+          sum(when(!col("pred") && !col("label"), 1L).otherwise(0L))
+            .cast("long").as("tn"))
+        .select(col("i"), col("tp"), col("fp"), col("fn"), col("tn"),
+          when(col("tp") + col("fp") > 0,
+            col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+            .as("precision"),
+          when(col("tp") + col("fn") > 0,
+            col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+            .as("recall"))
+    }),
+
     // ---- interpolated Kneser-Ney bigram LM (the smoothing every
     //      production n-gram LM ships — Chen & Goodman 1999):
     //      P_KN(w2|w1) = max(c−D,0)/c(w1·)
@@ -579,6 +639,52 @@ object TextQueries {
          |  FROM bc)
          |SELECT bigram, c, p_cond FROM wp
          |ORDER BY c DESC, bigram ASC LIMIT 50""".stripMargin,
+
+    "t_vocab_coverage" ->
+      s"""WITH tf AS (SELECT tok, COUNT(*) AS freq
+         |  FROM (SELECT unnest($tok) AS tok FROM documents) GROUP BY tok),
+         |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM tf),
+         |top AS (SELECT tok, freq FROM tf
+         |  ORDER BY freq DESC, tok ASC LIMIT 100)
+         |SELECT CAST(ROW_NUMBER() OVER w AS INT) AS "rank", tok, freq,
+         |  CAST(SUM(freq) OVER w AS DOUBLE) / CAST(total AS DOUBLE)
+         |    AS cum_share
+         |FROM top CROSS JOIN tot
+         |WINDOW w AS (ORDER BY freq DESC, tok ASC)""".stripMargin,
+
+    "t_classifier_pr_curve" -> {
+      val cases = CurationQueries.ClfWeights.map { case (b, w) =>
+        s"WHEN '$b' THEN CAST($w AS DECIMAL(2,1))"
+      }.mkString(" ")
+      s"""WITH f AS (SELECT doc_id,
+         |    (CASE substr(md5(tok), 1, 1) $cases END) AS w
+         |  FROM (SELECT doc_id, unnest($tok) AS tok FROM documents)),
+         |sc AS (SELECT doc_id,
+         |    round(CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+         |      AS logit
+         |  FROM f GROUP BY doc_id),
+         |lab AS (SELECT sc.logit, d.n_chars >= 400 AS label
+         |  FROM sc JOIN documents d USING (doc_id)),
+         |thr AS (SELECT CAST(unnest(range(-8, 9)) AS INT) AS i),
+         |cnt AS (SELECT i,
+         |    CAST(SUM(CASE WHEN logit >= CAST(i AS DOUBLE) / 10.0
+         |      AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN logit >= CAST(i AS DOUBLE) / 10.0
+         |      AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN logit < CAST(i AS DOUBLE) / 10.0
+         |      AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN logit < CAST(i AS DOUBLE) / 10.0
+         |      AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM lab CROSS JOIN thr GROUP BY i)
+         |SELECT i, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp > 0
+         |    THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+         |    AS precision,
+         |  CASE WHEN tp + fn > 0
+         |    THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END
+         |    AS recall
+         |FROM cnt""".stripMargin
+    },
 
     "t_kneser_ney" ->
       s"""WITH ng AS (SELECT unnest(

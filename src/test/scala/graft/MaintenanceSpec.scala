@@ -207,6 +207,33 @@ class MaintenanceSpec extends SparkSpec {
     assert(got(9L) === ((Some("z"), 90.0), "inserted"))
   }
 
+  test("q_time_travel: seq-3 change invisible, same-seq delete beats update") {
+    val got = graft.SparkEntry.queries("q_time_travel")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2))).toMap
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet")
+      .filter(col("o_orderkey") < 20000)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2))).toMap
+    base.foreach { case (k, (st, pr)) =>
+      if (k % 19 == 0) assert(!got.contains(k), s"key $k not deleted")
+      else {
+        val (gs, gp) = got(k)
+        if (k % 7 == 0) assert(gs === "X", s"key $k status")
+        else assert(gs === st, s"key $k status unchanged")
+        if (k % 7 == 0) assert(gp === pr)            // seq-2 full image
+        else if (k % 11 == 0) assert(gp === pr + 100.0)
+        else assert(gp === pr)
+        // %5 seq-3 zeroing must NOT be visible anywhere
+        assert(gp != 0.0 || pr == 0.0, s"key $k leaked seq 3")
+      }
+    }
+    assert(got.keySet === base.keySet.filterNot(_ % 19 == 0))
+  }
+
   test("schema evolution: mergeSchema unions columns, old rows null-fill") {
     // the drift case a long-lived table hits: a writer starts emitting
     // a new column; existing files must stay readable with the new

@@ -361,6 +361,27 @@ class SimilaritySpec extends SparkSpec {
       Seq(if (base(10)) 1 else 0, 3))
   }
 
+  test("crossSetContamination flags planted twins only; negations never collide") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val evalSet = e.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0)).as("embedding"))
+      .union(e.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select((col("vec_id") + 2000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(-1.0)).as("embedding")))
+    val hits = Similarity.crossSetContamination(evalSet, e,
+        threshold = 0.999, bits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exactly the 5 scaled twins; cosine is 1.0 up to the 1-ulp sqrt
+    // rounding in the norm product (power-of-two scaling itself is
+    // IEEE-exact) — which is why the operator thresholds at 0.999
+    // rather than equality; no negation reaches any bucket
+    assert(hits.map(h => (h._1, h._2)).sorted.toSeq ===
+      (0 until 5).map(i => (i + 1000L, i.toLong)))
+    hits.foreach(h => assert(math.abs(h._3 - 1.0) < 1e-12))
+  }
+
   test("ivfpqTopKTrained: seeded end-to-end training is deterministic, k rows per query") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))

@@ -78,6 +78,38 @@ class TextSpec extends SparkSpec {
     assert(out(3L) === ((1L, 1L, "unique words")))
   }
 
+  test("t_vocab_coverage: cumulative share strictly increases to the full-vocab total") {
+    val dir = java.nio.file.Files.createTempDirectory("vc").toString
+    import spark.implicits._
+    Seq((1L, "a a a b b c"), (2L, "a b d"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("t_vocab_coverage")(spark, dir)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // frequencies: a=4 b=3 c=1 d=1 (ties broken by token asc), total 9
+    assert(rows.map(t => (t._2, t._3)).toSeq ===
+      Seq(("a", 4L), ("b", 3L), ("c", 1L), ("d", 1L)))
+    assert(rows.map(_._4).toSeq === Seq(4.0 / 9, 7.0 / 9, 8.0 / 9, 1.0))
+  }
+
+  test("t_classifier_pr_curve: confusion counts partition the corpus, recall monotone") {
+    val rows = SparkEntry.queries("t_classifier_pr_curve")(
+        spark, "/root/testdata/sf0.001")
+      .orderBy("i").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val n = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(rows.length === 17)
+    rows.foreach { case (_, tp, fp, fn, tn) =>
+      assert(tp + fp + fn + tn === n) // every doc lands in one cell
+    }
+    // raising the threshold can only shrink the predicted-positive set
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 <= lo._2 && hi._3 <= lo._3)
+    }
+  }
+
   test("t_kneser_ney: P_KN sums to 1 per context over the full vocabulary") {
     val dir = java.nio.file.Files.createTempDirectory("kn").toString
     import spark.implicits._
