@@ -164,4 +164,22 @@ object DedupStream {
           out.result().iterator
       }
   }
+
+  /** Embedding decontamination at ingest: arriving train vectors are
+    * screened against the STATIC eval set before they ever reach the
+    * lake — the streaming twin of
+    * [[graft.operators.Similarity.crossSetContamination]], and
+    * literally the same code path: the eval side is a static broadcast
+    * and a stream-static equi-join on the sign-LSH bucket is STATELESS
+    * in Structured Streaming (no watermark, no state store), so
+    * per-batch output is bit-equal to the batch gate over the same
+    * rows by construction. The spec proves it end-to-end through a
+    * MemoryStream.
+    */
+  def contaminationScreen(stream: DataFrame, evalSet: DataFrame,
+                          threshold: Double, bits: Int,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame =
+    graft.operators.Similarity.crossSetContamination(
+      evalSet, stream, threshold, bits, idCol, vecCol)
 }

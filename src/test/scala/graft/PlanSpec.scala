@@ -336,4 +336,39 @@ class PlanSpec extends SparkSpec {
     val nfc = planOf("t_unicode_norm")
     assert(!nfc.contains("Exchange"), nfc)
   }
+
+  test("round-6 session shapes: contamination scan-side, KN windowless, hamming broadcast") {
+    // decontamination: the eval side BROADCASTS on the bucket key —
+    // the corpus is never shuffled, the whole gate is one map-side
+    // probe pass (SCALE.md §11)
+    val cont = planOf("s_contamination_cos")
+    assert(cont.contains("BroadcastHashJoin"), cont)
+    assert(!cont.contains("SortMergeJoin"), cont)
+    assert(!cont.contains("CartesianProduct"), cont)
+
+    // Kneser–Ney: every aggregate is a groupBy (map-combinable,
+    // AQE-splittable); the Zipfian w1 key must never anchor a window
+    val kn = planOf("t_kneser_ney")
+    assert(!kn.contains("Window"), kn)
+    assert(kn.contains("TakeOrderedAndProject"), kn)
+
+    // binary ANN: the compressed-code candidate scan joins the
+    // broadcast query side — no shuffle of the corpus before the
+    // bounded candidate window
+    val ham = planOf("s_ann_hamming")
+    assert(ham.contains("BroadcastNestedLoopJoin") ||
+      ham.contains("BroadcastHashJoin"), ham)
+    assert(!ham.contains("CartesianProduct"), ham)
+
+    // boilerplate scrub: candidate generation is equi-join only
+    val bp = planOf("t_boilerplate_scrub")
+    assert(!bp.contains("CartesianProduct"), bp)
+    assert(!bp.contains("BroadcastNestedLoopJoin"), bp)
+
+    // classifier PR sweep: ONE corpus scan, counts aggregate
+    // map-side; the 17-row threshold frame rides a broadcast
+    val pr = planOf("t_classifier_pr_curve")
+    assert(!pr.contains("CartesianProduct"), pr)
+    assert(!pr.contains("Window"), pr)
+  }
 }

@@ -506,6 +506,40 @@ class StreamingSpec extends SparkSpec {
     assert(pairs === Set((10L, 1L)))
   }
 
+  test("streaming contamination screen: stateless stream-static gate equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    def v(): Seq[Double] = Seq.fill(16)(rnd.nextGaussian())
+    val train = (1L to 4L).map(i => (i, v()))
+    // eval: exact ×2 twin of train 1 (must flag) and negation of
+    // train 2 (complementary bucket — must never flag)
+    val evalSet = Seq(
+      (100L, train(0)._2.map(_ * 2.0)),
+      (200L, train(1)._2.map(_ * -1.0))).toDF("vec_id", "embedding")
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val hits = graft.streaming.DedupStream.contaminationScreen(
+      mem.toDF().toDF("vec_id", "embedding"), evalSet,
+      threshold = 0.999, bits = 8)
+    val q = hits.writeStream.format("memory").queryName("contam")
+      .outputMode("append").start()
+    try {
+      mem.addData(train(0), train(1))
+      q.processAllAvailable()
+      mem.addData(train(2), train(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT eval_id, train_id FROM contam")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch truth: the SAME operator over the same rows
+    val batch = graft.operators.Similarity.crossSetContamination(
+        evalSet, train.toDF("vec_id", "embedding"),
+        threshold = 0.999, bits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(streamed === Set((100L, 1L)))
+  }
+
   test("self-building near-dup screen: state grows across batches, matches batch LSH") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
