@@ -274,6 +274,76 @@ object SimilarityQueries {
             (acc, e) => acc + e.getField("x")) / col("n")).as("centroid"))
     }),
 
+    // ---- graded ranking quality: nDCG@5 of the sign-LSH ANN against
+    //      brute-force graded relevance (rel = 6 − true rank) — the
+    //      metric that punishes order errors s_ann_recall's set
+    //      overlap cannot see. Oracle discipline: each positional
+    //      gain rel/log2(pos+1) rounds to 6 dp into DECIMAL (the
+    //      ln/libm absorption margin), per-query sums are exact
+    //      DECIMAL cast to double only at the end — partition-order
+    //      independent, and no transcendental is ever hashed raw.
+    //      Candidate-bounded: both rankings end at 5 rows per query
+    //      before any join ----
+    "s_ann_ndcg" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val qs = e.filter(col("vec_id") < 50)
+      val truth = Similarity.cosineTopK(qs, e, k = 5)
+        .select(col("q_id"), col("n_id"),
+          (lit(6) - col("rank")).as("rel"), col("rank").as("trank"))
+      val sys = Similarity.annTopK(qs, e, k = 5, bits = 6)
+        .select(col("q_id"), col("n_id"), col("rank").as("pos"))
+      def gain(rel: org.apache.spark.sql.Column,
+               pos: org.apache.spark.sql.Column) =
+        round(rel.cast("double") / log2(pos.cast("double") + lit(1.0)), 6)
+          .cast("decimal(18,6)")
+      val dcg = sys
+        .join(truth.select("q_id", "n_id", "rel"), Seq("q_id", "n_id"), "left")
+        .select(col("q_id"),
+          gain(coalesce(col("rel"), lit(0)), col("pos")).as("g"))
+        .groupBy("q_id").agg(sum(col("g")).cast("double").as("dcg"))
+      val idcg = truth
+        .select(col("q_id"), gain(col("rel"), col("trank")).as("g"))
+        .groupBy("q_id").agg(sum(col("g")).cast("double").as("idcg"))
+      dcg.join(idcg, "q_id")
+        .select(col("q_id"), col("dcg"), col("idcg"),
+          round(col("dcg") / col("idcg"), 4).as("ndcg"))
+    }),
+
+    // ---- LESS/DsDm-style targeted data selection: score every
+    //      candidate train vector by cosine to the TARGET DOMAIN
+    //      centroid (label = 1 rows) and keep the top-100 — the
+    //      embedding-space "pick data that looks like the target"
+    //      selector. Centroid = exact ordered per-dim mean (the
+    //      s_group_centroid discipline) collapsed to ONE broadcast
+    //      row; scoring is map-side; selection is a distributed
+    //      TakeOrdered. At 100 TB: one scan, no shuffle of the
+    //      corpus, rank decided on full precision with an id
+    //      tie-break ----
+    "s_domain_select" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val cent = e.filter(col("label") === 1)
+        .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("pos")
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("x"))))
+            .as("xs"), count(lit(1)).as("n"))
+        .select(col("pos"),
+          (aggregate(col("xs"), lit(0.0),
+            (acc, el) => acc + el.getField("x")) / col("n")).as("c"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("ps"))
+        .select(transform(col("ps"), p => p.getField("c")).as("cv"))
+      import graft.operators.Similarity.dot
+      e.filter(col("label") =!= 1).crossJoin(broadcast(cent))
+        .select(col("vec_id"),
+          (dot(col("v"), col("cv")) /
+            (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("cv"), col("cv")))))
+            .as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(100)
+        .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+    }),
+
     // ---- hybrid retrieval with reciprocal-rank fusion: top-100
     //      lexical candidates (query-term frequency) and top-100
     //      vector candidates (cosine vs one query embedding) are each
@@ -741,6 +811,53 @@ object SimilarityQueries {
         |    count(*) AS n
         |  FROM ex GROUP BY grp, pos)
         |SELECT grp, pos, sx / n AS centroid FROM agg""".stripMargin,
+
+    "s_ann_ndcg" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    array_to_string(list_transform(CAST(embedding AS DOUBLE[])[1:6],
+         |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb
+         |  FROM e WHERE vec_id < 50),
+         |c AS (SELECT vec_id AS n_id, v AS nv, bucket AS cb FROM e),
+         |ex AS (SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY $dotSql DESC, n_id ASC) AS rank
+         |  FROM q CROSS JOIN c WHERE q_id <> n_id),
+         |tru AS (SELECT q_id, n_id, 6 - rank AS rel, rank AS trank
+         |  FROM ex WHERE rank <= 5),
+         |ap AS (SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY $dotSql DESC, n_id ASC) AS rank
+         |  FROM q JOIN c ON qb = cb WHERE q_id <> n_id),
+         |sys AS (SELECT q_id, n_id, rank AS pos FROM ap WHERE rank <= 5),
+         |g AS (SELECT s.q_id, CAST(round(
+         |      CAST(COALESCE(t.rel, 0) AS DOUBLE) /
+         |        log2(CAST(s.pos AS DOUBLE) + 1.0), 6)
+         |    AS DECIMAL(18,6)) AS g
+         |  FROM sys s LEFT JOIN tru t USING (q_id, n_id)),
+         |d AS (SELECT q_id, CAST(SUM(g) AS DOUBLE) AS dcg
+         |  FROM g GROUP BY q_id),
+         |ig AS (SELECT q_id, CAST(SUM(CAST(round(
+         |      CAST(rel AS DOUBLE) / log2(CAST(trank AS DOUBLE) + 1.0), 6)
+         |    AS DECIMAL(18,6))) AS DOUBLE) AS idcg
+         |  FROM tru GROUP BY q_id)
+         |SELECT q_id, dcg, idcg, round(dcg / idcg, 4) AS ndcg
+         |FROM d JOIN ig USING (q_id)""".stripMargin,
+
+    "s_domain_select" ->
+      """WITH base AS (SELECT vec_id, label,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ex AS (SELECT vec_id, CAST(p AS INT) AS pos, v[p + 1] AS x
+        |  FROM base CROSS JOIN (SELECT unnest(range(0, 64)) AS p)
+        |  WHERE label = 1),
+        |agg AS (SELECT pos,
+        |    list_reduce(list_prepend(0.0, array_agg(x ORDER BY vec_id)),
+        |                (a, b) -> a + b) / count(*) AS c
+        |  FROM ex GROUP BY pos),
+        |cent AS (SELECT array_agg(c ORDER BY pos) AS cv FROM agg),
+        |sc AS (SELECT vec_id, list_cosine_similarity(v, cv) AS cos
+        |  FROM base CROSS JOIN cent WHERE label <> 1)
+        |SELECT vec_id, ROUND(cos, 4) AS cos FROM sc
+        |ORDER BY cos DESC, vec_id ASC LIMIT 100""".stripMargin,
 
     "s_contamination_cos" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -361,6 +361,32 @@ class SimilaritySpec extends SparkSpec {
       Seq(if (base(10)) 1 else 0, 3))
   }
 
+  test("s_ann_ndcg bounded by 1 with dcg <= idcg; s_domain_select excludes the target") {
+    val ndcg = SparkEntry.queries("s_ann_ndcg")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(ndcg.nonEmpty)
+    ndcg.foreach { case (q, dcg, idcg, n) =>
+      // a system hit can only re-order or drop truth items — never
+      // exceed the ideal ordering's gain
+      assert(dcg <= idcg + 1e-9, s"q $q dcg $dcg > idcg $idcg")
+      assert(n >= 0.0 && n <= 1.0 + 1e-9, s"q $q ndcg $n")
+    }
+    // the single-bucket ANN at 6 bits finds SOME graded overlap
+    assert(ndcg.map(_._4).max > 0.0)
+
+    val sel = SparkEntry.queries("s_domain_select")(
+        spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val labels = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("label") === 1).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    // target-domain rows never select themselves; scores are ranked
+    assert(sel.map(_._1).forall(id => !labels.contains(id)))
+    assert(sel.map(_._2).toSeq === sel.map(_._2).sortBy(-_).toSeq)
+  }
+
   test("crossSetContamination flags planted twins only; negations never collide") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
