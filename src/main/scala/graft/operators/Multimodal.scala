@@ -84,6 +84,32 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** The exact sc× nearest-neighbor upscale of [[renderPng]]'s image:
+    * pixel (x, y) carries the base pattern at (x/sc, y/sc). Because
+    * the NN floor arithmetic nests (⌊⌊sc·q⌋/sc⌋ = ⌊q⌋), any probe
+    * that NN-resamples this image hits exactly the pixels it would
+    * have hit on the original — the fixture for resize-invariance
+    * gates like [[dHash]].
+    */
+  private[graft] def renderPngScaled(id: Long, w: Int, h: Int,
+                                     sc: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w * sc, h * sc, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h * sc) {
+      var x = 0
+      while (x < w * sc) {
+        img.setRGB(x, y,
+          ((id * 2654435761L + (x / sc) * 7 + (y / sc) * 131) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Distributed feature extraction: one decoder per partition, rows
     * streamed through it — the execution shape for any per-payload
     * media op (resize, transcode, embed).
@@ -303,6 +329,51 @@ object Multimodal {
             y2 += 1
           }
           ResizeStats(id, Some(w2), Some(h2), Some(sum))
+        }
+      })
+  }
+
+  final case class DHash(id: Long, dhash: Option[String])
+
+  /** Difference-hash (dHash) perceptual fingerprint over the decoded
+    * raster: nearest-neighbor resample to 9×8 (the same explicit
+    * ⌊dst·srcDim/dstDim⌋ kernel as [[resizeStats]] — bit-deterministic,
+    * no Java2D filtering), per-pixel brightness = r+g+b (an exact
+    * integer, monotone in luminance — comparisons don't need the /3),
+    * then bit(x,y) = bright(x+1,y) > bright(x,y) over each row: 64
+    * bits emitted as a '0'/'1' string key. Constant-brightness shifts
+    * and — because NN floor arithmetic nests (⌊⌊2q⌋/2⌋ = ⌊q⌋) — exact
+    * integer upscales leave the hash IDENTICAL, which is what makes
+    * it a resize-invariant dedup key. Undecodable payloads yield
+    * null. Same per-partition decoder seam as the other media ops.
+    */
+  def dHash(df: DataFrame): Dataset[DHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img == null) DHash(id, None)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          def bright(x2: Int, y2: Int): Int = {
+            val v = img.getRGB(x2 * w / 9, y2 * h / 8)
+            ((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)
+          }
+          val sb = new java.lang.StringBuilder(64)
+          var y2 = 0
+          while (y2 < 8) {
+            var x2 = 0
+            while (x2 < 8) {
+              sb.append(if (bright(x2 + 1, y2) > bright(x2, y2)) '1' else '0')
+              x2 += 1
+            }
+            y2 += 1
+          }
+          DHash(id, Some(sb.toString))
         }
       })
   }

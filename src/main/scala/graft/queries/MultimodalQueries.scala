@@ -50,7 +50,54 @@ object MultimodalQueries {
       .localCheckpoint(false)
   }
 
+  /** Originals plus exact 2× NN-upscaled twins under id+100000 — the
+    * perceptual-dedup fixture (same memo discipline as [[pngCorpus]]).
+    */
+  private val pngTwinMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(Long, Array[Byte])]]()
+
+  private def pngTwinCorpus(s: SparkSession, dir: String): DataFrame = {
+    val twins = pngTwinMemo.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") % 64 + 1).cast("int").as("w"),
+          ((col("doc_id") * 7) % 64 + 1).cast("int").as("h"))
+        .as[(Long, Int, Int)]
+        .mapPartitions(_.map { case (id, w, h) =>
+          (id + 100000L, Multimodal.renderPngScaled(id, w, h, 2))
+        })
+        .collect()
+    })
+    import s.implicits._
+    pngCorpus(s, dir)
+      .union(s.createDataset(twins.toSeq).toDF("id", "content")
+        .localCheckpoint(false))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- perceptual image dedup: dHash (9×8 NN resample → row-wise
+    //      brightness-gradient bits) over REAL decoded rasters,
+    //      clustered by exact hash equality. The fixture plants an
+    //      exact 2× NN upscale of every image under id+100000 — the
+    //      hash is provably scale-invariant for NN upscales
+    //      (⌊⌊2q⌋/2⌋ = ⌊q⌋), so every twin must share its original's
+    //      cluster; degenerate-width images (w = 1 → all gradient
+    //      bits 0) form one flat-image mega-cluster, exactly as flat
+    //      images do in production perceptual dedup. Scale shape:
+    //      hash is map-side per-partition decode; the output is the
+    //      LINEAR cluster assignment (id → keeper, size) via one
+    //      hash-key agg + join back — never the quadratic pair list
+    //      a flat mega-cluster would explode ----
+    "m_dhash_neardup" -> ((s, dir) => {
+      val h = Multimodal.dHash(pngTwinCorpus(s, dir)).toDF()
+        .filter(col("dhash").isNotNull)
+      val cl = h.groupBy("dhash").agg(min(col("id")).as("keeper"),
+        count(lit(1)).as("cluster_size"))
+      h.join(cl, "dhash")
+        .select(col("id"), col("keeper"), col("cluster_size"))
+    }),
+
     "m_binary_meta" -> ((s, dir) => {
       media(s, dir).select(col("id"),
         col("meta.n_bytes").as("n_bytes"),
@@ -344,6 +391,32 @@ object MultimodalQueries {
     // same generating-function components as m_pixel_stats, sampled at
     // the kernel's source coordinates (term built programmatically so
     // the three component extractions share one balanced expression)
+    "m_dhash_neardup" -> {
+      // closed-form dHash replay: member (base, sc) samples the base
+      // pattern at ((x2·w·sc)//9)//sc — the nested floor that makes
+      // the 2× twin provably hash-identical
+      def bright(xe: String, ye: String): String = {
+        val xx = s"((($xe) * (base % 64 + 1) * sc) // 9) // sc"
+        val yy = s"((($ye) * ((base * 7) % 64 + 1) * sc) // 8) // sc"
+        val t = s"(base * 2654435761 + ($xx) * 7 + ($yy) * 131)"
+        s"((($t & 16777215) >> 16) + ((($t & 16777215) >> 8) & 255)" +
+          s" + ($t & 255))"
+      }
+      s"""WITH m AS (
+         |  SELECT doc_id AS id, doc_id AS base, 1 AS sc FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, doc_id, 2 FROM documents),
+         |h AS (SELECT id, array_to_string(flatten(list_transform(
+         |    range(0, 8), y2 -> list_transform(range(0, 8), x2 ->
+         |      CASE WHEN ${bright("x2 + 1", "y2")} > ${bright("x2", "y2")}
+         |           THEN '1' ELSE '0' END))), '') AS dhash
+         |  FROM m),
+         |cl AS (SELECT dhash, MIN(id) AS keeper, COUNT(*) AS cluster_size
+         |  FROM h GROUP BY dhash)
+         |SELECT id, keeper, cluster_size FROM h JOIN cl USING (dhash)"""
+        .stripMargin
+    },
+
     "m_resize" -> {
       val term = "(doc_id * 2654435761" +
         " + ((x2 * (doc_id % 64 + 1)) // 8) * 7" +

@@ -219,6 +219,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dHash: 2x NN upscale hashes identical; brightness shift invariant; distinct patterns differ") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.renderPng(42L, 20, 16)),
+      (2L, Multimodal.renderPngScaled(42L, 20, 16, 2)), // exact 2x twin
+      (3L, Multimodal.renderPng(43L, 20, 16)),          // different pattern
+      (4L, Array[Byte](1, 2, 3)))                       // undecodable
+      .toDF("id", "content")
+    val got = Multimodal.dHash(rows).collect()
+      .map(d => d.id -> d.dhash).toMap
+    assert(got(1L).isDefined && got(1L) === got(2L)) // scale-invariant
+    assert(got(3L).isDefined && got(1L) != got(3L)) // discriminates
+    assert(got(4L).isEmpty)                          // junk -> null
+    // cluster query: twin joins its original's cluster with keeper=min
+    val clusters = graft.SparkEntry.queries("m_dhash_neardup")(
+        spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    clusters.keys.filter(_ >= 100000L).foreach { twin =>
+      assert(clusters(twin)._1 === clusters(twin - 100000L)._1,
+        s"twin $twin not clustered with its original")
+      assert(clusters(twin)._2 >= 2L)
+    }
+  }
+
   test("EXIF orientation: both TIFF byte orders, rejects out-of-range/missing") {
     import spark.implicits._
     def hexBytes(h: String): Array[Byte] =
