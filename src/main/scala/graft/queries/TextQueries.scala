@@ -275,6 +275,35 @@ object TextQueries {
             " ").as("bpe"))
     }),
 
+    // ---- per-source tokenizer efficiency: chars-per-BPE-token under
+    //      the fixed merge table — the number that says which domains
+    //      a tokenizer serves well before committing a training run.
+    //      Shapes: the corpus collapses to (source, word, k) type
+    //      counts first; the BPE fold runs ONCE PER DISTINCT WORD
+    //      (vocabulary-sized, map-side expression — never re-encodes
+    //      the corpus), multiplicities join back on the word key.
+    //      Counts exact integers; the ratio is one IEEE division ----
+    "t_bpe_compression" -> ((s, dir) => {
+      val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"),
+        ("a", "n"), ("e", "r"), ("an", "d"))
+      val wk = t(s, dir, "documents")
+        .select(col("source"), explode(Text.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("source", "word").agg(count(lit(1)).as("k"))
+      val enc = wk.select("word").distinct()
+        .select(col("word"), length(col("word")).cast("long").as("wlen"),
+          size(graft.operators.Bpe.encodeExpr(col("word"), merges))
+            .cast("long").as("blen"))
+      wk.join(enc, "word")
+        .groupBy("source")
+        .agg(sum(col("k")).as("n_words"),
+          sum(col("k") * col("wlen")).as("n_chars"),
+          sum(col("k") * col("blen")).as("n_bpe"))
+        .select(col("source"), col("n_words"), col("n_chars"), col("n_bpe"),
+          (col("n_chars").cast("double") / col("n_bpe").cast("double"))
+            .as("chars_per_token"))
+    }),
+
     "t_ngram_freq" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.select(explode(Text.shingles(Text.tokens(col("text")), 2)).as("ngram"))
@@ -1033,6 +1062,35 @@ object TextQueries {
          |$folds
          |SELECT word, n, array_to_string(syms, ' ') AS bpe
          |FROM s${merges.length}""".stripMargin
+    },
+
+    "t_bpe_compression" -> {
+      val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"),
+        ("a", "n"), ("e", "r"), ("an", "d"))
+      val folds = merges.zipWithIndex.map { case ((a, b), i) =>
+        s"""s${i + 1} AS (SELECT word, list_reduce(
+           |    list_transform(syms, s -> [s]),
+           |    (acc, x) -> CASE WHEN acc[len(acc)] = '$a' AND x[1] = '$b'
+           |      THEN list_slice(acc, 1, len(acc) - 1) || ['$a$b']
+           |      ELSE acc || x END) AS syms FROM s$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH wk AS (SELECT source, word, COUNT(*) AS k
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+         |        FROM documents)
+         |  WHERE word <> '' GROUP BY source, word),
+         |vocab AS (SELECT DISTINCT word FROM wk),
+         |s0 AS (SELECT word, list_transform(range(1, length(word) + 1),
+         |    i -> substr(word, CAST(i AS INT), 1)) AS syms FROM vocab),
+         |$folds,
+         |enc AS (SELECT word, CAST(length(word) AS BIGINT) AS wlen,
+         |    CAST(len(syms) AS BIGINT) AS blen FROM s${merges.length})
+         |SELECT source, CAST(SUM(k) AS BIGINT) AS n_words,
+         |  CAST(SUM(k * wlen) AS BIGINT) AS n_chars,
+         |  CAST(SUM(k * blen) AS BIGINT) AS n_bpe,
+         |  CAST(CAST(SUM(k * wlen) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(SUM(k * blen) AS BIGINT) AS DOUBLE)
+         |    AS chars_per_token
+         |FROM wk JOIN enc USING (word) GROUP BY source""".stripMargin
     },
 
     "t_quality_rules" ->
