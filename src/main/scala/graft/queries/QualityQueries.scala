@@ -29,6 +29,23 @@ object QualityQueries {
           "value_non_negative" -> (min(col("value")) >= lit(0))))
     }),
 
+    // Tamper-evident corpus digest: sum of the leading 60 bits of
+    // md5(doc_id:text) per row — commutative and associative, so the
+    // digest is identical under ANY partitioning, ordering, or
+    // engine, yet any changed/dropped/duplicated row moves it. The
+    // reproducibility attestation two independent pipelines compare
+    // before trusting they trained on the same corpus. One
+    // map-combinable aggregation; exact DECIMAL sum (values exceed
+    // 2^53, so a double sum would silently lose bits).
+    "q_corpus_digest" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(":"), col("text"))), 1, 15), 16, 10)
+          .cast("decimal(20,0)").as("h"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("h")).cast("decimal(38,0)").as("digest"))
+    }),
+
     // Referential integrity events.user_id → customer.c_custkey: one
     // distinct-project of the parent key + one anti-join count. At
     // 100 TB the parent key set is the small side (broadcast / bloom
@@ -41,6 +58,13 @@ object QualityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_corpus_digest" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST('0x' || substr(
+        |      md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15)
+        |    AS BIGINT)) AS DECIMAL(38,0)) AS digest
+        |FROM documents""".stripMargin,
+
     "q_dq_metrics" ->
       """WITH a AS (SELECT
         |  CAST(COUNT(props) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)

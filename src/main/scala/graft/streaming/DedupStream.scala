@@ -182,4 +182,21 @@ object DedupStream {
                           vecCol: String = "embedding"): DataFrame =
     graft.operators.Similarity.crossSetContamination(
       evalSet, stream, threshold, bits, idCol, vecCol)
+
+  /** Perceptual-duplicate screening for IMAGE ingest: each arriving
+    * (id, content) payload is decoded and dHashed per partition
+    * ([[graft.operators.Multimodal.dHash]] — stateless mapPartitions,
+    * legal on a streaming Dataset), then a stream-static equi-join on
+    * the 64-bit hash key hits the prebuilt corpus index. Zero
+    * streaming state, no watermark; undecodable payloads drop out at
+    * the null filter exactly as in batch. The index is a plain
+    * (base_id, dhash) frame — rebuild offline, swap between restarts.
+    */
+  def imageScreen(stream: DataFrame, index: DataFrame): DataFrame = {
+    val hashed = graft.operators.Multimodal.dHash(stream).toDF()
+      .filter(col("dhash").isNotNull)
+      .select(col("id").as("new_id"), col("dhash"))
+    hashed.join(index.select(col("base_id"), col("dhash")), "dhash")
+      .select(col("new_id"), col("base_id"))
+  }
 }

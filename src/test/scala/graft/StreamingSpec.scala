@@ -540,6 +540,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === Set((100L, 1L)))
   }
 
+  test("streaming image screen: 2x upscaled arrival flags against static dHash index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val index = graft.operators.Multimodal.dHash(
+        Seq((1L, graft.operators.Multimodal.renderPng(42L, 20, 16)),
+          (2L, graft.operators.Multimodal.renderPng(43L, 20, 16)))
+          .toDF("id", "content")).toDF()
+      .filter(col("dhash").isNotNull)
+      .select(col("id").as("base_id"), col("dhash"))
+      .localCheckpoint(true)
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val hits = graft.streaming.DedupStream.imageScreen(
+      mem.toDF().toDF("id", "content"), index)
+    val q = hits.writeStream.format("memory").queryName("imgscreen")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (10L, graft.operators.Multimodal.renderPngScaled(42L, 20, 16, 2)),
+        (11L, graft.operators.Multimodal.renderPng(99L, 20, 16)),
+        (12L, Array[Byte](9, 9, 9))) // undecodable: silently dropped
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT new_id, base_id FROM imgscreen")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((10L, 1L))) // the scaled twin, nothing else
+  }
+
   test("self-building near-dup screen: state grows across batches, matches batch LSH") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
