@@ -20,6 +20,54 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Synchronous semi-supervised label propagation: seeds keep their
+    * label forever; every other vertex adopts, each round, the most
+    * frequent label among its labeled neighbors FROM THE PREVIOUS
+    * round (count desc, label asc tie-break — fully deterministic, so
+    * an oracle can replay the rounds verbatim). Unreached vertices
+    * stay null.
+    *
+    * Scale shape per round: one edge⋈labels equi-join, a
+    * map-combinable (vertex, label) count, and a per-vertex argmax
+    * window — the window runs AFTER the count collapse, so its
+    * partition is bounded by the number of distinct labels (≤
+    * #classes), never by vertex degree. `localCheckpoint` truncates
+    * the growing lineage each round, the standard iterative guard.
+    */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame,
+                       rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(false) // reused every round
+    val verts = und.select(col("src").as("id")).distinct()
+    var cur = verts
+      .join(seeds.select(col("id"), col("label"), lit(true).as("seed")),
+        Seq("id"), "left")
+      .select(col("id"), col("label"),
+        coalesce(col("seed"), lit(false)).as("seed"))
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val msgs = und
+        .join(cur.filter(col("label").isNotNull)
+          .select(col("id").as("src"), col("label").as("nlab")), "src")
+        .groupBy(col("dst").as("id"), col("nlab"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("id")
+        .orderBy(col("c").desc, col("nlab").asc)
+      val best = msgs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("id"), col("nlab"))
+      cur = cur.join(best, Seq("id"), "left")
+        .select(col("id"),
+          when(col("seed"), col("label"))
+            .otherwise(coalesce(col("nlab"), col("label"))).as("label"),
+          col("seed"))
+        .localCheckpoint(false)
+    }
+    cur
+  }
+
   /** Multi-source BFS over an undirected edge list.
     *
     * @param edges two-column DataFrame (src, dst); treated undirected

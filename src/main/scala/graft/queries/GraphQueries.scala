@@ -52,6 +52,30 @@ object GraphQueries {
           col("rank_e9"))
     }),
 
+    // ---- semi-supervised label propagation over the same bipartite
+    //      trading graph: every third customer is seeded with an
+    //      arithmetic class label ((id div 2) % 25 — derived, so the
+    //      oracle needs no side table) and two synchronous rounds
+    //      spread labels to suppliers and on to unlabeled customers.
+    //      Deterministic by the (count desc, label asc) argmax
+    //      contract; the oracle replays both rounds verbatim.
+    //      Per-round shape: edge⋈labels equi-join + map-combinable
+    //      (vertex, label) count + an argmax window bounded by
+    //      #classes after the collapse — never by vertex degree ----
+    "g_label_prop" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val seeds = edges.select(col("src").as("id")).distinct()
+        .filter(col("id") % 6 === 0)
+        .select(col("id"), expr("(id div 2) % 25").as("label"))
+      Graph.labelPropagation(edges, seeds, rounds = 2)
+        .select(col("id"), col("label"), col("seed"))
+    }),
+
     // ---- degree-ordered triangle counting over the supplier
     //      co-occurrence graph (suppliers filling the same order in
     //      March 1995 — the date filter is partition-prunable and
@@ -117,6 +141,32 @@ object GraphQueries {
            |  rank_e9
            |FROM (SELECT id, rank_e9 FROM r$iters
            |      ORDER BY rank_e9 DESC, id ASC LIMIT 100)""".stripMargin
+    },
+
+    "g_label_prop" -> {
+      def round(k: Int) =
+        s"""m$k AS (SELECT und.d AS id, l.label AS nlab, COUNT(*) AS c
+           |  FROM und JOIN l${k - 1} l ON und.s = l.id
+           |  WHERE l.label IS NOT NULL GROUP BY 1, 2),
+           |b$k AS (SELECT id, nlab FROM (
+           |    SELECT id, nlab, ROW_NUMBER() OVER (PARTITION BY id
+           |      ORDER BY c DESC, nlab ASC) AS rn FROM m$k) WHERE rn = 1),
+           |l$k AS (SELECT v.id,
+           |    CASE WHEN v.seed THEN v.label
+           |         ELSE COALESCE(b.nlab, v.label) END AS label, v.seed
+           |  FROM l${k - 1} v LEFT JOIN b$k b USING (id))""".stripMargin
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS s,
+         |    l_suppkey * 2 + 1 AS d
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |und AS (SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0),
+         |verts AS (SELECT DISTINCT s AS id FROM und),
+         |seeds AS (SELECT id, (id // 2) % 25 AS label FROM verts
+         |  WHERE id % 6 = 0),
+         |l0 AS (SELECT v.id, s.label, s.id IS NOT NULL AS seed
+         |  FROM verts v LEFT JOIN seeds s USING (id)),
+         |${round(1)},
+         |${round(2)}
+         |SELECT id, label, seed FROM l2""".stripMargin
     },
 
     // Same degree-ordered orientation, spelled with row-value

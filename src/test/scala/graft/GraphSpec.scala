@@ -84,4 +84,26 @@ class GraphSpec extends SparkSpec {
     assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2))
       === ((4L, 4L, 1L)))
   }
+
+  test("labelPropagation: seeds fixed, majority wins with min-label ties, 2-hop spread") {
+    import spark.implicits._
+    // path graph 1-2-3-4-5 plus seed 6 attached to 2:
+    //   seeds: 1 -> "a", 6 -> "b"
+    // round 1: 2 sees {a, b} tie -> min "a"; 3..5 unreached stay null
+    //          (except 3? no: 3's neighbor 2 was null in round 0)
+    // round 2: 3 sees {a} from 2 -> "a"; 4, 5 still null
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 2L))
+      .toDF("src", "dst")
+    val seeds = Seq((1L, "a"), (6L, "b")).toDF("id", "label")
+    val got = Graph.labelPropagation(edges, seeds, rounds = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getString(1)), r.getBoolean(2))).toMap
+    assert(got(1L) === ((Some("a"), true)))  // seed never flips
+    assert(got(6L) === ((Some("b"), true)))
+    assert(got(2L) === ((Some("a"), false))) // a/b tie -> min label
+    assert(got(3L) === ((Some("a"), false))) // reached in round 2
+    assert(got(4L) === ((None, false)))      // 3 hops away: not yet
+    assert(got(5L) === ((None, false)))
+  }
 }
