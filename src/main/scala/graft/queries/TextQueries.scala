@@ -275,6 +275,39 @@ object TextQueries {
             " ").as("bpe"))
     }),
 
+    // ---- corpus cartography: source×source 3-shingle overlap matrix
+    //      — which domains duplicate each other, the map that decides
+    //      what cross-source dedup will recover before running it.
+    //      Shapes: the corpus collapses to DISTINCT (source, shingle)
+    //      once; the intersection join is shingle-keyed with at most
+    //      |sources|² fanout per shingle type (bounded by 20² here,
+    //      by the domain count generally — never by corpus size);
+    //      set sizes are one map-combinable count. Exact integers +
+    //      one IEEE division ----
+    "t_source_overlap" -> ((s, dir) => {
+      val ss = t(s, dir, "documents")
+        .select(col("source"),
+          explode(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
+        .distinct()
+        .localCheckpoint(false) // sizes + intersection both consume it
+      val sizes = ss.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = ss.as("a").join(ss.as("b"),
+          col("a.sh") === col("b.sh") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")),
+          "src_a")
+        .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")),
+          "src_b")
+        .select(col("src_a"), col("src_b"), col("n_common"),
+          col("n_a"), col("n_b"),
+          (col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+            .as("jaccard"))
+    }),
+
     // ---- per-source tokenizer efficiency: chars-per-BPE-token under
     //      the fixed merge table — the number that says which domains
     //      a tokenizer serves well before committing a training run.
@@ -1063,6 +1096,26 @@ object TextQueries {
          |SELECT word, n, array_to_string(syms, ' ') AS bpe
          |FROM s${merges.length}""".stripMargin
     },
+
+    "t_source_overlap" ->
+      s"""WITH ss AS (SELECT DISTINCT source, sh FROM (
+         |    SELECT source, unnest(
+         |      CASE WHEN len($tok) < 3 THEN []
+         |           ELSE list_transform(range(1, len($tok) - 1),
+         |                  i -> array_to_string(($tok)[i:i+2], ' ')) END)
+         |      AS sh FROM documents)),
+         |sizes AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source),
+         |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    COUNT(*) AS n_common
+         |  FROM ss a JOIN ss b
+         |    ON a.sh = b.sh AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_common, sa.n AS n_a, sb.n AS n_b,
+         |  CAST(n_common AS DOUBLE)
+         |    / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.source = src_a
+         |JOIN sizes sb ON sb.source = src_b""".stripMargin,
 
     "t_bpe_compression" -> {
       val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"),
