@@ -797,4 +797,99 @@ object Similarity {
     }
     selected.select("q_id", "sel_round", "c_id")
   }
+
+  /** First principal component of an embedding column by the two-pass
+    * Gramian + power-iteration shape (what MLlib's PCA does under the
+    * hood, re-derived with cross-engine-exact arithmetic):
+    *
+    *   pass 1  per-dimension mean — exact DECIMAL sums over round-9
+    *           quantized inputs (partition-order independent), 64 rows
+    *           to the driver;
+    *   pass 2  covariance Gram matrix — per row the 64×64 outer product
+    *           of the centered vector, round-12 quantized into
+    *           DECIMAL(38,12) and summed by (i,j): ONE keyed
+    *           aggregation with map-side partial combine, dim² = 4096
+    *           groups regardless of corpus size, 4096 rows to the
+    *           driver;
+    *   driver  `iters` un-normalized power steps from v₀ = (0.125,…)
+    *           (exactly representable) with left-associated matvec
+    *           folds — O(dim²·iters) scalar work, no cluster round
+    *           trips.
+    *
+    * Everything the cluster then consumes (means, component, norm) is a
+    * plan literal, so the projection itself is a zero-shuffle map over
+    * the corpus — the same "small model to driver, big data stays put"
+    * split as [[ivfTopK]]'s centroids. Determinism: decimal sums are
+    * order-independent, the driver fold order is fixed, so the result
+    * is bit-identical at any parallelism (audited 32-way vs 7-way).
+    *
+    * Returns (per-dim means, un-normalized component v_iters, ‖v‖).
+    */
+  def pcaFirstComponent(df: DataFrame, dim: Int, iters: Int = 30,
+                        vecCol: String = "embedding"):
+      (Seq[Double], Seq[Double], Double) = {
+    val xq = transform(col(vecCol).cast("array<double>"), x => round(x, 9))
+    val meanRows = df
+      .select(posexplode(xq).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(sum(col("x").cast("decimal(28,9)")).as("sx"),
+        count(lit(1)).as("n"))
+      .collect()
+    require(meanRows.length == dim,
+      s"pcaFirstComponent: expected $dim dimensions, saw ${meanRows.length}")
+    val n = meanRows.head.getLong(2)
+    val means = new Array[Double](dim)
+    meanRows.foreach { r =>
+      means(r.getInt(0)) = r.getDecimal(1).doubleValue() / n.toDouble
+    }
+    val meansLit = typedLit(means.toSeq)
+    val cExpr = zip_with(xq, meansLit, (x, m) => x - m)
+    val gramRows = df
+      .select(explode(flatten(transform(cExpr, (ci, i) =>
+        transform(cExpr, (cj, j) => struct(i.as("i"), j.as("j"),
+          round(ci * cj, 12).cast("decimal(38,12)").as("p")))))).as("e"))
+      .select(col("e.i"), col("e.j"), col("e.p"))
+      .groupBy("i", "j").agg(sum(col("p")).as("sp"))
+      .collect()
+    require(gramRows.length == dim * dim,
+      s"pcaFirstComponent: Gram matrix incomplete (${gramRows.length} of ${dim * dim})")
+    val g = Array.ofDim[Double](dim, dim)
+    gramRows.foreach { r =>
+      g(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).doubleValue() / n.toDouble
+    }
+    var v = Array.fill(dim)(0.125)
+    var it = 0
+    while (it < iters) {
+      val w = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += g(i)(j) * v(j); j += 1 }
+        w(i) = acc
+        i += 1
+      }
+      v = w
+      it += 1
+    }
+    val norm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+    (means.toSeq, v.toSeq, norm)
+  }
+
+  /** Projection of every vector onto the first principal component —
+    * the centered dot with the [[pcaFirstComponent]] literals, divided
+    * by ‖v‖ once per row. Zero shuffle: the whole projection runs
+    * inside the scan stage.
+    */
+  def pcaProject(df: DataFrame, dim: Int, iters: Int = 30,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val (means, v, norm) = pcaFirstComponent(df, dim, iters, vecCol)
+    val xq = transform(col(vecCol).cast("array<double>"), x => round(x, 9))
+    val cExpr = zip_with(xq, typedLit(means), (x, m) => x - m)
+    val proj = aggregate(
+      zip_with(cExpr, typedLit(v), (c, p) => c * p),
+      lit(0.0), (a, x) => a + x) / lit(norm)
+    df.select(col(idCol), round(proj, 6).as("pc1"))
+  }
 }

@@ -379,7 +379,20 @@ object SimilarityQueries {
             coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
         .orderBy(col("rrf").desc, col("doc_id").asc).limit(15)
         .select("doc_id", "lex_rank", "vec_rank", "rrf")
-    })
+    }),
+
+    // ---- PCA projection: first principal component via distributed
+    //      Gramian (two keyed aggregations, dim and dim² groups — size
+    //      independent of corpus rows) + 30 driver-side power steps,
+    //      then a zero-shuffle projection with the component as a plan
+    //      literal. The dimensionality-reduction front door for ANN /
+    //      visualization / drift monitoring at 100 TB: the corpus is
+    //      scanned twice and shuffled never. Oracle replays the exact
+    //      arithmetic (decimal Gram sums, recursive-CTE power steps,
+    //      ordered projection folds) — bit-parity by construction,
+    //      round-6 only at the emitted edge ----
+    "s_pca_project" -> ((s, dir) =>
+      Similarity.pcaProject(t(s, dir, "embeddings"), dim = 64, iters = 30))
   )
 
   private val dotSql = "list_cosine_similarity(qv, nv)"
@@ -892,6 +905,49 @@ object SimilarityQueries {
         |  FROM base)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id
         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.999""".stripMargin
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.999""".stripMargin,
+
+    // mirrors pcaFirstComponent step for step: round-9 quantized inputs,
+    // exact-decimal mean and Gram sums (order-independent), 30 recursive
+    // power steps with left-assoc matvec folds, ordered projection fold.
+    // Every double op (−, ×, /, sqrt, left-assoc +) is IEEE-identical
+    // between engines when the expression tree matches — it does.
+    "s_pca_project" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ex AS (SELECT vec_id, CAST(p AS INT) AS i,
+        |    ROUND(v[CAST(p AS INT) + 1], 9) AS x
+        |  FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS p)),
+        |ms AS (SELECT i,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM ex GROUP BY i),
+        |c AS (SELECT vec_id, i, x - m AS cx FROM ex JOIN ms USING (i)),
+        |g AS (SELECT a.i AS i, b.i AS j,
+        |    CAST(SUM(CAST(ROUND(a.cx * b.cx, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        |      / (SELECT COUNT(*) FROM e) AS gij
+        |  FROM c a JOIN c b ON a.vec_id = b.vec_id
+        |  GROUP BY a.i, b.i),
+        |gr AS (SELECT i, array_agg(gij ORDER BY j) AS grow FROM g GROUP BY i),
+        |gm AS (SELECT array_agg(grow ORDER BY i) AS G FROM gr),
+        |it AS (
+        |  SELECT 0 AS k, list_transform(range(0, 64), p -> 0.125) AS v
+        |  UNION ALL
+        |  SELECT k + 1,
+        |    list_transform(range(0, 64), i ->
+        |      list_reduce(list_prepend(0.0, list_transform(range(0, 64), j ->
+        |        G[CAST(i AS INT) + 1][CAST(j AS INT) + 1]
+        |          * v[CAST(j AS INT) + 1])),
+        |        (a, b) -> a + b))
+        |  FROM it, gm WHERE k < 30),
+        |pc AS (SELECT v AS pv FROM it WHERE k = 30),
+        |nrm AS (SELECT sqrt(list_reduce(list_prepend(0.0,
+        |    list_transform(pv, x -> x * x)), (a, b) -> a + b)) AS nv FROM pc),
+        |proj AS (SELECT c.vec_id,
+        |    list_reduce(list_prepend(0.0,
+        |      array_agg(c.cx * pc.pv[c.i + 1] ORDER BY c.i)),
+        |      (a, b) -> a + b) AS sp
+        |  FROM c, pc GROUP BY c.vec_id)
+        |SELECT vec_id, ROUND(sp / (SELECT nv FROM nrm), 6) AS pc1
+        |FROM proj""".stripMargin
   )
 }
