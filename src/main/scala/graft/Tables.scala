@@ -15,30 +15,61 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Session configs every graft entry point needs. In particular,
-    * events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; `nanosAsLong` reads nanos as long so
-    * `t` can truncate to microseconds (Spark's native precision). Set
-    * at session construction — NOT mutated per-read, which would leak
-    * into unrelated reads and race across threads.
+  /** Session configs every graft entry point needs. `nanosAsLong` lets
+    * fixtures whose ts is INT64 TIMESTAMP(NANOS) — which Spark's
+    * vectorized reader otherwise rejects — read as long so `t` can
+    * truncate to microseconds (Spark's native precision). Set at session
+    * construction — NOT mutated per-read, which would leak into
+    * unrelated reads and race across threads.
     */
   val sessionConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      // Requires spark.sql.legacy.parquet.nanosAsLong=true (see
-      // sessionConfigs). DuckDB reads the same column as TIMESTAMP_NS
-      // directly — date-level outputs in oracles keep both sides
-      // comparable.
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** Adapt the events `ts` column to TIMESTAMP regardless of the
+    * fixture's physical encoding. Producers change writers; an engine
+    * that hard-codes one physical type breaks on the first upgrade (the
+    * reference likewise degrades gracefully on metadata variance,
+    * app/main.py:121-124). Supported encodings:
+    *   - INT64 nanos read as LongType (via legacy nanosAsLong) → truncate
+    *     to micros;
+    *   - native TIMESTAMP / TIMESTAMP_NTZ → normalize to session-TZ
+    *     TIMESTAMP (the session runs UTC, so NTZ micros are preserved
+    *     bit-for-bit and every downstream query sees one stable type).
+    */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType    => df
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other; expected INT64 nanos, TIMESTAMP, or TIMESTAMP_NTZ")
+    }
+  }
 
   /** Register every table as a temp view so spark.sql(...) parity queries
-    * can share the exact SQL text with the DuckDB oracle when convenient. */
+    * can share the exact SQL text with the DuckDB oracle when convenient.
+    *
+    * Tolerates per-table failure: one unreadable table must not take down
+    * SQL queries that never touch it (an events schema drift once failed
+    * every `sql_*` query through this eager loop). The broken table is
+    * skipped with a clear stderr note; a query that does reference it
+    * then fails with TABLE_OR_VIEW_NOT_FOUND naming the table.
+    */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      try t(spark, dir, n).createOrReplaceTempView(n)
+      catch {
+        case e: Exception =>
+          System.err.println(
+            s"graft.Tables.registerAll: skipping view '$n' ($dir/$n.parquet): ${e.getMessage}")
+      }
+    }
 }

@@ -48,6 +48,10 @@ object Mining {
     * groupBy + equi-join back (both joins on Zipfian word keys —
     * AQE-splittable); N is a one-row broadcast. `round` truncates the
     * transcendental to a cross-engine-stable number of decimals.
+    *
+    * `pairCounts` is consumed from four plan branches (both marginals,
+    * N, and the main join) — persist or `localCheckpoint` it before
+    * calling when its lineage is expensive to recompute.
     */
   def pmi(pairCounts: DataFrame, roundTo: Int = 6): DataFrame = {
     val cx = pairCounts.groupBy("w1").agg(sum(col("c")).as("cx"))
@@ -75,9 +79,16 @@ object Mining {
     * the basket key with per-basket-bounded fanout, never all-pairs
     * across baskets. Rules below `minSupport` joint baskets are
     * dropped after counting.
+    *
+    * The deduped basket table feeds three plan branches (item counts
+    * and both sides of the pair join) — persist or `localCheckpoint`
+    * the input when its lineage is expensive to recompute.
     */
   def associationRules(baskets: DataFrame, basketCol: Column,
       itemCol: Column, minSupport: Long): DataFrame = {
+    require(minSupport >= 1,
+      "minSupport must be >= 1 (0 disables the apriori prune that " +
+        s"bounds the pair self-join), got $minSupport")
     val b = baskets.select(basketCol.as("bk"), itemCol.as("item")).distinct()
     val ci = b.groupBy("item").agg(count(lit(1)).as("ci"))
     val frequent = b.join(ci.filter(col("ci") >= minSupport), "item")

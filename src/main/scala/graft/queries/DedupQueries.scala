@@ -233,8 +233,12 @@ object DedupQueries {
     //      only sees generation one. Bounded hops, frontier-join rounds ----
     "d_contamination_transitive" -> ((s, dir) => {
       val corpus = withNearCopies(s, dir)
-      val edges = Dedup.jaccardPairs(corpus, "doc_id", "text",
-        n = 5, threshold = 0.5, dfCap = None).select("a_id", "b_id")
+      // Prefix-filtered edge gen (output-identical to the uncapped
+      // inverted index): a boilerplate shingle in k docs would fan out
+      // k² candidates through jaccardPairs(dfCap = None) — the prefix
+      // filter keeps high-df shingles out of the join structurally.
+      val edges = Dedup.jaccardPairsPrefix(corpus, "doc_id", "text",
+        n = 5, threshold = 0.5).select("a_id", "b_id")
       val seeds = corpus.filter(col("doc_id") < 20)
         .select(col("doc_id").as("id"))
       graft.operators.Graph.bfsHops(edges, seeds, maxHops = 3)

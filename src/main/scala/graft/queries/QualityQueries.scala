@@ -43,7 +43,10 @@ object QualityQueries {
             lit(":"), col("text"))), 1, 15), 16, 10)
           .cast("decimal(20,0)").as("h"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("h")).cast("decimal(38,0)").as("digest"))
+          // STRING on both engine and oracle sides: the value exceeds
+          // 2^63, and comparator canonicalization of wide DECIMALs
+          // differs between runtimes; a digest is an opaque token anyway.
+          sum(col("h")).cast("decimal(38,0)").cast("string").as("digest"))
     }),
 
     // Referential integrity events.user_id → customer.c_custkey: one
@@ -60,9 +63,9 @@ object QualityQueries {
   val oracleSql: Map[String, String] = Map(
     "q_corpus_digest" ->
       """SELECT COUNT(*) AS n_docs,
-        |  CAST(SUM(CAST('0x' || substr(
+        |  CAST(CAST(SUM(CAST('0x' || substr(
         |      md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15)
-        |    AS BIGINT)) AS DECIMAL(38,0)) AS digest
+        |    AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS digest
         |FROM documents""".stripMargin,
 
     "q_dq_metrics" ->

@@ -930,7 +930,11 @@ object SimilarityQueries {
         |gr AS (SELECT i, array_agg(gij ORDER BY j) AS grow FROM g GROUP BY i),
         |gm AS (SELECT array_agg(grow ORDER BY i) AS G FROM gr),
         |it AS (
-        |  SELECT 0 AS k, list_transform(range(0, 64), p -> 0.125) AS v
+        |  -- seed MUST be DOUBLE: a bare 0.125 types as DECIMAL(4,3) and the
+        |  -- recursive UNION ALL coerces every iterate back to DECIMAL(4,3),
+        |  -- truncating the vector to zeros by k=2 (NULL pc1 via sp/0).
+        |  SELECT 0 AS k,
+        |    list_transform(range(0, 64), p -> CAST(0.125 AS DOUBLE)) AS v
         |  UNION ALL
         |  SELECT k + 1,
         |    list_transform(range(0, 64), i ->
