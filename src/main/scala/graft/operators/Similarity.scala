@@ -844,18 +844,39 @@ object Similarity {
     }
     val meansLit = typedLit(means.toSeq)
     val cExpr = zip_with(xq, meansLit, (x, m) => x - m)
-    val gramRows = df
-      .select(explode(flatten(transform(cExpr, (ci, i) =>
-        transform(cExpr, (cj, j) => struct(i.as("i"), j.as("j"),
-          round(ci * cj, 12).cast("decimal(38,12)").as("p")))))).as("e"))
-      .select(col("e.i"), col("e.j"), col("e.p"))
-      .groupBy("i", "j").agg(sum(col("p")).as("sp"))
-      .collect()
-    require(gramRows.length == dim * dim,
-      s"pcaFirstComponent: Gram matrix incomplete (${gramRows.length} of ${dim * dim})")
+    // Per-partition Gram accumulation: ONE typed aggregation whose
+    // buffer is the upper-triangle sum array — each input row folds its
+    // outer product straight into the partition-local buffer, and only
+    // #partitions buffers (dim·(dim+1)/2 decimals each) reach the
+    // merge. The previous shape exploded dim² = 4096 struct rows per
+    // input row before a groupBy(i,j); same exact sums, 4096× less row
+    // materialization. Arithmetic replicates the prior plan cell for
+    // cell — round-12 double (Spark Round semantics) then
+    // DECIMAL(38,12) exact addition, commutative and associative, so
+    // the result is partition-count-invariant and bit-identical to the
+    // explode+groupBy formulation. The triangle is enough: the (i,j)
+    // and (j,i) sums are the same decimal by commutativity.
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val seqDoubleEnc: org.apache.spark.sql.Encoder[Seq[Double]] =
+      ExpressionEncoder[Seq[Double]]()
+    val gramCells = df.select(cExpr.as("c")).as[Seq[Double]]
+      .select(new GramAggregator(dim).toColumn)
+      .head()
+    require(gramCells.length == dim * (dim + 1) / 2,
+      s"pcaFirstComponent: Gram triangle incomplete (${gramCells.length} " +
+        s"of ${dim * (dim + 1) / 2})")
     val g = Array.ofDim[Double](dim, dim)
-    gramRows.foreach { r =>
-      g(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).doubleValue() / n.toDouble
+    var k = 0
+    var gi = 0
+    while (gi < dim) {
+      var gj = gi
+      while (gj < dim) {
+        val v = new java.math.BigDecimal(gramCells(k)).doubleValue() / n.toDouble
+        g(gi)(gj) = v
+        g(gj)(gi) = v
+        gj += 1; k += 1
+      }
+      gi += 1
     }
     var v = Array.fill(dim)(0.125)
     var it = 0
@@ -892,4 +913,67 @@ object Similarity {
       lit(0.0), (a, x) => a + x) / lit(norm)
     df.select(col(idCol), round(proj, 6).as("pc1"))
   }
+}
+
+/** Upper-triangle covariance-Gram accumulator for
+  * [[Similarity.pcaFirstComponent]]: buffer = dim·(dim+1)/2 exact
+  * decimal sums; each reduce folds one centered vector's outer product
+  * into the partition-local buffer.
+  *
+  * Cell arithmetic replicates the declarative plan it replaced exactly:
+  * `round(ci·cj, 12)` on DoubleType is
+  * `BigDecimal.valueOf(x).setScale(12, HALF_UP).toDouble` (Spark's
+  * RoundBase double path), and the cast to DECIMAL(38,12) re-derives the
+  * decimal from the rounded double via `valueOf` — so each summand is
+  * the identical decimal, and exact decimal addition makes the total
+  * independent of row order and partitioning (the determinism-audit
+  * property).
+  *
+  * Results travel to the driver as plain strings: the default encoder
+  * would narrow BigDecimal to DECIMAL(38,18) and a Double would round —
+  * both would break exactness.
+  */
+private[graft] class GramAggregator(dim: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Seq[Double], Array[java.math.BigDecimal], Seq[String]] {
+  import java.math.{BigDecimal => JBD, RoundingMode}
+
+  private val cells = dim * (dim + 1) / 2
+
+  override def zero: Array[JBD] = Array.fill(cells)(JBD.ZERO)
+
+  override def reduce(b: Array[JBD], row: Seq[Double]): Array[JBD] = {
+    require(row.length == dim,
+      s"GramAggregator: expected $dim-dim vector, got ${row.length}")
+    val c = row.toArray
+    var k = 0
+    var i = 0
+    while (i < dim) {
+      val ci = c(i)
+      var j = i
+      while (j < dim) {
+        val pd = JBD.valueOf(ci * c(j))
+          .setScale(12, RoundingMode.HALF_UP).doubleValue()
+        b(k) = b(k).add(JBD.valueOf(pd).setScale(12, RoundingMode.HALF_UP))
+        j += 1; k += 1
+      }
+      i += 1
+    }
+    b
+  }
+
+  override def merge(a: Array[JBD], b: Array[JBD]): Array[JBD] = {
+    var k = 0
+    while (k < cells) { a(k) = a(k).add(b(k)); k += 1 }
+    a
+  }
+
+  override def finish(b: Array[JBD]): Seq[String] =
+    b.iterator.map(_.toPlainString).toSeq
+
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[JBD]] =
+    org.apache.spark.sql.Encoders.kryo[Array[JBD]]
+
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[String]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
 }
