@@ -933,16 +933,68 @@ object Similarity {
   * would narrow BigDecimal to DECIMAL(38,18) and a Double would round —
   * both would break exactness.
   */
+/** Partition-local Gram buffer: per-cell exact scale-12 sums split into
+  * a hot long lane (unscaled ×1e12 integers, `Math.addExact`) and a
+  * BigDecimal spill lane a cell overflows into — together they always
+  * represent the exact decimal sum.
+  */
+private[graft] final case class GramBuf(
+    longs: Array[Long], spill: Array[java.math.BigDecimal])
+
 private[graft] class GramAggregator(dim: Int)
     extends org.apache.spark.sql.expressions.Aggregator[
-      Seq[Double], Array[java.math.BigDecimal], Seq[String]] {
+      Seq[Double], GramBuf, Seq[String]] {
   import java.math.{BigDecimal => JBD, RoundingMode}
 
   private val cells = dim * (dim + 1) / 2
 
-  override def zero: Array[JBD] = Array.fill(cells)(JBD.ZERO)
+  override def zero: GramBuf =
+    GramBuf(new Array[Long](cells), Array.fill(cells)(JBD.ZERO))
 
-  override def reduce(b: Array[JBD], row: Seq[Double]): Array[JBD] = {
+  /** Unscaled (×1e12) HALF_UP rounding of `prod`, replicating
+    * `round(prod, 12).cast(decimal(38,12))` exactly. Fast path: for
+    * |prod| < 1 the scaled double |prod|·1e12 carries ≤ ~4e-4 of
+    * combined error vs the decimal the slow path rounds (shortest-repr
+    * drift ≤ 2^-52 relative plus one multiply rounding), so when the
+    * fractional part sits > 0.01 from the 0.5 boundary the integer
+    * rounding is provably identical — no string round-trip needed. The
+    * boundary band and |prod| ≥ 1 fall back to the exact BigDecimal
+    * path (valueOf → setScale is the Spark Round double semantic; the
+    * second valueOf+setScale of the cast recovers the same 12-dp
+    * decimal because 12-dp spacing 1e-12 dwarfs double ulp there).
+    */
+  private def unscaled12(prod: Double): JBD = {
+    val a = math.abs(prod)
+    if (a < 1.0) {
+      val ay = a * 1e12
+      val fl = math.floor(ay)
+      val frac = ay - fl
+      if (frac > 0.51) {
+        val r = (fl + 1).toLong
+        return JBD.valueOf(if (prod < 0) -r else r, 12)
+      } else if (frac < 0.49) {
+        val r = fl.toLong
+        return JBD.valueOf(if (prod < 0) -r else r, 12)
+      }
+    }
+    val pd = JBD.valueOf(prod).setScale(12, RoundingMode.HALF_UP).doubleValue()
+    JBD.valueOf(pd).setScale(12, RoundingMode.HALF_UP)
+  }
+
+  private def addCell(b: GramBuf, k: Int, p: JBD): Unit = {
+    val u = p.unscaledValue()
+    if (u.bitLength() < 63) {
+      val lu = u.longValueExact()
+      try b.longs(k) = Math.addExact(b.longs(k), lu)
+      catch {
+        case _: ArithmeticException =>
+          b.spill(k) = b.spill(k).add(JBD.valueOf(b.longs(k), 12))
+          b.longs(k) = lu
+      }
+    } else b.spill(k) = b.spill(k).add(p)
+  }
+
+  override def reduce(b: GramBuf, row: Seq[Double]): GramBuf = {
     require(row.length == dim,
       s"GramAggregator: expected $dim-dim vector, got ${row.length}")
     val c = row.toArray
@@ -952,9 +1004,7 @@ private[graft] class GramAggregator(dim: Int)
       val ci = c(i)
       var j = i
       while (j < dim) {
-        val pd = JBD.valueOf(ci * c(j))
-          .setScale(12, RoundingMode.HALF_UP).doubleValue()
-        b(k) = b(k).add(JBD.valueOf(pd).setScale(12, RoundingMode.HALF_UP))
+        addCell(b, k, unscaled12(ci * c(j)))
         j += 1; k += 1
       }
       i += 1
@@ -962,17 +1012,32 @@ private[graft] class GramAggregator(dim: Int)
     b
   }
 
-  override def merge(a: Array[JBD], b: Array[JBD]): Array[JBD] = {
+  override def merge(a: GramBuf, b: GramBuf): GramBuf = {
     var k = 0
-    while (k < cells) { a(k) = a(k).add(b(k)); k += 1 }
+    while (k < cells) {
+      try a.longs(k) = Math.addExact(a.longs(k), b.longs(k))
+      catch {
+        case _: ArithmeticException =>
+          a.spill(k) = a.spill(k).add(JBD.valueOf(b.longs(k), 12))
+      }
+      a.spill(k) = a.spill(k).add(b.spill(k))
+      k += 1
+    }
     a
   }
 
-  override def finish(b: Array[JBD]): Seq[String] =
-    b.iterator.map(_.toPlainString).toSeq
+  override def finish(b: GramBuf): Seq[String] = {
+    val out = new Array[String](cells)
+    var k = 0
+    while (k < cells) {
+      out(k) = JBD.valueOf(b.longs(k), 12).add(b.spill(k)).toPlainString
+      k += 1
+    }
+    out.toSeq
+  }
 
-  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[JBD]] =
-    org.apache.spark.sql.Encoders.kryo[Array[JBD]]
+  override def bufferEncoder: org.apache.spark.sql.Encoder[GramBuf] =
+    org.apache.spark.sql.Encoders.kryo[GramBuf]
 
   override def outputEncoder: org.apache.spark.sql.Encoder[Seq[String]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
