@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.operators.{KMeans, Sparse}
+
+/** Clustering + sparse-retrieval queries: Lloyd's k-means over the
+  * embeddings table (cluster-based curation) and champion-list tf-idf
+  * top-k over documents (lexical retrieval). Both are
+  * oracle-replayable: deterministic init, exact-decimal accumulation,
+  * explicit tie-breaks — the DuckDB SQL unrolls the same iterations.
+  */
+object ClusterQueries {
+
+  private val K = 8
+  private val Dim = 64
+  private val Iters = 5
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_kmeans" -> ((s, dir) => {
+      KMeans.fit(t(s, dir, "embeddings"), k = K, dim = Dim,
+        iters = Iters)._1
+    }),
+
+    "s_sparse_topk" -> ((s, dir) => {
+      Sparse.topK(t(s, dir, "documents"), "doc_id", "text",
+        queryPred = col("doc_id") < 50, k = 3, championK = 16)
+    })
+  )
+
+  /** Squared-L2 between point alias `$v` and centroid alias `$c` as the
+    * same left-associated fold the engine computes. */
+  private def dist(v: String, c: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${Dim + 1}),
+       |      i -> ($v.v[CAST(i AS INT)] - $c.cv[CAST(i AS INT)])
+       |         * ($v.v[CAST(i AS INT)] - $c.cv[CAST(i AS INT)]))),
+       |      (a, b) -> a + b)""".stripMargin
+
+  /** One unrolled Lloyd iteration: assign to c$i, recompute means,
+    * carry lost centroids forward. */
+  private def iterCtes(i: Int): String =
+    s"""a${i + 1} AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dist("e", "c")} ASC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN c$i c)
+       |  WHERE rn = 1),
+       |m${i + 1} AS (
+       |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+       |    SELECT a.cid AS cid, p.pos AS pos,
+       |      CAST(SUM(CAST(a.v[p.pos + 1] AS DECIMAL(28,9))) AS DOUBLE)
+       |        / COUNT(*) AS m
+       |    FROM a${i + 1} a CROSS JOIN
+       |      (SELECT CAST(unnest(range(0, $Dim)) AS INT) AS pos) p
+       |    GROUP BY a.cid, p.pos)
+       |  GROUP BY cid),
+       |c${i + 1} AS (
+       |  SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+       |  FROM c$i p LEFT JOIN m${i + 1} m ON p.cid = m.cid)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "s_kmeans" -> {
+      val iters = (0 until Iters).map(iterCtes).mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> ROUND(x, 9)) AS v
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+         |      AS cid, v AS cv
+         |  FROM e ORDER BY vec_id LIMIT $K),
+         |$iters
+         |SELECT vec_id, cid, ROUND(d, 6) AS dist FROM (
+         |  SELECT e.vec_id, c.cid, ${dist("e", "c")} AS d,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dist("e", "c")} ASC, c.cid ASC) AS rn
+         |  FROM e CROSS JOIN c$Iters c)
+         |WHERE rn = 1""".stripMargin
+    },
+
+    "s_sparse_topk" ->
+      """WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        |tf AS (
+        |  SELECT doc_id AS id, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |w AS (
+        |  SELECT tf.id, tf.term,
+        |    ROUND(CAST(tf.tf AS DOUBLE)
+        |      * ROUND(ln(n.n / CAST(dfq.df AS DOUBLE)), 9), 9) AS wt
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |nrm AS (
+        |  SELECT id, sqrt(CAST(SUM(CAST(ROUND(wt * wt, 12)
+        |    AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+        |  FROM w GROUP BY id),
+        |ch AS (
+        |  SELECT id, term FROM (
+        |    SELECT id, term, ROW_NUMBER() OVER (PARTITION BY id
+        |      ORDER BY wt DESC, term ASC) AS rn FROM w)
+        |  WHERE rn <= 16),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS q_id, b.id AS c_id
+        |  FROM ch a JOIN ch b ON a.term = b.term AND a.id <> b.id
+        |  WHERE a.id < 50),
+        |sp AS (
+        |  SELECT c.q_id, c.c_id,
+        |    SUM(CAST(ROUND(wa.wt * wb.wt, 12) AS DECIMAL(38,12))) AS sp
+        |  FROM cand c JOIN w wa ON wa.id = c.q_id
+        |              JOIN w wb ON wb.id = c.c_id AND wb.term = wa.term
+        |  GROUP BY 1, 2)
+        |SELECT q_id, rank, c_id, sim FROM (
+        |  SELECT sp.q_id, sp.c_id,
+        |    ROUND(CAST(sp.sp AS DOUBLE) / (na.nrm * nb.nrm), 6) AS sim,
+        |    ROW_NUMBER() OVER (PARTITION BY sp.q_id
+        |      ORDER BY ROUND(CAST(sp.sp AS DOUBLE) / (na.nrm * nb.nrm), 6)
+        |        DESC, sp.c_id ASC) AS rank
+        |  FROM sp JOIN nrm na ON na.id = sp.q_id
+        |          JOIN nrm nb ON nb.id = sp.c_id)
+        |WHERE rank <= 3""".stripMargin
+  )
+}

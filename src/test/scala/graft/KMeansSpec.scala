@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{KMeans, Sparse}
+
+/** Hand-checked fixtures for k-means and sparse tf-idf retrieval. */
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmeans: two obvious clusters, deterministic init and ties") {
+    // 2-d points (padded to dim 4): two tight groups around (0,0) and
+    // (10,10). k=2, init = first two by id — one seed in each group
+    // after the first recompute regardless of seed placement.
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f, 0f, 0f)), (1L, Seq(10.0f, 10.0f, 0f, 0f)),
+      (2L, Seq(0.5f, 0.0f, 0f, 0f)), (3L, Seq(10.0f, 9.5f, 0f, 0f)),
+      (4L, Seq(0.0f, 0.5f, 0f, 0f)), (5L, Seq(9.5f, 10.0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val (assign, model) = KMeans.fit(pts, k = 2, dim = 4, iters = 3)
+    val byCid = assign.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byCid(0L) == byCid(2L) && byCid(2L) == byCid(4L))
+    assert(byCid(1L) == byCid(3L) && byCid(3L) == byCid(5L))
+    assert(byCid(0L) != byCid(1L))
+    // centroid of the (0,0) group: mean of the three points
+    val c0 = model(byCid(0L))
+    assert(math.abs(c0.head - 0.5 / 3) < 1e-9)
+    // invariant under partitioning
+    val (a7, _) = KMeans.fit(pts.repartition(7), k = 2, dim = 4, iters = 3)
+    assert(a7.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq ==
+      assign.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq)
+  }
+
+  test("kmeans: empty cluster keeps its previous centroid") {
+    // k=3 but only two distinct locations: one seed never wins a point
+    // after recompute; fit must not throw and must keep that centroid.
+    val pts = Seq(
+      (0L, Seq(0.0f, 0f)), (1L, Seq(0.1f, 0f)), (2L, Seq(100.0f, 0f)),
+      (3L, Seq(100.1f, 0f))).toDF("vec_id", "embedding")
+    val (assign, model) = KMeans.fit(pts, k = 3, dim = 2, iters = 4)
+    assert(model.size == 3)
+    assert(assign.count() == 4)
+  }
+
+  test("kmeans: validates parameters") {
+    val pts = Seq((0L, Seq(0.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      KMeans.fit(pts, k = 0, dim = 1, iters = 1)
+    }
+    intercept[IllegalArgumentException] { // corpus smaller than k
+      KMeans.fit(pts, k = 5, dim = 1, iters = 1)
+    }
+  }
+
+  test("sparse topK: identical docs rank first, self excluded") {
+    val docs = Seq(
+      (0L, "apple banana cherry"),
+      (1L, "apple banana cherry"),
+      (2L, "dog eats dog food daily"),
+      (3L, "apple banana melon")
+    ).toDF("doc_id", "text")
+    val got = Sparse.topK(docs, "doc_id", "text",
+      queryPred = col("doc_id") === 0, k = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.length == 2)
+    assert(got(0)._2 == 1L && got(0)._3 == 1.0) // exact duplicate: cos 1
+    assert(got(1)._2 == 3L && got(1)._3 < 1.0)  // shares 2 of 3 terms
+  }
+}

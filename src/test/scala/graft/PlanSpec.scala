@@ -371,4 +371,37 @@ class PlanSpec extends SparkSpec {
     assert(!pr.contains("CartesianProduct"), pr)
     assert(!pr.contains("Window"), pr)
   }
+
+  test("round-7 shapes: prefix-filtered edge gen, mining windowless") {
+    // transitive contamination routes edge generation through the
+    // prefix-filtered jaccard join (DedupQueries): the candidate join
+    // must carry the prefix rank — a per-doc row_number window (bounded
+    // fanout) plus the exact-decimal CEIL prefix cut — so a
+    // boilerplate shingle in k docs can never fan out k² candidates.
+    // The BFS result itself is checkpoint-truncated, so pin the edge
+    // operator's own plan on the real corpus.
+    val edges = graft.operators.Dedup.jaccardPairsPrefix(
+      Tables.t(spark, "/root/testdata/sf0.001", "documents"),
+      "doc_id", "text", n = 5, threshold = 0.5)
+    val ep = edges.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(ep.contains("row_number"), s"prefix rank window missing:\n$ep")
+    assert(ep.contains("CEIL") || ep.contains("ceil"),
+      s"exact-decimal prefix cut missing:\n$ep")
+    assert(!ep.contains("CartesianProduct"), ep)
+
+    // skip-gram pairs are generated map-side (zip against shifted
+    // self): no window anywhere; PMI marginals are agg+equi-join on
+    // the Zipfian word keys (AQE-splittable), N rides a broadcast
+    val sg = planOf("t_skipgram_pmi")
+    assert(!sg.contains("Window"), sg)
+    assert(!sg.contains("CartesianProduct"), sg)
+    assert(sg.contains("Join"), sg)
+
+    // association rules: apriori-pruned equi-joins only; the one-row
+    // basket count joins via broadcast, never a cartesian
+    val ar = planOf("t_assoc_rules")
+    assert(!ar.contains("Window"), ar)
+    assert(!ar.contains("CartesianProduct"), ar)
+  }
 }
