@@ -59,14 +59,16 @@ object KMeans {
       s"KMeans: corpus has ${centroids.length} rows, need k=$k")
 
     def assign(cs: Seq[(Int, Seq[Double])]): org.apache.spark.sql.Column = {
-      // argmin over k literal centroids: fold a (dist, cid) struct —
-      // strict inequality keeps the LOWEST cid on ties
+      // argmin over k literal centroids via array_min on (d, cid)
+      // structs: lexicographic struct ordering picks the lowest
+      // distance, ties to the LOWEST cid. Each distance is evaluated
+      // exactly once — a when-chain fold would inline the accumulator
+      // twice per step and, without common-subexpression elimination,
+      // re-evaluate earlier distances exponentially often.
       val scored = cs.map { case (cid, cv) =>
         struct(sqDist(col("v"), cv).as("d"), lit(cid).as("cid"))
       }
-      scored.reduceLeft { (a, b) =>
-        when(b.getField("d") < a.getField("d"), b).otherwise(a)
-      }
+      array_min(array(scored: _*))
     }
 
     var it = 0

@@ -49,11 +49,23 @@ object Sparse {
   /** Top-`k` most cosine-similar corpus docs per query doc. Query set
     * = rows where `queryPred` holds; self-matches excluded. Returns
     * (q_id, rank, c_id, sim) with sim rounded to 6.
+    *
+    * `candK` bounds the EXACT rerank: candidates are ranked per query
+    * by shared-champion-term count (ties to the lower id) and only the
+    * top `candK` get the full-vector cosine. Short docs over a small
+    * vocabulary can make nearly every corpus doc share a champion term
+    * with every query — without this cut the rerank join is
+    * |queries|·|corpus| rows, the all-pairs shape champion lists exist
+    * to avoid. Like the champion cut itself this is part of the
+    * retrieval contract (the oracle replays it exactly), not a lossy
+    * shortcut bolted on after.
     */
   def topK(docs: DataFrame, idCol: String, textCol: String,
-           queryPred: Column, k: Int, championK: Int = 16): DataFrame = {
-    require(k >= 1 && championK >= 1,
-      s"k and championK must be >= 1, got k=$k championK=$championK")
+           queryPred: Column, k: Int, championK: Int = 16,
+           candK: Int = 200): DataFrame = {
+    require(k >= 1 && championK >= 1 && candK >= k,
+      s"need k >= 1, championK >= 1, candK >= k; " +
+        s"got k=$k championK=$championK candK=$candK")
     val w = tfidfWeights(docs, idCol, textCol).localCheckpoint(false)
     val norms = w
       .select(col("id"),
@@ -66,11 +78,18 @@ object Sparse {
           .orderBy(col("wt").desc, col("term").asc)))
       .filter(col("rn") <= championK)
       .select("id", "term")
+      .localCheckpoint(false) // both sides of the candidate self-join
     val qids = docs.filter(queryPred).select(col(idCol).as("id"))
     val qchamps = champs.join(qids, "id")
     val cand = qchamps.as("a").join(champs.as("b"),
         col("a.term") === col("b.term") && col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("q_id"), col("b.id").as("c_id")).distinct()
+      .groupBy(col("a.id").as("q_id"), col("b.id").as("c_id"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("shared").desc, col("c_id").asc)))
+      .filter(col("crn") <= candK)
+      .select("q_id", "c_id")
     // exact rerank on the full sparse vectors (term equi-join bounded
     // to candidate pairs)
     val sp = cand

@@ -105,9 +105,13 @@ object ClusterQueries {
         |      ORDER BY wt DESC, term ASC) AS rn FROM w)
         |  WHERE rn <= 16),
         |cand AS (
-        |  SELECT DISTINCT a.id AS q_id, b.id AS c_id
-        |  FROM ch a JOIN ch b ON a.term = b.term AND a.id <> b.id
-        |  WHERE a.id < 50),
+        |  SELECT q_id, c_id FROM (
+        |    SELECT a.id AS q_id, b.id AS c_id, COUNT(*) AS shared,
+        |      ROW_NUMBER() OVER (PARTITION BY a.id
+        |        ORDER BY COUNT(*) DESC, b.id ASC) AS crn
+        |    FROM ch a JOIN ch b ON a.term = b.term AND a.id <> b.id
+        |    WHERE a.id < 50 GROUP BY a.id, b.id)
+        |  WHERE crn <= 200),
         |sp AS (
         |  SELECT c.q_id, c.c_id,
         |    SUM(CAST(ROUND(wa.wt * wb.wt, 12) AS DECIMAL(38,12))) AS sp
