@@ -55,6 +55,48 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("sparse topK: unbounded cuts equal brute-force tf-idf cosine") {
+    // with championK covering every term and candK >= corpus, the
+    // champion/candidate cuts admit everything — the result must be
+    // EXACTLY the brute-force tf-idf cosine ranking, computed here
+    // independently on the driver.
+    val texts = Vector(
+      "w x y z", "w x y", "a b c d e", "w a b x", "y z z y w",
+      "c d e", "x x w z", "a e c b")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Sparse.topK(docs, "doc_id", "text",
+      queryPred = col("doc_id") < 3, k = 4,
+      championK = 1000, candK = 1000)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+    // driver-side brute force (plain double math — ranking comparison
+    // only, similarity values are checked through the oracle gate)
+    val n = texts.length.toDouble
+    val tf = texts.map(_.split(" ").filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, o) => t -> o.length.toDouble })
+    val dfreq = tf.flatMap(_.keys).groupBy(identity)
+      .map { case (t, o) => t -> o.size.toDouble }
+    val w = tf.map(_.map { case (t, f) => t -> f * math.log(n / dfreq(t)) })
+    def cos(a: Map[String, Double], b: Map[String, Double]): Double = {
+      val dot = a.keysIterator.filter(b.contains)
+        .map(t => a(t) * b(t)).sum
+      dot / (math.sqrt(a.values.map(x => x * x).sum) *
+        math.sqrt(b.values.map(x => x * x).sum))
+    }
+    for (q <- 0 until 3) {
+      val expected = (0 until texts.length).filter(_ != q)
+        .map(c => (c.toLong, cos(w(q), w(c))))
+        .filter(_._2 > 0)
+        .sortBy { case (c, s) => (-math.rint(s * 1e6), c) }
+        .take(4).map(_._1)
+      val gotRanks = (1 to expected.length)
+        .map(r => got((q.toLong, r)))
+      assert(gotRanks == expected,
+        s"query $q: got $gotRanks expected $expected")
+    }
+  }
+
   test("sparse topK: identical docs rank first, self excluded") {
     val docs = Seq(
       (0L, "apple banana cherry"),
