@@ -97,10 +97,32 @@ object KMeans {
       it += 1
     }
 
-    val best = assign(centroids)
-    val out = pts.select(col("id").as(idCol),
-      best.getField("cid").as("cid"),
-      round(best.getField("d"), 6).as("dist"))
+    val out = assignTo(
+      pts.select(col("id").as(idCol), col("v").as(vecColQuantized)),
+      centroids.toMap, idCol, vecColQuantized, preQuantized = true)
     (out, centroids.toMap)
+  }
+
+  private val vecColQuantized = "__vq"
+
+  /** Score rows against a fitted centroid model: map-side argmin over
+    * the plan-literal centroids — stateless, zero shuffle, usable on a
+    * batch OR streaming DataFrame (the streaming twin
+    * `DedupStream.clusterScreen` delegates here). Returns
+    * (idCol, cid, dist) with dist = squared L2 rounded to 6.
+    */
+  def assignTo(df: DataFrame, model: Map[Int, Seq[Double]],
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               preQuantized: Boolean = false): DataFrame = {
+    require(model.nonEmpty, "assignTo: empty centroid model")
+    val v =
+      if (preQuantized) col(vecCol)
+      else transform(col(vecCol).cast("array<double>"), x => round(x, 9))
+    val scored = model.toSeq.sortBy(_._1).map { case (cid, cv) =>
+      struct(sqDist(v, cv).as("d"), lit(cid).as("cid"))
+    }
+    val best = array_min(array(scored: _*))
+    df.select(col(idCol), best.getField("cid").as("cid"),
+      round(best.getField("d"), 6).as("dist"))
   }
 }

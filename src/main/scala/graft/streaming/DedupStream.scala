@@ -199,4 +199,18 @@ object DedupStream {
     hashed.join(index.select(col("base_id"), col("dhash")), "dhash")
       .select(col("new_id"), col("base_id"))
   }
+
+  /** Cluster-routing for an arriving embedding stream: each payload is
+    * scored against a FITTED k-means model ([[graft.operators.KMeans
+    * .fit]] offline, swap between restarts) by the same map-side
+    * argmin the batch scorer uses — centroids are plan literals, so
+    * the screen is stateless (no state store, no watermark, zero
+    * shuffle) and bit-equal to batch assignment by construction. The
+    * routing step of cluster-based curation at ingest time: send each
+    * document to its cluster's quota/filter path as it arrives.
+    */
+  def clusterScreen(stream: DataFrame, model: Map[Int, Seq[Double]],
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame =
+    graft.operators.KMeans.assignTo(stream, model, idCol, vecCol)
 }

@@ -755,4 +755,35 @@ class StreamingSpec extends SparkSpec {
       lamMap, default, "doc_id", "text").collect()
     assert(novel.length === 1 && !novel(0).isNullAt(2))
   }
+
+  test("cluster screen: stream assignment bit-equal to batch scoring") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // fit offline on the real fixture, then stream fresh points through
+    val fitOn = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val (_, model) = graft.operators.KMeans.fit(
+      fitOn, k = 4, dim = 64, iters = 3)
+    val pts = fitOn.limit(20).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val want = graft.operators.KMeans.assignTo(fitOn.limit(20), model)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val screened = graft.streaming.DedupStream.clusterScreen(
+      mem.toDF().toDF("vec_id", "embedding"), model)
+    val q = screened.writeStream.format("memory").queryName("cscreen")
+      .outputMode("append").start()
+    try {
+      mem.addData(pts.take(10).toSeq)
+      q.processAllAvailable()
+      mem.addData(pts.drop(10).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT * FROM cscreen").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+    // stateless contract: no state store operators in the plan
+    assert(!screened.queryExecution.analyzed.toString
+      .toLowerCase.contains("statestore"))
+  }
 }
