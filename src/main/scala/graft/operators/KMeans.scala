@@ -57,6 +57,12 @@ object KMeans {
       .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
     require(centroids.length == k,
       s"KMeans: corpus has ${centroids.length} rows, need k=$k")
+    // a dim that disagrees with the data would otherwise null out
+    // distances silently through zip_with's null padding
+    centroids.find(_._2.length != dim).foreach { case (_, cv) =>
+      throw new IllegalArgumentException(
+        s"KMeans: vectors are ${cv.length}-dimensional, dim=$dim given")
+    }
 
     def assign(cs: Seq[(Int, Seq[Double])]): org.apache.spark.sql.Column = {
       // argmin over k literal centroids via array_min on (d, cid)
@@ -115,6 +121,9 @@ object KMeans {
                idCol: String = "vec_id", vecCol: String = "embedding",
                preQuantized: Boolean = false): DataFrame = {
     require(model.nonEmpty, "assignTo: empty centroid model")
+    require(model.values.map(_.length).toSet.size == 1,
+      "assignTo: centroid model has mixed dimensionality " +
+        s"{${model.values.map(_.length).toSet.toSeq.sorted.mkString(",")}}")
     val v =
       if (preQuantized) col(vecCol)
       else transform(col(vecCol).cast("array<double>"), x => round(x, 9))

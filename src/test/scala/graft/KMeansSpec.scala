@@ -53,6 +53,12 @@ class KMeansSpec extends SparkSpec {
     intercept[IllegalArgumentException] { // corpus smaller than k
       KMeans.fit(pts, k = 5, dim = 1, iters = 1)
     }
+    intercept[IllegalArgumentException] { // dim disagrees with the data
+      KMeans.fit(pts, k = 1, dim = 3, iters = 1)
+    }
+    intercept[IllegalArgumentException] { // mixed-dim model
+      KMeans.assignTo(pts, Map(0 -> Seq(0.0), 1 -> Seq(0.0, 1.0)))
+    }
   }
 
   test("sparse topK: unbounded cuts equal brute-force tf-idf cosine") {
