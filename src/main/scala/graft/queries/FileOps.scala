@@ -232,6 +232,37 @@ object FileOps {
       out
     }),
 
+    // ---- schema evolution: a producer adds a column between
+    //      snapshots; the engine reads BOTH generations in one
+    //      mergeSchema scan (union-by-name, missing column = NULL) —
+    //      the routine 100 TB event the round-7 events.ts drift
+    //      demonstrated, gated here end-to-end on real files. Sums go
+    //      through exact DECIMAL so the single-row digest is
+    //      partition-invariant ----
+    "o_schema_evolution" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") +
+        "/graft_evo_" + java.util.UUID.randomUUID().toString.take(8)
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite").parquet(s"$root/snap1")
+      li.filter(col("l_linenumber") === 2)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_discount"))
+        .write.mode("overwrite").parquet(s"$root/snap2")
+      val merged = s.read.option("mergeSchema", "true")
+        .parquet(s"$root/snap1", s"$root/snap2")
+      val out = merged.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("l_discount")).as("n_with_discount"),
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("double").as("sum_qty"),
+        sum(col("l_discount").cast("decimal(18,2)"))
+          .cast("double").as("sum_disc")).localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(s"file:$root")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }),
+
     // ---- O16: report counts over the selection outcome ----
     "o16_report_counts" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -276,6 +307,20 @@ object FileOps {
   val oracleSql: Map[String, String] = Map(
     "o_orc_roundtrip" -> langStatsSql,
     "o_jsonl_roundtrip" -> langStatsSql,
+
+    // union-by-name with NULL fill replicates the mergeSchema read
+    "o_schema_evolution" ->
+      """WITH m AS (
+        |  SELECT l_orderkey, l_quantity, CAST(NULL AS DOUBLE) AS l_discount
+        |  FROM lineitem WHERE l_linenumber = 1
+        |  UNION ALL
+        |  SELECT l_orderkey, l_quantity, l_discount
+        |  FROM lineitem WHERE l_linenumber = 2)
+        |SELECT COUNT(*) AS n_rows,
+        |  COUNT(l_discount) AS n_with_discount,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        |FROM m""".stripMargin,
 
     // the move either fully succeeds (one row) or the gate fails loudly
     "a_pipeline_move" ->

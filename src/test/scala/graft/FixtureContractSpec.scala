@@ -14,7 +14,29 @@ class FixtureContractSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("every fixture table loads through Tables.t with a non-empty schema") {
+  /** Columns the engine's queries actually reference — a driver-side
+    * rename/drop fails HERE, naming table and column, instead of as a
+    * wall of red queries.
+    */
+  private val requiredCols: Map[String, Set[String]] = Map(
+    "region" -> Set("r_regionkey", "r_name"),
+    "nation" -> Set("n_nationkey", "n_name", "n_regionkey"),
+    "customer" -> Set("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment"),
+    "supplier" -> Set("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part" -> Set("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+      "p_retailprice"),
+    "orders" -> Set("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"),
+    "lineitem" -> Set("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+    "events" -> Set("event_id", "user_id", "event_type", "ts", "value",
+      "props"),
+    "documents" -> Set("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Set("vec_id", "embedding"))
+
+  test("every fixture table loads through Tables.t with its required columns") {
     Tables.all.foreach { name =>
       val df =
         try Tables.t(spark, sfDir, name)
@@ -22,7 +44,12 @@ class FixtureContractSpec extends SparkSpec {
           case e: Exception =>
             fail(s"fixture table '$name' failed to load/adapt: ${e.getMessage}")
         }
-      assert(df.schema.nonEmpty, s"fixture table '$name' has an empty schema")
+      val have = df.schema.fieldNames.toSet
+      val missing = requiredCols.getOrElse(name, Set.empty) -- have
+      assert(missing.isEmpty,
+        s"fixture table '$name' drifted: missing column(s) " +
+          s"${missing.toSeq.sorted.mkString(", ")} (present: " +
+          s"${have.toSeq.sorted.mkString(", ")})")
     }
   }
 
