@@ -403,5 +403,20 @@ class PlanSpec extends SparkSpec {
     val ar = planOf("t_assoc_rules")
     assert(!ar.contains("Window"), ar)
     assert(!ar.contains("CartesianProduct"), ar)
+
+    // k-means scoring against a fitted model is pure map work: the
+    // centroids are plan literals, so the assignment plan must carry
+    // ZERO exchanges — the corpus is never shuffled to be scored
+    val km = graft.operators.KMeans.assignTo(
+      Tables.t(spark, "/root/testdata/sf0.001", "embeddings"),
+      Map(0 -> Seq.fill(64)(0.0), 1 -> Seq.fill(64)(1.0)))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(!km.contains("Exchange"), s"assignTo shuffles:\n$km")
+
+    // sparse retrieval: champion cut + candidate cap + rerank are
+    // equi-joins and bounded windows only — no cartesian anywhere
+    val st = planOf("s_sparse_topk")
+    assert(!st.contains("CartesianProduct"), st)
   }
 }
