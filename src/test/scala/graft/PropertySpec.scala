@@ -315,4 +315,51 @@ class PropertySpec extends SparkSpec {
       assert(got === want)
     }
   }
+
+  test("skip-gram pairs == brute-force window replay on random docs") {
+    import spark.implicits._
+    val tok = Gen.oneOf("a", "b", "c", "", "dd", "e")
+    val doc = Gen.listOfN(7, tok).map(_.mkString(" "))
+    (1L to 10L).foreach { s =>
+      val docs = sample(Gen.listOfN(15, doc), 500 + s)
+      val w = 3
+      val got = graft.operators.Mining
+        .skipgramPairs(docs.toDF("text"), split(col("text"), " "), w)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+        .sorted.toSeq
+      // brute force: for each offset 1..w pair token i with i+off,
+      // dropping pairs touching an empty token
+      val want = docs.flatMap { d =>
+        val t = d.split(" ", -1)
+        for {
+          off <- 1 to w
+          i <- 0 until math.max(t.length - off, 0)
+          if t(i).nonEmpty && t(i + off).nonEmpty
+        } yield (t(i), t(i + off))
+      }.sorted.toSeq
+      assert(got === want)
+    }
+  }
+
+  test("kmeans assignment is the true argmin on random points") {
+    import spark.implicits._
+    val coord = Gen.chooseNum(-5.0, 5.0).map(x => math.rint(x * 100) / 100)
+    val vec = Gen.listOfN(4, coord).map(_.map(_.toFloat))
+    (1L to 5L).foreach { s =>
+      val pts = sample(Gen.listOfN(25, vec), 600 + s)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val model = sample(Gen.listOfN(3, vec), 700 + s)
+        .zipWithIndex.map { case (v, i) => i -> v.map(_.toDouble) }.toMap
+      val got = graft.operators.KMeans
+        .assignTo(pts.toDF("vec_id", "embedding"), model)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      pts.foreach { case (id, v) =>
+        val want = model.toSeq.map { case (cid, c) =>
+          (v.map(_.toDouble).zip(c).map { case (a, b) =>
+            (a - b) * (a - b) }.sum, cid)
+        }.min._2
+        assert(got(id) == want, s"point $id: got ${got(id)}, want $want")
+      }
+    }
+  }
 }
