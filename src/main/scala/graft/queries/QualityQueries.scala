@@ -37,16 +37,14 @@ object QualityQueries {
     // before trusting they trained on the same corpus. One
     // map-combinable aggregation; exact DECIMAL sum (values exceed
     // 2^53, so a double sum would silently lose bits).
+    // STRING digest on both engine and oracle sides: the value exceeds
+    // 2^63, and comparator canonicalization of wide DECIMALs differs
+    // between runtimes; a digest is an opaque token anyway. The SAME
+    // projection serves the streaming twin
+    // (CurationStream.digestStream) — one implementation, no drift.
     "q_corpus_digest" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(conv(substring(md5(concat(col("doc_id").cast("string"),
-            lit(":"), col("text"))), 1, 15), 16, 10)
-          .cast("decimal(20,0)").as("h"))
-        .agg(count(lit(1)).as("n_docs"),
-          // STRING on both engine and oracle sides: the value exceeds
-          // 2^63, and comparator canonicalization of wide DECIMALs
-          // differs between runtimes; a digest is an opaque token anyway.
-          sum(col("h")).cast("decimal(38,0)").cast("string").as("digest"))
+      graft.streaming.CurationStream.digestStream(
+        t(s, dir, "documents"), "doc_id", "text")
     }),
 
     // Referential integrity events.user_id → customer.c_custkey: one

@@ -49,4 +49,24 @@ object CurationStream {
                  idCol: String, textCol: String): DataFrame =
     graft.operators.Dsir.scoreInline(docs, lamMap, defaultLam,
       idCol, textCol)
+
+  /** Running corpus digest over a document stream — the streaming twin
+    * of `q_corpus_digest`. The digest is a commutative, associative
+    * exact-DECIMAL sum of per-row md5 prefixes, so a streaming
+    * aggregation in Complete mode maintains it incrementally with
+    * O(1) state (one sum + one count), and after any prefix of the
+    * stream the digest EQUALS the batch digest of the rows ingested so
+    * far — the attestation two pipelines compare lands continuously
+    * instead of in a nightly job. Same STRING emission as batch (a
+    * digest is an opaque token; > 2^63 decimals must not meet a
+    * comparator as numbers).
+    */
+  def digestStream(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame =
+    docs
+      .select(conv(substring(md5(concat(col(idCol).cast("string"),
+          lit(":"), col(textCol))), 1, 15), 16, 10)
+        .cast("decimal(20,0)").as("h"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("h")).cast("decimal(38,0)").cast("string").as("digest"))
 }

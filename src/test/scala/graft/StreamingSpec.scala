@@ -786,4 +786,34 @@ class StreamingSpec extends SparkSpec {
     assert(!screened.queryExecution.analyzed.toString
       .toLowerCase.contains("statestore"))
   }
+
+  test("streaming corpus digest equals batch digest after every prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def batchDigest(rows: Seq[(Long, String)]): (Long, String) = {
+      val r = graft.streaming.CurationStream.digestStream(
+        rows.toDF("doc_id", "text"), "doc_id", "text").head()
+      (r.getLong(0), r.getString(1))
+    }
+    val mem = MemoryStream[(Long, String)]
+    val dig = graft.streaming.CurationStream.digestStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = dig.writeStream.format("memory").queryName("cdigest")
+      .outputMode("complete").start()
+    try {
+      mem.addData(docs.take(30).toSeq)
+      q.processAllAvailable()
+      val after30 = spark.sql("SELECT * FROM cdigest").collect().head
+      assert((after30.getLong(0), after30.getString(1)) ==
+        batchDigest(docs.take(30).toSeq))
+      mem.addData(docs.drop(30).toSeq)
+      q.processAllAvailable()
+      val afterAll = spark.sql("SELECT * FROM cdigest").collect().head
+      assert((afterAll.getLong(0), afterAll.getString(1)) ==
+        batchDigest(docs.toSeq))
+    } finally q.stop()
+  }
 }
