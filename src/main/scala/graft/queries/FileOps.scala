@@ -263,6 +263,37 @@ object FileOps {
       out
     }),
 
+    // ---- schema widening: the producer ALSO changed column types
+    //      between generations (int→long, float→double) — mergeSchema
+    //      refuses that outright; sources/Evolve aligns by name and
+    //      widens per the numeric lattice. Gen-1 values round-trip
+    //      through REAL exactly as the oracle replays ----
+    "o_schema_widening" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") +
+        "/graft_widen_" + java.util.UUID.randomUUID().toString.take(8)
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey").cast("int").as("l_orderkey"),
+          col("l_quantity").cast("float").as("l_quantity"))
+        .write.mode("overwrite").parquet(s"$root/snap1")
+      li.filter(col("l_linenumber") === 2)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_tax"))
+        .write.mode("overwrite").parquet(s"$root/snap2")
+      val merged = graft.sources.Evolve.unionByNameWidened(Seq(
+        s.read.parquet(s"$root/snap1"), s.read.parquet(s"$root/snap2")))
+      val out = merged.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("l_tax")).as("n_with_tax"),
+        sum(col("l_orderkey")).as("sum_key"),
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("double").as("sum_qty"),
+        sum(col("l_tax").cast("decimal(18,2)"))
+          .cast("double").as("sum_tax")).localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(s"file:$root")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }),
+
     // ---- O16: report counts over the selection outcome ----
     "o16_report_counts" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -307,6 +338,23 @@ object FileOps {
   val oracleSql: Map[String, String] = Map(
     "o_orc_roundtrip" -> langStatsSql,
     "o_jsonl_roundtrip" -> langStatsSql,
+
+    // gen-1 detours through INT / REAL exactly as the engine wrote it
+    "o_schema_widening" ->
+      """WITH m AS (
+        |  SELECT CAST(CAST(l_orderkey AS INT) AS BIGINT) AS l_orderkey,
+        |    CAST(CAST(l_quantity AS REAL) AS DOUBLE) AS l_quantity,
+        |    CAST(NULL AS DOUBLE) AS l_tax
+        |  FROM lineitem WHERE l_linenumber = 1
+        |  UNION ALL
+        |  SELECT l_orderkey, l_quantity, l_tax
+        |  FROM lineitem WHERE l_linenumber = 2)
+        |SELECT COUNT(*) AS n_rows,
+        |  COUNT(l_tax) AS n_with_tax,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_tax
+        |FROM m""".stripMargin,
 
     // union-by-name with NULL fill replicates the mergeSchema read
     "o_schema_evolution" ->

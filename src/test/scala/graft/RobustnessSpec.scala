@@ -56,6 +56,38 @@ class RobustnessSpec extends SparkSpec {
     assert(bad == Set("broken_row_no_delim", "b.json;not_a_number"))
   }
 
+  test("widen: lattice rules and loud failure off-lattice") {
+    import graft.sources.Evolve.widen
+    assert(widen(IntegerType, LongType) == LongType)
+    assert(widen(LongType, IntegerType) == LongType)
+    assert(widen(ByteType, ShortType) == ShortType)
+    assert(widen(FloatType, DoubleType) == DoubleType)
+    assert(widen(IntegerType, FloatType) == DoubleType)
+    assert(widen(LongType, DoubleType) == DoubleType)
+    assert(widen(StringType, StringType) == StringType)
+    assert(widen(TimestampNTZType, TimestampType) == TimestampType)
+    val e = intercept[IllegalArgumentException] {
+      widen(StringType, LongType)
+    }
+    assert(e.getMessage.contains("cannot widen"))
+  }
+
+  test("unionByNameWidened: aligns, widens, NULL-fills across generations") {
+    val g1 = Seq((1, 1.5f)).toDF("id", "x")       // int, float
+    val g2 = Seq((2L, 2.5, "b")).toDF("id", "x", "tag") // long, double, +col
+    val m = graft.sources.Evolve.unionByNameWidened(Seq(g1, g2))
+    assert(m.schema.map(f => (f.name, f.dataType)) == Seq(
+      ("id", LongType), ("x", DoubleType), ("tag", StringType)))
+    val rows = m.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), if (r.isNullAt(2)) null else r.getString(2)))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, 1.5, null), (2L, 2.5, "b")))
+    intercept[IllegalArgumentException] {
+      graft.sources.Evolve.unionByNameWidened(
+        Seq(Seq(1).toDF("id"), Seq("x").toDF("id")))
+    }
+  }
+
   test("o_schema_evolution: merged scan sees both generations") {
     val out = SparkEntry.queries("o_schema_evolution")(
       spark, "/root/testdata/sf0.001").collect().head
