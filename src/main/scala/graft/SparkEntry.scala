@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{ClusterQueries, CurationQueries, DedupQueries, EventQueries, FileOps, GraphQueries, MiningQueries, MultimodalQueries, QualityQueries, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, SimilarityQueries, TextQueries}
+import graft.queries.{ChatQueries, ClusterQueries, CurationQueries, DedupQueries, EventQueries, FileOps, GraphQueries, MiningQueries, MultimodalQueries, QualityQueries, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,7 +29,8 @@ object SparkEntry {
     (GraphQueries.queries, GraphQueries.oracleSql),
     (CurationQueries.queries, CurationQueries.oracleSql),
     (MiningQueries.queries, MiningQueries.oracleSql),
-    (ClusterQueries.queries, ClusterQueries.oracleSql)
+    (ClusterQueries.queries, ClusterQueries.oracleSql),
+    (ChatQueries.queries, ChatQueries.oracleSql)
   )
 
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */
