@@ -63,13 +63,23 @@ object Tables {
     * skipped with a clear stderr note; a query that does reference it
     * then fails with TABLE_OR_VIEW_NOT_FOUND naming the table.
     */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach { n =>
-      try t(spark, dir, n).createOrReplaceTempView(n)
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val failures = all.flatMap { n =>
+      try { t(spark, dir, n).createOrReplaceTempView(n); None }
       catch {
         case e: Exception =>
           System.err.println(
             s"graft.Tables.registerAll: skipping view '$n' ($dir/$n.parquet): ${e.getMessage}")
+          Some(n -> e)
       }
     }
+    // one drifted table is survivable; ALL tables failing means the
+    // directory itself is wrong (bad path, dead filesystem) and every
+    // later sql_* query would die far from this root cause — fail here.
+    if (failures.size == all.size)
+      throw new IllegalStateException(
+        s"registerAll: every table under $dir failed to register — " +
+          s"misconfigured directory? First error: ${failures.head._2.getMessage}",
+        failures.head._2)
+  }
 }

@@ -58,11 +58,15 @@ object KMeans {
     require(centroids.length == k,
       s"KMeans: corpus has ${centroids.length} rows, need k=$k")
     // a dim that disagrees with the data would otherwise null out
-    // distances silently through zip_with's null padding
-    centroids.find(_._2.length != dim).foreach { case (_, cv) =>
-      throw new IllegalArgumentException(
-        s"KMeans: vectors are ${cv.length}-dimensional, dim=$dim given")
-    }
+    // distances silently through zip_with's null padding — and a wrong
+    // length ANYWHERE in the corpus (not just the k init rows) would
+    // funnel that row to the lowest cid via NULL-first struct ordering.
+    // One cheap agg over the checkpointed input makes it loud instead.
+    val szs = pts.agg(min(size(col("v"))).as("mn"),
+      max(size(col("v"))).as("mx")).head()
+    require(szs.getInt(0) == dim && szs.getInt(1) == dim,
+      s"KMeans: corpus vector lengths span [${szs.getInt(0)}, " +
+        s"${szs.getInt(1)}], dim=$dim given")
 
     def assign(cs: Seq[(Int, Seq[Double])]): org.apache.spark.sql.Column = {
       // argmin over k literal centroids via array_min on (d, cid)

@@ -65,9 +65,11 @@ object ChatQueries {
           sum(when(col("turn.role") === "assistant",
             length(col("turn.content"))).otherwise(0L)).as("asst_chars"),
           sum(length(col("turn.content"))).as("total_chars"))
-        .withColumn("asst_share",
-          round(col("asst_chars").cast("double") /
-            greatest(col("total_chars"), lit(1)).cast("double"), 6))
+        // parts-per-million via exact integer division: a rounded DOUBLE
+        // here is comparator-hostile (ROUND(double, n) differs across
+        // engines/versions in the last ULP); BIGINT arithmetic is not.
+        .withColumn("asst_share_ppm",
+          expr("asst_chars * 1000000L div greatest(total_chars, 1L)"))
     })
   )
 
@@ -101,9 +103,9 @@ object ChatQueries {
          |  SUM(CASE WHEN role = 'assistant' THEN n_chars ELSE 0 END)
          |    AS asst_chars,
          |  SUM(n_chars) AS total_chars,
-         |  ROUND(CAST(SUM(CASE WHEN role = 'assistant' THEN n_chars
-         |      ELSE 0 END) AS DOUBLE)
-         |    / CAST(GREATEST(SUM(n_chars), 1) AS DOUBLE), 6) AS asst_share
+         |  CAST(SUM(CASE WHEN role = 'assistant' THEN n_chars ELSE 0 END)
+         |      * 1000000 // GREATEST(SUM(n_chars), 1) AS BIGINT)
+         |    AS asst_share_ppm
          |FROM turns GROUP BY doc_id""".stripMargin
   )
 }

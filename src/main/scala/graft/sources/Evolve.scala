@@ -18,8 +18,9 @@ import org.apache.spark.sql.types._
   *
   * Widening lattice (loud error outside it — silent coercion between
   * unrelated types is how corruption spreads): integral widths
-  * byte < short < int < long; float < double; integral × fractional →
-  * double; TIMESTAMP_NTZ ∪ TIMESTAMP → TIMESTAMP (session-TZ
+  * byte < short < int < long; float < double; {byte,short,int} ×
+  * fractional → double (exact; long × fractional is REJECTED — double
+  * loses bits above 2^53); TIMESTAMP_NTZ ∪ TIMESTAMP → TIMESTAMP (session-TZ
   * normalization, same rule as the events loader). Nested structs are
   * out of scope (document-level evolution, not field surgery).
   */
@@ -38,9 +39,20 @@ object Evolve {
         if (integralRank(a) >= integralRank(b)) a else b
       case _ if fractionalRank.contains(a) && fractionalRank.contains(b) =>
         if (fractionalRank(a) >= fractionalRank(b)) a else b
+      // integral × fractional widens to double ONLY where double is
+      // exact for every representable input: byte/short/int all fit in
+      // double's 53-bit mantissa, as does every float value. LongType is
+      // excluded — |long| > 2^53 would silently lose low bits, which is
+      // precisely the corruption class this module's contract rejects;
+      // a long→double change needs an explicit migration.
       case _ if (integralRank.contains(a) && fractionalRank.contains(b)) ||
         (fractionalRank.contains(a) && integralRank.contains(b)) =>
-        DoubleType
+        if (a == LongType || b == LongType)
+          throw new IllegalArgumentException(
+            s"cannot widen ${a.simpleString} vs ${b.simpleString}: " +
+              "double is inexact for |long| > 2^53 — this pair needs an " +
+              "explicit migration, not a silent lossy cast")
+        else DoubleType
       case (TimestampNTZType, TimestampType) => TimestampType
       case (TimestampType, TimestampNTZType) => TimestampType
       case _ => throw new IllegalArgumentException(

@@ -45,12 +45,14 @@ class ChatSpec extends SparkSpec {
     assert(roles == Set((0, "user"), (1, "assistant")))
   }
 
-  test("t_chat_mask_budget: shares are in [0,1] and chars add up") {
+  test("t_chat_mask_budget: ppm shares are in [0,1e6] and exact") {
     val out = SparkEntry.queries("t_chat_mask_budget")(
       spark, "/root/testdata/sf0.001").collect()
     assert(out.forall { r =>
-      val share = r.getDouble(4)
-      share >= 0.0 && share <= 1.0 && r.getLong(2) <= r.getLong(3)
+      val ppm = r.getLong(4)
+      val (ac, tc) = (r.getLong(2), r.getLong(3))
+      ppm >= 0L && ppm <= 1000000L && ac <= tc &&
+        ppm == ac * 1000000L / math.max(tc, 1L)
     })
   }
 }

@@ -63,7 +63,11 @@ class RobustnessSpec extends SparkSpec {
     assert(widen(ByteType, ShortType) == ShortType)
     assert(widen(FloatType, DoubleType) == DoubleType)
     assert(widen(IntegerType, FloatType) == DoubleType)
-    assert(widen(LongType, DoubleType) == DoubleType)
+    // long × fractional is rejected: double loses bits above 2^53
+    val lossy = intercept[IllegalArgumentException] {
+      widen(LongType, DoubleType)
+    }
+    assert(lossy.getMessage.contains("2^53"))
     assert(widen(StringType, StringType) == StringType)
     assert(widen(TimestampNTZType, TimestampType) == TimestampType)
     val e = intercept[IllegalArgumentException] {

@@ -763,9 +763,13 @@ class StreamingSpec extends SparkSpec {
     val fitOn = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     val (_, model) = graft.operators.KMeans.fit(
       fitOn, k = 4, dim = 64, iters = 3)
-    val pts = fitOn.limit(20).collect()
+    // collect ONE limited set and derive both the expectation and the
+    // stream input from it — limit without orderBy gives no guarantee
+    // two separate jobs pick the same 20 rows
+    val pts = fitOn.orderBy("vec_id").limit(20).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
-    val want = graft.operators.KMeans.assignTo(fitOn.limit(20), model)
+    val want = graft.operators.KMeans.assignTo(
+      pts.toSeq.toDF("vec_id", "embedding"), model)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
       .sortBy(_._1)
     val mem = MemoryStream[(Long, Seq[Float])]
