@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{ChatQueries, ClusterQueries, CurationQueries, DedupQueries, EventQueries, FileOps, GraphQueries, MiningQueries, MultimodalQueries, QualityQueries, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, SimilarityQueries, TextQueries}
+import graft.queries.{ChatQueries, ClusterQueries, CurationQueries, DedupQueries, EventQueries, FileOps, GovernanceQueries, GraphQueries, MiningQueries, MultimodalQueries, QualityQueries, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,7 +30,8 @@ object SparkEntry {
     (CurationQueries.queries, CurationQueries.oracleSql),
     (MiningQueries.queries, MiningQueries.oracleSql),
     (ClusterQueries.queries, ClusterQueries.oracleSql),
-    (ChatQueries.queries, ChatQueries.oracleSql)
+    (ChatQueries.queries, ChatQueries.oracleSql),
+    (GovernanceQueries.queries, GovernanceQueries.oracleSql)
   )
 
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Data-governance operators: the release/selection decisions a corpus
+  * owner makes AFTER measurement — what may be published (k-anonymity),
+  * which sources to keep (per-source rollup), which rows are suspect
+  * (robust outliers), and how to partition by model fit (CCNet-style
+  * perplexity buckets). The reference's workload family is exactly this
+  * shape — select a governed subset, report counts (`app/main.py:143`
+  * reasons, `app/app.py:166-168` found/not-found report) — generalized
+  * from files to records.
+  *
+  * Comparator discipline (shared with the rest of the suite): every
+  * derived ratio is an exact integer ppm (`x * 1000000 div n`), never a
+  * rounded double; every double that IS emitted (median, MAD, min/max
+  * nll) is either an order statistic selected from input values or the
+  * result of the identical arithmetic expression on both sides.
+  */
+object GovernanceQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- k-anonymity release with a 2-level generalization
+    //      hierarchy: publish (nation, segment) groups of size >= k
+    //      as-is; generalize smaller groups to (nation, *); anything
+    //      still under k collapses to the fully-suppressed (*, *) row.
+    //      Shapes: two map-combinable aggs over group-cardinality rows
+    //      (the second runs on the FIRST agg's output — groups, not
+    //      customers), zero joins, zero windows. At 100 TB the first
+    //      groupBy is the only corpus-sized pass. ----
+    "q_k_anonymity" -> ((s, dir) => {
+      val k = 10L
+      val g = t(s, dir, "customer")
+        .select(col("c_nationkey").cast("string").as("nat"),
+          col("c_mktsegment").as("seg"))
+        .groupBy("nat", "seg").agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // consumed by both the >=k and <k branches
+      val lvl0 = g.filter(col("n") >= k)
+        .select(col("nat"), col("seg"), col("n"), lit(0).as("level"))
+      val g1 = g.filter(col("n") < k)
+        .groupBy("nat").agg(sum(col("n")).as("n"))
+        .localCheckpoint(false)
+      val lvl1 = g1.filter(col("n") >= k)
+        .select(col("nat"), lit("*").as("seg"), col("n"), lit(1).as("level"))
+      val lvl2 = g1.filter(col("n") < k)
+        .agg(sum(col("n")).as("n"))
+        .filter(col("n").isNotNull) // no residual groups -> no (*,*) row
+        .select(lit("*").as("nat"), lit("*").as("seg"), col("n"),
+          lit(2).as("level"))
+      lvl0.unionByName(lvl1).unionByName(lvl2)
+    }),
+
+    // ---- per-source curation rollup: the keep/drop decision crawl
+    //      pipelines make at SOURCE granularity (a bad domain is
+    //      dropped wholesale, not doc-by-doc). Exact-dup membership
+    //      via one md5-key agg + equi-join back; shares as exact
+    //      integer ppm; `keep` is a pure threshold rule on them.
+    //      Shapes: hash agg + equi-join + per-source agg — every stage
+    //      keyed, map-combinable, skew-free (md5 keys). ----
+    "t_domain_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          md5(col("text")).as("h"))
+      val counts = d.groupBy("h").agg(count(lit(1)).as("cnt"))
+      d.join(counts, "h")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("dup_docs"),
+          sum(when(col("n_chars") < 200, 1L).otherwise(0L)).as("short_docs"),
+          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("nonen_docs"))
+        .withColumn("dup_ppm",
+          expr("dup_docs * 1000000L div n_docs"))
+        .withColumn("short_ppm",
+          expr("short_docs * 1000000L div n_docs"))
+        .withColumn("nonen_ppm",
+          expr("nonen_docs * 1000000L div n_docs"))
+        .withColumn("keep",
+          col("dup_ppm") <= 300000L && col("short_ppm") <= 400000L &&
+            col("nonen_ppm") <= 600000L)
+    }),
+
+    // ---- robust per-type outliers: median/MAD instead of mean/stddev
+    //      (e_anomaly_zscore's moments are themselves dragged by the
+    //      outliers they hunt; the median breakdown point is 50%).
+    //      Shapes: two keyed percentile aggs over (type, value) rows +
+    //      broadcast of the #types-sized stats frame back onto the
+    //      scan — the corpus is never shuffled. Exact interpolating
+    //      percentile on both engines uses the same
+    //      lower + (upper-lower)*frac formula, so the doubles agree
+    //      bit-for-bit; at 100 TB swap in approx_percentile and keep
+    //      the identical downstream algebra. ----
+    "e_mad_outliers" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val med = e.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5d)").as("med"))
+      val stats = e.join(broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(first(col("med")).as("med"),
+          expr("percentile(abs(value - med), 0.5d)").as("mad"))
+      e.join(broadcast(stats), "event_type")
+        .filter(col("mad") > 0.0 &&
+          abs(col("value") - col("med")) > lit(3.0) * lit(1.4826) * col("mad"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          ((col("value") - col("med")) / (lit(1.4826) * col("mad")))
+            .as("robust_z"))
+    }),
+
+    // ---- CCNet-style perplexity partitioning: rank documents by the
+    //      corpus bigram-LM avg NLL (t_perplexity's exact output,
+    //      reused verbatim) and split into head/middle/tail thirds.
+    //      Bucketing is the explicit integer formula
+    //      (rank-1)*3 div n + 1 on BOTH engines — no reliance on
+    //      NTILE's engine-specific tie handling. The global window
+    //      runs over (doc_id, avg_nll) NARROW rows, never documents;
+    //      at 100 TB the cutoffs would come from an approx-quantile
+    //      sketch with the same map-side assignment. Per-bucket stats
+    //      are counts + order statistics — no new double arithmetic. ----
+    "t_ppl_buckets" -> ((s, dir) => {
+      val ppl = TextQueries.queries("t_perplexity")(s, dir)
+      val w = Window.orderBy(col("avg_nll").asc, col("doc_id").asc)
+      ppl.withColumn("rn", row_number().over(w))
+        .withColumn("n_total",
+          count(lit(1)).over(Window.partitionBy()))
+        .withColumn("bucket",
+          expr("(rn - 1) * 3 div n_total + 1").cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("n_bigrams"),
+          min(col("avg_nll")).as("min_nll"),
+          max(col("avg_nll")).as("max_nll"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT CAST(c_nationkey AS VARCHAR) AS nat, c_mktsegment AS seg,
+        |    COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |g1 AS (SELECT nat, SUM(n) AS n FROM g WHERE n < 10 GROUP BY nat)
+        |SELECT nat, seg, n, 0 AS level FROM g WHERE n >= 10
+        |UNION ALL
+        |SELECT nat, '*', n, 1 FROM g1 WHERE n >= 10
+        |UNION ALL
+        |SELECT '*', '*', SUM(n), 2 FROM g1 WHERE n < 10 HAVING SUM(n) IS NOT NULL""".stripMargin,
+
+    "t_domain_stats" ->
+      """WITH h AS (SELECT md5(text) AS hh, COUNT(*) AS cnt
+        |  FROM documents GROUP BY 1),
+        |base AS (
+        |  SELECT source,
+        |    COUNT(*) AS n_docs,
+        |    SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS dup_docs,
+        |    SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS short_docs,
+        |    SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS nonen_docs
+        |  FROM documents d JOIN h ON md5(d.text) = h.hh
+        |  GROUP BY source)
+        |SELECT source, n_docs, dup_docs, short_docs, nonen_docs,
+        |  dup_docs * 1000000 // n_docs AS dup_ppm,
+        |  short_docs * 1000000 // n_docs AS short_ppm,
+        |  nonen_docs * 1000000 // n_docs AS nonen_ppm,
+        |  (dup_docs * 1000000 // n_docs <= 300000
+        |    AND short_docs * 1000000 // n_docs <= 400000
+        |    AND nonen_docs * 1000000 // n_docs <= 600000) AS keep
+        |FROM base""".stripMargin,
+
+    "e_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |st AS (
+        |  SELECT e.event_type, ANY_VALUE(m.med) AS med,
+        |    quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN med m USING (event_type)
+        |  GROUP BY e.event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  (e.value - st.med) / (1.4826 * st.mad) AS robust_z
+        |FROM events e JOIN st USING (event_type)
+        |WHERE st.mad > 0 AND abs(e.value - st.med) > 3 * 1.4826 * st.mad""".stripMargin,
+
+    "t_ppl_buckets" ->
+      s"""WITH ppl AS (${TextQueries.oracleSql("t_perplexity")}),
+         |ranked AS (
+         |  SELECT doc_id, avg_nll, n_bigrams,
+         |    ROW_NUMBER() OVER (ORDER BY avg_nll ASC, doc_id ASC) AS rn,
+         |    COUNT(*) OVER () AS n_total
+         |  FROM ppl)
+         |SELECT CAST((rn - 1) * 3 // n_total + 1 AS INT) AS bucket,
+         |  COUNT(*) AS n_docs, SUM(n_bigrams) AS n_bigrams,
+         |  MIN(avg_nll) AS min_nll, MAX(avg_nll) AS max_nll
+         |FROM ranked GROUP BY 1""".stripMargin
+  )
+}

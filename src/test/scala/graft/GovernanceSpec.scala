@@ -1,0 +1,64 @@
+package graft
+
+/** Semantic pins for the governance operators — the invariants a
+  * release/selection decision must satisfy regardless of fixture
+  * content (the DuckDB oracle already pins exact values).
+  */
+class GovernanceSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q_k_anonymity: every published group is >= k and totals conserve") {
+    val out = SparkEntry.queries("q_k_anonymity")(spark, dir).collect()
+    val total = Tables.t(spark, dir, "customer").count()
+    assert(out.map(_.getLong(2)).sum == total,
+      "suppression must conserve the row count")
+    out.foreach { r =>
+      val (nat, seg, n, lvl) =
+        (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))
+      lvl match {
+        case 0 => assert(n >= 10 && nat != "*" && seg != "*")
+        case 1 => assert(n >= 10 && nat != "*" && seg == "*")
+        case 2 => assert(nat == "*" && seg == "*") // residual row may be < k
+        case other => fail(s"unexpected level $other")
+      }
+    }
+    assert(out.count(_.getInt(3) == 2) <= 1, "at most one fully-suppressed row")
+  }
+
+  test("t_domain_stats: shares are exact ppm and keep matches the rule") {
+    val out = SparkEntry.queries("t_domain_stats")(spark, dir).collect()
+    val total = Tables.t(spark, dir, "documents").count()
+    assert(out.map(_.getLong(1)).sum == total)
+    out.foreach { r =>
+      val (n, dup, short, nonen) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val (dupPpm, shortPpm, nonenPpm) =
+        (r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(dupPpm == dup * 1000000L / n)
+      assert(shortPpm == short * 1000000L / n)
+      assert(nonenPpm == nonen * 1000000L / n)
+      assert(r.getBoolean(8) ==
+        (dupPpm <= 300000L && shortPpm <= 400000L && nonenPpm <= 600000L))
+    }
+  }
+
+  test("e_mad_outliers: every emitted row is beyond 3 robust sigmas") {
+    val out = SparkEntry.queries("e_mad_outliers")(spark, dir).collect()
+    assert(out.nonEmpty, "fixture should contain at least one outlier")
+    assert(out.forall(r => math.abs(r.getDouble(3)) > 3.0))
+  }
+
+  test("t_ppl_buckets: three balanced buckets with ordered nll ranges") {
+    val out = SparkEntry.queries("t_ppl_buckets")(spark, dir)
+      .collect().sortBy(_.getInt(0))
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val sizes = out.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, s"unbalanced: ${sizes.mkString(",")}")
+    // bucket ranges must tile the nll axis in order (ties may touch)
+    out.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getDouble(4) <= hi.getDouble(3),
+        s"bucket ${lo.getInt(0)} max > bucket ${hi.getInt(0)} min")
+    }
+  }
+}
