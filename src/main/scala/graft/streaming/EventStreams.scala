@@ -425,4 +425,35 @@ object EventStreams {
           out.result().iterator
       }
   }
+
+  /** Streaming twin of the batch `e_mad_outliers` screen: the robust
+    * per-type statistics (median, MAD) are fitted OFFLINE on a batch
+    * corpus (small model — |event_types| rows — to the driver, the
+    * same contract as [[DedupStream.clusterScreen]]'s centroids) and
+    * baked into the plan as literals; the stream side is then a
+    * STATELESS map-side filter + projection — no state store, no
+    * shuffle, identical arithmetic to the batch query so the emitted
+    * rows are bit-equal on the same inputs.
+    */
+  def madScreen(stream: DataFrame,
+                stats: Map[String, (Double, Double)]): DataFrame = {
+    require(stats.nonEmpty, "madScreen: empty stats model")
+    val medExpr = stats.toSeq.sortBy(_._1)
+      .foldLeft(lit(Double.NaN)) { case (acc, (ty, (med, _))) =>
+        when(col("event_type") === ty, lit(med)).otherwise(acc)
+      }
+    val madExpr = stats.toSeq.sortBy(_._1)
+      .foldLeft(lit(Double.NaN)) { case (acc, (ty, (_, mad))) =>
+        when(col("event_type") === ty, lit(mad)).otherwise(acc)
+      }
+    stream
+      .withColumn("__med", medExpr).withColumn("__mad", madExpr)
+      // NaN (unseen type) fails both comparisons -> row dropped, same
+      // as the batch join dropping a type absent from the stats side
+      .filter(col("__mad") > 0.0 &&
+        abs(col("value") - col("__med")) > lit(3.0) * lit(1.4826) * col("__mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        ((col("value") - col("__med")) / (lit(1.4826) * col("__mad")))
+          .as("robust_z"))
+  }
 }

@@ -419,4 +419,35 @@ class PlanSpec extends SparkSpec {
     val st = planOf("s_sparse_topk")
     assert(!st.contains("CartesianProduct"), st)
   }
+
+  test("round-8 governance shapes: broadcast stats, no cartesians") {
+    // MAD screen: the per-type stats frames are |event_types|-sized and
+    // must broadcast back onto the events scan — the corpus-sized side
+    // is never shuffled for the join
+    val mad = planOf("e_mad_outliers")
+    assert(mad.contains("BroadcastHashJoin"), mad)
+    assert(!mad.contains("CartesianProduct"), mad)
+
+    // k-anonymity: two cascaded aggs over group-cardinality rows,
+    // no join at all in the plan
+    val ka = planOf("q_k_anonymity")
+    assert(!ka.contains("Join"), ka)
+
+    // domain rollup: dup membership is a keyed equi-join, never a
+    // cartesian; the final rollup is one hash aggregate
+    val ds = planOf("t_domain_stats")
+    assert(!ds.contains("CartesianProduct"), ds)
+    assert(ds.contains("HashAggregate"), ds)
+
+    // streaming mad screen: literal stats -> stateless project/filter,
+    // zero exchanges
+    val scr = graft.streaming.EventStreams.madScreen(
+      Tables.t(spark, "/root/testdata/sf0.001", "events")
+        .select(org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.col("event_type"),
+          org.apache.spark.sql.functions.col("value")),
+      Map("click" -> (1.0, 0.5)))
+      .queryExecution.explainString(FormattedMode)
+    assert(!scr.contains("Exchange"), s"madScreen shuffles:\n$scr")
+  }
 }

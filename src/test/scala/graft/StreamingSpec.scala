@@ -6,7 +6,7 @@ import java.sql.Timestamp
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{array_distinct, col, concat_ws, count, date_trunc, expr, lit, posexplode}
+import org.apache.spark.sql.functions.{array_distinct, broadcast, col, concat_ws, count, date_trunc, expr, first, lit, posexplode}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
@@ -819,5 +819,45 @@ class StreamingSpec extends SparkSpec {
       assert((afterAll.getLong(0), afterAll.getString(1)) ==
         batchDigest(docs.toSeq))
     } finally q.stop()
+  }
+
+  test("mad screen: stream outliers bit-equal to the batch query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // fit the robust stats offline exactly as the batch query does
+    val e = Tables.t(spark, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+    val med = e.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5d)").as("med"))
+    val stats = e.join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(first($"med").as("med"),
+        expr("percentile(abs(value - med), 0.5d)").as("mad"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val want = SparkEntry.queries("e_mad_outliers")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDouble(2), r.getDouble(3))).sortBy(_._1)
+    val rows = e.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val mem = MemoryStream[(Long, String, Double)]
+    val screened = graft.streaming.EventStreams.madScreen(
+      mem.toDF().toDF("event_id", "event_type", "value"), stats)
+    val q = screened.writeStream.format("memory").queryName("madscreen")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(rows.length / 2).toSeq)
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT * FROM madscreen").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+    // stateless contract: no state store operators in the plan
+    assert(!screened.queryExecution.analyzed.toString
+      .toLowerCase.contains("statestore"))
   }
 }
