@@ -121,6 +121,23 @@ object MultimodalQueries {
       Multimodal.sampleFrames(media(s, dir), 3)
     }),
 
+    // ---- REAL video frames: build an uncompressed RIFF/AVI per doc
+    //      (8×6 BGR24, doc_id%3+2 frames), demux the container with
+    //      the RIFF walker, and prove every decoded frame's exact
+    //      component sum against the generating function. No codec is
+    //      involved — raw 'DIB ' frames — so this is an end-to-end
+    //      container → frame → pixel pipeline; compressed '00dc'
+    //      chunks remain the documented codec seam ----
+    "m_avi_frames" -> ((s, dir) => {
+      import s.implicits._
+      val avis = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, Multimodal.renderAviRaw(id, 8, 6, (id % 3 + 2).toInt))))
+        .toDF("id", "content")
+      Multimodal.aviFrameStats(avis).toDF()
+        .select("id", "frame_idx", "w", "h", "px_sum")
+    }),
+
     // ---- PIXEL-level round trip: encode deterministic rasters, decode
     //      with the real reader, and prove the decoded PIXELS (exact
     //      integer component sum), not just the header dimensions.
@@ -370,6 +387,21 @@ object MultimodalQueries {
         | CAST((b * octet_length(encode(text))) // 3 AS BIGINT) AS byte_offset,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS b)""".stripMargin,
+
+    // closed-form replay of the AVI generating function: every
+    // component of pixel p in frame f is (id*31 + f*7 + p) mod 256,
+    // three components per pixel over the 8×6 raster — what the
+    // demuxed raw frames must add up to exactly
+    "m_avi_frames" ->
+      """WITH fr AS (
+        |  SELECT doc_id, unnest(range(0, CAST(doc_id % 3 + 2 AS BIGINT))) AS f
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, f, unnest(range(0, 48)) AS p FROM fr)
+        |SELECT doc_id AS id, CAST(f AS INT) AS frame_idx,
+        |  8 AS w, 6 AS h,
+        |  CAST(3 * SUM((doc_id * 31 + f * 7 + p) % 256) AS BIGINT) AS px_sum
+        |FROM px GROUP BY doc_id, f""".stripMargin,
 
     // closed-form pixel-component sum of the generating function
     // v(x,y) = (id*2654435761 + 7x + 131y) & 0xFFFFFF, summed as

@@ -270,4 +270,52 @@ class MultimodalSpec extends SparkSpec {
     assert(got === Map(1L -> Some(1), 2L -> Some(8), 3L -> Some(1),
       4L -> Some(6), 5L -> None, 6L -> None, 7L -> None))
   }
+
+  test("AVI demux: frames, dims, and exact sums round-trip the container") {
+    val id = 42L
+    val avi = Multimodal.renderAviRaw(id, 8, 6, 3)
+    assert(Multimodal.aviDims(avi) === Some((8, 6, 24, 0)))
+    val frames = Multimodal.demuxAvi(avi)
+    assert(frames.map(_._1) == Seq(0, 1, 2))
+    assert(frames.forall { case (_, cc, p) => cc == "00db" && p.length == 144 })
+    // every frame's byte sum equals the closed-form generating sum
+    frames.foreach { case (f, _, payload) =>
+      val want = 3L * (0 until 48)
+        .map(p => ((id * 31 + f * 7 + p) % 256 + 256) % 256).sum
+      assert(payload.map(_ & 0xFF).map(_.toLong).sum == want, s"frame $f")
+    }
+    // bottom-up flip: the FIRST stored row is the generating function's
+    // LAST raster row (p = 40..47), so demux really is decoding layout,
+    // not just summing bytes
+    val first = frames.head._3.take(24).grouped(3).map(_(0) & 0xFF).toSeq
+    assert(first == (40 until 48).map(p => (id * 31 + p) % 256).map(_.toInt))
+  }
+
+  test("AVI demux: compressed chunks are a NULL seam, garbage is empty") {
+    import spark.implicits._
+    // flip one chunk's fourcc to the compressed '00dc': demux keeps the
+    // frame slot, stats must yield NULLs for it and stay exact elsewhere
+    val avi = Multimodal.renderAviRaw(7L, 8, 6, 2)
+    val idx = {
+      var i = avi.length - 1
+      var found = -1
+      while (i >= 3 && found < 0) {
+        if (avi(i - 3) == '0' && avi(i - 2) == '0' &&
+            avi(i - 1) == 'd' && avi(i) == 'b') found = i
+        i -= 1
+      }
+      found
+    }
+    avi(idx) = 'c' // last frame becomes '00dc'
+    val stats = Multimodal.aviFrameStats(
+        Seq((7L, avi)).toDF("id", "content")).collect()
+    assert(stats.length == 2)
+    assert(stats.find(_.frame_idx == 0).get.px_sum.isDefined)
+    assert(stats.find(_.frame_idx == 1).get.px_sum.isEmpty)
+    // malformed container -> zero rows, never a crash
+    assert(Multimodal.demuxAvi("not a riff file".getBytes).isEmpty)
+    assert(Multimodal.demuxAvi(Array.empty[Byte]).isEmpty)
+    // truncated mid-chunk -> the walker stops instead of overreading
+    assert(Multimodal.demuxAvi(avi.take(avi.length - 50)).size <= 1)
+  }
 }
