@@ -77,4 +77,47 @@ object Quality {
         lit(s"orphan_ratio_$name"), col("orphans") / col("total")))
         .as(Seq("metric", "value")))
   }
+
+  // ---- per-source governance rollup (batch + streaming-safe split) ----
+
+  /** First-level domain ledger: one row per (content hash, source) with
+    * the doc count and per-doc-attribute tallies. This is the ONLY
+    * corpus-sized aggregation of the rollup, and it is a single
+    * streaming-legal groupBy — the state a monitor keeps at ingest is
+    * exactly this frame (|distinct texts| rows, not |docs|). The
+    * second level ([[domainRollup]]) runs on the ledger SNAPSHOT —
+    * vocabulary-sized — per micro-batch via foreachBatch, or once in
+    * batch.
+    */
+  def domainLedger(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"), col("source"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("n_chars") < 200, 1L).otherwise(0L)).as("shorts"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("nonens"))
+
+  /** Second-level rollup of a [[domainLedger]] snapshot to per-source
+    * stats + the threshold keep rule. Dup membership is GLOBAL by
+    * hash (a text duplicated across sources marks every copy), so the
+    * total count per hash is rebuilt with one vocabulary-sized agg +
+    * equi-join before the per-source rollup. Shares are exact ppm.
+    */
+  def domainRollup(ledger: DataFrame): DataFrame = {
+    // renamed key on the totals branch: a plain self-join on "h" hits
+    // conflicting-attribute resolution when the ledger is a named view
+    // (e.g. the streaming memory-sink snapshot)
+    val totals = ledger.select(col("h").as("__th"), col("cnt"))
+      .groupBy("__th").agg(sum(col("cnt")).as("total"))
+    ledger.join(totals, col("h") === col("__th")).drop("__th")
+      .groupBy("source")
+      .agg(sum(col("cnt")).as("n_docs"),
+        sum(when(col("total") > 1, col("cnt")).otherwise(0L)).as("dup_docs"),
+        sum(col("shorts")).as("short_docs"),
+        sum(col("nonens")).as("nonen_docs"))
+      .withColumn("dup_ppm", expr("dup_docs * 1000000L div n_docs"))
+      .withColumn("short_ppm", expr("short_docs * 1000000L div n_docs"))
+      .withColumn("nonen_ppm", expr("nonen_docs * 1000000L div n_docs"))
+      .withColumn("keep",
+        col("dup_ppm") <= 300000L && col("short_ppm") <= 400000L &&
+          col("nonen_ppm") <= 600000L)
+  }
 }

@@ -62,27 +62,13 @@ object GovernanceQueries {
     //      integer ppm; `keep` is a pure threshold rule on them.
     //      Shapes: hash agg + equi-join + per-source agg — every stage
     //      keyed, map-combinable, skew-free (md5 keys). ----
-    "t_domain_stats" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
-          md5(col("text")).as("h"))
-      val counts = d.groupBy("h").agg(count(lit(1)).as("cnt"))
-      d.join(counts, "h")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("dup_docs"),
-          sum(when(col("n_chars") < 200, 1L).otherwise(0L)).as("short_docs"),
-          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("nonen_docs"))
-        .withColumn("dup_ppm",
-          expr("dup_docs * 1000000L div n_docs"))
-        .withColumn("short_ppm",
-          expr("short_docs * 1000000L div n_docs"))
-        .withColumn("nonen_ppm",
-          expr("nonen_docs * 1000000L div n_docs"))
-        .withColumn("keep",
-          col("dup_ppm") <= 300000L && col("short_ppm") <= 400000L &&
-            col("nonen_ppm") <= 600000L)
-    }),
+    // batch = rollup(ledger): the SAME two functions a streaming
+    // monitor composes (ledger as streaming groupBy state, rollup per
+    // micro-batch snapshot via foreachBatch) — StreamingSpec proves the
+    // stream path bit-equal to this query
+    "t_domain_stats" -> ((s, dir) =>
+      graft.operators.Quality.domainRollup(
+        graft.operators.Quality.domainLedger(t(s, dir, "documents")))),
 
     // ---- robust per-type outliers: median/MAD instead of mean/stddev
     //      (e_anomaly_zscore's moments are themselves dragged by the

@@ -860,4 +860,38 @@ class StreamingSpec extends SparkSpec {
     assert(!screened.queryExecution.analyzed.toString
       .toLowerCase.contains("statestore"))
   }
+
+  test("domain ledger: streamed snapshot rollup bit-equal to batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val rows = Tables.t(spark, dir, "documents")
+      .select($"doc_id", $"text", $"source", $"lang", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val ledger = graft.operators.Quality.domainLedger(
+      mem.toDF().toDF("doc_id", "text", "source", "lang", "n_chars"))
+    val q = ledger.writeStream.format("memory").queryName("dledger")
+      .outputMode("complete").start()
+    def rollupNow() = graft.operators.Quality
+      .domainRollup(spark.table("dledger")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getBoolean(8))).sortBy(_._1)
+    try {
+      mem.addData(rows.take(rows.length / 2).toSeq)
+      q.processAllAvailable()
+      // mid-stream the rollup is already well-formed (prefix semantics)
+      val mid = rollupNow()
+      assert(mid.map(_._2).sum == rows.length / 2)
+      mem.addData(rows.drop(rows.length / 2).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = SparkEntry.queries("t_domain_stats")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getBoolean(8))).sortBy(_._1)
+    assert(rollupNow().toSeq === want.toSeq)
+  }
 }
