@@ -97,6 +97,36 @@ object GovernanceQueries {
             .as("robust_z"))
     }),
 
+    // ---- one-row corpus datasheet ("datasets card"): the summary a
+    //      release ships alongside the data — sizes, source/lang
+    //      breadth, global dup membership, and the source-mix entropy
+    //      (how concentrated the corpus is). Three independent aggs
+    //      (full-corpus, hash-keyed dup, source-keyed entropy) cross-
+    //      joined as single rows; entropy uses the suite's round-4 ln
+    //      absorption and exact-decimal summation, emitted as e4
+    //      fixed-point — the whole row is integers. ----
+    "t_dataset_card" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val base = d.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(size(graft.functions.Text.tokens(col("text"))).cast("long"))
+          .as("n_tokens"))
+      val dup = d.groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("dup_docs"))
+      val ent = d.groupBy("source").agg(count(lit(1)).as("ns"))
+        .crossJoin(d.agg(count(lit(1)).as("nn")))
+        .agg(sum(col("ns").cast("decimal(18,0)") *
+          round(-log(col("ns").cast("double") / col("nn").cast("double")), 4)
+            .cast("decimal(18,4)")).as("sument"),
+          first(col("nn")).as("nn"))
+        .select(floor(col("sument").cast("double") / col("nn").cast("double")
+          * lit(10000.0)).as("src_entropy_e4"))
+      base.crossJoin(dup).crossJoin(ent)
+    }),
+
     // ---- CCNet-style perplexity partitioning: rank documents by the
     //      corpus bigram-LM avg NLL (t_perplexity's exact output,
     //      reused verbatim) and split into head/middle/tail thirds.
@@ -169,6 +199,28 @@ object GovernanceQueries {
         |  (e.value - st.med) / (1.4826 * st.mad) AS robust_z
         |FROM events e JOIN st USING (event_type)
         |WHERE st.mad > 0 AND abs(e.value - st.med) > 3 * 1.4826 * st.mad""".stripMargin,
+
+    "t_dataset_card" ->
+      """WITH base AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    COUNT(DISTINCT source) AS n_sources,
+        |    COUNT(DISTINCT lang) AS n_langs,
+        |    SUM(n_chars) AS n_chars,
+        |    SUM(len(string_split(text, ' '))) AS n_tokens
+        |  FROM documents),
+        |dup AS (
+        |  SELECT COALESCE(SUM(cnt), 0) AS dup_docs FROM (
+        |    SELECT COUNT(*) AS cnt FROM documents
+        |    GROUP BY md5(text) HAVING COUNT(*) > 1)),
+        |ent AS (
+        |  SELECT CAST(FLOOR(CAST(SUM(CAST(ns AS DECIMAL(18,0)) *
+        |      CAST(round(-ln(CAST(ns AS DOUBLE) / CAST(nn AS DOUBLE)), 4)
+        |        AS DECIMAL(18,4))) AS DOUBLE)
+        |    / CAST(ANY_VALUE(nn) AS DOUBLE) * 10000.0) AS BIGINT)
+        |    AS src_entropy_e4
+        |  FROM (SELECT source, COUNT(*) AS ns FROM documents GROUP BY source)
+        |  CROSS JOIN (SELECT COUNT(*) AS nn FROM documents))
+        |SELECT * FROM base CROSS JOIN dup CROSS JOIN ent""".stripMargin,
 
     "t_ppl_buckets" ->
       s"""WITH ppl AS (${TextQueries.oracleSql("t_perplexity")}),

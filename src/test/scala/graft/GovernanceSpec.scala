@@ -49,6 +49,22 @@ class GovernanceSpec extends SparkSpec {
     assert(out.forall(r => math.abs(r.getDouble(3)) > 3.0))
   }
 
+  test("t_dataset_card: one row, consistent counts, bounded entropy") {
+    val r = SparkEntry.queries("t_dataset_card")(spark, dir).collect() match {
+      case Array(only) => only
+      case rows => fail(s"expected 1 row, got ${rows.length}")
+    }
+    val (nDocs, nSources, dup) = (r.getLong(0), r.getLong(1), r.getLong(5))
+    assert(nDocs == Tables.t(spark, dir, "documents").count())
+    assert(nSources >= 1 && r.getLong(2) >= 1)
+    assert(r.getLong(3) > 0 && r.getLong(4) > 0) // chars, tokens
+    assert(dup >= 0 && dup <= nDocs && dup != 1,
+      "dup membership counts whole groups: can never be exactly 1")
+    val entE4 = r.getLong(6)
+    assert(entE4 >= 0 && entE4 <= math.ceil(math.log(nSources.toDouble) * 10000).toLong,
+      s"entropy $entE4 outside [0, ln(n_sources)*1e4]")
+  }
+
   test("t_ppl_buckets: three balanced buckets with ordered nll ranges") {
     val out = SparkEntry.queries("t_ppl_buckets")(spark, dir)
       .collect().sortBy(_.getInt(0))
