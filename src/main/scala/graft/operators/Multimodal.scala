@@ -554,58 +554,96 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Walk the RIFF tree and return the video chunks of the 'movi'
-    * list in stream order: (frame_idx, fourcc, payload). Uncompressed
-    * '00db' payloads are raw rasters; a '00dc' chunk is compressed —
-    * surfaced with its fourcc so the caller can route it to a codec
-    * (the honest stub seam). Odd-sized chunks consume a RIFF pad byte.
+  /** Generic strict RIFF walk: visits every chunk as
+    * (fourcc, payloadOff, size); descends into LISTs. Returns false —
+    * and the caller must DISCARD partial results — on any malformed
+    * chunk (negative or out-of-bounds size). All bound arithmetic runs
+    * in Long: a hostile size near Int.MaxValue must fail the bounds
+    * check, not wrap around it. Odd sizes consume a RIFF pad byte.
+    */
+  private def walkRiff(bytes: Array[Byte], off0: Int, end: Int)(
+      visit: (String, Int, Int) => Unit): Boolean = {
+    var off = off0
+    while (off + 8 <= end) {
+      val cc = fourcc(bytes, off)
+      val sz = le32(bytes, off + 4)
+      if (sz < 0 || off.toLong + 8L + sz > end) return false
+      if (cc == "LIST") {
+        if (!walkRiff(bytes, off + 12, off + 8 + sz)(visit)) return false
+      } else visit(cc, off + 8, sz)
+      val next = off.toLong + 8L + sz + (sz & 1)
+      if (next > end) return false
+      off = next.toInt
+    }
+    true
+  }
+
+  private def isAvi(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" &&
+      fourcc(bytes, 8) == "AVI "
+
+  /** Index of the FIRST 'vids' stream among the strl headers (AVI
+    * chunk ids are per-stream: stream N's video chunks are "NNdb" /
+    * "NNdc"), or None if no video stream / malformed. An AVI that
+    * lists audio first is routine — hardcoding stream 0 would demux
+    * the wrong chunks.
+    */
+  private[graft] def aviVideoStream(bytes: Array[Byte]): Option[Int] = {
+    if (!isAvi(bytes)) return None
+    var idx = -1
+    var vid: Option[Int] = None
+    val ok = walkRiff(bytes, 12, bytes.length) { (cc, off, sz) =>
+      if (cc == "strh" && sz >= 4) {
+        idx += 1
+        if (vid.isEmpty && fourcc(bytes, off) == "vids") vid = Some(idx)
+      }
+    }
+    if (ok) vid else None
+  }
+
+  /** Walk the RIFF tree and return the VIDEO-stream chunks of the
+    * 'movi' list in stream order: (frame_idx, kind, payload) with kind
+    * "db" (uncompressed raster) or "dc" (compressed — surfaced so the
+    * caller can route it to a codec; the honest stub seam). STRICT:
+    * any malformed chunk (bad size, truncation) discards the whole
+    * container — a partial prefix of frames must not masquerade as a
+    * complete decode.
     */
   private[graft] def demuxAvi(bytes: Array[Byte])
       : Seq[(Int, String, Array[Byte])] = {
-    if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
-        fourcc(bytes, 8) != "AVI ") return Seq.empty
+    val vidIdx = aviVideoStream(bytes) match {
+      case Some(i) => f"$i%02d"
+      case None => return Seq.empty
+    }
     val out = Seq.newBuilder[(Int, String, Array[Byte])]
     var frame = 0
-    def walk(off0: Int, end: Int): Unit = {
-      var off = off0
-      while (off + 8 <= end) {
-        val cc = fourcc(bytes, off)
-        val sz = le32(bytes, off + 4)
-        if (sz < 0 || off + 8 + sz > end) return // malformed: stop loudly-empty
-        if (cc == "LIST") walk(off + 12, off + 8 + sz)
-        else if (cc == "00db" || cc == "00dc") {
-          out += ((frame, cc,
-            java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + sz)))
-          frame += 1
-        }
-        off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+    val ok = walkRiff(bytes, 12, bytes.length) { (cc, off, sz) =>
+      if (cc.startsWith(vidIdx) && (cc.endsWith("db") || cc.endsWith("dc"))) {
+        out += ((frame, cc.substring(2),
+          java.util.Arrays.copyOfRange(bytes, off, off + sz)))
+        frame += 1
       }
     }
-    walk(12, bytes.length)
-    out.result()
+    if (ok) out.result() else Seq.empty
   }
 
-  /** Frame dimensions from the strf BITMAPINFOHEADER (first video
-    * stream). Returns (width, |height|, bitcount, compression). */
+  /** Frame dimensions from the strf BITMAPINFOHEADER of the first
+    * 'vids' stream (the strf FOLLOWING that stream's strh — an audio
+    * stream's strf is a WAVEFORMATEX and must not be misread as one).
+    * Returns (width, |height|, bitcount, compression). */
   private[graft] def aviDims(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (!isAvi(bytes)) return None
     var res: Option[(Int, Int, Int, Int)] = None
-    def walk(off0: Int, end: Int): Unit = {
-      var off = off0
-      while (off + 8 <= end && res.isEmpty) {
-        val cc = fourcc(bytes, off)
-        val sz = le32(bytes, off + 4)
-        if (sz < 0 || off + 8 + sz > end) return
-        if (cc == "LIST") walk(off + 12, off + 8 + sz)
-        else if (cc == "strf" && sz >= 24)
-          res = Some((le32(bytes, off + 12), math.abs(le32(bytes, off + 16)),
-            (bytes(off + 22) & 0xFF) | ((bytes(off + 23) & 0xFF) << 8),
-            le32(bytes, off + 24)))
-        off += 8 + sz + (sz & 1)
-      }
+    var lastStrhIsVids = false
+    val ok = walkRiff(bytes, 12, bytes.length) { (cc, off, sz) =>
+      if (cc == "strh" && sz >= 4)
+        lastStrhIsVids = fourcc(bytes, off) == "vids"
+      else if (cc == "strf" && sz >= 24 && lastStrhIsVids && res.isEmpty)
+        res = Some((le32(bytes, off + 4), math.abs(le32(bytes, off + 8)),
+          (bytes(off + 14) & 0xFF) | ((bytes(off + 15) & 0xFF) << 8),
+          le32(bytes, off + 16)))
     }
-    if (bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" &&
-        fourcc(bytes, 8) == "AVI ") walk(12, bytes.length)
-    res
+    if (ok) res else None
   }
 
   final case class AviFrame(id: Long, frame_idx: Int, w: Option[Int],
@@ -613,26 +651,32 @@ object Multimodal {
 
   /** Per-frame exact component sums of every uncompressed frame in an
     * AVI payload column — demux + raw decode per partition. A
-    * compressed ('00dc') frame yields NULL stats (codec seam), never
-    * a crash; a malformed container yields zero rows for that id.
+    * compressed ('dc') frame yields NULL stats (codec seam); a
+    * malformed, truncated, or null container yields ZERO rows for
+    * that id (strict: a partial prefix of frames never masquerades as
+    * a complete decode); and — like every decoder in this module —
+    * the per-record body is a catch-all seam, so one hostile payload
+    * can never fail the task.
     */
   def aviFrameStats(df: DataFrame): Dataset[AviFrame] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("id"), col("content")).as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        val dims = aviDims(bytes)
-        demuxAvi(bytes).map { case (f, cc, payload) =>
-          dims match {
-            case Some((w, h, 24, 0)) if cc == "00db" &&
-                payload.length == w * h * 3 =>
-              var s = 0L
-              var i = 0
-              while (i < payload.length) { s += (payload(i) & 0xFF); i += 1 }
-              AviFrame(id, f, Some(w), Some(h), Some(s))
-            case _ => AviFrame(id, f, None, None, None)
+        try {
+          val dims = aviDims(bytes)
+          demuxAvi(bytes).map { case (f, kind, payload) =>
+            dims match {
+              case Some((w, h, 24, 0)) if kind == "db" &&
+                  payload.length == w * h * 3 =>
+                var s = 0L
+                var i = 0
+                while (i < payload.length) { s += (payload(i) & 0xFF); i += 1 }
+                AviFrame(id, f, Some(w), Some(h), Some(s))
+              case _ => AviFrame(id, f, None, None, None)
+            }
           }
-        }
+        } catch { case _: Exception => Seq.empty }
       })
   }
 }

@@ -78,6 +78,24 @@ object Quality {
         .as(Seq("metric", "value")))
   }
 
+  /** Per-key robust location/scale: (keyCol, med, mad) via exact
+    * interpolating percentiles — median of the values, then median of
+    * absolute deviations. The single source of the fit used by BOTH
+    * the batch outlier query (joined back distributed) and the
+    * streaming screen (collected to plan literals) — one formula, so
+    * a fit change cannot silently diverge the batch/stream parity.
+    * At 100 TB swap `percentile` for `approx_percentile` HERE and
+    * both paths follow.
+    */
+  def robustStats(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val med = df.groupBy(keyCol)
+      .agg(expr(s"percentile($valCol, 0.5d)").as("med"))
+    df.join(broadcast(med), keyCol)
+      .groupBy(keyCol)
+      .agg(first(col("med")).as("med"),
+        expr(s"percentile(abs($valCol - med), 0.5d)").as("mad"))
+  }
+
   // ---- per-source governance rollup (batch + streaming-safe split) ----
 
   /** First-level domain ledger: one row per (content hash, source) with

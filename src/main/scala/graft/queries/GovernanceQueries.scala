@@ -83,12 +83,7 @@ object GovernanceQueries {
     "e_mad_outliers" -> ((s, dir) => {
       val e = t(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("value"))
-      val med = e.groupBy("event_type")
-        .agg(expr("percentile(value, 0.5d)").as("med"))
-      val stats = e.join(broadcast(med), "event_type")
-        .groupBy("event_type")
-        .agg(first(col("med")).as("med"),
-          expr("percentile(abs(value - med), 0.5d)").as("mad"))
+      val stats = graft.operators.Quality.robustStats(e, "event_type", "value")
       e.join(broadcast(stats), "event_type")
         .filter(col("mad") > 0.0 &&
           abs(col("value") - col("med")) > lit(3.0) * lit(1.4826) * col("mad"))

@@ -277,7 +277,7 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.aviDims(avi) === Some((8, 6, 24, 0)))
     val frames = Multimodal.demuxAvi(avi)
     assert(frames.map(_._1) == Seq(0, 1, 2))
-    assert(frames.forall { case (_, cc, p) => cc == "00db" && p.length == 144 })
+    assert(frames.forall { case (_, kind, p) => kind == "db" && p.length == 144 })
     // every frame's byte sum equals the closed-form generating sum
     frames.foreach { case (f, _, payload) =>
       val want = 3L * (0 until 48)
@@ -315,7 +315,68 @@ class MultimodalSpec extends SparkSpec {
     // malformed container -> zero rows, never a crash
     assert(Multimodal.demuxAvi("not a riff file".getBytes).isEmpty)
     assert(Multimodal.demuxAvi(Array.empty[Byte]).isEmpty)
-    // truncated mid-chunk -> the walker stops instead of overreading
-    assert(Multimodal.demuxAvi(avi.take(avi.length - 50)).size <= 1)
+    // truncated mid-chunk -> STRICT: the whole container is discarded,
+    // a partial prefix of frames must not look like a complete decode
+    assert(Multimodal.demuxAvi(avi.take(avi.length - 50)).isEmpty)
+    // hostile declared size near Int.MaxValue: the Long bounds check
+    // must reject it (Int arithmetic would wrap and pass) — and the
+    // stats path must yield zero rows, not a crash
+    val hostile = Multimodal.renderAviRaw(1L, 8, 6, 1)
+    // first chunk after 'AVI ' is 'LIST'; poison its size field
+    hostile(16) = 0xF0.toByte; hostile(17) = 0xFF.toByte
+    hostile(18) = 0xFF.toByte; hostile(19) = 0x7F.toByte
+    assert(Multimodal.demuxAvi(hostile).isEmpty)
+    val survived = Multimodal.aviFrameStats(
+      Seq((1L, hostile), (2L, null.asInstanceOf[Array[Byte]]),
+        (3L, Multimodal.renderAviRaw(3L, 8, 6, 1)))
+        .toDF("id", "content")).collect()
+    assert(survived.map(_.id).toSeq == Seq(3L),
+      "hostile + null payloads must vanish, valid ones must survive")
+  }
+
+  test("AVI demux: audio-first multi-stream container routes to the vids stream") {
+    def chunk(cc: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length + (payload.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(cc.getBytes("US-ASCII")); b.putInt(payload.length); b.put(payload)
+      b.array()
+    }
+    def list(tag: String, children: Array[Byte]*): Array[Byte] = {
+      val body = children.foldLeft(Array.empty[Byte])(_ ++ _)
+      val b = java.nio.ByteBuffer.allocate(12 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("LIST".getBytes("US-ASCII")); b.putInt(4 + body.length)
+      b.put(tag.getBytes("US-ASCII")); b.put(body)
+      b.array()
+    }
+    def strh(typ: String): Array[Byte] =
+      typ.getBytes("US-ASCII") ++ new Array[Byte](52)
+    // a WAVEFORMATEX-ish strf whose leading ints would parse as
+    // absurd dims if misread as a BITMAPINFOHEADER
+    val audioStrf = Array.tabulate[Byte](18)(i => (0xEE - i).toByte)
+    val videoStrf = {
+      val b = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40); b.putInt(8); b.putInt(6) // biSize, w, h
+      b.putShort(1); b.putShort(24); b.putInt(0) // planes, bpp, BI_RGB
+      b.putInt(144); b.array()
+    }
+    val frame = Array.tabulate[Byte](144)(i => (i % 256).toByte)
+    val body = list("hdrl",
+        list("strl", chunk("strh", strh("auds")), chunk("strf", audioStrf)),
+        list("strl", chunk("strh", strh("vids")), chunk("strf", videoStrf))) ++
+      list("movi", chunk("00wb", Array.fill[Byte](32)(0x55)),
+        chunk("01db", frame))
+    val avi = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put("AVI ".getBytes("US-ASCII")).put(body).array()
+    assert(Multimodal.aviVideoStream(avi) === Some(1))
+    // dims come from the VIDS strf, not the audio one listed first
+    assert(Multimodal.aviDims(avi) === Some((8, 6, 24, 0)))
+    // demux follows stream 1's '01db' chunks; the audio '00wb' is skipped
+    val frames = Multimodal.demuxAvi(avi)
+    assert(frames.map(f => (f._1, f._2)) == Seq((0, "db")))
+    assert(frames.head._3.toSeq == frame.toSeq)
   }
 }

@@ -825,15 +825,11 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
-    // fit the robust stats offline exactly as the batch query does
+    // fit via the SAME shared operator the batch query uses — a fit
+    // formula change flows to both paths, keeping this parity honest
     val e = Tables.t(spark, dir, "events")
       .select($"event_id", $"event_type", $"value")
-    val med = e.groupBy("event_type")
-      .agg(expr("percentile(value, 0.5d)").as("med"))
-    val stats = e.join(broadcast(med), "event_type")
-      .groupBy("event_type")
-      .agg(first($"med").as("med"),
-        expr("percentile(abs(value - med), 0.5d)").as("mad"))
+    val stats = graft.operators.Quality.robustStats(e, "event_type", "value")
       .collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val want = SparkEntry.queries("e_mad_outliers")(spark, dir)
