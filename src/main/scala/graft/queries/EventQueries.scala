@@ -92,24 +92,11 @@ object EventQueries {
     //      within 24h → purchase within 24h of the click. Stage minima
     //      computed in dependency order (three cheap per-user
     //      aggregations, no window over the raw stream) ----
+    // stage assignment shared with the streaming state machine
+    // (operators/Funnel.stages; EventStreams.funnelStream is pinned
+    // bit-equal per user in StreamingSpec)
     "e_funnel" -> ((s, dir) => {
-      val ev = t(s, dir, "events").localCheckpoint(false)
-      val su = ev.filter(col("event_type") === "signup")
-        .groupBy("user_id").agg(min(col("ts")).as("s_ts"))
-      val cl = ev.filter(col("event_type") === "click")
-        .join(su, "user_id")
-        .filter(col("ts") > col("s_ts") &&
-          col("ts") <= col("s_ts") + expr("INTERVAL 24 HOURS"))
-        .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
-      val pu = ev.filter(col("event_type") === "purchase")
-        .join(cl, "user_id")
-        .filter(col("ts") > col("c_ts") &&
-          col("ts") <= col("c_ts") + expr("INTERVAL 24 HOURS"))
-        .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
-      su.join(cl.select(col("user_id"), lit(1).as("has_c")), Seq("user_id"), "left")
-        .join(pu.select(col("user_id"), lit(1).as("has_p")), Seq("user_id"), "left")
-        .select(when(col("has_p").isNotNull, 3)
-          .when(col("has_c").isNotNull, 2).otherwise(1).as("stage"))
+      graft.operators.Funnel.stages(t(s, dir, "events").localCheckpoint(false))
         .groupBy("stage").agg(count(lit(1)).as("n_users"))
     }),
 

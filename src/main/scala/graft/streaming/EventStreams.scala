@@ -426,6 +426,69 @@ object EventStreams {
       }
   }
 
+  final case class FunnelState(sUs: Long, cUs: Long, pUs: Long,
+                               emitted: Int)
+  final case class FunnelOut(user_id: Long, stage: Int)
+
+  /** Streaming twin of the batch funnel
+    * ([[graft.operators.Funnel.stages]]): per-user state machine over
+    * (signup → click → purchase) with the same greedy
+    * first-qualifying-event rule — each step must land strictly after
+    * the previous step's recorded event and within the horizon of it.
+    * With per-user in-order delivery (disorder *within* a micro-batch
+    * is re-sorted by (ts, event_id); the same cross-batch prefix
+    * contract as [[emaStream]]), the first qualifying event the
+    * machine sees IS the batch min, so final per-user stages are
+    * bit-equal to the batch operator — StreamingSpec pins it.
+    *
+    * State per user is three timestamps + the last emitted stage (one
+    * small fixed record, no history); Update mode emits (user, stage)
+    * only when the stage advances, so output volume is at most
+    * 3 rows/user over the stream's lifetime. Comparisons run in
+    * MICROSECONDS (Spark's timestamp precision) — millis would merge
+    * distinct event times and diverge from batch.
+    */
+  def funnelStream(events: Dataset[Ev],
+                   horizonSeconds: Long = 86400): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    val horizonUs = horizonSeconds * 1000000L
+    def micros(ts: Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, 0))
+          sorted.foreach { e =>
+            val us = micros(e.ts)
+            e.event_type match {
+              case "signup" if st.sUs < 0 =>
+                st = st.copy(sUs = us)
+              case "click" if st.sUs >= 0 && st.cUs < 0 &&
+                  us > st.sUs && us <= st.sUs + horizonUs =>
+                st = st.copy(cUs = us)
+              case "purchase" if st.cUs >= 0 && st.pUs < 0 &&
+                  us > st.cUs && us <= st.cUs + horizonUs =>
+                st = st.copy(pUs = us)
+              case _ => ()
+            }
+          }
+          val stage =
+            if (st.pUs >= 0) 3 else if (st.cUs >= 0) 2
+            else if (st.sUs >= 0) 1 else 0
+          if (stage > st.emitted) {
+            state.update(st.copy(emitted = stage))
+            Iterator(FunnelOut(userId, stage))
+          } else {
+            if (st != state.getOption.getOrElse(
+                FunnelState(-1L, -1L, -1L, 0))) state.update(st)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming twin of the batch `e_mad_outliers` screen: the robust
     * per-type statistics (median, MAD) are fitted OFFLINE on a batch
     * corpus (small model — |event_types| rows — to the driver, the

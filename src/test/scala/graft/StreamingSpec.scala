@@ -857,6 +857,43 @@ class StreamingSpec extends SparkSpec {
       .toLowerCase.contains("statestore"))
   }
 
+  test("funnel stream: final per-user stages bit-equal to the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val evs = Tables.t(spark, dir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Ev].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id)) // ordered delivery contract
+    val want = graft.operators.Funnel.stages(
+      Tables.t(spark, dir, "events"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val mem = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.funnelStream(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    try {
+      mem.addData(evs.take(evs.length / 2).toSeq)
+      q.processAllAvailable()
+      mem.addData(evs.drop(evs.length / 2).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql("SELECT user_id, stage FROM funnel_stream")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    // update mode appends each advance: stages per user must be strictly
+    // increasing, and the LAST one is the final stage
+    val byUser = rows.zipWithIndex.groupBy(_._1._1)
+    byUser.foreach { case (u, es) =>
+      val seq = es.sortBy(_._2).map(_._1._2).toSeq
+      assert(seq == seq.sorted && seq.distinct == seq,
+        s"user $u emitted non-advancing stages $seq")
+    }
+    val got = byUser.map { case (u, es) => u -> es.maxBy(_._2)._1._2 }
+    assert(got === want)
+    // a user the batch operator knows (signed up) is never missing
+    assert(got.keySet === want.keySet)
+  }
+
   test("domain ledger: streamed snapshot rollup bit-equal to batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
