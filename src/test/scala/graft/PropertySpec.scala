@@ -362,4 +362,65 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("AVI render->demux round-trips frames and sums on random shapes") {
+    import graft.operators.Multimodal
+    val shape = for {
+      id <- Gen.chooseNum(0L, 1000000L)
+      w <- Gen.oneOf(4, 8, 12, 16) // w*3 DWORD-aligned -> no row padding
+      h <- Gen.chooseNum(1, 12)
+      n <- Gen.chooseNum(1, 5)
+    } yield (id, w, h, n)
+    (1L to 20L).foreach { s =>
+      val (id, w, h, n) = sample(shape, 800 + s)
+      val avi = Multimodal.renderAviRaw(id, w, h, n)
+      assert(Multimodal.aviDims(avi) === Some((w, h, 24, 0)))
+      val frames = Multimodal.demuxAvi(avi)
+      assert(frames.map(_._1) == (0 until n).toSeq)
+      frames.foreach { case (f, kind, payload) =>
+        assert(kind == "db" && payload.length == w * h * 3)
+        val want = 3L * (0 until w * h)
+          .map(p => ((id * 31 + f * 7 + p) % 256 + 256) % 256).sum
+        assert(payload.map(b => (b & 0xFF).toLong).sum == want,
+          s"id=$id w=$w h=$h frame=$f")
+      }
+    }
+  }
+
+  test("funnel stages == greedy first-qualifying fold on random event logs") {
+    import spark.implicits._
+    val horizonUs = 86400L * 1000000L
+    val ev = for {
+      user <- Gen.chooseNum(0L, 5L)
+      // spread beyond the 24h horizon so the window clause really bites
+      us <- Gen.chooseNum(0L, 3L * horizonUs)
+      typ <- Gen.oneOf("signup", "click", "purchase", "view")
+    } yield (user, us, typ)
+    def refStages(events: Seq[(Long, Long, String)]): Map[Long, Int] =
+      events.groupBy(_._1).flatMap { case (u, es) =>
+        var (sUs, cUs, pUs) = (-1L, -1L, -1L)
+        es.sortBy(_._2).foreach { case (_, us, typ) =>
+          typ match {
+            case "signup" if sUs < 0 => sUs = us
+            case "click" if sUs >= 0 && cUs < 0 &&
+                us > sUs && us <= sUs + horizonUs => cUs = us
+            case "purchase" if cUs >= 0 && pUs < 0 &&
+                us > cUs && us <= cUs + horizonUs => pUs = us
+            case _ => ()
+          }
+        }
+        if (sUs < 0) None
+        else Some(u -> (if (pUs >= 0) 3 else if (cUs >= 0) 2 else 1))
+      }
+    (1L to 10L).foreach { s =>
+      val events = sample(Gen.listOfN(60, ev), 900 + s)
+      val df = events.zipWithIndex
+        .map { case ((u, us, typ), i) => (i.toLong, us, u, typ) }
+        .toDF("event_id", "us", "user_id", "event_type")
+        .withColumn("ts", expr("timestamp_micros(us)"))
+      val got = graft.operators.Funnel.stages(df)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === refStages(events), s"seed ${900 + s}")
+    }
+  }
 }
