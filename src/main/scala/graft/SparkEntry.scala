@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{ChatQueries, ClusterQueries, CurationQueries, DedupQueries, EventQueries, FileOps, GovernanceQueries, GraphQueries, MiningQueries, MultimodalQueries, QualityQueries, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, SimilarityQueries, TextQueries}
+import graft.queries.{ChatQueries, ClusterQueries, CurationQueries, DedupQueries, EventQueries, FileOps, GovernanceQueries, GraphQueries, MiningQueries, MultimodalQueries, QualityQueries, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, SearchQueries, SimilarityQueries, SketchQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,7 +31,9 @@ object SparkEntry {
     (MiningQueries.queries, MiningQueries.oracleSql),
     (ClusterQueries.queries, ClusterQueries.oracleSql),
     (ChatQueries.queries, ChatQueries.oracleSql),
-    (GovernanceQueries.queries, GovernanceQueries.oracleSql)
+    (GovernanceQueries.queries, GovernanceQueries.oracleSql),
+    (SketchQueries.queries, SketchQueries.oracleSql),
+    (SearchQueries.queries, SearchQueries.oracleSql)
   )
 
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */

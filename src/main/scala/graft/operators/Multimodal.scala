@@ -386,6 +386,50 @@ object Multimodal {
                               sample_sum: Option[Long],
                               sample_rate: Option[Int])
 
+  final case class AudioSamples(id: Long, samples: Option[Seq[Int]])
+
+  /** Full decoded PCM sample vector (16-bit signed mono only, like
+    * [[decodeAudio]]): the input surface for sample-level DSP
+    * (spectrogram frames). Anything undecodable yields None — classify,
+    * never throw.
+    */
+  private[graft] def decodeSamples(id: Long, content: Array[Byte])
+      : AudioSamples =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        AudioSamples(id, None)
+      else {
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) =
+            if (fmt.isBigEndian)
+              (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xFF)
+            else
+              (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xFF)
+          i += 1
+        }
+        AudioSamples(id, Some(out.toSeq))
+      }
+    } catch { case _: Exception => AudioSamples(id, None) }
+
+  /** Per-payload decoded samples: per-partition decoder over binary
+    * batches; the DSP downstream stays pure column algebra.
+    */
+  def audioSamples(df: DataFrame): Dataset[AudioSamples] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeSamples(id, bytes) })
+  }
+
   /** Deterministic 16-bit signed PCM mono WAV rendered through the
     * REAL encoder (`AudioSystem.write`, WAVE container): the generate
     * side of the audio round-trip gate. `id % 50 + 10` samples at

@@ -92,6 +92,74 @@ object GovernanceQueries {
             .as("robust_z"))
     }),
 
+    // ---- right-to-erasure audit: given a deterministic tombstone set
+    //      (customers with negative balance — the stand-in for a
+    //      deletion request list), measure the full blast radius of the
+    //      purge across the referential chain (customer → orders →
+    //      lineitem) AND prove the post-purge state has no orphans.
+    //      Shapes: the tombstone key set is small → every propagation
+    //      is a broadcast semi-join on the child's foreign key, and the
+    //      orphan checks are broadcast anti-join COUNTs — the fact
+    //      tables stream map-side, nothing corpus-sized shuffles. At
+    //      100 TB the tombstone broadcast becomes a bloom-filter
+    //      semi-join (o9_bloom_semi's operator) with identical algebra. ----
+    "q_erasure_audit" -> ((s, dir) => {
+      val tomb = t(s, dir, "customer").filter(col("c_acctbal") < 0)
+        .select(col("c_custkey")).localCheckpoint(false)
+      val deadOrders = t(s, dir, "orders")
+        .join(broadcast(tomb), col("o_custkey") === col("c_custkey"),
+          "left_semi")
+        .select(col("o_orderkey")).localCheckpoint(false)
+      val nCust = tomb.agg(count(lit(1)).as("n_customers_purged"))
+      val nOrd = deadOrders.agg(count(lit(1)).as("n_orders_purged"))
+      val nLi = t(s, dir, "lineitem")
+        .join(broadcast(deadOrders), col("l_orderkey") === col("o_orderkey"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_lineitems_purged"))
+      // post-purge orphan proof, through an INDEPENDENT path: join the
+      // kept rows back to the BASE tables and re-evaluate the erasure
+      // predicate there (not against the tombstone frame the purge
+      // used) — a purge that dropped the wrong rows shows up as a
+      // nonzero count here, where an anti∘semi self-composition would
+      // be vacuously zero
+      val orphanOrd = t(s, dir, "orders")
+        .join(broadcast(tomb), col("o_custkey") === col("c_custkey"),
+          "left_anti")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_acctbal") < 0)
+        .agg(count(lit(1)).as("orphan_orders"))
+      val orphanLi = t(s, dir, "lineitem")
+        .join(broadcast(deadOrders), col("l_orderkey") === col("o_orderkey"),
+          "left_anti")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_acctbal") < 0)
+        .agg(count(lit(1)).as("orphan_lineitems"))
+      nCust.crossJoin(nOrd).crossJoin(nLi).crossJoin(orphanOrd)
+        .crossJoin(orphanLi)
+    }),
+
+    // ---- l-diversity on top of q_k_anonymity's level-0 release: a
+    //      k-anonymous group is still unsafe if everyone in it shares
+    //      the same sensitive value. Sensitive attribute = balance
+    //      band (debt / low / high); groups must carry >= l = 2
+    //      distinct bands. Shapes: one corpus groupBy carrying both
+    //      the count and the distinct-band count (map-combinable
+    //      count + countDistinct expand), zero joins. ----
+    "q_l_diversity" -> ((s, dir) => {
+      val l = 2
+      val band = when(col("c_acctbal") < 0, "debt")
+        .when(col("c_acctbal") < 5000, "low").otherwise("high")
+      t(s, dir, "customer")
+        .select(col("c_nationkey").cast("string").as("nat"),
+          col("c_mktsegment").as("seg"), band.as("band"))
+        .groupBy("nat", "seg")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("band")).as("l_distinct"))
+        .filter(col("n") >= 10)
+        .withColumn("diverse", col("l_distinct") >= l)
+    }),
+
     // ---- one-row corpus datasheet ("datasets card"): the summary a
     //      release ships alongside the data — sizes, source/lang
     //      breadth, global dup membership, and the source-mix entropy
@@ -194,6 +262,34 @@ object GovernanceQueries {
         |  (e.value - st.med) / (1.4826 * st.mad) AS robust_z
         |FROM events e JOIN st USING (event_type)
         |WHERE st.mad > 0 AND abs(e.value - st.med) > 3 * 1.4826 * st.mad""".stripMargin,
+
+    "q_erasure_audit" ->
+      """WITH tomb AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0),
+        |dead_o AS (SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM tomb)),
+        |a AS (SELECT COUNT(*) AS n_customers_purged FROM tomb),
+        |b AS (SELECT COUNT(*) AS n_orders_purged FROM dead_o),
+        |c AS (SELECT COUNT(*) AS n_lineitems_purged FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM dead_o)),
+        |d AS (SELECT COUNT(*) AS orphan_orders FROM orders o
+        |  JOIN customer cu ON o.o_custkey = cu.c_custkey
+        |  WHERE o.o_custkey NOT IN (SELECT c_custkey FROM tomb)
+        |    AND cu.c_acctbal < 0),
+        |e AS (SELECT COUNT(*) AS orphan_lineitems FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer cu ON o.o_custkey = cu.c_custkey
+        |  WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM dead_o)
+        |    AND cu.c_acctbal < 0)
+        |SELECT * FROM a CROSS JOIN b CROSS JOIN c CROSS JOIN d CROSS JOIN e""".stripMargin,
+
+    "q_l_diversity" ->
+      """SELECT CAST(c_nationkey AS VARCHAR) AS nat, c_mktsegment AS seg,
+        |  COUNT(*) AS n,
+        |  COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'debt'
+        |    WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END) AS l_distinct,
+        |  COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'debt'
+        |    WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END) >= 2 AS diverse
+        |FROM customer GROUP BY 1, 2 HAVING COUNT(*) >= 10""".stripMargin,
 
     "t_dataset_card" ->
       """WITH base AS (

@@ -168,6 +168,40 @@ object MultimodalQueries {
         .select("id", "n_samples", "sample_sum", "sample_rate")
     }),
 
+    // ---- fixed-point spectrogram over REAL decoded PCM: 8-point DFT
+    //      per non-overlapping frame, bins 1..3, with an e3 integer
+    //      trig table (cos/sin·1000) shared verbatim with the oracle —
+    //      every output is exact BIGINT arithmetic, no libm on either
+    //      engine. The WAV bytes are rendered through the real encoder
+    //      and decoded through the real javax.sound reader; the oracle
+    //      replays the closed-form sample generator in list algebra.
+    //      Shapes: per-partition decode, then pure map-side column
+    //      algebra (explode frames × bins, aggregate() dot products) —
+    //      zero shuffles before the driver collects nothing. ----
+    "m_spectrogram" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.renderWav(id))))
+        .toDF("id", "content")
+      val cosT = "array(1000, 707, 0, -707, -1000, -707, 0, 707)"
+      val sinT = "array(0, 707, 1000, 707, 0, -707, -1000, -707)"
+      def dot(tab: String) =
+        "aggregate(sequence(0, 7), cast(0 as bigint), (acc, n) -> " +
+          "acc + cast(element_at(samples, f * 8 + n + 1) as bigint) * " +
+          s"element_at($tab, int((k * n) % 8) + 1))"
+      Multimodal.audioSamples(wavs).toDF()
+        .filter(col("samples").isNotNull && size(col("samples")) >= 8)
+        .select(col("id").as("doc_id"), col("samples"),
+          explode(expr("sequence(0, int(size(samples) div 8) - 1)")).as("f"))
+        .select(col("doc_id"), col("samples"), col("f"),
+          explode(expr("array(1, 2, 3)")).as("k"))
+        .select(col("doc_id"), col("f").cast("long").as("frame"),
+          col("k").as("bin"),
+          expr(dot(cosT)).as("x_e3"), expr(dot(sinT)).as("y_e3"))
+        .withColumn("p_e6",
+          col("x_e3") * col("x_e3") + col("y_e3") * col("y_e3"))
+    }),
+
     // ---- REAL WAV header parsing: build canonical RIFF/fmt headers
     //      with rate/channels derived from doc_id (little-endian words
     //      byte-swapped at build time), read them back through the
@@ -473,6 +507,31 @@ object MultimodalQueries {
         |  AS sample_sum,
         | 8000 AS sample_rate
         |FROM documents""".stripMargin,
+
+    "m_spectrogram" ->
+      """WITH pcm AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, doc_id % 50 + 10),
+        |      i -> (doc_id * 31 + i * 17) % 65536 - 32768) AS s
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, s, unnest(range(0, len(s) // 8)) AS f
+        |  FROM pcm WHERE len(s) >= 8),
+        |fb AS (SELECT doc_id, s, f, unnest([1, 2, 3]) AS k FROM fr),
+        |xy AS (
+        |  SELECT doc_id, f, k,
+        |    CAST(list_sum(list_transform(range(0, 8), n ->
+        |      CAST(s[CAST(f * 8 + n + 1 AS INT)] AS BIGINT) *
+        |      ([1000, 707, 0, -707, -1000, -707, 0, 707])[CAST((k * n) % 8 + 1 AS INT)]))
+        |      AS BIGINT) AS x_e3,
+        |    CAST(list_sum(list_transform(range(0, 8), n ->
+        |      CAST(s[CAST(f * 8 + n + 1 AS INT)] AS BIGINT) *
+        |      ([0, 707, 1000, 707, 0, -707, -1000, -707])[CAST((k * n) % 8 + 1 AS INT)]))
+        |      AS BIGINT) AS y_e3
+        |  FROM fb)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame, CAST(k AS INT) AS bin,
+        |  x_e3, y_e3, x_e3 * x_e3 + y_e3 * y_e3 AS p_e6
+        |FROM xy""".stripMargin,
 
     "m_mp4_meta" ->
       """SELECT doc_id,

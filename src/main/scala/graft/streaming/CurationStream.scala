@@ -69,4 +69,21 @@ object CurationStream {
         .cast("decimal(20,0)").as("h"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("h")).cast("decimal(38,0)").cast("string").as("digest"))
+
+  /** Live KMV distinct-count sketch per group (complete mode): the
+    * SAME bounded [[graft.operators.Kmv.BottomKAgg]] the batch query
+    * uses, applied to a streaming groupBy — the state store holds ≤ k
+    * longs per group, and because the sketch is a total function of
+    * the value SET (order- and batch-boundary-invariant), the stream's
+    * final answer is bit-equal to the batch sketch over the same rows.
+    * This is the "how many distinct documents have we ingested" counter
+    * a 100 TB pipeline keeps without ever storing the distinct set.
+    */
+  def kmvStream(docs: DataFrame, groupCol: String, valueCol: String,
+                k: Int): DataFrame = {
+    val sk = graft.operators.Kmv.sketch(docs, col(groupCol), col(valueCol), k)
+    sk.select(col("g"), size(col("kept")).cast("long").as("n_kept"),
+      element_at(col("kept"), size(col("kept"))).as("kth_hash"),
+      graft.operators.Kmv.estimate(col("kept"), k).as("est_distinct"))
+  }
 }

@@ -65,6 +65,31 @@ class GovernanceSpec extends SparkSpec {
       s"entropy $entE4 outside [0, ln(n_sources)*1e4]")
   }
 
+  test("q_erasure_audit: counts reconcile and the purge leaves no orphans") {
+    val r = SparkEntry.queries("q_erasure_audit")(spark, dir).head()
+    val (nc, no, nl) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nc > 0, "fixture has negative-balance customers")
+    assert(no >= 0 && nl >= 0) // some fixture orders are childless,
+    // so no lineitems >= orders relation holds
+    assert(r.getLong(3) == 0 && r.getLong(4) == 0,
+      "independent re-derivation must find zero orphans")
+    // blast radius is a subset of each table
+    assert(nc <= Tables.t(spark, dir, "customer").count())
+    assert(no <= Tables.t(spark, dir, "orders").count())
+  }
+
+  test("q_l_diversity: groups are the k-anonymous level-0 release") {
+    // sf0.001's customer table has no group of 10 — use sf0.01, where
+    // the release is non-degenerate
+    val ld = SparkEntry.queries("q_l_diversity")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(ld.nonEmpty)
+    assert(ld.forall(_.getLong(2) >= 10), "only groups of n >= k emitted")
+    assert(ld.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 3),
+      "band cardinality in [1, 3]")
+    assert(ld.forall(r => r.getBoolean(4) == (r.getLong(3) >= 2)))
+  }
+
   test("t_ppl_buckets: three balanced buckets with ordered nll ranges") {
     val out = SparkEntry.queries("t_ppl_buckets")(spark, dir)
       .collect().sortBy(_.getInt(0))

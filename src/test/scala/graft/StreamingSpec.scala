@@ -821,6 +821,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV sketch equals batch sketch after every prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def batch(rows: Seq[(String, String)]) =
+      graft.streaming.CurationStream.kmvStream(
+        rows.toDF("source", "text"), "source", "text", 8)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    val mem = MemoryStream[(String, String)]
+    val sk = graft.streaming.CurationStream.kmvStream(
+      mem.toDF().toDF("source", "text"), "source", "text", 8)
+    val q = sk.writeStream.format("memory").queryName("kmvs")
+      .outputMode("complete").start()
+    def current() = spark.sql("SELECT * FROM kmvs").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    try {
+      mem.addData(docs.take(100).toSeq)
+      q.processAllAvailable()
+      assert(current() == batch(docs.take(100).toSeq))
+      mem.addData(docs.drop(100).toSeq)
+      q.processAllAvailable()
+      assert(current() == batch(docs.toSeq))
+    } finally q.stop()
+  }
+
   test("mad screen: stream outliers bit-equal to the batch query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
