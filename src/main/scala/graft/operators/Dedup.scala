@@ -557,4 +557,52 @@ object Dedup {
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
           .as("n_removed"))
   }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS): hash
+    * every k-gram, slide a w-window over the hash sequence, keep each
+    * window's MINIMUM — any shared substring of ≥ w+k−1 tokens is
+    * guaranteed to contribute at least one common fingerprint, at
+    * ~2/(w+1) the density of the full k-gram set.
+    *
+    * Tie-rule note: classic winnowing breaks min TIES by rightmost
+    * position, but ties only decide which POSITION is recorded — the
+    * selected hash VALUE is the window minimum either way. Since
+    * cross-doc matching joins on values (positions are localization
+    * metadata), the value set is `distinct(window-min)` and the tie
+    * rule drops out of the algebra entirely — which is what makes this
+    * exactly portable to an external SQL oracle.
+    *
+    * Pure map-side column algebra (no shuffle, no UDF): the 52-bit
+    * k-gram hash keeps every comparison exact in any engine.
+    */
+  def winnowFingerprints(tokensCol: Column, k: Int, w: Int): Column = {
+    require(k >= 1 && w >= 1, s"k=$k, w=$w must be >= 1")
+    val hs = transform(Text.shingles(tokensCol, k), g => Kmv.hash52(g))
+    when(size(hs) < w, array().cast("array<bigint>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(hs) - w),
+        i => array_min(slice(hs, i + 1, lit(w))))))
+  }
+
+  /** Cross-doc winnowing pairs: explode fingerprints, cap document
+    * frequency (df in [2, dfCap] — singletons can't pair, stop-
+    * fingerprints from boilerplate would fan out k² candidates), then
+    * equi-join on the fingerprint value. Same blocking-key shape as
+    * [[jaccardPairs]]; the fingerprint set is ~2/(w+1) sparser than
+    * the shingle set, which is the point at 100 TB.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, tokensCol: Column,
+                  k: Int, w: Int, dfCap: Int, minShared: Int): DataFrame = {
+    val fps = df
+      .select(col(idCol).as("doc_id"),
+        explode(winnowFingerprints(tokensCol, k, w)).as("fp"))
+    val dfc = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+    val ee = fps.join(dfc, "fp").select("doc_id", "fp")
+    ee.toDF("doc_a", "fp")
+      .join(ee.toDF("doc_b", "fp2"),
+        col("fp") === col("fp2") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

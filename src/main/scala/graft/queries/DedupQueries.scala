@@ -333,7 +333,19 @@ object DedupQueries {
             count(lit(1)).cast("double")).as("log_commonness"),
           (sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("double") /
             count(lit(1)).cast("double")).as("shared_frac"))
-    })
+    }),
+
+    // ---- winnowing (MOSS) fingerprint pairs: window-min over k-gram
+    //      hashes gives a ~2/(w+1)-density fingerprint set with the
+    //      guarantee that any shared run of >= w+k-1 tokens produces a
+    //      common fingerprint; cross-doc pairs come from the same
+    //      df-capped blocking-key equi-join as the Jaccard family.
+    //      Complements d_span_stats: that one proves exact duplicated
+    //      n-grams at full density, this is the sublinear sketch a
+    //      plagiarism/provenance pass runs at 100 TB. ----
+    "d_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(t(s, dir, "documents"), "doc_id",
+        Text.tokens(col("text")), k = 3, w = 4, dfCap = 20, minShared = 3))
   )
 
   // ---------- oracle SQL ----------
@@ -750,6 +762,27 @@ object DedupQueries {
         |  FROM bits GROUP BY doc_id, b // 4)
         |SELECT doc_id, string_agg(substring('0123456789abcdef',
         |    CAST(nv AS INT) + 1, 1), '' ORDER BY nib) AS simhash
-        |FROM nibs GROUP BY doc_id""".stripMargin
+        |FROM nibs GROUP BY doc_id""".stripMargin,
+
+    "d_winnow_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |  FROM documents),
+         |hs AS (SELECT doc_id,
+         |    list_transform(range(1, len(tk) - 1),
+         |      i -> ${graft.operators.Kmv.hash52Sql(
+                      "array_to_string(tk[i:i+2], ' ')")}) AS h
+         |  FROM toks WHERE len(tk) >= 3),
+         |fp AS (SELECT doc_id,
+         |    list_distinct(list_transform(range(0, len(h) - 3),
+         |      i -> list_aggregate(h[i+1:i+4], 'min'))) AS fps
+         |  FROM hs WHERE len(h) >= 4),
+         |e AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+         |dfc AS (SELECT fp FROM e GROUP BY fp
+         |  HAVING COUNT(*) BETWEEN 2 AND 20),
+         |ee AS (SELECT e.doc_id, e.fp FROM e JOIN dfc USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  COUNT(*) AS n_shared
+         |FROM ee a JOIN ee b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin
   )
 }

@@ -315,4 +315,46 @@ class DedupSpec extends SparkSpec {
       byId.get(orig).foreach(n => assert(r.getLong(1) <= n))
     }
   }
+
+  test("winnowing guarantee: a shared run of >= w+k-1 tokens always pairs") {
+    import spark.implicits._
+    // k=3, w=4: guarantee threshold is 6 shared consecutive tokens.
+    // Two docs share exactly the 6-token run "p q r s t u" inside
+    // otherwise-disjoint text; a third doc is fully disjoint.
+    val docs = Seq(
+      (1L, "a1 a2 p q r s t u a3 a4"),
+      (2L, "b1 p q r s t u b2 b3 b4"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8")
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.winnowPairs(docs, "doc_id",
+        graft.functions.Text.tokens(col("text")),
+        k = 3, w = 4, dfCap = 20, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"expected exactly the planted pair, got $pairs")
+    assert(pairs.head._3 >= 1)
+  }
+
+  test("winnowFingerprints: density, bounds, and sub-window-length cases") {
+    import spark.implicits._
+    val r = Seq(
+      ("x " * 200).trim,   // 200 identical tokens -> 1 distinct kgram hash
+      "a b c",             // 1 kgram < w windows -> empty
+      "a b"                // no kgram at all -> empty
+    ).toDF("text")
+      .select(graft.operators.Dedup.winnowFingerprints(
+        split(col("text"), " "), 3, 4).as("fps"))
+      .as[Seq[Long]].collect()
+    assert(r(0).length == 1, "constant text collapses to one fingerprint")
+    assert(r(1).isEmpty && r(2).isEmpty)
+    // density: the sequence t_{(i*7919) mod 97} has period 97, so there
+    // are only 97 distinct kgrams; window-min selection keeps a strict,
+    // non-trivial subset of them (sub-full-density, not degenerate)
+    val dense = Seq.tabulate(300)(i => s"t${(i * 7919) % 97}").mkString(" ")
+    val n = Seq(dense).toDF("text")
+      .select(graft.operators.Dedup.winnowFingerprints(
+        split(col("text"), " "), 3, 4).as("fps"))
+      .as[Seq[Long]].head().length
+    assert(n > 10 && n < 97, s"fingerprint density off: $n of 97 distinct kgrams")
+  }
 }

@@ -450,4 +450,45 @@ class PlanSpec extends SparkSpec {
       .queryExecution.explainString(FormattedMode)
     assert(!scr.contains("Exchange"), s"madScreen shuffles:\n$scr")
   }
+
+  test("round-8 session shapes: KMV object agg, phrase broadcast, erasure semi") {
+    // KMV: the bounded bottom-k buffer must run as a PARTIAL
+    // ObjectHashAggregate (map-side reduction to <= k longs per group
+    // before the exchange) — a plan that shuffles raw rows to the
+    // reducer would defeat the sketch
+    val kmv = planOf("q_kmv_distinct")
+    assert(kmv.contains("ObjectHashAggregate"), kmv)
+    assert(!kmv.contains("CartesianProduct"), kmv)
+
+    // phrase search: the 5-row phrase table broadcasts onto the
+    // postings stream; the adjacency join is an equi-join (hash or
+    // sort-merge), never a cartesian
+    val ph = planOf("t_phrase_search")
+    assert(ph.contains("BroadcastHashJoin"), ph)
+    assert(!ph.contains("CartesianProduct"), ph)
+
+    // erasure audit: every propagation is a broadcast SEMI/ANTI join on
+    // the tombstone keys — the fact tables stream map-side
+    val er = planOf("q_erasure_audit")
+    assert(er.contains("LeftSemi"), er)
+    assert(er.contains("LeftAnti"), er)
+    assert(er.contains("BroadcastHashJoin"), er)
+
+    // l-diversity: one corpus aggregation, no join anywhere
+    val ld = planOf("q_l_diversity")
+    assert(!ld.contains("Join"), ld)
+
+    // spectrogram: pure map-side column algebra after the decode —
+    // the only exchange in the plan is none at all
+    val sp = planOf("m_spectrogram")
+    assert(!sp.contains("Exchange"), s"spectrogram shuffles:\n$sp")
+    assert(!sp.contains("Join"), sp)
+
+    // winnowing pairs: candidate generation is a df-capped equi-join on
+    // the fingerprint blocking key — same discipline as the Jaccard
+    // family, never a cartesian
+    val wn = planOf("d_winnow_pairs")
+    assert(!wn.contains("CartesianProduct"), wn)
+    assert(!wn.contains("BroadcastNestedLoopJoin"), wn)
+  }
 }
