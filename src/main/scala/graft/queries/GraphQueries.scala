@@ -111,6 +111,36 @@ object GraphQueries {
         .select(col("o_custkey"), col("l_suppkey")).distinct()
         .groupBy("o_custkey").agg(count(lit(1)).as("degree"))
         .groupBy("degree").agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // ---- link prediction over the part–supplier bipartite graph:
+    //      score supplier pairs by common neighbors and Adamic-Adar
+    //      (Σ 1/ln(deg) over shared parts — rare parts weigh more).
+    //      The 2-path generation is the canonical scale trap, so it is
+    //      degree-DISCIPLINED: parts outside deg ∈ [2, 64] are dropped
+    //      before the self-join (deg-1 parts cannot pair; hubs would
+    //      fan out deg² rows — the customer–supplier projection of
+    //      THIS fixture has deg ≈ 500 everywhere, which is exactly why
+    //      the edge set here is part-keyed, deg ≤ 52). Per-part weight
+    //      is the suite's 4dp-ln-absorbed exact decimal; the top-100 is
+    //      a TakeOrdered with full tiebreak, not a global sort. ----
+    "g_link_predict" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+        .distinct()
+      val deg = e.groupBy("p").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= 2 && col("d") <= 64)
+      val ew = e.join(deg, "p")
+        .withColumn("w", round(lit(1.0) / log(col("d").cast("double")), 4)
+          .cast("decimal(18,4)"))
+      val ea = ew.select(col("p"), col("s").as("supp_a"), col("w"))
+      val eb = ew.select(col("p").as("p2"), col("s").as("supp_b"))
+      ea.join(eb, col("p") === col("p2") && col("supp_a") < col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(count(lit(1)).as("common_parts"),
+          (sum(col("w")) * 10000).cast("long").as("aa_e4"))
+        .orderBy(col("aa_e4").desc, col("supp_a").asc, col("supp_b").asc)
+        .limit(100)
     })
   )
 
@@ -205,6 +235,22 @@ object GraphQueries {
         |deg AS (SELECT o_custkey, COUNT(*) AS degree
         |  FROM d GROUP BY o_custkey)
         |SELECT degree, COUNT(*) AS n_customers
-        |FROM deg GROUP BY degree""".stripMargin
+        |FROM deg GROUP BY degree""".stripMargin,
+
+    "g_link_predict" ->
+      """WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        |  FROM lineitem),
+        |deg AS (SELECT p, COUNT(*) AS d FROM e GROUP BY p
+        |  HAVING COUNT(*) BETWEEN 2 AND 64),
+        |ew AS (SELECT e.p, e.s,
+        |    CAST(round(1.0 / ln(d), 4) AS DECIMAL(18,4)) AS w
+        |  FROM e JOIN deg USING (p)),
+        |pr AS (SELECT a.s AS supp_a, b.s AS supp_b,
+        |    COUNT(*) AS common_parts,
+        |    CAST(SUM(a.w) * 10000 AS BIGINT) AS aa_e4
+        |  FROM ew a JOIN ew b ON a.p = b.p AND a.s < b.s
+        |  GROUP BY 1, 2)
+        |SELECT supp_a, supp_b, common_parts, aa_e4 FROM pr
+        |ORDER BY aa_e4 DESC, supp_a, supp_b LIMIT 100""".stripMargin
   )
 }

@@ -106,4 +106,23 @@ class GraphSpec extends SparkSpec {
     assert(got(4L) === ((None, false)))      // 3 hops away: not yet
     assert(got(5L) === ((None, false)))
   }
+
+  test("g_link_predict: Adamic-Adar favors rare shared neighbors") {
+    val r = SparkEntry.queries("g_link_predict")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(r.nonEmpty && r.length <= 100)
+    // output is sorted by (aa_e4 DESC, supp_a, supp_b)
+    r.sliding(2).foreach { case Array(hi, lo) =>
+      val (ha, la) = (hi.getLong(3), lo.getLong(3))
+      assert(ha > la || (ha == la &&
+        (hi.getLong(0) < lo.getLong(0) ||
+          (hi.getLong(0) == lo.getLong(0) && hi.getLong(1) < lo.getLong(1)))))
+      case _ => ()
+    }
+    // AA is a sum of 1/ln(d) terms with d >= 2 -> each term <= 1/ln 2;
+    // so aa_e4 <= common_parts * 14427 (and > 0)
+    r.foreach { row =>
+      assert(row.getLong(3) > 0 && row.getLong(3) <= row.getLong(2) * 14427)
+    }
+  }
 }
