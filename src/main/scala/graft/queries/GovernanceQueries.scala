@@ -139,6 +139,38 @@ object GovernanceQueries {
         .crossJoin(orphanLi)
     }),
 
+    // ---- referential-consistent pseudonymization: replace the person
+    //      key with a keyed deterministic surrogate (52-bit md5) in
+    //      BOTH the entity table and its fact children, then audit
+    //      that the release still joins exactly as the original did —
+    //      injectivity over the key domain (distinct surrogates ==
+    //      distinct keys) and join-pair preservation (|orders ⋈
+    //      customer| unchanged under the surrogate). Shapes: the
+    //      pseudonym is a zero-shuffle projection; the audit joins are
+    //      the same equi-joins the raw keys had — pseudonymization
+    //      costs nothing at 100 TB, which is the point of proving it
+    //      here. ----
+    "q_pseudonymize" -> ((s, dir) => {
+      import graft.operators.Kmv
+      def surr(c: org.apache.spark.sql.Column) =
+        Kmv.hash52(concat(lit("cust:"), c.cast("string")))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), surr(col("c_custkey")).as("c_surr"))
+        .localCheckpoint(false)
+      val ords = t(s, dir, "orders")
+        .select(col("o_custkey"), surr(col("o_custkey")).as("o_surr"))
+      val inj = cust.agg(count(lit(1)).as("n_customers"),
+        countDistinct(col("c_surr")).as("n_surrogates"))
+      val rawJ = ords.join(cust, col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("join_pairs_raw"))
+      val psJ = ords.join(cust, col("o_surr") === col("c_surr"))
+        .agg(count(lit(1)).as("join_pairs_pseudo"))
+      inj.crossJoin(rawJ).crossJoin(psJ)
+        .withColumn("injective", col("n_surrogates") === col("n_customers"))
+        .withColumn("join_preserved",
+          col("join_pairs_pseudo") === col("join_pairs_raw"))
+    }),
+
     // ---- l-diversity on top of q_k_anonymity's level-0 release: a
     //      k-anonymous group is still unsafe if everyone in it shares
     //      the same sensitive value. Sensitive attribute = balance
@@ -281,6 +313,26 @@ object GovernanceQueries {
         |  WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM dead_o)
         |    AND cu.c_acctbal < 0)
         |SELECT * FROM a CROSS JOIN b CROSS JOIN c CROSS JOIN d CROSS JOIN e""".stripMargin,
+
+    "q_pseudonymize" -> {
+      def surr(expr: String) = graft.operators.Kmv.hash52Sql(
+        s"'cust:' || CAST($expr AS VARCHAR)")
+      s"""WITH cust AS (SELECT c_custkey, ${surr("c_custkey")} AS c_surr
+         |  FROM customer),
+         |ords AS (SELECT o_custkey, ${surr("o_custkey")} AS o_surr
+         |  FROM orders),
+         |inj AS (SELECT COUNT(*) AS n_customers,
+         |    COUNT(DISTINCT c_surr) AS n_surrogates FROM cust),
+         |rj AS (SELECT COUNT(*) AS join_pairs_raw FROM ords o
+         |  JOIN cust c ON o.o_custkey = c.c_custkey),
+         |pj AS (SELECT COUNT(*) AS join_pairs_pseudo FROM ords o
+         |  JOIN cust c ON o.o_surr = c.c_surr)
+         |SELECT n_customers, n_surrogates, join_pairs_raw,
+         |  join_pairs_pseudo,
+         |  n_surrogates = n_customers AS injective,
+         |  join_pairs_pseudo = join_pairs_raw AS join_preserved
+         |FROM inj CROSS JOIN rj CROSS JOIN pj""".stripMargin
+    },
 
     "q_l_diversity" ->
       """SELECT CAST(c_nationkey AS VARCHAR) AS nat, c_mktsegment AS seg,

@@ -61,6 +61,40 @@ object DedupStream {
       .filter(col("jaccard") >= threshold)
       .select("new_id", "base_id", "jaccard", "band")
 
+  /** Winnowing fingerprint index: one row per (fp, base_id), carrying
+    * the base document's full fingerprint array for exact overlap
+    * scoring at match time. At scale, persist bucketed on fp. */
+  def winnowIndex(corpus: DataFrame, idCol: String, textCol: String,
+                  k: Int, w: Int): DataFrame =
+    corpus.select(col(idCol).as("base_id"),
+        Dedup.winnowFingerprints(Text.tokens(col(textCol)), k, w)
+          .as("base_fps"))
+      .select(col("base_id"), col("base_fps"),
+        explode(col("base_fps")).as("fp"))
+
+  /** Screen a stream against a winnowing index: any incoming document
+    * sharing a run of >= w+k-1 tokens with an indexed document is
+    * GUARANTEED to hit at least one fingerprint (the winnowing
+    * property, spec-proven batch-side); `minShared` raises the bar to
+    * suppress boilerplate-only overlap. Emits one row per
+    * (new_id, base_id, fp) hit whose exact fingerprint overlap clears
+    * `minShared` — append-safe (no aggregation), like
+    * [[flagNearDups]]'s per-band rows; dedupe in foreachBatch when one
+    * row per pair is needed. */
+  def winnowScreen(stream: DataFrame, index: DataFrame,
+                   idCol: String, textCol: String,
+                   k: Int, w: Int, minShared: Int): DataFrame =
+    stream.select(col(idCol).as("new_id"),
+        Dedup.winnowFingerprints(Text.tokens(col(textCol)), k, w)
+          .as("new_fps"))
+      .select(col("new_id"), col("new_fps"),
+        explode(col("new_fps")).as("fp"))
+      .join(index, Seq("fp"))
+      .withColumn("common",
+        size(array_intersect(col("new_fps"), col("base_fps"))))
+      .filter(col("common") >= minShared)
+      .select("new_id", "base_id", "common", "fp")
+
   // ------------------------------------------------------------------
   // Self-building screen: stream vs everything streamed so far
   // ------------------------------------------------------------------

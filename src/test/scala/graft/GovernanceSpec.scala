@@ -78,6 +78,13 @@ class GovernanceSpec extends SparkSpec {
     assert(no <= Tables.t(spark, dir, "orders").count())
   }
 
+  test("q_pseudonymize: surrogates are injective and join-preserving") {
+    val r = SparkEntry.queries("q_pseudonymize")(spark, dir).head()
+    assert(r.getLong(0) == r.getLong(1), "52-bit surrogate collision")
+    assert(r.getLong(2) == r.getLong(3))
+    assert(r.getBoolean(4) && r.getBoolean(5))
+  }
+
   test("q_l_diversity: groups are the k-anonymous level-0 release") {
     // sf0.001's customer table has no group of 10 — use sf0.01, where
     // the release is non-degenerate

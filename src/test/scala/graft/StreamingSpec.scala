@@ -850,6 +850,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("winnow screen: planted shared run flagged, novel doc passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (10L, "c1 c2 p q r s t u c3 c4 c5"),
+      (11L, "d1 d2 d3 d4 d5 d6 d7 d8 d9")
+    ).toDF("doc_id", "text")
+    val idx = graft.streaming.DedupStream.winnowIndex(
+      corpus, "doc_id", "text", k = 3, w = 4)
+    val mem = MemoryStream[(Long, String)]
+    val screened = graft.streaming.DedupStream.winnowScreen(
+      mem.toDF().toDF("doc_id", "text"), idx, "doc_id", "text",
+      k = 3, w = 4, minShared = 1)
+    val q = screened.writeStream.format("memory").queryName("wscreen")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq(
+        (1L, "x1 p q r s t u x2 x3 x4"), // shares the 6-run with doc 10
+        (2L, "z1 z2 z3 z4 z5 z6 z7 z8"))) // fully novel
+      q.processAllAvailable()
+    } finally q.stop()
+    val hits = spark.sql("SELECT DISTINCT new_id, base_id FROM wscreen")
+      .as[(Long, Long)].collect().toSet
+    assert(hits.contains((1L, 10L)), s"planted run not flagged: $hits")
+    assert(!hits.exists(_._1 == 2L), s"novel doc flagged: $hits")
+    // batch application of the same operator yields the same hit set
+    val batchHits = graft.streaming.DedupStream.winnowScreen(
+        Seq((1L, "x1 p q r s t u x2 x3 x4"),
+          (2L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text"),
+        idx, "doc_id", "text", k = 3, w = 4, minShared = 1)
+      .select("new_id", "base_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(batchHits == hits)
+  }
+
   test("mad screen: stream outliers bit-equal to the batch query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
