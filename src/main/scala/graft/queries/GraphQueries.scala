@@ -141,8 +141,36 @@ object GraphQueries {
           (sum(col("w")) * 10000).cast("long").as("aa_e4"))
         .orderBy(col("aa_e4").desc, col("supp_a").asc, col("supp_b").asc)
         .limit(100)
+    }),
+
+    // ---- 3-core of the part–supplier bipartite graph: keep only
+    //      vertices still holding >= 3 edges after every round of
+    //      removals cascades (a part observed with < 3 suppliers
+    //      drops out; a supplier left with < 3 surviving parts
+    //      follows). This graph actually cascades — part degree here
+    //      is bounded by TPC-H's 4-suppliers-per-part, so the first
+    //      peel bites and propagates — unlike the customer–supplier
+    //      projection (deg ≈ 500 everywhere, trivially all-core).
+    //      Fixed 8-round budget, fixpoint spec-asserted; the oracle
+    //      unrolls the identical rounds. ----
+    "g_kcore" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      Graph.kCorePeel(edges, k = kCoreK, rounds = kCoreRounds)
+        .select(
+          when(col("id") % 2 === 0,
+            concat(lit("p"), expr("id div 2").cast("string")))
+            .otherwise(
+              concat(lit("s"), expr("(id - 1) div 2").cast("string")))
+            .as("id"),
+          col("deg"))
     })
   )
+
+  private val kCoreK = 3
+  private val kCoreRounds = 8
 
   val oracleSql: Map[String, String] = Map(
     "g_pagerank" -> {
@@ -251,6 +279,29 @@ object GraphQueries {
         |  FROM ew a JOIN ew b ON a.p = b.p AND a.s < b.s
         |  GROUP BY 1, 2)
         |SELECT supp_a, supp_b, common_parts, aa_e4 FROM pr
-        |ORDER BY aa_e4 DESC, supp_a, supp_b LIMIT 100""".stripMargin
+        |ORDER BY aa_e4 DESC, supp_a, supp_b LIMIT 100""".stripMargin,
+
+    // identical synchronous peel, unrolled: uN is the edge set after
+    // round N; extra rounds past the fixpoint are exact no-ops
+    "g_kcore" -> {
+      // AS MATERIALIZED: u(r-1) and k(r) are each referenced more
+      // than once; without the hint DuckDB may inline them and the
+      // 8-round unroll re-expands ~3x per round
+      val rounds = (1 to kCoreRounds).map { r =>
+        s"""k$r AS MATERIALIZED (SELECT s FROM u${r - 1} GROUP BY s
+           |  HAVING COUNT(*) >= $kCoreK),
+           |u$r AS MATERIALIZED (SELECT u.s, u.d FROM u${r - 1} u
+           |  JOIN k$r a ON u.s = a.s JOIN k$r b ON u.d = b.s)""".stripMargin
+      }.mkString(",\n", ",\n", "\n")
+      s"""WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS s,
+         |    l_suppkey * 2 + 1 AS d FROM lineitem),
+         |u0 AS MATERIALIZED (
+         |  SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0)""".stripMargin +
+        rounds +
+        s"""SELECT CASE WHEN s % 2 = 0 THEN 'p' || CAST(s // 2 AS VARCHAR)
+           |    ELSE 's' || CAST((s - 1) // 2 AS VARCHAR) END AS id,
+           |  COUNT(*) AS deg
+           |FROM u$kCoreRounds GROUP BY s""".stripMargin
+    }
   )
 }
