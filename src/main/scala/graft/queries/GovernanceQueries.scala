@@ -192,6 +192,49 @@ object GovernanceQueries {
         .withColumn("diverse", col("l_distinct") >= l)
     }),
 
+    // ---- t-closeness on q_k_anonymity's QI groups: a k-anonymous,
+    //      l-diverse group can STILL leak if its sensitive-value
+    //      DISTRIBUTION differs sharply from the corpus-wide one (all
+    //      debt-band members in one nation+segment reveals plenty even
+    //      with l >= 2 present). For the ORDERED sensitive attribute
+    //      (4 balance bands), the Earth Mover's Distance reduces to
+    //      the mean |cumulative difference|:
+    //        EMD = (1/(b-1)) * Σ_{i<b} |Σ_{j<=i} (p_j - q_j)|
+    //      kept EXACT by clearing denominators — the i-th cumulative
+    //      term is |k_i·N − K_i·n| over n·N — and emitting e6
+    //      fixed-point via integer floor-div. Shapes: one corpus
+    //      groupBy carrying the three cumulative band counts, one
+    //      1-row global agg broadcast by crossJoin, zero windows; the
+    //      group side is map-combinable conditional sums. ----
+    "q_t_closeness" -> ((s, dir) => {
+      // cumulative band membership: band boundaries 0 / 3000 / 7000
+      val bandLe = Seq(
+        col("c_acctbal") < 0,
+        col("c_acctbal") < 3000,
+        col("c_acctbal") < 7000)
+      def cums(pfx: String) = bandLe.zipWithIndex.map { case (c, i) =>
+        sum(when(c, 1L).otherwise(0L)).as(s"$pfx$i")
+      }
+      val cust = t(s, dir, "customer")
+      val g = cust
+        .select(col("c_nationkey").cast("string").as("nat"),
+          col("c_mktsegment").as("seg"), col("c_acctbal"))
+        .groupBy("nat", "seg")
+        .agg(count(lit(1)).as("n"), cums("k"): _*)
+      val glob = cust.select(col("c_acctbal"))
+        .agg(count(lit(1)).as("nn"), cums("gk"): _*)
+      val num = (0 until 3).map(i =>
+        abs(col(s"k$i") * col("nn") - col(s"gk$i") * col("n")))
+        .reduce(_ + _)
+      g.crossJoin(glob)
+        .withColumn("emd_e6",
+          floor((num.cast("decimal(38,0)") * 1000000L) /
+            (col("n").cast("decimal(38,0)") * col("nn") * 3L))
+          .cast("long"))
+        .select(col("nat"), col("seg"), col("n"), col("emd_e6"),
+          (col("emd_e6") <= 250000L).as("t_close"))
+    }),
+
     // ---- one-row corpus datasheet ("datasets card"): the summary a
     //      release ships alongside the data — sizes, source/lang
     //      breadth, global dup membership, and the source-mix entropy
@@ -342,6 +385,29 @@ object GovernanceQueries {
         |  COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'debt'
         |    WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END) >= 2 AS diverse
         |FROM customer GROUP BY 1, 2 HAVING COUNT(*) >= 10""".stripMargin,
+
+    "q_t_closeness" ->
+      """WITH g AS (
+        |  SELECT CAST(c_nationkey AS VARCHAR) AS nat, c_mktsegment AS seg,
+        |    COUNT(*) AS n,
+        |    SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS k0,
+        |    SUM(CASE WHEN c_acctbal < 3000 THEN 1 ELSE 0 END) AS k1,
+        |    SUM(CASE WHEN c_acctbal < 7000 THEN 1 ELSE 0 END) AS k2
+        |  FROM customer GROUP BY 1, 2),
+        |gtot AS (
+        |  SELECT COUNT(*) AS nn,
+        |    SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS gk0,
+        |    SUM(CASE WHEN c_acctbal < 3000 THEN 1 ELSE 0 END) AS gk1,
+        |    SUM(CASE WHEN c_acctbal < 7000 THEN 1 ELSE 0 END) AS gk2
+        |  FROM customer),
+        |emd AS (
+        |  SELECT nat, seg, n,
+        |    CAST((abs(k0 * nn - gk0 * n) + abs(k1 * nn - gk1 * n)
+        |          + abs(k2 * nn - gk2 * n)) * 1000000
+        |         // (n * nn * 3) AS BIGINT) AS emd_e6
+        |  FROM g CROSS JOIN gtot)
+        |SELECT nat, seg, n, emd_e6, emd_e6 <= 250000 AS t_close
+        |FROM emd""".stripMargin,
 
     "t_dataset_card" ->
       """WITH base AS (
