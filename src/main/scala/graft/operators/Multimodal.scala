@@ -528,7 +528,16 @@ object Multimodal {
     * component sum.
     */
   private[graft] def renderAviRaw(id: Long, w: Int, h: Int,
-                                  nFrames: Int): Array[Byte] = {
+                                  nFrames: Int): Array[Byte] =
+    renderAviWith(w, h, nFrames)((f, p) =>
+      ((((id * 31 + f * 7 + p) % 256) + 256) % 256).toInt)
+
+  /** Shared container writer: uncompressed RIFF/AVI, one '00db' BGR24
+    * bottom-up frame per `f`, per-component value `pix(f, p)` at
+    * TOP-DOWN row-major pixel index p (all three components equal).
+    */
+  private[graft] def renderAviWith(w: Int, h: Int, nFrames: Int)(
+      pix: (Int, Int) => Int): Array[Byte] = {
     require((w * 3) % 4 == 0, s"row stride $w*3 must be DWORD-aligned")
     val frameBytes = w * h * 3
     val out = new java.io.ByteArrayOutputStream()
@@ -586,7 +595,7 @@ object Multimodal {
         var x = 0
         while (x < w) {
           val p = row * w + x
-          val v = (((id * 31 + f * 7 + p) % 256) + 256) % 256
+          val v = pix(f, p)
           ch.put(v.toByte); ch.put(v.toByte); ch.put(v.toByte)
           x += 1
         }
@@ -597,6 +606,18 @@ object Multimodal {
     }
     out.toByteArray
   }
+
+  /** Scene-structured AVI: same container as [[renderAviRaw]] but the
+    * generating function jumps at every 4th frame ((f div 4)·131 —
+    * a "cut") and drifts gently inside a scene (f·3 — "motion"), so a
+    * real consecutive-frame-difference detector has something true to
+    * find. Per-component values:
+    * v(f, p) = (id·31 + (f div 4)·131 + f·3 + p·5) mod 256.
+    */
+  private[graft] def renderAviScenes(id: Long, w: Int, h: Int,
+                                     nFrames: Int): Array[Byte] =
+    renderAviWith(w, h, nFrames)((f, p) =>
+      ((((id * 31 + (f / 4) * 131 + f * 3 + p * 5) % 256) + 256) % 256).toInt)
 
   /** Generic strict RIFF walk: visits every chunk as
     * (fourcc, payloadOff, size); descends into LISTs. Returns false —
@@ -719,6 +740,48 @@ object Multimodal {
                 AviFrame(id, f, Some(w), Some(h), Some(s))
               case _ => AviFrame(id, f, None, None, None)
             }
+          }
+        } catch { case _: Exception => Seq.empty }
+      })
+  }
+
+  final case class SceneDiff(id: Long, frame_idx: Int, sad: Long)
+
+  /** Consecutive-frame difference from REAL demuxed AVI frames: for
+    * each adjacent pair of uncompressed ('db') frames, the exact sum
+    * of absolute per-component differences (SAD) — the standard
+    * shot-boundary signal (a cut is a SAD spike; within-scene motion
+    * is a low hum). One demux per payload per partition; the working
+    * set is bounded by the payload already in memory as the binary
+    * column value (frame pairs are compared in a single pass).
+    * Mixed-codec clips are strict like [[aviFrameStats]]: any
+    * compressed or size-mismatched frame aborts that id's diffs (a
+    * partial diff sequence would silently shift scene boundaries).
+    */
+  def aviSceneDiffs(df: DataFrame): Dataset[SceneDiff] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        try {
+          aviDims(bytes) match {
+            case Some((w, h, 24, 0)) =>
+              val frames = demuxAvi(bytes)
+              if (frames.exists { case (_, kind, payload) =>
+                    kind != "db" || payload.length != w * h * 3 })
+                Seq.empty
+              else
+                frames.sliding(2).collect {
+                  case Seq((f0, _, prev), (f1, _, cur)) if f1 == f0 + 1 =>
+                    var s = 0L
+                    var i = 0
+                    while (i < cur.length) {
+                      s += math.abs((cur(i) & 0xFF) - (prev(i) & 0xFF))
+                      i += 1
+                    }
+                    SceneDiff(id, f1, s)
+                }.toSeq
+            case _ => Seq.empty
           }
         } catch { case _: Exception => Seq.empty }
       })

@@ -138,6 +138,27 @@ object MultimodalQueries {
         .select("id", "frame_idx", "w", "h", "px_sum")
     }),
 
+    // ---- REAL shot-boundary detection: scene-structured AVIs (the
+    //      generating function cuts every 4 frames and drifts gently
+    //      in between), demuxed with the RIFF walker, consecutive-
+    //      frame SAD computed from actual pixel bytes, cut when the
+    //      SAD clears 9000 (within-scene SAD ≤ 3·(47·3+253) = 1182 by
+    //      the drift construction; a cut ≥ 3·48·122 = 17568 — the
+    //      threshold sits in the gap, so detection is exact, and the
+    //      oracle replays the full generating function). 9–11 frames
+    //      per doc. Shape: one per-partition demux pass, zero
+    //      shuffles before the tiny result. ----
+    "m_scene_changes" -> ((s, dir) => {
+      import s.implicits._
+      val avis = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, Multimodal.renderAviScenes(id, 8, 6, (id % 3 + 9).toInt))))
+        .toDF("id", "content")
+      Multimodal.aviSceneDiffs(avis).toDF()
+        .select(col("id"), col("frame_idx"), col("sad"),
+          (col("sad") > 9000L).as("is_cut"))
+    }),
+
     // ---- PIXEL-level round trip: encode deterministic rasters, decode
     //      with the real reader, and prove the decoded PIXELS (exact
     //      integer component sum), not just the header dimensions.
@@ -436,6 +457,26 @@ object MultimodalQueries {
         |  8 AS w, 6 AS h,
         |  CAST(3 * SUM((doc_id * 31 + f * 7 + p) % 256) AS BIGINT) AS px_sum
         |FROM px GROUP BY doc_id, f""".stripMargin,
+
+    // closed-form replay of the scene generating function
+    // v(f,p) = (id·31 + (f//4)·131 + f·3 + p·5) mod 256: the SAD of
+    // adjacent frames is 3·Σ_p |v(f,p) − v(f−1,p)| over the 8×6=48
+    // raster (3 equal components per pixel)
+    "m_scene_changes" ->
+      """WITH fr AS (
+        |  SELECT doc_id, unnest(range(1, CAST(doc_id % 3 + 9 AS BIGINT))) AS f
+        |  FROM documents),
+        |px AS (SELECT doc_id, f, unnest(range(0, 48)) AS p FROM fr),
+        |d AS (
+        |  SELECT doc_id, f,
+        |    3 * SUM(ABS(
+        |      (doc_id * 31 + (f // 4) * 131 + f * 3 + p * 5) % 256
+        |      - (doc_id * 31 + ((f - 1) // 4) * 131 + (f - 1) * 3 + p * 5)
+        |        % 256)) AS sad
+        |  FROM px GROUP BY doc_id, f)
+        |SELECT doc_id AS id, CAST(f AS INT) AS frame_idx,
+        |  CAST(sad AS BIGINT) AS sad, sad > 9000 AS is_cut
+        |FROM d""".stripMargin,
 
     // closed-form pixel-component sum of the generating function
     // v(x,y) = (id*2654435761 + 7x + 131y) & 0xFFFFFF, summed as
