@@ -71,7 +71,17 @@ object Hll {
     * [[Kmv.hash52]] — reg/w/rho run codegen'd map-side; the single
     * exchange carries ≤ 1024 rows per group per task.
     */
-  def registers(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+  def registers(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame =
+    rhoRows(df, groupCol, valueCol)
+      .groupBy("g", "reg").agg(max(col("rho")).as("mj"))
+
+  /** The stateless per-row half of [[registers]]: (g, reg, rho) for
+    * every input row — shared verbatim by the streaming register
+    * maintenance ([[graft.streaming.SketchStream]]), whose only
+    * addition is running the same groupBy-MAX as a streaming
+    * aggregation.
+    */
+  def rhoRows(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
     val h = Kmv.hash52(valueCol)
     df.select(groupCol.as("g"), h.as("h"))
       .select(col("g"), (col("h") % m).as("reg"),
@@ -79,7 +89,6 @@ object Hll {
       .select(col("g"), col("reg"),
         when(col("w") === 0, rhoMax)
           .otherwise(lit(rhoMax) - length(bin(col("w")))).as("rho"))
-      .groupBy("g", "reg").agg(max(col("rho")).as("mj"))
   }
 
   /** Merge register tables (possibly from disjoint corpus slices) by

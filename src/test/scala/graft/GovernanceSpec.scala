@@ -109,4 +109,33 @@ class GovernanceSpec extends SparkSpec {
         s"bucket ${lo.getInt(0)} max > bucket ${hi.getInt(0)} min")
     }
   }
+
+  test("q_t_closeness: EMD is bounded, zero iff distributions match") {
+    val out = SparkEntry.queries("q_t_closeness")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val emd = r.getAs[Long]("emd_e6")
+      assert(emd >= 0L && emd <= 1000000L, s"EMD out of range: $emd")
+      assert(r.getAs[Boolean]("t_close") == (emd <= 250000L))
+    }
+    // independent replay for one group: recompute the cumulative-band
+    // EMD straight from the customer table
+    val cust = Tables.t(spark, dir, "customer").select(
+      org.apache.spark.sql.functions.col("c_nationkey").cast("string"),
+      org.apache.spark.sql.functions.col("c_mktsegment"),
+      org.apache.spark.sql.functions.col("c_acctbal").cast("double"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val bands = Seq(0.0, 3000.0, 7000.0)
+    def cums(bal: Seq[Double]) = bands.map(b => bal.count(_ < b).toLong)
+    val all = cust.map(_._3).toSeq
+    val (nn, gk) = (all.size.toLong, cums(all))
+    val first = out.head
+    val grp = cust.filter(c => c._1 == first.getAs[String]("nat") &&
+      c._2 == first.getAs[String]("seg")).map(_._3).toSeq
+    val (n, k) = (grp.size.toLong, cums(grp))
+    val num = k.zip(gk).map { case (ki, gi) => math.abs(ki * nn - gi * n) }.sum
+    val want = num * 1000000L / (n * nn * 3L)
+    assert(first.getAs[Long]("n") == n)
+    assert(first.getAs[Long]("emd_e6") == want)
+  }
 }

@@ -125,4 +125,43 @@ class GraphSpec extends SparkSpec {
       assert(row.getLong(3) > 0 && row.getLong(3) <= row.getLong(2) * 14427)
     }
   }
+
+  test("kCorePeel: hand-checked cascade on a known graph") {
+    // triangle 1-2-3 plus a pendant path 3-4-5: at k=2 the pendant
+    // path peels in two rounds (5 first, then 4), the triangle stays
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = Graph.kCorePeel(e, k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // one round is not enough: 4 still sees degree 2 (3 and 5) before
+    // 5's removal cascades — proves the peel is genuinely iterative
+    val oneRound = Graph.kCorePeel(e, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(oneRound.contains(4L) && !oneRound.contains(5L))
+  }
+
+  test("kCorePeel: every survivor keeps degree >= k (internal consistency)") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 4L), (4L, 3L)).toDF("src", "dst")
+    val got = Graph.kCorePeel(e, k = 2, rounds = 5)
+      .as[(Long, Long)].collect()
+    got.foreach { case (id, deg) => assert(deg >= 2, s"node $id deg $deg") }
+  }
+
+  test("g_kcore: the 8-round budget reaches the fixpoint on the fixture") {
+    // guards the oracle contract: if a regenerated fixture ever needs
+    // more rounds, this fails loudly instead of silently under-peeling
+    import org.apache.spark.sql.functions.{col => c}
+    val edges = Tables.t(spark, "/root/testdata/sf0.001", "lineitem")
+      .select((c("l_partkey") * 2).as("src"),
+        (c("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val r8 = Graph.kCorePeel(edges, k = 3, rounds = 8)
+      .as[(Long, Long)].collect().toMap
+    val r7 = Graph.kCorePeel(edges, k = 3, rounds = 7)
+      .as[(Long, Long)].collect().toMap
+    assert(r8 == r7, "8 rounds did not reach the k-core fixpoint")
+    r8.values.foreach(d => assert(d >= 3))
+  }
 }

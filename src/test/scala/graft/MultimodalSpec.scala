@@ -379,4 +379,37 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(f => (f._1, f._2)) == Seq((0, "db")))
     assert(frames.head._3.toSeq == frame.toSeq)
   }
+
+  test("aviSceneDiffs: SAD recomputed from the generating function") {
+    import spark.implicits._
+    val id = 11L
+    val df = Seq((id, Multimodal.renderAviScenes(id, 8, 6, 9)))
+      .toDF("id", "content")
+    val got = Multimodal.aviSceneDiffs(df).collect()
+      .map(d => (d.frame_idx, d.sad)).sortBy(_._1)
+    def v(f: Int, p: Int): Long =
+      (((id * 31 + (f / 4) * 131 + f * 3 + p * 5) % 256) + 256) % 256
+    val want = (1 until 9).map(f =>
+      (f, 3L * (0 until 48).map(p => math.abs(v(f, p) - v(f - 1, p))).sum))
+    assert(got.toSeq == want)
+    // the construction separates: cuts (f = 4, 8) spike over 9000,
+    // within-scene drift stays under 1182
+    want.foreach { case (f, sad) =>
+      if (f % 4 == 0) assert(sad > 9000, s"cut at $f too small: $sad")
+      else assert(sad <= 1182, s"drift at $f too large: $sad")
+    }
+  }
+
+  test("aviSceneDiffs: strict on mixed/malformed clips, lenient per id") {
+    import spark.implicits._
+    // a clip whose strf says 24bpp BI_RGB but whose frame is truncated
+    // must yield ZERO diffs for that id; a healthy sibling id survives
+    val bad = Multimodal.renderAviScenes(5L, 8, 6, 4)
+    val truncated = java.util.Arrays.copyOf(bad, bad.length - 10)
+    val out = Multimodal.aviSceneDiffs(Seq(
+      (5L, truncated),
+      (6L, Multimodal.renderAviScenes(6L, 8, 6, 4))).toDF("id", "content"))
+      .collect()
+    assert(out.forall(_.id == 6L) && out.length == 3)
+  }
 }

@@ -143,4 +143,98 @@ class SketchSpec extends SparkSpec {
     assert(r.getLong(3) == x && r.getLong(4) == y)
     assert(r.getLong(5) == x * x + y * y)
   }
+
+  // ---------------------------------------------------------------- HLL
+
+  import graft.operators.Hll
+
+  test("HLL registers are a pure function of the value SET (dup-invariant)") {
+    val once = Seq("a", "b", "c", "d").map(("g", _)).toDF("g", "v")
+    val dups = Seq("a", "a", "b", "c", "d", "d", "d").map(("g", _))
+      .toDF("g", "v")
+    val r1 = Hll.registers(once, col("g"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted
+    val r2 = Hll.registers(dups, col("g"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted
+    assert(r1.sameElements(r2))
+  }
+
+  test("HLL merge law: merge(sketch(A), sketch(B)) == sketch(A ∪ B)") {
+    val xs = (0 until 400).map(i => ("x", s"val$i"))
+    val ys = (200 until 600).map(i => ("y", s"val$i"))
+    val parts = Hll.registers((xs ++ ys).toDF("g", "v"), col("g"), col("v"))
+    val merged = Hll.merge(parts, "u")
+      .collect().map(r => (r.getLong(1), r.getInt(2))).sorted
+    val direct = Hll.registers(
+      (xs ++ ys).map { case (_, v) => ("u", v) }.toDF("g", "v"),
+      col("g"), col("v"))
+      .collect().map(r => (r.getLong(1), r.getInt(2))).sorted
+    assert(merged.sameElements(direct))
+  }
+
+  test("HLL estimate lands within the 1024-register error envelope") {
+    // n = 20000 >> 2.5m, the raw-harmonic regime the sketch targets;
+    // 1.04/sqrt(1024) ≈ 3.3% standard error — assert a loose 4σ band
+    val n = 20000
+    val df = (0 until n).map(i => ("g", s"item-$i")).toDF("g", "v")
+    val est = Hll.estimate(Hll.registers(df, col("g"), col("v")))
+      .head().getAs[Double]("est_distinct")
+    assert(math.abs(est - n) < n * 0.14, s"est $est vs $n")
+  }
+
+  test("HLL rho/register algebra matches a reference implementation") {
+    // independent Scala replay of the documented contract: md5-based
+    // 52-bit hash, low 10 bits register, rho = 43 - bitlength(high 42)
+    val vals = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val got = Hll.rhoRows(vals.map(("g", _)).toDF("g", "v"),
+      col("g"), col("v"))
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    val want = vals.map { v =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val h = java.lang.Long.parseLong(md.take(13), 16)
+      val w = h / 1024
+      val rho = if (w == 0) 43 else 43 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      (h % 1024, rho)
+    }.toSet
+    assert(got == want)
+  }
+
+  // ---------------------------------------------------------- count-min
+
+  test("q_cms_freq: CMS point estimates never undercount (est >= exact)") {
+    val rows = queries.SketchQueries.queries("q_cms_freq")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0L,
+        s"undercount at ${r.getAs[String]("key")}")
+      assert(r.getAs[Long]("est") ==
+        r.getAs[Long]("exact") + r.getAs[Long]("overcount"))
+    }
+  }
+
+  test("CMS with width >= #keys and no collisions is exact per row") {
+    // 4 keys over width 16: if no two keys share a bucket in a row,
+    // that row's counter equals the exact count — verified by direct
+    // bucket computation, independent of the query wiring
+    val keys = Seq("k1", "k2", "k3", "k4")
+    def bucket(d: Int, k: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cms$d:$k".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(md.take(13), 16) % 16
+    }
+    for (d <- 0 until 3; if keys.map(bucket(d, _)).distinct.size == keys.size) {
+      val counts = Map("k1" -> 5, "k2" -> 3, "k3" -> 7, "k4" -> 1)
+      val data = counts.toSeq.flatMap { case (k, n) => Seq.fill(n)(k) }
+        .map(Tuple1(_)).toDF("key")
+      val sk = data
+        .select((Kmv.hash52(concat(lit(s"cms$d:"), col("key"))) % 16).as("b"))
+        .groupBy("b").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      counts.foreach { case (k, n) =>
+        assert(sk(bucket(d, k)) == n.toLong, s"row $d key $k")
+      }
+    }
+  }
 }

@@ -850,6 +850,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL registers equal batch registers after every prefix") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def batch(rows: Seq[(String, String)]) =
+      graft.operators.Hll.registers(
+        rows.toDF("source", "text"), col("source"), col("text"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+        .sorted.toSeq
+    val mem = MemoryStream[(String, String)]
+    val regs = graft.streaming.SketchStream.hllRegisters(
+      mem.toDF().toDF("source", "text"), col("source"), col("text"))
+    val q = regs.writeStream.format("memory").queryName("hllregs")
+      .outputMode("complete").start()
+    def current() = spark.sql("SELECT * FROM hllregs").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    try {
+      mem.addData(docs.take(100).toSeq)
+      q.processAllAvailable()
+      assert(current() == batch(docs.take(100).toSeq))
+      // at-least-once replay is a no-op: MAX is idempotent
+      mem.addData(docs.take(50).toSeq)
+      mem.addData(docs.drop(100).toSeq)
+      q.processAllAvailable()
+      assert(current() == batch(docs.toSeq))
+      // and the estimates folded from the snapshot match batch exactly
+      val streamEst = graft.operators.Hll.estimate(
+        spark.sql("SELECT * FROM hllregs"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).sorted.toSeq
+      val batchEst = graft.operators.Hll.estimate(
+        graft.operators.Hll.registers(
+          docs.toSeq.toDF("source", "text"), col("source"), col("text")))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).sorted.toSeq
+      assert(streamEst == batchEst)
+    } finally q.stop()
+  }
+
   test("winnow screen: planted shared run flagged, novel doc passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
