@@ -247,14 +247,22 @@ object Graph {
       .union(edges.select(col(dstC).as("s"), col(srcC).as("d")))
       .distinct().localCheckpoint(false)
     for (_ <- 1 to rounds) {
-      val keep = und.groupBy("s").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("s").as("kid"))
-        .localCheckpoint(false) // probed by BOTH endpoint semi-joins
-      und = und
-        .join(keep, und("s") === keep("kid"), "left_semi")
-        .join(keep, und("d") === keep("kid"), "left_semi")
-        .localCheckpoint(false)
+      und = peelRound(und, k).localCheckpoint(false)
     }
     und.groupBy(col("s").as("id")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** One synchronous peel round on an undirected (s, d) edge list:
+    * degree count, then both endpoints SEMI-joined against the
+    * >= k survivors. Exposed so PlanSpec can pin the per-round join
+    * shape (the checkpointed loop hides it from the final plan).
+    */
+  private[graft] def peelRound(und: DataFrame, k: Int): DataFrame = {
+    val keep = und.groupBy("s").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k).select(col("s").as("kid"))
+      .localCheckpoint(false) // probed by BOTH endpoint semi-joins
+    und
+      .join(keep, und("s") === keep("kid"), "left_semi")
+      .join(keep, und("d") === keep("kid"), "left_semi")
   }
 }

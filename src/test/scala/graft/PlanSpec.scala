@@ -491,4 +491,46 @@ class PlanSpec extends SparkSpec {
     assert(!wn.contains("CartesianProduct"), wn)
     assert(!wn.contains("BroadcastNestedLoopJoin"), wn)
   }
+
+  test("round-8 sketch/graph shapes: bounded aggs, semi-join peel, map-side scenes") {
+    // HLL: two cascaded hash aggregates (register MAX, then the group
+    // fold) — the exchange after the partial agg carries <= 1024 rows
+    // per group; no cartesian anywhere (the exact-count join is keyed)
+    val hll = planOf("q_hll_distinct")
+    assert(hll.contains("HashAggregate"), hll)
+    assert(!hll.contains("CartesianProduct"), hll)
+
+    // CMS: the 48-row sketch must BROADCAST onto the key probes; the
+    // sketch build itself is a map-combinable count after posexplode
+    val cms = planOf("q_cms_freq")
+    assert(cms.contains("BroadcastHashJoin"), cms)
+    assert(!cms.contains("CartesianProduct"), cms)
+
+    // k-core: every peel round is a pair of LEFT SEMI equi-joins
+    // against the survivor set — no cartesian, no nested loop. The
+    // checkpointed loop hides rounds from g_kcore's final plan, so
+    // pin ONE round's plan directly
+    val und = {
+      import spark.implicits._
+      Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("s", "d")
+    }
+    val kc = graft.operators.Graph.peelRound(und, 2)
+      .queryExecution.explainString(FormattedMode)
+    assert(kc.contains("LeftSemi"), kc)
+    assert(!kc.contains("CartesianProduct"), kc)
+    assert(!kc.contains("BroadcastNestedLoopJoin"), kc)
+
+    // t-closeness: ONE corpus-sized aggregation; the global-stats side
+    // is a single row riding a broadcast nested loop (constant-size),
+    // never a shuffled cartesian
+    val tc = planOf("q_t_closeness")
+    assert(!tc.contains("CartesianProduct"), tc)
+    assert(tc.contains("HashAggregate"), tc)
+
+    // scene changes: demux + SAD are per-partition; the whole query
+    // plans with ZERO exchanges before the result
+    val sc = planOf("m_scene_changes")
+    assert(!sc.contains("Exchange"), s"scene diffs shuffle:\n$sc")
+    assert(!sc.contains("Join"), sc)
+  }
 }
