@@ -300,6 +300,29 @@ object EventQueries {
         .groupBy("path").agg(count(lit(1)).as("n_users"))
     }),
 
+    // ---- first-order Markov transition matrix over each user's
+    //      event sequence: P(next | prev) as exact ppm of the prev
+    //      type's outgoing transitions — the sequence statistic a
+    //      behavioral LM (or curriculum sampler) is fit from. Shapes:
+    //      one user_id-keyed lag window (per-user state, shared
+    //      shuffle), a map-combinable pair count collapsing to
+    //      #types² rows, and a broadcast equi-join against the
+    //      #types-sized marginals — the corpus never shuffles twice ----
+    "e_markov_transitions" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val pairs = t(s, dir, "events")
+        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // reused for the marginal and the join
+      val marg = pairs.groupBy("prev").agg(sum(col("n")).as("tot"))
+      pairs.join(broadcast(marg), "prev")
+        .select(col("prev"), col("next"), col("n"),
+          expr("n * 1000000 div tot").as("p_ppm"))
+    }),
+
     // ---- SCD-2 dimension build: compress each user's event_type
     //      history into validity intervals [valid_from, valid_to),
     //      open-ended for the current state. One shuffle on user_id;
@@ -615,6 +638,17 @@ object EventQueries {
         |      AS path
         |  FROM events GROUP BY user_id)
         |SELECT path, COUNT(*) AS n_users FROM p GROUP BY path""".stripMargin,
+
+    "e_markov_transitions" ->
+      """WITH p AS (SELECT user_id, event_type AS next,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS prev
+        |  FROM events),
+        |pc AS (SELECT prev, next, COUNT(*) AS n FROM p
+        |  WHERE prev IS NOT NULL GROUP BY prev, next),
+        |mg AS (SELECT prev, SUM(n) AS tot FROM pc GROUP BY prev)
+        |SELECT pc.prev, pc.next, pc.n, pc.n * 1000000 // mg.tot AS p_ppm
+        |FROM pc JOIN mg USING (prev)""".stripMargin,
 
     "e_scd2_intervals" ->
       """WITH c AS (SELECT user_id, event_type, ts, event_id,

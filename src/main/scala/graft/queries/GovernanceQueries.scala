@@ -192,6 +192,31 @@ object GovernanceQueries {
         .withColumn("diverse", col("l_distinct") >= l)
     }),
 
+    // ---- differential-privacy contribution bounding: the
+    //      deterministic half of a DP release (the noise is sampled at
+    //      release time; the CLIPPING and its cost are fixed data
+    //      properties worth auditing ahead). Per-user order counts are
+    //      clipped at C = 5; the audit reports the raw vs clipped
+    //      aggregate, how many users were clipped, the lost mass, and
+    //      the resulting L1 sensitivity (= C — what the Laplace scale
+    //      would be calibrated to). Shapes: one map-combinable
+    //      per-user count, one tiny agg over users — no joins, no
+    //      windows, nothing corpus-sized shuffles twice. ----
+    "q_dp_contribution" -> ((s, dir) => {
+      val cap = 5L
+      val per = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      per.agg(count(lit(1)).as("n_users"),
+        sum(col("n")).as("raw_sum"),
+        sum(least(col("n"), lit(cap))).as("clipped_sum"),
+        sum(when(col("n") > cap, 1L).otherwise(0L)).as("n_clipped"),
+        max(col("n")).as("max_contribution"))
+        .select(col("n_users"), col("raw_sum"), col("clipped_sum"),
+          (col("raw_sum") - col("clipped_sum")).as("clip_loss"),
+          col("n_clipped"), col("max_contribution"),
+          lit(cap).as("l1_sensitivity"))
+    }),
+
     // ---- t-closeness on q_k_anonymity's QI groups: a k-anonymous,
     //      l-diverse group can STILL leak if its sensitive-value
     //      DISTRIBUTION differs sharply from the corpus-wide one (all
@@ -385,6 +410,18 @@ object GovernanceQueries {
         |  COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'debt'
         |    WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END) >= 2 AS diverse
         |FROM customer GROUP BY 1, 2 HAVING COUNT(*) >= 10""".stripMargin,
+
+    "q_dp_contribution" ->
+      """WITH per AS (SELECT o_custkey, COUNT(*) AS n
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT COUNT(*) AS n_users,
+        |  SUM(n) AS raw_sum,
+        |  SUM(LEAST(n, 5)) AS clipped_sum,
+        |  SUM(n) - SUM(LEAST(n, 5)) AS clip_loss,
+        |  SUM(CASE WHEN n > 5 THEN 1 ELSE 0 END) AS n_clipped,
+        |  MAX(n) AS max_contribution,
+        |  5 AS l1_sensitivity
+        |FROM per""".stripMargin,
 
     "q_t_closeness" ->
       """WITH g AS (

@@ -94,24 +94,14 @@ object SketchQueries {
     //      sketch BROADCAST onto the distinct keys. The sketch size is
     //      independent of stream length — that is the 100 TB story. ----
     "q_cms_freq" -> ((s, dir) => {
+      import graft.operators.Cms
       val rows = t(s, dir, "documents").select(col("source").as("key"))
-      def bucket(d: Int, c: org.apache.spark.sql.Column) =
-        Kmv.hash52(concat(lit(s"cms$d:"), c)) % cmsWidth
-      val sketch = rows
-        .select(posexplode(array((0 until cmsDepth).map(d =>
-          bucket(d, col("key"))): _*)).as(Seq("d", "b")))
-        .groupBy("d", "b").agg(count(lit(1)).as("c"))
+      val sketch = Cms.counters(rows, col("key"), cmsDepth, cmsWidth)
         .localCheckpoint(false) // ≤ depth*width rows, probed 3 times
       val keys = rows.groupBy("key").agg(count(lit(1)).as("exact"))
-      val probed = (0 until cmsDepth).foldLeft(keys) { (acc, d) =>
-        acc.join(broadcast(sketch.filter(col("d") === d)
-            .select(col("b").as(s"b$d"), col("c").as(s"c$d"))),
-          bucket(d, col("key")) === col(s"b$d"))
-          .drop(s"b$d")
-      }
-      probed.select(col("key"), col("exact"),
-        least(col("c0"), col("c1"), col("c2")).as("est"),
-        (least(col("c0"), col("c1"), col("c2")) - col("exact")).as("overcount"))
+      Cms.probe(keys, sketch, cmsDepth, cmsWidth)
+        .select(col("key"), col("exact"), col("est"),
+          (col("est") - col("exact")).as("overcount"))
     })
   )
 

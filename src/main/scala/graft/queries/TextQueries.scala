@@ -41,6 +41,38 @@ object TextQueries {
         Text.qualityScore(col("text"), tok).as("quality"))
     }),
 
+    // ---- readability scoring (Flesch-Kincaid grade + Flesch reading
+    //      ease): the classic curriculum/difficulty signal, computed
+    //      from three codegen'd regex counts — whitespace words,
+    //      [.!?]+ sentence breaks, [aeiouy]+ vowel groups as the
+    //      syllable heuristic (vowel groups never span the space
+    //      between words, so one whole-text scan equals the per-word
+    //      sum). Both scores are exact fixed-point INTEGER arithmetic
+    //      (floor-div, e2/e3 scale) so the oracle replays them
+    //      bit-for-bit — no doubles anywhere. greatest(1, ·) guards
+    //      division on punctuation-free docs (this fixture's texts —
+    //      TextSpec exercises real sentence breaks synthetically).
+    //      Shape: pure map-side projection, zero shuffles. ----
+    "t_readability" -> ((s, dir) => {
+      val words = greatest(lit(1L),
+        size(Text.tokens(col("text"))).cast("long"))
+      val sents = greatest(lit(1L),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+          .cast("long"))
+      val syls = greatest(lit(1L),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+          .cast("long"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), words.as("n_words"),
+          sents.as("n_sentences"), syls.as("n_syllables"))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          expr("n_words * 39 div n_sentences + n_syllables * 1180 div n_words - 1559")
+            .as("fk_e2"),
+          expr("206835 - n_words * 1015 div n_sentences - n_syllables * 84600 div n_words")
+            .as("fre_e3"))
+    }),
+
     // ---- per-source quality calibration: percent_rank of the quality
     //      score WITHIN each source, so thresholds are comparable
     //      across domains with different score distributions (a 0.9
@@ -975,6 +1007,21 @@ object TextQueries {
          |  + 0.3 * least(1.0, CAST(len($tok) AS DOUBLE) / 50.0)
          |  + 0.2 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) AS quality
          |FROM documents""".stripMargin,
+
+    "t_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |    greatest(1, len(string_split(text, ' '))) AS n_words,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |      AS n_sentences,
+        |    greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+')))
+        |      AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  n_words * 39 // n_sentences + n_syllables * 1180 // n_words
+        |    - 1559 AS fk_e2,
+        |  206835 - n_words * 1015 // n_sentences
+        |    - n_syllables * 84600 // n_words AS fre_e3
+        |FROM c""".stripMargin,
 
     "t_quality_calibrated" ->
       s"""SELECT doc_id, source,

@@ -34,4 +34,20 @@ object SketchStream {
     Hll.rhoRows(stream, groupCol, valueCol)
       .groupBy("g", "reg").agg(max(col("rho")).as("mj"))
   }
+
+  /** Streaming count-min maintenance: the same per-row cell explosion
+    * as batch [[graft.operators.Cms.cells]], counted as a streaming
+    * aggregation — bounded state (≤ depth·width cells), merged by SUM.
+    * Point-probe a snapshot with [[graft.operators.Cms.probe]].
+    * NOTE the delivery contract differs from HLL: SUM is NOT
+    * idempotent, so this twin requires exactly-once sources (which
+    * Structured Streaming's replay + state checkpointing provides);
+    * at-least-once re-sends would double-count.
+    */
+  def cmsCounters(stream: DataFrame, keyCol: Column, depth: Int,
+                  width: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    graft.operators.Cms.cells(stream, keyCol, depth, width)
+      .groupBy("d", "b").agg(count(lit(1)).as("c"))
+  }
 }

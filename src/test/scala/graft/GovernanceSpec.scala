@@ -138,4 +138,27 @@ class GovernanceSpec extends SparkSpec {
     assert(first.getAs[Long]("n") == n)
     assert(first.getAs[Long]("emd_e6") == want)
   }
+
+  test("q_dp_contribution: clipping identities hold against raw counts") {
+    val r = SparkEntry.queries("q_dp_contribution")(spark, dir).head()
+    val (users, raw, clipped, loss, nClip, maxC) =
+      (r.getAs[Long]("n_users"), r.getAs[Long]("raw_sum"),
+        r.getAs[Long]("clipped_sum"), r.getAs[Long]("clip_loss"),
+        r.getAs[Long]("n_clipped"), r.getAs[Long]("max_contribution"))
+    assert(r.getAs[Long]("l1_sensitivity") == 5L)
+    assert(raw == Tables.t(spark, dir, "orders").count())
+    assert(clipped <= raw && loss == raw - clipped)
+    // clipped total is bounded by users*C from above and by the
+    // unclipped-below-C mass from below
+    assert(clipped <= users * 5)
+    assert(nClip >= 0 && nClip <= users)
+    assert(maxC * 1L >= raw / math.max(users, 1))
+    // independent replay from the base table
+    val per = Tables.t(spark, dir, "orders")
+      .groupBy("o_custkey").count().collect().map(_.getLong(1))
+    assert(users == per.length)
+    assert(clipped == per.map(math.min(_, 5L)).sum)
+    assert(nClip == per.count(_ > 5L))
+    assert(maxC == per.max)
+  }
 }

@@ -423,4 +423,50 @@ class PropertySpec extends SparkSpec {
       assert(got === refStages(events), s"seed ${900 + s}")
     }
   }
+
+  test("markov transitions == brute-force per-user bigram replay") {
+    import spark.implicits._
+    val ev = for {
+      user <- Gen.chooseNum(0L, 4L)
+      us <- Gen.chooseNum(0L, 100000L)
+      typ <- Gen.oneOf("a", "b", "c")
+    } yield (user, us, typ)
+    def ref(events: Seq[(Long, Long, String)]): Map[(String, String), (Long, Long)] = {
+      // events sorted by (ts, event_id) per user — event_id is the
+      // original index, matching the engine's tiebreak
+      val pairs = events.zipWithIndex.groupBy(_._1._1).toSeq.flatMap {
+        case (_, es) =>
+          es.sortBy { case ((_, us, _), i) => (us, i) }
+            .map(_._1._3).sliding(2).collect {
+              case Seq(p, n) => (p, n)
+            }
+      }
+      val cnt = pairs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val marg = cnt.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+      cnt.map { case ((p, n), c) => (p, n) -> (c, c * 1000000L / marg(p)) }
+    }
+    (1L to 8L).foreach { s =>
+      val events = sample(Gen.listOfN(80, ev), 1700 + s)
+      val df = events.zipWithIndex
+        .map { case ((u, us, typ), i) => (i.toLong, us, u, typ) }
+        .toDF("event_id", "us", "user_id", "event_type")
+        .withColumn("ts", expr("timestamp_micros(us)"))
+      df.createOrReplaceTempView("markov_tmp")
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val pairs = df
+        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+      val marg = pairs.groupBy("prev").agg(sum(col("n")).as("tot"))
+      val got = pairs.join(marg, "prev")
+        .select(col("prev"), col("next"), col("n"),
+          expr("n * 1000000 div tot").as("p_ppm"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(got === ref(events), s"seed ${1700 + s}")
+    }
+  }
 }

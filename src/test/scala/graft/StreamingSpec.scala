@@ -892,6 +892,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS counters equal batch counters after every prefix") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val keys = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select($"source").collect().map(_.getString(0))
+    def batch(rows: Seq[String]) =
+      graft.operators.Cms.counters(
+        rows.map(Tuple1(_)).toDF("key"), col("key"), 3, 16)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+    val mem = MemoryStream[String]
+    val cnt = graft.streaming.SketchStream.cmsCounters(
+      mem.toDF().toDF("key"), col("key"), 3, 16)
+    val q = cnt.writeStream.format("memory").queryName("cmscnt")
+      .outputMode("complete").start()
+    def current() = spark.sql("SELECT * FROM cmscnt").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    try {
+      mem.addData(keys.take(70).toSeq)
+      q.processAllAvailable()
+      assert(current() == batch(keys.take(70).toSeq))
+      mem.addData(keys.drop(70).toSeq)
+      q.processAllAvailable()
+      assert(current() == batch(keys.toSeq))
+    } finally q.stop()
+  }
+
   test("winnow screen: planted shared run flagged, novel doc passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -170,4 +170,41 @@ class TextSpec extends SparkSpec {
     assert(hi > lo)
     assert(hi <= 1.0 && lo >= 0.0)
   }
+
+  test("t_readability counts hand-checked on punctuated synthetic text") {
+    import spark.implicits._
+    // "the cat sat. it ran! did it? yes" — 8 words, 3 sentence breaks,
+    // vowel groups: e/a/a/i/a/i/i/e = 8 (one per word here)
+    val doc = Seq((1L, "the cat sat. it ran! did it? yes"))
+      .toDF("doc_id", "text").createOrReplaceTempView("readtmp")
+    val words = greatest(lit(1L),
+      size(Text.tokens(col("text"))).cast("long"))
+    val sents = greatest(lit(1L),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+        .cast("long"))
+    val syls = greatest(lit(1L),
+      size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+        .cast("long"))
+    val r = spark.table("readtmp")
+      .select(words.as("w"), sents.as("s"), syls.as("y")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((8L, 3L, 8L)))
+    // fk_e2 replay: 8*39//3 + 8*1180//8 - 1559 = 104 + 1180 - 1559
+    assert(8L * 39 / 3 + 8L * 1180 / 8 - 1559 == -275L)
+  }
+
+  test("t_readability: punctuation-free fixture docs fall back to 1 sentence") {
+    val out = SparkEntry.queries("t_readability")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_sentences") == 1L)
+      assert(r.getAs[Long]("n_words") >= 1L)
+      assert(r.getAs[Long]("n_syllables") >= 1L)
+      // formula replay straight from the emitted counts
+      val (w, s, y) = (r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_sentences"), r.getAs[Long]("n_syllables"))
+      assert(r.getAs[Long]("fk_e2") == w * 39 / s + y * 1180 / w - 1559)
+      assert(r.getAs[Long]("fre_e3") == 206835 - w * 1015 / s - y * 84600 / w)
+    }
+  }
 }
