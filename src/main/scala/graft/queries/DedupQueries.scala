@@ -345,7 +345,52 @@ object DedupQueries {
     //      plagiarism/provenance pass runs at 100 TB. ----
     "d_winnow_pairs" -> ((s, dir) =>
       Dedup.winnowPairs(t(s, dir, "documents"), "doc_id",
-        Text.tokens(col("text")), k = 3, w = 4, dfCap = 20, minShared = 3))
+        Text.tokens(col("text")), k = 3, w = 4, dfCap = 20, minShared = 3)),
+
+    // ---- entity-resolution record linkage over a dirtied registry:
+    //      every 7th customer gets a typo'd twin (first key digit →
+    //      'x', rid + 1e6), and the linker must recover the twins
+    //      WITHOUT a cartesian. Two blocking passes over DISJOINT
+    //      digit windows of the name (chars 10–14 and 15–18): a typo
+    //      corrupts exactly one window, so every true pair survives
+    //      the other pass — the multi-pass blocking guarantee. Each
+    //      pass is an equi-join on its block key under the suite's
+    //      df-cap discipline (blocks over 50 rows are dropped
+    //      STRUCTURALLY, the same cap that tames stop-shingles in the
+    //      Jaccard family — here it drops the degenerate high-digit
+    //      blocks a sequential key space produces, and recall rides
+    //      on the healthy pass). Union → levenshtein ≤ 2 verify.
+    //      Near-key neighbors (…01234 vs …01239) legitimately match
+    //      too — linkage finds NEAR names; the planted twins are the
+    //      known recall subset, spec-asserted. ----
+    "d_record_linkage" -> ((s, dir) => {
+      val blockCap = 50L
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("rid"), col("c_name").as("name"))
+      val dirty = cust.filter(col("rid") % 7 === 0)
+        .select((col("rid") + 1000000L).as("rid"),
+          concat(substring(col("name"), 1, 9), lit("x"),
+            substring(col("name"), 11, 8)).as("name"))
+      val reg = cust.unionByName(dirty).localCheckpoint(false)
+      def pass(off: Int, len: Int) = {
+        val blk = reg.select(col("rid"), col("name"),
+          substring(col("name"), off, len).as("blk"))
+        val ok = blk.groupBy("blk").agg(count(lit(1)).as("bn"))
+          .filter(col("bn") <= blockCap).select("blk")
+        val capped = blk.join(ok, Seq("blk"))
+        val a = capped.select(col("blk"), col("rid").as("rid_a"),
+          col("name").as("name_a"))
+        val b = capped.select(col("blk").as("blk2"), col("rid").as("rid_b"),
+          col("name").as("name_b"))
+        a.join(b, col("blk") === col("blk2"))
+          .filter(col("rid_a") < col("rid_b"))
+          .select(col("rid_a"), col("rid_b"), col("name_a"), col("name_b"))
+      }
+      pass(10, 5).unionByName(pass(15, 4)).distinct()
+        .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("lev") <= 2)
+        .select(col("rid_a"), col("rid_b"), col("lev"))
+    })
   )
 
   // ---------- oracle SQL ----------
@@ -783,6 +828,31 @@ object DedupQueries {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  COUNT(*) AS n_shared
          |FROM ee a JOIN ee b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
+
+    // identical two-pass capped blocking + levenshtein verify
+    "d_record_linkage" ->
+      """WITH reg AS MATERIALIZED (
+        |  SELECT c_custkey AS rid, c_name AS name FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000,
+        |    substring(c_name, 1, 9) || 'x' || substring(c_name, 11, 8)
+        |  FROM customer WHERE c_custkey % 7 = 0),
+        |p1 AS (SELECT rid, name, substring(name, 10, 5) AS blk FROM reg),
+        |k1 AS (SELECT blk FROM p1 GROUP BY blk HAVING COUNT(*) <= 50),
+        |c1 AS (SELECT p1.* FROM p1 JOIN k1 USING (blk)),
+        |p2 AS (SELECT rid, name, substring(name, 15, 4) AS blk FROM reg),
+        |k2 AS (SELECT blk FROM p2 GROUP BY blk HAVING COUNT(*) <= 50),
+        |c2 AS (SELECT p2.* FROM p2 JOIN k2 USING (blk)),
+        |cand AS (
+        |  SELECT DISTINCT rid_a, rid_b, name_a, name_b FROM (
+        |    SELECT a.rid AS rid_a, b.rid AS rid_b,
+        |      a.name AS name_a, b.name AS name_b
+        |    FROM c1 a JOIN c1 b ON a.blk = b.blk AND a.rid < b.rid
+        |    UNION ALL
+        |    SELECT a.rid, b.rid, a.name, b.name
+        |    FROM c2 a JOIN c2 b ON a.blk = b.blk AND a.rid < b.rid))
+        |SELECT rid_a, rid_b, levenshtein(name_a, name_b) AS lev
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 2""".stripMargin
   )
 }

@@ -357,4 +357,19 @@ class DedupSpec extends SparkSpec {
       .as[Seq[Long]].head().length
     assert(n > 10 && n < 97, s"fingerprint density off: $n of 97 distinct kgrams")
   }
+
+  test("d_record_linkage: every planted typo twin is recovered (full recall)") {
+    val out = SparkEntry.queries("d_record_linkage")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val planted = Tables.t(spark, "/root/testdata/sf0.001", "customer")
+      .filter(col("c_custkey") % 7 === 0).count()
+    val twins = out.filter { case (a, b, _) => b - a == 1000000L && a % 7 == 0 }
+    assert(twins.length == planted.toInt,
+      s"recovered ${twins.length} of $planted planted twins")
+    // the typo is a single substitution — lev must be exactly 1
+    twins.foreach { case (_, _, lev) => assert(lev == 1) }
+    // candidate discipline: every emitted pair really is lev <= 2
+    out.foreach { case (_, _, lev) => assert(lev >= 0 && lev <= 2) }
+  }
 }

@@ -532,5 +532,25 @@ class PlanSpec extends SparkSpec {
     val sc = planOf("m_scene_changes")
     assert(!sc.contains("Exchange"), s"scene diffs shuffle:\n$sc")
     assert(!sc.contains("Join"), sc)
+
+    // record linkage: both blocking passes are equi-joins on the block
+    // key — never a cartesian or nested loop, even though the verify
+    // predicate (levenshtein) is itself non-equi
+    val rl = planOf("d_record_linkage")
+    assert(!rl.contains("CartesianProduct"), rl)
+    assert(!rl.contains("BroadcastNestedLoopJoin"), rl)
+
+    // markov: pair counts collapse BEFORE the marginal join; the join
+    // is broadcast (#types² rows), the corpus shuffles once for the lag
+    val mk = planOf("e_markov_transitions")
+    assert(!mk.contains("CartesianProduct"), mk)
+
+    // readability: one map-side projection, zero shuffles
+    val rd = planOf("t_readability")
+    assert(!rd.contains("Exchange"), s"readability shuffles:\n$rd")
+
+    // DP contribution audit: two cascaded aggs, no join
+    val dp = planOf("q_dp_contribution")
+    assert(!dp.contains("Join"), dp)
   }
 }
