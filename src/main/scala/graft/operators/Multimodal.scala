@@ -435,12 +435,34 @@ object Multimodal {
     * side of the audio round-trip gate. `id % 50 + 10` samples at
     * 8 kHz, sample(i) = (id·31 + i·17) mod 2¹⁶ − 2¹⁵.
     */
-  private[graft] def renderWav(id: Long): Array[Byte] = {
-    val n = (id % 50 + 10).toInt
+  private[graft] def renderWav(id: Long): Array[Byte] =
+    renderWavPcm((0 until (id % 50 + 10).toInt).map(i =>
+      ((id * 31 + i * 17) % 65536 - 32768).toInt))
+
+  /** Activity-structured PCM: 8 blocks of 8 samples; block b is LOUD
+    * (|s| ≥ 16384, alternating sign) when (id + b) % 3 != 0 and QUIET
+    * (|s| ≤ 64) otherwise — so energy-based voice-activity detection
+    * has exact ground truth with per-id-varying segment boundaries.
+    */
+  private[graft] def renderWavSegments(id: Long): Array[Byte] =
+    renderWavPcm((0 until 64).map { i =>
+      val loud = (id + i / 8) % 3 != 0
+      if (loud)
+        ((if (i % 2 == 1) 1 else -1) *
+          (16384 + (id * 31 + i * 17) % 16384)).toInt
+      else ((id * 31 + i * 17) % 129 - 64).toInt
+    })
+
+  /** 16-bit mono 8 kHz WAVE through the REAL encoder, from explicit
+    * sample values — the generate side shared by [[renderWav]] and
+    * [[renderWavSegments]].
+    */
+  private[graft] def renderWavPcm(samples: Seq[Int]): Array[Byte] = {
+    val n = samples.length
     val data = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
-      val s = ((id * 31 + i * 17) % 65536 - 32768).toInt
+      val s = samples(i)
       data(2 * i) = (s & 0xFF).toByte            // little-endian PCM
       data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
       i += 1

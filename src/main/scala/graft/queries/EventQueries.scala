@@ -300,6 +300,27 @@ object EventQueries {
         .groupBy("path").agg(count(lit(1)).as("n_users"))
     }),
 
+    // ---- distinct users per hour via the mergeable HLL sketch — the
+    //      sketch × time-window composition a continuous monitor runs
+    //      (per-hour register tables persist; any coarser rollup is a
+    //      per-register MAX fold, never a recount). Exact countDistinct
+    //      beside the estimate so every row self-reports its error.
+    //      Shapes: two bounded aggs (≤ 1024 rows/hour cross the
+    //      exchange) + countDistinct's expand — zero windows ----
+    "e_hll_hourly" -> ((s, dir) => {
+      import graft.operators.Hll
+      val e = t(s, dir, "events")
+        .select(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("user_id").cast("string").as("v"))
+      val est = Hll.estimate(Hll.registers(e, col("hour"), col("v")))
+      val ex = e.groupBy(col("hour").as("g"))
+        .agg(countDistinct(col("v")).as("n_exact"))
+      est.join(ex, "g")
+        .select(col("g").as("hour"), col("n_exact"), col("v_zero"),
+          col("s_scaled"), col("est_distinct"))
+    }),
+
     // ---- first-order Markov transition matrix over each user's
     //      event sequence: P(next | prev) as exact ppm of the prev
     //      type's outgoing transitions — the sequence statistic a
@@ -638,6 +659,20 @@ object EventQueries {
         |      AS path
         |  FROM events GROUP BY user_id)
         |SELECT path, COUNT(*) AS n_users FROM p GROUP BY path""".stripMargin,
+
+    "e_hll_hourly" -> {
+      val hll = graft.operators.Hll.estimateSql(
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS g,
+          |  CAST(user_id AS VARCHAR) AS v FROM events""".stripMargin)
+      s"""WITH est AS ($hll),
+         |ex AS (SELECT strftime(date_trunc('hour', ts),
+         |      '%Y-%m-%d %H:%M:%S') AS g,
+         |    COUNT(DISTINCT user_id) AS n_exact
+         |  FROM events GROUP BY 1)
+         |SELECT est.g AS hour, ex.n_exact, est.v_zero, est.s_scaled,
+         |  est.est_distinct
+         |FROM est JOIN ex ON est.g = ex.g""".stripMargin
+    },
 
     "e_markov_transitions" ->
       """WITH p AS (SELECT user_id, event_type AS next,

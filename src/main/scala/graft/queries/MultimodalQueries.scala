@@ -223,6 +223,41 @@ object MultimodalQueries {
           col("x_e3") * col("x_e3") + col("y_e3") * col("y_e3"))
     }),
 
+    // ---- energy-based activity segmentation (VAD shape) over REAL
+    //      decoded PCM: activity-structured WAVs (8-sample blocks,
+    //      loud |s| >= 16384 when (id+block)%3 != 0, quiet |s| <= 64),
+    //      frame |s|-energy from the javax.sound decode, frames above
+    //      65536 merged into segments by the gaps-and-islands
+    //      row_number trick. The construction separates by 256x, so
+    //      detection is exact and the oracle replays the generator.
+    //      Shapes: per-partition decode + map-side frame algebra; the
+    //      islands window partitions per doc, bounded by frames/doc ----
+    "m_audio_segments" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val wavs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, Multimodal.renderWavSegments(id))))
+        .toDF("id", "content")
+      val frames = Multimodal.audioSamples(wavs).toDF()
+        .filter(col("samples").isNotNull)
+        .select(col("id"),
+          explode(expr("sequence(0, int(size(samples) div 8) - 1)")).as("f"),
+          col("samples"))
+        .select(col("id"), col("f"),
+          expr("aggregate(sequence(0, 7), cast(0 as bigint), (acc, n) -> " +
+            "acc + abs(cast(element_at(samples, f * 8 + n + 1) as bigint)))")
+            .as("energy"))
+        .filter(col("energy") > 65536L)
+      val grp = col("f") - row_number().over(
+        Window.partitionBy("id").orderBy(col("f").asc))
+      frames.withColumn("grp", grp)
+        .groupBy(col("id"), col("grp"))
+        .agg(min(col("f")).as("seg_start"), max(col("f")).as("seg_end"),
+          count(lit(1)).as("n_frames"), sum(col("energy")).as("energy_sum"))
+        .drop("grp")
+    }),
+
     // ---- REAL WAV header parsing: build canonical RIFF/fmt headers
     //      with rate/channels derived from doc_id (little-endian words
     //      byte-swapped at build time), read them back through the
@@ -457,6 +492,25 @@ object MultimodalQueries {
         |  8 AS w, 6 AS h,
         |  CAST(3 * SUM((doc_id * 31 + f * 7 + p) % 256) AS BIGINT) AS px_sum
         |FROM px GROUP BY doc_id, f""".stripMargin,
+
+    // closed-form replay of the activity generator: i = f·8 + n,
+    // loud blocks (id+f)%3 != 0 carry |s| >= 16384, quiet <= 64;
+    // islands of frames over 65536 merge via the row_number trick
+    "m_audio_segments" ->
+      """WITH fr AS (SELECT doc_id, unnest(range(0, 8)) AS f FROM documents),
+        |sm AS (SELECT doc_id, f, unnest(range(0, 8)) AS n FROM fr),
+        |sv AS (SELECT doc_id, f,
+        |    SUM(ABS(CASE WHEN (doc_id + f) % 3 <> 0
+        |      THEN (CASE WHEN (f*8+n) % 2 = 1 THEN 1 ELSE -1 END)
+        |           * (16384 + (doc_id*31 + (f*8+n)*17) % 16384)
+        |      ELSE (doc_id*31 + (f*8+n)*17) % 129 - 64 END)) AS energy
+        |  FROM sm GROUP BY doc_id, f),
+        |act AS (SELECT doc_id, f, energy,
+        |    f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+        |  FROM sv WHERE energy > 65536)
+        |SELECT doc_id AS id, MIN(f) AS seg_start, MAX(f) AS seg_end,
+        |  COUNT(*) AS n_frames, SUM(energy) AS energy_sum
+        |FROM act GROUP BY doc_id, grp""".stripMargin,
 
     // closed-form replay of the scene generating function
     // v(f,p) = (id·31 + (f//4)·131 + f·3 + p·5) mod 256: the SAD of

@@ -400,6 +400,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("m_audio_segments: islands match the block pattern ground truth") {
+    import spark.implicits._
+    // (id + b) % 3 != 0 marks loud blocks; for id = 7 that is blocks
+    // {0,1, 3,4, 6,7} -> three segments
+    val out = SparkEntry.queries("m_audio_segments")(
+      spark, "/root/testdata/sf0.001")
+      .filter(col("id") === 7L).orderBy(col("seg_start"))
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0, 1, 2L), (3, 4, 2L), (6, 7, 2L)))
+    // and globally: every segment's frames are truly loud blocks
+    val all = SparkEntry.queries("m_audio_segments")(
+      spark, "/root/testdata/sf0.001").collect()
+    all.foreach { r =>
+      val (id, s, e) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      (s to e).foreach(b => assert((id + b) % 3 != 0,
+        s"id $id segment [$s,$e] contains quiet block $b"))
+      assert(r.getLong(3) == (e - s + 1).toLong)
+    }
+  }
+
   test("aviSceneDiffs: strict on mixed/malformed clips, lenient per id") {
     import spark.implicits._
     // a clip whose strf says 24bpp BI_RGB but whose frame is truncated
