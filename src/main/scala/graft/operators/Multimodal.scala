@@ -25,6 +25,13 @@ import graft.model
   */
 object Multimodal {
 
+  // javax.imageio defaults to a DISK-backed stream cache — every
+  // ImageIO.read/write spills the payload to a temp file first, so
+  // decode throughput rides the state of the temp filesystem (observed
+  // 6-8x swings on the same fixture). In-memory payloads never need
+  // it; MemoryCache streams keep the per-partition decode CPU-bound.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaMeta(n_bytes: Long, mime: String, digest: String)
   final case class MediaFeatures(id: Long, width: Option[Int],
                                  height: Option[Int], channels: Option[Int],
