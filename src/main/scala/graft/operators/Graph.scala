@@ -246,8 +246,21 @@ object Graph {
     var und = edges.select(col(srcC).as("s"), col(dstC).as("d"))
       .union(edges.select(col(dstC).as("s"), col(srcC).as("d")))
       .distinct().localCheckpoint(false)
-    for (_ <- 1 to rounds) {
+    // fixpoint short-circuit: a round that removes no edge makes every
+    // later round an exact no-op (same edge set → same degree counts →
+    // same survivor set), so breaking early returns the IDENTICAL
+    // result as running the full budget — the oracle's unrolled rounds
+    // agree by the same argument. The count is cheap: `und` is already
+    // checkpointed.
+    var prevCount = und.count()
+    var r = 0
+    var stable = false
+    while (r < rounds && !stable) {
       und = peelRound(und, k).localCheckpoint(false)
+      val c = und.count()
+      stable = c == prevCount
+      prevCount = c
+      r += 1
     }
     und.groupBy(col("s").as("id")).agg(count(lit(1)).as("deg"))
   }
