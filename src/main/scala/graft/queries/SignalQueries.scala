@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Signal-processing queries over the event stream: seasonal
+  * decomposition, CUSUM changepoint detection, and a micro-batch
+  * watermark / late-arrival audit. These are the monitoring layer a
+  * training-data ingest pipeline runs on its OWN telemetry (ingest
+  * volume per hour, arrival lateness) before trusting a day's crawl.
+  *
+  * Scale shape shared by all three: the raw event table is reduced to
+  * a TIME-BOUNDED series first (one row per hour / per ingest batch —
+  * cardinality grows with wall-clock time, not with corpus size), via
+  * map-combinable aggregations; only that small series ever enters an
+  * ordered window. At 100 TB the events scan is the distributed part;
+  * the unpartitioned window runs over a few thousand rows. The driver
+  * never sees per-event rows.
+  *
+  * Numeric contract (the suite's fixed-point discipline): every
+  * cross-row sum is an exact integer (micro-units, `*_e6`) or exact
+  * DECIMAL, so results are partition-order invariant and the DuckDB
+  * hash gate applies bit-for-bit. The one division per query happens
+  * on a scalar double built from identical exact integers in both
+  * engines (IEEE-deterministic), then rounds to fixed point.
+  */
+object SignalQueries {
+
+  /** ±12h centered moving average window → 25 rows when complete. */
+  private val trendHalf = 12
+  private val trendWin = 2 * trendHalf + 1
+
+  /** CUSUM alarm threshold: cumulative deviation above/below target
+    * exceeding 4 average-hours' worth of volume. */
+  private val cusumHours = 4
+
+  /** Watermark audit: transport jitter bound (seconds), micro-batch
+    * trigger width (seconds), and the stream's watermark allowance. */
+  private val jitterModSec = 900
+  private val triggerSec = 60
+  private val wmDelaySec = 600
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- classical additive decomposition of the hourly ingest
+    //      volume: trend = ±12h centered moving average, seasonal =
+    //      per-hour-of-day mean of the detrended series, remainder.
+    //      All series values are exact e6 micro-units; trend/seasonal/
+    //      remainder are carried at ×25 scale (the window width) so
+    //      the moving average never divides — `25·y − Σwin(y)` is the
+    //      detrended value times 25, integer-exact. The only division
+    //      (seasonal mean over ~28 samples per hod) is one scalar
+    //      double op rounded back to a long. Edges (incomplete ±12h
+    //      window) carry NULL trend/remainder and are excluded from
+    //      the seasonal fit, as in textbook MA decomposition. ----
+    "e_seasonal_decompose" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(col("value").cast("decimal(18,6)")) * 1000000)
+            .cast("long").as("y_e6"))
+      val w = Window.orderBy("h").rowsBetween(-trendHalf, trendHalf)
+      val det = hourly
+        .withColumn("win_n", count(lit(1)).over(w))
+        .withColumn("t25", sum(col("y_e6")).over(w))
+        .select(col("h"), col("n_events"), col("y_e6"),
+          when(col("win_n") === trendWin, col("t25")).as("trend25_e6"),
+          when(col("win_n") === trendWin,
+            lit(trendWin) * col("y_e6") - col("t25")).as("detr25_e6"))
+        .localCheckpoint(false) // feeds the seasonal fit AND the output
+      val seas = det.filter(col("detr25_e6").isNotNull)
+        .groupBy(hour(col("h")).as("hod"))
+        .agg(round(sum(col("detr25_e6")).cast("double") /
+          count(lit(1))).cast("long").as("seasonal25_e6"))
+      det.join(broadcast(seas), hour(col("h")) === col("hod"), "left")
+        .select(col("h"), col("n_events"), col("y_e6"),
+          col("trend25_e6"), col("seasonal25_e6"),
+          (col("detr25_e6") - col("seasonal25_e6")).as("resid25_e6"))
+    }),
+
+    // ---- CUSUM changepoint screen on hourly event counts. The
+    //      textbook recursion C⁺_t = max(0, C⁺_{t−1} + x_t − μ) is not
+    //      window-expressible, but its closed form is: with prefix
+    //      sums S_t of (x_t − μ), C⁺_t = S_t − min_{0≤j≤t} S_j and
+    //      C⁻_t = max_{0≤j≤t} S_j − S_t, where the empty prefix
+    //      S_0 = 0 is part of the min/max (drop it and the first
+    //      row's excursion is silently absorbed) — a running sum plus
+    //      a 0-clamped running min/max, all exact longs at e6 scale (μ enters as the
+    //      floor-divided global mean, identical in both engines on
+    //      the non-negative sums). Alarm when either side exceeds
+    //      4 average-hours of cumulative drift. ----
+    "e_cusum_changepoint" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint(false) // scanned for μ AND for the series
+      val tgt = hourly.agg(
+        expr("(sum(x) * 1000000L) div count(1)").as("target_e6"))
+      val wRun = Window.orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hourly.crossJoin(broadcast(tgt))
+        .withColumn("s_e6",
+          sum(col("x") * 1000000L - col("target_e6")).over(wRun))
+        .withColumn("cusum_pos_e6",
+          col("s_e6") - least(lit(0L), min(col("s_e6")).over(wRun)))
+        .withColumn("cusum_neg_e6",
+          greatest(lit(0L), max(col("s_e6")).over(wRun)) - col("s_e6"))
+        .select(col("h"), col("x"), col("s_e6"),
+          col("cusum_pos_e6"), col("cusum_neg_e6"),
+          (col("cusum_pos_e6") > lit(cusumHours) * col("target_e6") ||
+            col("cusum_neg_e6") > lit(cusumHours) * col("target_e6"))
+            .cast("int").as("alarm"))
+    }),
+
+    // ---- micro-batch watermark / late-arrival audit, the batch
+    //      replay of Structured Streaming's watermark semantics. The
+    //      fixture's event_id order IS event-time order (a vacuous
+    //      stream never exercises the late path), so arrival time is
+    //      modeled as ts + deterministic per-event transport jitter
+    //      (md5(event_id) mod 900 s — the multi-source collector whose
+    //      shards drain at different speeds). Events bucket into
+    //      60-second trigger micro-batches BY ARRIVAL; a batch's
+    //      watermark is the max event-time over all PRIOR batches
+    //      (Spark's global watermark update rule), and an event is
+    //      late iff it trails that watermark by more than the
+    //      10-minute allowance in whole seconds (the integer-second
+    //      metric is the definition — no microsecond boundary
+    //      hazards between engines). Rollup: per arrival-hour ingest
+    //      health (volume, late count, worst lateness). Shapes:
+    //      per-batch max (map-combinable), a window over the
+    //      wall-clock-bounded batch series, one broadcast join back —
+    //      the raw events are never globally ordered. ----
+    "e_late_arrivals" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("ts").cast("long").as("ts_s"),
+          (conv(substring(md5(col("event_id").cast("string")), 1, 4),
+            16, 10).cast("long") % jitterModSec).as("jit"))
+        .select(col("ts_s"),
+          expr(s"(ts_s + jit) div $triggerSec").as("batch"))
+      val bm = e.groupBy("batch").agg(max(col("ts_s")).as("b_max"))
+      val wPrior = Window.orderBy("batch")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wm = bm
+        .withColumn("wm_s", max(col("b_max")).over(wPrior))
+        .select(col("batch"), col("wm_s"))
+      val perHour = 3600 / triggerSec
+      e.join(broadcast(wm), "batch")
+        .withColumn("late_by",
+          when(col("wm_s") - col("ts_s") - wmDelaySec > 0,
+            col("wm_s") - col("ts_s") - wmDelaySec))
+        .groupBy(expr(s"(batch div $perHour) * 3600L").as("arr_hour_s"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("late_by")).as("n_late"),
+          max(col("late_by")).as("max_late_sec"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "e_seasonal_decompose" ->
+      s"""WITH hourly AS (
+         |  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n_events,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS y_e6
+         |  FROM events GROUP BY 1),
+         |tw AS (
+         |  SELECT h, n_events, y_e6,
+         |    COUNT(*) OVER w AS win_n,
+         |    CAST(SUM(y_e6) OVER w AS BIGINT) AS t25
+         |  FROM hourly
+         |  WINDOW w AS (ORDER BY h
+         |    ROWS BETWEEN $trendHalf PRECEDING AND $trendHalf FOLLOWING)),
+         |det AS (
+         |  SELECT h, n_events, y_e6,
+         |    CASE WHEN win_n = $trendWin THEN t25 END AS trend25_e6,
+         |    CASE WHEN win_n = $trendWin THEN $trendWin * y_e6 - t25 END AS detr25
+         |  FROM tw),
+         |seas AS (
+         |  SELECT EXTRACT(hour FROM h) AS hod,
+         |    CAST(ROUND(CAST(SUM(detr25) AS DOUBLE) / COUNT(detr25)) AS BIGINT)
+         |      AS seasonal25_e6
+         |  FROM det WHERE detr25 IS NOT NULL GROUP BY 1)
+         |SELECT d.h, d.n_events, d.y_e6, d.trend25_e6, s.seasonal25_e6,
+         |  d.detr25 - s.seasonal25_e6 AS resid25_e6
+         |FROM det d LEFT JOIN seas s ON EXTRACT(hour FROM d.h) = s.hod""".stripMargin,
+
+    "e_cusum_changepoint" ->
+      s"""WITH hourly AS (
+         |  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS x
+         |  FROM events GROUP BY 1),
+         |tgt AS (SELECT (SUM(x) * 1000000) // COUNT(*) AS target_e6 FROM hourly),
+         |run AS (
+         |  SELECT h, x, target_e6,
+         |    CAST(SUM(x * 1000000 - target_e6) OVER w AS BIGINT) AS s_e6
+         |  FROM hourly, tgt
+         |  WINDOW w AS (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |cs AS (
+         |  SELECT h, x, target_e6, s_e6,
+         |    s_e6 - LEAST(0, MIN(s_e6) OVER w) AS cusum_pos_e6,
+         |    GREATEST(0, MAX(s_e6) OVER w) - s_e6 AS cusum_neg_e6
+         |  FROM run
+         |  WINDOW w AS (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT h, x, s_e6, cusum_pos_e6, cusum_neg_e6,
+         |  CAST(cusum_pos_e6 > $cusumHours * target_e6
+         |    OR cusum_neg_e6 > $cusumHours * target_e6 AS INTEGER) AS alarm
+         |FROM cs""".stripMargin,
+
+    "e_late_arrivals" ->
+      s"""WITH e AS (
+         |  SELECT epoch_us(ts) // 1000000 AS ts_s,
+         |    (epoch_us(ts) // 1000000
+         |      + CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4)
+         |          AS BIGINT) % $jitterModSec) // $triggerSec AS batch
+         |  FROM events),
+         |bm AS (SELECT batch, MAX(ts_s) AS b_max FROM e GROUP BY 1),
+         |wm AS (
+         |  SELECT batch,
+         |    MAX(b_max) OVER (ORDER BY batch
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_s
+         |  FROM bm),
+         |j AS (
+         |  SELECT e.batch,
+         |    CASE WHEN w.wm_s - e.ts_s - $wmDelaySec > 0
+         |      THEN w.wm_s - e.ts_s - $wmDelaySec END AS late_by
+         |  FROM e JOIN wm w ON e.batch = w.batch)
+         |SELECT (batch // ${3600 / triggerSec}) * 3600 AS arr_hour_s,
+         |  COUNT(*) AS n_events, COUNT(late_by) AS n_late,
+         |  MAX(late_by) AS max_late_sec
+         |FROM j GROUP BY 1""".stripMargin
+  )
+}

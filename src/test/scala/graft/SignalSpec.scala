@@ -1,0 +1,73 @@
+package graft
+
+/** Semantic pins for the signal-processing queries (the DuckDB oracle
+  * already pins exact values; these assert the invariants that define
+  * each operator, independent of fixture content).
+  */
+class SignalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("e_seasonal_decompose: additive identity, edge nulls, volume conserved") {
+    val out = SparkEntry.queries("e_seasonal_decompose")(spark, dir)
+      .orderBy("h").collect()
+    assert(out.length > 30, "needs a multi-day hourly series")
+    val total = Tables.t(spark, dir, "events").count()
+    assert(out.map(_.getLong(1)).sum == total,
+      "hourly bucket counts must conserve the event count")
+    // exactly the first/last 12 rows lack the ±12 centered window
+    out.zipWithIndex.foreach { case (r, i) =>
+      val edge = i < 12 || i >= out.length - 12
+      assert(r.isNullAt(3) == edge, s"trend null-ness wrong at row $i")
+      assert(r.isNullAt(5) == edge, s"resid null-ness wrong at row $i")
+    }
+    // 25·y == trend + seasonal + resid wherever the window is complete
+    out.filterNot(_.isNullAt(3)).foreach { r =>
+      assert(25L * r.getLong(2) ==
+        r.getLong(3) + r.getLong(4) + r.getLong(5),
+        s"additive identity broken at ${r.get(0)}")
+    }
+  }
+
+  test("e_cusum_changepoint: closed form equals the textbook recursion") {
+    val out = SparkEntry.queries("e_cusum_changepoint")(spark, dir)
+      .orderBy("h").collect()
+    assert(out.nonEmpty)
+    // nonnegativity is structural: S_t minus a min over a frame
+    // CONTAINING t can't be negative
+    assert(out.forall(r => r.getLong(3) >= 0 && r.getLong(4) >= 0))
+    // replay the literal recursion C⁺_t = max(0, C⁺ + x·1e6 − μ)
+    val n = out.length
+    val totalX = out.map(_.getLong(1)).sum
+    val target = totalX * 1000000L / n
+    var cp = 0L; var cn = 0L
+    out.foreach { r =>
+      val dev = r.getLong(1) * 1000000L - target
+      cp = math.max(0L, cp + dev)
+      cn = math.max(0L, cn - dev)
+      assert(r.getLong(3) == cp, s"C+ mismatch at ${r.get(0)}")
+      assert(r.getLong(4) == cn, s"C- mismatch at ${r.get(0)}")
+      assert((r.getInt(5) == 1) == (cp > 4 * target || cn > 4 * target))
+    }
+    // final prefix sum is the floor-division residue: 0 <= S_n < n
+    assert(out.last.getLong(2) == totalX * 1000000L - n * target)
+  }
+
+  test("e_late_arrivals: late path exercised, counts conserved, lateness bounded") {
+    val out = SparkEntry.queries("e_late_arrivals")(spark, dir).collect()
+    val total = Tables.t(spark, dir, "events").count()
+    assert(out.map(_.getLong(1)).sum == total)
+    assert(out.forall(r => r.getLong(2) <= r.getLong(1)))
+    // max_late_sec present iff n_late > 0, and bounded by the jitter
+    // span (an event can trail the watermark by at most jitter − delay
+    // plus the trigger width)
+    out.foreach { r =>
+      assert(r.isNullAt(3) == (r.getLong(2) == 0))
+      if (!r.isNullAt(3))
+        assert(r.getLong(3) > 0 && r.getLong(3) < 900)
+    }
+    assert(out.map(_.getLong(2)).sum > 0,
+      "fixture + jitter must actually produce late events " +
+        "(a vacuous audit proves nothing)")
+  }
+}
