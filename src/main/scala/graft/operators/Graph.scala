@@ -179,6 +179,22 @@ object Graph {
     * equi-joins; neighborhoods are never enumerated in memory.
     */
   def triangleStats(edges: DataFrame): DataFrame = {
+    val (e, deg, od) = oriented(edges)
+    val tri = closedTriangles(od).agg(count(lit(1)).as("n_triangles"))
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri)
+  }
+
+  /** Normalize an edge list (undirected, dedup'd, no self-loops) and
+    * orient every edge from its (degree, id)-smaller endpoint. Returns
+    * (normalized edges (u, v), per-node degrees (n, deg), oriented
+    * edges (src, dst, ddeg)). deg is |V|-sized: left to AQE, which
+    * broadcasts the deg joins while it fits and falls back to a
+    * shuffle join when |V| outgrows that.
+    */
+  private def oriented(edges: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val Seq(aC, bC) = edges.columns.take(2).toSeq
     val e = edges
       .select(least(col(aC), col(bC)).as("u"),
@@ -193,26 +209,54 @@ object Graph {
     val uFirst = col("udeg") < col("vdeg") ||
       (col("udeg") === col("vdeg") && col("u") < col("v"))
     // oriented edge + the π-rank (deg, id) of its dst, needed to
-    // order the two legs of a wedge without another deg join.
-    // deg is |V|-sized: left to AQE, which broadcasts it while it
-    // fits and falls back to a shuffle join when |V| outgrows that
+    // order the two legs of a wedge without another deg join
     val od = e.join(du, "u").join(dv, "v")
       .select(
         when(uFirst, col("u")).otherwise(col("v")).as("src"),
         when(uFirst, col("v")).otherwise(col("u")).as("dst"),
         when(uFirst, col("vdeg")).otherwise(col("udeg")).as("ddeg"))
+    (e, deg, od)
+  }
+
+  /** Every triangle exactly once as (apex, w1, w2): wedges generated
+    * at their unique (degree, id)-lowest apex, closed by probing the
+    * oriented edge list — fanout per vertex bounded by its OUT-degree
+    * (≤ O(√|E|) after orientation, the Suri–Vassilvitskii bound). */
+  private def closedTriangles(od: DataFrame): DataFrame = {
     val wedges = od.as("a").join(od.as("b"),
       col("a.src") === col("b.src") &&
         (col("a.ddeg") < col("b.ddeg") ||
           (col("a.ddeg") === col("b.ddeg") &&
             col("a.dst") < col("b.dst"))))
-      .select(col("a.dst").as("w1"), col("b.dst").as("w2"))
-    val tri = wedges.join(od,
-        col("w1") === col("src") && col("w2") === col("dst"))
-      .agg(count(lit(1)).as("n_triangles"))
-    deg.agg(count(lit(1)).as("n_nodes"))
-      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-      .crossJoin(tri)
+      .select(col("a.src").as("apex"),
+        col("a.dst").as("w1"), col("b.dst").as("w2"))
+    wedges.join(od, col("w1") === col("src") && col("w2") === col("dst"))
+      .select(col("apex"), col("w1"), col("w2"))
+  }
+
+  /** Local clustering coefficient per node: cc = 2·T(v) / (d(v)·(d(v)−1))
+    * over nodes with degree ≥ 2, emitted as the exact e4 fixed point
+    * `(20000·T) div (d·(d−1))` — integer floor division of non-negative
+    * longs, bit-identical in any engine (no float in the pipeline).
+    * The corpus-curation read: a crawl-graph node whose neighborhood
+    * is a clique (cc → 1) is a link farm / mirror cluster; cc → 0 with
+    * high degree is a genuine hub. Scale shape: the same oriented
+    * wedge join as [[triangleStats]] (each triangle materializes once,
+    * then explodes to its 3 corners — 3 rows per triangle, map-side
+    * combinable into per-node counts), plus one |V|-sized left join
+    * against the degree table.
+    */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val (_, deg, od) = oriented(edges)
+    val perNode = closedTriangles(od)
+      .select(explode(array(col("apex"), col("w1"), col("w2"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("tri"))
+    deg.filter(col("deg") >= 2)
+      .join(perNode, Seq("n"), "left")
+      .select(col("n").as("id"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        expr("(20000 * coalesce(tri, 0L)) div (deg * (deg - 1))")
+          .as("cc_e4"))
   }
 
   /** Bounded synchronous k-core peeling: `rounds` rounds of "drop every

@@ -166,6 +166,29 @@ object GraphQueries {
               concat(lit("s"), expr("(id - 1) div 2").cast("string")))
             .as("id"),
           col("deg"))
+    }),
+
+    // ---- local clustering coefficient over the same March-1995
+    //      supplier co-occurrence graph as g_triangles: per node,
+    //      2·T(v)/(d(v)·(d(v)−1)) as the exact e4 fixed point. The
+    //      link-farm detector: cc → 1 means the neighborhood is a
+    //      clique (mirror cluster); high degree with cc → 0 is a
+    //      legitimate hub. Same degree-ordered oriented wedge join as
+    //      the census — each triangle materializes ONCE and explodes
+    //      to its 3 corners (3 rows per triangle, map-combinable),
+    //      never a per-node neighborhood enumeration ----
+    "g_clustering" -> ((s, dir) => {
+      val sup = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-03-01") &&
+                col("o_orderdate") < lit("1995-04-01"))
+        .select(col("o_orderkey").as("ok"))
+        .join(t(s, dir, "lineitem"), col("ok") === col("l_orderkey"))
+        .select(col("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val pairs = sup.as("x").join(sup.as("y"),
+          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("u"), col("y.sk").as("v"))
+      Graph.localClustering(pairs)
     })
   )
 
@@ -256,6 +279,31 @@ object GraphQueries {
         |       (SELECT COUNT(*) FROM e) AS n_edges,
         |       n_triangles
         |FROM tri""".stripMargin,
+
+    // Orientation-free enumeration (x<y<z triple join) — the per-node
+    // triangle count is orientation-independent, so any correct
+    // enumeration agrees with the oriented-wedge engine.
+    "g_clustering" ->
+      """WITH sup AS (SELECT DISTINCT o_orderkey AS ok, l_suppkey AS sk
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+        |    AND o_orderdate < TIMESTAMP '1995-04-01'),
+        |e AS (SELECT DISTINCT x.sk AS u, y.sk AS v
+        |  FROM sup x JOIN sup y ON x.ok = y.ok AND x.sk < y.sk),
+        |deg AS (SELECT n, COUNT(*) AS deg FROM
+        |  (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+        |  GROUP BY n),
+        |tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+        |  FROM e a JOIN e b ON b.u = a.v
+        |  JOIN e c ON c.u = a.u AND c.v = b.v),
+        |tn AS (SELECT n, COUNT(*) AS tri FROM
+        |  (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+        |   UNION ALL SELECT z FROM tri)
+        |  GROUP BY n)
+        |SELECT d.n AS id, d.deg, COALESCE(t.tri, 0) AS tri,
+        |  (20000 * COALESCE(t.tri, 0)) // (d.deg * (d.deg - 1)) AS cc_e4
+        |FROM deg d LEFT JOIN tn t ON t.n = d.n
+        |WHERE d.deg >= 2""".stripMargin,
 
     "g_degree_stats" ->
       """WITH d AS (SELECT DISTINCT o_custkey, l_suppkey

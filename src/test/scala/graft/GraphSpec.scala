@@ -164,4 +164,31 @@ class GraphSpec extends SparkSpec {
     assert(r8 == r7, "8 rounds did not reach the k-core fixpoint")
     r8.values.foreach(d => assert(d >= 3))
   }
+
+  test("localClustering: exact on a known graph, clique cc = 1") {
+    // triangle 1-2-3 plus pendant 4: cc(1)=cc(2)=cc(3)=1 within the
+    // triangle except node 3 which also touches 4 (deg 3, 1 triangle
+    // → cc = 2/(3·2) = 1/3); node 4 has deg 1 → excluded
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.localClustering(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 10000L)),
+      2L -> ((2L, 1L, 10000L)),
+      3L -> ((3L, 1L, 3333L))))
+  }
+
+  test("g_clustering: corner sum is 3x the g_triangles census") {
+    val cc = SparkEntry.queries("g_clustering")(
+      spark, "/root/testdata/sf0.001").collect()
+    val census = SparkEntry.queries("g_triangles")(
+      spark, "/root/testdata/sf0.001").head()
+    assert(cc.map(_.getLong(2)).sum == 3 * census.getLong(2),
+      "per-node triangle corners must sum to 3x the global count")
+    cc.foreach { r =>
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 10000,
+        s"cc_e4 out of [0, 10000] for node ${r.getLong(0)}")
+    }
+  }
 }
