@@ -217,6 +217,37 @@ object GovernanceQueries {
           lit(cap).as("l1_sensitivity"))
     }),
 
+    // ---- ε-DP noisy release of the per-event-type user histogram,
+    //      Laplace mechanism with DETERMINISTIC noise: the uniform
+    //      draw is md5('dp:' || event_type) → 16 bits → u ∈ (0,1)
+    //      (never exactly ½, so the sign never sits on the inverse-CDF
+    //      fold), and noise = −b·sign(u−½)·ln(1−2|u−½|) with b = 1/ε,
+    //      ε = 0.5. countDistinct(user) gives per-type sensitivity 1
+    //      (a user contributes ≤ 1 to each type). Derandomized noise
+    //      is NOT private — it is the oracle-replayable test vector
+    //      for the release pipeline; swap the hash for a CSPRNG draw
+    //      per release in production (one scalar per group, nothing
+    //      else changes). The ln lands at e4 fixed point (round·1e4 →
+    //      exact integer) so one ulp of libm disagreement between
+    //      JVM and C can only flip a result with ~1e-12 probability —
+    //      the suite's standard ln absorption. Shapes: one
+    //      countDistinct two-phase agg; noise is per-GROUP scalar
+    //      math on ≤ |event_type| rows. ----
+    "q_dp_histogram" -> ((s, dir) => {
+      val c = (conv(substring(md5(concat(lit("dp:"), col("event_type"))),
+        1, 4), 16, 10).cast("double") + lit(0.5)) / lit(65536.0) - lit(0.5)
+      val lnE4 = round(log(lit(1.0) - lit(2.0) * abs(c)) * 10000)
+        .cast("long")
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .withColumn("noise_e4",
+          (lit(-2L) * signum(c).cast("long") * lnE4).cast("long"))
+        .select(col("event_type"), col("n_users"), col("noise_e4"),
+          (col("n_users") * 10000 + col("noise_e4")).as("noisy_e4"),
+          lit(5000L).as("epsilon_e4"))
+    }),
+
     // ---- t-closeness on q_k_anonymity's QI groups: a k-anonymous,
     //      l-diverse group can STILL leak if its sensitive-value
     //      DISTRIBUTION differs sharply from the corpus-wide one (all
@@ -422,6 +453,26 @@ object GovernanceQueries {
         |  MAX(n) AS max_contribution,
         |  5 AS l1_sensitivity
         |FROM per""".stripMargin,
+
+    "q_dp_histogram" ->
+      """WITH h AS (
+        |  SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT event_type, n_users,
+        |    (CAST(CAST('0x' || substr(md5('dp:' || event_type), 1, 4)
+        |        AS BIGINT) AS DOUBLE) + 0.5) / 65536.0 - 0.5 AS c
+        |  FROM h),
+        |n AS (
+        |  SELECT event_type, n_users,
+        |    CAST(-2 * CASE WHEN c >= 0 THEN 1 ELSE -1 END *
+        |      CAST(ROUND(LN(1.0 - 2.0 * ABS(c)) * 10000) AS BIGINT)
+        |      AS BIGINT) AS noise_e4
+        |  FROM d)
+        |SELECT event_type, n_users, noise_e4,
+        |  n_users * 10000 + noise_e4 AS noisy_e4,
+        |  5000 AS epsilon_e4
+        |FROM n""".stripMargin,
 
     "q_t_closeness" ->
       """WITH g AS (

@@ -49,6 +49,26 @@ class GovernanceSpec extends SparkSpec {
     assert(out.forall(r => math.abs(r.getDouble(3)) > 3.0))
   }
 
+  test("q_dp_histogram: noise matches the inverse-CDF replay and is nonzero") {
+    val out = SparkEntry.queries("q_dp_histogram")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (et, n, noise, noisy) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(noisy == n * 10000 + noise)
+      // replay the mechanism: md5 -> 16-bit uniform -> Laplace(b=2)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dp:$et".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      val c = (java.lang.Long.parseLong(hex, 16) + 0.5) / 65536.0 - 0.5
+      val lnE4 = math.round(math.log(1.0 - 2.0 * math.abs(c)) * 10000)
+      assert(noise == -2L * math.signum(c).toLong * lnE4,
+        s"mechanism replay mismatch for '$et'")
+      assert(r.getLong(4) == 5000L)
+    }
+    assert(out.exists(_.getLong(2) != 0), "all-zero noise means no mechanism")
+  }
+
   test("t_dataset_card: one row, consistent counts, bounded entropy") {
     val r = SparkEntry.queries("t_dataset_card")(spark, dir).collect() match {
       case Array(only) => only
