@@ -466,6 +466,44 @@ object Similarity {
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
   }
 
+  /** Mutual k-NN graph under sign-LSH blocking: every vector ranks its
+    * in-bucket neighbors (cos desc, id asc), and an undirected edge
+    * survives iff BOTH endpoints rank each other within k — the
+    * reciprocity filter that strips hub vectors (a generic centroid-ish
+    * embedding lands in everyone's top-k but reciprocates almost
+    * nobody), which is why mutual-kNN is the standard edge set for
+    * density clustering and near-dup community mining over embedding
+    * corpora.
+    *
+    * Scale shape: candidate generation is the bucket equi-join (pair
+    * count bounded by Σ bucket², tuned by `bits` — never all-pairs);
+    * the rank window runs AFTER projecting to (src, dst, cos) triples,
+    * partitioned by src and bounded by bucket size; the reciprocity
+    * check is one equi-join of the k·|V|-row top-k list with itself.
+    * Emits (a_id, b_id, cos rounded 4, rank_ab, rank_ba), a_id < b_id.
+    */
+  def knnGraphMutual(df: DataFrame, k: Int, bits: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nrm"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val pairs = v.as("a").join(v.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("src"), col("b.id").as("dst"),
+        cosPre(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("cos"))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
+    val topk = pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .localCheckpoint(false) // both sides of the reciprocity join
+    topk.as("x").join(topk.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src") &&
+          col("x.src") < col("x.dst"))
+      .select(col("x.src").as("a_id"), col("x.dst").as("b_id"),
+        round(col("x.cos"), 4).as("cos"),
+        col("x.rank").as("rank_ab"), col("y.rank").as("rank_ba"))
+  }
+
   /** Directional embedding decontamination: flag TRAIN vectors whose
     * cosine with ANY eval vector reaches `threshold` — the semantic
     * twin of n-gram benchmark decontamination ([[Dedup.contaminated]])

@@ -39,6 +39,19 @@ object SimilarityQueries {
         .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cos"))
     }),
 
+    // ---- mutual k-NN graph under sign-LSH blocking: the edge set
+    //      density clustering / near-dup community mining runs on.
+    //      Reciprocity (both endpoints rank each other <= k) strips
+    //      hub vectors that land in everyone's top-k but reciprocate
+    //      nobody. Bucketed candidate gen, (src,dst,cos)-projected
+    //      rank window, one self-equi-join for reciprocity — never
+    //      all-pairs ----
+    "s_knn_graph" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Similarity.knnGraphMutual(e, k = 4, bits = 4)
+    }),
+
     // ---- sign-LSH bucketed ANN (the scale path) ----
     "s_ann_signlsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -474,6 +487,22 @@ object SimilarityQueries {
          |r AS (SELECT q_id, n_id, cos, ROW_NUMBER() OVER (
          |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM p)
          |SELECT q_id, rank, n_id, ROUND(cos, 4) AS cos FROM r WHERE rank <= 3""".stripMargin,
+
+    "s_knn_graph" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    array_to_string(list_transform(CAST(embedding AS DOUBLE[])[1:4],
+        |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    list_cosine_similarity(a.v, b.v) AS cos
+        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |r AS (SELECT src, dst, cos, ROW_NUMBER() OVER (
+        |    PARTITION BY src ORDER BY cos DESC, dst ASC) AS rank FROM p),
+        |k AS (SELECT * FROM r WHERE rank <= 4)
+        |SELECT x.src AS a_id, x.dst AS b_id, ROUND(x.cos, 4) AS cos,
+        |  x.rank AS rank_ab, y.rank AS rank_ba
+        |FROM k x JOIN k y ON x.src = y.dst AND x.dst = y.src
+        |  AND x.src < x.dst""".stripMargin,
 
     "s_ann_signlsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

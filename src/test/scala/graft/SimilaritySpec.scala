@@ -420,4 +420,32 @@ class SimilaritySpec extends SparkSpec {
     assert(a.length === 30)
     assert(a === run()) // same seed → same quantizers → same answer
   }
+
+  test("knnGraphMutual: reciprocity strips the unreciprocated neighbor") {
+    import spark.implicits._
+    // v1–v2 are mutual nearest; v3's nearest is v2 but v2 (k=1) keeps
+    // only v1 → the 2–3 edge must NOT survive the reciprocity filter
+    val vs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.9, 0.1, 0.0, 0.0)),
+      (3L, Seq(0.1, 1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val got = Similarity.knnGraphMutual(vs, k = 1, bits = 1).collect()
+    assert(got.length === 1)
+    assert(got(0).getLong(0) === 1L && got(0).getLong(1) === 2L)
+    assert(got(0).getInt(3) === 1 && got(0).getInt(4) === 1)
+  }
+
+  test("s_knn_graph: edges are reciprocal, ordered, and bucket-local") {
+    val out = SparkEntry.queries("s_knn_graph")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "a_id < b_id contract")
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 4)
+      assert(r.getInt(4) >= 1 && r.getInt(4) <= 4)
+    }
+    // no duplicate undirected edges
+    val keys = out.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length === keys.length)
+  }
 }
