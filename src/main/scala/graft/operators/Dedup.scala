@@ -612,4 +612,46 @@ object Dedup {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Content-defined chunking (gear/Rabin-style): cut after token p
+    * whenever the 52-bit hash of the k-gram ENDING at p is ≡ 0 mod
+    * `divisor` (expected chunk length ≈ divisor tokens); the final
+    * chunk always ends at the last token. Because boundaries depend
+    * only on LOCAL content, an insertion early in a document shifts
+    * every byte offset but re-synchronizes the chunk stream within one
+    * chunk — the property that lets storage dedup survive edits, and
+    * the reason CDC beats fixed-size blocks for near-identical crawl
+    * snapshots. Returns one row per chunk: (doc_id, n_tokens,
+    * chunk_idx, chunk_hash, chunk_len).
+    *
+    * Scale shape: boundary detection, span slicing, and chunk hashing
+    * are pure map-side column algebra (one md5 per token position plus
+    * one per chunk — linear, no UDF, no shuffle); downstream
+    * frequency/dedup analyses are plain groupBys on chunk_hash.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                k: Int, divisor: Int): DataFrame = {
+    require(k >= 1 && divisor >= 1, s"k=$k, divisor=$divisor must be >= 1")
+    val tk = graft.functions.Text.tokens(col(textCol))
+    val base = df.select(col(idCol).as("doc_id"), tk.as("tk"),
+      size(tk).as("n"))
+    val cuts = when(col("n") >= k,
+      filter(sequence(lit(k), col("n")), p =>
+        Kmv.hash52(concat_ws(" ", slice(col("tk"), p - k + 1, lit(k))))
+          % divisor === 0))
+      .otherwise(array().cast("array<int>"))
+    val ends = base
+      .withColumn("ends", array_distinct(concat(cuts, array(col("n")))))
+      .select(col("doc_id"), col("tk"), col("n"), col("ends"),
+        posexplode(col("ends")).as(Seq("j0", "e")))
+    ends
+      .withColumn("s", when(col("j0") === 0, lit(1))
+        .otherwise(element_at(col("ends"), col("j0")) + 1))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        (col("j0") + 1).as("chunk_idx"),
+        Kmv.hash52(concat_ws(" ",
+          slice(col("tk"), col("s"), col("e") - col("s") + 1)))
+          .as("chunk_hash"),
+        (col("e") - col("s") + 1).as("chunk_len"))
+  }
 }

@@ -347,6 +347,35 @@ object DedupQueries {
       Dedup.winnowPairs(t(s, dir, "documents"), "doc_id",
         Text.tokens(col("text")), k = 3, w = 4, dfCap = 20, minShared = 3)),
 
+    // ---- content-defined chunking dedup report: gear-style local
+    //      boundaries (cut where hash(3-gram) ≡ 0 mod 8 → ~8-token
+    //      chunks), chunk identity = hash of the span, then per-doc
+    //      storage-dedup accounting: how many of my chunks exist in
+    //      at least one OTHER doc, and what fraction of my tokens
+    //      that covers (e6 ppm, exact integer division). Boundary
+    //      locality is the point: an edit shifts offsets but the
+    //      chunk stream re-synchronizes within one chunk, so
+    //      near-identical crawl snapshots dedup at chunk granularity
+    //      where fixed blocks would miss everything after the edit.
+    //      Map-side chunking (one md5 per position + one per chunk),
+    //      one groupBy on chunk_hash, one equi-join back ----
+    "d_cdc_chunks" -> ((s, dir) => {
+      val chunks = Dedup.cdcChunks(t(s, dir, "documents"),
+          "doc_id", "text", k = 3, divisor = 8)
+        .localCheckpoint(false) // feeds the frequency table AND the rollup
+      val freq = chunks.groupBy("chunk_hash")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      chunks.join(freq, "chunk_hash")
+        .groupBy("doc_id", "n_tokens")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+          sum(when(col("n_docs") >= 2, col("chunk_len")).otherwise(0L))
+            .as("dup_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+          col("n_dup_chunks"), col("dup_tokens"),
+          expr("(dup_tokens * 1000000) div n_tokens").as("dedup_ppm"))
+    }),
+
     // ---- entity-resolution record linkage over a dirtied registry:
     //      every 7th customer gets a typo'd twin (first key digit →
     //      'x', rid + 1e6), and the linker must recover the twins
@@ -808,6 +837,38 @@ object DedupQueries {
         |SELECT doc_id, string_agg(substring('0123456789abcdef',
         |    CAST(nv AS INT) + 1, 1), '' ORDER BY nib) AS simhash
         |FROM nibs GROUP BY doc_id""".stripMargin,
+
+    // identical gear boundaries + span hashing, list-algebra form
+    "d_cdc_chunks" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk,
+         |    len(string_split(text, ' ')) AS n
+         |  FROM documents),
+         |cuts AS (SELECT doc_id, tk, n,
+         |    list_filter(range(3, n + 1), p ->
+         |      ${graft.operators.Kmv.hash52Sql(
+                  "array_to_string(tk[p-2:p], ' ')")} % 8 = 0) AS cs
+         |  FROM toks),
+         |ends AS (SELECT doc_id, tk, n,
+         |    list_sort(list_distinct(list_append(cs, n))) AS es
+         |  FROM cuts),
+         |pos AS (SELECT doc_id, tk, n, es,
+         |    unnest(range(1, len(es) + 1)) AS j
+         |  FROM ends),
+         |ck AS (SELECT doc_id, n,
+         |    ${graft.operators.Kmv.hash52Sql(
+                "array_to_string(tk[CASE WHEN j = 1 THEN 1 ELSE es[j-1] + 1 END : es[j]], ' ')")}
+         |      AS ch,
+         |    es[j] - CASE WHEN j = 1 THEN 0 ELSE es[j-1] END AS clen
+         |  FROM pos),
+         |freq AS (SELECT ch, COUNT(DISTINCT doc_id) AS n_docs
+         |  FROM ck GROUP BY 1)
+         |SELECT doc_id, n AS n_tokens, COUNT(*) AS n_chunks,
+         |  SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_chunks,
+         |  SUM(CASE WHEN n_docs >= 2 THEN clen ELSE 0 END) AS dup_tokens,
+         |  (SUM(CASE WHEN n_docs >= 2 THEN clen ELSE 0 END) * 1000000) // n
+         |    AS dedup_ppm
+         |FROM ck JOIN freq USING (ch)
+         |GROUP BY doc_id, n""".stripMargin,
 
     "d_winnow_pairs" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk

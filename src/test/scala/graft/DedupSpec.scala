@@ -372,4 +372,41 @@ class DedupSpec extends SparkSpec {
     // candidate discipline: every emitted pair really is lev <= 2
     out.foreach { case (_, _, lev) => assert(lev >= 0 && lev <= 2) }
   }
+
+  test("cdcChunks: spans partition the doc, contiguous indices") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h i j k l m n o p q r s t"),
+      (2L, "xy"), (3L, "one two")).toDF("doc_id", "text")
+    val got = Dedup.cdcChunks(docs, "doc_id", "text", k = 3, divisor = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(4)))
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      val n = rows.head._2
+      assert(rows.map(_._4).sum == n, s"doc $id: chunk lens must sum to n")
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        s"doc $id: chunk_idx must be contiguous from 1")
+    }
+    // sub-k docs are a single whole-doc chunk
+    assert(got.filter(_._1 == 2L).map(x => (x._3, x._4)).toSeq == Seq((1, 1)))
+    assert(got.filter(_._1 == 3L).map(x => (x._3, x._4)).toSeq == Seq((1, 2)))
+  }
+
+  test("cdcChunks: a front insertion re-synchronizes within one chunk") {
+    import spark.implicits._
+    // 60 deterministic pseudo-words; B = A with one token prepended.
+    // Every boundary of A at position p reappears in B at p+1 (the
+    // 3-gram ending there is unchanged), so ALL of A's chunks except
+    // the first must reappear verbatim in B's chunk stream.
+    val words = (1 to 60).map(i => s"w${i * 7 % 101}")
+    val a = words.mkString(" ")
+    val b = ("zzz" +: words).mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(docs, "doc_id", "text", k = 3, divisor = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    val ha = ch.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val hb = ch.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSet
+    assert(ha.length > 2, "fixture must produce several chunks")
+    assert(ha.drop(1).forall(hb.contains),
+      "all of A's chunks after the first must survive the insertion")
+  }
 }
