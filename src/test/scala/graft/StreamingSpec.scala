@@ -1061,4 +1061,49 @@ class StreamingSpec extends SparkSpec {
         r.getBoolean(8))).sortBy(_._1)
     assert(rollupNow().toSeq === want.toSeq)
   }
+
+  test("watermark drop parity: streaming dedup drops e_late_arrivals' replay set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // identical arrival model to e_late_arrivals: md5 transport jitter,
+    // 60 s trigger micro-batches by ARRIVAL time
+    val arr = Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("ts"),
+        (expr("cast(conv(substring(md5(cast(event_id as string)), 1, 4), 16, 10) as long)") % 900)
+          .as("jit"))
+      .select(col("event_id"), col("ts"),
+        expr("(cast(ts as long) + jit) div 60").as("batch"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val batches = arr.groupBy(_._3).toSeq.sortBy(_._1)
+      .map { case (_, rs) => rs.map(x => (x._1, x._2)) }
+    val mem = MemoryStream[(Long, Timestamp)]
+    val dedup = mem.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "600 seconds")
+      .dropDuplicates("event_id")
+    val q = dedup.writeStream.format("memory").queryName("wmdedup")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val emitted = spark.sql("SELECT event_id FROM wmdedup")
+      .collect().map(_.getLong(0)).toSet
+    // replay Spark's rule: wm(batch N) = max event-time ms through
+    // batch N-1 minus delay; a row is dropped iff ts_us <= wm_ms*1000
+    var wmMs = 0L
+    val droppedReplay = scala.collection.mutable.Set[Long]()
+    batches.foreach { b =>
+      b.foreach { case (id, ts) =>
+        val us = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+        if (us <= wmMs * 1000) droppedReplay += id
+      }
+      val maxMs = b.map(x => x._2.getTime).max
+      wmMs = math.max(wmMs, maxMs - 600000L)
+    }
+    val droppedStream = arr.map(_._1).toSet -- emitted
+    assert(droppedStream.nonEmpty,
+      "jittered fixture must actually drop something")
+    assert(droppedStream == droppedReplay.toSet,
+      s"stream dropped ${droppedStream.size}, replay ${droppedReplay.size}")
+  }
 }
