@@ -130,15 +130,22 @@ object GraphQueries {
         .distinct()
       val deg = e.groupBy("p").agg(count(lit(1)).as("d"))
         .filter(col("d") >= 2 && col("d") <= 64)
+      // per-part weight at e4 as a LONG: round(1/ln d, 4)·1e4 is an
+      // exact integer, so summing longs equals the decimal-sum-then-
+      // scale formulation bit-for-bit, without wide-decimal partials.
+      // Checkpointed: BOTH sides of the 2-path self-join read this —
+      // uncheckpointed, the 600k-row distinct shuffle runs twice.
       val ew = e.join(deg, "p")
-        .withColumn("w", round(lit(1.0) / log(col("d").cast("double")), 4)
-          .cast("decimal(18,4)"))
-      val ea = ew.select(col("p"), col("s").as("supp_a"), col("w"))
+        .withColumn("w_e4",
+          (round(lit(1.0) / log(col("d").cast("double")), 4)
+            .cast("decimal(18,4)") * 10000).cast("long"))
+        .localCheckpoint(false)
+      val ea = ew.select(col("p"), col("s").as("supp_a"), col("w_e4"))
       val eb = ew.select(col("p").as("p2"), col("s").as("supp_b"))
       ea.join(eb, col("p") === col("p2") && col("supp_a") < col("supp_b"))
         .groupBy("supp_a", "supp_b")
         .agg(count(lit(1)).as("common_parts"),
-          (sum(col("w")) * 10000).cast("long").as("aa_e4"))
+          sum(col("w_e4")).as("aa_e4"))
         .orderBy(col("aa_e4").desc, col("supp_a").asc, col("supp_b").asc)
         .limit(100)
     }),
