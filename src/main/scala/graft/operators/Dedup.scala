@@ -603,6 +603,9 @@ object Dedup {
     val fps = df
       .select(col(idCol).as("doc_id"),
         explode(winnowFingerprints(tokensCol, k, w)).as("fp"))
+      .localCheckpoint(false) // feeds the df count AND the pair join —
+                              // uncheckpointed, the per-doc md5+sliding-
+                              // min fingerprinting runs twice
     val dfc = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= dfCap)
     val ee = fps.join(dfc, "fp").select("doc_id", "fp")
