@@ -186,6 +186,63 @@ object Graph {
     ranks
   }
 
+  /** TrustRank: PageRank personalized to a trusted seed set — the
+    * classic crawl-curation spam filter (Gyöngyi et al.). Rank mass
+    * restarts ONLY to seeds, so score measures random-walk proximity
+    * to trust; link farms far from any seed drain toward zero however
+    * densely they interlink, which plain PageRank rewards. Same 1e-9
+    * fixed-point BIGINT contract as [[pageRank]] (integral division
+    * everywhere → oracle-replayable bit-for-bit), same per-round shape:
+    * one rank⋈edge equi-join + one map-combinable sum; the only new
+    * piece is a LEFT join from the vertex set so zero-inflow vertices
+    * keep explicit rank-0 rows (under personalization a vertex CAN
+    * receive nothing).
+    *
+    * @param seeds one-column DataFrame of trusted vertex ids (ids not
+    *              present in the graph are ignored)
+    * @return (id, rank_e9, seed) for every vertex
+    */
+  def trustRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+                dampNum: Long = 85L): DataFrame = {
+    require(iters >= 1 && dampNum > 0L && dampNum < 100L)
+    val scale = 1000000000L
+    val Seq(srcC, dstC) = edges.columns.take(2).toSeq
+    val und = edges.select(col(srcC).as("s"), col(dstC).as("d"))
+      .union(edges.select(col(dstC).as("s"), col(srcC).as("d")))
+      .distinct().localCheckpoint(false)
+    val deg = und.groupBy("s").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
+    val nShuffle = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val undeg = und.join(deg, Seq("s"))
+      .repartition(nShuffle, col("s")).sortWithinPartitions("s")
+      .localCheckpoint(false)
+    val nodes = deg.select(col("s").as("id"))
+      .join(seeds.toDF("sid"), col("id") === col("sid"), "left")
+      .select(col("id"), col("sid").isNotNull.as("seed"))
+      .localCheckpoint(false) // read every round for the restart mass
+    val nSeeds = nodes.filter(col("seed")).count()
+    require(nSeeds > 0, "trustRank: no seed id present in the graph")
+    val baseSeed = (scale * (100L - dampNum) / 100L) / nSeeds
+    var ranks = nodes
+      .select(col("id"),
+        when(col("seed"), lit(scale / nSeeds)).otherwise(lit(0L))
+          .as("rank_e9"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      val insum = undeg
+        .join(ranks, undeg("s") === ranks("id"))
+        .select(undeg("d").as("id"), expr("rank_e9 div deg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("in_sum"))
+      ranks = nodes.join(insum, Seq("id"), "left")
+        .select(col("id"),
+          (when(col("seed"), lit(baseSeed)).otherwise(lit(0L)) +
+            expr(s"($dampNum * coalesce(in_sum, 0L)) div 100"))
+            .as("rank_e9"))
+        .localCheckpoint(false)
+    }
+    ranks.join(nodes, Seq("id"))
+  }
+
   /** Triangle census of an undirected graph: one row with
     * (n_nodes, n_edges, n_triangles). Input edges may repeat, point
     * either way, or contain self-loops — they are normalized first

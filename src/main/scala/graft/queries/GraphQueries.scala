@@ -52,6 +52,34 @@ object GraphQueries {
           col("rank_e9"))
     }),
 
+    // ---- TrustRank over the same trading graph: restart mass goes
+    //      ONLY to the trusted seed set (every 10th supplier), so the
+    //      score is random-walk proximity to trust — the crawl-spam
+    //      filter that plain PageRank can't express (a dense link farm
+    //      far from any seed drains to zero). Same e9 fixed-point
+    //      BIGINT contract and per-round join shape as g_pagerank;
+    //      the oracle unrolls the rounds with the seed-gated restart ----
+    "g_trustrank" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val seeds = t(s, dir, "supplier")
+        .filter(col("s_suppkey") % 10 === 0)
+        .select((col("s_suppkey") * 2 + 1).as("id"))
+      Graph.trustRank(edges, seeds, iters, dampNum = 85L)
+        .orderBy(col("rank_e9").desc, col("id").asc).limit(100)
+        .select(
+          when(col("id") % 2 === 0,
+            concat(lit("c"), expr("id div 2").cast("string")))
+            .otherwise(
+              concat(lit("s"), expr("(id - 1) div 2").cast("string")))
+            .as("id"),
+          col("rank_e9"), col("seed"))
+    }),
+
     // ---- semi-supervised label propagation over the same bipartite
     //      trading graph: every third customer is seeded with an
     //      arithmetic class label ((id div 2) % 25 — derived, so the
@@ -229,6 +257,42 @@ object GraphQueries {
            |  rank_e9
            |FROM (SELECT id, rank_e9 FROM r$iters
            |      ORDER BY rank_e9 DESC, id ASC LIMIT 100)""".stripMargin
+    },
+
+    "g_trustrank" -> {
+      val header =
+        """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS s,
+          |    l_suppkey * 2 + 1 AS d
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          |und AS (SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0),
+          |deg AS (SELECT s, COUNT(*) AS deg FROM und GROUP BY s),
+          |sd AS (SELECT s AS id,
+          |    (s % 2 = 1 AND ((s - 1) // 2) % 10 = 0) AS seed
+          |  FROM (SELECT DISTINCT s FROM und)),
+          |ns AS (SELECT COUNT(*) AS n FROM sd WHERE seed),
+          |r0 AS (SELECT id, CASE WHEN seed
+          |    THEN CAST(1000000000 // ns.n AS BIGINT) ELSE 0 END AS rank_e9
+          |  FROM sd, ns)""".stripMargin
+      val rounds = (1 to iters).map { k =>
+        s"""c$k AS (SELECT und.d AS id, r${k - 1}.rank_e9 // deg.deg AS c
+           |  FROM und JOIN r${k - 1} ON und.s = r${k - 1}.id
+           |  JOIN deg ON und.s = deg.s),
+           |i$k AS (SELECT id, SUM(c) AS in_sum FROM c$k GROUP BY id),
+           |r$k AS (SELECT sd.id,
+           |    CAST(CASE WHEN sd.seed
+           |        THEN (CAST(1000000000 AS BIGINT) * 15 // 100) // ns.n
+           |        ELSE 0 END
+           |      + (85 * COALESCE(i$k.in_sum, 0)) // 100 AS BIGINT) AS rank_e9
+           |  FROM sd LEFT JOIN i$k USING (id), ns)""".stripMargin
+      }.mkString(",\n", ",\n", "\n")
+      header + rounds +
+        s"""SELECT CASE WHEN id % 2 = 0 THEN 'c' || CAST(id // 2 AS VARCHAR)
+           |    ELSE 's' || CAST((id - 1) // 2 AS VARCHAR) END AS id,
+           |  rank_e9, seed
+           |FROM (SELECT r$iters.id, r$iters.rank_e9, sd.seed
+           |      FROM r$iters JOIN sd USING (id)
+           |      ORDER BY r$iters.rank_e9 DESC, r$iters.id ASC
+           |      LIMIT 100)""".stripMargin
     },
 
     "g_label_prop" -> {

@@ -165,6 +165,35 @@ class GraphSpec extends SparkSpec {
     r8.values.foreach(d => assert(d >= 3))
   }
 
+  test("trustRank: mass stays near seeds, an unreachable farm drains to zero") {
+    // seed component: chain 1-2-3; "link farm": dense clique 10-11-12
+    // with no path to any seed — plain PageRank rewards the clique,
+    // TrustRank must give it exactly 0 (no restart mass ever enters)
+    val e = Seq((1L, 2L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.trustRank(e, seeds, iters = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L))
+    assert(got(1L)._2 && !got(2L)._2, "seed flags")
+    Seq(10L, 11L, 12L).foreach(id =>
+      assert(got(id)._1 == 0L, s"farm node $id must hold zero trust"))
+    // every node reachable from a seed holds positive trust (NOT
+    // monotone in hop distance: the degree-1 seed hands 85% of its
+    // mass to node 2 each round, so 2 can out-rank the seed itself)
+    Seq(1L, 2L, 3L).foreach(id =>
+      assert(got(id)._1 > 0L, s"reachable node $id must hold trust"))
+    assert(got(2L)._1 > got(3L)._1,
+      "the chain's middle outranks its end (it also collects 3's mass)")
+    // absent seed ids are ignored, empty effective seed set is loud
+    val got2 = Graph.trustRank(e, Seq(1L, 99L).toDF("id"), iters = 1)
+      .collect()
+    assert(got2.length == 6)
+    intercept[IllegalArgumentException] {
+      Graph.trustRank(e, Seq(99L).toDF("id"), iters = 1).collect()
+    }
+  }
+
   test("localClustering: exact on a known graph, clique cc = 1") {
     // triangle 1-2-3 plus pendant 4: cc(1)=cc(2)=cc(3)=1 within the
     // triangle except node 3 which also touches 4 (deg 3, 1 triangle
