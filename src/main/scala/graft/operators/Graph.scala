@@ -216,15 +216,21 @@ object Graph {
     val undeg = und.join(deg, Seq("s"))
       .repartition(nShuffle, col("s")).sortWithinPartitions("s")
       .localCheckpoint(false)
+    // loop-invariant vertex table, checkpointed hash-partitioned +
+    // sorted on the join key (same trick as undeg): every round's
+    // nodes⋈in_sum sort-merge join then only exchanges the in_sum
+    // side, which is already hash-partitioned by its groupBy
     val nodes = deg.select(col("s").as("id"))
       .join(seeds.toDF("sid"), col("id") === col("sid"), "left")
       .select(col("id"), col("sid").isNotNull.as("seed"))
+      .repartition(nShuffle, col("id")).sortWithinPartitions("id")
       .localCheckpoint(false) // read every round for the restart mass
     val nSeeds = nodes.filter(col("seed")).count()
     require(nSeeds > 0, "trustRank: no seed id present in the graph")
     val baseSeed = (scale * (100L - dampNum) / 100L) / nSeeds
+    // seed rides inside the rank vector so no final re-join is needed
     var ranks = nodes
-      .select(col("id"),
+      .select(col("id"), col("seed"),
         when(col("seed"), lit(scale / nSeeds)).otherwise(lit(0L))
           .as("rank_e9"))
       .localCheckpoint(false)
@@ -234,13 +240,13 @@ object Graph {
         .select(undeg("d").as("id"), expr("rank_e9 div deg").as("c"))
         .groupBy("id").agg(sum(col("c")).as("in_sum"))
       ranks = nodes.join(insum, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("seed"),
           (when(col("seed"), lit(baseSeed)).otherwise(lit(0L)) +
             expr(s"($dampNum * coalesce(in_sum, 0L)) div 100"))
             .as("rank_e9"))
         .localCheckpoint(false)
     }
-    ranks.join(nodes, Seq("id"))
+    ranks.select(col("id"), col("rank_e9"), col("seed"))
   }
 
   /** Triangle census of an undirected graph: one row with
