@@ -45,4 +45,20 @@ class MetricsSpec extends SparkSpec {
     // the join itself must not shuffle the fact table
     assert(m.shuffleRecordsWritten <= 64L, m)
   }
+
+  test("signal queries shuffle the bounded series, never per-event rows") {
+    // sf0.1 on purpose: 100k events vs 720 hourly buckets — at
+    // sf0.001 the partial-agg record count wouldn't separate the two
+    // regimes. The CUSUM window runs on the hourly series; what
+    // crosses the wire is per-partition per-hour partials (≤ 32·720)
+    // plus the 720-row single-partition exchange — if a refactor ever
+    // pushed raw events into the window, this jumps to ≥ 100k.
+    val (rows, m) = Metrics.measure(spark) {
+      SparkEntry.queries("e_cusum_changepoint")(
+        spark, "/root/testdata/sf0.1").collect()
+    }
+    assert(rows.length === 720)
+    assert(m.inputRecordsRead >= 100000L, m) // really scanned the events
+    assert(m.shuffleRecordsWritten < 50000L, m)
+  }
 }

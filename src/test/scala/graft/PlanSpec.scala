@@ -553,4 +553,46 @@ class PlanSpec extends SparkSpec {
     val dp = planOf("q_dp_contribution")
     assert(!dp.contains("Join"), dp)
   }
+
+  test("round-8 signal/graph/knn shapes: bounded windows, keyed joins only") {
+    // late arrivals: the watermark window runs on the BATCH series
+    // (single-partition exchange over wall-clock-bounded rows) and the
+    // per-event side joins it via BROADCAST — raw events are never
+    // globally ordered or hash-shuffled for the join
+    val la = planOf("e_late_arrivals")
+    assert(la.contains("SinglePartition"), la)
+    assert(la.contains("BroadcastHashJoin"), la)
+    assert(!la.contains("CartesianProduct"), la)
+
+    // seasonal decomposition: the seasonal fit joins back by BROADCAST
+    // (24 hod rows); no cartesian anywhere
+    val sd = planOf("e_seasonal_decompose")
+    assert(sd.contains("BroadcastHashJoin"), sd)
+    assert(!sd.contains("CartesianProduct"), sd)
+
+    // mutual k-NN: the rank window's exchange carries only the
+    // (src, dst, cos) triple — the 64-float vectors must be projected
+    // away BEFORE rows cross the wire
+    val kg = planOf("s_knn_graph")
+    val hp = kg.indexOf("hashpartitioning(src")
+    assert(hp >= 0, kg)
+    assert(!kg.substring(hp).take(200).contains(", v#"),
+      "embedding vectors cross the rank exchange:\n" + kg)
+    assert(!kg.contains("CartesianProduct"), kg)
+
+    // clustering coefficient: wedges + closure are equi-joins; the
+    // per-node fold is a hash aggregate — no cartesian, no nested loop
+    val cc = planOf("g_clustering")
+    assert(!cc.contains("CartesianProduct"), cc)
+    assert(!cc.contains("BroadcastNestedLoopJoin"), cc)
+    assert(cc.contains("HashAggregate"), cc)
+
+    // CDC chunking: boundary+hash generation reaches the first
+    // aggregate as pure map-side work — the plan up to the chunk_hash
+    // groupBy contains a Generate (posexplode) but NO join
+    val cdc = planOf("d_cdc_chunks")
+    assert(!cdc.contains("CartesianProduct"), cdc)
+    assert(cdc.contains("Generate") || cdc.contains("LocalCheckpoint") ||
+      cdc.contains("Scan ExistingRDD"), cdc)
+  }
 }
