@@ -469,4 +469,74 @@ class PropertySpec extends SparkSpec {
       assert(got === ref(events), s"seed ${1700 + s}")
     }
   }
+
+  test("CDC law: spans partition the doc; a random insertion loses <= 3 chunks") {
+    import spark.implicits._
+    val word = Gen.choose(0, 40).map(i => s"w$i")
+    (1L to 8L).foreach { s =>
+      val toks = sample(Gen.listOfN(80, word), 2500 + s)
+      val pos = sample(Gen.choose(0, toks.length), 2600 + s)
+      val a = toks.mkString(" ")
+      val b = (toks.take(pos) ++ List("INS") ++ toks.drop(pos)).mkString(" ")
+      val ch = graft.operators.Dedup.cdcChunks(
+          Seq((1L, a), (2L, b)).toDF("doc_id", "text"),
+          "doc_id", "text", k = 3, divisor = 8)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+          r.getInt(4)))
+      // spans partition each doc, indices contiguous from 1
+      Seq(1L, 2L).foreach { id =>
+        val rows = ch.filter(_._1 == id)
+        assert(rows.map(_._5).sum == rows.head._2, s"seed $s doc $id")
+        assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+          s"seed $s doc $id")
+      }
+      // local boundaries: only the chunks overlapping the insertion
+      // neighborhood can change — everything else re-synchronizes.
+      // Multiset difference A \ B is at most 3 chunks (the chunk
+      // containing the insertion plus a possibly split/merged
+      // neighbor on each side).
+      val ha = ch.filter(_._1 == 1L).map(_._4).toSeq
+      val hb = scala.collection.mutable.Buffer(
+        ch.filter(_._1 == 2L).map(_._4).toSeq: _*)
+      val lost = ha.count { h =>
+        val i = hb.indexOf(h)
+        if (i >= 0) { hb.remove(i); false } else true
+      }
+      assert(lost <= 3, s"seed $s: $lost of ${ha.length} chunks lost")
+    }
+  }
+
+  test("mutual k-NN law: engine edges == brute-force reciprocal top-k in-bucket") {
+    import spark.implicits._
+    val comp = Gen.choose(-100, 100).map(_ / 100.0)
+    (1L to 6L).foreach { s =>
+      val vecs = (0 until 24).map { i =>
+        (i.toLong, sample(Gen.listOfN(6, comp), 3000 + 31 * s + i).toSeq)
+      }.filter(_._2.exists(_ != 0.0))
+      val k = 3; val bits = 2
+      def bucket(v: Seq[Double]) =
+        v.take(bits).map(x => if (x >= 0) "1" else "0").mkString
+      def cos(a: Seq[Double], b: Seq[Double]) = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) *
+          math.sqrt(b.map(x => x * x).sum))
+      }
+      val topk = vecs.map { case (id, v) =>
+        id -> vecs.filter(o => o._1 != id && bucket(o._2) == bucket(v))
+          .map(o => (cos(v, o._2), o._1))
+          .sortBy { case (c, oid) => (-c, oid) }.take(k).map(_._2).toSet
+      }.toMap
+      // iterate a Seq, not the Map — a for/yield over Map collapses
+      // duplicate keys (one mutual edge per src would survive)
+      val want = (for {
+        (a, na) <- topk.toSeq; b <- na
+        if a < b && topk(b).contains(a)
+      } yield (a, b)).toSet
+      val got = graft.operators.Similarity.knnGraphMutual(
+          vecs.toDF("vec_id", "embedding"), k = k, bits = bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"seed $s")
+    }
+  }
 }
