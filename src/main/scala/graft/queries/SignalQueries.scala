@@ -115,6 +115,39 @@ object SignalQueries {
             .cast("int").as("alarm"))
     }),
 
+    // ---- seasonal-naive forecast backtest: tomorrow's hourly volume
+    //      is forecast as the SAME HOUR YESTERDAY (the snaive-24
+    //      baseline every real forecast must beat), then scored per
+    //      day: MAPE and signed bias, both exact e4 fixed point
+    //      (per-hour APE = |y−f|·1e4 div y on exact e6 longs; the
+    //      daily mean is one integer division). The first day has no
+    //      forecast and is excluded. One hourly agg + one lag(24) over
+    //      the bounded series + one daily rollup — the backtest a
+    //      pipeline runs nightly to decide whether its ingest
+    //      forecaster still beats persistence. ----
+    "e_snaive_backtest" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg((sum(col("value").cast("decimal(18,6)")) * 1000000)
+          .cast("long").as("y_e6"))
+      val wLag = Window.orderBy("h")
+      // |bias| and its sign separately: signed integer division floors
+      // in DuckDB (//) but truncates in Spark (div) — keeping every
+      // divided quantity non-negative removes the semantic fork
+      hourly
+        .withColumn("f_e6", lag(col("y_e6"), 24).over(wLag))
+        .filter(col("f_e6").isNotNull)
+        .withColumn("ape_e4", when(col("y_e6") > 0,
+          expr("(abs(y_e6 - f_e6) * 10000) div y_e6")))
+        .groupBy(col("h").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_hours"),
+          expr("sum(ape_e4) div count(ape_e4)").as("mape_e4"),
+          expr("(abs(sum(f_e6 - y_e6)) * 10000) div sum(y_e6)")
+            .as("abs_bias_e4"),
+          signum(sum(col("f_e6") - col("y_e6"))).cast("int")
+            .as("bias_sign"))
+    }),
+
     // ---- micro-batch watermark / late-arrival audit, the batch
     //      replay of Structured Streaming's watermark semantics. The
     //      fixture's event_id order IS event-time order (a vacuous
@@ -205,6 +238,29 @@ object SignalQueries {
          |  CAST(cusum_pos_e6 > $cusumHours * target_e6
          |    OR cusum_neg_e6 > $cusumHours * target_e6 AS INTEGER) AS alarm
          |FROM cs""".stripMargin,
+
+    "e_snaive_backtest" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS y_e6
+        |  FROM events GROUP BY 1),
+        |lagged AS (
+        |  SELECT h, y_e6,
+        |    LAG(y_e6, 24) OVER (ORDER BY h) AS f_e6
+        |  FROM hourly),
+        |scored AS (
+        |  SELECT CAST(h AS DATE) AS day, y_e6, f_e6,
+        |    CASE WHEN y_e6 > 0
+        |      THEN (ABS(y_e6 - f_e6) * 10000) // y_e6 END AS ape_e4
+        |  FROM lagged WHERE f_e6 IS NOT NULL)
+        |SELECT day, COUNT(*) AS n_hours,
+        |  CAST(SUM(ape_e4) // COUNT(ape_e4) AS BIGINT) AS mape_e4,
+        |  CAST((ABS(SUM(f_e6 - y_e6)) * 10000) // SUM(y_e6) AS BIGINT)
+        |    AS abs_bias_e4,
+        |  CAST(CASE WHEN SUM(f_e6 - y_e6) > 0 THEN 1
+        |    WHEN SUM(f_e6 - y_e6) < 0 THEN -1 ELSE 0 END AS INTEGER)
+        |    AS bias_sign
+        |FROM scored GROUP BY day""".stripMargin,
 
     "e_late_arrivals" ->
       s"""WITH e AS (

@@ -53,6 +53,34 @@ class SignalSpec extends SparkSpec {
     assert(out.last.getLong(2) == totalX * 1000000L - n * target)
   }
 
+  test("e_snaive_backtest: replay from the hourly series, first day excluded") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("e_snaive_backtest")(spark, dir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getInt(4))).sortBy(_._1)
+    assert(out.nonEmpty)
+    // replay: hourly sums, lag-24 over the OBSERVED bucket sequence
+    val hourly = Tables.t(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg((sum(col("value").cast("decimal(18,6)")) * 1000000)
+        .cast("long").as("y"))
+      .orderBy("h").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)))
+    val lagged = hourly.drop(24).zip(hourly.dropRight(24))
+      .map { case ((h, y), (_, f)) => (h.toLocalDateTime.toLocalDate.toString, y, f) }
+    val want = lagged.groupBy(_._1).map { case (day, rs) =>
+      val apes = rs.filter(_._2 > 0).map(r => math.abs(r._2 - r._3) * 10000 / r._2)
+      val diff = rs.map(r => r._3 - r._2).sum
+      (day, rs.length.toLong, apes.sum / apes.length,
+        math.abs(diff) * 10000 / rs.map(_._2).sum, diff.signum)
+    }.toSeq.sortBy(_._1)
+    assert(out.toSeq === want)
+    // the first observed day can't have a 24-back forecast for all its
+    // hours; it must not appear fully
+    val firstDay = hourly.head._1.toLocalDateTime.toLocalDate.toString
+    assert(!out.exists(r => r._1 == firstDay && r._2 == 24L))
+  }
+
   test("e_late_arrivals: late path exercised, counts conserved, lateness bounded") {
     val out = SparkEntry.queries("e_late_arrivals")(spark, dir).collect()
     val total = Tables.t(spark, dir, "events").count()
