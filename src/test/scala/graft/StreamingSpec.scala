@@ -1062,6 +1062,38 @@ class StreamingSpec extends SparkSpec {
     assert(rollupNow().toSeq === want.toSeq)
   }
 
+  test("cusum stream: fit-offline/monitor-online is bit-equal to the batch screen") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // batch = the retrospective screen; its global-mean target is the
+    // "fit offline" half the stream consumes as a constant
+    val batch = SparkEntry.queries("e_cusum_changepoint")(spark, dir)
+      .orderBy("h").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5)))
+    val total = batch.map(_._2).sum
+    val target = total * 1000000L / batch.length
+    val hours = batch.map(r => (r._1, r._2))
+    val mem = MemoryStream[(Timestamp, Long)]
+    val out = graft.streaming.SignalStreams.cusumStream(
+      mem.toDF().toDF("h", "x"), target)
+    val q = out.writeStream.format("memory").queryName("cusumstream")
+      .outputMode("append").start()
+    try {
+      // three micro-batches, in order (append-mode window emission)
+      hours.grouped(hours.length / 3 + 1).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.sql("SELECT * FROM cusumstream").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5)))
+      .sortBy(_._1.getTime)
+    assert(got.toSeq === batch.toSeq,
+      "streamed CUSUM must be bit-identical to the batch closed form")
+  }
+
   test("watermark drop parity: streaming dedup drops e_late_arrivals' replay set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
