@@ -78,6 +78,36 @@ object CurationQueries {
           size(col("col")).as("n_chunk_tokens"))
     }),
 
+    // ---- corpus novelty curve: per ingest batch (50 docs by id),
+    //      how many distinct 3-grams appear for the FIRST time, what
+    //      share of the batch's gram vocabulary that is (exact e6
+    //      ppm), and the cumulative vocabulary — the
+    //      diminishing-returns measurement that decides when a crawl
+    //      source stops paying for itself. Shapes: explode →
+    //      per-(batch, gram) distinct, a vocabulary-sized min-agg for
+    //      first-appearance, one equi-join, then a window over the
+    //      BATCH-count-bounded series. First-occurrence attribution
+    //      is by batch id, deterministic under any partitioning ----
+    "t_novelty_curve" -> ((s, dir) => {
+      val g = t(s, dir, "documents")
+        .select(expr("doc_id div 50").as("batch"),
+          explode(Text.shingles(Text.tokens(col("text")), 3)).as("g"))
+        .distinct()
+        .localCheckpoint(false) // feeds first-batch agg AND batch totals
+      val first = g.groupBy("g").agg(min(col("batch")).as("fb"))
+      val perBatch = g.groupBy("batch").agg(count(lit(1)).as("batch_vocab"))
+      val news = first.groupBy(col("fb").as("batch"))
+        .agg(count(lit(1)).as("new_grams"))
+      val wCum = Window.orderBy("batch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perBatch.join(news, Seq("batch"), "left")
+        .select(col("batch"), col("batch_vocab"),
+          coalesce(col("new_grams"), lit(0L)).as("new_grams"))
+        .withColumn("novelty_ppm",
+          expr("(new_grams * 1000000) div batch_vocab"))
+        .withColumn("cum_vocab", sum(col("new_grams")).over(wCum))
+    }),
+
     // ---- DSIR-style importance weights (hashed n-gram importance
     //      resampling, after Xie et al. 2023): bag of hashed bigram
     //      features (256 md5-prefix buckets), bucket-level unigram LMs
@@ -200,6 +230,26 @@ object CurationQueries {
       (c.toString, s"${((c.toInt * 13) % 17 - 8) / 10.0}"))
 
   val oracleSql: Map[String, String] = Map(
+    "t_novelty_curve" ->
+      """WITH tk AS (SELECT doc_id // 50 AS batch,
+        |    string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT DISTINCT batch,
+        |    unnest(list_transform(range(1, len(t) - 1),
+        |      i -> array_to_string(t[i:i+2], ' '))) AS g
+        |  FROM tk WHERE len(t) >= 3),
+        |first AS (SELECT g, MIN(batch) AS fb FROM g GROUP BY g),
+        |pb AS (SELECT batch, COUNT(*) AS batch_vocab FROM g GROUP BY 1),
+        |news AS (SELECT fb AS batch, COUNT(*) AS new_grams
+        |  FROM first GROUP BY 1)
+        |SELECT pb.batch, pb.batch_vocab,
+        |  COALESCE(news.new_grams, 0) AS new_grams,
+        |  (COALESCE(news.new_grams, 0) * 1000000) // pb.batch_vocab
+        |    AS novelty_ppm,
+        |  CAST(SUM(COALESCE(news.new_grams, 0)) OVER (ORDER BY pb.batch
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_vocab
+        |FROM pb LEFT JOIN news USING (batch)""".stripMargin,
+
     "t_tfidf_topk" ->
       s"""WITH toks AS (SELECT doc_id, unnest($tok) AS tok FROM documents),
          |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),

@@ -39,6 +39,43 @@ object SimilarityQueries {
         .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cos"))
     }),
 
+    // ---- embedding-table audit: the one-row data-quality gate run
+    //      BEFORE any ANN index build — vector count, dimension
+    //      consistency (a single wrong-length vector silently poisons
+    //      zip_with-based math downstream, which is why KMeans.fit
+    //      validates loudly), zero / non-finite vectors, norm range
+    //      and mean at exact e4, label cardinality and majority share
+    //      (class skew the sampler must know). One map-side pass +
+    //      two tiny aggs; norms at e4 via the suite's round-absorbed
+    //      sqrt so the row hashes identically cross-engine ----
+    "s_embedding_profile" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val m = e
+        .withColumn("dim", size(col("v")))
+        .withColumn("norm_e4",
+          round(sqrt(Similarity.dot(col("v"), col("v"))) * 10000)
+            .cast("long"))
+        .withColumn("bad",
+          exists(col("v"), x => isnan(x) || abs(x) > lit(1e308)))
+      val base = m.agg(count(lit(1)).as("n_vecs"),
+        min(col("dim")).as("dim_min"), max(col("dim")).as("dim_max"),
+        countDistinct(col("dim")).as("n_dims"),
+        sum(when(col("norm_e4") === 0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite"),
+        min(col("norm_e4")).as("norm_min_e4"),
+        max(col("norm_e4")).as("norm_max_e4"),
+        expr("sum(norm_e4) div count(1)").as("norm_avg_e4"))
+      val lab = e.groupBy("label").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_labels"), max(col("c")).as("top"))
+      base.crossJoin(broadcast(lab))
+        .select(col("n_vecs"), col("dim_min"), col("dim_max"),
+          col("n_dims"), col("n_zero"), col("n_nonfinite"),
+          col("norm_min_e4"), col("norm_max_e4"), col("norm_avg_e4"),
+          col("n_labels"),
+          expr("(top * 1000000) div n_vecs").as("top_label_ppm"))
+    }),
+
     // ---- mutual k-NN graph under sign-LSH blocking: the edge set
     //      density clustering / near-dup community mining runs on.
     //      Reciprocity (both endpoints rank each other <= k) strips
@@ -487,6 +524,28 @@ object SimilarityQueries {
          |r AS (SELECT q_id, n_id, cos, ROW_NUMBER() OVER (
          |    PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank FROM p)
          |SELECT q_id, rank, n_id, ROUND(cos, 4) AS cos FROM r WHERE rank <= 3""".stripMargin,
+
+    "s_embedding_profile" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |m AS (SELECT label, len(v) AS dim,
+        |    CAST(ROUND(SQRT(list_inner_product(v, v)) * 10000) AS BIGINT)
+        |      AS norm_e4,
+        |    len(list_filter(v, x -> isnan(x) OR NOT isfinite(x))) > 0 AS bad
+        |  FROM e),
+        |base AS (SELECT COUNT(*) AS n_vecs, MIN(dim) AS dim_min,
+        |    MAX(dim) AS dim_max, COUNT(DISTINCT dim) AS n_dims,
+        |    SUM(CASE WHEN norm_e4 = 0 THEN 1 ELSE 0 END) AS n_zero,
+        |    SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS n_nonfinite,
+        |    MIN(norm_e4) AS norm_min_e4, MAX(norm_e4) AS norm_max_e4,
+        |    CAST(SUM(norm_e4) // COUNT(*) AS BIGINT) AS norm_avg_e4
+        |  FROM m),
+        |lab AS (SELECT COUNT(*) AS n_labels, MAX(c) AS top
+        |  FROM (SELECT label, COUNT(*) AS c FROM e GROUP BY 1))
+        |SELECT n_vecs, dim_min, dim_max, n_dims, n_zero, n_nonfinite,
+        |  norm_min_e4, norm_max_e4, norm_avg_e4, n_labels,
+        |  (top * 1000000) // n_vecs AS top_label_ppm
+        |FROM base, lab""".stripMargin,
 
     "s_knn_graph" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

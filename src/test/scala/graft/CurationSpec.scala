@@ -123,4 +123,26 @@ class CurationSpec extends SparkSpec {
       assert(r.getBoolean(3) === (math.abs(z) > 3))
     }
   }
+
+  test("t_novelty_curve: batch 0 is all-new, cumulative vocab is exact") {
+    val out = SparkEntry.queries("t_novelty_curve")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(out.nonEmpty)
+    val first = out.head
+    assert(first._1 == 0L && first._2 == first._3 &&
+      first._4 == 1000000L, "every gram in batch 0 is new by definition")
+    // cumulative vocabulary: running sum of new_grams, ends at the
+    // total distinct gram count
+    assert(out.map(_._3).scanLeft(0L)(_ + _).drop(1).toSeq ==
+      out.map(_._5).toSeq)
+    import org.apache.spark.sql.functions._
+    val total = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(explode(graft.functions.Text.shingles(
+        graft.functions.Text.tokens(col("text")), 3)).as("g"))
+      .distinct().count()
+    assert(out.last._5 == total)
+    out.foreach(r => assert(r._4 >= 0 && r._4 <= 1000000L))
+  }
 }

@@ -435,6 +435,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got(0).getInt(3) === 1 && got(0).getInt(4) === 1)
   }
 
+  test("s_embedding_profile: one consistent audit row on the fixture") {
+    val r = SparkEntry.queries("s_embedding_profile")(
+      spark, "/root/testdata/sf0.001").collect() match {
+      case Array(only) => only
+      case rows => fail(s"expected 1 row, got ${rows.length}")
+    }
+    val n = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    assert(r.getLong(0) == n)
+    assert(r.getInt(1) == 64 && r.getInt(2) == 64 && r.getLong(3) == 1L,
+      "fixture embeddings are uniformly 64-dim")
+    assert(r.getLong(4) == 0L && r.getLong(5) == 0L,
+      "no zero or non-finite vectors in the fixture")
+    assert(r.getLong(6) > 0L && r.getLong(6) <= r.getLong(8) &&
+      r.getLong(8) <= r.getLong(7), "norm min <= avg <= max")
+    val (nLabels, topPpm) = (r.getLong(9), r.getLong(10))
+    assert(nLabels >= 1L && topPpm >= 1000000L / nLabels && topPpm <= 1000000L)
+  }
+
   test("s_knn_graph: edges are reciprocal, ordered, and bucket-local") {
     val out = SparkEntry.queries("s_knn_graph")(
       spark, "/root/testdata/sf0.001").collect()
