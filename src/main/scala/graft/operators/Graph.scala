@@ -29,7 +29,14 @@ object Graph {
     */
   private def undirectedBoth(edges: DataFrame, aC: String, bC: String,
                              outS: String, outD: String): DataFrame =
-    edges.select(least(col(aC), col(bC)).as("u"),
+    edges
+      // least/greatest SKIP nulls, so an inert (NULL, b) input row
+      // would otherwise normalize into a real (b, b) self-loop — a
+      // self-vote in label propagation, a phantom degree in k-core.
+      // The naive union+distinct this replaces kept such rows inert
+      // (no equi-join matches NULL); dropping them preserves that.
+      .filter(col(aC).isNotNull && col(bC).isNotNull)
+      .select(least(col(aC), col(bC)).as("u"),
         greatest(col(aC), col(bC)).as("v"))
       .distinct()
       .select(explode(array_distinct(array(
@@ -139,33 +146,43 @@ object Graph {
     *                dampNum%·Σ in-contribs (dampNum=85 → d=0.85)
     * @return (id, rank_e9) for every vertex; rank_e9 = rank · 1e9
     */
-  def pageRank(edges: DataFrame, iters: Int,
-               dampNum: Long = 85L): DataFrame = {
-    require(iters >= 1 && dampNum > 0L && dampNum < 100L)
-    val scale = 1000000000L
+  /** Shared loop-invariant scaffold for the rank family: undirected
+    * edge list, degree table, and their join checkpointed
+    * hash-partitioned + sorted on the join key (checkpoint preserves
+    * outputPartitioning/ordering), so every iteration's sort-merge
+    * join reuses the edge side as-is and only exchanges the
+    * vertex-sized rank vector. Partition count is pinned to the
+    * session shuffle setting so the rank side (a groupBy output on
+    * the same key arity) stays co-partitioned.
+    *
+    * NOTE: deliberately the naive union-then-distinct (not
+    * undirectedBoth): the scaffold immediately groupBys und on "s",
+    * and the distinct's hash partitioning on (s, d) feeds that with
+    * one narrow exchange; the normalized-distinct + explode variant
+    * measured ~10% SLOWER here because the explode output loses that
+    * co-partitioning and the 2|E| rows reshuffle in full anyway.
+    * Returns (deg, undeg, nShuffle).
+    */
+  private def rankScaffold(edges: DataFrame)
+      : (DataFrame, DataFrame, Int) = {
     val Seq(srcC, dstC) = edges.columns.take(2).toSeq
-    // NOTE: deliberately the naive union-then-distinct (not
-    // undirectedBoth): pageRank immediately groupBys und on "s", and
-    // the distinct's hash partitioning on (s, d) feeds that with one
-    // narrow exchange; the normalized-distinct + explode variant
-    // measured ~10% SLOWER here because the explode output loses that
-    // co-partitioning and the 2|E| rows reshuffle in full anyway.
     val und = edges.select(col(srcC).as("s"), col(dstC).as("d"))
       .union(edges.select(col(dstC).as("s"), col(srcC).as("d")))
       .distinct().localCheckpoint(false)
     val deg = und.groupBy("s").agg(count(lit(1)).as("deg"))
       .localCheckpoint(false)
-    // The edge list and the degree table are loop-invariant: join them
-    // ONCE, and checkpoint the result hash-partitioned + sorted on the
-    // join key (checkpoint preserves outputPartitioning/ordering), so
-    // every iteration's sort-merge join reuses the edge side as-is and
-    // only exchanges the vertex-sized rank vector. Partition count is
-    // pinned to the session shuffle setting so the rank side (a
-    // groupBy output on the same key arity) stays co-partitioned.
     val nShuffle = edges.sparkSession.sessionState.conf.numShufflePartitions
     val undeg = und.join(deg, Seq("s"))
       .repartition(nShuffle, col("s")).sortWithinPartitions("s")
       .localCheckpoint(false)
+    (deg, undeg, nShuffle)
+  }
+
+  def pageRank(edges: DataFrame, iters: Int,
+               dampNum: Long = 85L): DataFrame = {
+    require(iters >= 1 && dampNum > 0L && dampNum < 100L)
+    val scale = 1000000000L
+    val (deg, undeg, _) = rankScaffold(edges)
     // deg already holds exactly one row per vertex — derive the vertex
     // set from it instead of a second edge-list-wide distinct
     val nodes = deg.select(col("s").as("id"))
@@ -206,22 +223,17 @@ object Graph {
                 dampNum: Long = 85L): DataFrame = {
     require(iters >= 1 && dampNum > 0L && dampNum < 100L)
     val scale = 1000000000L
-    val Seq(srcC, dstC) = edges.columns.take(2).toSeq
-    val und = edges.select(col(srcC).as("s"), col(dstC).as("d"))
-      .union(edges.select(col(dstC).as("s"), col(srcC).as("d")))
-      .distinct().localCheckpoint(false)
-    val deg = und.groupBy("s").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(false)
-    val nShuffle = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val undeg = und.join(deg, Seq("s"))
-      .repartition(nShuffle, col("s")).sortWithinPartitions("s")
-      .localCheckpoint(false)
+    val (deg, undeg, nShuffle) = rankScaffold(edges)
     // loop-invariant vertex table, checkpointed hash-partitioned +
     // sorted on the join key (same trick as undeg): every round's
     // nodes⋈in_sum sort-merge join then only exchanges the in_sum
     // side, which is already hash-partitioned by its groupBy
     val nodes = deg.select(col("s").as("id"))
-      .join(seeds.toDF("sid"), col("id") === col("sid"), "left")
+      // distinct: a duplicated seed id would duplicate the vertex row
+      // through the join — doubling its outflow every round, halving
+      // per-seed restart mass via the inflated count, and emitting
+      // duplicate output rows
+      .join(seeds.toDF("sid").distinct(), col("id") === col("sid"), "left")
       .select(col("id"), col("sid").isNotNull.as("seed"))
       .repartition(nShuffle, col("id")).sortWithinPartitions("id")
       .localCheckpoint(false) // read every round for the restart mass

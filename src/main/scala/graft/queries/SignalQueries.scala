@@ -43,6 +43,43 @@ object SignalQueries {
   private val triggerSec = 60
   private val wmDelaySec = 600
 
+  /** Hourly ingest series on a DENSE calendar spine: hours with zero
+    * events appear as explicit (n_events = 0, y_e6 = 0) rows. Without
+    * the spine, a TOTAL ingest outage — the most severe changepoint —
+    * would contribute no rows at all, so the CUSUM would never see its
+    * −μ drift and the "±12h" trend window would silently mean
+    * "±12 observed buckets". The spine is built relationally
+    * (min/max + sequence — no driver collect) and is wall-clock
+    * bounded like everything downstream of it.
+    */
+  private def denseHourly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("value").cast("decimal(18,6)")) * 1000000)
+          .cast("long").as("y_e6"))
+    val spine = hourly.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    spine.join(hourly, Seq("h"), "left")
+      .select(col("h"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("y_e6"), lit(0L)).as("y_e6"))
+  }
+
+  /** The identical dense spine in DuckDB SQL (CTE named `hourly`). */
+  private val denseHourlySql =
+    """raw AS (
+      |  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS y_e6
+      |  FROM events GROUP BY 1),
+      |spine AS (
+      |  SELECT unnest(generate_series((SELECT MIN(h) FROM raw),
+      |    (SELECT MAX(h) FROM raw), INTERVAL 1 HOUR)) AS h),
+      |hourly AS (
+      |  SELECT spine.h, COALESCE(raw.n_events, 0) AS n_events,
+      |    COALESCE(raw.y_e6, 0) AS y_e6
+      |  FROM spine LEFT JOIN raw ON spine.h = raw.h)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- classical additive decomposition of the hourly ingest
@@ -57,11 +94,7 @@ object SignalQueries {
     //      window) carry NULL trend/remainder and are excluded from
     //      the seasonal fit, as in textbook MA decomposition. ----
     "e_seasonal_decompose" -> ((s, dir) => {
-      val hourly = t(s, dir, "events")
-        .groupBy(date_trunc("hour", col("ts")).as("h"))
-        .agg(count(lit(1)).as("n_events"),
-          (sum(col("value").cast("decimal(18,6)")) * 1000000)
-            .cast("long").as("y_e6"))
+      val hourly = denseHourly(s, dir)
       val w = Window.orderBy("h").rowsBetween(-trendHalf, trendHalf)
       val det = hourly
         .withColumn("win_n", count(lit(1)).over(w))
@@ -93,9 +126,11 @@ object SignalQueries {
     //      the non-negative sums). Alarm when either side exceeds
     //      4 average-hours of cumulative drift. ----
     "e_cusum_changepoint" -> ((s, dir) => {
-      val hourly = t(s, dir, "events")
-        .groupBy(date_trunc("hour", col("ts")).as("h"))
-        .agg(count(lit(1)).as("x"))
+      // dense spine: a zero-event hour must contribute its full −μ
+      // drift — a total outage is the changepoint this screen exists
+      // to catch, and absent rows would hide it entirely
+      val hourly = denseHourly(s, dir)
+        .select(col("h"), col("n_events").as("x"))
         .localCheckpoint(false) // scanned for μ AND for the series
       val tgt = hourly.agg(
         expr("(sum(x) * 1000000L) div count(1)").as("target_e6"))
@@ -126,17 +161,19 @@ object SignalQueries {
     //      pipeline runs nightly to decide whether its ingest
     //      forecaster still beats persistence. ----
     "e_snaive_backtest" -> ((s, dir) => {
-      val hourly = t(s, dir, "events")
-        .groupBy(date_trunc("hour", col("ts")).as("h"))
-        .agg((sum(col("value").cast("decimal(18,6)")) * 1000000)
-          .cast("long").as("y_e6"))
-      val wLag = Window.orderBy("h")
+      // the forecast joins on h − 24 HOURS (true calendar alignment),
+      // not a positional lag(24): over a dense spine the two agree,
+      // but the time join stays "same hour yesterday" even if the
+      // spine construction ever changes, and reads as the semantics
+      val hourly = denseHourly(s, dir).select(col("h"), col("y_e6"))
+        .localCheckpoint(false) // both sides of the forecast join
+      val fc = hourly.select(
+        (col("h") + expr("interval 24 hours")).as("h"),
+        col("y_e6").as("f_e6"))
       // |bias| and its sign separately: signed integer division floors
       // in DuckDB (//) but truncates in Spark (div) — keeping every
       // divided quantity non-negative removes the semantic fork
-      hourly
-        .withColumn("f_e6", lag(col("y_e6"), 24).over(wLag))
-        .filter(col("f_e6").isNotNull)
+      hourly.join(fc, Seq("h"))
         .withColumn("ape_e4", when(col("y_e6") > 0,
           expr("(abs(y_e6 - f_e6) * 10000) div y_e6")))
         .groupBy(col("h").cast("date").as("day"))
@@ -173,6 +210,9 @@ object SignalQueries {
             16, 10).cast("long") % jitterModSec).as("jit"))
         .select(col("ts_s"),
           expr(s"(ts_s + jit) div $triggerSec").as("batch"))
+        .localCheckpoint(false) // feeds the batch-max agg AND the
+                                // join — uncheckpointed, the scan and
+                                // per-event md5 jitter run twice
       val bm = e.groupBy("batch").agg(max(col("ts_s")).as("b_max"))
       val wPrior = Window.orderBy("batch")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -193,10 +233,7 @@ object SignalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "e_seasonal_decompose" ->
-      s"""WITH hourly AS (
-         |  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n_events,
-         |    CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS y_e6
-         |  FROM events GROUP BY 1),
+      s"""WITH $denseHourlySql,
          |tw AS (
          |  SELECT h, n_events, y_e6,
          |    COUNT(*) OVER w AS win_n,
@@ -219,14 +256,13 @@ object SignalQueries {
          |FROM det d LEFT JOIN seas s ON EXTRACT(hour FROM d.h) = s.hod""".stripMargin,
 
     "e_cusum_changepoint" ->
-      s"""WITH hourly AS (
-         |  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS x
-         |  FROM events GROUP BY 1),
-         |tgt AS (SELECT (SUM(x) * 1000000) // COUNT(*) AS target_e6 FROM hourly),
+      s"""WITH $denseHourlySql,
+         |hx AS (SELECT h, n_events AS x FROM hourly),
+         |tgt AS (SELECT (SUM(x) * 1000000) // COUNT(*) AS target_e6 FROM hx),
          |run AS (
          |  SELECT h, x, target_e6,
          |    CAST(SUM(x * 1000000 - target_e6) OVER w AS BIGINT) AS s_e6
-         |  FROM hourly, tgt
+         |  FROM hx, tgt
          |  WINDOW w AS (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
          |cs AS (
          |  SELECT h, x, target_e6, s_e6,
@@ -240,14 +276,11 @@ object SignalQueries {
          |FROM cs""".stripMargin,
 
     "e_snaive_backtest" ->
-      """WITH hourly AS (
-        |  SELECT date_trunc('hour', ts) AS h,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS y_e6
-        |  FROM events GROUP BY 1),
+      s"""WITH $denseHourlySql,
         |lagged AS (
-        |  SELECT h, y_e6,
-        |    LAG(y_e6, 24) OVER (ORDER BY h) AS f_e6
-        |  FROM hourly),
+        |  SELECT a.h, a.y_e6, f.y_e6 AS f_e6
+        |  FROM hourly a LEFT JOIN hourly f
+        |    ON a.h = f.h + INTERVAL 24 HOURS),
         |scored AS (
         |  SELECT CAST(h AS DATE) AS day, y_e6, f_e6,
         |    CASE WHEN y_e6 > 0

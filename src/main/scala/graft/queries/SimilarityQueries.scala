@@ -51,13 +51,18 @@ object SimilarityQueries {
     "s_embedding_profile" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("label"),
         col("embedding").cast("array<double>").as("v"))
+      // bad = any non-finite component (exact infinity test — a
+      // finite 1.5e308 is legal); its norm is NULL on BOTH engines, or
+      // Spark's cast(NaN as long) = 0 would miscount it into n_zero
+      // while DuckDB's CAST(NaN AS BIGINT) errors the whole oracle
       val m = e
         .withColumn("dim", size(col("v")))
-        .withColumn("norm_e4",
-          round(sqrt(Similarity.dot(col("v"), col("v"))) * 10000)
-            .cast("long"))
         .withColumn("bad",
-          exists(col("v"), x => isnan(x) || abs(x) > lit(1e308)))
+          exists(col("v"), x =>
+            isnan(x) || abs(x) === lit(Double.PositiveInfinity)))
+        .withColumn("norm_e4", when(!col("bad"),
+          round(sqrt(Similarity.dot(col("v"), col("v"))) * 10000)
+            .cast("long")))
       val base = m.agg(count(lit(1)).as("n_vecs"),
         min(col("dim")).as("dim_min"), max(col("dim")).as("dim_max"),
         countDistinct(col("dim")).as("n_dims"),
@@ -65,7 +70,7 @@ object SimilarityQueries {
         sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite"),
         min(col("norm_e4")).as("norm_min_e4"),
         max(col("norm_e4")).as("norm_max_e4"),
-        expr("sum(norm_e4) div count(1)").as("norm_avg_e4"))
+        expr("sum(norm_e4) div count(norm_e4)").as("norm_avg_e4"))
       val lab = e.groupBy("label").agg(count(lit(1)).as("c"))
         .agg(count(lit(1)).as("n_labels"), max(col("c")).as("top"))
       base.crossJoin(broadcast(lab))
@@ -529,16 +534,17 @@ object SimilarityQueries {
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),
         |m AS (SELECT label, len(v) AS dim,
-        |    CAST(ROUND(SQRT(list_inner_product(v, v)) * 10000) AS BIGINT)
-        |      AS norm_e4,
-        |    len(list_filter(v, x -> isnan(x) OR NOT isfinite(x))) > 0 AS bad
+        |    len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0 AS bad,
+        |    CASE WHEN len(list_filter(v, x -> isnan(x) OR isinf(x))) = 0
+        |      THEN CAST(ROUND(SQRT(list_inner_product(v, v)) * 10000)
+        |        AS BIGINT) END AS norm_e4
         |  FROM e),
         |base AS (SELECT COUNT(*) AS n_vecs, MIN(dim) AS dim_min,
         |    MAX(dim) AS dim_max, COUNT(DISTINCT dim) AS n_dims,
         |    SUM(CASE WHEN norm_e4 = 0 THEN 1 ELSE 0 END) AS n_zero,
         |    SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS n_nonfinite,
         |    MIN(norm_e4) AS norm_min_e4, MAX(norm_e4) AS norm_max_e4,
-        |    CAST(SUM(norm_e4) // COUNT(*) AS BIGINT) AS norm_avg_e4
+        |    CAST(SUM(norm_e4) // COUNT(norm_e4) AS BIGINT) AS norm_avg_e4
         |  FROM m),
         |lab AS (SELECT COUNT(*) AS n_labels, MAX(c) AS top
         |  FROM (SELECT label, COUNT(*) AS c FROM e GROUP BY 1))

@@ -59,13 +59,17 @@ class SignalSpec extends SparkSpec {
       .collect().map(r => (r.getDate(0).toString, r.getLong(1),
         r.getLong(2), r.getLong(3), r.getInt(4))).sortBy(_._1)
     assert(out.nonEmpty)
-    // replay: hourly sums, lag-24 over the OBSERVED bucket sequence
-    val hourly = Tables.t(spark, dir, "events")
+    // replay: hourly sums on a DENSE calendar spine (absent hours are
+    // explicit zeros), forecast = the value exactly 24h earlier
+    val observed = Tables.t(spark, dir, "events")
       .groupBy(date_trunc("hour", col("ts")).as("h"))
       .agg((sum(col("value").cast("decimal(18,6)")) * 1000000)
         .cast("long").as("y"))
-      .orderBy("h").collect()
-      .map(r => (r.getTimestamp(0), r.getLong(1)))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toMap
+    val (lo, hi) = (observed.keys.min, observed.keys.max)
+    val hourMs = 3600000L
+    val hourly = (lo to hi by hourMs)
+      .map(t => (new java.sql.Timestamp(t), observed.getOrElse(t, 0L)))
     val lagged = hourly.drop(24).zip(hourly.dropRight(24))
       .map { case ((h, y), (_, f)) => (h.toLocalDateTime.toLocalDate.toString, y, f) }
     val want = lagged.groupBy(_._1).map { case (day, rs) =>
