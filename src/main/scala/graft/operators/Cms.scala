@@ -43,17 +43,23 @@ object Cms {
   /** Point estimates for every row of `keys` (a frame with a `key`
     * column): min over the `depth` rows of the probed counter. The
     * sketch side is ≤ depth·width rows and broadcasts.
+    *
+    * LEFT joins + coalesce-to-0: `counters` only materializes cells
+    * that were ever hit, so a never-inserted probe key can land on an
+    * absent cell in some depth row. An inner join would silently DROP
+    * that key from the output; the correct CMS answer for an empty
+    * cell is est = 0.
     */
   def probe(keys: DataFrame, sketch: DataFrame, depth: Int,
             width: Int): DataFrame = {
     val probed = (0 until depth).foldLeft(keys) { (acc, d) =>
       acc.join(broadcast(sketch.filter(col("d") === d)
           .select(col("b").as(s"b$d"), col("c").as(s"c$d"))),
-        bucket(d, col("key"), width) === col(s"b$d"))
+        bucket(d, col("key"), width) === col(s"b$d"), "left")
         .drop(s"b$d")
     }
     probed.withColumn("est",
-      least((0 until depth).map(d => col(s"c$d")): _*))
+      least((0 until depth).map(d => coalesce(col(s"c$d"), lit(0L))): _*))
       .drop((0 until depth).map(d => s"c$d"): _*)
   }
 }

@@ -111,8 +111,15 @@ object Hll {
         (lit(m) - col("n_regs")).cast("long").as("v_zero"),
         (col("s_present") + (lit(m.toLong) - col("n_regs")) * zScale)
           .as("s_scaled"))
+      // floor(x·100 + 0.5)/100, NOT round(x, 2): Spark's Round on
+      // doubles goes through the shortest-decimal-repr BigDecimal
+      // (HALF_UP on the printed digits) while DuckDB's round(DOUBLE, 2)
+      // does float math — ~5% of half-digit-boundary values diverge.
+      // floor/mul/add are plain IEEE ops, identical on identical
+      // inputs in any engine.
       .withColumn("est_distinct",
-        round(lit(alphaM2Scaled) / col("s_scaled").cast("double"), 2))
+        floor((lit(alphaM2Scaled) / col("s_scaled").cast("double")) *
+          100.0 + 0.5).cast("double") / 100.0)
 
   /** DuckDB replay of registers+estimate over `(SELECT g, v FROM …)`.
     * @param src SQL producing columns (g, v) — v the hashed value text
@@ -130,8 +137,8 @@ object Hll {
        |      + ($m - COUNT(*)) * $zScale AS s_scaled
        |  FROM rr GROUP BY g)
        |SELECT g, v_zero, CAST(s_scaled AS BIGINT) AS s_scaled,
-       |  ROUND($alphaM2ScaledSql / CAST(s_scaled AS DOUBLE), 2)
-       |    AS est_distinct
+       |  FLOOR(($alphaM2ScaledSql / CAST(s_scaled AS DOUBLE)) * 100.0
+       |    + 0.5) / 100.0 AS est_distinct
        |FROM ff""".stripMargin
   }
 }

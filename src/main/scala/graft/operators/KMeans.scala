@@ -61,7 +61,15 @@ object KMeans {
     // distances silently through zip_with's null padding — and a wrong
     // length ANYWHERE in the corpus (not just the k init rows) would
     // funnel that row to the lowest cid via NULL-first struct ordering.
-    // One cheap agg over the checkpointed input makes it loud instead.
+    // Cheap aggs over the checkpointed input make it loud instead.
+    // NULL vectors and null ELEMENTS need their own check: min/max
+    // SKIP nulls, so they'd sail through the size bounds and still
+    // funnel to cid 0 (and an all-null corpus would NPE on getInt
+    // instead of raising the intended message).
+    val nBad = pts.filter(col("v").isNull ||
+      exists(col("v"), x => x.isNull)).count()
+    require(nBad == 0L,
+      s"KMeans: $nBad vectors are null or contain null elements")
     val szs = pts.agg(min(size(col("v"))).as("mn"),
       max(size(col("v"))).as("mx")).head()
     require(szs.getInt(0) == dim && szs.getInt(1) == dim,

@@ -283,10 +283,16 @@ object GovernanceQueries {
         abs(col(s"k$i") * col("nn") - col(s"gk$i") * col("n")))
         .reduce(_ + _)
       g.crossJoin(glob)
-        .withColumn("emd_e6",
-          floor((num.cast("decimal(38,0)") * 1000000L) /
-            (col("n").cast("decimal(38,0)") * col("nn") * 3L))
-          .cast("long"))
+        // IntegralDivide (`div`), NOT floor(a / b): Spark's decimal
+        // `/` rounds HALF_UP to scale 6 BEFORE floor, so a quotient
+        // with fractional part ≥ .9999995 would round up to the next
+        // integer and disagree with DuckDB's exact `//` by 1. `div`
+        // divides exactly and truncates (= floor on these
+        // non-negative operands), matching the oracle bit-for-bit.
+        .withColumn("emd_num", num.cast("decimal(38,0)") * 1000000L)
+        .withColumn("emd_den",
+          col("n").cast("decimal(38,0)") * col("nn") * 3L)
+        .withColumn("emd_e6", expr("emd_num div emd_den").cast("long"))
         .select(col("nat"), col("seg"), col("n"), col("emd_e6"),
           (col("emd_e6") <= 250000L).as("t_close"))
     }),

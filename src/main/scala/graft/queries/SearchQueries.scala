@@ -53,8 +53,16 @@ object SearchQueries {
         .toDF("doc_id", "pos", "term")
       val p1 = postings.join(broadcast(top), col("term") === col("w1"))
         .select(col("doc_id"), col("pos"), col("w1"), col("w2"))
+      // p2 must be pre-filtered to the phrase second-words the same
+      // way p1 is to first-words: with t2 === w2 only in the join
+      // CONDITION, the adjacency join would shuffle the entire
+      // corpus-sized postings relation whenever the filtered side
+      // outgrows the broadcast threshold
       val p2 = postings
-        .toDF("d2", "pos2", "t2")
+        .join(broadcast(top.select(col("w2").as("term"))), Seq("term"),
+          "left_semi")
+        .select(col("doc_id").as("d2"), col("pos").as("pos2"),
+          col("term").as("t2"))
       p1.join(p2, col("d2") === col("doc_id") &&
           col("pos2") === col("pos") + 1 && col("t2") === col("w2"))
         .groupBy("w1", "w2")

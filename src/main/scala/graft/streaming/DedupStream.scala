@@ -61,16 +61,21 @@ object DedupStream {
       .filter(col("jaccard") >= threshold)
       .select("new_id", "base_id", "jaccard", "band")
 
-  /** Winnowing fingerprint index: one row per (fp, base_id), carrying
-    * the base document's full fingerprint array for exact overlap
-    * scoring at match time. At scale, persist bucketed on fp. */
+  /** Winnowing fingerprint index: (postings, meta). Postings hold one
+    * narrow (fp, base_id) row per fingerprint — the blocking key side,
+    * persisted bucketed on fp at scale; meta holds each base doc's
+    * full fingerprint array ONCE (base_id, base_fps) for exact overlap
+    * scoring at match time. Storing the array on every posting row
+    * (the previous shape) multiplied index storage by the per-doc
+    * fingerprint count. */
   def winnowIndex(corpus: DataFrame, idCol: String, textCol: String,
-                  k: Int, w: Int): DataFrame =
-    corpus.select(col(idCol).as("base_id"),
-        Dedup.winnowFingerprints(Text.tokens(col(textCol)), k, w)
-          .as("base_fps"))
-      .select(col("base_id"), col("base_fps"),
-        explode(col("base_fps")).as("fp"))
+                  k: Int, w: Int): (DataFrame, DataFrame) = {
+    val fps = corpus.select(col(idCol).as("base_id"),
+      Dedup.winnowFingerprints(Text.tokens(col(textCol)), k, w)
+        .as("base_fps"))
+    (fps.select(col("base_id"), explode(col("base_fps")).as("fp")),
+      fps)
+  }
 
   /** Screen a stream against a winnowing index: any incoming document
     * sharing a run of >= w+k-1 tokens with an indexed document is
@@ -80,16 +85,18 @@ object DedupStream {
     * (new_id, base_id, fp) hit whose exact fingerprint overlap clears
     * `minShared` — append-safe (no aggregation), like
     * [[flagNearDups]]'s per-band rows; dedupe in foreachBatch when one
-    * row per pair is needed. */
-  def winnowScreen(stream: DataFrame, index: DataFrame,
-                   idCol: String, textCol: String,
+    * row per pair is needed. The narrow fp join blocks first; the
+    * meta join fetches each base array per HIT, not per posting. */
+  def winnowScreen(stream: DataFrame, postings: DataFrame,
+                   meta: DataFrame, idCol: String, textCol: String,
                    k: Int, w: Int, minShared: Int): DataFrame =
     stream.select(col(idCol).as("new_id"),
         Dedup.winnowFingerprints(Text.tokens(col(textCol)), k, w)
           .as("new_fps"))
       .select(col("new_id"), col("new_fps"),
         explode(col("new_fps")).as("fp"))
-      .join(index, Seq("fp"))
+      .join(postings, Seq("fp"))
+      .join(meta, Seq("base_id"))
       .withColumn("common",
         size(array_intersect(col("new_fps"), col("base_fps"))))
       .filter(col("common") >= minShared)

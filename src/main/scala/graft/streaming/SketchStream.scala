@@ -29,11 +29,11 @@ object SketchStream {
     * [[Hll.estimate]].
     */
   def hllRegisters(stream: DataFrame, groupCol: Column,
-                   valueCol: Column): DataFrame = {
-    import org.apache.spark.sql.functions.{col, max}
-    Hll.rhoRows(stream, groupCol, valueCol)
-      .groupBy("g", "reg").agg(max(col("rho")).as("mj"))
-  }
+                   valueCol: Column): DataFrame =
+    // the batch operator verbatim — the same groupBy-MAX plans as a
+    // streaming aggregation on a streaming input, and ONE definition
+    // means the equivalence contract cannot drift
+    Hll.registers(stream, groupCol, valueCol)
 
   /** Streaming count-min maintenance: the same per-row cell explosion
     * as batch [[graft.operators.Cms.cells]], counted as a streaming
@@ -45,9 +45,7 @@ object SketchStream {
     * at-least-once re-sends would double-count.
     */
   def cmsCounters(stream: DataFrame, keyCol: Column, depth: Int,
-                  width: Int): DataFrame = {
-    import org.apache.spark.sql.functions.{col, count, lit}
-    graft.operators.Cms.cells(stream, keyCol, depth, width)
-      .groupBy("d", "b").agg(count(lit(1)).as("c"))
-  }
+                  width: Int): DataFrame =
+    // batch operator verbatim, as above — single definition, no drift
+    graft.operators.Cms.counters(stream, keyCol, depth, width)
 }

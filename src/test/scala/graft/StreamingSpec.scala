@@ -927,11 +927,11 @@ class StreamingSpec extends SparkSpec {
       (10L, "c1 c2 p q r s t u c3 c4 c5"),
       (11L, "d1 d2 d3 d4 d5 d6 d7 d8 d9")
     ).toDF("doc_id", "text")
-    val idx = graft.streaming.DedupStream.winnowIndex(
+    val (postings, meta) = graft.streaming.DedupStream.winnowIndex(
       corpus, "doc_id", "text", k = 3, w = 4)
     val mem = MemoryStream[(Long, String)]
     val screened = graft.streaming.DedupStream.winnowScreen(
-      mem.toDF().toDF("doc_id", "text"), idx, "doc_id", "text",
+      mem.toDF().toDF("doc_id", "text"), postings, meta, "doc_id", "text",
       k = 3, w = 4, minShared = 1)
     val q = screened.writeStream.format("memory").queryName("wscreen")
       .outputMode("append").start()
@@ -949,7 +949,7 @@ class StreamingSpec extends SparkSpec {
     val batchHits = graft.streaming.DedupStream.winnowScreen(
         Seq((1L, "x1 p q r s t u x2 x3 x4"),
           (2L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text"),
-        idx, "doc_id", "text", k = 3, w = 4, minShared = 1)
+        postings, meta, "doc_id", "text", k = 3, w = 4, minShared = 1)
       .select("new_id", "base_id").distinct()
       .as[(Long, Long)].collect().toSet
     assert(batchHits == hits)
