@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{ChatQueries, ClusterQueries, CurationQueries, DedupQueries, EventQueries, FileOps, GovernanceQueries, GraphQueries, MiningQueries, MultimodalQueries, QualityQueries, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, SearchQueries, SignalQueries, SimilarityQueries, SketchQueries, TextQueries}
+import graft.queries.{ChatQueries, ClusterQueries, CurationQueries, DedupQueries, EventQueries, FileOps, GovernanceQueries, GraphQueries, MiningQueries, MultimodalQueries, QualityQueries, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, SearchQueries, SignalQueries, SimilarityQueries, SketchQueries, StatsQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,7 +34,8 @@ object SparkEntry {
     (GovernanceQueries.queries, GovernanceQueries.oracleSql),
     (SketchQueries.queries, SketchQueries.oracleSql),
     (SearchQueries.queries, SearchQueries.oracleSql),
-    (SignalQueries.queries, SignalQueries.oracleSql)
+    (SignalQueries.queries, SignalQueries.oracleSql),
+    (StatsQueries.queries, StatsQueries.oracleSql)
   )
 
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */

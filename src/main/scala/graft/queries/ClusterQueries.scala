@@ -27,6 +27,43 @@ object ClusterQueries {
     "s_sparse_topk" -> ((s, dir) => {
       Sparse.topK(t(s, dir, "documents"), "doc_id", "text",
         queryPred = col("doc_id") < 50, k = 3, championK = 16)
+    }),
+
+    // ---- simplified (centroid-based) silhouette per cluster: the
+    //      fit-quality gate on the s_kmeans model. For each point,
+    //      a = distance to its own centroid, b = distance to the
+    //      nearest OTHER centroid, s = (b-a)/max(a,b) — all map-side
+    //      against the k-centroid plan literal (k structs sorted by
+    //      (dist, cid), the exact assignment tie-break), so the only
+    //      shuffle is the k-group mean agg. True silhouette's O(n^2)
+    //      pairwise form never appears; the centroid form is the one
+    //      that exists at 100 TB. ----
+    "s_silhouette" -> ((s, dir) => {
+      val (_, model) = KMeans.fit(t(s, dir, "embeddings"), k = K,
+        dim = Dim, iters = Iters)
+      val vq = transform(col("embedding").cast("array<double>"),
+        x => round(x, 9))
+      val pts = t(s, dir, "embeddings")
+        .select(col("vec_id"), vq.as("v"))
+      val dcols = (0 until K).map { cid =>
+        struct(
+          aggregate(zip_with(col("v"), typedLit(model(cid)),
+            (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x).as("d"),
+          lit(cid).as("cid"))
+      }
+      pts.withColumn("ds", array_sort(array(dcols: _*)))
+        .withColumn("da", sqrt(element_at(col("ds"), 1).getField("d")))
+        .withColumn("db", sqrt(element_at(col("ds"), 2).getField("d")))
+        .withColumn("cid", element_at(col("ds"), 1).getField("cid"))
+        .withColumn("sv", round(
+          when(greatest(col("da"), col("db")) === 0.0, lit(0.0))
+            .otherwise((col("db") - col("da")) /
+              greatest(col("da"), col("db"))), 9))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("sv").cast("decimal(28,9)")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_sil"))
     })
   )
 
@@ -80,6 +117,37 @@ object ClusterQueries {
          |      ORDER BY ${dist("e", "c")} ASC, c.cid ASC) AS rn
          |  FROM e CROSS JOIN c$Iters c)
          |WHERE rn = 1""".stripMargin
+    },
+
+    "s_silhouette" -> {
+      val iters = (0 until Iters).map(iterCtes).mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> ROUND(x, 9)) AS v
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+         |      AS cid, v AS cv
+         |  FROM e ORDER BY vec_id LIMIT $K),
+         |$iters,
+         |f AS (
+         |  SELECT e.vec_id, c.cid, ${dist("e", "c")} AS d,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dist("e", "c")} ASC, c.cid ASC) AS rn
+         |  FROM e CROSS JOIN c$Iters c),
+         |ab AS (
+         |  SELECT a.vec_id, a.cid, sqrt(a.d) AS da, sqrt(b.d) AS db
+         |  FROM f a JOIN f b ON a.vec_id = b.vec_id
+         |  WHERE a.rn = 1 AND b.rn = 2),
+         |sil AS (
+         |  SELECT cid, ROUND(CASE WHEN GREATEST(da, db) = 0.0 THEN 0.0
+         |    ELSE (db - da) / GREATEST(da, db) END, 9) AS sv
+         |  FROM ab)
+         |SELECT cid, COUNT(*) AS n,
+         |  ROUND(CAST(SUM(CAST(sv AS DECIMAL(28,9))) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_sil
+         |FROM sil GROUP BY cid""".stripMargin
     },
 
     "s_sparse_topk" ->

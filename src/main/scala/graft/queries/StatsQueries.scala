@@ -1,0 +1,658 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Statistical testing + distribution-analysis operators: the checks a
+  * corpus owner runs BEFORE trusting that two snapshots, two splits, or
+  * two variants are comparable — drift (PSI), distribution equality
+  * (KS), independence (chi-square), fabrication (Benford), experiment
+  * significance (two-proportion z), cross-source score alignment
+  * (quantile normalization), and retention survival (Kaplan-Meier /
+  * Nelson-Aalen). The reference's report surface (`app/main.py:143`
+  * reasons, counts) generalized from file counts to distributions.
+  *
+  * Comparator discipline (house rules): every ratio that can be exact
+  * is an exact integer ppm (`x * 1000000 div n` on non-negative
+  * operands, where Spark `div` and DuckDB `//` agree); every libm call
+  * (ln) is ROUND-ed to fixed decimals BEFORE entering an aggregation;
+  * every aggregated double runs as an exact DECIMAL sum (partition- and
+  * order-invariant) and is cast back once; every closing formula is one
+  * identical IEEE tree on both engines.
+  *
+  * Scale shapes: each query is groupBy-aggregations over corpus-sized
+  * scans plus joins against *model-sized* frames (bucket grids, rank
+  * means, risk tables — hundreds of rows) that are explicitly
+  * broadcast. The one ordered structure (the KS ECDF) is built with a
+  * range-partitioned two-pass prefix sum — per-partition totals (one
+  * tiny agg) feed exclusive offsets joined back by partition id, so no
+  * single-partition window ever sees corpus-sized data.
+  */
+object StatsQueries {
+
+  /** Events split into a reference window (first half of the fixture
+    * month) and a current window — the two snapshots a drift monitor
+    * compares. */
+  private val DriftCut = "2024-01-16 00:00:00"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- Population Stability Index per event_type between the
+    //      reference and current halves of the events table. Ten
+    //      fixed-width buckets from the REFERENCE min/max (current
+    //      values clamp into the edge buckets — mass migrating outside
+    //      the trained range is exactly what PSI must see), +1 Laplace
+    //      smoothing so empty buckets contribute finite terms. Shapes:
+    //      one corpus scan feeds the per-type min/max agg and the
+    //      bucket counts; the 10-bucket-per-type grid (model-sized) is
+    //      densified by a spine cross join and every join against it is
+    //      broadcast. ----
+    "q_psi_drift" -> ((s, dir) => {
+      val cut = lit(DriftCut).cast("timestamp")
+      val e = t(s, dir, "events")
+        .select(col("event_type").as("et"), col("value").as("v"),
+          (col("ts") < cut).as("is_ref"))
+        .localCheckpoint(false) // feeds ref-stats, cur-totals, buckets
+      val st = e.filter(col("is_ref")).groupBy("et")
+        .agg(min("v").as("lo"), max("v").as("hi"),
+          count(lit(1)).as("n_ref"))
+        .localCheckpoint(false) // feeds bucketing join AND the spine
+      val cn = e.filter(!col("is_ref")).groupBy("et")
+        .agg(count(lit(1)).as("n_cur"))
+      val b = e.join(broadcast(st.select("et", "lo", "hi")), "et")
+        .withColumn("bucket", least(lit(9L), greatest(lit(0L),
+          floor((col("v") - col("lo")) /
+            ((col("hi") - col("lo")) / lit(10.0))))))
+        .groupBy("et", "bucket")
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
+      val spine = st.select("et")
+        .crossJoin(s.range(0, 10).toDF("bucket"))
+      val grid = spine.join(b, Seq("et", "bucket"), "left")
+        .na.fill(0L, Seq("c_ref", "c_cur"))
+      grid.join(broadcast(st.select("et", "n_ref")), "et")
+        .join(broadcast(cn), "et")
+        .withColumn("pr", (col("c_ref") + lit(1)).cast("double") /
+          (col("n_ref") + lit(10)).cast("double"))
+        .withColumn("pc", (col("c_cur") + lit(1)).cast("double") /
+          (col("n_cur") + lit(10)).cast("double"))
+        .withColumn("term", round((col("pc") - col("pr")) *
+          round(log(col("pc") / col("pr")), 9), 12))
+        .groupBy("et")
+        .agg(max("n_ref").as("n_ref"), max("n_cur").as("n_cur"),
+          round(sum(col("term").cast("decimal(38,12)")).cast("double"), 6)
+            .as("psi"))
+        .select(col("et").as("event_type"), col("n_ref"), col("n_cur"),
+          col("psi"))
+    }),
+
+    // ---- chi-square independence test: is document language
+    //      independent of source? One corpus-sized groupBy to the
+    //      r x c contingency grid; marginals, totals and dims are all
+    //      aggregations OVER THE GRID (model-sized), broadcast back.
+    //      Expected counts and the closing z/V formulas are one
+    //      identical IEEE tree; the chi2 sum itself is an exact
+    //      DECIMAL fold of round-9 terms. ----
+    "q_chi2_independence" -> ((s, dir) => {
+      val g = t(s, dir, "documents")
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+        .localCheckpoint(false) // grid feeds marginals + terms
+      val rm = g.groupBy("lang").agg(sum("o").as("rn"))
+      val cm = g.groupBy("source").agg(sum("o").as("cn"))
+      val dims = rm.agg(count(lit(1)).as("r"))
+        .crossJoin(cm.agg(count(lit(1)).as("c")))
+        .crossJoin(g.agg(sum("o").as("n")))
+      g.join(broadcast(rm), "lang").join(broadcast(cm), "source")
+        .crossJoin(broadcast(dims))
+        .withColumn("e", col("rn").cast("double") *
+          col("cn").cast("double") / col("n").cast("double"))
+        .withColumn("term", round(
+          (col("o").cast("double") - col("e")) *
+            (col("o").cast("double") - col("e")) / col("e"), 9))
+        .groupBy()
+        .agg(max("n").as("n"), max("r").as("r"), max("c").as("c"),
+          ((max("r") - 1) * (max("c") - 1)).as("df"),
+          sum(col("term").cast("decimal(38,9)")).cast("double")
+            .as("chi2_raw"),
+          least(max("r"), max("c")).as("mindim"))
+        .select(col("n"), col("r"), col("c"), col("df"),
+          round(col("chi2_raw"), 6).as("chi2"),
+          round(sqrt(col("chi2_raw") /
+            (col("n").cast("double") * (col("mindim") - 1)
+              .cast("double"))), 6).as("cramers_v"))
+    }),
+
+    // ---- Benford first-digit audit over order totals: the
+    //      fabricated-data screen (synthetic or truncated monetary
+    //      columns flunk it). First digit comes from integer cents
+    //      (floor(price*100) -> BIGINT -> string head) — no
+    //      double-to-decimal rounding fork can move a digit. Expected
+    //      Benford mass ln(1+1/d)/ln(10) is rounded to whole ppm at
+    //      the literal level. Shapes: one scan, one 9-row groupBy,
+    //      dense digit spine, broadcast total. ----
+    "q_benford" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(substring(floor(col("o_totalprice") * lit(100.0))
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val spine = s.range(1, 10).toDF("digit")
+        .select(col("digit").cast("int").as("digit"))
+      val tot = o.agg(sum("n").as("tot"))
+      spine.join(o, Seq("digit"), "left").na.fill(0L, Seq("n"))
+        .crossJoin(broadcast(tot))
+        .withColumn("obs_ppm", expr("n * 1000000 div tot"))
+        .withColumn("exp_ppm",
+          round(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+            log(lit(10.0)) * lit(1000000.0), 0).cast("long"))
+        .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+          abs(col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
+    }),
+
+    // ---- two-proportion z-test over a deterministic A/B split
+    //      (variant = user_id parity): did the rate of HIGH-VALUE
+    //      purchases (value > 150 — "any purchase" is universal in the
+    //      fixture, a degenerate pooled p = 1) differ by variant?
+    //      Exposures and conversions are exact distinct
+    //      counts; the pooled z closes in one IEEE tree. Shapes: one
+    //      scan -> per-variant distinct agg (2 groups) -> single-row
+    //      pivot. At 100 TB countDistinct becomes a 2-phase exact
+    //      distinct (the e_distinct_twophase pattern) — the closing
+    //      algebra is unchanged. ----
+    "q_ab_ztest" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select((col("user_id") % 2).as("variant"), col("user_id"),
+          col("event_type"), col("value"))
+      val agg = e.groupBy("variant").agg(
+        countDistinct("user_id").as("n"),
+        countDistinct(when(col("event_type") === "purchase" &&
+          col("value") > 150.0, col("user_id"))).as("conv"))
+      val w = agg.groupBy().agg(
+        max(when(col("variant") === 0, col("n"))).as("n0"),
+        max(when(col("variant") === 1, col("n"))).as("n1"),
+        max(when(col("variant") === 0, col("conv"))).as("conv0"),
+        max(when(col("variant") === 1, col("conv"))).as("conv1"))
+      w.withColumn("p0", col("conv0").cast("double") /
+          col("n0").cast("double"))
+        .withColumn("p1", col("conv1").cast("double") /
+          col("n1").cast("double"))
+        .withColumn("pp", (col("conv0") + col("conv1")).cast("double") /
+          (col("n0") + col("n1")).cast("double"))
+        .withColumn("z", (col("p0") - col("p1")) /
+          sqrt(col("pp") * (lit(1.0) - col("pp")) *
+            (lit(1.0) / col("n0").cast("double") +
+              lit(1.0) / col("n1").cast("double"))))
+        .select(col("n0"), col("n1"), col("conv0"), col("conv1"),
+          expr("conv0 * 1000000 div n0").as("p0_ppm"),
+          expr("conv1 * 1000000 div n1").as("p1_ppm"),
+          round(col("z"), 6).as("z"),
+          (abs(col("z")) > lit(1.959964)).as("significant_05"))
+    }),
+
+    // ---- two-sample Kolmogorov-Smirnov test: are F-status and
+    //      O-status order totals drawn from the same distribution?
+    //      The ECDF difference needs a GLOBAL prefix sum — built here
+    //      as the scale-correct two-pass: per-value histogram ->
+    //      range-partition by value -> per-partition totals (one tiny
+    //      agg, #partitions rows) -> exclusive offsets joined back by
+    //      partition id -> per-partition cumulative window. No
+    //      single-partition window ever sees the corpus; the same
+    //      shape computes any distributed running total. D and both
+    //      ECDFs are exact e6 fixed point; only the critical value
+    //      touches libm (one sqrt, closed identically). ----
+    "q_ks_test" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderstatus").isin("F", "O"))
+        .select(col("o_totalprice").as("x"),
+          (col("o_orderstatus") === "F").as("is_a"))
+        .localCheckpoint(false) // feeds histogram + totals
+      val hist = o.groupBy("x").agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+      val sorted = hist.repartitionByRange(32, col("x"))
+        .sortWithinPartitions("x")
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint(false) // pin partition ids: offsets + prefix
+      val ptot = sorted.groupBy("pid")
+        .agg(sum("ca").as("pa"), sum("cb").as("pb"))
+      val wOff = Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = ptot
+        .withColumn("offa", coalesce(sum("pa").over(wOff), lit(0L)))
+        .withColumn("offb", coalesce(sum("pb").over(wOff), lit(0L)))
+        .select("pid", "offa", "offb")
+      val wCum = Window.partitionBy("pid").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = o.groupBy().agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+      sorted.join(broadcast(offs), "pid")
+        .withColumn("cuma", col("offa") + sum("ca").over(wCum))
+        .withColumn("cumb", col("offb") + sum("cb").over(wCum))
+        .crossJoin(broadcast(tot))
+        .withColumn("diff_e6", abs(expr("cuma * 1000000 div na") -
+          expr("cumb * 1000000 div nb")))
+        .groupBy()
+        .agg(max("na").as("n_a"), max("nb").as("n_b"),
+          max("diff_e6").as("d_e6"))
+        .withColumn("crit_e6", round(lit(1.358) *
+          sqrt((col("n_a") + col("n_b")).cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double"))) *
+          lit(1000000.0), 0).cast("long"))
+        .select(col("n_a"), col("n_b"), col("d_e6"), col("crit_e6"),
+          (col("d_e6") > col("crit_e6")).as("reject_05"))
+    }),
+
+    // ---- Kaplan-Meier / Nelson-Aalen retention survival over user
+    //      lifetimes: duration = whole hours between a user's first
+    //      and last event; a user whose last event predates the final
+    //      72 h of the fixture window "churned" (death), later ones
+    //      are right-censored (still active). The corpus-sized work is
+    //      ONE per-user agg; the risk table after groupBy(duration) is
+    //      model-sized (<= fixture hours), so its two ordered
+    //      cumulations (reverse cumsum for the at-risk count, forward
+    //      cumsum for the hazard) are windows over hundreds of rows.
+    //      Nelson-Aalen cumulative hazard is EXACT integer ppm; the KM
+    //      product is carried in log space (round-9 ln terms, exact
+    //      DECIMAL cumsum — no exp, no product aggregate) and nulled
+    //      once survival hits exact zero. ----
+    "e_kaplan_meier" -> ((s, dir) => {
+      val cutoff = lit("2024-01-28 00:00:00").cast("timestamp")
+      val u = t(s, dir, "events").groupBy("user_id")
+        .agg(min("ts").as("first_ts"), max("ts").as("last_ts"))
+        .select(expr("(unix_micros(last_ts) - unix_micros(first_ts))" +
+          " div 3600000000").as("t_h"),
+          when(col("last_ts") < cutoff, 1L).otherwise(0L).as("death"))
+      val rt = u.groupBy("t_h").agg(sum("death").as("d"),
+        (count(lit(1)) - sum("death")).as("c"))
+      val wRev = Window.orderBy(col("t_h").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wFwd = Window.orderBy(col("t_h").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rt.withColumn("n_risk", sum(col("d") + col("c")).over(wRev))
+        .withColumn("haz_ppm", expr("d * 1000000 div n_risk"))
+        .withColumn("na_ppm", sum("haz_ppm").over(wFwd))
+        .withColumn("dead_end",
+          max((col("d") === col("n_risk")).cast("int")).over(wFwd))
+        .withColumn("km_nls", when(col("dead_end") === 0,
+          round(sum(when(col("d") < col("n_risk"),
+            round(-log(lit(1.0) - col("d").cast("double") /
+              col("n_risk").cast("double")), 9))
+            .cast("decimal(28,9)")).over(wFwd).cast("double"), 6)))
+        .select(col("t_h"), col("n_risk"), col("d"), col("c"),
+          col("haz_ppm"), col("na_ppm"), col("km_nls"))
+    }),
+
+    // ---- Zipf's-law fit over the token frequency spectrum: OLS of
+    //      ln(freq) on ln(rank) for the top-1000 tokens — the
+    //      power-law health check a corpus curator runs after any
+    //      aggressive dedup/filter pass (a slope far from ~-1 means
+    //      the frequency spectrum was distorted). Corpus-sized work is
+    //      the token groupBy; the top-1000 cut is a TakeOrdered under
+    //      a TOTAL order (freq desc, token asc), and the closing OLS
+    //      runs over 1000 rows of round-9 ln values with exact
+    //      DECIMAL moment sums. ----
+    "t_zipf_fit" -> ((s, dir) => {
+      val freq = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tm"))
+        .filter(col("tm") =!= "")
+        .groupBy("tm").agg(count(lit(1)).as("f"))
+      val top = freq.orderBy(col("f").desc, col("tm").asc).limit(1000)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("f").desc, col("tm").asc)))
+        .withColumn("lx", round(log(col("rnk").cast("double")), 9))
+        .withColumn("ly", round(log(col("f").cast("double")), 9))
+      val m = top.groupBy().agg(count(lit(1)).as("k"),
+        sum(col("lx").cast("decimal(28,9)")).cast("double").as("sx"),
+        sum(col("ly").cast("decimal(28,9)")).cast("double").as("sy"),
+        sum(round(col("lx") * col("lx"), 12).cast("decimal(38,12)"))
+          .cast("double").as("sxx"),
+        sum(round(col("ly") * col("ly"), 12).cast("decimal(38,12)"))
+          .cast("double").as("syy"),
+        sum(round(col("lx") * col("ly"), 12).cast("decimal(38,12)"))
+          .cast("double").as("sxy"))
+      m.select(col("k"),
+        round((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("slope"),
+        round((col("sy") - (col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("k").cast("double"), 6).as("intercept"),
+        round(((col("k") * col("sxy") - col("sx") * col("sy")) *
+          (col("k") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("k") * col("sxx") - col("sx") * col("sx")) *
+            (col("k") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("r2"))
+    }),
+
+    // ---- per-source corpus diversity: language Shannon entropy
+    //      (round-9 ln terms, exact DECIMAL sum) and the unbiased
+    //      Simpson index as EXACT integer ppm (pair counts — no
+    //      floating squares at all). Degenerate single-doc sources
+    //      emit NULL simpson rather than dividing by zero. Shapes: one
+    //      corpus groupBy to the (source, lang) grid; everything after
+    //      is model-sized. ----
+    "t_diversity_index" -> ((s, dir) => {
+      val g = t(s, dir, "documents")
+        .groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false) // grid feeds totals + terms
+      val n = g.groupBy("source")
+        .agg(sum("cnt").as("n"), count(lit(1)).as("n_langs"))
+      g.join(broadcast(n), "source")
+        .withColumn("p", col("cnt").cast("double") /
+          col("n").cast("double"))
+        .withColumn("term",
+          round(col("p") * round(log(col("p")), 9), 12))
+        .groupBy("source")
+        .agg(max("n").as("n_docs"), max("n_langs").as("n_langs"),
+          round(-sum(col("term").cast("decimal(38,12)")).cast("double"), 6)
+            .as("shannon"),
+          when(max("n") > 1, lit(1000000) -
+            expr("sum(cnt * (cnt - 1)) * 1000000" +
+              " div (max(n) * (max(n) - 1))")).as("simpson_ppm"))
+    }),
+
+    // ---- grid-blocked 2-D nearest neighbor within radius r: each
+    //      point lands in one r-sized cell, candidates come from the
+    //      3x3 neighborhood equi-join (the grid guarantees every
+    //      true neighbor within r is found), exact rerank picks the
+    //      minimum — the planar analogue of the IVF/LSH "block then
+    //      verify exactly" discipline, and the shape spatial joins
+    //      take at 100 TB (shuffle on cell key, never all-pairs; the
+    //      oracle IS the all-pairs form). ----
+    "s_grid_knn" -> ((s, dir) => {
+      val r = 0.2
+      val pts = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(element_at(col("embedding"), 1).cast("double"), 9)
+            .as("x"),
+          round(element_at(col("embedding"), 2).cast("double"), 9)
+            .as("y"))
+        .withColumn("cx", floor(col("x") / lit(r)))
+        .withColumn("cy", floor(col("y") / lit(r)))
+        .localCheckpoint(false) // probe side + build side of the join
+      val probes = pts
+        .select(col("vec_id").as("q_id"), col("x").as("qx"),
+          col("y").as("qy"), col("cx").as("bx"), col("cy").as("by"))
+        .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("q_id"), col("qx"), col("qy"),
+          (col("bx") + col("dx")).as("cx"), (col("by") + col("dy")).as("cy"))
+      val cand = probes.join(pts, Seq("cx", "cy"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("dist2", round(
+          (col("qx") - col("x")) * (col("qx") - col("x")) +
+            (col("qy") - col("y")) * (col("qy") - col("y")), 12))
+        .filter(col("dist2") <= lit(0.04))
+      cand.withColumn("rn", row_number().over(
+          Window.partitionBy("q_id")
+            .orderBy(col("dist2").asc, col("vec_id").asc)))
+        .filter(col("rn") === 1)
+        .select(col("q_id").as("vec_id"), col("vec_id").as("nn_id"),
+          col("dist2"))
+    }),
+
+    // ---- quantile normalization of per-document scores across
+    //      sources: rank within source, average the score at each rank
+    //      across sources, map every document to its rank's mean —
+    //      the standard cross-source calibration when score scales
+    //      drift by source. Shapes: one keyed window (partitioned by
+    //      source — never global), a rank-sized agg (max group size
+    //      rows), equi-join back. The normalized value is an exact
+    //      e6 fixed-point mean of exact longs. ----
+    "q_quantile_norm" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          col("n_chars").as("score"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("score").asc, col("doc_id").asc)
+      val r = d.withColumn("rnk", row_number().over(w))
+        .localCheckpoint(false) // feeds rank means + the join back
+      val m = r.groupBy("rnk")
+        .agg(sum("score").as("ssum"), count(lit(1)).as("scnt"))
+      r.join(broadcast(m), "rnk")
+        .select(col("doc_id"), col("source"), col("rnk"), col("score"),
+          expr("ssum * 1000000 div scnt").as("norm_e6"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q_psi_drift" ->
+      s"""WITH e AS (SELECT event_type AS et, value AS v,
+         |    ts < TIMESTAMP '$DriftCut' AS is_ref FROM events),
+         |st AS (SELECT et, MIN(v) AS lo, MAX(v) AS hi,
+         |    COUNT(*) AS n_ref FROM e WHERE is_ref GROUP BY et),
+         |cn AS (SELECT et, COUNT(*) AS n_cur FROM e
+         |  WHERE NOT is_ref GROUP BY et),
+         |b AS (SELECT e.et,
+         |    LEAST(CAST(9 AS BIGINT), GREATEST(CAST(0 AS BIGINT),
+         |      CAST(FLOOR((e.v - st.lo) / ((st.hi - st.lo) / 10.0))
+         |        AS BIGINT))) AS bucket,
+         |    SUM(CASE WHEN e.is_ref THEN 1 ELSE 0 END) AS c_ref,
+         |    SUM(CASE WHEN NOT e.is_ref THEN 1 ELSE 0 END) AS c_cur
+         |  FROM e JOIN st ON e.et = st.et GROUP BY 1, 2),
+         |spine AS (SELECT st.et, gs.bucket FROM st CROSS JOIN
+         |  (SELECT unnest(range(0, 10)) AS bucket) gs),
+         |grid AS (SELECT s.et, s.bucket,
+         |    COALESCE(b.c_ref, 0) AS c_ref, COALESCE(b.c_cur, 0) AS c_cur
+         |  FROM spine s LEFT JOIN b
+         |    ON s.et = b.et AND s.bucket = b.bucket)
+         |SELECT g.et AS event_type, MAX(st.n_ref) AS n_ref,
+         |  MAX(cn.n_cur) AS n_cur,
+         |  ROUND(CAST(SUM(CAST(ROUND(
+         |    (CAST(g.c_cur + 1 AS DOUBLE) / CAST(cn.n_cur + 10 AS DOUBLE)
+         |     - CAST(g.c_ref + 1 AS DOUBLE) / CAST(st.n_ref + 10 AS DOUBLE))
+         |    * ROUND(ln(
+         |      (CAST(g.c_cur + 1 AS DOUBLE) / CAST(cn.n_cur + 10 AS DOUBLE))
+         |      / (CAST(g.c_ref + 1 AS DOUBLE) / CAST(st.n_ref + 10 AS DOUBLE))
+         |    ), 9), 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS psi
+         |FROM grid g JOIN st ON g.et = st.et JOIN cn ON g.et = cn.et
+         |GROUP BY 1""".stripMargin,
+
+    "q_chi2_independence" ->
+      """WITH g AS (SELECT lang, source, COUNT(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rm AS (SELECT lang, SUM(o) AS rn FROM g GROUP BY lang),
+        |cm AS (SELECT source, SUM(o) AS cn FROM g GROUP BY source),
+        |dims AS (SELECT (SELECT COUNT(*) FROM rm) AS r,
+        |  (SELECT COUNT(*) FROM cm) AS c, (SELECT SUM(o) FROM g) AS n),
+        |terms AS (SELECT g.o, rm.rn, cm.cn, d.r, d.c, d.n,
+        |    CAST(rm.rn AS DOUBLE) * CAST(cm.cn AS DOUBLE)
+        |      / CAST(d.n AS DOUBLE) AS e
+        |  FROM g JOIN rm USING (lang) JOIN cm USING (source)
+        |  CROSS JOIN dims d),
+        |agg AS (SELECT MAX(n) AS n, MAX(r) AS r, MAX(c) AS c,
+        |    (MAX(r) - 1) * (MAX(c) - 1) AS df,
+        |    CAST(SUM(CAST(ROUND(
+        |      (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e, 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE) AS chi2_raw,
+        |    LEAST(MAX(r), MAX(c)) AS mindim
+        |  FROM terms)
+        |SELECT n, r, c, df, ROUND(chi2_raw, 6) AS chi2,
+        |  ROUND(sqrt(chi2_raw / (CAST(n AS DOUBLE)
+        |    * CAST(mindim - 1 AS DOUBLE))), 6) AS cramers_v
+        |FROM agg""".stripMargin,
+
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substring(CAST(CAST(FLOOR(
+        |      o_totalprice * 100.0) AS BIGINT) AS VARCHAR), 1, 1)
+        |      AS INT) AS digit
+        |  FROM orders),
+        |cnt AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+        |spine AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit),
+        |tot AS (SELECT SUM(n) AS tot FROM cnt)
+        |SELECT s.digit, COALESCE(c.n, 0) AS n,
+        |  COALESCE(c.n, 0) * 1000000 // t.tot AS obs_ppm,
+        |  CAST(ROUND(ln(1.0 + 1.0 / CAST(s.digit AS DOUBLE)) / ln(10.0)
+        |    * 1000000.0, 0) AS BIGINT) AS exp_ppm,
+        |  ABS(COALESCE(c.n, 0) * 1000000 // t.tot
+        |    - CAST(ROUND(ln(1.0 + 1.0 / CAST(s.digit AS DOUBLE))
+        |      / ln(10.0) * 1000000.0, 0) AS BIGINT)) AS dev_ppm
+        |FROM spine s LEFT JOIN cnt c ON s.digit = c.digit
+        |CROSS JOIN tot t""".stripMargin,
+
+    "q_ab_ztest" ->
+      """WITH e AS (SELECT user_id % 2 AS variant, user_id, event_type,
+        |    value
+        |  FROM events),
+        |a AS (SELECT variant, COUNT(DISTINCT user_id) AS n,
+        |    COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+        |      AND value > 150.0 THEN user_id END) AS conv
+        |  FROM e GROUP BY variant),
+        |w AS (SELECT
+        |    MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+        |    MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+        |    MAX(CASE WHEN variant = 0 THEN conv END) AS conv0,
+        |    MAX(CASE WHEN variant = 1 THEN conv END) AS conv1
+        |  FROM a),
+        |z AS (SELECT n0, n1, conv0, conv1,
+        |    (CAST(conv0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |     - CAST(conv1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |    / sqrt((CAST(conv0 + conv1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |      * (1.0 - CAST(conv0 + conv1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |      * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+        |    AS zv
+        |  FROM w)
+        |SELECT n0, n1, conv0, conv1,
+        |  conv0 * 1000000 // n0 AS p0_ppm,
+        |  conv1 * 1000000 // n1 AS p1_ppm,
+        |  ROUND(zv, 6) AS z, ABS(zv) > 1.959964 AS significant_05
+        |FROM z""".stripMargin,
+
+    "q_ks_test" ->
+      """WITH o AS (SELECT o_totalprice AS x, o_orderstatus = 'F' AS is_a
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+        |h AS (SELECT x,
+        |    SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS cb
+        |  FROM o GROUP BY x),
+        |tt AS (SELECT
+        |    SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS nb FROM o),
+        |c AS (SELECT x,
+        |    SUM(ca) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cuma,
+        |    SUM(cb) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cumb
+        |  FROM h),
+        |d AS (SELECT MAX(tt.na) AS n_a, MAX(tt.nb) AS n_b,
+        |    MAX(ABS(c.cuma * 1000000 // tt.na
+        |      - c.cumb * 1000000 // tt.nb)) AS d_e6
+        |  FROM c CROSS JOIN tt)
+        |SELECT n_a, n_b, d_e6,
+        |  CAST(ROUND(1.358 * sqrt(CAST(n_a + n_b AS DOUBLE)
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+        |    * 1000000.0, 0) AS BIGINT) AS crit_e6,
+        |  d_e6 > CAST(ROUND(1.358 * sqrt(CAST(n_a + n_b AS DOUBLE)
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+        |    * 1000000.0, 0) AS BIGINT) AS reject_05
+        |FROM d""".stripMargin,
+
+    "e_kaplan_meier" ->
+      """WITH u AS (SELECT
+        |    (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 3600000000 AS t_h,
+        |    CASE WHEN MAX(ts) < TIMESTAMP '2024-01-28 00:00:00'
+        |      THEN 1 ELSE 0 END AS death
+        |  FROM events GROUP BY user_id),
+        |rt AS (SELECT t_h, SUM(death) AS d,
+        |    COUNT(*) - SUM(death) AS c
+        |  FROM u GROUP BY t_h),
+        |rk AS (SELECT t_h, d, c,
+        |    SUM(d + c) OVER (ORDER BY t_h DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS n_risk
+        |  FROM rt),
+        |hz AS (SELECT t_h, n_risk, d, c,
+        |    d * 1000000 // n_risk AS haz_ppm,
+        |    SUM(d * 1000000 // n_risk) OVER (ORDER BY t_h ASC ROWS
+        |      BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS na_ppm,
+        |    MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY
+        |      t_h ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS dead_end,
+        |    SUM(CASE WHEN d < n_risk THEN CAST(ROUND(-ln(
+        |      1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)), 9)
+        |      AS DECIMAL(28,9)) END) OVER (ORDER BY t_h ASC ROWS
+        |      BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nls
+        |  FROM rk)
+        |SELECT t_h, n_risk, d, c, haz_ppm, na_ppm,
+        |  CASE WHEN dead_end = 0 THEN ROUND(CAST(nls AS DOUBLE), 6)
+        |  END AS km_nls
+        |FROM hz""".stripMargin,
+
+    "t_zipf_fit" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tm FROM documents),
+        |freq AS (SELECT tm, COUNT(*) AS f FROM tok
+        |  WHERE tm <> '' GROUP BY tm),
+        |top AS (SELECT f,
+        |    ROW_NUMBER() OVER (ORDER BY f DESC, tm ASC) AS rnk
+        |  FROM freq ORDER BY f DESC, tm ASC LIMIT 1000),
+        |pts AS (SELECT
+        |    ROUND(ln(CAST(rnk AS DOUBLE)), 9) AS lx,
+        |    ROUND(ln(CAST(f AS DOUBLE)), 9) AS ly
+        |  FROM top),
+        |m AS (SELECT COUNT(*) AS k,
+        |    CAST(SUM(CAST(lx AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ly AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(ROUND(lx * lx, 12) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(ROUND(ly * ly, 12) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(ROUND(lx * ly, 12) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS sxy
+        |  FROM pts)
+        |SELECT k,
+        |  ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+        |  ROUND((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx)
+        |    / CAST(k AS DOUBLE), 6) AS intercept,
+        |  ROUND(((k * sxy - sx * sy) * (k * sxy - sx * sy))
+        |    / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2
+        |FROM m""".stripMargin,
+
+    "t_diversity_index" ->
+      """WITH g AS (SELECT source, lang, COUNT(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |n AS (SELECT source, SUM(cnt) AS n, COUNT(*) AS n_langs
+        |  FROM g GROUP BY source)
+        |SELECT g.source, MAX(n.n) AS n_docs, MAX(n.n_langs) AS n_langs,
+        |  ROUND(-CAST(SUM(CAST(ROUND(
+        |    (CAST(cnt AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |    * ROUND(ln(CAST(cnt AS DOUBLE) / CAST(n.n AS DOUBLE)), 9),
+        |    12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS shannon,
+        |  CASE WHEN MAX(n.n) > 1 THEN 1000000
+        |    - SUM(cnt * (cnt - 1)) * 1000000
+        |      // (MAX(n.n) * (MAX(n.n) - 1)) END AS simpson_ppm
+        |FROM g JOIN n ON g.source = n.source
+        |GROUP BY g.source""".stripMargin,
+
+    "s_grid_knn" ->
+      """WITH p AS (SELECT vec_id,
+        |    ROUND(CAST(embedding[1] AS DOUBLE), 9) AS x,
+        |    ROUND(CAST(embedding[2] AS DOUBLE), 9) AS y
+        |  FROM embeddings),
+        |pairs AS (SELECT a.vec_id AS q, b.vec_id AS c,
+        |    ROUND((a.x - b.x) * (a.x - b.x)
+        |      + (a.y - b.y) * (a.y - b.y), 12) AS dist2
+        |  FROM p a JOIN p b ON a.vec_id <> b.vec_id),
+        |f AS (SELECT q, c, dist2,
+        |    ROW_NUMBER() OVER (PARTITION BY q
+        |      ORDER BY dist2 ASC, c ASC) AS rn
+        |  FROM pairs WHERE dist2 <= 0.04)
+        |SELECT q AS vec_id, c AS nn_id, dist2 FROM f WHERE rn = 1""".stripMargin,
+
+    "q_quantile_norm" ->
+      """WITH d AS (SELECT doc_id, source, n_chars AS score
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, score,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY score ASC, doc_id ASC) AS rnk
+        |  FROM d),
+        |m AS (SELECT rnk, SUM(score) AS ssum, COUNT(*) AS scnt
+        |  FROM r GROUP BY rnk)
+        |SELECT r.doc_id, r.source, r.rnk, r.score,
+        |  m.ssum * 1000000 // m.scnt AS norm_e6
+        |FROM r JOIN m USING (rnk)""".stripMargin
+  )
+}

@@ -595,4 +595,37 @@ class PlanSpec extends SparkSpec {
     assert(cdc.contains("Generate") || cdc.contains("LocalCheckpoint") ||
       cdc.contains("Scan ExistingRDD"), cdc)
   }
+
+  test("stats shapes: partitioned ECDF, broadcast grids, map-side silhouette") {
+    // KS: the per-partition cumulative window is keyed by pid — the
+    // corpus-sized ECDF pass never runs in a single partition (the
+    // only SinglePartition structures are the #partitions-row offset
+    // table and the final 1-row agg)
+    val ks = planOf("q_ks_test")
+    assert(ks.contains("hashpartitioning(pid"), ks)
+    assert(!ks.contains("CartesianProduct"), ks)
+
+    // PSI: bucket stats and totals join back by BROADCAST; the only
+    // nested-loop is the 5x10 model-sized bucket spine
+    val psi = planOf("q_psi_drift")
+    assert(psi.contains("BroadcastHashJoin"), psi)
+    assert(!psi.contains("CartesianProduct"), psi)
+
+    // grid kNN: candidates come from an EQUI-join on the cell key —
+    // never an all-pairs product
+    val gk = planOf("s_grid_knn")
+    assert(gk.contains("[cx"), gk) // join keys are the cell coords
+    assert(!gk.contains("CartesianProduct"), gk)
+    assert(!gk.contains("BroadcastNestedLoopJoin"), gk)
+
+    // silhouette: centroids are plan literals — per-point scoring is
+    // join-free; the single shuffle is the k-group mean agg
+    val sil = planOf("s_silhouette")
+    assert(!sil.contains("Join"), sil)
+    assert(sil.contains("HashAggregate"), sil)
+
+    // Zipf: the top-1000 cut is a TakeOrdered, not a global sort
+    val zf = planOf("t_zipf_fit")
+    assert(zf.contains("TakeOrderedAndProject"), zf)
+  }
 }

@@ -1,0 +1,185 @@
+package graft
+
+/** Semantic pins for the statistical-testing queries (the DuckDB
+  * oracle pins exact values; these assert the invariants that DEFINE
+  * each statistic, independent of fixture content — and replay the
+  * distributed prefix-sum / blocking machinery against naive local
+  * computations).
+  */
+class StatsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q_ks_test: distributed ECDF equals the naive local replay") {
+    val out = SparkEntry.queries("q_ks_test")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val (nA, nB, dE6, critE6) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+
+    // naive replay: collect both samples, walk the merged value grid
+    val rows = Tables.t(spark, dir, "orders")
+      .filter("o_orderstatus IN ('F','O')")
+      .selectExpr("o_totalprice", "o_orderstatus = 'F'")
+      .collect().map(x => (x.getDouble(0), x.getBoolean(1)))
+    val a = rows.filter(_._2).map(_._1).sorted
+    val b = rows.filterNot(_._2).map(_._1).sorted
+    assert(nA == a.length && nB == b.length)
+    val grid = (a ++ b).distinct.sorted
+    val naive = grid.map { v =>
+      val ca = a.count(_ <= v); val cb = b.count(_ <= v)
+      math.abs(ca * 1000000L / nA - cb * 1000000L / nB)
+    }.max
+    assert(dE6 == naive, s"distributed D=$dE6 != naive $naive")
+    assert(r.getBoolean(4) == (dE6 > critE6))
+  }
+
+  test("q_psi_drift: nonnegative terms, counts conserved per type") {
+    val out = SparkEntry.queries("q_psi_drift")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val byType = Tables.t(spark, dir, "events")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      // each PSI term (x-y)·ln(x/y) is >= 0, so the sum is
+      assert(r.getDouble(3) >= 0.0, s"PSI negative for ${r.get(0)}")
+      assert(r.getLong(1) + r.getLong(2) == byType(r.getString(0)),
+        s"ref+cur must partition the type count for ${r.get(0)}")
+    }
+  }
+
+  test("e_kaplan_meier: risk-set accounting and monotone hazard replay") {
+    val out = SparkEntry.queries("e_kaplan_meier")(spark, dir)
+      .orderBy("t_h").collect()
+    assert(out.nonEmpty)
+    val users = Tables.t(spark, dir, "events")
+      .select("user_id").distinct().count()
+    // the earliest row's risk set is everyone
+    assert(out.head.getLong(1) == users)
+    // n_risk is the reverse cumulative of (d+c); na_ppm replays the
+    // exact integer hazard sum; both monotone the right way
+    var remaining = users; var na = 0L; var prevNls = -1.0
+    out.foreach { r =>
+      assert(r.getLong(1) == remaining, s"n_risk wrong at t=${r.get(0)}")
+      remaining -= r.getLong(2) + r.getLong(3)
+      assert(r.getLong(4) == r.getLong(2) * 1000000L / r.getLong(1))
+      na += r.getLong(4)
+      assert(r.getLong(5) == na, s"na_ppm wrong at t=${r.get(0)}")
+      if (!r.isNullAt(6)) {
+        assert(r.getDouble(6) >= prevNls - 1e-9,
+          s"-log S(t) must be nondecreasing at t=${r.get(0)}")
+        prevNls = r.getDouble(6)
+      }
+    }
+    assert(remaining == 0, "risk set must drain to zero")
+  }
+
+  test("q_benford: digit partition is exhaustive and ppm masses close") {
+    val out = SparkEntry.queries("q_benford")(spark, dir)
+      .orderBy("digit").collect()
+    assert(out.map(_.getInt(0)).toSeq == (1 to 9))
+    val orders = Tables.t(spark, dir, "orders").count()
+    assert(out.map(_.getLong(1)).sum == orders)
+    // floor-div truncation loses < 9 ppm total; Benford masses sum to 1
+    val obs = out.map(_.getLong(2)).sum
+    assert(obs > 999990L && obs <= 1000000L, s"obs_ppm sum $obs")
+    val exp = out.map(_.getLong(3)).sum
+    assert(math.abs(exp - 1000000L) <= 5, s"exp_ppm sum $exp")
+  }
+
+  test("q_ab_ztest: exposures partition users, z sign follows rates") {
+    val r = SparkEntry.queries("q_ab_ztest")(spark, dir).collect().head
+    val users = Tables.t(spark, dir, "events")
+      .select("user_id").distinct().count()
+    assert(r.getLong(0) + r.getLong(1) == users)
+    assert(r.getLong(2) <= r.getLong(0) && r.getLong(3) <= r.getLong(1))
+    val z = r.getDouble(6)
+    assert(math.signum(z) ==
+      math.signum((r.getLong(4) - r.getLong(5)).toDouble))
+    assert(r.getBoolean(7) == (math.abs(z) > 1.959964))
+  }
+
+  test("q_quantile_norm: ranks are per-source permutations, means monotone") {
+    val out = SparkEntry.queries("q_quantile_norm")(spark, dir).collect()
+    val docs = Tables.t(spark, dir, "documents").count()
+    assert(out.length == docs)
+    out.groupBy(_.getString(1)).foreach { case (src, rows) =>
+      val ranks = rows.map(_.getInt(2)).sorted
+      assert(ranks.toSeq == (1 to rows.length),
+        s"ranks must be a permutation within $src")
+    }
+    // the normalized value is a mean of nondecreasing order statistics
+    val byRank = out.map(r => (r.getInt(2), r.getLong(4))).distinct
+      .sortBy(_._1)
+    assert(byRank.sliding(2).forall {
+      case Array((_, a), (_, b)) => a <= b
+      case _ => true
+    }, "rank means must be nondecreasing")
+  }
+
+  test("t_zipf_fit: negative slope, r2 in [0,1], k bounded by vocab") {
+    val r = SparkEntry.queries("t_zipf_fit")(spark, dir).collect().head
+    assert(r.getLong(0) <= 1000)
+    assert(r.getDouble(1) < 0.0, "token spectra must decay")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
+  test("t_diversity_index: entropy bounded by ln(n_langs), simpson in range") {
+    val out = SparkEntry.queries("t_diversity_index")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val h = r.getDouble(3)
+      assert(h >= -1e-9, s"entropy negative for ${r.get(0)}")
+      assert(h <= math.log(r.getLong(2).toDouble) + 1e-6,
+        s"entropy above ln(n_langs) for ${r.get(0)}")
+      if (!r.isNullAt(4))
+        assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000000)
+    }
+  }
+
+  test("s_grid_knn: grid-blocked result equals brute force exactly") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("s_grid_knn")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val pts = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        round(element_at(col("embedding"), 1).cast("double"), 9),
+        round(element_at(col("embedding"), 2).cast("double"), 9))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val brute = pts.flatMap { case (id, x, y) =>
+      val cands = pts.filter(_._1 != id).map { case (jd, xj, yj) =>
+        val d2 = BigDecimal((x - xj) * (x - xj) + (y - yj) * (y - yj))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (jd, d2)
+      }.filter(_._2 <= 0.04)
+      if (cands.isEmpty) None
+      else Some {
+        val (jd, d2) = cands.minBy(c => (c._2, c._1))
+        (id, jd, d2)
+      }
+    }.sortBy(_._1)
+    assert(out.toSeq == brute.toSeq,
+      "grid blocking must lose nothing within the radius")
+  }
+
+  test("s_silhouette: partition sizes conserved, scores in [-1,1]") {
+    val out = SparkEntry.queries("s_silhouette")(spark, dir).collect()
+    val n = Tables.t(spark, dir, "embeddings").count()
+    assert(out.map(_.getLong(1)).sum == n)
+    out.foreach { r =>
+      assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0) }
+  }
+
+  test("q_chi2_independence: dims match the grid, V in [0,1]") {
+    val r = SparkEntry.queries("q_chi2_independence")(spark, dir)
+      .collect().head
+    val docs = Tables.t(spark, dir, "documents")
+    assert(r.getLong(0) == docs.count())
+    assert(r.getLong(1) == docs.select("lang").distinct().count())
+    assert(r.getLong(2) == docs.select("source").distinct().count())
+    assert(r.getLong(3) == (r.getLong(1) - 1) * (r.getLong(2) - 1))
+    assert(r.getDouble(4) >= 0.0)
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+  }
+}
