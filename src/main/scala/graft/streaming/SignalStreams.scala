@@ -39,6 +39,60 @@ object SignalStreams {
     * the append-mode window emission order (watermark-completed hours
     * arrive in sequence).
     */
+  /** Reference model for the PSI drift monitor — the "fit offline"
+    * half of `q_psi_drift`: per event_type, the reference window's
+    * bucket frame (lo/hi), total, and the 10 per-bucket counts. */
+  final case class PsiRef(et: String, bucket: Long, lo: Double,
+                          hi: Double, nRef: Long, cRef: Long)
+
+  /** Streaming half of the PSI monitor: bucket CURRENT events against
+    * the FIXED reference frame and keep per-(type, bucket) counts as
+    * streaming state (complete-mode ledger — the exact shape
+    * `Quality.domainLedger` uses). The corpus never accumulates;
+    * state is <= types x 10 rows. */
+  def psiLedger(events: DataFrame, ref: Seq[PsiRef]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = events.sparkSession
+    import spark.implicits._
+    val frame = ref.map(r => (r.et, r.lo, r.hi)).distinct
+      .toDF("et", "lo", "hi")
+    events.select(col("et"), col("v"))
+      .join(broadcast(frame), "et")
+      .withColumn("bucket", least(lit(9L), greatest(lit(0L),
+        floor((col("v") - col("lo")) /
+          ((col("hi") - col("lo")) / lit(10.0))))))
+      .groupBy("et", "bucket").agg(count(lit(1)).as("c_cur"))
+  }
+
+  /** Snapshot rollup: PSI per type from the ledger counts plus the
+    * reference model — the IDENTICAL smoothing/rounding algebra as
+    * the batch `q_psi_drift` (dense 10-bucket spine, +1 Laplace,
+    * round-9 ln terms, exact DECIMAL sum), so a monitor fed the
+    * batch's current window reproduces its rows bit-for-bit. */
+  def psiRollup(ledger: DataFrame, ref: Seq[PsiRef]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = ledger.sparkSession
+    import spark.implicits._
+    val grid = ref.map(r => (r.et, r.bucket, r.nRef, r.cRef))
+      .toDF("et", "bucket", "n_ref", "c_ref")
+    val cn = ledger.groupBy("et").agg(sum("c_cur").as("n_cur"))
+    grid.join(ledger, Seq("et", "bucket"), "left")
+      .na.fill(0L, Seq("c_cur"))
+      .join(broadcast(cn), "et")
+      .withColumn("pr", (col("c_ref") + lit(1)).cast("double") /
+        (col("n_ref") + lit(10)).cast("double"))
+      .withColumn("pc", (col("c_cur") + lit(1)).cast("double") /
+        (col("n_cur") + lit(10)).cast("double"))
+      .withColumn("term", round((col("pc") - col("pr")) *
+        round(log(col("pc") / col("pr")), 9), 12))
+      .groupBy("et")
+      .agg(max("n_ref").as("n_ref"), max("n_cur").as("n_cur"),
+        round(sum(col("term").cast("decimal(38,12)")).cast("double"), 6)
+          .as("psi"))
+      .select(col("et").as("event_type"), col("n_ref"), col("n_cur"),
+        col("psi"))
+  }
+
   def cusumStream(hours: DataFrame, targetE6: Long,
                   alarmMult: Long = 4L): Dataset[CusumOut] = {
     import hours.sparkSession.implicits._

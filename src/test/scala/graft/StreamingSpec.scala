@@ -1094,6 +1094,51 @@ class StreamingSpec extends SparkSpec {
       "streamed CUSUM must be bit-identical to the batch closed form")
   }
 
+  test("psi stream: reference-frame monitor is bit-equal to the batch drift query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SignalStreams.PsiRef
+    val dir = "/root/testdata/sf0.001"
+    val cut = Timestamp.valueOf("2024-01-16 00:00:00")
+    val ev = Tables.t(spark, dir, "events")
+      .selectExpr("event_type", "value", "ts").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getTimestamp(2)))
+    // fit offline: the reference half's bucket frame + counts,
+    // replicating the batch bucketing formula exactly
+    val refHalf = ev.filter(_._3.before(cut))
+    val ref: Seq[PsiRef] = refHalf.groupBy(_._1).toSeq.flatMap {
+      case (et, rows) =>
+        val lo = rows.map(_._2).min; val hi = rows.map(_._2).max
+        val counts = rows.groupBy { r =>
+          math.min(9L, math.max(0L,
+            math.floor((r._2 - lo) / ((hi - lo) / 10.0)).toLong))
+        }.map { case (b, rs) => b -> rs.length.toLong }
+        (0L to 9L).map(b =>
+          PsiRef(et, b, lo, hi, rows.length.toLong,
+            counts.getOrElse(b, 0L)))
+    }
+    val mem = MemoryStream[(String, Double)]
+    val ledger = graft.streaming.SignalStreams.psiLedger(
+      mem.toDF().toDF("et", "v"), ref)
+    val q = ledger.writeStream.format("memory").queryName("psiledger")
+      .outputMode("complete").start()
+    val cur = ev.filterNot(_._3.before(cut)).map(r => (r._1, r._2))
+    try {
+      cur.grouped(cur.length / 3 + 1).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = graft.streaming.SignalStreams.psiRollup(
+      spark.table("psiledger"), ref).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    val want = SparkEntry.queries("q_psi_drift")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(got.toSeq === want.toSeq,
+      "streamed PSI monitor must be bit-identical to the batch query")
+  }
+
   test("watermark drop parity: streaming dedup drops e_late_arrivals' replay set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
