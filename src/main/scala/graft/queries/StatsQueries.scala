@@ -211,29 +211,13 @@ object StatsQueries {
       val hist = o.groupBy("x").agg(
         sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
         sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
-      val sorted = hist.repartitionByRange(32, col("x"))
-        .sortWithinPartitions("x")
-        .withColumn("pid", spark_partition_id())
-        .localCheckpoint(false) // pin partition ids: offsets + prefix
-      val ptot = sorted.groupBy("pid")
-        .agg(sum("ca").as("pa"), sum("cb").as("pb"))
-      val wOff = Window.orderBy("pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = ptot
-        .withColumn("offa", coalesce(sum("pa").over(wOff), lit(0L)))
-        .withColumn("offb", coalesce(sum("pb").over(wOff), lit(0L)))
-        .select("pid", "offa", "offb")
-      val wCum = Window.partitionBy("pid").orderBy("x")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = o.groupBy().agg(
         sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
         sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
-      sorted.join(broadcast(offs), "pid")
-        .withColumn("cuma", col("offa") + sum("ca").over(wCum))
-        .withColumn("cumb", col("offb") + sum("cb").over(wCum))
+      graft.operators.Ranks.prefixSums(hist, "x", Seq("ca", "cb"))
         .crossJoin(broadcast(tot))
-        .withColumn("diff_e6", abs(expr("cuma * 1000000 div na") -
-          expr("cumb * 1000000 div nb")))
+        .withColumn("diff_e6", abs(expr("cum_ca * 1000000 div na") -
+          expr("cum_cb * 1000000 div nb")))
         .groupBy()
         .agg(max("na").as("n_a"), max("nb").as("n_b"),
           max("diff_e6").as("d_e6"))
@@ -243,6 +227,89 @@ object StatsQueries {
           lit(1000000.0), 0).cast("long"))
         .select(col("n_a"), col("n_b"), col("d_e6"), col("crit_e6"),
           (col("d_e6") > col("crit_e6")).as("reject_05"))
+    }),
+
+    // ---- Mann-Whitney U (Wilcoxon rank-sum) on the same two order
+    //      populations as the KS test — the nonparametric "is one
+    //      distribution stochastically larger" test that stays valid
+    //      when a t-test's normality assumption doesn't. Average ranks
+    //      live in DOUBLED fixed point (a tied group's mean rank is a
+    //      multiple of 1/2), so R_A, U and the tie-correction term are
+    //      all EXACT integers from `Ranks.prefixSums`; only the
+    //      closing normal approximation touches doubles. ----
+    "q_mannwhitney_u" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderstatus").isin("F", "O"))
+        .select(col("o_totalprice").as("x"),
+          (col("o_orderstatus") === "F").as("is_a"))
+        .localCheckpoint(false) // histogram + totals
+      val hist = o.groupBy("x").agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+        .withColumn("cnt", col("ca") + col("cb"))
+      val ranked = graft.operators.Ranks.prefixSums(hist, "x", Seq("cnt"))
+        .withColumn("rank_x2",
+          lit(2L) * col("pre_cnt") + col("cnt") + 1L)
+      val tot = o.groupBy().agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+      ranked.groupBy()
+        .agg(sum(col("ca") * col("rank_x2")).as("ra_x2"),
+          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+            .as("tie_term"))
+        .crossJoin(broadcast(tot))
+        .withColumn("u_a_x2", col("ra_x2") - col("na") * (col("na") + 1L))
+        .withColumn("nn", col("na") + col("nb"))
+        .withColumn("sigma", sqrt(
+          col("na").cast("double") * col("nb").cast("double") / lit(12.0) *
+            ((col("nn") + 1L).cast("double") -
+              col("tie_term").cast("double") /
+                (col("nn").cast("double") * (col("nn") - 1L)
+                  .cast("double")))))
+        .withColumn("z", ((col("u_a_x2") -
+          col("na") * col("nb")).cast("double") / lit(2.0)) / col("sigma"))
+        .select(col("na").as("n_a"), col("nb").as("n_b"),
+          col("u_a_x2"), col("tie_term"),
+          round(col("z"), 6).as("z"),
+          (abs(col("z")) > lit(1.959964)).as("reject_05"))
+    }),
+
+    // ---- Spearman rank correlation between line-item quantity and
+    //      extended price: Pearson over average ranks, tie-aware (the
+    //      50 distinct quantities make HALF the pairs ties — the
+    //      no-ties 6Σd² shortcut would be plain wrong here). Ranks
+    //      come exact-x2 from `Ranks.avgRanks`; centering uses the
+    //      exact integer mean rank (n+1 in x2 units), so all three
+    //      moment sums are exact integers (|c| <= 2n keeps them in
+    //      range through n ~ 10^6 per the DECIMAL(38,0) fold; beyond
+    //      that the same pipeline runs on e6-normalized ranks). One
+    //      corpus scan, two model-or-histogram-sized rank joins, one
+    //      closing IEEE tree. ----
+    "q_spearman" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .select(col("l_quantity").as("x"),
+          col("l_extendedprice").as("y"))
+        .localCheckpoint(false) // rank fits + the joined scan
+      val rx = graft.operators.Ranks.avgRanks(l.select("x"), "x")
+        .select(col("x"), col("rank_x2").as("rx2"))
+      val ry = graft.operators.Ranks.avgRanks(l.select("y"), "y")
+        .select(col("y"), col("rank_x2").as("ry2"))
+      val n1 = l.groupBy().agg((count(lit(1)) + 1L).as("np1"))
+      l.join(broadcast(rx), "x").join(ry, "y")
+        .crossJoin(broadcast(n1))
+        .withColumn("cx", col("rx2") - col("np1"))
+        .withColumn("cy", col("ry2") - col("np1"))
+        .groupBy()
+        .agg((max("np1") - 1L).as("n"),
+          sum((col("cx") * col("cy")).cast("decimal(38,0)"))
+            .cast("double").as("sxy"),
+          sum((col("cx") * col("cx")).cast("decimal(38,0)"))
+            .cast("double").as("sxx"),
+          sum((col("cy") * col("cy")).cast("decimal(38,0)"))
+            .cast("double").as("syy"))
+        .select(col("n"),
+          round(col("sxy") / sqrt(col("sxx") * col("syy")), 6)
+            .as("rho"))
     }),
 
     // ---- Kaplan-Meier / Nelson-Aalen retention survival over user
@@ -550,6 +617,59 @@ object StatsQueries {
         |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
         |    * 1000000.0, 0) AS BIGINT) AS reject_05
         |FROM d""".stripMargin,
+
+    "q_mannwhitney_u" ->
+      """WITH o AS (SELECT o_totalprice AS x, o_orderstatus = 'F' AS is_a
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+        |h AS (SELECT x,
+        |    SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS cb
+        |  FROM o GROUP BY x),
+        |r AS (SELECT ca, cb, ca + cb AS cnt,
+        |    2 * COALESCE(SUM(ca + cb) OVER (ORDER BY x ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (ca + cb) + 1 AS rank_x2
+        |  FROM h),
+        |tt AS (SELECT
+        |    SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS nb FROM o),
+        |m AS (SELECT SUM(ca * rank_x2) AS ra_x2,
+        |    SUM(cnt * cnt * cnt - cnt) AS tie_term FROM r),
+        |f AS (SELECT tt.na, tt.nb,
+        |    m.ra_x2 - tt.na * (tt.na + 1) AS u_a_x2, m.tie_term,
+        |    tt.na + tt.nb AS nn FROM m CROSS JOIN tt),
+        |z AS (SELECT na, nb, u_a_x2, tie_term,
+        |    (CAST(u_a_x2 - na * nb AS DOUBLE) / 2.0)
+        |    / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+        |      * (CAST(nn + 1 AS DOUBLE) - CAST(tie_term AS DOUBLE)
+        |        / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)))) AS zv
+        |  FROM f)
+        |SELECT na AS n_a, nb AS n_b, u_a_x2, tie_term,
+        |  ROUND(zv, 6) AS z, ABS(zv) > 1.959964 AS reject_05
+        |FROM z""".stripMargin,
+
+    "q_spearman" ->
+      """WITH l AS (SELECT l_quantity AS x, l_extendedprice AS y
+        |  FROM lineitem),
+        |np AS (SELECT COUNT(*) + 1 AS np1 FROM l),
+        |hx AS (SELECT x, COUNT(*) AS cnt FROM l GROUP BY x),
+        |rx AS (SELECT x,
+        |    2 * COALESCE(SUM(cnt) OVER (ORDER BY x ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1 AS rx2
+        |  FROM hx),
+        |hy AS (SELECT y, COUNT(*) AS cnt FROM l GROUP BY y),
+        |ry AS (SELECT y,
+        |    2 * COALESCE(SUM(cnt) OVER (ORDER BY y ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1 AS ry2
+        |  FROM hy),
+        |j AS (SELECT rx.rx2 - np.np1 AS cx, ry.ry2 - np.np1 AS cy
+        |  FROM l JOIN rx USING (x) JOIN ry USING (y) CROSS JOIN np),
+        |m AS (SELECT (SELECT np1 - 1 FROM np) AS n,
+        |    CAST(SUM(CAST(cx * cy AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(cx * cx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(cy * cy AS DECIMAL(38,0))) AS DOUBLE) AS syy
+        |  FROM j)
+        |SELECT n, ROUND(sxy / sqrt(sxx * syy), 6) AS rho FROM m""".stripMargin,
 
     "e_kaplan_meier" ->
       """WITH u AS (SELECT

@@ -602,7 +602,7 @@ class PlanSpec extends SparkSpec {
     // only SinglePartition structures are the #partitions-row offset
     // table and the final 1-row agg)
     val ks = planOf("q_ks_test")
-    assert(ks.contains("hashpartitioning(pid"), ks)
+    assert(ks.contains("hashpartitioning(__pid"), ks)
     assert(!ks.contains("CartesianProduct"), ks)
 
     // PSI: bucket stats and totals join back by BROADCAST; the only
@@ -627,5 +627,11 @@ class PlanSpec extends SparkSpec {
     // Zipf: the top-1000 cut is a TakeOrdered, not a global sort
     val zf = planOf("t_zipf_fit")
     assert(zf.contains("TakeOrderedAndProject"), zf)
+
+    // Spearman: rank joins are equi-joins (quantity side broadcast,
+    // price side keyed) — never a product
+    val sp = planOf("q_spearman")
+    assert(!sp.contains("CartesianProduct"), sp)
+    assert(sp.contains("BroadcastHashJoin"), sp)
   }
 }

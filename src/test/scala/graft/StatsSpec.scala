@@ -171,6 +171,57 @@ class StatsSpec extends SparkSpec {
       assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0) }
   }
 
+  test("q_mannwhitney_u: exact U and ties replay the naive local ranking") {
+    val r = SparkEntry.queries("q_mannwhitney_u")(spark, dir)
+      .collect().head
+    val rows = Tables.t(spark, dir, "orders")
+      .filter("o_orderstatus IN ('F','O')")
+      .selectExpr("o_totalprice", "o_orderstatus = 'F'")
+      .collect().map(x => (x.getDouble(0), x.getBoolean(1)))
+    val nA = rows.count(_._2); val nB = rows.length - nA
+    assert(r.getLong(0) == nA && r.getLong(1) == nB)
+    // naive average ranks in x2 units over the merged sample
+    val byVal = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    var before = 0L; var raX2 = 0L; var tie = 0L
+    byVal.foreach { case (_, vs) =>
+      val cnt = vs.length.toLong
+      val rankX2 = 2 * before + cnt + 1
+      raX2 += vs.count(_._2) * rankX2
+      tie += cnt * cnt * cnt - cnt
+      before += cnt
+    }
+    assert(r.getLong(2) == raX2 - nA.toLong * (nA + 1), "U_A mismatch")
+    assert(r.getLong(3) == tie, "tie term mismatch")
+  }
+
+  test("q_spearman: tie-aware rho replays locally and is in [-1,1]") {
+    val r = SparkEntry.queries("q_spearman")(spark, dir).collect().head
+    val rho = r.getDouble(1)
+    assert(rho >= -1.0 && rho <= 1.0)
+    val rows = Tables.t(spark, dir, "lineitem")
+      .selectExpr("l_quantity", "l_extendedprice")
+      .collect().map(x => (x.getDouble(0), x.getDouble(1)))
+    assert(r.getLong(0) == rows.length)
+    def ranksX2(vs: Array[Double]): Map[Double, Long] = {
+      var before = 0L
+      vs.groupBy(identity).toSeq.sortBy(_._1).map { case (v, g) =>
+        val cnt = g.length.toLong
+        val rk = 2 * before + cnt + 1
+        before += cnt
+        v -> rk
+      }.toMap
+    }
+    val rx = ranksX2(rows.map(_._1)); val ry = ranksX2(rows.map(_._2))
+    val np1 = rows.length + 1L
+    var sxy = BigInt(0); var sxx = BigInt(0); var syy = BigInt(0)
+    rows.foreach { case (x, y) =>
+      val cx = BigInt(rx(x) - np1); val cy = BigInt(ry(y) - np1)
+      sxy += cx * cy; sxx += cx * cx; syy += cy * cy
+    }
+    val naive = sxy.toDouble / math.sqrt(sxx.toDouble * syy.toDouble)
+    assert(math.abs(rho - naive) < 1e-6, s"rho $rho != naive $naive")
+  }
+
   test("q_chi2_independence: dims match the grid, V in [0,1]") {
     val r = SparkEntry.queries("q_chi2_independence")(spark, dir)
       .collect().head
