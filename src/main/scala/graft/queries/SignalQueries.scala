@@ -228,6 +228,31 @@ object SignalQueries {
         .agg(count(lit(1)).as("n_events"),
           count(col("late_by")).as("n_late"),
           max(col("late_by")).as("max_late_sec"))
+    }),
+
+    // ---- Holt linear-trend smoothing per event_type over the
+    //      observed-hour series: the level+slope forecaster that
+    //      replaces snaive once e_snaive_backtest shows drift. The
+    //      recursion is sequential by nature, so the engine shape is
+    //      ONE corpus-sized hourly agg + a keyed `mapGroups` fold over
+    //      each bounded series (operators/Holt — the same step
+    //      function the streaming twin folds online with (l, b)
+    //      state). Raw IEEE doubles through the recursion (literal
+    //      0.8/0.9, never computed 1−α — the ulp fork matters over
+    //      700 iterations), rounded once at the edge; the oracle is a
+    //      recursive CTE replaying the identical formula. ----
+    "e_holt_linear" -> ((s, dir) => {
+      import s.implicits._
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type").as("et"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("x"))
+        .as[graft.operators.Holt.In]
+      graft.operators.Holt.fit(hourly).toDF()
+        .select(col("event_type"), col("h"), col("x"),
+          round(col("level"), 6).as("level"),
+          round(col("trend"), 6).as("trend"),
+          round(col("fcst"), 6).as("fcst"))
     })
   )
 
@@ -316,6 +341,32 @@ object SignalQueries {
          |SELECT (batch // ${3600 / triggerSec}) * 3600 AS arr_hour_s,
          |  COUNT(*) AS n_events, COUNT(late_by) AS n_late,
          |  MAX(late_by) AS max_late_sec
-         |FROM j GROUP BY 1""".stripMargin
+         |FROM j GROUP BY 1""".stripMargin,
+
+    "e_holt_linear" ->
+      """WITH RECURSIVE hourly AS (
+        |  SELECT event_type AS et, date_trunc('hour', ts) AS h,
+        |    COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT et, h, x,
+        |    ROW_NUMBER() OVER (PARTITION BY et ORDER BY h) AS t
+        |  FROM hourly),
+        |it AS (
+        |  SELECT s1.et, CAST(1 AS BIGINT) AS t, s1.h, s1.x,
+        |    CAST(s1.x AS DOUBLE) AS l,
+        |    CAST(s2.x - s1.x AS DOUBLE) AS b,
+        |    CAST(NULL AS DOUBLE) AS f
+        |  FROM s s1 JOIN s s2
+        |    ON s1.et = s2.et AND s1.t = 1 AND s2.t = 2
+        |  UNION ALL
+        |  SELECT n.et, n.t, n.h, n.x,
+        |    0.2 * CAST(n.x AS DOUBLE) + 0.8 * (it.l + it.b) AS l,
+        |    0.1 * ((0.2 * CAST(n.x AS DOUBLE) + 0.8 * (it.l + it.b))
+        |      - it.l) + 0.9 * it.b AS b,
+        |    it.l + it.b AS f
+        |  FROM it JOIN s n ON n.et = it.et AND n.t = it.t + 1)
+        |SELECT et AS event_type, h, x, ROUND(l, 6) AS level,
+        |  ROUND(b, 6) AS trend, ROUND(f, 6) AS fcst
+        |FROM it""".stripMargin
   )
 }

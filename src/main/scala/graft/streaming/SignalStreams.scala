@@ -93,6 +93,50 @@ object SignalStreams {
         col("psi"))
   }
 
+  /** Holt linear-trend monitor: fold completed hourly buckets through
+    * `operators/Holt.step` with an (l, b, started) state record per
+    * series key. The first two observations of a key initialize the
+    * state exactly as the batch fit does, so given in-order bucket
+    * delivery the streamed rows are bit-identical to
+    * `e_holt_linear` — spec-proven across micro-batches. State is two
+    * doubles per key. */
+  final case class HoltSt(l: Double, b: Double,
+                          pending: Option[(Timestamp, Long)])
+
+  def holtStream(hours: DataFrame)
+      : Dataset[graft.operators.Holt.Out] = {
+    import graft.operators.Holt
+    import hours.sparkSession.implicits._
+    hours.as[Holt.In]
+      .groupByKey(_.et)
+      .flatMapGroupsWithState[HoltSt, Holt.Out](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (et: String, rows: Iterator[Holt.In], state: GroupState[HoltSt]) =>
+          val sorted = rows.toSeq.sortBy(_.h.getTime)
+          val out = Seq.newBuilder[Holt.Out]
+          var cur: Option[HoltSt] = state.getOption
+          sorted.foreach { r =>
+            cur match {
+              case None =>
+                // first observation ever: buffer it — no slope yet
+                cur = Some(HoltSt(0.0, 0.0, Some((r.h, r.x))))
+              case Some(HoltSt(_, _, Some((h1, x1)))) =>
+                val st0 = Holt.init(x1, r.x)
+                out += Holt.Out(et, h1, x1, st0.l, st0.b, None)
+                val (ns, f) = Holt.step(st0, r.x)
+                out += Holt.Out(et, r.h, r.x, ns.l, ns.b, Some(f))
+                cur = Some(HoltSt(ns.l, ns.b, None))
+              case Some(HoltSt(l, b, None)) =>
+                val (ns, f) = Holt.step(Holt.State(l, b), r.x)
+                out += Holt.Out(et, r.h, r.x, ns.l, ns.b, Some(f))
+                cur = Some(HoltSt(ns.l, ns.b, None))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   def cusumStream(hours: DataFrame, targetE6: Long,
                   alarmMult: Long = 4L): Dataset[CusumOut] = {
     import hours.sparkSession.implicits._

@@ -1139,6 +1139,44 @@ class StreamingSpec extends SparkSpec {
       "streamed PSI monitor must be bit-identical to the batch query")
   }
 
+  test("holt stream: keyed (l,b) state fold is bit-equal to the batch fit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val want = SparkEntry.queries("e_holt_linear")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      .sortBy(t => (t._1, t._2.getTime))
+    // the same hourly buckets, delivered in event-time order across
+    // four micro-batches
+    val hourly = Tables.t(spark, dir, "events")
+      .selectExpr("event_type AS et", "date_trunc('hour', ts) AS h")
+      .groupBy("et", "h").count().withColumnRenamed("count", "x")
+      .orderBy("h").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val mem = MemoryStream[(String, Timestamp, Long)]
+    val out = graft.streaming.SignalStreams.holtStream(
+      mem.toDF().toDF("et", "h", "x"))
+    val q = out.writeStream.format("memory").queryName("holtstream")
+      .outputMode("append").start()
+    try {
+      hourly.grouped(hourly.length / 4 + 1).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.sql(
+      "SELECT event_type, h, x, ROUND(level, 6), ROUND(trend, 6)," +
+        " ROUND(fcst, 6) FROM holtstream").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      .sortBy(t => (t._1, t._2.getTime))
+    assert(got.toSeq === want.toSeq,
+      "streamed Holt must be bit-identical to the batch fit")
+  }
+
   test("watermark drop parity: streaming dedup drops e_late_arrivals' replay set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
