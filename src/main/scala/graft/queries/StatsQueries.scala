@@ -461,6 +461,61 @@ object StatsQueries {
           col("dist2"))
     }),
 
+    // ---- distributed bootstrap CI for the mean order value: the
+    //      one-pass Poisson bootstrap (each row contributes an
+    //      independent Poisson(1) weight per replica — the resampling
+    //      scheme that works when the corpus doesn't fit anywhere).
+    //      Weights are DETERMINISTIC: md5(key, replica) -> u in [0,1)
+    //      -> inverse-CDF against 9-decimal literal thresholds, so the
+    //      oracle replays every draw. Per-replica means use exact
+    //      DECIMAL numerators (order prices are 2-decimal; w·x is
+    //      exact in both engines); the 95% CI interpolates order
+    //      statistics over the B=200 replica means (a model-sized
+    //      window). Corpus cost is one scan x B map-side weighted
+    //      partial aggregates -> B rows cross the wire per partition. ----
+    "q_bootstrap_ci" -> ((s, dir) => {
+      val B = 200
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("x"))
+        .localCheckpoint(false) // observed mean + replica fan-out
+      val obs = o.groupBy().agg(count(lit(1)).as("n"),
+        (sum(col("x").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_obs_raw"))
+      val u = conv(substring(md5(concat(col("k").cast("string"),
+        lit("_"), col("b").cast("string"))), 1, 15), 16, 10)
+        .cast("long").cast("double") / lit(1.152921504606846976e18)
+      // Poisson(1) CDF thresholds, shared literal spelling with the oracle
+      val w = when(u < 0.367879441, 0L).when(u < 0.735758882, 1L)
+        .when(u < 0.919698603, 2L).when(u < 0.981011843, 3L)
+        .when(u < 0.996340153, 4L).when(u < 0.999405815, 5L)
+        .when(u < 0.999916759, 6L).when(u < 0.999989751, 7L)
+        .otherwise(8L)
+      val means = o
+        .withColumn("b", explode(sequence(lit(0), lit(B - 1))))
+        .withColumn("w", w)
+        .groupBy("b").agg(sum("w").as("mw"),
+          sum((col("w") * col("x")).cast("decimal(28,2)")).as("sx"))
+        .select(col("b"),
+          (col("sx").cast("double") / col("mw").cast("double"))
+            .as("mean"))
+      // nearest-rank 2.5% / 97.5% order statistics over the B replica
+      // means (integer positions — ceil(q·B) in 1-based ranks; no
+      // interpolation, no fractional-position float to agree on)
+      val loIdx = math.ceil(0.025 * B).toInt - 1
+      val hiIdx = math.ceil(0.975 * B).toInt - 1
+      val rn = row_number().over(
+        Window.orderBy(col("mean"), col("b"))) - 1
+      means.withColumn("rn", rn)
+        .groupBy()
+        .agg(max(when(col("rn") === loIdx, col("mean"))).as("lo_raw"),
+          max(when(col("rn") === hiIdx, col("mean"))).as("hi_raw"))
+        .crossJoin(broadcast(obs))
+        .select(col("n"), lit(B).as("b_reps"),
+          round(col("mean_obs_raw"), 6).as("mean_obs"),
+          round(col("lo_raw"), 6).as("lo95"),
+          round(col("hi_raw"), 6).as("hi95"))
+    }),
+
     // ---- quantile normalization of per-document scores across
     //      sources: rank within source, average the score at each rank
     //      across sources, map every document to its rank's mean —
@@ -761,6 +816,50 @@ object StatsQueries {
         |      ORDER BY dist2 ASC, c ASC) AS rn
         |  FROM pairs WHERE dist2 <= 0.04)
         |SELECT q AS vec_id, c AS nn_id, dist2 FROM f WHERE rn = 1""".stripMargin,
+
+    "q_bootstrap_ci" -> {
+      val B = 200
+      val loIdx = math.ceil(0.025 * B).toInt - 1
+      val hiIdx = math.ceil(0.975 * B).toInt - 1
+      s"""WITH o AS (SELECT o_orderkey AS k, o_totalprice AS x
+         |  FROM orders),
+         |obs AS (SELECT COUNT(*) AS n,
+         |    CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) AS mean_obs_raw
+         |  FROM o),
+         |reps AS (SELECT k, x, b FROM o CROSS JOIN
+         |  (SELECT unnest(range(0, $B)) AS b)),
+         |ws AS (SELECT b, x,
+         |    CASE
+         |      WHEN uu < 0.367879441 THEN 0
+         |      WHEN uu < 0.735758882 THEN 1
+         |      WHEN uu < 0.919698603 THEN 2
+         |      WHEN uu < 0.981011843 THEN 3
+         |      WHEN uu < 0.996340153 THEN 4
+         |      WHEN uu < 0.999405815 THEN 5
+         |      WHEN uu < 0.999916759 THEN 6
+         |      WHEN uu < 0.999989751 THEN 7
+         |      ELSE 8 END AS w
+         |  FROM (SELECT b, x,
+         |      CAST(CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '_'
+         |        || CAST(b AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+         |        / 1152921504606846976.0 AS uu
+         |    FROM reps)),
+         |m AS (SELECT b, SUM(w) AS mw,
+         |    SUM(CAST(w * x AS DECIMAL(28,2))) AS sx
+         |  FROM ws GROUP BY b),
+         |mm AS (SELECT b,
+         |    CAST(sx AS DOUBLE) / CAST(mw AS DOUBLE) AS mean FROM m),
+         |r AS (SELECT mean,
+         |    ROW_NUMBER() OVER (ORDER BY mean, b) - 1 AS rn FROM mm),
+         |ci AS (SELECT
+         |    MAX(CASE WHEN rn = $loIdx THEN mean END) AS lo_raw,
+         |    MAX(CASE WHEN rn = $hiIdx THEN mean END) AS hi_raw
+         |  FROM r)
+         |SELECT obs.n, $B AS b_reps, ROUND(obs.mean_obs_raw, 6) AS mean_obs,
+         |  ROUND(ci.lo_raw, 6) AS lo95, ROUND(ci.hi_raw, 6) AS hi95
+         |FROM ci CROSS JOIN obs""".stripMargin
+    },
 
     "q_quantile_norm" ->
       """WITH d AS (SELECT doc_id, source, n_chars AS score

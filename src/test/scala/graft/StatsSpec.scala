@@ -222,6 +222,22 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(rho - naive) < 1e-6, s"rho $rho != naive $naive")
   }
 
+  test("q_bootstrap_ci: CI brackets the mean and tightens with n") {
+    val r = SparkEntry.queries("q_bootstrap_ci")(spark, dir)
+      .collect().head
+    val (mean, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(lo <= hi)
+    assert(lo <= mean && mean <= hi,
+      "a 95% bootstrap CI must bracket the point estimate here")
+    assert(r.getLong(0) == Tables.t(spark, dir, "orders").count())
+    assert(r.getInt(1) == 200)
+    // 10x the data → a materially tighter interval
+    val r10 = SparkEntry.queries("q_bootstrap_ci")(
+      spark, "/root/testdata/sf0.01").collect().head
+    assert(r10.getDouble(4) - r10.getDouble(3) < hi - lo,
+      "CI width must shrink as n grows")
+  }
+
   test("q_chi2_independence: dims match the grid, V in [0,1]") {
     val r = SparkEntry.queries("q_chi2_independence")(spark, dir)
       .collect().head
