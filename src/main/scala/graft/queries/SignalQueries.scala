@@ -230,6 +230,43 @@ object SignalQueries {
           max(col("late_by")).as("max_late_sec"))
     }),
 
+    // ---- autocorrelation function of the hourly ingest volume for
+    //      lags 1..24 — the diagnostic that picks the seasonal period
+    //      (a daily cycle shows as the k=24 peak) before anyone fits
+    //      e_seasonal_decompose or e_holt_linear. Centering uses the
+    //      xn trick (c_t = n*x_t - S, exact integers — no floating
+    //      mean subtraction), numerator/denominator are exact DECIMAL
+    //      sums, one closing division per lag. Shapes: one hourly agg,
+    //      a 24-way explode of the BOUNDED series, one equi-join on
+    //      the shifted hour key — never a window over raw events. ----
+    "e_acf" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(expr("unix_micros(date_trunc('hour', ts))" +
+          " div 3600000000").as("he"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint(false) // totals + both join sides
+      val tot = hourly.groupBy()
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      val c = hourly.crossJoin(broadcast(tot))
+        .select(col("he"), (col("n") * col("x") - col("sx")).as("c"))
+        .localCheckpoint(false) // left and right of the lag join
+      val den = c.groupBy()
+        .agg(sum((col("c") * col("c")).cast("decimal(38,0)")).as("den"))
+      val lagged = c
+        .withColumn("k", explode(sequence(lit(1), lit(24))))
+        .select(col("k"), (col("he") + col("k")).as("he2"),
+          col("c").as("ca"))
+      lagged.join(c.select(col("he").as("he2"), col("c").as("cb")),
+          "he2")
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("ca") * col("cb")).cast("decimal(38,0)")).as("num"))
+        .crossJoin(broadcast(den))
+        .select(col("k"), col("n_pairs"),
+          round(col("num").cast("double") / col("den").cast("double"), 6)
+            .as("acf"))
+    }),
+
     // ---- Holt linear-trend smoothing per event_type over the
     //      observed-hour series: the level+slope forecaster that
     //      replaces snaive once e_snaive_backtest shows drift. The
@@ -342,6 +379,26 @@ object SignalQueries {
          |  COUNT(*) AS n_events, COUNT(late_by) AS n_late,
          |  MAX(late_by) AS max_late_sec
          |FROM j GROUP BY 1""".stripMargin,
+
+    "e_acf" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS he,
+        |    COUNT(*) AS x
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n, SUM(x) AS sx FROM hourly),
+        |c AS (SELECT he, tot.n * x - tot.sx AS c
+        |  FROM hourly CROSS JOIN tot),
+        |den AS (SELECT SUM(CAST(c * c AS DECIMAL(38,0))) AS den FROM c),
+        |lagged AS (SELECT k, he + k AS he2, c AS ca
+        |  FROM c CROSS JOIN (SELECT unnest(range(1, 25)) AS k)),
+        |num AS (SELECT l.k, COUNT(*) AS n_pairs,
+        |    SUM(CAST(l.ca * b.c AS DECIMAL(38,0))) AS num
+        |  FROM lagged l JOIN c b ON l.he2 = b.he
+        |  GROUP BY l.k)
+        |SELECT num.k, num.n_pairs,
+        |  ROUND(CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE), 6)
+        |    AS acf
+        |FROM num CROSS JOIN den""".stripMargin,
 
     "e_holt_linear" ->
       """WITH RECURSIVE hourly AS (

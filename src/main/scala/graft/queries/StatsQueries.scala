@@ -516,6 +516,56 @@ object StatsQueries {
           round(col("hi_raw"), 6).as("hi95"))
     }),
 
+    // ---- randomization test for the difference in mean event value
+    //      between the two user-parity variants: 199 deterministic
+    //      md5-driven relabelings (Bernoulli(1/2) randomization — the
+    //      scheme that needs no global shuffle), each scored with
+    //      exact-DECIMAL group means in the SAME one-pass fan-out as
+    //      the bootstrap; the p-value is an EXACT integer ppm count of
+    //      replicas at least as extreme as observed (the +1 "observed
+    //      counts itself" convention keeps it valid). ----
+    "q_permutation_test" -> ((s, dir) => {
+      val P = 199
+      val e = t(s, dir, "events")
+        .select(col("event_id").as("k"),
+          (col("user_id") % 2 === 0).as("grp_a"), col("value").as("x"))
+        .localCheckpoint(false) // observed stat + replica fan-out
+      def meanDiff(df: DataFrame, flag: org.apache.spark.sql.Column,
+                   extra: Seq[String]) =
+        df.groupBy(extra.map(col): _*)
+          .agg(
+            (sum(when(flag, col("x")).cast("decimal(28,2)"))
+              .cast("double") /
+              sum(when(flag, 1L).otherwise(0L)).cast("double") -
+              sum(when(!flag, col("x")).cast("decimal(28,2)"))
+                .cast("double") /
+                sum(when(!flag, 1L).otherwise(0L)).cast("double"))
+              .as("diff"),
+            sum(when(flag, 1L).otherwise(0L)).as("na"),
+            sum(when(!flag, 1L).otherwise(0L)).as("nb"))
+      val obs = meanDiff(e, col("grp_a"), Seq.empty)
+        .select(col("diff").as("diff_obs"), col("na").as("n_a"),
+          col("nb").as("n_b"))
+      val perm = e
+        .withColumn("p", explode(sequence(lit(0), lit(P - 1))))
+      val relabeled = meanDiff(
+        perm.withColumn("ua",
+          conv(substring(md5(concat(col("k").cast("string"), lit("_"),
+            col("p").cast("string"))), 1, 15), 16, 10)
+            .cast("long").cast("double") /
+            lit(1.152921504606846976e18) < lit(0.5)),
+        col("ua"), Seq("p"))
+      relabeled.crossJoin(broadcast(obs))
+        .groupBy()
+        .agg(max("n_a").as("n_a0"), max("n_b").as("n_b0"),
+          round(max("diff_obs"), 6).as("diff_obs_r"),
+          ((sum(when(abs(col("diff")) >= abs(col("diff_obs")), 1L)
+            .otherwise(0L)) + 1L) * 1000000L).as("hits_e6"))
+        .select(col("n_a0").as("n_a"), col("n_b0").as("n_b"),
+          lit(P).as("n_perms"), col("diff_obs_r").as("diff_obs"),
+          expr(s"hits_e6 div ${P + 1}").as("p_value_ppm"))
+    }),
+
     // ---- quantile normalization of per-document scores across
     //      sources: rank within source, average the score at each rank
     //      across sources, map every document to its rank's mean —
@@ -859,6 +909,43 @@ object StatsQueries {
          |SELECT obs.n, $B AS b_reps, ROUND(obs.mean_obs_raw, 6) AS mean_obs,
          |  ROUND(ci.lo_raw, 6) AS lo95, ROUND(ci.hi_raw, 6) AS hi95
          |FROM ci CROSS JOIN obs""".stripMargin
+    },
+
+    "q_permutation_test" -> {
+      val P = 199
+      s"""WITH e AS (SELECT event_id AS k, user_id % 2 = 0 AS grp_a,
+         |    value AS x FROM events),
+         |obs AS (SELECT
+         |    CAST(SUM(CASE WHEN grp_a THEN CAST(x AS DECIMAL(28,2))
+         |      END) AS DOUBLE)
+         |      / CAST(SUM(CASE WHEN grp_a THEN 1 ELSE 0 END) AS DOUBLE)
+         |    - CAST(SUM(CASE WHEN NOT grp_a THEN CAST(x AS DECIMAL(28,2))
+         |      END) AS DOUBLE)
+         |      / CAST(SUM(CASE WHEN NOT grp_a THEN 1 ELSE 0 END)
+         |        AS DOUBLE) AS diff_obs,
+         |    SUM(CASE WHEN grp_a THEN 1 ELSE 0 END) AS n_a,
+         |    SUM(CASE WHEN NOT grp_a THEN 1 ELSE 0 END) AS n_b
+         |  FROM e),
+         |perm AS (SELECT k, x, p,
+         |    CAST(CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '_'
+         |      || CAST(p AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+         |      / 1152921504606846976.0 < 0.5 AS ua
+         |  FROM e CROSS JOIN (SELECT unnest(range(0, $P)) AS p)),
+         |st AS (SELECT p,
+         |    CAST(SUM(CASE WHEN ua THEN CAST(x AS DECIMAL(28,2)) END)
+         |        AS DOUBLE)
+         |      / CAST(SUM(CASE WHEN ua THEN 1 ELSE 0 END) AS DOUBLE)
+         |    - CAST(SUM(CASE WHEN NOT ua THEN CAST(x AS DECIMAL(28,2))
+         |        END) AS DOUBLE)
+         |      / CAST(SUM(CASE WHEN NOT ua THEN 1 ELSE 0 END) AS DOUBLE)
+         |      AS diff
+         |  FROM perm GROUP BY p)
+         |SELECT obs.n_a, obs.n_b, $P AS n_perms,
+         |  ROUND(obs.diff_obs, 6) AS diff_obs,
+         |  (SUM(CASE WHEN ABS(st.diff) >= ABS(obs.diff_obs)
+         |    THEN 1 ELSE 0 END) + 1) * 1000000 // ${P + 1} AS p_value_ppm
+         |FROM st CROSS JOIN obs
+         |GROUP BY obs.n_a, obs.n_b, obs.diff_obs""".stripMargin
     },
 
     "q_quantile_norm" ->

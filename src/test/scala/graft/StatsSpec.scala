@@ -238,6 +238,64 @@ class StatsSpec extends SparkSpec {
       "CI width must shrink as n grows")
   }
 
+  test("q_permutation_test: p-value replays the md5 relabeling exactly") {
+    val r = SparkEntry.queries("q_permutation_test")(spark, dir)
+      .collect().head
+    val rows = Tables.t(spark, dir, "events")
+      .selectExpr("event_id", "user_id % 2 = 0", "value").collect()
+      .map(x => (x.getLong(0), x.getBoolean(1), x.getDouble(2)))
+    assert(r.getLong(0) == rows.count(_._2))
+    assert(r.getLong(1) == rows.length - rows.count(_._2))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(k: Long, p: Int): Double = {
+      val hex = md.digest(s"${k}_$p".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16).toDouble / 1.152921504606846976e18
+    }
+    def diff(vals: Seq[(Boolean, Double)]): Double = {
+      def m(g: Seq[Double]) =
+        g.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble / g.length
+      m(vals.filter(_._1).map(_._2)) - m(vals.filterNot(_._1).map(_._2))
+    }
+    val obs = diff(rows.map(t => (t._2, t._3)))
+    val hits = (0 until 199).count { p =>
+      math.abs(diff(rows.map(t => (u(t._1, p) < 0.5, t._3)))) >=
+        math.abs(obs)
+    }
+    assert(r.getLong(4) == (hits + 1) * 1000000L / 200,
+      "p-value must replay the deterministic relabeling")
+  }
+
+  test("e_acf: Cauchy-Schwarz bound and dense-series pair counts") {
+    val out = SparkEntry.queries("e_acf")(spark, dir)
+      .orderBy("k").collect()
+    assert(out.length == 24)
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9,
+        s"|acf| > 1 at lag ${r.get(0)}") }
+    // exact local replay from the hourly counts
+    val hours = Tables.t(spark, dir, "events")
+      .selectExpr("unix_micros(date_trunc('HOUR', ts))" +
+        " div 3600000000 AS he")
+      .groupBy("he").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val n = hours.size.toLong; val sx = hours.values.sum
+    val c = hours.map { case (he, x) => he -> (n * x - sx) }
+    val den = c.values.map(v => BigInt(v) * BigInt(v)).sum
+    out.foreach { r =>
+      val k = r.getInt(0)
+      val pairs = c.toSeq.flatMap { case (he, ca) =>
+        c.get(he + k).map(cb => (ca, cb)) }
+      assert(r.getLong(1) == pairs.length, s"n_pairs wrong at lag $k")
+      val num = pairs.map { case (a, b) => BigInt(a) * BigInt(b) }.sum
+      val naive = BigDecimal(num.toDouble / den.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(2) - naive) < 1e-9,
+        s"acf mismatch at lag $k")
+    }
+  }
+
   test("q_chi2_independence: dims match the grid, V in [0,1]") {
     val r = SparkEntry.queries("q_chi2_independence")(spark, dir)
       .collect().head
