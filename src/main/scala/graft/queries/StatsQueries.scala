@@ -566,6 +566,52 @@ object StatsQueries {
           expr(s"hits_e6 div ${P + 1}").as("p_value_ppm"))
     }),
 
+    // ---- CUPED variance reduction for the A/B readout: adjust each
+    //      user's experiment-period outcome by their PRE-period
+    //      covariate (theta = cov(x,y)/var(x) fitted pooled), the
+    //      standard trick that shrinks experiment confidence intervals
+    //      ~(1-rho^2)x without touching the treatment effect. Per-user
+    //      sums are exact DECIMAL; theta's moments are exact DECIMAL
+    //      sums of 4-decimal products (per-user totals are exact
+    //      2-decimal doubles, so x*x and x*y are exact 4-decimal);
+    //      the adjusted means re-enter exact accounting through a
+    //      round-6 per-row quantization. Shapes: one per-user agg, one
+    //      broadcast of the 1-row moment frame, one 2-group agg. ----
+    "q_cuped_adjust" -> ((s, dir) => {
+      val cut = lit(DriftCut).cast("timestamp")
+      val pu = t(s, dir, "events")
+        .groupBy((col("user_id") % 2).as("variant"), col("user_id"))
+        .agg(
+          coalesce(sum(when(col("ts") < cut,
+            col("value").cast("decimal(18,2)"))), lit(0).cast("decimal(18,2)"))
+            .cast("double").as("x"),
+          coalesce(sum(when(col("ts") >= cut,
+            col("value").cast("decimal(18,2)"))), lit(0).cast("decimal(18,2)"))
+            .cast("double").as("y"))
+        .localCheckpoint(false) // moment fit + adjusted readout
+      val mom = pu.groupBy().agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(28,2)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(28,2)")).cast("double").as("sy"),
+        sum(round(col("x") * col("x"), 4).cast("decimal(38,4)"))
+          .cast("double").as("sxx"),
+        sum(round(col("x") * col("y"), 4).cast("decimal(38,4)"))
+          .cast("double").as("sxy"))
+        .withColumn("theta",
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")))
+        .withColumn("xbar", col("sx") / col("n").cast("double"))
+      pu.crossJoin(broadcast(mom))
+        .withColumn("y_adj", round(
+          col("y") - col("theta") * (col("x") - col("xbar")), 6))
+        .groupBy("variant")
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(col("y").cast("decimal(28,2)")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_y"),
+          round(sum(col("y_adj").cast("decimal(38,6)")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_y_adj"),
+          round(max("theta"), 6).as("theta"))
+    }),
+
     // ---- quantile normalization of per-document scores across
     //      sources: rank within source, average the score at each rank
     //      across sources, map every document to its rank's mean —
@@ -947,6 +993,39 @@ object StatsQueries {
          |FROM st CROSS JOIN obs
          |GROUP BY obs.n_a, obs.n_b, obs.diff_obs""".stripMargin
     },
+
+    "q_cuped_adjust" ->
+      s"""WITH pu AS (SELECT user_id % 2 AS variant, user_id,
+         |    CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '$DriftCut'
+         |      THEN CAST(value AS DECIMAL(18,2)) END),
+         |      CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS x,
+         |    CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '$DriftCut'
+         |      THEN CAST(value AS DECIMAL(18,2)) END),
+         |      CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS y
+         |  FROM events GROUP BY 1, 2),
+         |mom AS (SELECT COUNT(*) AS n,
+         |    CAST(SUM(CAST(x AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(y AS DECIMAL(28,2))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(ROUND(x * x, 4) AS DECIMAL(38,4)))
+         |      AS DOUBLE) AS sxx,
+         |    CAST(SUM(CAST(ROUND(x * y, 4) AS DECIMAL(38,4)))
+         |      AS DOUBLE) AS sxy
+         |  FROM pu),
+         |th AS (SELECT n, sx,
+         |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+         |    sx / CAST(n AS DOUBLE) AS xbar
+         |  FROM mom),
+         |adj AS (SELECT pu.variant, pu.y,
+         |    ROUND(pu.y - th.theta * (pu.x - th.xbar), 6) AS y_adj,
+         |    th.theta
+         |  FROM pu CROSS JOIN th)
+         |SELECT variant, COUNT(*) AS n_users,
+         |  ROUND(CAST(SUM(CAST(y AS DECIMAL(28,2))) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_y,
+         |  ROUND(CAST(SUM(CAST(y_adj AS DECIMAL(38,6))) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_y_adj,
+         |  ROUND(MAX(theta), 6) AS theta
+         |FROM adj GROUP BY variant""".stripMargin,
 
     "q_quantile_norm" ->
       """WITH d AS (SELECT doc_id, source, n_chars AS score

@@ -1,5 +1,7 @@
 package graft
 
+import java.sql.Timestamp
+
 /** Semantic pins for the statistical-testing queries (the DuckDB
   * oracle pins exact values; these assert the invariants that DEFINE
   * each statistic, independent of fixture content — and replay the
@@ -294,6 +296,40 @@ class StatsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(2) - naive) < 1e-9,
         s"acf mismatch at lag $k")
     }
+  }
+
+  test("q_cuped_adjust: mean-preserving, variance-reducing") {
+    val out = SparkEntry.queries("q_cuped_adjust")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    assert(out.length == 2)
+    // theta is a single pooled fit
+    assert(out(0)._5 == out(1)._5)
+    // adjustment must not move the POOLED mean (sum of theta terms
+    // telescopes to zero over all users, up to round-6 quanta)
+    val pooledY = out.map(v => v._3 * v._2).sum / out.map(_._2).sum
+    val pooledAdj = out.map(v => v._4 * v._2).sum / out.map(_._2).sum
+    assert(math.abs(pooledY - pooledAdj) < 1e-3,
+      s"CUPED moved the pooled mean: $pooledY -> $pooledAdj")
+    // and it must reduce variance: replay per-user (x, y) locally
+    val cut = Timestamp.valueOf("2024-01-16 00:00:00")
+    val per = Tables.t(spark, dir, "events")
+      .selectExpr("user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (_, es) =>
+        (es.filter(_._2.before(cut)).map(_._3).sum,
+          es.filterNot(_._2.before(cut)).map(_._3).sum)
+      }.toArray
+    val n = per.length
+    def meanOf(v: Array[Double]) = v.sum / n
+    def varOf(v: Array[Double]) = {
+      val m = meanOf(v); v.map(a => (a - m) * (a - m)).sum / n
+    }
+    val xs = per.map(_._1); val ys = per.map(_._2)
+    val theta = out(0)._5
+    val yAdj = per.map { case (x, y) => y - theta * (x - meanOf(xs)) }
+    assert(varOf(yAdj) < varOf(ys),
+      "CUPED must reduce outcome variance on a correlated covariate")
   }
 
   test("q_chi2_independence: dims match the grid, V in [0,1]") {
