@@ -310,29 +310,52 @@ object TextQueries {
     // ---- corpus cartography: source×source 3-shingle overlap matrix
     //      — which domains duplicate each other, the map that decides
     //      what cross-source dedup will recover before running it.
-    //      Shapes: the corpus collapses to DISTINCT (source, shingle)
-    //      once; the intersection join is shingle-keyed with at most
-    //      |sources|² fanout per shingle type (bounded by 20² here,
-    //      by the domain count generally — never by corpus size);
-    //      set sizes are one map-combinable count. Exact integers +
-    //      one IEEE division ----
+    //      Shapes: each source gets a BIT (the domain catalog is
+    //      model-sized — collected once, broadcast back), and the one
+    //      corpus-sized shuffle is groupBy(shingle) folding bit_or
+    //      over the masks — a declarative long-state aggregate that
+    //      stays inside WholeStageCodegen with map-side combine, so
+    //      even a stop-shingle present in every doc reduces to one
+    //      long per map partition before the exchange. (collect_set
+    //      here would drop to ObjectHashAggregate, whose sort-based
+    //      fallback triggers past 128 hash keys; the previous
+    //      self-join of the distinct frame shuffled the corpus twice
+    //      and materialized the matches.) The shingle→mask frame then
+    //      collapses to a mask HISTOGRAM (≤ 2^|sources| rows,
+    //      thousands in practice), and every set size and pairwise
+    //      intersection is a bit-test + weighted sum over that tiny
+    //      frame. Exact integers + one IEEE division ----
     "t_source_overlap" -> ((s, dir) => {
-      val ss = t(s, dir, "documents")
-        .select(col("source"),
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val srcList = d.select(col("source")).distinct()
+        .orderBy("source").collect().map(_.getString(0)).toSeq
+      require(srcList.length <= 63,
+        s"t_source_overlap: ${srcList.length} sources exceed the 63-bit " +
+          "mask — chunk the domain catalog into multiple mask words")
+      val srcBits = srcList.zipWithIndex
+        .map { case (src, i) => (src, 1L << i) }.toDF("source", "bit")
+      val maskHist = d.select(col("source"),
           explode(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
-        .distinct()
-        .localCheckpoint(false) // sizes + intersection both consume it
-      val sizes = ss.groupBy("source").agg(count(lit(1)).as("n"))
-      val inter = ss.as("a").join(ss.as("b"),
-          col("a.sh") === col("b.sh") &&
-            col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(srcBits), "source")
+        .groupBy("sh").agg(expr("bit_or(bit)").as("mask"))
+        .groupBy("mask").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false) // sizes + intersections both consume it
+      val sizes = maskHist.crossJoin(broadcast(srcBits))
+        .filter((col("mask").bitwiseAND(col("bit"))) =!= 0L)
+        .groupBy("source").agg(sum(col("cnt")).as("n"))
+      val srcPairs = (for {
+        i <- srcList.indices; j <- (i + 1) until srcList.length
+      } yield (srcList(i), srcList(j), (1L << i) | (1L << j)))
+        .toDF("src_a", "src_b", "bits")
+      val inter = maskHist.crossJoin(broadcast(srcPairs))
+        .filter((col("mask").bitwiseAND(col("bits"))) === col("bits"))
+        .groupBy("src_a", "src_b").agg(sum(col("cnt")).as("n_common"))
       inter
-        .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")),
-          "src_a")
-        .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")),
-          "src_b")
+        .join(broadcast(sizes
+          .select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+        .join(broadcast(sizes
+          .select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
         .select(col("src_a"), col("src_b"), col("n_common"),
           col("n_a"), col("n_b"),
           (col("n_common").cast("double") /
