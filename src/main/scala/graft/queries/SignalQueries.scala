@@ -290,6 +290,51 @@ object SignalQueries {
           round(col("level"), 6).as("level"),
           round(col("trend"), 6).as("trend"),
           round(col("fcst"), 6).as("fcst"))
+    }),
+
+    // ---- Theil-Sen robust trend per event type: the median of all
+    //      pairwise daily-volume slopes, plus the median-residual
+    //      intercept — the outlier-proof alternative to least-squares
+    //      when one crawl burst would drag an OLS line. Shapes: the
+    //      corpus reduces to a DAILY series first (≤ window-length
+    //      rows per key), so the pairwise fan-out is C(days, 2) per
+    //      key — bounded by the calendar window squared, never by
+    //      corpus size; the per-key windows order those ≤ C(31,2)
+    //      rows. Numeric contract: every slope is one IEEE division
+    //      of exact integers (bit-identical across engines) and the
+    //      median is the LOWER-MEDIAN ELEMENT — row_number selection,
+    //      never interpolation, so no engine-specific averaging or
+    //      rounding-tie fork can move a bit; outputs are raw
+    //      bit-equal doubles. ----
+    "e_theil_sen" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("y"))
+        .select(col("event_type"),
+          datediff(col("d"), lit("2024-01-01").cast("date")).as("x"),
+          col("y"))
+        .localCheckpoint(false) // pair slopes + intercept residuals
+      val pairs = daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.x") < col("b.x"))
+        .select(col("a.event_type").as("event_type"),
+          ((col("b.y") - col("a.y")).cast("double") /
+            (col("b.x") - col("a.x")).cast("double")).as("slope"))
+      val wp = Window.partitionBy("event_type")
+      val slopes = pairs
+        .withColumn("rn", row_number().over(wp.orderBy(col("slope").asc)))
+        .withColumn("np", count(lit(1)).over(wp))
+        .filter(col("rn") === expr("(np + 1) div 2"))
+        .select(col("event_type"), col("np").as("n_pairs"), col("slope"))
+      daily.join(broadcast(slopes), "event_type")
+        .select(col("event_type"), col("n_pairs"), col("slope"),
+          (col("y").cast("double") -
+            col("slope") * col("x").cast("double")).as("resid"))
+        .withColumn("rn", row_number().over(wp.orderBy(col("resid").asc)))
+        .withColumn("nd", count(lit(1)).over(wp))
+        .filter(col("rn") === expr("(nd + 1) div 2"))
+        .select(col("event_type"), col("nd").as("n_days"),
+          col("n_pairs"), col("slope"), col("resid").as("intercept"))
     })
   )
 
@@ -424,6 +469,34 @@ object SignalQueries {
         |  FROM it JOIN s n ON n.et = it.et AND n.t = it.t + 1)
         |SELECT et AS event_type, h, x, ROUND(l, 6) AS level,
         |  ROUND(b, 6) AS trend, ROUND(f, 6) AS fcst
-        |FROM it""".stripMargin
+        |FROM it""".stripMargin,
+
+    "e_theil_sen" ->
+      """WITH daily AS (SELECT event_type,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (SELECT a.event_type,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.x < b.x),
+        |sl AS (SELECT event_type, np AS n_pairs, slope FROM (
+        |    SELECT event_type, slope,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY slope ASC) AS rn,
+        |      COUNT(*) OVER (PARTITION BY event_type) AS np
+        |    FROM pairs)
+        |  WHERE rn = (np + 1) // 2),
+        |res AS (SELECT d.event_type, sl.n_pairs, sl.slope,
+        |    CAST(d.y AS DOUBLE) - sl.slope * CAST(d.x AS DOUBLE) AS resid
+        |  FROM daily d JOIN sl USING (event_type))
+        |SELECT event_type, nd AS n_days, n_pairs, slope,
+        |  resid AS intercept
+        |FROM (SELECT event_type, n_pairs, slope, resid,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY resid ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM res)
+        |WHERE rn = (nd + 1) // 2""".stripMargin
   )
 }

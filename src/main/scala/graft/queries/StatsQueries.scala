@@ -633,6 +633,112 @@ object StatsQueries {
       r.join(broadcast(m), "rnk")
         .select(col("doc_id"), col("source"), col("rnk"), col("score"),
           expr("ssum * 1000000 div scnt").as("norm_e6"))
+    }),
+
+    // ---- Welch's unequal-variance t-test between two customer
+    //      segments' balances (the default two-sample mean test when
+    //      variances can't be assumed equal), plus Welch-Satterthwaite
+    //      df and Cohen's d effect size. Shapes: ONE corpus scan with
+    //      filter pushed to parquet, five map-combinable aggregates
+    //      (two counts + two exact-DECIMAL sums + two exact-DECIMAL
+    //      sums of 4-dec squares — a 2-dec money value squared is
+    //      exactly 4-dec, so round(x*x, 4) recovers it identically on
+    //      both engines), then one identical closing IEEE tree. The
+    //      significance boolean tests the ROUNDED t so a boundary ulp
+    //      can't fork the flag. ----
+    "q_welch_ttest" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select((col("c_mktsegment") === "BUILDING").as("is_a"),
+          col("c_acctbal").as("x"))
+      val m = c.groupBy().agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("is_a"), col("x")).otherwise(lit(0.0))
+          .cast("decimal(28,2)")).cast("double").as("s1"),
+        sum(when(!col("is_a"), col("x")).otherwise(lit(0.0))
+          .cast("decimal(28,2)")).cast("double").as("s2"),
+        sum(when(col("is_a"), round(col("x") * col("x"), 4))
+          .otherwise(lit(0.0)).cast("decimal(38,4)")).cast("double")
+          .as("q1"),
+        sum(when(!col("is_a"), round(col("x") * col("x"), 4))
+          .otherwise(lit(0.0)).cast("decimal(38,4)")).cast("double")
+          .as("q2"))
+      val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
+      val mean1 = col("s1") / n1d; val mean2 = col("s2") / n2d
+      val v1 = (col("q1") - col("s1") * col("s1") / n1d) / (n1d - lit(1.0))
+      val v2 = (col("q2") - col("s2") * col("s2") / n2d) / (n2d - lit(1.0))
+      val se2 = v1 / n1d + v2 / n2d
+      val tstat = (mean1 - mean2) / sqrt(se2)
+      val dfW = se2 * se2 /
+        ((v1 / n1d) * (v1 / n1d) / (n1d - lit(1.0)) +
+          (v2 / n2d) * (v2 / n2d) / (n2d - lit(1.0)))
+      val pooled = ((n1d - lit(1.0)) * v1 + (n2d - lit(1.0)) * v2) /
+        (n1d + n2d - lit(2.0))
+      m.select(col("n1"), col("n2"),
+        round(mean1, 6).as("mean_a"), round(mean2, 6).as("mean_b"),
+        round(v1, 4).as("var_a"), round(v2, 4).as("var_b"),
+        round(tstat, 6).as("t"), round(dfW, 4).as("df"),
+        round((mean1 - mean2) / sqrt(pooled), 6).as("cohen_d"),
+        (abs(round(tstat, 6)) > lit(1.959964)).as("significant_05"))
+    }),
+
+    // ---- Benjamini-Hochberg FDR correction across the per-event-type
+    //      family of A/B z-tests — the multiple-testing step every
+    //      many-metric experiment readout needs before declaring
+    //      winners. Each hypothesis is the q_ab_ztest statistic scoped
+    //      to one event_type; the two-sided p comes from |z| via the
+    //      Abramowitz-Stegun 26.2.17 normal-tail polynomial (libm exp
+    //      enters ONCE, on a 6-dec-rounded |z|, and p rounds to 8
+    //      decimals before any ranking — ulp forks sit 8 orders below
+    //      the grid). The BH pass (rank by p, adj = min over j >= i of
+    //      p_j*m/j, clamp to 1) runs in windows over the HYPOTHESIS
+    //      FAMILY — m rows, bounded by the metric catalog, never by
+    //      the corpus. ----
+    "q_bh_fdr" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"), (col("user_id") % 2).as("variant"),
+          col("user_id"), col("value"))
+      val a = e.groupBy("event_type", "variant").agg(
+        countDistinct(col("user_id")).as("n"),
+        countDistinct(when(col("value") > 150.0, col("user_id")))
+          .as("conv"))
+      val w = a.groupBy("event_type").agg(
+        max(when(col("variant") === 0, col("n"))).as("n0"),
+        max(when(col("variant") === 1, col("n"))).as("n1"),
+        max(when(col("variant") === 0, col("conv"))).as("conv0"),
+        max(when(col("variant") === 1, col("conv"))).as("conv1"))
+      val p0 = col("conv0").cast("double") / col("n0").cast("double")
+      val p1 = col("conv1").cast("double") / col("n1").cast("double")
+      val pp = (col("conv0") + col("conv1")).cast("double") /
+        (col("n0") + col("n1")).cast("double")
+      val z = (p0 - p1) / sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n0").cast("double") +
+          lit(1.0) / col("n1").cast("double")))
+      val scored = w.withColumn("z", round(z, 6))
+        .withColumn("za", abs(col("z")))
+        .withColumn("tt", lit(1.0) / (lit(1.0) + lit(0.2316419) * col("za")))
+        // Horner form of the A-S b1..b5 polynomial, φ(za) factored out
+        .withColumn("p", round(lit(2.0) *
+          (exp(col("za") * col("za") * lit(-0.5)) *
+            lit(0.3989422804014327)) *
+          (col("tt") * (lit(0.319381530) + col("tt") *
+            (lit(-0.356563782) + col("tt") * (lit(1.781477937) +
+              col("tt") * (lit(-1.821255978) +
+                col("tt") * lit(1.330274429)))))), 8))
+      val mAll = scored.groupBy().agg(count(lit(1)).as("m"))
+      val ord = Window.orderBy(col("p").asc, col("event_type").asc)
+      val tail = Window.orderBy(col("p").asc, col("event_type").asc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      scored.crossJoin(broadcast(mAll))
+        .withColumn("rnk", row_number().over(ord))
+        .withColumn("p_adj", round(least(
+          min(col("p") * col("m").cast("double") /
+            col("rnk").cast("double")).over(tail), lit(1.0)), 8))
+        .select(col("event_type"), col("n0"), col("n1"),
+          col("conv0"), col("conv1"), col("z"), col("p"),
+          col("rnk"), col("m"), col("p_adj"),
+          (col("p_adj") <= lit(0.05)).as("reject_fdr_05"))
     })
   )
 
@@ -1038,6 +1144,99 @@ object StatsQueries {
         |  FROM r GROUP BY rnk)
         |SELECT r.doc_id, r.source, r.rnk, r.score,
         |  m.ssum * 1000000 // m.scnt AS norm_e6
-        |FROM r JOIN m USING (rnk)""".stripMargin
+        |FROM r JOIN m USING (rnk)""".stripMargin,
+
+    "q_welch_ttest" ->
+      """WITH c AS (SELECT c_mktsegment = 'BUILDING' AS is_a,
+        |    c_acctbal AS x
+        |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |m AS (SELECT
+        |    SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS n2,
+        |    CAST(SUM(CAST(CASE WHEN is_a THEN x ELSE 0.0 END
+        |      AS DECIMAL(28,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(CASE WHEN NOT is_a THEN x ELSE 0.0 END
+        |      AS DECIMAL(28,2))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(CASE WHEN is_a THEN ROUND(x * x, 4) ELSE 0.0 END
+        |      AS DECIMAL(38,4))) AS DOUBLE) AS q1,
+        |    CAST(SUM(CAST(CASE WHEN NOT is_a THEN ROUND(x * x, 4)
+        |      ELSE 0.0 END AS DECIMAL(38,4))) AS DOUBLE) AS q2
+        |  FROM c),
+        |v AS (SELECT n1, n2,
+        |    s1 / CAST(n1 AS DOUBLE) AS mean1,
+        |    s2 / CAST(n2 AS DOUBLE) AS mean2,
+        |    (q1 - s1 * s1 / CAST(n1 AS DOUBLE))
+        |      / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+        |    (q2 - s2 * s2 / CAST(n2 AS DOUBLE))
+        |      / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+        |  FROM m),
+        |se AS (SELECT n1, n2, mean1, mean2, v1, v2,
+        |    v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) AS se2
+        |  FROM v)
+        |SELECT n1, n2,
+        |  ROUND(mean1, 6) AS mean_a, ROUND(mean2, 6) AS mean_b,
+        |  ROUND(v1, 4) AS var_a, ROUND(v2, 4) AS var_b,
+        |  ROUND((mean1 - mean2) / sqrt(se2), 6) AS t,
+        |  ROUND(se2 * se2 /
+        |    ((v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE))
+        |       / (CAST(n1 AS DOUBLE) - 1.0)
+        |     + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE))
+        |       / (CAST(n2 AS DOUBLE) - 1.0)), 4) AS df,
+        |  ROUND((mean1 - mean2) / sqrt(
+        |    ((CAST(n1 AS DOUBLE) - 1.0) * v1
+        |     + (CAST(n2 AS DOUBLE) - 1.0) * v2)
+        |    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)), 6)
+        |    AS cohen_d,
+        |  ABS(ROUND((mean1 - mean2) / sqrt(se2), 6)) > 1.959964
+        |    AS significant_05
+        |FROM se""".stripMargin,
+
+    "q_bh_fdr" ->
+      """WITH e AS (SELECT event_type, user_id % 2 AS variant, user_id,
+        |    value
+        |  FROM events),
+        |a AS (SELECT event_type, variant,
+        |    COUNT(DISTINCT user_id) AS n,
+        |    COUNT(DISTINCT CASE WHEN value > 150.0 THEN user_id END)
+        |      AS conv
+        |  FROM e GROUP BY event_type, variant),
+        |w AS (SELECT event_type,
+        |    MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+        |    MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+        |    MAX(CASE WHEN variant = 0 THEN conv END) AS conv0,
+        |    MAX(CASE WHEN variant = 1 THEN conv END) AS conv1
+        |  FROM a GROUP BY event_type),
+        |z AS (SELECT event_type, n0, n1, conv0, conv1,
+        |    ROUND((CAST(conv0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |      - CAST(conv1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |    / sqrt((CAST(conv0 + conv1 AS DOUBLE)
+        |        / CAST(n0 + n1 AS DOUBLE))
+        |      * (1.0 - CAST(conv0 + conv1 AS DOUBLE)
+        |        / CAST(n0 + n1 AS DOUBLE))
+        |      * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 6)
+        |      AS z
+        |  FROM w),
+        |tt AS (SELECT *, ABS(z) AS za,
+        |    1.0 / (1.0 + 0.2316419 * ABS(z)) AS t1
+        |  FROM z),
+        |p AS (SELECT event_type, n0, n1, conv0, conv1, z,
+        |    ROUND(2.0 * (exp(za * za * -0.5) * 0.3989422804014327)
+        |      * (t1 * (0.319381530 + t1 * (-0.356563782 + t1 *
+        |          (1.781477937 + t1 * (-1.821255978
+        |            + t1 * 1.330274429))))), 8) AS p
+        |  FROM tt),
+        |r AS (SELECT *,
+        |    ROW_NUMBER() OVER (ORDER BY p ASC, event_type ASC) AS rnk,
+        |    COUNT(*) OVER () AS m
+        |  FROM p),
+        |adj AS (SELECT *,
+        |    ROUND(LEAST(MIN(p * CAST(m AS DOUBLE) / CAST(rnk AS DOUBLE))
+        |      OVER (ORDER BY p ASC, event_type ASC
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+        |      1.0), 8) AS p_adj
+        |  FROM r)
+        |SELECT event_type, n0, n1, conv0, conv1, z, p, rnk, m, p_adj,
+        |  p_adj <= 0.05 AS reject_fdr_05
+        |FROM adj""".stripMargin
   )
 }

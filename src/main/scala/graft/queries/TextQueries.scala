@@ -363,6 +363,53 @@ object TextQueries {
             .as("jaccard"))
     }),
 
+    // ---- per-source lexical richness: hapax-legomena share (words
+    //      seen once) and type-token ratio — the corpus-health stats
+    //      that flag template/boilerplate domains (low hapax, low TTR)
+    //      and OCR-noise domains (anomalously high hapax) before
+    //      mixing. Shapes: one explode + two map-combinable keyed
+    //      aggs; all outputs exact integer ppm ----
+    "t_hapax_ratio" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), explode(Text.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("source", "word").agg(count(lit(1)).as("k"))
+        .groupBy("source").agg(
+          sum(col("k")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("k") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          col("n_hapax"),
+          expr("n_hapax * 1000000 div n_types").as("hapax_ppm"),
+          expr("n_types * 1000000 div n_tokens").as("ttr_ppm"))
+    }),
+
+    // ---- train→holdout n-gram novelty: the share of distinct
+    //      holdout (val+test) 3-grams NEVER seen in the train split —
+    //      the memorization/generalization audit run after splitting
+    //      (novelty near 0 means eval loss measures recall, not
+    //      generalization). Shapes: same bitmask discipline as
+    //      t_source_overlap — one corpus-sized groupBy(shingle)
+    //      folding two max flags (codegen'd int state, map-side
+    //      combined), then one scalar agg over the shingle-type
+    //      frame; never a join between split corpora ----
+    "t_ngram_novelty" -> ((s, dir) => {
+      val d = graft.operators.Sampling.hashSplit(
+        t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      d.select((col("split") === "train").as("in_train"),
+          explode(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
+        .groupBy("sh").agg(
+          max(when(col("in_train"), 1).otherwise(0)).as("seen_train"),
+          max(when(!col("in_train"), 1).otherwise(0)).as("seen_hold"))
+        .filter(col("seen_hold") === 1)
+        .groupBy().agg(count(lit(1)).as("n_holdout_types"),
+          sum(when(col("seen_train") === 0, 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("n_holdout_types"), col("n_novel"),
+          expr("n_novel * 1000000 div n_holdout_types").as("novel_ppm"))
+    }),
+
     // ---- per-source tokenizer efficiency: chars-per-BPE-token under
     //      the fixed merge table — the number that says which domains
     //      a tokenizer serves well before committing a training run.
@@ -1186,6 +1233,36 @@ object TextQueries {
          |FROM inter
          |JOIN sizes sa ON sa.source = src_a
          |JOIN sizes sb ON sb.source = src_b""".stripMargin,
+
+    "t_hapax_ratio" ->
+      s"""WITH wk AS (SELECT source, word, COUNT(*) AS k
+         |  FROM (SELECT source, unnest($tok) AS word FROM documents)
+         |  WHERE word <> '' GROUP BY source, word),
+         |agg AS (SELECT source, SUM(k) AS n_tokens, COUNT(*) AS n_types,
+         |    SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS n_hapax
+         |  FROM wk GROUP BY source)
+         |SELECT source, n_tokens, n_types, n_hapax,
+         |  n_hapax * 1000000 // n_types AS hapax_ppm,
+         |  n_types * 1000000 // n_tokens AS ttr_ppm
+         |FROM agg""".stripMargin,
+
+    "t_ngram_novelty" ->
+      s"""WITH sp AS (SELECT bucket < 205 AS in_train, text FROM
+         |    (SELECT text, $md5Bucket AS bucket FROM documents)),
+         |sh AS (SELECT in_train, unnest(
+         |    CASE WHEN len($tok) < 3 THEN []
+         |         ELSE list_transform(range(1, len($tok) - 1),
+         |                i -> array_to_string(($tok)[i:i+2], ' ')) END)
+         |    AS sh FROM sp),
+         |m AS (SELECT sh.sh,
+         |    MAX(CASE WHEN in_train THEN 1 ELSE 0 END) AS seen_train,
+         |    MAX(CASE WHEN NOT in_train THEN 1 ELSE 0 END) AS seen_hold
+         |  FROM sh GROUP BY sh.sh)
+         |SELECT COUNT(*) AS n_holdout_types,
+         |  SUM(CASE WHEN seen_train = 0 THEN 1 ELSE 0 END) AS n_novel,
+         |  SUM(CASE WHEN seen_train = 0 THEN 1 ELSE 0 END) * 1000000
+         |    // COUNT(*) AS novel_ppm
+         |FROM m WHERE seen_hold = 1""".stripMargin,
 
     "t_bpe_compression" -> {
       val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"),

@@ -102,4 +102,29 @@ class SignalSpec extends SparkSpec {
       "fixture + jitter must actually produce late events " +
         "(a vacuous audit proves nothing)")
   }
+
+  test("e_theil_sen: lower-median slope matches the naive local replay") {
+    val out = SparkEntry.queries("e_theil_sen")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    assert(out.nonEmpty)
+    val daily = Tables.t(spark, dir, "events")
+      .selectExpr("event_type",
+        "datediff(cast(ts as date), date '2024-01-01')", "1L")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+      .groupBy(identity).map { case ((et, x), v) => (et, x, v.size.toLong) }
+      .toSeq
+    out.foreach { case (et, nDays, nPairs, slope, intercept) =>
+      val series = daily.filter(_._1 == et).map(t => (t._2, t._3))
+      assert(nDays == series.length)
+      val slopes = (for {
+        (x1, y1) <- series; (x2, y2) <- series if x1 < x2
+      } yield (y2 - y1).toDouble / (x2 - x1).toDouble).sorted
+      assert(nPairs == slopes.length)
+      // lower-median ELEMENT, bit-equal (no interpolation anywhere)
+      assert(slope == slopes((slopes.length + 1) / 2 - 1))
+      val resid = series.map { case (x, y) => y - slope * x }.sorted
+      assert(intercept == resid((resid.length + 1) / 2 - 1))
+    }
+  }
 }

@@ -343,4 +343,57 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(4) >= 0.0)
     assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
   }
+
+  test("q_welch_ttest: matches the naive local replay") {
+    val out = SparkEntry.queries("q_welch_ttest")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val rows = Tables.t(spark, dir, "customer")
+      .filter("c_mktsegment IN ('BUILDING','MACHINERY')")
+      .selectExpr("c_mktsegment = 'BUILDING'", "c_acctbal")
+      .collect().map(x => (x.getBoolean(0), x.getDouble(1)))
+    val a = rows.filter(_._1).map(_._2); val b = rows.filterNot(_._1).map(_._2)
+    assert(r.getLong(0) == a.length && r.getLong(1) == b.length)
+    def mv(v: Array[Double]) = {
+      val m = v.sum / v.length
+      (m, v.map(x => (x - m) * (x - m)).sum / (v.length - 1))
+    }
+    val (m1, v1) = mv(a); val (m2, v2) = mv(b)
+    val se2 = v1 / a.length + v2 / b.length
+    val tN = (m1 - m2) / math.sqrt(se2)
+    val dfN = se2 * se2 /
+      (math.pow(v1 / a.length, 2) / (a.length - 1) +
+        math.pow(v2 / b.length, 2) / (b.length - 1))
+    assert(math.abs(r.getDouble(2) - m1) < 1e-4)
+    assert(math.abs(r.getDouble(3) - m2) < 1e-4)
+    assert(math.abs(r.getDouble(6) - tN) < 1e-4, s"t=${r.getDouble(6)} vs $tN")
+    assert(math.abs(r.getDouble(7) - dfN) < 1e-2)
+    // Welch df sits between the conservative and pooled bounds
+    assert(r.getDouble(7) >= math.min(a.length, b.length) - 1 - 1e-9)
+    assert(r.getDouble(7) <= a.length + b.length - 2 + 1e-9)
+  }
+
+  test("q_bh_fdr: p-values valid, adjustment monotone and anchored") {
+    val out = SparkEntry.queries("q_bh_fdr")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(5), r.getDouble(6),
+        r.getInt(7), r.getLong(8), r.getDouble(9)))
+      .sortBy(_._4)
+    val m = out.head._5
+    assert(out.length == m.toInt)
+    // p from z replays the A-S 26.2.17 polynomial exactly
+    out.foreach { case (_, z, p, _, _, _) =>
+      val za = math.abs(z)
+      val t1 = 1.0 / (1.0 + 0.2316419 * za)
+      val phi = math.exp(-za * za / 2.0) * 0.3989422804014327
+      val pN = 2.0 * phi * (t1 * (0.319381530 + t1 * (-0.356563782 +
+        t1 * (1.781477937 + t1 * (-1.821255978 + t1 * 1.330274429)))))
+      assert(p >= 0.0 && p <= 1.0 && math.abs(p - pN) < 1e-7)
+    }
+    // BH: adjusted p is >= raw p, nondecreasing in rank, and the last
+    // rank's adjustment is its own p (times m/m), clamped to 1
+    out.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0)._6 <= w(1)._6 + 1e-12) }
+    out.foreach { case (_, _, p, _, _, adj) => assert(adj >= p - 1e-8) }
+    assert(math.abs(out.last._6 - math.min(out.last._3, 1.0)) < 1e-8)
+  }
 }

@@ -207,4 +207,49 @@ class TextSpec extends SparkSpec {
       assert(r.getAs[Long]("fre_e3") == 206835 - w * 1015 / s - y * 84600 / w)
     }
   }
+
+  test("t_hapax_ratio: bounds hold; one source replays naively") {
+    val fdir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("t_hapax_ratio")(spark, fdir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (tok, ty, hx) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(hx <= ty && ty <= tok)
+      assert(r.getLong(4) == hx * 1000000L / ty)
+      assert(r.getLong(5) == ty * 1000000L / tok)
+    }
+    // naive replay of the lexically-first source
+    val src = out.map(_.getString(0)).min
+    val words = Tables.t(spark, fdir, "documents")
+      .filter(col("source") === src).select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.nonEmpty)
+    val byW = words.groupBy(identity).map { case (_, v) => v.length }
+    val row = out.find(_.getString(0) == src).get
+    assert(row.getLong(1) == words.length)
+    assert(row.getLong(2) == byW.size)
+    assert(row.getLong(3) == byW.count(_ == 1))
+  }
+
+  test("t_ngram_novelty: matches a local set-difference replay") {
+    val fdir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("t_ngram_novelty")(spark, fdir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // replay: split via the same hashSplit, shingle locally
+    val docs = graft.operators.Sampling.hashSplit(
+      Tables.t(spark, fdir, "documents"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("split", "text").collect()
+      .map(x => (x.getString(0) == "train", x.getString(1)))
+    def sh(t: String): Seq[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Seq.empty
+      else w.sliding(3).map(_.mkString(" ")).toSeq
+    }
+    val train = docs.filter(_._1).flatMap(x => sh(x._2)).toSet
+    val hold = docs.filterNot(_._1).flatMap(x => sh(x._2)).toSet
+    assert(r.getLong(0) == hold.size)
+    assert(r.getLong(1) == (hold -- train).size)
+    assert(r.getLong(2) == r.getLong(1) * 1000000L / r.getLong(0))
+  }
 }
