@@ -504,6 +504,71 @@ object Similarity {
         col("x.rank").as("rank_ab"), col("y.rank").as("rank_ba"))
   }
 
+  /** One NN-descent refinement round (Dong et al., WWW'11) over a
+    * directed k-NN graph seeded by TWO independent sign-LSH
+    * projections: the candidate set for every vector is its current
+    * neighbors, its REVERSE neighbors, and its neighbors' neighbors —
+    * the "a neighbor of my neighbor is probably my neighbor"
+    * expansion. The two-projection seed is load-bearing: a SINGLE
+    * disjoint blocking is transitively closed (u~v and v~w force w
+    * into u's bucket), so NoN could never leave the bucket and the
+    * round would be a no-op by construction. With two relations the
+    * u→v (projection 1), v→w (projection 2) path reaches vectors
+    * sharing NO bucket with u — exactly the edges blocking misses.
+    * Candidates are reranked by exact cosine and cut back to k.
+    *
+    * Scale shape — the reason NN-descent is THE graph-ANN
+    * construction at corpus scale: per round the candidate list is
+    * ≤ 2k + 2k + 4k² ids per vector (O(n·k²) total, never all-pairs),
+    * built from equi-joins of the 2k·|V|-row edge list with itself;
+    * vectors are fetched only for surviving DISTINCT candidate pairs
+    * (two hash joins), and the rank window sees O(k²) rows per src.
+    * Emits (src, rank, dst, cos, is_new) — is_new marks final edges
+    * absent from BOTH seed blockings, the per-round convergence
+    * signal (iterate until new-edge count ~ 0; one round is the
+    * oracle-gated unit here, the loop is the caller's).
+    */
+  def nnDescentRound(df: DataFrame, k: Int, bits: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nrm"),
+      signBucket(col(vecCol), bits).as("b1"),
+      signBucket(slice(col(vecCol), bits + 1, bits), bits).as("b2"))
+      .localCheckpoint(false) // seed pairs + two candidate-fetch joins
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
+    def topkOn(bucket: String): DataFrame =
+      v.as("a").join(v.as("b"),
+          col(s"a.$bucket") === col(s"b.$bucket") &&
+            col("a.id") =!= col("b.id"))
+        .select(col("a.id").as("src"), col("b.id").as("dst"),
+          cosPre(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
+            .as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k).select("src", "dst")
+    val seed = topkOn("b1").union(topkOn("b2")).distinct()
+      .localCheckpoint(false) // forward, reverse, NoN, and is_new probe
+    val cands = seed // forward edges stay candidates
+      .union(seed.select(col("dst").as("src"), col("src").as("dst")))
+      .union(seed.as("e1").join(seed.as("e2"),
+          col("e1.dst") === col("e2.src") && col("e2.dst") =!= col("e1.src"))
+        .select(col("e1.src").as("src"), col("e2.dst").as("dst")))
+      .distinct()
+    cands
+      .join(v.select(col("id").as("src"), col("v").as("sv"),
+        col("nrm").as("sn")), "src")
+      .join(v.select(col("id").as("dst"), col("v").as("dv"),
+        col("nrm").as("dn")), "dst")
+      .select(col("src"), col("dst"),
+        cosPre(col("sv"), col("dv"), col("sn"), col("dn")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(seed.withColumn("seeded", lit(true)), Seq("src", "dst"), "left")
+      .select(col("src"), col("rank"), col("dst"),
+        round(col("cos"), 4).as("cos"),
+        coalesce(col("seeded"), lit(false)).unary_!.as("is_new"))
+  }
+
   /** Directional embedding decontamination: flag TRAIN vectors whose
     * cosine with ANY eval vector reaches `threshold` — the semantic
     * twin of n-gram benchmark decontamination ([[Dedup.contaminated]])

@@ -350,6 +350,32 @@ object GovernanceQueries {
           sum(col("n_bigrams")).as("n_bigrams"),
           min(col("avg_nll")).as("min_nll"),
           max(col("avg_nll")).as("max_nll"))
+    }),
+
+    // ---- pre-join key-skew audit: the distribution check an engineer
+    //      runs on a join key BEFORE shipping the join — the hottest
+    //      keys, each one's share of all rows, and its multiple of the
+    //      mean key load (the number that says "this key alone will
+    //      own a straggler task; salt it or AQE-split it"). Shapes:
+    //      one map-combinable per-key count, one scalar agg, a
+    //      TakeOrdered top-5; the rank window orders 5 post-limit
+    //      rows. All outputs exact integers ----
+    "q_join_skew_audit" -> ((s, dir) => {
+      val kc = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false) // totals + top-5 both consume it
+      val tot = kc.groupBy().agg(
+        sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"))
+      kc.orderBy(col("cnt").desc, col("key").asc).limit(5)
+        .crossJoin(broadcast(tot))
+        .withColumn("hot_rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("key").asc)))
+        .select(col("hot_rank"), col("key"), col("cnt"),
+          col("n_rows"), col("n_keys"), col("max_cnt"),
+          expr("cnt * 1000000 div n_rows").as("share_ppm"),
+          expr("cnt * 100 * n_keys div n_rows").as("skew_x_e2"))
     })
   )
 
@@ -535,6 +561,21 @@ object GovernanceQueries {
          |SELECT CAST((rn - 1) * 3 // n_total + 1 AS INT) AS bucket,
          |  COUNT(*) AS n_docs, SUM(n_bigrams) AS n_bigrams,
          |  MIN(avg_nll) AS min_nll, MAX(avg_nll) AS max_nll
-         |FROM ranked GROUP BY 1""".stripMargin
+         |FROM ranked GROUP BY 1""".stripMargin,
+
+    "q_join_skew_audit" ->
+      """WITH kc AS (SELECT l_orderkey AS key, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT SUM(cnt) AS n_rows, COUNT(*) AS n_keys,
+        |    MAX(cnt) AS max_cnt
+        |  FROM kc),
+        |top5 AS (SELECT key, cnt FROM kc
+        |  ORDER BY cnt DESC, key ASC LIMIT 5)
+        |SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC)
+        |    AS hot_rank,
+        |  key, cnt, n_rows, n_keys, max_cnt,
+        |  cnt * 1000000 // n_rows AS share_ppm,
+        |  cnt * 100 * n_keys // n_rows AS skew_x_e2
+        |FROM top5 CROSS JOIN tot""".stripMargin
   )
 }

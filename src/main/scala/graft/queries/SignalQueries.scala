@@ -292,6 +292,29 @@ object SignalQueries {
           round(col("fcst"), 6).as("fcst"))
     }),
 
+    // ---- Holt-Winters additive seasonal smoothing of hourly ingest
+    //      volume (period 24 — the diurnal crawl cycle): level, trend,
+    //      per-hour seasonal factor, and the one-step-ahead forecast
+    //      that was in force before each observation. Shapes/numerics:
+    //      the HoltWinters operator's keyed fold (see its Scaladoc) —
+    //      corpus reduces to the hourly series, per-key state is
+    //      (l, b, 24 doubles), the oracle's recursive CTE carries the
+    //      seasonal vector as a LIST and replays bit-for-bit ----
+    "e_holt_winters" -> ((s, dir) => {
+      import s.implicits._
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type").as("et"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("x"))
+        .as[graft.operators.HoltWinters.In]
+      graft.operators.HoltWinters.fit(hourly).toDF()
+        .select(col("event_type"), col("h"), col("x"),
+          round(col("level"), 6).as("level"),
+          round(col("trend"), 6).as("trend"),
+          round(col("seasonal"), 6).as("seasonal"),
+          round(col("fcst"), 6).as("fcst"))
+    }),
+
     // ---- Theil-Sen robust trend per event type: the median of all
     //      pairwise daily-volume slopes, plus the median-residual
     //      intercept — the outlier-proof alternative to least-squares
@@ -470,6 +493,54 @@ object SignalQueries {
         |SELECT et AS event_type, h, x, ROUND(l, 6) AS level,
         |  ROUND(b, 6) AS trend, ROUND(f, 6) AS fcst
         |FROM it""".stripMargin,
+
+    "e_holt_winters" ->
+      """WITH RECURSIVE hourly AS (
+        |  SELECT event_type AS et, date_trunc('hour', ts) AS h,
+        |    COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT et, h, x,
+        |    ROW_NUMBER() OVER (PARTITION BY et ORDER BY h) AS t
+        |  FROM hourly),
+        |base AS (SELECT et,
+        |    SUM(CASE WHEN t <= 24 THEN x END) AS s1,
+        |    SUM(CASE WHEN t > 24 AND t <= 48 THEN x END) AS s2
+        |  FROM s GROUP BY et HAVING MAX(t) >= 48),
+        |init AS (SELECT et,
+        |    CAST(s1 AS DOUBLE) / 24.0 AS l,
+        |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)) / (24.0 * 24.0)
+        |      AS b
+        |  FROM base),
+        |sl AS (SELECT s.et,
+        |    list(CAST(s.x AS DOUBLE) - i.l ORDER BY s.t) AS ss
+        |  FROM s JOIN init i USING (et) WHERE s.t <= 24 GROUP BY s.et),
+        |it AS (
+        |  SELECT i.et, CAST(24 AS BIGINT) AS t, i.l, i.b, sl.ss,
+        |    CAST(NULL AS DOUBLE) AS f, CAST(NULL AS DOUBLE) AS snew,
+        |    CAST(NULL AS TIMESTAMP) AS h, CAST(NULL AS BIGINT) AS x
+        |  FROM init i JOIN sl USING (et)
+        |  UNION ALL
+        |  SELECT n.et, n.t,
+        |    0.2 * (CAST(n.x AS DOUBLE) - it.ss[1])
+        |      + 0.8 * (it.l + it.b) AS l,
+        |    0.1 * ((0.2 * (CAST(n.x AS DOUBLE) - it.ss[1])
+        |        + 0.8 * (it.l + it.b)) - it.l) + 0.9 * it.b AS b,
+        |    it.ss[2:24] || [
+        |      0.3 * (CAST(n.x AS DOUBLE)
+        |        - (0.2 * (CAST(n.x AS DOUBLE) - it.ss[1])
+        |           + 0.8 * (it.l + it.b)))
+        |      + 0.7 * it.ss[1]] AS ss,
+        |    it.l + it.b + it.ss[1] AS f,
+        |    0.3 * (CAST(n.x AS DOUBLE)
+        |      - (0.2 * (CAST(n.x AS DOUBLE) - it.ss[1])
+        |         + 0.8 * (it.l + it.b)))
+        |    + 0.7 * it.ss[1] AS snew,
+        |    n.h, n.x
+        |  FROM it JOIN s n ON n.et = it.et AND n.t = it.t + 1)
+        |SELECT et AS event_type, h, x, ROUND(l, 6) AS level,
+        |  ROUND(b, 6) AS trend, ROUND(snew, 6) AS seasonal,
+        |  ROUND(f, 6) AS fcst
+        |FROM it WHERE t > 24""".stripMargin,
 
     "e_theil_sen" ->
       """WITH daily AS (SELECT event_type,

@@ -94,6 +94,15 @@ object SimilarityQueries {
       Similarity.knnGraphMutual(e, k = 4, bits = 4)
     }),
 
+    // ---- one NN-descent refinement round over the LSH-seeded graph:
+    //      neighbors-of-neighbors candidates, exact-cosine rerank,
+    //      is_new marks recovered edges (the convergence signal) ----
+    "s_nn_descent" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Similarity.nnDescentRound(e, k = 4, bits = 4)
+    }),
+
     // ---- sign-LSH bucketed ANN (the scale path) ----
     "s_ann_signlsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -568,6 +577,47 @@ object SimilarityQueries {
         |  x.rank AS rank_ab, y.rank AS rank_ba
         |FROM k x JOIN k y ON x.src = y.dst AND x.dst = y.src
         |  AND x.src < x.dst""".stripMargin,
+
+    "s_nn_descent" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    array_to_string(list_transform(CAST(embedding AS DOUBLE[])[1:4],
+        |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS b1,
+        |    array_to_string(list_transform(CAST(embedding AS DOUBLE[])[5:8],
+        |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS b2
+        |  FROM embeddings),
+        |p1 AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    list_cosine_similarity(a.v, b.v) AS cos
+        |  FROM e a JOIN e b ON a.b1 = b.b1 AND a.vec_id <> b.vec_id),
+        |p2 AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    list_cosine_similarity(a.v, b.v) AS cos
+        |  FROM e a JOIN e b ON a.b2 = b.b2 AND a.vec_id <> b.vec_id),
+        |seed AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst, ROW_NUMBER() OVER (
+        |      PARTITION BY src ORDER BY cos DESC, dst ASC) AS rank FROM p1)
+        |  WHERE rank <= 4
+        |  UNION
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst, ROW_NUMBER() OVER (
+        |      PARTITION BY src ORDER BY cos DESC, dst ASC) AS rank FROM p2)
+        |  WHERE rank <= 4),
+        |cand AS (
+        |  SELECT src, dst FROM seed
+        |  UNION
+        |  SELECT dst AS src, src AS dst FROM seed
+        |  UNION
+        |  SELECT e1.src AS src, e2.dst AS dst FROM seed e1 JOIN seed e2
+        |    ON e1.dst = e2.src AND e2.dst <> e1.src),
+        |rer AS (SELECT c.src, c.dst,
+        |    list_cosine_similarity(a.v, b.v) AS cos
+        |  FROM cand c JOIN e a ON a.vec_id = c.src
+        |  JOIN e b ON b.vec_id = c.dst),
+        |rk AS (SELECT src, dst, cos, ROW_NUMBER() OVER (
+        |    PARTITION BY src ORDER BY cos DESC, dst ASC) AS rank FROM rer)
+        |SELECT rk.src, rk.rank, rk.dst, ROUND(rk.cos, 4) AS cos,
+        |  s.src IS NULL AS is_new
+        |FROM rk LEFT JOIN seed s ON s.src = rk.src AND s.dst = rk.dst
+        |WHERE rk.rank <= 4""".stripMargin,
 
     "s_ann_signlsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -363,6 +363,56 @@ object TextQueries {
             .as("jaccard"))
     }),
 
+    // ---- DoReMi-flavored domain reweighting: one exponentiated-
+    //      gradient step on the mix weights from per-source EXCESS
+    //      loss under the corpus's own bigram LM — domains the shared
+    //      model predicts worst gain weight (they carry information
+    //      the mix under-serves), domains it predicts too easily lose
+    //      it. base weights = bigram-mass share; w_new ∝ mass ·
+    //      exp(avg_nll − corpus_nll), normalized. Shapes: the LM build
+    //      and scoring are t_perplexity's (bigram-type aggregations +
+    //      one equi-join); everything after is a DOMAIN-CATALOG-sized
+    //      frame (20 rows). Comparator: NLL sums are exact DECIMAL,
+    //      the one libm exp runs on 6-dec-rounded operands and rounds
+    //      to 8 BEFORE the normalization sum (taken as exact DECIMAL),
+    //      so Z is partition-order invariant ----
+    "t_domain_reweight" -> ((s, dir) => {
+      val bg = t(s, dir, "documents")
+        .select(col("source"),
+          explode(Text.shingles(Text.tokens(col("text")), 2)).as("bigram"))
+        .groupBy("source", "bigram").agg(count(lit(1)).as("k"))
+        .localCheckpoint(false) // LM build + per-source scoring
+      val cnt = bg.groupBy("bigram").agg(sum(col("k")).as("c"))
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      val den = cnt.groupBy("w1").agg(sum(col("c")).as("cp"))
+      val probs = cnt.join(den, "w1")
+        .select(col("bigram"),
+          (col("c").cast("double") / col("cp").cast("double")).as("p"))
+      val perSrc = bg.join(probs, "bigram")
+        .groupBy("source")
+        .agg(sum(col("k").cast("decimal(18,0)") *
+            round(-log(col("p")), 4).cast("decimal(18,4)")).as("nll"),
+          sum(col("k")).as("mass"))
+      val tot = perSrc.groupBy()
+        .agg(sum(col("nll")).as("tnll"), sum(col("mass")).as("tmass"))
+      val scored = perSrc.crossJoin(broadcast(tot))
+        .withColumn("avg_nll", round(
+          col("nll").cast("double") / col("mass").cast("double"), 6))
+        .withColumn("corpus_nll", round(
+          col("tnll").cast("double") / col("tmass").cast("double"), 6))
+        .withColumn("score", round(exp(col("avg_nll") - col("corpus_nll")), 8)
+          .cast("decimal(18,8)"))
+        .withColumn("unnorm", col("mass").cast("decimal(20,0)") * col("score"))
+        .localCheckpoint(false) // Z + the final readout
+      val z = scored.groupBy().agg(sum(col("unnorm")).as("z"))
+      scored.crossJoin(broadcast(z))
+        .select(col("source"), col("mass").as("n_bigrams"), col("avg_nll"),
+          round(col("avg_nll") - col("corpus_nll"), 6).as("excess_nll"),
+          expr("mass * 1000000 div tmass").as("base_ppm"),
+          round(col("unnorm").cast("double") / col("z").cast("double"), 6)
+            .as("w_new"))
+    }),
+
     // ---- per-source lexical richness: hapax-legomena share (words
     //      seen once) and type-token ratio — the corpus-health stats
     //      that flag template/boilerplate domains (low hapax, low TTR)
@@ -1233,6 +1283,45 @@ object TextQueries {
          |FROM inter
          |JOIN sizes sa ON sa.source = src_a
          |JOIN sizes sb ON sb.source = src_b""".stripMargin,
+
+    "t_domain_reweight" ->
+      s"""WITH bi AS (SELECT source, unnest(
+         |    CASE WHEN len($tok) < 2 THEN []
+         |         ELSE list_transform(range(1, len($tok)),
+         |                i -> array_to_string(($tok)[i:i+1], ' ')) END)
+         |    AS bigram
+         |  FROM documents),
+         |bg AS (SELECT source, bigram, COUNT(*) AS k
+         |  FROM bi GROUP BY source, bigram),
+         |bc AS (SELECT bigram, SUM(k) AS c,
+         |    string_split(bigram, ' ')[1] AS w1
+         |  FROM bg GROUP BY bigram),
+         |pr AS (SELECT bigram, CAST(c AS DOUBLE) /
+         |    CAST(SUM(c) OVER (PARTITION BY w1) AS DOUBLE) AS p
+         |  FROM bc),
+         |ps AS (SELECT source,
+         |    SUM(CAST(k AS DECIMAL(18,0))
+         |      * CAST(round(-ln(p), 4) AS DECIMAL(18,4))) AS nll,
+         |    SUM(k) AS mass
+         |  FROM bg JOIN pr USING (bigram) GROUP BY source),
+         |tot AS (SELECT SUM(nll) AS tnll, SUM(mass) AS tmass FROM ps),
+         |sc AS (SELECT source, mass, tmass,
+         |    ROUND(CAST(nll AS DOUBLE) / CAST(mass AS DOUBLE), 6)
+         |      AS avg_nll,
+         |    ROUND(CAST(tnll AS DOUBLE) / CAST(tmass AS DOUBLE), 6)
+         |      AS corpus_nll
+         |  FROM ps CROSS JOIN tot),
+         |un AS (SELECT *,
+         |    CAST(mass AS DECIMAL(20,0))
+         |      * CAST(ROUND(exp(avg_nll - corpus_nll), 8)
+         |          AS DECIMAL(18,8)) AS unnorm
+         |  FROM sc),
+         |z AS (SELECT SUM(unnorm) AS z FROM un)
+         |SELECT source, mass AS n_bigrams, avg_nll,
+         |  ROUND(avg_nll - corpus_nll, 6) AS excess_nll,
+         |  mass * 1000000 // tmass AS base_ppm,
+         |  ROUND(CAST(unnorm AS DOUBLE) / CAST(z AS DOUBLE), 6) AS w_new
+         |FROM un CROSS JOIN z""".stripMargin,
 
     "t_hapax_ratio" ->
       s"""WITH wk AS (SELECT source, word, COUNT(*) AS k

@@ -181,4 +181,24 @@ class GovernanceSpec extends SparkSpec {
     assert(nClip == per.count(_ > 5L))
     assert(maxC == per.max)
   }
+
+  test("q_join_skew_audit: top keys and shares replay the local count") {
+    val out = SparkEntry.queries("q_join_skew_audit")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).sortBy(_._1)
+    val counts = Tables.t(spark, dir, "lineitem")
+      .groupBy("l_orderkey").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nRows = counts.map(_._2).sum; val nKeys = counts.length.toLong
+    val top = counts.sortBy { case (k, c) => (-c, k) }.take(5)
+    assert(out.length == math.min(5, nKeys).toInt)
+    out.zip(top).zipWithIndex.foreach { case ((got, (k, c)), i) =>
+      assert(got._1 == i + 1 && got._2 == k && got._3 == c)
+      assert(got._4 == nRows && got._5 == nKeys)
+      assert(got._6 == counts.map(_._2).max)
+      assert(got._7 == c * 1000000L / nRows)
+      assert(got._8 == c * 100L * nKeys / nRows)
+    }
+  }
 }

@@ -103,6 +103,52 @@ class SignalSpec extends SparkSpec {
         "(a vacuous audit proves nothing)")
   }
 
+  test("e_holt_winters: keyed fold bit-equal to a local replay") {
+    val rows = Tables.t(spark, dir, "events")
+      .selectExpr("event_type", "date_trunc('hour', ts)", "1")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)))
+      .groupBy(identity).map { case ((et, h), v) => (et, h, v.size.toLong) }
+      .toSeq
+    val out = SparkEntry.queries("e_holt_winters")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getTimestamp(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    import graft.operators.HoltWinters._
+    val m = Period
+    var checked = 0
+    rows.groupBy(_._1).foreach { case (et, series) =>
+      val xs = series.sortBy(_._2.getTime)
+      if (xs.length >= 2 * m) {
+        val s1 = xs.take(m).map(_._3).sum
+        val s2 = xs.slice(m, 2 * m).map(_._3).sum
+        var l = s1.toDouble / m.toDouble
+        var b = (s2.toDouble - s1.toDouble) / (m.toDouble * m.toDouble)
+        val ss = Array.tabulate(m)(i => xs(i)._3.toDouble - l)
+        var t = m
+        while (t < xs.length) {
+          val x = xs(t)._3
+          val sOld = ss(t % m)
+          val f = l + b + sOld
+          val lN = Alpha * (x.toDouble - sOld) + OneMinusAlpha * (l + b)
+          val bN = Beta * (lN - l) + OneMinusBeta * b
+          val sN = Gamma * (x.toDouble - lN) + OneMinusGamma * sOld
+          ss(t % m) = sN; l = lN; b = bN
+          val got = out((et, xs(t)._2))
+          def r6(v: Double) =
+            BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble
+          assert(got._1 == x && got._2 == r6(lN) && got._3 == r6(bN) &&
+            got._4 == r6(sN) && got._5 == r6(f),
+            s"$et t=$t: $got vs (${r6(lN)}, ${r6(bN)}, ${r6(sN)}, ${r6(f)})")
+          checked += 1
+          t += 1
+        }
+      }
+    }
+    assert(checked > 0, "no key had >= 2 seasons — vacuous")
+    assert(out.size == checked, "engine emitted rows the replay didn't")
+  }
+
   test("e_theil_sen: lower-median slope matches the naive local replay") {
     val out = SparkEntry.queries("e_theil_sen")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),

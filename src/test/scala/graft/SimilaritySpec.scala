@@ -466,4 +466,52 @@ class SimilaritySpec extends SparkSpec {
     val keys = out.map(r => (r.getLong(0), r.getLong(1)))
     assert(keys.distinct.length === keys.length)
   }
+
+  test("nnDescentRound: discovers cross-bucket edges and lifts recall") {
+    val fdir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("s_nn_descent")(spark, fdir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    // k edges per src, ranks dense 1..k
+    out.groupBy(_._1).foreach { case (_, es) =>
+      assert(es.map(_._2).sorted.toSeq == (1 to es.length))
+    }
+    // the round must actually descend: some final edges were absent
+    // from both seed blockings (the single-blocking version of this
+    // operator emitted zero — transitive closure made NoN a no-op)
+    assert(out.count(_._5) > 0, "no new edges — the round is a no-op")
+    // recall@k against local brute force: refined graph >= the
+    // blocking-1 seed graph (candidate superset ⇒ monotone rerank)
+    val vecs = Tables.t(spark, fdir, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>)")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val k = 4
+    val truth = vecs.map { case (id, v) =>
+      id -> vecs.filter(_._1 != id)
+        .map { case (j, u) => (j, cos(v, u)) }
+        .sortBy { case (j, c) => (-c, j) }.take(k).map(_._1).toSet
+    }.toMap
+    def bucket(v: Array[Double], from: Int): String =
+      (from until from + k).map(i => if (v(i) >= 0) '1' else '0').mkString
+    val b1 = vecs.map { case (id, v) => (id, bucket(v, 0)) }.toMap
+    val seed1 = vecs.map { case (id, v) =>
+      id -> vecs.filter { case (j, _) => j != id && b1(j) == b1(id) }
+        .map { case (j, u) => (j, cos(v, u)) }
+        .sortBy { case (j, c) => (-c, j) }.take(k).map(_._1).toSet
+    }.toMap
+    val refined = out.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(_._3).toSet }
+    val recallSeed = seed1.map { case (s, n) =>
+      (n intersect truth(s)).size }.sum.toDouble
+    val recallRef = refined.map { case (s, n) =>
+      (n intersect truth(s)).size }.sum.toDouble
+    assert(recallRef > recallSeed,
+      s"refined recall $recallRef must beat the blocking-1 seed $recallSeed")
+  }
 }

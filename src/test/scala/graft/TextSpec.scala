@@ -230,6 +230,26 @@ class TextSpec extends SparkSpec {
     assert(row.getLong(3) == byW.count(_ == 1))
   }
 
+  test("t_domain_reweight: weights normalize; exp-gradient moves with excess loss") {
+    val fdir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("t_domain_reweight")(spark, fdir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    // base shares and new weights are both (near-)distributions
+    assert(math.abs(out.map(_._5).sum / 1e6 - 1.0) < 1e-3)
+    assert(math.abs(out.map(_._6).sum - 1.0) < 1e-3)
+    // the exponentiated-gradient step: w_new/base grows with excess
+    // NLL — the uplift ratio must rank exactly like the excess
+    val byExcess = out.sortBy(x => (x._4, x._1)).map(_._1)
+    val byUplift = out.sortBy(x => (x._6 * 1e6 / x._5, x._1)).map(_._1)
+    assert(byExcess.toSeq == byUplift.toSeq,
+      "uplift ordering must follow excess-loss ordering")
+    // excess is centered: mass-weighted mean ~ 0
+    val tm = out.map(_._2).sum.toDouble
+    assert(math.abs(out.map(x => x._4 * x._2).sum / tm) < 1e-3)
+  }
+
   test("t_ngram_novelty: matches a local set-difference replay") {
     val fdir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("t_ngram_novelty")(spark, fdir).collect()
