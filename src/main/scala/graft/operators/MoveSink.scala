@@ -107,17 +107,21 @@ object MoveSink {
             bytes = 0L, status = "failed")
         Option(dstPath.getParent).foreach(dstFs.mkdirs(_))
         // Overwrite must not destroy the existing destination before the
-        // transfer is known to succeed: only the metadata-only same-fs
-        // rename path (which refuses to clobber) pre-deletes, immediately
-        // before the rename; the copy path relies on FileUtil.copy's own
-        // overwrite flag, so a mid-copy failure leaves dst as the copy
-        // target saw it rather than silently deleted up front.
+        // transfer is known to succeed. The metadata-only rename path is
+        // used ONLY when dst is absent: on a rename-less object store
+        // (s3a-style, where rename always returns false) a pre-delete
+        // before the doomed rename would destroy dst with no transfer in
+        // flight. Overwrites always take the copy path — on an object
+        // store that is one atomic PUT over dst (FileUtil.copy's own
+        // overwrite flag), on HDFS an in-place overwriting create — so a
+        // mid-copy failure leaves dst as the copy target saw it rather
+        // than silently deleted up front.
         val moved =
-          if (move && sameFs(srcFs, dstFs) &&
-              (!dstExists || dstFs.delete(dstPath, true)) &&
+          if (move && sameFs(srcFs, dstFs) && !dstExists &&
               srcFs.rename(srcPath, dstPath)) true
           else {
-            // cross-fs (or rename refused): stream copy, delete src iff moving
+            // cross-fs, dst occupied, or rename refused (object store):
+            // stream copy, delete src iff moving
             FileUtil.copy(srcFs, srcPath, dstFs, dstPath, move, overwrite, conf)
           }
         if (moved) MoveResult(src, dst, ok = true, error = null, bytes = size,

@@ -100,9 +100,9 @@ object ChatQueries {
     "t_chat_mask_budget" ->
       s"""WITH $halvesSql
          |SELECT doc_id, COUNT(*) AS n_turns,
-         |  SUM(CASE WHEN role = 'assistant' THEN n_chars ELSE 0 END)
-         |    AS asst_chars,
-         |  SUM(n_chars) AS total_chars,
+         |  CAST(SUM(CASE WHEN role = 'assistant' THEN n_chars ELSE 0 END)
+         |    AS BIGINT) AS asst_chars,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
          |  CAST(SUM(CASE WHEN role = 'assistant' THEN n_chars ELSE 0 END)
          |      * 1000000 // GREATEST(SUM(n_chars), 1) AS BIGINT)
          |    AS asst_share_ppm

@@ -863,10 +863,12 @@ object DedupQueries {
          |freq AS (SELECT ch, COUNT(DISTINCT doc_id) AS n_docs
          |  FROM ck GROUP BY 1)
          |SELECT doc_id, n AS n_tokens, COUNT(*) AS n_chunks,
-         |  SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_chunks,
-         |  SUM(CASE WHEN n_docs >= 2 THEN clen ELSE 0 END) AS dup_tokens,
-         |  (SUM(CASE WHEN n_docs >= 2 THEN clen ELSE 0 END) * 1000000) // n
-         |    AS dedup_ppm
+         |  CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_chunks,
+         |  CAST(SUM(CASE WHEN n_docs >= 2 THEN clen ELSE 0 END) AS BIGINT)
+         |    AS dup_tokens,
+         |  CAST((SUM(CASE WHEN n_docs >= 2 THEN clen ELSE 0 END) * 1000000)
+         |    // n AS BIGINT) AS dedup_ppm
          |FROM ck JOIN freq USING (ch)
          |GROUP BY doc_id, n""".stripMargin,
 

@@ -682,7 +682,8 @@ object EventQueries {
         |pc AS (SELECT prev, next, COUNT(*) AS n FROM p
         |  WHERE prev IS NOT NULL GROUP BY prev, next),
         |mg AS (SELECT prev, SUM(n) AS tot FROM pc GROUP BY prev)
-        |SELECT pc.prev, pc.next, pc.n, pc.n * 1000000 // mg.tot AS p_ppm
+        |SELECT pc.prev, pc.next, pc.n,
+        |  CAST(pc.n * 1000000 // mg.tot AS BIGINT) AS p_ppm
         |FROM pc JOIN mg USING (prev)""".stripMargin,
 
     "e_scd2_intervals" ->

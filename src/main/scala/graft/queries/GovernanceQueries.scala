@@ -338,11 +338,18 @@ object GovernanceQueries {
     //      sketch with the same map-side assignment. Per-bucket stats
     //      are counts + order statistics — no new double arithmetic. ----
     "t_ppl_buckets" -> ((s, dir) => {
+      // checkpoint the scored frame: the perplexity dag (corpus explode +
+      // LM join) runs ONCE, and both consumers below (the scalar total and
+      // the ranking window) read the materialized 3-column frame instead
+      // of re-deriving it. n_total rides in as a broadcast scalar rather
+      // than a second global window over the same sort.
       val ppl = TextQueries.queries("t_perplexity")(s, dir)
+        .select(col("doc_id"), col("avg_nll"), col("n_bigrams"))
+        .localCheckpoint(false)
+      val tot = ppl.agg(count(lit(1)).as("n_total"))
       val w = Window.orderBy(col("avg_nll").asc, col("doc_id").asc)
       ppl.withColumn("rn", row_number().over(w))
-        .withColumn("n_total",
-          count(lit(1)).over(Window.partitionBy()))
+        .crossJoin(broadcast(tot))
         .withColumn("bucket",
           expr("(rn - 1) * 3 div n_total + 1").cast("int"))
         .groupBy("bucket")
@@ -385,12 +392,14 @@ object GovernanceQueries {
         |  SELECT CAST(c_nationkey AS VARCHAR) AS nat, c_mktsegment AS seg,
         |    COUNT(*) AS n
         |  FROM customer GROUP BY 1, 2),
-        |g1 AS (SELECT nat, SUM(n) AS n FROM g WHERE n < 10 GROUP BY nat)
+        |g1 AS (SELECT nat, CAST(SUM(n) AS BIGINT) AS n FROM g
+        |  WHERE n < 10 GROUP BY nat)
         |SELECT nat, seg, n, 0 AS level FROM g WHERE n >= 10
         |UNION ALL
         |SELECT nat, '*', n, 1 FROM g1 WHERE n >= 10
         |UNION ALL
-        |SELECT '*', '*', SUM(n), 2 FROM g1 WHERE n < 10 HAVING SUM(n) IS NOT NULL""".stripMargin,
+        |SELECT '*', '*', CAST(SUM(n) AS BIGINT), 2 FROM g1
+        |  WHERE n < 10 HAVING SUM(n) IS NOT NULL""".stripMargin,
 
     "t_domain_stats" ->
       """WITH h AS (SELECT md5(text) AS hh, COUNT(*) AS cnt
@@ -398,9 +407,12 @@ object GovernanceQueries {
         |base AS (
         |  SELECT source,
         |    COUNT(*) AS n_docs,
-        |    SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS dup_docs,
-        |    SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS short_docs,
-        |    SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS nonen_docs
+        |    CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS dup_docs,
+        |    CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS short_docs,
+        |    CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nonen_docs
         |  FROM documents d JOIN h ON md5(d.text) = h.hh
         |  GROUP BY source)
         |SELECT source, n_docs, dup_docs, short_docs, nonen_docs,
@@ -478,10 +490,11 @@ object GovernanceQueries {
       """WITH per AS (SELECT o_custkey, COUNT(*) AS n
         |  FROM orders GROUP BY o_custkey)
         |SELECT COUNT(*) AS n_users,
-        |  SUM(n) AS raw_sum,
-        |  SUM(LEAST(n, 5)) AS clipped_sum,
-        |  SUM(n) - SUM(LEAST(n, 5)) AS clip_loss,
-        |  SUM(CASE WHEN n > 5 THEN 1 ELSE 0 END) AS n_clipped,
+        |  CAST(SUM(n) AS BIGINT) AS raw_sum,
+        |  CAST(SUM(LEAST(n, 5)) AS BIGINT) AS clipped_sum,
+        |  CAST(SUM(n) - SUM(LEAST(n, 5)) AS BIGINT) AS clip_loss,
+        |  CAST(SUM(CASE WHEN n > 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped,
         |  MAX(n) AS max_contribution,
         |  5 AS l1_sensitivity
         |FROM per""".stripMargin,
@@ -534,11 +547,11 @@ object GovernanceQueries {
         |  SELECT COUNT(*) AS n_docs,
         |    COUNT(DISTINCT source) AS n_sources,
         |    COUNT(DISTINCT lang) AS n_langs,
-        |    SUM(n_chars) AS n_chars,
-        |    SUM(len(string_split(text, ' '))) AS n_tokens
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         |  FROM documents),
         |dup AS (
-        |  SELECT COALESCE(SUM(cnt), 0) AS dup_docs FROM (
+        |  SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS dup_docs FROM (
         |    SELECT COUNT(*) AS cnt FROM documents
         |    GROUP BY md5(text) HAVING COUNT(*) > 1)),
         |ent AS (
@@ -559,15 +572,15 @@ object GovernanceQueries {
          |    COUNT(*) OVER () AS n_total
          |  FROM ppl)
          |SELECT CAST((rn - 1) * 3 // n_total + 1 AS INT) AS bucket,
-         |  COUNT(*) AS n_docs, SUM(n_bigrams) AS n_bigrams,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
          |  MIN(avg_nll) AS min_nll, MAX(avg_nll) AS max_nll
          |FROM ranked GROUP BY 1""".stripMargin,
 
     "q_join_skew_audit" ->
       """WITH kc AS (SELECT l_orderkey AS key, COUNT(*) AS cnt
         |  FROM lineitem GROUP BY 1),
-        |tot AS (SELECT SUM(cnt) AS n_rows, COUNT(*) AS n_keys,
-        |    MAX(cnt) AS max_cnt
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    COUNT(*) AS n_keys, MAX(cnt) AS max_cnt
         |  FROM kc),
         |top5 AS (SELECT key, cnt FROM kc
         |  ORDER BY cnt DESC, key ASC LIMIT 5)

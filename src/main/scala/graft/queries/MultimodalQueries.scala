@@ -509,7 +509,7 @@ object MultimodalQueries {
         |    f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS grp
         |  FROM sv WHERE energy > 65536)
         |SELECT doc_id AS id, MIN(f) AS seg_start, MAX(f) AS seg_end,
-        |  COUNT(*) AS n_frames, SUM(energy) AS energy_sum
+        |  COUNT(*) AS n_frames, CAST(SUM(energy) AS BIGINT) AS energy_sum
         |FROM act GROUP BY doc_id, grp""".stripMargin,
 
     // closed-form replay of the scene generating function

@@ -550,8 +550,10 @@ object SimilarityQueries {
         |  FROM e),
         |base AS (SELECT COUNT(*) AS n_vecs, MIN(dim) AS dim_min,
         |    MAX(dim) AS dim_max, COUNT(DISTINCT dim) AS n_dims,
-        |    SUM(CASE WHEN norm_e4 = 0 THEN 1 ELSE 0 END) AS n_zero,
-        |    SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS n_nonfinite,
+        |    CAST(SUM(CASE WHEN norm_e4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_zero,
+        |    CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_nonfinite,
         |    MIN(norm_e4) AS norm_min_e4, MAX(norm_e4) AS norm_max_e4,
         |    CAST(SUM(norm_e4) // COUNT(norm_e4) AS BIGINT) AS norm_avg_e4
         |  FROM m),

@@ -708,6 +708,13 @@ object StatsQueries {
         max(when(col("variant") === 1, col("n"))).as("n1"),
         max(when(col("variant") === 0, col("conv"))).as("conv0"),
         max(when(col("variant") === 1, col("conv"))).as("conv1"))
+        // degenerate hypotheses (one-variant types, pooled conversion of
+        // 0 or 1) give NaN z; Spark orders NULLS FIRST vs DuckDB's
+        // NULLS LAST, so they'd fork every BH rank — drop them in both
+        // engines identically
+        .filter(col("n0").isNotNull && col("n1").isNotNull &&
+          (col("conv0") + col("conv1")) > 0 &&
+          (col("conv0") + col("conv1")) < (col("n0") + col("n1")))
       val p0 = col("conv0").cast("double") / col("n0").cast("double")
       val p1 = col("conv1").cast("double") / col("n1").cast("double")
       val pp = (col("conv0") + col("conv1")).cast("double") /
@@ -795,7 +802,8 @@ object StatsQueries {
         |      AS DECIMAL(38,9))) AS DOUBLE) AS chi2_raw,
         |    LEAST(MAX(r), MAX(c)) AS mindim
         |  FROM terms)
-        |SELECT n, r, c, df, ROUND(chi2_raw, 6) AS chi2,
+        |SELECT CAST(n AS BIGINT) AS n, r, c, df,
+        |  ROUND(chi2_raw, 6) AS chi2,
         |  ROUND(sqrt(chi2_raw / (CAST(n AS DOUBLE)
         |    * CAST(mindim - 1 AS DOUBLE))), 6) AS cramers_v
         |FROM agg""".stripMargin,
@@ -809,12 +817,12 @@ object StatsQueries {
         |spine AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit),
         |tot AS (SELECT SUM(n) AS tot FROM cnt)
         |SELECT s.digit, COALESCE(c.n, 0) AS n,
-        |  COALESCE(c.n, 0) * 1000000 // t.tot AS obs_ppm,
+        |  CAST(COALESCE(c.n, 0) * 1000000 // t.tot AS BIGINT) AS obs_ppm,
         |  CAST(ROUND(ln(1.0 + 1.0 / CAST(s.digit AS DOUBLE)) / ln(10.0)
         |    * 1000000.0, 0) AS BIGINT) AS exp_ppm,
-        |  ABS(COALESCE(c.n, 0) * 1000000 // t.tot
+        |  CAST(ABS(COALESCE(c.n, 0) * 1000000 // t.tot
         |    - CAST(ROUND(ln(1.0 + 1.0 / CAST(s.digit AS DOUBLE))
-        |      / ln(10.0) * 1000000.0, 0) AS BIGINT)) AS dev_ppm
+        |      / ln(10.0) * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS dev_ppm
         |FROM spine s LEFT JOIN cnt c ON s.digit = c.digit
         |CROSS JOIN tot t""".stripMargin,
 
@@ -866,7 +874,8 @@ object StatsQueries {
         |    MAX(ABS(c.cuma * 1000000 // tt.na
         |      - c.cumb * 1000000 // tt.nb)) AS d_e6
         |  FROM c CROSS JOIN tt)
-        |SELECT n_a, n_b, d_e6,
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(d_e6 AS BIGINT) AS d_e6,
         |  CAST(ROUND(1.358 * sqrt(CAST(n_a + n_b AS DOUBLE)
         |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
         |    * 1000000.0, 0) AS BIGINT) AS crit_e6,
@@ -901,7 +910,9 @@ object StatsQueries {
         |      * (CAST(nn + 1 AS DOUBLE) - CAST(tie_term AS DOUBLE)
         |        / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)))) AS zv
         |  FROM f)
-        |SELECT na AS n_a, nb AS n_b, u_a_x2, tie_term,
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(u_a_x2 AS BIGINT) AS u_a_x2,
+        |  CAST(tie_term AS BIGINT) AS tie_term,
         |  ROUND(zv, 6) AS z, ABS(zv) > 1.959964 AS reject_05
         |FROM z""".stripMargin,
 
@@ -953,7 +964,10 @@ object StatsQueries {
         |      AS DECIMAL(28,9)) END) OVER (ORDER BY t_h ASC ROWS
         |      BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nls
         |  FROM rk)
-        |SELECT t_h, n_risk, d, c, haz_ppm, na_ppm,
+        |SELECT t_h, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+        |  CAST(haz_ppm AS BIGINT) AS haz_ppm,
+        |  CAST(na_ppm AS BIGINT) AS na_ppm,
         |  CASE WHEN dead_end = 0 THEN ROUND(CAST(nls AS DOUBLE), 6)
         |  END AS km_nls
         |FROM hz""".stripMargin,
@@ -993,14 +1007,15 @@ object StatsQueries {
         |  FROM documents GROUP BY 1, 2),
         |n AS (SELECT source, SUM(cnt) AS n, COUNT(*) AS n_langs
         |  FROM g GROUP BY source)
-        |SELECT g.source, MAX(n.n) AS n_docs, MAX(n.n_langs) AS n_langs,
+        |SELECT g.source, CAST(MAX(n.n) AS BIGINT) AS n_docs,
+        |  MAX(n.n_langs) AS n_langs,
         |  ROUND(-CAST(SUM(CAST(ROUND(
         |    (CAST(cnt AS DOUBLE) / CAST(n.n AS DOUBLE))
         |    * ROUND(ln(CAST(cnt AS DOUBLE) / CAST(n.n AS DOUBLE)), 9),
         |    12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS shannon,
-        |  CASE WHEN MAX(n.n) > 1 THEN 1000000
+        |  CAST(CASE WHEN MAX(n.n) > 1 THEN 1000000
         |    - SUM(cnt * (cnt - 1)) * 1000000
-        |      // (MAX(n.n) * (MAX(n.n) - 1)) END AS simpson_ppm
+        |      // (MAX(n.n) * (MAX(n.n) - 1)) END AS BIGINT) AS simpson_ppm
         |FROM g JOIN n ON g.source = n.source
         |GROUP BY g.source""".stripMargin,
 
@@ -1092,10 +1107,12 @@ object StatsQueries {
          |      / CAST(SUM(CASE WHEN NOT ua THEN 1 ELSE 0 END) AS DOUBLE)
          |      AS diff
          |  FROM perm GROUP BY p)
-         |SELECT obs.n_a, obs.n_b, $P AS n_perms,
+         |SELECT CAST(obs.n_a AS BIGINT) AS n_a,
+         |  CAST(obs.n_b AS BIGINT) AS n_b, $P AS n_perms,
          |  ROUND(obs.diff_obs, 6) AS diff_obs,
-         |  (SUM(CASE WHEN ABS(st.diff) >= ABS(obs.diff_obs)
-         |    THEN 1 ELSE 0 END) + 1) * 1000000 // ${P + 1} AS p_value_ppm
+         |  CAST((SUM(CASE WHEN ABS(st.diff) >= ABS(obs.diff_obs)
+         |    THEN 1 ELSE 0 END) + 1) * 1000000 // ${P + 1} AS BIGINT)
+         |    AS p_value_ppm
          |FROM st CROSS JOIN obs
          |GROUP BY obs.n_a, obs.n_b, obs.diff_obs""".stripMargin
     },
@@ -1143,7 +1160,7 @@ object StatsQueries {
         |m AS (SELECT rnk, SUM(score) AS ssum, COUNT(*) AS scnt
         |  FROM r GROUP BY rnk)
         |SELECT r.doc_id, r.source, r.rnk, r.score,
-        |  m.ssum * 1000000 // m.scnt AS norm_e6
+        |  CAST(m.ssum * 1000000 // m.scnt AS BIGINT) AS norm_e6
         |FROM r JOIN m USING (rnk)""".stripMargin,
 
     "q_welch_ttest" ->
@@ -1151,8 +1168,8 @@ object StatsQueries {
         |    c_acctbal AS x
         |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
         |m AS (SELECT
-        |    SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS n1,
-        |    SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS n2,
+        |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n2,
         |    CAST(SUM(CAST(CASE WHEN is_a THEN x ELSE 0.0 END
         |      AS DECIMAL(28,2))) AS DOUBLE) AS s1,
         |    CAST(SUM(CAST(CASE WHEN NOT is_a THEN x ELSE 0.0 END
@@ -1215,7 +1232,8 @@ object StatsQueries {
         |        / CAST(n0 + n1 AS DOUBLE))
         |      * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 6)
         |      AS z
-        |  FROM w),
+        |  FROM w WHERE n0 IS NOT NULL AND n1 IS NOT NULL
+        |    AND conv0 + conv1 > 0 AND conv0 + conv1 < n0 + n1),
         |tt AS (SELECT *, ABS(z) AS za,
         |    1.0 / (1.0 + 0.2316419 * ABS(z)) AS t1
         |  FROM z),

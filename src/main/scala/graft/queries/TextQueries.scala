@@ -1302,9 +1302,10 @@ object TextQueries {
          |ps AS (SELECT source,
          |    SUM(CAST(k AS DECIMAL(18,0))
          |      * CAST(round(-ln(p), 4) AS DECIMAL(18,4))) AS nll,
-         |    SUM(k) AS mass
+         |    CAST(SUM(k) AS BIGINT) AS mass
          |  FROM bg JOIN pr USING (bigram) GROUP BY source),
-         |tot AS (SELECT SUM(nll) AS tnll, SUM(mass) AS tmass FROM ps),
+         |tot AS (SELECT SUM(nll) AS tnll,
+         |    CAST(SUM(mass) AS BIGINT) AS tmass FROM ps),
          |sc AS (SELECT source, mass, tmass,
          |    ROUND(CAST(nll AS DOUBLE) / CAST(mass AS DOUBLE), 6)
          |      AS avg_nll,
@@ -1327,8 +1328,10 @@ object TextQueries {
       s"""WITH wk AS (SELECT source, word, COUNT(*) AS k
          |  FROM (SELECT source, unnest($tok) AS word FROM documents)
          |  WHERE word <> '' GROUP BY source, word),
-         |agg AS (SELECT source, SUM(k) AS n_tokens, COUNT(*) AS n_types,
-         |    SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS n_hapax
+         |agg AS (SELECT source, CAST(SUM(k) AS BIGINT) AS n_tokens,
+         |    COUNT(*) AS n_types,
+         |    CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hapax
          |  FROM wk GROUP BY source)
          |SELECT source, n_tokens, n_types, n_hapax,
          |  n_hapax * 1000000 // n_types AS hapax_ppm,
@@ -1348,9 +1351,10 @@ object TextQueries {
          |    MAX(CASE WHEN NOT in_train THEN 1 ELSE 0 END) AS seen_hold
          |  FROM sh GROUP BY sh.sh)
          |SELECT COUNT(*) AS n_holdout_types,
-         |  SUM(CASE WHEN seen_train = 0 THEN 1 ELSE 0 END) AS n_novel,
-         |  SUM(CASE WHEN seen_train = 0 THEN 1 ELSE 0 END) * 1000000
-         |    // COUNT(*) AS novel_ppm
+         |  CAST(SUM(CASE WHEN seen_train = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  CAST(SUM(CASE WHEN seen_train = 0 THEN 1 ELSE 0 END) * 1000000
+         |    // COUNT(*) AS BIGINT) AS novel_ppm
          |FROM m WHERE seen_hold = 1""".stripMargin,
 
     "t_bpe_compression" -> {

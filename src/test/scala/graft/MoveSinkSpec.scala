@@ -150,4 +150,73 @@ class MoveSinkSpec extends SparkSpec {
     assert(Files.exists(root.resolve("a.txt")))
     assert(Files.readString(root.resolve("sub/dir/a.txt")) === "AAA")
   }
+
+  // ---- object-store (rename-less) move contract: the reference's own
+  //      cloud semantics — Azure/S3 have no atomic rename, every move
+  //      is copy+delete (app/main.py:174-185) ----
+
+  private def nonatomicConf(): Unit =
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.nonatomic.impl", classOf[NonAtomicRenameFs].getName)
+
+  test("nonatomic store: rename refused → copy+delete fallback, truthful report") {
+    nonatomicConf()
+    NonAtomicRenameFs.reset()
+    val root = tmp()
+    Files.writeString(root.resolve("a.txt"), "OBJSTORE")
+    val res = MoveSink.run(
+      planDf((s"nonatomic:$root/a.txt", s"nonatomic:$root/out/a.txt")),
+      MoveSink.Move).collect()
+    assert(res(0).ok && res(0).status === "success" && res(0).bytes === 8L)
+    assert(Files.readString(root.resolve("out/a.txt")) === "OBJSTORE")
+    assert(!Files.exists(root.resolve("a.txt"))) // src deleted: a real move
+    // the metadata-only fast path was tried once (dst absent), refused,
+    // and the sink degraded to copy+delete instead of reporting failure
+    assert(NonAtomicRenameFs.renameAttempts.get() === 1)
+  }
+
+  test("nonatomic store: overwrite-move never pre-deletes the destination") {
+    nonatomicConf()
+    NonAtomicRenameFs.reset()
+    val root = tmp()
+    Files.writeString(root.resolve("a.txt"), "NEW")
+    Files.createDirectories(root.resolve("out"))
+    Files.writeString(root.resolve("out/a.txt"), "OLDOLD")
+    val res = MoveSink.run(
+      planDf((s"nonatomic:$root/a.txt", s"nonatomic:$root/out/a.txt")),
+      MoveSink.Move).collect()
+    assert(res(0).ok && res(0).status === "success")
+    assert(Files.readString(root.resolve("out/a.txt")) === "NEW")
+    assert(!Files.exists(root.resolve("a.txt")))
+    // occupied dst skips the doomed rename entirely (no wasted RPC on a
+    // store that cannot rename) and the dst file is REPLACED by the
+    // copy's own overwriting create — never destroyed ahead of it
+    assert(NonAtomicRenameFs.renameAttempts.get() === 0)
+    // the only delete issued is the post-copy source delete — the
+    // destination path never appears in the FS's delete log
+    assert(!NonAtomicRenameFs.deletedPaths.contains(s"$root/out/a.txt"),
+      "destination must never be deleted before the transfer lands")
+    assert(NonAtomicRenameFs.deletedPaths.contains(s"$root/a.txt"))
+  }
+
+  test("nonatomic store: concurrent writer beats us, overwrite=false stays truthful") {
+    nonatomicConf()
+    NonAtomicRenameFs.reset()
+    val root = tmp()
+    Files.writeString(root.resolve("a.txt"), "MINE")
+    Files.createDirectories(root.resolve("out"))
+    // the concurrent writer's file is already there, but our existence
+    // probe races it: the FS reports exists=false exactly once — the
+    // check-then-act window every object store client has
+    Files.writeString(root.resolve("out/contested.txt"), "THEIRS")
+    NonAtomicRenameFs.contestedLies.set(1)
+    val res = MoveSink.run(
+      planDf((s"nonatomic:$root/a.txt", s"nonatomic:$root/out/contested.txt")),
+      MoveSink.Move, overwrite = false).collect()
+    // the non-overwriting create detects the writer's object and the
+    // report says failed — NOT success-with-someone-else's-bytes
+    assert(!res(0).ok && res(0).status === "failed")
+    assert(Files.readString(root.resolve("out/contested.txt")) === "THEIRS")
+    assert(Files.readString(root.resolve("a.txt")) === "MINE") // src kept
+  }
 }

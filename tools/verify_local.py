@@ -59,6 +59,22 @@ def main():
             ora = con.execute(oracles[name])
             ora_cols = [d[0] for d in ora.description]
             ora_rows = ora.fetchall()
+            # HUGEINT lint: fetchall() silently converts HUGEINT -> Python
+            # int, but the driver's canonicalizer renders HUGEINT differently
+            # than the engine's BIGINT parquet column and forks the hash.
+            # SUM(BIGINT) and integer `//` in DuckDB return HUGEINT: every
+            # integral aggregate column must be CAST(... AS BIGINT) in the
+            # oracle SQL. Fail hard here before hashing.
+            desc = con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
+            bad_types = [f"{c}:{t}" for c, t, *_ in desc
+                         if t.upper() in ("HUGEINT", "UHUGEINT")
+                         or (t.upper().startswith("DECIMAL(38"))]
+            if bad_types:
+                print(f"  [FAIL] {name}: oracle HUGEINT lint: "
+                      + ", ".join(bad_types)
+                      + "  (wrap in CAST(... AS BIGINT))")
+                n_fail += 1
+                continue
         except Exception as e:
             print(f"  [FAIL] {name}: oracle SQL error: {e}")
             n_fail += 1
