@@ -132,6 +132,57 @@ case class NormalizeNfc(child: Expression)
       newChild: Expression): NormalizeNfc = copy(child = newChild)
 }
 
+/** Multi-pattern occurrence counting as a native expression: the
+  * Aho-Corasick automaton ([[graft.operators.Keywords.Automaton]]) is
+  * compiled LAZILY once per executor from the foldable pattern-array
+  * literal baked into the plan, then every row's text streams through
+  * it in one pass — K dictionary terms for the cost of one scan, no
+  * UDF encoder round trip, no per-pattern LIKE cascade. Returns the
+  * per-pattern counts aligned with the literal's order (overlapping
+  * occurrences included — the count is a pure position-scan function
+  * of (text, pattern), which is what makes it SQL-replayable).
+  * CodegenFallback: the automaton walk dominates, not dispatch.
+  */
+case class MultiMatchCounts(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(StringType, _)) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (StringType, ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckFailure(
+          "graft_multimatch requires a FOLDABLE pattern array (the " +
+            "automaton is plan-compiled; per-row dictionaries need a join)")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_multimatch requires (string, array<string>), got $other")
+    }
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_multimatch"
+
+  @transient private lazy val automaton: graft.operators.Keywords.Automaton = {
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    val pats = (0 until arr.numElements())
+      .map(i => arr.getUTF8String(i).toString)
+    graft.operators.Keywords.Automaton(pats)
+  }
+
+  protected override def nullSafeEval(text: Any, pats: Any): Any = {
+    val counts = automaton.countAll(text.toString)
+    ArrayData.toArrayData(counts)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MultiMatchCounts =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExprs {
   def simhash(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
@@ -141,4 +192,8 @@ object TextExprs {
 
   def nfc(s: Column): Column =
     Bridge.column(NormalizeNfc(Bridge.expression(s)))
+
+  def multiMatch(text: Column, patterns: Column): Column =
+    Bridge.column(MultiMatchCounts(
+      Bridge.expression(text), Bridge.expression(patterns)))
 }

@@ -417,4 +417,59 @@ object Graph {
       .join(keep, und("s") === keep("kid"), "left_semi")
       .join(keep, und("d") === keep("kid"), "left_semi")
   }
+
+  /** HITS (Kleinberg hubs & authorities) over a DIRECTED edge list —
+    * the rank family's second member with genuinely different
+    * semantics from [[pageRank]]: authority = being pointed at by good
+    * hubs, hub = pointing at good authorities, mutually reinforcing.
+    * On a curation graph (queries → documents, customers → suppliers)
+    * the authority side surfaces canonical targets and the hub side
+    * broad connectors — neither is a random-walk stationary mass.
+    *
+    * Fixed-point contract matches the family: every score an integral
+    * e9 (max-normalized each half-round: `raw · 1e9 div max(raw)`,
+    * computed in DECIMAL(38,0) so `raw · 1e9` cannot overflow a long
+    * even at degree 1e9), so the oracle unrolls the rounds
+    * bit-for-bit. Per half-round shape: one score⋈edge equi-join +
+    * one map-combinable keyed sum + a 1-row max broadcast — the edge
+    * list is the checkpointed loop invariant, only vertex-sized score
+    * vectors move. Vertices appearing only as sources carry hub
+    * scores, only as targets authority scores (a bipartite trading
+    * graph splits them cleanly).
+    *
+    * @return (id, kind, score_e9): kind "auth" for targets,
+    *         "hub" for sources
+    */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val scale = 1000000000L
+    val Seq(srcC, dstC) = edges.columns.take(2).toSeq
+    val e = edges.select(col(srcC).as("s"), col(dstC).as("d"))
+      .distinct().localCheckpoint(false)
+    def normalized(raw: DataFrame, outCol: String): DataFrame = {
+      val mx = raw.agg(max(col("raw")).as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("id"),
+          expr(s"cast(cast(raw as decimal(38,0)) * $scale div mx as bigint)")
+            .as(outCol))
+        .localCheckpoint(false)
+    }
+    var hubs = e.select(col("s").as("id")).distinct()
+      .withColumn("hub_e9", lit(scale)).localCheckpoint(false)
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      auths = normalized(
+        e.join(hubs, e("s") === hubs("id"))
+          .groupBy(e("d").as("id")).agg(sum(col("hub_e9")).as("raw")),
+        "auth_e9")
+      hubs = normalized(
+        e.join(auths, e("d") === auths("id"))
+          .groupBy(e("s").as("id")).agg(sum(col("auth_e9")).as("raw")),
+        "hub_e9")
+    }
+    auths.select(col("id"), lit("auth").as("kind"),
+        col("auth_e9").as("score_e9"))
+      .unionByName(hubs.select(col("id"), lit("hub").as("kind"),
+        col("hub_e9").as("score_e9")))
+  }
 }

@@ -52,6 +52,32 @@ object GraphQueries {
           col("rank_e9"))
     }),
 
+    // ---- HITS hubs & authorities over the DIRECTED trading graph
+    //      (customer → supplier): mutual reinforcement, not random-walk
+    //      mass — the other classic link-analysis family. Same e9
+    //      fixed-point contract (max-normalized each half-round in
+    //      DECIMAL(38,0), overflow-proof), same per-round shape as
+    //      g_pagerank: score⋈edge equi-join + keyed sum + 1-row max
+    //      broadcast; the oracle unrolls the half-rounds exactly ----
+    "g_hits" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      Graph.hits(edges, iters)
+        .orderBy(col("score_e9").desc, col("kind").asc, col("id").asc)
+        .limit(100)
+        .select(
+          when(col("id") % 2 === 0,
+            concat(lit("c"), expr("id div 2").cast("string")))
+            .otherwise(
+              concat(lit("s"), expr("(id - 1) div 2").cast("string")))
+            .as("id"),
+          col("kind"), col("score_e9"))
+    }),
+
     // ---- TrustRank over the same trading graph: restart mass goes
     //      ONLY to the trusted seed set (every 10th supplier), so the
     //      score is random-walk proximity to trust — the crawl-spam
@@ -257,6 +283,36 @@ object GraphQueries {
            |  rank_e9
            |FROM (SELECT id, rank_e9 FROM r$iters
            |      ORDER BY rank_e9 DESC, id ASC LIMIT 100)""".stripMargin
+    },
+
+    "g_hits" -> {
+      val header =
+        """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS s,
+          |    l_suppkey * 2 + 1 AS d
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          |h0 AS (SELECT DISTINCT s AS id,
+          |    CAST(1000000000 AS BIGINT) AS hub FROM e0)""".stripMargin
+      val rounds = (1 to iters).map { k =>
+        s"""ra$k AS (SELECT e0.d AS id, SUM(h${k - 1}.hub) AS raw
+           |  FROM e0 JOIN h${k - 1} ON e0.s = h${k - 1}.id GROUP BY e0.d),
+           |ma$k AS (SELECT MAX(raw) AS mx FROM ra$k),
+           |a$k AS (SELECT id,
+           |    CAST(raw * 1000000000 // mx AS BIGINT) AS auth
+           |  FROM ra$k, ma$k),
+           |rh$k AS (SELECT e0.s AS id, SUM(a$k.auth) AS raw
+           |  FROM e0 JOIN a$k ON e0.d = a$k.id GROUP BY e0.s),
+           |mh$k AS (SELECT MAX(raw) AS mx FROM rh$k),
+           |h$k AS (SELECT id,
+           |    CAST(raw * 1000000000 // mx AS BIGINT) AS hub
+           |  FROM rh$k, mh$k)""".stripMargin
+      }.mkString(",\n", ",\n", "\n")
+      header + rounds +
+        s"""SELECT CASE WHEN id % 2 = 0 THEN 'c' || CAST(id // 2 AS VARCHAR)
+           |    ELSE 's' || CAST((id - 1) // 2 AS VARCHAR) END AS id,
+           |  kind, score_e9
+           |FROM (SELECT id, 'auth' AS kind, auth AS score_e9 FROM a$iters
+           |      UNION ALL SELECT id, 'hub', hub FROM h$iters
+           |      ORDER BY score_e9 DESC, kind ASC, id ASC LIMIT 100)""".stripMargin
     },
 
     "g_trustrank" -> {

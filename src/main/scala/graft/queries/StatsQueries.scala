@@ -695,6 +695,36 @@ object StatsQueries {
     //      p_j*m/j, clamp to 1) runs in windows over the HYPOTHESIS
     //      FAMILY — m rows, bounded by the metric catalog, never by
     //      the corpus. ----
+    // ---- winsorized per-type stats: clamp to [p05, p95] before the
+    //      mean — the standard heavy-tail guard for reward/quality
+    //      score aggregation (a mean over raw crawl scores is owned by
+    //      its outliers; winsorizing bounds any single row's influence).
+    //      Cutpoints are the exact interpolating percentile ROUNDED to
+    //      6 decimals in BOTH engines (the round makes the clamp
+    //      boundary a shared exact decimal, so the comparator can't
+    //      fork on a cutpoint ulp); the mean sums exact DECIMAL(28,6)
+    //      (inputs are 2-decimal values or 6-decimal cutpoints) so
+    //      partition order can't move it. Shapes: one percentile agg
+    //      (#types rows) broadcast back onto the scan, one keyed
+    //      map-combinable agg — the corpus never shuffles. At 100 TB
+    //      swap percentile for approx_percentile and keep the
+    //      identical clamp algebra. ----
+    "q_winsorized_stats" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"), col("value"))
+      val cuts = e.groupBy("event_type").agg(
+        round(expr("percentile(value, 0.05d)"), 6).as("p05"),
+        round(expr("percentile(value, 0.95d)"), 6).as("p95"))
+      e.join(broadcast(cuts), "event_type")
+        .withColumn("w", least(greatest(col("value"), col("p05")), col("p95")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          first(col("p05")).as("p05"), first(col("p95")).as("p95"),
+          sum(when(col("value") < col("p05"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("value") > col("p95"), 1L).otherwise(0L)).as("n_hi"),
+          round(sum(col("w").cast("decimal(28,6)")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("win_mean"))
+    }),
+
     "q_bh_fdr" -> ((s, dir) => {
       val e = t(s, dir, "events")
         .select(col("event_type"), (col("user_id") % 2).as("variant"),
@@ -1207,6 +1237,24 @@ object StatsQueries {
         |  ABS(ROUND((mean1 - mean2) / sqrt(se2), 6)) > 1.959964
         |    AS significant_05
         |FROM se""".stripMargin,
+
+    "q_winsorized_stats" ->
+      """WITH c AS (SELECT event_type,
+        |    ROUND(quantile_cont(value, 0.05), 6) AS p05,
+        |    ROUND(quantile_cont(value, 0.95), 6) AS p95
+        |  FROM events GROUP BY event_type),
+        |j AS (SELECT e.event_type, e.value, c.p05, c.p95,
+        |    LEAST(GREATEST(e.value, c.p05), c.p95) AS w
+        |  FROM events e JOIN c USING (event_type))
+        |SELECT event_type, COUNT(*) AS n, MAX(p05) AS p05,
+        |  MAX(p95) AS p95,
+        |  CAST(SUM(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lo,
+        |  CAST(SUM(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hi,
+        |  ROUND(CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS win_mean
+        |FROM j GROUP BY event_type""".stripMargin,
 
     "q_bh_fdr" ->
       """WITH e AS (SELECT event_type, user_id % 2 AS variant, user_id,

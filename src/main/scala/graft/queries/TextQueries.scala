@@ -460,6 +460,30 @@ object TextQueries {
           expr("n_novel * 1000000 div n_holdout_types").as("novel_ppm"))
     }),
 
+    // ---- dictionary tagging at blocklist scale: K keywords/phrases
+    //      counted over every document in ONE text pass via a
+    //      plan-compiled Aho-Corasick automaton (native expression
+    //      MultiMatchCounts) — the shape that holds at a 10k-term
+    //      blocklist where K LIKE-scans would traverse the corpus 10k
+    //      times. Occurrences are counted at every position
+    //      (overlapping included) so the result is a pure function of
+    //      (text, pattern), SQL-replayable by a position scan.
+    //      Shapes: map-side expression + posexplode to
+    //      (doc, keyword)-grain, one keyword-cardinality agg — the
+    //      only shuffle carries K rows per partition. ----
+    "t_keyword_tags" -> ((s, dir) => {
+      val kws = keywordDict
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.expressions.TextExprs.multiMatch(
+            col("text"), lit(kws.toArray))).as(Seq("i", "n")))
+        .select(element_at(lit(kws.toArray), col("i") + 1).as("keyword"),
+          col("n"))
+        .groupBy("keyword")
+        .agg(sum(when(col("n") > 0L, 1L).otherwise(0L)).as("n_docs"),
+          sum(col("n")).as("n_hits"))
+    }),
+
     // ---- per-source tokenizer efficiency: chars-per-BPE-token under
     //      the fixed merge table — the number that says which domains
     //      a tokenizer serves well before committing a training run.
@@ -807,6 +831,16 @@ object TextQueries {
 
   /** Fixed query terms for t_bm25 (shared with its oracle SQL). */
   private val bm25Terms = Seq("hash", "join", "scan")
+
+  /** t_keyword_tags dictionary: single terms, multi-word phrases, a
+    * phrase that self-overlaps in running text ("table table"), a pair
+    * where one pattern prefixes another ("scan" / "scan query"), and a
+    * never-matching entry — the cases that separate a real automaton
+    * from K independent scans. Shared verbatim by the oracle.
+    */
+  private[graft] val keywordDict = Seq(
+    "table", "scan", "scan query", "fast table", "table table",
+    "key agg row", "quantum blockchain")
 
   // shared SQL fragments (documents.text is single-space-joined lowercase)
   private val tok = "string_split(text, ' ')"
@@ -1356,6 +1390,21 @@ object TextQueries {
          |  CAST(SUM(CASE WHEN seen_train = 0 THEN 1 ELSE 0 END) * 1000000
          |    // COUNT(*) AS BIGINT) AS novel_ppm
          |FROM m WHERE seen_hold = 1""".stripMargin,
+
+    "t_keyword_tags" -> {
+      val vals = keywordDict.map(k => s"('$k')").mkString(", ")
+      s"""WITH kw(keyword) AS (VALUES $vals),
+         |pc AS (SELECT d.doc_id, k.keyword,
+         |    len(list_filter(range(1, len(d.text) - len(k.keyword) + 2),
+         |      i -> substring(d.text, CAST(i AS INT),
+         |             CAST(len(k.keyword) AS INT)) = k.keyword)) AS n
+         |  FROM documents d CROSS JOIN kw k)
+         |SELECT keyword,
+         |  CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs,
+         |  CAST(SUM(n) AS BIGINT) AS n_hits
+         |FROM pc GROUP BY keyword""".stripMargin
+    },
 
     "t_bpe_compression" -> {
       val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"),

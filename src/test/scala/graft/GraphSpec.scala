@@ -220,4 +220,28 @@ class GraphSpec extends SparkSpec {
         s"cc_e4 out of [0, 10000] for node ${r.getLong(0)}")
     }
   }
+
+  test("hits: hand-computed fixed point on a known graph; partition-invariant") {
+    import spark.implicits._
+    // 1,2 point at the shared authority 10 plus one private target;
+    // 3 points only at 10. Authority: 10 > {11,12}; hubs: {1,2} > 3.
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L), (2L, 12L))
+      .toDF("src", "dst")
+    val got = Graph.hits(edges, iters = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // round 1 by hand: rawAuth = {10: 3e9, 11: 1e9, 12: 1e9}, max 3e9
+    //   -> auth {10: 1e9, 11: 333333333, 12: 333333333}
+    // rawHub = {1: 1333333333, 2: 1333333333, 3: 1e9}, max 1333333333
+    //   -> hub {1: 1e9, 2: 1e9, 3: 750000000}
+    assert(got((10L, "auth")) === 1000000000L)
+    assert(got((11L, "auth")) === 333333333L)
+    assert(got((12L, "auth")) === 333333333L)
+    assert(got((1L, "hub")) === 1000000000L)
+    assert(got((2L, "hub")) === 1000000000L)
+    assert(got((3L, "hub")) === 750000000L)
+    // integral fixed point => bit-identical across partitionings
+    val again = Graph.hits(edges.repartition(7), iters = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(again === got)
+  }
 }
