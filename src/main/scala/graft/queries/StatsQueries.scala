@@ -695,6 +695,41 @@ object StatsQueries {
     //      p_j*m/j, clamp to 1) runs in windows over the HYPOTHESIS
     //      FAMILY — m rows, bounded by the metric catalog, never by
     //      the corpus. ----
+    // ---- Wald SPRT over the daily experiment stream: the sequential
+    //      A/B readout that says STOP as soon as the evidence crosses a
+    //      boundary, instead of waiting for a fixed horizon (the online
+    //      form of q_ab_ztest's fixed-sample test). Each purchase is a
+    //      Bernoulli trial (success = value > 150); the cumulative
+    //      log-likelihood ratio for H1: p=0.10 vs H0: p=0.05 advances
+    //      by exact e6-integer increments (the two ln literals are
+    //      computed ONCE in Scala and inlined into both engines), and
+    //      each day carries the Wald decision against ln((1-b)/a) at
+    //      a=b=0.05. Shapes: one filtered corpus agg to (variant, day)
+    //      grain, then a window over the CALENDAR-bounded daily series
+    //      (<= 31 rows per variant) — the 100 TB cost is the first
+    //      map-combinable agg, nothing else grows. ----
+    "e_sprt_ab" -> ((s, dir) => {
+      val lS = math.round(math.log(0.10 / 0.05) * 1e6) // success increment
+      val lF = math.round(math.log(0.90 / 0.95) * 1e6) // failure increment
+      val bA = math.round(math.log(0.95 / 0.05) * 1e6) // accept-H1 bound
+      val daily = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select((col("user_id") % 2).as("variant"),
+          col("ts").cast("date").cast("string").as("day"),
+          when(col("value") > 150.0, 1L).otherwise(0L).as("succ"))
+        .groupBy("variant", "day")
+        .agg(count(lit(1)).as("n_trials"), sum(col("succ")).as("n_succ"))
+      val w = Window.partitionBy("variant").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("cum_llr_e6", sum(col("n_succ") * lS +
+          (col("n_trials") - col("n_succ")) * lF).over(w))
+        .withColumn("decision",
+          when(col("cum_llr_e6") >= bA, "accept_h1")
+            .when(col("cum_llr_e6") <= -bA, "accept_h0")
+            .otherwise("continue"))
+    }),
+
     // ---- winsorized per-type stats: clamp to [p05, p95] before the
     //      mean — the standard heavy-tail guard for reward/quality
     //      score aggregation (a mean over raw crawl scores is owned by
@@ -1237,6 +1272,30 @@ object StatsQueries {
         |  ABS(ROUND((mean1 - mean2) / sqrt(se2), 6)) > 1.959964
         |    AS significant_05
         |FROM se""".stripMargin,
+
+    "e_sprt_ab" -> {
+      val lS = math.round(math.log(0.10 / 0.05) * 1e6)
+      val lF = math.round(math.log(0.90 / 0.95) * 1e6)
+      val bA = math.round(math.log(0.95 / 0.05) * 1e6)
+      s"""WITH d AS (SELECT user_id % 2 AS variant,
+         |    CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         |    CASE WHEN value > 150.0 THEN 1 ELSE 0 END AS succ
+         |  FROM events WHERE event_type = 'purchase'),
+         |g AS (SELECT variant, day, COUNT(*) AS n_trials,
+         |    CAST(SUM(succ) AS BIGINT) AS n_succ
+         |  FROM d GROUP BY variant, day),
+         |c AS (SELECT variant, day, n_trials, n_succ,
+         |    CAST(SUM(n_succ * $lS + (n_trials - n_succ) * ($lF))
+         |      OVER (PARTITION BY variant ORDER BY day ASC
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_llr_e6
+         |  FROM g)
+         |SELECT variant, day, n_trials, n_succ, cum_llr_e6,
+         |  CASE WHEN cum_llr_e6 >= $bA THEN 'accept_h1'
+         |    WHEN cum_llr_e6 <= -$bA THEN 'accept_h0'
+         |    ELSE 'continue' END AS decision
+         |FROM c""".stripMargin
+    },
 
     "q_winsorized_stats" ->
       """WITH c AS (SELECT event_type,

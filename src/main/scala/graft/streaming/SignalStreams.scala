@@ -159,4 +159,42 @@ object SignalStreams {
           out.iterator
       }
   }
+
+  final case class SprtDay(variant: Long, day: String, nTrials: Long,
+                           nSucc: Long)
+  final case class SprtState(cum: Long)
+  final case class SprtOut(variant: Long, day: String, n_trials: Long,
+                           n_succ: Long, cum_llr_e6: Long,
+                           decision: String)
+
+  /** Streaming twin of `e_sprt_ab` — the sequential test IS an online
+    * procedure, so the deployed form folds completed DAILY trial
+    * buckets (from the suite's watermarked daily agg) through the Wald
+    * recursion with O(1) state per variant: cum += n_succ·lS +
+    * n_fail·lF, decide against ±boundary. Same exact e6-integer
+    * increments as the batch query (the ln literals are the caller's —
+    * fit offline, monitor online), so given in-order bucket delivery
+    * the emitted rows are bit-identical to the batch window — the
+    * StreamingSpec proof obligation every twin in this file carries.
+    */
+  def sprtStream(days: DataFrame, lS: Long, lF: Long, boundE6: Long)
+      : Dataset[SprtOut] = {
+    import days.sparkSession.implicits._
+    days.as[SprtDay]
+      .groupByKey(_.variant)
+      .flatMapGroupsWithState[SprtState, SprtOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (v: Long, rows: Iterator[SprtDay], state: GroupState[SprtState]) =>
+          var cum = state.getOption.getOrElse(SprtState(0L)).cum
+          val out = rows.toSeq.sortBy(_.day).map { r =>
+            cum += r.nSucc * lS + (r.nTrials - r.nSucc) * lF
+            SprtOut(v, r.day, r.nTrials, r.nSucc, cum,
+              if (cum >= boundE6) "accept_h1"
+              else if (cum <= -boundE6) "accept_h0"
+              else "continue")
+          }
+          state.update(SprtState(cum))
+          out.iterator
+      }
+  }
 }

@@ -1094,6 +1094,38 @@ class StreamingSpec extends SparkSpec {
       "streamed CUSUM must be bit-identical to the batch closed form")
   }
 
+  test("sprt stream: sequential A/B monitor is bit-equal to the batch readout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("e_sprt_ab")(spark, dir)
+      .orderBy("variant", "day").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+    // the stream consumes the same daily trial buckets and the same
+    // inlined ln literals (fit offline, monitor online)
+    val lS = math.round(math.log(0.10 / 0.05) * 1e6)
+    val lF = math.round(math.log(0.90 / 0.95) * 1e6)
+    val bA = math.round(math.log(0.95 / 0.05) * 1e6)
+    val days = batch.map(r => (r._1, r._2, r._3, r._4))
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    val out = graft.streaming.SignalStreams.sprtStream(
+      mem.toDF().toDF("variant", "day", "nTrials", "nSucc"), lS, lF, bA)
+    val q = out.writeStream.format("memory").queryName("sprtstream")
+      .outputMode("append").start()
+    try {
+      // per-variant in-order delivery across three micro-batches
+      days.sortBy(r => (r._2, r._1)).grouped(days.length / 3 + 1)
+        .foreach { chunk => mem.addData(chunk.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.sql("SELECT * FROM sprtstream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+      .sortBy(r => (r._1, r._2))
+    assert(got.toSeq === batch.toSeq,
+      "streamed SPRT must be bit-identical to the batch window")
+  }
+
   test("psi stream: reference-frame monitor is bit-equal to the batch drift query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
