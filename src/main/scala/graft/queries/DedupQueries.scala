@@ -77,6 +77,36 @@ object DedupQueries {
       Dedup.exactGroups(withExactCopies(s, dir), "doc_id", "text")
     }),
 
+    // ---- capture-recapture coverage audit (Chapman estimator): how
+    //      many distinct texts does the corpus hold, estimated from
+    //      two INDEPENDENT deterministic ~50% captures of the distinct
+    //      set and their overlap — the audit that catches a dedup
+    //      pipeline whose sampled clean-room count disagrees with its
+    //      full-corpus claim, without a second full pass. Captures are
+    //      keyed md5 coin flips on the text hash (independent salts),
+    //      so both engines replay them exactly; the estimate is the
+    //      integral Chapman form (n1+1)(n2+1) div (m+1) − 1. Shapes:
+    //      one distinct on the hash (the only corpus-sized shuffle),
+    //      one map-combinable scalar agg. At petabyte scale the
+    //      product term moves to DECIMAL — noted, not needed at
+    //      BIGINT corpus cardinalities. ----
+    "d_chapman_coverage" -> ((s, dir) => {
+      val h = t(s, dir, "documents")
+        .select(md5(col("text")).as("h")).distinct()
+      def cap(salt: String) =
+        conv(substring(md5(concat(lit(salt), col("h"))), 1, 2), 16, 10)
+          .cast("long") < 128L
+      h.select(when(cap("cap1:"), 1L).otherwise(0L).as("c1"),
+          when(cap("cap2:"), 1L).otherwise(0L).as("c2"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+          sum(col("c1") * col("c2")).as("m12"))
+        .select(col("n_true"), col("n1"), col("n2"), col("m12"),
+          expr("(n1 + 1) * (n2 + 1) div (m12 + 1) - 1").as("chapman_est"),
+          expr("abs((n1 + 1) * (n2 + 1) div (m12 + 1) - 1 - n_true)" +
+            " * 1000000 div n_true").as("err_ppm"))
+    }),
+
     // ---- n-gram Jaccard near-dup via inverted shingle index; this
     //      corpus is boilerplate-free (no shingle shared beyond a
     //      handful of docs) so the uncapped path is explicitly safe
@@ -542,6 +572,26 @@ object DedupQueries {
       s"""SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,
          | count(*) AS n_copies
          |FROM ($exactCorpus) GROUP BY md5(text)""".stripMargin,
+
+    "d_chapman_coverage" ->
+      """WITH h AS (SELECT DISTINCT md5(text) AS hh FROM documents),
+        |f AS (SELECT
+        |    CASE WHEN CAST('0x' || substr(md5('cap1:' || hh), 1, 2)
+        |      AS INT) < 128 THEN 1 ELSE 0 END AS c1,
+        |    CASE WHEN CAST('0x' || substr(md5('cap2:' || hh), 1, 2)
+        |      AS INT) < 128 THEN 1 ELSE 0 END AS c2
+        |  FROM h),
+        |a AS (SELECT COUNT(*) AS n_true,
+        |    CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2,
+        |    CAST(SUM(c1 * c2) AS BIGINT) AS m12
+        |  FROM f)
+        |SELECT n_true, n1, n2, m12,
+        |  CAST((n1 + 1) * (n2 + 1) // (m12 + 1) - 1 AS BIGINT)
+        |    AS chapman_est,
+        |  CAST(ABS((n1 + 1) * (n2 + 1) // (m12 + 1) - 1 - n_true)
+        |    * 1000000 // n_true AS BIGINT) AS err_ppm
+        |FROM a""".stripMargin,
 
     "d_jaccard_pairs" ->
       s"""WITH base AS (SELECT doc_id AS id, text FROM ($nearCorpus)),
