@@ -695,6 +695,37 @@ object StatsQueries {
     //      p_j*m/j, clamp to 1) runs in windows over the HYPOTHESIS
     //      FAMILY — m rows, bounded by the metric catalog, never by
     //      the corpus. ----
+    // ---- sample-ratio-mismatch gate: before ANY A/B readout is
+    //      trusted, check that assignment actually delivered the
+    //      designed 50/50 split — a biased bucketing bug silently
+    //      poisons every downstream test, and SRM is the standard
+    //      tripwire (chi-square, 1 dof, against the design ratio).
+    //      Counts are distinct users per variant (map-combinable);
+    //      chi2 is the identical IEEE expression tree in both engines,
+    //      rounded at 6. ----
+    "q_srm_check" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select((col("user_id") % 2).as("variant"), col("user_id"))
+        .groupBy().agg(
+          countDistinct(when(col("variant") === 0, col("user_id")))
+            .as("n0"),
+          countDistinct(when(col("variant") === 1, col("user_id")))
+            .as("n1"))
+        .withColumn("n", col("n0") + col("n1"))
+        .withColumn("e", col("n").cast("double") / lit(2.0))
+        .select(col("n0"), col("n1"), col("n"),
+          round((col("n0").cast("double") - col("e")) *
+            (col("n0").cast("double") - col("e")) / col("e") +
+            (col("n1").cast("double") - col("e")) *
+            (col("n1").cast("double") - col("e")) / col("e"), 6)
+            .as("chi2"),
+          (((col("n0").cast("double") - col("e")) *
+            (col("n0").cast("double") - col("e")) / col("e") +
+            (col("n1").cast("double") - col("e")) *
+            (col("n1").cast("double") - col("e")) / col("e"))
+            > 3.841459).as("srm_alarm"))
+    }),
+
     // ---- Wald SPRT over the daily experiment stream: the sequential
     //      A/B readout that says STOP as soon as the evidence crosses a
     //      boundary, instead of waiting for a fixed horizon (the online
@@ -1272,6 +1303,24 @@ object StatsQueries {
         |  ABS(ROUND((mean1 - mean2) / sqrt(se2), 6)) > 1.959964
         |    AS significant_05
         |FROM se""".stripMargin,
+
+    "q_srm_check" ->
+      """WITH a AS (SELECT
+        |    COUNT(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END)
+        |      AS n0,
+        |    COUNT(DISTINCT CASE WHEN user_id % 2 = 1 THEN user_id END)
+        |      AS n1
+        |  FROM events),
+        |b AS (SELECT n0, n1, n0 + n1 AS n,
+        |    CAST(n0 + n1 AS DOUBLE) / 2.0 AS e FROM a)
+        |SELECT n0, n1, n,
+        |  ROUND((CAST(n0 AS DOUBLE) - e) * (CAST(n0 AS DOUBLE) - e) / e
+        |    + (CAST(n1 AS DOUBLE) - e) * (CAST(n1 AS DOUBLE) - e) / e, 6)
+        |    AS chi2,
+        |  ((CAST(n0 AS DOUBLE) - e) * (CAST(n0 AS DOUBLE) - e) / e
+        |    + (CAST(n1 AS DOUBLE) - e) * (CAST(n1 AS DOUBLE) - e) / e)
+        |    > 3.841459 AS srm_alarm
+        |FROM b""".stripMargin,
 
     "e_sprt_ab" -> {
       val lS = math.round(math.log(0.10 / 0.05) * 1e6)

@@ -254,4 +254,24 @@ object DedupStream {
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame =
     graft.operators.KMeans.assignTo(stream, model, idCol, vecCol)
+
+  /** Blocklist screen at ingest: per-document dictionary hit counts
+    * via the SAME plan-compiled Aho-Corasick expression the batch
+    * `t_keyword_tags` uses — stateless, map-side, streaming-legal by
+    * construction, so the deployed filter ("drop/route any arriving
+    * doc that trips the blocklist") is literally the batch operator
+    * applied to the stream. Emits (id, keyword, n) for hits only.
+    */
+  def keywordScreen(stream: DataFrame, dict: Seq[String],
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    stream.select(col(idCol),
+        posexplode(graft.expressions.TextExprs.multiMatch(
+          col(textCol), lit(dict.toArray))).as(Seq("i", "n")))
+      .filter(col("n") > 0L)
+      .select(col(idCol),
+        element_at(lit(dict.toArray), col("i") + 1).as("keyword"),
+        col("n"))
+  }
 }

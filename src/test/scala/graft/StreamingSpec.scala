@@ -1126,6 +1126,36 @@ class StreamingSpec extends SparkSpec {
       "streamed SPRT must be bit-identical to the batch window")
   }
 
+  test("keyword screen: streaming blocklist hits equal the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dict = Seq("table", "scan query", "table table", "zz-never")
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").orderBy("doc_id").limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // batch truth: the same expression applied statically
+    val want = graft.streaming.DedupStream.keywordScreen(
+        docs.toSeq.toDF("doc_id", "text"), dict)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(r => (r._1, r._2))
+    assert(want.nonEmpty, "fixture must produce at least one hit")
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.DedupStream.keywordScreen(
+      mem.toDF().toDF("doc_id", "text"), dict)
+    val q = out.writeStream.format("memory").queryName("kwscreen")
+      .outputMode("append").start()
+    try {
+      docs.grouped(docs.length / 3 + 1).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.sql("SELECT * FROM kwscreen").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(r => (r._1, r._2))
+    assert(got.toSeq === want.toSeq,
+      "stateless screen must be bit-identical batch vs stream")
+  }
+
   test("psi stream: reference-frame monitor is bit-equal to the batch drift query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
