@@ -434,6 +434,37 @@ object TextQueries {
           expr("n_types * 1000000 div n_tokens").as("ttr_ppm"))
     }),
 
+    // ---- per-source token-mass concentration: Gini coefficient over
+    //      document token counts plus the largest single document's
+    //      share — the curation audit that flags sources whose mass
+    //      is a few megadocs (one bad crawl dominates training) vs
+    //      uniform. Shape: the naive form ranks every document
+    //      (corpus-sized sort per source — skew trap); instead fold
+    //      ties first: groupBy(source, x) → per-VALUE counts, then a
+    //      window over the distinct-value frame only (bounded by the
+    //      doc-length domain, not corpus size). For sorted x with
+    //      tie-block size k and cprev docs below, the block's exact
+    //      rank-weighted mass is x*(k*cprev + k*(k+1)/2); all
+    //      arithmetic stays integral, gini as exact floor-div ppm ----
+    "t_gini_concentration" -> ((s, dir) => {
+      val w = Window.partitionBy("source").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "documents")
+        .select(col("source"), Text.tokenCount(col("text")).cast("long").as("x"))
+        .groupBy("source", "x").agg(count(lit(1)).as("k"))
+        .withColumn("cprev", coalesce(sum(col("k")).over(w), lit(0L)))
+        .groupBy("source").agg(
+          sum(col("k")).as("n_docs"),
+          sum(col("k") * col("x")).as("n_tokens"),
+          sum(expr("x * (k * cprev + (k * (k + 1)) div 2)")).as("s1"),
+          max(col("x")).as("xmax"))
+        .filter(col("n_tokens") > 0L)
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("(2*s1 - (n_docs+1)*n_tokens) * 1000000 div (n_docs * n_tokens)")
+            .as("gini_ppm"),
+          expr("xmax * 1000000 div n_tokens").as("top1_ppm"))
+    }),
+
     // ---- train→holdout n-gram novelty: the share of distinct
     //      holdout (val+test) 3-grams NEVER seen in the train split —
     //      the memorization/generalization audit run after splitting
@@ -1371,6 +1402,25 @@ object TextQueries {
          |  n_hapax * 1000000 // n_types AS hapax_ppm,
          |  n_types * 1000000 // n_tokens AS ttr_ppm
          |FROM agg""".stripMargin,
+
+    "t_gini_concentration" ->
+      s"""WITH xs AS (SELECT source, len($tok) AS x FROM documents),
+         |bv AS (SELECT source, x, COUNT(*) AS k FROM xs GROUP BY source, x),
+         |cm AS (SELECT source, x, k,
+         |    COALESCE(SUM(k) OVER (PARTITION BY source ORDER BY x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cprev
+         |  FROM bv),
+         |agg AS (SELECT source,
+         |    CAST(SUM(k) AS BIGINT) AS n_docs,
+         |    CAST(SUM(k * x) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(x * (k * cprev + (k * (k + 1)) // 2)) AS BIGINT) AS s1,
+         |    CAST(MAX(x) AS BIGINT) AS xmax
+         |  FROM cm GROUP BY source)
+         |SELECT source, n_docs, n_tokens,
+         |  (2 * s1 - (n_docs + 1) * n_tokens) * 1000000
+         |    // (n_docs * n_tokens) AS gini_ppm,
+         |  xmax * 1000000 // n_tokens AS top1_ppm
+         |FROM agg WHERE n_tokens > 0""".stripMargin,
 
     "t_ngram_novelty" ->
       s"""WITH sp AS (SELECT bucket < 205 AS in_train, text FROM
