@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{ChatQueries, ClusterQueries, CurationQueries, DedupQueries, EventQueries, FileOps, GovernanceQueries, GraphQueries, MiningQueries, MultimodalQueries, QualityQueries, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, SearchQueries, SignalQueries, SimilarityQueries, SketchQueries, StatsQueries, TextQueries}
+import graft.queries.{ChatQueries, ClusterQueries, CurationQueries, DedupQueries, EventQueries, FileOps, GovernanceQueries, GraphQueries, MiningQueries, MultimodalQueries, PreferenceQueries, QualityQueries, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, SearchQueries, SignalQueries, SimilarityQueries, SketchQueries, StatsQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,7 +35,8 @@ object SparkEntry {
     (SketchQueries.queries, SketchQueries.oracleSql),
     (SearchQueries.queries, SearchQueries.oracleSql),
     (SignalQueries.queries, SignalQueries.oracleSql),
-    (StatsQueries.queries, StatsQueries.oracleSql)
+    (StatsQueries.queries, StatsQueries.oracleSql),
+    (PreferenceQueries.queries, PreferenceQueries.oracleSql)
   )
 
   /** One entry per implemented operator from SURVEY.md §2 + extensions. */
