@@ -312,6 +312,52 @@ object StatsQueries {
             .as("rho"))
     }),
 
+    // ---- Kendall tau-b between two BOUNDED-cardinality columns
+    //      (quantity 1-50 × linenumber 1-7): rank correlation that,
+    //      unlike Spearman, never materializes per-row ranks — the
+    //      corpus collapses to a ≤350-cell contingency grid in ONE
+    //      map-combinable groupBy, and concordant/discordant pair
+    //      mass is an exact product-sum over the grid's self-join
+    //      (broadcast-scale, 350² cells — never the O(n²) row
+    //      pairing). Cell-count products run as DECIMAL(38,0) so C/D
+    //      stay exact past 2^63 intermediate; the closing tau is one
+    //      shared IEEE tree (sqrt per factor — the n0·tx product
+    //      would overflow doubles' exact-integer range first).
+    //      tau_e6 sign travels in the numerator; ROUND half-away
+    //      agrees across engines on identical doubles. ----
+    "q_kendall_tau" -> ((s, dir) => {
+      val g = t(s, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("x"),
+          col("l_linenumber").cast("long").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("k"))
+        .localCheckpoint(false) // grid feeds self-join + 3 marginals
+      val prod = (col("a.k").cast("decimal(19,0)") *
+        col("b.k").cast("decimal(19,0)"))
+      val cd = g.as("a").join(broadcast(g.as("b")),
+          col("a.x") < col("b.x"))
+        .agg(
+          sum(when(col("a.y") < col("b.y"), prod)
+            .otherwise(lit(0).cast("decimal(19,0)")))
+            .cast("long").as("conc"),
+          sum(when(col("a.y") > col("b.y"), prod)
+            .otherwise(lit(0).cast("decimal(19,0)")))
+            .cast("long").as("disc"))
+      val tx = g.groupBy("x").agg(sum("k").as("nx"))
+        .agg(sum(expr("nx * (nx - 1) div 2")).as("tx"))
+      val ty = g.groupBy("y").agg(sum("k").as("ny"))
+        .agg(sum(expr("ny * (ny - 1) div 2")).as("ty"))
+      val n = g.agg(sum("k").as("n"))
+      cd.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+        .crossJoin(broadcast(n))
+        .withColumn("n0", expr("n * (n - 1) div 2"))
+        .select(col("n"), col("n0"), col("tx"), col("ty"),
+          col("conc"), col("disc"),
+          round((col("conc") - col("disc")).cast("double") * lit(1e6) /
+            (sqrt((col("n0") - col("tx")).cast("double")) *
+              sqrt((col("n0") - col("ty")).cast("double"))), 0)
+            .cast("long").as("tau_e6"))
+    }),
+
     // ---- Kaplan-Meier / Nelson-Aalen retention survival over user
     //      lifetimes: duration = whole hours between a user's first
     //      and last event; a user whose last event predates the final
@@ -1034,6 +1080,32 @@ object StatsQueries {
         |    CAST(SUM(CAST(cy * cy AS DECIMAL(38,0))) AS DOUBLE) AS syy
         |  FROM j)
         |SELECT n, ROUND(sxy / sqrt(sxx * syy), 6) AS rho FROM m""".stripMargin,
+
+    "q_kendall_tau" ->
+      """WITH g AS MATERIALIZED (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(l_linenumber AS BIGINT) AS y,
+        |    CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM lineitem GROUP BY 1, 2),
+        |cd AS (SELECT
+        |    CAST(SUM(CASE WHEN a.y < b.y THEN a.k * b.k ELSE 0 END)
+        |      AS BIGINT) AS conc,
+        |    CAST(SUM(CASE WHEN a.y > b.y THEN a.k * b.k ELSE 0 END)
+        |      AS BIGINT) AS disc
+        |  FROM g a JOIN g b ON a.x < b.x),
+        |tx AS (SELECT CAST(SUM(nx * (nx - 1) // 2) AS BIGINT) AS tx
+        |  FROM (SELECT SUM(k) AS nx FROM g GROUP BY x)),
+        |ty AS (SELECT CAST(SUM(ny * (ny - 1) // 2) AS BIGINT) AS ty
+        |  FROM (SELECT SUM(k) AS ny FROM g GROUP BY y)),
+        |nn AS (SELECT CAST(SUM(k) AS BIGINT) AS n FROM g),
+        |m AS (SELECT n, CAST(n * (n - 1) // 2 AS BIGINT) AS n0,
+        |    tx, ty, conc, disc
+        |  FROM cd, tx, ty, nn)
+        |SELECT n, n0, tx, ty, conc, disc,
+        |  CAST(ROUND(CAST(conc - disc AS DOUBLE) * 1000000.0 /
+        |    (SQRT(CAST(n0 - tx AS DOUBLE)) *
+        |     SQRT(CAST(n0 - ty AS DOUBLE))), 0) AS BIGINT) AS tau_e6
+        |FROM m""".stripMargin,
 
     "e_kaplan_meier" ->
       """WITH u AS (SELECT

@@ -684,6 +684,71 @@ object TextQueries {
             .as("recall"))
     }),
 
+    // ---- expected calibration error of the hashed quality
+    //      classifier against the length proxy label: 10 confidence
+    //      bins, per-bin mean confidence vs empirical positive rate,
+    //      plus the n-weighted ECE — the readout that says whether
+    //      the classifier's scores can be TRUSTED as probabilities
+    //      (PR curves can't). Confidence = the exact linear link
+    //      clamp((logit+1)/2) in integer e6 — a monotone calibration
+    //      map kept rational on purpose: libm sigmoid ulps would fork
+    //      the oracle, and ECE is invariant to which monotone link
+    //      defines the bins. Score scan + ONE map-combinable agg over
+    //      10 bins; the closing ECE is a broadcast fold of the
+    //      10-row frame. ----
+    "t_classifier_ece" -> ((s, dir) => {
+      val scored = graft.streaming.CurationStream.scored(
+          t(s, dir, "documents"), "doc_id", "text",
+          CurationQueries.ClfWeights)
+        .join(t(s, dir, "documents").select("doc_id", "n_chars"), "doc_id")
+        .select(col("logit"), (col("n_chars") >= 400).as("label"))
+      val per = scored
+        .withColumn("p_e6", least(greatest(
+          expr("cast(round((logit + 1.0) / 2.0 * 1000000, 0) as bigint)"),
+          lit(0L)), lit(1000000L)))
+        .withColumn("bin", least(expr("p_e6 div 100000"), lit(9L)))
+        .groupBy("bin").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("label"), 1L).otherwise(0L)).as("pos"),
+          sum("p_e6").as("sp"))
+        .select(col("bin"), col("n"), col("pos"),
+          expr("sp div n").as("conf_e6"),
+          expr("pos * 1000000L div n").as("acc_e6"))
+      val tot = per.agg(
+        expr("sum(n * abs(conf_e6 - acc_e6)) div sum(n)").as("ece_e6"))
+      per.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n"), col("pos"), col("conf_e6"),
+          col("acc_e6"), (col("conf_e6") - col("acc_e6")).as("gap_e6"),
+          col("ece_e6"))
+    }),
+
+    // ---- simple Good-Turing frequency table per source: unseen-mass
+    //      estimate p0 = n1/N and the discounted counts r* =
+    //      (r+1)·n_{r+1}/n_r for r = 1..4 — the smoothing readout
+    //      that says how much probability a source's token model
+    //      should reserve for words it has never seen (the
+    //      complement of the Chapman coverage audit, which estimates
+    //      how many TYPES are missing). One corpus (source, token)
+    //      groupBy, then a per-source frequency-of-frequencies fold —
+    //      map-combinable all the way; output is #sources rows. All
+    //      ratios exact integer ppm/e6 on non-negative counts. ----
+    "t_good_turing" -> ((s, dir) => {
+      val nr = (1 to 5).map(r =>
+        sum(when(col("r") === r.toLong, 1L).otherwise(0L)).as(s"n$r"))
+      val rstars = (1 to 4).map(r =>
+        when(col(s"n$r") > 0L,
+          expr(s"${r + 1} * n${r + 1} * 1000000L div n$r"))
+          .otherwise(lit(0L)).as(s"rstar${r}_e6"))
+      t(s, dir, "documents")
+        .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("r"))
+        .groupBy("source").agg(sum("r").as("n_tokens"),
+          count(lit(1)).as("n_types") +: nr: _*)
+        .select(Seq(col("source"), col("n_tokens"), col("n_types"),
+          col("n1"), col("n2"), col("n3"), col("n4"), col("n5"),
+          expr("n1 * 1000000L div n_tokens").as("p0_ppm")) ++ rstars: _*)
+    }),
+
     // ---- interpolated Kneser-Ney bigram LM (the smoothing every
     //      production n-gram LM ships — Chen & Goodman 1999):
     //      P_KN(w2|w1) = max(c−D,0)/c(w1·)
@@ -985,6 +1050,56 @@ object TextQueries {
          |      * (CAST(t2 AS DOUBLE) / CAST(tt AS DOUBLE)) AS p_kn
          |FROM bc JOIN den USING (w1) JOIN cont USING (w2) CROSS JOIN ty
          |ORDER BY c DESC, bigram ASC LIMIT 50""".stripMargin,
+
+    "t_classifier_ece" -> {
+      val cases = CurationQueries.ClfWeights.map { case (b, w) =>
+        s"WHEN '$b' THEN CAST($w AS DECIMAL(2,1))"
+      }.mkString(" ")
+      s"""WITH f AS (SELECT doc_id,
+         |    (CASE substr(md5(tok), 1, 1) $cases END) AS w
+         |  FROM (SELECT doc_id, unnest($tok) AS tok FROM documents)),
+         |sc AS (SELECT doc_id,
+         |    round(CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+         |      AS logit
+         |  FROM f GROUP BY doc_id),
+         |lab AS (SELECT sc.logit, d.n_chars >= 400 AS label
+         |  FROM sc JOIN documents d USING (doc_id)),
+         |pp AS (SELECT LEAST(GREATEST(
+         |    CAST(ROUND((logit + 1.0) / 2.0 * 1000000, 0) AS BIGINT),
+         |    0), 1000000) AS p_e6, label FROM lab),
+         |per AS (SELECT LEAST(p_e6 // 100000, 9) AS bin,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS pos,
+         |    CAST(SUM(p_e6) AS BIGINT) AS sp
+         |  FROM pp GROUP BY 1),
+         |pb AS (SELECT bin, n, pos,
+         |    CAST(sp // n AS BIGINT) AS conf_e6,
+         |    CAST(pos * 1000000 // n AS BIGINT) AS acc_e6
+         |  FROM per),
+         |tot AS (SELECT CAST(SUM(n * ABS(conf_e6 - acc_e6)) // SUM(n)
+         |    AS BIGINT) AS ece_e6 FROM pb)
+         |SELECT CAST(bin AS BIGINT) AS bin, n, pos, conf_e6, acc_e6,
+         |  CAST(conf_e6 - acc_e6 AS BIGINT) AS gap_e6, ece_e6
+         |FROM pb, tot""".stripMargin
+    },
+
+    "t_good_turing" ->
+      s"""WITH tf AS (SELECT source, tok, COUNT(*) AS r
+         |  FROM (SELECT source, unnest($tok) AS tok FROM documents)
+         |  GROUP BY source, tok),
+         |fof AS (SELECT source,
+         |    CAST(SUM(r) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(*) AS BIGINT) AS n_types,
+         |    ${(1 to 5).map(r => s"CAST(SUM(CASE WHEN r = $r THEN 1 " +
+              s"ELSE 0 END) AS BIGINT) AS n$r").mkString(",\n         |    ")}
+         |  FROM tf GROUP BY source)
+         |SELECT source, n_tokens, n_types, n1, n2, n3, n4, n5,
+         |  CAST(n1 * 1000000 // n_tokens AS BIGINT) AS p0_ppm,
+         |  ${(1 to 4).map(r => s"CAST(CASE WHEN n$r > 0 THEN " +
+            s"${r + 1} * n${r + 1} * 1000000 // n$r ELSE 0 END " +
+            s"AS BIGINT) AS rstar${r}_e6").mkString(",\n         |  ")}
+         |FROM fof""".stripMargin,
 
     "t_perplexity" ->
       s"""WITH bi AS (SELECT doc_id, unnest(

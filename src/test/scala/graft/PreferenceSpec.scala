@@ -127,6 +127,71 @@ class PreferenceSpec extends SparkSpec {
       decided.count(identity).toLong * 1000000L / decided.size else 0L))
   }
 
+  test("p_fleiss_kappa: exact replay of the 3-rater category table") {
+    val rows = Tables.t(spark, dir, "documents")
+      .select("source", "text", "n_chars").collect()
+    val bySrc = rows.groupBy(_.getString(0))
+    val out = SparkEntry.queries("p_fleiss_kappa")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, ds) =>
+      val nij = ds.map { d =>
+        val toks = d.getString(1).split(" ", -1)
+        val tc = toks.length.toLong
+        val dt = toks.distinct.length.toLong
+        val r1 = if (tc < 40) 0 else if (tc < 70) 1 else 2
+        val r2 = if (d.getLong(2) < 250) 0
+                 else if (d.getLong(2) < 450) 1 else 2
+        val r3 = if (dt * 10 < tc * 7) 0
+                 else if (dt * 10 < tc * 9) 1 else 2
+        val n = Array(0L, 0L, 0L)
+        Seq(r1, r2, r3).foreach(j => n(j) += 1)
+        n
+      }
+      val nI = nij.length.toLong
+      val sq = nij.map(n => n.map(x => x * x).sum).sum
+      val c = Array(0, 1, 2).map(j => nij.map(_(j)).sum)
+      val sNum = sq - nI * 3
+      val csq = c.map(x => x * x).sum
+      val num = sNum * nI * 3 - 2 * csq
+      val den = 2 * (nI * 3 * nI * 3 - csq)
+      val r = out(src)
+      assert(r.getLong(1) == nI && r.getLong(2) == c(0) &&
+        r.getLong(3) == c(1) && r.getLong(4) == c(2))
+      assert(r.getLong(5) == sNum * 1000000L / (nI * 6))
+      assert(r.getInt(6) == num.sign.toInt)
+      assert(r.getLong(7) ==
+        (if (den > 0) num.abs * 1000000L / den else 0L))
+    }
+  }
+
+  test("p_copeland_borda: degrees of the replayed majority digraph") {
+    val e = majorityEdges
+    val bordaW = wins.groupBy(_._1._1).map { case (k, v) =>
+      k -> v.values.sum }
+    val out = SparkEntry.queries("p_copeland_borda")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val verts = wins.keySet.flatMap(p => Seq(p._1, p._2))
+    assert(out.keySet == verts)
+    verts.foreach { v =>
+      val r = out(v)
+      assert(r.getLong(1) == e.count(_._1 == v).toLong, s"maj_wins $v")
+      assert(r.getLong(2) == e.count(_._2 == v).toLong, s"maj_losses $v")
+      assert(r.getLong(3) == bordaW.getOrElse(v, 0L), s"borda $v")
+      assert(r.getLong(4) == r.getLong(1) - r.getLong(2))
+    }
+    // ranks order by (score desc, source asc) — source-unique, so the
+    // dense rank equals 1 + #strictly-preceding sources
+    val rows = out.values.toSeq
+    rows.foreach { r =>
+      val (v, net, bor) = (r.getString(0), r.getLong(4), r.getLong(3))
+      assert(r.getInt(5) == 1 + rows.count(o => o.getLong(4) > net ||
+        (o.getLong(4) == net && o.getString(0) < v)), s"cope rank $v")
+      assert(r.getInt(6) == 1 + rows.count(o => o.getLong(3) > bor ||
+        (o.getLong(3) == bor && o.getString(0) < v)), s"borda rank $v")
+    }
+  }
+
   test("p_js_divergence: bounded, near-nonnegative, sum identity") {
     val out = SparkEntry.queries("p_js_divergence")(spark, dir).collect()
     val srcs = docs.map(_._2).distinct

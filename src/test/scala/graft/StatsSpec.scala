@@ -396,4 +396,34 @@ class StatsSpec extends SparkSpec {
     out.foreach { case (_, _, p, _, _, adj) => assert(adj >= p - 1e-8) }
     assert(math.abs(out.last._6 - math.min(out.last._3, 1.0)) < 1e-8)
   }
+  test("q_kendall_tau: naive grid replay of tau-b") {
+    val rows = Tables.t(spark, dir, "lineitem")
+      .selectExpr("cast(l_quantity as long)", "cast(l_linenumber as long)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val grid = rows.groupBy(identity).map { case (k, v) =>
+      (k._1, k._2, v.length.toLong) }.toVector
+    var conc = 0L; var disc = 0L
+    for (a <- grid; b <- grid if a._1 < b._1) {
+      if (a._2 < b._2) conc += a._3 * b._3
+      else if (a._2 > b._2) disc += a._3 * b._3
+    }
+    val n = rows.length.toLong
+    val n0 = n * (n - 1) / 2
+    def ties(xs: Map[Long, Long]) =
+      xs.values.map(c => c * (c - 1) / 2).sum
+    val tx = ties(rows.groupBy(_._1).map { case (k, v) =>
+      k -> v.length.toLong })
+    val ty = ties(rows.groupBy(_._2).map { case (k, v) =>
+      k -> v.length.toLong })
+    val r = SparkEntry.queries("q_kendall_tau")(spark, dir)
+      .collect().head
+    assert(r.getLong(0) == n && r.getLong(1) == n0)
+    assert(r.getLong(2) == tx && r.getLong(3) == ty)
+    assert(r.getLong(4) == conc && r.getLong(5) == disc)
+    val tau = math.round((conc - disc).toDouble * 1e6 /
+      (math.sqrt((n0 - tx).toDouble) * math.sqrt((n0 - ty).toDouble)))
+    assert(r.getLong(6) == tau, s"tau_e6 ${r.getLong(6)} != $tau")
+    // tau-b must sit inside [-1, 1]
+    assert(math.abs(r.getLong(6)) <= 1000000L)
+  }
 }

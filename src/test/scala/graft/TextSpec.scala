@@ -272,4 +272,50 @@ class TextSpec extends SparkSpec {
     assert(r.getLong(1) == (hold -- train).size)
     assert(r.getLong(2) == r.getLong(1) * 1000000L / r.getLong(0))
   }
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("t_good_turing: naive per-source frequency-of-frequencies replay") {
+    val rows = Tables.t(spark, sfDir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    val out = SparkEntry.queries("t_good_turing")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == rows.map(_._1).toSet)
+    rows.groupBy(_._1).foreach { case (src, ds) =>
+      val counts = ds.flatMap(_._2).groupBy(identity)
+        .map { case (_, v) => v.length.toLong }.toVector
+      val n = counts.sum
+      val nr = (1 to 5).map(r => counts.count(_ == r.toLong).toLong)
+      val row = out(src)
+      assert(row.getLong(1) == n && row.getLong(2) == counts.length.toLong)
+      (1 to 5).foreach(r =>
+        assert(row.getLong(2 + r) == nr(r - 1), s"n$r for $src"))
+      assert(row.getLong(8) == nr(0) * 1000000L / n)
+      (1 to 4).foreach { r =>
+        val want = if (nr(r - 1) > 0)
+          (r + 1) * nr(r) * 1000000L / nr(r - 1) else 0L
+        assert(row.getLong(8 + r) == want, s"rstar$r for $src")
+      }
+    }
+  }
+
+  test("t_classifier_ece: bin accounting and the weighted-gap fold") {
+    val out = SparkEntry.queries("t_classifier_ece")(spark, sfDir)
+      .collect()
+    val nDocs = Tables.t(spark, sfDir, "documents").count()
+    assert(out.map(_.getLong(1)).sum == nDocs, "bins partition the corpus")
+    val ece = out.map(r => r.getLong(1) *
+      math.abs(r.getLong(3) - r.getLong(4))).sum / out.map(_.getLong(1)).sum
+    out.foreach { r =>
+      assert(r.getLong(0) >= 0L && r.getLong(0) <= 9L)
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L, "conf in [0,1]")
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L, "acc in [0,1]")
+      assert(r.getLong(5) == r.getLong(3) - r.getLong(4), "gap identity")
+      assert(r.getLong(6) == ece, "ece fold replay")
+      // mean confidence must lie inside its own bin's e6 range
+      val bin = r.getLong(0)
+      assert(r.getLong(3) >= bin * 100000L &&
+        (bin == 9L || r.getLong(3) < (bin + 1) * 100000L), "conf in bin")
+    }
+  }
 }
