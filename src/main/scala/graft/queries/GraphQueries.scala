@@ -130,6 +130,55 @@ object GraphQueries {
         .select(col("id"), col("label"), col("seed"))
     }),
 
+    // ---- Newman modularity of the label-propagation communities:
+    //      Q = Σ_c [e_c/m − (d_c/2m)²], rewritten over the common
+    //      denominator 4m² so every term is an exact BIGINT —
+    //      (4m·e_c − d_c²) — and ONE floor division closes the
+    //      statistic (sign travels separately; safe to ~10⁹ edges,
+    //      DECIMAL past that — noted). Unlabeled vertices become
+    //      singleton communities (comm = −id), so Q is defined over
+    //      the whole graph. Shapes: two equi-joins tag edge
+    //      endpoints, then everything is per-community (model-sized).
+    //      The quality gate for g_label_prop's partitioning that a
+    //      clustering run reads before trusting its communities. ----
+    "g_modularity" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+        .localCheckpoint(false) // feeds label prop + 3 edge aggs
+      val seeds = edges.select(col("src").as("id")).distinct()
+        .filter(col("id") % 6 === 0)
+        .select(col("id"), expr("(id div 2) % 25").as("label"))
+      val labs = Graph.labelPropagation(edges, seeds, rounds = 2)
+        .select(col("id"), coalesce(col("label"), -col("id")).as("comm"))
+        .localCheckpoint(false) // joined on both edge endpoints
+      val m = edges.agg(count(lit(1)).as("m"))
+      val ec = edges
+        .join(labs.select(col("id").as("src"), col("comm").as("cs")),
+          "src")
+        .join(labs.select(col("id").as("dst"), col("comm").as("cd")),
+          "dst")
+        .filter(col("cs") === col("cd"))
+        .groupBy(col("cs").as("comm")).agg(count(lit(1)).as("ec"))
+      val deg = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val dc = deg.join(labs, "id").groupBy("comm")
+        .agg(sum("d").as("dc"))
+      dc.join(ec, Seq("comm"), "left")
+        .select(col("comm"), coalesce(col("ec"), lit(0L)).as("ec"),
+          col("dc"))
+        .crossJoin(broadcast(m))
+        .agg(count(lit(1)).as("n_communities"), max("m").as("m"),
+          sum(expr("4 * m * ec - dc * dc")).as("num"))
+        .select(col("n_communities"), col("m"),
+          signum(col("num")).cast("int").as("q_sign"),
+          expr("abs(num) * 1000000L div (4 * m * m)").as("q_abs_e6"))
+    }),
+
     // ---- degree-ordered triangle counting over the supplier
     //      co-occurrence graph (suppliers filling the same order in
     //      March 1995 — the date filter is partition-prunable and
@@ -256,6 +305,36 @@ object GraphQueries {
   private val kCoreK = 3
   private val kCoreRounds = 8
 
+  /** Shared DuckDB scaffold: the customer–supplier bipartite graph,
+    * 2 unrolled label-propagation rounds, final labels in `l2` (and
+    * the raw edge list in `e0`). MATERIALIZED because `und`/`e0` are
+    * referenced once per round / per downstream aggregate. */
+  private def labelPropScaffoldSql: String = {
+    def round(k: Int) =
+      s"""m$k AS (SELECT und.d AS id, l.label AS nlab, COUNT(*) AS c
+         |  FROM und JOIN l${k - 1} l ON und.s = l.id
+         |  WHERE l.label IS NOT NULL GROUP BY 1, 2),
+         |b$k AS (SELECT id, nlab FROM (
+         |    SELECT id, nlab, ROW_NUMBER() OVER (PARTITION BY id
+         |      ORDER BY c DESC, nlab ASC) AS rn FROM m$k) WHERE rn = 1),
+         |l$k AS (SELECT v.id,
+         |    CASE WHEN v.seed THEN v.label
+         |         ELSE COALESCE(b.nlab, v.label) END AS label, v.seed
+         |  FROM l${k - 1} v LEFT JOIN b$k b USING (id))""".stripMargin
+    s"""e0 AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS s,
+       |    l_suppkey * 2 + 1 AS d
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |und AS MATERIALIZED (SELECT s, d FROM e0
+       |  UNION SELECT d AS s, s AS d FROM e0),
+       |verts AS (SELECT DISTINCT s AS id FROM und),
+       |seeds AS (SELECT id, (id // 2) % 25 AS label FROM verts
+       |  WHERE id % 6 = 0),
+       |l0 AS (SELECT v.id, s.label, s.id IS NOT NULL AS seed
+       |  FROM verts v LEFT JOIN seeds s USING (id)),
+       |${round(1)},
+       |${round(2)}""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "g_pagerank" -> {
       val header =
@@ -351,31 +430,32 @@ object GraphQueries {
            |      LIMIT 100)""".stripMargin
     },
 
-    "g_label_prop" -> {
-      def round(k: Int) =
-        s"""m$k AS (SELECT und.d AS id, l.label AS nlab, COUNT(*) AS c
-           |  FROM und JOIN l${k - 1} l ON und.s = l.id
-           |  WHERE l.label IS NOT NULL GROUP BY 1, 2),
-           |b$k AS (SELECT id, nlab FROM (
-           |    SELECT id, nlab, ROW_NUMBER() OVER (PARTITION BY id
-           |      ORDER BY c DESC, nlab ASC) AS rn FROM m$k) WHERE rn = 1),
-           |l$k AS (SELECT v.id,
-           |    CASE WHEN v.seed THEN v.label
-           |         ELSE COALESCE(b.nlab, v.label) END AS label, v.seed
-           |  FROM l${k - 1} v LEFT JOIN b$k b USING (id))""".stripMargin
-      s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS s,
-         |    l_suppkey * 2 + 1 AS d
-         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-         |und AS (SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0),
-         |verts AS (SELECT DISTINCT s AS id FROM und),
-         |seeds AS (SELECT id, (id // 2) % 25 AS label FROM verts
-         |  WHERE id % 6 = 0),
-         |l0 AS (SELECT v.id, s.label, s.id IS NOT NULL AS seed
-         |  FROM verts v LEFT JOIN seeds s USING (id)),
-         |${round(1)},
-         |${round(2)}
-         |SELECT id, label, seed FROM l2""".stripMargin
-    },
+    "g_label_prop" ->
+      s"""WITH $labelPropScaffoldSql
+         |SELECT id, label, seed FROM l2""".stripMargin,
+
+    "g_modularity" ->
+      s"""WITH $labelPropScaffoldSql,
+         |labs AS MATERIALIZED (SELECT id, COALESCE(label, -id) AS comm
+         |  FROM l2),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+         |ec AS (SELECT a.comm, CAST(COUNT(*) AS BIGINT) AS ec
+         |  FROM e0 JOIN labs a ON a.id = e0.s
+         |           JOIN labs b ON b.id = e0.d
+         |  WHERE a.comm = b.comm GROUP BY a.comm),
+         |deg AS (SELECT n AS id, CAST(COUNT(*) AS BIGINT) AS d
+         |  FROM (SELECT s AS n FROM e0 UNION ALL SELECT d FROM e0)
+         |  GROUP BY 1),
+         |dc AS (SELECT comm, CAST(SUM(d) AS BIGINT) AS dc
+         |  FROM deg JOIN labs USING (id) GROUP BY comm),
+         |per AS (SELECT dc.comm, COALESCE(ec.ec, 0) AS ec, dc.dc
+         |  FROM dc LEFT JOIN ec USING (comm))
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+         |  MAX(m.m) AS m,
+         |  CAST(SIGN(SUM(4 * m.m * ec - dc * dc)) AS INT) AS q_sign,
+         |  CAST(ABS(SUM(4 * m.m * ec - dc * dc)) * 1000000
+         |    // (4 * MAX(m.m) * MAX(m.m)) AS BIGINT) AS q_abs_e6
+         |FROM per, m""".stripMargin,
 
     // Same degree-ordered orientation, spelled with row-value
     // comparisons; the count is orientation-independent, so any

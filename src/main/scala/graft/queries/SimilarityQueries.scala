@@ -322,6 +322,56 @@ object SimilarityQueries {
           |FROM r WHERE rank <= 3""".stripMargin)
     }),
 
+    // ---- embedding-distribution distance per label group vs the
+    //      corpus: linear-kernel MMD² = ‖μ_g − μ‖² plus the
+    //      diagonal-covariance Fréchet distance (the FID closing form
+    //      with per-dimension variances) — the drift audit that says
+    //      whether a source's EMBEDDINGS moved, not just its lengths
+    //      (p_js_divergence). Discipline: components round to 6 dp
+    //      into exact DECIMAL sums (order/partition-invariant — no
+    //      per-group collect, unlike s_group_centroid's bit-exact
+    //      mean, so this shape holds at any group size); the closing
+    //      per-dimension fold runs in pos order over a 64-row frame;
+    //      sqrt is IEEE-exact; variances clamp at 0 before sqrt.
+    //      Corpus moments are ONE broadcast 64-row frame. ----
+    "s_embed_mmd" -> ((s, dir) => {
+      val ex = t(s, dir, "embeddings")
+        .select(col("label"), col("vec_id"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "x")))
+        .select(col("label"), col("pos"),
+          round(col("x"), 6).cast("decimal(18,6)").as("x"),
+          round(col("x") * col("x"), 12).cast("decimal(30,12)").as("xx"))
+        .localCheckpoint(false) // feeds group and corpus moments
+      val grp = ex.groupBy("label", "pos").agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("xx").as("sxx"))
+      val all = ex.groupBy("pos").agg(
+        count(lit(1)).as("cn"), sum("x").as("csx"), sum("xx").as("csxx"))
+      val terms = grp.join(broadcast(all), "pos")
+        .withColumn("mg", col("sx").cast("double") / col("n"))
+        .withColumn("m", col("csx").cast("double") / col("cn"))
+        .withColumn("vg", greatest(
+          col("sxx").cast("double") / col("n") - col("mg") * col("mg"),
+          lit(0.0)))
+        .withColumn("v", greatest(
+          col("csxx").cast("double") / col("cn") - col("m") * col("m"),
+          lit(0.0)))
+        .select(col("label"), col("pos"), col("n"),
+          ((col("mg") - col("m")) * (col("mg") - col("m"))).as("md2"),
+          (col("vg") + col("v") -
+            lit(2.0) * sqrt(col("vg") * col("v"))).as("vt"))
+      terms.groupBy("label").agg(
+          max("n").as("n"),
+          sort_array(collect_list(struct(col("pos"), col("md2"),
+            col("vt")))).as("ts"))
+        .select(col("label"), col("n"),
+          round(aggregate(col("ts"), lit(0.0),
+            (a, e) => a + e.getField("md2")), 9).as("mmd2"),
+          round(aggregate(col("ts"), lit(0.0),
+            (a, e) => a + (e.getField("md2") + e.getField("vt"))), 9)
+            .as("fd_diag"))
+    }),
+
     // ---- exact per-group centroid vectors: bit-reproducible mean via
     //      an ORDERED left-assoc fold (sort_array + aggregate HOF), so
     //      the result is independent of partitioning — the property a
@@ -959,6 +1009,42 @@ object SimilarityQueries {
     // ordered left fold both sides: Spark aggregate(sort_array(...)) and
     // DuckDB list_reduce(array_agg(... ORDER BY vec_id)) add in the same
     // sequence -> bit-identical doubles, no rounding fudge
+    "s_embed_mmd" ->
+      """WITH ex AS MATERIALIZED (SELECT label, vec_id,
+        |    CAST(p AS INT) AS pos,
+        |    CAST(ROUND(v[p + 1], 6) AS DECIMAL(18,6)) AS x,
+        |    CAST(ROUND(v[p + 1] * v[p + 1], 12) AS DECIMAL(30,12)) AS xx
+        |  FROM (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |        FROM embeddings)
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS p)),
+        |grp AS (SELECT label, pos, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(x) AS sx, SUM(xx) AS sxx
+        |  FROM ex GROUP BY 1, 2),
+        |al AS (SELECT pos, CAST(COUNT(*) AS BIGINT) AS cn,
+        |    SUM(x) AS csx, SUM(xx) AS csxx
+        |  FROM ex GROUP BY 1),
+        |mom AS (SELECT label, grp.pos, n,
+        |    CAST(sx AS DOUBLE) / n AS mg,
+        |    CAST(csx AS DOUBLE) / cn AS m,
+        |    GREATEST(CAST(sxx AS DOUBLE) / n
+        |      - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n),
+        |      0.0) AS vg,
+        |    GREATEST(CAST(csxx AS DOUBLE) / cn
+        |      - (CAST(csx AS DOUBLE) / cn) * (CAST(csx AS DOUBLE) / cn),
+        |      0.0) AS v
+        |  FROM grp JOIN al ON grp.pos = al.pos),
+        |terms AS (SELECT label, pos, n,
+        |    (mg - m) * (mg - m) AS md2,
+        |    vg + v - 2.0 * SQRT(vg * v) AS vt
+        |  FROM mom)
+        |SELECT label, MAX(n) AS n,
+        |  ROUND(list_reduce(list_prepend(0.0,
+        |    array_agg(md2 ORDER BY pos)), (a, b) -> a + b), 9) AS mmd2,
+        |  ROUND(list_reduce(list_prepend(0.0,
+        |    array_agg(md2 + vt ORDER BY pos)), (a, b) -> a + b), 9)
+        |    AS fd_diag
+        |FROM terms GROUP BY label""".stripMargin,
+
     "s_group_centroid" ->
       """WITH base AS (SELECT vec_id, vec_id % 8 AS grp,
         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -358,6 +358,82 @@ object StatsQueries {
             .cast("long").as("tau_e6"))
     }),
 
+    // ---- 1-D Wasserstein (earth-mover) distance per source vs the
+    //      corpus over doc-length buckets: W1 = Σ_b |P(≤b) − Q(≤b)|
+    //      in bucket units — the drift number that, unlike
+    //      p_js_divergence, scales with HOW FAR the mass moved, not
+    //      just that it moved. Exact rational throughout: cumulative
+    //      counts share the n·N denominator, so the per-bucket term
+    //      is |cumk·N − cumK·n| in BIGINT and ONE floor division
+    //      closes the sum (safe to ~10⁶ docs; past that the audit
+    //      promotes the products to DECIMAL — noted). Corpus-scale
+    //      work is one bucketed groupBy; the cumsum windows run over
+    //      the sources × ≤10 bucket grid. ----
+    "q_wasserstein_1d" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"),
+          graft.functions.Text.tokenCount(col("text")).cast("long")
+            .as("tc"))
+        .select(col("source"), expr("least(tc div 20, 9L)").as("bucket"))
+        .localCheckpoint(false) // feeds three independent aggs
+      val per = d.groupBy("source", "bucket").agg(count(lit(1)).as("k"))
+      val ns = d.groupBy("source").agg(count(lit(1)).as("n"))
+      val qb = d.groupBy("bucket").agg(count(lit(1)).as("kb"))
+      val nTot = d.agg(count(lit(1)).as("nn"))
+      val wCum = Window.partitionBy("source").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ns.crossJoin(broadcast(qb)).crossJoin(broadcast(nTot))
+        .join(per, Seq("source", "bucket"), "left")
+        .withColumn("k", coalesce(col("k"), lit(0L)))
+        .withColumn("cumk", sum("k").over(wCum))
+        .withColumn("cumkb", sum("kb").over(wCum))
+        .groupBy("source").agg(
+          max("n").as("n"),
+          sum(abs(col("cumk") * col("nn") - col("cumkb") * col("n")))
+            .as("num"),
+          max("nn").as("nn"))
+        .select(col("source"), col("n"),
+          expr("num * 1000000L div (n * nn)").as("w1_e6"))
+    }),
+
+    // ---- split-conformal coverage audit: calibrate the |n_chars −
+    //      6·tokens| nonconformity score on even doc_ids at α = 0.1
+    //      (threshold = the ⌈0.9(n+1)⌉-th order statistic), then
+    //      measure empirical coverage on the held-out odd half — the
+    //      distribution-free guarantee check (coverage ≥ 90% in
+    //      expectation) run before trusting any per-doc prediction
+    //      band. The order statistic comes from a cumsum over the
+    //      value-bounded score grid (never a corpus sort); coverage
+    //      is one map-combinable agg. All integers. ----
+    "q_conformal_coverage" -> ((s, dir) => {
+      val sc = t(s, dir, "documents")
+        .select(col("doc_id"),
+          abs(col("n_chars") - lit(6L) *
+            graft.functions.Text.tokenCount(col("text")).cast("long"))
+            .as("score"))
+        .localCheckpoint(false) // calibration + eval halves
+      val cal = sc.filter(col("doc_id") % 2 === 0)
+      val nc = cal.agg(count(lit(1)).as("n_cal"),
+        expr("(9 * count(1) + 18) div 10").as("k_rank"))
+      val wCum = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val thr = cal.groupBy("score").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(wCum))
+        .crossJoin(broadcast(nc))
+        .filter(col("cum") >= col("k_rank"))
+        .agg(min("score").as("threshold"))
+      sc.filter(col("doc_id") % 2 === 1)
+        .crossJoin(broadcast(thr))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("score") <= col("threshold"), 1L).otherwise(0L))
+            .as("n_cov"),
+          max("threshold").as("threshold"))
+        .crossJoin(broadcast(nc))
+        .select(col("n_cal"), col("k_rank"), col("threshold"),
+          col("n_eval"), col("n_cov"),
+          expr("n_cov * 1000000L div n_eval").as("cov_ppm"))
+    }),
+
     // ---- Kaplan-Meier / Nelson-Aalen retention survival over user
     //      lifetimes: duration = whole hours between a user's first
     //      and last event; a user whose last event predates the final
@@ -1106,6 +1182,56 @@ object StatsQueries {
         |    (SQRT(CAST(n0 - tx AS DOUBLE)) *
         |     SQRT(CAST(n0 - ty AS DOUBLE))), 0) AS BIGINT) AS tau_e6
         |FROM m""".stripMargin,
+
+    "q_wasserstein_1d" ->
+      """WITH d AS MATERIALIZED (SELECT source,
+        |    LEAST(len(string_split(text, ' ')) // 20, 9) AS bucket
+        |  FROM documents),
+        |per AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM d GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM d GROUP BY 1),
+        |qb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS kb
+        |  FROM d GROUP BY 1),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM d),
+        |grid AS (SELECT ns.source, qb.bucket, ns.n, qb.kb, nt.nn,
+        |    CAST(COALESCE(per.k, 0) AS BIGINT) AS k
+        |  FROM ns CROSS JOIN qb CROSS JOIN nt
+        |  LEFT JOIN per ON per.source = ns.source
+        |    AND per.bucket = qb.bucket),
+        |cum AS (SELECT source, n, nn,
+        |    SUM(k) OVER w AS cumk, SUM(kb) OVER w AS cumkb
+        |  FROM grid WINDOW w AS (PARTITION BY source ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |agg AS (SELECT source, MAX(n) AS n, MAX(nn) AS nn,
+        |    SUM(ABS(cumk * nn - cumkb * n)) AS num
+        |  FROM cum GROUP BY source)
+        |SELECT source, n,
+        |  CAST(num * 1000000 // (n * nn) AS BIGINT) AS w1_e6
+        |FROM agg""".stripMargin,
+
+    "q_conformal_coverage" ->
+      """WITH sc AS MATERIALIZED (SELECT doc_id,
+        |    ABS(n_chars - 6 * len(string_split(text, ' '))) AS score
+        |  FROM documents),
+        |cal AS (SELECT score FROM sc WHERE doc_id % 2 = 0),
+        |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+        |    CAST((9 * COUNT(*) + 18) // 10 AS BIGINT) AS k_rank
+        |  FROM cal),
+        |g AS (SELECT score, COUNT(*) AS c FROM cal GROUP BY score),
+        |cum AS (SELECT score, SUM(c) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM g),
+        |thr AS (SELECT CAST(MIN(score) AS BIGINT) AS threshold
+        |  FROM cum, nc WHERE cum >= nc.k_rank),
+        |ev AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |    CAST(SUM(CASE WHEN score <= thr.threshold THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_cov,
+        |    CAST(MAX(thr.threshold) AS BIGINT) AS threshold
+        |  FROM sc, thr WHERE doc_id % 2 = 1)
+        |SELECT nc.n_cal, nc.k_rank, ev.threshold, ev.n_eval, ev.n_cov,
+        |  CAST(n_cov * 1000000 // n_eval AS BIGINT) AS cov_ppm
+        |FROM ev, nc""".stripMargin,
 
     "e_kaplan_meier" ->
       """WITH u AS (SELECT

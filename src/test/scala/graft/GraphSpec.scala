@@ -244,4 +244,32 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(again === got)
   }
+  test("g_modularity: naive Q replay from the oracle-gated labels") {
+    val sfd = "/root/testdata/sf0.001"
+    val labels = SparkEntry.queries("g_label_prop")(spark, sfd)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -r.getLong(0) else r.getLong(1))).toMap
+    val edges = Tables.t(spark, sfd, "orders")
+      .join(Tables.t(spark, sfd, "lineitem"),
+        org.apache.spark.sql.functions.expr("o_orderkey = l_orderkey"))
+      .selectExpr("o_custkey * 2 AS s", "l_suppkey * 2 + 1 AS d")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val m = edges.length.toLong
+    val comm = labels
+    val ec = edges.filter(e => comm(e._1) == comm(e._2))
+      .groupBy(e => comm(e._1)).map { case (c, v) => c -> v.length.toLong }
+    val dc = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(comm).map { case (c, v) => c -> v.length.toLong }
+    val num = dc.map { case (c, d) =>
+      4L * m * ec.getOrElse(c, 0L) - d * d }.sum
+    val r = SparkEntry.queries("g_modularity")(spark, sfd)
+      .collect().head
+    assert(r.getLong(0) == dc.size.toLong, "n_communities")
+    assert(r.getLong(1) == m, "m")
+    assert(r.getInt(2) == num.sign.toInt, "q_sign")
+    assert(r.getLong(3) == num.abs * 1000000L / (4L * m * m), "q_abs_e6")
+    // modularity is bounded: Q in [-1/2, 1)
+    val q = r.getInt(2) * r.getLong(3)
+    assert(q >= -500000L && q < 1000000L)
+  }
 }

@@ -514,4 +514,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recallRef > recallSeed,
       s"refined recall $recallRef must beat the blocking-1 seed $recallSeed")
   }
+  test("s_embed_mmd: exact replay of the decimal-moment pipeline") {
+    val sfd = "/root/testdata/sf0.001"
+    val embs = Tables.t(spark, sfd, "embeddings")
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def r12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val out = SparkEntry.queries("s_embed_mmd")(spark, sfd)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val dims = embs.head._2.length
+    val cn = embs.length.toLong
+    val cMoms = (0 until dims).map { p =>
+      (embs.map(e => r6(e._2(p))).sum, embs.map(e => r12(e._2(p) * e._2(p))).sum)
+    }
+    embs.groupBy(_._1).foreach { case (lab, vs) =>
+      val n = vs.length.toLong
+      var mmd2 = 0.0; var fd = 0.0
+      (0 until dims).foreach { p =>
+        val sx = vs.map(e => r6(e._2(p))).sum
+        val sxx = vs.map(e => r12(e._2(p) * e._2(p))).sum
+        val mg = sx.toDouble / n; val m = cMoms(p)._1.toDouble / cn
+        val vg = math.max(sxx.toDouble / n - mg * mg, 0.0)
+        val v = math.max(cMoms(p)._2.toDouble / cn - m * m, 0.0)
+        val md2 = (mg - m) * (mg - m)
+        val vt = vg + v - 2.0 * math.sqrt(vg * v)
+        mmd2 += md2; fd += (md2 + vt)
+      }
+      val row = out(lab)
+      assert(row.getLong(1) == n)
+      assert(math.abs(row.getDouble(2) - mmd2) < 1e-9, s"mmd2 $lab")
+      assert(math.abs(row.getDouble(3) - fd) < 1e-9, s"fd $lab")
+      assert(row.getDouble(3) >= row.getDouble(2) - 1e-12, "fd >= mmd2")
+    }
+  }
 }

@@ -426,4 +426,46 @@ class StatsSpec extends SparkSpec {
     // tau-b must sit inside [-1, 1]
     assert(math.abs(r.getLong(6)) <= 1000000L)
   }
+  test("q_wasserstein_1d: naive cumulative-mass replay per source") {
+    val rows = Tables.t(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        math.min(r.getString(1).split(" ", -1).length / 20, 9).toLong))
+    val nn = rows.length.toLong
+    val qb = rows.groupBy(_._2).map { case (b, v) => b -> v.length.toLong }
+    val out = SparkEntry.queries("q_wasserstein_1d")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    rows.groupBy(_._1).foreach { case (src, ds) =>
+      val n = ds.length.toLong
+      val pk = ds.groupBy(_._2).map { case (b, v) => b -> v.length.toLong }
+      var cumk = 0L; var cumkb = 0L; var num = 0L
+      (0L to 9L).foreach { b =>
+        cumk += pk.getOrElse(b, 0L); cumkb += qb.getOrElse(b, 0L)
+        num += math.abs(cumk * nn - cumkb * n)
+      }
+      assert(out(src) == ((n, num * 1000000L / (n * nn))), s"w1 for $src")
+    }
+  }
+
+  test("q_conformal_coverage: order-statistic threshold replay") {
+    val rows = Tables.t(spark, dir, "documents")
+      .select("doc_id", "n_chars", "text").collect()
+      .map(r => (r.getLong(0),
+        math.abs(r.getLong(1) - 6L * r.getString(2).split(" ", -1).length)))
+    val cal = rows.filter(_._1 % 2 == 0).map(_._2).sorted
+    val ev = rows.filter(_._1 % 2 == 1).map(_._2)
+    val k = (9 * (cal.length + 1) + 9) / 10 // ceil(0.9 (n+1))
+    val thr = cal(k - 1)
+    val r = SparkEntry.queries("q_conformal_coverage")(spark, dir)
+      .collect().head
+    assert(r.getLong(0) == cal.length.toLong)
+    assert(r.getLong(1) == k.toLong, "k_rank")
+    assert(r.getLong(2) == thr, "threshold")
+    assert(r.getLong(3) == ev.length.toLong)
+    assert(r.getLong(4) == ev.count(_ <= thr).toLong)
+    assert(r.getLong(5) == ev.count(_ <= thr).toLong * 1000000L / ev.length)
+    // the split-conformal guarantee: finite-sample coverage near 90%
+    assert(r.getLong(5) > 800000L)
+  }
 }
