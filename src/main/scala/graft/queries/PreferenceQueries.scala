@@ -86,38 +86,38 @@ object PreferenceQueries {
     //      where wins exceed ~1e6 matches the e12 products move to
     //      DECIMAL(38,0) — noted, not needed at BIGINT counts. ----
     "p_bradley_terry" -> ((s, dir) => {
-      val wl = winsMatrix(s, dir).localCheckpoint(false)
-      val games = wl.select(col("w").as("i"), col("l").as("j"), col("c"))
-        .union(wl.select(col("l").as("i"), col("w").as("j"), col("c")))
-        .groupBy("i", "j").agg(sum("c").as("g"))
-        .localCheckpoint(false)
-      val verts = games.select("i").distinct()
-      val wins = verts
-        .join(wl.groupBy(col("w").as("i")).agg(sum("c").as("wsum")),
-          Seq("i"), "left")
-        .select(col("i"), coalesce(col("wsum"), lit(0L)).as("wn"))
-        .localCheckpoint(false)
-      var p = verts.select(col("i"), lit(1000000L).as("p"))
+      // ONE corpus-scale job (the stride pairing join inside
+      // winsMatrix); the wins matrix is model-sized (≤ sources²
+      // rows), so the 5 MM rounds fold on the driver — the BPE
+      // merge-selection / k-means centroid precedent — instead of
+      // paying 5 shuffle rounds for 20-row iteration state.
+      val wlRows = winsMatrix(s, dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val games = (wlRows.map { case (w, l, c) => ((w, l), c) } ++
+        wlRows.map { case (w, l, c) => ((l, w), c) })
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      val verts = games.keys.map(_._1).toVector.distinct.sorted
+      val wn = verts.map(v =>
+        v -> wlRows.collect { case (w, _, c) if w == v => c }.sum).toMap
+      var p = verts.map(v => v -> 1000000L).toMap
       for (_ <- 1 to btIters) {
-        val den = games
-          .join(p.select(col("i"), col("p").as("pi")), "i")
-          .join(p.select(col("i").as("j"), col("p").as("pj")), "j")
-          .groupBy("i")
-          .agg(sum(expr("g * 1000000000000L div greatest(pi + pj, 1L)"))
-            .as("den"))
-        val up = den.join(wins, "i")
-          .select(col("i"),
-            expr("wn * 1000000000000L div greatest(den, 1L)").as("p"))
-        val tot = up.agg(sum("p").as("tot"), count(lit(1)).as("k"))
-        p = up.crossJoin(broadcast(tot))
-          .select(col("i"),
-            expr("p * k * 1000000L div greatest(tot, 1L)").as("p"))
-          .localCheckpoint(false) // cut per-round lineage (k rows)
+        val den = verts.map { i =>
+          i -> games.collect { case ((gi, gj), g) if gi == i =>
+            g * 1000000000000L / math.max(p(gi) + p(gj), 1L)
+          }.sum
+        }.toMap
+        val up = verts.map(i =>
+          i -> wn(i) * 1000000000000L / math.max(den(i), 1L)).toMap
+        val tot = up.values.sum
+        val k = verts.length
+        p = verts.map(i =>
+          i -> up(i) * k * 1000000L / math.max(tot, 1L)).toMap
       }
-      p.join(wins, "i")
-        .join(games.groupBy("i").agg(sum("g").as("games")), "i")
-        .select(col("i").as("source"), col("games"), col("wn").as("wins"),
-          col("p").as("bt_e6"))
+      val gTot = verts.map(v =>
+        v -> games.collect { case ((gi, _), g) if gi == v => g }.sum).toMap
+      import s.implicits._
+      verts.map(v => (v, gTot(v), wn(v), p(v)))
+        .toDF("source", "games", "wins", "bt_e6")
     }),
 
     // ---- Cohen's kappa between two deterministic "annotators" (A:
