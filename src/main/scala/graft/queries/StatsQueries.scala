@@ -358,6 +358,35 @@ object StatsQueries {
             .cast("long").as("tau_e6"))
     }),
 
+    // ---- unbiased pass@k (Chen et al. 2021's combinatorial
+    //      estimator): tasks = users, trials = their events, success
+    //      = value ≥ 10; pass@k per task = 1 − C(n−c,k)/C(n,k),
+    //      evaluated as the left-assoc product Π (n−c−i)/(n−i) (hits
+    //      an exact 0 factor when failures < k — no branch needed).
+    //      The eval readout every sampling-based benchmark reports,
+    //      over tasks with n ≥ k only. Per-task work is one
+    //      map-combinable agg + a k≤10-element HOF fold; per-task
+    //      pass rounds to e9 BEFORE the mean so the cross-task
+    //      average is an exact integer (order-invariant). ----
+    "q_pass_at_k" -> ((s, dir) => {
+      val tasks = t(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n"),
+          sum(when(col("value") >= 10.0, 1L).otherwise(0L)).as("c"))
+      tasks
+        .withColumn("k", explode(array(lit(1L), lit(5L), lit(10L))))
+        .filter(col("n") >= col("k"))
+        .withColumn("fail_prob",
+          aggregate(sequence(lit(0L), col("k") - 1), lit(1.0),
+            (acc, i) => acc * ((col("n") - col("c") - i).cast("double") /
+              (col("n") - i).cast("double"))))
+        .withColumn("pass_e9",
+          expr("cast(round((1.0 - fail_prob) * 1000000000, 0) as bigint)"))
+        .groupBy("k").agg(count(lit(1)).as("n_tasks"),
+          sum("pass_e9").as("sp"))
+        .select(col("k"), col("n_tasks"),
+          expr("sp div (n_tasks * 1000)").as("mean_pass_e6"))
+    }),
+
     // ---- 1-D Wasserstein (earth-mover) distance per source vs the
     //      corpus over doc-length buckets: W1 = Σ_b |P(≤b) − Q(≤b)|
     //      in bucket units — the drift number that, unlike
@@ -1182,6 +1211,27 @@ object StatsQueries {
         |    (SQRT(CAST(n0 - tx AS DOUBLE)) *
         |     SQRT(CAST(n0 - ty AS DOUBLE))), 0) AS BIGINT) AS tau_e6
         |FROM m""".stripMargin,
+
+    "q_pass_at_k" ->
+      """WITH tasks AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN value >= 10.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM events GROUP BY user_id),
+        |pt AS (SELECT k, n, c,
+        |    list_reduce(list_prepend(1.0, list_transform(range(0, k),
+        |      i -> CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE))),
+        |      (a, b) -> a * b) AS fail_prob
+        |  FROM tasks CROSS JOIN
+        |    (SELECT CAST(UNNEST([1, 5, 10]) AS BIGINT) AS k)
+        |  WHERE n >= k),
+        |pe AS (SELECT k,
+        |    CAST(ROUND((1.0 - fail_prob) * 1000000000, 0) AS BIGINT)
+        |      AS pass_e9
+        |  FROM pt)
+        |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_tasks,
+        |  CAST(SUM(pass_e9) // (COUNT(*) * 1000) AS BIGINT)
+        |    AS mean_pass_e6
+        |FROM pe GROUP BY k""".stripMargin,
 
     "q_wasserstein_1d" ->
       """WITH d AS MATERIALIZED (SELECT source,

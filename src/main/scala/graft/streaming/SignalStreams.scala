@@ -93,6 +93,56 @@ object SignalStreams {
         col("psi"))
   }
 
+  /** Reference model for the Wasserstein drift monitor — the "fit
+    * offline" half of `q_wasserstein_1d`: the corpus length-bucket
+    * profile (dense 0..9 spine) and its total. */
+  final case class W1Ref(bucket: Long, nRef: Long, cRef: Long)
+
+  /** Streaming half of the 1-D Wasserstein monitor: bucket incoming
+    * docs by token-count (the batch query's width-20/cap-9 frame) and
+    * keep per-(source, bucket) counts as streaming state
+    * (complete-mode ledger, the psiLedger shape). State is
+    * ≤ sources × 10 rows; the corpus never accumulates. */
+  def w1Ledger(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.select(col("source"),
+        least(expr("tc div 20"), lit(9L)).as("bucket"))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("c_cur"))
+  }
+
+  /** Snapshot rollup: per-source W1 vs the FIXED reference profile —
+    * the identical exact-integer algebra as the batch
+    * `q_wasserstein_1d` (dense spine, shared n·N_ref denominator, one
+    * closing floor division), so a monitor fed the batch's corpus as
+    * both stream and reference reproduces its rows bit-for-bit. */
+  def w1Rollup(ledger: DataFrame, ref: Seq[W1Ref]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val spark = ledger.sparkSession
+    import spark.implicits._
+    val grid = ref.map(r => (r.bucket, r.nRef, r.cRef))
+      .toDF("bucket", "n_ref", "c_ref")
+    val ns = ledger.groupBy("source").agg(sum("c_cur").as("n"))
+    // re-aliased projection: the ledger appears on both sides of the
+    // join (via ns), which a streaming-memory view can't self-resolve
+    val led = ledger.select(col("source").as("src2"),
+      col("bucket").as("b2"), col("c_cur").as("c_cur"))
+    val wCum = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ns.crossJoin(broadcast(grid))
+      .join(led, col("source") === col("src2") &&
+        col("bucket") === col("b2"), "left")
+      .drop("src2", "b2")
+      .na.fill(0L, Seq("c_cur"))
+      .withColumn("cumk", sum("c_cur").over(wCum))
+      .withColumn("cumref", sum("c_ref").over(wCum))
+      .groupBy("source").agg(max("n").as("n"), max("n_ref").as("n_ref"),
+        sum(abs(col("cumk") * col("n_ref") - col("cumref") * col("n")))
+          .as("num"))
+      .select(col("source"), col("n"),
+        expr("num * 1000000L div (n * n_ref)").as("w1_e6"))
+  }
+
   /** Holt linear-trend monitor: fold completed hourly buckets through
     * `operators/Holt.step` with an (l, b, started) state record per
     * series key. The first two observations of a key initialize the

@@ -468,4 +468,32 @@ class StatsSpec extends SparkSpec {
     // the split-conformal guarantee: finite-sample coverage near 90%
     assert(r.getLong(5) > 800000L)
   }
+  test("q_pass_at_k: naive combinatorial-estimator replay") {
+    val tasks = Tables.t(spark, dir, "events")
+      .groupBy("user_id").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.expr(
+            "CASE WHEN value >= 10.0 THEN 1 ELSE 0 END")).as("c"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val out = SparkEntry.queries("q_pass_at_k")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    Seq(1L, 5L, 10L).foreach { k =>
+      val el = tasks.filter(_._1 >= k)
+      val passes = el.map { case (n, c) =>
+        var fail = 1.0
+        (0L until k).foreach(i =>
+          fail *= (n - c - i).toDouble / (n - i).toDouble)
+        math.round((1.0 - fail) * 1000000000)
+      }
+      val (nT, mean) = out(k)
+      assert(nT == el.length.toLong, s"n_tasks for k=$k")
+      assert(mean == passes.sum / (el.length * 1000L), s"mean for k=$k")
+      assert(mean >= 0L && mean <= 1000000L)
+    }
+    // pass@k is monotone nondecreasing in k on the common task set
+    assert(out(1L)._2 <= out(5L)._2 + 1 && out(5L)._2 <= out(10L)._2 + 1)
+  }
 }

@@ -1283,4 +1283,40 @@ class StreamingSpec extends SparkSpec {
     assert(droppedStream == droppedReplay.toSet,
       s"stream dropped ${droppedStream.size}, replay ${droppedReplay.size}")
   }
+  test("w1 stream: ledger + rollup is bit-identical to q_wasserstein_1d") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // fit offline: the corpus length-bucket profile is the reference
+    val docs = Tables.t(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("source"),
+        graft.functions.Text.tokenCount(
+          org.apache.spark.sql.functions.col("text")).cast("long").as("tc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val buckets = docs.map(d => math.min(d._2 / 20, 9L))
+    val prof = buckets.groupBy(identity)
+      .map { case (b, v) => b -> v.length.toLong }
+    val ref = (0L to 9L).map(b =>
+      graft.streaming.SignalStreams.W1Ref(b, docs.length.toLong,
+        prof.getOrElse(b, 0L)))
+    // monitor online: the same docs stream in over 3 micro-batches
+    val mem = MemoryStream[(String, Long)]
+    val ledger = graft.streaming.SignalStreams.w1Ledger(
+      mem.toDF().toDF("source", "tc"))
+    val q = ledger.writeStream.format("memory").queryName("w1ledger")
+      .outputMode("complete").start()
+    try {
+      docs.grouped(docs.length / 3 + 1).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = graft.streaming.SignalStreams.w1Rollup(
+      spark.table("w1ledger"), ref).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val want = SparkEntry.queries("q_wasserstein_1d")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq === want.toSeq,
+      "streamed W1 monitor must be bit-identical to the batch query")
+  }
 }
