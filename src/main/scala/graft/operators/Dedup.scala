@@ -75,19 +75,31 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double,
-                   dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
-    val sh = shingleSets(df, idCol, textCol, n, dfCap)
-    val ex = sh.select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
-    val common = ex.as("a").join(ex.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
-      .agg(count(lit(1)).as("common"))
-    common
+                   dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame =
+    jaccardCandidates(df, idCol, textCol, n, dfCap)
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
+
+  /** Candidate pairs from the inverted shingle index with their EXACT
+    * set-overlap counts (a_id, b_id, na, nb, common) — the raw
+    * material [[jaccardPairs]] thresholds on, exposed so callers can
+    * apply exact-integer threshold algebra (e.g. a threshold sweep:
+    * `common·100 ≥ t·(na+nb−common)` avoids double comparisons
+    * entirely). Same inverted-index + dfCap skew guard; never a
+    * cross join.
+    */
+  def jaccardCandidates(df: DataFrame, idCol: String, textCol: String,
+                        n: Int,
+                        dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol, n, dfCap)
+    val ex = sh.select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+    ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("common"))
   }
 
   /** Asymmetric containment pairs: C(A→B) = |sh(A)∩sh(B)| / |sh(A)| ≥

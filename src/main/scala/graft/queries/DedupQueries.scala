@@ -116,6 +116,65 @@ object DedupQueries {
         n = 5, threshold = 0.5, dfCap = None)
     }),
 
+    // ---- dedup threshold sweep: the curve a curation run reads
+    //      BEFORE fixing its Jaccard cutoff — at each threshold, how
+    //      many candidate pairs survive and how many docs they touch.
+    //      ONE inverted-index candidate pass (the d_jaccard_pairs
+    //      machinery, checkpointed), then the 5 thresholds are a
+    //      map-side fanout over the pair frame with the EXACT integer
+    //      test common·100 ≥ t·(na+nb−common) — no double ever
+    //      compared, so the curve is bit-stable at any scale. ----
+    "d_dedup_threshold_curve" -> ((s, dir) => {
+      import s.implicits._
+      val ts = Seq(50L, 60L, 70L, 80L, 90L)
+      val cand = Dedup.jaccardCandidates(withNearCopies(s, dir),
+          "doc_id", "text", n = 5, dfCap = None)
+        .localCheckpoint(false) // fanned out per threshold twice
+      val hits = cand
+        .withColumn("t", explode(array(ts.map(lit): _*)))
+        .filter(col("common") * 100L >=
+          col("t") * (col("na") + col("nb") - col("common")))
+        .localCheckpoint(false) // pair counts + doc counts
+      val pairs = hits.groupBy("t").agg(count(lit(1)).as("n_pairs"))
+      val docs = hits
+        .select(col("t"), explode(array(col("a_id"), col("b_id")))
+          .as("id"))
+        .groupBy("t").agg(countDistinct("id").as("n_docs"))
+      ts.toDF("t")
+        .join(pairs, Seq("t"), "left").join(docs, Seq("t"), "left")
+        .na.fill(0L, Seq("n_pairs", "n_docs"))
+        .select(col("t").as("threshold_pct"), col("n_pairs"),
+          col("n_docs"))
+    }),
+
+    // ---- duplication inflation audit: per source, how much token
+    //      mass exact dedup would reclaim. Every doc with
+    //      doc_id % 3 = 0 is re-ingested (the deterministic
+    //      double-delivery both engines replay), then one
+    //      (source, md5(text)) groupBy folds copies and one
+    //      per-source agg closes counts + exact ppm inflation —
+    //      map-side combinable end to end, no joins. ----
+    "d_dup_inflation" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("text"))
+      val d = base.union(base.filter(col("doc_id") % 3 === 0)
+        .select(col("source"), (col("doc_id") + 1000000L).as("doc_id"),
+          col("text")))
+      d.select(col("source"), md5(col("text")).as("h"),
+          graft.functions.Text.tokenCount(col("text")).cast("long")
+            .as("tc"))
+        .groupBy("source", "h")
+        .agg(count(lit(1)).as("k"), max("tc").as("tc"))
+        .groupBy("source").agg(
+          sum("k").as("n_docs"), count(lit(1)).as("n_distinct"),
+          sum(col("k") * col("tc")).as("total_tokens"),
+          sum("tc").as("distinct_tokens"))
+        .select(col("source"), col("n_docs"), col("n_distinct"),
+          col("total_tokens"), col("distinct_tokens"),
+          expr("total_tokens * 1000000L div distinct_tokens")
+            .as("inflation_ppm"))
+    }),
+
     // ---- same pairs, PREFIX-FILTERED candidates (AllPairs/PPJoin):
     //      global (df asc, shingle asc) order, prefix equi-join +
     //      length filter, candidate-side array-intersect verify. The
@@ -605,6 +664,48 @@ object DedupQueries {
          |  CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
          |FROM common
          |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5""".stripMargin,
+
+    "d_dedup_threshold_curve" ->
+      s"""WITH base AS (SELECT doc_id AS id, text FROM ($nearCorpus)),
+         |$shingleCte,
+         |ex AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+         |common AS (SELECT a.id AS a_id, b.id AS b_id, a.n_sh AS na,
+         |    b.n_sh AS nb, count(*) AS common
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+         |  GROUP BY 1, 2, 3, 4),
+         |th AS (SELECT CAST(UNNEST([50, 60, 70, 80, 90]) AS BIGINT)
+         |  AS t),
+         |hits AS (SELECT t, a_id, b_id FROM common, th
+         |  WHERE common * 100 >= t * (na + nb - common)),
+         |pairs AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |  FROM hits GROUP BY t),
+         |docs AS (SELECT t, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs
+         |  FROM (SELECT t, a_id AS id FROM hits
+         |        UNION ALL SELECT t, b_id FROM hits) GROUP BY t)
+         |SELECT th.t AS threshold_pct,
+         |  COALESCE(pairs.n_pairs, 0) AS n_pairs,
+         |  COALESCE(docs.n_docs, 0) AS n_docs
+         |FROM th LEFT JOIN pairs ON pairs.t = th.t
+         |        LEFT JOIN docs ON docs.t = th.t""".stripMargin,
+
+    "d_dup_inflation" ->
+      """WITH d AS (SELECT source, doc_id, text FROM documents
+        |  UNION ALL SELECT source, doc_id + 1000000, text
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |g AS (SELECT source, md5(text) AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS tc
+        |  FROM d GROUP BY source, md5(text)),
+        |agg AS (SELECT source, CAST(SUM(k) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(k * tc) AS BIGINT) AS total_tokens,
+        |    CAST(SUM(tc) AS BIGINT) AS distinct_tokens
+        |  FROM g GROUP BY source)
+        |SELECT source, n_docs, n_distinct, total_tokens,
+        |  distinct_tokens,
+        |  CAST(total_tokens * 1000000 // distinct_tokens AS BIGINT)
+        |    AS inflation_ppm
+        |FROM agg""".stripMargin,
 
     // the prefix-filtered path must equal the exact inverted-index
     // Jaccard verbatim — same oracle text as d_jaccard_pairs

@@ -239,6 +239,40 @@ object SignalQueries {
     //      sums, one closing division per lag. Shapes: one hourly agg,
     //      a 24-way explode of the BOUNDED series, one equi-join on
     //      the shifted hour key — never a window over raw events. ----
+    // ---- burstiness (Fano factor / index of dispersion) per event
+    //      type over the DENSE hourly spine: var/mean of hourly
+    //      counts, > 1 = bursty arrivals, ≈ 1 = Poisson-like — the
+    //      capacity-planning readout e_acf's correlations don't give.
+    //      Exact rational over the common denominator:
+    //      F = (H·Σx² − (Σx)²)/(H·Σx), all BIGINT (zero hours
+    //      INCLUDED — an observed-hours-only series understates
+    //      dispersion). The spine is global-min..max hour epochs (one
+    //      broadcast 2-value agg + a bounded sequence explode);
+    //      per-type work is one map-combinable agg. ----
+    "e_burstiness" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+            .as("he"))
+        .localCheckpoint(false) // spine bounds + bucket counts
+      val cnt = ev.groupBy("event_type", "he")
+        .agg(count(lit(1)).as("x"))
+      val span = ev.agg(min("he").as("h0"), max("he").as("h1"))
+      val spine = ev.select("event_type").distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"))).as("he"))
+      spine.join(cnt, Seq("event_type", "he"), "left")
+        .withColumn("x", coalesce(col("x"), lit(0L)))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n_hours"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"), col("n_hours"), col("sx").as("n_events"),
+          expr("sx * 1000000L div n_hours").as("mean_e6"),
+          expr("(n_hours * sxx - sx * sx) * 1000000L div (n_hours * sx)")
+            .as("fano_e6"))
+    }),
+
     "e_acf" -> ((s, dir) => {
       val hourly = t(s, dir, "events")
         .groupBy(expr("unix_micros(date_trunc('hour', ts))" +
@@ -447,6 +481,33 @@ object SignalQueries {
          |  COUNT(*) AS n_events, COUNT(late_by) AS n_late,
          |  MAX(late_by) AS max_late_sec
          |FROM j GROUP BY 1""".stripMargin,
+
+    "e_burstiness" ->
+      """WITH ev AS MATERIALIZED (SELECT event_type,
+        |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS he
+        |  FROM events),
+        |cnt AS (SELECT event_type, he, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM ev GROUP BY 1, 2),
+        |span AS (SELECT MIN(he) AS h0, MAX(he) AS h1 FROM ev),
+        |spine AS (SELECT et.event_type, CAST(s.g AS BIGINT) AS he
+        |  FROM (SELECT DISTINCT event_type FROM ev) et
+        |  CROSS JOIN span
+        |  CROSS JOIN LATERAL (SELECT UNNEST(generate_series(
+        |    span.h0, span.h1)) AS g) s),
+        |filled AS (SELECT spine.event_type,
+        |    COALESCE(cnt.x, 0) AS x
+        |  FROM spine LEFT JOIN cnt ON cnt.event_type = spine.event_type
+        |    AND cnt.he = spine.he),
+        |agg AS (SELECT event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM filled GROUP BY event_type)
+        |SELECT event_type, n_hours, sx AS n_events,
+        |  CAST(sx * 1000000 // n_hours AS BIGINT) AS mean_e6,
+        |  CAST((n_hours * sxx - sx * sx) * 1000000 // (n_hours * sx)
+        |    AS BIGINT) AS fano_e6
+        |FROM agg""".stripMargin,
 
     "e_acf" ->
       """WITH hourly AS (

@@ -17,6 +17,31 @@ import graft.functions.Text
   */
 object TextQueries {
 
+  /** Fixed 6-merge BPE table shared by `t_bpe_compression` and
+    * `t_subword_fertility` (and their oracles). */
+  private val BpeMerges = Seq(("t", "h"), ("th", "e"), ("i", "n"),
+    ("a", "n"), ("e", "r"), ("an", "d"))
+
+  /** DuckDB replay of `Bpe.encodeExpr` under [[BpeMerges]]: CTEs
+    * `vocab`/`s0..sN`/`enc` over a `wk(word, ...)` relation — each
+    * merge is one left-assoc list fold, exactly the engine's
+    * expression semantics. */
+  private def bpeEncSql: String = {
+    val folds = BpeMerges.zipWithIndex.map { case ((a, b), i) =>
+      s"""s${i + 1} AS (SELECT word, list_reduce(
+         |    list_transform(syms, s -> [s]),
+         |    (acc, x) -> CASE WHEN acc[len(acc)] = '$a' AND x[1] = '$b'
+         |      THEN list_slice(acc, 1, len(acc) - 1) || ['$a$b']
+         |      ELSE acc || x END) AS syms FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""vocab AS (SELECT DISTINCT word FROM wk),
+       |s0 AS (SELECT word, list_transform(range(1, length(word) + 1),
+       |    i -> substr(word, CAST(i AS INT), 1)) AS syms FROM vocab),
+       |$folds,
+       |enc AS (SELECT word, CAST(length(word) AS BIGINT) AS wlen,
+       |    CAST(len(syms) AS BIGINT) AS blen FROM s${BpeMerges.length})""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -30,6 +55,34 @@ object TextQueries {
       val d = t(s, dir, "documents")
       d.select(col("doc_id"),
         Text.langId(Text.tokens(col("text"))).as("lang_pred"))
+    }),
+
+    // ---- tokenizer fertility per declared language: BPE tokens per
+    //      word and chars per token under the fixed 6-merge table
+    //      (the t_bpe_compression tokenizer) — the budgeting numbers
+    //      that decide which languages a tokenizer under-serves
+    //      (high fertility = more sequence length per word).
+    //      Aggregated as exact corpus ratios over vocab-sized frames:
+    //      encode each DISTINCT word once, weight by frequency (Σ
+    //      over words, ONE floor division each — not a mean of
+    //      per-doc ratios). ----
+    "t_subword_fertility" -> ((s, dir) => {
+      val wk = t(s, dir, "documents")
+        .select(col("lang"), explode(Text.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("lang", "word").agg(count(lit(1)).as("k"))
+      val enc = wk.select("word").distinct()
+        .select(col("word"), length(col("word")).cast("long").as("wlen"),
+          size(graft.operators.Bpe.encodeExpr(col("word"), BpeMerges))
+            .cast("long").as("blen"))
+      wk.join(enc, "word")
+        .groupBy("lang").agg(sum("k").as("n_words"),
+          sum(col("k") * col("wlen")).as("n_chars"),
+          sum(col("k") * col("blen")).as("n_bpe"))
+        .select(col("lang"), col("n_words"), col("n_chars"),
+          col("n_bpe"),
+          expr("n_bpe * 1000000L div n_words").as("fertility_e6"),
+          expr("n_chars * 1000000L div n_bpe").as("chars_per_token_e6"))
     }),
 
     "t_quality" -> ((s, dir) => {
@@ -524,8 +577,7 @@ object TextQueries {
     //      the corpus), multiplicities join back on the word key.
     //      Counts exact integers; the ratio is one IEEE division ----
     "t_bpe_compression" -> ((s, dir) => {
-      val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"),
-        ("a", "n"), ("e", "r"), ("an", "d"))
+      val merges = BpeMerges
       val wk = t(s, dir, "documents")
         .select(col("source"), explode(Text.tokens(col("text"))).as("word"))
         .filter(col("word") =!= "")
@@ -1290,6 +1342,26 @@ object TextQueries {
          | length(text) AS len_chars
          |FROM documents""".stripMargin,
 
+    "t_subword_fertility" ->
+      s"""WITH d AS (SELECT lang, CAST(len($tok) AS BIGINT) AS tc,
+         |    CAST(len(list_filter(string_split_regex(text, '[^a-z0-9]+'),
+         |        x -> len(x) > 0))
+         |      + (length(text) - length(regexp_replace(text,
+         |        '[^a-z0-9 ]', '', 'g'))) AS BIGINT) AS sw,
+         |    CAST(length(text) AS BIGINT) AS ch
+         |  FROM documents),
+         |agg AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(tc) AS BIGINT) AS n_words,
+         |    CAST(SUM(sw) AS BIGINT) AS n_subwords,
+         |    CAST(SUM(ch) AS BIGINT) AS n_chars
+         |  FROM d GROUP BY lang)
+         |SELECT lang, n_docs, n_words, n_subwords,
+         |  CAST(n_subwords * 1000000 // n_words AS BIGINT)
+         |    AS fertility_e6,
+         |  CAST(n_chars * 1000000 // n_subwords AS BIGINT)
+         |    AS chars_per_subword_e6
+         |FROM agg""".stripMargin,
+
     "t_lang_id" -> {
       val whens = scores.map { case (l, e) =>
         s"WHEN $e = best AND best > 0 THEN '$l'"
@@ -1571,34 +1643,35 @@ object TextQueries {
          |FROM pc GROUP BY keyword""".stripMargin
     },
 
-    "t_bpe_compression" -> {
-      val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"),
-        ("a", "n"), ("e", "r"), ("an", "d"))
-      val folds = merges.zipWithIndex.map { case ((a, b), i) =>
-        s"""s${i + 1} AS (SELECT word, list_reduce(
-           |    list_transform(syms, s -> [s]),
-           |    (acc, x) -> CASE WHEN acc[len(acc)] = '$a' AND x[1] = '$b'
-           |      THEN list_slice(acc, 1, len(acc) - 1) || ['$a$b']
-           |      ELSE acc || x END) AS syms FROM s$i)""".stripMargin
-      }.mkString(",\n")
+    "t_bpe_compression" ->
       s"""WITH wk AS (SELECT source, word, COUNT(*) AS k
          |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
          |        FROM documents)
          |  WHERE word <> '' GROUP BY source, word),
-         |vocab AS (SELECT DISTINCT word FROM wk),
-         |s0 AS (SELECT word, list_transform(range(1, length(word) + 1),
-         |    i -> substr(word, CAST(i AS INT), 1)) AS syms FROM vocab),
-         |$folds,
-         |enc AS (SELECT word, CAST(length(word) AS BIGINT) AS wlen,
-         |    CAST(len(syms) AS BIGINT) AS blen FROM s${merges.length})
+         |$bpeEncSql
          |SELECT source, CAST(SUM(k) AS BIGINT) AS n_words,
          |  CAST(SUM(k * wlen) AS BIGINT) AS n_chars,
          |  CAST(SUM(k * blen) AS BIGINT) AS n_bpe,
          |  CAST(CAST(SUM(k * wlen) AS BIGINT) AS DOUBLE)
          |    / CAST(CAST(SUM(k * blen) AS BIGINT) AS DOUBLE)
          |    AS chars_per_token
-         |FROM wk JOIN enc USING (word) GROUP BY source""".stripMargin
-    },
+         |FROM wk JOIN enc USING (word) GROUP BY source""".stripMargin,
+
+    "t_subword_fertility" ->
+      s"""WITH wk AS (SELECT lang, word, COUNT(*) AS k
+         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+         |        FROM documents)
+         |  WHERE word <> '' GROUP BY lang, word),
+         |$bpeEncSql,
+         |agg AS (SELECT lang, CAST(SUM(k) AS BIGINT) AS n_words,
+         |    CAST(SUM(k * wlen) AS BIGINT) AS n_chars,
+         |    CAST(SUM(k * blen) AS BIGINT) AS n_bpe
+         |  FROM wk JOIN enc USING (word) GROUP BY lang)
+         |SELECT lang, n_words, n_chars, n_bpe,
+         |  CAST(n_bpe * 1000000 // n_words AS BIGINT) AS fertility_e6,
+         |  CAST(n_chars * 1000000 // n_bpe AS BIGINT)
+         |    AS chars_per_token_e6
+         |FROM agg""".stripMargin,
 
     "t_quality_rules" ->
       s"""SELECT doc_id,

@@ -409,4 +409,45 @@ class DedupSpec extends SparkSpec {
     assert(ha.drop(1).forall(hb.contains),
       "all of A's chunks after the first must survive the insertion")
   }
+  test("d_dedup_threshold_curve: monotone in t, anchored at the 0.5 pairs") {
+    val sfd = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("d_dedup_threshold_curve")(spark, sfd)
+      .orderBy("threshold_pct").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq(50L, 60L, 70L, 80L, 90L))
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2, "pair count must not increase with t")
+      assert(a._3 >= b._3, "doc count must not increase with t")
+    }
+    val anchor = SparkEntry.queries("d_jaccard_pairs")(spark, sfd).count()
+    assert(out.head._2 == anchor,
+      "t=50 must count exactly the d_jaccard_pairs threshold-0.5 pairs")
+    out.foreach { case (_, p, d) =>
+      assert(d <= 2 * p, "a pair touches at most 2 docs")
+      assert(p == 0 || d >= 2, "any pair touches at least 2 docs")
+    }
+  }
+
+  test("d_dup_inflation: naive replay of the double-delivery fold") {
+    val sfd = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, sfd, "documents")
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val d = docs ++ docs.filter(_._2 % 3 == 0)
+    val out = SparkEntry.queries("d_dup_inflation")(spark, sfd)
+      .collect().map(r => r.getString(0) -> r).toMap
+    d.groupBy(_._1).foreach { case (src, rows) =>
+      val byText = rows.groupBy(_._3)
+      val nDocs = rows.length.toLong
+      val nDist = byText.size.toLong
+      val toks = byText.toSeq.map { case (tx, v) =>
+        (tx.split(" ", -1).length.toLong, v.length.toLong) }
+      val total = toks.map { case (t, k) => t * k }.sum
+      val dist = toks.map(_._1).sum
+      val r = out(src)
+      assert(r.getLong(1) == nDocs && r.getLong(2) == nDist)
+      assert(r.getLong(3) == total && r.getLong(4) == dist)
+      assert(r.getLong(5) == total * 1000000L / dist, s"ppm for $src")
+    }
+  }
 }

@@ -173,4 +173,27 @@ class SignalSpec extends SparkSpec {
       assert(intercept == resid((resid.length + 1) / 2 - 1))
     }
   }
+  test("e_burstiness: naive dense-spine Fano replay") {
+    val evs = Tables.t(spark, dir, "events")
+      .selectExpr("event_type",
+        "unix_micros(date_trunc('hour', ts)) div 3600000000 AS he")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val h0 = evs.map(_._2).min; val h1 = evs.map(_._2).max
+    val out = SparkEntry.queries("e_burstiness")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == evs.map(_._1).toSet)
+    evs.groupBy(_._1).foreach { case (et, rows) =>
+      val byH = rows.groupBy(_._2).map { case (h, v) => h -> v.length.toLong }
+      val xs = (h0 to h1).map(h => byH.getOrElse(h, 0L))
+      val hN = xs.length.toLong
+      val sx = xs.sum; val sxx = xs.map(x => x * x).sum
+      val r = out(et)
+      assert(r.getLong(1) == hN && r.getLong(2) == sx)
+      assert(r.getLong(3) == sx * 1000000L / hN, s"mean for $et")
+      assert(r.getLong(4) == (hN * sxx - sx * sx) * 1000000L / (hN * sx),
+        s"fano for $et")
+      // dispersion of a counting series is nonnegative
+      assert(r.getLong(4) >= 0L)
+    }
+  }
 }

@@ -318,4 +318,21 @@ class TextSpec extends SparkSpec {
         (bin == 9L || r.getLong(3) < (bin + 1) * 100000L), "conf in bin")
     }
   }
+  test("t_subword_fertility: mass conservation vs t_bpe_compression") {
+    val fert = SparkEntry.queries("t_subword_fertility")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val comp = SparkEntry.queries("t_bpe_compression")(spark, sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // same corpus, different grouping key: totals must agree exactly
+    assert(fert.map(_._2).sum == comp.map(_._1).sum, "word mass")
+    assert(fert.map(_._3).sum == comp.map(_._2).sum, "char mass")
+    assert(fert.map(_._4).sum == comp.map(_._3).sum, "bpe mass")
+    fert.foreach { case (lang, w, c, b, f) =>
+      assert(b >= w, s"merges only shrink: tokens >= words for $lang")
+      assert(b <= c, s"tokens bounded by chars for $lang")
+      assert(f == b * 1000000L / w)
+      assert(f >= 1000000L, "fertility is at least one token per word")
+    }
+  }
 }
