@@ -239,6 +239,35 @@ object SignalQueries {
     //      sums, one closing division per lag. Shapes: one hourly agg,
     //      a 24-way explode of the BOUNDED series, one equi-join on
     //      the shifted hour key — never a window over raw events. ----
+    // ---- SLO burn-rate alerting (the multiwindow rule from the
+    //      public SRE workbook, hourly granularity): error budget =
+    //      0.5% of events; burn = error_ratio / budget, computed at
+    //      1 h and trailing-6 h windows; a page requires BOTH the
+    //      fast window ≥ 14.4× and the slow window ≥ 6× — the
+    //      combination that ignores blips but catches sustained
+    //      burns. Corpus-scale work is ONE hourly agg; the windows
+    //      run over the wall-clock-bounded hourly series. Exact
+    //      integer ppm / x100 arithmetic throughout. ----
+    "e_slo_burn" -> ((s, dir) => {
+      val wTrail = Window.orderBy("he").rowsBetween(-5, 0)
+      t(s, dir, "events")
+        .select(expr("unix_micros(date_trunc('hour', ts))" +
+          " div 3600000000").as("he"),
+          when(col("event_type") === "error", 1L).otherwise(0L)
+            .as("isErr"))
+        .groupBy("he").agg(count(lit(1)).as("n_events"),
+          sum("isErr").as("n_errors"))
+        .withColumn("err6", sum("n_errors").over(wTrail))
+        .withColumn("tot6", sum("n_events").over(wTrail))
+        .select(col("he"), col("n_events"), col("n_errors"),
+          expr("n_errors * 1000000L div n_events").as("err_ppm"),
+          expr("(n_errors * 1000000L div n_events) div 50")
+            .as("burn1h_x100"),
+          expr("(err6 * 1000000L div tot6) div 50").as("burn6h_x100"))
+        .withColumn("page",
+          col("burn1h_x100") >= 1440L && col("burn6h_x100") >= 600L)
+    }),
+
     // ---- burstiness (Fano factor / index of dispersion) per event
     //      type over the DENSE hourly spine: var/mean of hourly
     //      counts, > 1 = bursty arrivals, ≈ 1 = Poisson-like — the
@@ -481,6 +510,28 @@ object SignalQueries {
          |  COUNT(*) AS n_events, COUNT(late_by) AS n_late,
          |  MAX(late_by) AS max_late_sec
          |FROM j GROUP BY 1""".stripMargin,
+
+    "e_slo_burn" ->
+      """WITH h AS (SELECT
+        |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS he,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_errors
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT he, n_events, n_errors,
+        |    CAST(SUM(n_errors) OVER tw AS BIGINT) AS err6,
+        |    CAST(SUM(n_events) OVER tw AS BIGINT) AS tot6
+        |  FROM h WINDOW tw AS (ORDER BY he
+        |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+        |SELECT CAST(he AS BIGINT) AS he, n_events, n_errors,
+        |  CAST(n_errors * 1000000 // n_events AS BIGINT) AS err_ppm,
+        |  CAST((n_errors * 1000000 // n_events) // 50 AS BIGINT)
+        |    AS burn1h_x100,
+        |  CAST((err6 * 1000000 // tot6) // 50 AS BIGINT)
+        |    AS burn6h_x100,
+        |  (n_errors * 1000000 // n_events) // 50 >= 1440
+        |    AND (err6 * 1000000 // tot6) // 50 >= 600 AS page
+        |FROM w""".stripMargin,
 
     "e_burstiness" ->
       """WITH ev AS MATERIALIZED (SELECT event_type,

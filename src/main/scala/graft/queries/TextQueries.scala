@@ -774,6 +774,50 @@ object TextQueries {
           col("ece_e6"))
     }),
 
+    // ---- isotonic calibration (PAV) of the hashed quality
+    //      classifier over its 10 confidence bins: the monotone
+    //      calibration map t_classifier_ece only MEASURES the need
+    //      for. Closed form instead of the sequential
+    //      pool-adjacent-violators loop: ŷ_b = max_{i≤b} min_{j≥b}
+    //      (pos[i..j] / n[i..j]) — an O(B²) grid over B = 10 bins
+    //      (model-sized, never corpus-sized), so the fit
+    //      distributes as two bounded window folds. Each interval
+    //      ratio goes to exact e12 floor before the min/max: distinct
+    //      rationals with denominators ≤ n differ by ≥ 1/n², so e12
+    //      preserves their order up to 10⁶ docs per audit shard
+    //      (DECIMAL past that — noted). Output: bin, n, raw rate,
+    //      calibrated rate (nondecreasing by construction). ----
+    "t_isotonic_calibration" -> ((s, dir) => {
+      val scored = graft.streaming.CurationStream.scored(
+          t(s, dir, "documents"), "doc_id", "text",
+          CurationQueries.ClfWeights)
+        .join(t(s, dir, "documents").select("doc_id", "n_chars"), "doc_id")
+        .select(col("logit"), (col("n_chars") >= 400).as("label"))
+      val per = scored
+        .withColumn("p_e6", least(greatest(
+          expr("cast(round((logit + 1.0) / 2.0 * 1000000, 0) as bigint)"),
+          lit(0L)), lit(1000000L)))
+        .withColumn("bin", least(expr("p_e6 div 100000"), lit(9L)))
+        .groupBy("bin").agg(count(lit(1)).as("n"),
+          sum(when(col("label"), 1L).otherwise(0L)).as("pos"))
+        .localCheckpoint(false) // both sides of the interval grid
+      val iv = per.as("a").join(per.as("b"),
+          col("a.bin") <= col("b.bin"))
+        .select(col("a.bin").as("i"), col("b.bin").as("j"))
+      val sums = iv.join(per.select(col("bin"), col("n"), col("pos")),
+          col("bin").between(col("i"), col("j")))
+        .groupBy("i", "j").agg(
+          expr("sum(pos) * 1000000000000L div sum(n)").as("r_e12"))
+      val minOverJ = sums.join(per.select(col("bin")),
+          col("bin").between(col("i"), col("j")))
+        .groupBy(col("bin"), col("i")).agg(min("r_e12").as("mn"))
+      minOverJ.groupBy("bin").agg(max("mn").as("iso_e12"))
+        .join(per, "bin")
+        .select(col("bin"), col("n"), col("pos"),
+          expr("pos * 1000000L div n").as("raw_e6"),
+          expr("iso_e12 div 1000000").as("iso_e6"))
+    }),
+
     // ---- simple Good-Turing frequency table per source: unseen-mass
     //      estimate p0 = n1/N and the discounted counts r* =
     //      (r+1)·n_{r+1}/n_r for r = 1..4 — the smoothing readout
@@ -1134,6 +1178,44 @@ object TextQueries {
          |SELECT CAST(bin AS BIGINT) AS bin, n, pos, conf_e6, acc_e6,
          |  CAST(conf_e6 - acc_e6 AS BIGINT) AS gap_e6, ece_e6
          |FROM pb, tot""".stripMargin
+    },
+
+    "t_isotonic_calibration" -> {
+      val cases = CurationQueries.ClfWeights.map { case (b, w) =>
+        s"WHEN '$b' THEN CAST($w AS DECIMAL(2,1))"
+      }.mkString(" ")
+      s"""WITH f AS (SELECT doc_id,
+         |    (CASE substr(md5(tok), 1, 1) $cases END) AS w
+         |  FROM (SELECT doc_id, unnest($tok) AS tok FROM documents)),
+         |sc AS (SELECT doc_id,
+         |    round(CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+         |      AS logit
+         |  FROM f GROUP BY doc_id),
+         |lab AS (SELECT sc.logit, d.n_chars >= 400 AS label
+         |  FROM sc JOIN documents d USING (doc_id)),
+         |pp AS (SELECT LEAST(GREATEST(
+         |    CAST(ROUND((logit + 1.0) / 2.0 * 1000000, 0) AS BIGINT),
+         |    0), 1000000) AS p_e6, label FROM lab),
+         |per AS MATERIALIZED (SELECT
+         |    CAST(LEAST(p_e6 // 100000, 9) AS BIGINT) AS bin,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS pos
+         |  FROM pp GROUP BY 1),
+         |iv AS (SELECT a.bin AS i, b.bin AS j
+         |  FROM per a JOIN per b ON a.bin <= b.bin),
+         |sums AS (SELECT i, j,
+         |    CAST(SUM(pos) * 1000000000000 // SUM(n) AS BIGINT) AS r_e12
+         |  FROM iv JOIN per ON per.bin BETWEEN i AND j GROUP BY i, j),
+         |mn AS (SELECT per.bin, i, MIN(r_e12) AS mn
+         |  FROM sums JOIN per ON per.bin BETWEEN i AND j
+         |  GROUP BY per.bin, i),
+         |iso AS (SELECT bin, CAST(MAX(mn) AS BIGINT) AS iso_e12
+         |  FROM mn GROUP BY bin)
+         |SELECT per.bin, per.n, per.pos,
+         |  CAST(pos * 1000000 // n AS BIGINT) AS raw_e6,
+         |  CAST(iso_e12 // 1000000 AS BIGINT) AS iso_e6
+         |FROM iso JOIN per USING (bin)""".stripMargin
     },
 
     "t_good_turing" ->

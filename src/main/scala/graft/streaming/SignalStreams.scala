@@ -143,6 +143,44 @@ object SignalStreams {
         expr("num * 1000000L div (n * n_ref)").as("w1_e6"))
   }
 
+  /** Streaming half of the burstiness (Fano factor) monitor: keep
+    * per-(event_type, hour) counts as streaming state (complete-mode
+    * ledger, the psiLedger shape — ≤ types × hours rows, bounded by
+    * wall clock, never by event volume). */
+  def fanoLedger(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+          .as("he"))
+      .groupBy("event_type", "he").agg(count(lit(1)).as("x"))
+  }
+
+  /** Snapshot rollup: per-type Fano over the FIXED dense spine
+    * [h0, h1] (fit offline — the monitored wall-clock window), zero
+    * hours included, identical exact-integer algebra as the batch
+    * `e_burstiness`, so a monitor fed the batch's window reproduces
+    * its rows bit-for-bit. */
+  def fanoRollup(ledger: DataFrame, h0: Long, h1: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val led = ledger.select(col("event_type").as("et2"),
+      col("he").as("he2"), col("x"))
+    ledger.select("event_type").distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(h0), lit(h1))).as("he"))
+      .join(led, col("event_type") === col("et2") &&
+        col("he") === col("he2"), "left")
+      .drop("et2", "he2")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n_hours"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_hours"), col("sx").as("n_events"),
+        expr("sx * 1000000L div n_hours").as("mean_e6"),
+        expr("(n_hours * sxx - sx * sx) * 1000000L div (n_hours * sx)")
+          .as("fano_e6"))
+  }
+
   /** Holt linear-trend monitor: fold completed hourly buckets through
     * `operators/Holt.step` with an (l, b, started) state record per
     * series key. The first two observations of a key initialize the

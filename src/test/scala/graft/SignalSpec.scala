@@ -196,4 +196,27 @@ class SignalSpec extends SparkSpec {
       assert(r.getLong(4) >= 0L)
     }
   }
+  test("e_slo_burn: exact multiwindow replay, page implies both windows") {
+    val hs = Tables.t(spark, dir, "events")
+      .selectExpr("unix_micros(date_trunc('hour', ts)) div 3600000000 AS he",
+        "event_type = 'error' AS e")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (h, v) => (h, v.length.toLong, v.count(_._2).toLong) }
+    val out = SparkEntry.queries("e_slo_burn")(spark, dir)
+      .orderBy("he").collect()
+    assert(out.length == hs.length)
+    out.zipWithIndex.foreach { case (r, i) =>
+      val (h, tot, err) = hs(i)
+      assert(r.getLong(0) == h && r.getLong(1) == tot && r.getLong(2) == err)
+      assert(r.getLong(3) == err * 1000000L / tot)
+      assert(r.getLong(4) == (err * 1000000L / tot) / 50L)
+      val lo = math.max(0, i - 5)
+      val e6 = hs.slice(lo, i + 1).map(_._3).sum
+      val t6 = hs.slice(lo, i + 1).map(_._2).sum
+      assert(r.getLong(5) == (e6 * 1000000L / t6) / 50L, s"burn6 at $h")
+      assert(r.getBoolean(6) ==
+        (r.getLong(4) >= 1440L && r.getLong(5) >= 600L))
+    }
+  }
 }

@@ -1319,4 +1319,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq,
       "streamed W1 monitor must be bit-identical to the batch query")
   }
+  test("fano stream: ledger + rollup is bit-identical to e_burstiness") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val evs = Tables.t(spark, dir, "events")
+      .selectExpr("event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)))
+    val hours = evs.map(e => e._2.getTime / 3600000L)
+    val mem = MemoryStream[(String, Timestamp)]
+    val ledger = graft.streaming.SignalStreams.fanoLedger(
+      mem.toDF().toDF("event_type", "ts"))
+    val q = ledger.writeStream.format("memory").queryName("fanoledger")
+      .outputMode("complete").start()
+    try {
+      evs.grouped(evs.length / 3 + 1).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = graft.streaming.SignalStreams.fanoRollup(
+      spark.table("fanoledger"), hours.min, hours.max).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    val want = SparkEntry.queries("e_burstiness")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(got.toSeq === want.toSeq,
+      "streamed Fano monitor must be bit-identical to the batch query")
+  }
 }

@@ -335,4 +335,41 @@ class TextSpec extends SparkSpec {
       assert(f >= 1000000L, "fertility is at least one token per word")
     }
   }
+  test("t_isotonic_calibration: naive PAV replay, monotone, mean-preserving") {
+    val out = SparkEntry.queries("t_isotonic_calibration")(spark, sfDir)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // naive PAV by pooling adjacent violators on (n, pos) blocks
+    case class Blk(n: Long, pos: Long)
+    var blocks = Vector.empty[Blk]
+    out.foreach { case (_, n, pos, _, _) =>
+      blocks :+= Blk(n, pos)
+      while (blocks.length >= 2 && {
+        val a = blocks(blocks.length - 2); val b = blocks.last
+        a.pos * b.n >= b.pos * a.n // exact rational violation test
+      }) {
+        val b = blocks.last; val a = blocks(blocks.length - 2)
+        blocks = blocks.dropRight(2) :+ Blk(a.n + b.n, a.pos + b.pos)
+      }
+    }
+    // expand block values back over their bins
+    var iso = Vector.empty[Long]
+    var idx = 0
+    blocks.foreach { b =>
+      var covered = 0L
+      while (covered < b.n) {
+        iso :+= b.pos * 1000000000000L / b.n
+        covered += out(idx)._2; idx += 1
+      }
+    }
+    assert(iso.length == out.length)
+    out.zip(iso).foreach { case ((bin, n, pos, raw, isoE6), want) =>
+      assert(raw == pos * 1000000L / n)
+      assert(isoE6 == want / 1000000L, s"iso for bin $bin")
+    }
+    // monotone nondecreasing by construction
+    out.map(_._5).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b); case _ => }
+  }
 }
