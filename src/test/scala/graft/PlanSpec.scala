@@ -634,4 +634,24 @@ class PlanSpec extends SparkSpec {
     assert(!sp.contains("CartesianProduct"), sp)
     assert(sp.contains("BroadcastHashJoin"), sp)
   }
+  test("round-9 additions: no cartesian products, broadcasts where claimed") {
+    // kendall: the grid self-join must stay a real join (inequality
+    // join over a broadcast-scale grid), never a corpus cartesian
+    val kt = planOf("q_kendall_tau")
+    assert(!kt.contains("CartesianProduct"),
+      "kendall grid join fell back to cartesian")
+    // wasserstein: corpus-bucket profile and total broadcast to the
+    // per-source frame
+    assert(planOf("q_wasserstein_1d").contains("Broadcast"))
+    // embed MMD: corpus per-dimension moments joined broadcast
+    assert(planOf("s_embed_mmd").contains("Broadcast"))
+    // conformal: threshold + calibration counts broadcast to eval scan
+    assert(planOf("q_conformal_coverage").contains("Broadcast"))
+    // pass@k: one shuffle only (the per-task agg) — no join at all
+    val pk = planOf("q_pass_at_k")
+    assert(!pk.contains("Join"), "pass@k must be join-free")
+    // dup inflation: two-level fold, join-free
+    assert(!planOf("d_dup_inflation").contains("Join"),
+      "dup inflation must be join-free")
+  }
 }
