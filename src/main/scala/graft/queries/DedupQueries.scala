@@ -116,6 +116,33 @@ object DedupQueries {
         n = 5, threshold = 0.5, dfCap = None)
     }),
 
+    // ---- cross-doc duplication by n-gram granularity: for n ∈
+    //      {5, 10, 20}, the share of distinct n-gram TYPES appearing
+    //      in ≥ 2 documents — the dial that says at which
+    //      granularity the corpus is contaminated (high dup share at
+    //      small n = phrase reuse; at large n = real copying). Three
+    //      map-side explodes (per-doc distinct grams) into one
+    //      (n, gram) groupBy — vocabulary-keyed, map-combinable,
+    //      never pairwise. ----
+    "d_ngram_dup_curve" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val grams = Seq(5, 10, 20).map { n =>
+        base.select(lit(n.toLong).as("n"), col("doc_id"),
+          explode(array_distinct(
+            Text.shingles(Text.tokens(col("text")), n))).as("g"))
+      }.reduce(_ union _)
+      grams.groupBy("n", "g").agg(count(lit(1)).as("docs"))
+        .groupBy("n").agg(
+          count(lit(1)).as("n_types"),
+          sum(when(col("docs") >= 2L, 1L).otherwise(0L))
+            .as("n_dup_types"),
+          sum(when(col("docs") >= 2L, col("docs")).otherwise(0L))
+            .as("dup_occurrences"))
+        .select(col("n"), col("n_types"), col("n_dup_types"),
+          col("dup_occurrences"),
+          expr("n_dup_types * 1000000L div n_types").as("dup_ppm"))
+    }),
+
     // ---- dedup threshold sweep: the curve a curation run reads
     //      BEFORE fixing its Jaccard cutoff — at each threshold, how
     //      many candidate pairs survive and how many docs they touch.
@@ -664,6 +691,34 @@ object DedupQueries {
          |  CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
          |FROM common
          |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5""".stripMargin,
+
+    "d_ngram_dup_curve" -> {
+      def gramCte(n: Int) =
+        s"""g$n AS (SELECT CAST($n AS BIGINT) AS n, doc_id,
+           |    unnest(list_distinct(
+           |      CASE WHEN len(tok) < $n THEN []
+           |           ELSE list_transform(range(1, len(tok) - ${n - 2}),
+           |                  i -> array_to_string(tok[i:i+${n - 1}], ' '))
+           |      END)) AS g
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS tok
+           |        FROM documents))""".stripMargin
+      s"""WITH ${gramCte(5)},
+         |${gramCte(10)},
+         |${gramCte(20)},
+         |grams AS (SELECT * FROM g5 UNION ALL SELECT * FROM g10
+         |  UNION ALL SELECT * FROM g20),
+         |tg AS (SELECT n, g, CAST(COUNT(*) AS BIGINT) AS docs
+         |  FROM grams GROUP BY n, g),
+         |agg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS n_types,
+         |    CAST(SUM(CASE WHEN docs >= 2 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_dup_types,
+         |    CAST(SUM(CASE WHEN docs >= 2 THEN docs ELSE 0 END)
+         |      AS BIGINT) AS dup_occurrences
+         |  FROM tg GROUP BY n)
+         |SELECT n, n_types, n_dup_types, dup_occurrences,
+         |  CAST(n_dup_types * 1000000 // n_types AS BIGINT) AS dup_ppm
+         |FROM agg""".stripMargin
+    },
 
     "d_dedup_threshold_curve" ->
       s"""WITH base AS (SELECT doc_id AS id, text FROM ($nearCorpus)),

@@ -216,6 +216,57 @@ object TextQueries {
           expr("(cum - n_tokens) div 512").as("pack_id"), col("n_tokens"))
     }),
 
+    // ---- epoch-shuffle independence QA: Spearman rho between the
+    //      epoch1 and epoch2 shuffle positions (both exact
+    //      permutations, so rho = 1 − 6Σd²/(N(N²−1)) with no tie
+    //      terms) — a shuffle whose epochs correlate feeds the
+    //      trainer near-identical batch orders, and this is the
+    //      audit that catches it. |rho| should be ≈ 0. Σd² runs as
+    //      exact DECIMAL (N³-scale; BIGINT-safe to ~2×10⁶ rows per
+    //      audit shard, the same global-sort bound the shuffle
+    //      itself carries); sign travels separately. ----
+    "t_shuffle_decorrelation" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def pos(salt: String) = t(s, dir, "documents").select("doc_id")
+        .withColumn("p", row_number().over(Window.orderBy(
+          md5(concat_ws(":", lit(salt), col("doc_id").cast("string"))))))
+      pos("epoch1").withColumnRenamed("p", "p1")
+        .join(pos("epoch2").withColumnRenamed("p", "p2"), "doc_id")
+        .select((col("p1") - col("p2")).cast("long").as("d"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("d") * col("d")).cast("decimal(38,0)"))
+            .cast("long").as("sum_d2"))
+        .select(col("n"), col("sum_d2"),
+          signum(expr("n * (n * n - 1) - 6 * sum_d2")).cast("int")
+            .as("rho_sign"),
+          expr("abs(n * (n * n - 1) - 6 * sum_d2) * 1000000000L " +
+            "div (n * (n * n - 1))").as("rho_abs_e9"))
+    }),
+
+    // ---- context-window truncation budgeting: at each candidate
+    //      max-sequence length, how many docs overflow and what
+    //      share of token mass a hard truncation would discard —
+    //      the capacity-planning table read before fixing a context
+    //      length. Thresholds are a broadcast fanout over ONE
+    //      map-side token-count scan; ratios exact ppm. ----
+    "t_truncation_loss" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(Text.tokenCount(col("text")).cast("long").as("tc"))
+        .withColumn("max_len",
+          explode(array(Seq(32L, 64L, 128L).map(lit): _*)))
+        .groupBy("max_len").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("tc") > col("max_len"), 1L).otherwise(0L))
+            .as("n_over"),
+          sum("tc").as("tokens_total"),
+          sum(greatest(col("tc") - col("max_len"), lit(0L)))
+            .as("tokens_lost"))
+        .select(col("max_len"), col("n_docs"), col("n_over"),
+          col("tokens_total"), col("tokens_lost"),
+          expr("tokens_lost * 1000000L div tokens_total")
+            .as("lost_ppm"))
+    }),
+
     // ---- deterministic training order: stable md5(salt:id)
     //      permutation with a row_number position ----
     "t_shuffle_order" -> ((s, dir) => {
@@ -1558,6 +1609,40 @@ object TextQueries {
       """SELECT doc_id, CAST(ROW_NUMBER() OVER (
         |  ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR))) AS INT) AS pos
         |FROM documents""".stripMargin,
+
+    "t_shuffle_decorrelation" ->
+      """WITH p1 AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR)))
+        |    AS BIGINT) AS p1 FROM documents),
+        |p2 AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY md5('epoch2:' || CAST(doc_id AS VARCHAR)))
+        |    AS BIGINT) AS p2 FROM documents),
+        |dd AS (SELECT p1.p1 - p2.p2 AS d
+        |  FROM p1 JOIN p2 USING (doc_id)),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(d * d AS DECIMAL(38,0))) AS BIGINT) AS sum_d2
+        |  FROM dd)
+        |SELECT n, sum_d2,
+        |  CAST(SIGN(n * (n * n - 1) - 6 * sum_d2) AS INT) AS rho_sign,
+        |  CAST(ABS(n * (n * n - 1) - 6 * sum_d2) * 1000000000
+        |    // (n * (n * n - 1)) AS BIGINT) AS rho_abs_e9
+        |FROM agg""".stripMargin,
+
+    "t_truncation_loss" ->
+      s"""WITH d AS (SELECT CAST(len($tok) AS BIGINT) AS tc
+         |  FROM documents),
+         |x AS (SELECT CAST(UNNEST([32, 64, 128]) AS BIGINT) AS max_len),
+         |agg AS (SELECT max_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN tc > max_len THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_over,
+         |    CAST(SUM(tc) AS BIGINT) AS tokens_total,
+         |    CAST(SUM(GREATEST(tc - max_len, 0)) AS BIGINT)
+         |      AS tokens_lost
+         |  FROM d CROSS JOIN x GROUP BY max_len)
+         |SELECT max_len, n_docs, n_over, tokens_total, tokens_lost,
+         |  CAST(tokens_lost * 1000000 // tokens_total AS BIGINT)
+         |    AS lost_ppm
+         |FROM agg""".stripMargin,
 
     "t_split_counts" ->
       s"""SELECT $splitCase AS split, COUNT(*) AS n

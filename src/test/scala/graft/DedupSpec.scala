@@ -450,4 +450,26 @@ class DedupSpec extends SparkSpec {
       assert(r.getLong(5) == total * 1000000L / dist, s"ppm for $src")
     }
   }
+  test("d_ngram_dup_curve: naive type census, monotone in n") {
+    val sfd = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, sfd, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getString(1).split(" ", -1).toSeq)
+    val out = SparkEntry.queries("d_ngram_dup_curve")(spark, sfd)
+      .orderBy("n").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(5L, 10L, 20L))
+    out.foreach { r =>
+      val n = r.getLong(0).toInt
+      val perDoc = docs.map(t => t.sliding(n).filter(_.length == n)
+        .map(_.mkString(" ")).toSet)
+      val counts = perDoc.flatten.groupBy(identity)
+        .map { case (_, v) => v.length.toLong }
+      assert(r.getLong(1) == counts.size.toLong, s"types at n=$n")
+      assert(r.getLong(2) == counts.count(_ >= 2L).toLong, s"dups at n=$n")
+      assert(r.getLong(3) == counts.filter(_ >= 2L).sum, s"occ at n=$n")
+      assert(r.getLong(4) == r.getLong(2) * 1000000L / r.getLong(1))
+    }
+    // NOTE: dup TYPE share is not monotone in n (the type universe
+    // shrinks with n too) — only the exact replay above is invariant.
+  }
 }

@@ -372,4 +372,43 @@ class TextSpec extends SparkSpec {
     out.map(_._5).sliding(2).foreach {
       case Array(a, b) => assert(a <= b); case _ => }
   }
+  test("t_shuffle_decorrelation: permutation identity and exact rho") {
+    val r = SparkEntry.queries("t_shuffle_decorrelation")(spark, sfDir)
+      .collect().head
+    val n = r.getLong(0)
+    assert(n == Tables.t(spark, sfDir, "documents").count())
+    // replay: both positions from collected md5 orderings
+    val ids = Tables.t(spark, sfDir, "documents").select("doc_id")
+      .collect().map(_.getLong(0))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def poss(salt: String) = ids.sortBy(id => md5hex(s"$salt:$id"))
+      .zipWithIndex.map { case (id, i) => id -> (i + 1).toLong }.toMap
+    val (a, b) = (poss("epoch1"), poss("epoch2"))
+    val s2 = ids.map(id => { val d = a(id) - b(id); d * d }).sum
+    assert(r.getLong(1) == s2, "sum of squared rank differences")
+    val num = n * (n * n - 1) - 6 * s2
+    assert(r.getInt(2) == num.sign.toInt)
+    assert(r.getLong(3) == num.abs * 1000000000L / (n * (n * n - 1)))
+    // epochs must actually decorrelate: |rho| < 0.35 on 50 docs
+    assert(r.getLong(3) < 350000000L, "shuffle epochs correlate")
+  }
+
+  test("t_truncation_loss: exact replay, monotone in max_len") {
+    val tcs = Tables.t(spark, sfDir, "documents").select("text")
+      .collect().map(_.getString(0).split(" ", -1).length.toLong)
+    val out = SparkEntry.queries("t_truncation_loss")(spark, sfDir)
+      .orderBy("max_len").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(32L, 64L, 128L))
+    out.foreach { r =>
+      val l = r.getLong(0)
+      assert(r.getLong(1) == tcs.length.toLong)
+      assert(r.getLong(2) == tcs.count(_ > l).toLong)
+      assert(r.getLong(3) == tcs.sum)
+      assert(r.getLong(4) == tcs.map(t => math.max(t - l, 0L)).sum)
+      assert(r.getLong(5) == r.getLong(4) * 1000000L / r.getLong(3))
+    }
+    out.map(_.getLong(4)).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b); case _ => }
+  }
 }
