@@ -358,6 +358,37 @@ object StatsQueries {
             .cast("long").as("tau_e6"))
     }),
 
+    // ---- Neyman allocation for stratified sampling: given a total
+    //      budget of 1000 draws, allocate n_h ∝ N_h·σ_h per source —
+    //      the design that minimizes the stratified-mean variance,
+    //      computed BEFORE q_stratified_sample draws anything.
+    //      Per-stratum moments are exact DECIMAL sums of doc length
+    //      (map-combinable); σ_h = sqrt of the exact population
+    //      variance (N·Σx² − (Σx)²)/N² closes in one shared IEEE
+    //      tree (sqrt exact, ROUND half-away agrees on identical
+    //      doubles); the allocation shares are model-sized. ----
+    "q_neyman_allocation" -> ((s, dir) => {
+      val budget = 1000L
+      val strata = t(s, dir, "documents")
+        .select(col("source"), col("n_chars"))
+        .groupBy("source").agg(count(lit(1)).as("nh"),
+          sum("n_chars").as("sx"),
+          sum(col("n_chars") * col("n_chars")).as("sxx"))
+        // N_h·σ_h = sqrt(N·Σx² − (Σx)²), rounded to 6 dp into exact
+        // DECIMAL so the cross-stratum total is order-invariant
+        .withColumn("nsig",
+          round(sqrt((col("nh") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")), 6).cast("decimal(28,6)"))
+      val tot = strata.agg(sum("nsig").as("tot_nsig"))
+      strata.crossJoin(broadcast(tot))
+        .select(col("source"), col("nh"),
+          col("nsig").cast("double").as("nh_sigma"),
+          expr(s"cast(round(cast(nsig as double) * $budget " +
+            "/ cast(tot_nsig as double), 0) as bigint)").as("alloc"),
+          expr("cast(round(cast(nsig as double) * 1000000 " +
+            "/ cast(tot_nsig as double), 0) as bigint)").as("share_ppm"))
+    }),
+
     // ---- unbiased pass@k (Chen et al. 2021's combinatorial
     //      estimator): tasks = users, trials = their events, success
     //      = value ≥ 10; pass@k per task = 1 − C(n−c,k)/C(n,k),
@@ -1211,6 +1242,24 @@ object StatsQueries {
         |    (SQRT(CAST(n0 - tx AS DOUBLE)) *
         |     SQRT(CAST(n0 - ty AS DOUBLE))), 0) AS BIGINT) AS tau_e6
         |FROM m""".stripMargin,
+
+    "q_neyman_allocation" ->
+      """WITH strata AS (SELECT source,
+        |    CAST(COUNT(*) AS BIGINT) AS nh,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents GROUP BY source),
+        |ns AS (SELECT source, nh,
+        |    CAST(ROUND(SQRT(CAST(nh * sxx - sx * sx AS DOUBLE)), 6)
+        |      AS DECIMAL(28,6)) AS nsig
+        |  FROM strata),
+        |tot AS (SELECT SUM(nsig) AS tot_nsig FROM ns)
+        |SELECT source, nh, CAST(nsig AS DOUBLE) AS nh_sigma,
+        |  CAST(ROUND(CAST(nsig AS DOUBLE) * 1000
+        |    / CAST(tot_nsig AS DOUBLE), 0) AS BIGINT) AS alloc,
+        |  CAST(ROUND(CAST(nsig AS DOUBLE) * 1000000
+        |    / CAST(tot_nsig AS DOUBLE), 0) AS BIGINT) AS share_ppm
+        |FROM ns, tot""".stripMargin,
 
     "q_pass_at_k" ->
       """WITH tasks AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,

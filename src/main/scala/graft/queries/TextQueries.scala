@@ -216,6 +216,40 @@ object TextQueries {
           expr("(cum - n_tokens) div 512").as("pack_id"), col("n_tokens"))
     }),
 
+    // ---- Hill tail-index estimator over doc lengths: α̂ = k / Σ
+    //      ln(x_(i)/x_(k+1)) over the k = 20 largest docs — the
+    //      heavy-tail diagnostic that complements t_zipf_fit's
+    //      frequency fit (α ≈ how fast the length tail decays; small
+    //      α = giant docs dominate token mass and worker skew).
+    //      TakeOrdered-bounded: only k+1 rows ever leave the scan
+    //      (deterministic (len desc, doc_id) order); ln terms round
+    //      to 9 dp into an exact DECIMAL sum; one closing IEEE
+    //      division. ----
+    "t_hill_tail" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 20
+      val topk = t(s, dir, "documents")
+        .select(col("doc_id"),
+          Text.tokenCount(col("text")).cast("long").as("x"))
+        .orderBy(col("x").desc, col("doc_id").asc).limit(k + 1)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("x").desc, col("doc_id").asc)))
+      val xk1 = topk.filter(col("rn") === k + 1)
+        .select(col("x").as("xk1"))
+      topk.filter(col("rn") <= k).crossJoin(broadcast(xk1))
+        .select(round(log(col("x").cast("double") /
+          col("xk1").cast("double")), 9).cast("decimal(20,9)").as("t"),
+          col("xk1"))
+        .groupBy("xk1").agg(count(lit(1)).as("k"),
+          sum("t").as("s"))
+        .select(col("k"), col("xk1"),
+          col("s").cast("double").as("sum_ln"),
+          when(col("s") > 0,
+            expr("cast(round(cast(k as double) * 1000000 " +
+              "/ cast(s as double), 0) as bigint)"))
+            .otherwise(lit(0L)).as("alpha_e6"))
+    }),
+
     // ---- epoch-shuffle independence QA: Spearman rho between the
     //      epoch1 and epoch2 shuffle positions (both exact
     //      permutations, so rho = 1 − 6Σd²/(N(N²−1)) with no tie
@@ -1609,6 +1643,24 @@ object TextQueries {
       """SELECT doc_id, CAST(ROW_NUMBER() OVER (
         |  ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR))) AS INT) AS pos
         |FROM documents""".stripMargin,
+
+    "t_hill_tail" ->
+      s"""WITH ranked AS (SELECT doc_id,
+         |    CAST(len($tok) AS BIGINT) AS x
+         |  FROM documents ORDER BY x DESC, doc_id ASC LIMIT 21),
+         |rn AS (SELECT x, CAST(ROW_NUMBER() OVER (
+         |    ORDER BY x DESC, doc_id ASC) AS BIGINT) AS rn FROM ranked),
+         |k1 AS (SELECT x AS xk1 FROM rn WHERE rn = 21),
+         |terms AS (SELECT
+         |    CAST(ROUND(LN(CAST(rn.x AS DOUBLE) / CAST(k1.xk1 AS DOUBLE)),
+         |      9) AS DECIMAL(20,9)) AS t, k1.xk1
+         |  FROM rn, k1 WHERE rn.rn <= 20),
+         |agg AS (SELECT xk1, CAST(COUNT(*) AS BIGINT) AS k,
+         |    SUM(t) AS s FROM terms GROUP BY xk1)
+         |SELECT k, xk1, CAST(s AS DOUBLE) AS sum_ln,
+         |  CAST(CASE WHEN s > 0 THEN ROUND(CAST(k AS DOUBLE) * 1000000
+         |    / CAST(s AS DOUBLE), 0) ELSE 0 END AS BIGINT) AS alpha_e6
+         |FROM agg""".stripMargin,
 
     "t_shuffle_decorrelation" ->
       """WITH p1 AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (

@@ -496,4 +496,33 @@ class StatsSpec extends SparkSpec {
     // pass@k is monotone nondecreasing in k on the common task set
     assert(out(1L)._2 <= out(5L)._2 + 1 && out(5L)._2 <= out(10L)._2 + 1)
   }
+  test("q_neyman_allocation: exact moment replay, shares close to 1e6") {
+    val rows = Tables.t(spark, dir, "documents")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val out = SparkEntry.queries("q_neyman_allocation")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    val nsigs = rows.groupBy(_._1).map { case (src, v) =>
+      val xs = v.map(_._2)
+      val n = xs.length.toLong
+      val sx = xs.sum; val sxx = xs.map(x => x * x).sum
+      src -> BigDecimal(math.sqrt((n * sxx - sx * sx).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val tot = nsigs.values.sum
+    nsigs.foreach { case (src, nsig) =>
+      val (nh, sigD, alloc, share) = out(src)
+      assert(nh == rows.count(_._1 == src).toLong)
+      assert(math.abs(sigD - nsig.toDouble) < 1e-9)
+      assert(alloc == math.round(nsig.toDouble * 1000 / tot.toDouble))
+      assert(share == math.round(nsig.toDouble * 1000000 / tot.toDouble))
+    }
+    // rounding slack: shares must reconstruct the whole within 1 per
+    // stratum, allocations within the budget similarly
+    val shareSum = out.values.map(_._4).sum
+    assert(math.abs(shareSum - 1000000L) <= out.size.toLong)
+    val allocSum = out.values.map(_._3).sum
+    assert(math.abs(allocSum - 1000L) <= out.size.toLong)
+  }
 }

@@ -411,4 +411,22 @@ class TextSpec extends SparkSpec {
     out.map(_.getLong(4)).sliding(2).foreach {
       case Array(a, b) => assert(a >= b); case _ => }
   }
+  test("t_hill_tail: naive order-statistic replay") {
+    val xs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+      .sortBy(t => (-t._2, t._1)).take(21)
+    val xk1 = xs.last._2
+    val terms = xs.take(20).map(t =>
+      BigDecimal(math.log(t._2.toDouble / xk1.toDouble))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP))
+    val s = terms.sum
+    val r = SparkEntry.queries("t_hill_tail")(spark, sfDir)
+      .collect().head
+    assert(r.getLong(0) == 20L && r.getLong(1) == xk1)
+    assert(math.abs(r.getDouble(2) - s.toDouble) < 1e-12)
+    val want = if (s > 0) math.round(20.0 * 1000000 / s.toDouble) else 0L
+    assert(r.getLong(3) == want)
+    assert(r.getLong(3) > 0L, "length tail must yield a positive index")
+  }
 }
