@@ -344,6 +344,44 @@ object EventQueries {
           expr("n * 1000000 div tot").as("p_ppm"))
     }),
 
+    // ---- held-out evaluation of the Markov next-event model: fit
+    //      transition counts on even user_ids, predict argmax(next)
+    //      per prev state (deterministic lexicographic tie-break),
+    //      score top-1 accuracy on odd users — the check that says
+    //      whether e_markov_transitions' table actually PREDICTS or
+    //      just describes. The model is states² rows (broadcast);
+    //      both passes are one lag window per user + one keyed agg.
+    //      Exact integer ppm. ----
+    "e_markov_eval" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val pairs = t(s, dir, "events")
+        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev").isNotNull)
+        .select(col("user_id"), col("prev"),
+          col("event_type").as("next"))
+        .localCheckpoint(false) // train + test halves
+      val train = pairs.filter(col("user_id") % 2 === 0)
+        .groupBy("prev", "next").agg(count(lit(1)).as("n"))
+      val wBest = Window.partitionBy("prev")
+        .orderBy(col("n").desc, col("next").asc)
+      val model = train.withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+        .select(col("prev"), col("next").as("pred"))
+      val nTrain = train.agg(sum("n").as("n_train_pairs"))
+      pairs.filter(col("user_id") % 2 === 1)
+        .join(broadcast(model), Seq("prev"), "left")
+        .agg(count(lit(1)).as("n_test_pairs"),
+          sum(when(col("pred") === col("next"), 1L).otherwise(0L))
+            .as("n_hit"),
+          sum(when(col("pred").isNull, 1L).otherwise(0L))
+            .as("n_unseen"))
+        .crossJoin(broadcast(nTrain))
+        .select(col("n_train_pairs"), col("n_test_pairs"), col("n_hit"),
+          col("n_unseen"),
+          expr("n_hit * 1000000L div n_test_pairs").as("acc_ppm"))
+    }),
+
     // ---- SCD-2 dimension build: compress each user's event_type
     //      history into validity intervals [valid_from, valid_to),
     //      open-ended for the current state. One shuffle on user_id;
@@ -685,6 +723,33 @@ object EventQueries {
         |SELECT pc.prev, pc.next, pc.n,
         |  CAST(pc.n * 1000000 // mg.tot AS BIGINT) AS p_ppm
         |FROM pc JOIN mg USING (prev)""".stripMargin,
+
+    "e_markov_eval" ->
+      """WITH p AS (SELECT user_id, event_type AS next,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS prev
+        |  FROM events),
+        |pairs AS (SELECT user_id, prev, next FROM p
+        |  WHERE prev IS NOT NULL),
+        |train AS (SELECT prev, next, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pairs WHERE user_id % 2 = 0 GROUP BY prev, next),
+        |model AS (SELECT prev, next AS pred FROM (
+        |    SELECT prev, next, ROW_NUMBER() OVER (PARTITION BY prev
+        |      ORDER BY n DESC, next ASC) AS rn FROM train)
+        |  WHERE rn = 1),
+        |nt AS (SELECT CAST(SUM(n) AS BIGINT) AS n_train_pairs
+        |  FROM train),
+        |ev AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test_pairs,
+        |    CAST(SUM(CASE WHEN model.pred = pairs.next THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_hit,
+        |    CAST(SUM(CASE WHEN model.pred IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_unseen
+        |  FROM pairs LEFT JOIN model USING (prev)
+        |  WHERE user_id % 2 = 1)
+        |SELECT nt.n_train_pairs, ev.n_test_pairs, ev.n_hit,
+        |  ev.n_unseen,
+        |  CAST(n_hit * 1000000 // n_test_pairs AS BIGINT) AS acc_ppm
+        |FROM ev, nt""".stripMargin,
 
     "e_scd2_intervals" ->
       """WITH c AS (SELECT user_id, event_type, ts, event_id,

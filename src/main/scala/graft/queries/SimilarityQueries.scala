@@ -372,6 +372,43 @@ object SimilarityQueries {
             .as("fd_diag"))
     }),
 
+    // ---- embedding-space anomaly scan: diagonal Mahalanobis z² per
+    //      vector against the corpus moments — the curation screen
+    //      that surfaces corrupt/degenerate vectors (all-zero dims,
+    //      scale blowups) before they poison ANN recall. Reuses the
+    //      s_embed_mmd moment discipline (order-invariant DECIMAL
+    //      sums); per-vector z² is a pos-ordered 64-term fold
+    //      (bounded by dims, not corpus); σ²=0 dims clamp at 1e-12.
+    //      TakeOrdered-bounded: only the top 20 leave the scan. ----
+    "s_embed_outliers" -> ((s, dir) => {
+      val ex = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "x")))
+        .localCheckpoint(false) // moments + scoring passes
+      val mom = ex.groupBy("pos").agg(count(lit(1)).as("n"),
+          sum(round(col("x"), 6).cast("decimal(18,6)")).as("sx"),
+          sum(round(col("x") * col("x"), 12).cast("decimal(30,12)"))
+            .as("sxx"))
+        .withColumn("mu", col("sx").cast("double") / col("n"))
+        .withColumn("v", greatest(
+          col("sxx").cast("double") / col("n") - col("mu") * col("mu"),
+          lit(1e-12)))
+        .select("pos", "mu", "v")
+      ex.join(broadcast(mom), "pos")
+        .select(col("vec_id"), col("pos"),
+          (((col("x") - col("mu")) * (col("x") - col("mu"))) / col("v"))
+            .as("term"))
+        .groupBy("vec_id")
+        .agg(sort_array(collect_list(struct(col("pos"), col("term"))))
+          .as("ts"))
+        .select(col("vec_id"),
+          aggregate(col("ts"), lit(0.0),
+            (a, e) => a + e.getField("term")).as("z2raw"))
+        .orderBy(col("z2raw").desc, col("vec_id").asc).limit(20)
+        .select(col("vec_id"), round(col("z2raw"), 6).as("z2"))
+    }),
+
     // ---- exact per-group centroid vectors: bit-reproducible mean via
     //      an ORDERED left-assoc fold (sort_array + aggregate HOF), so
     //      the result is independent of partitioning — the property a
@@ -1009,6 +1046,30 @@ object SimilarityQueries {
     // ordered left fold both sides: Spark aggregate(sort_array(...)) and
     // DuckDB list_reduce(array_agg(... ORDER BY vec_id)) add in the same
     // sequence -> bit-identical doubles, no rounding fudge
+    "s_embed_outliers" ->
+      """WITH ex AS MATERIALIZED (SELECT vec_id, CAST(p AS INT) AS pos,
+        |    v[p + 1] AS x
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |        FROM embeddings)
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS p)),
+        |mom AS (SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS sx,
+        |    SUM(CAST(ROUND(x * x, 12) AS DECIMAL(30,12))) AS sxx
+        |  FROM ex GROUP BY pos),
+        |mv AS (SELECT pos, CAST(sx AS DOUBLE) / n AS mu,
+        |    GREATEST(CAST(sxx AS DOUBLE) / n
+        |      - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n),
+        |      1e-12) AS v
+        |  FROM mom),
+        |terms AS (SELECT vec_id, ex.pos,
+        |    ((x - mu) * (x - mu)) / v AS term
+        |  FROM ex JOIN mv ON mv.pos = ex.pos),
+        |z AS (SELECT vec_id, list_reduce(list_prepend(0.0,
+        |    array_agg(term ORDER BY pos)), (a, b) -> a + b) AS z2raw
+        |  FROM terms GROUP BY vec_id)
+        |SELECT vec_id, ROUND(z2raw, 6) AS z2 FROM z
+        |ORDER BY z2raw DESC, vec_id ASC LIMIT 20""".stripMargin,
+
     "s_embed_mmd" ->
       """WITH ex AS MATERIALIZED (SELECT label, vec_id,
         |    CAST(p AS INT) AS pos,

@@ -358,6 +358,33 @@ object StatsQueries {
             .cast("long").as("tau_e6"))
     }),
 
+    // ---- leave-one-source-out influence on the corpus mean doc
+    //      length: for each source, how far the global mean moves if
+    //      the source is dropped — the cheapest data-valuation
+    //      readout (exact, linear in the totals; no refits). Exact
+    //      rational with the common denominator N·(N−n_h): delta =
+    //      (S·n_h − N·s_h)/(N(N−n_h)); sign travels separately
+    //      (BIGINT-safe while S·N < 2⁶³ — per-shard audit past
+    //      ~10⁹ docs·tokens, DECIMAL noted). One corpus agg + one
+    //      per-source agg, both map-combinable. ----
+    "q_loo_influence" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"),
+          graft.functions.Text.tokenCount(col("text")).cast("long")
+            .as("tc"))
+        .localCheckpoint(false) // totals + per-source
+      val tot = d.agg(count(lit(1)).as("nn"), sum("tc").as("ss"))
+      d.groupBy("source").agg(count(lit(1)).as("nh"),
+          sum("tc").as("sh"))
+        .crossJoin(broadcast(tot))
+        .withColumn("num", expr("ss * nh - nn * sh"))
+        .select(col("source"), col("nh"), col("sh"),
+          expr("(ss - sh) * 1000000L div (nn - nh)").as("loo_mean_e6"),
+          signum(col("num")).cast("int").as("delta_sign"),
+          expr("abs(num) * 1000000L div (nn * (nn - nh))")
+            .as("delta_abs_e6"))
+    }),
+
     // ---- Neyman allocation for stratified sampling: given a total
     //      budget of 1000 draws, allocate n_h ∝ N_h·σ_h per source —
     //      the design that minimizes the stratified-mean variance,
@@ -1242,6 +1269,22 @@ object StatsQueries {
         |    (SQRT(CAST(n0 - tx AS DOUBLE)) *
         |     SQRT(CAST(n0 - ty AS DOUBLE))), 0) AS BIGINT) AS tau_e6
         |FROM m""".stripMargin,
+
+    "q_loo_influence" ->
+      """WITH d AS MATERIALIZED (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tc
+        |  FROM documents),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+        |    CAST(SUM(tc) AS BIGINT) AS ss FROM d),
+        |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nh,
+        |    CAST(SUM(tc) AS BIGINT) AS sh FROM d GROUP BY source)
+        |SELECT source, nh, sh,
+        |  CAST((ss - sh) * 1000000 // (nn - nh) AS BIGINT)
+        |    AS loo_mean_e6,
+        |  CAST(SIGN(ss * nh - nn * sh) AS INT) AS delta_sign,
+        |  CAST(ABS(ss * nh - nn * sh) * 1000000 // (nn * (nn - nh))
+        |    AS BIGINT) AS delta_abs_e6
+        |FROM per, tot""".stripMargin,
 
     "q_neyman_allocation" ->
       """WITH strata AS (SELECT source,

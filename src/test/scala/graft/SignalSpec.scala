@@ -219,4 +219,28 @@ class SignalSpec extends SparkSpec {
         (r.getLong(4) >= 1440L && r.getLong(5) >= 600L))
     }
   }
+  test("e_markov_eval: naive train/test replay of the argmax model") {
+    val evs = Tables.t(spark, dir, "events")
+      .selectExpr("user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime, r.getLong(3)))
+    val pairs = evs.groupBy(_._1).toSeq.flatMap { case (u, v) =>
+      v.sortBy(e => (e._3, e._4)).map(_._2).sliding(2)
+        .filter(_.length == 2).map(w => (u, w(0), w(1)))
+    }
+    val train = pairs.filter(_._1 % 2 == 0)
+    val test = pairs.filter(_._1 % 2 == 1)
+    val model = train.groupBy(p => (p._2, p._3))
+      .map { case (k, v) => k -> v.length.toLong }
+      .groupBy(_._1._1).map { case (prev, m) =>
+        prev -> m.toSeq.sortBy(x => (-x._2, x._1._2)).head._1._2 }
+    val hits = test.count(p => model.get(p._2).contains(p._3))
+    val r = SparkEntry.queries("e_markov_eval")(spark, dir)
+      .collect().head
+    assert(r.getLong(0) == train.length.toLong)
+    assert(r.getLong(1) == test.length.toLong)
+    assert(r.getLong(2) == hits.toLong)
+    assert(r.getLong(3) == test.count(p => !model.contains(p._2)).toLong)
+    assert(r.getLong(4) == hits.toLong * 1000000L / test.length)
+  }
 }

@@ -548,4 +548,22 @@ class SimilaritySpec extends SparkSpec {
       assert(row.getDouble(3) >= row.getDouble(2) - 1e-12, "fd >= mmd2")
     }
   }
+  test("s_embed_outliers: planted scale-blowup vector ranks first") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("eo").toString
+    val normal = (0L until 40L).map(i =>
+      (i, Array.fill(64)(((i % 7).toFloat - 3f) / 10f), 0))
+    val outlier = Seq((99L, Array.fill(64)(25.0f), 0))
+    (normal ++ outlier).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val top = SparkEntry.queries("s_embed_outliers")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.head._1 == 99L, "planted blowup must rank first")
+    assert(top.head._2 > top(1)._2 * 5, "outlier z2 dominates")
+    assert(top.length == 20)
+    // scores are nonnegative and returned in nonincreasing order
+    assert(top.forall(_._2 >= 0.0))
+    top.map(_._2).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b); case _ => }
+  }
 }

@@ -525,4 +525,26 @@ class StatsSpec extends SparkSpec {
     val allocSum = out.values.map(_._3).sum
     assert(math.abs(allocSum - 1000L) <= out.size.toLong)
   }
+  test("q_loo_influence: exact replay; influence identity sums to zero") {
+    val rows = Tables.t(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+    val nn = rows.length.toLong; val ss = rows.map(_._2).sum
+    val out = SparkEntry.queries("q_loo_influence")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    rows.groupBy(_._1).foreach { case (src, v) =>
+      val nh = v.length.toLong; val sh = v.map(_._2).sum
+      val r = out(src)
+      assert(r.getLong(1) == nh && r.getLong(2) == sh)
+      assert(r.getLong(3) == (ss - sh) * 1000000L / (nn - nh))
+      val num = ss * nh - nn * sh
+      assert(r.getInt(4) == num.sign.toInt)
+      assert(r.getLong(5) == num.abs * 1000000L / (nn * (nn - nh)))
+    }
+    // signed deltas weighted by the removed mass balance near zero:
+    // sum_h (N - n_h) * delta_h = 0 exactly in the rationals
+    val signedNum = rows.groupBy(_._1).map { case (_, v) =>
+      ss * v.length.toLong - nn * v.map(_._2).sum }.sum
+    assert(signedNum == 0L, "LOO influence identity")
+  }
 }
