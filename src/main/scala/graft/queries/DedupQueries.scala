@@ -116,6 +116,39 @@ object DedupQueries {
         n = 5, threshold = 0.5, dfCap = None)
     }),
 
+    // ---- MinHash/LSH design table: candidate probability
+    //      P(s) = 1 − (1 − s^r)^b for the band/row configs a pipeline
+    //      would choose between (all with b·r = 16 signature slots),
+    //      over the Jaccard grid s ∈ {0.1..0.9} — the theoretical
+    //      S-curves read NEXT TO d_lsh_recall's empirical ones when
+    //      fixing (b, r). Entirely exact integer rationals: with
+    //      s = k/10 and b·r = 16, P = N/10¹⁶ with
+    //      N = 10¹⁶ − (10^r − k^r)^b, and p_ppm = N div 10¹⁰ (the
+    //      floor collapses without ever overflowing BIGINT). The s*
+    //      threshold (1/b)^(1/r) is one driver-computed literal
+    //      shared verbatim with the oracle. Model-sized frame. ----
+    "d_lsh_design" -> ((s, dir) => {
+      import s.implicits._
+      // config frame + one driver literal per config (s* threshold);
+      // the probability algebra itself runs in-engine as exact
+      // integer HOF folds
+      val configs = Seq((4L, 4L), (8L, 2L), (16L, 1L), (2L, 8L))
+        .map { case (b, r) =>
+          (b, r, math.round(math.pow(1.0 / b, 1.0 / r) * 1e6)) }
+      configs.toDF("bands", "rows_per_band", "s_star_e6")
+        .withColumn("s_x10", explode(sequence(lit(1L), lit(9L))))
+        .withColumn("pr", aggregate(sequence(lit(1L), col("rows_per_band")),
+          lit(1L), (acc, _) => acc * 10L))
+        .withColumn("kr", aggregate(sequence(lit(1L), col("rows_per_band")),
+          lit(1L), (acc, _) => acc * col("s_x10")))
+        .withColumn("miss", aggregate(sequence(lit(1L), col("bands")),
+          lit(1L), (acc, _) => acc * (col("pr") - col("kr"))))
+        .select(col("bands"), col("rows_per_band"), col("s_x10"),
+          expr("(10000000000000000L - miss) div 10000000000L")
+            .as("p_ppm"),
+          col("s_star_e6"))
+    }),
+
     // ---- cross-doc duplication by n-gram granularity: for n ∈
     //      {5, 10, 20}, the share of distinct n-gram TYPES appearing
     //      in ≥ 2 documents — the dial that says at which
@@ -691,6 +724,35 @@ object DedupQueries {
          |  CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
          |FROM common
          |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5""".stripMargin,
+
+    "d_lsh_design" -> {
+      val cfg = Seq((4L, 4L), (8L, 2L), (16L, 1L), (2L, 8L))
+        .map { case (b, r) =>
+          s"($b, $r, ${math.round(math.pow(1.0 / b, 1.0 / r) * 1e6)})" }
+        .mkString(", ")
+      s"""WITH cfg(bands, rows_per_band, s_star_e6) AS
+         |  (SELECT * FROM (VALUES $cfg)),
+         |grid AS (SELECT bands, rows_per_band, s_star_e6,
+         |    CAST(UNNEST(range(1, 10)) AS BIGINT) AS s_x10 FROM cfg),
+         |p AS (SELECT bands, rows_per_band, s_x10, s_star_e6,
+         |    list_reduce(list_prepend(CAST(1 AS BIGINT),
+         |      list_transform(range(1, rows_per_band + 1),
+         |        i -> CAST(10 AS BIGINT))), (a, b) -> a * b) AS pr,
+         |    list_reduce(list_prepend(CAST(1 AS BIGINT),
+         |      list_transform(range(1, rows_per_band + 1),
+         |        i -> s_x10)), (a, b) -> a * b) AS kr
+         |  FROM grid),
+         |m AS (SELECT bands, rows_per_band, s_x10, s_star_e6,
+         |    list_reduce(list_prepend(CAST(1 AS BIGINT),
+         |      list_transform(range(1, bands + 1),
+         |        i -> pr - kr)), (a, b) -> a * b) AS miss
+         |  FROM p)
+         |SELECT bands, rows_per_band, s_x10,
+         |  CAST((10000000000000000 - miss) // 10000000000 AS BIGINT)
+         |    AS p_ppm,
+         |  CAST(s_star_e6 AS BIGINT) AS s_star_e6
+         |FROM m""".stripMargin
+    },
 
     "d_ngram_dup_curve" -> {
       def gramCte(n: Int) =

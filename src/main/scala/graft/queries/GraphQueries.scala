@@ -179,6 +179,47 @@ object GraphQueries {
           expr("abs(num) * 1000000L div (4 * m * m)").as("q_abs_e6"))
     }),
 
+    // ---- degree assortativity of the customer–supplier graph:
+    //      Pearson correlation of endpoint degrees over all directed
+    //      edge instances — negative r means hubs attach to leaves
+    //      (the shape that decides whether degree-based partition
+    //      salting pays off at 100 TB). Exact DECIMAL moment sums
+    //      over the doubled edge list (map-combinable after two
+    //      degree equi-joins); ONE closing IEEE tree with per-factor
+    //      sqrt (the q_kendall_tau overflow discipline). ----
+    "g_assortativity" -> ((s, dir) => {
+      val e0 = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("u"),
+          (col("l_suppkey") * 2 + 1).as("v"))
+        .distinct()
+      val both = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint(false) // degree source + tagged sums
+      val deg = both.groupBy(col("u").as("id"))
+        .agg(count(lit(1)).as("d"))
+      both
+        .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
+        .agg(count(lit(1)).as("m2"),
+          sum(col("du").cast("decimal(38,0)")).cast("long").as("sx"),
+          sum(col("dv").cast("decimal(38,0)")).cast("long").as("sy"),
+          sum((col("du") * col("dv")).cast("decimal(38,0)"))
+            .cast("double").as("sxy"),
+          sum((col("du") * col("du")).cast("decimal(38,0)"))
+            .cast("double").as("sxx"),
+          sum((col("dv") * col("dv")).cast("decimal(38,0)"))
+            .cast("double").as("syy"))
+        .select(col("m2"), col("sx"), col("sy"),
+          round((col("m2").cast("double") * col("sxy") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("m2").cast("double") * col("sxx") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+              sqrt(col("m2").cast("double") * col("syy") -
+                col("sy").cast("double") * col("sy").cast("double"))), 6)
+            .as("assortativity"))
+    }),
+
     // ---- degree-ordered triangle counting over the supplier
     //      co-occurrence graph (suppliers filling the same order in
     //      March 1995 — the date filter is partition-prunable and
@@ -433,6 +474,34 @@ object GraphQueries {
     "g_label_prop" ->
       s"""WITH $labelPropScaffoldSql
          |SELECT id, label, seed FROM l2""".stripMargin,
+
+    "g_assortativity" ->
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |bth AS MATERIALIZED (SELECT u, v FROM e0
+        |  UNION ALL SELECT v, u FROM e0),
+        |deg AS (SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS d
+        |  FROM bth GROUP BY u),
+        |tagged AS (SELECT du.d AS du, dv.d AS dv
+        |  FROM bth JOIN deg du ON du.id = bth.u
+        |           JOIN deg dv ON dv.id = bth.v),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+        |    CAST(SUM(CAST(du AS DECIMAL(38,0))) AS BIGINT) AS sx,
+        |    CAST(SUM(CAST(dv AS DECIMAL(38,0))) AS BIGINT) AS sy,
+        |    CAST(SUM(CAST(du * dv AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(du * du AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(dv * dv AS DECIMAL(38,0))) AS DOUBLE) AS syy
+        |  FROM tagged)
+        |SELECT m2, sx, sy,
+        |  ROUND((CAST(m2 AS DOUBLE) * sxy
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (SQRT(CAST(m2 AS DOUBLE) * sxx
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * SQRT(CAST(m2 AS DOUBLE) * syy
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    AS assortativity
+        |FROM m""".stripMargin,
 
     "g_modularity" ->
       s"""WITH $labelPropScaffoldSql,

@@ -358,6 +358,40 @@ object StatsQueries {
             .cast("long").as("tau_e6"))
     }),
 
+    // ---- two-proportion power analysis per event type: the sample
+    //      size each arm needs to detect a +2 pp absolute lift at
+    //      α = 0.05 / power 80% (z literals 1.959964, 0.841621 —
+    //      fixed in both engines), vs the users actually available —
+    //      the experiment-design readout run BEFORE q_ab_ztest ever
+    //      fires. Baseline conversion is an exact integer ratio cast
+    //      once to double; the closing n = (z_a·√(2p̄q̄) +
+    //      z_b·√(p₁q₁+p₂q₂))²/δ² is one shared IEEE tree (sqrt
+    //      exact); CEIL of identical doubles agrees. One
+    //      map-combinable agg. ----
+    "e_power_analysis" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("n"),
+          sum(when(col("value") >= 10.0, 1L).otherwise(0L)).as("conv"))
+        .withColumn("p1",
+          col("conv").cast("double") / col("n").cast("double"))
+        .withColumn("p2", col("p1") + lit(0.02))
+        .withColumn("pbar", (col("p1") + col("p2")) / lit(2.0))
+        .withColumn("n_req",
+          ceil(
+            ((lit(1.959964) * sqrt(lit(2.0) * col("pbar") *
+              (lit(1.0) - col("pbar"))) +
+              lit(0.841621) * sqrt(col("p1") * (lit(1.0) - col("p1")) +
+                col("p2") * (lit(1.0) - col("p2")))) *
+              (lit(1.959964) * sqrt(lit(2.0) * col("pbar") *
+                (lit(1.0) - col("pbar"))) +
+                lit(0.841621) * sqrt(col("p1") * (lit(1.0) - col("p1")) +
+                  col("p2") * (lit(1.0) - col("p2"))))) /
+              (lit(0.02) * lit(0.02))).cast("long"))
+        .select(col("event_type"), col("n"), col("conv"),
+          expr("conv * 1000000L div n").as("p_ppm"), col("n_req"),
+          (expr("n div 2") >= col("n_req")).as("powered"))
+    }),
+
     // ---- leave-one-source-out influence on the corpus mean doc
     //      length: for each source, how far the global mean moves if
     //      the source is dropped — the cheapest data-valuation
@@ -1269,6 +1303,31 @@ object StatsQueries {
         |    (SQRT(CAST(n0 - tx AS DOUBLE)) *
         |     SQRT(CAST(n0 - ty AS DOUBLE))), 0) AS BIGINT) AS tau_e6
         |FROM m""".stripMargin,
+
+    "e_power_analysis" ->
+      """WITH agg AS (SELECT event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN value >= 10.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS conv
+        |  FROM events GROUP BY event_type),
+        |pp AS (SELECT event_type, n, conv,
+        |    CAST(conv AS DOUBLE) / CAST(n AS DOUBLE) AS p1
+        |  FROM agg),
+        |p2t AS (SELECT event_type, n, conv, p1, p1 + 0.02 AS p2,
+        |    (p1 + (p1 + 0.02)) / 2.0 AS pbar
+        |  FROM pp),
+        |nr AS (SELECT event_type, n, conv,
+        |    CAST(CEIL(
+        |      ((1.959964 * SQRT(2.0 * pbar * (1.0 - pbar))
+        |        + 0.841621 * SQRT(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+        |       * (1.959964 * SQRT(2.0 * pbar * (1.0 - pbar))
+        |        + 0.841621 * SQRT(p1 * (1.0 - p1) + p2 * (1.0 - p2))))
+        |      / (0.02 * 0.02)) AS BIGINT) AS n_req
+        |  FROM p2t)
+        |SELECT event_type, n, conv,
+        |  CAST(conv * 1000000 // n AS BIGINT) AS p_ppm, n_req,
+        |  n // 2 >= n_req AS powered
+        |FROM nr""".stripMargin,
 
     "q_loo_influence" ->
       """WITH d AS MATERIALIZED (SELECT source,

@@ -472,4 +472,31 @@ class DedupSpec extends SparkSpec {
     // NOTE: dup TYPE share is not monotone in n (the type universe
     // shrinks with n too) — only the exact replay above is invariant.
   }
+  test("d_lsh_design: S-curve replay, monotone in s, threshold brackets") {
+    val out = SparkEntry.queries("d_lsh_design")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.length == 36)
+    out.foreach { case (b, r, k, ppm, _) =>
+      val s = k / 10.0
+      val want = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+      // integer floor vs closed form: within one ppm
+      assert(math.abs(ppm - want * 1e6) <= 1.0, s"(b=$b,r=$r,s=$s)")
+      assert(b * r == 16L, "all configs share the signature budget")
+    }
+    // P(s) is nondecreasing in s (strictness saturates at the ppm
+    // floor once P ≈ 1 for aggressive configs)
+    out.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      rows.sortBy(_._3).map(_._4).sliding(2).foreach {
+        case Array(a, c) => assert(a <= c); case _ => }
+    }
+    // s* threshold: P(s) crosses ~1/2 near s_star (bracket by a grid step)
+    out.groupBy(t => (t._1, t._2)).foreach { case (key, rows) =>
+      val sStar = rows.head._5 / 1e6
+      rows.sortBy(_._3).foreach { case (_, _, k, ppm, _) =>
+        if (k / 10.0 < sStar - 0.1) assert(ppm < 500000L, s"$key below")
+        if (k / 10.0 > sStar + 0.1) assert(ppm > 500000L, s"$key above")
+      }
+    }
+  }
 }

@@ -272,4 +272,29 @@ class GraphSpec extends SparkSpec {
     val q = r.getInt(2) * r.getLong(3)
     assert(q >= -500000L && q < 1000000L)
   }
+  test("g_assortativity: naive Pearson-over-edges replay, r in [-1,1]") {
+    val sfd = "/root/testdata/sf0.001"
+    val edges = Tables.t(spark, sfd, "orders")
+      .join(Tables.t(spark, sfd, "lineitem"),
+        org.apache.spark.sql.functions.expr("o_orderkey = l_orderkey"))
+      .selectExpr("o_custkey * 2 AS u", "l_suppkey * 2 + 1 AS v")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val both = edges ++ edges.map(e => (e._2, e._1))
+    val deg = both.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val xs = both.map(e => (deg(e._1), deg(e._2)))
+    val m2 = xs.length.toLong
+    val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+    val sxy = xs.map(e => e._1 * e._2).sum.toDouble
+    val sxx = xs.map(e => e._1 * e._1).sum.toDouble
+    val syy = xs.map(e => e._2 * e._2).sum.toDouble
+    val want = BigDecimal((m2 * sxy - sx.toDouble * sy.toDouble) /
+      (math.sqrt(m2 * sxx - sx.toDouble * sx.toDouble) *
+        math.sqrt(m2 * syy - sy.toDouble * sy.toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = SparkEntry.queries("g_assortativity")(spark, sfd)
+      .collect().head
+    assert(r.getLong(0) == m2 && r.getLong(1) == sx && r.getLong(2) == sy)
+    assert(math.abs(r.getDouble(3) - want) < 1e-12, "assortativity")
+    assert(r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0)
+  }
 }

@@ -547,4 +547,25 @@ class StatsSpec extends SparkSpec {
       ss * v.length.toLong - nn * v.map(_._2).sum }.sum
     assert(signedNum == 0L, "LOO influence identity")
   }
+  test("e_power_analysis: closed-form replay, monotone in baseline variance") {
+    val evs = Tables.t(spark, dir, "events")
+      .selectExpr("event_type", "value >= 10.0 AS s").collect()
+      .map(r => (r.getString(0), r.getBoolean(1)))
+    val out = SparkEntry.queries("e_power_analysis")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    evs.groupBy(_._1).foreach { case (et, v) =>
+      val n = v.length.toLong; val conv = v.count(_._2).toLong
+      val p1 = conv.toDouble / n.toDouble
+      val p2 = p1 + 0.02
+      val pbar = (p1 + p2) / 2.0
+      val a = 1.959964 * math.sqrt(2.0 * pbar * (1.0 - pbar)) +
+        0.841621 * math.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
+      val nReq = math.ceil(a * a / (0.02 * 0.02)).toLong
+      val r = out(et)
+      assert(r.getLong(1) == n && r.getLong(2) == conv)
+      assert(r.getLong(3) == conv * 1000000L / n)
+      assert(r.getLong(4) == nReq, s"n_req for $et")
+      assert(r.getBoolean(5) == (n / 2 >= nReq))
+    }
+  }
 }
