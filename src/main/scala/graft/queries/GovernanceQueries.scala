@@ -233,6 +233,47 @@ object GovernanceQueries {
     //      the suite's standard ln absorption. Shapes: one
     //      countDistinct two-phase agg; noise is per-GROUP scalar
     //      math on ≤ |event_type| rows. ----
+    // ---- DP median via the exponential mechanism over 50-char
+    //      length buckets (ε = 1): utility u(b) = −|#below − #above|,
+    //      selection = argmax of ε·u/2 + Gumbel — with the Gumbel
+    //      draw DERANDOMIZED from keyed md5 (the q_dp_histogram
+    //      test-vector discipline) and every libm value rounded to
+    //      an e4 INTEGER before the argmax key is formed, so the
+    //      selection is an exact integer comparison, never a raw
+    //      double compare. Candidate grid bounded by the char
+    //      domain; one cumsum window over it; argmax = TakeOrdered
+    //      limit 1. ----
+    "q_dp_quantile" -> ((s, dir) => {
+      val per = t(s, dir, "documents")
+        .select(expr("n_chars div 50").as("b"))
+        .groupBy("b").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false) // total + cumsum
+      val n = per.agg(sum("cnt").as("n"))
+      val wCum = Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per.withColumn("cum", sum("cnt").over(wCum))
+        .crossJoin(broadcast(n))
+        .withColumn("u_util",
+          lit(0L) - abs((col("cum") - col("cnt")) -
+            (col("n") - col("cum"))))
+        .withColumn("uu",
+          (conv(substring(md5(concat(lit("dpq:"),
+            col("b").cast("string"))), 1, 4), 16, 10).cast("double") +
+            lit(0.5)) / lit(65536.0))
+        .withColumn("il", greatest(
+          round(lit(0.0) - log(col("uu")) * lit(10000.0), 0)
+            .cast("long"), lit(1L)))
+        .withColumn("gl",
+          round(lit(0.0) - log(col("il").cast("double") / lit(10000.0))
+            * lit(10000.0), 0).cast("long"))
+        .withColumn("key_e4", col("u_util") * 5000L + col("gl"))
+        .orderBy(col("key_e4").desc, col("b").asc).limit(1)
+        .select(col("b").as("bucket"), col("cnt"),
+          col("u_util").as("utility"), col("key_e4"),
+          (col("b") * 50L + 25L).as("dp_median"), col("n"),
+          lit(10000L).as("epsilon_e4"))
+    }),
+
     "q_dp_histogram" -> ((s, dir) => {
       val c = (conv(substring(md5(concat(lit("dp:"), col("event_type"))),
         1, 4), 16, 10).cast("double") + lit(0.5)) / lit(65536.0) - lit(0.5)
@@ -498,6 +539,37 @@ object GovernanceQueries {
         |  MAX(n) AS max_contribution,
         |  5 AS l1_sensitivity
         |FROM per""".stripMargin,
+
+    "q_dp_quantile" ->
+      """WITH per AS MATERIALIZED (SELECT n_chars // 50 AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM per),
+        |c AS (SELECT b, cnt,
+        |    CAST(SUM(cnt) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM per),
+        |k AS (SELECT b, cnt, nn.n,
+        |    -ABS((cum - cnt) - (nn.n - cum)) AS u_util,
+        |    (CAST(CAST('0x' || substr(md5('dpq:' || CAST(b AS VARCHAR)),
+        |        1, 4) AS BIGINT) AS DOUBLE) + 0.5) / 65536.0 AS uu
+        |  FROM c, nn),
+        |g AS (SELECT b, cnt, n, u_util,
+        |    GREATEST(CAST(ROUND(0.0 - LN(uu) * 10000.0, 0) AS BIGINT),
+        |      1) AS il
+        |  FROM k),
+        |g2 AS (SELECT b, cnt, n, u_util,
+        |    CAST(ROUND(0.0 - LN(CAST(il AS DOUBLE) / 10000.0)
+        |      * 10000.0, 0) AS BIGINT) AS gl
+        |  FROM g),
+        |key AS (SELECT b, cnt, n, u_util,
+        |    u_util * 5000 + gl AS key_e4
+        |  FROM g2)
+        |SELECT b AS bucket, cnt, CAST(u_util AS BIGINT) AS utility,
+        |  CAST(key_e4 AS BIGINT) AS key_e4,
+        |  CAST(b * 50 + 25 AS BIGINT) AS dp_median, n,
+        |  CAST(10000 AS BIGINT) AS epsilon_e4
+        |FROM key ORDER BY key_e4 DESC, b ASC LIMIT 1""".stripMargin,
 
     "q_dp_histogram" ->
       """WITH h AS (

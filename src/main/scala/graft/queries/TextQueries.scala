@@ -216,6 +216,31 @@ object TextQueries {
           expr("(cum - n_tokens) div 512").as("pack_id"), col("n_tokens"))
     }),
 
+    // ---- language-ID confidence margins per source: best-vs-second
+    //      marker-score gap per doc — the routing signal that sends
+    //      low-margin docs (ambiguous or marker-poor) to a heavier
+    //      classifier instead of trusting t_lang_id's argmax. Scores
+    //      are integer marker counts, so margins are exact; one
+    //      map-side projection + one agg. ----
+    "t_lang_margin" -> ((s, dir) => {
+      val tok = Text.tokens(col("text"))
+      val sc = Text.langMarkers.map { case (_, m) =>
+        Text.markerHits(tok, m).cast("long") }
+      val arr = sort_array(array(sc: _*), asc = false)
+      t(s, dir, "documents")
+        .select(col("source"), element_at(arr, 1).as("best"),
+          element_at(arr, 2).as("second"))
+        .groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum(when(col("best") === 0L, 1L).otherwise(0L)).as("n_und"),
+          sum(when(col("best") > 0L &&
+            col("best") - col("second") <= 1L, 1L).otherwise(0L))
+            .as("n_lowconf"))
+        .select(col("source"), col("n_docs"), col("n_und"),
+          col("n_lowconf"),
+          expr("(n_und + n_lowconf) * 1000000L div n_docs")
+            .as("route_ppm"))
+    }),
+
     // ---- Hill tail-index estimator over doc lengths: α̂ = k / Σ
     //      ln(x_(i)/x_(k+1)) over the k = 20 largest docs — the
     //      heavy-tail diagnostic that complements t_zipf_fit's
@@ -1643,6 +1668,24 @@ object TextQueries {
       """SELECT doc_id, CAST(ROW_NUMBER() OVER (
         |  ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR))) AS INT) AS pos
         |FROM documents""".stripMargin,
+
+    "t_lang_margin" -> {
+      val arr = s"list_sort([${scores.map(_._2).mkString(", ")}], 'DESC')"
+      s"""WITH m AS (SELECT source,
+         |    CAST(($arr)[1] AS BIGINT) AS best,
+         |    CAST(($arr)[2] AS BIGINT) AS second
+         |  FROM documents),
+         |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN best = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_und,
+         |    CAST(SUM(CASE WHEN best > 0 AND best - second <= 1
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_lowconf
+         |  FROM m GROUP BY source)
+         |SELECT source, n_docs, n_und, n_lowconf,
+         |  CAST((n_und + n_lowconf) * 1000000 // n_docs AS BIGINT)
+         |    AS route_ppm
+         |FROM agg""".stripMargin
+    },
 
     "t_hill_tail" ->
       s"""WITH ranked AS (SELECT doc_id,

@@ -201,4 +201,36 @@ class GovernanceSpec extends SparkSpec {
       assert(got._8 == c * 100L * nKeys / nRows)
     }
   }
+  test("q_dp_quantile: selection is the integer-key argmax; near true median") {
+    val dir = "/root/testdata/sf0.001"
+    val chars = Tables.t(spark, dir, "documents")
+      .select("n_chars").collect().map(_.getLong(0)).sorted
+    val r = SparkEntry.queries("q_dp_quantile")(spark, dir)
+      .collect().head
+    assert(r.getLong(5) == chars.length.toLong)
+    // the mechanism's argmax key replays exactly
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val per = chars.map(_ / 50).groupBy(identity)
+      .map { case (b, v) => b -> v.length.toLong }.toSeq.sortBy(_._1)
+    var cum = 0L
+    val n = chars.length.toLong
+    val keys = per.map { case (b, cnt) =>
+      cum += cnt
+      val u = -math.abs((cum - cnt) - (n - cum))
+      val uu = (java.lang.Long.parseLong(
+        md5hex(s"dpq:$b").take(4), 16).toDouble + 0.5) / 65536.0
+      val il = math.max(math.round(0.0 - math.log(uu) * 10000.0), 1L)
+      val gl = math.round(0.0 - math.log(il.toDouble / 10000.0) * 10000.0)
+      (b, u * 5000L + gl, u)
+    }
+    val best = keys.maxBy(k => (k._2, -k._1))
+    assert(r.getLong(0) == best._1, "selected bucket")
+    assert(r.getLong(3) == best._2, "key_e4")
+    assert(r.getLong(2) == best._3, "utility")
+    // utility of the DP pick is within one bucket mass of the optimum
+    val uStar = keys.map(_._3).max
+    assert(best._3 >= uStar - 2 * per.map(_._2).max,
+      "mechanism picked a far-from-median bucket on a tiny grid")
+  }
 }

@@ -429,4 +429,26 @@ class TextSpec extends SparkSpec {
     assert(r.getLong(3) == want)
     assert(r.getLong(3) > 0L, "length tail must yield a positive index")
   }
+  test("t_lang_margin: naive best/second replay per source") {
+    val markers = Text.langMarkers.map(_._2)
+    val rows = Tables.t(spark, sfDir, "documents")
+      .select("source", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val sc = markers.map(m => toks.count(m.contains).toLong)
+          .sorted.reverse
+        (r.getString(0), sc.head, sc(1))
+      }
+    val out = SparkEntry.queries("t_lang_margin")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    rows.groupBy(_._1).foreach { case (src, v) =>
+      val r = out(src)
+      assert(r.getLong(1) == v.length.toLong)
+      assert(r.getLong(2) == v.count(_._2 == 0L).toLong, s"und $src")
+      assert(r.getLong(3) ==
+        v.count(d => d._2 > 0 && d._2 - d._3 <= 1).toLong, s"low $src")
+      assert(r.getLong(4) ==
+        (r.getLong(2) + r.getLong(3)) * 1000000L / r.getLong(1))
+    }
+  }
 }
