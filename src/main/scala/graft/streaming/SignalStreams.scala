@@ -248,6 +248,43 @@ object SignalStreams {
       }
   }
 
+  final case class BurnHour(he: Long, nEvents: Long, nErrors: Long)
+  final case class BurnState(window: List[(Long, Long, Long)])
+  final case class BurnOut(he: Long, n_events: Long, n_errors: Long,
+                           err_ppm: Long, burn1h_x100: Long,
+                           burn6h_x100: Long, page: Boolean)
+
+  /** Streaming twin of `e_slo_burn` — burn-rate paging IS an online
+    * monitor. Folds completed hourly (events, errors) buckets through
+    * a ≤6-deep trailing window held in keyed state (one list per
+    * series — O(1)), with the batch query's exact integer algebra,
+    * so given in-order bucket delivery the emitted rows are
+    * bit-identical to the batch window (StreamingSpec proof
+    * obligation). A page fires when BOTH the 1 h and trailing-6 h
+    * burns exceed their thresholds. */
+  def burnStream(hours: DataFrame): Dataset[BurnOut] = {
+    import hours.sparkSession.implicits._
+    hours.as[BurnHour]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[BurnState, BurnOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[BurnHour], state: GroupState[BurnState]) =>
+          var win = state.getOption.getOrElse(BurnState(Nil)).window
+          val out = rows.toSeq.sortBy(_.he).map { r =>
+            win = (win :+ ((r.he, r.nEvents, r.nErrors))).takeRight(6)
+            val tot6 = win.map(_._2).sum
+            val err6 = win.map(_._3).sum
+            val errPpm = r.nErrors * 1000000L / r.nEvents
+            val b1 = errPpm / 50L
+            val b6 = (err6 * 1000000L / tot6) / 50L
+            BurnOut(r.he, r.nEvents, r.nErrors, errPpm, b1, b6,
+              b1 >= 1440L && b6 >= 600L)
+          }
+          state.update(BurnState(win))
+          out.iterator
+      }
+  }
+
   final case class SprtDay(variant: Long, day: String, nTrials: Long,
                            nSucc: Long)
   final case class SprtState(cum: Long)

@@ -1347,4 +1347,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq,
       "streamed Fano monitor must be bit-identical to the batch query")
   }
+  test("burn stream: trailing-window fold is bit-identical to e_slo_burn") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val hourly = Tables.t(spark, dir, "events")
+      .selectExpr("unix_micros(date_trunc('hour', ts)) div 3600000000 AS he",
+        "event_type = 'error' AS e")
+      .groupBy("he").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("nEvents"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.expr(
+            "CASE WHEN e THEN 1 ELSE 0 END")).as("nErrors"))
+      .orderBy("he").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mem = MemoryStream[(Long, Long, Long)]
+    val out = graft.streaming.SignalStreams.burnStream(
+      mem.toDF().toDF("he", "nEvents", "nErrors"))
+    val q = out.writeStream.format("memory").queryName("burnstream")
+      .outputMode("append").start()
+    try {
+      hourly.grouped(hourly.length / 4 + 1).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("burnstream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).sortBy(_._1)
+    val want = SparkEntry.queries("e_slo_burn")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).sortBy(_._1)
+    assert(got.toSeq === want.toSeq,
+      "streamed burn monitor must be bit-identical to the batch query")
+  }
 }
