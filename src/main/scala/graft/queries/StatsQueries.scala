@@ -358,6 +358,34 @@ object StatsQueries {
             .cast("long").as("tau_e6"))
     }),
 
+    // ---- exact per-source length percentiles (p10/p50/p90, "lower"
+    //      order statistics) from a cumsum over the (source, value)
+    //      grid — never a per-source row sort: the grid is bounded by
+    //      the value domain, so a skewed megasource costs the same
+    //      window as a small one (the q_conformal_coverage shape,
+    //      keyed). Rank thresholds use exact ceil div; selection is
+    //      three conditional MIN aggregates. ----
+    "q_group_percentiles" -> ((s, dir) => {
+      val g = t(s, dir, "documents")
+        .select(col("source"),
+          graft.functions.Text.tokenCount(col("text")).cast("long")
+            .as("tc"))
+        .groupBy("source", "tc").agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy("source").orderBy("tc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("source")
+      g.withColumn("cum", sum("c").over(wCum))
+        .withColumn("n", sum("c").over(wAll))
+        .groupBy("source").agg(
+          max("n").as("n"),
+          min(when(col("cum") >= expr("(n + 9) div 10"), col("tc")))
+            .as("p10"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("tc")))
+            .as("p50"),
+          min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("tc")))
+            .as("p90"))
+    }),
+
     // ---- two-proportion power analysis per event type: the sample
     //      size each arm needs to detect a +2 pp absolute lift at
     //      α = 0.05 / power 80% (z literals 1.959964, 0.841621 —
@@ -1303,6 +1331,23 @@ object StatsQueries {
         |    (SQRT(CAST(n0 - tx AS DOUBLE)) *
         |     SQRT(CAST(n0 - ty AS DOUBLE))), 0) AS BIGINT) AS tau_e6
         |FROM m""".stripMargin,
+
+    "q_group_percentiles" ->
+      """WITH g AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tc,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cw AS (SELECT source, tc, c,
+        |    CAST(SUM(c) OVER (PARTITION BY source ORDER BY tc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM g)
+        |SELECT source, MAX(n) AS n,
+        |  MIN(CASE WHEN cum >= (n + 9) // 10 THEN tc END) AS p10,
+        |  MIN(CASE WHEN cum >= (n + 1) // 2 THEN tc END) AS p50,
+        |  MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN tc END) AS p90
+        |FROM cw GROUP BY source""".stripMargin,
 
     "e_power_analysis" ->
       """WITH agg AS (SELECT event_type,

@@ -568,4 +568,23 @@ class StatsSpec extends SparkSpec {
       assert(r.getBoolean(5) == (n / 2 >= nReq))
     }
   }
+  test("q_group_percentiles: naive order-statistic replay per source") {
+    val rows = Tables.t(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+    val out = SparkEntry.queries("q_group_percentiles")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    rows.groupBy(_._1).foreach { case (src, v) =>
+      val xs = v.map(_._2).sorted
+      val n = xs.length
+      def pick(num: Int, den: Int) = xs((num * n + den - 1) / den - 1)
+      val (gn, p10, p50, p90) = out(src)
+      assert(gn == n.toLong)
+      assert(p10 == pick(1, 10), s"p10 $src")
+      assert(p50 == pick(1, 2), s"p50 $src")
+      assert(p90 == pick(9, 10), s"p90 $src")
+      assert(p10 <= p50 && p50 <= p90)
+    }
+  }
 }
