@@ -116,6 +116,43 @@ object DedupQueries {
         n = 5, threshold = 0.5, dfCap = None)
     }),
 
+    // ---- b-bit MinHash audit (Li & König 2010): keep only the LOWEST
+    //      BIT of each of 32 minhashes (32× less signature memory
+    //      than hex minhashes — the storage dial for billion-doc
+    //      signature stores) and estimate Jaccard from bit agreement,
+    //      Ĵ = max(2A−1, 0) with A = matches/32 — audited against the
+    //      exact Jaccard on the known near-dup pairs. All integers:
+    //      agreement counts fold per pair over the 32-slot zip, never
+    //      a double until nothing is left to compare. ----
+    "d_minhash_bbit" -> ((s, dir) => {
+      val k = 32
+      val base = withNearCopies(s, dir)
+      val sh = array_distinct(Text.shingles(Text.tokens(col("text")), 5))
+      val bits = transform(Dedup.minhashSignature(sh, k),
+        mh => conv(substring(mh, 32, 1), 16, 10).cast("long") % 2L)
+      val sigs = base.select(col("doc_id"), bits.as("b"))
+        .localCheckpoint(false) // both pair sides
+      val cand = Dedup.jaccardCandidates(base, "doc_id", "text",
+          n = 5, dfCap = None)
+        .withColumn("j_ppm",
+          expr("common * 1000000L div (na + nb - common)"))
+        .filter(col("j_ppm") >= 300000L)
+      cand
+        .join(sigs.select(col("doc_id").as("a_id"), col("b").as("ba")),
+          "a_id")
+        .join(sigs.select(col("doc_id").as("b_id"), col("b").as("bb")),
+          "b_id")
+        .withColumn("m", aggregate(
+          zip_with(col("ba"), col("bb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (a, e) => a + e))
+        .select(col("a_id"), col("b_id"), col("j_ppm"),
+          expr(s"greatest(2 * m - $k, 0L) * 1000000L div $k")
+            .as("bbit_est_ppm"))
+        .withColumn("abs_err_ppm",
+          abs(col("bbit_est_ppm") - col("j_ppm")))
+    }),
+
     // ---- MinHash/LSH design table: candidate probability
     //      P(s) = 1 − (1 − s^r)^b for the band/row configs a pipeline
     //      would choose between (all with b·r = 16 signature slots),
@@ -724,6 +761,39 @@ object DedupQueries {
          |  CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
          |FROM common
          |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5""".stripMargin,
+
+    "d_minhash_bbit" ->
+      s"""WITH base AS (SELECT doc_id AS id, text FROM ($nearCorpus)),
+         |$shingleCte,
+         |bits AS MATERIALIZED (SELECT id, list_transform(range(0, 32),
+         |    i -> CAST(CAST('0x' || substr(list_aggregate(
+         |        list_transform(sh, s -> md5(CAST(i AS VARCHAR)
+         |          || ':' || s)), 'min'), 32, 1) AS BIGINT) % 2
+         |      AS BIGINT)) AS b
+         |  FROM sh),
+         |ex AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+         |common AS (SELECT a.id AS a_id, b.id AS b_id, a.n_sh AS na,
+         |    b.n_sh AS nb, count(*) AS common
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+         |  GROUP BY 1, 2, 3, 4),
+         |cand AS (SELECT a_id, b_id,
+         |    CAST(common * 1000000 // (na + nb - common) AS BIGINT)
+         |      AS j_ppm
+         |  FROM common
+         |  WHERE common * 1000000 // (na + nb - common) >= 300000),
+         |m AS (SELECT cand.a_id, cand.b_id, cand.j_ppm,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, 33),
+         |        i -> CAST(CASE WHEN ba.b[i] = bb.b[i] THEN 1 ELSE 0
+         |          END AS BIGINT))), (x, y) -> x + y) AS m
+         |  FROM cand JOIN bits ba ON ba.id = cand.a_id
+         |            JOIN bits bb ON bb.id = cand.b_id)
+         |SELECT a_id, b_id, j_ppm,
+         |  CAST(GREATEST(2 * m - 32, 0) * 1000000 // 32 AS BIGINT)
+         |    AS bbit_est_ppm,
+         |  CAST(ABS(CAST(GREATEST(2 * m - 32, 0) * 1000000 // 32
+         |    AS BIGINT) - j_ppm) AS BIGINT) AS abs_err_ppm
+         |FROM m""".stripMargin,
 
     "d_lsh_design" -> {
       val cfg = Seq((4L, 4L), (8L, 2L), (16L, 1L), (2L, 8L))

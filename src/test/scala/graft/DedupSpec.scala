@@ -499,4 +499,25 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+  test("d_minhash_bbit: estimator identity and error bounded on exact copies") {
+    val out = SparkEntry.queries("d_minhash_bbit")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, _, j, est, err) =>
+      assert(est >= 0L && est <= 1000000L)
+      assert(err == math.abs(est - j), "error identity")
+      // est granularity is 1/16 of full scale (k=32, est = (2m-32)/32)
+      assert(est % 62500L == 0L, "estimates live on the k-grid")
+    }
+    // identical bit signatures => est exactly 1.0 when j = 1.0
+    out.filter(_._3 == 1000000L).foreach { case (a, b, _, est, _) =>
+      assert(est == 1000000L, s"exact copy ($a,$b) must estimate 1.0")
+    }
+    // the estimator is unbiased-ish: mean error under 25% of scale on
+    // this high-similarity pair population
+    val meanErr = out.map(_._5).sum / out.length
+    assert(meanErr < 250000L, s"mean |err| $meanErr too large")
+  }
 }
