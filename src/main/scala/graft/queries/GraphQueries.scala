@@ -132,10 +132,11 @@ object GraphQueries {
 
     // ---- Newman modularity of the label-propagation communities:
     //      Q = Σ_c [e_c/m − (d_c/2m)²], rewritten over the common
-    //      denominator 4m² so every term is an exact BIGINT —
-    //      (4m·e_c − d_c²) — and ONE floor division closes the
-    //      statistic (sign travels separately; safe to ~10⁹ edges,
-    //      DECIMAL past that — noted). Unlabeled vertices become
+    //      denominator 4m² so every term is exact — the per-community
+    //      terms (4m·e_c − d_c²) accumulate as DECIMAL(38,0) and the
+    //      statistic closes in ONE shared double tree (sign travels
+    //      separately; exact to the ulp while |Σ| < 2⁵³, i.e. ~10⁷
+    //      edges, deterministic at any m). Unlabeled vertices become
     //      singleton communities (comm = −id), so Q is defined over
     //      the whole graph. Shapes: two equi-joins tag edge
     //      endpoints, then everything is per-community (model-sized).
@@ -173,10 +174,13 @@ object GraphQueries {
           col("dc"))
         .crossJoin(broadcast(m))
         .agg(count(lit(1)).as("n_communities"), max("m").as("m"),
-          sum(expr("4 * m * ec - dc * dc")).as("num"))
+          sum(expr("cast(4 as decimal(38,0)) * m * ec " +
+            "- cast(dc as decimal(38,0)) * dc")).as("num"))
         .select(col("n_communities"), col("m"),
           signum(col("num")).cast("int").as("q_sign"),
-          expr("abs(num) * 1000000L div (4 * m * m)").as("q_abs_e6"))
+          expr("cast(round(cast(abs(num) as double) * 1000000 " +
+            "/ (4.0 * cast(m as double) * cast(m as double)), 0) " +
+            "as bigint)").as("q_abs_e6"))
     }),
 
     // ---- degree assortativity of the customer–supplier graph:
@@ -521,9 +525,12 @@ object GraphQueries {
          |  FROM dc LEFT JOIN ec USING (comm))
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
          |  MAX(m.m) AS m,
-         |  CAST(SIGN(SUM(4 * m.m * ec - dc * dc)) AS INT) AS q_sign,
-         |  CAST(ABS(SUM(4 * m.m * ec - dc * dc)) * 1000000
-         |    // (4 * MAX(m.m) * MAX(m.m)) AS BIGINT) AS q_abs_e6
+         |  CAST(SIGN(SUM(CAST(4 AS DECIMAL(38,0)) * m.m * ec
+         |    - CAST(dc AS DECIMAL(38,0)) * dc)) AS INT) AS q_sign,
+         |  CAST(ROUND(CAST(ABS(SUM(CAST(4 AS DECIMAL(38,0)) * m.m * ec
+         |      - CAST(dc AS DECIMAL(38,0)) * dc)) AS DOUBLE) * 1000000
+         |    / (4.0 * CAST(MAX(m.m) AS DOUBLE)
+         |       * CAST(MAX(m.m) AS DOUBLE)), 0) AS BIGINT) AS q_abs_e6
          |FROM per, m""".stripMargin,
 
     // Same degree-ordered orientation, spelled with row-value

@@ -272,10 +272,12 @@ object SignalQueries {
     //      type over the DENSE hourly spine: var/mean of hourly
     //      counts, > 1 = bursty arrivals, ≈ 1 = Poisson-like — the
     //      capacity-planning readout e_acf's correlations don't give.
-    //      Exact rational over the common denominator:
-    //      F = (H·Σx² − (Σx)²)/(H·Σx), all BIGINT (zero hours
+    //      F = (H·Σx² − (Σx)²)/(H·Σx): Σx² accumulates as exact
+    //      DECIMAL and the ratio closes in one shared double tree
+    //      (overflow-free at any volume; exact to the ulp while the
+    //      numerator fits 2⁵³ — ~10⁸ events/hour-type). Zero hours
     //      INCLUDED — an observed-hours-only series understates
-    //      dispersion). The spine is global-min..max hour epochs (one
+    //      dispersion. The spine is global-min..max hour epochs (one
     //      broadcast 2-value agg + a bounded sequence explode);
     //      per-type work is one map-combinable agg. ----
     "e_burstiness" -> ((s, dir) => {
@@ -295,11 +297,14 @@ object SignalQueries {
         .withColumn("x", coalesce(col("x"), lit(0L)))
         .groupBy("event_type").agg(
           count(lit(1)).as("n_hours"), sum("x").as("sx"),
-          sum(col("x") * col("x")).as("sxx"))
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
         .select(col("event_type"), col("n_hours"), col("sx").as("n_events"),
           expr("sx * 1000000L div n_hours").as("mean_e6"),
-          expr("(n_hours * sxx - sx * sx) * 1000000L div (n_hours * sx)")
-            .as("fano_e6"))
+          expr("cast(round((cast(n_hours as double) " +
+            "* cast(sxx as double) - cast(sx as double) " +
+            "* cast(sx as double)) * 1000000 " +
+            "/ (cast(n_hours as double) * cast(sx as double)), 0) " +
+            "as bigint)").as("fano_e6"))
     }),
 
     "e_acf" -> ((s, dir) => {
@@ -552,11 +557,13 @@ object SignalQueries {
         |agg AS (SELECT event_type,
         |    CAST(COUNT(*) AS BIGINT) AS n_hours,
         |    CAST(SUM(x) AS BIGINT) AS sx,
-        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |    SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx
         |  FROM filled GROUP BY event_type)
         |SELECT event_type, n_hours, sx AS n_events,
         |  CAST(sx * 1000000 // n_hours AS BIGINT) AS mean_e6,
-        |  CAST((n_hours * sxx - sx * sx) * 1000000 // (n_hours * sx)
+        |  CAST(ROUND((CAST(n_hours AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000
+        |    / (CAST(n_hours AS DOUBLE) * CAST(sx AS DOUBLE)), 0)
         |    AS BIGINT) AS fano_e6
         |FROM agg""".stripMargin,
 

@@ -402,7 +402,9 @@ object StatsQueries {
           sum(when(col("value") >= 10.0, 1L).otherwise(0L)).as("conv"))
         .withColumn("p1",
           col("conv").cast("double") / col("n").cast("double"))
-        .withColumn("p2", col("p1") + lit(0.02))
+        // clamp: a ≥98% baseline would push p2 past 1 and the sqrt
+        // argument negative (NaN here, a hard error in the oracle)
+        .withColumn("p2", least(col("p1") + lit(0.02), lit(1.0)))
         .withColumn("pbar", (col("p1") + col("p2")) / lit(2.0))
         .withColumn("n_req",
           ceil(
@@ -1358,8 +1360,9 @@ object StatsQueries {
         |pp AS (SELECT event_type, n, conv,
         |    CAST(conv AS DOUBLE) / CAST(n AS DOUBLE) AS p1
         |  FROM agg),
-        |p2t AS (SELECT event_type, n, conv, p1, p1 + 0.02 AS p2,
-        |    (p1 + (p1 + 0.02)) / 2.0 AS pbar
+        |p2t AS (SELECT event_type, n, conv, p1,
+        |    LEAST(p1 + 0.02, 1.0) AS p2,
+        |    (p1 + LEAST(p1 + 0.02, 1.0)) / 2.0 AS pbar
         |  FROM pp),
         |nr AS (SELECT event_type, n, conv,
         |    CAST(CEIL(

@@ -259,6 +259,7 @@ object TextQueries {
         .orderBy(col("x").desc, col("doc_id").asc).limit(k + 1)
         .withColumn("rn", row_number().over(
           Window.orderBy(col("x").desc, col("doc_id").asc)))
+        .localCheckpoint(false) // xk1 branch + term branch
       val xk1 = topk.filter(col("rn") === k + 1)
         .select(col("x").as("xk1"))
       topk.filter(col("rn") <= k).crossJoin(broadcast(xk1))
@@ -281,9 +282,11 @@ object TextQueries {
     //      terms) — a shuffle whose epochs correlate feeds the
     //      trainer near-identical batch orders, and this is the
     //      audit that catches it. |rho| should be ≈ 0. Σd² runs as
-    //      exact DECIMAL (N³-scale; BIGINT-safe to ~2×10⁶ rows per
-    //      audit shard, the same global-sort bound the shuffle
-    //      itself carries); sign travels separately. ----
+    //      exact DECIMAL; the n³-scale closing formula runs in
+    //      doubles (identical tree both engines — exact to the ulp
+    //      while num fits 2⁵³, deterministic at any n; the sum_d2
+    //      OUTPUT column is BIGINT-safe to n ≈ 3×10⁶ per audit
+    //      shard — noted); sign travels separately. ----
     "t_shuffle_decorrelation" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       def pos(salt: String) = t(s, dir, "documents").select("doc_id")
@@ -293,13 +296,16 @@ object TextQueries {
         .join(pos("epoch2").withColumnRenamed("p", "p2"), "doc_id")
         .select((col("p1") - col("p2")).cast("long").as("d"))
         .agg(count(lit(1)).as("n"),
-          sum((col("d") * col("d")).cast("decimal(38,0)"))
-            .cast("long").as("sum_d2"))
-        .select(col("n"), col("sum_d2"),
-          signum(expr("n * (n * n - 1) - 6 * sum_d2")).cast("int")
-            .as("rho_sign"),
-          expr("abs(n * (n * n - 1) - 6 * sum_d2) * 1000000000L " +
-            "div (n * (n * n - 1))").as("rho_abs_e9"))
+          sum((col("d") * col("d")).cast("decimal(38,0)")).as("s2d"))
+        .withColumn("den_d",
+          col("n").cast("double") * col("n").cast("double") *
+            col("n").cast("double") - col("n").cast("double"))
+        .withColumn("num_d",
+          col("den_d") - lit(6.0) * col("s2d").cast("double"))
+        .select(col("n"), col("s2d").cast("long").as("sum_d2"),
+          signum(col("num_d")).cast("int").as("rho_sign"),
+          expr("cast(round(abs(num_d) * 1000000000 / den_d, 0) " +
+            "as bigint)").as("rho_abs_e9"))
     }),
 
     // ---- context-window truncation budgeting: at each candidate
@@ -876,6 +882,7 @@ object TextQueries {
         .select(col("bin"), col("n"), col("pos"),
           expr("sp div n").as("conf_e6"),
           expr("pos * 1000000L div n").as("acc_e6"))
+        .localCheckpoint(false) // ece fold + final frame
       val tot = per.agg(
         expr("sum(n * abs(conf_e6 - acc_e6)) div sum(n)").as("ece_e6"))
       per.crossJoin(broadcast(tot))
@@ -1534,26 +1541,6 @@ object TextQueries {
          | length(text) AS len_chars
          |FROM documents""".stripMargin,
 
-    "t_subword_fertility" ->
-      s"""WITH d AS (SELECT lang, CAST(len($tok) AS BIGINT) AS tc,
-         |    CAST(len(list_filter(string_split_regex(text, '[^a-z0-9]+'),
-         |        x -> len(x) > 0))
-         |      + (length(text) - length(regexp_replace(text,
-         |        '[^a-z0-9 ]', '', 'g'))) AS BIGINT) AS sw,
-         |    CAST(length(text) AS BIGINT) AS ch
-         |  FROM documents),
-         |agg AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |    CAST(SUM(tc) AS BIGINT) AS n_words,
-         |    CAST(SUM(sw) AS BIGINT) AS n_subwords,
-         |    CAST(SUM(ch) AS BIGINT) AS n_chars
-         |  FROM d GROUP BY lang)
-         |SELECT lang, n_docs, n_words, n_subwords,
-         |  CAST(n_subwords * 1000000 // n_words AS BIGINT)
-         |    AS fertility_e6,
-         |  CAST(n_chars * 1000000 // n_subwords AS BIGINT)
-         |    AS chars_per_subword_e6
-         |FROM agg""".stripMargin,
-
     "t_lang_id" -> {
       val whens = scores.map { case (l, e) =>
         s"WHEN $e = best AND best > 0 THEN '$l'"
@@ -1715,13 +1702,18 @@ object TextQueries {
         |dd AS (SELECT p1.p1 - p2.p2 AS d
         |  FROM p1 JOIN p2 USING (doc_id)),
         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(SUM(CAST(d * d AS DECIMAL(38,0))) AS BIGINT) AS sum_d2
-        |  FROM dd)
-        |SELECT n, sum_d2,
-        |  CAST(SIGN(n * (n * n - 1) - 6 * sum_d2) AS INT) AS rho_sign,
-        |  CAST(ABS(n * (n * n - 1) - 6 * sum_d2) * 1000000000
-        |    // (n * (n * n - 1)) AS BIGINT) AS rho_abs_e9
-        |FROM agg""".stripMargin,
+        |    SUM(CAST(d * d AS DECIMAL(38,0))) AS s2d
+        |  FROM dd),
+        |cl AS (SELECT n, s2d,
+        |    CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      - CAST(n AS DOUBLE) AS den_d
+        |  FROM agg)
+        |SELECT n, CAST(s2d AS BIGINT) AS sum_d2,
+        |  CAST(SIGN(den_d - 6.0 * CAST(s2d AS DOUBLE)) AS INT)
+        |    AS rho_sign,
+        |  CAST(ROUND(ABS(den_d - 6.0 * CAST(s2d AS DOUBLE))
+        |    * 1000000000 / den_d, 0) AS BIGINT) AS rho_abs_e9
+        |FROM cl""".stripMargin,
 
     "t_truncation_loss" ->
       s"""WITH d AS (SELECT CAST(len($tok) AS BIGINT) AS tc

@@ -174,11 +174,14 @@ object SignalStreams {
       .withColumn("x", coalesce(col("x"), lit(0L)))
       .groupBy("event_type").agg(
         count(lit(1)).as("n_hours"), sum("x").as("sx"),
-        sum(col("x") * col("x")).as("sxx"))
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
       .select(col("event_type"), col("n_hours"), col("sx").as("n_events"),
         expr("sx * 1000000L div n_hours").as("mean_e6"),
-        expr("(n_hours * sxx - sx * sx) * 1000000L div (n_hours * sx)")
-          .as("fano_e6"))
+        expr("cast(round((cast(n_hours as double) " +
+          "* cast(sxx as double) - cast(sx as double) " +
+          "* cast(sx as double)) * 1000000 " +
+          "/ (cast(n_hours as double) * cast(sx as double)), 0) " +
+          "as bigint)").as("fano_e6"))
   }
 
   /** Holt linear-trend monitor: fold completed hourly buckets through

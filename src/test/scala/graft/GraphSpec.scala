@@ -267,7 +267,8 @@ class GraphSpec extends SparkSpec {
     assert(r.getLong(0) == dc.size.toLong, "n_communities")
     assert(r.getLong(1) == m, "m")
     assert(r.getInt(2) == num.sign.toInt, "q_sign")
-    assert(r.getLong(3) == num.abs * 1000000L / (4L * m * m), "q_abs_e6")
+    assert(r.getLong(3) == math.round(num.abs.toDouble * 1000000 /
+      (4.0 * m.toDouble * m.toDouble)), "q_abs_e6")
     // modularity is bounded: Q in [-1/2, 1)
     val q = r.getInt(2) * r.getLong(3)
     assert(q >= -500000L && q < 1000000L)

@@ -190,8 +190,9 @@ class SignalSpec extends SparkSpec {
       val r = out(et)
       assert(r.getLong(1) == hN && r.getLong(2) == sx)
       assert(r.getLong(3) == sx * 1000000L / hN, s"mean for $et")
-      assert(r.getLong(4) == (hN * sxx - sx * sx) * 1000000L / (hN * sx),
-        s"fano for $et")
+      val fano = math.round((hN.toDouble * sxx.toDouble -
+        sx.toDouble * sx.toDouble) * 1000000 / (hN.toDouble * sx.toDouble))
+      assert(r.getLong(4) == fano, s"fano for $et")
       // dispersion of a counting series is nonnegative
       assert(r.getLong(4) >= 0L)
     }

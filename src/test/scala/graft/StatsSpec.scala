@@ -556,7 +556,7 @@ class StatsSpec extends SparkSpec {
     evs.groupBy(_._1).foreach { case (et, v) =>
       val n = v.length.toLong; val conv = v.count(_._2).toLong
       val p1 = conv.toDouble / n.toDouble
-      val p2 = p1 + 0.02
+      val p2 = math.min(p1 + 0.02, 1.0)
       val pbar = (p1 + p2) / 2.0
       val a = 1.959964 * math.sqrt(2.0 * pbar * (1.0 - pbar)) +
         0.841621 * math.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))

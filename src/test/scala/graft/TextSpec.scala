@@ -387,9 +387,10 @@ class TextSpec extends SparkSpec {
     val (a, b) = (poss("epoch1"), poss("epoch2"))
     val s2 = ids.map(id => { val d = a(id) - b(id); d * d }).sum
     assert(r.getLong(1) == s2, "sum of squared rank differences")
-    val num = n * (n * n - 1) - 6 * s2
-    assert(r.getInt(2) == num.sign.toInt)
-    assert(r.getLong(3) == num.abs * 1000000000L / (n * (n * n - 1)))
+    val denD = n.toDouble * n.toDouble * n.toDouble - n.toDouble
+    val numD = denD - 6.0 * s2.toDouble
+    assert(r.getInt(2) == numD.sign.toInt)
+    assert(r.getLong(3) == math.round(math.abs(numD) * 1000000000 / denD))
     // epochs must actually decorrelate: |rho| < 0.35 on 50 docs
     assert(r.getLong(3) < 350000000L, "shuffle epochs correlate")
   }
