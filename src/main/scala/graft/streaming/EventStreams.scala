@@ -519,4 +519,46 @@ object EventStreams {
         ((col("value") - col("__med")) / (lit(1.4826) * col("__mad")))
           .as("robust_z"))
   }
+  final case class MkState(ts: Long, eid: Long, et: String)
+  final case class MkPair(user_id: Long, prev: String, next: String)
+
+  /** Streaming half of the Markov transition model
+    * (`e_markov_transitions`): one state record per user holding the
+    * LAST event, emitting a (prev, next) pair per arrival — the
+    * pair-extraction lag window turned into an O(1)-state keyed fold.
+    * Downstream counting happens in [[markovRollup]] over the emitted
+    * pair ledger (one stateful operator per query — the chained-
+    * stateful restriction). Given in-event-time-order delivery per
+    * user, the pair stream is exactly the batch lag()'s pair set. */
+  def transitionPairStream(events: Dataset[Ev]): Dataset[MkPair] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[MkState, MkPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (u: Long, rows: Iterator[Ev], state: GroupState[MkState]) =>
+          var cur = state.getOption
+          val out = rows.toSeq
+            .sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+              val p = cur.map(s => MkPair(u, s.et, e.event_type))
+              cur = Some(MkState(e.ts.getTime, e.event_id, e.event_type))
+              p
+            }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Snapshot rollup: transition probabilities from the pair ledger —
+    * the identical exact-integer algebra as the batch
+    * `e_markov_transitions`, so a monitor fed the batch's events
+    * reproduces its rows bit-for-bit (StreamingSpec proof
+    * obligation). */
+  def markovRollup(pairs: DataFrame): DataFrame = {
+    val pc = pairs.groupBy("prev", "next").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val mg = pc.groupBy("prev").agg(sum("n").as("tot"))
+    pc.join(broadcast(mg), "prev")
+      .select(col("prev"), col("next"), col("n"),
+        expr("n * 1000000 div tot").as("p_ppm"))
+  }
 }

@@ -1381,4 +1381,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq,
       "streamed burn monitor must be bit-identical to the batch query")
   }
+  test("markov stream: per-user pair fold + rollup is bit-identical to batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val evs = Tables.t(spark, dir, "events")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id").collect()
+      .map(r => EventStreams.Ev(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    val mem = MemoryStream[EventStreams.Ev]
+    val out = EventStreams.transitionPairStream(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("mkpairs")
+      .outputMode("append").start()
+    try {
+      evs.grouped(evs.length / 4 + 1).foreach { chunk =>
+        mem.addData(chunk.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = EventStreams.markovRollup(
+      spark.table("mkpairs").drop("user_id")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(t => (t._1, t._2))
+    val want = SparkEntry.queries("e_markov_transitions")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(t => (t._1, t._2))
+    assert(got.toSeq === want.toSeq,
+      "streamed Markov model must be bit-identical to the batch query")
+  }
 }
