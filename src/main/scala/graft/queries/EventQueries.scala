@@ -458,6 +458,48 @@ object EventQueries {
         keys = Seq("event_type"), xCol = "hb", yCol = "y")
     }),
 
+    // ---- interrupted time series (segmented regression): separate
+    //      OLS fits on the hourly series before/after a cutoff, then
+    //      the level shift and slope change AT the cutoff — the
+    //      causal readout for "did the deploy change traffic" when
+    //      no control group exists. Reuses TimeSeries.linearTrend
+    //      (exact DECIMAL moments per segment); the closing
+    //      level/slope deltas are one shared IEEE tree with the
+    //      cutoff as a literal. Two model-sized fits per type. ----
+    "e_intervention_analysis" -> ((s, dir) => {
+      val cutHb = 473688L // 2024-01-15T00:00Z in hour bins
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("CAST(ts AS LONG) div 3600").as("hb"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("seg",
+          when(col("hb") < cutHb, "pre").otherwise("post"))
+        .localCheckpoint(false) // fits + per-segment origins
+      val fits = graft.operators.TimeSeries.linearTrend(hourly,
+        keys = Seq("event_type", "seg"), xCol = "hb", yCol = "y")
+      val x0 = hourly.groupBy("event_type", "seg")
+        .agg(min("hb").as("x0"))
+      val j = fits.join(x0, Seq("event_type", "seg"))
+      def side(sg: String, sfx: String) = j.filter(col("seg") === sg)
+        .select(col("event_type"), col("n").as(s"n_$sfx"),
+          col("slope").as(s"slope_$sfx"),
+          col("intercept").as(s"int_$sfx"), col("x0").as(s"x0_$sfx"))
+      side("pre", "pre").join(side("post", "post"), "event_type")
+        .withColumn("level_pre", col("int_pre") + col("slope_pre") *
+          (lit(cutHb.toDouble) - col("x0_pre").cast("double")))
+        .withColumn("level_post", col("int_post") + col("slope_post") *
+          (lit(cutHb.toDouble) - col("x0_post").cast("double")))
+        .select(col("event_type"), col("n_pre"), col("n_post"),
+          round(col("slope_pre"), 6).as("slope_pre"),
+          round(col("slope_post"), 6).as("slope_post"),
+          round(col("slope_post") - col("slope_pre"), 6)
+            .as("slope_delta"),
+          round(col("level_pre"), 6).as("level_pre"),
+          round(col("level_post"), 6).as("level_post"),
+          round(col("level_post") - col("level_pre"), 6)
+            .as("level_shift"))
+    }),
+
     // ---- last-touch attribution: each purchase credits the user's
     //      most recent view/click within a 7-day lookback (atomic
     //      as-of match — one keyed shuffle, no range cross join);
@@ -821,6 +863,55 @@ object EventQueries {
         |SELECT event_type, n, slope,
         |  (CAST(sy AS DOUBLE) - slope * sx) / n AS intercept
         |FROM sl""".stripMargin,
+
+    "e_intervention_analysis" ->
+      """WITH hourly AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS hb, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |sg AS (SELECT event_type, hb, y,
+        |    CASE WHEN hb < 473688 THEN 'pre' ELSE 'post' END AS seg
+        |  FROM hourly),
+        |m AS (SELECT event_type, seg, min(hb) AS h0
+        |  FROM sg GROUP BY 1, 2),
+        |st AS (SELECT sg.event_type, sg.seg, count(*) AS n,
+        |    sum(hb - h0) AS sx, sum(y) AS sy,
+        |    sum((hb - h0) * y) AS sxy,
+        |    sum((hb - h0) * (hb - h0)) AS sxx,
+        |    min(h0) AS x0
+        |  FROM sg JOIN m ON sg.event_type = m.event_type
+        |    AND sg.seg = m.seg
+        |  GROUP BY 1, 2),
+        |sl AS (SELECT event_type, seg, n, x0,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * sy) /
+        |    NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * sx, 0) AS slope,
+        |    sx, sy
+        |  FROM st),
+        |fit AS (SELECT event_type, seg, n, x0, slope,
+        |    (CAST(sy AS DOUBLE) - slope * sx) / n AS intercept
+        |  FROM sl),
+        |pre AS (SELECT event_type, n AS n_pre, slope AS slope_pre,
+        |    intercept AS int_pre, x0 AS x0_pre
+        |  FROM fit WHERE seg = 'pre'),
+        |post AS (SELECT event_type, n AS n_post, slope AS slope_post,
+        |    intercept AS int_post, x0 AS x0_post
+        |  FROM fit WHERE seg = 'post'),
+        |w AS (SELECT pre.event_type, n_pre, n_post, slope_pre,
+        |    slope_post,
+        |    int_pre + slope_pre * (473688.0 - CAST(x0_pre AS DOUBLE))
+        |      AS level_pre,
+        |    int_post + slope_post * (473688.0 - CAST(x0_post AS DOUBLE))
+        |      AS level_post
+        |  FROM pre JOIN post USING (event_type))
+        |SELECT event_type, n_pre, n_post,
+        |  ROUND(slope_pre, 6) AS slope_pre,
+        |  ROUND(slope_post, 6) AS slope_post,
+        |  ROUND(slope_post - slope_pre, 6) AS slope_delta,
+        |  ROUND(level_pre, 6) AS level_pre,
+        |  ROUND(level_post, 6) AS level_post,
+        |  ROUND(level_post - level_pre, 6) AS level_shift
+        |FROM w""".stripMargin,
 
     "e_attribution" ->
       """WITH l AS (SELECT user_id, ts, 1 AS side, "value",

@@ -358,6 +358,29 @@ object StatsQueries {
             .cast("long").as("tau_e6"))
     }),
 
+    // ---- deterministic 5-fold CV assignment + stability audit:
+    //      hash-stable fold membership (md5-keyed, so folds survive
+    //      corpus growth), per-fold size and mean doc length, and
+    //      the cross-fold spread — the check that fold means agree
+    //      before anyone attributes a metric delta to a model rather
+    //      than a lucky fold. All exact integers (means in e6); one
+    //      map-combinable agg + a broadcast 5-row fold. ----
+    "q_cv_kfold" -> ((s, dir) => {
+      val per = t(s, dir, "documents")
+        .select((conv(substring(md5(concat(lit("cv:"),
+          col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long")
+          % 5L).as("fold"), col("n_chars"))
+        .groupBy("fold").agg(count(lit(1)).as("n"),
+          sum("n_chars").as("sum_chars"))
+        .withColumn("mean_e6", expr("sum_chars * 1000000L div n"))
+      val sp = per.agg(
+        (max("mean_e6") - min("mean_e6")).as("spread_e6"),
+        (max("n") - min("n")).as("max_imbalance"))
+      per.crossJoin(broadcast(sp))
+        .select(col("fold"), col("n"), col("sum_chars"), col("mean_e6"),
+          col("spread_e6"), col("max_imbalance"))
+    }),
+
     // ---- exact per-source length percentiles (p10/p50/p90, "lower"
     //      order statistics) from a cumsum over the (source, value)
     //      grid — never a per-source row sort: the grid is bounded by
@@ -1333,6 +1356,26 @@ object StatsQueries {
         |    (SQRT(CAST(n0 - tx AS DOUBLE)) *
         |     SQRT(CAST(n0 - ty AS DOUBLE))), 0) AS BIGINT) AS tau_e6
         |FROM m""".stripMargin,
+
+    "q_cv_kfold" ->
+      """WITH f AS (SELECT
+        |    CAST('0x' || substr(md5('cv:' || CAST(doc_id AS VARCHAR)),
+        |      1, 4) AS BIGINT) % 5 AS fold,
+        |    n_chars
+        |  FROM documents),
+        |per AS (SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |  FROM f GROUP BY fold),
+        |pm AS (SELECT fold, n, sum_chars,
+        |    CAST(sum_chars * 1000000 // n AS BIGINT) AS mean_e6
+        |  FROM per),
+        |sp AS (SELECT CAST(MAX(mean_e6) - MIN(mean_e6) AS BIGINT)
+        |    AS spread_e6,
+        |    CAST(MAX(n) - MIN(n) AS BIGINT) AS max_imbalance
+        |  FROM pm)
+        |SELECT CAST(fold AS BIGINT) AS fold, n, sum_chars, mean_e6,
+        |  spread_e6, max_imbalance
+        |FROM pm, sp""".stripMargin,
 
     "q_group_percentiles" ->
       """WITH g AS (SELECT source,

@@ -244,4 +244,38 @@ class SignalSpec extends SparkSpec {
     assert(r.getLong(3) == test.count(p => !model.contains(p._2)).toLong)
     assert(r.getLong(4) == hits.toLong * 1000000L / test.length)
   }
+  test("e_intervention_analysis: naive segmented-OLS replay") {
+    val cut = 473688L
+    val hours = Tables.t(spark, dir, "events")
+      .selectExpr("event_type", "CAST(ts AS LONG) div 3600 AS hb")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case (k, v) => (k._1, k._2, v.length.toLong) }
+    val out = SparkEntry.queries("e_intervention_analysis")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    hours.groupBy(_._1).foreach { case (et, bins) =>
+      def fit(sel: Seq[(Long, Long)]): (Long, Double, Double, Long) = {
+        val x0 = sel.map(_._1).min
+        val n = sel.length.toLong
+        val sx = sel.map(_._1 - x0).sum
+        val sy = sel.map(_._2).sum
+        val sxy = sel.map(b => (b._1 - x0) * b._2).sum
+        val sxx = sel.map(b => (b._1 - x0) * (b._1 - x0)).sum
+        val slope = (n.toDouble * sxy.toDouble - sx.toDouble * sy) /
+          (n.toDouble * sxx.toDouble - sx.toDouble * sx)
+        val icept = (sy.toDouble - slope * sx) / n
+        (n, slope, icept, x0)
+      }
+      val series = bins.map(b => (b._2, b._3)).toSeq
+      val (nPre, sPre, iPre, x0Pre) = fit(series.filter(_._1 < cut))
+      val (nPost, sPost, iPost, x0Post) = fit(series.filter(_._1 >= cut))
+      val lvlPre = iPre + sPre * (cut.toDouble - x0Pre.toDouble)
+      val lvlPost = iPost + sPost * (cut.toDouble - x0Post.toDouble)
+      val r = out(et)
+      assert(r.getLong(1) == nPre && r.getLong(2) == nPost)
+      assert(math.abs(r.getDouble(3) - sPre) < 1e-6, s"slope_pre $et")
+      assert(math.abs(r.getDouble(4) - sPost) < 1e-6, s"slope_post $et")
+      assert(math.abs(r.getDouble(8) - (lvlPost - lvlPre)) < 1e-5,
+        s"level_shift $et")
+    }
+  }
 }

@@ -587,4 +587,28 @@ class StatsSpec extends SparkSpec {
       assert(p10 <= p50 && p50 <= p90)
     }
   }
+  test("q_cv_kfold: folds partition the corpus; replayed assignment") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = Tables.t(spark, dir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (java.lang.Long.parseLong(
+        md5hex(s"cv:${r.getLong(0)}").take(4), 16) % 5, r.getLong(1)))
+    val out = SparkEntry.queries("q_cv_kfold")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == rows.map(_._1).toSet)
+    assert(out.values.map(_.getLong(1)).sum == rows.length.toLong)
+    rows.groupBy(_._1).foreach { case (fold, v) =>
+      val r = out(fold)
+      assert(r.getLong(1) == v.length.toLong, s"n fold $fold")
+      assert(r.getLong(2) == v.map(_._2).sum, s"sum fold $fold")
+      assert(r.getLong(3) == v.map(_._2).sum * 1000000L / v.length)
+    }
+    val means = out.values.map(_.getLong(3))
+    val ns = out.values.map(_.getLong(1))
+    out.values.foreach { r =>
+      assert(r.getLong(4) == means.max - means.min)
+      assert(r.getLong(5) == ns.max - ns.min)
+    }
+  }
 }
