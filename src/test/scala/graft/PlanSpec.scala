@@ -654,4 +654,18 @@ class PlanSpec extends SparkSpec {
     assert(!planOf("d_dup_inflation").contains("Join"),
       "dup inflation must be join-free")
   }
+  test("round-9 late additions: bounded-grid windows, broadcasts, no cartesians") {
+    // dp quantile: bounded-grid window + TakeOrdered argmax
+    val dp = planOf("q_dp_quantile")
+    assert(dp.contains("TakeOrderedAndProject"), "dp argmax must be top-k")
+    // group percentiles: keyed grid window, no row sort before agg
+    assert(!planOf("q_group_percentiles").contains("CartesianProduct"))
+    // intervention: the two segment fits come from ONE scan fan-out
+    assert(!planOf("e_intervention_analysis").contains("CartesianProduct"))
+    // kfold: single map-combinable agg + broadcast spread frame
+    assert(planOf("q_cv_kfold").contains("Broadcast"))
+    // b-bit audit: candidates from the inverted-index join, never
+    // a cross join of the corpus
+    assert(!planOf("d_minhash_bbit").contains("CartesianProduct"))
+  }
 }
