@@ -97,11 +97,38 @@ object Bench {
     // Re-measure every slow query ONCE more at the END of the sweep —
     // a different temporal context — and keep the min: a genuinely
     // heavy query is just as heavy now; a spike victim re-measures
-    // at its true cost. Bounded: only queries over the threshold
-    // (~top-5%) pay one extra run.
+    // at its true cost.
+    // Trigger is RELATIVE where a committed reference exists: the
+    // round-9 driver sweep caught 8 sub-2.5 s spike victims (e.g.
+    // t_classifier_pr_curve 0.26→2.45 s) that the old absolute-only
+    // cutoff let through. Any query measuring >3× its committed
+    // BENCH_FULL.json time re-measures too (with a 0.3 s floor so
+    // sub-100 ms jitter doesn't buy extra runs); the absolute 2.5 s
+    // rule stays as the fallback for queries with no reference.
+    val refTimes: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      if (java.nio.file.Files.exists(p)) {
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val qsec = s.indexOf("\"queries\":{")
+        if (qsec < 0) Map.empty
+        else {
+          val body = s.substring(qsec + 11, s.indexOf('}', qsec))
+          "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } else Map.empty
+    } catch { case _: Throwable => Map.empty }
     val despiked = results.map { case (name, d, ok, rerun) =>
-      if (ok && d > 2.5) {
+      val spiky = d > 2.5 ||
+        (d > 0.3 && refTimes.get(name).exists(r => d > 3.0 * r))
+      if (ok && spiky) {
         val (d3, ok3) = rerun()
+        if (!ok3)
+          // late-onset flakiness must leave a trace: the original
+          // min-of-2 timing is kept (both timed runs succeeded), but
+          // the third-run failure is loud, not swallowed.
+          System.err.println(
+            s"[bench] $name despike rerun FAILED; keeping min-of-2 timing $d")
         (name, if (ok3) math.min(d, d3) else d, ok)
       } else (name, d, ok)
     }

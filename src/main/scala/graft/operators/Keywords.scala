@@ -95,9 +95,10 @@ object Keywords {
           queue += s
           var f = fail(r)
           while (f != 0 && !next(f).contains(c)) f = fail(f)
-          fail(s) = if (f != s) next(f).getOrElse(c, 0) else 0
-          // guard: the root child case — fail must not self-loop
-          if (fail(s) == s) fail(s) = 0
+          // depth invariant: f descends r's fail chain, so
+          // depth(f) < depth(r), and next(f)(c) has depth ≤ depth(f)+1
+          // ≤ depth(r) < depth(s) — the link can never self-loop.
+          fail(s) = next(f).getOrElse(c, 0)
           outB(s) ++= outB(fail(s))
         }
       }

@@ -60,6 +60,39 @@ object Ranks {
     withCums.drop("__pid" +: sumCols.map(c => s"__off_$c"): _*)
   }
 
+  /** Append a 1-based global row number `rn` under the lexicographic
+    * `orderCols` ordering WITHOUT a single-task global sort. The
+    * composite key must be unique per row (give a tie-breaking id as
+    * the last column) — then `rn` is the row's position in the total
+    * order, invariant to where RangePartitioner's sampled boundaries
+    * land, so the output is deterministic across partition counts.
+    *
+    * Shape: range-partition + sort (distributed), a #partitions-row
+    * totals agg, exclusive offsets over that tiny table, offsets
+    * broadcast back, and a within-partition row_number window keyed by
+    * partition id — each window group is one already-range-balanced
+    * partition, never the corpus.
+    */
+  def rowNumbers(df: DataFrame, orderCols: Seq[String],
+                 partitions: Int = 32): DataFrame = {
+    require(orderCols.nonEmpty)
+    val sorted = df.repartitionByRange(partitions, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.head, orderCols.tail: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false) // pin pids: totals pass + numbering pass
+    val ptot = sorted.groupBy("__pid").agg(count(lit(1)).as("__n"))
+    val wOff = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ptot
+      .withColumn("__off", coalesce(sum("__n").over(wOff), lit(0L)))
+      .select("__pid", "__off")
+    val wIn = Window.partitionBy("__pid")
+      .orderBy(orderCols.map(c => col(c).asc): _*)
+    sorted.join(broadcast(offs), "__pid")
+      .withColumn("rn", col("__off") + row_number().over(wIn))
+      .drop("__pid", "__off")
+  }
+
   /** Per-distinct-value average ranks in DOUBLED fixed point (exact
     * integers — a tied group's average rank is a multiple of 1/2):
     * for each distinct `valueCol`, `cnt` (tie size) and

@@ -373,23 +373,23 @@ object GovernanceQueries {
     //      reused verbatim) and split into head/middle/tail thirds.
     //      Bucketing is the explicit integer formula
     //      (rank-1)*3 div n + 1 on BOTH engines — no reliance on
-    //      NTILE's engine-specific tie handling. The global window
-    //      runs over (doc_id, avg_nll) NARROW rows, never documents;
-    //      at 100 TB the cutoffs would come from an approx-quantile
-    //      sketch with the same map-side assignment. Per-bucket stats
-    //      are counts + order statistics — no new double arithmetic. ----
+    //      NTILE's engine-specific tie handling. The global rank is
+    //      DISTRIBUTED (`Ranks.rowNumbers`: range-partition + offset
+    //      broadcast + per-partition numbering over the unique
+    //      (avg_nll, doc_id) key) — no plan in the suite funnels a
+    //      corpus-sized frame into one task. Per-bucket stats are
+    //      counts + order statistics — no new double arithmetic. ----
     "t_ppl_buckets" -> ((s, dir) => {
       // checkpoint the scored frame: the perplexity dag (corpus explode +
       // LM join) runs ONCE, and both consumers below (the scalar total and
-      // the ranking window) read the materialized 3-column frame instead
-      // of re-deriving it. n_total rides in as a broadcast scalar rather
-      // than a second global window over the same sort.
+      // the distributed ranking) read the materialized 3-column frame
+      // instead of re-deriving it. n_total rides in as a broadcast scalar
+      // rather than a second pass over the same ordering.
       val ppl = TextQueries.queries("t_perplexity")(s, dir)
         .select(col("doc_id"), col("avg_nll"), col("n_bigrams"))
         .localCheckpoint(false)
       val tot = ppl.agg(count(lit(1)).as("n_total"))
-      val w = Window.orderBy(col("avg_nll").asc, col("doc_id").asc)
-      ppl.withColumn("rn", row_number().over(w))
+      graft.operators.Ranks.rowNumbers(ppl, Seq("avg_nll", "doc_id"))
         .crossJoin(broadcast(tot))
         .withColumn("bucket",
           expr("(rn - 1) * 3 div n_total + 1").cast("int"))

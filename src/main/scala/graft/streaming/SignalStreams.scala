@@ -277,9 +277,13 @@ object SignalStreams {
             win = (win :+ ((r.he, r.nEvents, r.nErrors))).takeRight(6)
             val tot6 = win.map(_._2).sum
             val err6 = win.map(_._3).sum
-            val errPpm = r.nErrors * 1000000L / r.nEvents
+            // zero-event guard: the batch twin's hourly agg can never
+            // emit an empty bucket, but this public entry point accepts
+            // arbitrary hourly frames (e.g. a gap-filled feed) — a
+            // 0-event hour reads as 0 errors / 0 burn, not a crash.
+            val errPpm = r.nErrors * 1000000L / math.max(r.nEvents, 1L)
             val b1 = errPpm / 50L
-            val b6 = (err6 * 1000000L / tot6) / 50L
+            val b6 = (err6 * 1000000L / math.max(tot6, 1L)) / 50L
             BurnOut(r.he, r.nEvents, r.nErrors, errPpm, b1, b6,
               b1 >= 1440L && b6 >= 600L)
           }
