@@ -3,7 +3,7 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
@@ -668,5 +668,142 @@ object Dedup {
           slice(col("tk"), col("s"), col("e") - col("s") + 1)))
           .as("chunk_hash"),
         (col("e") - col("s") + 1).as("chunk_len"))
+  }
+
+  // ======================================================================
+  // Persisted MinHash/LSH band index — the dedup index as a TABLE.
+  //
+  // At 100 TB the index IS the asset: a daily-ingestion job must not
+  // re-shingle and re-MinHash the historical corpus to check one new
+  // batch. Instead the corpus is indexed ONCE into three parquet tables
+  // (like Listing.writeIndex persists the file index), new batches
+  // append their slice, and near-dup checks equi-join the new batch's
+  // band keys against the TABLE — the historical text is never touched
+  // again. All three tables are mergeable by construction:
+  //   sets / bands : per-doc rows — merge = UNION (disjoint id spaces)
+  //   dfs          : per-shingle counts — merge = UNION + groupBy-SUM
+  // so index(A ∪ B) == merge(index(A), index(B)) row-for-row
+  // (DedupIndexSpec proves it), which is what makes daily append +
+  // periodic compaction sound without ever rebuilding.
+  // ======================================================================
+
+  /** A persisted (or in-memory) dedup index over a document corpus:
+    *   - `sets`  (id, sh: array<string>, n_sh) — per-doc distinct
+    *     shingle sets, the exact-verification side;
+    *   - `bands` (id, band, bkey) — MinHash LSH band keys, the
+    *     candidate-generation side (equi-join key);
+    *   - `dfs`   (s, df) — shingle document frequencies, the
+    *     stop-shingle / df-cap maintenance statistics.
+    */
+  final case class BandIndex(sets: DataFrame, bands: DataFrame,
+                             dfs: DataFrame)
+
+  /** Index a corpus: shingle sets, LSH band keys (k = bands ×
+    * rowsPerBand salted-md5 MinHashes, identical math to
+    * [[minhashLshPairs]]), and shingle document frequencies. Documents
+    * with an EMPTY shingle set are kept in `sets` (they are part of
+    * the corpus) but excluded from `bands`: their signature is all-
+    * null, so every one of them would share the md5("") band bucket —
+    * a quadratic-candidate skew key at scale — and exact verification
+    * would reject every such pair anyway (jaccard over ∅ is null).
+    */
+  def buildBandIndex(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, bands: Int, rowsPerBand: Int): BandIndex = {
+    val sets = docs.select(col(idCol).as("id"),
+        array_distinct(Text.shingles(Text.tokens(col(textCol)), n)).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val banded = sets.filter(size(col("sh")) > 0)
+      .select(col("id"),
+        posexplode(lshBandKeys(minhashSignature(col("sh"), bands * rowsPerBand),
+          bands, rowsPerBand)).as(Seq("band", "bkey")))
+    val dfs = sets.select(explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    BandIndex(sets, bands = banded, dfs = dfs)
+  }
+
+  /** Persist an index as three parquet tables under `path`. Overwrite
+    * semantics like [[graft.sources.Listing.writeIndex]]: parquet is
+    * immutable, so incremental maintenance writes a NEW path and swaps.
+    */
+  def writeBandIndex(idx: BandIndex, path: String): Unit = {
+    idx.sets.write.mode("overwrite").parquet(s"$path/sets")
+    idx.bands.write.mode("overwrite").parquet(s"$path/bands")
+    idx.dfs.write.mode("overwrite").parquet(s"$path/dfs")
+  }
+
+  /** Read a persisted index back. Downstream joins see plain parquet
+    * scans — column pruning and predicate pushdown apply, so a check
+    * against one band only reads (band, bkey, id).
+    */
+  def readBandIndex(spark: SparkSession, path: String): BandIndex =
+    BandIndex(
+      sets = spark.read.parquet(s"$path/sets"),
+      bands = spark.read.parquet(s"$path/bands"),
+      dfs = spark.read.parquet(s"$path/dfs"))
+
+  /** Merge two indexes built over DISJOINT corpora (the daily-append
+    * step): per-doc tables union; document frequencies re-aggregate.
+    * index(A ∪ B) == merge(index(A), index(B)) — see DedupIndexSpec.
+    */
+  def mergeBandIndex(a: BandIndex, b: BandIndex): BandIndex =
+    BandIndex(
+      sets = a.sets.unionByName(b.sets),
+      bands = a.bands.unionByName(b.bands),
+      dfs = a.dfs.unionByName(b.dfs)
+        .groupBy("s").agg(sum("df").as("df")))
+
+  /** Compact a persisted index in place: after many daily appends the
+    * artifact is thousands of small files; rewrite each table
+    * CLUSTERED BY its join key (bands by bkey, dfs by s, sets by id)
+    * into `partitions` files, so the daily band-key equi-join scans
+    * co-located runs instead of the whole artifact. Writes to
+    * `path.compact` then swaps directories (parquet is immutable).
+    */
+  def compactBandIndex(spark: SparkSession, path: String,
+                       partitions: Int): Unit = {
+    val idx = readBandIndex(spark, path)
+    val tmp = s"$path.compact"
+    writeBandIndex(BandIndex(
+      sets = idx.sets.repartition(partitions, col("id")),
+      bands = idx.bands.repartition(partitions, col("bkey")),
+      dfs = idx.dfs.repartition(partitions, col("s"))), tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path)), s"compact swap failed: $tmp -> $path")
+  }
+
+  /** Near-dup pairs of a NEW batch against a PERSISTED index — the
+    * daily-ingestion near-dup check that never re-reads historical
+    * text. MinHash+LSH bands are computed for the new batch only
+    * (same n/bands/rowsPerBand as the index — caller must match);
+    * candidates come from the (band, bkey) equi-join against the
+    * index's band TABLE; exact Jaccard verification joins the two
+    * sets tables on candidate ids only. Emits (new_id, base_id,
+    * jaccard) — identical to what [[minhashLshPairs]] over the union
+    * corpus would emit restricted to new×old (DedupIndexSpec proves
+    * the equality).
+    */
+  def pairsAgainstIndex(newDocs: DataFrame, idx: BandIndex,
+                        idCol: String, textCol: String,
+                        n: Int, bands: Int, rowsPerBand: Int,
+                        threshold: Double): DataFrame = {
+    val fresh = buildBandIndex(newDocs, idCol, textCol, n, bands, rowsPerBand)
+    val cands = fresh.bands.as("a")
+      .join(idx.bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.id").as("new_id"), col("b.id").as("base_id"))
+      .dropDuplicates("new_id", "base_id")
+    cands
+      .join(fresh.sets.select(col("id").as("new_id"), col("sh").as("sha")),
+        "new_id")
+      .join(idx.sets.select(col("id").as("base_id"), col("sh").as("shb")),
+        "base_id")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "base_id", "jaccard")
   }
 }

@@ -666,6 +666,21 @@ object Multimodal {
       writer.dispose(); ios.close()
       bos.toByteArray
     }
+    renderAviCompressed(w, h, "MJPG", payloads)
+  }
+
+  /** A compressed-stream AVI with an ARBITRARY codec fourcc (handler
+    * and biCompression both set to it) wrapping the given opaque
+    * '00dc' payloads: the fixture for codecs the JVM can NOT decode
+    * (H.264, VP9, …) — m_codec_inventory uses it to prove the
+    * inventory pass classifies foreign codecs without touching a
+    * decoder. Layout identical to [[renderAviWith]].
+    */
+  private[graft] def renderAviCompressed(w: Int, h: Int, codec: String,
+      payloads: Seq[Array[Byte]]): Array[Byte] = {
+    require(codec.length == 4, s"codec fourcc must be 4 chars: '$codec'")
+    val codecInt = codec(0).toInt | (codec(1).toInt << 8) |
+      (codec(2).toInt << 16) | (codec(3).toInt << 24)
     val maxLen = payloads.map(_.length).max
     val out = new java.io.ByteArrayOutputStream()
     val buf = java.nio.ByteBuffer.allocate(212)
@@ -685,7 +700,7 @@ object Multimodal {
     buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0)
     put4("LIST"); buf.putInt(4 + (8 + 56) + (8 + 40)); put4("strl")
     put4("strh"); buf.putInt(56)
-    put4("vids"); put4("MJPG")
+    put4("vids"); put4(codec)
     buf.putInt(0); buf.putInt(0); buf.putInt(0)
     buf.putInt(1); buf.putInt(25)
     buf.putInt(0); buf.putInt(payloads.length)
@@ -695,7 +710,7 @@ object Multimodal {
     put4("strf"); buf.putInt(40)
     buf.putInt(40); buf.putInt(w); buf.putInt(h)
     buf.putShort(1.toShort); buf.putShort(24.toShort)
-    buf.putInt(MJPG)
+    buf.putInt(codecInt)
     buf.putInt(maxLen); buf.putInt(0); buf.putInt(0)
     buf.putInt(0); buf.putInt(0)
     out.write(buf.array(), 0, buf.position())
@@ -876,6 +891,86 @@ object Multimodal {
         } catch { case _: Exception => Seq.empty }
       })
   }
+
+  final case class CodecInfo(id: Long, container: String,
+                             codec: Option[String], n_video_chunks: Int,
+                             decodable: Boolean)
+
+  /** Per-file codec inventory: container kind, video codec fourcc,
+    * video chunk count, and whether THIS JVM can actually decode the
+    * stream (raw 'DIB ' always; 'MJPG' iff an ImageIO JPEG reader is
+    * registered; any other codec — and any non-AVI container — no).
+    *
+    * This is the budgeting pass a 100 TB multimodal scan runs BEFORE
+    * scheduling decode work: one per-partition header walk (no pixel
+    * decode, no shuffle, columns pruned to id+content), after which
+    * the pipeline knows exactly what fraction of the corpus its
+    * decoders cover and routes the rest to the documented NULL seam
+    * instead of discovering it mid-job. AVI codec = biCompression
+    * when set, else the strh handler; MP4 reports the ftyp major
+    * brand (the header fixture carries no track table); anything
+    * unrecognized or malformed is container "unknown".
+    */
+  def codecInventory(df: DataFrame): Dataset[CodecInfo] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // probe the decoder registry once per partition, not per row
+        val hasJpeg = javax.imageio.ImageIO
+          .getImageReadersByFormatName("jpeg").hasNext
+        it.map { case (id, bytes) =>
+          try {
+            if (isAvi(bytes)) {
+              val dims = aviDims(bytes)
+              val comp = dims.map(_._4)
+              val codec = comp match {
+                case Some(0) => aviHandler(bytes).orElse(Some("DIB "))
+                case Some(c) => Some(fourccOfInt(c))
+                case None => aviHandler(bytes)
+              }
+              var n = 0
+              aviVideoStream(bytes).foreach { i =>
+                val pfx = f"$i%02d"
+                walkRiff(bytes, 12, bytes.length) { (cc, _, _) =>
+                  if (cc.startsWith(pfx) &&
+                      (cc.endsWith("db") || cc.endsWith("dc"))) n += 1
+                }
+              }
+              // decodable means THIS module's decoders would produce
+              // pixels: raw requires the BGR24 layout aviFrameStats
+              // reads; MJPG requires a registered JPEG reader
+              val dec = dims.exists(d => d._4 == 0 && d._3 == 24) ||
+                (comp.contains(MJPG) && hasJpeg)
+              CodecInfo(id, "avi", codec, n, dec)
+            } else if (bytes != null && bytes.length >= 12 &&
+                fourcc(bytes, 4) == "ftyp") {
+              CodecInfo(id, "mp4", Some(fourcc(bytes, 8)), 0,
+                decodable = false)
+            } else CodecInfo(id, "unknown", None, 0, decodable = false)
+          } catch {
+            case _: Exception => CodecInfo(id, "unknown", None, 0,
+              decodable = false)
+          }
+        }
+      }
+  }
+
+  /** fccHandler of the first 'vids' strh, or None. */
+  private def aviHandler(bytes: Array[Byte]): Option[String] = {
+    var h: Option[String] = None
+    val ok = walkRiff(bytes, 12, bytes.length) { (cc, off, sz) =>
+      if (cc == "strh" && sz >= 8 && h.isEmpty &&
+          fourcc(bytes, off) == "vids")
+        h = Some(fourcc(bytes, off + 4))
+    }
+    if (ok) h else None
+  }
+
+  /** A biCompression value back to its fourcc string (little-endian). */
+  private def fourccOfInt(c: Int): String =
+    new String(Array((c & 0xFF).toByte, ((c >> 8) & 0xFF).toByte,
+      ((c >> 16) & 0xFF).toByte, ((c >> 24) & 0xFF).toByte), "US-ASCII")
 
   final case class SceneDiff(id: Long, frame_idx: Int, sad: Long)
 

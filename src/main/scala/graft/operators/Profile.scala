@@ -36,7 +36,7 @@ object Profile {
     * computed the way that scales: a range-partitioned global sort +
     * per-partition offset indexing (RDD zipWithIndex — two narrow jobs,
     * never a single-partition window), then a 6-row position lookup.
-    * The sketch-based `percentile_approx` (q_approx_stats) is the
+    * The sketch-based `percentile_approx` (Relational3.approxStats) is the
     * everyday 100 TB path; this is the audit-grade exact one.
     *
     * Returns (q, value) — value = v[lo] + (v[hi] − v[lo])·frac at

@@ -34,6 +34,13 @@ object DedupQueries {
   private val tripledMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, String)]]()
 
+  /** Temp path of the persisted band index for d_index_incremental,
+    * built once per data directory (the fixture is the INDEX WRITE;
+    * the query under test is the read + incremental check).
+    */
+  private val bandIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def tripledCorpus(s: SparkSession, dir: String): DataFrame = {
     val rows = tripledMemo.computeIfAbsent(dir, _ => {
       val d = t(s, dir, "documents").filter(col("doc_id") < 150)
@@ -375,6 +382,35 @@ object DedupQueries {
         .localCheckpoint(false)
       Dedup.jaccardPairsAgainst(newBatch, base, "doc_id", "text",
         n = 5, threshold = 0.5, dfCap = None)
+    }),
+
+    // ---- incremental dedup against the PERSISTED band index: the
+    //      historical corpus (docs < 300) is MinHash/LSH-indexed once
+    //      per data directory and written as three parquet tables
+    //      (Dedup.writeBandIndex — the artifact a daily job appends
+    //      to); the query itself reads the TABLE and checks the new
+    //      batch against it, never re-shingling historical text. This
+    //      is the 100 TB daily-ingestion shape: candidates from a
+    //      (band, bkey) equi-join against the persisted band table,
+    //      exact Jaccard verify against the persisted sets table ----
+    "d_index_incremental" -> ((s, dir) => {
+      val idxPath = bandIdxMemo.computeIfAbsent(dir, _ => {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_bandidx").toString
+        val base = t(s, dir, "documents").filter(col("doc_id") < 300)
+          .select("doc_id", "text")
+        Dedup.writeBandIndex(Dedup.buildBandIndex(base, "doc_id", "text",
+          n = 5, bands = 3, rowsPerBand = 2), p)
+        p
+      })
+      val idx = Dedup.readBandIndex(s, idxPath)
+      val tok = Text.tokens(col("text"))
+      val newBatch = t(s, dir, "documents")
+        .filter(col("doc_id") >= 100 && col("doc_id") < 200)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          array_join(slice(tok, lit(2), size(tok) - 1), " ").as("text"))
+      Dedup.pairsAgainstIndex(newBatch, idx, "doc_id", "text",
+        n = 5, bands = 3, rowsPerBand = 2, threshold = 0.5)
     }),
 
     // ---- duplicate-cluster consolidation: three generations of near
@@ -1048,6 +1084,48 @@ object DedupQueries {
          |SELECT new_id, base_id,
          |  CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
          |FROM common
+         |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5""".stripMargin,
+
+    // the persisted-index path must equal the direct MinHash/LSH math
+    // over the same two corpora (new bands × base bands, exact verify)
+    "d_index_incremental" ->
+      s"""WITH basec AS (SELECT doc_id AS id, text FROM documents
+         |  WHERE doc_id < 300),
+         |newc AS (SELECT doc_id + 500000 AS id,
+         |    array_to_string(string_split(text, ' ')[2:], ' ') AS text
+         |  FROM documents WHERE doc_id >= 100 AND doc_id < 200),
+         |shb AS MATERIALIZED (SELECT id, list_distinct(
+         |  CASE WHEN len(tok) < 5 THEN []
+         |       ELSE list_transform(range(1, len(tok) - 3),
+         |              i -> array_to_string(tok[i:i+4], ' ')) END) AS sh
+         |  FROM (SELECT id, string_split(text, ' ') AS tok FROM basec)),
+         |shn AS MATERIALIZED (SELECT id, list_distinct(
+         |  CASE WHEN len(tok) < 5 THEN []
+         |       ELSE list_transform(range(1, len(tok) - 3),
+         |              i -> array_to_string(tok[i:i+4], ' ')) END) AS sh
+         |  FROM (SELECT id, string_split(text, ' ') AS tok FROM newc)),
+         |sigb AS (SELECT id, list_transform(range(0, 6),
+         |    i -> list_aggregate(list_transform(sh,
+         |           s -> md5(CAST(i AS VARCHAR) || ':' || s)), 'min')) AS sig
+         |  FROM shb WHERE len(sh) > 0),
+         |sign0 AS (SELECT id, list_transform(range(0, 6),
+         |    i -> list_aggregate(list_transform(sh,
+         |           s -> md5(CAST(i AS VARCHAR) || ':' || s)), 'min')) AS sig
+         |  FROM shn WHERE len(sh) > 0),
+         |bb AS (SELECT id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bkey
+         |  FROM sigb CROSS JOIN (SELECT unnest(range(0, 3)) AS b)),
+         |bn AS (SELECT id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bkey
+         |  FROM sign0 CROSS JOIN (SELECT unnest(range(0, 3)) AS b)),
+         |cands AS (SELECT DISTINCT a.id AS new_id, b.id AS base_id
+         |  FROM bn a JOIN bb b ON a.b = b.b AND a.bkey = b.bkey),
+         |verif AS (SELECT c.new_id, c.base_id,
+         |    len(list_intersect(x.sh, y.sh)) AS common,
+         |    len(x.sh) AS na, len(y.sh) AS nb
+         |  FROM cands c JOIN shn x ON x.id = c.new_id
+         |  JOIN shb y ON y.id = c.base_id)
+         |SELECT new_id, base_id,
+         |  CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
+         |FROM verif
          |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5""".stripMargin,
 
     // true connected components via recursive CTE (UNION dedups, so

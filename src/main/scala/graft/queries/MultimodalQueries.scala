@@ -20,14 +20,17 @@ object MultimodalQueries {
 
   /** The rendered-PNG corpus shared by m_features / m_pixel_stats /
     * m_resize (identical fixture: one doc_id-parameterized truecolor
-    * PNG per document). The ENCODE side is deterministic fixture
-    * build, so its bytes are rendered once per data directory
-    * (distributed, then collected — bounded: ≤64×64 rasters) and
-    * re-materialized as a fresh frame per query; the DECODE side —
-    * what each query actually proves — still runs distributed and
-    * per query. Plain rows survive sweep runners unpersisting
-    * checkpoint blocks between queries, where a cached checkpointed
-    * frame would dangle.
+    * PNG per doc in a FIXED slice, `doc_id < 150` — like
+    * `tripledCorpus`, the fixture is fixed-SIZE by construction at
+    * any scale factor, so the one collect here is a bounded
+    * fixture-build cost, never corpus-sized). The ENCODE side is
+    * deterministic fixture build, so its bytes are rendered once per
+    * data directory (distributed, then collected — ≤150 rasters of
+    * ≤64×64) and re-materialized as a fresh frame per query; the
+    * DECODE side — what each query actually proves — still runs
+    * distributed and per query. Plain rows survive sweep runners
+    * unpersisting checkpoint blocks between queries, where a cached
+    * checkpointed frame would dangle.
     */
   private val pngMemo = new java.util.concurrent.ConcurrentHashMap[
     String, Array[(Long, Array[Byte])]]()
@@ -36,6 +39,7 @@ object MultimodalQueries {
     val rows = pngMemo.computeIfAbsent(dir, _ => {
       import s.implicits._
       t(s, dir, "documents")
+        .filter(col("doc_id") < 150)
         .select(col("doc_id"),
           (col("doc_id") % 64 + 1).cast("int").as("w"),
           ((col("doc_id") * 7) % 64 + 1).cast("int").as("h"))
@@ -60,6 +64,7 @@ object MultimodalQueries {
     val twins = pngTwinMemo.computeIfAbsent(dir, _ => {
       import s.implicits._
       t(s, dir, "documents")
+        .filter(col("doc_id") < 150)
         .select(col("doc_id"),
           (col("doc_id") % 64 + 1).cast("int").as("w"),
           ((col("doc_id") * 7) % 64 + 1).cast("int").as("h"))
@@ -157,6 +162,50 @@ object MultimodalQueries {
       Multimodal.aviSceneDiffs(avis).toDF()
         .select(col("id"), col("frame_idx"), col("sad"),
           (col("sad") > 9000L).as("is_cut"))
+    }),
+
+    // ---- codec inventory over a mixed-container corpus (raw-DIB AVI /
+    //      MJPEG AVI / foreign-codec 'H264' AVI / MP4, by doc_id % 4):
+    //      the budgeting pass a 100 TB multimodal scan runs BEFORE
+    //      scheduling decode work — header walks only, no pixel decode,
+    //      no shuffle — so the pipeline knows upfront what fraction of
+    //      the corpus its decoders cover (here: raw + MJPG decodable,
+    //      H264 and MP4 routed to the documented NULL seam) ----
+    "m_codec_inventory" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val bytes = (id % 4) match {
+            case 0 => Multimodal.renderAviRaw(id, 8, 6, (id % 3 + 2).toInt)
+            case 1 =>
+              val frames = (0 until (id % 2 + 1).toInt).map { f =>
+                val img = new java.awt.image.BufferedImage(8, 6,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val v = ((id * 31 + f * 17) % 256).toInt
+                val rgb = (v << 16) | (v << 8) | v
+                var y = 0
+                while (y < 6) {
+                  var x = 0
+                  while (x < 8) { img.setRGB(x, y, rgb); x += 1 }
+                  y += 1
+                }
+                img
+              }
+              Multimodal.renderAviMjpeg(8, 6, frames)
+            case 2 => Multimodal.renderAviCompressed(8, 6, "H264",
+              (0 until (id % 3 + 1).toInt).map(f =>
+                Array.tabulate[Byte](16)(j =>
+                  ((id + f * 31L + j) % 256).toByte)))
+            case _ =>
+              val b = java.nio.ByteBuffer.allocate(16)
+              b.putInt(16); b.put("ftypisom".getBytes("US-ASCII"))
+              b.putInt(0)
+              b.array()
+          }
+          (id, bytes)
+        }).toDF("id", "content")
+      Multimodal.codecInventory(media).toDF()
+        .select("id", "container", "codec", "n_video_chunks", "decodable")
     }),
 
     // ---- PIXEL-level round trip: encode deterministic rasters, decode
@@ -469,7 +518,7 @@ object MultimodalQueries {
         | CAST(doc_id % 64 + 1 AS INT) AS width,
         | CAST((doc_id * 7) % 64 + 1 AS INT) AS height,
         | 3 AS channels
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE doc_id < 150""".stripMargin,
 
     "m_frame_sample" ->
       """SELECT doc_id AS id, b AS frame_idx,
@@ -532,6 +581,21 @@ object MultimodalQueries {
         |  CAST(sad AS BIGINT) AS sad, sad > 9000 AS is_cut
         |FROM d""".stripMargin,
 
+    // the inventory is a pure function of the generating corpus:
+    // doc_id % 4 selects the container/codec, the chunk counts are the
+    // fixture's frame counts, and decodability is exactly {raw, MJPG}
+    "m_codec_inventory" ->
+      """SELECT doc_id AS id,
+        |  CASE WHEN doc_id % 4 = 3 THEN 'mp4' ELSE 'avi' END AS container,
+        |  CASE doc_id % 4 WHEN 0 THEN 'DIB ' WHEN 1 THEN 'MJPG'
+        |       WHEN 2 THEN 'H264' ELSE 'isom' END AS codec,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN doc_id % 3 + 2
+        |       WHEN 1 THEN doc_id % 2 + 1
+        |       WHEN 2 THEN doc_id % 3 + 1 ELSE 0 END AS INT)
+        |    AS n_video_chunks,
+        |  doc_id % 4 IN (0, 1) AS decodable
+        |FROM documents""".stripMargin,
+
     // closed-form pixel-component sum of the generating function
     // v(x,y) = (id*2654435761 + 7x + 131y) & 0xFFFFFF, summed as
     // (v>>16) + ((v>>8)&255) + (v&255) over the w×h raster — what the
@@ -546,7 +610,7 @@ object MultimodalQueries {
         |       + ((((doc_id * 2654435761 + x * 7 + y * 131) & 16777215) >> 8) & 255)
         |       + ((doc_id * 2654435761 + x * 7 + y * 131) & 255)))))
         |  AS BIGINT) AS px_sum
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE doc_id < 150""".stripMargin,
 
     // nearest-neighbor resize to 8×6: src pixel (x2·w)//8, (y2·h)//6 —
     // same generating-function components as m_pixel_stats, sampled at
@@ -565,8 +629,10 @@ object MultimodalQueries {
       }
       s"""WITH m AS (
          |  SELECT doc_id AS id, doc_id AS base, 1 AS sc FROM documents
+         |  WHERE doc_id < 150
          |  UNION ALL
-         |  SELECT doc_id + 100000, doc_id, 2 FROM documents),
+         |  SELECT doc_id + 100000, doc_id, 2 FROM documents
+         |  WHERE doc_id < 150),
          |h AS (SELECT id, array_to_string(flatten(list_transform(
          |    range(0, 8), y2 -> list_transform(range(0, 8), x2 ->
          |      CASE WHEN ${bright("x2 + 1", "y2")} > ${bright("x2", "y2")}
@@ -589,7 +655,7 @@ object MultimodalQueries {
          | CAST(list_sum(flatten(list_transform(range(0, 6), y2 ->
          |   list_transform(range(0, 8), x2 -> $comps)))) AS BIGINT)
          |  AS px_sum
-         |FROM documents""".stripMargin
+         |FROM documents WHERE doc_id < 150""".stripMargin
     },
 
     // closed-form PCM sample sum: n = id%50+10 samples of

@@ -21,6 +21,26 @@ object Relational3 {
   private def revenue(price: Column, disc: Column): Column =
     dec(price) * (one - frac(disc))
 
+  /** Sketch aggregates (HLL distinct, approx quantiles): the 100 TB
+    * substitutes for exact countDistinct / exact median. SPEC-ONLY (not
+    * in `queries`): sketch values are engine-specific, so no portable
+    * SQL oracle exists — FileIndexSpec bounds the error vs exact, and
+    * the hash-gated `q_approx_stats_gate` below asserts the error
+    * envelope inside the driver's correctness board, so every board row
+    * is a full rows+schema+hash check with zero asterisks.
+    */
+  def approxStats(s: SparkSession, dir: String): DataFrame =
+    // quartiles projected as scalars (p25/p50/p75) — array columns
+    // can't be hashed/sorted by a generic row comparator
+    t(s, dir, "orders").agg(
+      approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_customers"),
+      percentile_approx(col("o_totalprice"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("q"))
+      .select(col("approx_customers"),
+        col("q").getItem(0).as("p25"),
+        col("q").getItem(1).as("p50"),
+        col("q").getItem(2).as("p75"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Q7 shape: bilateral trade volume between two nations ----
     "q7_volume_shipping" -> ((s, dir) => {
@@ -93,32 +113,16 @@ object Relational3 {
           count(lit(1)).as("n_lines"))
     }),
 
-    // ---- sketch aggregates (HLL distinct, approx quantiles): the
-    //      100 TB substitutes for exact countDistinct / exact median.
-    //      No SQL oracle (sketches are engine-specific) — driver records
-    //      a rows-only check; RelationalSpec bounds the error vs exact ----
-    "q_approx_stats" -> ((s, dir) => {
-      // quartiles projected as scalars (p25/p50/p75) — array columns
-      // can't be hashed/sorted by the driver's rows-only comparator
-      t(s, dir, "orders").agg(
-        approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_customers"),
-        percentile_approx(col("o_totalprice"),
-          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("q"))
-        .select(col("approx_customers"),
-          col("q").getItem(0).as("p25"),
-          col("q").getItem(1).as("p50"),
-          col("q").getItem(2).as("p75"))
-    }),
-
     // ---- relational exactness gate for the sketch path: recompute the
     //      sketches ALONGSIDE the exact count-distinct and exact
     //      rank-window quantile bounds, and emit only exact values plus
     //      the asserted error bounds as booleans. The oracle states the
     //      exact side and literal TRUE for every bound, so a sketch
     //      drifting out of its error envelope flips a boolean and turns
-    //      this row red in the driver's hash compare — q_approx_stats
-    //      itself stays rows-only (sketch values are engine-specific by
-    //      design). HLL at rsd=1% gates at 3% (3σ); percentile_approx
+    //      this row red in the driver's hash compare — the raw sketch
+    //      values themselves live in the spec-only `approxStats` above
+    //      (engine-specific by design). HLL at rsd=1% gates at 3% (3σ);
+    //      percentile_approx
     //      at accuracy 10000 has rank error ≤ 1e-4·n, gated via exact
     //      quantiles at fraction ±0.005 (50× margin) — quantile
     //      monotonicity makes the bound interpolation-free ----

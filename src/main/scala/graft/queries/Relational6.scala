@@ -117,7 +117,7 @@ object Relational6 {
 
     // Audit-grade exact quantiles (Profile.exactQuantiles): range sort +
     // zipWithIndex offsets, never a single-partition window. Pairs with
-    // the sketch path in q_approx_stats.
+    // the sketch path in Relational3.approxStats.
     "q_exact_quantiles" -> ((s, dir) => {
       graft.operators.Profile.exactQuantiles(
         t(s, dir, "orders"), "o_totalprice", Seq(0.25, 0.5, 0.75))

@@ -8,8 +8,9 @@ import graft.operators.{Hll, Kmv}
 
 /** Mergeable-sketch queries with EXACT oracles.
   *
-  * `q_approx_stats` (HLL / GK) is rows-only by design because those
-  * sketches are engine-internal; this module carries the sketches whose
+  * The built-in HLL/GK sketch values are engine-internal (spec-only
+  * `Relational3.approxStats`, error-enveloped by `q_approx_stats_gate`);
+  * this module carries the sketches whose
   * every output bit is a pure function of the input value set, so the
   * DuckDB hash gate applies in full. See [[graft.operators.Kmv]],
   * [[graft.operators.Hll]].

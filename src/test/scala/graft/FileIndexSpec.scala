@@ -81,7 +81,7 @@ class FileIndexSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.01"
     val o = Tables.t(spark, dir, "orders")
-    val row = SparkEntry.queries("q_approx_stats")(spark, dir).collect()(0)
+    val row = graft.queries.Relational3.approxStats(spark, dir).collect()(0)
     val exactDistinct = o.select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
     val approx = row.getAs[Long]("approx_customers")
     assert(math.abs(approx - exactDistinct).toDouble / exactDistinct < 0.05)

@@ -481,4 +481,35 @@ class MultimodalSpec extends SparkSpec {
       .collect()
     assert(out.forall(_.id == 6L) && out.length == 3)
   }
+
+  test("codecInventory: containers, fourCCs, chunk counts, decodability") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val mp4 = {
+      val b = java.nio.ByteBuffer.allocate(16)
+      b.putInt(16); b.put("ftypisom".getBytes("US-ASCII")); b.putInt(0)
+      b.array()
+    }
+    val rows = Multimodal.codecInventory(Seq(
+      (1L, Multimodal.renderAviRaw(1L, 8, 6, 3)),
+      (2L, Multimodal.renderAviMjpeg(8, 6, Seq(img, img))),
+      (3L, Multimodal.renderAviCompressed(8, 6, "H264",
+        Seq(Array[Byte](1, 2, 3)))),
+      (4L, mp4),
+      (5L, "not a container at all".getBytes("US-ASCII")),
+      (6L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "content")).collect().map(c => c.id -> c).toMap
+    assert(rows(1L).container === "avi")
+    assert(rows(1L).codec === Some("DIB "))
+    assert(rows(1L).n_video_chunks === 3 && rows(1L).decodable)
+    assert(rows(2L).codec === Some("MJPG"))
+    assert(rows(2L).n_video_chunks === 2 && rows(2L).decodable)
+    assert(rows(3L).codec === Some("H264"))
+    assert(rows(3L).n_video_chunks === 1 && !rows(3L).decodable)
+    assert(rows(4L).container === "mp4" && rows(4L).codec === Some("isom")
+      && !rows(4L).decodable)
+    assert(rows(5L).container === "unknown" && rows(5L).codec === None)
+    assert(rows(6L).container === "unknown" && !rows(6L).decodable)
+  }
 }

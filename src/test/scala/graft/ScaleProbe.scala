@@ -71,13 +71,33 @@ object ScaleProbe {
       println(s"[probe] generated $dst")
     }
 
+    // default: the TOP-10 most expensive queries from the committed
+    // BENCH_FULL.json — the standing end-of-round probe (VERDICT r9
+    // #8): the queries that dominate the sweep are exactly the ones
+    // whose scaling exponent must be on record. a_pipeline_move is
+    // excluded (a 400-file E2E move against ITS OWN fixture tree —
+    // replicating the parquet tables does not scale its input).
     val names =
       if (args.nonEmpty) args(0).split(",").toSeq
-      else Seq("q1_pricing_summary", "q3_shipping_priority",
-        "q5_region_revenue", "d_exact_groups", "d_jaccard_prefix",
-        "d_minhash_lsh_pairs", "d_cdc_chunks", "t_tfidf_topk",
-        "e_sessionize", "e_cusum_changepoint", "g_pagerank",
-        "s_knn_graph")
+      else {
+        val ref = try {
+          val s = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8")
+          val qsec = s.indexOf("\"queries\":{")
+          if (qsec < 0) Map.empty[String, Double]
+          else "\"([A-Za-z0-9_]+)\":([0-9.]+)".r
+            .findAllMatchIn(s.substring(qsec + 11, s.indexOf('}', qsec)))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        } catch { case _: Throwable => Map.empty[String, Double] }
+        if (ref.isEmpty)
+          Seq("q1_pricing_summary", "q3_shipping_priority",
+            "q5_region_revenue", "d_exact_groups", "d_jaccard_prefix",
+            "d_minhash_lsh_pairs", "d_cdc_chunks", "t_tfidf_topk",
+            "e_sessionize", "e_cusum_changepoint", "g_pagerank",
+            "s_knn_graph")
+        else ref.toSeq.filterNot(_._1 == "a_pipeline_move")
+          .sortBy(-_._2).take(10).map(_._1)
+      }
 
     def time(name: String, dir: String): Double = {
       def once(): Double = {
@@ -94,11 +114,14 @@ object ScaleProbe {
             spark.read.parquet(s"$dst/$t.parquet").count() }
       catch { case _: Throwable => () }
     }
-    println(f"${"query"}%-22s ${"sf0.1"}%8s ${"10x"}%8s  ratio")
+    // exponent = log10(t10x / t1x): 1.0 is perfectly linear in data
+    // volume, ~1 + log10(log10) ≈ 1.1 is n·log n, 2.0 is quadratic —
+    // anything much above ~1.2 needs a plan note or a fix (SCALE.md)
+    println(f"${"query"}%-22s ${"sf0.1"}%8s ${"10x"}%8s  ratio  exponent")
     names.foreach { n =>
       val a = time(n, src)
       val b = time(n, dst)
-      println(f"$n%-22s $a%8.2f $b%8.2f  ${b / a}%.1fx")
+      println(f"$n%-22s $a%8.2f $b%8.2f  ${b / a}%5.1fx  ${math.log10(b / a)}%.2f")
     }
     spark.stop()
   }
