@@ -668,4 +668,72 @@ class PlanSpec extends SparkSpec {
     // a cross join of the corpus
     assert(!planOf("d_minhash_bbit").contains("CartesianProduct"))
   }
+
+  // Every query whose physical plan is ALLOWED to carry an
+  // unpartitioned Window (a single-task global sort of its input
+  // frame), each because that frame is bounded by construction —
+  // hourly spines (wall-clock-bounded), value grids, post-aggregation
+  // group frames, post-top-k rows, model-sized tables, or
+  // partition-id-sized offsets. Regenerate the raw list with
+  // `sbt 'Test/runMain graft.WindowSweep'`.
+  private val boundedGlobalWindows = Set(
+    // hourly/dense-spine series — rows = observed hours, not events
+    "e_cusum_changepoint", "e_ts_anomaly", "e_late_arrivals",
+    "e_slo_burn",
+    // value grids / per-test statistic frames (distinct values or
+    // fixed replicate counts, aggregated before the window)
+    "e_kaplan_meier", "e_theil_sen", "q_ks_test", "q_mannwhitney_u",
+    "q_spearman", "q_bh_fdr", "q_bootstrap_ci", "q_conformal_coverage",
+    "q_dp_quantile", "q_group_median", "q_group_percentiles",
+    "q_median_price", "q_skyline",
+    // post-aggregation group frames (suppliers/months/parts after the
+    // corpus-sized agg; TPC-H dim cardinality)
+    "q2_min_cost_supplier", "q20_dominant_suppliers",
+    "q21_sole_late_shipper", "q_mom_growth",
+    // partition-id-sized audit frames
+    "q_join_skew_audit",
+    // post-top-k / candidate-bounded rows
+    "s_rrf_hybrid", "s_semdedup",
+    // vocab / rank-grid / batch-count frames
+    "t_encode_ids", "t_vocab_coverage", "t_zipf_fit", "t_novelty_curve",
+    "t_shuffle_order", "t_shuffle_decorrelation",
+    // model-sized preference tables
+    "p_copeland_borda",
+    // Ranks.rowNumbers offsets: one row per partition, never the corpus
+    "t_ppl_buckets")
+
+  test("no single-task global sort of a corpus-sized frame anywhere") {
+    // the round-9 finding, frozen as a standing audit: an unpartitioned
+    // Window funnels its whole input into ONE task, so any query plan
+    // carrying one must be on the documented bounded-domain allowlist.
+    // A new query (or a refactor) that introduces a global sort of a
+    // corpus-sized frame fails here until its bound is argued and the
+    // allowlist is consciously extended.
+    val offenders = scala.collection.mutable.Map[String, List[String]]()
+    (SparkEntry.queries.keySet -- SparkEntry.sideEffecting)
+      .toSeq.sorted.foreach { n =>
+        val plan = SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+          .queryExecution.sparkPlan.toString
+        val unpart = plan.split("\n").filter(_.contains("Window ["))
+          .map(l => l.substring(l.indexOf("Window [")))
+          .filter(l => "\\], \\[".r.findAllIn(l).length < 2)
+        if (unpart.nonEmpty && !boundedGlobalWindows.contains(n))
+          offenders(n) = unpart.map(_.take(120)).toList
+      }
+    assert(offenders.isEmpty,
+      s"undocumented global-sort windows: $offenders")
+    // and the formerly-weak t_ppl_buckets: its only global window is
+    // the partition-count-sized offsets cumsum, never the scored corpus
+    val ppl = SparkEntry.queries("t_ppl_buckets")(
+        spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan.toString
+    val pplUnpart = ppl.split("\n").filter(_.contains("Window ["))
+      .map(l => l.substring(l.indexOf("Window [")))
+      .filter(l => "\\], \\[".r.findAllIn(l).length < 2)
+    assert(pplUnpart.nonEmpty && pplUnpart.forall(_.contains("__pid")),
+      s"ppl rank window shape changed: ${pplUnpart.toList}")
+    // the corpus-sized numbering window IS partitioned (by __pid)
+    assert(ppl.split("\n").exists(l => l.contains("row_number()") &&
+      l.contains("], [__pid")), ppl)
+  }
 }
