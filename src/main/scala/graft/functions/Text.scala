@@ -94,6 +94,38 @@ object Text {
     regexp_replace(phone, "[0-9]{9,}", "<ID>")
   }
 
+  /** PII detection — the census a pipeline runs BEFORE deciding to
+    * scrub with [[redactPii]] (or to drop the document): per-document
+    * counts of emails, international phone numbers, IPv4 addresses
+    * with VALID octets, and Luhn-valid 16-digit card numbers.
+    * Extraction is `regexp_extract_all` over the Java∩RE2 regex subset
+    * (no lookarounds — RE2 has none, so 16-digit candidates come from
+    * generic digit runs length-filtered in array algebra), and the
+    * Luhn checksum is a pure `aggregate` over the 16 digit positions
+    * (double every even 0-based index from the left for even length) —
+    * codegen'd, map-side, no UDF, replicated digit-for-digit by the
+    * oracle. Returns a struct (n_emails, n_phones, n_ipv4, n_cards).
+    */
+  def piiCounts(text: Column): Column = {
+    val emails = regexp_extract_all(text,
+      lit("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"), lit(0))
+    val phones = regexp_extract_all(text,
+      lit("\\+[0-9][0-9-]{7,14}[0-9]"), lit(0))
+    val octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    val ips = regexp_extract_all(text,
+      lit(s"\\b$octet\\.$octet\\.$octet\\.$octet\\b"), lit(0))
+    def luhnOk(s: Column): Column =
+      aggregate(sequence(lit(0), lit(15)), lit(0), (acc, j) => {
+        val d = ascii(s.substr(j + lit(1), lit(1))) - lit(48)
+        acc + when(j % 2 === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      }) % 10 === 0
+    val cards = filter(regexp_extract_all(text, lit("[0-9]+"), lit(0)),
+      r => length(r) === 16 && luhnOk(r))
+    struct(size(emails).as("n_emails"), size(phones).as("n_phones"),
+      size(ips).as("n_ipv4"), size(cards).as("n_cards"))
+  }
+
   /** Mean word length without a per-word pass: text is single-space
     * joined, so summed word length = chars − (n−1) separators. One
     * IEEE division.

@@ -384,6 +384,38 @@ object DedupQueries {
         n = 5, threshold = 0.5, dfCap = None)
     }),
 
+    // ---- blocked edit-distance near-dup pairs: token-level Jaccard
+    //      misses single-CHARACTER mutations (OCR noise, typo farms),
+    //      so this family verifies with Levenshtein over 64-char
+    //      prefixes. Candidates come from a (first-4-chars, prefix
+    //      length) blocking key — a substitution at position 10
+    //      preserves both — with a 64-member block cap (the df-cap
+    //      analog: a boilerplate prefix shared by k docs would emit
+    //      k²/2 pairs through one shuffle key). Never all-pairs; the
+    //      O(64·64) Levenshtein runs only on capped-block pairs ----
+    "d_edit_pairs" -> ((s, dir) => {
+      val raw = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select("doc_id", "text")
+      val corpus = raw.select(col("doc_id").as("id"),
+          substring(col("text"), 1, 64).as("p"))
+        .union(raw.select((col("doc_id") + 100000).as("id"),
+          concat(substring(col("text"), 1, 9), lit("q"),
+            substring(col("text"), 11, 54)).as("p")))
+      val keyed = corpus
+        .withColumn("k1", substring(col("p"), 1, 4))
+        .withColumn("kl", length(col("p")))
+        .localCheckpoint(false) // feeds the cap count AND the pair join
+      val caps = keyed.groupBy("k1", "kl").agg(count(lit(1)).as("dfb"))
+        .filter(col("dfb") <= 64).select("k1", "kl")
+      val e = keyed.join(caps, Seq("k1", "kl"), "left_semi")
+      e.as("a").join(e.as("b"),
+          col("a.k1") === col("b.k1") && col("a.kl") === col("b.kl") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+          levenshtein(col("a.p"), col("b.p")).as("ld"))
+        .filter(col("ld") <= 3)
+    }),
+
     // ---- incremental dedup against the PERSISTED band index: the
     //      historical corpus (docs < 300) is MinHash/LSH-indexed once
     //      per data directory and written as three parquet tables
@@ -1085,6 +1117,29 @@ object DedupQueries {
          |  CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
          |FROM common
          |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5""".stripMargin,
+
+    // blocked Levenshtein: same prefixes, same blocking key, same cap
+    "d_edit_pairs" ->
+      """WITH raw AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 200),
+        |corpus AS (
+        |  SELECT doc_id AS id, substring(text, 1, 64) AS p FROM raw
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    substring(text, 1, 9) || 'q' || substring(text, 11, 54)
+        |  FROM raw),
+        |keyed AS MATERIALIZED (SELECT id, p, substring(p, 1, 4) AS k1,
+        |    len(p) AS kl
+        |  FROM corpus),
+        |caps AS (SELECT k1, kl FROM keyed GROUP BY 1, 2
+        |  HAVING count(*) <= 64),
+        |e AS MATERIALIZED (SELECT keyed.* FROM keyed
+        |  JOIN caps USING (k1, kl))
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |  CAST(levenshtein(a.p, b.p) AS INT) AS ld
+        |FROM e a JOIN e b
+        |  ON a.k1 = b.k1 AND a.kl = b.kl AND a.id < b.id
+        |WHERE levenshtein(a.p, b.p) <= 3""".stripMargin,
 
     // the persisted-index path must equal the direct MinHash/LSH math
     // over the same two corpora (new bands × base bands, exact verify)

@@ -183,6 +183,29 @@ object TextQueries {
       d.select(col("doc_id"), Text.redactPii(dirty).as("clean"))
     }),
 
+    // ---- PII detection census over a corpus with injected emails /
+    //      phones / IPs (valid octets only for doc_id%2=0) / 16-digit
+    //      card numbers (Luhn-valid only for doc_id%3=0): the counts a
+    //      pipeline inspects BEFORE deciding to scrub or drop. Map-side
+    //      regexp extraction + Luhn array algebra, no shuffle ----
+    "t_pii_detect" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val dirty = concat(col("text"),
+        lit(" reach user"), col("doc_id"),
+        lit("@mail.example.org or +44-20-"),
+        lpad(col("doc_id").cast("string"), 7, "0"),
+        when(col("doc_id") % 2 === 0, lit(" from 10.1.2.3"))
+          .otherwise(lit(" from 999.288.1.300")),
+        when(col("doc_id") % 3 === 0, lit(" card 4532015112830366"))
+          .otherwise(lit(" card 4532015112830367")))
+      val c = Text.piiCounts(dirty)
+      d.select(col("doc_id"),
+        c.getField("n_emails").as("n_emails"),
+        c.getField("n_phones").as("n_phones"),
+        c.getField("n_ipv4").as("n_ipv4"),
+        c.getField("n_cards").as("n_cards"))
+    }),
+
     // ---- within-document repetition (Gopher duplicate-n-gram signal)
     //      over a corpus where half the docs get their own first half
     //      appended — those must score high, originals near zero ----
@@ -1618,6 +1641,37 @@ object TextQueries {
         |   '\+[0-9][0-9-]{7,14}[0-9]', '<PHONE>', 'g'),
         |   '[0-9]{9,}', '<ID>', 'g') AS clean
         |FROM documents""".stripMargin,
+
+    // same injected corpus; the Luhn lambda doubles every even
+    // 0-based index from the left (even length), exactly like the
+    // engine's aggregate over digit positions
+    "t_pii_detect" ->
+      """WITH dirty AS (SELECT doc_id,
+        |  text || ' reach user' || doc_id || '@mail.example.org or +44-20-'
+        |    || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+        |    || CASE WHEN doc_id % 2 = 0 THEN ' from 10.1.2.3'
+        |            ELSE ' from 999.288.1.300' END
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' card 4532015112830366'
+        |            ELSE ' card 4532015112830367' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text,
+        |   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT)
+        |   AS n_emails,
+        | CAST(len(regexp_extract_all(text,
+        |   '\+[0-9][0-9-]{7,14}[0-9]')) AS INT) AS n_phones,
+        | CAST(len(regexp_extract_all(text,
+        |   '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b'))
+        |   AS INT) AS n_ipv4,
+        | CAST(len(list_filter(regexp_extract_all(text, '[0-9]+'),
+        |   r -> len(r) = 16 AND list_sum(list_transform(range(0, 16),
+        |     j -> CASE WHEN j % 2 = 0 THEN
+        |       CASE WHEN 2 * (ascii(substring(r, CAST(j + 1 AS INT), 1)) - 48) > 9
+        |            THEN 2 * (ascii(substring(r, CAST(j + 1 AS INT), 1)) - 48) - 9
+        |            ELSE 2 * (ascii(substring(r, CAST(j + 1 AS INT), 1)) - 48) END
+        |       ELSE ascii(substring(r, CAST(j + 1 AS INT), 1)) - 48 END))
+        |     % 10 = 0)) AS INT) AS n_cards
+        |FROM dirty""".stripMargin,
 
     "t_repetition" ->
       """WITH aug AS (SELECT doc_id,

@@ -42,6 +42,31 @@ object DedupStream {
                 n: Int, bands: Int, rowsPerBand: Int): DataFrame =
     banded(corpus, idCol, textCol, n, bands, rowsPerBand, "base_id", "base_sh")
 
+  /** [[flagNearDups]] against the PERSISTED band-index artifact
+    * ([[graft.operators.Dedup.readBandIndex]]) — the streaming twin of
+    * `Dedup.pairsAgainstIndex`, sharing one on-disk asset with the
+    * daily batch job: candidates from a stream-static equi-join on the
+    * index's band TABLE, exact verification against its sets TABLE.
+    * Same per-band row multiplicity as [[flagNearDups]] (append mode
+    * cannot deduplicate; DISTINCT the pairs in `foreachBatch`).
+    */
+  def screenAgainstIndex(stream: DataFrame, idx: Dedup.BandIndex,
+                         idCol: String, textCol: String,
+                         n: Int, bands: Int, rowsPerBand: Int,
+                         threshold: Double): DataFrame =
+    banded(stream, idCol, textCol, n, bands, rowsPerBand, "new_id", "new_sh")
+      .join(idx.bands.select(col("id").as("base_id"),
+        col("band"), col("bkey")), Seq("band", "bkey"))
+      .join(idx.sets.select(col("id").as("base_id"),
+        col("sh").as("base_sh")), Seq("base_id"))
+      .withColumn("common",
+        size(array_intersect(col("new_sh"), col("base_sh"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("new_sh")) + size(col("base_sh")) - col("common"))
+          .cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "base_id", "band", "jaccard")
+
   /** Screen a document stream against the index. Emits one row per
     * (new_id, base_id, band) whose exact Jaccard clears `threshold` —
     * a pair matching in several bands appears once per band, because an

@@ -520,4 +520,49 @@ class DedupSpec extends SparkSpec {
     val meanErr = out.map(_._5).sum / out.length
     assert(meanErr < 250000L, s"mean |err| $meanErr too large")
   }
+
+  test("d_edit_pairs: naive replay — brute force within blocks, mutants found") {
+    // replay the d_edit_pairs pipeline by hand on a tiny corpus: the
+    // blocked path must equal brute-force Levenshtein over all pairs
+    // RESTRICTED to the (first-4-chars, length) block key, and every
+    // single-substitution mutant must surface with ld == 1
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(
+        j => if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta iotas",
+      3L -> "omega psi chi phi upsilon tau sigma rho pi")
+    def mutate(t: String) = t.take(9) + "q" + t.slice(10, 64)
+    val all = texts.map { case (id, t) => (id, t.take(64)) } ++
+      texts.map { case (id, t) => (id + 100000L, mutate(t)) }
+    def key(p: String) = (p.take(4), p.length)
+    val expected = (for {
+      (ia, pa) <- all; (ib, pb) <- all
+      if ia < ib && key(pa) == key(pb) && lev(pa, pb) <= 3
+    } yield (ia, ib, lev(pa, pb))).toSet
+    // run the SAME blocked pipeline the query uses, on this corpus
+    val corpus = all.toDF("id", "p")
+    val keyed = corpus.withColumn("k1", substring(col("p"), 1, 4))
+      .withColumn("kl", length(col("p")))
+    val got = keyed.as("a").join(keyed.as("b"),
+        col("a.k1") === col("b.k1") && col("a.kl") === col("b.kl") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.p"), col("b.p")).as("ld"))
+      .filter(col("ld") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expected)
+    // every mutant pairs with its original at distance exactly 1
+    texts.foreach { case (id, _) =>
+      assert(got.contains((id, id + 100000L, 1)), s"mutant of $id missing")
+    }
+  }
 }

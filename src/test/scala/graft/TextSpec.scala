@@ -452,4 +452,33 @@ class TextSpec extends SparkSpec {
         (r.getLong(2) + r.getLong(3)) * 1000000L / r.getLong(1))
     }
   }
+
+  test("piiCounts: naive replay — regex census + Luhn on known strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def luhnNaive(s: String): Boolean = {
+      val tot = s.zipWithIndex.map { case (ch, j) =>
+        val d = ch - '0'
+        if (j % 2 == 0) { val dd = d * 2; if (dd > 9) dd - 9 else dd }
+        else d
+      }.sum
+      tot % 10 == 0
+    }
+    assert(luhnNaive("4532015112830366") && !luhnNaive("4532015112830367"))
+    val rows = Seq(
+      (1L, "mail a@b.co and c.d+x@e-f.org call +1-555-0001234 " +
+        "ip 10.1.2.3 and 255.255.255.255 card 4532015112830366"),
+      // invalid octet, invalid Luhn, 17-digit run (not a card), bare @
+      (2L, "ip 999.288.1.300 card 4532015112830367 id 45320151128303667 @"),
+      (3L, "nothing personal here"))
+      .toDF("doc_id", "text")
+    val c = graft.functions.Text.piiCounts(col("text"))
+    val got = rows.select(col("doc_id"), c.getField("n_emails"),
+        c.getField("n_phones"), c.getField("n_ipv4"), c.getField("n_cards"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(got(1L) === ((2, 1, 2, 1)))
+    assert(got(2L) === ((0, 0, 0, 0)))
+    assert(got(3L) === ((0, 0, 0, 0)))
+  }
 }
