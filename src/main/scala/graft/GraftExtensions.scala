@@ -17,16 +17,8 @@ import graft.expressions.DotProduct
   * [[GraftExtensions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.dotFunction)
-    ext.injectFunction(GraftExtensions.cosineFunction)
-    ext.injectFunction(GraftExtensions.jpegFunction)
-    ext.injectFunction(GraftExtensions.jsonKeyFunction)
-    ext.injectFunction(GraftExtensions.simhashFunction)
-    ext.injectFunction(GraftExtensions.mp4Function)
-    ext.injectFunction(GraftExtensions.hammingFunction)
-    ext.injectFunction(GraftExtensions.nfcFunction)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
@@ -140,9 +132,22 @@ object GraftExtensions {
       graft.expressions.ExifOrientation(args(0))
     })
 
+  /** graft_wordpiece(word, vocab) — greedy longest-match subword
+    * segmentation against a foldable vocabulary, in SQL.
+    */
+  private val wordpieceFunction = (
+    FunctionIdentifier("graft_wordpiece"),
+    new ExpressionInfo(classOf[graft.expressions.WordpieceEncode].getName,
+      "graft_wordpiece"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        "graft_wordpiece(word, vocab) takes 2 arguments")
+      graft.expressions.WordpieceEncode(args(0), args(1))
+    })
+
   private val all = Seq(dotFunction, cosineFunction, jpegFunction,
     jsonKeyFunction, simhashFunction, mp4Function, hammingFunction,
-    nfcFunction, exifFunction)
+    nfcFunction, exifFunction, wordpieceFunction)
 
   /** Session-scoped registration for an existing session. */
   def register(spark: SparkSession): Unit =

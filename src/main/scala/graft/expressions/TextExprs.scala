@@ -183,9 +183,83 @@ case class MultiMatchCounts(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Greedy longest-match-first subword segmentation against a FOLDABLE
+  * vocabulary (the WordPiece/BERT-tokenizer encode convention): at
+  * each position the longest vocabulary piece prefixing the remaining
+  * word is consumed; where nothing matches, the single character
+  * passes through (so coverage stays measurable instead of collapsing
+  * to an opaque UNK). Returns the piece array. The vocabulary is
+  * plan-compiled once into a hash set + max piece length (foldable
+  * literal — per-row vocabularies need a join), making the scan
+  * O(len · maxPieceLen) per word with no per-row setup. The greedy
+  * walk is deterministic string algebra, so the DuckDB oracle replays
+  * it with a recursive CTE. CodegenFallback: the match loop dominates,
+  * not dispatch.
+  */
+case class WordpieceEncode(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(StringType, _)) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (StringType, ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckFailure(
+          "graft_wordpiece requires a FOLDABLE vocabulary array (the " +
+            "lookup table is plan-compiled; per-row vocabs need a join)")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_wordpiece requires (string, array<string>), got $other")
+    }
+  }
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_wordpiece"
+
+  @transient private lazy val table: (java.util.HashSet[String], Int) = {
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    val set = new java.util.HashSet[String]()
+    var mx = 1
+    (0 until arr.numElements()).foreach { i =>
+      val p = arr.getUTF8String(i).toString
+      if (p.nonEmpty) { set.add(p); mx = math.max(mx, p.length) }
+    }
+    (set, mx)
+  }
+  private def vocab = table._1
+  private def maxPiece = table._2
+
+  protected override def nullSafeEval(word: Any, v: Any): Any = {
+    val w = word.toString
+    val out = scala.collection.mutable.ArrayBuffer[UTF8String]()
+    var pos = 0
+    while (pos < w.length) {
+      var l = math.min(maxPiece, w.length - pos)
+      var hit = 1
+      while (l >= 2 && hit == 1) {
+        if (vocab.contains(w.substring(pos, pos + l))) hit = l else l -= 1
+      }
+      out += UTF8String.fromString(w.substring(pos, pos + hit))
+      pos += hit
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordpieceEncode =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextExprs {
   def simhash(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
+
+  def wordpiece(word: Column, vocab: Column): Column =
+    Bridge.column(WordpieceEncode(
+      Bridge.expression(word), Bridge.expression(vocab)))
 
   def hamming(a: Column, b: Column): Column =
     Bridge.column(HammingHex(Bridge.expression(a), Bridge.expression(b)))

@@ -499,6 +499,39 @@ object TextQueries {
             " ").as("bpe"))
     }),
 
+    // ---- WordPiece-style tokenizer: vocabulary INDUCTION (top-200
+    //      length-2..8 substrings of word types, weighted by word
+    //      frequency, deterministic count-desc/piece-asc tie-break)
+    //      followed by greedy longest-match-first ENCODE via the
+    //      native graft_wordpiece expression (plan-literal vocab —
+    //      the model-sized-collect path, like BPE merges). Everything
+    //      runs over word TYPES, never token instances: the one
+    //      corpus-scale job is the word-frequency aggregation, the
+    //      induction and encode touch only the type table, and a
+    //      token-level encoding at 100 TB is a broadcast join of this
+    //      table back to the corpus. The oracle replays the greedy
+    //      walk with a recursive CTE ----
+    "t_wordpiece" -> ((s, dir) => {
+      val wf = t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .localCheckpoint(false) // feeds induction AND the encode
+      val subs = wf.select(col("freq"), explode(array_distinct(flatten(
+          transform(sequence(lit(2), lit(8)), l =>
+            transform(filter(sequence(lit(1), length(col("word"))),
+                i => i + l - lit(1) <= length(col("word"))),
+              i => col("word").substr(i, l)))))).as("sub"))
+        .groupBy("sub").agg(sum("freq").as("w"))
+        .orderBy(col("w").desc, col("sub").asc).limit(200)
+      val vocab = subs.collect().map(_.getString(0)).toSeq // model-sized
+      val pieces = graft.expressions.TextExprs.wordpiece(col("word"),
+        array(vocab.map(lit): _*))
+      wf.select(col("word"), col("freq"),
+        size(pieces).as("n_pieces"),
+        array_join(pieces, "|").as("enc"))
+    }),
+
     // ---- corpus cartography: source×source 3-shingle overlap matrix
     //      — which domains duplicate each other, the map that decides
     //      what cross-source dedup will recover before running it.
@@ -1803,6 +1836,44 @@ object TextQueries {
     // LIST(VARCHAR) so list_reduce type-checks; the accumulator starts
     // as the first single-symbol list, matching Spark's empty-init
     // fold (the merge branch needs a preceding symbol either way)
+    // greedy longest-match replayed as a recursive CTE: each step
+    // consumes the longest vocab piece prefixing the rest, single
+    // characters pass through. The vocab rides as a ONE-ROW LIST and
+    // the match is pure list algebra (same-length prefixes are the
+    // same string, so no tie exists) — a correlated scalar subquery
+    // against a MATERIALIZED CTE inside a recursive term silently
+    // mismatches in DuckDB, so none appears here
+    "t_wordpiece" ->
+      """WITH RECURSIVE wf AS MATERIALIZED (
+        |  SELECT word, COUNT(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |subs AS (SELECT sub, SUM(freq) AS w FROM (
+        |    SELECT freq, unnest(list_distinct(flatten(list_transform(
+        |      range(2, 9), l -> list_transform(
+        |        range(1, len(word) - l + 2),
+        |        i -> substring(word, CAST(i AS INT), CAST(l AS INT)))))))
+        |      AS sub
+        |    FROM wf) GROUP BY sub),
+        |vl AS MATERIALIZED (SELECT list(p ORDER BY p) AS vl FROM
+        |  (SELECT sub AS p FROM subs ORDER BY w DESC, sub ASC LIMIT 200)),
+        |step AS (
+        |  SELECT word, word AS rest, CAST([] AS VARCHAR[]) AS pieces
+        |  FROM wf
+        |  UNION ALL
+        |  SELECT word, substring(rest, pl + 1) AS rest,
+        |    list_append(pieces, substring(rest, 1, pl)) AS pieces
+        |  FROM (SELECT word, rest, pieces,
+        |      CAST(COALESCE(list_max(list_transform(
+        |        list_filter(vl.vl, p -> p = substring(rest, 1, len(p))),
+        |        p -> len(p))), 1) AS INT) AS pl
+        |    FROM step, vl WHERE rest <> '') s)
+        |SELECT wf.word, wf.freq, CAST(len(pieces) AS INT) AS n_pieces,
+        |  array_to_string(pieces, '|') AS enc
+        |FROM step JOIN wf USING (word)
+        |WHERE rest = ''""".stripMargin,
+
     "t_bpe_encode" -> {
       val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"),
         ("a", "n"), ("e", "r"), ("an", "d"))

@@ -481,4 +481,37 @@ class TextSpec extends SparkSpec {
     assert(got(2L) === ((0, 0, 0, 0)))
     assert(got(3L) === ((0, 0, 0, 0)))
   }
+
+  test("wordpiece: naive greedy replay, longest match wins, chars pass through") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vocab = Seq("th", "the", "quick", "ck", "qu", "uick")
+    def naive(w: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var pos = 0
+      while (pos < w.length) {
+        val piece = (math.min(8, w.length - pos) to 2 by -1)
+          .map(l => w.substring(pos, pos + l)).find(vocab.contains)
+          .getOrElse(w.substring(pos, pos + 1))
+        out += piece; pos += piece.length
+      }
+      out.toSeq
+    }
+    val words = Seq("the", "thequick", "quickest", "xyz", "q")
+    val df = words.toDF("word")
+    val enc = graft.expressions.TextExprs.wordpiece(col("word"),
+      array(vocab.map(lit): _*))
+    val got = df.select(col("word"), enc.as("p")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    words.foreach(w => assert(got(w) === naive(w), s"word $w"))
+    // longest match beats a shorter prefix: "the..." takes "the" not "th"
+    assert(got("thequick") === Seq("the", "quick"))
+    // SQL exposure through the session extension registry
+    graft.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("wp_words")
+    val viaSql = spark.sql(
+      "SELECT word, graft_wordpiece(word, array('th','the','quick','ck','qu','uick')) AS p FROM wp_words")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    words.foreach(w => assert(viaSql(w) === naive(w), s"sql $w"))
+  }
 }
