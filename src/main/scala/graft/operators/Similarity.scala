@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -199,6 +199,95 @@ object Similarity {
     val cents = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq
     ivfSearch(queries, corpus, k, nProbe, cents, idCol, vecCol)
+  }
+
+  // ======================================================================
+  // Persisted IVF index — the ANN index as a TABLE (the embedding
+  // sibling of Dedup's band index). At 100 TB the inverted lists are
+  // the asset: the coarse quantizer is trained once, every vector's
+  // list assignment and norm are computed once at index time, and the
+  // daily job APPENDS new vectors' assignments (same centroids — the
+  // faiss add-to-trained-index workflow) instead of re-embedding or
+  // re-assigning the corpus. Search reads the table: probes prune to
+  // nProbe lists (partition-prunable parquet clustered by list id),
+  // and norms come precomputed — one less pass over the vectors.
+  // ======================================================================
+
+  /** A persisted (or in-memory) IVF index:
+    *   - `centroids` (cid int, cv array<double>) — the coarse
+    *     quantizer, model-sized;
+    *   - `lists` (list int, n_id, nv array<double>, nn double) — the
+    *     inverted lists with precomputed norms.
+    */
+  final case class IvfIndex(centroids: DataFrame, lists: DataFrame)
+
+  /** Index a corpus against an explicit quantizer: assign every vector
+    * its nearest centroid (map-side argmin over plan literals) and
+    * precompute its norm.
+    */
+  def buildIvfIndex(corpus: DataFrame, centroids: DataFrame,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): IvfIndex = {
+    val cents = centroids
+      .select(col("cid").cast("int"), col("cv").cast("array<double>"))
+      .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val lists = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("nn"),
+      element_at(ivfProbes(col(vecCol), cents, 1), 1).as("list"))
+    IvfIndex(centroids.select(col("cid").cast("int"),
+      col("cv").cast("array<double>")), lists)
+  }
+
+  /** Daily append: assign ONLY the new vectors against the index's own
+    * centroids and union the lists — the quantizer never retrains, so
+    * append(build(A), B) == build(A ∪ B) row-for-row (SimilaritySpec
+    * proves it) and historical vectors are never touched.
+    */
+  def appendIvfIndex(idx: IvfIndex, fresh: DataFrame,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): IvfIndex =
+    IvfIndex(idx.centroids,
+      idx.lists.unionByName(
+        buildIvfIndex(fresh, idx.centroids, idCol, vecCol).lists))
+
+  /** Persist as two parquet tables; lists are CLUSTERED by list id so
+    * an nProbe search scans co-located runs (and, partitioned by
+    * `list`, prunes to the probed lists at planning time).
+    */
+  def writeIvfIndex(idx: IvfIndex, path: String, partitions: Int = 32): Unit = {
+    idx.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    idx.lists.repartition(partitions, col("list"))
+      .write.mode("overwrite").parquet(s"$path/lists")
+  }
+
+  def readIvfIndex(spark: SparkSession, path: String): IvfIndex =
+    IvfIndex(
+      centroids = spark.read.parquet(s"$path/centroids"),
+      lists = spark.read.parquet(s"$path/lists"))
+
+  /** IVF search against the persisted index: probe assignment for the
+    * QUERIES only (the corpus side comes straight from the table, norms
+    * included), candidates from the list equi-join, exact cosine
+    * rerank. Emits (q_id, list, rank, n_id, cos) — identical to
+    * [[ivfTopKWithCentroids]] over the same corpus and quantizer.
+    */
+  def searchIvfIndex(queries: DataFrame, idx: IvfIndex, k: Int,
+                     nProbe: Int, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val cents = idx.centroids
+      .select(col("cid").cast("int"), col("cv").cast("array<double>"))
+      .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("qn"),
+      explode(ivfProbes(col(vecCol), cents, nProbe)).as("list"))
+    val pairs = idx.lists.join(broadcast(q), Seq("list"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("list"), col("n_id"),
+        cosPre(col("qv"), col("nv"), col("qn"), col("nn")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "list", "rank", "n_id", "cos")
   }
 
   /** Product-quantization ANN (ADC + exact rerank) over explicit

@@ -566,4 +566,38 @@ class SimilaritySpec extends SparkSpec {
     top.map(_._2).sliding(2).foreach {
       case Array(a, b) => assert(a >= b); case _ => }
   }
+
+  test("persisted IVF index: append law, round trip, search == direct") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    def v(): Seq[Double] = Seq.fill(8)(rnd.nextGaussian())
+    val all = (0L until 40L).map(i => (i, v()))
+    val (a, b) = all.splitAt(25)
+    def df(rows: Seq[(Long, Seq[Double])]) = rows.toDF("vec_id", "embedding")
+    val cents = df(all.take(4))
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+    def listRows(idx: graft.operators.Similarity.IvfIndex) =
+      idx.lists.collect().map(r => (r.getLong(0), r.getInt(3),
+        r.getDouble(2))).toSeq.sortBy(_._1)
+    // append(build(A), B) == build(A ∪ B): the quantizer never retrains
+    val whole = graft.operators.Similarity.buildIvfIndex(df(all), cents)
+    val grown = graft.operators.Similarity.appendIvfIndex(
+      graft.operators.Similarity.buildIvfIndex(df(a), cents), df(b))
+    assert(listRows(grown) === listRows(whole))
+    // round trip + search equals the direct explicit-centroid path
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    graft.operators.Similarity.writeIvfIndex(whole, root, partitions = 2)
+    val rt = graft.operators.Similarity.readIvfIndex(spark, root)
+    assert(listRows(rt) === listRows(whole))
+    val q = df(all.take(6))
+    def res(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id"))).toSet
+    val viaIndex = res(graft.operators.Similarity.searchIvfIndex(
+      q, rt, k = 3, nProbe = 2))
+    val direct = res(graft.operators.Similarity.ivfTopKWithCentroids(
+      q, df(all), k = 3, nProbe = 2, cents))
+    assert(viaIndex.nonEmpty && viaIndex === direct)
+  }
 }
