@@ -145,9 +145,21 @@ object GraftExtensions {
       graft.expressions.WordpieceEncode(args(0), args(1))
     })
 
+  /** graft_fix_mojibake(string) — repair UTF-8-as-Latin-1 misdecodes
+    * in SQL.
+    */
+  private val mojibakeFunction = (
+    FunctionIdentifier("graft_fix_mojibake"),
+    new ExpressionInfo(classOf[graft.expressions.FixMojibake].getName,
+      "graft_fix_mojibake"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "graft_fix_mojibake(s) takes 1 argument")
+      graft.expressions.FixMojibake(args(0))
+    })
+
   private val all = Seq(dotFunction, cosineFunction, jpegFunction,
     jsonKeyFunction, simhashFunction, mp4Function, hammingFunction,
-    nfcFunction, exifFunction, wordpieceFunction)
+    nfcFunction, exifFunction, wordpieceFunction, mojibakeFunction)
 
   /** Session-scoped registration for an existing session. */
   def register(spark: SparkSession): Unit =

@@ -183,6 +183,60 @@ case class MultiMatchCounts(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Mojibake repair for crawl corpora: text that was UTF-8 bytes
+  * mistakenly decoded as Latin-1 upstream ("café" arriving as
+  * "cafÃ©") is re-encoded to its Latin-1 bytes and STRICTLY re-decoded
+  * as UTF-8; the repair applies only when every char fits in Latin-1
+  * (chars above U+00FF cannot have come from a Latin-1 decode), the
+  * reinterpretation is valid UTF-8, and it actually changes the
+  * string — anything else passes through untouched, so the transform
+  * is idempotent and safe on already-clean text (pure-ASCII rows take
+  * a scan-only fast path). CodegenFallback: the charset round trip
+  * dominates, not dispatch.
+  */
+case class FixMojibake(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_fix_mojibake requires string, got ${other.simpleString}")
+    }
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_fix_mojibake"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    var i = 0
+    var hasHigh = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c > 0xFF) return input // not a Latin-1 misdecode — leave it
+      if (c > 0x7F) hasHigh = true
+      i += 1
+    }
+    if (!hasHigh) return input // pure ASCII — nothing to repair
+    try {
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      val repaired = dec.decode(java.nio.ByteBuffer.wrap(
+        s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))).toString
+      if (repaired != s) UTF8String.fromString(repaired) else input
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => input
+    }
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): FixMojibake = copy(child = newChild)
+}
+
 /** Greedy longest-match-first subword segmentation against a FOLDABLE
   * vocabulary (the WordPiece/BERT-tokenizer encode convention): at
   * each position the longest vocabulary piece prefixing the remaining
@@ -260,6 +314,9 @@ object TextExprs {
   def wordpiece(word: Column, vocab: Column): Column =
     Bridge.column(WordpieceEncode(
       Bridge.expression(word), Bridge.expression(vocab)))
+
+  def fixMojibake(s: Column): Column =
+    Bridge.column(FixMojibake(Bridge.expression(s)))
 
   def hamming(a: Column, b: Column): Column =
     Bridge.column(HammingHex(Bridge.expression(a), Bridge.expression(b)))

@@ -206,6 +206,23 @@ object TextQueries {
         c.getField("n_cards").as("n_cards"))
     }),
 
+    // ---- mojibake repair over a corpus with UTF-8-as-Latin-1
+    //      misdecodes injected into half the docs (the suffix is built
+    //      by ACTUALLY running the bad decode, not by typing its
+    //      visual form): the native graft_fix_mojibake expression must
+    //      restore the clean text exactly and leave clean docs
+    //      untouched — the oracle states the closed-form expectation ----
+    "t_mojibake" -> ((s, dir) => {
+      val moji = new String(
+        "café naïve résumé".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val dirty = when(col("doc_id") % 2 === 0,
+        concat(col("text"), lit(" " + moji))).otherwise(col("text"))
+      val fixed = graft.expressions.TextExprs.fixMojibake(dirty)
+      t(s, dir, "documents").select(col("doc_id"),
+        fixed.as("clean"), (fixed =!= dirty).as("repaired"))
+    }),
+
     // ---- within-document repetition (Gopher duplicate-n-gram signal)
     //      over a corpus where half the docs get their own first half
     //      appended — those must score high, originals near zero ----
@@ -1836,6 +1853,16 @@ object TextQueries {
     // LIST(VARCHAR) so list_reduce type-checks; the accumulator starts
     // as the first single-symbol list, matching Spark's empty-init
     // fold (the merge branch needs a preceding symbol either way)
+    // the repair's fixed point in closed form: even docs get the CLEAN
+    // suffix back, odd docs pass through; repaired flags exactly the
+    // injected half (the corpus text itself is ASCII)
+    "t_mojibake" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN text || ' café naïve résumé'
+        |       ELSE text END AS clean,
+        |  doc_id % 2 = 0 AS repaired
+        |FROM documents""".stripMargin,
+
     // greedy longest-match replayed as a recursive CTE: each step
     // consumes the longest vocab piece prefixing the rest, single
     // characters pass through. The vocab rides as a ONE-ROW LIST and

@@ -514,4 +514,42 @@ class TextSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
     words.foreach(w => assert(viaSql(w) === naive(w), s"sql $w"))
   }
+
+  test("fixMojibake: repairs real misdecodes, idempotent, conservative") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val clean = "café naïve résumé — déjà vu"
+    val moji = new String(
+      clean.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(moji != clean && moji.contains("Ã"))
+    val rows = Seq(
+      (1L, moji),                    // the actual bad decode → repaired
+      (2L, clean),                   // already clean (em dash > 0xFF
+                                     //   guards the Latin-1 round trip)
+      (3L, "plain ascii text"),      // fast path, unchanged
+      (4L, "café alone"),       // Latin-1 é: bytes aren't valid
+                                     //   UTF-8 → untouched
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val fixed = graft.expressions.TextExprs.fixMojibake(col("text"))
+    val got = rows.select(col("doc_id"), fixed.as("f")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L) === Some(clean))
+    assert(got(2L) === Some(clean))
+    assert(got(3L) === Some("plain ascii text"))
+    assert(got(4L) === Some("café alone"))
+    assert(got(5L) === None)
+    // idempotent: repairing the repair is a no-op
+    val twice = rows.filter(col("doc_id") === 1L)
+      .select(graft.expressions.TextExprs.fixMojibake(fixed))
+      .collect()(0).getString(0)
+    assert(twice === clean)
+    // SQL exposure
+    graft.GraftExtensions.register(spark)
+    rows.createOrReplaceTempView("moji_rows")
+    assert(spark.sql(
+      "SELECT graft_fix_mojibake(text) FROM moji_rows WHERE doc_id = 1")
+      .collect()(0).getString(0) === clean)
+  }
 }
