@@ -549,6 +549,82 @@ object TextQueries {
         array_join(pieces, "|").as("enc"))
     }),
 
+    // ---- unigram-LM tokenizer (the SentencePiece family, next to BPE
+    //      and WordPiece): Viterbi segmentation under integer-quantized
+    //      piece log-probs. Vocabulary = every character plus the
+    //      top-200 length-2..8 substrings of word types (weighted by
+    //      word frequency); piece score = round(ln(w/W)·1e6) as a
+    //      LONG, so the DP compares exact integers — the only libm
+    //      call is the per-piece quantization, computed by the SAME
+    //      expression tree on both engines (the established
+    //      fixed-point discipline). The DP itself is an unrolled
+    //      aggregate over positions with an array-of-structs
+    //      accumulator, ties broken toward the SHORTER last piece
+    //      (distinct lengths ⇒ no residual tie); characters are always
+    //      in vocabulary, so segmentation is total. Everything runs
+    //      over word TYPES; the corpus-scale job is the word count ----
+    "t_unigram_viterbi" -> ((s, dir) => {
+      val wf = t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .localCheckpoint(false) // feeds induction AND the DP
+      val subs = wf.select(col("freq"), explode(array_distinct(flatten(
+          transform(sequence(lit(1), lit(8)), l =>
+            transform(filter(sequence(lit(1), length(col("word"))),
+                i => i + l - lit(1) <= length(col("word"))),
+              i => col("word").substr(i, l)))))).as("sub"))
+        .groupBy("sub").agg(sum("freq").as("w"))
+        .localCheckpoint(false) // chars + top-200 + the total
+      val vocab = subs.filter(length(col("sub")) === 1)
+        .unionByName(subs.filter(length(col("sub")) >= 2)
+          .orderBy(col("w").desc, col("sub").asc).limit(200))
+        .localCheckpoint(false)
+      val tot = vocab.agg(sum("w")).collect()(0).getLong(0)
+      val scored = vocab.select(col("sub"),
+          round(log(col("w").cast("double") / lit(tot.toDouble))
+            * lit(1e6), 0).cast("long").as("sc"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val scoreMap = typedLit(scored) // model-sized plan literal
+      val L = length(col("word"))
+      val dp = aggregate(
+        sequence(lit(1), L),
+        array(struct(lit(0L).as("s"), lit(0).as("bp"))),
+        (acc, j) => {
+          val cands = filter(
+            transform(sequence(lit(1), lit(8)), l => {
+              // null-safe throughout: l > j makes get() return null,
+              // an out-of-vocab piece makes try_element_at null —
+              // either nulls the score and the filter drops it
+              val piece = col("word").substr(j - l + lit(1), l)
+              val sTot = get(acc, j - l).getField("s") +
+                try_element_at(scoreMap, piece)
+              struct(sTot.as("s"), (lit(0) - l).as("negl"), l.as("bp"))
+            }),
+            c => c.getField("s").isNotNull)
+          val mx = array_max(cands)
+          concat(acc, array(struct(mx.getField("s").as("s"),
+            mx.getField("bp").as("bp"))))
+        })
+      val rec = aggregate(
+        sequence(lit(1), L),
+        struct(L.as("pos"), array().cast("array<string>").as("ps")),
+        (st, _) => {
+          val pos = st.getField("pos")
+          val bp = get(col("__dp"), pos).getField("bp")
+          when(pos > 0, struct((pos - bp).as("pos"),
+            concat(array(col("word").substr(pos - bp + lit(1), bp)),
+              st.getField("ps")).as("ps")))
+            .otherwise(st)
+        })
+      wf.withColumn("__dp", dp)
+        .withColumn("__ps", rec.getField("ps"))
+        .select(col("word"), col("freq"),
+          get(col("__dp"), L).getField("s").as("score_e6"),
+          size(col("__ps")).as("n_pieces"),
+          array_join(col("__ps"), "|").as("enc"))
+    }),
+
     // ---- corpus cartography: source×source 3-shingle overlap matrix
     //      — which domains duplicate each other, the map that decides
     //      what cross-source dedup will recover before running it.
@@ -1853,6 +1929,69 @@ object TextQueries {
     // LIST(VARCHAR) so list_reduce type-checks; the accumulator starts
     // as the first single-symbol list, matching Spark's empty-init
     // fold (the merge branch needs a preceding symbol either way)
+    // Viterbi DP replayed with two recursive CTEs (forward scores,
+    // backward reconstruction); the vocab scores ride as a one-row
+    // LIST matched in pure list algebra (see t_wordpiece's note on
+    // MATERIALIZED CTEs inside recursive terms), and every comparison
+    // is over BIGINT fixed-point scores — max by (s, -l) mirrors the
+    // engine's shorter-last-piece tie-break
+    "t_unigram_viterbi" ->
+      """WITH RECURSIVE wf AS MATERIALIZED (
+        |  SELECT word, COUNT(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |subs AS MATERIALIZED (SELECT sub, SUM(freq) AS w FROM (
+        |    SELECT freq, unnest(list_distinct(flatten(list_transform(
+        |      range(1, 9), l -> list_transform(
+        |        range(1, len(word) - l + 2),
+        |        i -> substring(word, CAST(i AS INT), CAST(l AS INT)))))))
+        |      AS sub
+        |    FROM wf) GROUP BY sub),
+        |vocab AS MATERIALIZED (
+        |  SELECT sub, w FROM subs WHERE len(sub) = 1
+        |  UNION ALL
+        |  SELECT sub, w FROM (SELECT sub, w FROM subs
+        |    WHERE len(sub) >= 2
+        |    ORDER BY w DESC, sub ASC LIMIT 200) t),
+        |tot AS (SELECT SUM(w) AS wt FROM vocab),
+        |sl AS MATERIALIZED (SELECT list(struct_pack(p := sub,
+        |    s := CAST(round(ln(CAST(w AS DOUBLE) / CAST(wt AS DOUBLE))
+        |      * 1000000, 0) AS BIGINT)) ORDER BY sub) AS sl
+        |  FROM vocab, tot),
+        |dp AS (
+        |  SELECT word, 0 AS j,
+        |    [struct_pack(s := CAST(0 AS BIGINT), bp := 0)] AS d
+        |  FROM wf
+        |  UNION ALL
+        |  SELECT word, j + 1 AS j,
+        |    list_append(d, struct_pack(s := best.s, bp := best.bp)) AS d
+        |  FROM (
+        |    SELECT word, j, d,
+        |      list_aggregate(list_filter(list_transform(
+        |        range(1, CAST(least(8, j + 1) AS BIGINT) + 1),
+        |        l -> struct_pack(
+        |          s := d[CAST(j + 1 - l AS INT) + 1].s +
+        |            list_filter(sl.sl, x -> x.p = substring(word,
+        |              CAST(j + 1 - l + 1 AS INT), CAST(l AS INT)))[1].s,
+        |          negl := -CAST(l AS INT),
+        |          bp := CAST(l AS INT))),
+        |        c -> c.s IS NOT NULL), 'max') AS best
+        |    FROM dp, sl WHERE j < len(word)) t),
+        |rec AS (
+        |  SELECT word, d, len(d) - 1 AS pos, CAST([] AS VARCHAR[]) AS ps
+        |  FROM dp WHERE j = len(word)
+        |  UNION ALL
+        |  SELECT word, d, pos - d[pos + 1].bp AS pos,
+        |    list_prepend(substring(word, pos - d[pos + 1].bp + 1,
+        |      d[pos + 1].bp), ps) AS ps
+        |  FROM rec WHERE pos > 0)
+        |SELECT wf.word, wf.freq, d[len(d)].s AS score_e6,
+        |  CAST(len(ps) AS INT) AS n_pieces,
+        |  array_to_string(ps, '|') AS enc
+        |FROM rec JOIN wf USING (word)
+        |WHERE pos = 0""".stripMargin,
+
     // the repair's fixed point in closed form: even docs get the CLEAN
     // suffix back, odd docs pass through; repaired flags exactly the
     // injected half (the corpus text itself is ASCII)

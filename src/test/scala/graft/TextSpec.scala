@@ -552,4 +552,61 @@ class TextSpec extends SparkSpec {
       "SELECT graft_fix_mojibake(text) FROM moji_rows WHERE doc_id = 1")
       .collect()(0).getString(0) === clean)
   }
+
+  test("t_unigram_viterbi: naive DP replay on a controlled corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("uni").toString
+    import spark.implicits._
+    val docs = Seq((1L, "thethe the river there then the"),
+      (2L, "rivers run there and then run the river"),
+      (3L, "then the rivers ran"),
+      // 13 chars — longer than the max piece, so it MUST split
+      (4L, "riverriverrun riverriverrun there"))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    // naive replay: same induction, same integer quantization, same
+    // DP with the (score, -l) tie-break — independently in plain Scala
+    val wf = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, v) => w -> v.size.toLong }
+    val subW = scala.collection.mutable.Map[String, Long]()
+    wf.foreach { case (w, f) =>
+      val ss = (for { l <- 1 to 8; i <- 0 to w.length - l }
+        yield w.substring(i, i + l)).toSet
+      ss.foreach(s => subW(s) = subW.getOrElse(s, 0L) + f)
+    }
+    val chars = subW.filter(_._1.length == 1)
+    val multi = subW.filter(_._1.length >= 2).toSeq
+      .sortBy { case (s, c) => (-c, s) }.take(200)
+    val vocab = chars.toMap ++ multi.toMap
+    val tot = vocab.values.sum.toDouble
+    val score = vocab.map { case (p, c) =>
+      p -> BigDecimal(math.log(c / tot) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong }
+    def viterbi(w: String): (Long, Seq[String]) = {
+      val dp = Array.fill(w.length + 1)((Long.MinValue, 0))
+      dp(0) = (0L, 0)
+      for (j <- 1 to w.length) {
+        val cands = for {
+          l <- 1 to math.min(8, j)
+          p = w.substring(j - l, j) if score.contains(p)
+        } yield (dp(j - l)._1 + score(p), -l, l)
+        val best = cands.max
+        dp(j) = (best._1, best._3)
+      }
+      var pos = w.length
+      val ps = scala.collection.mutable.ArrayBuffer[String]()
+      while (pos > 0) {
+        val bp = dp(pos)._2; ps.prepend(w.substring(pos - bp, pos)); pos -= bp
+      }
+      (dp(w.length)._1, ps.toSeq)
+    }
+    val got = SparkEntry.queries("t_unigram_viterbi")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getInt(3),
+        r.getString(4)))).toMap
+    assert(got.keySet === wf.keySet)
+    wf.keys.foreach { w =>
+      val (sc, ps) = viterbi(w)
+      assert(got(w) === ((sc, ps.length, ps.mkString("|"))), s"word $w")
+    }
+    // the corpus is built so segmentation is non-trivial somewhere
+    assert(got.exists(_._2._2 > 1), "expected at least one split word")
+  }
 }
