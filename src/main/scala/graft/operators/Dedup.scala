@@ -774,6 +774,31 @@ object Dedup {
       new org.apache.hadoop.fs.Path(path)), s"compact swap failed: $tmp -> $path")
   }
 
+  /** Right-to-be-forgotten over the index: erasing documents from the
+    * corpus must also erase them from every persisted DERIVED artifact,
+    * or the index leaks shingles of deleted text forever. Removes the
+    * ids from `sets` and `bands`, and DECREMENTS document frequencies
+    * by the erased docs' own shingle counts (dropping rows that reach
+    * zero) — so erase(index(A ∪ B), B) == index(A) row-for-row
+    * (DedupIndexSpec proves it) and a compaction after erasure leaves
+    * no trace. `ids` is one column named `id`; the anti-joins broadcast
+    * it when small (the usual erasure-request shape).
+    */
+  def eraseFromBandIndex(idx: BandIndex, ids: DataFrame): BandIndex = {
+    val gone = ids.select(col("id"))
+    val removedDf = idx.sets.join(gone, Seq("id"), "left_semi")
+      .select(explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("gone_df"))
+    val dfs = idx.dfs.join(removedDf, Seq("s"), "left")
+      .select(col("s"),
+        (col("df") - coalesce(col("gone_df"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+    BandIndex(
+      sets = idx.sets.join(gone, Seq("id"), "left_anti"),
+      bands = idx.bands.join(gone, Seq("id"), "left_anti"),
+      dfs = dfs)
+  }
+
   /** Near-dup pairs of a NEW batch against a PERSISTED index — the
     * daily-ingestion near-dup check that never re-reads historical
     * text. MinHash+LSH bands are computed for the new batch only

@@ -250,6 +250,18 @@ object Similarity {
       idx.lists.unionByName(
         buildIvfIndex(fresh, idx.centroids, idCol, vecCol).lists))
 
+  /** Right-to-be-forgotten over the ANN index (the [[graft.operators.
+    * Dedup.eraseFromBandIndex]] analog): erased vectors leave the
+    * inverted lists; the quantizer keeps its geometry (centroids are
+    * aggregates, not per-document data — the same reasoning that lets
+    * a trained model survive an erasure request while its source rows
+    * do not). erase(build(A ∪ B), B) == build(A) row-for-row.
+    */
+  def eraseFromIvfIndex(idx: IvfIndex, ids: DataFrame): IvfIndex =
+    IvfIndex(idx.centroids,
+      idx.lists.join(ids.select(col("id").as("n_id")),
+        Seq("n_id"), "left_anti"))
+
   /** Persist as two parquet tables; lists are CLUSTERED by list id so
     * an nProbe search scans co-located runs (and, partitioned by
     * `list`, prunes to the probed lists at planning time).

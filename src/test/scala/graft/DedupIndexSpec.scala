@@ -111,6 +111,24 @@ class DedupIndexSpec extends SparkSpec {
     assert(viaIndex === direct)
   }
 
+  test("eraseFromBandIndex: erase(index(A u B), B) == index(A), df-exact") {
+    import spark.implicits._
+    val union = Dedup.buildBandIndex(corpus(corpusA ++ corpusB),
+      "doc_id", "text", n = 3, bands = 3, rowsPerBand = 2)
+    val erased = Dedup.eraseFromBandIndex(union,
+      corpusB.map(_._1).toDF("id"))
+    val onlyA = Dedup.buildBandIndex(corpus(corpusA),
+      "doc_id", "text", 3, 3, 2)
+    assert(collectSets(erased.sets) === collectSets(onlyA.sets))
+    assert(collectBands(erased.bands) === collectBands(onlyA.bands))
+    // document frequencies decremented exactly, zero rows dropped
+    assert(collectDfs(erased.dfs) === collectDfs(onlyA.dfs))
+    // erasing nothing is the identity
+    val noop = Dedup.eraseFromBandIndex(union, Seq.empty[Long].toDF("id"))
+    assert(collectDfs(noop.dfs) === collectDfs(union.dfs))
+    assert(collectSets(noop.sets) === collectSets(union.sets))
+  }
+
   test("streaming screen over the persisted index equals the batch check") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -599,5 +599,10 @@ class SimilaritySpec extends SparkSpec {
     val direct = res(graft.operators.Similarity.ivfTopKWithCentroids(
       q, df(all), k = 3, nProbe = 2, cents))
     assert(viaIndex.nonEmpty && viaIndex === direct)
+    // erasure law: erase(build(A ∪ B), B) == build(A)
+    val erased = graft.operators.Similarity.eraseFromIvfIndex(
+      whole, b.map(_._1).toDF("id"))
+    assert(listRows(erased) ===
+      listRows(graft.operators.Similarity.buildIvfIndex(df(a), cents)))
   }
 }
