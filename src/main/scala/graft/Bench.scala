@@ -105,19 +105,7 @@ object Bench {
     // BENCH_FULL.json time re-measures too (with a 0.3 s floor so
     // sub-100 ms jitter doesn't buy extra runs); the absolute 2.5 s
     // rule stays as the fallback for queries with no reference.
-    val refTimes: Map[String, Double] = try {
-      val p = java.nio.file.Paths.get("BENCH_FULL.json")
-      if (java.nio.file.Files.exists(p)) {
-        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        val qsec = s.indexOf("\"queries\":{")
-        if (qsec < 0) Map.empty
-        else {
-          val body = s.substring(qsec + 11, s.indexOf('}', qsec))
-          "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }
-      } else Map.empty
-    } catch { case _: Throwable => Map.empty }
+    val refTimes = Bench.readBenchTimes("BENCH_FULL.json")
     val despiked = results.map { case (name, d, ok, rerun) =>
       val spiky = d > 2.5 ||
         (d > 0.3 && refTimes.get(name).exists(r => d > 3.0 * r))
@@ -176,4 +164,26 @@ object Bench {
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"min_of_2_despiked","queries":$hqs,"n_failed":${failedNames.size},"failed_sample":$failedCompact,"n_queries":${despiked.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Per-query timings from a committed BENCH_FULL.json's `queries`
+    * section; empty on any miss. The ONE parser for that format —
+    * Bench's relative despike trigger and ScaleProbe's top-10
+    * selection both read through here, so a format change breaks
+    * loudly in one place instead of silently in two.
+    */
+  private[graft] def readBenchTimes(path: String): Map[String, Double] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val qsec = s.indexOf("\"queries\":{")
+        if (qsec < 0) Map.empty
+        else {
+          val body = s.substring(qsec + 11, s.indexOf('}', qsec))
+          "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
 }

@@ -292,10 +292,14 @@ case class WordpieceEncode(left: Expression, right: Expression)
     var pos = 0
     while (pos < w.length) {
       var l = math.min(maxPiece, w.length - pos)
-      var hit = 1
-      while (l >= 2 && hit == 1) {
+      var hit = 0
+      while (l >= 2 && hit == 0) {
         if (vocab.contains(w.substring(pos, pos + l))) hit = l else l -= 1
       }
+      // pass-through consumes a full CODE POINT, never half a
+      // surrogate pair — a lone surrogate would encode as '?' and the
+      // piece stream would stop round-tripping the word
+      if (hit == 0) hit = Character.charCount(w.codePointAt(pos))
       out += UTF8String.fromString(w.substring(pos, pos + hit))
       pos += hit
     }

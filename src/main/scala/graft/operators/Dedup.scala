@@ -709,9 +709,14 @@ object Dedup {
     */
   def buildBandIndex(docs: DataFrame, idCol: String, textCol: String,
                      n: Int, bands: Int, rowsPerBand: Int): BandIndex = {
+    // checkpoint the shingled frame: bands and dfs both derive from
+    // it, and writeBandIndex fires three actions — without this, the
+    // tokenize+shingle pass (THE expensive pass at corpus scale) would
+    // run once per consumer instead of once per build
     val sets = docs.select(col(idCol).as("id"),
         array_distinct(Text.shingles(Text.tokens(col(textCol)), n)).as("sh"))
       .withColumn("n_sh", size(col("sh")))
+      .localCheckpoint(false)
     val banded = sets.filter(size(col("sh")) > 0)
       .select(col("id"),
         posexplode(lshBandKeys(minhashSignature(col("sh"), bands * rowsPerBand),
@@ -769,9 +774,20 @@ object Dedup {
       dfs = idx.dfs.repartition(partitions, col("s"))), tmp)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(path)), s"compact swap failed: $tmp -> $path")
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fresh = new org.apache.hadoop.fs.Path(tmp)
+    val retired = new org.apache.hadoop.fs.Path(s"$path.old")
+    // never a window with NO live index on disk: retire the old copy
+    // ASIDE first, promote the compacted one, only then drop the
+    // retired copy — a crash mid-swap leaves either the old or the
+    // new index recoverable, not a deleted asset
+    fs.delete(retired, true) // stale leftover from an earlier crash
+    require(fs.rename(live, retired), s"compact retire failed: $path")
+    if (!fs.rename(fresh, live)) {
+      fs.rename(retired, live) // roll back to the old index
+      throw new IllegalStateException(s"compact swap failed: $tmp -> $path")
+    }
+    fs.delete(retired, true)
   }
 
   /** Right-to-be-forgotten over the index: erasing documents from the
@@ -808,7 +824,11 @@ object Dedup {
     * sets tables on candidate ids only. Emits (new_id, base_id,
     * jaccard) — identical to what [[minhashLshPairs]] over the union
     * corpus would emit restricted to new×old (DedupIndexSpec proves
-    * the equality).
+    * the equality). A new-batch id that ALREADY EXISTS in the index
+    * (a re-ingested document, a replayed partition) would band-collide
+    * with itself and verify at jaccard 1.0 — such self-pairs are
+    * excluded, matching the `a_id < b_id` discipline of the direct
+    * recompute.
     */
   def pairsAgainstIndex(newDocs: DataFrame, idx: BandIndex,
                         idCol: String, textCol: String,
@@ -817,7 +837,8 @@ object Dedup {
     val fresh = buildBandIndex(newDocs, idCol, textCol, n, bands, rowsPerBand)
     val cands = fresh.bands.as("a")
       .join(idx.bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.id") =!= col("b.id"))
       .select(col("a.id").as("new_id"), col("b.id").as("base_id"))
       .dropDuplicates("new_id", "base_id")
     cands

@@ -555,9 +555,13 @@ object TextQueries {
     //      top-200 length-2..8 substrings of word types (weighted by
     //      word frequency); piece score = round(ln(w/W)·1e6) as a
     //      LONG, so the DP compares exact integers — the only libm
-    //      call is the per-piece quantization, computed by the SAME
-    //      expression tree on both engines (the established
-    //      fixed-point discipline). The DP itself is an unrolled
+    //      call is the per-piece quantization, the same expression
+    //      SHAPE on both engines (the established round-before-use
+    //      discipline; as everywhere it's used, a 1-ulp libm
+    //      difference landing exactly on a .5 rounding boundary could
+    //      still flip one piece score — the gate would catch it, and
+    //      none of the ~240 vocab scores sits on one at either gate
+    //      scale). The DP itself is an unrolled
     //      aggregate over positions with an array-of-structs
     //      accumulator, ties broken toward the SHORTER last piece
     //      (distinct lengths ⇒ no residual tie); characters are always

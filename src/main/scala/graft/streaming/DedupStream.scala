@@ -57,6 +57,8 @@ object DedupStream {
     banded(stream, idCol, textCol, n, bands, rowsPerBand, "new_id", "new_sh")
       .join(idx.bands.select(col("id").as("base_id"),
         col("band"), col("bkey")), Seq("band", "bkey"))
+      // a replayed id already in the index must not flag itself
+      .filter(col("new_id") =!= col("base_id"))
       .join(idx.sets.select(col("id").as("base_id"),
         col("sh").as("base_sh")), Seq("base_id"))
       .withColumn("common",

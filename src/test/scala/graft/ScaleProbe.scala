@@ -80,15 +80,10 @@ object ScaleProbe {
     val names =
       if (args.nonEmpty) args(0).split(",").toSeq
       else {
-        val ref = try {
-          val s = new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8")
-          val qsec = s.indexOf("\"queries\":{")
-          if (qsec < 0) Map.empty[String, Double]
-          else "\"([A-Za-z0-9_]+)\":([0-9.]+)".r
-            .findAllMatchIn(s.substring(qsec + 11, s.indexOf('}', qsec)))
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        } catch { case _: Throwable => Map.empty[String, Double] }
+        // only names still in the registry: a committed bench can lag
+        // a rename/removal (it records the PREVIOUS gate's surface)
+        val ref = Bench.readBenchTimes("BENCH_FULL.json")
+          .filter { case (n, _) => SparkEntry.queries.contains(n) }
         if (ref.isEmpty)
           Seq("q1_pricing_summary", "q3_shipping_priority",
             "q5_region_revenue", "d_exact_groups", "d_jaccard_prefix",
