@@ -384,6 +384,47 @@ object Dedup {
     labels
   }
 
+  /** Incremental duplicate-cluster maintenance — the labels are a
+    * persisted asset like the indexes: when a daily batch arrives, its
+    * incident edges (new×old from [[pairsAgainstIndex]], new×new from
+    * a within-batch pass) must extend the existing labeling WITHOUT
+    * revisiting old×old edges. Old clusters are CONTRACTED to their
+    * labels: every old endpoint of a new edge is replaced by its
+    * cluster label, [[dupClusters]] runs on the contracted graph —
+    * batch-sized (new ids ∪ touched labels), never the corpus — and
+    * the result splits into a label REMAP applied to the old
+    * assignment plus fresh labels for the new ids. A new doc bridging
+    * two old clusters merges them through their labels; since an old
+    * component's label IS its minimum id, min-label CC on the
+    * contracted graph yields exactly the labels a full recompute over
+    * all edges would (DedupSpec proves it). Like [[dupClusters]],
+    * only edge-incident new ids are labeled — isolated new docs are
+    * their own singletons by definition.
+    */
+  def updateClusters(oldLabels: DataFrame, newEdges: DataFrame,
+                     maxIter: Int = 20): DataFrame = {
+    val lbl = oldLabels.select(col("id"), col("cluster"))
+      .localCheckpoint(false) // feeds contraction, remap, and anti-join
+    val contracted = newEdges
+      .join(lbl.select(col("id").as("a_id"), col("cluster").as("ca")),
+        Seq("a_id"), "left")
+      .join(lbl.select(col("id").as("b_id"), col("cluster").as("cb")),
+        Seq("b_id"), "left")
+      .select(coalesce(col("ca"), col("a_id")).as("a_id"),
+        coalesce(col("cb"), col("b_id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id")) // both endpoints in one old
+                                           // cluster: no new information
+    val cc = dupClusters(contracted, maxIter).localCheckpoint(false)
+    val remap = cc.select(col("id").as("cluster"), col("cluster").as("__newc"))
+    val updatedOld = lbl.join(remap, Seq("cluster"), "left")
+      .select(col("id"),
+        coalesce(col("__newc"), col("cluster")).as("cluster"))
+    // contracted nodes are new ids ∪ old labels; old labels are old
+    // ids (already covered above), so the new rows are the anti-join
+    val newRows = cc.join(lbl.select("id"), Seq("id"), "left_anti")
+    updatedOld.unionByName(newRows)
+  }
+
   /** Keeper selection per duplicate cluster: given `labels` (id,
     * cluster) from [[dupClusters]] and the docs table, pick ONE
     * representative per cluster — highest `score`, ties to the minimum

@@ -459,6 +459,34 @@ object DedupQueries {
       Dedup.dupClusters(pairs)
     }),
 
+    // ---- INCREMENTAL cluster maintenance: the labels are a persisted
+    //      asset — a 4th generation of near-copies (drop-3-token under
+    //      +300000) arrives as a daily batch, and its incident edges
+    //      (new×old via the incremental pair generator, new×new via
+    //      the prefix-filtered pass) extend the existing labeling
+    //      through label-contraction (Dedup.updateClusters): old×old
+    //      edges are never revisited, yet the result must equal the
+    //      oracle's full recursive-CC recompute over ALL four
+    //      generations ----
+    "d_cluster_incremental" -> ((s, dir) => {
+      val base = tripledCorpus(s, dir)
+      val basePairs = Dedup.jaccardPairsPrefix(base, "doc_id", "text",
+        n = 5, threshold = 0.5).localCheckpoint(false)
+      val baseLabels = Dedup.dupClusters(basePairs)
+      val tok = Text.tokens(col("text"))
+      val newBatch = t(s, dir, "documents").filter(col("doc_id") < 150)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          array_join(slice(tok, lit(4), size(tok) - 3), " ").as("text"))
+        .localCheckpoint(false) // feeds new×old AND new×new passes
+      val newOld = Dedup.jaccardPairsAgainst(newBatch, base,
+          "doc_id", "text", n = 5, threshold = 0.5, dfCap = None)
+        .select(col("new_id").as("a_id"), col("base_id").as("b_id"))
+      val newNew = Dedup.jaccardPairsPrefix(newBatch, "doc_id", "text",
+          n = 5, threshold = 0.5)
+        .select("a_id", "b_id")
+      Dedup.updateClusters(baseLabels, newOld.unionByName(newNew))
+    }),
+
     // ---- keeper per duplicate cluster: the same synthetic near-dup
     //      corpus as d_dup_clusters, then ONE representative per
     //      cluster — longest text wins, ties to min id (the actual
@@ -1195,6 +1223,40 @@ object DedupQueries {
         |    array_to_string(string_split(text, ' ')[2:], ' ') FROM raw
         |  UNION ALL SELECT doc_id + 200000,
         |    array_to_string(string_split(text, ' ')[3:], ' ') FROM raw),
+        |sh AS (SELECT id, list_distinct(
+        |  CASE WHEN len(tok) < 5 THEN []
+        |       ELSE list_transform(range(1, len(tok) - 3),
+        |              i -> array_to_string(tok[i:i+4], ' ')) END) AS sh
+        |  FROM (SELECT id, string_split(text, ' ') AS tok FROM base)),
+        |ex AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+        |common AS (SELECT a.id AS a_id, b.id AS b_id, a.n_sh AS na,
+        |    b.n_sh AS nb, count(*) AS common
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+        |  GROUP BY 1, 2, 3, 4),
+        |pairs AS (SELECT a_id, b_id FROM common
+        |  WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5),
+        |edges AS (SELECT a_id AS x, b_id AS y FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT x, x FROM edges
+        |  UNION
+        |  SELECT e.x, reach.r FROM edges e JOIN reach ON e.y = reach.id)
+        |SELECT id, MIN(r) AS cluster FROM reach GROUP BY id""".stripMargin,
+
+    // the incremental path must equal a FULL recursive-CC recompute
+    // over all four generations — old×old edges included (the engine
+    // never re-reads them; the contraction argument says it needn't)
+    "d_cluster_incremental" ->
+      """WITH RECURSIVE raw AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 150),
+        |base AS (
+        |  SELECT doc_id AS id, text FROM raw
+        |  UNION ALL SELECT doc_id + 100000,
+        |    array_to_string(string_split(text, ' ')[2:], ' ') FROM raw
+        |  UNION ALL SELECT doc_id + 200000,
+        |    array_to_string(string_split(text, ' ')[3:], ' ') FROM raw
+        |  UNION ALL SELECT doc_id + 300000,
+        |    array_to_string(string_split(text, ' ')[4:], ' ') FROM raw),
         |sh AS (SELECT id, list_distinct(
         |  CASE WHEN len(tok) < 5 THEN []
         |       ELSE list_transform(range(1, len(tok) - 3),

@@ -521,6 +521,43 @@ class DedupSpec extends SparkSpec {
     assert(meanErr < 250000L, s"mean |err| $meanErr too large")
   }
 
+  test("updateClusters: incremental == full recompute, bridges merge clusters") {
+    import spark.implicits._
+    // old graph: two separate clusters {1,2,3} and {10,11}, plus {20,21}
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("a_id", "b_id")
+    val oldLabels = Dedup.dupClusters(oldEdges)
+    // new batch: 100 joins cluster {1,2,3}; 101 BRIDGES {10,11} and
+    // {20,21} (the merge case that must relabel an old cluster whose
+    // edges are never re-read); 102-103 form a new-only cluster
+    val newEdges = Seq((100L, 3L), (101L, 11L), (101L, 20L),
+      (102L, 103L)).toDF("a_id", "b_id")
+    val got = Dedup.updateClusters(oldLabels, newEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.dupClusters(oldEdges.unionByName(newEdges))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === full)
+    // the bridge really merged: 10,11,20,21,101 all share min id 10
+    assert(Seq(10L, 11L, 20L, 21L, 101L)
+      .forall(i => got.contains((i, 10L))))
+    // random stress: 40 old nodes, 25 random old edges; 10 new nodes,
+    // 15 random incident edges — seeded, incremental == full
+    val rnd = new scala.util.Random(13)
+    val oe = Seq.fill(25)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2).toDF("a_id", "b_id")
+    val ne = Seq.fill(15) {
+      val n = (100 + rnd.nextInt(10)).toLong
+      val other = if (rnd.nextBoolean()) rnd.nextInt(40).toLong
+                  else (100 + rnd.nextInt(10)).toLong
+      (n, other)
+    }.filter(p => p._1 != p._2).toDF("a_id", "b_id")
+    val incr = Dedup.updateClusters(Dedup.dupClusters(oe), ne)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val whole = Dedup.dupClusters(oe.unionByName(ne))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr === whole)
+  }
+
   test("d_edit_pairs: naive replay — brute force within blocks, mutants found") {
     // replay the d_edit_pairs pipeline by hand on a tiny corpus: the
     // blocked path must equal brute-force Levenshtein over all pairs
