@@ -37,6 +37,35 @@ object CurationStream {
       (dot > 0).as("kept"))
   }
 
+  /** PII census at ingest — the streaming twin of `t_pii_detect`:
+    * the counting is pure map-side regexp + Luhn array algebra, so the
+    * stream operator is the SAME projection with zero state; a
+    * pipeline can route or quarantine PII-bearing documents before
+    * admitting them. Bit-equal to batch by construction (spec-proven).
+    */
+  def piiScreen(docs: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    val c = Text.piiCounts(col(textCol))
+    docs.select(col(idCol),
+      c.getField("n_emails").as("n_emails"),
+      c.getField("n_phones").as("n_phones"),
+      c.getField("n_ipv4").as("n_ipv4"),
+      c.getField("n_cards").as("n_cards"),
+      (c.getField("n_emails") + c.getField("n_phones") +
+        c.getField("n_ipv4") + c.getField("n_cards") > 0).as("has_pii"))
+  }
+
+  /** Mojibake repair at ingest — the streaming twin of `t_mojibake`:
+    * the native graft_fix_mojibake expression is a stateless per-row
+    * repair, applied before anything downstream tokenizes broken text.
+    */
+  def mojibakeRepair(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val fixed = graft.expressions.TextExprs.fixMojibake(col(textCol))
+    docs.select(col(idCol), fixed.as("clean"),
+      (fixed =!= col(textCol)).as("repaired"))
+  }
+
   /** DSIR importance scoring at ingest: the offline-built λ table
     * (collected once via [[graft.operators.Dsir.lamLiteral]]) rides
     * as a plan literal, and each arriving document gets its log

@@ -715,6 +715,55 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("streaming PII screen + mojibake repair bit-equal batch, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val moji = new String(
+      "café naïve".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1) + (r.getLong(0) % 3 match {
+        case 0 => " mail x" + r.getLong(0) + "@a.io card 4532015112830366"
+        case 1 => " " + moji
+        case _ => ""
+      })))
+    val mem = MemoryStream[(Long, String)]
+    val pii = graft.streaming.CurationStream.piiScreen(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = pii.writeStream.format("memory").queryName("piis")
+      .outputMode("append").start()
+    val mem2 = MemoryStream[(Long, String)]
+    val fix = graft.streaming.CurationStream.mojibakeRepair(
+      mem2.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q2 = fix.writeStream.format("memory").queryName("mojis")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.take(20).toSeq); mem2.addData(docs.take(20).toSeq)
+      q.processAllAvailable(); q2.processAllAvailable()
+      mem.addData(docs.drop(20).toSeq); mem2.addData(docs.drop(20).toSeq)
+      q.processAllAvailable(); q2.processAllAvailable()
+    } finally { q.stop(); q2.stop() }
+    def rows5(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getBoolean(5))).sortBy(_._1).toSeq
+    val gotPii = rows5(spark.sql("SELECT * FROM piis"))
+    val wantPii = rows5(graft.streaming.CurationStream.piiScreen(
+      docs.toSeq.toDF("doc_id", "text"), "doc_id", "text"))
+    assert(gotPii.length === 40 && gotPii === wantPii)
+    assert(gotPii.count(_._6) === docs.count(_._1 % 3 == 0)) // has_pii
+    def rows3(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    val gotFix = rows3(spark.sql("SELECT * FROM mojis"))
+    val wantFix = rows3(graft.streaming.CurationStream.mojibakeRepair(
+      docs.toSeq.toDF("doc_id", "text"), "doc_id", "text"))
+    assert(gotFix === wantFix)
+    assert(gotFix.count(_._3) === docs.count(_._1 % 3 == 1)) // repaired
+    gotFix.filter(_._3).foreach(r => assert(r._2.endsWith(" café naïve")))
+  }
+
   test("streaming DSIR scoring: plan-literal lambda map bit-equals batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
