@@ -436,6 +436,70 @@ object TextQueries {
             .as("temp_share"))
     }),
 
+    // ---- data-mixing budget waterfall: allocate a token budget B
+    //      (60% of the corpus) across sources proportionally to
+    //      weights, capping every source at its actual size and
+    //      redistributing the excess among the uncapped — the epoch
+    //      allocation a training mix needs once some domains are
+    //      smaller than their fair share. Closed form instead of the
+    //      iterative fixpoint: sorted by size/weight ratio, the capped
+    //      set is the maximal PREFIX where size_i·W_rest ≤
+    //      (B−S_prev)·w_i (integer cross-multiplication — exact; the
+    //      running-AND window forces prefix semantics), the uncapped
+    //      get floor((B−S_K)·w_i / W_K) with largest-remainder top-up
+    //      so the allocations sum to B exactly. All integer arithmetic
+    //      over the MODEL-SIZED source table (the one corpus-scale job
+    //      is the per-source token count); the naive iterative
+    //      waterfall is spec-replayed against this closed form ----
+    "t_mix_waterfall" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dom = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum(size(Text.tokens(col("text"))).cast("long")).as("sz"))
+        .withColumn("w", (length(col("source")) % 3 + 1).cast("long"))
+      val tot = dom.agg(sum("sz").as("tot_sz"), sum("w").as("tot_w"))
+      val wOrd = Window.orderBy(col("r"), col("source"))
+      val prev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+      val upto = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+      val cum = dom.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("tot_sz * 6 div 10"))
+        // sz/w in IEEE double ONLY as the sort key (correctly-rounded
+        // division, identical both engines); all decisions are
+        // integer cross-multiplications
+        .withColumn("r", col("sz").cast("double") / col("w").cast("double"))
+        .withColumn("s_prev", coalesce(sum("sz").over(prev), lit(0L)))
+        .withColumn("w_prev", coalesce(sum("w").over(prev), lit(0L)))
+        .withColumn("cond",
+          when(col("sz") * (col("tot_w") - col("w_prev")) <=
+            (col("budget") - col("s_prev")) * col("w"), 1).otherwise(0))
+        .withColumn("capped", min("cond").over(upto) === 1)
+      val caps = cum.agg(
+        sum(when(col("capped"), col("sz")).otherwise(0L)).as("s_k"),
+        sum(when(col("capped"), col("w")).otherwise(0L)).as("w_cap"))
+      val alloc0 = cum.crossJoin(broadcast(caps))
+        .withColumn("w_k", col("tot_w") - col("w_cap"))
+        .withColumn("base", when(col("capped"), col("sz"))
+          .otherwise(when(col("w_k") > 0,
+            expr("(budget - s_k) * w div w_k")).otherwise(lit(0L))))
+        .withColumn("rem", when(col("capped") || col("w_k") === 0, lit(0L))
+          .otherwise(expr("(budget - s_k) * w % w_k")))
+        .localCheckpoint(false) // leftover total + rank + output
+      val leftover = alloc0.agg((max(when(!col("capped"),
+          col("budget") - col("s_k"))).cast("long") -
+          sum(when(!col("capped"), col("base")).otherwise(0L))).as("l"))
+      // uncapped rows first (capped sort last), so ranks 1..L land on
+      // uncapped remainders only — L < W_K guarantees enough of them
+      val wRem = Window.orderBy(col("capped").asc, col("rem").desc,
+        col("source").asc)
+      alloc0.crossJoin(broadcast(leftover))
+        .withColumn("topup",
+          when(!col("capped") &&
+            row_number().over(wRem) <= coalesce(col("l"), lit(0L)), 1L)
+            .otherwise(0L))
+        .select(col("source"), col("sz"), col("w"), col("capped"),
+          (col("base") + col("topup")).as("alloc"))
+    }),
+
     // ---- weighted sampling without replacement (Efraimidis–Spirakis,
     //      weight = document length): inclusion odds ∝ n_chars but the
     //      draw is a pure function of doc_id — reproducible across
@@ -1995,6 +2059,57 @@ object TextQueries {
         |  array_to_string(ps, '|') AS enc
         |FROM rec JOIN wf USING (word)
         |WHERE pos = 0""".stripMargin,
+
+    // the same closed-form water-filling, windows over the source
+    // table: integer cross-multiplied cap test under a running-AND
+    // prefix, floor shares with largest-remainder top-up
+    "t_mix_waterfall" ->
+      """WITH d0 AS (SELECT source,
+        |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |      AS BIGINT) AS sz
+        |  FROM documents GROUP BY source),
+        |dom AS MATERIALIZED (SELECT source, sz,
+        |    CAST(len(source) % 3 + 1 AS BIGINT) AS w FROM d0),
+        |tot AS (SELECT SUM(sz) AS tot_sz, SUM(w) AS tot_w FROM dom),
+        |cum AS MATERIALIZED (SELECT source, sz, w, tot_w,
+        |    tot_sz * 6 // 10 AS budget,
+        |    CAST(sz AS DOUBLE) / CAST(w AS DOUBLE) AS r,
+        |    COALESCE(SUM(sz) OVER (
+        |      ORDER BY CAST(sz AS DOUBLE) / CAST(w AS DOUBLE), source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS s_prev,
+        |    COALESCE(SUM(w) OVER (
+        |      ORDER BY CAST(sz AS DOUBLE) / CAST(w AS DOUBLE), source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS w_prev
+        |  FROM dom, tot),
+        |c2 AS MATERIALIZED (SELECT *,
+        |    MIN(CASE WHEN sz * (tot_w - w_prev) <= (budget - s_prev) * w
+        |             THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY r, source
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |      AS capped
+        |  FROM cum),
+        |caps AS (SELECT SUM(CASE WHEN capped THEN sz ELSE 0 END) AS s_k,
+        |    SUM(CASE WHEN capped THEN w ELSE 0 END) AS w_cap FROM c2),
+        |a0 AS MATERIALIZED (SELECT c2.*, s_k, tot_w - w_cap AS w_k,
+        |    CASE WHEN capped THEN sz
+        |         WHEN tot_w - w_cap > 0
+        |           THEN (budget - s_k) * w // (tot_w - w_cap)
+        |         ELSE 0 END AS base,
+        |    CASE WHEN capped OR tot_w - w_cap = 0 THEN 0
+        |         ELSE (budget - s_k) * w % (tot_w - w_cap) END AS rem
+        |  FROM c2, caps),
+        |lo AS (SELECT CAST(MAX(CASE WHEN NOT capped THEN budget - s_k
+        |    END) AS BIGINT)
+        |    - SUM(CASE WHEN NOT capped THEN base ELSE 0 END) AS l
+        |  FROM a0),
+        |rk AS (SELECT a0.*, ROW_NUMBER() OVER (
+        |    ORDER BY capped ASC, rem DESC, source ASC) AS rn FROM a0)
+        |SELECT source, sz, w, capped,
+        |  CAST(base + CASE WHEN NOT capped AND rn <= COALESCE(l, 0)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM rk, lo""".stripMargin,
 
     // the repair's fixed point in closed form: even docs get the CLEAN
     // suffix back, odd docs pass through; repaired flags exactly the

@@ -697,8 +697,8 @@ class PlanSpec extends SparkSpec {
     // vocab / rank-grid / batch-count frames
     "t_encode_ids", "t_vocab_coverage", "t_zipf_fit", "t_novelty_curve",
     "t_shuffle_order", "t_shuffle_decorrelation",
-    // model-sized preference tables
-    "p_copeland_borda",
+    // model-sized preference/source tables
+    "p_copeland_borda", "t_mix_waterfall",
     // Ranks.rowNumbers offsets: one row per partition, never the corpus
     "t_ppl_buckets")
 

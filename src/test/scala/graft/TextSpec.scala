@@ -553,6 +553,64 @@ class TextSpec extends SparkSpec {
       .collect()(0).getString(0) === clean)
   }
 
+  test("t_mix_waterfall: naive iterative fixpoint replay, budget exact") {
+    val dir = java.nio.file.Files.createTempDirectory("wf").toString
+    import spark.implicits._
+    // crafted so at least one source caps (tiny size, high weight) and
+    // several stay uncapped; weights derive from len(source) % 3 + 1
+    def words(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, "s1", words(8, "a")),     // w=3, tiny → caps
+      (2L, "s2", words(300, "b")),   // w=3
+      (3L, "abc", words(200, "c")),  // w=1
+      (4L, "wxyz", words(150, "d")), // w=2
+      (5L, "s2", words(250, "e")))
+    docs.toDF("doc_id", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    // independent naive fixpoint: cap any active source whose fair
+    // share covers its size, recompute, repeat; then floor + largest
+    // remainder over the uncapped
+    val sz = docs.groupBy(_._2).map { case (s, v) =>
+      s -> v.map(_._3.split(" ").length.toLong).sum }
+    val w = sz.keys.map(s => s -> (s.length % 3 + 1).toLong).toMap
+    val budget = sz.values.sum * 6 / 10
+    var capped = Set.empty[String]
+    var changed = true
+    while (changed) {
+      val sCap = capped.toSeq.map(sz).sum
+      val wAct = (sz.keySet -- capped).toSeq.map(w).sum
+      val newly = (sz.keySet -- capped).filter(s =>
+        sz(s) * wAct <= (budget - sCap) * w(s))
+      changed = newly.nonEmpty
+      capped ++= newly
+    }
+    val sK = capped.toSeq.map(sz).sum
+    val wK = (sz.keySet -- capped).toSeq.map(w).sum
+    val base = (sz.keySet -- capped).map(s =>
+      s -> (budget - sK) * w(s) / wK).toMap
+    val rem = (sz.keySet -- capped).map(s =>
+      s -> (budget - sK) * w(s) % wK).toMap
+    val l = (budget - sK) - base.values.sum
+    val topped = rem.toSeq.sortBy { case (s, r) => (-r, s) }
+      .take(l.toInt).map(_._1).toSet
+    val expect = sz.keySet.map { s =>
+      s -> (if (capped(s)) sz(s)
+            else base(s) + (if (topped(s)) 1L else 0L)) }.toMap
+    val got = SparkEntry.queries("t_mix_waterfall")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(3), r.getLong(4)))).toMap
+    assert(got.keySet === sz.keySet)
+    sz.keySet.foreach { s =>
+      assert(got(s)._1 === sz(s), s"size $s")
+      assert(got(s)._2 === capped(s), s"capped $s")
+      assert(got(s)._3 === expect(s), s"alloc $s")
+      assert(got(s)._3 <= sz(s), s"alloc exceeds size for $s")
+    }
+    assert(capped.nonEmpty && capped.size < sz.size)
+    // allocations exhaust the budget exactly when someone is uncapped
+    assert(got.values.map(_._3).sum === budget)
+  }
+
   test("t_unigram_viterbi: naive DP replay on a controlled corpus") {
     val dir = java.nio.file.Files.createTempDirectory("uni").toString
     import spark.implicits._
