@@ -669,6 +669,30 @@ class PlanSpec extends SparkSpec {
     assert(!planOf("d_minhash_bbit").contains("CartesianProduct"))
   }
 
+  test("round-10 shapes: index paths equi-join, edit blocking, no cartesians") {
+    // persisted band index: candidates come from the (band, bkey)
+    // equi-join against the TABLE — never a cross join; the fresh
+    // batch side is checkpointed (scan appears once)
+    val idx = planOf("d_index_incremental")
+    assert(!idx.contains("CartesianProduct"), idx)
+    assert(idx.contains("SortMergeJoin") || idx.contains("BroadcastHashJoin") ||
+      idx.contains("ShuffledHashJoin"), idx)
+    // persisted IVF index: the query side broadcasts into the lists
+    val ann = planOf("s_index_ann")
+    assert(ann.contains("Broadcast"), ann)
+    assert(!ann.contains("CartesianProduct"), ann)
+    // blocked Levenshtein: the pair generator is a key equi-join
+    assert(!planOf("d_edit_pairs").contains("CartesianProduct"))
+    // incremental clusters: contraction joins + CC rounds, no cartesian
+    assert(!planOf("d_cluster_incremental").contains("CartesianProduct"))
+    // codec inventory: a single mapPartitions pass, shuffle-free
+    val inv = planOf("m_codec_inventory")
+    assert(!inv.contains("Exchange"), inv)
+    // PII census / mojibake: pure map-side projections, shuffle-free
+    assert(!planOf("t_pii_detect").contains("Exchange"))
+    assert(!planOf("t_mojibake").contains("Exchange"))
+  }
+
   // Every query whose physical plan is ALLOWED to carry an
   // unpartitioned Window (a single-task global sort of its input
   // frame), each because that frame is bounded by construction —
