@@ -693,6 +693,32 @@ object TextQueries {
           array_join(col("__ps"), "|").as("enc"))
     }),
 
+    // ---- tokenizer evaluation: the three segmenters over the SAME
+    //      word-type table, scored by corpus-weighted fertility
+    //      (pieces per word occurrence, exact integer ppm) — the
+    //      comparison a pipeline runs before committing to a
+    //      vocabulary. Composes the two gated pipelines verbatim plus
+    //      the characters-as-pieces baseline; everything downstream of
+    //      them is one model-sized union + aggregate ----
+    "t_tokenizer_eval" -> ((s, dir) => {
+      val wp = queries("t_wordpiece")(s, dir)
+        .select(lit("wordpiece").as("tokenizer"), col("word"),
+          col("freq"), col("n_pieces").cast("long").as("n_pieces"))
+      val uv = queries("t_unigram_viterbi")(s, dir)
+        .select(lit("unigram").as("tokenizer"), col("word"),
+          col("freq"), col("n_pieces").cast("long").as("n_pieces"))
+      val ch = queries("t_wordpiece")(s, dir)
+        .select(lit("chars").as("tokenizer"), col("word"),
+          col("freq"), length(col("word")).cast("long").as("n_pieces"))
+      wp.unionByName(uv).unionByName(ch)
+        .groupBy("tokenizer")
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("freq")).as("w_words"),
+          sum(col("freq") * col("n_pieces")).as("w_pieces"))
+        .withColumn("fertility_ppm",
+          expr("w_pieces * 1000000 div w_words"))
+    }),
+
     // ---- corpus cartography: source×source 3-shingle overlap matrix
     //      — which domains duplicate each other, the map that decides
     //      what cross-source dedup will recover before running it.
@@ -2110,6 +2136,85 @@ object TextQueries {
         |  CAST(base + CASE WHEN NOT capped AND rn <= COALESCE(l, 0)
         |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
         |FROM rk, lo""".stripMargin,
+
+    // both segmenters replayed over ONE shared induction (the 1..8
+    // substring table serves both: wordpiece's len-2..8 weighting is
+    // unchanged by also generating the len-1 rows), then the weighted
+    // fertility aggregate in exact integers
+    "t_tokenizer_eval" ->
+      """WITH RECURSIVE wf AS MATERIALIZED (
+        |  SELECT word, COUNT(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |subs AS MATERIALIZED (SELECT sub, SUM(freq) AS w FROM (
+        |    SELECT freq, unnest(list_distinct(flatten(list_transform(
+        |      range(1, 9), l -> list_transform(
+        |        range(1, len(word) - l + 2),
+        |        i -> substring(word, CAST(i AS INT), CAST(l AS INT)))))))
+        |      AS sub
+        |    FROM wf) GROUP BY sub),
+        |top200 AS MATERIALIZED (SELECT sub, w FROM subs
+        |  WHERE len(sub) >= 2 ORDER BY w DESC, sub ASC LIMIT 200),
+        |wvl AS MATERIALIZED (SELECT list(sub ORDER BY sub) AS vl
+        |  FROM top200),
+        |uvocab AS MATERIALIZED (
+        |  SELECT sub, w FROM subs WHERE len(sub) = 1
+        |  UNION ALL SELECT sub, w FROM top200),
+        |utot AS (SELECT SUM(w) AS wt FROM uvocab),
+        |usl AS MATERIALIZED (SELECT list(struct_pack(p := sub,
+        |    s := CAST(round(ln(CAST(w AS DOUBLE) / CAST(wt AS DOUBLE))
+        |      * 1000000, 0) AS BIGINT)) ORDER BY sub) AS sl
+        |  FROM uvocab, utot),
+        |wstep AS (
+        |  SELECT word, word AS rest, 0 AS np FROM wf
+        |  UNION ALL
+        |  SELECT word, substring(rest, pl + 1) AS rest, np + 1 AS np
+        |  FROM (SELECT word, rest, np,
+        |      CAST(COALESCE(list_max(list_transform(
+        |        list_filter(wvl.vl, p -> p = substring(rest, 1, len(p))),
+        |        p -> len(p))), 1) AS INT) AS pl
+        |    FROM wstep, wvl WHERE rest <> '') s),
+        |dp AS (
+        |  SELECT word, 0 AS j,
+        |    [struct_pack(s := CAST(0 AS BIGINT), bp := 0)] AS d
+        |  FROM wf
+        |  UNION ALL
+        |  SELECT word, j + 1 AS j,
+        |    list_append(d, struct_pack(s := best.s, bp := best.bp)) AS d
+        |  FROM (
+        |    SELECT word, j, d,
+        |      list_aggregate(list_filter(list_transform(
+        |        range(1, CAST(least(8, j + 1) AS BIGINT) + 1),
+        |        l -> struct_pack(
+        |          s := d[CAST(j + 1 - l AS INT) + 1].s +
+        |            list_filter(usl.sl, x -> x.p = substring(word,
+        |              CAST(j + 1 - l + 1 AS INT), CAST(l AS INT)))[1].s,
+        |          negl := -CAST(l AS INT),
+        |          bp := CAST(l AS INT))),
+        |        c -> c.s IS NOT NULL), 'max') AS best
+        |    FROM dp, usl WHERE j < len(word)) t),
+        |urec AS (
+        |  SELECT word, d, len(d) - 1 AS pos, 0 AS np
+        |  FROM dp WHERE j = len(word)
+        |  UNION ALL
+        |  SELECT word, d, pos - d[pos + 1].bp AS pos, np + 1 AS np
+        |  FROM urec WHERE pos > 0),
+        |pieces AS (
+        |  SELECT 'wordpiece' AS tokenizer, word, CAST(np AS BIGINT)
+        |    AS n_pieces FROM wstep WHERE rest = ''
+        |  UNION ALL
+        |  SELECT 'unigram', word, CAST(np AS BIGINT) FROM urec
+        |  WHERE pos = 0
+        |  UNION ALL
+        |  SELECT 'chars', word, CAST(len(word) AS BIGINT) FROM wf)
+        |SELECT tokenizer, CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CAST(SUM(freq) AS BIGINT) AS w_words,
+        |  CAST(SUM(freq * n_pieces) AS BIGINT) AS w_pieces,
+        |  CAST(SUM(freq * n_pieces) AS BIGINT) * 1000000
+        |    // CAST(SUM(freq) AS BIGINT) AS fertility_ppm
+        |FROM pieces JOIN wf USING (word)
+        |GROUP BY tokenizer""".stripMargin,
 
     // the repair's fixed point in closed form: even docs get the CLEAN
     // suffix back, odd docs pass through; repaired flags exactly the

@@ -611,6 +611,32 @@ class TextSpec extends SparkSpec {
     assert(got.values.map(_._3).sum === budget)
   }
 
+  test("t_tokenizer_eval: weighted-fertility identities on a controlled corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("tke").toString
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox the fox"),
+      (2L, "riverriverrun there then riverriverrun"))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("t_tokenizer_eval")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet === Set("chars", "wordpiece", "unigram"))
+    // all three run over the SAME word-type table
+    val (nt, ww) = (rows("chars")._1, rows("chars")._2)
+    assert(rows.values.forall(v => v._1 == nt && v._2 == ww))
+    // chars baseline replay: sum freq * len(word), and it dominates
+    val wf = docs.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, v) => w -> v.size.toLong }
+    assert(rows("chars")._3 ===
+      wf.map { case (w, f) => f * w.length }.sum)
+    assert(ww === wf.values.sum && nt === wf.size.toLong)
+    Seq("wordpiece", "unigram").foreach { t =>
+      assert(rows(t)._3 <= rows("chars")._3, s"$t fertility above chars")
+      assert(rows(t)._3 >= ww, s"$t below one piece per word")
+      assert(rows(t)._4 === rows(t)._3 * 1000000L / ww)
+    }
+  }
+
   test("t_unigram_viterbi: naive DP replay on a controlled corpus") {
     val dir = java.nio.file.Files.createTempDirectory("uni").toString
     import spark.implicits._
