@@ -41,6 +41,24 @@ object DedupQueries {
   private val bandIdxMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Build (once per data directory) and read back the persisted band
+    * index over documents(doc_id < 300) — shared by
+    * d_index_incremental (the daily check) and d_index_stats (the
+    * health report over the same artifact).
+    */
+  private def persistedIndex(s: SparkSession, dir: String): Dedup.BandIndex = {
+    val idxPath = bandIdxMemo.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_bandidx").toString
+      val base = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select("doc_id", "text")
+      Dedup.writeBandIndex(Dedup.buildBandIndex(base, "doc_id", "text",
+        n = 5, bands = 3, rowsPerBand = 2), p)
+      p
+    })
+    Dedup.readBandIndex(s, idxPath)
+  }
+
   private def tripledCorpus(s: SparkSession, dir: String): DataFrame = {
     val rows = tripledMemo.computeIfAbsent(dir, _ => {
       val d = t(s, dir, "documents").filter(col("doc_id") < 150)
@@ -426,16 +444,7 @@ object DedupQueries {
     //      (band, bkey) equi-join against the persisted band table,
     //      exact Jaccard verify against the persisted sets table ----
     "d_index_incremental" -> ((s, dir) => {
-      val idxPath = bandIdxMemo.computeIfAbsent(dir, _ => {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft_bandidx").toString
-        val base = t(s, dir, "documents").filter(col("doc_id") < 300)
-          .select("doc_id", "text")
-        Dedup.writeBandIndex(Dedup.buildBandIndex(base, "doc_id", "text",
-          n = 5, bands = 3, rowsPerBand = 2), p)
-        p
-      })
-      val idx = Dedup.readBandIndex(s, idxPath)
+      val idx = persistedIndex(s, dir)
       val tok = Text.tokens(col("text"))
       val newBatch = t(s, dir, "documents")
         .filter(col("doc_id") >= 100 && col("doc_id") < 200)
@@ -443,6 +452,18 @@ object DedupQueries {
           array_join(slice(tok, lit(2), size(tok) - 1), " ").as("text"))
       Dedup.pairsAgainstIndex(newBatch, idx, "doc_id", "text",
         n = 5, bands = 3, rowsPerBand = 2, threshold = 0.5)
+    }),
+
+    // ---- index health report over the SAME persisted artifact: the
+    //      band-bucket size histogram — max bucket size bounds the
+    //      candidate fan-out of every future incremental check
+    //      (a k-doc bucket emits up to k candidates per probing doc),
+    //      so a daily job logs this before trusting the index. One
+    //      groupBy over the band TABLE, then a bounded histogram ----
+    "d_index_stats" -> ((s, dir) => {
+      persistedIndex(s, dir).bands
+        .groupBy("band", "bkey").agg(count(lit(1)).as("bucket_size"))
+        .groupBy("bucket_size").agg(count(lit(1)).as("n_buckets"))
     }),
 
     // ---- duplicate-cluster consolidation: three generations of near
@@ -1145,6 +1166,26 @@ object DedupQueries {
          |  CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
          |FROM common
          |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5""".stripMargin,
+
+    // band-bucket histogram recomputed from the generating corpus
+    "d_index_stats" ->
+      s"""WITH basec AS (SELECT doc_id AS id, text FROM documents
+         |  WHERE doc_id < 300),
+         |shb AS MATERIALIZED (SELECT id, list_distinct(
+         |  CASE WHEN len(tok) < 5 THEN []
+         |       ELSE list_transform(range(1, len(tok) - 3),
+         |              i -> array_to_string(tok[i:i+4], ' ')) END) AS sh
+         |  FROM (SELECT id, string_split(text, ' ') AS tok FROM basec)),
+         |sigb AS (SELECT id, list_transform(range(0, 6),
+         |    i -> list_aggregate(list_transform(sh,
+         |           s -> md5(CAST(i AS VARCHAR) || ':' || s)), 'min')) AS sig
+         |  FROM shb WHERE len(sh) > 0),
+         |bb AS (SELECT id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bkey
+         |  FROM sigb CROSS JOIN (SELECT unnest(range(0, 3)) AS b)),
+         |bsz AS (SELECT b, bkey, CAST(COUNT(*) AS BIGINT) AS bucket_size
+         |  FROM bb GROUP BY 1, 2)
+         |SELECT bucket_size, CAST(COUNT(*) AS BIGINT) AS n_buckets
+         |FROM bsz GROUP BY bucket_size""".stripMargin,
 
     // blocked Levenshtein: same prefixes, same blocking key, same cap
     "d_edit_pairs" ->

@@ -111,6 +111,20 @@ class DedupIndexSpec extends SparkSpec {
     assert(viaIndex === direct)
   }
 
+  test("band-bucket histogram accounts for every band row") {
+    import org.apache.spark.sql.functions._
+    val idx = Dedup.buildBandIndex(corpus(corpusA ++ corpusB),
+      "doc_id", "text", n = 3, bands = 3, rowsPerBand = 2)
+    val hist = idx.bands.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bucket_size"))
+      .groupBy("bucket_size").agg(count(lit(1)).as("n_buckets"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = hist.map { case (sz, n) => sz * n }.sum
+    assert(total === idx.bands.count())
+    // the near-dup construction guarantees at least one shared bucket
+    assert(hist.exists(_._1 >= 2L))
+  }
+
   test("eraseFromBandIndex: erase(index(A u B), B) == index(A), df-exact") {
     import spark.implicits._
     val union = Dedup.buildBandIndex(corpus(corpusA ++ corpusB),
