@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   *   - ASSIGN is map-side: centroids are a plan literal (k·dim doubles
   *     broadcast with the closure), each row computes k fold-distances
   *     inside the scan stage — the corpus is never shuffled;
-  *   - RECOMPUTE is one keyed aggregation: posexplode to (cid, pos, x)
-  *     and groupBy(cid, pos) — k·dim groups regardless of corpus size,
-  *     map-side partial combine, then k·dim rows to the driver.
+  *   - RECOMPUTE is one keyed aggregation: groupBy(cid) over a typed
+  *     per-partition vector-sum accumulator ([[VecSumAggregator]], the
+  *     [[GramAggregator]] shape) — each row folds its dim components
+  *     straight into the partition-local buffer, and only
+  *     #partitions·k buffers (dim exact decimals each) reach the
+  *     merge; the corpus rows are never exploded.
   * Iterations are driver-orchestrated literals, like [[Similarity]]'s
   * IVF centroids — "small model to driver, big data stays put".
   *
@@ -89,24 +92,35 @@ object KMeans {
       array_min(array(scored: _*))
     }
 
+    // One typed aggregation per iteration: each input row folds its
+    // dim components into the partition-local buffer, so only
+    // #partitions·k buffers cross the shuffle (the posexplode
+    // predecessor materialized n·dim (cid, pos, x) rows per iteration
+    // before the combine — the GramAggregator lesson, round 7).
+    // Summands replicate cast(x AS DECIMAL(28,9)) exactly, so the
+    // centroid sums — and every downstream hash — are bit-identical.
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val vecSum = udaf(new VecSumAggregator(dim),
+      ExpressionEncoder[Seq[Double]]())
+
     var it = 0
     while (it < iters) {
-      val assigned = pts.select(col("id"), col("v"),
+      val assigned = pts.select(col("v"),
         assign(centroids).getField("cid").as("cid"))
       val sums = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos")
-        .agg(sum(col("x").cast("decimal(28,9)")).as("sx"),
-          count(lit(1)).as("n"))
+        .groupBy("cid")
+        .agg(vecSum(col("v")).as("s"))
         .collect()
-      val next = sums.groupBy(_.getInt(0)).map { case (cid, rows) =>
-        val comp = new Array[Double](dim)
-        rows.foreach { r =>
-          comp(r.getInt(1)) =
-            r.getDecimal(2).doubleValue() / r.getLong(3).toDouble
-        }
-        (cid, comp.toSeq)
-      }
+      val next = sums.map { r =>
+        val s = r.getStruct(1)
+        val comp = s.getSeq[String](0)
+        val n = s.getLong(1).toDouble
+        require(comp.length == dim,
+          s"KMeans: centroid partial has ${comp.length} components, " +
+            s"dim=$dim")
+        (r.getInt(0), comp.map(c =>
+          new java.math.BigDecimal(c).doubleValue() / n))
+      }.toMap
       // a centroid that lost every point keeps its previous position
       // (deterministic; matches the oracle's LEFT JOIN + COALESCE)
       centroids = centroids.map { case (cid, prev) =>
@@ -146,4 +160,110 @@ object KMeans {
     df.select(col(idCol), best.getField("cid").as("cid"),
       round(best.getField("d"), 6).as("dist"))
   }
+}
+
+/** Partition-local centroid-sum buffer: per-component exact scale-9
+  * decimal sums split into a hot long lane (unscaled ×1e9 integers,
+  * `Math.addExact`) and a BigDecimal spill lane a component overflows
+  * into — together they always represent the exact decimal sum.
+  * `n` counts the rows folded in (the centroid divisor).
+  */
+private[graft] final case class VecSumBuf(
+    longs: Array[Long], spill: Array[java.math.BigDecimal], var n: Long)
+
+/** Per-partition vector-sum accumulator for [[KMeans.fit]]'s centroid
+  * recompute: buffer = dim exact scale-9 decimal sums + a row count;
+  * each reduce folds one assigned vector into the partition-local
+  * buffer, so a corpus pass ships #partitions·k buffers instead of
+  * n·dim exploded rows.
+  *
+  * Component arithmetic replicates the declarative plan it replaced
+  * exactly: `cast(x AS DECIMAL(28,9))` is
+  * `BigDecimal(Double.toString(x)).setScale(9, HALF_UP)` (Spark's
+  * double→decimal cast path), so each summand is the identical
+  * decimal, and exact decimal addition makes the total independent of
+  * row order and partitioning (the determinism-audit property).
+  * Results travel to the driver as plain strings — the default encoder
+  * would narrow to DECIMAL(38,18) and a Double would round.
+  */
+private[graft] class VecSumAggregator(dim: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Seq[Double], VecSumBuf, (Seq[String], Long)] {
+  import java.math.{BigDecimal => JBD, RoundingMode}
+
+  override def zero: VecSumBuf =
+    VecSumBuf(new Array[Long](dim), Array.fill(dim)(JBD.ZERO), 0L)
+
+  /** Unscaled (×1e9) HALF_UP rounding of `x`, replicating
+    * `cast(x AS DECIMAL(28,9))` exactly. Fast path: for |x| < 1 the
+    * scaled double x·1e9 carries ≤ ~0.12 of combined error vs the
+    * exact decimal (shortest-repr drift 1e9·ulp(x)/2 ≤ 0.112 plus the
+    * multiply rounding ≤ ulp(1e9)/2), so when the scaled value sits
+    * within 0.25 of an integer the HALF_UP result is provably that
+    * integer (true fractional part ≤ 0.37 < 0.5) — no string
+    * round-trip. KMeans inputs are round-9 quantized, so the true
+    * scaled value IS an integer and |x| < 1 always takes this path.
+    * The band and |x| ≥ 1 fall back to the exact BigDecimal path
+    * (valueOf → setScale is the Spark cast's double semantic).
+    */
+  private def unscaled9(x: Double): Long = {
+    if (math.abs(x) < 1.0) {
+      val y = x * 1e9
+      val r = math.rint(y)
+      if (math.abs(y - r) < 0.25) return r.toLong
+    }
+    JBD.valueOf(x).setScale(9, RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+  }
+
+  override def reduce(b: VecSumBuf, row: Seq[Double]): VecSumBuf = {
+    require(row.length == dim,
+      s"VecSumAggregator: expected $dim-dim vector, got ${row.length}")
+    var i = 0
+    while (i < dim) {
+      val lu = unscaled9(row(i))
+      try b.longs(i) = Math.addExact(b.longs(i), lu)
+      catch {
+        case _: ArithmeticException =>
+          b.spill(i) = b.spill(i).add(JBD.valueOf(b.longs(i), 9))
+          b.longs(i) = lu
+      }
+      i += 1
+    }
+    b.n += 1L
+    b
+  }
+
+  override def merge(a: VecSumBuf, b: VecSumBuf): VecSumBuf = {
+    var i = 0
+    while (i < dim) {
+      try a.longs(i) = Math.addExact(a.longs(i), b.longs(i))
+      catch {
+        case _: ArithmeticException =>
+          a.spill(i) = a.spill(i).add(JBD.valueOf(b.longs(i), 9))
+      }
+      a.spill(i) = a.spill(i).add(b.spill(i))
+      i += 1
+    }
+    a.n += b.n
+    a
+  }
+
+  override def finish(b: VecSumBuf): (Seq[String], Long) = {
+    val out = new Array[String](dim)
+    var i = 0
+    while (i < dim) {
+      out(i) = JBD.valueOf(b.longs(i), 9).add(b.spill(i)).toPlainString
+      i += 1
+    }
+    (out.toSeq, b.n)
+  }
+
+  override def bufferEncoder: org.apache.spark.sql.Encoder[VecSumBuf] =
+    org.apache.spark.sql.Encoders.kryo[VecSumBuf]
+
+  override def outputEncoder
+      : org.apache.spark.sql.Encoder[(Seq[String], Long)] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
+      (Seq[String], Long)]()
 }

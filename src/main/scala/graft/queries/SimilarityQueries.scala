@@ -24,6 +24,29 @@ object SimilarityQueries {
   private val ivfIdxMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Build (once per data directory) and read back the persisted IVF
+    * index over the full embeddings table with the deterministic
+    * vec_id<16 quantizer — shared by s_index_ann (the search) and
+    * s_index_stats (the health report over the same artifact), the
+    * [[DedupQueries]] persistedIndex twin.
+    */
+  private def persistedIvf(s: SparkSession, dir: String)
+      : Similarity.IvfIndex = {
+    val idxPath = ivfIdxMemo.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_ivfidx").toString
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cid"),
+          col("embedding").as("cv"))
+      Similarity.writeIvfIndex(Similarity.buildIvfIndex(e, cents), p)
+      p
+    })
+    Similarity.readIvfIndex(s, idxPath)
+  }
+
   /** Shared oracle for s_ann_ivf and s_index_ann: the persisted-index
     * search is defined to equal the direct IVF math.
     */
@@ -206,25 +229,36 @@ object SimilarityQueries {
     //      corpus. Must equal s_ann_ivf exactly — same quantizer,
     //      same probes, same rerank ----
     "s_index_ann" -> ((s, dir) => {
-      val idxPath = ivfIdxMemo.computeIfAbsent(dir, _ => {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft_ivfidx").toString
-        val e = t(s, dir, "embeddings")
-          .select(col("vec_id"),
-            col("embedding").cast("array<double>").as("embedding"))
-        val cents = e.filter(col("vec_id") < 16)
-          .select(col("vec_id").cast("int").as("cid"),
-            col("embedding").as("cv"))
-        Similarity.writeIvfIndex(Similarity.buildIvfIndex(e, cents), p)
-        p
-      })
-      val idx = Similarity.readIvfIndex(s, idxPath)
+      val idx = persistedIvf(s, dir)
       val q = t(s, dir, "embeddings").filter(col("vec_id") < 30)
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("embedding"))
       Similarity.searchIvfIndex(q, idx, k = 3, nProbe = 2)
         .select(col("q_id"), col("rank"), col("n_id"),
           round(col("cos"), 4).as("cos"))
+    }),
+
+    // ---- IVF index health report over the SAME persisted artifact
+    //      (the d_index_stats twin): the inverted-list size histogram
+    //      plus faiss's imbalance factor k·Σs²/N² (exact integer ppm)
+    //      — max list size bounds per-probe candidate fan-out and the
+    //      imbalance factor is the expected slowdown vs perfectly
+    //      balanced lists, so a daily job logs both before trusting
+    //      the index. One groupBy over the lists TABLE (never
+    //      re-assigning the corpus), then a bounded histogram ----
+    "s_index_stats" -> ((s, dir) => {
+      val idx = persistedIvf(s, dir)
+      val nLists = idx.centroids.count()
+      val sizes = idx.lists
+        .groupBy("list").agg(count(lit(1)).as("list_size"))
+        .localCheckpoint(false) // feeds histogram + imbalance totals
+      val tot = sizes.agg(sum(col("list_size")).as("n"),
+        sum(col("list_size") * col("list_size")).as("ss"))
+      sizes.groupBy("list_size").agg(count(lit(1)).as("n_lists"))
+        .crossJoin(broadcast(tot))
+        .select(col("list_size"), col("n_lists"),
+          expr(s"$nLists * ss * 1000000 div (n * n)")
+            .as("imbalance_ppm"))
     }),
 
     // ---- product-quantization ANN: 4×16-dim subspaces, codebooks =
@@ -839,6 +873,27 @@ object SimilarityQueries {
     // the persisted-index search must equal the direct IVF math —
     // one oracle states both
     "s_index_ann" -> ivfAnnSql,
+
+    // list-size histogram + imbalance recomputed from the generating
+    // corpus (the persisted lists ARE the crank=1 assignment)
+    "s_index_stats" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cent AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv
+        |  FROM e WHERE vec_id < 16),
+        |ca AS (SELECT vec_id, cid, ROW_NUMBER() OVER (
+        |    PARTITION BY vec_id
+        |    ORDER BY list_distance(v, cv) ASC, cid ASC) AS crank
+        |  FROM e CROSS JOIN cent),
+        |ls AS (SELECT cid AS list, CAST(COUNT(*) AS BIGINT) AS list_size
+        |  FROM ca WHERE crank = 1 GROUP BY cid),
+        |tot AS (SELECT CAST(SUM(list_size) AS BIGINT) AS n,
+        |    CAST(SUM(list_size * list_size) AS BIGINT) AS ss,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cent) AS k
+        |  FROM ls)
+        |SELECT list_size, CAST(COUNT(*) AS BIGINT) AS n_lists,
+        |  CAST(k * ss * 1000000 // (n * n) AS BIGINT) AS imbalance_ppm
+        |FROM ls, tot GROUP BY list_size, k, ss, n""".stripMargin,
 
     // replicates codes + ADC with the SAME expression trees: d2 =
     // ip(cw,cw) - 2*ip(v_s,cw); the ADC distance is the explicit

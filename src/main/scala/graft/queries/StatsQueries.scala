@@ -724,18 +724,30 @@ object StatsQueries {
     //      minimum — the planar analogue of the IVF/LSH "block then
     //      verify exactly" discipline, and the shape spatial joins
     //      take at 100 TB (shuffle on cell key, never all-pairs; the
-    //      oracle IS the all-pairs form). ----
+    //      oracle IS the all-pairs form).
+    //      The radius is DENSITY-DERIVED: r = 0.2·sqrt(500/n) holds
+    //      the expected per-cell candidate count constant as the
+    //      corpus grows (n·r² = const), so total candidate pairs stay
+    //      O(n) — a fixed radius would make every cell k× denser at
+    //      k× data (the round-10 probe measured exponent 1.14; this
+    //      formula restores ~linear). The formula is pure IEEE
+    //      arithmetic (divide, sqrt, multiply — each correctly
+    //      rounded, no decimal-rounding step), so the oracle replays
+    //      the identical double from its own COUNT(*). ----
     "s_grid_knn" -> ((s, dir) => {
-      val r = 0.2
-      val pts = t(s, dir, "embeddings")
+      val pts0 = t(s, dir, "embeddings")
         .select(col("vec_id"),
           round(element_at(col("embedding"), 1).cast("double"), 9)
             .as("x"),
           round(element_at(col("embedding"), 2).cast("double"), 9)
             .as("y"))
+        .localCheckpoint(false) // count + probe side + build side
+      val n = pts0.count()
+      val r = 0.2 * math.sqrt(500.0 / n.toDouble)
+      val r2 = r * r
+      val pts = pts0
         .withColumn("cx", floor(col("x") / lit(r)))
         .withColumn("cy", floor(col("y") / lit(r)))
-        .localCheckpoint(false) // probe side + build side of the join
       val probes = pts
         .select(col("vec_id").as("q_id"), col("x").as("qx"),
           col("y").as("qy"), col("cx").as("bx"), col("cy").as("by"))
@@ -748,7 +760,7 @@ object StatsQueries {
         .withColumn("dist2", round(
           (col("qx") - col("x")) * (col("qx") - col("x")) +
             (col("qy") - col("y")) * (col("qy") - col("y")), 12))
-        .filter(col("dist2") <= lit(0.04))
+        .filter(col("dist2") <= lit(r2))
       cand.withColumn("rn", row_number().over(
           Window.partitionBy("q_id")
             .orderBy(col("dist2").asc, col("vec_id").asc)))
@@ -1606,10 +1618,13 @@ object StatsQueries {
         |GROUP BY g.source""".stripMargin,
 
     "s_grid_knn" ->
-      """WITH p AS (SELECT vec_id,
+      """WITH p AS MATERIALIZED (SELECT vec_id,
         |    ROUND(CAST(embedding[1] AS DOUBLE), 9) AS x,
         |    ROUND(CAST(embedding[2] AS DOUBLE), 9) AS y
         |  FROM embeddings),
+        |rr AS (SELECT CAST(0.2 AS DOUBLE)
+        |    * sqrt(CAST(500.0 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |    AS r FROM p),
         |pairs AS (SELECT a.vec_id AS q, b.vec_id AS c,
         |    ROUND((a.x - b.x) * (a.x - b.x)
         |      + (a.y - b.y) * (a.y - b.y), 12) AS dist2
@@ -1617,7 +1632,7 @@ object StatsQueries {
         |f AS (SELECT q, c, dist2,
         |    ROW_NUMBER() OVER (PARTITION BY q
         |      ORDER BY dist2 ASC, c ASC) AS rn
-        |  FROM pairs WHERE dist2 <= 0.04)
+        |  FROM pairs, rr WHERE dist2 <= rr.r * rr.r)
         |SELECT q AS vec_id, c AS nn_id, dist2 FROM f WHERE rn = 1""".stripMargin,
 
     "q_bootstrap_ci" -> {

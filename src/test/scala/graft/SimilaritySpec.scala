@@ -605,4 +605,31 @@ class SimilaritySpec extends SparkSpec {
     assert(listRows(erased) ===
       listRows(graft.operators.Similarity.buildIvfIndex(df(a), cents)))
   }
+
+  test("s_index_stats: histogram + imbalance replay the naive assignment") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("s_index_stats")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val pts = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val cents = pts.filter(_._1 < 16).map { case (id, v) => (id.toInt, v) }
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val sizes = pts
+      .map { case (_, v) => cents.minBy { case (cid, cv) => (d2(v, cv), cid) }._1 }
+      .groupBy(identity).map(_._2.length.toLong).toSeq
+    val hist = sizes.groupBy(identity)
+      .map { case (sz, g) => (sz, g.length.toLong) }
+    val n = BigInt(sizes.sum)
+    val imb = (BigInt(16) * sizes.map(s => BigInt(s) * s).sum * 1000000
+      / (n * n)).toLong
+    assert(out.toSeq ===
+      hist.toSeq.map { case (sz, c) => (sz, c, imb) }.sortBy(_._1),
+      "index health report must equal the naive per-list census")
+    // every corpus vector is in exactly one list
+    assert(out.map(r => r._1 * r._2).sum === pts.length.toLong)
+  }
 }

@@ -149,12 +149,15 @@ class StatsSpec extends SparkSpec {
         round(element_at(col("embedding"), 1).cast("double"), 9),
         round(element_at(col("embedding"), 2).cast("double"), 9))
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // the density-derived radius, replayed with the same IEEE formula
+    val rad = 0.2 * math.sqrt(500.0 / pts.length.toDouble)
+    val rad2 = rad * rad
     val brute = pts.flatMap { case (id, x, y) =>
       val cands = pts.filter(_._1 != id).map { case (jd, xj, yj) =>
         val d2 = BigDecimal((x - xj) * (x - xj) + (y - yj) * (y - yj))
           .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
         (jd, d2)
-      }.filter(_._2 <= 0.04)
+      }.filter(_._2 <= rad2)
       if (cands.isEmpty) None
       else Some {
         val (jd, d2) = cands.minBy(c => (c._2, c._1))
