@@ -157,9 +157,34 @@ object GraftExtensions {
       graft.expressions.FixMojibake(args(0))
     })
 
+  /** graft_html_to_text(html) — markup → clean text (tag strip,
+    * script/style drop, entity decode, whitespace collapse) in SQL.
+    */
+  private val htmlTextFunction = (
+    FunctionIdentifier("graft_html_to_text"),
+    new ExpressionInfo(classOf[graft.expressions.HtmlToText].getName,
+      "graft_html_to_text"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "graft_html_to_text(s) takes 1 argument")
+      graft.expressions.HtmlToText(args(0))
+    })
+
+  /** graft_html_links(html) — href values of anchor tags, in document
+    * order, entity-decoded, in SQL.
+    */
+  private val htmlLinksFunction = (
+    FunctionIdentifier("graft_html_links"),
+    new ExpressionInfo(classOf[graft.expressions.HtmlLinks].getName,
+      "graft_html_links"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "graft_html_links(s) takes 1 argument")
+      graft.expressions.HtmlLinks(args(0))
+    })
+
   private val all = Seq(dotFunction, cosineFunction, jpegFunction,
     jsonKeyFunction, simhashFunction, mp4Function, hammingFunction,
-    nfcFunction, exifFunction, wordpieceFunction, mojibakeFunction)
+    nfcFunction, exifFunction, wordpieceFunction, mojibakeFunction,
+    htmlTextFunction, htmlLinksFunction)
 
   /** Session-scoped registration for an existing session. */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,338 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared single-pass HTML scanner for [[HtmlToText]] and
+  * [[HtmlLinks]]: one deterministic automaton walk per document, no
+  * DOM, no allocation beyond the output — the only shape that works as
+  * the first stage of a 100 TB web-crawl ingest, where markup
+  * stripping runs before ANY other text operator can.
+  *
+  * The dialect is fixed and documented so the DuckDB oracle can state
+  * closed-form expectations and the hostile-input specs can pin every
+  * edge:
+  *   - `<!--` comments are dropped through `-->` (to end if
+  *     unterminated);
+  *   - `<![CDATA[` content is literal text through `]]>` (to end if
+  *     unterminated), never entity-decoded;
+  *   - `<script`/`<style` elements are dropped whole, through the
+  *     matching case-insensitive `</script`/`</style` and that tag's
+  *     `>` (to end if unterminated) — a `<` inside code never opens a
+  *     tag;
+  *   - any other `<` followed by `[A-Za-z!/?]` is a tag: skipped to
+  *     the closing `>`, where `>` inside a single- or double-quoted
+  *     attribute value does NOT close the tag; an unterminated tag
+  *     drops the rest of the input (truncated fetch behavior);
+  *   - a `<` followed by anything else is literal text (the lenient
+  *     browser rule);
+  *   - text runs decode `&amp; &lt; &gt; &quot; &apos; &nbsp;` and
+  *     numeric `&#NNN;` / `&#xHH;` references (code points 1..10FFFF
+  *     excluding surrogates); anything else after `&` — unknown name,
+  *     invalid code point, or no `;` within 12 chars — stays literal.
+  */
+private object HtmlWalk {
+
+  /** Elements whose content is dropped whole. */
+  private val rawSkip = Seq("script", "style")
+
+  private def isAsciiLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  private def lower(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
+  /** True when `s` at `i` starts the ASCII-case-insensitive `word`
+    * AND the char after it ends a tag name (whitespace, '>', '/', or
+    * end of input) — so `<scripture>` is NOT a script element.
+    */
+  private def tagNameAt(s: String, i: Int, word: String): Boolean = {
+    if (i + word.length > s.length) return false
+    var k = 0
+    while (k < word.length) {
+      if (lower(s.charAt(i + k)) != word.charAt(k)) return false
+      k += 1
+    }
+    val j = i + word.length
+    j >= s.length || s.charAt(j) == '>' || s.charAt(j) == '/' ||
+      Character.isWhitespace(s.charAt(j))
+  }
+
+  /** Index just past the `>` closing the tag that starts at `lt`
+    * (s(lt) == '<'), honoring quoted attribute values; -1 when the tag
+    * never closes.
+    */
+  private def tagEnd(s: String, lt: Int): Int = {
+    var i = lt + 1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '"' || c == '\'') {
+        i += 1
+        while (i < s.length && s.charAt(i) != c) i += 1
+        if (i >= s.length) return -1 // unterminated quote eats the rest
+        i += 1
+      } else if (c == '>') return i + 1
+      else i += 1
+    }
+    -1
+  }
+
+  /** Index just past the case-insensitive `needle` starting the search
+    * at `from`; -1 when absent.
+    */
+  private def indexOfCi(s: String, needle: String, from: Int): Int = {
+    var i = from
+    val last = s.length - needle.length
+    while (i <= last) {
+      var k = 0
+      while (k < needle.length && lower(s.charAt(i + k)) == needle.charAt(k))
+        k += 1
+      if (k == needle.length) return i + needle.length
+      i += 1
+    }
+    -1
+  }
+
+  /** Decode one entity at `amp` (s(amp) == '&'). Returns the decoded
+    * string and the index after the reference, or null when the run is
+    * not a valid reference (caller emits the literal '&').
+    */
+  private def entityAt(s: String, amp: Int): (String, Int) = {
+    val semi = s.indexOf(';', amp + 1)
+    if (semi < 0 || semi > amp + 12) return null
+    val body = s.substring(amp + 1, semi)
+    val decoded: String = body match {
+      case "amp" => "&"
+      case "lt" => "<"
+      case "gt" => ">"
+      case "quot" => "\""
+      case "apos" => "'"
+      case "nbsp" => " "
+      case _ if body.length >= 2 && body.charAt(0) == '#' =>
+        val hex = body.charAt(1) == 'x' || body.charAt(1) == 'X'
+        val digits = if (hex) body.substring(2) else body.substring(1)
+        val radix = if (hex) 16 else 10
+        if (digits.isEmpty) null
+        else try {
+          val cp = Integer.parseInt(digits, radix)
+          if (cp < 1 || cp > 0x10FFFF ||
+            (cp >= 0xD800 && cp <= 0xDFFF)) null
+          else new String(Character.toChars(cp))
+        } catch { case _: NumberFormatException => null }
+      case _ => null
+    }
+    if (decoded == null) null else (decoded, semi + 1)
+  }
+
+  /** Entity-decode a bare string (attribute-value rules: no tags
+    * exist inside a value, only references).
+    */
+  def decodeEntities(s: String): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val e = entityAt(s, i)
+        if (e == null) { out.append('&'); i += 1 }
+        else { out.append(e._1); i = e._2 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** One walk; `onText` receives decoded text fragments (CDATA comes
+    * through literally), `onTag` the tag-name (lowercase, leading '/'
+    * kept) and the [lt, end) source span of each real tag.
+    */
+  def walk(s: String, onText: String => Unit,
+           onTag: (String, Int, Int) => Unit): Unit = {
+    val n = s.length
+    var i = 0
+    val text = new java.lang.StringBuilder
+    def flush(): Unit =
+      if (text.length > 0) { onText(text.toString); text.setLength(0) }
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (s.startsWith("<!--", i)) {
+          val end = s.indexOf("-->", i + 4)
+          flush()
+          onTag("!--", i, math.min(n, i + 4)) // a boundary, like a tag
+          i = if (end < 0) n else end + 3
+        } else if (s.startsWith("<![CDATA[", i)) {
+          val end = s.indexOf("]]>", i + 9)
+          val stop = if (end < 0) n else end
+          text.append(s, i + 9, stop) // literal, no entity decode
+          i = if (end < 0) n else end + 3
+        } else if (rawSkip.exists(w => tagNameAt(s, i + 1, w))) {
+          val w = rawSkip.filter(x => tagNameAt(s, i + 1, x)).head
+          flush()
+          onTag(w, i, math.min(n, i + 1 + w.length))
+          val close = indexOfCi(s, "</" + w, i + 1)
+          if (close < 0) i = n
+          else {
+            val gt = s.indexOf('>', close)
+            i = if (gt < 0) n else gt + 1
+          }
+        } else if (i + 1 < n && (isAsciiLetter(s.charAt(i + 1)) ||
+            s.charAt(i + 1) == '!' || s.charAt(i + 1) == '/' ||
+            s.charAt(i + 1) == '?')) {
+          val end = tagEnd(s, i)
+          if (end < 0) { flush(); return } // truncated tag eats the rest
+          var j = i + 1
+          val name = new java.lang.StringBuilder
+          if (s.charAt(j) == '/') { name.append('/'); j += 1 }
+          while (j < end - 1 && (isAsciiLetter(s.charAt(j)) ||
+              (s.charAt(j) >= '0' && s.charAt(j) <= '9'))) {
+            name.append(lower(s.charAt(j))); j += 1
+          }
+          flush()
+          onTag(name.toString, i, end)
+          i = end
+        } else {
+          text.append('<'); i += 1 // lone '<' is text
+        }
+      } else if (c == '&') {
+        val e = entityAt(s, i)
+        if (e == null) { text.append('&'); i += 1 }
+        else { text.append(e._1); i = e._2 }
+      } else {
+        text.append(c); i += 1
+      }
+    }
+    flush()
+  }
+}
+
+/** Markup → clean text: drop tags/comments/script/style, decode
+  * entities, collapse ALL whitespace runs to single spaces, trim — the
+  * first operator of a web-crawl training-data pipeline, feeding the
+  * existing boilerplate/quality/dedup stages that start at clean text.
+  * Every tag is a word boundary (the collapse step makes block/inline
+  * distinctions moot for downstream token statistics). CodegenFallback:
+  * the automaton walk dominates, not dispatch.
+  */
+case class HtmlToText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_html_to_text requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_html_to_text"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val out = new java.lang.StringBuilder
+    HtmlWalk.walk(input.toString,
+      onText = t => out.append(t),
+      onTag = (_, _, _) => out.append(' ')) // every tag a word boundary
+    // collapse whitespace runs (incl. decoded nbsp and source newlines)
+    val s = out
+    val res = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var pendingGap = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) pendingGap = res.length > 0
+      else {
+        if (pendingGap) { res.append(' '); pendingGap = false }
+        res.append(c)
+      }
+      i += 1
+    }
+    UTF8String.fromString(res.toString)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HtmlToText = copy(child = newChild)
+}
+
+/** Outlink extraction: href attribute values of `<a>` tags in document
+  * order, entity-decoded (href="?a=1&amp;b=2" arrives as a=1&b=2),
+  * from the same scanner — links inside comments or script never
+  * count. Quoted values may hold any char but the quote; unquoted
+  * values end at whitespace or '>'. Feeds the URL-canonicalization /
+  * frontier operators ([[graft.functions.Urls]]). CodegenFallback: the
+  * walk dominates.
+  */
+case class HtmlLinks(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_html_links requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_html_links"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    val found = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    HtmlWalk.walk(s, onText = _ => (), onTag = (name, lt, end) => {
+      if (name == "a") {
+        val href = hrefIn(s, lt, end)
+        if (href != null) found += UTF8String.fromString(href)
+      }
+    })
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(found.toArray)
+  }
+
+  /** Value of the first case-insensitive href attribute inside the tag
+    * span [lt, end), entity-decoded; null when absent.
+    */
+  private def hrefIn(s: String, lt: Int, end: Int): String = {
+    var i = lt + 1
+    while (i < end - 1) {
+      val c = s.charAt(i)
+      if (c == '"' || c == '\'') { // quoted value of some attribute
+        i += 1
+        while (i < end - 1 && s.charAt(i) != c) i += 1
+        i += 1
+      } else if (Character.isWhitespace(c) &&
+          i + 5 <= end && "href".equalsIgnoreCase(s.substring(i + 1,
+            math.min(i + 5, end)))) {
+        var j = i + 5
+        while (j < end - 1 && Character.isWhitespace(s.charAt(j))) j += 1
+        if (j < end - 1 && s.charAt(j) == '=') {
+          j += 1
+          while (j < end - 1 && Character.isWhitespace(s.charAt(j))) j += 1
+          if (j >= end - 1) return null
+          val q = s.charAt(j)
+          val raw = if (q == '"' || q == '\'') {
+            val stop = s.indexOf(q, j + 1)
+            if (stop < 0 || stop > end - 1) return null
+            s.substring(j + 1, stop)
+          } else {
+            var k = j
+            while (k < end - 1 && !Character.isWhitespace(s.charAt(k)) &&
+              s.charAt(k) != '>') k += 1
+            s.substring(j, k)
+          }
+          return HtmlWalk.decodeEntities(raw)
+        } else i += 1
+      } else i += 1
+    }
+    null
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HtmlLinks = copy(child = newChild)
+}
+
+object HtmlExprs {
+  def htmlToText(s: Column): Column =
+    Bridge.column(HtmlToText(Bridge.expression(s)))
+  def htmlLinks(s: Column): Column =
+    Bridge.column(HtmlLinks(Bridge.expression(s)))
+}

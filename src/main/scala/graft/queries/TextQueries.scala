@@ -223,6 +223,55 @@ object TextQueries {
         fixed.as("clean"), (fixed =!= dirty).as("repaired"))
     }),
 
+    // ---- HTML → text extraction over a generated-markup corpus (the
+    //      m_png_dims pattern: Spark BUILDS the hostile document from
+    //      table values, the native expression must invert it, the
+    //      oracle states the closed-form expectation). The generation
+    //      exercises every documented hazard at once: style with fake
+    //      tags in a string, a comment wrapping markup, script with a
+    //      bare `<` and fake tags, a `>` inside a quoted attribute,
+    //      the body text entity-encoded (&#32; for every space — the
+    //      decoder must reverse it), &amp;/&nbsp; references, a
+    //      self-closing tag, and a CDATA block whose content must
+    //      surface literally. Map-side native expression, no shuffle —
+    //      the first stage of a 100 TB web-crawl ingest ----
+    "t_html_extract" -> ((s, dir) => {
+      val enc = regexp_replace(col("text"), lit(" "), lit("&#32;"))
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"), lit("</title>"),
+        lit("<style type=\"text/css\">p { color: \"<red>\"; }</style>"),
+        lit("</head><body><!-- note <p>fake</p> -->"),
+        lit("<h1 id=\"t\">Heading &amp; "), col("doc_id"), lit("</h1>"),
+        lit("<p title=\"a>b\">"), enc, lit("</p>"),
+        lit("<script>if (1<2) { alert(\"<b>no</b>\"); }</script>"),
+        lit("<p>tail&nbsp;words<br/>line2 "),
+        lit("<![CDATA[cdata <raw> text]]></p></body></html>"))
+      val clean = graft.expressions.HtmlExprs.htmlToText(html)
+      t(s, dir, "documents").select(col("doc_id"), clean.as("clean"),
+        Text.tokenCount(clean).as("n_tokens"))
+    }),
+
+    // ---- outlink extraction from the same kind of generated markup:
+    //      href values in document order, entity-decoded (&amp; in a
+    //      query string), double/single/unquoted attribute forms —
+    //      while links inside comments and script must NOT count.
+    //      Feeds the URL-canonicalization / frontier operators ----
+    "t_html_links" -> ((s, dir) => {
+      val html = concat(
+        lit("<p>visit <a href=\"https://ex.org/d/"), col("doc_id"),
+        lit("?a=1&amp;b=2\">here</a>"),
+        lit(" <!-- <a href=\"http://comment.skip/x\">no</a> -->"),
+        lit("<script>var s='<a href=\"http://script.skip/y\">';</script>"),
+        lit(" <A HREF='/rel/"), col("doc_id"),
+        lit("' rel=\"nofollow\">rel</A>"),
+        lit(" <a name=\"anchor\">no href</a>"),
+        lit(" <a title=\"x\" href=plain"), col("doc_id"),
+        lit(">unquoted</a></p>"))
+      t(s, dir, "documents").select(col("doc_id"),
+        posexplode(graft.expressions.HtmlExprs.htmlLinks(html))
+          .as(Seq("ord", "href")))
+    }),
+
     // ---- within-document repetition (Gopher duplicate-n-gram signal)
     //      over a corpus where half the docs get their own first half
     //      appended — those must score high, originals near zero ----
@@ -2225,6 +2274,30 @@ object TextQueries {
         |       ELSE text END AS clean,
         |  doc_id % 2 = 0 AS repaired
         |FROM documents""".stripMargin,
+
+    // the extraction's fixed point in closed form: title + heading
+    // (with &amp; decoded) + the body text recovered from its &#32;
+    // encoding + the nbsp/br tail + the CDATA content surfacing
+    // literally; style/script/comment and the quoted a>b attribute
+    // leave no trace (the corpus text is single-spaced [a-z0-9 .,])
+    "t_html_extract" ->
+      """SELECT doc_id,
+        |  'Doc ' || doc_id || ' Heading & ' || doc_id || ' ' || text
+        |    || ' tail words line2 cdata <raw> text' AS clean,
+        |  CAST(len(string_split('Doc ' || doc_id || ' Heading & '
+        |    || doc_id || ' ' || text
+        |    || ' tail words line2 cdata <raw> text', ' ')) AS INT)
+        |    AS n_tokens
+        |FROM documents""".stripMargin,
+
+    // exactly the three live links per document, in order; the
+    // comment/script decoys and the href-less anchor contribute none
+    "t_html_links" ->
+      """SELECT doc_id, CAST(i AS INT) AS ord,
+        |  (['https://ex.org/d/' || doc_id || '?a=1&b=2',
+        |    '/rel/' || doc_id, 'plain' || doc_id])[CAST(i + 1 AS INT)]
+        |    AS href
+        |FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS i)""".stripMargin,
 
     // greedy longest-match replayed as a recursive CTE: each step
     // consumes the longest vocab piece prefixing the rest, single

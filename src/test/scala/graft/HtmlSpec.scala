@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.HtmlExprs
+
+/** Hostile-input pins for the HTML → text / link extraction
+  * expressions: every documented dialect rule gets the adversarial
+  * case that would break a lazier parser — unclosed tags, quotes
+  * spanning `>`, nested CDATA, raw `<` inside script, entity edge
+  * cases, decoy links in comments.
+  */
+class HtmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def text(html: String): String =
+    Seq(html).toDF("h").select(HtmlExprs.htmlToText(col("h")))
+      .head().getString(0)
+
+  private def links(html: String): Seq[String] =
+    Seq(html).toDF("h").select(HtmlExprs.htmlLinks(col("h")))
+      .head().getSeq[String](0)
+
+  test("tags strip, entities decode, whitespace collapses") {
+    assert(text("<p>a<b>b</b> c</p>") == "a b c")
+    assert(text("  a\n\t b  ") == "a b")
+    assert(text("x &amp; y &lt;z&gt; &quot;q&quot; &apos;a&apos;") ==
+      "x & y <z> \"q\" 'a'")
+    assert(text("a&nbsp;b") == "a b")
+    assert(text("&#65;&#x42;&#X43;") == "ABC")
+  }
+
+  test("invalid or incomplete entities stay literal") {
+    assert(text("fish & chips") == "fish & chips")
+    assert(text("&unknown;") == "&unknown;")
+    assert(text("&amp") == "&amp") // no semicolon
+    assert(text("&#;") == "&#;")
+    assert(text("&#0;x") == "&#0;x") // NUL rejected
+    assert(text("&#xD800;") == "&#xD800;") // surrogate rejected
+    assert(text("&#1114112;") == "&#1114112;") // > U+10FFFF
+    // a semicolon too far away (> 12 chars) never forms a reference
+    assert(text("&aaaaaaaaaaaaaaa;") == "&aaaaaaaaaaaaaaa;")
+  }
+
+  test("script/style content is dropped even with fake markup inside") {
+    assert(text("a<script>if (1<2) alert('<b>x</b>')</script>b") == "a b")
+    assert(text("a<style>p::before { content: \"<i>y</i>\" }</style>b")
+      == "a b")
+    assert(text("a<SCRIPT>x</ScRiPt >y") == "a y") // case-insensitive
+    // an unterminated script eats the rest (truncated fetch)
+    assert(text("a<script>var x = 1; b c") == "a")
+    // ...but <scripture> is an ordinary tag, not a script element
+    assert(text("<scripture>word</scripture>") == "word")
+  }
+
+  test("comments, CDATA, and lenient lone '<'") {
+    assert(text("a<!-- <p>fake</p> -->b") == "a b")
+    assert(text("a<!-- unterminated") == "a")
+    assert(text("<![CDATA[raw <tags> & no decode]]>") ==
+      "raw <tags> & no decode")
+    // the first ]]> ends the block; the rest is ordinary text that
+    // concatenates with the block (CDATA is a text node, no boundary)
+    assert(text("<![CDATA[a<![CDATA[b]]>c]]>") == "a<![CDATA[bc]]>")
+    assert(text("<![CDATA[never closes") == "never closes")
+    assert(text("1 < 2 and x <= y") == "1 < 2 and x <= y")
+  }
+
+  test("attribute quoting: '>' inside quotes does not close the tag") {
+    assert(text("<p title=\"a>b\">c</p>") == "c")
+    assert(text("<p title='a>b'>c</p>") == "c")
+    // unterminated tag or quote drops the rest of the input
+    assert(text("a <em class=") == "a")
+    assert(text("a <em class=\"x>b c") == "a")
+    assert(text("<!DOCTYPE html><?xml version=\"1.0\"?>ok") == "ok")
+  }
+
+  test("links: quoting forms, decoys, entity decode, order") {
+    val html = "<a href=\"https://e.org/?a=1&amp;b=2\">x</a>" +
+      "<!-- <a href=\"http://comment/c\">n</a> -->" +
+      "<script>var s = '<a href=\"http://script/s\">';</script>" +
+      "<A HREF='/single quoted'>y</A>" +
+      "<a name=\"anchor\">no href</a>" +
+      "<a hreflang=\"en\" href=unquoted>z</a>"
+    assert(links(html) == Seq("https://e.org/?a=1&b=2",
+      "/single quoted", "unquoted"))
+    assert(links("<a href = ' spaced = value '>t</a>") ==
+      Seq(" spaced = value "))
+    assert(links("no anchors here") == Seq.empty)
+    // href must be a real attribute name, not a substring of one
+    assert(links("<a hreflang=\"en\">t</a>") == Seq.empty)
+  }
+
+  test("SQL surface: graft_html_to_text / graft_html_links registered") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_html_to_text('<p>a &amp; b</p>') AS t, " +
+        "graft_html_links('<a href=\"u\">x</a>') AS l").head()
+    assert(r.getString(0) == "a & b")
+    assert(r.getSeq[String](1) == Seq("u"))
+  }
+
+  test("idempotence on already-clean text; null passes through") {
+    assert(text("plain words only") == "plain words only")
+    val n = Seq[Option[String]](None).toDF("h")
+      .select(HtmlExprs.htmlToText(col("h"))).head()
+    assert(n.isNullAt(0))
+  }
+}
