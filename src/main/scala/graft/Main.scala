@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{MoveSink, Report}
+import graft.operators.{Dedup, MoveSink, Report, Similarity}
 
 /** Thin operational entry point — the drop-in equivalent of the
   * reference's env-driven scripts (app/config.py via .env;
@@ -26,6 +26,22 @@ import graft.operators.{MoveSink, Report}
   * Env fallbacks: GRAFT_LAKE_ROOT, GRAFT_MANIFEST, GRAFT_SOURCE_PATH,
   * GRAFT_TARGET_PATH, GRAFT_FILTER_AFTER, GRAFT_FILTER_BEFORE,
   * GRAFT_COMPANY_ID, GRAFT_MODE, GRAFT_DRY_RUN.
+  *
+  * Index-artifact lifecycle (the daily-ingestion ops surface over the
+  * persisted MinHash/LSH band index and IVF ANN index — the library
+  * functions [[Dedup.buildBandIndex]]/[[Similarity.buildIvfIndex]] and
+  * friends, exposed as verbs):
+  *   graft.Main index build|append|merge|compact|erase|stats
+  *     --kind band|ivf --index PATH [--dry-run]
+  *     [--input PARQUET]      build/append: the (new) corpus
+  *     [--other PATH]         merge: the second persisted index
+  *     [--ids PARQUET]        erase: ids to forget (column `id`)
+  *     [--centroids PARQUET]  ivf build: the trained quantizer (cid, cv)
+  *     [--id-col doc_id|vec_id] [--text-col text] [--vec-col embedding]
+  *     [--ngram 5] [--bands 3] [--rows-per-band 2] [--partitions 32]
+  * Mutating verbs write to `PATH.next` and promote via the retire-aside
+  * swap (exclusive access for the swap window); `--dry-run` reports the
+  * would-be table sizes without writing anything.
   */
 object Main {
 
@@ -88,6 +104,188 @@ object Main {
         env.get("GRAFT_DRY_RUN").exists(_.equalsIgnoreCase("true")))
   }
 
+  final case class IndexConfig(
+      verb: String, kind: String, index: String,
+      input: Option[String], other: Option[String], ids: Option[String],
+      centroids: Option[String],
+      idCol: String, textCol: String, vecCol: String,
+      ngram: Int, bands: Int, rowsPerBand: Int,
+      partitions: Int, dryRun: Boolean)
+
+  private val indexVerbs =
+    Set("build", "append", "merge", "compact", "erase", "stats")
+
+  private[graft] def parseIndex(args: Seq[String]): IndexConfig = {
+    if (args.isEmpty || !indexVerbs(args.head))
+      fail(s"index verb must be one of ${indexVerbs.toSeq.sorted.mkString("|")}")
+    val verb = args.head
+    val flags = scala.collection.mutable.Map.empty[String, String]
+    var rest = args.tail
+    while (rest.nonEmpty) rest match {
+      case "--dry-run" +: t => flags += "dry-run" -> "true"; rest = t
+      case flag +: v +: t if flag.startsWith("--") =>
+        flags += flag.stripPrefix("--") -> v; rest = t
+      case other +: _ => fail(s"unexpected argument: $other")
+    }
+    val kind = flags.getOrElse("kind", fail("missing --kind band|ivf"))
+    if (kind != "band" && kind != "ivf") fail(s"unknown kind: $kind")
+    def intFlag(name: String, dflt: Int): Int =
+      flags.get(name).map(_.toInt).getOrElse(dflt)
+    val cfg = IndexConfig(
+      verb = verb, kind = kind,
+      index = flags.getOrElse("index", fail("missing --index PATH")),
+      input = flags.get("input"), other = flags.get("other"),
+      ids = flags.get("ids"), centroids = flags.get("centroids"),
+      idCol = flags.getOrElse("id-col",
+        if (kind == "band") "doc_id" else "vec_id"),
+      textCol = flags.getOrElse("text-col", "text"),
+      vecCol = flags.getOrElse("vec-col", "embedding"),
+      ngram = intFlag("ngram", 5), bands = intFlag("bands", 3),
+      rowsPerBand = intFlag("rows-per-band", 2),
+      partitions = intFlag("partitions", 32),
+      dryRun = flags.contains("dry-run"))
+    // verb-specific operands fail at parse time, not mid-job
+    verb match {
+      case "build" | "append" =>
+        if (cfg.input.isEmpty) fail(s"index $verb needs --input PARQUET")
+        if (kind == "ivf" && verb == "build" && cfg.centroids.isEmpty)
+          fail("ivf build needs --centroids PARQUET (cid, cv)")
+      case "merge" =>
+        if (cfg.other.isEmpty) fail("index merge needs --other PATH")
+      case "erase" =>
+        if (cfg.ids.isEmpty) fail("index erase needs --ids PARQUET")
+      case _ => ()
+    }
+    cfg
+  }
+
+  /** Execute one index-lifecycle verb; returns the report frame the
+    * CLI prints — per-table row counts for mutations (prefixed
+    * `would_` under --dry-run, where nothing is written), the health
+    * histogram for `stats`.
+    */
+  private[graft] def runIndex(spark: SparkSession,
+                              cfg: IndexConfig): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+
+    def bandReport(idx: Dedup.BandIndex): Seq[(String, Long)] = Seq(
+      ("sets", idx.sets.count()), ("bands", idx.bands.count()),
+      ("dfs", idx.dfs.count()))
+    def ivfReport(idx: Similarity.IvfIndex): Seq[(String, Long)] = Seq(
+      ("centroids", idx.centroids.count()), ("lists", idx.lists.count()))
+    val col0 = if (cfg.dryRun) "would_write" else "wrote"
+    def report(rows: Seq[(String, Long)]): DataFrame =
+      rows.toDF("table", "rows").select(lit(col0).as("action"),
+        col("table"), col("rows"))
+
+    def buildBand(input: String): Dedup.BandIndex =
+      Dedup.buildBandIndex(spark.read.parquet(input), cfg.idCol,
+        cfg.textCol, cfg.ngram, cfg.bands, cfg.rowsPerBand)
+    def buildIvf(input: String): Similarity.IvfIndex =
+      Similarity.buildIvfIndex(spark.read.parquet(input),
+        spark.read.parquet(cfg.centroids.get), cfg.idCol, cfg.vecCol)
+
+    /** Write the mutated artifact to `.next`, count the WRITTEN tables
+      * (the lazily-built frame reads the live path, which the swap is
+      * about to replace), then swap it live; a dry run skips both
+      * writes and counts the lazy plan instead.
+      */
+    def promoteBand(idx: Dedup.BandIndex): Seq[(String, Long)] =
+      if (cfg.dryRun) bandReport(idx)
+      else {
+        Dedup.writeBandIndex(idx, s"${cfg.index}.next")
+        val r = bandReport(Dedup.readBandIndex(spark, s"${cfg.index}.next"))
+        Dedup.swapDirs(spark, cfg.index, s"${cfg.index}.next")
+        r
+      }
+    def promoteIvf(idx: Similarity.IvfIndex): Seq[(String, Long)] =
+      if (cfg.dryRun) ivfReport(idx)
+      else {
+        Similarity.writeIvfIndex(idx, s"${cfg.index}.next", cfg.partitions)
+        val r = ivfReport(
+          Similarity.readIvfIndex(spark, s"${cfg.index}.next"))
+        Dedup.swapDirs(spark, cfg.index, s"${cfg.index}.next")
+        r
+      }
+
+    (cfg.verb, cfg.kind) match {
+      case ("build", "band") =>
+        val idx = buildBand(cfg.input.get)
+        if (!cfg.dryRun) Dedup.writeBandIndex(idx, cfg.index)
+        report(bandReport(idx))
+      case ("build", "ivf") =>
+        val idx = buildIvf(cfg.input.get)
+        if (!cfg.dryRun) Similarity.writeIvfIndex(idx, cfg.index,
+          cfg.partitions)
+        report(ivfReport(idx))
+
+      case ("append", "band") =>
+        report(promoteBand(Dedup.mergeBandIndex(
+          Dedup.readBandIndex(spark, cfg.index), buildBand(cfg.input.get))))
+      case ("append", "ivf") =>
+        report(promoteIvf(Similarity.appendIvfIndex(
+          Similarity.readIvfIndex(spark, cfg.index),
+          spark.read.parquet(cfg.input.get), cfg.idCol, cfg.vecCol)))
+
+      case ("merge", "band") =>
+        report(promoteBand(Dedup.mergeBandIndex(
+          Dedup.readBandIndex(spark, cfg.index),
+          Dedup.readBandIndex(spark, cfg.other.get))))
+      case ("merge", "ivf") =>
+        val a = Similarity.readIvfIndex(spark, cfg.index)
+        val b = Similarity.readIvfIndex(spark, cfg.other.get)
+        // lists only union under the SAME quantizer — model-sized check
+        val ca = a.centroids.orderBy("cid").collect().toSeq
+        val cb = b.centroids.orderBy("cid").collect().toSeq
+        if (ca != cb) fail("ivf merge: quantizers differ — indexes " +
+          "sharing a trained quantizer can merge; others must rebuild")
+        report(promoteIvf(Similarity.IvfIndex(a.centroids,
+          a.lists.unionByName(b.lists))))
+
+      case ("compact", "band") =>
+        if (!cfg.dryRun)
+          Dedup.compactBandIndex(spark, cfg.index, cfg.partitions)
+        report(bandReport(Dedup.readBandIndex(spark, cfg.index)))
+      case ("compact", "ivf") =>
+        if (!cfg.dryRun)
+          Similarity.compactIvfIndex(spark, cfg.index, cfg.partitions)
+        report(ivfReport(Similarity.readIvfIndex(spark, cfg.index)))
+
+      case ("erase", "band") =>
+        report(promoteBand(Dedup.eraseFromBandIndex(
+          Dedup.readBandIndex(spark, cfg.index),
+          spark.read.parquet(cfg.ids.get).select(col("id")))))
+      case ("erase", "ivf") =>
+        report(promoteIvf(Similarity.eraseFromIvfIndex(
+          Similarity.readIvfIndex(spark, cfg.index),
+          spark.read.parquet(cfg.ids.get).select(col("id")))))
+
+      // the daily health gates: band-bucket / list-size histograms
+      // (d_index_stats and s_index_stats as operable commands)
+      case ("stats", "band") =>
+        Dedup.readBandIndex(spark, cfg.index).bands
+          .groupBy("band", "bkey").agg(count(lit(1)).as("bucket_size"))
+          .groupBy("bucket_size").agg(count(lit(1)).as("n_buckets"))
+          .orderBy("bucket_size")
+      case ("stats", "ivf") =>
+        val idx = Similarity.readIvfIndex(spark, cfg.index)
+        val k = idx.centroids.count()
+        val sizes = idx.lists
+          .groupBy("list").agg(count(lit(1)).as("list_size"))
+          .localCheckpoint(false)
+        val tot = sizes.agg(sum(col("list_size")).as("n"),
+          sum(col("list_size") * col("list_size")).as("ss"))
+        sizes.groupBy("list_size").agg(count(lit(1)).as("n_lists"))
+          .crossJoin(broadcast(tot))
+          .select(col("list_size"), col("n_lists"),
+            expr(s"$k * ss * 1000000 div (n * n)").as("imbalance_ppm"))
+          .orderBy("list_size")
+
+      case (v, k) => fail(s"unsupported: index $v --kind $k")
+    }
+  }
+
   /** Run the configured pipeline; returns the status report (dry runs
     * report the would-be decisions instead of executing).
     */
@@ -124,7 +322,34 @@ object Main {
     }
   }
 
+  private def session(): SparkSession = {
+    val builder = SparkSession.builder()
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    sys.env.get("GRAFT_MASTER").orElse(Some("local[*]"))
+      .foreach(builder.master)
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("index")) {
+      val cfg = parseIndex(args.toSeq.tail)
+      println(s"Index:       ${cfg.kind} ${cfg.verb}" +
+        (if (cfg.dryRun) " (dry run)" else ""))
+      println(s"Artifact:    ${cfg.index}")
+      cfg.input.foreach(p => println(s"Input:       $p"))
+      cfg.other.foreach(p => println(s"Merge with:  $p"))
+      cfg.ids.foreach(p => println(s"Erase ids:   $p"))
+      cfg.centroids.foreach(p => println(s"Centroids:   $p"))
+      val spark = session()
+      try runIndex(spark, cfg).show(numRows = 1000, truncate = false)
+      finally spark.stop()
+      return
+    }
     val cfg = parse(args.toSeq)
     // the reference prints its resolved knobs before acting
     // (app/main.py:30-38) — same contract, secrets-free
@@ -137,15 +362,7 @@ object Main {
     cfg.before.foreach(b => println(s"Filter files uploaded before: $b"))
     cfg.companyId.foreach(c => println(s"Filter by SalesCompanyId: $c"))
 
-    val builder = SparkSession.builder()
-      .appName("graft")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
-    sys.env.get("GRAFT_MASTER").orElse(Some("local[*]"))
-      .foreach(builder.master)
-    val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = session()
     try run(spark, cfg).show(truncate = false)
     finally spark.stop()
   }

@@ -813,20 +813,33 @@ object Dedup {
       sets = idx.sets.repartition(partitions, col("id")),
       bands = idx.bands.repartition(partitions, col("bkey")),
       dfs = idx.dfs.repartition(partitions, col("s"))), tmp)
+    swapDirs(spark, path, tmp)
+  }
+
+  /** Promote a freshly-written artifact directory over the live one:
+    * retire live → `path.old`, promote `tmp` → live, drop the retired
+    * copy. REQUIRES exclusive access for the swap window — between the
+    * two renames the live path briefly does not exist, so a concurrent
+    * reader planning a scan right then fails (re-running it after the
+    * swap succeeds). A crash mid-swap never deletes the asset: either
+    * the live path still holds the old index, or the old index
+    * survives at `path.old` and recovery is one manual rename back.
+    * (A pointer/manifest file would close the reader window at the
+    * cost of indirecting every read; the daily-job-owns-the-artifact
+    * model this targets doesn't need it.)
+    */
+  private[graft] def swapDirs(spark: SparkSession, path: String,
+                              tmp: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(path)
     val fresh = new org.apache.hadoop.fs.Path(tmp)
     val retired = new org.apache.hadoop.fs.Path(s"$path.old")
-    // never a window with NO live index on disk: retire the old copy
-    // ASIDE first, promote the compacted one, only then drop the
-    // retired copy — a crash mid-swap leaves either the old or the
-    // new index recoverable, not a deleted asset
     fs.delete(retired, true) // stale leftover from an earlier crash
-    require(fs.rename(live, retired), s"compact retire failed: $path")
+    require(fs.rename(live, retired), s"swap retire failed: $path")
     if (!fs.rename(fresh, live)) {
       fs.rename(retired, live) // roll back to the old index
-      throw new IllegalStateException(s"compact swap failed: $tmp -> $path")
+      throw new IllegalStateException(s"swap failed: $tmp -> $path")
     }
     fs.delete(retired, true)
   }

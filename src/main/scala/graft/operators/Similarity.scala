@@ -277,6 +277,21 @@ object Similarity {
       centroids = spark.read.parquet(s"$path/centroids"),
       lists = spark.read.parquet(s"$path/lists"))
 
+  /** Compact a persisted IVF index in place: after many daily appends
+    * the lists table is thousands of small files; rewrite it clustered
+    * by list id into `partitions` files (the read-path pruning shape),
+    * then swap directories with the [[graft.operators.Dedup.swapDirs]]
+    * retire-aside dance — same exclusive-access requirement and
+    * crash-recovery story.
+    */
+  def compactIvfIndex(spark: SparkSession, path: String,
+                      partitions: Int): Unit = {
+    val idx = readIvfIndex(spark, path)
+    val tmp = s"$path.compact"
+    writeIvfIndex(idx, tmp, partitions)
+    graft.operators.Dedup.swapDirs(spark, path, tmp)
+  }
+
   /** IVF search against the persisted index: probe assignment for the
     * QUERIES only (the corpus side comes straight from the table, norms
     * included), candidates from the list equi-join, exact cosine

@@ -88,4 +88,119 @@ class MainSpec extends SparkSpec {
     assert(Files.exists(root.resolve("raw/x.json")))      // copy retains
     assert(Files.exists(root.resolve("archive/x.json")))
   }
+
+  test("parseIndex: verb/kind/operand validation is loud") {
+    intercept[IllegalArgumentException] { Main.parseIndex(Seq("explode")) }
+    intercept[IllegalArgumentException] { // missing --kind
+      Main.parseIndex(Seq("build", "--index", "/i", "--input", "/d")) }
+    intercept[IllegalArgumentException] { // missing --input
+      Main.parseIndex(Seq("build", "--kind", "band", "--index", "/i")) }
+    intercept[IllegalArgumentException] { // ivf build needs a quantizer
+      Main.parseIndex(Seq("build", "--kind", "ivf", "--index", "/i",
+        "--input", "/d")) }
+    intercept[IllegalArgumentException] { // merge needs the second index
+      Main.parseIndex(Seq("merge", "--kind", "band", "--index", "/i")) }
+    intercept[IllegalArgumentException] { // erase needs the ids
+      Main.parseIndex(Seq("erase", "--kind", "band", "--index", "/i")) }
+    val ok = Main.parseIndex(Seq("append", "--kind", "band", "--index",
+      "/i", "--input", "/d", "--ngram", "4", "--dry-run"))
+    assert(ok.ngram === 4 && ok.dryRun && ok.idCol === "doc_id")
+  }
+
+  private def indexRun(args: String*): Map[(String, Long), Long] =
+    Main.runIndex(spark, Main.parseIndex(args.toSeq)).collect()
+      .map(r => (r.getString(1), 0L) -> r.getLong(2)).toMap
+
+  test("index CLI: band lifecycle — build/append/stats/erase/compact/merge") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-idx-cli")
+    def corpus(ids: Range, drop: Int): Unit =
+      ids.map(i => (i.toLong, ("alpha beta gamma delta epsilon zeta " +
+          s"eta theta iota kappa v$i").split(" ").drop(drop).mkString(" ")))
+        .toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$root/${if (drop == 0) "a" else "b"}.parquet")
+    corpus(0 until 10, 0)
+    corpus(10 until 15, 1)
+    val idx = s"$root/band_idx"
+
+    // dry-run reports would-be sizes and writes NOTHING
+    val dry = Main.runIndex(spark, Main.parseIndex(Seq("build", "--kind",
+      "band", "--index", idx, "--input", s"$root/a.parquet", "--dry-run")))
+      .collect()
+    assert(dry.forall(_.getString(0) == "would_write"))
+    assert(!Files.exists(JPath.of(idx)))
+
+    val built = indexRun("build", "--kind", "band", "--index", idx,
+      "--input", s"$root/a.parquet")
+    assert(built(("sets", 0L)) === 10L)
+
+    val appended = indexRun("append", "--kind", "band", "--index", idx,
+      "--input", s"$root/b.parquet")
+    assert(appended(("sets", 0L)) === 15L)
+
+    // the health report over the artifact: histogram masses the bands
+    val stats = Main.runIndex(spark, Main.parseIndex(Seq("stats",
+      "--kind", "band", "--index", idx))).collect()
+    val bandsRows = appended(("bands", 0L))
+    assert(stats.map(r => r.getLong(0) * r.getLong(1)).sum === bandsRows)
+
+    // compaction preserves every row
+    val compacted = indexRun("compact", "--kind", "band", "--index", idx,
+      "--partitions", "2")
+    assert(compacted === appended)
+
+    // erasure returns the index to the pre-append state row-for-row
+    (10L until 15L).toDF("id").write.mode("overwrite")
+      .parquet(s"$root/gone.parquet")
+    val erased = indexRun("erase", "--kind", "band", "--index", idx,
+      "--ids", s"$root/gone.parquet")
+    assert(erased === built)
+
+    // merge with an index built over the second corpus == append result
+    val idxB = s"$root/band_idx_b"
+    indexRun("build", "--kind", "band", "--index", idxB,
+      "--input", s"$root/b.parquet")
+    val merged = indexRun("merge", "--kind", "band", "--index", idx,
+      "--other", idxB)
+    assert(merged === appended)
+  }
+
+  test("index CLI: ivf lifecycle — build/append/stats/erase/compact") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-idx-ivf")
+    val rnd = new scala.util.Random(11)
+    def vecs(ids: Range): Seq[(Long, Seq[Double])] =
+      ids.map(i => (i.toLong, Seq.fill(8)(rnd.nextGaussian())))
+    val a = vecs(0 until 30)
+    val b = vecs(30 until 40)
+    a.toDF("vec_id", "embedding").write.parquet(s"$root/a.parquet")
+    b.toDF("vec_id", "embedding").write.parquet(s"$root/b.parquet")
+    a.take(4).map { case (id, v) => (id.toInt, v) }.toDF("cid", "cv")
+      .write.parquet(s"$root/cents.parquet")
+    val idx = s"$root/ivf_idx"
+
+    val built = indexRun("build", "--kind", "ivf", "--index", idx,
+      "--input", s"$root/a.parquet", "--centroids", s"$root/cents.parquet")
+    assert(built(("lists", 0L)) === 30L && built(("centroids", 0L)) === 4L)
+
+    val appended = indexRun("append", "--kind", "ivf", "--index", idx,
+      "--input", s"$root/b.parquet")
+    assert(appended(("lists", 0L)) === 40L)
+
+    // health report: list sizes mass the corpus, one imbalance factor
+    val stats = Main.runIndex(spark, Main.parseIndex(Seq("stats",
+      "--kind", "ivf", "--index", idx))).collect()
+    assert(stats.map(r => r.getLong(0) * r.getLong(1)).sum === 40L)
+    assert(stats.map(_.getLong(2)).distinct.length === 1)
+    assert(stats.head.getLong(2) >= 1000000L) // imbalance >= 1 by definition
+
+    val compacted = indexRun("compact", "--kind", "ivf", "--index", idx,
+      "--partitions", "2")
+    assert(compacted === appended)
+
+    (30L until 40L).toDF("id").write.parquet(s"$root/gone.parquet")
+    val erased = indexRun("erase", "--kind", "ivf", "--index", idx,
+      "--ids", s"$root/gone.parquet")
+    assert(erased === built)
+  }
 }
