@@ -693,4 +693,85 @@ class TextSpec extends SparkSpec {
     // the corpus is built so segmentation is non-trivial somewhere
     assert(got.exists(_._2._2 > 1), "expected at least one split word")
   }
+
+  test("t_unigram_em: naive forward-backward replay; likelihood rises") {
+    val dir = java.nio.file.Files.createTempDirectory("uniem").toString
+    import spark.implicits._
+    val docs = Seq((1L, "thethe the river there then the"),
+      (2L, "rivers run there and then run the river"),
+      (3L, "then the rivers ran"),
+      (4L, "riverriverrun riverriverrun there"))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    // same induction as the query, probabilities as plain w/W doubles
+    val wf = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, v) => w -> v.size.toLong }
+    val subW = scala.collection.mutable.Map[String, Long]()
+    wf.foreach { case (w, f) =>
+      val ss = (for { l <- 1 to 8; i <- 0 to w.length - l }
+        yield w.substring(i, i + l)).toSet
+      ss.foreach(s => subW(s) = subW.getOrElse(s, 0L) + f)
+    }
+    val vocab = subW.filter(_._1.length == 1).toMap ++
+      subW.filter(_._1.length >= 2).toSeq
+        .sortBy { case (s, c) => (-c, s) }.take(200).toMap
+    val tot = vocab.values.sum
+    val prob = vocab.map { case (p, c) => p -> c.toDouble / tot.toDouble }
+
+    def forward(w: String, pm: Map[String, Double]): Array[Double] = {
+      val a = Array.fill(w.length + 1)(0.0); a(0) = 1.0
+      for (j <- 1 to w.length; l <- 1 to math.min(8, j)) {
+        val p = w.substring(j - l, j)
+        if (pm.contains(p)) a(j) += a(j - l) * pm(p)
+      }
+      a
+    }
+    def backward(w: String): Array[Double] = {
+      val b = Array.fill(w.length + 1)(0.0); b(w.length) = 1.0
+      for (j <- w.length - 1 to 0 by -1;
+           l <- 1 to math.min(8, w.length - j)) {
+        val p = w.substring(j, j + l)
+        if (prob.contains(p)) b(j) += prob(p) * b(j + l)
+      }
+      b
+    }
+    // naive soft counts + the coverage-mass law Σ γ·l = len(word)
+    val ec = scala.collection.mutable.Map[String, Double]()
+    wf.foreach { case (w, f) =>
+      val a = forward(w, prob); val b = backward(w)
+      var mass = 0.0
+      for (i <- 1 to w.length; l <- 1 to 8
+           if i + l - 1 <= w.length) {
+        val p = w.substring(i - 1, i - 1 + l)
+        if (prob.contains(p)) {
+          val g = a(i - 1) * prob(p) * b(i - 1 + l) / a(w.length)
+          ec(p) = ec.getOrElse(p, 0.0) + f * g
+          mass += g * l
+        }
+      }
+      assert(math.abs(mass - w.length) < 1e-9,
+        s"expected coverage of $w is ${mass}, not ${w.length}")
+    }
+    val out = SparkEntry.queries("t_unigram_em")(spark, dir).collect()
+    val got = out.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet === ec.keySet)
+    val c = ec.values.sum
+    got.foreach { case (piece, (w, ecount, pNew)) =>
+      assert(w === vocab(piece), s"weight of $piece")
+      assert(math.abs(ecount - ec(piece)) < 1e-4, s"ecount of $piece")
+      assert(math.abs(pNew - ec(piece) / c) < 1e-4, s"p_new of $piece")
+    }
+    // the EM guarantee, on the query's own columns AND by naive replay
+    val (llPre, llPost) = (out.head.getDouble(4), out.head.getDouble(5))
+    assert(llPost >= llPre, s"EM must not decrease likelihood: " +
+      s"$llPre -> $llPost")
+    val pNewMap = ec.map { case (p, e) => p -> e / c }.toMap
+    val naivePre = wf.map { case (w, f) =>
+      f * math.log(forward(w, prob)(w.length)) }.sum
+    val naivePost = wf.map { case (w, f) =>
+      f * math.log(forward(w, pNewMap)(w.length)) }.sum
+    assert(naivePost >= naivePre - 1e-9)
+    assert(math.abs(llPre - naivePre) < 1e-3 &&
+      math.abs(llPost - naivePost) < 1e-3)
+  }
 }
