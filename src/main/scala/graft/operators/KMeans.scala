@@ -137,6 +137,38 @@ object KMeans {
 
   private val vecColQuantized = "__vq"
 
+  /** Persist a fitted model as a parquet artifact (the IVF-centroid
+    * treatment for the clustering model): `centroids` (cid, cv) plus
+    * per-cluster training `stats` (cid, n, mean_dist — exact-decimal
+    * mean of the round-6 assignment distances), the baseline a daily
+    * routing job compares fresh batches against. Both tables are
+    * model-sized — one file each.
+    */
+  def writeModel(spark: SparkSession, path: String,
+                 model: Map[Int, Seq[Double]],
+                 assignments: DataFrame): Unit = {
+    import spark.implicits._
+    model.toSeq.sortBy(_._1).toDF("cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    assignments.groupBy("cid")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("dist").cast("decimal(28,6)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_dist"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Read the persisted model back: the centroid map (model-sized
+    * collect — doubles round-trip parquet exactly, so
+    * assign-from-artifact == assign-from-fit bit-for-bit, the
+    * KMeansSpec lifecycle law) and the training stats table.
+    */
+  def readModel(spark: SparkSession, path: String)
+      : (Map[Int, Seq[Double]], DataFrame) = {
+    val m = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    (m, spark.read.parquet(s"$path/stats"))
+  }
+
   /** Score rows against a fitted centroid model: map-side argmin over
     * the plan-literal centroids — stateless, zero shuffle, usable on a
     * batch OR streaming DataFrame (the streaming twin

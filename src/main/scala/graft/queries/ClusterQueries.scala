@@ -18,10 +18,75 @@ object ClusterQueries {
   private val Dim = 64
   private val Iters = 5
 
+  /** Temp path of the persisted k-means model for the routing/drift
+    * queries, fitted + written once per data directory (the fixture is
+    * the MODEL WRITE; the queries under test are the artifact reads).
+    */
+  private val kmModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def persistedModel(s: SparkSession, dir: String)
+      : (Map[Int, Seq[Double]], DataFrame) = {
+    val path = kmModelMemo.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_kmmodel").toString
+      val (assign, model) = KMeans.fit(t(s, dir, "embeddings"),
+        k = K, dim = Dim, iters = Iters)
+      KMeans.writeModel(s, p, model, assign)
+      p
+    })
+    KMeans.readModel(s, path)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_kmeans" -> ((s, dir) => {
       KMeans.fit(t(s, dir, "embeddings"), k = K, dim = Dim,
         iters = Iters)._1
+    }),
+
+    // ---- routing against the PERSISTED model artifact: the daily
+    //      job's read path — centroids come off parquet (KMeans
+    //      .writeModel, the IVF-centroid treatment), assignment is the
+    //      map-side plan-literal argmin, the corpus is never re-fit.
+    //      Must equal s_kmeans exactly — same quantizer, same
+    //      tie-break (the artifact round-trips doubles bit-for-bit) ----
+    "s_kmeans_route" -> ((s, dir) => {
+      val (model, _) = persistedModel(s, dir)
+      KMeans.assignTo(t(s, dir, "embeddings"), model)
+    }),
+
+    // ---- drift check against the SAME artifact: a shifted batch
+    //      (vectors exactly halved — a power-of-two scale, so the
+    //      oracle replays it bit-for-bit) routes through the persisted
+    //      centroids, and its per-cluster occupancy and mean distance
+    //      stand against the training baseline the artifact stores.
+    //      Integer-ppm shares, exact-decimal means; a cluster absent
+    //      on either side keeps its row (full outer) with n = 0 —
+    //      the report a daily job alerts on before trusting routed
+    //      data ----
+    "s_kmeans_drift" -> ((s, dir) => {
+      val (model, stats) = persistedModel(s, dir)
+      val halved = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => x * lit(0.5)).as("embedding"))
+      val fresh = KMeans.assignTo(halved, model)
+        .groupBy("cid").agg(count(lit(1)).as("new_n"),
+          round(sum(col("dist").cast("decimal(28,6)")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("new_mean_dist"))
+      val base = stats.select(col("cid"), col("n").as("base_n"),
+        col("mean_dist").as("base_mean_dist"))
+      val tots = base.agg(sum("base_n").as("tb"))
+        .crossJoin(fresh.agg(sum("new_n").as("tn")))
+      base.join(fresh, Seq("cid"), "full_outer")
+        .crossJoin(broadcast(tots))
+        .select(col("cid"),
+          coalesce(col("base_n"), lit(0L)).as("base_n"),
+          coalesce(col("new_n"), lit(0L)).as("new_n"),
+          expr("coalesce(base_n, 0L) * 1000000 div tb")
+            .as("base_share_ppm"),
+          expr("coalesce(new_n, 0L) * 1000000 div tn")
+            .as("new_share_ppm"),
+          col("base_mean_dist"), col("new_mean_dist"))
     }),
 
     "s_sparse_topk" -> ((s, dir) => {
@@ -98,8 +163,35 @@ object ClusterQueries {
        |  SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
        |  FROM c$i p LEFT JOIN m${i + 1} m ON p.cid = m.cid)""".stripMargin
 
+  private val kmeansSql: String = {
+    val iters = (0 until Iters).map(iterCtes).mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> ROUND(x, 9)) AS v
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+       |      AS cid, v AS cv
+       |  FROM e ORDER BY vec_id LIMIT $K),
+       |$iters
+       |SELECT vec_id, cid, ROUND(d, 6) AS dist FROM (
+       |  SELECT e.vec_id, c.cid, ${dist("e", "c")} AS d,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${dist("e", "c")} ASC, c.cid ASC) AS rn
+       |  FROM e CROSS JOIN c$Iters c)
+       |WHERE rn = 1""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
-    "s_kmeans" -> {
+    "s_kmeans" -> kmeansSql,
+
+    // the artifact read path is DEFINED to equal the direct fit
+    "s_kmeans_route" -> kmeansSql,
+
+    // baseline stats from the training assignment, fresh stats from
+    // the exactly-halved batch against the same final centroids
+    "s_kmeans_drift" -> {
       val iters = (0 until Iters).map(iterCtes).mkString(",\n")
       s"""WITH e AS (
          |  SELECT vec_id,
@@ -110,13 +202,45 @@ object ClusterQueries {
          |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
          |      AS cid, v AS cv
          |  FROM e ORDER BY vec_id LIMIT $K),
-         |$iters
-         |SELECT vec_id, cid, ROUND(d, 6) AS dist FROM (
-         |  SELECT e.vec_id, c.cid, ${dist("e", "c")} AS d,
-         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${dist("e", "c")} ASC, c.cid ASC) AS rn
-         |  FROM e CROSS JOIN c$Iters c)
-         |WHERE rn = 1""".stripMargin
+         |$iters,
+         |f AS (SELECT vec_id, cid, ROUND(d, 6) AS dist FROM (
+         |    SELECT e.vec_id, c.cid, ${dist("e", "c")} AS d,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dist("e", "c")} ASC, c.cid ASC) AS rn
+         |    FROM e CROSS JOIN c$Iters c)
+         |  WHERE rn = 1),
+         |base AS MATERIALIZED (SELECT cid,
+         |    CAST(COUNT(*) AS BIGINT) AS base_n,
+         |    ROUND(CAST(SUM(CAST(dist AS DECIMAL(28,6))) AS DOUBLE)
+         |      / COUNT(*), 6) AS base_mean_dist
+         |  FROM f GROUP BY cid),
+         |e2 AS (
+         |  SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> ROUND(x * 0.5, 9)) AS v
+         |  FROM embeddings),
+         |g AS (SELECT vec_id, cid, ROUND(d, 6) AS dist FROM (
+         |    SELECT e.vec_id, c.cid, ${dist("e", "c")} AS d,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dist("e", "c")} ASC, c.cid ASC) AS rn
+         |    FROM e2 e CROSS JOIN c$Iters c)
+         |  WHERE rn = 1),
+         |fresh AS MATERIALIZED (SELECT cid,
+         |    CAST(COUNT(*) AS BIGINT) AS new_n,
+         |    ROUND(CAST(SUM(CAST(dist AS DECIMAL(28,6))) AS DOUBLE)
+         |      / COUNT(*), 6) AS new_mean_dist
+         |  FROM g GROUP BY cid),
+         |tots AS (SELECT
+         |    (SELECT CAST(SUM(base_n) AS BIGINT) FROM base) AS tb,
+         |    (SELECT CAST(SUM(new_n) AS BIGINT) FROM fresh) AS tn)
+         |SELECT cid,
+         |  COALESCE(base_n, 0) AS base_n, COALESCE(new_n, 0) AS new_n,
+         |  CAST(COALESCE(base_n, 0) * 1000000 // tb AS BIGINT)
+         |    AS base_share_ppm,
+         |  CAST(COALESCE(new_n, 0) * 1000000 // tn AS BIGINT)
+         |    AS new_share_ppm,
+         |  base_mean_dist, new_mean_dist
+         |FROM base FULL JOIN fresh USING (cid), tots""".stripMargin
     },
 
     "s_silhouette" -> {

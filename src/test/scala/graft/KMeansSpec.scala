@@ -61,6 +61,34 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("kmeans model artifact: assign-from-artifact == assign-from-fit") {
+    // the lifecycle law for the persisted model: doubles round-trip
+    // parquet exactly, so routing a batch through the written-then-read
+    // centroids is BIT-equal to assigning against the in-memory fit
+    val dir = "/root/testdata/sf0.01"
+    val pts = Tables.t(spark, dir, "embeddings")
+    val (assign, model) = KMeans.fit(pts, k = 8, dim = 64, iters = 5)
+    val path = java.nio.file.Files.createTempDirectory("km-model").toString
+    KMeans.writeModel(spark, path, model, assign)
+    val (rt, stats) = KMeans.readModel(spark, path)
+    assert(rt === model, "centroids must round-trip parquet bit-exactly")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(rows(KMeans.assignTo(pts, rt)) === rows(assign))
+    // stats are the exact per-cluster census of the training assignment
+    val byCid = assign.collect().groupBy(_.getInt(1))
+    stats.collect().foreach { r =>
+      val g = byCid(r.getInt(0))
+      assert(r.getLong(1) === g.length.toLong)
+      val mean = BigDecimal(g.map(x => BigDecimal(x.getDouble(2))).sum
+        .toDouble / g.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(2) - mean) < 1e-6)
+    }
+    assert(stats.count() === byCid.size.toLong)
+  }
+
   test("sparse topK: unbounded cuts equal brute-force tf-idf cosine") {
     // with championK covering every term and candK >= corpus, the
     // champion/candidate cuts admit everything — the result must be
