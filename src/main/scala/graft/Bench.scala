@@ -166,24 +166,36 @@ object Bench {
   }
 
   /** Per-query timings from a committed BENCH_FULL.json's `queries`
-    * section; empty on any miss. The ONE parser for that format —
-    * Bench's relative despike trigger and ScaleProbe's top-10
-    * selection both read through here, so a format change breaks
-    * loudly in one place instead of silently in two.
+    * section. The ONE parser for that format — Bench's relative
+    * despike trigger and ScaleProbe's top-10 selection both read
+    * through here. A missing FILE is the normal fresh-repo case and
+    * returns empty quietly; a file that exists but doesn't parse to a
+    * non-empty flat map is a format drift and WARNS LOUDLY before
+    * degrading (returning empty silently would just disable the
+    * despike trigger and the probe's selection with no trace).
     */
-  private[graft] def readBenchTimes(path: String): Map[String, Double] =
+  private[graft] def readBenchTimes(path: String): Map[String, Double] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) return Map.empty
     try {
-      val p = java.nio.file.Paths.get(path)
-      if (!java.nio.file.Files.exists(p)) Map.empty
-      else {
-        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        val qsec = s.indexOf("\"queries\":{")
-        if (qsec < 0) Map.empty
-        else {
-          val body = s.substring(qsec + 11, s.indexOf('}', qsec))
-          "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }
-      }
-    } catch { case _: Throwable => Map.empty }
+      val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val qsec = s.indexOf("\"queries\":{")
+      require(qsec >= 0, "no \"queries\":{ section")
+      val body = s.substring(qsec + 11, s.indexOf('}', qsec))
+      // the parse stops at the FIRST '}' — valid only while the
+      // section is a flat name:number map; a nested value means the
+      // format changed under us
+      require(!body.contains("{"), "queries section is not flat")
+      val m = "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      require(m.nonEmpty, "queries section parsed to zero entries")
+      m
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] WARNING: $path exists but failed " +
+          s"to parse (${e.getMessage}) — relative despike trigger and " +
+          "ScaleProbe top-10 selection are DISABLED this run")
+        Map.empty
+    }
+  }
 }

@@ -866,7 +866,13 @@ object TextQueries {
       val uv = queries("t_unigram_viterbi")(s, dir)
         .select(lit("unigram").as("tokenizer"), col("word"),
           col("freq"), col("n_pieces").cast("long").as("n_pieces"))
-      val ch = queries("t_wordpiece")(s, dir)
+      // the chars baseline needs only the word-frequency table — not
+      // the full wordpiece pipeline (induction, top-200 sort, encode)
+      // the previous shape re-ran for rows it then ignored
+      val ch = t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("freq"))
         .select(lit("chars").as("tokenizer"), col("word"),
           col("freq"), length(col("word")).cast("long").as("n_pieces"))
       wp.unionByName(uv).unionByName(ch)
