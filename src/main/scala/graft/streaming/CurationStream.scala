@@ -66,6 +66,22 @@ object CurationStream {
       (fixed =!= col(textCol)).as("repaired"))
   }
 
+  /** Markup stripping at ingest — the streaming twin of
+    * `t_html_extract`: the native graft_html_to_text walk is a
+    * stateless per-row transform (tag strip, script/style drop,
+    * entity decode, whitespace collapse), so raw crawl payloads
+    * become clean text BEFORE any downstream screen tokenizes them —
+    * the natural head of the ingest chain (html → mojibake → PII →
+    * quality). Emits (idCol, clean, n_links) so a frontier consumer
+    * can fan the outlinks without re-walking the markup.
+    */
+  def htmlScreen(docs: DataFrame, idCol: String,
+                 textCol: String): DataFrame =
+    docs.select(col(idCol),
+      graft.expressions.HtmlExprs.htmlToText(col(textCol)).as("clean"),
+      size(graft.expressions.HtmlExprs.htmlLinks(col(textCol)))
+        .as("n_links"))
+
   /** DSIR importance scoring at ingest: the offline-built λ table
     * (collected once via [[graft.operators.Dsir.lamLiteral]]) rides
     * as a plan literal, and each arriving document gets its log

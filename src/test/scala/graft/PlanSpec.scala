@@ -693,6 +693,30 @@ class PlanSpec extends SparkSpec {
     assert(!planOf("t_mojibake").contains("Exchange"))
   }
 
+  test("round-11 shapes: html map-side, artifact routing join-free") {
+    // HTML extraction/links: native expressions inside the scan
+    // stage — the whole query is shuffle-free
+    assert(!planOf("t_html_extract").contains("Exchange"))
+    assert(!planOf("t_html_links").contains("Exchange"))
+    // routing against the persisted k-means model: centroids are plan
+    // literals read off the artifact — join-free AND shuffle-free
+    val route = planOf("s_kmeans_route")
+    assert(!route.contains("Join"), route)
+    assert(!route.contains("Exchange"), route)
+    // drift report: the only joins are the model-sized full-outer and
+    // the broadcast one-row totals — never a corpus cartesian
+    val drift = planOf("s_kmeans_drift")
+    assert(!drift.contains("CartesianProduct"), drift)
+    // IVF health report: one keyed agg over the lists TABLE, totals
+    // broadcast back — no corpus product
+    val st = planOf("s_index_stats")
+    assert(!st.contains("CartesianProduct"), st)
+    assert(st.contains("HashAggregate"), st)
+    // unigram EM: the corpus-sized job is the word count; the DP and
+    // the occurrence fan-out run over the TYPE table
+    assert(!planOf("t_unigram_em").contains("CartesianProduct"))
+  }
+
   // Every query whose physical plan is ALLOWED to carry an
   // unpartitioned Window (a single-task global sort of its input
   // frame), each because that frame is bounded by construction —

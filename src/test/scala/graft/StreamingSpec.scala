@@ -764,6 +764,45 @@ class StreamingSpec extends SparkSpec {
     gotFix.filter(_._3).foreach(r => assert(r._2.endsWith(" café naïve")))
   }
 
+  test("streaming HTML screen bit-equal batch, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // wrap fixture text in markup with decoy links and entities — the
+    // same hazards the batch oracle exercises
+    val originals = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").limit(30).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val docs = originals.toSeq.map { case (id, text) =>
+      (id, s"<html><body><!-- <a href='/no'>x</a> --><p>" +
+        text.replace(" ", "&#32;") + s"</p><a href='/d/$id'>go</a>" +
+        "<script>var a='<a href=\"/s\">';</script></body></html>")
+    }.sortBy(_._1).toArray
+    val mem = MemoryStream[(Long, String)]
+    val scr = graft.streaming.CurationStream.htmlScreen(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = scr.writeStream.format("memory").queryName("htmls")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.take(15).toSeq)
+      q.processAllAvailable()
+      mem.addData(docs.drop(15).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .sortBy(_._1).toSeq
+    val got = rows(spark.sql("SELECT * FROM htmls"))
+    val want = rows(graft.streaming.CurationStream.htmlScreen(
+      docs.toSeq.toDF("doc_id", "text"), "doc_id", "text"))
+    assert(got.length === 30 && got === want)
+    // extraction recovered the original text; only the live link counts
+    got.foreach { case (id, clean, nLinks) =>
+      assert(clean === originals(id) + " go", s"doc $id")
+      assert(nLinks === 1, s"doc $id saw decoy links")
+    }
+  }
+
   test("streaming DSIR scoring: plan-literal lambda map bit-equals batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
