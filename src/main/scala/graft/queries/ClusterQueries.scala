@@ -104,8 +104,11 @@ object ClusterQueries {
     //      pairwise form never appears; the centroid form is the one
     //      that exists at 100 TB. ----
     "s_silhouette" -> ((s, dir) => {
-      val (_, model) = KMeans.fit(t(s, dir, "embeddings"), k = K,
-        dim = Dim, iters = Iters)
+      // the model comes off the persisted artifact (bit-equal to a
+      // fresh fit — the KMeansSpec lifecycle law), so the fit runs
+      // once per data directory across the cluster queries instead of
+      // once per query (the r10 verdict's 'pays twice' observation)
+      val (model, _) = persistedModel(s, dir)
       val vq = transform(col("embedding").cast("array<double>"),
         x => round(x, 9))
       val pts = t(s, dir, "embeddings")
