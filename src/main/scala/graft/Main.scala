@@ -27,6 +27,13 @@ import graft.operators.{Dedup, MoveSink, Report, Similarity}
   * GRAFT_TARGET_PATH, GRAFT_FILTER_AFTER, GRAFT_FILTER_BEFORE,
   * GRAFT_COMPANY_ID, GRAFT_MODE, GRAFT_DRY_RUN.
   *
+  * Corpus curation (the training-data sibling of the file movers —
+  * markup strip → mojibake repair → PII census → Gopher quality →
+  * keep/drop, [[Pipelines.pipelineC]]):
+  *   graft.Main pipelineC --input PARQUET --output PARQUET [--dry-run]
+  * Prints the per-stage funnel report; kept documents land in
+  * `--output` as (doc_id, text) clean text. `--dry-run` audits only.
+  *
   * Index-artifact lifecycle (the daily-ingestion ops surface over the
   * persisted MinHash/LSH band index and IVF ANN index — the library
   * functions [[Dedup.buildBandIndex]]/[[Similarity.buildIvfIndex]] and
@@ -102,6 +109,26 @@ object Main {
       mode = mode,
       dryRun = flags.contains("dry-run") ||
         env.get("GRAFT_DRY_RUN").exists(_.equalsIgnoreCase("true")))
+  }
+
+  final case class CurateConfig(input: String, output: String,
+                                dryRun: Boolean)
+
+  private[graft] def parseCurate(args: Seq[String]): CurateConfig = {
+    val flags = scala.collection.mutable.Map.empty[String, String]
+    var rest = args
+    while (rest.nonEmpty) rest match {
+      case "--dry-run" +: t => flags += "dry-run" -> "true"; rest = t
+      case flag +: v +: t if flag.startsWith("--") =>
+        flags += flag.stripPrefix("--") -> v; rest = t
+      case other +: _ => fail(s"unexpected argument: $other")
+    }
+    val dry = flags.contains("dry-run")
+    CurateConfig(
+      input = flags.getOrElse("input", fail("missing --input PARQUET")),
+      output = flags.getOrElse("output",
+        if (dry) "" else fail("missing --output PARQUET")),
+      dryRun = dry)
   }
 
   final case class IndexConfig(
@@ -336,6 +363,21 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("pipelineC")) {
+      val cfg = parseCurate(args.toSeq.tail)
+      println(s"Pipeline:    pipelineC (curation)" +
+        (if (cfg.dryRun) " (dry run)" else ""))
+      println(s"Input:       ${cfg.input}")
+      if (!cfg.dryRun) println(s"Output:      ${cfg.output}")
+      val spark = session()
+      try {
+        val (decisions, written) = Pipelines.pipelineC(
+          spark, cfg.input, cfg.output, cfg.dryRun)
+        Pipelines.curationReport(decisions).show(truncate = false)
+        written.foreach(n => println(s"Wrote $n documents to ${cfg.output}"))
+      } finally spark.stop()
+      return
+    }
     if (args.headOption.contains("index")) {
       val cfg = parseIndex(args.toSeq.tail)
       println(s"Index:       ${cfg.kind} ${cfg.verb}" +

@@ -165,4 +165,68 @@ object Pipelines {
           .write.mode("append").parquet(reportDir)
       }
   }
+
+  /** Pipeline C — corpus curation, the training-data sibling of the
+    * file movers: raw crawl payloads (markup in `textCol`) go through
+    * the ingest chain the engine's screens define — markup strip
+    * (native HtmlToText walk) → mojibake repair → PII census → Gopher
+    * structural quality — and a document is KEPT when it passes
+    * quality and carries no PII. Every stage is a stateless map-side
+    * native expression or regex projection (no UDF, no shuffle), so
+    * the decision pass is one scan; the same chain is streaming-legal
+    * per stage (CurationStream.{htmlScreen,mojibakeRepair,piiScreen}).
+    *
+    * @return (decisions, written): decisions has (idCol, clean,
+    *         had_markup, repaired, has_pii, quality_ok, keep) for
+    *         every input document — the auditable replacement for a
+    *         silent drop; written = rows persisted to `output`
+    *         (kept docs as (idCol, text)), None when dryRun.
+    */
+  def pipelineC(spark: SparkSession, input: String, output: String,
+                dryRun: Boolean = false, idCol: String = "doc_id",
+                textCol: String = "text"): (DataFrame, Option[Long]) = {
+    import graft.expressions.{HtmlExprs, TextExprs}
+    import graft.functions.Text
+    val raw = spark.read.parquet(input)
+    val stripped = HtmlExprs.htmlToText(col(textCol))
+    val decisions = raw
+      .select(col(idCol), col(textCol).as("__raw"), stripped.as("__st"),
+        TextExprs.fixMojibake(stripped).as("clean"))
+      .withColumn("had_markup", col("__st") =!= col("__raw"))
+      .withColumn("repaired", col("clean") =!= col("__st"))
+      .withColumn("has_pii", {
+        val c = Text.piiCounts(col("clean"))
+        c.getField("n_emails") + c.getField("n_phones") +
+          c.getField("n_ipv4") + c.getField("n_cards") > 0
+      })
+      .withColumn("quality_ok",
+        Text.gopherKeep(col("clean"), Text.tokens(col("clean"))))
+      .withColumn("keep", col("quality_ok") && !col("has_pii"))
+      .drop("__raw", "__st")
+    if (dryRun) (decisions, None)
+    else {
+      val kept = decisions.filter(col("keep"))
+        .select(col(idCol), col("clean").as(textCol))
+      kept.write.mode("overwrite").parquet(output)
+      (decisions, Some(spark.read.parquet(output).count()))
+    }
+  }
+
+  /** The funnel report over [[pipelineC]] decisions — the per-stage
+    * counts an ingest job logs (and alerts on) every day.
+    */
+  def curationReport(decisions: DataFrame): DataFrame = {
+    val d = decisions.agg(
+      count(lit(1)).as("ingested"),
+      sum(when(col("had_markup"), 1L).otherwise(0L)).as("markup_stripped"),
+      sum(when(col("repaired"), 1L).otherwise(0L)).as("mojibake_repaired"),
+      sum(when(col("has_pii"), 1L).otherwise(0L)).as("pii_flagged"),
+      sum(when(!col("quality_ok"), 1L).otherwise(0L)).as("quality_failed"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+    val stages = Seq("ingested", "markup_stripped", "mojibake_repaired",
+      "pii_flagged", "quality_failed", "kept")
+    d.select(explode(array(stages.map(s =>
+        struct(lit(s).as("stage"), col(s).as("n"))): _*)).as("r"))
+      .select(col("r.stage").as("stage"), col("r.n").as("n"))
+  }
 }

@@ -37,7 +37,52 @@ object CurationQueries {
     d.select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
 
+  /** Temp path of the generated raw-crawl corpus for
+    * a_pipeline_curate, written once per data directory (the fixture
+    * is the WRITE; the query under test is the library pipeline over
+    * the parquet input — the a_pipeline_move shape).
+    */
+  private val curateMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def curatedInput(s: SparkSession, dir: String): String =
+    curateMemo.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_curate").toString + "/raw.parquet"
+      // the bad-decode suffix is built by RUNNING the bad decode
+      val moji = new String("café naïve résumé"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      t(s, dir, "documents").select(col("doc_id"), concat(
+          lit("<html><body><!-- audit <b>x</b> --><p>"),
+          when(col("doc_id") % 11 === 0, lit("tiny"))
+            .otherwise(col("text")),
+          when(col("doc_id") % 5 === 0, concat(lit(" reach u"),
+            col("doc_id"), lit("@mail.example.org"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" " + moji)).otherwise(lit("")),
+          lit("</p><script>if (1<2) { d = '<p>no</p>'; }</script>" +
+            "</body></html>")).as("text"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- the curation pipeline end-to-end (training-data sibling of
+    //      a_pipeline_move): a generated raw-crawl corpus — markup
+    //      with comment/script decoys, injected PII (doc_id%5),
+    //      injected mojibake (doc_id%7), quality-failing stubs
+    //      (doc_id%11) — runs through Pipelines.pipelineC's decision
+    //      pass (markup strip → mojibake repair → PII census → Gopher
+    //      quality → keep), and the funnel report is the gated
+    //      output. Every stage is a map-side native expression or
+    //      regex projection; the oracle recomputes each flag from the
+    //      closed-form clean text ----
+    "a_pipeline_curate" -> ((s, dir) => {
+      val (decisions, _) = graft.Pipelines.pipelineC(
+        s, curatedInput(s, dir), output = "", dryRun = true)
+      graft.Pipelines.curationReport(decisions)
+    }),
+
     // ---- top-3 TF-IDF keywords per document: raw-idf variant
     //      tf · (N+1)/(df+1) ranked with a full deterministic
     //      tie-break (tf desc, df asc, tok asc); output is exact
@@ -230,6 +275,58 @@ object CurationQueries {
       (c.toString, s"${((c.toInt * 13) % 17 - 8) / 10.0}"))
 
   val oracleSql: Map[String, String] = Map(
+    // every stage flag recomputed from the closed-form clean text
+    // (the extraction round trip is gated separately by
+    // t_html_extract); the PII regexes and the Gopher rules are the
+    // exact fragments the t_pii_detect / t_quality_rules oracles use
+    "a_pipeline_curate" ->
+      """WITH base AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 11 = 0 THEN 'tiny' ELSE text END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN ' reach u' || doc_id
+        |          || '@mail.example.org' ELSE '' END)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN ' café naïve résumé'
+        |          ELSE '' END) AS clean
+        |  FROM documents),
+        |fl AS MATERIALIZED (SELECT doc_id, clean,
+        |    doc_id % 7 = 0 AS repaired,
+        |    (len(regexp_extract_all(clean,
+        |       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+        |     + len(regexp_extract_all(clean, '\+[0-9][0-9-]{7,14}[0-9]'))
+        |     + len(regexp_extract_all(clean,
+        |       '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b'))
+        |     + len(list_filter(regexp_extract_all(clean, '[0-9]+'),
+        |       r -> len(r) = 16 AND list_sum(list_transform(range(0, 16),
+        |         j -> CASE WHEN j % 2 = 0 THEN
+        |           CASE WHEN 2 * (ascii(substring(r, CAST(j + 1 AS INT), 1)) - 48) > 9
+        |                THEN 2 * (ascii(substring(r, CAST(j + 1 AS INT), 1)) - 48) - 9
+        |                ELSE 2 * (ascii(substring(r, CAST(j + 1 AS INT), 1)) - 48) END
+        |           ELSE ascii(substring(r, CAST(j + 1 AS INT), 1)) - 48 END))
+        |         % 10 = 0))) > 0 AS has_pii,
+        |    len(string_split(clean, ' ')) >= 10
+        |      AND len(string_split(clean, ' ')) <= 5000
+        |      AND CAST(length(clean) - (len(string_split(clean, ' ')) - 1)
+        |          AS DOUBLE) / CAST(len(string_split(clean, ' '))
+        |          AS DOUBLE) >= 2.0
+        |      AND CAST(length(clean) - (len(string_split(clean, ' ')) - 1)
+        |          AS DOUBLE) / CAST(len(string_split(clean, ' '))
+        |          AS DOUBLE) <= 12.0
+        |      AND CAST(len(list_filter(string_split(clean, ' '),
+        |          w -> regexp_full_match(w, '[a-z]+'))) AS DOUBLE)
+        |        / CAST(len(string_split(clean, ' ')) AS DOUBLE) >= 0.6
+        |      AS quality_ok
+        |  FROM base)
+        |SELECT 'ingested' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM fl
+        |UNION ALL SELECT 'markup_stripped', CAST(COUNT(*) AS BIGINT)
+        |  FROM fl
+        |UNION ALL SELECT 'mojibake_repaired', CAST(SUM(CASE WHEN repaired
+        |  THEN 1 ELSE 0 END) AS BIGINT) FROM fl
+        |UNION ALL SELECT 'pii_flagged', CAST(SUM(CASE WHEN has_pii
+        |  THEN 1 ELSE 0 END) AS BIGINT) FROM fl
+        |UNION ALL SELECT 'quality_failed', CAST(SUM(CASE WHEN NOT
+        |  quality_ok THEN 1 ELSE 0 END) AS BIGINT) FROM fl
+        |UNION ALL SELECT 'kept', CAST(SUM(CASE WHEN quality_ok AND NOT
+        |  has_pii THEN 1 ELSE 0 END) AS BIGINT) FROM fl""".stripMargin,
+
     "t_novelty_curve" ->
       """WITH tk AS (SELECT doc_id // 50 AS batch,
         |    string_split(text, ' ') AS t FROM documents),

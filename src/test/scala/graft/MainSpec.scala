@@ -89,6 +89,15 @@ class MainSpec extends SparkSpec {
     assert(Files.exists(root.resolve("archive/x.json")))
   }
 
+  test("parseCurate: input always required, output only for real runs") {
+    intercept[IllegalArgumentException] { Main.parseCurate(Seq.empty) }
+    intercept[IllegalArgumentException] { // real run needs an output
+      Main.parseCurate(Seq("--input", "/in")) }
+    assert(Main.parseCurate(Seq("--input", "/in", "--dry-run")).dryRun)
+    val full = Main.parseCurate(Seq("--input", "/in", "--output", "/out"))
+    assert(full.input === "/in" && full.output === "/out" && !full.dryRun)
+  }
+
   test("parseIndex: verb/kind/operand validation is loud") {
     intercept[IllegalArgumentException] { Main.parseIndex(Seq("explode")) }
     intercept[IllegalArgumentException] { // missing --kind

@@ -151,4 +151,50 @@ class PipelinesSpec extends SparkSpec {
     // dryRun: nothing moved
     assert(lakeFiles(root) === Set("raw/old.json", "raw/new.json"))
   }
+
+  test("pipeline C: curation chain strips, repairs, screens, writes kept") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-curate")
+    val moji = new String("café".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, s"<html><body><p>$good one</p></body></html>"),      // kept
+      (1L, s"<p>$good $moji</p>"),                              // repaired, kept
+      (2L, s"<p>$good mail x2@a.io</p>"),                       // PII → dropped
+      (3L, "<p>tiny</p>"),                                      // quality → dropped
+      (4L, s"<p>$good <script>var x = '<b>no</b>';</script>two</p>"))
+    docs.toDF("doc_id", "text").write.parquet(s"$root/in.parquet")
+
+    // dry run: full audit trail, no output written
+    val (dry, none) = Pipelines.pipelineC(spark, s"$root/in.parquet",
+      s"$root/out.parquet", dryRun = true)
+    assert(none.isEmpty && !Files.exists(root.resolve("out.parquet")))
+    val flags = dry.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))).toMap
+    assert(flags(0L)._1 === s"$good one" && flags(0L)._6)
+    assert(flags(1L)._1 === s"$good café" && flags(1L)._3 && flags(1L)._6)
+    assert(flags(2L)._4 && !flags(2L)._6)       // has_pii → dropped
+    assert(!flags(3L)._5 && !flags(3L)._6)      // quality fail → dropped
+    assert(flags(4L)._1 === s"$good two" && flags(4L)._6) // script dropped
+    assert(flags.values.forall(_._2), "every doc had markup")
+
+    // real run: kept docs land in the output parquet as clean text
+    val (_, written) = Pipelines.pipelineC(spark, s"$root/in.parquet",
+      s"$root/out.parquet", dryRun = false)
+    assert(written === Some(3L))
+    val out = spark.read.parquet(s"$root/out.parquet").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(0L -> s"$good one", 1L -> s"$good café",
+      4L -> s"$good two"))
+
+    // the funnel report masses match the flags
+    val rep = Pipelines.curationReport(dry).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep === Map("ingested" -> 5L, "markup_stripped" -> 5L,
+      "mojibake_repaired" -> 1L, "pii_flagged" -> 1L,
+      "quality_failed" -> 1L, "kept" -> 3L))
+  }
 }
