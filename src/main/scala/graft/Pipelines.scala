@@ -182,14 +182,17 @@ object Pipelines {
     *         silent drop; written = rows persisted to `output`
     *         (kept docs as (idCol, text)), None when dryRun.
     */
-  def pipelineC(spark: SparkSession, input: String, output: String,
-                dryRun: Boolean = false, idCol: String = "doc_id",
-                textCol: String = "text"): (DataFrame, Option[Long]) = {
+  /** The curation decision projection — STATELESS column algebra, so
+    * it runs identically on a static or a streaming DataFrame (that
+    * sameness is the batch/stream equivalence
+    * `CurationStream.curateScreen` exposes and StreamingSpec proves).
+    */
+  def curateDecisions(raw: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
     import graft.expressions.{HtmlExprs, TextExprs}
     import graft.functions.Text
-    val raw = spark.read.parquet(input)
     val stripped = HtmlExprs.htmlToText(col(textCol))
-    val decisions = raw
+    raw
       .select(col(idCol), col(textCol).as("__raw"), stripped.as("__st"),
         TextExprs.fixMojibake(stripped).as("clean"))
       .withColumn("had_markup", col("__st") =!= col("__raw"))
@@ -203,6 +206,13 @@ object Pipelines {
         Text.gopherKeep(col("clean"), Text.tokens(col("clean"))))
       .withColumn("keep", col("quality_ok") && !col("has_pii"))
       .drop("__raw", "__st")
+  }
+
+  def pipelineC(spark: SparkSession, input: String, output: String,
+                dryRun: Boolean = false, idCol: String = "doc_id",
+                textCol: String = "text"): (DataFrame, Option[Long]) = {
+    val decisions =
+      curateDecisions(spark.read.parquet(input), idCol, textCol)
     if (dryRun) (decisions, None)
     else {
       val kept = decisions.filter(col("keep"))

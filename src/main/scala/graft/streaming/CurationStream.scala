@@ -82,6 +82,17 @@ object CurationStream {
       size(graft.expressions.HtmlExprs.htmlLinks(col(textCol)))
         .as("n_links"))
 
+  /** The full curation decision chain at ingest — the streaming twin
+    * of [[graft.Pipelines.pipelineC]]'s decision pass: markup strip →
+    * mojibake repair → PII census → Gopher quality → keep, all
+    * stateless column algebra, so the deployed keep/drop filter is
+    * literally the batch projection applied to the stream (a sink can
+    * route kept docs to the lake and dropped ones to quarantine).
+    */
+  def curateScreen(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    graft.Pipelines.curateDecisions(docs, idCol, textCol)
+
   /** DSIR importance scoring at ingest: the offline-built λ table
     * (collected once via [[graft.operators.Dsir.lamLiteral]]) rides
     * as a plan literal, and each arriving document gets its log

@@ -803,6 +803,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming curation screen bit-equal batch keep/drop decisions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val moji = new String("café".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, s"<p>$good one</p>"),
+      (1L, s"<p>$good $moji</p>"),
+      (2L, s"<p>$good mail x2@a.io</p>"),
+      (3L, "<p>tiny</p>"),
+      (4L, s"<p>$good <script>var x = 1;</script>two</p>"))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.CurationStream.curateScreen(
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.take(3)); q.processAllAvailable()
+      mem.addData(docs.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+        r.getBoolean(6))).sortBy(_._1).toSeq
+    val got = rows(spark.sql("SELECT * FROM curated"))
+    val want = rows(graft.Pipelines.curateDecisions(
+      docs.toDF("doc_id", "text")))
+    assert(got === want && got.length === 5)
+    assert(got.map(r => r._1 -> r._7).toMap ===
+      Map(0L -> true, 1L -> true, 2L -> false, 3L -> false, 4L -> true))
+  }
+
   test("streaming DSIR scoring: plan-literal lambda map bit-equals batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
