@@ -38,14 +38,16 @@ import graft.operators.{Dedup, MoveSink, Report, Similarity}
   * persisted MinHash/LSH band index and IVF ANN index — the library
   * functions [[Dedup.buildBandIndex]]/[[Similarity.buildIvfIndex]] and
   * friends, exposed as verbs):
-  *   graft.Main index build|append|merge|compact|erase|stats
+  *   graft.Main index build|append|merge|compact|erase|stats|check
   *     --kind band|ivf --index PATH [--dry-run]
-  *     [--input PARQUET]      build/append: the (new) corpus
+  *     [--input PARQUET]      build/append/check: the (new) corpus
   *     [--other PATH]         merge: the second persisted index
   *     [--ids PARQUET]        erase: ids to forget (column `id`)
   *     [--centroids PARQUET]  ivf build: the trained quantizer (cid, cv)
   *     [--id-col doc_id|vec_id] [--text-col text] [--vec-col embedding]
   *     [--ngram 5] [--bands 3] [--rows-per-band 2] [--partitions 32]
+  *     [--threshold 0.5]      band check: Jaccard verify threshold
+  *     [--k 3] [--nprobe 2]   ivf check: neighbors per query / probes
   * Mutating verbs write to `PATH.next` and promote via the retire-aside
   * swap (exclusive access for the swap window); `--dry-run` reports the
   * would-be table sizes without writing anything.
@@ -137,10 +139,11 @@ object Main {
       centroids: Option[String],
       idCol: String, textCol: String, vecCol: String,
       ngram: Int, bands: Int, rowsPerBand: Int,
-      partitions: Int, dryRun: Boolean)
+      partitions: Int, threshold: Double, k: Int, nProbe: Int,
+      dryRun: Boolean)
 
   private val indexVerbs =
-    Set("build", "append", "merge", "compact", "erase", "stats")
+    Set("build", "append", "merge", "compact", "erase", "stats", "check")
 
   private[graft] def parseIndex(args: Seq[String]): IndexConfig = {
     if (args.isEmpty || !indexVerbs(args.head))
@@ -170,10 +173,12 @@ object Main {
       ngram = intFlag("ngram", 5), bands = intFlag("bands", 3),
       rowsPerBand = intFlag("rows-per-band", 2),
       partitions = intFlag("partitions", 32),
+      threshold = flags.get("threshold").map(_.toDouble).getOrElse(0.5),
+      k = intFlag("k", 3), nProbe = intFlag("nprobe", 2),
       dryRun = flags.contains("dry-run"))
     // verb-specific operands fail at parse time, not mid-job
     verb match {
-      case "build" | "append" =>
+      case "build" | "append" | "check" =>
         if (cfg.input.isEmpty) fail(s"index $verb needs --input PARQUET")
         if (kind == "ivf" && verb == "build" && cfg.centroids.isEmpty)
           fail("ivf build needs --centroids PARQUET (cid, cv)")
@@ -287,6 +292,17 @@ object Main {
         report(promoteIvf(Similarity.eraseFromIvfIndex(
           Similarity.readIvfIndex(spark, cfg.index),
           spark.read.parquet(cfg.ids.get).select(col("id")))))
+
+      // the daily near-dup / neighbor screen: a new batch against the
+      // persisted artifact, never re-processing historical data
+      case ("check", "band") =>
+        Dedup.pairsAgainstIndex(spark.read.parquet(cfg.input.get),
+          Dedup.readBandIndex(spark, cfg.index), cfg.idCol, cfg.textCol,
+          cfg.ngram, cfg.bands, cfg.rowsPerBand, cfg.threshold)
+      case ("check", "ivf") =>
+        Similarity.searchIvfIndex(spark.read.parquet(cfg.input.get),
+          Similarity.readIvfIndex(spark, cfg.index), cfg.k, cfg.nProbe,
+          cfg.idCol, cfg.vecCol)
 
       // the daily health gates: band-bucket / list-size histograms
       // (d_index_stats and s_index_stats as operable commands)

@@ -172,6 +172,15 @@ class MainSpec extends SparkSpec {
     val merged = indexRun("merge", "--kind", "band", "--index", idx,
       "--other", idxB)
     assert(merged === appended)
+
+    // the daily screen: corpus b (near-copies of a) against the index
+    // — every b doc finds its a original, never itself
+    val hits = Main.runIndex(spark, Main.parseIndex(Seq("check",
+        "--kind", "band", "--index", idx, "--input", s"$root/b.parquet")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.nonEmpty)
+    assert(hits.forall { case (n, b, j) =>
+      n >= 10 && j >= 0.5 && n != b })
   }
 
   test("index CLI: ivf lifecycle — build/append/stats/erase/compact") {
@@ -211,5 +220,14 @@ class MainSpec extends SparkSpec {
     val erased = indexRun("erase", "--kind", "ivf", "--index", idx,
       "--ids", s"$root/gone.parquet")
     assert(erased === built)
+
+    // the neighbor screen: every query gets k ranked hits, none itself
+    val hits = Main.runIndex(spark, Main.parseIndex(Seq("check",
+        "--kind", "ivf", "--index", idx, "--input", s"$root/b.parquet",
+        "--k", "2")))
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id")))
+    assert(hits.groupBy(_._1).forall(_._2.length == 2))
+    assert(hits.forall { case (q, _, n) => q != n })
   }
 }
