@@ -80,6 +80,28 @@ object Text {
       lit(0.3) * least(lit(1.0), size(tok).cast("double") / lit(50.0)) +
       lit(0.2) * (lit(1.0) - punctRatio(text))
 
+  /** Unicode sanitization for scraped text — the normalizations a
+    * crawler corpus needs BEFORE tokenization (invisible characters
+    * split tokens silently; typographic punctuation forks otherwise-
+    * identical n-grams and dedup shingles):
+    *   - REMOVE zero-widths (ZWSP/ZWNJ/ZWJ), the BOM, soft hyphens;
+    *   - MAP curly quotes → straight, en/em dash → '-', NBSP → space,
+    *     ellipsis → "...".
+    * A regexp_replace + translate chain — codegen'd, map-side,
+    * idempotent (every output char is a fixed point). Complements
+    * [[graft.expressions.FixMojibake]] (byte-level repair) and NFC
+    * normalization (canonical composition): sanitize is the
+    * OPINIONATED step that loses typography on purpose.
+    */
+  def sanitize(text: Column): Column = {
+    val removed = regexp_replace(text,
+      "[\\u200B\\u200C\\u200D\\uFEFF\\u00AD]", "")
+    val ellipsis = regexp_replace(removed, "\\u2026", "...")
+    translate(ellipsis,
+      "\u2018\u2019\u201C\u201D\u2013\u2014\u00A0",
+      "''\"\"--" + " ")
+  }
+
   /** PII redaction for training corpora: emails, international phone
     * numbers, then long digit runs (account/card ids) replaced by typed
     * placeholders, in that order (emails contain digits; phones are

@@ -223,6 +223,29 @@ object TextQueries {
         fixed.as("clean"), (fixed =!= dirty).as("repaired"))
     }),
 
+    // ---- Unicode sanitization over a corpus with injected invisible
+    //      characters and typographic punctuation (each built from
+    //      explicit code points, so the oracle states the closed-form
+    //      expectation): zero-widths/BOM/soft-hyphens must vanish,
+    //      curly quotes / dashes / NBSP / ellipsis must normalize —
+    //      the pre-tokenization step that keeps shingles and n-grams
+    //      from forking on typography. Map-side regexp+translate
+    //      chain, no shuffle ----
+    "t_sanitize" -> ((s, dir) => {
+      val dirty = when(col("doc_id") % 4 === 0,
+          concat(col("text"),
+            lit(" \u201Cquoted\u201D\u200Btail")))
+        .when(col("doc_id") % 4 === 1,
+          concat(col("text"), lit(" a\u2014b\u00A0c")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("\uFEFF"), col("text"),
+            lit(" el\u00ADlipsis\u2026")))
+        .otherwise(col("text"))
+      val clean = Text.sanitize(dirty)
+      t(s, dir, "documents").select(col("doc_id"), clean.as("clean"),
+        (clean =!= dirty).as("changed"))
+    }),
+
     // ---- HTML → text extraction over a generated-markup corpus (the
     //      m_png_dims pattern: Spark BUILDS the hostile document from
     //      table values, the native expression must invert it, the
@@ -2491,6 +2514,18 @@ object TextQueries {
         |  CASE WHEN doc_id % 2 = 0 THEN text || ' café naïve résumé'
         |       ELSE text END AS clean,
         |  doc_id % 2 = 0 AS repaired
+        |FROM documents""".stripMargin,
+
+    // the sanitizer's fixed point in closed form: invisibles vanish,
+    // typography normalizes, the %4=3 stratum passes untouched
+    "t_sanitize" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN text || ' "quoted"tail'
+        |    WHEN 1 THEN text || ' a-b c'
+        |    WHEN 2 THEN text || ' ellipsis...'
+        |    ELSE text END AS clean,
+        |  doc_id % 4 <> 3 AS changed
         |FROM documents""".stripMargin,
 
     // the extraction's fixed point in closed form: title + heading

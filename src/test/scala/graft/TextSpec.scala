@@ -694,6 +694,24 @@ class TextSpec extends SparkSpec {
     assert(got.exists(_._2._2 > 1), "expected at least one split word")
   }
 
+  test("sanitize: invisibles vanish, typography folds, idempotent") {
+    import spark.implicits._
+    import graft.functions.Text
+    def san(s: String): String = Seq(s).toDF("t")
+      .select(Text.sanitize(col("t"))).head().getString(0)
+    assert(san("a\u200Bb\u200Cc\u200Dd\uFEFFe\u00ADf") == "abcdef")
+    assert(san("\u2018q\u2019 \u201Cw\u201D") == "'q' \"w\"")
+    assert(san("a\u2013b\u2014c") == "a-b-c")
+    assert(san("a\u00A0b") == "a b")
+    assert(san("wait\u2026 what") == "wait... what")
+    assert(san("plain ascii 123.") == "plain ascii 123.")
+    // idempotence: every output char is a fixed point of the chain
+    val hostile = "\uFEFF\u2018x\u2019\u200B \u2014 y\u2026 z\u00AD"
+    assert(san(san(hostile)) == san(hostile))
+    // the sanitizer heals token splits: shingles no longer fork
+    assert(san("zero\u200Bwidth") == "zerowidth")
+  }
+
   test("t_unigram_em: naive forward-backward replay; likelihood rises") {
     val dir = java.nio.file.Files.createTempDirectory("uniem").toString
     import spark.implicits._
