@@ -223,6 +223,35 @@ object TextQueries {
         fixed.as("clean"), (fixed =!= dirty).as("repaired"))
     }),
 
+    // ---- Unicode script census over a corpus with injected
+    //      Cyrillic / Han / Greek runs — the multilingual sibling of
+    //      the marker-word language ID (scripts are detectable even
+    //      when no marker word matches, and a script mix is itself a
+    //      contamination signal). Char counts via the
+    //      length-minus-stripped trick over Unicode script classes
+    //      (Java \p{IsX} == RE2 \p{X} on these ranges); dominant
+    //      script by argmax with declaration-order ties. Map-side,
+    //      no shuffle ----
+    "t_script_census" -> ((s, dir) => {
+      val dirty = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit(" \u043F\u0440\u0438\u0432\u0435\u0442 \u043C\u0438\u0440"))
+        .when(col("doc_id") % 3 === 1, lit(" \u6F22\u5B57\u6F22"))
+        .otherwise(lit(" \u03B1\u03B2\u03B3")))
+      def n(cls: String) = length(dirty) -
+        length(regexp_replace(dirty, s"[\\p{Is$cls}]", ""))
+      val counts = Seq("latin" -> n("Latin"), "cyrillic" -> n("Cyrillic"),
+        "han" -> n("Han"), "greek" -> n("Greek"))
+      val best = greatest(counts.map(_._2): _*)
+      val dominant = counts.foldRight(lit("none")) { case ((nm, c), acc) =>
+        when(c === best && best > 0, lit(nm)).otherwise(acc)
+      }
+      t(s, dir, "documents").select(col("doc_id"),
+        counts.head._2.as("n_latin"), counts(1)._2.as("n_cyrillic"),
+        counts(2)._2.as("n_han"), counts(3)._2.as("n_greek"),
+        dominant.as("dominant"))
+    }),
+
     // ---- Unicode sanitization over a corpus with injected invisible
     //      characters and typographic punctuation (each built from
     //      explicit code points, so the oracle states the closed-form
@@ -2515,6 +2544,36 @@ object TextQueries {
         |       ELSE text END AS clean,
         |  doc_id % 2 = 0 AS repaired
         |FROM documents""".stripMargin,
+
+    // the census recomputed with RE2's script classes over the same
+    // injected runs (Java \p{IsX} and RE2 \p{X} agree on these)
+    "t_script_census" ->
+      """WITH dirty AS (SELECT doc_id, text ||
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN ' привет мир'
+        |    WHEN 1 THEN ' 漢字漢'
+        |    ELSE ' αβγ' END AS d
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  length(d) - length(regexp_replace(d, '[\p{Latin}]', '', 'g'))
+        |    AS n_latin,
+        |  length(d) - length(regexp_replace(d, '[\p{Cyrillic}]', '', 'g'))
+        |    AS n_cyrillic,
+        |  length(d) - length(regexp_replace(d, '[\p{Han}]', '', 'g'))
+        |    AS n_han,
+        |  length(d) - length(regexp_replace(d, '[\p{Greek}]', '', 'g'))
+        |    AS n_greek
+        |  FROM dirty)
+        |SELECT doc_id, n_latin, n_cyrillic, n_han, n_greek,
+        |  CASE
+        |    WHEN n_latin >= n_cyrillic AND n_latin >= n_han
+        |      AND n_latin >= n_greek AND n_latin > 0 THEN 'latin'
+        |    WHEN n_cyrillic >= n_han AND n_cyrillic >= n_greek
+        |      AND n_cyrillic > 0 THEN 'cyrillic'
+        |    WHEN n_han >= n_greek AND n_han > 0 THEN 'han'
+        |    WHEN n_greek > 0 THEN 'greek'
+        |    ELSE 'none' END AS dominant
+        |FROM c""".stripMargin,
 
     // the sanitizer's fixed point in closed form: invisibles vanish,
     // typography normalizes, the %4=3 stratum passes untouched

@@ -712,6 +712,38 @@ class TextSpec extends SparkSpec {
     assert(san("zero\u200Bwidth") == "zerowidth")
   }
 
+  test("t_script_census: counts replay Character.UnicodeScript exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("scripts").toString
+    import spark.implicits._
+    val docs = Seq((0L, "mixed ascii"), (1L, "plain words"),
+      (2L, "the end"), (3L, "a"), (4L, "bb cc"), (5L, "zz"))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val inj = Map(0L -> " \u043F\u0440\u0438\u0432\u0435\u0442 \u043C\u0438\u0440",
+      1L -> " \u6F22\u5B57\u6F22", 2L -> " \u03B1\u03B2\u03B3")
+    import java.lang.Character.{UnicodeScript => US}
+    def cnt(s: String, sc: US): Int =
+      s.codePoints().toArray.count(cp => US.of(cp) == sc)
+    val out = SparkEntry.queries("t_script_census")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+          r.getString(5)))).toMap
+    docs.foreach { case (id, text) =>
+      val d = text + inj(id % 3)
+      val naive = (cnt(d, US.LATIN), cnt(d, US.CYRILLIC),
+        cnt(d, US.HAN), cnt(d, US.GREEK))
+      val got = out(id)
+      assert((got._1, got._2, got._3, got._4) === naive, s"doc $id")
+    }
+    // dominance with declaration-order ties: doc 0 has 10 latin vs 9
+    // cyrillic; doc 3 has 1 latin vs 9 cyrillic; doc 5 ties han at 2
+    // latin... no: 'zz' = 2 latin vs 3 han -> han
+    assert(out(0L)._5 === "latin")
+    assert(out(3L)._5 === "cyrillic")
+    assert(out(2L)._5 === "latin") // 'the end': 6 latin vs 3 greek
+    assert(out(4L)._5 === "latin") // 'bb cc': 4 latin vs 3 han
+    assert(out(5L)._5 === "greek") // 'zz': 2 latin vs 3 greek
+  }
+
   test("t_unigram_em: naive forward-backward replay; likelihood rises") {
     val dir = java.nio.file.Files.createTempDirectory("uniem").toString
     import spark.implicits._
