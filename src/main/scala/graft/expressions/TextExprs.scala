@@ -311,9 +311,54 @@ case class WordpieceEncode(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** DEFLATE-compressed length of a string's UTF-8 bytes (zlib level 6,
+  * default strategy) — the compression-ratio quality signal (C4/Dolma
+  * family): highly compressible text is repetitive boilerplate, nearly
+  * incompressible text is noise/binary-in-text; natural prose sits in
+  * a band between. Deterministic (pure-JDK Deflater, fixed level, one
+  * whole-input pass). Library-only: no SQL engine exposes zlib, so the
+  * gate is spec-level, not an oracle row. CodegenFallback: the
+  * compressor dominates, not dispatch.
+  */
+case class DeflateLen(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_deflate_len requires string, got ${other.simpleString}")
+    }
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_deflate_len"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DeflateLen = copy(child = newChild)
+}
+
 object TextExprs {
   def simhash(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
+
+  def deflateLen(s: Column): Column =
+    Bridge.column(DeflateLen(Bridge.expression(s)))
 
   def wordpiece(word: Column, vocab: Column): Column =
     Bridge.column(WordpieceEncode(

@@ -102,6 +102,16 @@ object Text {
       "''\"\"--" + " ")
   }
 
+  /** Compression-ratio quality signal (the C4/Dolma zlib heuristic):
+    * DEFLATE length over UTF-8 byte length, rounded to 4. Repetitive
+    * boilerplate compresses far below natural prose; noise barely
+    * compresses — a pipeline drops both tails. Library-only gate (no
+    * SQL engine exposes zlib) — TextSpec pins the band structure.
+    */
+  def compressionRatio(text: Column): Column =
+    round(graft.expressions.TextExprs.deflateLen(text).cast("double") /
+      octet_length(text).cast("double"), 4)
+
   /** PII redaction for training corpora: emails, international phone
     * numbers, then long digit runs (account/card ids) replaced by typed
     * placeholders, in that order (emails contain digits; phones are

@@ -712,6 +712,26 @@ class TextSpec extends SparkSpec {
     assert(san("zero\u200Bwidth") == "zerowidth")
   }
 
+  test("compressionRatio: repetition compresses, noise does not, band order") {
+    import spark.implicits._
+    def ratio(s: String): Double = Seq(s).toDF("t")
+      .select(Text.compressionRatio(col("t"))).head().getDouble(0)
+    val boiler = "home login about " * 200
+    val prose = ("the quick brown fox jumps over the lazy dog and then " +
+      "wanders through seventeen distinct meadows naming each flower") * 3
+    val noise = (1 to 400).map(i =>
+      java.lang.Long.toHexString(i * 2654435761L)).mkString(" ")
+    assert(ratio(boiler) < ratio(prose) && ratio(prose) < ratio(noise),
+      s"band order broke: ${ratio(boiler)} ${ratio(prose)} ${ratio(noise)}")
+    assert(ratio(boiler) < 0.1)   // heavy repetition collapses
+    assert(ratio(noise) > 0.5)    // hex noise barely compresses
+    // determinism: same input -> same length, any partitioning
+    val df = (1 to 100).map(i => (i.toLong, prose)).toDF("id", "t")
+    val a = df.repartition(7)
+      .select(Text.compressionRatio(col("t"))).distinct().collect()
+    assert(a.length === 1 && a.head.getDouble(0) === ratio(prose))
+  }
+
   test("t_script_census: counts replay Character.UnicodeScript exactly") {
     val dir = java.nio.file.Files.createTempDirectory("scripts").toString
     import spark.implicits._
