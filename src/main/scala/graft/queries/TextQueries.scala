@@ -165,6 +165,30 @@ object TextQueries {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // ---- the FIX for t_split_leakage: split on the duplicate-family
+    //      key instead of the document id, so every near-dup family
+    //      lands whole in one split and the cross-split leakage
+    //      channel is 0 BY CONSTRUCTION (for LSH families the key is
+    //      the Dedup.dupClusters label; exact families use the text
+    //      fingerprint — same mechanism). Same doubled corpus, same
+    //      256-bucket hash assignment, leakage census rides along ----
+    "t_split_by_cluster" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val base = d.union(
+          d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .withColumn("fp", md5(col("text")))
+      val sp = graft.operators.Sampling.hashSplit(base, "fp",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .localCheckpoint(false) // split census + the leak self-join
+      val leaks = sp.as("a").join(sp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.split") =!= col("b.split"))
+        .agg(count(lit(1)).as("leaked_pairs"))
+      sp.groupBy("split").agg(count(lit(1)).as("n_docs"),
+          countDistinct("fp").as("n_groups"))
+        .crossJoin(broadcast(leaks))
+    }),
+
     "t_fingerprint" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val tok = Text.tokens(col("text"))
@@ -2226,6 +2250,26 @@ object TextQueries {
       s"""SELECT $splitCase AS split, COUNT(*) AS n
          |FROM (SELECT $md5Bucket AS bucket FROM documents)
          |GROUP BY 1""".stripMargin,
+
+    // same 256-bucket assignment, but hashed on the family fingerprint
+    // — the leak self-join must come back empty
+    "t_split_by_cluster" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+         |b2 AS (SELECT doc_id, md5(text) AS fp FROM base),
+         |sp AS MATERIALIZED (SELECT doc_id, fp, $splitCase AS split
+         |  FROM (SELECT doc_id, fp,
+         |      (strpos('0123456789abcdef',
+         |        substring(md5(fp), 1, 1)) - 1) * 16
+         |      + strpos('0123456789abcdef',
+         |        substring(md5(fp), 2, 1)) - 1 AS bucket
+         |    FROM b2)),
+         |lk AS (SELECT COUNT(*) AS leaked_pairs FROM sp a JOIN sp b
+         |  ON a.fp = b.fp AND a.doc_id < b.doc_id AND a.split <> b.split)
+         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_groups,
+         |  CAST(lk.leaked_pairs AS BIGINT) AS leaked_pairs
+         |FROM sp, lk GROUP BY split, lk.leaked_pairs""".stripMargin,
 
     "t_ngram_freq" ->
       s"""WITH ng AS (SELECT unnest(

@@ -712,6 +712,31 @@ class TextSpec extends SparkSpec {
     assert(san("zero\u200Bwidth") == "zerowidth")
   }
 
+  test("t_split_by_cluster: families land whole; id-split would leak") {
+    val dir = java.nio.file.Files.createTempDirectory("spl").toString
+    import spark.implicits._
+    // 40 families of 3 exact copies each
+    val docs = (0L until 40L).flatMap(f => Seq(0L, 1L, 2L).map(c =>
+      (f * 1000 + c, s"family $f body words " + ("x " * 5).trim)))
+      .map { case (id, t) => (id, t + s" uniq${id / 1000}") }
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t_split_by_cluster")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // zero leakage by construction, and the census masses the corpus
+    assert(out.forall(_._4 == 0L), "cluster split must never leak")
+    assert(out.map(_._2).sum === docs.length * 2L) // doubled corpus
+    // every group is whole: docs per split == 6 * groups per split
+    // (each family has 3 docs, corpus doubled -> 6 per fingerprint)
+    out.foreach { case (split, nDocs, nGroups, _) =>
+      assert(nDocs === nGroups * 6, s"$split fragmented a family")
+    }
+    // contrast: the id-keyed split on the SAME corpus leaks
+    val leak = SparkEntry.queries("t_split_leakage")(spark, dir)
+      .collect().map(_.getLong(2)).sum
+    assert(leak > 0L, "the id split should fragment some family")
+  }
+
   test("compressionRatio: repetition compresses, noise does not, band order") {
     import spark.implicits._
     def ratio(s: String): Double = Seq(s).toDF("t")
