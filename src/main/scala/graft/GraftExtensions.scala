@@ -181,10 +181,22 @@ object GraftExtensions {
       graft.expressions.HtmlLinks(args(0))
     })
 
+  /** graft_deflate_len(string) — DEFLATE-compressed byte length (the
+    * compression-ratio quality signal) in SQL.
+    */
+  private val deflateFunction = (
+    FunctionIdentifier("graft_deflate_len"),
+    new ExpressionInfo(classOf[graft.expressions.DeflateLen].getName,
+      "graft_deflate_len"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "graft_deflate_len(s) takes 1 argument")
+      graft.expressions.DeflateLen(args(0))
+    })
+
   private val all = Seq(dotFunction, cosineFunction, jpegFunction,
     jsonKeyFunction, simhashFunction, mp4Function, hammingFunction,
     nfcFunction, exifFunction, wordpieceFunction, mojibakeFunction,
-    htmlTextFunction, htmlLinksFunction)
+    htmlTextFunction, htmlLinksFunction, deflateFunction)
 
   /** Session-scoped registration for an existing session. */
   def register(spark: SparkSession): Unit =

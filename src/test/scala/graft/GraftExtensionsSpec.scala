@@ -87,4 +87,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.isNullAt(1))
     assert(r.isNullAt(2))
   }
+
+  test("graft_deflate_len usable from SQL; repetition compresses") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_deflate_len(repeat('spam ', 200)), " +
+        "graft_deflate_len('abc'), " +
+        "graft_deflate_len(CAST(NULL AS STRING))").collect()(0)
+    assert(r.getInt(0) < 100)  // 1000 repetitive bytes collapse
+    assert(r.getInt(1) > 0 && r.getInt(1) <= 16)
+    assert(r.isNullAt(2))
+  }
 }
