@@ -42,6 +42,101 @@ object TextQueries {
        |    CAST(len(syms) AS BIGINT) AS blen FROM s${BpeMerges.length})""".stripMargin
   }
 
+
+  /** One unigram-LM EM E-step over the word-type table — the shared
+    * machinery behind t_unigram_em (the M-step + likelihoods) and
+    * t_unigram_prune (the SentencePiece prune step). `forward` and
+    * `ll` are expression BUILDERS evaluated against rows carrying a
+    * `word` (and `freq`) column; arithmetic determinism notes live on
+    * the t_unigram_em entry.
+    */
+  private final case class UnigramEmState(
+      vocab: DataFrame, scored: DataFrame, perPiece: DataFrame,
+      totalEc: DataFrame,
+      forward: Map[String, Double] => org.apache.spark.sql.Column,
+      ll: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      mStep: Map[String, Double])
+
+  private def unigramEmCore(s: SparkSession, dir: String): UnigramEmState = {
+    val wf = t(s, dir, "documents")
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(false) // feeds induction AND both DP passes
+    val subs = wf.select(col("freq"), explode(array_distinct(flatten(
+        transform(sequence(lit(1), lit(8)), l =>
+          transform(filter(sequence(lit(1), length(col("word"))),
+              i => i + l - lit(1) <= length(col("word"))),
+            i => col("word").substr(i, l)))))).as("sub"))
+      .groupBy("sub").agg(sum("freq").as("w"))
+      .localCheckpoint(false) // chars + top-200 + the total
+    val vocab = subs.filter(length(col("sub")) === 1)
+      .unionByName(subs.filter(length(col("sub")) >= 2)
+        .orderBy(col("w").desc, col("sub").asc).limit(200))
+      .localCheckpoint(false) // probs + the piece join-back
+    val weights = vocab.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap // model-sized
+    val tot = weights.values.sum
+    val probs = weights.map { case (p, w) =>
+      p -> w.toDouble / tot.toDouble } // exact-int IEEE division
+
+    val L = length(col("word"))
+    // forward/backward over one word row — identical fold trees in
+    // the oracle. alpha(j) sums over last-piece lengths; beta(j) over
+    // first-piece lengths of the remaining suffix.
+    def forward(pm: Map[String, Double]): org.apache.spark.sql.Column = {
+      val pmLit = typedLit(pm)
+      aggregate(sequence(lit(1), L), array(lit(1.0)), (acc, j) =>
+        concat(acc, array(aggregate(sequence(lit(1), lit(8)),
+          lit(0.0), (acc2, l) => acc2 + coalesce(
+            when(l <= j, get(acc, j - l) * try_element_at(pmLit,
+              col("word").substr(j - l + lit(1), l))),
+            lit(0.0))))))
+    }
+    val pmLit = typedLit(probs)
+    val beta = aggregate(sequence(lit(1), L), array(lit(1.0)),
+      (acc, k) => concat(array(aggregate(sequence(lit(1), lit(8)),
+        lit(0.0), (acc2, l) => acc2 + coalesce(
+          when(l <= k, try_element_at(pmLit,
+            col("word").substr(L - k + lit(1), l)) * get(acc, l - 1)),
+          lit(0.0)))), acc))
+
+    val scored = wf
+      .withColumn("al", forward(probs)).withColumn("be", beta)
+      .localCheckpoint(false) // occurrences + the likelihood sums
+    // E-step: gamma of each occurrence, rounded, exact-decimal summed
+    val occ = scored
+      .select(col("word"), col("freq"), col("al"), col("be"),
+        explode(sequence(lit(1), L)).as("i"))
+      .select(col("word"), col("freq"), col("al"), col("be"), col("i"),
+        explode(sequence(lit(1), lit(8))).as("l"))
+      .filter(col("i") + col("l") - 1 <= length(col("word")))
+      .withColumn("piece", col("word").substr(col("i"), col("l")))
+      .withColumn("p", try_element_at(pmLit, col("piece")))
+      .filter(col("p").isNotNull)
+      .withColumn("gamma",
+        get(col("al"), col("i") - 1) * col("p") *
+          get(col("be"), col("i") + col("l") - 1) /
+          get(col("al"), length(col("word"))))
+    val perPiece = occ.groupBy("piece")
+      .agg(sum(round(col("freq").cast("double") * col("gamma"), 9)
+        .cast("decimal(38,9)")).as("ec"))
+      .localCheckpoint(false) // rows + the normalizer + the M-step
+    val totalEc = perPiece.agg(sum("ec").as("c"))
+
+    // M-step model: the same ratio tree the output column closes
+    // with, unrounded
+    val mStep = perPiece.crossJoin(broadcast(totalEc))
+      .select(col("piece"), (col("ec").cast("double") /
+        col("c").cast("double")).as("pn"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def ll(alpha: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(sum(round(col("freq").cast("double") *
+        round(log(get(alpha, length(col("word")))), 9), 6)
+        .cast("decimal(28,6)")).cast("double"), 6)
+    UnigramEmState(vocab, scored, perPiece, totalEc, forward, ll, mStep)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -837,95 +932,56 @@ object TextQueries {
     //      runs over word TYPES; at 100 TB the corpus-scale job is
     //      the word count, the DP touches only the type table ----
     "t_unigram_em" -> ((s, dir) => {
-      val wf = t(s, dir, "documents")
-        .select(explode(Text.tokens(col("text"))).as("word"))
-        .filter(col("word") =!= "")
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-        .localCheckpoint(false) // feeds induction AND both DP passes
-      val subs = wf.select(col("freq"), explode(array_distinct(flatten(
-          transform(sequence(lit(1), lit(8)), l =>
-            transform(filter(sequence(lit(1), length(col("word"))),
-                i => i + l - lit(1) <= length(col("word"))),
-              i => col("word").substr(i, l)))))).as("sub"))
-        .groupBy("sub").agg(sum("freq").as("w"))
-        .localCheckpoint(false) // chars + top-200 + the total
-      val vocab = subs.filter(length(col("sub")) === 1)
-        .unionByName(subs.filter(length(col("sub")) >= 2)
-          .orderBy(col("w").desc, col("sub").asc).limit(200))
-        .localCheckpoint(false) // probs + the piece join-back
-      val weights = vocab.collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap // model-sized
-      val tot = weights.values.sum
-      val probs = weights.map { case (p, w) =>
-        p -> w.toDouble / tot.toDouble } // exact-int IEEE division
-
-      val L = length(col("word"))
-      // forward/backward over one word row — identical fold trees in
-      // the oracle. α(j) sums over last-piece lengths; β(j) over
-      // first-piece lengths of the remaining suffix.
-      def forward(pm: Map[String, Double]): org.apache.spark.sql.Column = {
-        val pmLit = typedLit(pm)
-        aggregate(sequence(lit(1), L), array(lit(1.0)), (acc, j) =>
-          concat(acc, array(aggregate(sequence(lit(1), lit(8)),
-            lit(0.0), (acc2, l) => acc2 + coalesce(
-              when(l <= j, get(acc, j - l) * try_element_at(pmLit,
-                col("word").substr(j - l + lit(1), l))),
-              lit(0.0))))))
-      }
-      val pmLit = typedLit(probs)
-      val beta = aggregate(sequence(lit(1), L), array(lit(1.0)),
-        (acc, k) => concat(array(aggregate(sequence(lit(1), lit(8)),
-          lit(0.0), (acc2, l) => acc2 + coalesce(
-            when(l <= k, try_element_at(pmLit,
-              col("word").substr(L - k + lit(1), l)) * get(acc, l - 1)),
-            lit(0.0)))), acc))
-
-      val scored = wf
-        .withColumn("al", forward(probs)).withColumn("be", beta)
-        .localCheckpoint(false) // occurrences + the likelihood sums
-      // E-step: γ of each occurrence, rounded, exact-decimal summed
-      val occ = scored
-        .select(col("word"), col("freq"), col("al"), col("be"),
-          explode(sequence(lit(1), L)).as("i"))
-        .select(col("word"), col("freq"), col("al"), col("be"), col("i"),
-          explode(sequence(lit(1), lit(8))).as("l"))
-        .filter(col("i") + col("l") - 1 <= length(col("word")))
-        .withColumn("piece", col("word").substr(col("i"), col("l")))
-        .withColumn("p", try_element_at(pmLit, col("piece")))
-        .filter(col("p").isNotNull)
-        .withColumn("gamma",
-          get(col("al"), col("i") - 1) * col("p") *
-            get(col("be"), col("i") + col("l") - 1) /
-            get(col("al"), length(col("word"))))
-      val perPiece = occ.groupBy("piece")
-        .agg(sum(round(col("freq").cast("double") * col("gamma"), 9)
-          .cast("decimal(38,9)")).as("ec"))
-        .localCheckpoint(false) // rows + the normalizer + the M-step
-      val totalEc = perPiece.agg(sum("ec").as("c"))
-
-      // M-step model for the post-round likelihood: the same ratio
-      // tree the output column closes with, unrounded
-      val pieceRows = perPiece.crossJoin(broadcast(totalEc))
-        .select(col("piece"), (col("ec").cast("double") /
-          col("c").cast("double")).as("pn"))
-        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-      def ll(alpha: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        round(sum(round(col("freq").cast("double") *
-          round(log(get(alpha, length(col("word")))), 9), 6)
-          .cast("decimal(28,6)")).cast("double"), 6)
-      val lls = scored.agg(
-        ll(col("al")).as("ll_pre"),
-        ll(forward(pieceRows)).as("ll_post"))
-
-      perPiece
-        .join(vocab.select(col("sub").as("piece"), col("w")), Seq("piece"))
-        .crossJoin(broadcast(totalEc))
+      val em = unigramEmCore(s, dir)
+      val lls = em.scored.agg(
+        em.ll(col("al")).as("ll_pre"),
+        em.ll(em.forward(em.mStep)).as("ll_post"))
+      em.perPiece
+        .join(em.vocab.select(col("sub").as("piece"), col("w")),
+          Seq("piece"))
+        .crossJoin(broadcast(em.totalEc))
         .crossJoin(broadcast(lls))
         .select(col("piece"), col("w"),
           round(col("ec").cast("double"), 6).as("ecount"),
           round(col("ec").cast("double") / col("c").cast("double"), 9)
             .as("p_new"),
           col("ll_pre"), col("ll_post"))
+    }),
+
+    // ---- the SentencePiece PRUNE step after the EM round: every
+    //      single character survives (segmentation totality), the
+    //      multi-char pieces keep only the top-160 by expected count
+    //      (ties to the lexicographically smaller piece), and the
+    //      surviving expected counts renormalize into the pruned
+    //      model — whose corpus likelihood stands next to the EM
+    //      model's for the keep-or-prune decision. The prune itself
+    //      is a model-sized driver step; the corpus-scale work is
+    //      the same one E-step pass ----
+    "t_unigram_prune" -> ((s, dir) => {
+      val em = unigramEmCore(s, dir)
+      val rows = em.perPiece.collect()
+        .map(r => r.getString(0) -> r.getDecimal(1)) // model-sized
+      val chars = rows.filter(_._1.length == 1)
+      val multi = rows.filter(_._1.length >= 2)
+        .sortWith { (a, b) =>
+          val c = a._2.compareTo(b._2)
+          c > 0 || (c == 0 && a._1 < b._1)
+        }.take(160)
+      val surv = chars ++ multi
+      val c3 = surv.map(_._2).reduce(_.add(_)) // exact decimal total
+      val probs3 = surv.map { case (p, ec) =>
+        p -> ec.doubleValue() / c3.doubleValue() }.toMap
+      val nPruned = rows.length - surv.length
+      val lls = em.scored.agg(
+        em.ll(em.forward(em.mStep)).as("ll_em"),
+        em.ll(em.forward(probs3)).as("ll_pruned"))
+      em.perPiece.filter(col("piece").isInCollection(surv.map(_._1)))
+        .crossJoin(broadcast(lls))
+        .select(col("piece"),
+          round(col("ec").cast("double"), 6).as("ecount"),
+          round(col("ec").cast("double") / lit(c3.doubleValue()), 9)
+            .as("p_pruned"),
+          lit(nPruned).as("n_pruned"), col("ll_em"), col("ll_pruned"))
     }),
 
     // ---- tokenizer evaluation: the three segmenters over the SAME
@@ -1664,6 +1720,100 @@ object TextQueries {
       s" * (tf_$tm * CAST(2.2 AS DOUBLE)) / (tf_$tm + CAST(1.2 AS DOUBLE) * " +
       s"(CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))"
 
+  /** Shared recursive-CTE machinery for the unigram EM/prune oracles:
+    * induction, probabilities, forward+backward, expected counts, the
+    * M-step model, the post-EM forward pass, and both EM likelihoods.
+    */
+  private val unigramEmCtes: String =
+    """WITH RECURSIVE wf AS MATERIALIZED (
+        |  SELECT word, COUNT(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |subs AS MATERIALIZED (SELECT sub, SUM(freq) AS w FROM (
+        |    SELECT freq, unnest(list_distinct(flatten(list_transform(
+        |      range(1, 9), l -> list_transform(
+        |        range(1, len(word) - l + 2),
+        |        i -> substring(word, CAST(i AS INT), CAST(l AS INT)))))))
+        |      AS sub
+        |    FROM wf) GROUP BY sub),
+        |vocab AS MATERIALIZED (
+        |  SELECT sub, w FROM subs WHERE len(sub) = 1
+        |  UNION ALL
+        |  SELECT sub, w FROM (SELECT sub, w FROM subs
+        |    WHERE len(sub) >= 2
+        |    ORDER BY w DESC, sub ASC LIMIT 200) t),
+        |tot AS (SELECT SUM(w) AS wt FROM vocab),
+        |pv AS MATERIALIZED (SELECT sub, CAST(w AS DOUBLE)
+        |    / CAST(wt AS DOUBLE) AS pr FROM vocab, tot),
+        |pl AS MATERIALIZED (SELECT list(struct_pack(p := sub, pr := pr)
+        |    ORDER BY sub) AS pl FROM pv),
+        |fwd AS (
+        |  SELECT word, freq, 0 AS j, [CAST(1.0 AS DOUBLE)] AS a FROM wf
+        |  UNION ALL
+        |  SELECT word, freq, j + 1 AS j,
+        |    list_append(a, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, 9), l ->
+        |        CASE WHEN l <= j + 1 THEN COALESCE(
+        |          a[CAST(j + 1 - l AS INT) + 1]
+        |            * list_filter(pl.pl, x -> x.p = substring(word,
+        |                CAST(j + 1 - l + 1 AS INT), CAST(l AS INT)))[1].pr,
+        |          CAST(0.0 AS DOUBLE)) ELSE CAST(0.0 AS DOUBLE) END)),
+        |      (x, y) -> x + y)) AS a
+        |  FROM fwd, pl WHERE j < len(word)),
+        |bwd AS (
+        |  SELECT word, 0 AS k, [CAST(1.0 AS DOUBLE)] AS b FROM wf
+        |  UNION ALL
+        |  SELECT word, k + 1 AS k,
+        |    list_prepend(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, 9), l ->
+        |        CASE WHEN l <= k + 1 THEN COALESCE(
+        |          list_filter(pl.pl, x -> x.p = substring(word,
+        |              CAST(len(word) - k AS INT), CAST(l AS INT)))[1].pr
+        |            * b[CAST(l AS INT)],
+        |          CAST(0.0 AS DOUBLE)) ELSE CAST(0.0 AS DOUBLE) END)),
+        |      (x, y) -> x + y), b) AS b
+        |  FROM bwd, pl WHERE k < len(word)),
+        |fa AS MATERIALIZED (SELECT word, freq, a FROM fwd
+        |  WHERE j = len(word)),
+        |fb AS MATERIALIZED (SELECT word, b FROM bwd WHERE k = len(word)),
+        |occ0 AS (SELECT word, freq, a, b,
+        |    unnest(flatten(list_transform(range(1, len(word) + 1), i ->
+        |      list_transform(range(1, 9), l ->
+        |        struct_pack(i := i, l := l))))) AS il
+        |  FROM fa JOIN fb USING (word)),
+        |occ AS (SELECT word, freq, a, b, il.i AS i, il.l AS l,
+        |    substring(word, CAST(il.i AS INT), CAST(il.l AS INT)) AS piece
+        |  FROM occ0 WHERE il.i + il.l - 1 <= len(word)),
+        |perpiece AS MATERIALIZED (SELECT piece,
+        |    SUM(CAST(ROUND(CAST(freq AS DOUBLE)
+        |      * (occ.a[CAST(i AS INT)] * pv.pr * occ.b[CAST(i + l AS INT)]
+        |         / occ.a[len(word) + 1]), 9) AS DECIMAL(38,9))) AS ec
+        |  FROM occ JOIN pv ON occ.piece = pv.sub GROUP BY piece),
+        |totc AS (SELECT SUM(ec) AS c FROM perpiece),
+        |pnl AS MATERIALIZED (SELECT list(struct_pack(p := piece,
+        |    pr := CAST(ec AS DOUBLE) / CAST(c AS DOUBLE))
+        |    ORDER BY piece) AS pl FROM perpiece, totc),
+        |fwd2 AS (
+        |  SELECT word, freq, 0 AS j, [CAST(1.0 AS DOUBLE)] AS a FROM wf
+        |  UNION ALL
+        |  SELECT word, freq, j + 1 AS j,
+        |    list_append(a, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, 9), l ->
+        |        CASE WHEN l <= j + 1 THEN COALESCE(
+        |          a[CAST(j + 1 - l AS INT) + 1]
+        |            * list_filter(pnl.pl, x -> x.p = substring(word,
+        |                CAST(j + 1 - l + 1 AS INT), CAST(l AS INT)))[1].pr,
+        |          CAST(0.0 AS DOUBLE)) ELSE CAST(0.0 AS DOUBLE) END)),
+        |      (x, y) -> x + y)) AS a
+        |  FROM fwd2, pnl WHERE j < len(word)),
+        |llp AS (SELECT ROUND(CAST(SUM(CAST(ROUND(CAST(freq AS DOUBLE)
+        |    * ROUND(ln(a[len(word) + 1]), 9), 6) AS DECIMAL(28,6)))
+        |    AS DOUBLE), 6) AS ll_pre FROM fa),
+        |llq AS (SELECT ROUND(CAST(SUM(CAST(ROUND(CAST(freq AS DOUBLE)
+        |    * ROUND(ln(a[len(word) + 1]), 9), 6) AS DECIMAL(28,6)))
+        |    AS DOUBLE), 6) AS ll_post FROM fwd2 WHERE j = len(word))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "t_bigram_lm" ->
       s"""WITH ng AS (SELECT unnest(
@@ -2353,101 +2503,56 @@ object TextQueries {
     // the established anti-correlated-subquery discipline), expected
     // counts round-then-DECIMAL-sum, and a second forward recursion
     // under the M-step probabilities closes ll_post
+
+
     "t_unigram_em" ->
-      """WITH RECURSIVE wf AS MATERIALIZED (
-        |  SELECT word, COUNT(*) AS freq
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
-        |        FROM documents)
-        |  WHERE word <> '' GROUP BY word),
-        |subs AS MATERIALIZED (SELECT sub, SUM(freq) AS w FROM (
-        |    SELECT freq, unnest(list_distinct(flatten(list_transform(
-        |      range(1, 9), l -> list_transform(
-        |        range(1, len(word) - l + 2),
-        |        i -> substring(word, CAST(i AS INT), CAST(l AS INT)))))))
-        |      AS sub
-        |    FROM wf) GROUP BY sub),
-        |vocab AS MATERIALIZED (
-        |  SELECT sub, w FROM subs WHERE len(sub) = 1
-        |  UNION ALL
-        |  SELECT sub, w FROM (SELECT sub, w FROM subs
-        |    WHERE len(sub) >= 2
-        |    ORDER BY w DESC, sub ASC LIMIT 200) t),
-        |tot AS (SELECT SUM(w) AS wt FROM vocab),
-        |pv AS MATERIALIZED (SELECT sub, CAST(w AS DOUBLE)
-        |    / CAST(wt AS DOUBLE) AS pr FROM vocab, tot),
-        |pl AS MATERIALIZED (SELECT list(struct_pack(p := sub, pr := pr)
-        |    ORDER BY sub) AS pl FROM pv),
-        |fwd AS (
-        |  SELECT word, freq, 0 AS j, [CAST(1.0 AS DOUBLE)] AS a FROM wf
-        |  UNION ALL
-        |  SELECT word, freq, j + 1 AS j,
-        |    list_append(a, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      list_transform(range(1, 9), l ->
-        |        CASE WHEN l <= j + 1 THEN COALESCE(
-        |          a[CAST(j + 1 - l AS INT) + 1]
-        |            * list_filter(pl.pl, x -> x.p = substring(word,
-        |                CAST(j + 1 - l + 1 AS INT), CAST(l AS INT)))[1].pr,
-        |          CAST(0.0 AS DOUBLE)) ELSE CAST(0.0 AS DOUBLE) END)),
-        |      (x, y) -> x + y)) AS a
-        |  FROM fwd, pl WHERE j < len(word)),
-        |bwd AS (
-        |  SELECT word, 0 AS k, [CAST(1.0 AS DOUBLE)] AS b FROM wf
-        |  UNION ALL
-        |  SELECT word, k + 1 AS k,
-        |    list_prepend(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      list_transform(range(1, 9), l ->
-        |        CASE WHEN l <= k + 1 THEN COALESCE(
-        |          list_filter(pl.pl, x -> x.p = substring(word,
-        |              CAST(len(word) - k AS INT), CAST(l AS INT)))[1].pr
-        |            * b[CAST(l AS INT)],
-        |          CAST(0.0 AS DOUBLE)) ELSE CAST(0.0 AS DOUBLE) END)),
-        |      (x, y) -> x + y), b) AS b
-        |  FROM bwd, pl WHERE k < len(word)),
-        |fa AS MATERIALIZED (SELECT word, freq, a FROM fwd
-        |  WHERE j = len(word)),
-        |fb AS MATERIALIZED (SELECT word, b FROM bwd WHERE k = len(word)),
-        |occ0 AS (SELECT word, freq, a, b,
-        |    unnest(flatten(list_transform(range(1, len(word) + 1), i ->
-        |      list_transform(range(1, 9), l ->
-        |        struct_pack(i := i, l := l))))) AS il
-        |  FROM fa JOIN fb USING (word)),
-        |occ AS (SELECT word, freq, a, b, il.i AS i, il.l AS l,
-        |    substring(word, CAST(il.i AS INT), CAST(il.l AS INT)) AS piece
-        |  FROM occ0 WHERE il.i + il.l - 1 <= len(word)),
-        |perpiece AS MATERIALIZED (SELECT piece,
-        |    SUM(CAST(ROUND(CAST(freq AS DOUBLE)
-        |      * (occ.a[CAST(i AS INT)] * pv.pr * occ.b[CAST(i + l AS INT)]
-        |         / occ.a[len(word) + 1]), 9) AS DECIMAL(38,9))) AS ec
-        |  FROM occ JOIN pv ON occ.piece = pv.sub GROUP BY piece),
-        |totc AS (SELECT SUM(ec) AS c FROM perpiece),
-        |pnl AS MATERIALIZED (SELECT list(struct_pack(p := piece,
-        |    pr := CAST(ec AS DOUBLE) / CAST(c AS DOUBLE))
-        |    ORDER BY piece) AS pl FROM perpiece, totc),
-        |fwd2 AS (
-        |  SELECT word, freq, 0 AS j, [CAST(1.0 AS DOUBLE)] AS a FROM wf
-        |  UNION ALL
-        |  SELECT word, freq, j + 1 AS j,
-        |    list_append(a, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      list_transform(range(1, 9), l ->
-        |        CASE WHEN l <= j + 1 THEN COALESCE(
-        |          a[CAST(j + 1 - l AS INT) + 1]
-        |            * list_filter(pnl.pl, x -> x.p = substring(word,
-        |                CAST(j + 1 - l + 1 AS INT), CAST(l AS INT)))[1].pr,
-        |          CAST(0.0 AS DOUBLE)) ELSE CAST(0.0 AS DOUBLE) END)),
-        |      (x, y) -> x + y)) AS a
-        |  FROM fwd2, pnl WHERE j < len(word)),
-        |llp AS (SELECT ROUND(CAST(SUM(CAST(ROUND(CAST(freq AS DOUBLE)
-        |    * ROUND(ln(a[len(word) + 1]), 9), 6) AS DECIMAL(28,6)))
-        |    AS DOUBLE), 6) AS ll_pre FROM fa),
-        |llq AS (SELECT ROUND(CAST(SUM(CAST(ROUND(CAST(freq AS DOUBLE)
-        |    * ROUND(ln(a[len(word) + 1]), 9), 6) AS DECIMAL(28,6)))
-        |    AS DOUBLE), 6) AS ll_post FROM fwd2 WHERE j = len(word))
+      (unigramEmCtes + """
         |SELECT pp.piece, CAST(v.w AS BIGINT) AS w,
         |  ROUND(CAST(pp.ec AS DOUBLE), 6) AS ecount,
         |  ROUND(CAST(pp.ec AS DOUBLE) / CAST(tc.c AS DOUBLE), 9) AS p_new,
         |  llp.ll_pre, llq.ll_post
         |FROM perpiece pp JOIN vocab v ON pp.piece = v.sub,
-        |  totc tc, llp, llq""".stripMargin,
+        |  totc tc, llp, llq""".stripMargin),
+
+    // the prune step on top of the same machinery: char survivors +
+    // top-160 multi-char by expected count, renormalized, and a THIRD
+    // forward recursion under the pruned model for ll_pruned
+    "t_unigram_prune" ->
+      (unigramEmCtes + """,
+        |surv AS MATERIALIZED (
+        |  SELECT piece, ec FROM perpiece WHERE len(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, ec FROM (SELECT piece, ec FROM perpiece
+        |    WHERE len(piece) >= 2
+        |    ORDER BY ec DESC, piece ASC LIMIT 160) t),
+        |c3 AS (SELECT SUM(ec) AS c3 FROM surv),
+        |np AS (SELECT (SELECT COUNT(*) FROM perpiece) - COUNT(*)
+        |    AS n_pruned FROM surv),
+        |pl3 AS MATERIALIZED (SELECT list(struct_pack(p := piece,
+        |    pr := CAST(ec AS DOUBLE) / CAST(c3 AS DOUBLE))
+        |    ORDER BY piece) AS pl FROM surv, c3),
+        |fwd3 AS (
+        |  SELECT word, freq, 0 AS j, [CAST(1.0 AS DOUBLE)] AS a FROM wf
+        |  UNION ALL
+        |  SELECT word, freq, j + 1 AS j,
+        |    list_append(a, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, 9), l ->
+        |        CASE WHEN l <= j + 1 THEN COALESCE(
+        |          a[CAST(j + 1 - l AS INT) + 1]
+        |            * list_filter(pl3.pl, x -> x.p = substring(word,
+        |                CAST(j + 1 - l + 1 AS INT), CAST(l AS INT)))[1].pr,
+        |          CAST(0.0 AS DOUBLE)) ELSE CAST(0.0 AS DOUBLE) END)),
+        |      (x, y) -> x + y)) AS a
+        |  FROM fwd3, pl3 WHERE j < len(word)),
+        |llr AS (SELECT ROUND(CAST(SUM(CAST(ROUND(CAST(freq AS DOUBLE)
+        |    * ROUND(ln(a[len(word) + 1]), 9), 6) AS DECIMAL(28,6)))
+        |    AS DOUBLE), 6) AS ll_pruned FROM fwd3 WHERE j = len(word))
+        |SELECT s.piece, ROUND(CAST(s.ec AS DOUBLE), 6) AS ecount,
+        |  ROUND(CAST(s.ec AS DOUBLE) / CAST(c3.c3 AS DOUBLE), 9)
+        |    AS p_pruned,
+        |  CAST(np.n_pruned AS INT) AS n_pruned,
+        |  llq.ll_post AS ll_em, llr.ll_pruned
+        |FROM surv s, c3, np, llq, llr""".stripMargin),
 
     // the same closed-form water-filling, windows over the source
     // table: integer cross-multiplied cap test under a running-AND

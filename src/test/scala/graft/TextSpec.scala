@@ -737,6 +737,37 @@ class TextSpec extends SparkSpec {
     assert(leak > 0L, "the id split should fragment some family")
   }
 
+  test("t_unigram_prune: survivors = chars + top-160 by ec; renorm exact") {
+    val dir = java.nio.file.Files.createTempDirectory("uniprune").toString
+    import spark.implicits._
+    Seq((1L, "thethe the river there then the"),
+      (2L, "rivers run there and then run the river"),
+      (3L, "then the rivers ran"),
+      (4L, "riverriverrun riverriverrun there"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val em = SparkEntry.queries("t_unigram_em")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val out = SparkEntry.queries("t_unigram_prune")(spark, dir).collect()
+    val surv = out.map(r => r.getString(0)).toSet
+    // totality: every single-char piece survives
+    val chars = em.keySet.filter(_.length == 1)
+    assert(chars.subsetOf(surv))
+    // the multi-char survivors are exactly the top-160 (or all, on a
+    // corpus with fewer than 160 multi-char pieces) by expected count
+    val multi = em.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, ec) => (-ec, p) }
+    val expectMulti = multi.take(160).map(_._1).toSet
+    assert((surv -- chars) === expectMulti)
+    assert(out.head.getInt(3) === em.size - surv.size) // n_pruned
+    // renormalization: surviving p_pruned sums to ~1
+    val psum = out.map(_.getDouble(2)).sum
+    assert(math.abs(psum - 1.0) < 1e-6, s"pruned model mass $psum")
+    // both likelihoods are finite and the columns are constant
+    assert(out.map(_.getDouble(4)).distinct.length === 1)
+    assert(out.map(_.getDouble(5)).distinct.length === 1)
+    assert(!out.head.getDouble(5).isNaN && !out.head.getDouble(5).isInfinite)
+  }
+
   test("compressionRatio: repetition compresses, noise does not, band order") {
     import spark.implicits._
     def ratio(s: String): Double = Seq(s).toDF("t")
