@@ -82,6 +82,38 @@ object CurationStream {
       size(graft.expressions.HtmlExprs.htmlLinks(col(textCol)))
         .as("n_links"))
 
+  /** Unicode sanitization at ingest — the streaming twin of
+    * `t_sanitize`: the stateless regexp+translate chain applied before
+    * anything downstream tokenizes (invisible characters split tokens
+    * silently; typographic punctuation forks dedup shingles).
+    */
+  def sanitizeScreen(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val clean = Text.sanitize(col(textCol))
+    docs.select(col(idCol), clean.as("clean"),
+      (clean =!= col(textCol)).as("changed"))
+  }
+
+  /** Unicode script census at ingest — the streaming twin of
+    * `t_script_census`: per-document script char counts + dominant
+    * script, a routing/quarantine signal for multilingual crawls
+    * (an unexpected script mix is itself a contamination flag).
+    */
+  def scriptScreen(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    def n(cls: String) = length(col(textCol)) -
+      length(regexp_replace(col(textCol), s"[\\p{Is$cls}]", ""))
+    val counts = Seq("latin" -> n("Latin"), "cyrillic" -> n("Cyrillic"),
+      "han" -> n("Han"), "greek" -> n("Greek"))
+    val best = greatest(counts.map(_._2): _*)
+    val dominant = counts.foldRight(lit("none")) { case ((nm, c), acc) =>
+      when(c === best && best > 0, lit(nm)).otherwise(acc)
+    }
+    docs.select(col(idCol), counts.head._2.as("n_latin"),
+      counts(1)._2.as("n_cyrillic"), counts(2)._2.as("n_han"),
+      counts(3)._2.as("n_greek"), dominant.as("dominant"))
+  }
+
   /** The full curation decision chain at ingest — the streaming twin
     * of [[graft.Pipelines.pipelineC]]'s decision pass: markup strip →
     * mojibake repair → PII census → Gopher quality → keep, all

@@ -803,6 +803,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming sanitize + script screens bit-equal batch, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 30L).map { id =>
+      val tail = (id % 3) match {
+        case 0 => " \u201Cq\u201D\u200Bt"
+        case 1 => " \u043F\u0440\u0438\u0432\u0435\u0442"
+        case _ => " \u6F22\u5B57"
+      }
+      (id, s"plain words $id$tail")
+    }
+    val mem = MemoryStream[(Long, String)]
+    val san = graft.streaming.CurationStream.sanitizeScreen(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = san.writeStream.format("memory").queryName("sans")
+      .outputMode("append").start()
+    val mem2 = MemoryStream[(Long, String)]
+    val scr = graft.streaming.CurationStream.scriptScreen(
+      mem2.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q2 = scr.writeStream.format("memory").queryName("scripts")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.take(15)); mem2.addData(docs.take(15))
+      q.processAllAvailable(); q2.processAllAvailable()
+      mem.addData(docs.drop(15)); mem2.addData(docs.drop(15))
+      q.processAllAvailable(); q2.processAllAvailable()
+    } finally { q.stop(); q2.stop() }
+    def rows3(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    val gotSan = rows3(spark.sql("SELECT * FROM sans"))
+    assert(gotSan === rows3(graft.streaming.CurationStream.sanitizeScreen(
+      docs.toDF("doc_id", "text"), "doc_id", "text")))
+    // only the typography stratum changes; its quotes straighten
+    assert(gotSan.count(_._3) === docs.count(_._1 % 3 == 0))
+    gotSan.filter(_._3).foreach(r => assert(r._2.endsWith(" \"q\"t")))
+    def rows6(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getString(5))).sortBy(_._1).toSeq
+    val gotScr = rows6(spark.sql("SELECT * FROM scripts"))
+    assert(gotScr === rows6(graft.streaming.CurationStream.scriptScreen(
+      docs.toDF("doc_id", "text"), "doc_id", "text")))
+    // every doc is latin-dominant (10+ latin chars vs <= 6 injected)
+    assert(gotScr.forall(_._6 == "latin"))
+    assert(gotScr.count(_._3 > 0) === docs.count(_._1 % 3 == 1))
+    assert(gotScr.count(_._4 > 0) === docs.count(_._1 % 3 == 2))
+  }
+
   test("streaming curation screen bit-equal batch keep/drop decisions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
