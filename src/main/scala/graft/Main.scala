@@ -27,6 +27,10 @@ import graft.operators.{Dedup, MoveSink, Report, Similarity}
   * GRAFT_TARGET_PATH, GRAFT_FILTER_AFTER, GRAFT_FILTER_BEFORE,
   * GRAFT_COMPANY_ID, GRAFT_MODE, GRAFT_DRY_RUN.
   *
+  * Ad-hoc query access (every registered analytics query, from the
+  * shell — `query list` prints the catalog):
+  *   graft.Main query <name> --sf-dir DIR [--out PARQUET] [--limit N]
+  *
   * Corpus curation (the training-data sibling of the file movers —
   * markup strip → mojibake repair → PII census → Gopher quality →
   * keep/drop, [[Pipelines.pipelineC]]):
@@ -365,6 +369,14 @@ object Main {
     }
   }
 
+  /** Registry lookup for the `query` verb — loud on typos, with the
+    * discoverability hint.
+    */
+  private[graft] def resolveQuery(name: String)
+      : (SparkSession, String) => DataFrame =
+    SparkEntry.queries.getOrElse(name,
+      fail(s"unknown query: $name (try: graft.Main query list)"))
+
   private def session(): SparkSession = {
     val builder = SparkSession.builder()
       .appName("graft")
@@ -379,6 +391,35 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("query")) {
+      // graft.Main query <name> --sf-dir DIR [--out PARQUET] [--limit N]
+      val rest = args.toSeq.tail
+      val name = rest.headOption.getOrElse(
+        fail("usage: query <name> --sf-dir DIR [--out PARQUET]"))
+      if (name == "list") { // discoverability: every registered query
+        SparkEntry.queries.keySet.toSeq.sorted.foreach(println)
+        return
+      }
+      val flags = rest.tail.grouped(2).collect {
+        case Seq(f, v) if f.startsWith("--") => f.stripPrefix("--") -> v
+      }.toMap
+      val fn = resolveQuery(name)
+      val sfDir = flags.getOrElse("sf-dir",
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", fail("missing --sf-dir")))
+      val spark = session()
+      try {
+        val df = fn(spark, sfDir)
+        flags.get("out") match {
+          case Some(out) =>
+            df.write.mode("overwrite").parquet(out)
+            println(s"Wrote ${spark.read.parquet(out).count()} rows to $out")
+          case None =>
+            df.show(flags.get("limit").map(_.toInt).getOrElse(50),
+              truncate = false)
+        }
+      } finally spark.stop()
+      return
+    }
     if (args.headOption.contains("pipelineC")) {
       val cfg = parseCurate(args.toSeq.tail)
       println(s"Pipeline:    pipelineC (curation)" +

@@ -89,6 +89,16 @@ class MainSpec extends SparkSpec {
     assert(Files.exists(root.resolve("archive/x.json")))
   }
 
+  test("query verb: registry lookup runs the real query; typos are loud") {
+    val df = Main.resolveQuery("o16_report_counts")(
+      spark, "/root/testdata/sf0.001")
+    assert(df.count() > 0)
+    val e = intercept[IllegalArgumentException] {
+      Main.resolveQuery("q_no_such_query")
+    }
+    assert(e.getMessage.contains("query list"))
+  }
+
   test("parseCurate: input always required, output only for real runs") {
     intercept[IllegalArgumentException] { Main.parseCurate(Seq.empty) }
     intercept[IllegalArgumentException] { // real run needs an output
