@@ -342,6 +342,30 @@ object TextQueries {
         fixed.as("clean"), (fixed =!= dirty).as("repaired"))
     }),
 
+    // ---- per-document character entropy (nats): the classic
+    //      gibberish/noise detector next to the compression-ratio
+    //      signal — uniform-random text maxes entropy, repeated-char
+    //      spam collapses it, prose sits in a narrow band. Entirely
+    //      per-row column algebra (distinct-char histogram via HOFs,
+    //      O(distinct·len) per doc), shuffle-free; the within-row sum
+    //      folds over the SORTED distinct chars (a fixed order both
+    //      engines share), each term ln-rounded before use per the
+    //      house libm discipline ----
+    "t_char_entropy" -> ((s, dir) => {
+      val cexp = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("L"),
+          explode(transform(sequence(lit(1), length(col("text"))),
+            i => col("text").substr(i, lit(1)))).as("c"))
+      val counts = cexp.groupBy("doc_id", "L", "c")
+        .agg(count(lit(1)).as("cnt"))
+      val p = col("cnt").cast("double") / col("L").cast("double")
+      counts.groupBy("doc_id")
+        .agg(max("L").cast("long").as("n_chars"),
+          count(lit(1)).cast("int").as("n_distinct"),
+          round(-sum(round(p * round(log(p), 9), 12)
+            .cast("decimal(38,12)")).cast("double"), 6).as("entropy"))
+    }),
+
     // ---- Unicode script census over a corpus with injected
     //      Cyrillic / Han / Greek runs — the multilingual sibling of
     //      the marker-word language ID (scripts are detectable even
@@ -2693,6 +2717,22 @@ object TextQueries {
         |       ELSE text END AS clean,
         |  doc_id % 2 = 0 AS repaired
         |FROM documents""".stripMargin,
+
+    // the same per-row histogram + fixed-order fold, in list algebra
+    "t_char_entropy" ->
+      """WITH cx AS (SELECT doc_id, len(text) AS L,
+        |    unnest(list_transform(range(1, len(text) + 1),
+        |      i -> substring(text, CAST(i AS INT), 1))) AS c
+        |  FROM documents),
+        |cnts AS (SELECT doc_id, L, c, COUNT(*) AS cnt
+        |  FROM cx GROUP BY doc_id, L, c)
+        |SELECT doc_id, CAST(MAX(L) AS BIGINT) AS n_chars,
+        |  CAST(COUNT(*) AS INT) AS n_distinct,
+        |  ROUND(-CAST(SUM(CAST(ROUND(
+        |    (CAST(cnt AS DOUBLE) / CAST(L AS DOUBLE))
+        |    * ROUND(ln(CAST(cnt AS DOUBLE) / CAST(L AS DOUBLE)), 9),
+        |    12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS entropy
+        |FROM cnts GROUP BY doc_id""".stripMargin,
 
     // the census recomputed with RE2's script classes over the same
     // injected runs (Java \p{IsX} and RE2 \p{X} agree on these)

@@ -737,6 +737,40 @@ class TextSpec extends SparkSpec {
     assert(leak > 0L, "the id split should fragment some family")
   }
 
+  test("t_char_entropy: naive Shannon replay; spam low, varied high") {
+    val dir = java.nio.file.Files.createTempDirectory("ent").toString
+    import spark.implicits._
+    val docs = Seq((1L, "aaaaaaaaaaaaaaaa"),          // 1 symbol: H = 0
+      (2L, "abcdefghijklmnop"),                        // uniform 16: ln 16
+      (3L, "the quick brown fox jumps over the dog"),
+      (4L, "ab"))                                      // uniform 2: ln 2
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t_char_entropy")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getDouble(3)))).toMap
+    def naive(s: String): Double = {
+      val n = s.length.toDouble
+      -s.groupBy(identity).values.map { g =>
+        val p = g.length / n
+        BigDecimal(p * BigDecimal(math.log(p))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.sum
+    }
+    docs.foreach { case (id, text) =>
+      val (nc, nd, h) = out(id)
+      assert(nc === text.length.toLong)
+      assert(nd === text.distinct.length)
+      assert(math.abs(h - naive(text)) < 1e-6, s"doc $id")
+    }
+    assert(out(1L)._3 === 0.0)
+    assert(math.abs(out(2L)._3 - math.log(16)) < 1e-4)
+    assert(math.abs(out(4L)._3 - math.log(2)) < 1e-4)
+    // entropy is bounded by ln(n_distinct), spam sits at the floor
+    assert(out(1L)._3 < out(4L)._3 && out(4L)._3 < out(3L)._3)
+    assert(out(3L)._3 <= math.log(out(3L)._2.toDouble) + 1e-9)
+  }
+
   test("t_unigram_prune: survivors = chars + top-160 by ec; renorm exact") {
     val dir = java.nio.file.Files.createTempDirectory("uniprune").toString
     import spark.implicits._
