@@ -81,14 +81,9 @@ object Main {
       case p @ ("pipelineA" | "pipelineB") => p
       case other => fail(s"unknown pipeline: $other")
     }
-    val flags = scala.collection.mutable.Map.empty[String, String]
-    var rest = args.tail
-    while (rest.nonEmpty) rest match {
-      case "--dry-run" +: t => flags += "dry-run" -> "true"; rest = t
-      case flag +: v +: t if flag.startsWith("--") =>
-        flags += flag.stripPrefix("--") -> v; rest = t
-      case other +: _ => fail(s"unexpected argument: $other")
-    }
+    val flags = parseFlags(args.tail, Set("dry-run", "lake-root",
+      "manifest", "source", "target", "after", "before", "company-id",
+      "mode"))
     def knob(flag: String, envKey: String): Option[String] =
       flags.get(flag).orElse(env.get(envKey)).filter(_.nonEmpty)
     def required(flag: String, envKey: String): String =
@@ -120,15 +115,36 @@ object Main {
   final case class CurateConfig(input: String, output: String,
                                 dryRun: Boolean)
 
-  private[graft] def parseCurate(args: Seq[String]): CurateConfig = {
+  /** Collect `--flag value` pairs (plus bare `--dry-run`), failing
+    * loudly on anything not in `known` — a typoed flag on an
+    * artifact-mutating CLI must not silently fall back to a default.
+    */
+  private def parseFlags(args: Seq[String],
+                         known: Set[String]): Map[String, String] = {
     val flags = scala.collection.mutable.Map.empty[String, String]
     var rest = args
     while (rest.nonEmpty) rest match {
-      case "--dry-run" +: t => flags += "dry-run" -> "true"; rest = t
+      case "--dry-run" +: t if known("dry-run") =>
+        flags += "dry-run" -> "true"; rest = t
+      case "--dry-run" +: _ => fail("unknown flag: --dry-run (expected: " +
+        known.toSeq.sorted.map("--" + _).mkString(" ") + ")")
       case flag +: v +: t if flag.startsWith("--") =>
-        flags += flag.stripPrefix("--") -> v; rest = t
+        val name = flag.stripPrefix("--")
+        if (!known(name))
+          fail(s"unknown flag: $flag (expected: " +
+            known.toSeq.sorted.map("--" + _).mkString(" ") + ")")
+        flags += name -> v; rest = t
+      case flag +: Seq() if flag.startsWith("--") =>
+        fail(s"flag $flag is missing its value")
       case other +: _ => fail(s"unexpected argument: $other")
     }
+    flags.toMap
+  }
+
+  private val curateFlags = Set("dry-run", "input", "output")
+
+  private[graft] def parseCurate(args: Seq[String]): CurateConfig = {
+    val flags = parseFlags(args, curateFlags)
     val dry = flags.contains("dry-run")
     CurateConfig(
       input = flags.getOrElse("input", fail("missing --input PARQUET")),
@@ -149,18 +165,16 @@ object Main {
   private val indexVerbs =
     Set("build", "append", "merge", "compact", "erase", "stats", "check")
 
+  private val indexFlags = Set("dry-run", "kind", "index", "input",
+    "other", "ids", "centroids", "id-col", "text-col", "vec-col",
+    "ngram", "bands", "rows-per-band", "partitions", "threshold",
+    "k", "nprobe")
+
   private[graft] def parseIndex(args: Seq[String]): IndexConfig = {
     if (args.isEmpty || !indexVerbs(args.head))
       fail(s"index verb must be one of ${indexVerbs.toSeq.sorted.mkString("|")}")
     val verb = args.head
-    val flags = scala.collection.mutable.Map.empty[String, String]
-    var rest = args.tail
-    while (rest.nonEmpty) rest match {
-      case "--dry-run" +: t => flags += "dry-run" -> "true"; rest = t
-      case flag +: v +: t if flag.startsWith("--") =>
-        flags += flag.stripPrefix("--") -> v; rest = t
-      case other +: _ => fail(s"unexpected argument: $other")
-    }
+    val flags = parseFlags(args.tail, indexFlags)
     val kind = flags.getOrElse("kind", fail("missing --kind band|ivf"))
     if (kind != "band" && kind != "ivf") fail(s"unknown kind: $kind")
     def intFlag(name: String, dflt: Int): Int =
@@ -245,16 +259,31 @@ object Main {
         r
       }
 
+    /** True when the artifact path already exists — a rebuild, which
+      * must go through the retire-aside swap like every other mutating
+      * verb (a direct overwrite deletes the live tables before
+      * rewriting, so a crash mid-build would destroy the asset).
+      */
+    def liveExists(): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(cfg.index)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+
     (cfg.verb, cfg.kind) match {
       case ("build", "band") =>
         val idx = buildBand(cfg.input.get)
-        if (!cfg.dryRun) Dedup.writeBandIndex(idx, cfg.index)
-        report(bandReport(idx))
+        if (cfg.dryRun || liveExists()) report(promoteBand(idx))
+        else {
+          Dedup.writeBandIndex(idx, cfg.index)
+          report(bandReport(Dedup.readBandIndex(spark, cfg.index)))
+        }
       case ("build", "ivf") =>
         val idx = buildIvf(cfg.input.get)
-        if (!cfg.dryRun) Similarity.writeIvfIndex(idx, cfg.index,
-          cfg.partitions)
-        report(ivfReport(idx))
+        if (cfg.dryRun || liveExists()) report(promoteIvf(idx))
+        else {
+          Similarity.writeIvfIndex(idx, cfg.index, cfg.partitions)
+          report(ivfReport(Similarity.readIvfIndex(spark, cfg.index)))
+        }
 
       case ("append", "band") =>
         report(promoteBand(Dedup.mergeBandIndex(
@@ -400,9 +429,9 @@ object Main {
         SparkEntry.queries.keySet.toSeq.sorted.foreach(println)
         return
       }
-      val flags = rest.tail.grouped(2).collect {
-        case Seq(f, v) if f.startsWith("--") => f.stripPrefix("--") -> v
-      }.toMap
+      // the explicit parser fails on a trailing flag with no value or
+      // a stray positional token, instead of silently dropping them
+      val flags = parseFlags(rest.tail, Set("sf-dir", "out", "limit"))
       val fn = resolveQuery(name)
       val sfDir = flags.getOrElse("sf-dir",
         sys.env.getOrElse("SPARK_GRAFT_SF_DIR", fail("missing --sf-dir")))

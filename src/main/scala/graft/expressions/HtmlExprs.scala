@@ -22,9 +22,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `<![CDATA[` content is literal text through `]]>` (to end if
   *     unterminated), never entity-decoded;
   *   - `<script`/`<style` elements are dropped whole, through the
-  *     matching case-insensitive `</script`/`</style` and that tag's
-  *     `>` (to end if unterminated) — a `<` inside code never opens a
-  *     tag;
+  *     matching case-insensitive `</script`/`</style` — where the char
+  *     after the name must end a tag name (whitespace, '>', '/', or
+  *     end of input), so `</scripture>` does NOT close a `<script>`,
+  *     symmetric with the open side — and that tag's `>` (to end if
+  *     unterminated); a `<` inside code never opens a tag;
   *   - any other `<` followed by `[A-Za-z!/?]` is a tag: skipped to
   *     the closing `>`, where `>` inside a single- or double-quoted
   *     attribute value does NOT close the tag; an unterminated tag
@@ -174,7 +176,19 @@ private object HtmlWalk {
           val w = rawSkip.filter(x => tagNameAt(s, i + 1, x)).head
           flush()
           onTag(w, i, math.min(n, i + 1 + w.length))
-          val close = indexOfCi(s, "</" + w, i + 1)
+          // the close tag needs the same name boundary the open side
+          // enforces: `</scripture>` must NOT terminate a <script>
+          // element (browser rule, symmetric with tagNameAt)
+          var close = -1
+          var from = i + 1
+          while (close < 0 && from <= n) {
+            val hit = indexOfCi(s, "</" + w, from)
+            if (hit < 0) from = n + 1
+            else if (hit >= n || s.charAt(hit) == '>' ||
+                s.charAt(hit) == '/' || Character.isWhitespace(s.charAt(hit)))
+              close = hit
+            else from = hit - w.length - 1 // resume past the failed '<'
+          }
           if (close < 0) i = n
           else {
             val gt = s.indexOf('>', close)

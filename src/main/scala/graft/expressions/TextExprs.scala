@@ -338,19 +338,33 @@ case class DeflateLen(child: Expression)
 
   protected override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    val d = new java.util.zip.Deflater(6)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    // per-row `new Deflater` means native zlib alloc/free churn on
+    // every document; a thread-local compressor reset between rows is
+    // the per-task-lifetime shape this per-row quality signal needs
+    val d = DeflateLen.localDeflater.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 
   override protected def withNewChildInternal(
       newChild: Expression): DeflateLen = copy(child = newChild)
+}
+
+object DeflateLen {
+  /** One zlib stream per executor thread, reset between rows — never
+    * `end()`ed (the thread-local lives for the task thread's lifetime;
+    * a Deflater's native window is ~256 KiB, reclaimed by its
+    * finalizer/cleaner when threads retire).
+    */
+  private val localDeflater = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6)
+  }
 }
 
 object TextExprs {

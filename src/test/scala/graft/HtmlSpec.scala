@@ -51,6 +51,15 @@ class HtmlSpec extends SparkSpec {
     assert(text("a<script>var x = 1; b c") == "a")
     // ...but <scripture> is an ordinary tag, not a script element
     assert(text("<scripture>word</scripture>") == "word")
+    // the close side carries the same name boundary: </scripture> does
+    // NOT terminate a <script> element — payload after it stays dropped
+    assert(text("a<script>x</scripture>leak</script>b") == "a b")
+    assert(text("a<script>x</scriptpaïen</script>b") == "a b")
+    // whitespace and self-closing forms DO close it
+    assert(text("a<script>x</script\t>b") == "a b")
+    assert(text("a<script>x</script/>b") == "a b")
+    // a boundary-failing close followed by NO real close eats the rest
+    assert(text("a<script>x</scripture>tail") == "a")
   }
 
   test("comments, CDATA, and lenient lone '<'") {

@@ -126,6 +126,29 @@ class MainSpec extends SparkSpec {
     assert(ok.ngram === 4 && ok.dryRun && ok.idCol === "doc_id")
   }
 
+  test("flag parsing: typos, stray tokens, and trailing flags are loud") {
+    // a typoed flag on an artifact-mutating CLI must not silently
+    // fall back to a default
+    val typo = intercept[IllegalArgumentException] {
+      Main.parseIndex(Seq("build", "--kind", "band", "--index", "/i",
+        "--input", "/d", "--rows-per-bands", "3"))
+    }
+    assert(typo.getMessage.contains("--rows-per-bands"))
+    intercept[IllegalArgumentException] {
+      Main.parseCurate(Seq("--inptu", "/in"))
+    }
+    // a trailing flag with no value names the real mistake
+    val trailing = intercept[IllegalArgumentException] {
+      Main.parseCurate(Seq("--input", "/in", "--output"))
+    }
+    assert(trailing.getMessage.contains("--output"))
+    // bare --dry-run where the verb has none is unknown, not silent
+    intercept[IllegalArgumentException] {
+      Main.parse(Seq("pipelineB", "--lake-root", "file:/l", "--source",
+        "s", "--target", "t", "--moed", "copy"), env = Map.empty)
+    }
+  }
+
   private def indexRun(args: String*): Map[(String, Long), Long] =
     Main.runIndex(spark, Main.parseIndex(args.toSeq)).collect()
       .map(r => (r.getString(1), 0L) -> r.getLong(2)).toMap
@@ -191,6 +214,19 @@ class MainSpec extends SparkSpec {
     assert(hits.nonEmpty)
     assert(hits.forall { case (n, b, j) =>
       n >= 10 && j >= 0.5 && n != b })
+
+    // rebuilding over a LIVE artifact routes through the retire-aside
+    // swap (never a delete-then-rewrite of the asset): result equals a
+    // fresh build and no .next staging dir survives
+    val rebuilt = indexRun("build", "--kind", "band", "--index", idx,
+      "--input", s"$root/a.parquet")
+    assert(rebuilt === built)
+    assert(!Files.exists(JPath.of(s"$idx.next")))
+    // artifact still readable after the swap
+    val statsAfter = Main.runIndex(spark, Main.parseIndex(Seq("stats",
+      "--kind", "band", "--index", idx))).collect()
+    assert(statsAfter.map(r => r.getLong(0) * r.getLong(1)).sum ===
+      built(("bands", 0L)))
   }
 
   test("index CLI: ivf lifecycle — build/append/stats/erase/compact") {
