@@ -193,10 +193,24 @@ object GraftExtensions {
       graft.expressions.DeflateLen(args(0))
     })
 
+  /** graft_char_counts(string) — per-document character histogram
+    * (counts only, ascending code point), the single-pass feed of the
+    * character-entropy signal.
+    */
+  private val charCountsFunction = (
+    FunctionIdentifier("graft_char_counts"),
+    new ExpressionInfo(classOf[graft.expressions.CharCounts].getName,
+      "graft_char_counts"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "graft_char_counts(s) takes 1 argument")
+      graft.expressions.CharCounts(args(0))
+    })
+
   private val all = Seq(dotFunction, cosineFunction, jpegFunction,
     jsonKeyFunction, simhashFunction, mp4Function, hammingFunction,
     nfcFunction, exifFunction, wordpieceFunction, mojibakeFunction,
-    htmlTextFunction, htmlLinksFunction, deflateFunction)
+    htmlTextFunction, htmlLinksFunction, deflateFunction,
+    charCountsFunction)
 
   /** Session-scoped registration for an existing session. */
   def register(spark: SparkSession): Unit =

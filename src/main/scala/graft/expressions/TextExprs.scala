@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.Dedup
@@ -367,12 +367,69 @@ object DeflateLen {
   }
 }
 
+/** Per-document character histogram: the multiset of code-point counts
+  * (values only, ascending code-point order — deterministic under any
+  * partitioning), one automaton-style walk per row, no per-character
+  * row materialization. This is the single-pass plan behind the
+  * character-entropy gibberish signal: the old shape exploded one row
+  * PER CHARACTER and shuffled (doc, char) pairs into a groupBy; the
+  * histogram is a per-row fact and never needed a shuffle at all. The
+  * entropy fold stays in column algebra downstream (`aggregate` over
+  * this array), so the oracle's arithmetic is untouched. ASCII counts
+  * in a flat 128-slot array (the hot path of a web corpus); anything
+  * higher overflows into a sorted map. CodegenFallback: the walk
+  * dominates, not dispatch.
+  */
+case class CharCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_char_counts requires string, got ${other.simpleString}")
+    }
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_char_counts"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    val ascii = new Array[Long](128)
+    var high: java.util.TreeMap[Integer, Long] = null
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp < 128) ascii(cp) += 1L
+      else {
+        if (high == null) high = new java.util.TreeMap[Integer, Long]()
+        high.merge(cp, 1L, (a, b) => a + b)
+      }
+      i += Character.charCount(cp)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var c = 0
+    while (c < 128) { if (ascii(c) > 0L) out += ascii(c); c += 1 }
+    if (high != null) high.values.forEach(v => out += v)
+    ArrayData.toArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CharCounts = copy(child = newChild)
+}
+
 object TextExprs {
   def simhash(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
 
   def deflateLen(s: Column): Column =
     Bridge.column(DeflateLen(Bridge.expression(s)))
+
+  def charCounts(s: Column): Column =
+    Bridge.column(CharCounts(Bridge.expression(s)))
 
   def wordpiece(word: Column, vocab: Column): Column =
     Bridge.column(WordpieceEncode(

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -345,25 +345,27 @@ object TextQueries {
     // ---- per-document character entropy (nats): the classic
     //      gibberish/noise detector next to the compression-ratio
     //      signal — uniform-random text maxes entropy, repeated-char
-    //      spam collapses it, prose sits in a narrow band. Entirely
-    //      per-row column algebra (distinct-char histogram via HOFs,
-    //      O(distinct·len) per doc), shuffle-free; the within-row sum
-    //      folds over the SORTED distinct chars (a fixed order both
-    //      engines share), each term ln-rounded before use per the
-    //      house libm discipline ----
+    //      spam collapses it, prose sits in a narrow band. One native
+    //      single-pass histogram walk per row (graft_char_counts — no
+    //      per-character explode, no shuffle anywhere in the plan),
+    //      then the entropy folds over the count array IN COLUMN
+    //      ALGEBRA: each term ln-rounded before use per the house libm
+    //      discipline, summed exactly in DECIMAL (the fold order is
+    //      the expression's sorted-code-point order, but an exact sum
+    //      makes any order the same sum — the hashes match the old
+    //      explode+groupBy plan bit-for-bit) ----
     "t_char_entropy" -> ((s, dir) => {
-      val cexp = t(s, dir, "documents")
-        .select(col("doc_id"), length(col("text")).as("L"),
-          explode(transform(sequence(lit(1), length(col("text"))),
-            i => col("text").substr(i, lit(1)))).as("c"))
-      val counts = cexp.groupBy("doc_id", "L", "c")
-        .agg(count(lit(1)).as("cnt"))
-      val p = col("cnt").cast("double") / col("L").cast("double")
-      counts.groupBy("doc_id")
-        .agg(max("L").cast("long").as("n_chars"),
-          count(lit(1)).cast("int").as("n_distinct"),
-          round(-sum(round(p * round(log(p), 9), 12)
-            .cast("decimal(38,12)")).cast("double"), 6).as("entropy"))
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("L"),
+          graft.expressions.TextExprs.charCounts(col("text")).as("cc"))
+      def p(cnt: Column) = cnt.cast("double") / col("L").cast("double")
+      d.select(col("doc_id"), col("L").as("n_chars"),
+        size(col("cc")).cast("int").as("n_distinct"),
+        round(-aggregate(col("cc"),
+            lit(0).cast("decimal(38,12)"),
+            (acc, cnt) => (acc + round(p(cnt) * round(log(p(cnt)), 9), 12)
+              .cast("decimal(38,12)")).cast("decimal(38,12)"))
+          .cast("double"), 6).as("entropy"))
     }),
 
     // ---- Unicode script census over a corpus with injected

@@ -98,4 +98,22 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(1) > 0 && r.getInt(1) <= 16)
     assert(r.isNullAt(2))
   }
+
+  test("graft_char_counts: sorted-code-point histogram, one walk") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_char_counts('banana'), graft_char_counts(''), " +
+        "graft_char_counts('aéaéé'), " + // non-ASCII overflow path
+        "graft_char_counts(CAST(NULL AS STRING))").collect()(0)
+    // 'banana': a=3, b=1, n=2 in ascending code-point order
+    assert(r.getSeq[Long](0) === Seq(3L, 1L, 2L))
+    assert(r.getSeq[Long](1) === Seq.empty[Long])
+    assert(r.getSeq[Long](2) === Seq(2L, 3L)) // 'a' < 'é'
+    assert(r.isNullAt(3))
+    // surrogate pairs count as ONE character (code point), like
+    // Spark's length()
+    val s = spark.sql(
+      "SELECT graft_char_counts('😀😀x')").collect()(0)
+    assert(s.getSeq[Long](0) === Seq(1L, 2L)) // 'x' < U+1F600
+  }
 }
