@@ -35,6 +35,12 @@ import graft.operators.{Dedup, MoveSink, Report, Similarity}
   * markup strip → mojibake repair → PII census → Gopher quality →
   * keep/drop, [[Pipelines.pipelineC]]):
   *   graft.Main pipelineC --input PARQUET --output PARQUET [--dry-run]
+  *     [--dedup]              exact within-batch dedup stage
+  *     [--dedup-index PATH]   + near-dup screen vs a persisted band
+  *                            index (implies --dedup)
+  *     [--langs en,de]        language allow-list stage
+  *     [--quota N]            per-group keep cap
+  *     [--quota-col source]   the quota group column (default source)
   * Prints the per-stage funnel report; kept documents land in
   * `--output` as (doc_id, text) clean text. `--dry-run` audits only.
   *
@@ -113,21 +119,29 @@ object Main {
   }
 
   final case class CurateConfig(input: String, output: String,
-                                dryRun: Boolean)
+                                dryRun: Boolean,
+                                dedup: Boolean = false,
+                                dedupIndex: Option[String] = None,
+                                langs: Option[Seq[String]] = None,
+                                quota: Option[(String, Int)] = None)
 
   /** Collect `--flag value` pairs (plus bare `--dry-run`), failing
     * loudly on anything not in `known` — a typoed flag on an
     * artifact-mutating CLI must not silently fall back to a default.
     */
-  private def parseFlags(args: Seq[String],
-                         known: Set[String]): Map[String, String] = {
+  private def parseFlags(args: Seq[String], known: Set[String],
+                         bare: Set[String] = Set("dry-run"))
+      : Map[String, String] = {
     val flags = scala.collection.mutable.Map.empty[String, String]
     var rest = args
     while (rest.nonEmpty) rest match {
-      case "--dry-run" +: t if known("dry-run") =>
-        flags += "dry-run" -> "true"; rest = t
-      case "--dry-run" +: _ => fail("unknown flag: --dry-run (expected: " +
-        known.toSeq.sorted.map("--" + _).mkString(" ") + ")")
+      case flag +: t if flag.startsWith("--") &&
+          bare(flag.stripPrefix("--")) =>
+        val name = flag.stripPrefix("--")
+        if (!known(name))
+          fail(s"unknown flag: $flag (expected: " +
+            known.toSeq.sorted.map("--" + _).mkString(" ") + ")")
+        flags += name -> "true"; rest = t
       case flag +: v +: t if flag.startsWith("--") =>
         val name = flag.stripPrefix("--")
         if (!known(name))
@@ -141,16 +155,24 @@ object Main {
     flags.toMap
   }
 
-  private val curateFlags = Set("dry-run", "input", "output")
+  private val curateFlags = Set("dry-run", "input", "output", "dedup",
+    "dedup-index", "langs", "quota", "quota-col")
+  private val curateBare = Set("dry-run", "dedup")
 
   private[graft] def parseCurate(args: Seq[String]): CurateConfig = {
-    val flags = parseFlags(args, curateFlags)
+    val flags = parseFlags(args, curateFlags, curateBare)
     val dry = flags.contains("dry-run")
     CurateConfig(
       input = flags.getOrElse("input", fail("missing --input PARQUET")),
       output = flags.getOrElse("output",
         if (dry) "" else fail("missing --output PARQUET")),
-      dryRun = dry)
+      dryRun = dry,
+      dedup = flags.contains("dedup") || flags.contains("dedup-index"),
+      dedupIndex = flags.get("dedup-index"),
+      langs = flags.get("langs")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)),
+      quota = flags.get("quota").map(q =>
+        (flags.getOrElse("quota-col", "source"), q.toInt)))
   }
 
   final case class IndexConfig(
@@ -455,10 +477,17 @@ object Main {
         (if (cfg.dryRun) " (dry run)" else ""))
       println(s"Input:       ${cfg.input}")
       if (!cfg.dryRun) println(s"Output:      ${cfg.output}")
+      if (cfg.dedup) println("Dedup:       exact" +
+        cfg.dedupIndex.map(p => s" + near-dup vs $p").getOrElse(""))
+      cfg.langs.foreach(l => println(s"Languages:   ${l.mkString(",")}"))
+      cfg.quota.foreach { case (c, n) => println(s"Quota:       $n per $c") }
       val spark = session()
       try {
+        val idx = cfg.dedupIndex.map(Dedup.readBandIndex(spark, _))
         val (decisions, written) = Pipelines.pipelineC(
-          spark, cfg.input, cfg.output, cfg.dryRun)
+          spark, cfg.input, cfg.output, cfg.dryRun,
+          dedup = cfg.dedup, dedupIndex = idx,
+          allowedLangs = cfg.langs, quota = cfg.quota)
         Pipelines.curationReport(decisions).show(truncate = false)
         written.foreach(n => println(s"Wrote $n documents to ${cfg.output}"))
       } finally spark.stop()

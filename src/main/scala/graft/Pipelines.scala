@@ -188,13 +188,15 @@ object Pipelines {
     * `CurationStream.curateScreen` exposes and StreamingSpec proves).
     */
   def curateDecisions(raw: DataFrame, idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame = {
+                      textCol: String = "text",
+                      carry: Seq[String] = Nil): DataFrame = {
     import graft.expressions.{HtmlExprs, TextExprs}
     import graft.functions.Text
     val stripped = HtmlExprs.htmlToText(col(textCol))
     raw
-      .select(col(idCol), col(textCol).as("__raw"), stripped.as("__st"),
-        TextExprs.fixMojibake(stripped).as("clean"))
+      .select(col(idCol) +: carry.map(col) :+ col(textCol).as("__raw") :+
+        stripped.as("__st") :+
+        TextExprs.fixMojibake(stripped).as("clean"): _*)
       .withColumn("had_markup", col("__st") =!= col("__raw"))
       .withColumn("repaired", col("clean") =!= col("__st"))
       .withColumn("has_pii", {
@@ -208,11 +210,131 @@ object Pipelines {
       .drop("__raw", "__st")
   }
 
+  /** Dedup stage over a [[curateDecisions]] frame — the
+    * highest-leverage curation clause, and the training-data analogue
+    * of the reference's conjunctive per-file filter
+    * (app/main.py:109-146) extended with "is it a duplicate of
+    * anything kept before":
+    *
+    *   - `dup_exact`: an EARLIER document of the same batch (smaller
+    *     id) has byte-identical clean text — the first occurrence is
+    *     kept, every later copy flagged. One window over the content
+    *     hash (hash-partitioned, so 1000 executors each resolve their
+    *     own hash ranges; no global sort).
+    *   - `dup_near`: the clean text near-duplicates (Jaccard ≥
+    *     `threshold` on `n`-gram shingles) ANY document of the
+    *     persisted MinHash/LSH band index — the cross-batch memory of
+    *     everything already ingested, probed via
+    *     [[graft.operators.Dedup.pairsAgainstIndex]] (band equi-join +
+    *     exact verify; historical text is never re-read). `None` skips
+    *     the stage (flag stays false).
+    *
+    * `keep` is recomputed as quality ∧ ¬PII ∧ ¬dup_exact ∧ ¬dup_near.
+    * Band parameters MUST match the ones the index was built with.
+    */
+  def curateDedupDecisions(decisions: DataFrame,
+                           index: Option[graft.operators.Dedup.BandIndex],
+                           idCol: String = "doc_id",
+                           n: Int = 5, bands: Int = 3, rowsPerBand: Int = 2,
+                           threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstId = min(col(idCol))
+      .over(Window.partitionBy(md5(col("clean"))))
+    val withExact = decisions
+      .withColumn("dup_exact", col(idCol) > firstId)
+    val withNear = index match {
+      case None => withExact.withColumn("dup_near", lit(false))
+      case Some(idx) =>
+        val hits = graft.operators.Dedup
+          .pairsAgainstIndex(decisions.select(col(idCol), col("clean")),
+            idx, idCol, "clean", n, bands, rowsPerBand, threshold)
+          .select(col("new_id").as(idCol)).distinct()
+          .withColumn("__near", lit(true))
+        withExact.join(hits, Seq(idCol), "left")
+          .withColumn("dup_near", coalesce(col("__near"), lit(false)))
+          .drop("__near")
+    }
+    withNear.withColumn("keep",
+      col("quality_ok") && !col("has_pii") &&
+        !col("dup_exact") && !col("dup_near"))
+  }
+
+  /** Optional POLICY stages over a decision frame — the knobs that
+    * turn the fixed screen chain into a configurable ingest policy:
+    *
+    *   - `allowedLangs`: adds `lang_ok` = marker-based language ID of
+    *     the clean text ∈ the allow-list (stateless projection);
+    *   - `quota`: `(groupCol, n)` adds `quota_ok` — at most `n` KEPT
+    *     documents per group, chosen deterministically by md5(id) rank
+    *     among the rows that survived every earlier stage (documents
+    *     already dropped consume no quota). One keyed window — shuffle
+    *     on the group key, the per-domain cap shape of
+    *     [[graft.operators.Sampling.quotaCap]].
+    *
+    * `keep` is ANDed with each enabled stage's flag.
+    */
+  def curatePolicyDecisions(decisions: DataFrame, idCol: String = "doc_id",
+                            allowedLangs: Option[Seq[String]] = None,
+                            quota: Option[(String, Int)] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Text
+    val withLang = allowedLangs match {
+      case None => decisions
+      case Some(langs) =>
+        decisions
+          .withColumn("lang_ok",
+            Text.langId(Text.tokens(col("clean")))
+              .isin(langs.map(_.asInstanceOf[Any]): _*))
+          .withColumn("keep", col("keep") && col("lang_ok"))
+    }
+    quota match {
+      case None => withLang
+      case Some((groupCol, n)) =>
+        // rank only rows still kept: partitioning by (group, keep)
+        // gives each group's keepers their own contiguous rank space
+        val w = Window.partitionBy(col(groupCol), col("keep"))
+          .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+        withLang.withColumn("__rn", row_number().over(w))
+          .withColumn("quota_ok", !col("keep") || col("__rn") <= n)
+          .withColumn("keep", col("keep") && col("quota_ok"))
+          .drop("__rn")
+    }
+  }
+
+  /** The full configurable curation chain over any (idCol, textCol)
+    * frame: fixed screens (markup → mojibake → PII → Gopher quality),
+    * then the optional dedup stage (exact within-batch + near-dup
+    * against a persisted band index), then the optional policy stages
+    * (language allow-list, per-group quota). This is the batch body a
+    * streaming deployment applies per micro-batch
+    * ([[graft.streaming.CurationStream.curateMicroBatch]]) — the
+    * dedup/quota stages need a within-batch window, so the streaming
+    * twin runs it inside `foreachBatch`, bit-equal to the batch run
+    * over the same rows by construction (StreamingSpec proves it).
+    */
+  def curateChain(raw: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", dedup: Boolean = false,
+                  dedupIndex: Option[graft.operators.Dedup.BandIndex] = None,
+                  allowedLangs: Option[Seq[String]] = None,
+                  quota: Option[(String, Int)] = None): DataFrame = {
+    val carry = quota.map(_._1).toSeq.filterNot(_ == idCol)
+    val screened = curateDecisions(raw, idCol, textCol, carry)
+    val deduped =
+      if (dedup || dedupIndex.nonEmpty)
+        curateDedupDecisions(screened, dedupIndex, idCol)
+      else screened
+    curatePolicyDecisions(deduped, idCol, allowedLangs, quota)
+  }
+
   def pipelineC(spark: SparkSession, input: String, output: String,
                 dryRun: Boolean = false, idCol: String = "doc_id",
-                textCol: String = "text"): (DataFrame, Option[Long]) = {
-    val decisions =
-      curateDecisions(spark.read.parquet(input), idCol, textCol)
+                textCol: String = "text", dedup: Boolean = false,
+                dedupIndex: Option[graft.operators.Dedup.BandIndex] = None,
+                allowedLangs: Option[Seq[String]] = None,
+                quota: Option[(String, Int)] = None)
+      : (DataFrame, Option[Long]) = {
+    val decisions = curateChain(spark.read.parquet(input), idCol, textCol,
+      dedup, dedupIndex, allowedLangs, quota)
     if (dryRun) (decisions, None)
     else {
       val kept = decisions.filter(col("keep"))
@@ -223,20 +345,36 @@ object Pipelines {
   }
 
   /** The funnel report over [[pipelineC]] decisions — the per-stage
-    * counts an ingest job logs (and alerts on) every day.
+    * counts an ingest job logs (and alerts on) every day. Optional
+    * stage columns (`dup_exact`/`dup_near` from
+    * [[curateDedupDecisions]], `lang_ok`/`quota_ok` from the
+    * configurable stages) contribute a funnel row only when present.
     */
   def curationReport(decisions: DataFrame): DataFrame = {
-    val d = decisions.agg(
-      count(lit(1)).as("ingested"),
-      sum(when(col("had_markup"), 1L).otherwise(0L)).as("markup_stripped"),
-      sum(when(col("repaired"), 1L).otherwise(0L)).as("mojibake_repaired"),
-      sum(when(col("has_pii"), 1L).otherwise(0L)).as("pii_flagged"),
-      sum(when(!col("quality_ok"), 1L).otherwise(0L)).as("quality_failed"),
-      sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
-    val stages = Seq("ingested", "markup_stripped", "mojibake_repaired",
-      "pii_flagged", "quality_failed", "kept")
-    d.select(explode(array(stages.map(s =>
-        struct(lit(s).as("stage"), col(s).as("n"))): _*)).as("r"))
+    val have = decisions.columns.toSet
+    // (decision column, funnel stage name, flagged-when)
+    val optional = Seq(
+      ("lang_ok", "lang_failed", () => !col("lang_ok")),
+      ("dup_exact", "dup_exact", () => col("dup_exact")),
+      ("dup_near", "dup_near", () => col("dup_near")),
+      ("quota_ok", "quota_failed", () => !col("quota_ok"))
+    ).filter(c => have(c._1))
+    val aggs = Seq(
+      ("ingested", count(lit(1)).as("ingested")),
+      ("markup_stripped",
+        sum(when(col("had_markup"), 1L).otherwise(0L)).as("markup_stripped")),
+      ("mojibake_repaired",
+        sum(when(col("repaired"), 1L).otherwise(0L)).as("mojibake_repaired")),
+      ("pii_flagged",
+        sum(when(col("has_pii"), 1L).otherwise(0L)).as("pii_flagged")),
+      ("quality_failed",
+        sum(when(!col("quality_ok"), 1L).otherwise(0L)).as("quality_failed"))
+    ) ++ optional.map { case (_, stage, flagged) =>
+      (stage, sum(when(flagged(), 1L).otherwise(0L)).as(stage))
+    } :+ ("kept", sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+    val d = decisions.agg(aggs.head._2, aggs.tail.map(_._2): _*)
+    d.select(explode(array(aggs.map { case (stage, _) =>
+        struct(lit(stage).as("stage"), col(stage).as("n")) }: _*)).as("r"))
       .select(col("r.stage").as("stage"), col("r.n").as("n"))
   }
 }

@@ -45,26 +45,80 @@ object CurationQueries {
   private val curateMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The bad-decode suffix, built by RUNNING the bad decode. */
+  private val Moji = new String("café naïve résumé"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+    java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** The raw-crawl payload each doc carries: markup with
+    * comment/script decoys wrapping the text, PII injected at
+    * doc_id%5, mojibake at doc_id%7, quality-failing stubs at
+    * doc_id%11.
+    */
+  private def rawPayload(idc: org.apache.spark.sql.Column,
+                         textc: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = concat(
+    lit("<html><body><!-- audit <b>x</b> --><p>"),
+    when(idc % 11 === 0, lit("tiny")).otherwise(textc),
+    when(idc % 5 === 0, concat(lit(" reach u"),
+      idc, lit("@mail.example.org"))).otherwise(lit("")),
+    when(idc % 7 === 0, lit(" " + Moji)).otherwise(lit("")),
+    lit("</p><script>if (1<2) { d = '<p>no</p>'; }</script>" +
+      "</body></html>"))
+
   private def curatedInput(s: SparkSession, dir: String): String =
     curateMemo.computeIfAbsent(dir, _ => {
       val p = java.nio.file.Files
         .createTempDirectory("graft_curate").toString + "/raw.parquet"
-      // the bad-decode suffix is built by RUNNING the bad decode
-      val moji = new String("café naïve résumé"
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        java.nio.charset.StandardCharsets.ISO_8859_1)
-      t(s, dir, "documents").select(col("doc_id"), concat(
-          lit("<html><body><!-- audit <b>x</b> --><p>"),
-          when(col("doc_id") % 11 === 0, lit("tiny"))
-            .otherwise(col("text")),
-          when(col("doc_id") % 5 === 0, concat(lit(" reach u"),
-            col("doc_id"), lit("@mail.example.org"))).otherwise(lit("")),
-          when(col("doc_id") % 7 === 0, lit(" " + moji)).otherwise(lit("")),
-          lit("</p><script>if (1<2) { d = '<p>no</p>'; }</script>" +
-            "</body></html>")).as("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+          rawPayload(col("doc_id"), col("text")).as("text"))
         .write.mode("overwrite").parquet(p)
       p
     })
+
+  /** Temp path of the dedup-variant raw corpus: the same payloads plus
+    * SOURCE carried through (the quota group) and planted WITHIN-BATCH
+    * exact duplicates — every doc_id%13==0 payload re-ingested under
+    * doc_id+1000000 (a replayed crawl partition).
+    */
+  private val curateDedupMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def curateDedupInput(s: SparkSession, dir: String): String =
+    curateDedupMemo.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_curate_dd").toString + "/raw.parquet"
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        col("source"), rawPayload(col("doc_id"), col("text")).as("text"))
+      base.union(base.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            col("source"), col("text")))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** Persisted band index over the HISTORICAL corpus (documents with
+    * doc_id < 300, under their own 5000000+ id space — history has its
+    * own ids): the cross-batch dedup memory the curate pipeline's
+    * near-dup stage probes. Built once per data directory.
+    */
+  private val curateIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def curateIndex(s: SparkSession, dir: String)
+      : graft.operators.Dedup.BandIndex = {
+    val p = curateIdxMemo.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_curate_idx").toString + "/band"
+      val hist = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      graft.operators.Dedup.writeBandIndex(
+        graft.operators.Dedup.buildBandIndex(hist, "doc_id", "text",
+          n = 5, bands = 3, rowsPerBand = 2), path)
+      path
+    })
+    graft.operators.Dedup.readBandIndex(s, p)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- the curation pipeline end-to-end (training-data sibling of
@@ -80,6 +134,39 @@ object CurationQueries {
     "a_pipeline_curate" -> ((s, dir) => {
       val (decisions, _) = graft.Pipelines.pipelineC(
         s, curatedInput(s, dir), output = "", dryRun = true)
+      graft.Pipelines.curationReport(decisions)
+    }),
+
+    // ---- pipeline C with the DEDUP stage — the highest-leverage
+    //      curation clause: the same generated raw-crawl corpus plus
+    //      planted within-batch exact duplicates (doc_id%13 payloads
+    //      re-ingested under +1000000 ids) runs through the full
+    //      chain, with near-dups screened against a PERSISTED band
+    //      index over the historical corpus (documents < 300 in their
+    //      own id space) — batch docs < 300 re-crawl history and must
+    //      flag dup_near; the funnel gains dup_exact / dup_near rows
+    //      and keep = quality ∧ ¬PII ∧ ¬dup. Exact dedup is one
+    //      window over the content hash; near-dup is the band
+    //      equi-join + exact Jaccard verify (history never re-read) ----
+    "a_pipeline_curate_dedup" -> ((s, dir) => {
+      val decisions = graft.Pipelines.curateChain(
+        s.read.parquet(curateDedupInput(s, dir)),
+        dedup = true, dedupIndex = Some(curateIndex(s, dir)))
+      graft.Pipelines.curationReport(decisions)
+    }),
+
+    // ---- pipeline C as a FULL ingest policy: screens + dedup + the
+    //      configurable policy stages — language allow-list (marker
+    //      language ID of the clean text must be 'en') and a
+    //      deterministic per-source keep quota (5 per source, md5(id)
+    //      rank among the docs that survived every earlier stage).
+    //      Ten funnel rows, one per stage — the daily report a
+    //      training-data ingest job alerts on ----
+    "a_pipeline_curate_policy" -> ((s, dir) => {
+      val decisions = graft.Pipelines.curateChain(
+        s.read.parquet(curateDedupInput(s, dir)),
+        dedup = true, dedupIndex = Some(curateIndex(s, dir)),
+        allowedLangs = Some(Seq("en")), quota = Some(("source", 5)))
       graft.Pipelines.curationReport(decisions)
     }),
 
@@ -274,6 +361,135 @@ object CurationQueries {
     "0123456789abcdef".map(c =>
       (c.toString, s"${((c.toInt * 13) % 17 - 8) / 10.0}"))
 
+  /** Closed-form clean text of the generated raw-crawl payload (what
+    * markup strip + mojibake repair must recover), shared by every
+    * curate-pipeline oracle.
+    */
+  private val CleanForm =
+    """(CASE WHEN doc_id % 11 = 0 THEN 'tiny' ELSE text END)
+      |    || (CASE WHEN doc_id % 5 = 0 THEN ' reach u' || doc_id
+      |          || '@mail.example.org' ELSE '' END)
+      |    || (CASE WHEN doc_id % 7 = 0 THEN ' café naïve résumé'
+      |          ELSE '' END)""".stripMargin
+
+  /** The PII census over `clean` — the exact fragment the
+    * a_pipeline_curate / t_pii_detect oracles use.
+    */
+  private val PiiExpr =
+    """(len(regexp_extract_all(clean,
+      |       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+      |     + len(regexp_extract_all(clean, '\+[0-9][0-9-]{7,14}[0-9]'))
+      |     + len(regexp_extract_all(clean,
+      |       '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b'))
+      |     + len(list_filter(regexp_extract_all(clean, '[0-9]+'),
+      |       r -> len(r) = 16 AND list_sum(list_transform(range(0, 16),
+      |         j -> CASE WHEN j % 2 = 0 THEN
+      |           CASE WHEN 2 * (ascii(substring(r, CAST(j + 1 AS INT), 1)) - 48) > 9
+      |                THEN 2 * (ascii(substring(r, CAST(j + 1 AS INT), 1)) - 48) - 9
+      |                ELSE 2 * (ascii(substring(r, CAST(j + 1 AS INT), 1)) - 48) END
+      |           ELSE ascii(substring(r, CAST(j + 1 AS INT), 1)) - 48 END))
+      |         % 10 = 0))) > 0""".stripMargin
+
+  /** The Gopher structural-quality rules over `clean` — the exact
+    * fragment the a_pipeline_curate / t_quality_rules oracles use.
+    */
+  private val QualityExpr =
+    """len(string_split(clean, ' ')) >= 10
+      |      AND len(string_split(clean, ' ')) <= 5000
+      |      AND CAST(length(clean) - (len(string_split(clean, ' ')) - 1)
+      |          AS DOUBLE) / CAST(len(string_split(clean, ' '))
+      |          AS DOUBLE) >= 2.0
+      |      AND CAST(length(clean) - (len(string_split(clean, ' ')) - 1)
+      |          AS DOUBLE) / CAST(len(string_split(clean, ' '))
+      |          AS DOUBLE) <= 12.0
+      |      AND CAST(len(list_filter(string_split(clean, ' '),
+      |          w -> regexp_full_match(w, '[a-z]+'))) AS DOUBLE)
+      |        / CAST(len(string_split(clean, ' ')) AS DOUBLE) >= 0.6""".stripMargin
+
+  /** The dedup-fixture base: closed-form clean of every payload plus
+    * the +1000000 re-ingested clones, with the within-batch exact-dup
+    * window (first occurrence keeps).
+    */
+  private val DedupBase =
+    """orig AS MATERIALIZED (SELECT doc_id, source,
+      |    doc_id % 7 = 0 AS repaired,
+      |    @CLEAN@ AS clean
+      |  FROM documents),
+      |base AS (SELECT doc_id, source, repaired, clean FROM orig
+      |  UNION ALL SELECT doc_id + 1000000, source, repaired, clean
+      |  FROM orig WHERE doc_id % 13 = 0),
+      |fl AS MATERIALIZED (SELECT doc_id, source, clean, repaired,
+      |    @PII@ AS has_pii,
+      |    @QUALITY@ AS quality_ok,
+      |    doc_id > MIN(doc_id) OVER (PARTITION BY clean) AS dup_exact
+      |  FROM base)""".stripMargin
+      .replace("@CLEAN@", CleanForm)
+      .replace("@PII@", PiiExpr)
+      .replace("@QUALITY@", QualityExpr)
+
+  /** One 5-gram shingle CTE (the d_index_incremental recipe) over a
+    * source supplying (id, t).
+    */
+  private def shingleCte(name: String, src: String): String =
+    s"""$name AS MATERIALIZED (SELECT id, list_distinct(
+       |  CASE WHEN len(tok) < 5 THEN []
+       |       ELSE list_transform(range(1, len(tok) - 3),
+       |              i -> array_to_string(tok[i:i+4], ' ')) END) AS sh
+       |  FROM (SELECT id, string_split(t, ' ') AS tok FROM $src))""".stripMargin
+
+  /** MinHash/LSH near-dup screen of fl's clean text against the
+    * historical index (documents < 300 under +5000000 ids): exactly
+    * [[graft.operators.Dedup.pairsAgainstIndex]]'s contract — band
+    * equi-join candidates, exact Jaccard ≥ 0.5 verify — ending in a
+    * `nd` CTE of flagged new ids.
+    */
+  private val NearDupBlock =
+    """hist AS (SELECT doc_id + 5000000 AS id, text AS t FROM documents
+       |  WHERE doc_id < 300),
+       |newb AS (SELECT doc_id AS id, clean AS t FROM fl),
+       |@SHB@,
+       |@SHN@,
+       |sigb AS (SELECT id, list_transform(range(0, 6),
+       |    i -> list_aggregate(list_transform(sh,
+       |           s -> md5(CAST(i AS VARCHAR) || ':' || s)), 'min')) AS sig
+       |  FROM shb WHERE len(sh) > 0),
+       |sign0 AS (SELECT id, list_transform(range(0, 6),
+       |    i -> list_aggregate(list_transform(sh,
+       |           s -> md5(CAST(i AS VARCHAR) || ':' || s)), 'min')) AS sig
+       |  FROM shn WHERE len(sh) > 0),
+       |bb AS (SELECT id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bkey
+       |  FROM sigb CROSS JOIN (SELECT unnest(range(0, 3)) AS b)),
+       |bn AS (SELECT id, b, md5(sig[2*b+1] || sig[2*b+2]) AS bkey
+       |  FROM sign0 CROSS JOIN (SELECT unnest(range(0, 3)) AS b)),
+       |cands AS (SELECT DISTINCT a.id AS new_id, b.id AS base_id
+       |  FROM bn a JOIN bb b ON a.b = b.b AND a.bkey = b.bkey),
+       |verif AS (SELECT c.new_id,
+       |    len(list_intersect(x.sh, y.sh)) AS common,
+       |    len(x.sh) AS na, len(y.sh) AS nb
+       |  FROM cands c JOIN shn x ON x.id = c.new_id
+       |  JOIN shb y ON y.id = c.base_id),
+       |nd AS MATERIALIZED (SELECT DISTINCT new_id FROM verif
+       |  WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE)
+       |    >= 0.5),
+       |fl2 AS MATERIALIZED (SELECT fl.*, (nd.new_id IS NOT NULL) AS dup_near
+       |  FROM fl LEFT JOIN nd ON fl.doc_id = nd.new_id)""".stripMargin
+      .replace("@SHB@", shingleCte("shb", "hist"))
+      .replace("@SHN@", shingleCte("shn", "newb"))
+
+  /** Marker-language-ID fragments over `clean` (the t_lang_id recipe
+    * re-pointed at the curated text).
+    */
+  private def langHits(set: Seq[String]): String =
+    s"len(list_filter(string_split(clean, ' '), " +
+      s"x -> x IN (${set.map("'" + _ + "'").mkString(",")})))"
+  private val langScores =
+    graft.functions.Text.langMarkers.map { case (l, m) => l -> langHits(m) }
+  private val LangBest =
+    s"greatest(${langScores.map(_._2).mkString(", ")})"
+  private val LangPred = "CASE " + langScores.map { case (l, e) =>
+    s"WHEN $e = best AND best > 0 THEN '$l'"
+  }.mkString(" ") + " ELSE 'und' END"
+
   val oracleSql: Map[String, String] = Map(
     // every stage flag recomputed from the closed-form clean text
     // (the extraction round trip is gated separately by
@@ -326,6 +542,61 @@ object CurationQueries {
         |  quality_ok THEN 1 ELSE 0 END) AS BIGINT) FROM fl
         |UNION ALL SELECT 'kept', CAST(SUM(CASE WHEN quality_ok AND NOT
         |  has_pii THEN 1 ELSE 0 END) AS BIGINT) FROM fl""".stripMargin,
+
+    // the dedup chain in closed form: clones + exact-dup window +
+    // the full MinHash/LSH recompute against the historical slice
+    "a_pipeline_curate_dedup" ->
+      (s"WITH $DedupBase,\n$NearDupBlock,\n" +
+      """k AS MATERIALIZED (SELECT *, quality_ok AND NOT has_pii
+         |    AND NOT dup_exact AND NOT dup_near AS keep FROM fl2)
+         |SELECT 'ingested' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM k
+         |UNION ALL SELECT 'markup_stripped', CAST(COUNT(*) AS BIGINT)
+         |  FROM k
+         |UNION ALL SELECT 'mojibake_repaired', CAST(SUM(CASE WHEN repaired
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'pii_flagged', CAST(SUM(CASE WHEN has_pii
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'quality_failed', CAST(SUM(CASE WHEN NOT
+         |  quality_ok THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'dup_exact', CAST(SUM(CASE WHEN dup_exact
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'dup_near', CAST(SUM(CASE WHEN dup_near
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'kept', CAST(SUM(CASE WHEN keep
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k""".stripMargin),
+
+    // the full policy chain: dedup + language allow-list + per-source
+    // quota (rank by md5(id) among surviving docs only)
+    "a_pipeline_curate_policy" ->
+      (s"WITH $DedupBase,\n$NearDupBlock,\n" +
+      s"""lg AS (SELECT *, $LangBest AS best FROM fl2),
+         |lg2 AS (SELECT *, ($LangPred) IN ('en') AS lang_ok FROM lg),
+         |k0 AS (SELECT *, quality_ok AND NOT has_pii AND lang_ok
+         |    AND NOT dup_exact AND NOT dup_near AS keep0 FROM lg2),
+         |q AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source, keep0
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+         |    AS rn FROM k0),
+         |k AS MATERIALIZED (SELECT *, (NOT keep0 OR rn <= 5) AS quota_ok,
+         |    keep0 AND (NOT keep0 OR rn <= 5) AS keep FROM q)
+         |SELECT 'ingested' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM k
+         |UNION ALL SELECT 'markup_stripped', CAST(COUNT(*) AS BIGINT)
+         |  FROM k
+         |UNION ALL SELECT 'mojibake_repaired', CAST(SUM(CASE WHEN repaired
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'pii_flagged', CAST(SUM(CASE WHEN has_pii
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'quality_failed', CAST(SUM(CASE WHEN NOT
+         |  quality_ok THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'lang_failed', CAST(SUM(CASE WHEN NOT lang_ok
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'dup_exact', CAST(SUM(CASE WHEN dup_exact
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'dup_near', CAST(SUM(CASE WHEN dup_near
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'quota_failed', CAST(SUM(CASE WHEN NOT quota_ok
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'kept', CAST(SUM(CASE WHEN keep
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k""".stripMargin),
 
     "t_novelty_curve" ->
       """WITH tk AS (SELECT doc_id // 50 AS batch,

@@ -125,6 +125,27 @@ object CurationStream {
                    textCol: String = "text"): DataFrame =
     graft.Pipelines.curateDecisions(docs, idCol, textCol)
 
+  /** The FULL curation chain (screens + dedup + policy) for streaming
+    * ingest. The dedup and quota stages need a within-batch window (a
+    * non-time window is illegal on an unbounded stream), so the
+    * deployment shape is `foreachBatch(curateMicroBatch(_, ...))`:
+    * each micro-batch runs the EXACT batch chain — bit-equal to the
+    * batch run over the same rows by construction (StreamingSpec
+    * proves it end-to-end through a MemoryStream). Semantics at the
+    * batch boundary are the honest ones: `dup_exact` and the quota
+    * rank see one micro-batch at a time, while `dup_near` sees ALL
+    * history through the persisted band index — which is exactly why
+    * the cross-batch dedup memory lives in the index artifact (the
+    * daily `index append` keeps it current), not in stream state.
+    */
+  def curateMicroBatch(batch: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", dedup: Boolean = false,
+                       index: Option[graft.operators.Dedup.BandIndex] = None,
+                       allowedLangs: Option[Seq[String]] = None,
+                       quota: Option[(String, Int)] = None): DataFrame =
+    graft.Pipelines.curateChain(batch, idCol, textCol, dedup, index,
+      allowedLangs, quota)
+
   /** DSIR importance scoring at ingest: the offline-built λ table
     * (collected once via [[graft.operators.Dsir.lamLiteral]]) rides
     * as a plan literal, and each arriving document gets its log

@@ -99,6 +99,22 @@ class MainSpec extends SparkSpec {
     assert(e.getMessage.contains("query list"))
   }
 
+  test("parseCurate: dedup/lang/quota stage flags parse into the config") {
+    val cfg = Main.parseCurate(Seq("--input", "/in", "--dry-run",
+      "--dedup-index", "/idx", "--langs", "en, de", "--quota", "50",
+      "--quota-col", "domain"))
+    assert(cfg.dedup && cfg.dedupIndex === Some("/idx"))
+    assert(cfg.langs === Some(Seq("en", "de")))
+    assert(cfg.quota === Some(("domain", 50)))
+    // bare --dedup enables exact-only dedup; quota-col defaults source
+    val bare = Main.parseCurate(Seq("--input", "/in", "--dry-run",
+      "--dedup", "--quota", "9"))
+    assert(bare.dedup && bare.dedupIndex.isEmpty &&
+      bare.quota === Some(("source", 9)))
+    val off = Main.parseCurate(Seq("--input", "/in", "--dry-run"))
+    assert(!off.dedup && off.langs.isEmpty && off.quota.isEmpty)
+  }
+
   test("parseCurate: input always required, output only for real runs") {
     intercept[IllegalArgumentException] { Main.parseCurate(Seq.empty) }
     intercept[IllegalArgumentException] { // real run needs an output

@@ -197,4 +197,65 @@ class PipelinesSpec extends SparkSpec {
       "mojibake_repaired" -> 1L, "pii_flagged" -> 1L,
       "quality_failed" -> 1L, "kept" -> 3L))
   }
+
+  test("pipeline C dedup + policy: exact/near dups, lang gate, quota") {
+    import spark.implicits._
+    val texts = Map(
+      Symbol("A") -> "the quick brown fox jumps over the lazy dog again and again today",
+      Symbol("B") -> "every bird sings while the green tree waves and water runs fast",
+      Symbol("D") -> "some people walk along this quiet road and watch the old town",
+      Symbol("E") -> "a small ship sails across that calm sea while the wind blows",
+      Symbol("F") -> "children play around the big park and laugh under a clear sky")
+    val german = "der hund und die katze ist gross und der vogel ist klein da"
+    // historical index holds text A under its own id space
+    val idx = graft.operators.Dedup.buildBandIndex(
+      Seq((1000L, texts(Symbol("A")))).toDF("doc_id", "text"), "doc_id", "text",
+      n = 5, bands = 3, rowsPerBand = 2)
+    val raw = Seq(
+      (0L, "s1", s"<p>${texts(Symbol("A"))}</p>"), // re-crawl of history → dup_near
+      (1L, "s1", s"<p>${texts(Symbol("B"))}</p>"), // kept
+      (2L, "s1", s"<p>${texts(Symbol("B"))}</p>"), // clone of 1 → dup_exact
+      (3L, "s1", s"<p>$german</p>"),      // de → lang_failed
+      (4L, "s1", s"<p>${texts(Symbol("D"))}</p>"),
+      (5L, "s1", s"<p>${texts(Symbol("E"))}</p>"),
+      (6L, "s1", s"<p>${texts(Symbol("F"))}</p>")  // 4 survivors, quota 3 → 1 cut
+    ).toDF("doc_id", "source", "text")
+
+    val d = Pipelines.curateChain(raw, dedup = true, dedupIndex = Some(idx),
+      allowedLangs = Some(Seq("en")), quota = Some(("source", 3)))
+    val rows = d.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def b(id: Long, c: String) = rows(id).getAs[Boolean](c)
+
+    // dup_exact == exists an EARLIER doc with identical clean text
+    assert(!b(1L, "dup_exact") && b(2L, "dup_exact"))
+    assert((0L to 6L).filter(b(_, "dup_exact")) === Seq(2L))
+    // dup_near fires exactly on the re-crawled historical text
+    assert((0L to 6L).filter(b(_, "dup_near")) === Seq(0L))
+    // language gate: only the german doc fails
+    assert((0L to 6L).filterNot(b(_, "lang_ok")) === Seq(3L))
+    // quota: dropped/dup/lang rows consume none; of the 4 survivors
+    // exactly 3 keep (md5-rank deterministic)
+    val survivors = Seq(1L, 4L, 5L, 6L)
+    val kept = (0L to 6L).filter(b(_, "keep"))
+    assert(kept.length === 3 && kept.forall(survivors.contains))
+    val cut = survivors.filterNot(kept.contains)
+    assert(cut.length === 1 && !b(cut.head, "quota_ok") &&
+      b(cut.head, "quality_ok") && b(cut.head, "lang_ok") &&
+      !b(cut.head, "dup_exact") && !b(cut.head, "dup_near"))
+    // determinism: the same chain over a repartitioned input picks the
+    // SAME quota victims
+    val d2 = Pipelines.curateChain(raw.repartition(7), dedup = true,
+      dedupIndex = Some(idx), allowedLangs = Some(Seq("en")),
+      quota = Some(("source", 3)))
+    assert(d2.filter(org.apache.spark.sql.functions.col("keep"))
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq === kept)
+
+    // the funnel gains one row per enabled stage
+    val rep = Pipelines.curationReport(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep === Map("ingested" -> 7L, "markup_stripped" -> 7L,
+      "mojibake_repaired" -> 0L, "pii_flagged" -> 0L,
+      "quality_failed" -> 0L, "lang_failed" -> 1L, "dup_exact" -> 1L,
+      "dup_near" -> 1L, "quota_failed" -> 1L, "kept" -> 3L))
+  }
 }

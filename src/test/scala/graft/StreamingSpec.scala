@@ -885,6 +885,49 @@ class StreamingSpec extends SparkSpec {
       Map(0L -> true, 1L -> true, 2L -> false, 3L -> false, 4L -> true))
   }
 
+  test("streaming curateMicroBatch: foreachBatch == batch chain bit-equal") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // texts are pairwise shingle-disjoint so ONLY doc 0 re-crawls
+    // history (a shared long prefix would near-dup everything)
+    val tA = "the quick brown fox jumps over the lazy dog again and again"
+    val tB = "every bird sings while the green tree waves and water runs fast"
+    val tC = "some people walk along this quiet road and watch the old town"
+    val tD = "a small ship sails across that calm sea while the wind blows"
+    val idx = graft.operators.Dedup.buildBandIndex(
+      Seq((1000L, tA)).toDF("doc_id", "text"),
+      "doc_id", "text", n = 5, bands = 3, rowsPerBand = 2)
+    val docs = Seq(
+      (0L, "s1", s"<p>$tA</p>"),   // near-dup of history
+      (1L, "s1", s"<p>$tB</p>"),
+      (2L, "s1", s"<p>$tB</p>"),   // exact clone of 1
+      (3L, "s1", s"<p>$tC</p>"),
+      (4L, "s1", s"<p>$tD</p>"))
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    val mem = MemoryStream[(Long, String, String)]
+    val q = mem.toDF().toDF("doc_id", "source", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf ++= graft.streaming.CurationStream.curateMicroBatch(
+          b, dedup = true, index = Some(idx), quota = Some(("source", 2)))
+          .collect()
+        ()
+      }.start()
+    try { mem.addData(docs); q.processAllAvailable() } finally q.stop()
+    def canon(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val want = graft.Pipelines.curateChain(
+      docs.toDF("doc_id", "source", "text"), dedup = true,
+      dedupIndex = Some(idx), quota = Some(("source", 2))).collect()
+    assert(canon(buf.toSeq) === canon(want.toSeq))
+    // and the decisions are the expected ones: 0 near-dup, 2 exact,
+    // quota caps the remaining 3 survivors at 2
+    val keep = buf.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Boolean]("keep")).toMap
+    assert(!keep(0L) && !keep(2L))
+    assert(keep.values.count(identity) === 2)
+  }
+
   test("streaming DSIR scoring: plan-literal lambda map bit-equals batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
