@@ -193,6 +193,18 @@ object GraftExtensions {
       graft.expressions.DeflateLen(args(0))
     })
 
+  /** graft_html_refs(string) — typed (kind, url) outlinks with
+    * base-href resolution (a/img/canonical), the crawl-frontier feed.
+    */
+  private val htmlRefsFunction = (
+    FunctionIdentifier("graft_html_refs"),
+    new ExpressionInfo(classOf[graft.expressions.HtmlRefs].getName,
+      "graft_html_refs"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "graft_html_refs(s) takes 1 argument")
+      graft.expressions.HtmlRefs(args(0))
+    })
+
   /** graft_char_counts(string) — per-document character histogram
     * (counts only, ascending code point), the single-pass feed of the
     * character-entropy signal.
@@ -209,8 +221,8 @@ object GraftExtensions {
   private val all = Seq(dotFunction, cosineFunction, jpegFunction,
     jsonKeyFunction, simhashFunction, mp4Function, hammingFunction,
     nfcFunction, exifFunction, wordpieceFunction, mojibakeFunction,
-    htmlTextFunction, htmlLinksFunction, deflateFunction,
-    charCountsFunction)
+    htmlTextFunction, htmlLinksFunction, htmlRefsFunction,
+    deflateFunction, charCountsFunction)
 
   /** Session-scoped registration for an existing session. */
   def register(spark: SparkSession): Unit =

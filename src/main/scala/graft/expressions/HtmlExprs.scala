@@ -43,6 +43,8 @@ private object HtmlWalk {
   /** Elements whose content is dropped whole. */
   private val rawSkip = Seq("script", "style")
 
+  def isLetter(c: Char): Boolean = isAsciiLetter(c)
+
   private def isAsciiLetter(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
 
@@ -302,10 +304,25 @@ case class HtmlLinks(child: Expression)
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(found.toArray)
   }
 
-  /** Value of the first case-insensitive href attribute inside the tag
-    * span [lt, end), entity-decoded; null when absent.
+  private def hrefIn(s: String, lt: Int, end: Int): String =
+    HtmlAttr.attrIn(s, lt, end, "href")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HtmlLinks = copy(child = newChild)
+}
+
+/** Attribute extraction shared by [[HtmlLinks]] and [[HtmlRefs]]. */
+private[expressions] object HtmlAttr {
+
+  /** Value of the first case-insensitive `name` attribute inside the
+    * tag span [lt, end), entity-decoded; null when absent. The name
+    * must be preceded by whitespace and followed (after optional
+    * whitespace) by '=', so `hreflang` never matches `href`; quoted
+    * values of OTHER attributes are skipped whole, so a decoy
+    * `title="href=x"` cannot match.
     */
-  private def hrefIn(s: String, lt: Int, end: Int): String = {
+  def attrIn(s: String, lt: Int, end: Int, name: String): String = {
+    val n = name.length
     var i = lt + 1
     while (i < end - 1) {
       val c = s.charAt(i)
@@ -313,10 +330,9 @@ case class HtmlLinks(child: Expression)
         i += 1
         while (i < end - 1 && s.charAt(i) != c) i += 1
         i += 1
-      } else if (Character.isWhitespace(c) &&
-          i + 5 <= end && "href".equalsIgnoreCase(s.substring(i + 1,
-            math.min(i + 5, end)))) {
-        var j = i + 5
+      } else if (Character.isWhitespace(c) && i + 1 + n <= end &&
+          s.regionMatches(true, i + 1, name, 0, n)) {
+        var j = i + 1 + n
         while (j < end - 1 && Character.isWhitespace(s.charAt(j))) j += 1
         if (j < end - 1 && s.charAt(j) == '=') {
           j += 1
@@ -339,9 +355,120 @@ case class HtmlLinks(child: Expression)
     }
     null
   }
+}
+
+/** Typed outlink/reference extraction for a crawl frontier — the
+  * [[HtmlLinks]] scanner widened to every reference a crawler tracks,
+  * as (kind, url) structs in document order:
+  *
+  *   - `a`   — `<a href>` (the frontier candidates);
+  *   - `img` — `<img src>` (media fetch queue);
+  *   - `canonical` — `<link rel="canonical" href>` (the page's own
+  *     preferred URL, the dedup hint crawlers honor);
+  *
+  * each resolved against the document's FIRST `<base href>` whose
+  * value is an absolute `scheme://authority...` URL (applied to every
+  * reference in the document — the pre-HTML5 rule, and what a crawler
+  * wants: one base per page). Resolution dialect (fixed so the DuckDB
+  * oracle can state closed forms):
+  *
+  *   - a url with its own scheme (`name:`) passes through;
+  *   - `//host/...` takes the base scheme;
+  *   - `/path` takes scheme://authority;
+  *   - empty or `#...` resolves to the base URL as written;
+  *   - anything else appends to the base path's directory (up to and
+  *     including the last '/'); dot segments are NOT normalized (that
+  *     is [[graft.functions.Urls.canonicalizeUrl]]'s layer, which also
+  *     owns case/port/tracking-param normalization).
+  *
+  * Without a usable base, urls pass through as written. References in
+  * comments/script/style never count. CodegenFallback: the walk
+  * dominates.
+  */
+case class HtmlRefs(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_html_refs requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("url", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_html_refs"
+
+  /** True when `u` starts with a URI scheme (letter, then
+    * letters/digits/+/-/. up to ':' before any '/', '?' or '#').
+    */
+  private def hasScheme(u: String): Boolean = {
+    if (u.isEmpty || !HtmlWalk.isLetter(u.charAt(0))) return false
+    var i = 1
+    while (i < u.length) {
+      val c = u.charAt(i)
+      if (c == ':') return true
+      if (!(HtmlWalk.isLetter(c) || (c >= '0' && c <= '9') ||
+        c == '+' || c == '-' || c == '.')) return false
+      i += 1
+    }
+    false
+  }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    val raws = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var base: String = null
+    HtmlWalk.walk(s, onText = _ => (), onTag = (name, lt, end) => name match {
+      case "a" =>
+        val u = HtmlAttr.attrIn(s, lt, end, "href")
+        if (u != null) raws += (("a", u))
+      case "img" =>
+        val u = HtmlAttr.attrIn(s, lt, end, "src")
+        if (u != null) raws += (("img", u))
+      case "link" =>
+        val rel = HtmlAttr.attrIn(s, lt, end, "rel")
+        if (rel != null && rel.trim.equalsIgnoreCase("canonical")) {
+          val u = HtmlAttr.attrIn(s, lt, end, "href")
+          if (u != null) raws += (("canonical", u))
+        }
+      case "base" if base == null =>
+        val u = HtmlAttr.attrIn(s, lt, end, "href")
+        if (u != null && hasScheme(u) && u.indexOf("://") > 0 &&
+          u.length > u.indexOf("://") + 3 &&
+          "/?#".indexOf(u.charAt(u.indexOf("://") + 3)) < 0) base = u
+      case _ => ()
+    })
+    // split the base once: scheme, authority, path directory
+    var scheme: String = null; var auth: String = null; var dir: String = null
+    if (base != null) {
+      val ss = base.indexOf("://")
+      scheme = base.substring(0, ss)
+      var ae = ss + 3
+      while (ae < base.length && "/?#".indexOf(base.charAt(ae)) < 0) ae += 1
+      auth = base.substring(ss + 3, ae)
+      var pe = ae
+      while (pe < base.length && "?#".indexOf(base.charAt(pe)) < 0) pe += 1
+      val path = base.substring(ae, pe)
+      val slash = path.lastIndexOf('/')
+      dir = if (slash < 0) "/" else path.substring(0, slash + 1)
+    }
+    def resolve(u: String): String =
+      if (hasScheme(u) || base == null) u
+      else if (u.startsWith("//")) scheme + ":" + u
+      else if (u.startsWith("/")) scheme + "://" + auth + u
+      else if (u.isEmpty || u.charAt(0) == '#') base
+      else scheme + "://" + auth + dir + u
+    val rows = raws.map { case (kind, u) =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(kind), UTF8String.fromString(resolve(u)))
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(rows.toArray)
+  }
 
   override protected def withNewChildInternal(
-      newChild: Expression): HtmlLinks = copy(child = newChild)
+      newChild: Expression): HtmlRefs = copy(child = newChild)
 }
 
 object HtmlExprs {
@@ -349,4 +476,6 @@ object HtmlExprs {
     Bridge.column(HtmlToText(Bridge.expression(s)))
   def htmlLinks(s: Column): Column =
     Bridge.column(HtmlLinks(Bridge.expression(s)))
+  def htmlRefs(s: Column): Column =
+    Bridge.column(HtmlRefs(Bridge.expression(s)))
 }

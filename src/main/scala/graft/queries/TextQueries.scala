@@ -469,6 +469,78 @@ object TextQueries {
           .as(Seq("ord", "href")))
     }),
 
+    // ---- typed reference extraction with base-href resolution: the
+    //      crawl-frontier feed. The generated page carries a base (a
+    //      second base that must be ignored), a canonical link (plus a
+    //      stylesheet link that must not count), absolute / protocol-
+    //      relative / directory-relative / root-relative / fragment
+    //      hrefs, an img src, and comment/script decoys; the oracle
+    //      states every resolved (kind, url) in document order ----
+    "t_html_refs" -> ((s, dir) => {
+      val html = concat(
+        lit("<head><base href=\"https://EX.org:443/a/b/page.html?x=1\">"),
+        lit("<base href=\"https://second.ignored/\">"),
+        lit("<link rel=\"canonical\" href=\"/canon/"), col("doc_id"),
+        lit("\"><link rel=\"stylesheet\" href=\"/style.css\">"),
+        lit("</head><body><a href=\"https://other.net/abs/"),
+        col("doc_id"), lit("\">x</a>"),
+        lit(" <a href=\"//cdn.ex.org/p/"), col("doc_id"), lit("\">y</a>"),
+        lit(" <a href=\"rel/"), col("doc_id"), lit("\">z</a>"),
+        lit(" <a href=\"/root/"), col("doc_id"),
+        lit("?a=1&amp;b=2\">r</a> <a href=\"#frag\">f</a>"),
+        lit(" <img src=\"img/"), col("doc_id"), lit(".jpg\">"),
+        lit("<!-- <a href=\"http://comment.skip/x\">no</a> -->"),
+        lit("<script>var s='<a href=\"http://script.skip/y\">';</script>"),
+        lit("</body>"))
+      t(s, dir, "documents").select(col("doc_id"),
+          posexplode(graft.expressions.HtmlExprs.htmlRefs(html)))
+        .select(col("doc_id"), col("pos").as("ord"),
+          col("col.kind").as("kind"), col("col.url").as("url"))
+    }),
+
+    // ---- crawl frontier: the reference's manifest-vs-storage
+    //      partition (app/app.py:100-154) re-expressed for crawl
+    //      state — outlinks extracted from generated pages (typed
+    //      refs, base resolution), canonicalized (case/port/tracking-
+    //      param/fragment normalization collapses the surface forms),
+    //      deduplicated, anti-joined against the ALREADY-CRAWLED set
+    //      (docs < 300), and massed per host: the next wave's fetch
+    //      budget. Shapes: map-side extract → distinct + one
+    //      equi-join on the canonical url key → map-combinable
+    //      per-host agg — at crawl scale the known-set side is the
+    //      persisted URL table this same query maintains ----
+    "f_frontier" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val html = concat(
+        lit("<head><base href=\"https://ex"), pmod(col("doc_id"), lit(10)),
+        lit(".org/sec/page.html\"></head><body>"),
+        lit("<a href=\"//ex"), pmod(col("doc_id") + 1, lit(10)),
+        lit(".org/d/"), col("doc_id") + 1,
+        lit("?utm_source=feed\">n</a> <a href=\"/p/"), col("doc_id"),
+        lit("\">p</a> <a href=\"HTTPS://EX"),
+        pmod(col("doc_id") + 1, lit(10)), lit(".ORG:443/d/"),
+        col("doc_id") + 1, lit("#top\">d</a> <img src=\"/i/"),
+        col("doc_id"), lit(".jpg\">"),
+        lit("<!-- <a href=\"http://comment.skip/x\">no</a> --></body>"))
+      val refs = d.select(
+          explode(graft.expressions.HtmlExprs.htmlRefs(html)).as("r"))
+        .filter(col("r.kind") === "a")
+        .select(graft.functions.Urls.canonicalizeUrl(col("r.url"))
+          .as("url"))
+        .filter(col("url").isNotNull)
+        .distinct()
+      val crawled = d.filter(col("doc_id") < 300)
+        .select(concat(lit("https://ex"), pmod(col("doc_id"), lit(10)),
+          lit(".org/d/"), col("doc_id")).as("url"))
+        .withColumn("known", lit(true))
+      refs.join(crawled, Seq("url"), "left")
+        .select(regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1)
+          .as("host"), col("known"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_new"))
+    }),
+
     // ---- within-document repetition (Gopher duplicate-n-gram signal)
     //      over a corpus where half the docs get their own first half
     //      appended — those must score high, originals near zero ----
@@ -2801,6 +2873,49 @@ object TextQueries {
         |    '/rel/' || doc_id, 'plain' || doc_id])[CAST(i + 1 AS INT)]
         |    AS href
         |FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS i)""".stripMargin,
+
+    // the seven live refs per document in order, each resolved against
+    // the FIRST base (second base ignored, stylesheet link ignored,
+    // comment/script decoys contribute none): root-relative takes
+    // scheme://authority, protocol-relative takes the scheme,
+    // dir-relative appends to /a/b/, fragment-only resolves to the
+    // base as written, absolute passes through — no case/port
+    // normalization at this layer (that is canonicalize's job)
+    "t_html_refs" ->
+      """SELECT doc_id, CAST(i AS INT) AS ord,
+        |  (['canonical', 'a', 'a', 'a', 'a', 'a', 'img'])
+        |    [CAST(i + 1 AS INT)] AS kind,
+        |  (['https://EX.org:443/canon/' || doc_id,
+        |    'https://other.net/abs/' || doc_id,
+        |    'https://cdn.ex.org/p/' || doc_id,
+        |    'https://EX.org:443/a/b/rel/' || doc_id,
+        |    'https://EX.org:443/root/' || doc_id || '?a=1&b=2',
+        |    'https://EX.org:443/a/b/page.html?x=1',
+        |    'https://EX.org:443/a/b/img/' || doc_id || '.jpg'])
+        |    [CAST(i + 1 AS INT)] AS url
+        |FROM documents CROSS JOIN (SELECT unnest(range(0, 7)) AS i)""".stripMargin,
+
+    // the frontier in closed form: the three 'a' links canonicalize to
+    // two urls (the cased/ported variant collapses onto the protocol-
+    // relative one, tracking param and fragment vanish), /p/ pages are
+    // always new, /d/ pages are known when the target id was crawled
+    "f_frontier" ->
+      """WITH cand AS (SELECT DISTINCT url FROM (
+        |    SELECT 'https://ex' || ((doc_id + 1) % 10) || '.org/d/'
+        |      || (doc_id + 1) AS url FROM documents
+        |    UNION ALL SELECT 'https://ex' || (doc_id % 10) || '.org/p/'
+        |      || doc_id FROM documents
+        |    UNION ALL SELECT 'https://ex' || ((doc_id + 1) % 10)
+        |      || '.org/d/' || (doc_id + 1) FROM documents)),
+        |crawled AS (SELECT 'https://ex' || (doc_id % 10) || '.org/d/'
+        |    || doc_id AS url FROM documents WHERE doc_id < 300),
+        |j AS (SELECT c.url, cr.url IS NOT NULL AS known
+        |  FROM cand c LEFT JOIN crawled cr ON c.url = cr.url)
+        |SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+        |  CAST(COUNT(*) AS BIGINT) AS n_candidates,
+        |  CAST(SUM(CASE WHEN NOT known THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new
+        |FROM j GROUP BY host""".stripMargin,
 
     // greedy longest-match replayed as a recursive CTE: each step
     // consumes the longest vocab piece prefixing the rest, single

@@ -99,6 +99,55 @@ class HtmlSpec extends SparkSpec {
     assert(links("<a hreflang=\"en\">t</a>") == Seq.empty)
   }
 
+  private def refs(html: String): Seq[(String, String)] =
+    Seq(html).toDF("h").select(HtmlExprs.htmlRefs(col("h")))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getString(1)))
+
+  test("HtmlRefs: typed refs resolve against the first usable base") {
+    val base = "<base href=\"https://h.org/a/b/c.html\">"
+    // no base: urls pass through as written
+    assert(refs("<a href=\"x/y\">t</a><img src=\"/i.png\">") ==
+      Seq(("a", "x/y"), ("img", "/i.png")))
+    // each resolution rule
+    assert(refs(s"$base<a href=\"x/y\">t</a>") ==
+      Seq(("a", "https://h.org/a/b/x/y")))
+    assert(refs(s"$base<a href=\"/top\">t</a>") ==
+      Seq(("a", "https://h.org/top")))
+    assert(refs(s"$base<a href=\"//cdn.io/z\">t</a>") ==
+      Seq(("a", "https://cdn.io/z")))
+    assert(refs(s"$base<a href=\"#frag\">t</a>") ==
+      Seq(("a", "https://h.org/a/b/c.html")))
+    assert(refs(s"$base<a href=\"mailto:x@y.z\">t</a>") ==
+      Seq(("a", "mailto:x@y.z"))) // own scheme passes through
+    // base with no path directory resolves relative against '/'
+    assert(refs("<base href=\"https://h.org\"><a href=\"p\">t</a>") ==
+      Seq(("a", "https://h.org/p")))
+    // only the FIRST usable base applies; relative/garbage bases skip
+    assert(refs("<base href=\"notaurl\"><base href=\"https://ok.io/d/\">" +
+      "<base href=\"https://second.io/\"><a href=\"p\">t</a>") ==
+      Seq(("a", "https://ok.io/d/p")))
+    // dot segments are NOT normalized at this layer
+    assert(refs(s"$base<a href=\"../up\">t</a>") ==
+      Seq(("a", "https://h.org/a/b/../up")))
+  }
+
+  test("HtmlRefs: canonical link needs rel=canonical; decoys excluded") {
+    assert(refs("<link rel=\"canonical\" href=\"https://c.io/p\">" +
+      "<link rel=\"stylesheet\" href=\"/s.css\">" +
+      "<link href=\"/norel.css\">" +
+      "<LINK REL='CANONICAL' HREF='https://c.io/q'>") ==
+      Seq(("canonical", "https://c.io/p"), ("canonical", "https://c.io/q")))
+    // img needs src; comment/script decoys never count
+    assert(refs("<img alt=\"x\"><img src=\"u.jpg\">" +
+      "<!-- <a href=\"c\">n</a> --><script>'<img src=\"s\">'</script>") ==
+      Seq(("img", "u.jpg")))
+    // document order is preserved across kinds
+    assert(refs("<a href=\"1\">a</a><img src=\"2\">" +
+      "<link rel=\"canonical\" href=\"3\"><a href=\"4\">b</a>")
+      .map(_._2) == Seq("1", "2", "3", "4"))
+  }
+
   test("SQL surface: graft_html_to_text / graft_html_links registered") {
     GraftExtensions.register(spark)
     val r = spark.sql(
