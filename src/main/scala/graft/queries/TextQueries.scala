@@ -137,6 +137,39 @@ object TextQueries {
     UnigramEmState(vocab, scored, perPiece, totalEc, forward, ll, mStep)
   }
 
+  /** Temp path of the persisted tokenizer-model artifact, induced and
+    * written once per (data directory, kind) — the fixture is the
+    * WRITE; the gated queries are the artifact READ + encode paths.
+    */
+  private val tokMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def tokenizerArtifact(s: SparkSession, dir: String, kind: String)
+      : graft.operators.Tokenizer.VocabModel = {
+    val Tok = graft.operators.Tokenizer
+    val p = tokMemo.computeIfAbsent(s"$dir#$kind", _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_tok").toString + "/" + kind
+      val wf = Tok.wordFreqs(t(s, dir, "documents")).localCheckpoint(false)
+      val pieces = Tok.induceVocab(wf, kind).localCheckpoint(false)
+      val pcs = pieces.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val uses = kind match {
+        case "wordpiece" => Tok.pieceUses(wf,
+          graft.expressions.TextExprs.wordpiece(col("word"),
+            array(pcs.map(x => lit(x._1)): _*)))
+        case _ =>
+          val scored = Tok.scoreMapE6(s,
+            Tok.VocabModel(kind, pcs.map(_._2).sum, pcs))
+          val (_, dp) = Tok.viterbi(col("word"), scored)
+          Tok.pieceUses(wf.withColumn("__dp", dp),
+            Tok.viterbiPieces(col("word"), col("__dp")))
+      }
+      Tok.writeVocab(s, path, kind, pieces, uses)
+      path
+    })
+    Tok.readVocab(s, p)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_token_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -971,40 +1004,52 @@ object TextQueries {
           round(log(col("w").cast("double") / lit(tot.toDouble))
             * lit(1e6), 0).cast("long").as("sc"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val scoreMap = typedLit(scored) // model-sized plan literal
+      // the DP + backpointer walk live in operators.Tokenizer (shared
+      // with the encode-from-artifact path)
       val L = length(col("word"))
-      val dp = aggregate(
-        sequence(lit(1), L),
-        array(struct(lit(0L).as("s"), lit(0).as("bp"))),
-        (acc, j) => {
-          val cands = filter(
-            transform(sequence(lit(1), lit(8)), l => {
-              // null-safe throughout: l > j makes get() return null,
-              // an out-of-vocab piece makes try_element_at null —
-              // either nulls the score and the filter drops it
-              val piece = col("word").substr(j - l + lit(1), l)
-              val sTot = get(acc, j - l).getField("s") +
-                try_element_at(scoreMap, piece)
-              struct(sTot.as("s"), (lit(0) - l).as("negl"), l.as("bp"))
-            }),
-            c => c.getField("s").isNotNull)
-          val mx = array_max(cands)
-          concat(acc, array(struct(mx.getField("s").as("s"),
-            mx.getField("bp").as("bp"))))
-        })
-      val rec = aggregate(
-        sequence(lit(1), L),
-        struct(L.as("pos"), array().cast("array<string>").as("ps")),
-        (st, _) => {
-          val pos = st.getField("pos")
-          val bp = get(col("__dp"), pos).getField("bp")
-          when(pos > 0, struct((pos - bp).as("pos"),
-            concat(array(col("word").substr(pos - bp + lit(1), bp)),
-              st.getField("ps")).as("ps")))
-            .otherwise(st)
-        })
+      val (_, dp) = graft.operators.Tokenizer.viterbi(col("word"), scored)
       wf.withColumn("__dp", dp)
-        .withColumn("__ps", rec.getField("ps"))
+        .withColumn("__ps", graft.operators.Tokenizer
+          .viterbiPieces(col("word"), col("__dp")))
+        .select(col("word"), col("freq"),
+          get(col("__dp"), L).getField("s").as("score_e6"),
+          size(col("__ps")).as("n_pieces"),
+          array_join(col("__ps"), "|").as("enc"))
+    }),
+
+    // ---- tokenizer-model ARTIFACT, read path: the WordPiece
+    //      vocabulary is induced and persisted ONCE per corpus
+    //      (operators.Tokenizer — pieces/meta/uses tables, the
+    //      k-means-artifact treatment), and this query encodes from
+    //      the ARTIFACT: vocabulary read back from parquet, greedy
+    //      longest-match encode over the word-type table. Output is
+    //      defined to equal t_wordpiece (longs round-trip parquet
+    //      exactly — the TokenizerSpec lifecycle law), so the oracle
+    //      is the same greedy recursive-CTE replay ----
+    "t_wordpiece_artifact" -> ((s, dir) => {
+      val m = tokenizerArtifact(s, dir, "wordpiece")
+      val wf = graft.operators.Tokenizer.wordFreqs(t(s, dir, "documents"))
+      val pieces = graft.expressions.TextExprs.wordpiece(col("word"),
+        array(m.vocabList.map(lit): _*))
+      wf.select(col("word"), col("freq"),
+        size(pieces).as("n_pieces"),
+        array_join(pieces, "|").as("enc"))
+    }),
+
+    // ---- the unigram twin of the artifact read path: piece scores
+    //      rebuilt from the PERSISTED (piece, w) table + w_total
+    //      through the same quantization expression, Viterbi encode
+    //      from the artifact; defined to equal t_unigram_viterbi ----
+    "t_unigram_artifact" -> ((s, dir) => {
+      val m = tokenizerArtifact(s, dir, "unigram")
+      val scored = graft.operators.Tokenizer.scoreMapE6(s, m)
+      val wf = graft.operators.Tokenizer.wordFreqs(t(s, dir, "documents"))
+        .localCheckpoint(false)
+      val L = length(col("word"))
+      val (_, dp) = graft.operators.Tokenizer.viterbi(col("word"), scored)
+      wf.withColumn("__dp", dp)
+        .withColumn("__ps", graft.operators.Tokenizer
+          .viterbiPieces(col("word"), col("__dp")))
         .select(col("word"), col("freq"),
           get(col("__dp"), L).getField("s").as("score_e6"),
           size(col("__ps")).as("n_pieces"),
@@ -1912,7 +1957,15 @@ object TextQueries {
         |    * ROUND(ln(a[len(word) + 1]), 9), 6) AS DECIMAL(28,6)))
         |    AS DOUBLE), 6) AS ll_post FROM fwd2 WHERE j = len(word))""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  /** The artifact read paths are DEFINED to equal their induce-and-
+    * encode siblings (longs round-trip parquet exactly; TokenizerSpec
+    * proves the law), so they share those oracles verbatim.
+    */
+  lazy val oracleSql: Map[String, String] = oracleBase ++ Map(
+    "t_wordpiece_artifact" -> oracleBase("t_wordpiece"),
+    "t_unigram_artifact" -> oracleBase("t_unigram_viterbi"))
+
+  private lazy val oracleBase: Map[String, String] = Map(
     "t_bigram_lm" ->
       s"""WITH ng AS (SELECT unnest(
          |    CASE WHEN len($tok) < 2 THEN []
