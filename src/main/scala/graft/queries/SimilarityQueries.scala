@@ -472,16 +472,21 @@ object SimilarityQueries {
     //      that surfaces corrupt/degenerate vectors (all-zero dims,
     //      scale blowups) before they poison ANN recall. Reuses the
     //      s_embed_mmd moment discipline (order-invariant DECIMAL
-    //      sums); per-vector z² is a pos-ordered 64-term fold
-    //      (bounded by dims, not corpus); σ²=0 dims clamp at 1e-12.
+    //      sums) for ONE explode pass; the moments table is
+    //      dim-bounded (64 rows — model-sized), so it collects into
+    //      plan-literal μ/σ² arrays and the scoring pass is a pure
+    //      map-side fold over each vector IN POS ORDER — the same
+    //      left-assoc term tree the old explode→join→regroup plan
+    //      folded after its sort_array, so z² is bit-identical while
+    //      the scan loses its checkpoint materialization, its 64-way
+    //      broadcast join over the exploded frame, and its
+    //      collect_list regroup shuffle. σ²=0 dims clamp at 1e-12.
     //      TakeOrdered-bounded: only the top 20 leave the scan. ----
     "s_embed_outliers" -> ((s, dir) => {
-      val ex = t(s, dir, "embeddings")
-        .select(col("vec_id"),
-          posexplode(col("embedding").cast("array<double>"))
-            .as(Seq("pos", "x")))
-        .localCheckpoint(false) // moments + scoring passes
-      val mom = ex.groupBy("pos").agg(count(lit(1)).as("n"),
+      val mom = t(s, dir, "embeddings")
+        .select(posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "x")))
+        .groupBy("pos").agg(count(lit(1)).as("n"),
           sum(round(col("x"), 6).cast("decimal(18,6)")).as("sx"),
           sum(round(col("x") * col("x"), 12).cast("decimal(30,12)"))
             .as("sxx"))
@@ -490,16 +495,20 @@ object SimilarityQueries {
           col("sxx").cast("double") / col("n") - col("mu") * col("mu"),
           lit(1e-12)))
         .select("pos", "mu", "v")
-      ex.join(broadcast(mom), "pos")
-        .select(col("vec_id"), col("pos"),
-          (((col("x") - col("mu")) * (col("x") - col("mu"))) / col("v"))
-            .as("term"))
-        .groupBy("vec_id")
-        .agg(sort_array(collect_list(struct(col("pos"), col("term"))))
-          .as("ts"))
+        .orderBy("pos")
+        .collect() // dim-bounded: 64 rows, the k-means-centroid shape
+      val muLit = typedLit(mom.map(_.getDouble(1)).toSeq)
+      val vLit = typedLit(mom.map(_.getDouble(2)).toSeq)
+      t(s, dir, "embeddings")
         .select(col("vec_id"),
-          aggregate(col("ts"), lit(0.0),
-            (a, e) => a + e.getField("term")).as("z2raw"))
+          col("embedding").cast("array<double>").as("e"))
+        .select(col("vec_id"),
+          aggregate(sequence(lit(0), size(col("e")) - 1), lit(0.0),
+            (a, i) => {
+              val x = get(col("e"), i)
+              val d = x - get(muLit, i)
+              a + (d * d) / get(vLit, i)
+            }).as("z2raw"))
         .orderBy(col("z2raw").desc, col("vec_id").asc).limit(20)
         .select(col("vec_id"), round(col("z2raw"), 6).as("z2"))
     }),
