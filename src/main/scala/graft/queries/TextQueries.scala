@@ -574,6 +574,43 @@ object TextQueries {
           sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_new"))
     }),
 
+    // ---- robots.txt gate over the frontier: one robots payload per
+    //      host assembled from table values (a decoy group for
+    //      another bot, the `*` group disallowing /p/ with an
+    //      /p/open carve-out, and for host%3==0 a graft-specific
+    //      group that OVERRIDES `*` and disallows /d/ instead), parsed
+    //      by the column-algebra fold in functions.Robots; per-URL
+    //      longest-match decision (Allow beats Disallow on ties), and
+    //      the per-host allowed/blocked budget the fetch scheduler
+    //      consumes. Rules tables are host-bounded → broadcast; the
+    //      decision is map-side ----
+    "f_robots_gate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val robots = d.select(pmod(col("doc_id"), lit(10)).as("host"))
+        .distinct()
+        .select(col("host"), concat(
+          lit("# crawl policy\nUser-agent: other-bot\nDisallow: /\n\n"),
+          lit("User-agent: *\nDisallow: /p/\nAllow: /p/open\n"),
+          when(col("host") % 3 === 0,
+            lit("User-agent: graft\nDisallow: /d/\n"))
+            .otherwise(lit(""))).as("txt"))
+        .select(col("host"),
+          graft.functions.Robots.parseRules(col("txt")).as("rules"))
+      val cands = d.select(pmod(col("doc_id"), lit(10)).as("host"),
+        explode(array(
+          concat(lit("/d/"), col("doc_id")),
+          concat(lit("/p/"), col("doc_id")),
+          concat(lit("/p/open"), col("doc_id")))).as("path"))
+      cands.join(broadcast(robots), "host")
+        .select(col("host"), col("path"),
+          graft.functions.Robots.isAllowed(col("rules"), col("path"))
+            .as("ok"))
+        .groupBy("host").agg(
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_allowed"),
+          sum(when(!col("ok"), 1L).otherwise(0L)).as("n_blocked"),
+          min(when(!col("ok"), col("path"))).as("first_blocked"))
+    }),
+
     // ---- within-document repetition (Gopher duplicate-n-gram signal)
     //      over a corpus where half the docs get their own first half
     //      appended — those must score high, originals near zero ----
@@ -2947,6 +2984,27 @@ object TextQueries {
         |    'https://EX.org:443/a/b/img/' || doc_id || '.jpg'])
         |    [CAST(i + 1 AS INT)] AS url
         |FROM documents CROSS JOIN (SELECT unnest(range(0, 7)) AS i)""".stripMargin,
+
+    // the robots decision in closed form per the generated policy:
+    // graft-override hosts block /d/ only; everyone else blocks /p/
+    // except the /p/open carve-out (longest match, allow wins ties)
+    "f_robots_gate" ->
+      """WITH c AS (SELECT doc_id % 10 AS host,
+        |    unnest(['/d/' || doc_id, '/p/' || doc_id,
+        |            '/p/open' || doc_id]) AS path
+        |  FROM documents),
+        |dec AS (SELECT host, path,
+        |    CASE WHEN host % 3 = 0 THEN NOT starts_with(path, '/d/')
+        |         ELSE NOT (starts_with(path, '/p/')
+        |                   AND NOT starts_with(path, '/p/open'))
+        |    END AS ok FROM c)
+        |SELECT host,
+        |  CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_allowed,
+        |  CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_blocked,
+        |  MIN(CASE WHEN NOT ok THEN path END) AS first_blocked
+        |FROM dec GROUP BY host""".stripMargin,
 
     // the frontier in closed form: the three 'a' links canonicalize to
     // two urls (the cased/ported variant collapses onto the protocol-
