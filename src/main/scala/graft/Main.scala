@@ -41,6 +41,10 @@ import graft.operators.{Dedup, MoveSink, Report, Similarity}
   *     [--langs en,de]        language allow-list stage
   *     [--quota N]            per-group keep cap
   *     [--quota-col source]   the quota group column (default source)
+  *     [--update-index]       after a real run, append the KEPT docs
+  *                            to --dedup-index (retire-aside swap) —
+  *                            the daily-loop closure: tomorrow's
+  *                            near-dup screen sees today's keepers
   * Prints the per-stage funnel report; kept documents land in
   * `--output` as (doc_id, text) clean text. `--dry-run` audits only.
   *
@@ -123,7 +127,8 @@ object Main {
                                 dedup: Boolean = false,
                                 dedupIndex: Option[String] = None,
                                 langs: Option[Seq[String]] = None,
-                                quota: Option[(String, Int)] = None)
+                                quota: Option[(String, Int)] = None,
+                                updateIndex: Boolean = false)
 
   /** Collect `--flag value` pairs (plus bare `--dry-run`), failing
     * loudly on anything not in `known` — a typoed flag on an
@@ -156,12 +161,17 @@ object Main {
   }
 
   private val curateFlags = Set("dry-run", "input", "output", "dedup",
-    "dedup-index", "langs", "quota", "quota-col")
-  private val curateBare = Set("dry-run", "dedup")
+    "dedup-index", "langs", "quota", "quota-col", "update-index")
+  private val curateBare = Set("dry-run", "dedup", "update-index")
 
   private[graft] def parseCurate(args: Seq[String]): CurateConfig = {
     val flags = parseFlags(args, curateFlags, curateBare)
     val dry = flags.contains("dry-run")
+    val upd = flags.contains("update-index")
+    if (upd && !flags.contains("dedup-index"))
+      fail("--update-index needs --dedup-index PATH (the artifact to append to)")
+    if (upd && dry)
+      fail("--update-index is a mutation; it cannot combine with --dry-run")
     CurateConfig(
       input = flags.getOrElse("input", fail("missing --input PARQUET")),
       output = flags.getOrElse("output",
@@ -172,7 +182,42 @@ object Main {
       langs = flags.get("langs")
         .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)),
       quota = flags.get("quota").map(q =>
-        (flags.getOrElse("quota-col", "source"), q.toInt)))
+        (flags.getOrElse("quota-col", "source"), q.toInt)),
+      updateIndex = upd)
+  }
+
+  /** Execute the curate verb: run [[Pipelines.pipelineC]] with the
+    * configured stages, optionally append the KEPT documents to the
+    * persisted band index (`--update-index` — the daily-loop closure:
+    * tomorrow's near-dup screen sees today's keepers), and return the
+    * funnel report the CLI prints.
+    */
+  private[graft] def runCurate(spark: SparkSession,
+                               cfg: CurateConfig): DataFrame = {
+    val idx = cfg.dedupIndex.map(Dedup.readBandIndex(spark, _))
+    val (decisions, written) = Pipelines.pipelineC(
+      spark, cfg.input, cfg.output, cfg.dryRun,
+      dedup = cfg.dedup, dedupIndex = idx,
+      allowedLangs = cfg.langs, quota = cfg.quota)
+    written.foreach(n => println(s"Wrote $n documents to ${cfg.output}"))
+    // materialize the report BEFORE any index mutation: its plan scans
+    // the pre-swap artifact files, which the swap retires
+    val report =
+      if (cfg.updateIndex) Pipelines.curationReport(decisions)
+        .localCheckpoint(true)
+      else Pipelines.curationReport(decisions)
+    if (cfg.updateIndex) {
+      val path = cfg.dedupIndex.get
+      val kept = spark.read.parquet(cfg.output)
+      val fresh = Dedup.buildBandIndex(kept, "doc_id", "text",
+        n = 5, bands = 3, rowsPerBand = 2)
+      Dedup.writeBandIndex(
+        Dedup.mergeBandIndex(Dedup.readBandIndex(spark, path), fresh),
+        s"$path.next")
+      Dedup.swapDirs(spark, path, s"$path.next")
+      println(s"Appended kept documents to $path")
+    }
+    report
   }
 
   final case class IndexConfig(
@@ -482,15 +527,8 @@ object Main {
       cfg.langs.foreach(l => println(s"Languages:   ${l.mkString(",")}"))
       cfg.quota.foreach { case (c, n) => println(s"Quota:       $n per $c") }
       val spark = session()
-      try {
-        val idx = cfg.dedupIndex.map(Dedup.readBandIndex(spark, _))
-        val (decisions, written) = Pipelines.pipelineC(
-          spark, cfg.input, cfg.output, cfg.dryRun,
-          dedup = cfg.dedup, dedupIndex = idx,
-          allowedLangs = cfg.langs, quota = cfg.quota)
-        Pipelines.curationReport(decisions).show(truncate = false)
-        written.foreach(n => println(s"Wrote $n documents to ${cfg.output}"))
-      } finally spark.stop()
+      try runCurate(spark, cfg).show(truncate = false)
+      finally spark.stop()
       return
     }
     if (args.headOption.contains("index")) {

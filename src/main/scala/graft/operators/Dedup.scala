@@ -842,6 +842,10 @@ object Dedup {
       throw new IllegalStateException(s"swap failed: $tmp -> $path")
     }
     fs.delete(retired, true)
+    // the session's FileStatusCache still lists the RETIRED part
+    // files under the live path — a same-session reader after the
+    // swap would chase deleted files; drop the stale listings
+    spark.catalog.refreshByPath(path)
   }
 
   /** Right-to-be-forgotten over the index: erasing documents from the

@@ -115,6 +115,49 @@ class MainSpec extends SparkSpec {
     assert(!off.dedup && off.langs.isEmpty && off.quota.isEmpty)
   }
 
+  test("curate --update-index: the daily loop — today's keepers screen tomorrow") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-curate-loop")
+    val tA = "the quick brown fox jumps over the lazy dog again and again"
+    val tB = "every bird sings while the green tree waves and water runs fast"
+    val tC = "some people walk along this quiet road and watch the old town"
+    // day 0: the historical index holds text A
+    Seq((1000L, tA)).toDF("doc_id", "text")
+      .write.parquet(s"$root/hist.parquet")
+    Main.runIndex(spark, Main.parseIndex(Seq("build", "--kind", "band",
+      "--index", s"$root/idx", "--input", s"$root/hist.parquet"))).collect()
+    // day 1: a re-crawl of A (near-dup → dropped) plus fresh B and C
+    Seq((1L, s"<p>$tA</p>"), (2L, s"<p>$tB</p>"), (3L, s"<p>$tC</p>"))
+      .toDF("doc_id", "text").write.parquet(s"$root/day1.parquet")
+    val rep1 = Main.runCurate(spark, Main.parseCurate(Seq(
+        "--input", s"$root/day1.parquet", "--output", s"$root/out1.parquet",
+        "--dedup-index", s"$root/idx", "--update-index")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep1("dup_near") === 1L && rep1("kept") === 2L)
+    // the artifact grew by the two keepers (crash-safe swap, no .next)
+    assert(!Files.exists(JPath.of(s"$root/idx.next")))
+    val sets = graft.operators.Dedup.readBandIndex(spark, s"$root/idx")
+      .sets.collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(sets === Seq(2L, 3L, 1000L))
+    // day 2: a re-crawl of B under a NEW id is now caught by the index
+    Seq((10L, s"<p>$tB</p>")).toDF("doc_id", "text")
+      .write.parquet(s"$root/day2.parquet")
+    val rep2 = Main.runCurate(spark, Main.parseCurate(Seq(
+        "--input", s"$root/day2.parquet", "--output", s"$root/out2.parquet",
+        "--dedup-index", s"$root/idx")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep2("dup_near") === 1L && rep2("kept") === 0L)
+    // the mutation flag is validated at parse time
+    intercept[IllegalArgumentException] {
+      Main.parseCurate(Seq("--input", "/i", "--update-index", "--dry-run",
+        "--dedup-index", "/x"))
+    }
+    intercept[IllegalArgumentException] {
+      Main.parseCurate(Seq("--input", "/i", "--output", "/o",
+        "--update-index"))
+    }
+  }
+
   test("parseCurate: input always required, output only for real runs") {
     intercept[IllegalArgumentException] { Main.parseCurate(Seq.empty) }
     intercept[IllegalArgumentException] { // real run needs an output
