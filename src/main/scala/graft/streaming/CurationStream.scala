@@ -146,6 +146,34 @@ object CurationStream {
     graft.Pipelines.curateChain(batch, idCol, textCol, dedup, index,
       allowedLangs, quota)
 
+  /** Frontier screening at ingest — the streaming half of
+    * `f_frontier`: typed outlinks (`graft_html_refs`, base-href
+    * resolved) extracted and canonicalized STATELESSLY from each
+    * arriving page, then flagged against a static known-URL frame via
+    * a stream-static left join (append-legal — the crawl-state
+    * analogue of pipeline B's existence join; the known set is the
+    * persisted URL table the batch frontier maintains). Emits one row
+    * per 'a'-candidate: (idCol, url, host, known) — a sink routes
+    * unknown urls to the fetch queue as pages stream in, instead of
+    * waiting for the nightly frontier job.
+    */
+  def frontierScreen(docs: DataFrame, known: DataFrame,
+                     idCol: String = "doc_id",
+                     htmlCol: String = "text"): DataFrame = {
+    val refs = docs.select(col(idCol),
+        explode(graft.expressions.HtmlExprs.htmlRefs(col(htmlCol)))
+          .as("r"))
+      .filter(col("r.kind") === "a")
+      .select(col(idCol),
+        graft.functions.Urls.canonicalizeUrl(col("r.url")).as("url"))
+      .filter(col("url").isNotNull)
+    refs.join(known.select(col("url")).withColumn("__k", lit(true)),
+        Seq("url"), "left")
+      .select(col(idCol), col("url"),
+        regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1).as("host"),
+        coalesce(col("__k"), lit(false)).as("known"))
+  }
+
   /** DSIR importance scoring at ingest: the offline-built λ table
     * (collected once via [[graft.operators.Dsir.lamLiteral]]) rides
     * as a plan literal, and each arriving document gets its log

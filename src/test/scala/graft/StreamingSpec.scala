@@ -885,6 +885,36 @@ class StreamingSpec extends SparkSpec {
       Map(0L -> true, 1L -> true, 2L -> false, 3L -> false, 4L -> true))
   }
 
+  test("streaming frontierScreen: stream-static known join bit-equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "<p><a href=\"https://ex.org/d/1?utm_source=x\">a</a>" +
+        " <a href=\"HTTPS://EX.ORG:443/d/2#f\">b</a></p>"),
+      (2L, "<base href=\"https://h.io/a/\"><a href=\"p/3\">c</a>" +
+        "<img src=\"/skip.jpg\"><!-- <a href=\"http://no/\">x</a> -->"))
+    val known = Seq("https://ex.org/d/1").toDF("url")
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.CurationStream.frontierScreen(
+        mem.toDF().toDF("doc_id", "text"), known)
+      .writeStream.format("memory").queryName("frontier")
+      .outputMode("append").start()
+    try { mem.addData(docs); q.processAllAvailable() } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getBoolean(3))).sortBy(t => (t._1, t._2)).toSeq
+    val got = rows(spark.sql("SELECT * FROM frontier"))
+    val want = rows(graft.streaming.CurationStream.frontierScreen(
+      docs.toDF("doc_id", "text"), known))
+    assert(got === want)
+    // the tracking param and the cased/ported form canonicalize;
+    // only the indexed url is known; img/comment decoys never count
+    assert(got === Seq(
+      (1L, "https://ex.org/d/1", "ex.org", true),
+      (1L, "https://ex.org/d/2", "ex.org", false),
+      (2L, "https://h.io/a/p/3", "h.io", false)))
+  }
+
   test("streaming curateMicroBatch: foreachBatch == batch chain bit-equal") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
