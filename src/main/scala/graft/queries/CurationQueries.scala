@@ -262,6 +262,33 @@ object CurationQueries {
         .orderBy(col("logw").desc, col("doc_id").asc).limit(100)
     }),
 
+    // ---- TRAIN the hashed quality classifier in-engine: batch
+    //      logistic GD over the 16-bucket hashed bag-of-words features
+    //      (label: the DSIR target domain vs the rest), three epochs
+    //      from zero weights. Each epoch is two map-combinable
+    //      aggregations over the checkpointed feature table (per-doc
+    //      logit, per-bucket gradient) + a bucket-sized update — the
+    //      driver loops over EPOCHS, never rows; at 100 TB an epoch is
+    //      exactly two shuffles. Arithmetic is the house discipline
+    //      end-to-end: exact-decimal logits/gradients, the sigmoid
+    //      libm call rounded to 9 dp before use, the update in one
+    //      identical IEEE tree rounded back to 6 dp — so training is
+    //      bit-reproducible under any partitioning, and the oracle
+    //      replays all three epochs in unrolled SQL ----
+    "t_quality_train" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val feats = graft.operators.Logistic
+        .hashedFeatures(d, col("source") === lit(DsirTarget))
+        .localCheckpoint(false) // one corpus-scale job; epochs reuse it
+      val nd = d.count()
+      val ws = graft.operators.Logistic.train(s, feats, nd,
+        epochs = 3, lr = 0.05)
+      import s.implicits._
+      ws.zipWithIndex.flatMap { case (w, i) =>
+        w.toSeq.map { case (b, v) => (i + 1, b, v.toDouble) }
+      }.toDF("epoch", "bucket", "w")
+    }),
+
     // ---- fastText-style hashed linear quality classifier: bag of
     //      hashed token features (16 md5-prefix buckets here; the
     //      bucket count only changes the literal table's width, not
@@ -490,7 +517,48 @@ object CurationQueries {
     s"WHEN $e = best AND best > 0 THEN '$l'"
   }.mkString(" ") + " ELSE 'und' END"
 
+  /** The three GD epochs unrolled (the BPE-fold pattern): each epoch's
+    * CTEs replay the engine's exact arithmetic — decimal logit,
+    * 9-dp-rounded sigmoid residual, decimal gradient, 6-dp-rounded
+    * IEEE update.
+    */
+  private val QualityTrainOracle: String = {
+    val bucketList =
+      "0123456789abcdef".map(c => s"'$c'").mkString(",")
+    def ep(e: Int): String =
+      s"""z$e AS (SELECT doc_id, y, SUM(CAST(k AS DECIMAL(18,0)) * w) AS z
+         |  FROM f JOIN w${e - 1} USING (b) GROUP BY doc_id, y),
+         |p$e AS (SELECT doc_id, CAST(round(CAST(y AS DOUBLE) -
+         |    round(1/(1+exp(-CAST(z AS DOUBLE))), 9), 9)
+         |    AS DECIMAL(12,9)) AS err FROM z$e),
+         |g$e AS (SELECT b, SUM(CAST(k AS DECIMAL(18,0)) * err) AS g
+         |  FROM f JOIN p$e USING (doc_id) GROUP BY b),
+         |w$e AS MATERIALIZED (SELECT w.b,
+         |    CAST(round(CAST(w.w AS DOUBLE)
+         |      + 0.05 * CAST(COALESCE(g.g, 0) AS DOUBLE) / nd, 6)
+         |      AS DECIMAL(12,6)) AS w
+         |  FROM w${e - 1} w LEFT JOIN g$e g USING (b) CROSS JOIN n)"""
+        .stripMargin
+    s"""WITH f AS MATERIALIZED (SELECT doc_id, y, b, COUNT(*) AS k
+       |  FROM (SELECT doc_id,
+       |      CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END AS y,
+       |      substr(md5(tok), 1, 1) AS b
+       |    FROM (SELECT doc_id, source,
+       |          unnest(string_split(text, ' ')) AS tok FROM documents)
+       |    WHERE tok <> '')
+       |  GROUP BY doc_id, y, b),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+       |w0 AS (SELECT unnest([$bucketList]) AS b,
+       |  CAST(0 AS DECIMAL(12,6)) AS w),
+       |""".stripMargin +
+      (1 to 3).map(ep).mkString(",\n") + "\n" +
+      """SELECT 1 AS epoch, b AS bucket, CAST(w AS DOUBLE) AS w FROM w1
+        |UNION ALL SELECT 2, b, CAST(w AS DOUBLE) FROM w2
+        |UNION ALL SELECT 3, b, CAST(w AS DOUBLE) FROM w3""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "t_quality_train" -> QualityTrainOracle,
     // every stage flag recomputed from the closed-form clean text
     // (the extraction round trip is gated separately by
     // t_html_extract); the PII regexes and the Gopher rules are the

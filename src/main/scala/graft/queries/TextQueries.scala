@@ -574,6 +574,35 @@ object TextQueries {
           sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_new"))
     }),
 
+    // ---- per-host fetch schedule over the frontier wave: the
+    //      politeness pacer after f_frontier/f_robots_gate — each
+    //      host's new urls get a deterministic fetch order (md5 rank,
+    //      the engine's stable-order discipline) and a crawl-delay
+    //      budget; makespan = (n−1)·delay is the number the scheduler
+    //      balances hosts with. One keyed window per host (the
+    //      quotaCap shape), map-combinable agg ----
+    "f_fetch_schedule" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+      val wave = d.select(pmod(col("doc_id"), lit(10)).as("host"),
+          concat(lit("https://ex"), pmod(col("doc_id"), lit(10)),
+            lit(".org/p/"), col("doc_id")).as("url"))
+        .unionByName(d.filter(col("doc_id") + 1 >= 300)
+          .select(pmod(col("doc_id") + 1, lit(10)).as("host"),
+            concat(lit("https://ex"), pmod(col("doc_id") + 1, lit(10)),
+              lit(".org/d/"), col("doc_id") + 1).as("url")))
+      val w = Window.partitionBy("host")
+        .orderBy(md5(col("url")).asc, col("url").asc)
+      wave.withColumn("rank", row_number().over(w))
+        .withColumn("delay_ms",
+          when(col("host") % 2 === 0, lit(2000L)).otherwise(lit(1000L)))
+        .groupBy("host").agg(
+          count(lit(1)).as("n_urls"),
+          max("delay_ms").as("delay_ms"),
+          ((count(lit(1)) - 1) * max("delay_ms")).as("makespan_ms"),
+          min(when(col("rank") === 1, col("url"))).as("first_url"))
+    }),
+
     // ---- robots.txt gate over the frontier: one robots payload per
     //      host assembled from table values (a decoy group for
     //      another bot, the `*` group disallowing /p/ with an
@@ -2984,6 +3013,28 @@ object TextQueries {
         |    'https://EX.org:443/a/b/img/' || doc_id || '.jpg'])
         |    [CAST(i + 1 AS INT)] AS url
         |FROM documents CROSS JOIN (SELECT unnest(range(0, 7)) AS i)""".stripMargin,
+
+    // the schedule in closed form: the wave's urls per host, the
+    // even-host delay doubling, and the md5-rank-first url
+    "f_fetch_schedule" ->
+      """WITH wave AS (
+        |  SELECT doc_id % 10 AS host,
+        |    'https://ex' || (doc_id % 10) || '.org/p/' || doc_id AS url
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT (doc_id + 1) % 10,
+        |    'https://ex' || ((doc_id + 1) % 10) || '.org/d/'
+        |      || (doc_id + 1)
+        |  FROM documents WHERE doc_id + 1 >= 300),
+        |r AS (SELECT host, url, ROW_NUMBER() OVER (PARTITION BY host
+        |    ORDER BY md5(url) ASC, url ASC) AS rk FROM wave)
+        |SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CASE WHEN host % 2 = 0 THEN 2000 ELSE 1000 END AS delay_ms,
+        |  (CAST(COUNT(*) AS BIGINT) - 1) *
+        |    CASE WHEN host % 2 = 0 THEN 2000 ELSE 1000 END
+        |    AS makespan_ms,
+        |  MIN(CASE WHEN rk = 1 THEN url END) AS first_url
+        |FROM r GROUP BY host""".stripMargin,
 
     // the robots decision in closed form per the generated policy:
     // graft-override hosts block /d/ only; everyone else blocks /p/
