@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * bag-of-words features: each epoch is two map-combinable
   * aggregations over the (doc, bucket, count) feature table (one for
   * the per-doc logit, one for the per-bucket gradient), the model
-  * state is bucket-sized (16 weights — the k-means-centroid shape),
+  * state is bucket-sized (256 weights — the k-means-centroid shape),
   * and the driver loop is over EPOCHS, never rows. At 100 TB an epoch
   * is exactly two shuffles on (doc) and (bucket); nothing grows with
   * the corpus but the scans.
@@ -26,7 +26,16 @@ import org.apache.spark.sql.functions._
   */
 object Logistic {
 
-  val Buckets: Seq[String] = "0123456789abcdef".map(_.toString)
+  private val Hex = "0123456789abcdef".map(_.toString)
+
+  /** The full bucket universe for an md5-prefix feature space: 16^n
+    * buckets — 256 at the default prefix length 2 (the DSIR feature
+    * space), still model-sized next to any corpus.
+    */
+  def bucketSpace(prefixLen: Int = 2): Seq[String] =
+    (1 until prefixLen).foldLeft(Hex) { (acc, _) =>
+      acc.flatMap(p => Hex.map(p + _))
+    }
 
   /** Hashed bag-of-words features with a binary label:
     * (idCol, y, b, k) — one corpus-scale job, reused by every epoch
@@ -34,12 +43,13 @@ object Logistic {
     */
   def hashedFeatures(docs: DataFrame, label: org.apache.spark.sql.Column,
                      idCol: String = "doc_id",
-                     textCol: String = "text"): DataFrame =
+                     textCol: String = "text",
+                     prefixLen: Int = 2): DataFrame =
     docs.select(col(idCol), when(label, 1).otherwise(0).as("y"),
         explode(graft.functions.Text.tokens(col(textCol))).as("tok"))
       .filter(col("tok") =!= "")
       .select(col(idCol), col("y"),
-        substring(md5(col("tok")), 1, 1).as("b"))
+        substring(md5(col("tok")), 1, prefixLen).as("b"))
       .groupBy(idCol, "y", "b").agg(count(lit(1)).as("k"))
 
   /** One batch-GD epoch: returns the updated 16-bucket weight map.
@@ -48,13 +58,12 @@ object Logistic {
     */
   def epoch(spark: SparkSession, feats: DataFrame,
             weights: Map[String, BigDecimal], nDocs: Long,
-            lr: Double, idCol: String = "doc_id")
+            lr: Double, idCol: String = "doc_id",
+            buckets: Seq[String] = bucketSpace())
       : Map[String, BigDecimal] = {
     import spark.implicits._
     val wMap = typedLit(weights)
-    val z = feats.groupBy(idCol, "y")
-      .agg(sum(col("k").cast("decimal(18,0)") *
-        try_element_at(wMap, col("b")).cast("decimal(12,6)")).as("z"))
+    val z = score(feats, weights, idCol)
     val errs = z.select(col(idCol),
       round(col("y").cast("double") -
           round(lit(1.0) / (lit(1.0) + exp(-col("z").cast("double"))), 9),
@@ -65,7 +74,7 @@ object Logistic {
       .collect().map(r => r.getString(0) -> BigDecimal(r.getDecimal(1)))
       .toMap // bucket-sized
     val gMap = typedLit(grad)
-    Buckets.toDF("b")
+    buckets.toDF("b")
       .select(col("b"),
         round(try_element_at(wMap, col("b")).cast("decimal(12,6)")
             .cast("double") +
@@ -80,12 +89,27 @@ object Logistic {
     * AFTER each epoch, in order.
     */
   def train(spark: SparkSession, feats: DataFrame, nDocs: Long,
-            epochs: Int, lr: Double, idCol: String = "doc_id")
+            epochs: Int, lr: Double, idCol: String = "doc_id",
+            buckets: Seq[String] = bucketSpace())
       : Seq[Map[String, BigDecimal]] = {
-    val zero = Buckets.map(_ -> BigDecimal(0).setScale(6)).toMap
+    val zero = buckets.map(_ -> BigDecimal(0).setScale(6)).toMap
     (1 to epochs).scanLeft(zero) { (w, _) =>
-      epoch(spark, feats, w, nDocs, lr, idCol)
+      epoch(spark, feats, w, nDocs, lr, idCol, buckets)
     }.tail
+  }
+
+  /** Score a feature table under a weight map: (idCol, y, z) with the
+    * exact-decimal logit — deployment is `z > 0` (a sign decided in
+    * decimal, never IEEE), the same contract as
+    * [[graft.functions.Text.hashedLinearDot]]'s streaming screen.
+    */
+  def score(feats: DataFrame, weights: Map[String, BigDecimal],
+            idCol: String = "doc_id"): DataFrame = {
+    val wMap = typedLit(weights)
+    feats.groupBy(idCol, "y")
+      .agg(sum(col("k").cast("decimal(18,0)") *
+        try_element_at(wMap, col("b")).cast("decimal(12,6)")).as("z"),
+        sum(col("k")).as("nt"))
   }
 
   /** Exact-decimal mean log-loss of a weight map over the feature
@@ -95,10 +119,7 @@ object Logistic {
   def logLoss(spark: SparkSession, feats: DataFrame,
               weights: Map[String, BigDecimal], nDocs: Long,
               idCol: String = "doc_id"): Double = {
-    val wMap = typedLit(weights)
-    val z = feats.groupBy(idCol, "y")
-      .agg(sum(col("k").cast("decimal(18,0)") *
-        try_element_at(wMap, col("b")).cast("decimal(12,6)")).as("z"))
+    val z = score(feats, weights, idCol)
     val p = round(lit(1.0) / (lit(1.0) + exp(-col("z").cast("double"))), 9)
     // clamp away from {0,1} so the loss stays finite
     val pc = least(greatest(p, lit(1e-9)), lit(1.0) - lit(1e-9))

@@ -263,7 +263,7 @@ object CurationQueries {
     }),
 
     // ---- TRAIN the hashed quality classifier in-engine: batch
-    //      logistic GD over the 16-bucket hashed bag-of-words features
+    //      logistic GD over 256-bucket hashed bag-of-words features
     //      (label: the DSIR target domain vs the rest), three epochs
     //      from zero weights. Each epoch is two map-combinable
     //      aggregations over the checkpointed feature table (per-doc
@@ -282,11 +282,36 @@ object CurationQueries {
         .localCheckpoint(false) // one corpus-scale job; epochs reuse it
       val nd = d.count()
       val ws = graft.operators.Logistic.train(s, feats, nd,
-        epochs = 3, lr = 0.05)
+        epochs = 3, lr = 0.5)
       import s.implicits._
       ws.zipWithIndex.flatMap { case (w, i) =>
         w.toSeq.map { case (b, v) => (i + 1, b, v.toDouble) }
       }.toDF("epoch", "bucket", "w")
+    }),
+
+    // ---- deploy the trained model back over the corpus: epoch-3
+    //      weights score every document (exact-decimal logit, keep
+    //      decided on the decimal sign) and the per-source keep rates
+    //      are the eval report — does the trained screen actually
+    //      prefer the target domain? One more (doc) aggregation + one
+    //      join back for the source key; the model stays bucket-sized ----
+    "t_quality_train_eval" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val feats = graft.operators.Logistic
+        .hashedFeatures(d, col("source") === lit(DsirTarget))
+        .localCheckpoint(false)
+      val nd = d.count()
+      val w3 = graft.operators.Logistic.train(s, feats, nd,
+        epochs = 3, lr = 0.5).last
+      graft.operators.Logistic.score(feats, w3)
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"),
+          round(col("z").cast("double") / col("nt").cast("double"), 9)
+            .cast("decimal(12,9)").as("zn"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          round(sum(col("zn")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_logit"))
     }),
 
     // ---- fastText-style hashed linear quality classifier: bag of
@@ -522,9 +547,11 @@ object CurationQueries {
     * 9-dp-rounded sigmoid residual, decimal gradient, 6-dp-rounded
     * IEEE update.
     */
-  private val QualityTrainOracle: String = {
-    val bucketList =
-      "0123456789abcdef".map(c => s"'$c'").mkString(",")
+  private val QualityTrainCtes: String = {
+    val bucketList = {
+      val hex = "0123456789abcdef".map(_.toString)
+      hex.flatMap(a => hex.map(b => s"'$a$b'")).mkString(",")
+    }
     def ep(e: Int): String =
       s"""z$e AS (SELECT doc_id, y, SUM(CAST(k AS DECIMAL(18,0)) * w) AS z
          |  FROM f JOIN w${e - 1} USING (b) GROUP BY doc_id, y),
@@ -535,30 +562,52 @@ object CurationQueries {
          |  FROM f JOIN p$e USING (doc_id) GROUP BY b),
          |w$e AS MATERIALIZED (SELECT w.b,
          |    CAST(round(CAST(w.w AS DOUBLE)
-         |      + 0.05 * CAST(COALESCE(g.g, 0) AS DOUBLE) / nd, 6)
+         |      + 0.5 * CAST(COALESCE(g.g, 0) AS DOUBLE) / nd, 6)
          |      AS DECIMAL(12,6)) AS w
          |  FROM w${e - 1} w LEFT JOIN g$e g USING (b) CROSS JOIN n)"""
         .stripMargin
-    s"""WITH f AS MATERIALIZED (SELECT doc_id, y, b, COUNT(*) AS k
-       |  FROM (SELECT doc_id,
+    s"""WITH f AS MATERIALIZED (SELECT doc_id, source, y, b, COUNT(*) AS k
+       |  FROM (SELECT doc_id, source,
        |      CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END AS y,
-       |      substr(md5(tok), 1, 1) AS b
+       |      substr(md5(tok), 1, 2) AS b
        |    FROM (SELECT doc_id, source,
        |          unnest(string_split(text, ' ')) AS tok FROM documents)
        |    WHERE tok <> '')
-       |  GROUP BY doc_id, y, b),
+       |  GROUP BY doc_id, source, y, b),
        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
        |w0 AS (SELECT unnest([$bucketList]) AS b,
        |  CAST(0 AS DECIMAL(12,6)) AS w),
        |""".stripMargin +
-      (1 to 3).map(ep).mkString(",\n") + "\n" +
+      (1 to 3).map(ep).mkString(",\n")
+  }
+
+  private val QualityTrainOracle: String =
+    QualityTrainCtes + "\n" +
       """SELECT 1 AS epoch, b AS bucket, CAST(w AS DOUBLE) AS w FROM w1
         |UNION ALL SELECT 2, b, CAST(w AS DOUBLE) FROM w2
         |UNION ALL SELECT 3, b, CAST(w AS DOUBLE) FROM w3""".stripMargin
-  }
+
+  /** Deploy the epoch-3 weights back over the corpus: exact-decimal
+    * logit per doc, per-source MEAN logit (the separation report — a
+    * threshold is a later policy choice; the exact decimal sum makes
+    * the mean partition-order free, closed by one IEEE division).
+    */
+  private val QualityTrainEvalOracle: String =
+    QualityTrainCtes + ",\n" +
+      """sc AS (SELECT doc_id, source, y,
+        |    SUM(CAST(k AS DECIMAL(18,0)) * w) AS z,
+        |    CAST(SUM(k) AS BIGINT) AS nt
+        |  FROM f JOIN w3 USING (b) GROUP BY doc_id, source, y),
+        |zn AS (SELECT source, CAST(round(CAST(z AS DOUBLE) /
+        |    CAST(nt AS DOUBLE), 9) AS DECIMAL(12,9)) AS zn FROM sc)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  round(CAST(SUM(zn) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS mean_logit
+        |FROM zn GROUP BY source""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "t_quality_train" -> QualityTrainOracle,
+    "t_quality_train_eval" -> QualityTrainEvalOracle,
     // every stage flag recomputed from the closed-form clean text
     // (the extraction round trip is gated separately by
     // t_html_extract); the PII regexes and the Gopher rules are the

@@ -30,7 +30,7 @@ class LogisticSpec extends SparkSpec {
     def bucket(t: String): String = {
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(t.getBytes("UTF-8"))
-      "%02x".format(md(0)).substring(0, 1)
+      "%02x".format(md(0))
     }
     assert(bucket(ta) != bucket(tb), "fixture tokens must hash apart")
     val docs = ((1 to 20).map(i =>
@@ -51,7 +51,7 @@ class LogisticSpec extends SparkSpec {
     val wf = ws.last
     assert(wf(bucket(ta)) > 0 && wf(bucket(tb)) < 0)
     val touched = Set(bucket(ta), bucket(tb))
-    assert(Logistic.Buckets.filterNot(touched)
+    assert(Logistic.bucketSpace().filterNot(touched)
       .forall(b => wf(b) == BigDecimal(0).setScale(6)))
   }
 }
