@@ -80,6 +80,54 @@ object Robots {
       .otherwise(folded.getField("star"))
   }
 
+  /** Crawl-delay (seconds) that applies to `agent`: the same group
+    * semantics as [[parseRules]] (agent-specific group replaces `*`),
+    * the LAST `Crawl-delay:` in the applicable groups wins, a
+    * non-numeric value is ignored, absent ⇒ null (caller supplies the
+    * fleet default). Like every rule line, a crawl-delay closes the
+    * open agent list.
+    */
+  def crawlDelay(robots: Column, agent: String = "graft"): Column = {
+    val zero = struct(
+      lit(false).as("collecting"), lit(false).as("curStar"),
+      lit(false).as("curAgent"), lit(false).as("sawAgent"),
+      lit(null).cast("long").as("dStar"),
+      lit(null).cast("long").as("dOwn"))
+    val folded = aggregate(split(robots, "\n"), zero, (st, line0) => {
+      val line = trim(line0)
+      val low = lower(line)
+      val isUa = low.startsWith("user-agent:")
+      val isRule = low.startsWith("allow:") || low.startsWith("disallow:")
+      val isDelay = low.startsWith("crawl-delay:")
+      val value = trim(substr(line, instr(line, ":") + 1, length(line)))
+      val ua = lower(value)
+      // garbage delay value -> null (digits-only guard, then cast)
+      val num = when(value.rlike("^[0-9]{1,9}$"), value.cast("long"))
+      val afterUa = struct(
+        lit(true).as("collecting"),
+        (when(st.getField("collecting"), st.getField("curStar"))
+          .otherwise(lit(false)) || (ua === "*")).as("curStar"),
+        (when(st.getField("collecting"), st.getField("curAgent"))
+          .otherwise(lit(false)) || (ua === agent)).as("curAgent"),
+        (st.getField("sawAgent") || (ua === agent)).as("sawAgent"),
+        st.getField("dStar").as("dStar"), st.getField("dOwn").as("dOwn"))
+      val afterDirective = struct(
+        lit(false).as("collecting"),
+        st.getField("curStar").as("curStar"),
+        st.getField("curAgent").as("curAgent"),
+        st.getField("sawAgent").as("sawAgent"),
+        when(isDelay && st.getField("curStar") && num.isNotNull, num)
+          .otherwise(st.getField("dStar")).as("dStar"),
+        when(isDelay && st.getField("curAgent") && num.isNotNull, num)
+          .otherwise(st.getField("dOwn")).as("dOwn"))
+      when(isUa, afterUa)
+        .when(isRule || isDelay, afterDirective)
+        .otherwise(st)
+    })
+    when(folded.getField("sawAgent"), folded.getField("dOwn"))
+      .otherwise(folded.getField("dStar"))
+  }
+
   /** Longest-match decision for a URL `path` under a parsed rule
     * array: the longest matching prefix wins, Allow beats Disallow on
     * ties (struct max over (len, allow)), no match ⇒ allowed.

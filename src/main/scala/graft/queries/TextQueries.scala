@@ -620,11 +620,14 @@ object TextQueries {
         .select(col("host"), concat(
           lit("# crawl policy\nUser-agent: other-bot\nDisallow: /\n\n"),
           lit("User-agent: *\nDisallow: /p/\nAllow: /p/open\n"),
+          lit("Crawl-delay: 2\n"),
           when(col("host") % 3 === 0,
-            lit("User-agent: graft\nDisallow: /d/\n"))
+            lit("User-agent: graft\nDisallow: /d/\nCrawl-delay: 5\n"))
             .otherwise(lit(""))).as("txt"))
         .select(col("host"),
-          graft.functions.Robots.parseRules(col("txt")).as("rules"))
+          graft.functions.Robots.parseRules(col("txt")).as("rules"),
+          coalesce(graft.functions.Robots.crawlDelay(col("txt")),
+            lit(1L)).as("delay_s"))
       val cands = d.select(pmod(col("doc_id"), lit(10)).as("host"),
         explode(array(
           concat(lit("/d/"), col("doc_id")),
@@ -638,6 +641,7 @@ object TextQueries {
           sum(when(col("ok"), 1L).otherwise(0L)).as("n_allowed"),
           sum(when(!col("ok"), 1L).otherwise(0L)).as("n_blocked"),
           min(when(!col("ok"), col("path"))).as("first_blocked"))
+        .join(robots.select("host", "delay_s"), "host")
     }),
 
     // ---- within-document repetition (Gopher duplicate-n-gram signal)
@@ -3054,7 +3058,9 @@ object TextQueries {
         |    AS n_allowed,
         |  CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_blocked,
-        |  MIN(CASE WHEN NOT ok THEN path END) AS first_blocked
+        |  MIN(CASE WHEN NOT ok THEN path END) AS first_blocked,
+        |  CAST(CASE WHEN host % 3 = 0 THEN 5 ELSE 2 END AS BIGINT)
+        |    AS delay_s
         |FROM dec GROUP BY host""".stripMargin,
 
     // the frontier in closed form: the three 'a' links canonicalize to

@@ -750,6 +750,20 @@ class PlanSpec extends SparkSpec {
     // Ranks.rowNumbers offsets: one row per partition, never the corpus
     "t_ppl_buckets")
 
+  /** The truly-unpartitioned Window operators of a plan, straight off
+    * the operator tree (`partitionSpec.isEmpty`) — the old string
+    * heuristic (< 2 "], [" separators) misread a PARTITIONED window
+    * with no ORDER BY (e.g. the dedup stage's min-over-content-hash)
+    * as global.
+    */
+  private def globalWindows(
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+    plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty =>
+        w.simpleString(120)
+    }
+
   test("no single-task global sort of a corpus-sized frame anywhere") {
     // the round-9 finding, frozen as a standing audit: an unpartitioned
     // Window funnels its whole input into ONE task, so any query plan
@@ -760,11 +774,8 @@ class PlanSpec extends SparkSpec {
     val offenders = scala.collection.mutable.Map[String, List[String]]()
     (SparkEntry.queries.keySet -- SparkEntry.sideEffecting)
       .toSeq.sorted.foreach { n =>
-        val plan = SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
-          .queryExecution.sparkPlan.toString
-        val unpart = plan.split("\n").filter(_.contains("Window ["))
-          .map(l => l.substring(l.indexOf("Window [")))
-          .filter(l => "\\], \\[".r.findAllIn(l).length < 2)
+        val unpart = globalWindows(SparkEntry.queries(n)(
+          spark, "/root/testdata/sf0.001").queryExecution.sparkPlan)
         if (unpart.nonEmpty && !boundedGlobalWindows.contains(n))
           offenders(n) = unpart.map(_.take(120)).toList
       }
@@ -772,16 +783,17 @@ class PlanSpec extends SparkSpec {
       s"undocumented global-sort windows: $offenders")
     // and the formerly-weak t_ppl_buckets: its only global window is
     // the partition-count-sized offsets cumsum, never the scored corpus
-    val ppl = SparkEntry.queries("t_ppl_buckets")(
-        spark, "/root/testdata/sf0.001")
-      .queryExecution.sparkPlan.toString
-    val pplUnpart = ppl.split("\n").filter(_.contains("Window ["))
-      .map(l => l.substring(l.indexOf("Window [")))
-      .filter(l => "\\], \\[".r.findAllIn(l).length < 2)
+    val pplPlan = SparkEntry.queries("t_ppl_buckets")(
+      spark, "/root/testdata/sf0.001").queryExecution.sparkPlan
+    val pplUnpart = globalWindows(pplPlan)
     assert(pplUnpart.nonEmpty && pplUnpart.forall(_.contains("__pid")),
       s"ppl rank window shape changed: ${pplUnpart.toList}")
     // the corpus-sized numbering window IS partitioned (by __pid)
-    assert(ppl.split("\n").exists(l => l.contains("row_number()") &&
-      l.contains("], [__pid")), ppl)
+    assert(pplPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.mkString.contains("__pid") &&
+            w.windowExpression.mkString.contains("row_number()") => w
+    }.nonEmpty, pplPlan.toString)
   }
 }

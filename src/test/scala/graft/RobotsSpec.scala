@@ -78,6 +78,31 @@ class RobotsSpec extends SparkSpec {
     assert(!allowed("User-agent: *\nDisallow: /\n", "/any"))
   }
 
+  test("crawlDelay: group semantics, last wins, garbage ignored") {
+    def delay(txt: String): Option[Long] = {
+      val r = Seq(txt).toDF("t")
+        .select(Robots.crawlDelay(col("t"))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    assert(delay("User-agent: *\nCrawl-delay: 5\nDisallow: /x") === Some(5L))
+    // the agent-specific group replaces the * delay
+    assert(delay("User-agent: *\nCrawl-delay: 5\n\n" +
+      "User-agent: graft\nCrawl-delay: 2\n") === Some(2L))
+    // ...and an agent group WITHOUT a delay means no delay applies
+    assert(delay("User-agent: *\nCrawl-delay: 5\n\n" +
+      "User-agent: graft\nDisallow: /d/\n") === None)
+    // last applicable delay wins; non-numeric values are ignored
+    assert(delay("User-agent: *\nCrawl-delay: 5\nCrawl-delay: 9") ===
+      Some(9L))
+    assert(delay("User-agent: *\nCrawl-delay: soon") === None)
+    // other bots' delays never apply; none at all -> null
+    assert(delay("User-agent: other\nCrawl-delay: 7") === None)
+    assert(delay("# nothing here") === None)
+    // a crawl-delay closes the agent list like any rule line
+    assert(delay("User-agent: a\nCrawl-delay: 3\nUser-agent: *\n" +
+      "Crawl-delay: 4") === Some(4L))
+  }
+
   test("urlPath extracts the path ('/' when empty)") {
     val got = Seq("https://h.io/a/b?q=1#f", "https://h.io", "http://h.io/")
       .toDF("u").select(Robots.urlPath(col("u"))).collect()
