@@ -205,6 +205,26 @@ object GraftExtensions {
       graft.expressions.HtmlRefs(args(0))
     })
 
+  /** graft_html_tables(string) — (tbl,row,col,header,text) cells. */
+  private val htmlTablesFunction = (
+    FunctionIdentifier("graft_html_tables"),
+    new ExpressionInfo(classOf[graft.expressions.HtmlTables].getName,
+      "graft_html_tables"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "graft_html_tables(s) takes 1 argument")
+      graft.expressions.HtmlTables(args(0))
+    })
+
+  /** graft_html_meta(string) — (name, content) meta pairs. */
+  private val htmlMetaFunction = (
+    FunctionIdentifier("graft_html_meta"),
+    new ExpressionInfo(classOf[graft.expressions.HtmlMeta].getName,
+      "graft_html_meta"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "graft_html_meta(s) takes 1 argument")
+      graft.expressions.HtmlMeta(args(0))
+    })
+
   /** graft_char_counts(string) — per-document character histogram
     * (counts only, ascending code point), the single-pass feed of the
     * character-entropy signal.
@@ -222,6 +242,7 @@ object GraftExtensions {
     jsonKeyFunction, simhashFunction, mp4Function, hammingFunction,
     nfcFunction, exifFunction, wordpieceFunction, mojibakeFunction,
     htmlTextFunction, htmlLinksFunction, htmlRefsFunction,
+    htmlTablesFunction, htmlMetaFunction,
     deflateFunction, charCountsFunction)
 
   /** Session-scoped registration for an existing session. */

@@ -471,6 +471,132 @@ case class HtmlRefs(child: Expression)
       newChild: Expression): HtmlRefs = copy(child = newChild)
 }
 
+/** Table extraction: (table, row, col, header, text) cells from
+  * `<table>/<tr>/<td|th>` markup, in document order — tables are the
+  * densest structured training data a crawl carries, and stripping
+  * them to prose (HtmlToText) loses the grid. Same single-pass walk;
+  * dialect (fixed for the oracle):
+  *
+  *   - `<table>` advances the table index and resets the row counter;
+  *     `<tr>` advances the row and resets the column; `<td>`/`<th>`
+  *     opens a cell (header = th);
+  *   - a cell closes at `</td>`, `</th>`, or the next cell/row/table
+  *     boundary (the browser's implied-close rule);
+  *   - cell text is entity-decoded and whitespace-collapsed exactly
+  *     like [[HtmlToText]] (nested inline tags become word
+  *     boundaries); text outside a cell never counts;
+  *   - attributes (colspan/rowspan) are not interpreted; nested
+  *     tables flatten into the outer numbering.
+  */
+case class HtmlTables(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_html_tables requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("tbl", IntegerType, nullable = false),
+    StructField("row", IntegerType, nullable = false),
+    StructField("col", IntegerType, nullable = false),
+    StructField("header", BooleanType, nullable = false),
+    StructField("text", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_html_tables"
+
+  private def collapse(s: CharSequence): String = {
+    val res = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var pendingGap = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) pendingGap = res.length > 0
+      else {
+        if (pendingGap) { res.append(' '); pendingGap = false }
+        res.append(c)
+      }
+      i += 1
+    }
+    res.toString
+  }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    var tbl = -1; var row = -1; var col = -1
+    var inCell = false; var header = false
+    val buf = new java.lang.StringBuilder
+    def closeCell(): Unit = if (inCell) {
+      rows += org.apache.spark.sql.catalyst.InternalRow(
+        tbl, row, col, header, UTF8String.fromString(collapse(buf)))
+      buf.setLength(0)
+      inCell = false
+    }
+    HtmlWalk.walk(input.toString,
+      onText = t => if (inCell) buf.append(t),
+      onTag = (name, _, _) => name match {
+        case "table" => closeCell(); tbl += 1; row = -1; col = -1
+        case "tr" if tbl >= 0 => closeCell(); row += 1; col = -1
+        case "td" | "th" if tbl >= 0 && row >= 0 =>
+          closeCell(); col += 1; inCell = true; header = name == "th"
+        case "/td" | "/th" | "/tr" | "/table" => closeCell()
+        case _ => if (inCell) buf.append(' ') // inline tag = boundary
+      })
+    closeCell()
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(rows.toArray)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HtmlTables = copy(child = newChild)
+}
+
+/** Metadata extraction: `<meta name|property=... content=...>` pairs
+  * in document order (`name` wins when both attributes are present) —
+  * the page's own declared metadata: description/keywords, OpenGraph
+  * fields, and the `robots` directives (noindex/nofollow) a polite
+  * crawler must honor BEFORE ingesting or following anything. Tags in
+  * comments/script never count; values entity-decode.
+  */
+case class HtmlMeta(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_html_meta requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("content", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_html_meta"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    HtmlWalk.walk(s, onText = _ => (), onTag = (name, lt, end) => {
+      if (name == "meta") {
+        val nm = {
+          val n = HtmlAttr.attrIn(s, lt, end, "name")
+          if (n != null) n else HtmlAttr.attrIn(s, lt, end, "property")
+        }
+        val content = HtmlAttr.attrIn(s, lt, end, "content")
+        if (nm != null && content != null)
+          out += org.apache.spark.sql.catalyst.InternalRow(
+            UTF8String.fromString(nm), UTF8String.fromString(content))
+      }
+    })
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HtmlMeta = copy(child = newChild)
+}
+
 object HtmlExprs {
   def htmlToText(s: Column): Column =
     Bridge.column(HtmlToText(Bridge.expression(s)))
@@ -478,4 +604,8 @@ object HtmlExprs {
     Bridge.column(HtmlLinks(Bridge.expression(s)))
   def htmlRefs(s: Column): Column =
     Bridge.column(HtmlRefs(Bridge.expression(s)))
+  def htmlTables(s: Column): Column =
+    Bridge.column(HtmlTables(Bridge.expression(s)))
+  def htmlMeta(s: Column): Column =
+    Bridge.column(HtmlMeta(Bridge.expression(s)))
 }

@@ -574,6 +574,82 @@ object TextQueries {
           sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_new"))
     }),
 
+    // ---- table extraction from generated markup: header/data cells
+    //      across TWO tables with entity refs, inline tags (word
+    //      boundaries), a script decoy containing a fake <td> (must
+    //      not open a cell), implied cell closes, text outside cells,
+    //      and a comment decoy — the structured-data recovery a crawl
+    //      pipeline runs where HtmlToText would flatten the grid ----
+    "t_html_tables" -> ((s, dir) => {
+      val html = concat(
+        lit("<p>outside</p><table><tr><th>name</th>"),
+        lit("<th>value &amp; unit</th></tr>"),
+        lit("<tr><td>alpha "), col("doc_id"),
+        lit("</td><td>v<b>"), col("doc_id"), lit("</b>x</td></tr>"),
+        lit("<tr><td>beta<td><script>junk <td>fake</td></script>"),
+        col("doc_id"), lit("</table>"),
+        lit("<table><tr><td>second "), col("doc_id"),
+        lit("</td></tr></table>"),
+        lit("<!-- <table><tr><td>no</td></tr></table> -->"))
+      t(s, dir, "documents").select(col("doc_id"),
+          posexplode(graft.expressions.HtmlExprs.htmlTables(html)))
+        .select(col("doc_id"), col("pos").as("ord"),
+          col("col.tbl").as("tbl"), col("col.row").as("tr"),
+          col("col.col").as("tc"), col("col.header").as("header"),
+          col("col.text").as("text"))
+    }),
+
+    // ---- meta extraction: description/OpenGraph pairs on every page,
+    //      robots directives on doc_id%6, attribute-less decoys and a
+    //      comment decoy contributing nothing; values entity-decode ----
+    "t_html_meta" -> ((s, dir) => {
+      val html = concat(
+        lit("<head><meta charset=\"utf-8\">"),
+        lit("<meta name=\"description\" content=\"doc "), col("doc_id"),
+        lit(" summary\"><meta property=\"og:title\" content=\"Doc &amp; "),
+        col("doc_id"), lit("\">"),
+        when(col("doc_id") % 6 === 0,
+          lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+          .otherwise(lit("")),
+        lit("<meta content=\"orphan\"><meta name=\"keywords\">"),
+        lit("<!-- <meta name=\"no\" content=\"no\"> --></head>"))
+      t(s, dir, "documents").select(col("doc_id"),
+          posexplode(graft.expressions.HtmlExprs.htmlMeta(html)))
+        .select(col("doc_id"), col("pos").as("ord"),
+          col("col.name").as("name"), col("col.content").as("content"))
+    }),
+
+    // ---- meta-robots screen over the same pages: noindex pages must
+    //      not be ingested, nofollow pages contribute no outlinks to
+    //      the frontier — the per-page half of the politeness contract
+    //      (f_robots_gate is the per-host half). Directive parsing is
+    //      comma-split + trim + lower over the FIRST robots meta ----
+    "f_noindex_screen" -> ((s, dir) => {
+      val html = concat(
+        lit("<head>"),
+        when(col("doc_id") % 6 === 0,
+          lit("<meta name=\"robots\" content=\"noindex, NOFOLLOW\">"))
+          .when(col("doc_id") % 6 === 3,
+            lit("<meta name=\"robots\" content=\" nofollow \">"))
+          .otherwise(lit("")),
+        lit("</head><body><a href=\"https://ex.org/a/"), col("doc_id"),
+        lit("\">x</a> <a href=\"https://ex.org/b/"), col("doc_id"),
+        lit("\">y</a></body>"))
+      val meta = graft.expressions.HtmlExprs.htmlMeta(html)
+      val robots = filter(meta, m => m.getField("name") === "robots")
+      val directives = transform(
+        split(coalesce(get(robots, lit(0)).getField("content"), lit("")),
+          ","), d => lower(trim(d)))
+      val links = filter(graft.expressions.HtmlExprs.htmlRefs(html),
+        r => r.getField("kind") === "a")
+      t(s, dir, "documents").select(col("doc_id"),
+          array_contains(directives, "noindex").as("noindex"),
+          array_contains(directives, "nofollow").as("nofollow"),
+          size(links).as("n_links"))
+        .withColumn("n_follow",
+          when(col("nofollow"), 0).otherwise(col("n_links")))
+    }),
+
     // ---- per-host fetch schedule over the frontier wave: the
     //      politeness pacer after f_frontier/f_robots_gate — each
     //      host's new urls get a deterministic fetch order (md5 rank,
@@ -3017,6 +3093,44 @@ object TextQueries {
         |    'https://EX.org:443/a/b/img/' || doc_id || '.jpg'])
         |    [CAST(i + 1 AS INT)] AS url
         |FROM documents CROSS JOIN (SELECT unnest(range(0, 7)) AS i)""".stripMargin,
+
+    // the seven cells per document in closed form: two header cells,
+    // the inline-tag boundary collapse, the implied close, the script
+    // decoy's fake <td> never opening a cell, and the second table
+    "t_html_tables" ->
+      """SELECT doc_id, CAST(i AS INT) AS ord,
+        |  ([0,0,0,0,0,0,1])[CAST(i + 1 AS INT)] AS tbl,
+        |  ([0,0,1,1,2,2,0])[CAST(i + 1 AS INT)] AS tr,
+        |  ([0,1,0,1,0,1,0])[CAST(i + 1 AS INT)] AS tc,
+        |  ([true,true,false,false,false,false,false])
+        |    [CAST(i + 1 AS INT)] AS header,
+        |  (['name', 'value & unit', 'alpha ' || doc_id,
+        |    'v ' || doc_id || ' x', 'beta', CAST(doc_id AS VARCHAR),
+        |    'second ' || doc_id])[CAST(i + 1 AS INT)] AS text
+        |FROM documents CROSS JOIN (SELECT unnest(range(0, 7)) AS i)"""
+        .stripMargin,
+
+    // the declared metadata in closed form: description + og:title on
+    // every page (entity decoded), robots on the %6 stratum; the
+    // attribute-less and commented decoys contribute nothing
+    "t_html_meta" ->
+      """SELECT doc_id, 0 AS ord, 'description' AS name,
+        |  'doc ' || doc_id || ' summary' AS content FROM documents
+        |UNION ALL SELECT doc_id, 1, 'og:title', 'Doc & ' || doc_id
+        |FROM documents
+        |UNION ALL SELECT doc_id, 2, 'robots', 'noindex, nofollow'
+        |FROM documents WHERE doc_id % 6 = 0""".stripMargin,
+
+    // the per-page politeness flags in closed form: %6==0 pages carry
+    // both directives (case-blind), %6==3 only nofollow (trimmed),
+    // nofollow zeroes the followable outlinks
+    "f_noindex_screen" ->
+      """SELECT doc_id, doc_id % 6 = 0 AS noindex,
+        |  (doc_id % 6 = 0 OR doc_id % 6 = 3) AS nofollow,
+        |  2 AS n_links,
+        |  CASE WHEN doc_id % 6 = 0 OR doc_id % 6 = 3 THEN 0 ELSE 2 END
+        |    AS n_follow
+        |FROM documents""".stripMargin,
 
     // the schedule in closed form: the wave's urls per host, the
     // even-host delay doubling, and the md5-rank-first url

@@ -148,6 +148,55 @@ class HtmlSpec extends SparkSpec {
       .map(_._2) == Seq("1", "2", "3", "4"))
   }
 
+  private def cells(html: String): Seq[(Int, Int, Int, Boolean, String)] =
+    Seq(html).toDF("h").select(HtmlExprs.htmlTables(col("h")))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getBoolean(3),
+        r.getString(4)))
+
+  test("HtmlTables: implied closes, decoys, nesting, truncation") {
+    // implied closes: no </td>/</tr> anywhere
+    assert(cells("<table><tr><td>a<td>b<tr><td>c</table>") ===
+      Seq((0, 0, 0, false, "a"), (0, 0, 1, false, "b"),
+        (0, 1, 0, false, "c")))
+    // th is a header cell, case-blind; entities decode
+    assert(cells("<TABLE><TR><TH>h &amp; i</TH><td>j</td></TR></TABLE>")
+      === Seq((0, 0, 0, true, "h & i"), (0, 0, 1, false, "j")))
+    // cells outside a table (or rows outside one) never count
+    assert(cells("<td>stray</td><tr><td>also</td></tr>") === Seq.empty)
+    // a script decoy inside a cell cannot open cells; it is a boundary
+    assert(cells("<table><tr><td>x<script>'<td>no</td>'</script>y") ===
+      Seq((0, 0, 0, false, "x y")))
+    // a truncated document closes the open cell at end-of-input
+    assert(cells("<table><tr><td>dangling") ===
+      Seq((0, 0, 0, false, "dangling")))
+    // nested tables flatten into the outer numbering (documented)
+    assert(cells("<table><tr><td>a<table><tr><td>b") ===
+      Seq((0, 0, 0, false, "a"), (1, 0, 0, false, "b")))
+    // inline markup inside a cell is a word boundary, like HtmlToText
+    assert(cells("<table><tr><td>v<b>7</b>x") ===
+      Seq((0, 0, 0, false, "v 7 x")))
+  }
+
+  private def metas(html: String): Seq[(String, String)] =
+    Seq(html).toDF("h").select(HtmlExprs.htmlMeta(col("h")))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getString(1)))
+
+  test("HtmlMeta: name/property precedence, decoys, entities") {
+    assert(metas("<meta name=\"a\" content=\"1\">" +
+      "<META PROPERTY='og:b' CONTENT='2 &amp; 3'>") ===
+      Seq(("a", "1"), ("og:b", "2 & 3")))
+    // name wins over property when both are present
+    assert(metas("<meta property=\"p\" name=\"n\" content=\"c\">") ===
+      Seq(("n", "c")))
+    // either half missing -> no pair; comment/script decoys never count
+    assert(metas("<meta charset=\"utf-8\"><meta content=\"orphan\">" +
+      "<meta name=\"k\">" +
+      "<!-- <meta name=\"no\" content=\"no\"> -->" +
+      "<script>'<meta name=\"s\" content=\"s\">'</script>") === Seq.empty)
+  }
+
   test("SQL surface: graft_html_to_text / graft_html_links registered") {
     GraftExtensions.register(spark)
     val r = spark.sql(
