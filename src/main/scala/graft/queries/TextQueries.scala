@@ -599,6 +599,43 @@ object TextQueries {
           col("col.text").as("text"))
     }),
 
+    // ---- table linearization: the extracted grid rendered into the
+    //      "header: value | header: value" rows table-QA pretraining
+    //      consumes — header texts join back to data cells on the
+    //      column key (co-keyed equi-join), headerless tables fall
+    //      back to positional names, cells order by column inside one
+    //      deterministic per-row fold. Proves the recovered grid is
+    //      USABLE, not just extracted ----
+    "t_table_linearize" -> ((s, dir) => {
+      val html = concat(
+        lit("<p>outside</p><table><tr><th>name</th>"),
+        lit("<th>value &amp; unit</th></tr>"),
+        lit("<tr><td>alpha "), col("doc_id"),
+        lit("</td><td>v<b>"), col("doc_id"), lit("</b>x</td></tr>"),
+        lit("<tr><td>beta<td><script>junk <td>fake</td></script>"),
+        col("doc_id"), lit("</table>"),
+        lit("<table><tr><td>second "), col("doc_id"),
+        lit("</td></tr></table>"),
+        lit("<!-- <table><tr><td>no</td></tr></table> -->"))
+      val cells = t(s, dir, "documents").select(col("doc_id"),
+          explode(graft.expressions.HtmlExprs.htmlTables(html)).as("c"))
+        .select(col("doc_id"), col("c.tbl").as("tbl"),
+          col("c.row").as("tr"), col("c.col").as("tc"),
+          col("c.header").as("header"), col("c.text").as("text"))
+        .localCheckpoint(false) // header frame + data frame
+      val hdr = cells.filter(col("header"))
+        .select(col("doc_id"), col("tbl"), col("tc"), col("text").as("h"))
+      cells.filter(!col("header"))
+        .join(hdr, Seq("doc_id", "tbl", "tc"), "left")
+        .withColumn("pair", concat(
+          coalesce(col("h"), concat(lit("col"), col("tc"))),
+          lit(": "), col("text")))
+        .groupBy("doc_id", "tbl", "tr")
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("tc"), col("pair")))),
+          x => x.getField("pair")), " | ").as("line"))
+    }),
+
     // ---- meta extraction: description/OpenGraph pairs on every page,
     //      robots directives on doc_id%6, attribute-less decoys and a
     //      comment decoy contributing nothing; values entity-decode ----
@@ -3108,6 +3145,18 @@ object TextQueries {
         |    'v ' || doc_id || ' x', 'beta', CAST(doc_id AS VARCHAR),
         |    'second ' || doc_id])[CAST(i + 1 AS INT)] AS text
         |FROM documents CROSS JOIN (SELECT unnest(range(0, 7)) AS i)"""
+        .stripMargin,
+
+    // the linearized rows in closed form: tbl0's two data rows carry
+    // their headers, tbl1's headerless row falls back to col0
+    "t_table_linearize" ->
+      """SELECT doc_id, ([0, 0, 1])[CAST(i + 1 AS INT)] AS tbl,
+        |  ([1, 2, 0])[CAST(i + 1 AS INT)] AS tr,
+        |  (['name: alpha ' || doc_id
+        |      || ' | value & unit: v ' || doc_id || ' x',
+        |    'name: beta | value & unit: ' || doc_id,
+        |    'col0: second ' || doc_id])[CAST(i + 1 AS INT)] AS line
+        |FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS i)"""
         .stripMargin,
 
     // the declared metadata in closed form: description + og:title on
