@@ -112,6 +112,49 @@ object Logistic {
         sum(col("k")).as("nt"))
   }
 
+  /** Persist a trained weight map as a parquet artifact (the
+    * k-means/tokenizer treatment): one bucket-sized `weights` table
+    * (b, w DECIMAL(12,6)). Exact decimals round-trip parquet, so
+    * score-from-artifact == score-from-fit (LogisticSpec law).
+    */
+  def writeModel(spark: SparkSession, path: String,
+                 weights: Map[String, BigDecimal]): Unit = {
+    import spark.implicits._
+    weights.toSeq.sortBy(_._1).toDF("b", "w")
+      .select(col("b"), col("w").cast("decimal(12,6)").as("w"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
+  }
+
+  def readModel(spark: SparkSession, path: String)
+      : Map[String, BigDecimal] =
+    spark.read.parquet(s"$path/weights").collect()
+      .map(r => r.getString(0) -> BigDecimal(r.getDecimal(1))).toMap
+
+  /** Per-ROW scoring under a weight map — the deployment shape: one
+    * exact-decimal fold over the document's own token array (Σ_tok
+    * w[bucket] == Σ_b k_b·w_b, the same exact sum [[score]] reaches
+    * through its aggregation), so the trained screen runs at scan
+    * speed with NO shuffle, on a batch or a STREAM (stateless —
+    * the `t_quality_classifier` twin shape, now with trained weights).
+    * Emits (idCol, n_tokens, z); empty documents score null tokens
+    * away and carry z = 0.
+    */
+  def scoreInline(docs: DataFrame, weights: Map[String, BigDecimal],
+                  idCol: String = "doc_id",
+                  textCol: String = "text",
+                  prefixLen: Int = 2): DataFrame = {
+    val wMap = typedLit(weights)
+    val toks = filter(graft.functions.Text.tokens(col(textCol)),
+      t => t =!= "")
+    docs.select(col(idCol), size(toks).cast("long").as("n_tokens"),
+      aggregate(toks, lit(0).cast("decimal(38,6)"),
+        (acc, t) => (acc + coalesce(
+          try_element_at(wMap, substring(md5(t), 1, prefixLen))
+            .cast("decimal(12,6)"),
+          lit(0).cast("decimal(12,6)"))).cast("decimal(38,6)"))
+        .as("z"))
+  }
+
   /** Exact-decimal mean log-loss of a weight map over the feature
     * table (ln rounded to 9 dp before the exact sum — the monitoring
     * number an epoch loop logs).

@@ -120,6 +120,30 @@ object CurationQueries {
     graft.operators.Dedup.readBandIndex(s, p)
   }
 
+  /** Temp path of the persisted trained-classifier artifact, trained
+    * and written once per data directory (the fixture is the WRITE;
+    * the gated query is the artifact READ + inline-deploy path).
+    */
+  private val qmodelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def qualityModel(s: SparkSession,
+                           dir: String): Map[String, BigDecimal] = {
+    val p = qmodelMemo.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_qmodel").toString + "/clf"
+      val d = t(s, dir, "documents")
+      val feats = graft.operators.Logistic
+        .hashedFeatures(d, col("source") === lit(DsirTarget))
+        .localCheckpoint(false)
+      val w3 = graft.operators.Logistic.train(s, feats, d.count(),
+        epochs = 3, lr = 0.5).last
+      graft.operators.Logistic.writeModel(s, path, w3)
+      path
+    })
+    graft.operators.Logistic.readModel(s, p)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- the curation pipeline end-to-end (training-data sibling of
     //      a_pipeline_move): a generated raw-crawl corpus — markup
@@ -308,6 +332,30 @@ object CurationQueries {
         .select(col("source"),
           round(col("z").cast("double") / col("nt").cast("double"), 9)
             .cast("decimal(12,9)").as("zn"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          round(sum(col("zn")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_logit"))
+    }),
+
+    // ---- the trained model as a PERSISTED ARTIFACT, deployed at
+    //      scan speed: train-once (memoized fixture is the WRITE),
+    //      read the bucket-sized weights table back, and score every
+    //      document with the per-ROW exact-decimal fold over its own
+    //      tokens (scoreInline — Σ_tok w[bucket] equals the feature
+    //      aggregation's Σ k·w exactly, so this query is DEFINED to
+    //      equal t_quality_train_eval and shares its oracle; the
+    //      LogisticSpec law proves the per-doc equality). This is the
+    //      deployment path: no shuffle, streaming-legal ----
+    "t_quality_score_artifact" -> ((s, dir) => {
+      val w = qualityModel(s, dir)
+      val d = t(s, dir, "documents")
+      graft.operators.Logistic.scoreInline(d, w)
+        .filter(col("n_tokens") > 0)
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"),
+          round(col("z").cast("double") / col("n_tokens").cast("double"),
+            9).cast("decimal(12,9)").as("zn"))
         .groupBy("source").agg(
           count(lit(1)).as("n_docs"),
           round(sum(col("zn")).cast("double") /
@@ -608,6 +656,9 @@ object CurationQueries {
   val oracleSql: Map[String, String] = Map(
     "t_quality_train" -> QualityTrainOracle,
     "t_quality_train_eval" -> QualityTrainEvalOracle,
+    // the artifact read+deploy path is DEFINED to equal the eval
+    // (exact-decimal round trip + the scoreInline == score law)
+    "t_quality_score_artifact" -> QualityTrainEvalOracle,
     // every stage flag recomputed from the closed-form clean text
     // (the extraction round trip is gated separately by
     // t_html_extract); the PII regexes and the Gopher rules are the

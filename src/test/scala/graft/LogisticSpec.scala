@@ -22,6 +22,43 @@ class LogisticSpec extends SparkSpec {
     assert(run(docs) === run(docs.repartition(7)))
   }
 
+  test("model artifact round-trips exactly; scoreInline == score; streams") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint(false)
+    val feats = Logistic.hashedFeatures(docs, col("source") === "src18")
+      .localCheckpoint(false)
+    val w = Logistic.train(spark, feats, docs.count(),
+      epochs = 2, lr = 0.5).last
+    // artifact law: exact decimals round-trip parquet
+    val dir = java.nio.file.Files.createTempDirectory("qclf").toString
+    Logistic.writeModel(spark, dir, w)
+    assert(Logistic.readModel(spark, dir) === w)
+    // deployment law: the per-row token fold equals the feature
+    // aggregation's exact decimal sum, doc by doc
+    def zs(df: org.apache.spark.sql.DataFrame, zc: String) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[java.math.BigDecimal](zc))
+      .toMap.map { case (k, v) => k -> BigDecimal(v) }
+    val agg = zs(Logistic.score(feats, w), "z")
+    val inline = zs(Logistic.scoreInline(docs, w)
+      .filter(col("n_tokens") > 0), "z")
+    assert(agg.keySet === inline.keySet)
+    assert(agg.forall { case (id, z) => inline(id) == z })
+    // ...and scoreInline is stateless: a stream scores bit-equal
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = Logistic.scoreInline(mem.toDF().toDF("doc_id", "text"), w)
+      .writeStream.format("memory").queryName("qscores")
+      .outputMode("append").start()
+    try { mem.addData(rows); q.processAllAvailable() } finally q.stop()
+    val streamed = zs(spark.sql(
+      "SELECT * FROM qscores WHERE n_tokens > 0"), "z")
+    assert(streamed === inline)
+  }
+
   test("GD reduces log-loss and separates a separable fixture") {
     // class-1 docs speak only token A, class-0 only token B; pick
     // tokens whose md5 first hex digits differ so the hashed features
