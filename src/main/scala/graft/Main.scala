@@ -182,7 +182,8 @@ object Main {
       langs = flags.get("langs")
         .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)),
       quota = flags.get("quota").map(q =>
-        (flags.getOrElse("quota-col", "source"), q.toInt)),
+        (flags.getOrElse("quota-col", "source"), q.toIntOption
+          .getOrElse(fail(s"--quota needs an integer, got: $q")))),
       updateIndex = upd)
   }
 
@@ -245,7 +246,9 @@ object Main {
     val kind = flags.getOrElse("kind", fail("missing --kind band|ivf"))
     if (kind != "band" && kind != "ivf") fail(s"unknown kind: $kind")
     def intFlag(name: String, dflt: Int): Int =
-      flags.get(name).map(_.toInt).getOrElse(dflt)
+      flags.get(name).map(v => v.toIntOption
+        .getOrElse(fail(s"--$name needs an integer, got: $v")))
+        .getOrElse(dflt)
     val cfg = IndexConfig(
       verb = verb, kind = kind,
       index = flags.getOrElse("index", fail("missing --index PATH")),
@@ -258,7 +261,9 @@ object Main {
       ngram = intFlag("ngram", 5), bands = intFlag("bands", 3),
       rowsPerBand = intFlag("rows-per-band", 2),
       partitions = intFlag("partitions", 32),
-      threshold = flags.get("threshold").map(_.toDouble).getOrElse(0.5),
+      threshold = flags.get("threshold").map(v => v.toDoubleOption
+        .getOrElse(fail(s"--threshold needs a number, got: $v")))
+        .getOrElse(0.5),
       k = intFlag("k", 3), nProbe = intFlag("nprobe", 2),
       dryRun = flags.contains("dry-run"))
     // verb-specific operands fail at parse time, not mid-job

@@ -356,15 +356,27 @@ case class DeflateLen(child: Expression)
 }
 
 object DeflateLen {
-  /** One zlib stream per executor thread, reset between rows — never
-    * `end()`ed (the thread-local lives for the task thread's lifetime;
-    * a Deflater's native window is ~256 KiB, reclaimed by its
-    * finalizer/cleaner when threads retire).
+  /** One zlib stream per executor thread, reset between rows, and
+    * `end()`ed DETERMINISTICALLY when the owning task completes (a
+    * task-completion listener registered at first use) — a Deflater's
+    * native window is ~256 KiB, and a large recycled executor thread
+    * pool would otherwise accumulate one per thread for the JVM
+    * lifetime with only the cleaner to reclaim it. Driver-side eval
+    * (no TaskContext — tests, constant folding) keeps the
+    * thread-lifetime stream: a bounded handful of threads.
     */
-  private val localDeflater = new ThreadLocal[java.util.zip.Deflater] {
-    override def initialValue(): java.util.zip.Deflater =
-      new java.util.zip.Deflater(6)
-  }
+  private val localDeflater: ThreadLocal[java.util.zip.Deflater] =
+    new ThreadLocal[java.util.zip.Deflater] {
+      override def initialValue(): java.util.zip.Deflater = {
+        val d = new java.util.zip.Deflater(6)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          d.end()
+          localDeflater.remove()
+        }
+        d
+      }
+    }
 }
 
 /** Per-document character histogram: the multiset of code-point counts

@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   *   - directives are case-insensitive, surrounding whitespace
   *     ignored; `#` starts a comment line; unknown lines are ignored;
   *   - consecutive `User-agent:` lines share one group; the first
-  *     `Allow:`/`Disallow:` closes the group's agent list, and a later
-  *     `User-agent:` starts a NEW group;
+  *     rule line (`Allow:`/`Disallow:`/`Crawl-delay:`) closes the
+  *     group's agent list, and a later `User-agent:` starts a NEW
+  *     group — [[parseRules]] and [[crawlDelay]] fold the SAME group
+  *     segmentation, so a file's rules and its delay always attribute
+  *     to the same agent sets;
   *   - rules seen before any `User-agent:` line belong to no group and
   *     are dropped;
   *   - only `*` groups and groups naming `agent` apply; if ANY group
@@ -47,6 +50,7 @@ object Robots {
       val isUa = low.startsWith("user-agent:")
       val isAllow = low.startsWith("allow:")
       val isDis = low.startsWith("disallow:")
+      val isDelay = low.startsWith("crawl-delay:")
       val value = trim(substr(line, instr(line, ":") + 1, length(line)))
       val ua = lower(value)
       // User-agent: extend the open group or start a new one
@@ -72,8 +76,17 @@ object Robots {
         when(st.getField("curAgent") && value =!= "",
             array_append(st.getField("own"), rule))
           .otherwise(st.getField("own")).as("own"))
+      // Crawl-delay contributes no rule but closes the agent list —
+      // the same segmentation crawlDelay's fold applies
+      val afterDelay = struct(
+        lit(false).as("collecting"),
+        st.getField("curStar").as("curStar"),
+        st.getField("curAgent").as("curAgent"),
+        st.getField("sawAgent").as("sawAgent"),
+        st.getField("star").as("star"), st.getField("own").as("own"))
       when(isUa, afterUa)
         .when(isAllow || isDis, afterRule)
+        .when(isDelay, afterDelay)
         .otherwise(st) // comments, blanks, unknown directives
     })
     when(folded.getField("sawAgent"), folded.getField("own"))

@@ -81,7 +81,11 @@ object Tokenizer {
     import spark.implicits._
     pieces.orderBy(col("piece"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/pieces")
-    val wTotal = pieces.agg(sum("w")).collect()(0).getLong(0)
+    // w_total derives from the PERSISTED pieces (read back), not from
+    // re-executing the caller's plan — a nondeterministic or
+    // non-checkpointed input can't skew meta against the written table
+    val wTotal = pieces.sparkSession.read.parquet(s"$path/pieces")
+      .agg(coalesce(sum("w"), lit(0L))).collect()(0).getLong(0)
     Seq((kind, wTotal)).toDF("kind", "w_total")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     uses.orderBy(col("piece"))
@@ -183,8 +187,12 @@ object Tokenizer {
       .localCheckpoint(false)
     val b = batchUses.select(col("piece"), col("uses").as("batch_uses"))
       .localCheckpoint(false)
-    val tt = train.agg(sum("train_uses")).collect()(0).getLong(0)
-    val bt = b.agg(sum("batch_uses")).collect()(0).getLong(0)
+    // coalesce: an EMPTY side sums to NULL — the drift report of a
+    // zero-use side is all-ppm-on-the-other-side, not an NPE
+    val tt = train.agg(coalesce(sum("train_uses"), lit(0L)))
+      .collect()(0).getLong(0)
+    val bt = b.agg(coalesce(sum("batch_uses"), lit(0L)))
+      .collect()(0).getLong(0)
     train.join(b, Seq("piece"), "full_outer")
       .select(col("piece"),
         coalesce(col("train_uses"), lit(0L)).as("train_uses"),

@@ -49,6 +49,13 @@ class RobotsSpec extends SparkSpec {
     // unknown directives and blank lines are ignored
     assert(rules("User-agent: *\nCrawl-delay: 5\nDisallow: /z") ===
       Seq((false, "/z")))
+    // a crawl-delay line closes the open agent list (the SAME
+    // segmentation crawlDelay folds): the Disallow below attributes
+    // to b's new group, not to a
+    assert(rules("User-agent: a\nCrawl-delay: 3\nUser-agent: b\n" +
+      "Disallow: /x", agent = "a") === Seq.empty)
+    assert(rules("User-agent: a\nCrawl-delay: 3\nUser-agent: b\n" +
+      "Disallow: /x", agent = "b") === Seq((false, "/x")))
   }
 
   test("parse: agent-specific group replaces the * rules") {
