@@ -39,6 +39,10 @@ import graft.operators.{Dedup, MoveSink, Report, Similarity}
   *     [--dedup-index PATH]   + near-dup screen vs a persisted band
   *                            index (implies --dedup)
   *     [--langs en,de]        language allow-list stage
+  *     [--classifier PATH]    trained-quality stage: the persisted
+  *                            logistic weight artifact gates keep on
+  *                            the decimal sign of the clean text's
+  *                            logit (z > 0)
   *     [--quota N]            per-group keep cap
   *     [--quota-col source]   the quota group column (default source)
   *     [--update-index]       after a real run, append the KEPT docs
@@ -127,6 +131,7 @@ object Main {
                                 dedup: Boolean = false,
                                 dedupIndex: Option[String] = None,
                                 langs: Option[Seq[String]] = None,
+                                classifier: Option[String] = None,
                                 quota: Option[(String, Int)] = None,
                                 updateIndex: Boolean = false)
 
@@ -161,7 +166,8 @@ object Main {
   }
 
   private val curateFlags = Set("dry-run", "input", "output", "dedup",
-    "dedup-index", "langs", "quota", "quota-col", "update-index")
+    "dedup-index", "langs", "classifier", "quota", "quota-col",
+    "update-index")
   private val curateBare = Set("dry-run", "dedup", "update-index")
 
   private[graft] def parseCurate(args: Seq[String]): CurateConfig = {
@@ -181,6 +187,7 @@ object Main {
       dedupIndex = flags.get("dedup-index"),
       langs = flags.get("langs")
         .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)),
+      classifier = flags.get("classifier"),
       quota = flags.get("quota").map(q =>
         (flags.getOrElse("quota-col", "source"), q.toIntOption
           .getOrElse(fail(s"--quota needs an integer, got: $q")))),
@@ -196,10 +203,12 @@ object Main {
   private[graft] def runCurate(spark: SparkSession,
                                cfg: CurateConfig): DataFrame = {
     val idx = cfg.dedupIndex.map(Dedup.readBandIndex(spark, _))
+    val clf = cfg.classifier
+      .map(graft.operators.Logistic.readModel(spark, _))
     val (decisions, written) = Pipelines.pipelineC(
       spark, cfg.input, cfg.output, cfg.dryRun,
       dedup = cfg.dedup, dedupIndex = idx,
-      allowedLangs = cfg.langs, quota = cfg.quota)
+      allowedLangs = cfg.langs, classifier = clf, quota = cfg.quota)
     written.foreach(n => println(s"Wrote $n documents to ${cfg.output}"))
     // materialize the report BEFORE any index mutation: its plan scans
     // the pre-swap artifact files, which the swap retires
@@ -530,6 +539,7 @@ object Main {
       if (cfg.dedup) println("Dedup:       exact" +
         cfg.dedupIndex.map(p => s" + near-dup vs $p").getOrElse(""))
       cfg.langs.foreach(l => println(s"Languages:   ${l.mkString(",")}"))
+      cfg.classifier.foreach(p => println(s"Classifier:  $p"))
       cfg.quota.foreach { case (c, n) => println(s"Quota:       $n per $c") }
       val spark = session()
       try runCurate(spark, cfg).show(truncate = false)

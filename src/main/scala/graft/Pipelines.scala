@@ -264,6 +264,15 @@ object Pipelines {
     *
     *   - `allowedLangs`: adds `lang_ok` = marker-based language ID of
     *     the clean text ∈ the allow-list (stateless projection);
+    *   - `classifier`: a TRAINED weight map (the persisted
+    *     [[graft.operators.Logistic]] artifact, read back model-sized)
+    *     adds `clf_ok` — the exact-decimal logit of the CLEAN text
+    *     under the trained hashed-bag-of-words model is positive
+    *     (z > 0, the decimal-sign contract). The score is
+    *     [[graft.operators.Logistic.zInline]]: one map-side fold over
+    *     the document's own tokens, no shuffle, streaming-legal —
+    *     this is where the model the engine trains, persists, and
+    *     deploys actually gates ingest;
     *   - `quota`: `(groupCol, n)` adds `quota_ok` — at most `n` KEPT
     *     documents per group, chosen deterministically by md5(id) rank
     *     among the rows that survived every earlier stage (documents
@@ -271,10 +280,13 @@ object Pipelines {
     *     on the group key, the per-domain cap shape of
     *     [[graft.operators.Sampling.quotaCap]].
     *
-    * `keep` is ANDed with each enabled stage's flag.
+    * `keep` is ANDed with each enabled stage's flag; the quota ranks
+    * AFTER the language and classifier stages, so rejected documents
+    * consume no group budget.
     */
   def curatePolicyDecisions(decisions: DataFrame, idCol: String = "doc_id",
                             allowedLangs: Option[Seq[String]] = None,
+                            classifier: Option[Map[String, BigDecimal]] = None,
                             quota: Option[(String, Int)] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Text
@@ -287,14 +299,22 @@ object Pipelines {
               .isin(langs.map(_.asInstanceOf[Any]): _*))
           .withColumn("keep", col("keep") && col("lang_ok"))
     }
-    quota match {
+    val withClf = classifier match {
       case None => withLang
+      case Some(w) =>
+        withLang
+          .withColumn("clf_ok",
+            graft.operators.Logistic.zInline(col("clean"), w) > lit(0))
+          .withColumn("keep", col("keep") && col("clf_ok"))
+    }
+    quota match {
+      case None => withClf
       case Some((groupCol, n)) =>
         // rank only rows still kept: partitioning by (group, keep)
         // gives each group's keepers their own contiguous rank space
         val w = Window.partitionBy(col(groupCol), col("keep"))
           .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
-        withLang.withColumn("__rn", row_number().over(w))
+        withClf.withColumn("__rn", row_number().over(w))
           .withColumn("quota_ok", !col("keep") || col("__rn") <= n)
           .withColumn("keep", col("keep") && col("quota_ok"))
           .drop("__rn")
@@ -316,6 +336,7 @@ object Pipelines {
                   textCol: String = "text", dedup: Boolean = false,
                   dedupIndex: Option[graft.operators.Dedup.BandIndex] = None,
                   allowedLangs: Option[Seq[String]] = None,
+                  classifier: Option[Map[String, BigDecimal]] = None,
                   quota: Option[(String, Int)] = None): DataFrame = {
     val carry = quota.map(_._1).toSeq.filterNot(_ == idCol)
     val screened = curateDecisions(raw, idCol, textCol, carry)
@@ -323,7 +344,7 @@ object Pipelines {
       if (dedup || dedupIndex.nonEmpty)
         curateDedupDecisions(screened, dedupIndex, idCol)
       else screened
-    curatePolicyDecisions(deduped, idCol, allowedLangs, quota)
+    curatePolicyDecisions(deduped, idCol, allowedLangs, classifier, quota)
   }
 
   def pipelineC(spark: SparkSession, input: String, output: String,
@@ -331,10 +352,11 @@ object Pipelines {
                 textCol: String = "text", dedup: Boolean = false,
                 dedupIndex: Option[graft.operators.Dedup.BandIndex] = None,
                 allowedLangs: Option[Seq[String]] = None,
+                classifier: Option[Map[String, BigDecimal]] = None,
                 quota: Option[(String, Int)] = None)
       : (DataFrame, Option[Long]) = {
     val decisions = curateChain(spark.read.parquet(input), idCol, textCol,
-      dedup, dedupIndex, allowedLangs, quota)
+      dedup, dedupIndex, allowedLangs, classifier, quota)
     if (dryRun) (decisions, None)
     else {
       val kept = decisions.filter(col("keep"))
@@ -355,6 +377,7 @@ object Pipelines {
     // (decision column, funnel stage name, flagged-when)
     val optional = Seq(
       ("lang_ok", "lang_failed", () => !col("lang_ok")),
+      ("clf_ok", "clf_failed", () => !col("clf_ok")),
       ("dup_exact", "dup_exact", () => col("dup_exact")),
       ("dup_near", "dup_near", () => col("dup_near")),
       ("quota_ok", "quota_failed", () => !col("quota_ok"))

@@ -143,16 +143,29 @@ object Logistic {
                   idCol: String = "doc_id",
                   textCol: String = "text",
                   prefixLen: Int = 2): DataFrame = {
-    val wMap = typedLit(weights)
     val toks = filter(graft.functions.Text.tokens(col(textCol)),
       t => t =!= "")
     docs.select(col(idCol), size(toks).cast("long").as("n_tokens"),
-      aggregate(toks, lit(0).cast("decimal(38,6)"),
-        (acc, t) => (acc + coalesce(
-          try_element_at(wMap, substring(md5(t), 1, prefixLen))
-            .cast("decimal(12,6)"),
-          lit(0).cast("decimal(12,6)"))).cast("decimal(38,6)"))
-        .as("z"))
+      zInline(col(textCol), weights, prefixLen).as("z"))
+  }
+
+  /** The per-row exact-decimal logit as a bare COLUMN — the piece a
+    * curation chain composes into its decision frame
+    * ([[graft.Pipelines.curatePolicyDecisions]]'s classifier stage):
+    * the same fold [[scoreInline]] emits, usable wherever the text
+    * column already lives (no join, no shuffle, streaming-legal).
+    * Deployment decides on the DECIMAL sign: `zInline(...) > 0`.
+    */
+  def zInline(text: org.apache.spark.sql.Column,
+              weights: Map[String, BigDecimal],
+              prefixLen: Int = 2): org.apache.spark.sql.Column = {
+    val wMap = typedLit(weights)
+    val toks = filter(graft.functions.Text.tokens(text), t => t =!= "")
+    aggregate(toks, lit(0).cast("decimal(38,6)"),
+      (acc, t) => (acc + coalesce(
+        try_element_at(wMap, substring(md5(t), 1, prefixLen))
+          .cast("decimal(12,6)"),
+        lit(0).cast("decimal(12,6)"))).cast("decimal(38,6)"))
   }
 
   /** Exact-decimal mean log-loss of a weight map over the feature

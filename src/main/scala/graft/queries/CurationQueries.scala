@@ -194,6 +194,26 @@ object CurationQueries {
       graft.Pipelines.curationReport(decisions)
     }),
 
+    // ---- pipeline C with the TRAINED classifier deployed as a
+    //      quality stage — the train → persist → deploy → curate loop
+    //      closed: the persisted logistic artifact (3-epoch GD over
+    //      the corpus, the t_quality_score_artifact fixture) gates
+    //      keep on the DECIMAL sign of the clean text's logit
+    //      (zInline > 0 — one map-side fold per doc, no shuffle,
+    //      streaming-legal), ANDed in after language, before the
+    //      quota rank (rejected docs consume no group budget). Eleven
+    //      funnel rows; the oracle replays the three training epochs
+    //      in unrolled SQL and re-scores every clean text under w3 ----
+    "a_pipeline_curate_clf" -> ((s, dir) => {
+      val decisions = graft.Pipelines.curateChain(
+        s.read.parquet(curateDedupInput(s, dir)),
+        dedup = true, dedupIndex = Some(curateIndex(s, dir)),
+        allowedLangs = Some(Seq("en")),
+        classifier = Some(qualityModel(s, dir)),
+        quota = Some(("source", 5)))
+      graft.Pipelines.curationReport(decisions)
+    }),
+
     // ---- top-3 TF-IDF keywords per document: raw-idf variant
     //      tf · (N+1)/(df+1) ranked with a full deterministic
     //      tie-break (tf desc, df asc, tok asc); output is exact
@@ -756,6 +776,54 @@ object CurationQueries {
          |UNION ALL SELECT 'quality_failed', CAST(SUM(CASE WHEN NOT
          |  quality_ok THEN 1 ELSE 0 END) AS BIGINT) FROM k
          |UNION ALL SELECT 'lang_failed', CAST(SUM(CASE WHEN NOT lang_ok
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'dup_exact', CAST(SUM(CASE WHEN dup_exact
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'dup_near', CAST(SUM(CASE WHEN dup_near
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'quota_failed', CAST(SUM(CASE WHEN NOT quota_ok
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'kept', CAST(SUM(CASE WHEN keep
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k""".stripMargin),
+
+    // the full policy chain PLUS the trained classifier stage: the
+    // three GD epochs replay in unrolled SQL (QualityTrainCtes — the
+    // same weights the persisted artifact holds, exact decimals
+    // round-trip parquet), every clean text re-scores under w3 with
+    // the exact-decimal token fold, and clf_ok = z > 0 gates keep
+    // between the language stage and the quota rank
+    "a_pipeline_curate_clf" ->
+      (QualityTrainCtes + ",\n" + DedupBase + ",\n" + NearDupBlock + ",\n" +
+      s"""lg AS (SELECT *, $LangBest AS best FROM fl2),
+         |lg2 AS (SELECT *, ($LangPred) IN ('en') AS lang_ok FROM lg),
+         |clfz AS (SELECT doc_id, SUM(w3.w) AS z FROM (
+         |    SELECT doc_id, substr(md5(tok), 1, 2) AS b
+         |    FROM (SELECT doc_id, unnest(string_split(clean, ' ')) AS tok
+         |          FROM lg2)
+         |    WHERE tok <> '') tb JOIN w3 USING (b) GROUP BY doc_id),
+         |lg3 AS (SELECT lg2.*,
+         |    COALESCE(clfz.z, CAST(0 AS DECIMAL(12,6))) > 0 AS clf_ok
+         |  FROM lg2 LEFT JOIN clfz USING (doc_id)),
+         |k0 AS (SELECT *, quality_ok AND NOT has_pii AND lang_ok
+         |    AND clf_ok AND NOT dup_exact AND NOT dup_near AS keep0
+         |  FROM lg3),
+         |q AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source, keep0
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+         |    AS rn FROM k0),
+         |k AS MATERIALIZED (SELECT *, (NOT keep0 OR rn <= 5) AS quota_ok,
+         |    keep0 AND (NOT keep0 OR rn <= 5) AS keep FROM q)
+         |SELECT 'ingested' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM k
+         |UNION ALL SELECT 'markup_stripped', CAST(COUNT(*) AS BIGINT)
+         |  FROM k
+         |UNION ALL SELECT 'mojibake_repaired', CAST(SUM(CASE WHEN repaired
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'pii_flagged', CAST(SUM(CASE WHEN has_pii
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'quality_failed', CAST(SUM(CASE WHEN NOT
+         |  quality_ok THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'lang_failed', CAST(SUM(CASE WHEN NOT lang_ok
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'clf_failed', CAST(SUM(CASE WHEN NOT clf_ok
          |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
          |UNION ALL SELECT 'dup_exact', CAST(SUM(CASE WHEN dup_exact
          |  THEN 1 ELSE 0 END) AS BIGINT) FROM k

@@ -142,9 +142,28 @@ object CurationStream {
                        textCol: String = "text", dedup: Boolean = false,
                        index: Option[graft.operators.Dedup.BandIndex] = None,
                        allowedLangs: Option[Seq[String]] = None,
+                       classifier: Option[Map[String, BigDecimal]] = None,
                        quota: Option[(String, Int)] = None): DataFrame =
     graft.Pipelines.curateChain(batch, idCol, textCol, dedup, index,
-      allowedLangs, quota)
+      allowedLangs, classifier, quota)
+
+  /** TRAINED-classifier screen at ingest — the deployment shape of the
+    * persisted [[graft.operators.Logistic]] artifact: the weight map
+    * (read back model-sized) rides as a plan literal, and each
+    * arriving document gets its exact-decimal logit from ONE map-side
+    * fold over its own tokens ([[graft.operators.Logistic.scoreInline]]
+    * — stateless, no state store, no watermark). `kept` decides on
+    * the DECIMAL sign (z > 0), the same contract the batch curation
+    * chain's classifier stage applies — so the streamed screen is
+    * bit-equal to batch over the same rows by construction
+    * (StreamingSpec proves it end-to-end through a MemoryStream).
+    */
+  def classifierScreen(docs: DataFrame,
+                       weights: Map[String, BigDecimal],
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    graft.operators.Logistic.scoreInline(docs, weights, idCol, textCol)
+      .withColumn("kept", col("z") > lit(0))
 
   /** Frontier screening at ingest — the streaming half of
     * `f_frontier`: typed outlinks (`graft_html_refs`, base-href

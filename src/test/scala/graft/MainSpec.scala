@@ -102,10 +102,18 @@ class MainSpec extends SparkSpec {
   test("parseCurate: dedup/lang/quota stage flags parse into the config") {
     val cfg = Main.parseCurate(Seq("--input", "/in", "--dry-run",
       "--dedup-index", "/idx", "--langs", "en, de", "--quota", "50",
-      "--quota-col", "domain"))
+      "--quota-col", "domain", "--classifier", "/clf"))
     assert(cfg.dedup && cfg.dedupIndex === Some("/idx"))
     assert(cfg.langs === Some(Seq("en", "de")))
+    assert(cfg.classifier === Some("/clf"))
     assert(cfg.quota === Some(("domain", 50)))
+    // a malformed quota fails with the CLI's own message, not a raw
+    // NumberFormatException
+    val e = intercept[IllegalArgumentException] {
+      Main.parseCurate(Seq("--input", "/in", "--dry-run",
+        "--quota", "five"))
+    }
+    assert(e.getMessage.contains("--quota needs an integer"))
     // bare --dedup enables exact-only dedup; quota-col defaults source
     val bare = Main.parseCurate(Seq("--input", "/in", "--dry-run",
       "--dedup", "--quota", "9"))
@@ -156,6 +164,32 @@ class MainSpec extends SparkSpec {
       Main.parseCurate(Seq("--input", "/i", "--output", "/o",
         "--update-index"))
     }
+  }
+
+  test("curate --classifier: the persisted model gates keep from the CLI") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-curate-clf")
+    val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq((1L, s"<p>$good one</p>"), (2L, s"<p>$good two</p>"))
+      .toDF("doc_id", "text").write.parquet(s"$root/in.parquet")
+    // an all-negative persisted artifact rejects every document
+    val neg = graft.operators.Logistic.bucketSpace()
+      .map(_ -> BigDecimal("-0.1").setScale(6)).toMap
+    graft.operators.Logistic.writeModel(spark, s"$root/clf", neg)
+    val rep = Main.runCurate(spark, Main.parseCurate(Seq(
+        "--input", s"$root/in.parquet", "--dry-run",
+        "--classifier", s"$root/clf")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("clf_failed") === 2L && rep("kept") === 0L)
+    // an all-positive artifact passes both
+    val pos = graft.operators.Logistic.bucketSpace()
+      .map(_ -> BigDecimal("0.1").setScale(6)).toMap
+    graft.operators.Logistic.writeModel(spark, s"$root/clf2", pos)
+    val rep2 = Main.runCurate(spark, Main.parseCurate(Seq(
+        "--input", s"$root/in.parquet", "--dry-run",
+        "--classifier", s"$root/clf2")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep2("clf_failed") === 0L && rep2("kept") === 2L)
   }
 
   test("parseCurate: input always required, output only for real runs") {

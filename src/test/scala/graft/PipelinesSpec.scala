@@ -258,4 +258,68 @@ class PipelinesSpec extends SparkSpec {
       "quality_failed" -> 0L, "lang_failed" -> 1L, "dup_exact" -> 1L,
       "dup_near" -> 1L, "quota_failed" -> 1L, "kept" -> 3L))
   }
+
+  test("pipeline C classifier stage: decimal-sign gate composes into keep") {
+    import spark.implicits._
+    val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val raw = Seq(
+      (0L, s"<p>$good one</p>"),
+      (1L, s"<p>$good two</p>"),
+      (2L, s"<p>tiny</p>")) // quality-failed regardless of the model
+      .toDF("doc_id", "text")
+    val buckets = graft.operators.Logistic.bucketSpace()
+    def wmap(v: String): Map[String, BigDecimal] =
+      buckets.map(_ -> BigDecimal(v).setScale(6)).toMap
+
+    // positive weights: every token sums positive → clf passes all,
+    // keep still honors the earlier quality screen
+    val pos = Pipelines.curateChain(raw, classifier = Some(wmap("0.1")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("clf_ok"), r.getAs[Boolean]("keep")))).toMap
+    assert(pos(0L) === ((true, true)) && pos(1L) === ((true, true)))
+    assert(pos(2L)._1 && !pos(2L)._2)
+
+    // negative weights: clf rejects everything, keep collapses to none
+    val neg = Pipelines.curateChain(raw, classifier = Some(wmap("-0.1")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("clf_ok"), r.getAs[Boolean]("keep")))).toMap
+    assert(neg.values.forall(v => !v._1 && !v._2))
+
+    // zero weights: z == 0 is NOT > 0 — the sign contract is strict
+    val zer = Pipelines.curateChain(raw, classifier = Some(wmap("0")))
+      .collect().map(r => r.getAs[Boolean]("clf_ok"))
+    assert(zer.forall(!_))
+
+    // the funnel gains the clf_failed row exactly when the stage is on
+    val rep = Pipelines.curationReport(
+      Pipelines.curateChain(raw, classifier = Some(wmap("-0.1"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("clf_failed") === 3L && rep("kept") === 0L)
+    val repOff = Pipelines.curationReport(Pipelines.curateChain(raw))
+      .collect().map(_.getString(0))
+    assert(!repOff.contains("clf_failed"))
+
+    // rejected docs consume no quota budget: with a per-group cap of 1
+    // and the classifier rejecting doc 0's bucket set... (cap honored
+    // among clf-survivors only) — use a doc-targeted map: every bucket
+    // positive EXCEPT the ones doc 0's unique token hashes into
+    val uniq0 = "qqqzzzword"
+    val raw2 = Seq(
+      (0L, "g", s"<p>$good $uniq0 $uniq0 $uniq0 $uniq0 $uniq0 $uniq0 " +
+        s"$uniq0 $uniq0 $uniq0 $uniq0 $uniq0 $uniq0</p>"),
+      (1L, "g", s"<p>$good three</p>"),
+      (2L, "g", s"<p>$good four</p>")).toDF("doc_id", "source", "text")
+    val b0 = org.apache.spark.sql.functions.md5(
+      org.apache.spark.sql.functions.lit(uniq0))
+    val bucket0 = spark.range(1).select(b0.substr(1, 2)).head.getString(0)
+    // 12 copies of the -1.3 bucket outweigh ~12 tokens of +0.1
+    val targeted = wmap("0.1") + (bucket0 -> BigDecimal("-1.3").setScale(6))
+    val q = Pipelines.curateChain(raw2, classifier = Some(targeted),
+      quota = Some(("source", 1)))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("clf_ok"), r.getAs[Boolean]("keep")))).toMap
+    assert(!q(0L)._1 && !q(0L)._2)
+    // exactly one of the two clf-survivors keeps under the cap
+    assert(Seq(q(1L), q(2L)).count(_._2) === 1)
+  }
 }

@@ -715,6 +715,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("streaming TRAINED-classifier screen bit-equal to batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", $"source").localCheckpoint(false)
+    // a real trained artifact (one epoch is enough for the wiring law)
+    val feats = graft.operators.Logistic
+      .hashedFeatures(corpus, $"source" === "src18").localCheckpoint(false)
+    val w = graft.operators.Logistic
+      .train(spark, feats, corpus.count(), epochs = 1, lr = 0.5).last
+    val rows = corpus.select("doc_id", "text").limit(50).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.CurationStream.classifierScreen(
+        mem.toDF().toDF("doc_id", "text"), w)
+      .writeStream.format("memory").queryName("tclf")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(25)); q.processAllAvailable()
+      mem.addData(rows.drop(25)); q.processAllAvailable()
+    } finally q.stop()
+    def canon(rs: Seq[org.apache.spark.sql.Row]) = rs
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        BigDecimal(r.getAs[java.math.BigDecimal]("z")),
+        r.getAs[Boolean]("kept"))).sortBy(_._1)
+    val got = canon(spark.sql("SELECT * FROM tclf").collect().toSeq)
+    val want = canon(graft.streaming.CurationStream.classifierScreen(
+      rows.toDF("doc_id", "text"), w).collect().toSeq)
+    assert(got.length === 50 && got === want)
+    // kept IS the decimal sign
+    assert(got.forall(r => r._4 === (r._3 > 0)))
+  }
+
   test("streaming PII screen + mojibake repair bit-equal batch, stateless") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -933,13 +967,19 @@ class StreamingSpec extends SparkSpec {
       (2L, "s1", s"<p>$tB</p>"),   // exact clone of 1
       (3L, "s1", s"<p>$tC</p>"),
       (4L, "s1", s"<p>$tD</p>"))
+    // the trained-classifier stage rides along (an all-positive map:
+    // stage wiring + bit-equality, while the keep decisions stay the
+    // dedup/quota story below)
+    val clfW = graft.operators.Logistic.bucketSpace()
+      .map(_ -> BigDecimal("0.1").setScale(6)).toMap
     val buf = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.Row]
     val mem = MemoryStream[(Long, String, String)]
     val q = mem.toDF().toDF("doc_id", "source", "text").writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
         buf ++= graft.streaming.CurationStream.curateMicroBatch(
-          b, dedup = true, index = Some(idx), quota = Some(("source", 2)))
+          b, dedup = true, index = Some(idx), classifier = Some(clfW),
+          quota = Some(("source", 2)))
           .collect()
         ()
       }.start()
@@ -948,8 +988,10 @@ class StreamingSpec extends SparkSpec {
       rows.map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
     val want = graft.Pipelines.curateChain(
       docs.toDF("doc_id", "source", "text"), dedup = true,
-      dedupIndex = Some(idx), quota = Some(("source", 2))).collect()
+      dedupIndex = Some(idx), classifier = Some(clfW),
+      quota = Some(("source", 2))).collect()
     assert(canon(buf.toSeq) === canon(want.toSeq))
+    assert(buf.forall(_.getAs[Boolean]("clf_ok")))
     // and the decisions are the expected ones: 0 near-dup, 2 exact,
     // quota caps the remaining 3 survivors at 2
     val keep = buf.map(r => r.getAs[Long]("doc_id") ->
