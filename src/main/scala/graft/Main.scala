@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, MoveSink, Report, Similarity}
+import graft.operators.{CrawlState, Dedup, MoveSink, Report, Similarity}
 
 /** Thin operational entry point — the drop-in equivalent of the
   * reference's env-driven scripts (app/config.py via .env;
@@ -53,16 +53,20 @@ import graft.operators.{Dedup, MoveSink, Report, Similarity}
   * `--output` as (doc_id, text) clean text. `--dry-run` audits only.
   *
   * Index-artifact lifecycle (the daily-ingestion ops surface over the
-  * persisted MinHash/LSH band index and IVF ANN index — the library
-  * functions [[Dedup.buildBandIndex]]/[[Similarity.buildIvfIndex]] and
-  * friends, exposed as verbs):
+  * persisted MinHash/LSH band index, IVF ANN index, and crawl-frontier
+  * URL-seen index — the library functions
+  * [[Dedup.buildBandIndex]]/[[Similarity.buildIvfIndex]]/
+  * [[CrawlState.buildUrlIndex]] and friends, exposed as verbs):
   *   graft.Main index build|append|merge|compact|erase|stats|check
-  *     --kind band|ivf --index PATH [--dry-run]
+  *     --kind band|ivf|frontier --index PATH [--dry-run]
   *     [--input PARQUET]      build/append/check: the (new) corpus
   *     [--other PATH]         merge: the second persisted index
-  *     [--ids PARQUET]        erase: ids to forget (column `id`)
+  *     [--ids PARQUET]        erase: ids to forget (column `id` —
+  *                            urls for frontier; add --by-host to
+  *                            treat them as hosts: per-host takedown)
   *     [--centroids PARQUET]  ivf build: the trained quantizer (cid, cv)
   *     [--id-col doc_id|vec_id] [--text-col text] [--vec-col embedding]
+  *     [--url-col url]        frontier: the URL column of --input
   *     [--ngram 5] [--bands 3] [--rows-per-band 2] [--partitions 32]
   *     [--threshold 0.5]      band check: Jaccard verify threshold
   *     [--k 3] [--nprobe 2]   ivf check: neighbors per query / probes
@@ -234,26 +238,29 @@ object Main {
       verb: String, kind: String, index: String,
       input: Option[String], other: Option[String], ids: Option[String],
       centroids: Option[String],
-      idCol: String, textCol: String, vecCol: String,
+      idCol: String, textCol: String, vecCol: String, urlCol: String,
       ngram: Int, bands: Int, rowsPerBand: Int,
       partitions: Int, threshold: Double, k: Int, nProbe: Int,
-      dryRun: Boolean)
+      byHost: Boolean, dryRun: Boolean)
 
   private val indexVerbs =
     Set("build", "append", "merge", "compact", "erase", "stats", "check")
 
   private val indexFlags = Set("dry-run", "kind", "index", "input",
     "other", "ids", "centroids", "id-col", "text-col", "vec-col",
-    "ngram", "bands", "rows-per-band", "partitions", "threshold",
-    "k", "nprobe")
+    "url-col", "ngram", "bands", "rows-per-band", "partitions",
+    "threshold", "k", "nprobe", "by-host")
 
   private[graft] def parseIndex(args: Seq[String]): IndexConfig = {
     if (args.isEmpty || !indexVerbs(args.head))
       fail(s"index verb must be one of ${indexVerbs.toSeq.sorted.mkString("|")}")
     val verb = args.head
-    val flags = parseFlags(args.tail, indexFlags)
-    val kind = flags.getOrElse("kind", fail("missing --kind band|ivf"))
-    if (kind != "band" && kind != "ivf") fail(s"unknown kind: $kind")
+    val flags = parseFlags(args.tail, indexFlags,
+      bare = Set("dry-run", "by-host"))
+    val kind = flags.getOrElse("kind",
+      fail("missing --kind band|ivf|frontier"))
+    if (kind != "band" && kind != "ivf" && kind != "frontier")
+      fail(s"unknown kind: $kind")
     def intFlag(name: String, dflt: Int): Int =
       flags.get(name).map(v => v.toIntOption
         .getOrElse(fail(s"--$name needs an integer, got: $v")))
@@ -267,6 +274,7 @@ object Main {
         if (kind == "band") "doc_id" else "vec_id"),
       textCol = flags.getOrElse("text-col", "text"),
       vecCol = flags.getOrElse("vec-col", "embedding"),
+      urlCol = flags.getOrElse("url-col", "url"),
       ngram = intFlag("ngram", 5), bands = intFlag("bands", 3),
       rowsPerBand = intFlag("rows-per-band", 2),
       partitions = intFlag("partitions", 32),
@@ -274,7 +282,10 @@ object Main {
         .getOrElse(fail(s"--threshold needs a number, got: $v")))
         .getOrElse(0.5),
       k = intFlag("k", 3), nProbe = intFlag("nprobe", 2),
+      byHost = flags.contains("by-host"),
       dryRun = flags.contains("dry-run"))
+    if (cfg.byHost && !(verb == "erase" && kind == "frontier"))
+      fail("--by-host applies only to: erase --kind frontier")
     // verb-specific operands fail at parse time, not mid-job
     verb match {
       case "build" | "append" | "check" =>
@@ -305,6 +316,8 @@ object Main {
       ("dfs", idx.dfs.count()))
     def ivfReport(idx: Similarity.IvfIndex): Seq[(String, Long)] = Seq(
       ("centroids", idx.centroids.count()), ("lists", idx.lists.count()))
+    def frontierReport(idx: CrawlState.UrlIndex): Seq[(String, Long)] =
+      Seq(("urls", idx.urls.count()))
     val col0 = if (cfg.dryRun) "would_write" else "wrote"
     def report(rows: Seq[(String, Long)]): DataFrame =
       rows.toDF("table", "rows").select(lit(col0).as("action"),
@@ -339,6 +352,15 @@ object Main {
         Dedup.swapDirs(spark, cfg.index, s"${cfg.index}.next")
         r
       }
+    def promoteFrontier(idx: CrawlState.UrlIndex): Seq[(String, Long)] =
+      if (cfg.dryRun) frontierReport(idx)
+      else {
+        CrawlState.writeUrlIndex(idx, s"${cfg.index}.next")
+        val r = frontierReport(
+          CrawlState.readUrlIndex(spark, s"${cfg.index}.next"))
+        Dedup.swapDirs(spark, cfg.index, s"${cfg.index}.next")
+        r
+      }
 
     /** True when the artifact path already exists — a rebuild, which
       * must go through the retire-aside swap like every other mutating
@@ -365,6 +387,40 @@ object Main {
           Similarity.writeIvfIndex(idx, cfg.index, cfg.partitions)
           report(ivfReport(Similarity.readIvfIndex(spark, cfg.index)))
         }
+
+      case ("build", "frontier") =>
+        val idx = CrawlState.buildUrlIndex(
+          spark.read.parquet(cfg.input.get), cfg.urlCol)
+        if (cfg.dryRun || liveExists()) report(promoteFrontier(idx))
+        else {
+          CrawlState.writeUrlIndex(idx, cfg.index)
+          report(frontierReport(CrawlState.readUrlIndex(spark, cfg.index)))
+        }
+      case ("append", "frontier") =>
+        report(promoteFrontier(CrawlState.appendUrls(
+          CrawlState.readUrlIndex(spark, cfg.index),
+          spark.read.parquet(cfg.input.get), cfg.urlCol)))
+      case ("merge", "frontier") =>
+        report(promoteFrontier(CrawlState.mergeUrlIndex(
+          CrawlState.readUrlIndex(spark, cfg.index),
+          CrawlState.readUrlIndex(spark, cfg.other.get))))
+      case ("compact", "frontier") =>
+        if (!cfg.dryRun)
+          CrawlState.compactUrlIndex(spark, cfg.index, cfg.partitions)
+        report(frontierReport(CrawlState.readUrlIndex(spark, cfg.index)))
+      case ("erase", "frontier") =>
+        val idx = CrawlState.readUrlIndex(spark, cfg.index)
+        val ids = spark.read.parquet(cfg.ids.get).select(col("id"))
+        report(promoteFrontier(
+          if (cfg.byHost) CrawlState.eraseHosts(idx, ids, "id")
+          else CrawlState.eraseUrls(idx, ids, "id")))
+      // the per-wave frontier check: canonical candidates flagged
+      // against the seen set (url, host, known)
+      case ("check", "frontier") =>
+        CrawlState.screenUrls(spark.read.parquet(cfg.input.get),
+          CrawlState.readUrlIndex(spark, cfg.index), cfg.urlCol)
+      case ("stats", "frontier") =>
+        CrawlState.urlIndexStats(CrawlState.readUrlIndex(spark, cfg.index))
 
       case ("append", "band") =>
         report(promoteBand(Dedup.mergeBandIndex(

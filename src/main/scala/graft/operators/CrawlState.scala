@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted crawl-frontier state — the URL-seen set as a TABLE with
+  * the same artifact lifecycle as the band/IVF indexes: at real crawl
+  * scale "what have we already fetched" is not derivable per run (the
+  * reference's manifest-vs-storage partition, app/app.py:100-154,
+  * re-expressed for crawl state), it is a maintained asset that every
+  * frontier wave anti-joins against and every completed wave appends
+  * to.
+  *
+  * One parquet table `urls` (url, host): canonical URLs
+  * ([[graft.functions.Urls.canonicalizeUrl]] — the SAME normalization
+  * the frontier queries apply, so a cased/ported/tracking-param
+  * variant of a seen URL still screens as known) with the host
+  * extracted once at build time (per-host takedown and the health
+  * histogram never re-parse URLs). All maintenance is algebra on the
+  * distinct URL set, so the artifact laws hold row-for-row
+  * (CrawlStateSpec proves them):
+  *
+  *   - build(A ∪ B) == merge(build(A), build(B))   (distinct union)
+  *   - erase(build(A ∪ B), B) == build(A)          (url anti-join)
+  *
+  * Scale shape: the urls table is hash-partitioned by url, screening
+  * a new wave is ONE equi-join on the canonical url key (broadcast
+  * when the wave is small, shuffle-hash co-partitioned otherwise),
+  * and append/merge/erase never read document text — the artifact is
+  * URL-sized, not corpus-sized.
+  */
+object CrawlState {
+
+  /** A persisted (or in-memory) URL-seen index: `urls` (url, host),
+    * canonical and distinct.
+    */
+  final case class UrlIndex(urls: DataFrame)
+
+  /** Host component of a canonical absolute URL. */
+  def hostOf(url: Column): Column =
+    regexp_extract(url, "^[a-z]+://([^/]+)", 1)
+
+  /** Build an index from any frame carrying a URL column: canonicalize
+    * (case/port/tracking-param/fragment normalization collapses
+    * surface forms), drop unparseable nulls, distinct, extract host.
+    */
+  def buildUrlIndex(urls: DataFrame, urlCol: String = "url"): UrlIndex = {
+    val canon = urls
+      .select(graft.functions.Urls.canonicalizeUrl(col(urlCol)).as("url"))
+      .filter(col("url").isNotNull)
+      .distinct()
+    UrlIndex(canon.withColumn("host", hostOf(col("url"))))
+  }
+
+  /** Persist the index under `path` (overwrite semantics like the
+    * band index: parquet is immutable, incremental maintenance writes
+    * a `.next` and swaps).
+    */
+  def writeUrlIndex(idx: UrlIndex, path: String): Unit =
+    idx.urls.write.mode("overwrite").parquet(s"$path/urls")
+
+  def readUrlIndex(spark: SparkSession, path: String): UrlIndex =
+    UrlIndex(spark.read.parquet(s"$path/urls"))
+
+  /** Merge two indexes (the per-wave append step): distinct union —
+    * re-seen URLs collapse, so append is idempotent by construction.
+    */
+  def mergeUrlIndex(a: UrlIndex, b: UrlIndex): UrlIndex =
+    UrlIndex(a.urls.unionByName(b.urls).distinct())
+
+  /** Append a fresh batch of raw URLs (canonicalized here) to an
+    * index — the after-each-wave step: keepers' outlinks enter the
+    * seen set so the next frontier never re-queues them.
+    */
+  def appendUrls(idx: UrlIndex, fresh: DataFrame,
+                 urlCol: String = "url"): UrlIndex =
+    mergeUrlIndex(idx, buildUrlIndex(fresh, urlCol))
+
+  /** Erase specific URLs (canonicalized before the anti-join, so the
+    * caller may pass any surface form). erase(build(A ∪ B), B) ==
+    * build(A) row-for-row.
+    */
+  def eraseUrls(idx: UrlIndex, urls: DataFrame,
+                urlCol: String = "url"): UrlIndex = {
+    val gone = urls
+      .select(graft.functions.Urls.canonicalizeUrl(col(urlCol)).as("url"))
+      .filter(col("url").isNotNull)
+    UrlIndex(idx.urls.join(gone, Seq("url"), "left_anti"))
+  }
+
+  /** Per-host takedown: drop EVERY url of the named hosts — the
+    * right-to-be-forgotten shape a domain-level removal request needs
+    * (one anti-join on the precomputed host column; no URL list
+    * required).
+    */
+  def eraseHosts(idx: UrlIndex, hosts: DataFrame,
+                 hostCol: String = "host"): UrlIndex =
+    UrlIndex(idx.urls.join(hosts.select(col(hostCol).as("host")),
+      Seq("host"), "left_anti"))
+
+  /** Health histogram (the band-index `stats` shape): how many hosts
+    * hold how many seen URLs — the skew gate a crawl operator alerts
+    * on (one runaway host = one hot partition in every screen join).
+    */
+  def urlIndexStats(idx: UrlIndex): DataFrame =
+    idx.urls.groupBy("host").agg(count(lit(1)).as("host_size"))
+      .groupBy("host_size").agg(count(lit(1)).as("n_hosts"))
+      .orderBy("host_size")
+
+  /** Screen a candidate frame against the index: canonicalize the
+    * candidate URLs, flag each against the seen set via ONE left
+    * equi-join on the canonical url key. Emits (url, host, known) —
+    * distinct canonical candidates. This is the daily frontier check
+    * that never re-derives the crawled set (`f_frontier`'s read
+    * path) and the static side of the streaming
+    * [[graft.streaming.CurationStream.frontierScreen]].
+    */
+  def screenUrls(candidates: DataFrame, idx: UrlIndex,
+                 urlCol: String = "url"): DataFrame = {
+    val canon = candidates
+      .select(graft.functions.Urls.canonicalizeUrl(col(urlCol)).as("url"))
+      .filter(col("url").isNotNull)
+      .distinct()
+    canon
+      .join(idx.urls.select(col("url")).withColumn("__k", lit(true)),
+        Seq("url"), "left")
+      .select(col("url"), hostOf(col("url")).as("host"),
+        coalesce(col("__k"), lit(false)).as("known"))
+  }
+
+  /** Compact a persisted index in place: rewrite the urls table
+    * clustered by url into `partitions` files (the screen join's key),
+    * retire-aside swap like every artifact mutation.
+    */
+  def compactUrlIndex(spark: SparkSession, path: String,
+                      partitions: Int): Unit = {
+    val idx = readUrlIndex(spark, path)
+    val tmp = s"$path.compact"
+    writeUrlIndex(UrlIndex(idx.urls.repartition(partitions, col("url"))),
+      tmp)
+    Dedup.swapDirs(spark, path, tmp)
+  }
+}

@@ -17,6 +17,54 @@ import graft.functions.Text
   */
 object TextQueries {
 
+  /** The per-host robots.txt fixture shared by `f_robots_gate` and
+    * `f_fetch_schedule` (one payload per host assembled from table
+    * values: an other-bot decoy group, a `*` group disallowing /p/
+    * with an /p/open carve-out at Crawl-delay 2, and for host%3==0 a
+    * graft-specific group that OVERRIDES `*`, disallowing /d/ at
+    * Crawl-delay 5), parsed by the column-algebra folds in
+    * [[graft.functions.Robots]] into (host, rules, delay_s). The
+    * frame is host-bounded — callers broadcast it.
+    */
+  private def robotsFixture(d: DataFrame): DataFrame =
+    d.select(pmod(col("doc_id"), lit(10)).as("host"))
+      .distinct()
+      .select(col("host"), concat(
+        lit("# crawl policy\nUser-agent: other-bot\nDisallow: /\n\n"),
+        lit("User-agent: *\nDisallow: /p/\nAllow: /p/open\n"),
+        lit("Crawl-delay: 2\n"),
+        when(col("host") % 3 === 0,
+          lit("User-agent: graft\nDisallow: /d/\nCrawl-delay: 5\n"))
+          .otherwise(lit(""))).as("txt"))
+      .select(col("host"),
+        graft.functions.Robots.parseRules(col("txt")).as("rules"),
+        coalesce(graft.functions.Robots.crawlDelay(col("txt")),
+          lit(1L)).as("delay_s"))
+
+  /** Temp path of the persisted crawl-frontier artifact (the URL-seen
+    * index over the closed-form crawled set: documents < 300 under
+    * their /d/ url space), written once per data directory — the
+    * fixture is the WRITE; `f_frontier` / `f_frontier_stats` gate the
+    * artifact READ path.
+    */
+  private val frontierMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def frontierIndex(s: SparkSession, dir: String)
+      : graft.operators.CrawlState.UrlIndex = {
+    val p = frontierMemo.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_frontier").toString + "/urlseen"
+      val crawled = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(concat(lit("https://ex"), pmod(col("doc_id"), lit(10)),
+          lit(".org/d/"), col("doc_id")).as("url"))
+      graft.operators.CrawlState.writeUrlIndex(
+        graft.operators.CrawlState.buildUrlIndex(crawled), path)
+      path
+    })
+    graft.operators.CrawlState.readUrlIndex(s, p)
+  }
+
   /** Fixed 6-merge BPE table shared by `t_bpe_compression` and
     * `t_subword_fertility` (and their oracles). */
   private val BpeMerges = Seq(("t", "h"), ("th", "e"), ("i", "n"),
@@ -531,17 +579,19 @@ object TextQueries {
           col("col.kind").as("kind"), col("col.url").as("url"))
     }),
 
-    // ---- crawl frontier: the reference's manifest-vs-storage
-    //      partition (app/app.py:100-154) re-expressed for crawl
-    //      state — outlinks extracted from generated pages (typed
-    //      refs, base resolution), canonicalized (case/port/tracking-
-    //      param/fragment normalization collapses the surface forms),
-    //      deduplicated, anti-joined against the ALREADY-CRAWLED set
-    //      (docs < 300), and massed per host: the next wave's fetch
-    //      budget. Shapes: map-side extract → distinct + one
-    //      equi-join on the canonical url key → map-combinable
-    //      per-host agg — at crawl scale the known-set side is the
-    //      persisted URL table this same query maintains ----
+    // ---- crawl frontier against the PERSISTED URL-seen artifact:
+    //      the reference's manifest-vs-storage partition
+    //      (app/app.py:100-154) re-expressed for crawl state —
+    //      outlinks extracted from generated pages (typed refs, base
+    //      resolution), canonicalized + deduplicated, and screened
+    //      against the crawl-state INDEX (CrawlState.screenUrls: one
+    //      equi-join on the canonical url key against the parquet
+    //      urls table — the crawled set is READ from the maintained
+    //      artifact, never re-derived), then massed per host: the
+    //      next wave's fetch budget. The fixture writes the artifact
+    //      once per data dir (docs < 300 in their /d/ url space); at
+    //      crawl scale the same artifact is what `index append
+    //      --kind frontier` grows after every wave ----
     "f_frontier" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val html = concat(
@@ -558,21 +608,21 @@ object TextQueries {
       val refs = d.select(
           explode(graft.expressions.HtmlExprs.htmlRefs(html)).as("r"))
         .filter(col("r.kind") === "a")
-        .select(graft.functions.Urls.canonicalizeUrl(col("r.url"))
-          .as("url"))
-        .filter(col("url").isNotNull)
-        .distinct()
-      val crawled = d.filter(col("doc_id") < 300)
-        .select(concat(lit("https://ex"), pmod(col("doc_id"), lit(10)),
-          lit(".org/d/"), col("doc_id")).as("url"))
-        .withColumn("known", lit(true))
-      refs.join(crawled, Seq("url"), "left")
-        .select(regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1)
-          .as("host"), col("known"))
+        .select(col("r.url").as("url"))
+      graft.operators.CrawlState
+        .screenUrls(refs, frontierIndex(s, dir))
         .groupBy("host")
         .agg(count(lit(1)).as("n_candidates"),
-          sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_new"))
+          sum(when(!col("known"), 1L).otherwise(0L)).as("n_new"))
     }),
+
+    // ---- the frontier artifact's health gate: per-host seen-URL
+    //      histogram over the PERSISTED index (d_index_stats for the
+    //      crawl state — one runaway host is one hot partition in
+    //      every screen join). Reads the urls table only; two
+    //      map-combinable aggs ----
+    "f_frontier_stats" -> ((s, dir) =>
+      graft.operators.CrawlState.urlIndexStats(frontierIndex(s, dir))),
 
     // ---- table extraction from generated markup: header/data cells
     //      across TWO tables with entity refs, inline tags (word
@@ -687,13 +737,18 @@ object TextQueries {
           when(col("nofollow"), 0).otherwise(col("n_links")))
     }),
 
-    // ---- per-host fetch schedule over the frontier wave: the
-    //      politeness pacer after f_frontier/f_robots_gate — each
-    //      host's new urls get a deterministic fetch order (md5 rank,
-    //      the engine's stable-order discipline) and a crawl-delay
-    //      budget; makespan = (n−1)·delay is the number the scheduler
-    //      balances hosts with. One keyed window per host (the
-    //      quotaCap shape), map-combinable agg ----
+    // ---- per-host fetch schedule over the frontier wave, PACED BY
+    //      THE HOSTS' OWN robots.txt: the politeness chain composed
+    //      end-to-end — the wave's urls join the per-host parsed rule
+    //      table (broadcast; the f_robots_gate fixture), each url is
+    //      gated by longest-match Allow/Disallow on its OWN path, and
+    //      the pacer budgets with the host's PARSED Crawl-delay (5 s
+    //      for the graft-override hosts, 2 s from the `*` group
+    //      elsewhere — no synthetic delays). Deterministic fetch
+    //      order = md5 rank among the ALLOWED urls; makespan =
+    //      (n_allowed−1)·delay is the number the scheduler balances
+    //      hosts with. One broadcast join + one keyed window +
+    //      map-combinable agg ----
     "f_fetch_schedule" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val d = t(s, dir, "documents")
@@ -704,16 +759,21 @@ object TextQueries {
           .select(pmod(col("doc_id") + 1, lit(10)).as("host"),
             concat(lit("https://ex"), pmod(col("doc_id") + 1, lit(10)),
               lit(".org/d/"), col("doc_id") + 1).as("url")))
-      val w = Window.partitionBy("host")
+      val gated = wave.join(broadcast(robotsFixture(d)), "host")
+        .withColumn("path", graft.functions.Robots.urlPath(col("url")))
+        .withColumn("ok",
+          graft.functions.Robots.isAllowed(col("rules"), col("path")))
+      val w = Window.partitionBy(col("host"), col("ok"))
         .orderBy(md5(col("url")).asc, col("url").asc)
-      wave.withColumn("rank", row_number().over(w))
-        .withColumn("delay_ms",
-          when(col("host") % 2 === 0, lit(2000L)).otherwise(lit(1000L)))
+      gated.withColumn("rank", row_number().over(w))
         .groupBy("host").agg(
-          count(lit(1)).as("n_urls"),
-          max("delay_ms").as("delay_ms"),
-          ((count(lit(1)) - 1) * max("delay_ms")).as("makespan_ms"),
-          min(when(col("rank") === 1, col("url"))).as("first_url"))
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_allowed"),
+          sum(when(!col("ok"), 1L).otherwise(0L)).as("n_blocked"),
+          max(col("delay_s") * 1000).as("delay_ms"),
+          (greatest(sum(when(col("ok"), 1L).otherwise(0L)) - 1, lit(0L)) *
+            max(col("delay_s") * 1000)).as("makespan_ms"),
+          min(when(col("ok") && col("rank") === 1, col("url")))
+            .as("first_url"))
     }),
 
     // ---- robots.txt gate over the frontier: one robots payload per
@@ -728,19 +788,7 @@ object TextQueries {
     //      decision is map-side ----
     "f_robots_gate" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val robots = d.select(pmod(col("doc_id"), lit(10)).as("host"))
-        .distinct()
-        .select(col("host"), concat(
-          lit("# crawl policy\nUser-agent: other-bot\nDisallow: /\n\n"),
-          lit("User-agent: *\nDisallow: /p/\nAllow: /p/open\n"),
-          lit("Crawl-delay: 2\n"),
-          when(col("host") % 3 === 0,
-            lit("User-agent: graft\nDisallow: /d/\nCrawl-delay: 5\n"))
-            .otherwise(lit(""))).as("txt"))
-        .select(col("host"),
-          graft.functions.Robots.parseRules(col("txt")).as("rules"),
-          coalesce(graft.functions.Robots.crawlDelay(col("txt")),
-            lit(1L)).as("delay_s"))
+      val robots = robotsFixture(d)
       val cands = d.select(pmod(col("doc_id"), lit(10)).as("host"),
         explode(array(
           concat(lit("/d/"), col("doc_id")),
@@ -3181,8 +3229,11 @@ object TextQueries {
         |    AS n_follow
         |FROM documents""".stripMargin,
 
-    // the schedule in closed form: the wave's urls per host, the
-    // even-host delay doubling, and the md5-rank-first url
+    // the composed schedule in closed form: per the generated robots
+    // policy, graft-override hosts (host%3==0) block /d/ and declare
+    // Crawl-delay 5, everyone else blocks /p/ (no wave url carries the
+    // /p/open carve-out) at the `*` group's Crawl-delay 2; rank among
+    // the allowed urls only, makespan from the PARSED delay
     "f_fetch_schedule" ->
       """WITH wave AS (
         |  SELECT doc_id % 10 AS host,
@@ -3193,14 +3244,25 @@ object TextQueries {
         |    'https://ex' || ((doc_id + 1) % 10) || '.org/d/'
         |      || (doc_id + 1)
         |  FROM documents WHERE doc_id + 1 >= 300),
-        |r AS (SELECT host, url, ROW_NUMBER() OVER (PARTITION BY host
-        |    ORDER BY md5(url) ASC, url ASC) AS rk FROM wave)
-        |SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
-        |  CASE WHEN host % 2 = 0 THEN 2000 ELSE 1000 END AS delay_ms,
-        |  (CAST(COUNT(*) AS BIGINT) - 1) *
-        |    CASE WHEN host % 2 = 0 THEN 2000 ELSE 1000 END
+        |g AS (SELECT host, url,
+        |    CASE WHEN host % 3 = 0 THEN url LIKE '%.org/p/%'
+        |         ELSE url LIKE '%.org/d/%' END AS ok
+        |  FROM wave),
+        |r AS (SELECT host, url, ok, ROW_NUMBER() OVER (
+        |    PARTITION BY host, ok
+        |    ORDER BY md5(url) ASC, url ASC) AS rk FROM g)
+        |SELECT host,
+        |  CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_allowed,
+        |  CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_blocked,
+        |  CAST(CASE WHEN host % 3 = 0 THEN 5000 ELSE 2000 END AS BIGINT)
+        |    AS delay_ms,
+        |  GREATEST(CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+        |      - 1, 0) *
+        |    CAST(CASE WHEN host % 3 = 0 THEN 5000 ELSE 2000 END AS BIGINT)
         |    AS makespan_ms,
-        |  MIN(CASE WHEN rk = 1 THEN url END) AS first_url
+        |  MIN(CASE WHEN ok AND rk = 1 THEN url END) AS first_url
         |FROM r GROUP BY host""".stripMargin,
 
     // the robots decision in closed form per the generated policy:
@@ -3247,6 +3309,18 @@ object TextQueries {
         |  CAST(SUM(CASE WHEN NOT known THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_new
         |FROM j GROUP BY host""".stripMargin,
+
+    // the artifact's seen set in closed form (distinct /d/ urls of the
+    // crawled docs), massed per host, then the size histogram
+    "f_frontier_stats" ->
+      """WITH c AS (SELECT DISTINCT
+        |    'https://ex' || (doc_id % 10) || '.org/d/' || doc_id AS url
+        |  FROM documents WHERE doc_id < 300),
+        |h AS (SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+        |    CAST(COUNT(*) AS BIGINT) AS host_size
+        |  FROM c GROUP BY 1)
+        |SELECT host_size, CAST(COUNT(*) AS BIGINT) AS n_hosts
+        |FROM h GROUP BY host_size""".stripMargin,
 
     // greedy longest-match replayed as a recursive CTE: each step
     // consumes the longest vocab piece prefixing the rest, single

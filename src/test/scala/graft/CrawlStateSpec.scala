@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CrawlState
+
+/** Lifecycle laws for the persisted crawl-frontier URL-seen index —
+  * the same discipline the band/IVF artifacts carry: build/merge/erase
+  * identities row-for-row, canonical-form collapse, screen semantics,
+  * and the parquet round trip.
+  */
+class CrawlStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def urlSet(idx: CrawlState.UrlIndex): Set[(String, String)] =
+    idx.urls.collect().map(r => (r.getAs[String]("url"),
+      r.getAs[String]("host"))).toSet
+
+  test("build: canonicalization collapses surface forms; hosts extracted") {
+    val idx = CrawlState.buildUrlIndex(Seq(
+      "https://ex1.org/d/1",
+      "HTTPS://EX1.ORG:443/d/1#top",          // same canonical url
+      "https://ex1.org/d/1?utm_source=feed",  // tracking param vanishes
+      "https://ex2.org/p/9",
+      "not a url").toDF("url"))
+    assert(urlSet(idx) === Set(
+      ("https://ex1.org/d/1", "ex1.org"),
+      ("https://ex2.org/p/9", "ex2.org")))
+  }
+
+  test("laws: build(A∪B) == merge(build(A), build(B)); append idempotent") {
+    val a = (1 to 40).map(i => s"https://ex${i % 4}.org/a/$i")
+    val b = (30 to 60).map(i => s"https://ex${i % 4}.org/a/$i") // overlap
+    val whole = CrawlState.buildUrlIndex((a ++ b).toDF("url"))
+    val merged = CrawlState.mergeUrlIndex(
+      CrawlState.buildUrlIndex(a.toDF("url")),
+      CrawlState.buildUrlIndex(b.toDF("url")))
+    assert(urlSet(whole) === urlSet(merged))
+    // appending an already-seen wave changes nothing
+    val again = CrawlState.appendUrls(merged, b.toDF("url"))
+    assert(urlSet(again) === urlSet(merged))
+  }
+
+  test("laws: erase(build(A∪B), B) == build(A); by-host takedown") {
+    val a = (1 to 20).map(i => s"https://keep.org/a/$i")
+    val b = (1 to 10).map(i => s"https://gone.org/b/$i")
+    val whole = CrawlState.buildUrlIndex((a ++ b).toDF("url"))
+    // url-level erase accepts any surface form (canonicalized first)
+    val bSurface = (1 to 10).map(i => s"HTTPS://GONE.ORG:443/b/$i#x")
+    val erased = CrawlState.eraseUrls(whole, bSurface.toDF("url"))
+    assert(urlSet(erased) === urlSet(CrawlState.buildUrlIndex(a.toDF("url"))))
+    // host-level takedown drops every url of the host, url list unseen
+    val taken = CrawlState.eraseHosts(whole, Seq("gone.org").toDF("host"))
+    assert(urlSet(taken) === urlSet(erased))
+  }
+
+  test("screen: canonical candidates flag known/unknown; stats histogram") {
+    val idx = CrawlState.buildUrlIndex(
+      (1 to 6).map(i => s"https://ex${i % 2}.org/d/$i").toDF("url"))
+    val screened = CrawlState.screenUrls(Seq(
+        "HTTPS://EX1.ORG/d/1",             // seen (canonical collapse)
+        "https://ex1.org/d/999",           // unseen
+        "https://ex1.org/d/999?utm_x=1"    // same canonical → ONE row
+      ).toDF("url"), idx)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(screened.toSet === Set(
+      ("https://ex1.org/d/1", "ex1.org", true),
+      ("https://ex1.org/d/999", "ex1.org", false)))
+    val hist = CrawlState.urlIndexStats(idx).collect()
+      .map(r => r.getAs[Long]("host_size") -> r.getAs[Long]("n_hosts"))
+    assert(hist.toSeq === Seq(3L -> 2L)) // 2 hosts x 3 urls each
+  }
+
+  test("parquet round trip + compact preserve the url set") {
+    val root = Files.createTempDirectory("graft-urlseen").toString
+    val idx = CrawlState.buildUrlIndex(
+      (1 to 50).map(i => s"https://ex${i % 5}.org/d/$i").toDF("url"))
+    CrawlState.writeUrlIndex(idx, s"$root/idx")
+    val back = CrawlState.readUrlIndex(spark, s"$root/idx")
+    assert(urlSet(back) === urlSet(idx))
+    CrawlState.compactUrlIndex(spark, s"$root/idx", partitions = 4)
+    val compacted = CrawlState.readUrlIndex(spark, s"$root/idx")
+    assert(urlSet(compacted) === urlSet(idx))
+    // clustered into at most 4 part files
+    val parts = new java.io.File(s"$root/idx/urls").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts <= 4)
+  }
+
+  test("streaming frontierScreen reads the persisted artifact's urls") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-urlseen-s").toString
+    CrawlState.writeUrlIndex(CrawlState.buildUrlIndex(
+      Seq("https://ex.org/seen/1").toDF("url")), s"$root/idx")
+    val known = CrawlState.readUrlIndex(spark, s"$root/idx").urls
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.CurationStream.frontierScreen(
+        mem.toDF().toDF("doc_id", "text"), known)
+      .writeStream.format("memory").queryName("fs_art")
+      .outputMode("append").start()
+    val html = "<a href=\"https://ex.org/seen/1\">a</a>" +
+      "<a href=\"https://ex.org/new/2\">b</a>"
+    try { mem.addData(Seq((1L, html))); q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.sql("SELECT url, known FROM fs_art").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got === Map("https://ex.org/seen/1" -> true,
+      "https://ex.org/new/2" -> false))
+  }
+}

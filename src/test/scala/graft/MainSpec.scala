@@ -246,6 +246,47 @@ class MainSpec extends SparkSpec {
     Main.runIndex(spark, Main.parseIndex(args.toSeq)).collect()
       .map(r => (r.getString(1), 0L) -> r.getLong(2)).toMap
 
+  test("index CLI: frontier lifecycle — build/append/check/erase/stats") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-frontier-cli")
+    (1 to 8).map(i => s"https://ex${i % 2}.org/d/$i").toDF("url")
+      .write.parquet(s"$root/day0.parquet")
+    def run(args: String*) =
+      Main.runIndex(spark, Main.parseIndex(args.toSeq))
+    val b = run("build", "--kind", "frontier", "--index", s"$root/idx",
+      "--input", s"$root/day0.parquet").collect()
+    assert(b.head.getString(0) === "wrote" && b.head.getLong(2) === 8L)
+    // append a wave with overlap: distinct union (retire-aside swap)
+    Seq("https://ex0.org/d/2", "https://ex9.org/x/1").toDF("url")
+      .write.parquet(s"$root/day1.parquet")
+    val a = run("append", "--kind", "frontier", "--index", s"$root/idx",
+      "--input", s"$root/day1.parquet").collect()
+    assert(a.head.getLong(2) === 9L)
+    assert(!Files.exists(JPath.of(s"$root/idx.next")))
+    // check: the wave screen flags canonical-known vs new
+    Seq("HTTPS://EX0.ORG:443/d/2", "https://ex0.org/new/1").toDF("url")
+      .write.parquet(s"$root/wave.parquet")
+    val chk = run("check", "--kind", "frontier", "--index", s"$root/idx",
+      "--input", s"$root/wave.parquet").collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(chk === Map("https://ex0.org/d/2" -> true,
+      "https://ex0.org/new/1" -> false))
+    // per-host takedown via --by-host
+    Seq("ex9.org").toDF("id").write.parquet(s"$root/hosts.parquet")
+    val e = run("erase", "--kind", "frontier", "--index", s"$root/idx",
+      "--ids", s"$root/hosts.parquet", "--by-host").collect()
+    assert(e.head.getLong(2) === 8L)
+    // stats histogram: 2 hosts x 4 urls each
+    val st = run("stats", "--kind", "frontier", "--index", s"$root/idx")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(st.toSeq === Seq(4L -> 2L))
+    // --by-host is rejected anywhere but erase --kind frontier
+    intercept[IllegalArgumentException] {
+      Main.parseIndex(Seq("stats", "--kind", "band", "--index", "/i",
+        "--by-host"))
+    }
+  }
+
   test("index CLI: band lifecycle — build/append/stats/erase/compact/merge") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-idx-cli")
