@@ -93,9 +93,48 @@ object Logistic {
             buckets: Seq[String] = bucketSpace())
       : Seq[Map[String, BigDecimal]] = {
     val zero = buckets.map(_ -> BigDecimal(0).setScale(6)).toMap
-    (1 to epochs).scanLeft(zero) { (w, _) =>
+    trainFrom(spark, feats, nDocs, epochs, lr, zero, idCol, buckets)
+  }
+
+  /** Train `epochs` MORE rounds from a WARM start — the daily-loop
+    * treatment for the model: read the persisted artifact
+    * ([[readModel]]), continue gradient descent on a new batch, and
+    * persist the updated weights back. Because an epoch is a pure
+    * deterministic function of (weights, features), continuing on the
+    * SAME features is exactly the longer batch schedule:
+    * trainFrom(train(f, a).last, f, b) == train(f, a + b).drop(a)
+    * (LogisticSpec law; the oracle replays warm-start results as one
+    * unrolled a+b-epoch schedule). Continuing on a DIFFERENT batch is
+    * sequential fine-tuning — the documented drift from the
+    * batch-union gradient path: each epoch's gradient sees only its
+    * own batch's features, so warm-start-on-A-then-B equals the union
+    * schedule ONLY when A == B; [[weightDrift]] is the report that
+    * makes the divergence observable.
+    */
+  def trainFrom(spark: SparkSession, feats: DataFrame, nDocs: Long,
+                epochs: Int, lr: Double, init: Map[String, BigDecimal],
+                idCol: String = "doc_id",
+                buckets: Seq[String] = bucketSpace())
+      : Seq[Map[String, BigDecimal]] =
+    (1 to epochs).scanLeft(init) { (w, _) =>
       epoch(spark, feats, w, nDocs, lr, idCol, buckets)
     }.tail
+
+  /** Drift report between a persisted weight map and a freshly-trained
+    * one (the tokenizer `uses`-drift pattern for the classifier): one
+    * bucket-sized frame (b, w_start, w_now, delta) with the EXACT
+    * decimal difference — the monitoring table a warm-start loop
+    * alerts on before promoting the updated artifact.
+    */
+  def weightDrift(spark: SparkSession, start: Map[String, BigDecimal],
+                  now: Map[String, BigDecimal]): DataFrame = {
+    import spark.implicits._
+    val keys = (start.keySet ++ now.keySet).toSeq.sorted
+    keys.map { b =>
+      val s = start.getOrElse(b, BigDecimal(0).setScale(6))
+      val n = now.getOrElse(b, BigDecimal(0).setScale(6))
+      (b, s, n, n - s)
+    }.toDF("b", "w_start", "w_now", "delta")
   }
 
   /** Score a feature table under a weight map: (idCol, y, z) with the

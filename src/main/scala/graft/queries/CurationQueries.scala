@@ -382,6 +382,83 @@ object CurationQueries {
             count(lit(1)).cast("double"), 6).as("mean_logit"))
     }),
 
+    // ---- INCREMENTAL training — the daily-loop treatment for the
+    //      model: resume gradient descent from the PERSISTED 3-epoch
+    //      artifact (warm start, Logistic.trainFrom) for two more
+    //      epochs, and emit the drift report against the starting
+    //      weights (the tokenizer uses-drift pattern: bucket,
+    //      w_start, w_now, exact-decimal delta). Because an epoch is
+    //      a pure function of (weights, features), warm-start on the
+    //      same corpus IS epochs 4-5 of one longer schedule — the
+    //      oracle replays all five epochs unrolled and diffs w5
+    //      against w3 ----
+    "t_quality_warm_start" -> ((s, dir) => {
+      val w3 = qualityModel(s, dir)
+      val d = t(s, dir, "documents")
+      val feats = graft.operators.Logistic
+        .hashedFeatures(d, col("source") === lit(DsirTarget))
+        .localCheckpoint(false)
+      val w5 = graft.operators.Logistic
+        .trainFrom(s, feats, d.count(), epochs = 2, lr = 0.5, init = w3)
+        .last
+      graft.operators.Logistic.weightDrift(s, w3, w5)
+        .select(col("b").as("bucket"),
+          col("w_start").cast("double").as("w_start"),
+          col("w_now").cast("double").as("w_now"),
+          col("delta").cast("double").as("delta"))
+    }),
+
+    // ---- exact rank-based EVALUATION of the trained classifier — the
+    //      monitoring half of training: over a hash-stable 25%
+    //      held-out split (the t_split_counts bucket discipline, so
+    //      membership never shifts as the corpus grows), the persisted
+    //      model scores every doc (scoreInline), and the report is
+    //      AUC via the Mann-Whitney rank-sum closed form (doubled
+    //      midranks from Ranks.prefixSums — u_x2 = 2U is an EXACT
+    //      integer, auc_ppm an exact floor division), plus
+    //      precision/recall/confusion at the deployment threshold
+    //      z > 0. Shapes: one scoring scan, a distinct-z histogram
+    //      (value grid), the distributed prefix-sum, two closing
+    //      single-row aggs — no corpus-sized global sort ----
+    "t_quality_auc" -> ((s, dir) => {
+      val w = qualityModel(s, dir)
+      val d = t(s, dir, "documents")
+      val hold = graft.operators.Sampling.hashSplit(d, "doc_id",
+          Seq("train" -> 0.75, "eval" -> 0.25))
+        .filter(col("split") === "eval")
+      val scored = graft.operators.Logistic.scoreInline(hold, w)
+        .filter(col("n_tokens") > 0)
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("z"), (col("source") === lit(DsirTarget)).as("y"))
+        .localCheckpoint(false) // z-histogram + threshold metrics
+      val hist = scored.groupBy("z").agg(
+          sum(when(col("y"), 1L).otherwise(0L)).as("cp"),
+          sum(when(!col("y"), 1L).otherwise(0L)).as("cn"))
+        .withColumn("cnt", col("cp") + col("cn"))
+      val ranked = graft.operators.Ranks.prefixSums(hist, "z", Seq("cnt"))
+        .withColumn("rank_x2", lit(2L) * col("pre_cnt") + col("cnt") + 1L)
+      val thr = scored.groupBy().agg(
+        sum(when(col("y") && col("z") > 0, 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("y") && col("z") > 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") && col("z") <= 0, 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("y") && col("z") <= 0, 1L).otherwise(0L)).as("tn"))
+      ranked.groupBy()
+        .agg(sum(col("cp") * col("rank_x2")).as("rp_x2"),
+          sum("cp").as("n_pos"), sum("cn").as("n_neg"))
+        .crossJoin(broadcast(thr))
+        .withColumn("u_x2",
+          col("rp_x2") - col("n_pos") * (col("n_pos") + 1L))
+        .withColumn("auc_ppm",
+          expr("u_x2 * 500000 div (n_pos * n_neg)"))
+        .withColumn("precision_ppm", when(col("tp") + col("fp") > 0,
+          expr("tp * 1000000 div (tp + fp)")))
+        .withColumn("recall_ppm", when(col("tp") + col("fn") > 0,
+          expr("tp * 1000000 div (tp + fn)")))
+        .select(col("n_pos"), col("n_neg"), col("u_x2"), col("auc_ppm"),
+          col("tp"), col("fp"), col("fn"), col("tn"),
+          col("precision_ppm"), col("recall_ppm"))
+    }),
+
     // ---- fastText-style hashed linear quality classifier: bag of
     //      hashed token features (16 md5-prefix buckets here; the
     //      bucket count only changes the literal table's width, not
@@ -615,7 +692,7 @@ object CurationQueries {
     * 9-dp-rounded sigmoid residual, decimal gradient, 6-dp-rounded
     * IEEE update.
     */
-  private val QualityTrainCtes: String = {
+  private def qualityTrainCtes(epochs: Int): String = {
     val bucketList = {
       val hex = "0123456789abcdef".map(_.toString)
       hex.flatMap(a => hex.map(b => s"'$a$b'")).mkString(",")
@@ -646,8 +723,10 @@ object CurationQueries {
        |w0 AS (SELECT unnest([$bucketList]) AS b,
        |  CAST(0 AS DECIMAL(12,6)) AS w),
        |""".stripMargin +
-      (1 to 3).map(ep).mkString(",\n")
+      (1 to epochs).map(ep).mkString(",\n")
   }
+
+  private val QualityTrainCtes: String = qualityTrainCtes(3)
 
   private val QualityTrainOracle: String =
     QualityTrainCtes + "\n" +
@@ -679,6 +758,57 @@ object CurationQueries {
     // the artifact read+deploy path is DEFINED to equal the eval
     // (exact-decimal round trip + the scoreInline == score law)
     "t_quality_score_artifact" -> QualityTrainEvalOracle,
+    // warm start == epochs 4-5 of one unrolled 5-epoch schedule;
+    // the drift is the exact decimal w5 - w3 per bucket
+    "t_quality_warm_start" ->
+      (qualityTrainCtes(5) + "\n" +
+      """SELECT w3.b AS bucket, CAST(w3.w AS DOUBLE) AS w_start,
+        |  CAST(w5.w AS DOUBLE) AS w_now,
+        |  CAST(w5.w - w3.w AS DOUBLE) AS delta
+        |FROM w3 JOIN w5 USING (b)""".stripMargin),
+    // rank-sum AUC + threshold confusion over the hash-stable 25%
+    // held-out bucket range (>= 192 of 256 — Sampling.hashSplit's
+    // train->0.75/eval->0.25 bounds); the scoring replays the f⋈w3
+    // exact-decimal sum, ranks are doubled midranks over the
+    // distinct-z histogram, every output an exact integer
+    "t_quality_auc" ->
+      (QualityTrainCtes + ",\n" +
+      s"""ev AS (SELECT doc_id FROM (SELECT doc_id,
+         |    ${TextQueries.md5Bucket} AS bucket FROM documents)
+         |  WHERE bucket >= 192),
+         |sc AS MATERIALIZED (SELECT doc_id, y,
+         |    SUM(CAST(k AS DECIMAL(18,0)) * w) AS z
+         |  FROM f JOIN w3 USING (b) JOIN ev USING (doc_id)
+         |  GROUP BY doc_id, y),
+         |h AS (SELECT z,
+         |    SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS cp,
+         |    SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS cn
+         |  FROM sc GROUP BY z),
+         |r AS (SELECT cp, cn, cp + cn AS cnt,
+         |    2 * COALESCE(SUM(cp + cn) OVER (ORDER BY z ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      + (cp + cn) + 1 AS rank_x2
+         |  FROM h),
+         |m AS (SELECT SUM(cp * rank_x2) AS rp_x2, SUM(cp) AS n_pos,
+         |    SUM(cn) AS n_neg FROM r),
+         |thr AS (SELECT
+         |    SUM(CASE WHEN y = 1 AND z > 0 THEN 1 ELSE 0 END) AS tp,
+         |    SUM(CASE WHEN y = 0 AND z > 0 THEN 1 ELSE 0 END) AS fp,
+         |    SUM(CASE WHEN y = 1 AND z <= 0 THEN 1 ELSE 0 END) AS fn,
+         |    SUM(CASE WHEN y = 0 AND z <= 0 THEN 1 ELSE 0 END) AS tn
+         |  FROM sc)
+         |SELECT CAST(n_pos AS BIGINT) AS n_pos,
+         |  CAST(n_neg AS BIGINT) AS n_neg,
+         |  CAST(rp_x2 - n_pos * (n_pos + 1) AS BIGINT) AS u_x2,
+         |  CAST((rp_x2 - n_pos * (n_pos + 1)) * 500000
+         |    // (n_pos * n_neg) AS BIGINT) AS auc_ppm,
+         |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+         |  CAST(CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp) END
+         |    AS BIGINT) AS precision_ppm,
+         |  CAST(CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn) END
+         |    AS BIGINT) AS recall_ppm
+         |FROM m CROSS JOIN thr""".stripMargin),
     // every stage flag recomputed from the closed-form clean text
     // (the extraction round trip is gated separately by
     // t_html_extract); the PII regexes and the Gopher rules are the

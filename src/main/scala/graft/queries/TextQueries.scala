@@ -2071,7 +2071,7 @@ object TextQueries {
   // Sampling.hashSplit's 256-bucket md5 assignment + the 0.8/0.1/0.1
   // thresholds, shared by every oracle that reproduces split labels —
   // ONE copy so engine and oracles can't drift independently
-  private val md5Bucket =
+  private[queries] val md5Bucket =
     """(strpos('0123456789abcdef',
       |        substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
       |      + strpos('0123456789abcdef',

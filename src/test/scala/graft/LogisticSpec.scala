@@ -91,4 +91,80 @@ class LogisticSpec extends SparkSpec {
     assert(Logistic.bucketSpace().filterNot(touched)
       .forall(b => wf(b) == BigDecimal(0).setScale(6)))
   }
+
+  test("warm start: continuation equals the longer schedule; drift exact") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint(false)
+    val feats = Logistic.hashedFeatures(d, col("source") === "src18")
+      .localCheckpoint(false)
+    val n = d.count()
+    val all = Logistic.train(spark, feats, n, epochs = 3, lr = 0.5)
+    // resuming from epoch-1 weights replays epochs 2..3 exactly (an
+    // epoch is a pure function of weights × features)
+    val warm = Logistic.trainFrom(spark, feats, n, epochs = 2, lr = 0.5,
+      init = all.head)
+    assert(warm === all.drop(1))
+    // a zero warm start IS cold training
+    val zero = Logistic.bucketSpace()
+      .map(_ -> BigDecimal(0).setScale(6)).toMap
+    assert(Logistic.trainFrom(spark, feats, n, epochs = 2, lr = 0.5,
+      init = zero) === all.take(2))
+    // drift report: exact decimal deltas, bucket for bucket
+    val drift = Logistic.weightDrift(spark, all.head, all.last)
+      .collect().map(r => r.getString(0) ->
+        ((BigDecimal(r.getDecimal(1)), BigDecimal(r.getDecimal(2)),
+          BigDecimal(r.getDecimal(3))))).toMap
+    assert(drift.size === 256)
+    drift.foreach { case (b, (s, nw, del)) =>
+      assert(s == all.head(b) && nw == all.last(b) && del == nw - s)
+    }
+    // no training, no drift
+    assert(Logistic.weightDrift(spark, all.head, all.head).collect()
+      .forall(r => BigDecimal(r.getDecimal(3)) == 0))
+  }
+
+  test("t_quality_auc: naive pair-count replay on the sf0.001 split") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("t_quality_auc")(spark, dir)
+      .collect()(0)
+    // naive replay: train the same 3 epochs, score the same held-out
+    // bucket range, and count positive-beats-negative pairs directly
+    // (2 per win, 1 per tie) — the definition the rank-sum closed form
+    // must equal
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .localCheckpoint(false)
+    val feats = Logistic.hashedFeatures(d, col("source") === "src18")
+      .localCheckpoint(false)
+    val w = Logistic.train(spark, feats, d.count(), epochs = 3, lr = 0.5)
+      .last
+    val hold = graft.operators.Sampling.hashSplit(d, "doc_id",
+        Seq("train" -> 0.75, "eval" -> 0.25))
+      .filter(col("split") === "eval")
+    val scored = Logistic.scoreInline(hold, w)
+      .filter(col("n_tokens") > 0)
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("z"), (col("source") === "src18").as("y"))
+      .collect().map(r => (BigDecimal(r.getDecimal(0)), r.getBoolean(1)))
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    val u2 = (for (p <- pos; q <- neg) yield {
+      if (p > q) 2L else if (p == q) 1L else 0L
+    }).sum
+    assert(got.getAs[Long]("n_pos") === pos.length.toLong)
+    assert(got.getAs[Long]("n_neg") === neg.length.toLong)
+    assert(got.getAs[Long]("u_x2") === u2)
+    assert(got.getAs[Long]("auc_ppm") ===
+      u2 * 500000L / (pos.length.toLong * neg.length))
+    // confusion at z > 0 replays directly
+    assert(got.getAs[Long]("tp") === pos.count(_ > 0).toLong)
+    assert(got.getAs[Long]("fp") === neg.count(_ > 0).toLong)
+    assert(got.getAs[Long]("fn") === pos.count(_ <= 0).toLong)
+    assert(got.getAs[Long]("tn") === neg.count(_ <= 0).toLong)
+    // the metric is a probability in ppm (the sf0.001 slice holds
+    // only 5 positives — whether the tiny-corpus model beats chance
+    // there is the metric's REPORT, not a law; the sf0.01/sf0.1
+    // oracle gates pin the exact values)
+    val auc = got.getAs[Long]("auc_ppm")
+    assert(auc >= 0L && auc <= 1000000L)
+  }
 }
