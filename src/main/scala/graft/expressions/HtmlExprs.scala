@@ -485,8 +485,16 @@ case class HtmlRefs(child: Expression)
   *   - cell text is entity-decoded and whitespace-collapsed exactly
   *     like [[HtmlToText]] (nested inline tags become word
   *     boundaries); text outside a cell never counts;
-  *   - attributes (colspan/rowspan) are not interpreted; nested
-  *     tables flatten into the outer numbering.
+  *   - `colspan`/`rowspan` are parsed (leading decimal digits; absent,
+  *     non-numeric or 0 ⇒ 1; clamped to ≤ 1000) and drive COLUMN
+  *     ASSIGNMENT per the HTML5 table-forming algorithm: a new cell
+  *     lands on the first column not covered by a rowspan from an
+  *     earlier row, and advances the next cell by its colspan. A
+  *     spanned cell is EMITTED ONCE, at its origin (row, col) — the
+  *     covered slots shift later cells' indices but produce no
+  *     duplicate rows;
+  *   - nested tables flatten into the outer numbering (each `<table>`
+  *     resets the pending-rowspan state).
   */
 case class HtmlTables(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -523,10 +531,13 @@ case class HtmlTables(child: Expression)
   }
 
   protected override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
     val rows = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.catalyst.InternalRow]
-    var tbl = -1; var row = -1; var col = -1
+    var tbl = -1; var row = -1; var col = -1; var nextCol = 0
     var inCell = false; var header = false
+    // column -> last row index still covered by a rowspan from above
+    val covered = scala.collection.mutable.Map.empty[Int, Int]
     val buf = new java.lang.StringBuilder
     def closeCell(): Unit = if (inCell) {
       rows += org.apache.spark.sql.catalyst.InternalRow(
@@ -534,13 +545,43 @@ case class HtmlTables(child: Expression)
       buf.setLength(0)
       inCell = false
     }
-    HtmlWalk.walk(input.toString,
+    /** colspan/rowspan value: leading decimal digits of the attribute;
+      * absent, non-numeric or 0 -> 1; clamped to <= 1000.
+      */
+    def spanAttr(lt: Int, end: Int, attr: String): Int = {
+      val v = HtmlAttr.attrIn(s, lt, end, attr)
+      if (v == null) 1
+      else {
+        val t = v.trim
+        var i = 0; var n = 0
+        while (i < t.length && n <= 1000 &&
+          t.charAt(i) >= '0' && t.charAt(i) <= '9') {
+          n = n * 10 + (t.charAt(i) - '0'); i += 1
+        }
+        if (n < 1) 1 else math.min(n, 1000)
+      }
+    }
+    HtmlWalk.walk(s,
       onText = t => if (inCell) buf.append(t),
-      onTag = (name, _, _) => name match {
-        case "table" => closeCell(); tbl += 1; row = -1; col = -1
-        case "tr" if tbl >= 0 => closeCell(); row += 1; col = -1
+      onTag = (name, lt, end) => name match {
+        case "table" =>
+          closeCell(); tbl += 1; row = -1; col = -1; nextCol = 0
+          covered.clear()
+        case "tr" if tbl >= 0 => closeCell(); row += 1; nextCol = 0
         case "td" | "th" if tbl >= 0 && row >= 0 =>
-          closeCell(); col += 1; inCell = true; header = name == "th"
+          closeCell()
+          // HTML5 forming: land on the first slot free of rowspans
+          var c = nextCol
+          while (covered.get(c).exists(_ >= row)) c += 1
+          col = c
+          val w = spanAttr(lt, end, "colspan")
+          val h = spanAttr(lt, end, "rowspan")
+          nextCol = c + w
+          if (h > 1) {
+            var j = c
+            while (j < c + w) { covered(j) = row + h - 1; j += 1 }
+          }
+          inCell = true; header = name == "th"
         case "/td" | "/th" | "/tr" | "/table" => closeCell()
         case _ => if (inCell) buf.append(' ') // inline tag = boundary
       })

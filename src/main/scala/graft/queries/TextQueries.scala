@@ -65,6 +65,29 @@ object TextQueries {
     graft.operators.CrawlState.readUrlIndex(s, p)
   }
 
+  /** Generated markup shared by `t_html_tables` and
+    * `t_table_linearize`: three tables — a headered 3-row grid with
+    * entity refs, inline tags, a script decoy and implied closes; a
+    * headerless one-cell table; and a SPANNED grid (colspan-2 header,
+    * rowspan-2 first column) — plus text outside cells and a comment
+    * decoy. One copy so the two queries (and their closed-form
+    * oracles) can't drift apart.
+    */
+  private def tablesFixtureHtml(idc: Column): Column = concat(
+    lit("<p>outside</p><table><tr><th>name</th>"),
+    lit("<th>value &amp; unit</th></tr>"),
+    lit("<tr><td>alpha "), idc,
+    lit("</td><td>v<b>"), idc, lit("</b>x</td></tr>"),
+    lit("<tr><td>beta<td><script>junk <td>fake</td></script>"),
+    idc, lit("</table>"),
+    lit("<table><tr><td>second "), idc,
+    lit("</td></tr></table>"),
+    lit("<table><tr><th colspan=\"2\">wide</th><th>unit</th></tr>"),
+    lit("<tr><td rowspan=\"2\">tall "), idc,
+    lit("</td><td>m1</td><td>n1</td></tr>"),
+    lit("<tr><td>m2</td><td>n2 "), idc, lit("</td></tr></table>"),
+    lit("<!-- <table><tr><td>no</td></tr></table> -->"))
+
   /** Fixed 6-merge BPE table shared by `t_bpe_compression` and
     * `t_subword_fertility` (and their oracles). */
   private val BpeMerges = Seq(("t", "h"), ("th", "e"), ("i", "n"),
@@ -625,24 +648,18 @@ object TextQueries {
       graft.operators.CrawlState.urlIndexStats(frontierIndex(s, dir))),
 
     // ---- table extraction from generated markup: header/data cells
-    //      across TWO tables with entity refs, inline tags (word
+    //      across THREE tables with entity refs, inline tags (word
     //      boundaries), a script decoy containing a fake <td> (must
     //      not open a cell), implied cell closes, text outside cells,
-    //      and a comment decoy — the structured-data recovery a crawl
-    //      pipeline runs where HtmlToText would flatten the grid ----
+    //      a comment decoy, and a SPANNED grid (a colspan-2 header, a
+    //      rowspan-2 first column — the next row's cells must land on
+    //      the HTML5-forming columns, not naive indices) — the
+    //      structured-data recovery a crawl pipeline runs where
+    //      HtmlToText would flatten the grid ----
     "t_html_tables" -> ((s, dir) => {
-      val html = concat(
-        lit("<p>outside</p><table><tr><th>name</th>"),
-        lit("<th>value &amp; unit</th></tr>"),
-        lit("<tr><td>alpha "), col("doc_id"),
-        lit("</td><td>v<b>"), col("doc_id"), lit("</b>x</td></tr>"),
-        lit("<tr><td>beta<td><script>junk <td>fake</td></script>"),
-        col("doc_id"), lit("</table>"),
-        lit("<table><tr><td>second "), col("doc_id"),
-        lit("</td></tr></table>"),
-        lit("<!-- <table><tr><td>no</td></tr></table> -->"))
       t(s, dir, "documents").select(col("doc_id"),
-          posexplode(graft.expressions.HtmlExprs.htmlTables(html)))
+          posexplode(graft.expressions.HtmlExprs.htmlTables(
+            tablesFixtureHtml(col("doc_id")))))
         .select(col("doc_id"), col("pos").as("ord"),
           col("col.tbl").as("tbl"), col("col.row").as("tr"),
           col("col.col").as("tc"), col("col.header").as("header"),
@@ -652,23 +669,16 @@ object TextQueries {
     // ---- table linearization: the extracted grid rendered into the
     //      "header: value | header: value" rows table-QA pretraining
     //      consumes — header texts join back to data cells on the
-    //      column key (co-keyed equi-join), headerless tables fall
+    //      column key (co-keyed equi-join; span-shifted columns key
+    //      correctly because extraction already assigned HTML5-forming
+    //      indices), headerless tables and span-covered columns fall
     //      back to positional names, cells order by column inside one
     //      deterministic per-row fold. Proves the recovered grid is
     //      USABLE, not just extracted ----
     "t_table_linearize" -> ((s, dir) => {
-      val html = concat(
-        lit("<p>outside</p><table><tr><th>name</th>"),
-        lit("<th>value &amp; unit</th></tr>"),
-        lit("<tr><td>alpha "), col("doc_id"),
-        lit("</td><td>v<b>"), col("doc_id"), lit("</b>x</td></tr>"),
-        lit("<tr><td>beta<td><script>junk <td>fake</td></script>"),
-        col("doc_id"), lit("</table>"),
-        lit("<table><tr><td>second "), col("doc_id"),
-        lit("</td></tr></table>"),
-        lit("<!-- <table><tr><td>no</td></tr></table> -->"))
       val cells = t(s, dir, "documents").select(col("doc_id"),
-          explode(graft.expressions.HtmlExprs.htmlTables(html)).as("c"))
+          explode(graft.expressions.HtmlExprs.htmlTables(
+            tablesFixtureHtml(col("doc_id")))).as("c"))
         .select(col("doc_id"), col("c.tbl").as("tbl"),
           col("c.row").as("tr"), col("c.col").as("tc"),
           col("c.header").as("header"), col("c.text").as("text"))
@@ -3182,29 +3192,40 @@ object TextQueries {
     // the seven cells per document in closed form: two header cells,
     // the inline-tag boundary collapse, the implied close, the script
     // decoy's fake <td> never opening a cell, and the second table
+    // the cells in closed form; table 2's spanned grid pins the HTML5
+    // column assignment (the colspan-2 header lands 'unit' at tc 2;
+    // the rowspan-2 'tall' shifts row 2's cells to tc 1 and 2)
     "t_html_tables" ->
       """SELECT doc_id, CAST(i AS INT) AS ord,
-        |  ([0,0,0,0,0,0,1])[CAST(i + 1 AS INT)] AS tbl,
-        |  ([0,0,1,1,2,2,0])[CAST(i + 1 AS INT)] AS tr,
-        |  ([0,1,0,1,0,1,0])[CAST(i + 1 AS INT)] AS tc,
-        |  ([true,true,false,false,false,false,false])
+        |  ([0,0,0,0,0,0,1,2,2,2,2,2,2,2])[CAST(i + 1 AS INT)] AS tbl,
+        |  ([0,0,1,1,2,2,0,0,0,1,1,1,2,2])[CAST(i + 1 AS INT)] AS tr,
+        |  ([0,1,0,1,0,1,0,0,2,0,1,2,1,2])[CAST(i + 1 AS INT)] AS tc,
+        |  ([true,true,false,false,false,false,false,
+        |    true,true,false,false,false,false,false])
         |    [CAST(i + 1 AS INT)] AS header,
         |  (['name', 'value & unit', 'alpha ' || doc_id,
         |    'v ' || doc_id || ' x', 'beta', CAST(doc_id AS VARCHAR),
-        |    'second ' || doc_id])[CAST(i + 1 AS INT)] AS text
-        |FROM documents CROSS JOIN (SELECT unnest(range(0, 7)) AS i)"""
+        |    'second ' || doc_id,
+        |    'wide', 'unit', 'tall ' || doc_id, 'm1', 'n1', 'm2',
+        |    'n2 ' || doc_id])[CAST(i + 1 AS INT)] AS text
+        |FROM documents CROSS JOIN (SELECT unnest(range(0, 14)) AS i)"""
         .stripMargin,
 
     // the linearized rows in closed form: tbl0's two data rows carry
-    // their headers, tbl1's headerless row falls back to col0
+    // their headers, tbl1's headerless row falls back to col0, tbl2's
+    // span-shifted cells key to 'wide'/'unit' at their FORMED columns
+    // (the span-covered col 1 has no header -> positional fallback)
     "t_table_linearize" ->
-      """SELECT doc_id, ([0, 0, 1])[CAST(i + 1 AS INT)] AS tbl,
-        |  ([1, 2, 0])[CAST(i + 1 AS INT)] AS tr,
+      """SELECT doc_id, ([0, 0, 1, 2, 2])[CAST(i + 1 AS INT)] AS tbl,
+        |  ([1, 2, 0, 1, 2])[CAST(i + 1 AS INT)] AS tr,
         |  (['name: alpha ' || doc_id
         |      || ' | value & unit: v ' || doc_id || ' x',
         |    'name: beta | value & unit: ' || doc_id,
-        |    'col0: second ' || doc_id])[CAST(i + 1 AS INT)] AS line
-        |FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS i)"""
+        |    'col0: second ' || doc_id,
+        |    'wide: tall ' || doc_id || ' | col1: m1 | unit: n1',
+        |    'col1: m2 | unit: n2 ' || doc_id])[CAST(i + 1 AS INT)]
+        |    AS line
+        |FROM documents CROSS JOIN (SELECT unnest(range(0, 5)) AS i)"""
         .stripMargin,
 
     // the declared metadata in closed form: description + og:title on

@@ -178,6 +178,43 @@ class HtmlSpec extends SparkSpec {
       Seq((0, 0, 0, false, "v 7 x")))
   }
 
+  test("HtmlTables: colspan/rowspan drive column assignment") {
+    // colspan shifts the NEXT cell's index; the spanned cell is
+    // emitted once at its origin
+    assert(cells("<table><tr><th colspan=\"2\">w</th><th>u</th>" +
+      "<tr><td>a<td>b<td>c") ===
+      Seq((0, 0, 0, true, "w"), (0, 0, 2, true, "u"),
+        (0, 1, 0, false, "a"), (0, 1, 1, false, "b"),
+        (0, 1, 2, false, "c")))
+    // rowspan covers the slot below: the next row's first cell lands
+    // on the first FREE column (the HTML5 forming rule)
+    assert(cells("<table><tr><td rowspan=\"2\">tall</td><td>b1</td>" +
+      "<tr><td>b2") ===
+      Seq((0, 0, 0, false, "tall"), (0, 0, 1, false, "b1"),
+        (0, 1, 1, false, "b2")))
+    // combined: a 2x2 block pushes both rows' later cells right
+    assert(cells("<table><tr><td colspan=\"2\" rowspan=\"2\">blk</td>" +
+      "<td>c0</td><tr><td>c1</td><tr><td>d0") ===
+      Seq((0, 0, 0, false, "blk"), (0, 0, 2, false, "c0"),
+        (0, 1, 2, false, "c1"), (0, 2, 0, false, "d0")))
+    // absent, zero, non-numeric, unquoted and clamped values
+    assert(cells("<table><tr><td colspan=0>a<td>b") ===
+      Seq((0, 0, 0, false, "a"), (0, 0, 1, false, "b")))
+    assert(cells("<table><tr><td colspan=\"x\">a<td>b") ===
+      Seq((0, 0, 0, false, "a"), (0, 0, 1, false, "b")))
+    assert(cells("<table><tr><td colspan=3>a<td>b") ===
+      Seq((0, 0, 0, false, "a"), (0, 0, 3, false, "b")))
+    // HTML number parsing: leading digits win ("2x" -> 2)
+    assert(cells("<table><tr><td colspan=\"2x\">a<td>b") ===
+      Seq((0, 0, 0, false, "a"), (0, 0, 2, false, "b")))
+    assert(cells("<table><tr><td colspan=\"999999\">a<td>b") ===
+      Seq((0, 0, 0, false, "a"), (0, 0, 1000, false, "b")))
+    // a new table resets pending rowspans (nested flattening)
+    assert(cells("<table><tr><td rowspan=\"9\">a</td></tr></table>" +
+      "<table><tr><td>fresh") ===
+      Seq((0, 0, 0, false, "a"), (1, 0, 0, false, "fresh")))
+  }
+
   private def metas(html: String): Seq[(String, String)] =
     Seq(html).toDF("h").select(HtmlExprs.htmlMeta(col("h")))
       .head().getSeq[org.apache.spark.sql.Row](0)
