@@ -49,6 +49,11 @@ import graft.operators.{CrawlState, Dedup, MoveSink, Report, Similarity}
   *                            to --dedup-index (retire-aside swap) —
   *                            the daily-loop closure: tomorrow's
   *                            near-dup screen sees today's keepers
+  *     [--update-frontier P]  after a real run, append the KEPT docs'
+  *                            outlinks (typed 'a' refs, canonicalized)
+  *                            to the URL-seen artifact at P — the
+  *                            crawl-loop closure: the next frontier
+  *                            wave never re-queues them
   * Prints the per-stage funnel report; kept documents land in
   * `--output` as (doc_id, text) clean text. `--dry-run` audits only.
   *
@@ -137,7 +142,8 @@ object Main {
                                 langs: Option[Seq[String]] = None,
                                 classifier: Option[String] = None,
                                 quota: Option[(String, Int)] = None,
-                                updateIndex: Boolean = false)
+                                updateIndex: Boolean = false,
+                                updateFrontier: Option[String] = None)
 
   /** Collect `--flag value` pairs (plus bare `--dry-run`), failing
     * loudly on anything not in `known` — a typoed flag on an
@@ -171,7 +177,7 @@ object Main {
 
   private val curateFlags = Set("dry-run", "input", "output", "dedup",
     "dedup-index", "langs", "classifier", "quota", "quota-col",
-    "update-index")
+    "update-index", "update-frontier")
   private val curateBare = Set("dry-run", "dedup", "update-index")
 
   private[graft] def parseCurate(args: Seq[String]): CurateConfig = {
@@ -182,6 +188,8 @@ object Main {
       fail("--update-index needs --dedup-index PATH (the artifact to append to)")
     if (upd && dry)
       fail("--update-index is a mutation; it cannot combine with --dry-run")
+    if (flags.contains("update-frontier") && dry)
+      fail("--update-frontier is a mutation; it cannot combine with --dry-run")
     CurateConfig(
       input = flags.getOrElse("input", fail("missing --input PARQUET")),
       output = flags.getOrElse("output",
@@ -195,7 +203,8 @@ object Main {
       quota = flags.get("quota").map(q =>
         (flags.getOrElse("quota-col", "source"), q.toIntOption
           .getOrElse(fail(s"--quota needs an integer, got: $q")))),
-      updateIndex = upd)
+      updateIndex = upd,
+      updateFrontier = flags.get("update-frontier"))
   }
 
   /** Execute the curate verb: run [[Pipelines.pipelineC]] with the
@@ -206,6 +215,7 @@ object Main {
     */
   private[graft] def runCurate(spark: SparkSession,
                                cfg: CurateConfig): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val idx = cfg.dedupIndex.map(Dedup.readBandIndex(spark, _))
     val clf = cfg.classifier
       .map(graft.operators.Logistic.readModel(spark, _))
@@ -214,11 +224,11 @@ object Main {
       dedup = cfg.dedup, dedupIndex = idx,
       allowedLangs = cfg.langs, classifier = clf, quota = cfg.quota)
     written.foreach(n => println(s"Wrote $n documents to ${cfg.output}"))
-    // materialize the report BEFORE any index mutation: its plan scans
-    // the pre-swap artifact files, which the swap retires
+    // materialize the report BEFORE any artifact mutation: its plan
+    // scans the pre-swap artifact files, which the swap retires
     val report =
-      if (cfg.updateIndex) Pipelines.curationReport(decisions)
-        .localCheckpoint(true)
+      if (cfg.updateIndex || cfg.updateFrontier.nonEmpty)
+        Pipelines.curationReport(decisions).localCheckpoint(true)
       else Pipelines.curationReport(decisions)
     if (cfg.updateIndex) {
       val path = cfg.dedupIndex.get
@@ -230,6 +240,22 @@ object Main {
         s"$path.next")
       Dedup.swapDirs(spark, path, s"$path.next")
       println(s"Appended kept documents to $path")
+    }
+    // close the crawl loop: the KEPT documents' outlinks (typed 'a'
+    // refs off the RAW payloads, canonicalized) enter the URL-seen
+    // artifact, so the next frontier wave never re-queues them
+    cfg.updateFrontier.foreach { fpath =>
+      val keptIds = spark.read.parquet(cfg.output).select(col("doc_id"))
+      val outlinks = spark.read.parquet(cfg.input)
+        .join(keptIds, Seq("doc_id"), "left_semi")
+        .select(org.apache.spark.sql.functions.explode(
+          graft.expressions.HtmlExprs.htmlRefs(col("text"))).as("r"))
+        .filter(col("r.kind") === "a")
+        .select(col("r.url").as("url"))
+      CrawlState.writeUrlIndex(CrawlState.appendUrls(
+        CrawlState.readUrlIndex(spark, fpath), outlinks), s"$fpath.next")
+      Dedup.swapDirs(spark, fpath, s"$fpath.next")
+      println(s"Appended kept documents' outlinks to $fpath")
     }
     report
   }

@@ -459,6 +459,47 @@ object CurationQueries {
           col("precision_ppm"), col("recall_ppm"))
     }),
 
+    // ---- calibration of the TRAINED classifier over the same
+    //      held-out split (t_classifier_ece's shape pointed at the
+    //      persisted model): confidence = the rational monotone link
+    //      clamp((zn+1)/2) in integer e6 over the 9-dp-rounded
+    //      normalized logit (libm-sigmoid ulps would fork the oracle;
+    //      ECE is invariant to which monotone link defines the bins),
+    //      10 bins, per-bin mean confidence vs empirical target rate,
+    //      n-weighted ECE. One scoring scan + one 10-bin agg ----
+    "t_quality_calibration" -> ((s, dir) => {
+      val w = qualityModel(s, dir)
+      val d = t(s, dir, "documents")
+      val hold = graft.operators.Sampling.hashSplit(d, "doc_id",
+          Seq("train" -> 0.75, "eval" -> 0.25))
+        .filter(col("split") === "eval")
+      val scored = graft.operators.Logistic.scoreInline(hold, w)
+        .filter(col("n_tokens") > 0)
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+        .select(round(col("z").cast("double") /
+            col("n_tokens").cast("double"), 9).as("zn"),
+          (col("source") === lit(DsirTarget)).as("label"))
+      val per = scored
+        .withColumn("p_e6", least(greatest(
+          expr("cast(round((zn + 1.0) / 2.0 * 1000000, 0) as bigint)"),
+          lit(0L)), lit(1000000L)))
+        .withColumn("bin", least(expr("p_e6 div 100000"), lit(9L)))
+        .groupBy("bin").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("label"), 1L).otherwise(0L)).as("pos"),
+          sum("p_e6").as("sp"))
+        .select(col("bin"), col("n"), col("pos"),
+          expr("sp div n").as("conf_e6"),
+          expr("pos * 1000000L div n").as("acc_e6"))
+        .localCheckpoint(false) // ece fold + final frame
+      val tot = per.agg(
+        expr("sum(n * abs(conf_e6 - acc_e6)) div sum(n)").as("ece_e6"))
+      per.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n"), col("pos"), col("conf_e6"),
+          col("acc_e6"), (col("conf_e6") - col("acc_e6")).as("gap_e6"),
+          col("ece_e6"))
+    }),
+
     // ---- fastText-style hashed linear quality classifier: bag of
     //      hashed token features (16 md5-prefix buckets here; the
     //      bucket count only changes the literal table's width, not
@@ -766,6 +807,39 @@ object CurationQueries {
         |  CAST(w5.w AS DOUBLE) AS w_now,
         |  CAST(w5.w - w3.w AS DOUBLE) AS delta
         |FROM w3 JOIN w5 USING (b)""".stripMargin),
+    // the trained model's calibration bins over the held-out bucket
+    // range: the same rational link + 10-bin ECE fold as
+    // t_classifier_ece, with z/nt replayed from f⋈w3
+    "t_quality_calibration" ->
+      (QualityTrainCtes + ",\n" +
+      s"""ev AS (SELECT doc_id FROM (SELECT doc_id,
+         |    ${TextQueries.md5Bucket} AS bucket FROM documents)
+         |  WHERE bucket >= 192),
+         |sc AS (SELECT doc_id, y,
+         |    SUM(CAST(k AS DECIMAL(18,0)) * w) AS z,
+         |    CAST(SUM(k) AS BIGINT) AS nt
+         |  FROM f JOIN w3 USING (b) JOIN ev USING (doc_id)
+         |  GROUP BY doc_id, y),
+         |zl AS (SELECT round(CAST(z AS DOUBLE) / CAST(nt AS DOUBLE), 9)
+         |    AS zn, y = 1 AS label FROM sc),
+         |pp AS (SELECT LEAST(GREATEST(
+         |    CAST(ROUND((zn + 1.0) / 2.0 * 1000000, 0) AS BIGINT),
+         |    0), 1000000) AS p_e6, label FROM zl),
+         |per AS (SELECT LEAST(p_e6 // 100000, 9) AS bin,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS pos,
+         |    CAST(SUM(p_e6) AS BIGINT) AS sp
+         |  FROM pp GROUP BY 1),
+         |pb AS (SELECT bin, n, pos,
+         |    CAST(sp // n AS BIGINT) AS conf_e6,
+         |    CAST(pos * 1000000 // n AS BIGINT) AS acc_e6
+         |  FROM per),
+         |tot AS (SELECT CAST(SUM(n * ABS(conf_e6 - acc_e6)) // SUM(n)
+         |    AS BIGINT) AS ece_e6 FROM pb)
+         |SELECT CAST(bin AS BIGINT) AS bin, n, pos, conf_e6, acc_e6,
+         |  CAST(conf_e6 - acc_e6 AS BIGINT) AS gap_e6, ece_e6
+         |FROM pb, tot""".stripMargin),
     // rank-sum AUC + threshold confusion over the hash-stable 25%
     // held-out bucket range (>= 192 of 256 — Sampling.hashSplit's
     // train->0.75/eval->0.25 bounds); the scoring replays the f⋈w3

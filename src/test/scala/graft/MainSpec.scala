@@ -166,6 +166,34 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("curate --update-frontier: kept docs' outlinks enter the seen set") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-curate-fr")
+    val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // doc 1 keeps (its outlink must append); doc 2 fails quality (its
+    // outlink must NOT)
+    Seq(
+      (1L, s"<p>$good one</p><a href=\"https://ex.org/next/1\">n</a>"),
+      (2L, "<p>tiny</p><a href=\"https://ex.org/next/2\">n</a>"))
+      .toDF("doc_id", "text").write.parquet(s"$root/in.parquet")
+    graft.operators.CrawlState.writeUrlIndex(
+      graft.operators.CrawlState.buildUrlIndex(
+        Seq("https://ex.org/seen/0").toDF("url")), s"$root/fr")
+    Main.runCurate(spark, Main.parseCurate(Seq(
+      "--input", s"$root/in.parquet", "--output", s"$root/out.parquet",
+      "--update-frontier", s"$root/fr"))).collect()
+    assert(!Files.exists(JPath.of(s"$root/fr.next")))
+    val seen = graft.operators.CrawlState
+      .readUrlIndex(spark, s"$root/fr").urls
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(seen === Seq("https://ex.org/next/1", "https://ex.org/seen/0"))
+    // the mutation is rejected under --dry-run at parse time
+    intercept[IllegalArgumentException] {
+      Main.parseCurate(Seq("--input", "/i", "--dry-run",
+        "--update-frontier", "/f"))
+    }
+  }
+
   test("curate --classifier: the persisted model gates keep from the CLI") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-curate-clf")
