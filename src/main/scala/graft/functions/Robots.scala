@@ -141,6 +141,23 @@ object Robots {
       .otherwise(folded.getField("dStar"))
   }
 
+  /** `Sitemap:` URLs declared anywhere in the file — per the
+    * robots.txt sitemap extension these are GROUP-INDEPENDENT (they
+    * apply regardless of user-agent groups, so no fold is needed):
+    * one filter+transform over the lines, preserving declaration
+    * order. The value is taken after the FIRST ':' (the URL's own
+    * scheme colon stays intact); empty values drop.
+    */
+  def sitemapUrls(robots: Column): Column =
+    filter(
+      transform(split(robots, "\n"), line0 => {
+        val line = trim(line0)
+        when(lower(line).startsWith("sitemap:"),
+          trim(substr(line, instr(line, ":") + 1, length(line))))
+          .otherwise(lit(""))
+      }),
+      v => v =!= "")
+
   /** Longest-match decision for a URL `path` under a parsed rule
     * array: the longest matching prefix wins, Allow beats Disallow on
     * ties (struct max over (len, allow)), no match ⇒ allowed.

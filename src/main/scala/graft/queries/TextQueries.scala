@@ -17,25 +17,32 @@ import graft.functions.Text
   */
 object TextQueries {
 
-  /** The per-host robots.txt fixture shared by `f_robots_gate` and
-    * `f_fetch_schedule` (one payload per host assembled from table
-    * values: an other-bot decoy group, a `*` group disallowing /p/
-    * with an /p/open carve-out at Crawl-delay 2, and for host%3==0 a
-    * graft-specific group that OVERRIDES `*`, disallowing /d/ at
-    * Crawl-delay 5), parsed by the column-algebra folds in
-    * [[graft.functions.Robots]] into (host, rules, delay_s). The
-    * frame is host-bounded — callers broadcast it.
+  /** The per-host robots.txt fixture shared by `f_robots_gate`,
+    * `f_fetch_schedule` and `f_sitemap_feed` (one payload per host
+    * assembled from table values: a group-independent Sitemap
+    * declaration, an other-bot decoy group, a `*` group disallowing
+    * /p/ with an /p/open carve-out at Crawl-delay 2, and for
+    * host%3==0 a graft-specific group that OVERRIDES `*`, disallowing
+    * /d/ at Crawl-delay 5). [[robotsFixture]] parses it with the
+    * column-algebra folds in [[graft.functions.Robots]] into
+    * (host, rules, delay_s). Both frames are host-bounded — callers
+    * broadcast them.
     */
-  private def robotsFixture(d: DataFrame): DataFrame =
+  private def robotsTxtFixture(d: DataFrame): DataFrame =
     d.select(pmod(col("doc_id"), lit(10)).as("host"))
       .distinct()
       .select(col("host"), concat(
-        lit("# crawl policy\nUser-agent: other-bot\nDisallow: /\n\n"),
+        lit("# crawl policy\nSitemap: https://ex"), col("host"),
+        lit(".org/sitemap.xml\n"),
+        lit("User-agent: other-bot\nDisallow: /\n\n"),
         lit("User-agent: *\nDisallow: /p/\nAllow: /p/open\n"),
         lit("Crawl-delay: 2\n"),
         when(col("host") % 3 === 0,
           lit("User-agent: graft\nDisallow: /d/\nCrawl-delay: 5\n"))
           .otherwise(lit(""))).as("txt"))
+
+  private def robotsFixture(d: DataFrame): DataFrame =
+    robotsTxtFixture(d)
       .select(col("host"),
         graft.functions.Robots.parseRules(col("txt")).as("rules"),
         coalesce(graft.functions.Robots.crawlDelay(col("txt")),
@@ -646,6 +653,53 @@ object TextQueries {
     //      map-combinable aggs ----
     "f_frontier_stats" -> ((s, dir) =>
       graft.operators.CrawlState.urlIndexStats(frontierIndex(s, dir))),
+
+    // ---- sitemap discovery feeding the frontier — the third leg of
+    //      the crawl-ops chain: each host's robots.txt DECLARES its
+    //      sitemap (group-independent `Sitemap:` line, extracted by
+    //      Robots.sitemapUrls), the served XML payload's <loc>
+    //      entries (whitespace-padded, one &amp;-entity url per host)
+    //      are extracted, entity-decoded and canonicalized, and the
+    //      candidate set screens against the PERSISTED URL-seen
+    //      artifact — per host: how much of the declared sitemap is
+    //      already crawled vs new fetch budget. Shapes: host-bounded
+    //      robots/sitemap frames, one regexp extraction per host
+    //      payload, one equi-join on the canonical url key ----
+    "f_sitemap_feed" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val sm = robotsTxtFixture(d).select(col("host"),
+        explode(graft.functions.Robots.sitemapUrls(col("txt")))
+          .as("sitemap_url"))
+      // the XML each host serves: its own /d/ pages (padded locs)
+      // plus one parameterized extra with an entity-encoded ampersand
+      val xml = d.select(pmod(col("doc_id"), lit(10)).as("host"),
+          col("doc_id"))
+        .groupBy("host")
+        .agg(concat(lit("<urlset>"),
+          array_join(transform(array_sort(collect_list(col("doc_id"))),
+            i => concat(lit("<url><loc> https://ex"), col("host"),
+              lit(".org/d/"), i, lit(" </loc></url>"))), ""),
+          lit("<url><loc>https://ex"), col("host"),
+          lit(".org/extra?b=2&amp;a=1</loc></url></urlset>")).as("xml"))
+      val locs = sm.join(xml, "host")
+        .select(col("host").as("h"), col("sitemap_url"),
+          explode(expr(
+            "regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)"))
+            .as("raw"))
+        .select(col("h"), col("sitemap_url"),
+          regexp_replace(trim(col("raw")), "&amp;", "&").as("url"))
+      graft.operators.CrawlState
+        .screenUrls(locs.select("url"), frontierIndex(s, dir))
+        .groupBy("host").agg(
+          count(lit(1)).as("n_urls"),
+          sum(when(col("known"), 1L).otherwise(0L)).as("n_known"),
+          sum(when(!col("known"), 1L).otherwise(0L)).as("n_new"))
+        .join(locs.select(
+          concat(lit("ex"), col("h"), lit(".org")).as("host"),
+          col("sitemap_url")).distinct(), "host")
+        .select(col("host"), col("sitemap_url"), col("n_urls"),
+          col("n_known"), col("n_new"))
+    }),
 
     // ---- table extraction from generated markup: header/data cells
     //      across THREE tables with entity refs, inline tags (word
@@ -3330,6 +3384,29 @@ object TextQueries {
         |  CAST(SUM(CASE WHEN NOT known THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_new
         |FROM j GROUP BY host""".stripMargin,
+
+    // the sitemap chain in closed form: each host declares one
+    // sitemap.xml, its locs are the host's /d/ urls (known when the
+    // doc was crawled, i.e. doc_id < 300) plus one new parameterized
+    // extra whose &amp; decodes and whose params sort canonically
+    "f_sitemap_feed" ->
+      """WITH hosts AS (SELECT DISTINCT doc_id % 10 AS h FROM documents),
+        |u AS (SELECT doc_id % 10 AS h,
+        |    'https://ex' || (doc_id % 10) || '.org/d/' || doc_id AS url,
+        |    doc_id < 300 AS known
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT h, 'https://ex' || h || '.org/extra?a=1&b=2', false
+        |  FROM hosts),
+        |du AS (SELECT DISTINCT h, url, known FROM u)
+        |SELECT 'ex' || h || '.org' AS host,
+        |  'https://ex' || h || '.org/sitemap.xml' AS sitemap_url,
+        |  CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(SUM(CASE WHEN known THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_known,
+        |  CAST(SUM(CASE WHEN NOT known THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new
+        |FROM du GROUP BY h""".stripMargin,
 
     // the artifact's seen set in closed form (distinct /d/ urls of the
     // crawled docs), massed per host, then the size histogram

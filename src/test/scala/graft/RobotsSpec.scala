@@ -58,6 +58,27 @@ class RobotsSpec extends SparkSpec {
       "Disallow: /x", agent = "b") === Seq((false, "/x")))
   }
 
+  test("sitemapUrls: group-independent, ordered, comments and empties drop") {
+    def sm(txt: String): Seq[String] =
+      Seq(txt).toDF("t").select(Robots.sitemapUrls(col("t")))
+        .head().getSeq[String](0)
+    // declarations surface regardless of surrounding groups, in file
+    // order; the value keeps its own scheme colon; case-blind
+    // directive; padded whitespace trims; an empty value drops; a
+    // commented line never counts
+    assert(sm("User-agent: *\nDisallow: /x\n" +
+      "Sitemap: https://a.org/s1.xml\n" +
+      "User-agent: other\nSITEMAP:   https://a.org/s2.xml  \n" +
+      "Sitemap:\n# Sitemap: https://no.org/c.xml") ===
+      Seq("https://a.org/s1.xml", "https://a.org/s2.xml"))
+    assert(sm("User-agent: *\nDisallow: /") === Seq.empty)
+    // a sitemap line does NOT close the open agent group (it is
+    // group-independent, unlike rule lines)
+    assert(rules("User-agent: a\nSitemap: https://a.org/s.xml\n" +
+      "User-agent: *\nDisallow: /x", agent = "a") ===
+      Seq((false, "/x")))
+  }
+
   test("parse: agent-specific group replaces the * rules") {
     val txt =
       """User-agent: *
