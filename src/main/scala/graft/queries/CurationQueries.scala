@@ -459,6 +459,60 @@ object CurationQueries {
           col("precision_ppm"), col("recall_ppm"))
     }),
 
+    // ---- the full PR curve of the TRAINED classifier over the same
+    //      held-out split: one row per DISTINCT logit threshold t
+    //      (predict positive when z >= t), tp/fp from the total minus
+    //      the ascending prefix sums (Ranks.prefixSums — the value
+    //      grid never single-tasks the corpus), precision/recall in
+    //      exact integer ppm. The operating-point menu AUC compresses
+    //      into one number ----
+    "t_quality_pr_curve" -> ((s, dir) => {
+      val w = qualityModel(s, dir)
+      val d = t(s, dir, "documents")
+      val hold = graft.operators.Sampling.hashSplit(d, "doc_id",
+          Seq("train" -> 0.75, "eval" -> 0.25))
+        .filter(col("split") === "eval")
+      val scored = graft.operators.Logistic.scoreInline(hold, w)
+        .filter(col("n_tokens") > 0)
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("z"), (col("source") === lit(DsirTarget)).as("y"))
+        .localCheckpoint(false) // histogram + totals
+      val hist = scored.groupBy("z").agg(
+        sum(when(col("y"), 1L).otherwise(0L)).as("cp"),
+        sum(when(!col("y"), 1L).otherwise(0L)).as("cn"))
+      val tot = scored.groupBy().agg(
+        sum(when(col("y"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("y"), 1L).otherwise(0L)).as("nn"))
+      graft.operators.Ranks.prefixSums(hist, "z", Seq("cp", "cn"))
+        .crossJoin(broadcast(tot))
+        .withColumn("tp", col("np") - col("pre_cp"))
+        .withColumn("fp", col("nn") - col("pre_cn"))
+        .select(col("z").cast("double").as("z"),
+          col("tp"), col("fp"),
+          expr("tp * 1000000 div (tp + fp)").as("precision_ppm"),
+          expr("tp * 1000000 div np").as("recall_ppm"))
+    }),
+
+    // ---- hard-negative mining off the trained model — the
+    //      relabeling / contrastive-pair feed: the 20 NON-target
+    //      documents the model scores CLOSEST to the keep boundary
+    //      (highest exact-decimal z among negatives, full doc_id
+    //      tie-break — the standard highest-scoring-negatives
+    //      definition, not thresholded, so the feed never runs dry
+    //      on a conservative model). TakeOrdered-bounded ----
+    "t_quality_hard_negatives" -> ((s, dir) => {
+      val w = qualityModel(s, dir)
+      val d = t(s, dir, "documents")
+      graft.operators.Logistic.scoreInline(d, w)
+        .filter(col("n_tokens") > 0)
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+        .filter(col("source") =!= lit(DsirTarget))
+        .orderBy(col("z").desc, col("doc_id").asc)
+        .limit(20)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("z").cast("double").as("z"))
+    }),
+
     // ---- calibration of the TRAINED classifier over the same
     //      held-out split (t_classifier_ece's shape pointed at the
     //      persisted model): confidence = the rational monotone link
@@ -807,6 +861,48 @@ object CurationQueries {
         |  CAST(w5.w AS DOUBLE) AS w_now,
         |  CAST(w5.w - w3.w AS DOUBLE) AS delta
         |FROM w3 JOIN w5 USING (b)""".stripMargin),
+    // one row per distinct threshold: tp/fp = totals minus the
+    // ascending prefix sums over the distinct-z histogram
+    "t_quality_pr_curve" ->
+      (QualityTrainCtes + ",\n" +
+      s"""ev AS (SELECT doc_id FROM (SELECT doc_id,
+         |    ${TextQueries.md5Bucket} AS bucket FROM documents)
+         |  WHERE bucket >= 192),
+         |sc AS (SELECT doc_id, y,
+         |    SUM(CAST(k AS DECIMAL(18,0)) * w) AS z
+         |  FROM f JOIN w3 USING (b) JOIN ev USING (doc_id)
+         |  GROUP BY doc_id, y),
+         |h AS (SELECT z,
+         |    SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS cp,
+         |    SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS cn
+         |  FROM sc GROUP BY z),
+         |r AS (SELECT z, cp, cn,
+         |    COALESCE(SUM(cp) OVER (ORDER BY z ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_cp,
+         |    COALESCE(SUM(cn) OVER (ORDER BY z ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_cn
+         |  FROM h),
+         |tot AS (SELECT SUM(cp) AS np, SUM(cn) AS nn FROM h)
+         |SELECT CAST(z AS DOUBLE) AS z,
+         |  CAST(np - pre_cp AS BIGINT) AS tp,
+         |  CAST(nn - pre_cn AS BIGINT) AS fp,
+         |  CAST((np - pre_cp) * 1000000
+         |    // ((np - pre_cp) + (nn - pre_cn)) AS BIGINT)
+         |    AS precision_ppm,
+         |  CAST((np - pre_cp) * 1000000 // np AS BIGINT) AS recall_ppm
+         |FROM r CROSS JOIN tot""".stripMargin),
+    // the model's confident mistakes: f⋈w3 scores, non-target docs
+    // with a positive exact-decimal logit, top-20 by (z desc, id asc)
+    "t_quality_hard_negatives" ->
+      (QualityTrainCtes + ",\n" +
+      """sc AS (SELECT f.doc_id, f.source,
+        |    CAST(SUM(k) AS BIGINT) AS n_tokens,
+        |    SUM(CAST(k AS DECIMAL(18,0)) * w) AS z
+        |  FROM f JOIN w3 USING (b)
+        |  GROUP BY f.doc_id, f.source)
+        |SELECT doc_id, source, n_tokens, CAST(z AS DOUBLE) AS z
+        |FROM sc WHERE source <> 'src18'
+        |ORDER BY z DESC, doc_id ASC LIMIT 20""".stripMargin),
     // the trained model's calibration bins over the held-out bucket
     // range: the same rational link + 10-bin ECE fold as
     // t_classifier_ece, with z/nt replayed from f⋈w3

@@ -732,6 +732,7 @@ class PlanSpec extends SparkSpec {
     // fixed replicate counts, aggregated before the window)
     "e_kaplan_meier", "e_theil_sen", "q_ks_test", "q_mannwhitney_u",
     "t_quality_auc", // distinct-z histogram + #partitions-row offsets
+    "t_quality_pr_curve", // same distinct-z grid via Ranks.prefixSums
     "q_spearman", "q_bh_fdr", "q_bootstrap_ci", "q_conformal_coverage",
     "q_dp_quantile", "q_group_median", "q_group_percentiles",
     "q_median_price", "q_skyline",
