@@ -840,6 +840,35 @@ object TextQueries {
             .as("first_url"))
     }),
 
+    // ---- the EXECUTABLE fetch queue — f_fetch_schedule's per-host
+    //      summary expanded into per-url rows: each robots-allowed
+    //      wave url gets its deterministic md5-rank slot and a
+    //      fetch_at_ms offset of (rank−1)·(parsed Crawl-delay) — the
+    //      table a fetcher fleet actually consumes (host-keyed, so
+    //      1000 workers each drain their hosts in slot order). Same
+    //      broadcast gate join + one keyed window, no aggregation ----
+    "f_fetch_slots" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+      val wave = d.select(pmod(col("doc_id"), lit(10)).as("host"),
+          concat(lit("https://ex"), pmod(col("doc_id"), lit(10)),
+            lit(".org/p/"), col("doc_id")).as("url"))
+        .unionByName(d.filter(col("doc_id") + 1 >= 300)
+          .select(pmod(col("doc_id") + 1, lit(10)).as("host"),
+            concat(lit("https://ex"), pmod(col("doc_id") + 1, lit(10)),
+              lit(".org/d/"), col("doc_id") + 1).as("url")))
+      val gated = wave.join(broadcast(robotsFixture(d)), "host")
+        .withColumn("path", graft.functions.Robots.urlPath(col("url")))
+        .filter(graft.functions.Robots.isAllowed(col("rules"),
+          col("path")))
+      val w = Window.partitionBy("host")
+        .orderBy(md5(col("url")).asc, col("url").asc)
+      gated.withColumn("rank", row_number().over(w))
+        .select(col("host"), col("url"), col("rank"),
+          ((col("rank") - 1) * col("delay_s") * 1000)
+            .as("fetch_at_ms"))
+    }),
+
     // ---- robots.txt gate over the frontier: one robots payload per
     //      host assembled from table values (a decoy group for
     //      another bot, the `*` group disallowing /p/ with an
@@ -3339,6 +3368,31 @@ object TextQueries {
         |    AS makespan_ms,
         |  MIN(CASE WHEN ok AND rk = 1 THEN url END) AS first_url
         |FROM r GROUP BY host""".stripMargin,
+
+    // the per-url queue in closed form: allowed set per the policy
+    // (graft hosts keep /p/, others keep /d/), md5-rank slots, offsets
+    // from the parsed delay
+    "f_fetch_slots" ->
+      """WITH wave AS (
+        |  SELECT doc_id % 10 AS host,
+        |    'https://ex' || (doc_id % 10) || '.org/p/' || doc_id AS url
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT (doc_id + 1) % 10,
+        |    'https://ex' || ((doc_id + 1) % 10) || '.org/d/'
+        |      || (doc_id + 1)
+        |  FROM documents WHERE doc_id + 1 >= 300),
+        |a AS (SELECT host, url FROM wave
+        |  WHERE CASE WHEN host % 3 = 0 THEN url LIKE '%.org/p/%'
+        |             ELSE url LIKE '%.org/d/%' END)
+        |SELECT host, url,
+        |  ROW_NUMBER() OVER (PARTITION BY host
+        |    ORDER BY md5(url) ASC, url ASC) AS rank,
+        |  CAST((ROW_NUMBER() OVER (PARTITION BY host
+        |    ORDER BY md5(url) ASC, url ASC) - 1)
+        |    * CASE WHEN host % 3 = 0 THEN 5000 ELSE 2000 END AS BIGINT)
+        |    AS fetch_at_ms
+        |FROM a""".stripMargin,
 
     // the robots decision in closed form per the generated policy:
     // graft-override hosts block /d/ only; everyone else blocks /p/

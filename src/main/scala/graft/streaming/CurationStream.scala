@@ -193,6 +193,32 @@ object CurationStream {
         coalesce(col("__k"), lit(false)).as("known"))
   }
 
+  /** Robots gate at fetch time — the streaming half of
+    * `f_robots_gate`/`f_fetch_slots`: candidate URLs stream in, the
+    * host-bounded PARSED rule table (host, rules, delay_s — built
+    * once from the fetched robots.txt payloads, the
+    * [[graft.functions.Robots.parseRules]] fold) rides as a broadcast
+    * static side, and each url gets its longest-match verdict plus
+    * the host's declared Crawl-delay, all map-side (stream-static
+    * equi-join on the host key, append-legal, no state). A fetcher
+    * consumes only `ok` rows and paces by `delay_s` — politeness
+    * enforced in-flight instead of in the nightly schedule. A url
+    * whose host has no rule row passes (no robots.txt ⇒ allowed, the
+    * crawl default) with a null delay.
+    */
+  def robotsScreen(urls: DataFrame, rules: DataFrame,
+                   urlCol: String = "url"): DataFrame = {
+    val host = regexp_extract(col(urlCol), "^[a-z]+://([^/]+)", 1)
+    urls.withColumn("host", host)
+      .join(org.apache.spark.sql.functions.broadcast(rules),
+        Seq("host"), "left")
+      .select(col(urlCol).as("url"), col("host"),
+        coalesce(graft.functions.Robots.isAllowed(col("rules"),
+          graft.functions.Robots.urlPath(col(urlCol))), lit(true))
+          .as("ok"),
+        col("delay_s"))
+  }
+
   /** DSIR importance scoring at ingest: the offline-built λ table
     * (collected once via [[graft.operators.Dsir.lamLiteral]]) rides
     * as a plan literal, and each arriving document gets its log

@@ -949,6 +949,41 @@ class StreamingSpec extends SparkSpec {
       (2L, "https://h.io/a/p/3", "h.io", false)))
   }
 
+  test("streaming robots gate: broadcast rule table screens urls in-flight") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Robots
+    val txt = "User-agent: *\nDisallow: /p/\nAllow: /p/open\n" +
+      "Crawl-delay: 2\n"
+    val rules = Seq(("ex.org", txt)).toDF("host", "txt")
+      .select($"host", Robots.parseRules($"txt").as("rules"),
+        Robots.crawlDelay($"txt").as("delay_s"))
+      .localCheckpoint(false)
+    val urls = Seq("https://ex.org/p/secret", "https://ex.org/p/open1",
+      "https://ex.org/d/1", "https://other.org/x")
+    val mem = MemoryStream[String]
+    val q = graft.streaming.CurationStream.robotsScreen(
+        mem.toDF().toDF("url"), rules)
+      .writeStream.format("memory").queryName("rg")
+      .outputMode("append").start()
+    try { mem.addData(urls); q.processAllAvailable() } finally q.stop()
+    def canon(rows: Seq[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+        Option(r.get(3)))).sortBy(_._1)
+    val got = canon(spark.sql("SELECT * FROM rg").collect().toSeq)
+    // longest-match verdicts + the parsed delay; an unknown host
+    // passes with no delay (no robots.txt => allowed)
+    val byUrl = got.map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(byUrl("https://ex.org/p/secret") === ((false, Some(2L))))
+    assert(byUrl("https://ex.org/p/open1") === ((true, Some(2L))))
+    assert(byUrl("https://ex.org/d/1") === ((true, Some(2L))))
+    assert(byUrl("https://other.org/x") === ((true, None)))
+    // and the stream is bit-equal to the batch projection
+    val want = canon(graft.streaming.CurationStream.robotsScreen(
+      urls.toDF("url"), rules).collect().toSeq)
+    assert(got === want)
+  }
+
   test("streaming curateMicroBatch: foreachBatch == batch chain bit-equal") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
