@@ -198,13 +198,20 @@ object Logistic {
   def zInline(text: org.apache.spark.sql.Column,
               weights: Map[String, BigDecimal],
               prefixLen: Int = 2): org.apache.spark.sql.Column = {
-    val wMap = typedLit(weights)
+    // O(1) per-token lookup: a literal MAP's try_element_at is a
+    // linear scan of all 16^prefixLen entries PER TOKEN; the bucket
+    // id IS the hex value of the md5 prefix, so the weight map
+    // flattens to a plan-literal ARRAY indexed positionally by
+    // conv(prefix, 16, 10). Missing buckets fill with the exact 0 the
+    // map-miss coalesce supplied — the summed values are identical
+    // decimals, so results are bit-identical to the map form.
+    val arr = typedLit(bucketSpace(prefixLen)
+      .map(b => weights.getOrElse(b, BigDecimal(0).setScale(6))))
     val toks = filter(graft.functions.Text.tokens(text), t => t =!= "")
     aggregate(toks, lit(0).cast("decimal(38,6)"),
-      (acc, t) => (acc + coalesce(
-        try_element_at(wMap, substring(md5(t), 1, prefixLen))
-          .cast("decimal(12,6)"),
-        lit(0).cast("decimal(12,6)"))).cast("decimal(38,6)"))
+      (acc, t) => (acc + element_at(arr,
+        conv(substring(md5(t), 1, prefixLen), 16, 10).cast("int") + 1)
+          .cast("decimal(12,6)")).cast("decimal(38,6)"))
   }
 
   /** Exact-decimal mean log-loss of a weight map over the feature
