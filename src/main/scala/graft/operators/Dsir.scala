@@ -114,15 +114,24 @@ object Dsir {
                   idCol: String, textCol: String,
                   hexChars: Int = 2): DataFrame = {
     require(lamMap.nonEmpty, "empty lambda map")
-    val wmap = map(lamMap.toSeq.sortBy(_._1).flatMap { case (b, v) =>
-      Seq(lit(b), lit(v))
-    }: _*)
+    // O(1) per-shingle lookup: the bucket id IS the hex value of the
+    // md5 prefix, so the λ map flattens to a plan-literal ARRAY
+    // indexed by conv(prefix, 16, 10) (a literal map's element_at
+    // scans all 16^hexChars entries per shingle). Unseen buckets
+    // pre-fill with the exact default the coalesce supplied — summed
+    // values identical, results bit-identical to the map form.
+    val hex = "0123456789abcdef".map(_.toString)
+    val buckets = (1 until hexChars).foldLeft(hex: Seq[String]) {
+      (acc, _) => acc.flatMap(p => hex.map(p + _))
+    }
+    val warr = array(buckets.map(b =>
+      lit(lamMap.getOrElse(b, defaultLam))): _*)
     val sh = Text.shingles(Text.tokens(col(textCol)), 2)
     val accTy = "decimal(38,4)"
     val dot = aggregate(sh, lit(java.math.BigDecimal.ZERO).cast(accTy),
-      (acc, bg) => (acc + coalesce(
-        element_at(wmap, bucketOf(bg, hexChars)),
-        lit(defaultLam))).cast(accTy))
+      (acc, bg) => (acc + element_at(warr,
+        conv(bucketOf(bg, hexChars), 16, 10).cast("int") + 1))
+        .cast(accTy))
     docs.select(col(idCol), size(sh).cast("long").as("n_bigrams"),
         dot.cast("double").as("logw"))
       .filter(col("n_bigrams") > 0)
