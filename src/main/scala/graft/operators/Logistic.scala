@@ -144,10 +144,14 @@ object Logistic {
     */
   def score(feats: DataFrame, weights: Map[String, BigDecimal],
             idCol: String = "doc_id"): DataFrame = {
-    val wMap = typedLit(weights)
+    // positional array literal, not a map literal: a literal map's
+    // lookup scans all 256 entries per feature row (see zInline)
+    val arr = typedLit(bucketSpace()
+      .map(b => weights.getOrElse(b, BigDecimal(0).setScale(6))))
     feats.groupBy(idCol, "y")
       .agg(sum(col("k").cast("decimal(18,0)") *
-        try_element_at(wMap, col("b")).cast("decimal(12,6)")).as("z"),
+        element_at(arr, conv(col("b"), 16, 10).cast("int") + 1)
+          .cast("decimal(12,6)")).as("z"),
         sum(col("k")).as("nt"))
   }
 
