@@ -214,6 +214,71 @@ object CurationQueries {
       graft.Pipelines.curationReport(decisions)
     }),
 
+    // ---- the corpus DATASHEET — the one-row report a dataset owner
+    //      publishes (Gebru et al.'s "datasheets for datasets" as a
+    //      query): volume (docs, tokens, mean length), exact-dup mass
+    //      (distinct content hashes vs rows), PII incidence, Gopher
+    //      quality pass rate, and English share — every number an
+    //      exact integer or ppm, every signal the same fragment its
+    //      dedicated query gates. One scan + one agg (the exact
+    //      distinct is the only shuffle) ----
+    "q_corpus_datasheet" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val tok = Text.tokens(col("text"))
+      val pii = {
+        val c = Text.piiCounts(col("text"))
+        c.getField("n_emails") + c.getField("n_phones") +
+          c.getField("n_ipv4") + c.getField("n_cards") > 0
+      }
+      d.select(col("doc_id"), md5(col("text")).as("h"),
+          size(tok).cast("long").as("nt"), pii.as("has_pii"),
+          Text.gopherKeep(col("text"), tok).as("quality_ok"),
+          (Text.langId(tok) === "en").as("is_en"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("n_tokens"),
+          countDistinct(col("h")).as("n_distinct_texts"),
+          sum(when(col("has_pii"), 1L).otherwise(0L)).as("n_pii_docs"),
+          sum(when(col("quality_ok"), 1L).otherwise(0L))
+            .as("n_quality_pass"),
+          sum(when(col("is_en"), 1L).otherwise(0L)).as("n_english"))
+        .select(col("n_docs"), col("n_tokens"),
+          expr("n_tokens div n_docs").as("mean_tokens"),
+          col("n_distinct_texts"),
+          expr("(n_docs - n_distinct_texts) * 1000000 div n_docs")
+            .as("dup_ppm"),
+          expr("n_pii_docs * 1000000 div n_docs").as("pii_ppm"),
+          expr("n_quality_pass * 1000000 div n_docs").as("quality_ppm"),
+          expr("n_english * 1000000 div n_docs").as("english_ppm"))
+    }),
+
+    // ---- curriculum ordering — the easy-first training schedule:
+    //      each document's difficulty is (rare-vocab share, length) —
+    //      rare_ppm = tokens whose corpus document frequency <= 2,
+    //      exact integer ppm from the vocabulary-sized df table —
+    //      and the global curriculum position comes from
+    //      Ranks.rowNumbers (range-partition + per-partition numbering
+    //      + tiny offsets — never a single-task sort of the corpus).
+    //      Deterministic under any partitioning; top-100 head emitted
+    //      (the full order is corpus-sized) ----
+    "t_curriculum_order" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val tf = termFreqs(d).localCheckpoint(false) // df agg + doc agg
+      val dfreq = tf.groupBy("tok")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val perDoc = tf.join(dfreq, "tok")
+        .groupBy("doc_id").agg(
+          sum(col("tf")).as("n_tokens"),
+          sum(when(col("df") <= 2, col("tf")).otherwise(0L)).as("rare"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("rare * 1000000 div n_tokens").as("rare_ppm"))
+      graft.operators.Ranks
+        .rowNumbers(perDoc, Seq("rare_ppm", "n_tokens", "doc_id"))
+        .filter(col("rn") <= 100)
+        .select(col("rn").as("position"), col("doc_id"),
+          col("n_tokens"), col("rare_ppm"))
+    }),
+
     // ---- top-3 TF-IDF keywords per document: raw-idf variant
     //      tf · (N+1)/(df+1) ranked with a full deterministic
     //      tie-break (tf desc, df asc, tok asc); output is exact
@@ -1133,6 +1198,61 @@ object CurationQueries {
          |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
          |UNION ALL SELECT 'kept', CAST(SUM(CASE WHEN keep
          |  THEN 1 ELSE 0 END) AS BIGINT) FROM k""".stripMargin),
+
+    // every signal is the exact fragment its dedicated query gates
+    // (PII census, Gopher rules, marker language ID), pointed at the
+    // raw text via the clean alias; ratios are exact floor-div ppm
+    "q_corpus_datasheet" ->
+      (s"""WITH fl AS (SELECT doc_id, text AS clean FROM documents),
+         |lg AS (SELECT *, $LangBest AS best FROM fl),
+         |m AS (SELECT doc_id, md5(clean) AS h,
+         |    CAST(len(string_split(clean, ' ')) AS BIGINT) AS nt,
+         |    $PiiExpr AS has_pii,
+         |    $QualityExpr AS quality_ok,
+         |    ($LangPred) = 'en' AS is_en
+         |  FROM lg),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_texts,
+         |    CAST(SUM(CASE WHEN has_pii THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_pii_docs,
+         |    CAST(SUM(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_quality_pass,
+         |    CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_english
+         |  FROM m)
+         |SELECT n_docs, n_tokens,
+         |  CAST(n_tokens // n_docs AS BIGINT) AS mean_tokens,
+         |  n_distinct_texts,
+         |  CAST((n_docs - n_distinct_texts) * 1000000 // n_docs
+         |    AS BIGINT) AS dup_ppm,
+         |  CAST(n_pii_docs * 1000000 // n_docs AS BIGINT) AS pii_ppm,
+         |  CAST(n_quality_pass * 1000000 // n_docs AS BIGINT)
+         |    AS quality_ppm,
+         |  CAST(n_english * 1000000 // n_docs AS BIGINT) AS english_ppm
+         |FROM a""".stripMargin),
+
+    // the easy-first order replayed naively: df table, per-doc rare
+    // share, one global ROW_NUMBER over the (rare_ppm, length, id) key
+    "t_curriculum_order" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' '))
+        |    AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf
+        |  GROUP BY 1),
+        |pd AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN df <= 2 THEN tf ELSE 0 END) AS BIGINT)
+        |      AS rare
+        |  FROM tf JOIN dfq USING (tok) GROUP BY doc_id),
+        |r AS (SELECT doc_id, n_tokens,
+        |    CAST(rare * 1000000 // n_tokens AS BIGINT) AS rare_ppm
+        |  FROM pd)
+        |SELECT * FROM (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY rare_ppm, n_tokens,
+        |      doc_id) AS position,
+        |    doc_id, n_tokens, rare_ppm FROM r)
+        |WHERE position <= 100""".stripMargin,
 
     "t_novelty_curve" ->
       """WITH tk AS (SELECT doc_id // 50 AS batch,

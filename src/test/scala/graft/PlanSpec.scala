@@ -750,7 +750,7 @@ class PlanSpec extends SparkSpec {
     // model-sized preference/source tables
     "p_copeland_borda", "t_mix_waterfall",
     // Ranks.rowNumbers offsets: one row per partition, never the corpus
-    "t_ppl_buckets")
+    "t_ppl_buckets", "t_curriculum_order")
 
   /** The truly-unpartitioned Window operators of a plan, straight off
     * the operator tree (`partitionSpec.isEmpty`) — the old string
