@@ -225,6 +225,26 @@ object GraftExtensions {
       graft.expressions.HtmlMeta(args(0))
     })
 
+  /** graft_html_headings(string) — (level, text) document outline. */
+  private val htmlHeadingsFunction = (
+    FunctionIdentifier("graft_html_headings"),
+    new ExpressionInfo(classOf[graft.expressions.HtmlHeadings].getName,
+      "graft_html_headings"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "graft_html_headings(s) takes 1 argument")
+      graft.expressions.HtmlHeadings(args(0))
+    })
+
+  /** graft_html_lists(string) — (lst, item, depth, ordered, text). */
+  private val htmlListsFunction = (
+    FunctionIdentifier("graft_html_lists"),
+    new ExpressionInfo(classOf[graft.expressions.HtmlLists].getName,
+      "graft_html_lists"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "graft_html_lists(s) takes 1 argument")
+      graft.expressions.HtmlLists(args(0))
+    })
+
   /** graft_char_counts(string) — per-document character histogram
     * (counts only, ascending code point), the single-pass feed of the
     * character-entropy signal.
@@ -243,6 +263,7 @@ object GraftExtensions {
     nfcFunction, exifFunction, wordpieceFunction, mojibakeFunction,
     htmlTextFunction, htmlLinksFunction, htmlRefsFunction,
     htmlTablesFunction, htmlMetaFunction,
+    htmlHeadingsFunction, htmlListsFunction,
     deflateFunction, charCountsFunction)
 
   /** Session-scoped registration for an existing session. */

@@ -514,21 +514,7 @@ case class HtmlTables(child: Expression)
     containsNull = false)
   override def prettyName: String = "graft_html_tables"
 
-  private def collapse(s: CharSequence): String = {
-    val res = new java.lang.StringBuilder(s.length)
-    var i = 0
-    var pendingGap = false
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (Character.isWhitespace(c)) pendingGap = res.length > 0
-      else {
-        if (pendingGap) { res.append(' '); pendingGap = false }
-        res.append(c)
-      }
-      i += 1
-    }
-    res.toString
-  }
+  private def collapse(s: CharSequence): String = HtmlCellText.collapse(s)
 
   protected override def nullSafeEval(input: Any): Any = {
     val s = input.toString
@@ -638,6 +624,157 @@ case class HtmlMeta(child: Expression)
       newChild: Expression): HtmlMeta = copy(child = newChild)
 }
 
+/** Document outline extraction: (level, text) for `<h1>`..`<h6>` in
+  * document order — the section structure a long-document chunker
+  * aligns to (split-at-headings beats split-at-token-counts for
+  * retrieval corpora). Same single-pass walk; dialect (fixed for the
+  * oracle): a heading closes at its own end tag, at the NEXT heading
+  * open (the implied-close rule), or at end of input; inline tags
+  * inside become word boundaries; text outside headings never counts;
+  * comments/script are excluded by the walk. Entity-decoded,
+  * whitespace-collapsed like [[HtmlToText]].
+  */
+case class HtmlHeadings(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_html_headings requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("level", IntegerType, nullable = false),
+    StructField("text", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_html_headings"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    var level = 0
+    val buf = new java.lang.StringBuilder
+    def close(): Unit = if (level > 0) {
+      rows += org.apache.spark.sql.catalyst.InternalRow(
+        level, UTF8String.fromString(HtmlCellText.collapse(buf)))
+      buf.setLength(0)
+      level = 0
+    }
+    HtmlWalk.walk(input.toString,
+      onText = t => if (level > 0) buf.append(t),
+      onTag = (name, _, _) => name match {
+        case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
+          close(); level = name.charAt(1) - '0'
+        case "/h1" | "/h2" | "/h3" | "/h4" | "/h5" | "/h6" => close()
+        case _ => if (level > 0) buf.append(' ') // inline = boundary
+      })
+    close()
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(rows.toArray)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HtmlHeadings = copy(child = newChild)
+}
+
+/** List extraction: (lst, item, depth, ordered, text) for
+  * `<ul>/<ol>/<li>` markup in document order — bullet content is
+  * dense instruction-style training data that HtmlToText flattens
+  * into undifferentiated prose. Same walk; dialect:
+  *
+  *   - `<ul>`/`<ol>` opens a list (global index in document order,
+  *     depth = nesting level) and `</ul>`/`</ol>` closes it;
+  *   - `<li>` opens an item of the CURRENT (innermost) list, 0-based;
+  *     it closes at `</li>`, the next `<li>`, a nested list open, or
+  *     the list's close (implied-close rules) — so an item's text
+  *     stops at a nested list and tail text after the nested list is
+  *     not re-attached;
+  *   - `<li>` outside any open list never counts; inline tags are
+  *     word boundaries; entity-decode + whitespace-collapse as
+  *     everywhere.
+  */
+case class HtmlLists(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_html_lists requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("lst", IntegerType, nullable = false),
+    StructField("item", IntegerType, nullable = false),
+    StructField("depth", IntegerType, nullable = false),
+    StructField("ordered", BooleanType, nullable = false),
+    StructField("text", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_html_lists"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    // open lists: (global list idx, ordered, items emitted so far)
+    final case class L(idx: Int, ordered: Boolean, var n: Int)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[L]
+    var nextList = 0
+    var inItem = false
+    var curLst = 0; var curItem = 0; var curDepth = 0
+    var curOrdered = false
+    val buf = new java.lang.StringBuilder
+    def closeItem(): Unit = if (inItem) {
+      rows += org.apache.spark.sql.catalyst.InternalRow(
+        curLst, curItem, curDepth, curOrdered,
+        UTF8String.fromString(HtmlCellText.collapse(buf)))
+      buf.setLength(0)
+      inItem = false
+    }
+    HtmlWalk.walk(input.toString,
+      onText = t => if (inItem) buf.append(t),
+      onTag = (name, _, _) => name match {
+        case "ul" | "ol" =>
+          closeItem()
+          stack += L(nextList, name == "ol", 0)
+          nextList += 1
+        case "/ul" | "/ol" =>
+          closeItem()
+          if (stack.nonEmpty) stack.remove(stack.length - 1)
+        case "li" if stack.nonEmpty =>
+          closeItem()
+          val top = stack.last
+          curLst = top.idx; curItem = top.n; curDepth = stack.length
+          curOrdered = top.ordered
+          top.n += 1
+          inItem = true
+        case "/li" => closeItem()
+        case _ => if (inItem) buf.append(' ') // inline = boundary
+      })
+    closeItem()
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(rows.toArray)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HtmlLists = copy(child = newChild)
+}
+
+/** Shared whitespace-collapse for captured cell/heading/item text. */
+private[expressions] object HtmlCellText {
+  def collapse(s: CharSequence): String = {
+    val res = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var pendingGap = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) pendingGap = res.length > 0
+      else {
+        if (pendingGap) { res.append(' '); pendingGap = false }
+        res.append(c)
+      }
+      i += 1
+    }
+    res.toString
+  }
+}
+
 object HtmlExprs {
   def htmlToText(s: Column): Column =
     Bridge.column(HtmlToText(Bridge.expression(s)))
@@ -649,4 +786,8 @@ object HtmlExprs {
     Bridge.column(HtmlTables(Bridge.expression(s)))
   def htmlMeta(s: Column): Column =
     Bridge.column(HtmlMeta(Bridge.expression(s)))
+  def htmlHeadings(s: Column): Column =
+    Bridge.column(HtmlHeadings(Bridge.expression(s)))
+  def htmlLists(s: Column): Column =
+    Bridge.column(HtmlLists(Bridge.expression(s)))
 }

@@ -750,6 +750,45 @@ object TextQueries {
           x => x.getField("pair")), " | ").as("line"))
     }),
 
+    // ---- document outline extraction: h1/h2/h3 structure with an
+    //      implied close (h3 opens before h2's end tag), entity refs,
+    //      inline tags as boundaries, and script/comment decoys — the
+    //      section skeleton a retrieval chunker aligns splits to ----
+    "t_html_outline" -> ((s, dir) => {
+      val html = concat(
+        lit("<h1>Title "), col("doc_id"), lit("</h1><p>para text</p>"),
+        lit("<h2>Sec &amp; one</h2>"),
+        lit("<h2>Sec <b>two</b>"),
+        lit("<h3>Deep "), col("doc_id"), lit("</h3>"),
+        lit("<script>'<h1>no</h1>'</script><!-- <h2>no</h2> -->"))
+      t(s, dir, "documents").select(col("doc_id"),
+          posexplode(graft.expressions.HtmlExprs.htmlHeadings(html)))
+        .select(col("doc_id"), col("pos").as("ord"),
+          col("col.level").as("level"), col("col.text").as("text"))
+    }),
+
+    // ---- list extraction: a nested unordered list (items close
+    //      implicitly at the next item or a nested list open), an
+    //      ordered list, a stray li outside any list (never counts),
+    //      and a comment decoy — bullet structure recovered with
+    //      list/item/depth keys instead of flattened prose ----
+    "t_html_lists" -> ((s, dir) => {
+      val html = concat(
+        lit("<ul><li>alpha "), col("doc_id"),
+        lit("<li>beta &amp; co</li><li>gamma"),
+        lit("<ul><li>nested "), col("doc_id"), lit("</li></ul>"),
+        lit("</li></ul>"),
+        lit("<ol><li>first</li><li>second "), col("doc_id"),
+        lit("</li></ol>"),
+        lit("<li>stray</li><!-- <ul><li>no</li></ul> -->"))
+      t(s, dir, "documents").select(col("doc_id"),
+          posexplode(graft.expressions.HtmlExprs.htmlLists(html)))
+        .select(col("doc_id"), col("pos").as("ord"),
+          col("col.lst").as("lst"), col("col.item").as("item"),
+          col("col.depth").as("depth"), col("col.ordered").as("ordered"),
+          col("col.text").as("text"))
+    }),
+
     // ---- meta extraction: description/OpenGraph pairs on every page,
     //      robots directives on doc_id%6, attribute-less decoys and a
     //      comment decoy contributing nothing; values entity-decode ----
@@ -3309,6 +3348,32 @@ object TextQueries {
         |    'col1: m2 | unit: n2 ' || doc_id])[CAST(i + 1 AS INT)]
         |    AS line
         |FROM documents CROSS JOIN (SELECT unnest(range(0, 5)) AS i)"""
+        .stripMargin,
+
+    // the outline in closed form: four headings per page (h2 'Sec two'
+    // closes implicitly at the h3 open)
+    "t_html_outline" ->
+      """SELECT doc_id, CAST(i AS INT) AS ord,
+        |  ([1, 2, 2, 3])[CAST(i + 1 AS INT)] AS level,
+        |  (['Title ' || doc_id, 'Sec & one', 'Sec two',
+        |    'Deep ' || doc_id])[CAST(i + 1 AS INT)] AS text
+        |FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS i)"""
+        .stripMargin,
+
+    // the lists in closed form: ul#0's three items (gamma closes at
+    // the nested list open), the nested ul#1 at depth 2, ol#2's two
+    // ordered items; the stray li and the comment contribute nothing
+    "t_html_lists" ->
+      """SELECT doc_id, CAST(i AS INT) AS ord,
+        |  ([0, 0, 0, 1, 2, 2])[CAST(i + 1 AS INT)] AS lst,
+        |  ([0, 1, 2, 0, 0, 1])[CAST(i + 1 AS INT)] AS item,
+        |  ([1, 1, 1, 2, 1, 1])[CAST(i + 1 AS INT)] AS depth,
+        |  ([false, false, false, false, true, true])
+        |    [CAST(i + 1 AS INT)] AS ordered,
+        |  (['alpha ' || doc_id, 'beta & co', 'gamma',
+        |    'nested ' || doc_id, 'first', 'second ' || doc_id])
+        |    [CAST(i + 1 AS INT)] AS text
+        |FROM documents CROSS JOIN (SELECT unnest(range(0, 6)) AS i)"""
         .stripMargin,
 
     // the declared metadata in closed form: description + og:title on

@@ -215,6 +215,53 @@ class HtmlSpec extends SparkSpec {
       Seq((0, 0, 0, false, "a"), (1, 0, 0, false, "fresh")))
   }
 
+  private def heads(html: String): Seq[(Int, String)] =
+    Seq(html).toDF("h").select(HtmlExprs.htmlHeadings(col("h")))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getInt(0), r.getString(1)))
+
+  test("HtmlHeadings: levels, implied closes, decoys, truncation") {
+    // levels map to the digit; entities decode; inline = boundary
+    assert(heads("<h1>A</h1><p>x</p><h3>B &amp; <i>C</i></h3>") ===
+      Seq((1, "A"), (3, "B & C")))
+    // a new heading implies the previous one's close
+    assert(heads("<h2>first<h4>second</h4>") ===
+      Seq((2, "first"), (4, "second")))
+    // end of input closes a dangling heading
+    assert(heads("<h5>dangling") === Seq((5, "dangling")))
+    // text outside headings never counts; script/comment decoys skip
+    assert(heads("free<h1>t</h1>tail<script>'<h2>no</h2>'</script>" +
+      "<!-- <h3>no</h3> -->") === Seq((1, "t")))
+    // case-blind
+    assert(heads("<H2>up</H2>") === Seq((2, "up")))
+  }
+
+  private def items(html: String)
+      : Seq[(Int, Int, Int, Boolean, String)] =
+    Seq(html).toDF("h").select(HtmlExprs.htmlLists(col("h")))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getBoolean(3),
+        r.getString(4)))
+
+  test("HtmlLists: nesting, implied closes, ordered flag, strays") {
+    // implied closes at the next li; ol sets ordered; list indexes
+    // count opens in document order
+    assert(items("<ul><li>a<li>b</ul><ol><li>c</li></ol>") ===
+      Seq((0, 0, 1, false, "a"), (0, 1, 1, false, "b"),
+        (1, 0, 1, true, "c")))
+    // nested list: the outer item closes at the nested open; the
+    // nested items carry depth 2 and their own list index
+    assert(items("<ul><li>outer<ul><li>inner</li></ul></li></ul>") ===
+      Seq((0, 0, 1, false, "outer"), (1, 0, 2, false, "inner")))
+    // li outside any list never counts
+    assert(items("<li>stray</li>") === Seq.empty)
+    // truncation closes the open item
+    assert(items("<ol><li>dangling") === Seq((0, 0, 1, true, "dangling")))
+    // entities decode, inline tags are boundaries
+    assert(items("<ul><li>a &amp;<b>b</b>c</li></ul>") ===
+      Seq((0, 0, 1, false, "a & b c")))
+  }
+
   private def metas(html: String): Seq[(String, String)] =
     Seq(html).toDF("h").select(HtmlExprs.htmlMeta(col("h")))
       .head().getSeq[org.apache.spark.sql.Row](0)
