@@ -245,6 +245,16 @@ object GraftExtensions {
       graft.expressions.HtmlLists(args(0))
     })
 
+  /** graft_html_sections(string) — (level, heading, body) sections. */
+  private val htmlSectionsFunction = (
+    FunctionIdentifier("graft_html_sections"),
+    new ExpressionInfo(classOf[graft.expressions.HtmlSections].getName,
+      "graft_html_sections"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "graft_html_sections(s) takes 1 argument")
+      graft.expressions.HtmlSections(args(0))
+    })
+
   /** graft_char_counts(string) — per-document character histogram
     * (counts only, ascending code point), the single-pass feed of the
     * character-entropy signal.
@@ -263,7 +273,7 @@ object GraftExtensions {
     nfcFunction, exifFunction, wordpieceFunction, mojibakeFunction,
     htmlTextFunction, htmlLinksFunction, htmlRefsFunction,
     htmlTablesFunction, htmlMetaFunction,
-    htmlHeadingsFunction, htmlListsFunction,
+    htmlHeadingsFunction, htmlListsFunction, htmlSectionsFunction,
     deflateFunction, charCountsFunction)
 
   /** Session-scoped registration for an existing session. */

@@ -756,6 +756,71 @@ case class HtmlLists(child: Expression)
       newChild: Expression): HtmlLists = copy(child = newChild)
 }
 
+/** Section segmentation: (level, heading, body) — the document cut at
+  * every heading, each section carrying its own heading text and the
+  * prose until the next heading. This is the heading-ALIGNED chunking
+  * a retrieval corpus wants (split at structure, not at token counts);
+  * the ancestor path (h1 ▸ h2 ▸ …) reconstructs downstream with one
+  * keyed window over the section sequence (`t_section_chunks`).
+  * Dialect: any `<h1>`..`<h6>` open starts a NEW section (flat
+  * segmentation — hierarchy is the consumer's fold); text before the
+  * first heading is a level-0 preamble section (emitted only when
+  * non-empty); the heading's own text captures exactly like
+  * [[HtmlHeadings]] — it ends at its end tag (implied close: the
+  * next heading or end of input), with inline tags as word
+  * boundaries; comments/script excluded by the walk; entity-decode +
+  * whitespace-collapse as everywhere.
+  */
+case class HtmlSections(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_html_sections requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("level", IntegerType, nullable = false),
+    StructField("heading", StringType, nullable = false),
+    StructField("body", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_html_sections"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    var level = 0
+    var inHeading = false
+    val headBuf = new java.lang.StringBuilder
+    val bodyBuf = new java.lang.StringBuilder
+    def emit(): Unit = {
+      val h = HtmlCellText.collapse(headBuf)
+      val b = HtmlCellText.collapse(bodyBuf)
+      // the level-0 preamble only exists when it has content
+      if (level > 0 || h.nonEmpty || b.nonEmpty)
+        rows += org.apache.spark.sql.catalyst.InternalRow(
+          level, UTF8String.fromString(h), UTF8String.fromString(b))
+      headBuf.setLength(0); bodyBuf.setLength(0)
+    }
+    HtmlWalk.walk(input.toString,
+      onText = t => (if (inHeading) headBuf else bodyBuf).append(t),
+      onTag = (name, _, _) => name match {
+        case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
+          emit(); level = name.charAt(1) - '0'; inHeading = true
+        case "/h1" | "/h2" | "/h3" | "/h4" | "/h5" | "/h6" =>
+          inHeading = false
+        case _ =>
+          (if (inHeading) headBuf else bodyBuf).append(' ')
+      })
+    emit()
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(rows.toArray)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HtmlSections = copy(child = newChild)
+}
+
 /** Shared whitespace-collapse for captured cell/heading/item text. */
 private[expressions] object HtmlCellText {
   def collapse(s: CharSequence): String = {
@@ -790,4 +855,6 @@ object HtmlExprs {
     Bridge.column(HtmlHeadings(Bridge.expression(s)))
   def htmlLists(s: Column): Column =
     Bridge.column(HtmlLists(Bridge.expression(s)))
+  def htmlSections(s: Column): Column =
+    Bridge.column(HtmlSections(Bridge.expression(s)))
 }

@@ -789,6 +789,39 @@ object TextQueries {
           col("col.text").as("text"))
     }),
 
+    // ---- heading-ALIGNED chunking: the document cut at every
+    //      heading (graft_html_sections — level, heading, body), with
+    //      the ancestor path (latest h1, latest h2) reconstructed by
+    //      one keyed window per document over the section sequence
+    //      (max over (sec, heading) structs gated by level — the
+    //      latest ancestor wins). This is the split-at-structure
+    //      chunker a retrieval corpus wants instead of token-count
+    //      windows; everything map-side + one doc-keyed window ----
+    "t_section_chunks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val html = concat(
+        lit("intro text<h1>Title "), col("doc_id"),
+        lit("</h1><p>lead para</p>"),
+        lit("<h2>Sec &amp; one</h2><p>alpha body "), col("doc_id"),
+        lit("</p><h2>Sec two</h2>tail text"),
+        lit("<h3>Deep</h3><p>deep body</p>"),
+        lit("<script>'<h1>no</h1>'</script><!-- <h2>no</h2> -->"))
+      val secs = t(s, dir, "documents").select(col("doc_id"),
+          posexplode(graft.expressions.HtmlExprs.htmlSections(html)))
+        .select(col("doc_id"), col("pos").as("sec"),
+          col("col.level").as("level"),
+          col("col.heading").as("heading"), col("col.body").as("body"))
+      val w = Window.partitionBy("doc_id").orderBy("sec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def latest(lv: Int) = max(when(col("level") === lv,
+        struct(col("sec"), col("heading")))).over(w).getField("heading")
+      secs
+        .withColumn("h1", latest(1))
+        .withColumn("h2", latest(2))
+        .select(col("doc_id"), col("sec"), col("level"), col("h1"),
+          col("h2"), col("heading"), col("body"))
+    }),
+
     // ---- meta extraction: description/OpenGraph pairs on every page,
     //      robots directives on doc_id%6, attribute-less decoys and a
     //      comment decoy contributing nothing; values entity-decode ----
@@ -3374,6 +3407,22 @@ object TextQueries {
         |    'nested ' || doc_id, 'first', 'second ' || doc_id])
         |    [CAST(i + 1 AS INT)] AS text
         |FROM documents CROSS JOIN (SELECT unnest(range(0, 6)) AS i)"""
+        .stripMargin,
+
+    // the five sections per page in closed form: preamble (level 0),
+    // h1 with its lead, two h2s, and the h3 under the second h2; the
+    // ancestor path fills from the latest heading at each level
+    "t_section_chunks" ->
+      """SELECT doc_id, CAST(i AS INT) AS sec,
+        |  ([0, 1, 2, 2, 3])[CAST(i + 1 AS INT)] AS level,
+        |  CASE WHEN i >= 1 THEN 'Title ' || doc_id END AS h1,
+        |  ([NULL, NULL, 'Sec & one', 'Sec two', 'Sec two'])
+        |    [CAST(i + 1 AS INT)] AS h2,
+        |  (['', 'Title ' || doc_id, 'Sec & one', 'Sec two', 'Deep'])
+        |    [CAST(i + 1 AS INT)] AS heading,
+        |  (['intro text', 'lead para', 'alpha body ' || doc_id,
+        |    'tail text', 'deep body'])[CAST(i + 1 AS INT)] AS body
+        |FROM documents CROSS JOIN (SELECT unnest(range(0, 5)) AS i)"""
         .stripMargin,
 
     // the declared metadata in closed form: description + og:title on

@@ -262,6 +262,30 @@ class HtmlSpec extends SparkSpec {
       Seq((0, 0, 1, false, "a & b c")))
   }
 
+  private def secs(html: String): Seq[(Int, String, String)] =
+    Seq(html).toDF("h").select(HtmlExprs.htmlSections(col("h")))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+
+  test("HtmlSections: preamble, heading capture, implied closes, decoys") {
+    // preamble before the first heading is a level-0 section; the
+    // body runs to the next heading
+    assert(secs("pre<h1>T</h1>body one<h2>S</h2>body two") ===
+      Seq((0, "", "pre"), (1, "T", "body one"), (2, "S", "body two")))
+    // no preamble section when there is nothing before the heading
+    assert(secs("<h1>T</h1>x") === Seq((1, "T", "x")))
+    // heading capture matches HtmlHeadings: inline tags are
+    // boundaries, the implied close is the next heading
+    assert(secs("<h2>A &amp; <b>B</b></h2>t<h3>C") ===
+      Seq((2, "A & B", "t"), (3, "C", "")))
+    // an empty section (heading with no body) still emits
+    assert(secs("<h1>a</h1><h2>b</h2>") ===
+      Seq((1, "a", ""), (2, "b", "")))
+    // script/comment content never leaks into bodies
+    assert(secs("<h1>t</h1>x<script>'<h2>no</h2>'</script>y" +
+      "<!-- z -->w") === Seq((1, "t", "x y w")))
+  }
+
   private def metas(html: String): Seq[(String, String)] =
     Seq(html).toDF("h").select(HtmlExprs.htmlMeta(col("h")))
       .head().getSeq[org.apache.spark.sql.Row](0)
