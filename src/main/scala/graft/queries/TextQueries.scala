@@ -941,6 +941,38 @@ object TextQueries {
             .as("fetch_at_ms"))
     }),
 
+    // ---- adaptive politeness: each crawled host's OBSERVED fetch
+    //      latencies (synthetic deterministic ms per fetched doc, in
+    //      doc order) fold into an exponential moving average (the
+    //      e_ema integer fold: (3x + 7·acc) div 10 — bounded per-host
+    //      history, bit-deterministic), and the recommended delay is
+    //      3× the EMA clamped between the host's DECLARED Crawl-delay
+    //      floor and a 10 s fleet cap — slow hosts get backed off
+    //      beyond their robots ask, fast hosts still honor it. One
+    //      keyed collect + broadcast join ----
+    "f_adaptive_delay" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val obs = d.filter(col("doc_id") < 300)
+        .select(pmod(col("doc_id"), lit(10)).as("host"), col("doc_id"),
+          (lit(100) + pmod(col("doc_id") * 37, lit(400))).cast("long")
+            .as("lat"))
+      val folded = obs.groupBy("host").agg(
+          count(lit(1)).as("n_obs"),
+          sort_array(collect_list(struct(col("doc_id"), col("lat"))))
+            .as("seq"))
+        .withColumn("vs", expr("transform(seq, x -> x.lat)"))
+        .withColumn("ema_ms", expr(
+          "aggregate(slice(vs, 2, greatest(size(vs) - 1, 0)), vs[0]," +
+            " (acc, x) -> (3 * x + 7 * acc) div 10)"))
+      folded
+        .join(broadcast(robotsFixture(d).select(col("host"),
+          (col("delay_s") * 1000).as("floor_ms"))), "host")
+        .select(col("host"), col("n_obs"), col("ema_ms"),
+          col("floor_ms"),
+          least(greatest(col("ema_ms") * 3, col("floor_ms")),
+            lit(10000L)).as("adaptive_delay_ms"))
+    }),
+
     // ---- robots.txt gate over the frontier: one robots payload per
     //      host assembled from table values (a decoy group for
     //      another bot, the `*` group disallowing /p/ with an
@@ -3507,6 +3539,28 @@ object TextQueries {
         |    * CASE WHEN host % 3 = 0 THEN 5000 ELSE 2000 END AS BIGINT)
         |    AS fetch_at_ms
         |FROM a""".stripMargin,
+
+    // the adaptive delays in closed form: the same integer EMA fold
+    // (list_reduce seeds with the first element, exactly the engine's
+    // vs[0] seed), clamped between the declared floor and the cap
+    "f_adaptive_delay" ->
+      """WITH obs AS (SELECT doc_id % 10 AS host, doc_id,
+        |    CAST(100 + (doc_id * 37) % 400 AS BIGINT) AS lat
+        |  FROM documents WHERE doc_id < 300),
+        |s AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    list(lat ORDER BY doc_id) AS vs
+        |  FROM obs GROUP BY host),
+        |e AS (SELECT host, n_obs,
+        |    CAST(list_reduce(vs,
+        |      (acc, x) -> (3 * x + 7 * acc) // 10) AS BIGINT) AS ema_ms
+        |  FROM s)
+        |SELECT host, n_obs, ema_ms,
+        |  CAST(CASE WHEN host % 3 = 0 THEN 5000 ELSE 2000 END AS BIGINT)
+        |    AS floor_ms,
+        |  LEAST(GREATEST(3 * ema_ms,
+        |    CAST(CASE WHEN host % 3 = 0 THEN 5000 ELSE 2000 END
+        |      AS BIGINT)), 10000) AS adaptive_delay_ms
+        |FROM e""".stripMargin,
 
     // the robots decision in closed form per the generated policy:
     // graft-override hosts block /d/ only; everyone else blocks /p/
