@@ -78,6 +78,16 @@ import graft.operators.{CrawlState, Dedup, MoveSink, Report, Similarity}
   * Mutating verbs write to `PATH.next` and promote via the retire-aside
   * swap (exclusive access for the swap window); `--dry-run` reports the
   * would-be table sizes without writing anything.
+  *
+  * Cascading right-to-be-forgotten across every derived artifact in
+  * one command (each through its own retire-aside swap; the report
+  * lists before/after per table so a half-applied takedown can't
+  * hide):
+  *   graft.Main takedown [--dry-run]
+  *     [--band PATH --doc-ids PARQUET]
+  *     [--ivf PATH --vec-ids PARQUET]
+  *     [--frontier PATH (--urls PARQUET | --hosts PARQUET)]
+  * Every ids parquet carries one column `id`.
   */
 object Main {
 
@@ -525,6 +535,104 @@ object Main {
     }
   }
 
+  final case class TakedownConfig(
+      band: Option[(String, String)],
+      ivf: Option[(String, String)],
+      frontier: Option[(String, String, Boolean)],
+      dryRun: Boolean)
+
+  private val takedownFlags = Set("dry-run", "band", "doc-ids", "ivf",
+    "vec-ids", "frontier", "urls", "hosts")
+
+  /** A right-to-be-forgotten request rarely names ONE artifact: a
+    * domain removal must leave no trace in the dedup index, the ANN
+    * index, or the crawl state. `takedown` cascades the erase across
+    * every named artifact in one command, each through its own
+    * retire-aside swap — so a half-applied takedown is impossible to
+    * miss (the report lists every artifact touched).
+    */
+  private[graft] def parseTakedown(args: Seq[String]): TakedownConfig = {
+    val flags = parseFlags(args, takedownFlags)
+    def need(art: String, idsFlag: String): Option[(String, String)] =
+      flags.get(art).map { p =>
+        (p, flags.getOrElse(idsFlag,
+          fail(s"--$art needs --$idsFlag PARQUET (column `id`)")))
+      }
+    val fr = flags.get("frontier").map { p =>
+      (flags.get("urls"), flags.get("hosts")) match {
+        case (Some(u), None) => (p, u, false)
+        case (None, Some(h)) => (p, h, true)
+        case _ => fail("--frontier needs exactly one of --urls PARQUET" +
+          " | --hosts PARQUET (column `id`)")
+      }
+    }
+    val cfg = TakedownConfig(
+      band = need("band", "doc-ids"),
+      ivf = need("ivf", "vec-ids"),
+      frontier = fr,
+      dryRun = flags.contains("dry-run"))
+    if (cfg.band.isEmpty && cfg.ivf.isEmpty && cfg.frontier.isEmpty)
+      fail("takedown needs at least one artifact: --band | --ivf | --frontier")
+    cfg
+  }
+
+  /** Execute the cascade; returns (artifact, table, before, after)
+    * per persisted table — `after` under --dry-run is the would-be
+    * count, with nothing written.
+    */
+  private[graft] def runTakedown(spark: SparkSession,
+                                 cfg: TakedownConfig): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def ids(path: String) = spark.read.parquet(path).select(col("id"))
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long, Long)]
+
+    cfg.band.foreach { case (path, idsP) =>
+      val before = Dedup.readBandIndex(spark, path)
+      val erased = Dedup.eraseFromBandIndex(before, ids(idsP))
+      val b = Seq(("sets", before.sets.count()),
+        ("bands", before.bands.count()), ("dfs", before.dfs.count()))
+      if (!cfg.dryRun) {
+        Dedup.writeBandIndex(erased, s"$path.next")
+        val fresh = Dedup.readBandIndex(spark, s"$path.next")
+        val a = Seq(fresh.sets.count(), fresh.bands.count(),
+          fresh.dfs.count())
+        Dedup.swapDirs(spark, path, s"$path.next")
+        b.zip(a).foreach { case ((t, n0), n1) => out += (("band", t, n0, n1)) }
+      } else {
+        val a = Seq(erased.sets.count(), erased.bands.count(),
+          erased.dfs.count())
+        b.zip(a).foreach { case ((t, n0), n1) => out += (("band", t, n0, n1)) }
+      }
+    }
+    cfg.ivf.foreach { case (path, idsP) =>
+      val before = Similarity.readIvfIndex(spark, path)
+      val erased = Similarity.eraseFromIvfIndex(before, ids(idsP))
+      val n0 = before.lists.count()
+      if (!cfg.dryRun) {
+        Similarity.writeIvfIndex(erased, s"$path.next", 32)
+        val n1 = Similarity.readIvfIndex(spark, s"$path.next").lists.count()
+        Dedup.swapDirs(spark, path, s"$path.next")
+        out += (("ivf", "lists", n0, n1))
+      } else out += (("ivf", "lists", n0, erased.lists.count()))
+    }
+    cfg.frontier.foreach { case (path, idsP, byHost) =>
+      val before = CrawlState.readUrlIndex(spark, path)
+      val erased =
+        if (byHost) CrawlState.eraseHosts(before, ids(idsP), "id")
+        else CrawlState.eraseUrls(before, ids(idsP), "id")
+      val n0 = before.urls.count()
+      if (!cfg.dryRun) {
+        CrawlState.writeUrlIndex(erased, s"$path.next")
+        val n1 = CrawlState.readUrlIndex(spark, s"$path.next").urls.count()
+        Dedup.swapDirs(spark, path, s"$path.next")
+        out += (("frontier", "urls", n0, n1))
+      } else out += (("frontier", "urls", n0, erased.urls.count()))
+    }
+    out.toSeq.toDF("artifact", "table", "rows_before", "rows_after")
+  }
+
   /** Run the configured pipeline; returns the status report (dry runs
     * report the would-be decisions instead of executing).
     */
@@ -625,6 +733,18 @@ object Main {
       cfg.quota.foreach { case (c, n) => println(s"Quota:       $n per $c") }
       val spark = session()
       try runCurate(spark, cfg).show(truncate = false)
+      finally spark.stop()
+      return
+    }
+    if (args.headOption.contains("takedown")) {
+      val cfg = parseTakedown(args.toSeq.tail)
+      println(s"Takedown${if (cfg.dryRun) " (dry run)" else ""}")
+      cfg.band.foreach { case (p, i) => println(s"Band index:  $p  (doc ids: $i)") }
+      cfg.ivf.foreach { case (p, i) => println(s"IVF index:   $p  (vec ids: $i)") }
+      cfg.frontier.foreach { case (p, i, byHost) =>
+        println(s"Frontier:    $p  (${if (byHost) "hosts" else "urls"}: $i)") }
+      val spark = session()
+      try runTakedown(spark, cfg).show(truncate = false)
       finally spark.stop()
       return
     }

@@ -95,8 +95,10 @@ object CrawlState {
     */
   def eraseHosts(idx: UrlIndex, hosts: DataFrame,
                  hostCol: String = "host"): UrlIndex =
+    // re-select (url, host): the key-first join output would otherwise
+    // persist a column order other readers don't expect
     UrlIndex(idx.urls.join(hosts.select(col(hostCol).as("host")),
-      Seq("host"), "left_anti"))
+      Seq("host"), "left_anti").select(col("url"), col("host")))
 
   /** Health histogram (the band-index `stats` shape): how many hosts
     * hold how many seen URLs — the skew gate a crawl operator alerts

@@ -219,6 +219,46 @@ object CurationStream {
         col("delay_s"))
   }
 
+  /** Heading-aligned chunking at ingest — the streaming twin of
+    * `t_section_chunks`: `graft_html_sections` cuts each arriving
+    * page at its headings, and the ancestor path (latest h1/h2)
+    * reconstructs INSIDE the row with one fold over the section
+    * array — a document's sections all live in its own row, so the
+    * path needs no window and the whole chunker is a stateless
+    * projection (append-legal, no state store). Emits one row per
+    * section: (idCol, sec, level, h1, h2, heading, body) — provably
+    * equal to the batch window form (StreamingSpec: fold == window).
+    */
+  def sectionScreen(docs: DataFrame, idCol: String = "doc_id",
+                    htmlCol: String = "text"): DataFrame = {
+    val secs = graft.expressions.HtmlExprs.htmlSections(col(htmlCol))
+    val outTy = "array<struct<sec:int,level:int,h1:string,h2:string," +
+      "heading:string,body:string>>"
+    val withPath = aggregate(secs,
+      struct(array().cast(outTy).as("out"),
+        lit(null).cast("string").as("h1"),
+        lit(null).cast("string").as("h2")),
+      (st, s) => {
+        val h1 = when(s.getField("level") === 1, s.getField("heading"))
+          .otherwise(st.getField("h1"))
+        val h2 = when(s.getField("level") === 2, s.getField("heading"))
+          .otherwise(st.getField("h2"))
+        struct(
+          array_append(st.getField("out"), struct(
+            size(st.getField("out")).as("sec"),
+            s.getField("level").as("level"), h1.as("h1"), h2.as("h2"),
+            s.getField("heading").as("heading"),
+            s.getField("body").as("body"))).as("out"),
+          h1.as("h1"), h2.as("h2"))
+      },
+      st => st.getField("out"))
+    docs.select(col(idCol), explode(withPath).as("s"))
+      .select(col(idCol), col("s.sec").as("sec"),
+        col("s.level").as("level"), col("s.h1").as("h1"),
+        col("s.h2").as("h2"), col("s.heading").as("heading"),
+        col("s.body").as("body"))
+  }
+
   /** DSIR importance scoring at ingest: the offline-built λ table
     * (collected once via [[graft.operators.Dsir.lamLiteral]]) rides
     * as a plan literal, and each arriving document gets its log

@@ -315,6 +315,64 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("takedown: one command cascades the erase across all artifacts") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-takedown")
+    // band index over 4 docs (2 to erase)
+    val tA = "the quick brown fox jumps over the lazy dog again and again"
+    val tB = "every bird sings while the green tree waves and water runs"
+    val tC = "some people walk along this quiet road and watch the town"
+    val tD = "a small ship sails across that calm sea while the wind blows"
+    graft.operators.Dedup.writeBandIndex(
+      graft.operators.Dedup.buildBandIndex(
+        Seq((1L, tA), (2L, tB), (3L, tC), (4L, tD)).toDF("doc_id", "text"),
+        "doc_id", "text", 5, 3, 2), s"$root/band")
+    Seq(1L, 2L).toDF("id").write.parquet(s"$root/docids.parquet")
+    // frontier over 2 hosts (one host taken down)
+    graft.operators.CrawlState.writeUrlIndex(
+      graft.operators.CrawlState.buildUrlIndex(Seq(
+        "https://gone.org/a", "https://gone.org/b",
+        "https://keep.org/c").toDF("url")), s"$root/fr")
+    Seq("gone.org").toDF("id").write.parquet(s"$root/hosts.parquet")
+
+    // dry run reports would-be counts and writes nothing
+    val dry = Main.runTakedown(spark, Main.parseTakedown(Seq(
+        "--dry-run", "--band", s"$root/band",
+        "--doc-ids", s"$root/docids.parquet",
+        "--frontier", s"$root/fr", "--hosts", s"$root/hosts.parquet")))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    val dm = dry.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(dm(("band", "sets")) === ((4L, 2L)))
+    assert(dm(("frontier", "urls")) === ((3L, 1L)))
+    assert(graft.operators.Dedup.readBandIndex(spark, s"$root/band")
+      .sets.count() === 4L) // unchanged
+
+    // real run mutates through the swap
+    val got = Main.runTakedown(spark, Main.parseTakedown(Seq(
+        "--band", s"$root/band", "--doc-ids", s"$root/docids.parquet",
+        "--frontier", s"$root/fr", "--hosts", s"$root/hosts.parquet")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("band", "sets")) === ((4L, 2L)))
+    assert(got(("frontier", "urls")) === ((3L, 1L)))
+    assert(!Files.exists(JPath.of(s"$root/band.next")))
+    assert(graft.operators.Dedup.readBandIndex(spark, s"$root/band")
+      .sets.collect().map(_.getAs[Long]("id")).sorted.toSeq ===
+      Seq(3L, 4L))
+    assert(graft.operators.CrawlState.readUrlIndex(spark, s"$root/fr")
+      .urls.collect().map(_.getString(0)).toSeq ===
+      Seq("https://keep.org/c"))
+
+    // validation is loud
+    intercept[IllegalArgumentException] { Main.parseTakedown(Seq.empty) }
+    intercept[IllegalArgumentException] { // band without ids
+      Main.parseTakedown(Seq("--band", "/b")) }
+    intercept[IllegalArgumentException] { // frontier needs urls XOR hosts
+      Main.parseTakedown(Seq("--frontier", "/f", "--urls", "/u",
+        "--hosts", "/h")) }
+  }
+
   test("index CLI: band lifecycle — build/append/stats/erase/compact/merge") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-idx-cli")

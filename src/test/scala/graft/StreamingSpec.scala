@@ -6,7 +6,7 @@ import java.sql.Timestamp
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{array_distinct, broadcast, col, concat_ws, count, date_trunc, expr, first, lit, posexplode}
+import org.apache.spark.sql.functions.{array_distinct, broadcast, col, concat_ws, count, date_trunc, expr, first, lit, max, posexplode, struct, when}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
@@ -947,6 +947,46 @@ class StreamingSpec extends SparkSpec {
       (1L, "https://ex.org/d/1", "ex.org", true),
       (1L, "https://ex.org/d/2", "ex.org", false),
       (2L, "https://h.io/a/p/3", "h.io", false)))
+  }
+
+  test("streaming section chunker: in-row path fold equals batch window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "pre<h1>T1</h1>a<h2>S1</h2>b<h2>S2</h2>c<h3>D</h3>d"),
+      (2L, "<h2>only</h2>x"),
+      (3L, "no headings at all"))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.CurationStream.sectionScreen(
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sec")
+      .outputMode("append").start()
+    try { mem.addData(docs); q.processAllAvailable() } finally q.stop()
+    def canon(rows: Seq[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        Option(r.getString(3)), Option(r.getString(4)),
+        r.getString(5), r.getString(6))).sortBy(r => (r._1, r._2))
+    val got = canon(spark.sql("SELECT * FROM sec").collect().toSeq)
+    // batch truth: the window form t_section_chunks uses
+    import org.apache.spark.sql.expressions.Window
+    val secs = docs.toDF("doc_id", "text").select(col("doc_id"),
+        posexplode(graft.expressions.HtmlExprs.htmlSections(col("text"))))
+      .select(col("doc_id"), col("pos").as("sec"),
+        col("col.level").as("level"), col("col.heading").as("heading"),
+        col("col.body").as("body"))
+    val w = Window.partitionBy("doc_id").orderBy("sec")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def latest(lv: Int) = max(when(col("level") === lv,
+      struct(col("sec"), col("heading")))).over(w).getField("heading")
+    val want = canon(secs.withColumn("h1", latest(1))
+      .withColumn("h2", latest(2))
+      .select(col("doc_id"), col("sec"), col("level"), col("h1"),
+        col("h2"), col("heading"), col("body")).collect().toSeq)
+    assert(got === want)
+    // the ancestor path carries across sections within a doc
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(_._6) === Seq("", "T1", "S1", "S2", "D"))
+    assert(d1.last._4 === Some("T1") && d1.last._5 === Some("S2"))
   }
 
   test("streaming robots gate: broadcast rule table screens urls in-flight") {
