@@ -79,6 +79,19 @@ import graft.operators.{CrawlState, Dedup, MoveSink, Report, Similarity}
   * swap (exclusive access for the swap window); `--dry-run` reports the
   * would-be table sizes without writing anything.
   *
+  * Classifier-model lifecycle (the artifact ops surface for the
+  * trained logistic quality model — train once, warm-start retrain,
+  * deploy-score, drift, rank-based eval):
+  *   graft.Main model train --input PARQUET --out PATH
+  *     (--target-source V | --label-col C) [--epochs 3] [--lr 0.5]
+  *   graft.Main model retrain --model PATH --input PARQUET
+  *     (--target-source V | --label-col C) [--epochs N]  (swap-promote)
+  *   graft.Main model score --model PATH --input PARQUET [--out P]
+  *   graft.Main model drift --model PATH --other PATH
+  *   graft.Main model eval --model PATH --input PARQUET
+  *     (--target-source V | --label-col C)
+  *   [--id-col doc_id] [--text-col text] [--dry-run]
+  *
   * Cascading right-to-be-forgotten across every derived artifact in
   * one command (each through its own retire-aside swap; the report
   * lists before/after per table so a half-applied takedown can't
@@ -535,6 +548,134 @@ object Main {
     }
   }
 
+  final case class ModelConfig(
+      verb: String, model: Option[String], input: Option[String],
+      out: Option[String], other: Option[String],
+      targetSource: Option[String], labelCol: Option[String],
+      idCol: String, textCol: String, epochs: Int, lr: Double,
+      dryRun: Boolean)
+
+  private val modelVerbs = Set("train", "retrain", "score", "drift",
+    "eval")
+  private val modelFlags = Set("dry-run", "model", "input", "out",
+    "other", "target-source", "label-col", "id-col", "text-col",
+    "epochs", "lr")
+
+  private[graft] def parseModel(args: Seq[String]): ModelConfig = {
+    if (args.isEmpty || !modelVerbs(args.head))
+      fail(s"model verb must be one of ${modelVerbs.toSeq.sorted.mkString("|")}")
+    val verb = args.head
+    val flags = parseFlags(args.tail, modelFlags)
+    val cfg = ModelConfig(
+      verb = verb, model = flags.get("model"),
+      input = flags.get("input"), out = flags.get("out"),
+      other = flags.get("other"),
+      targetSource = flags.get("target-source"),
+      labelCol = flags.get("label-col"),
+      idCol = flags.getOrElse("id-col", "doc_id"),
+      textCol = flags.getOrElse("text-col", "text"),
+      epochs = flags.get("epochs").map(v => v.toIntOption
+        .getOrElse(fail(s"--epochs needs an integer, got: $v")))
+        .getOrElse(3),
+      lr = flags.get("lr").map(v => v.toDoubleOption
+        .getOrElse(fail(s"--lr needs a number, got: $v")))
+        .getOrElse(0.5),
+      dryRun = flags.contains("dry-run"))
+    def needsLabel(): Unit = (cfg.targetSource, cfg.labelCol) match {
+      case (Some(_), None) | (None, Some(_)) => ()
+      case _ => fail(s"model $verb needs exactly one of " +
+        "--target-source VALUE | --label-col COLUMN")
+    }
+    verb match {
+      case "train" =>
+        if (cfg.input.isEmpty) fail("model train needs --input PARQUET")
+        if (cfg.out.isEmpty) fail("model train needs --out PATH")
+        needsLabel()
+      case "retrain" =>
+        if (cfg.model.isEmpty) fail("model retrain needs --model PATH")
+        if (cfg.input.isEmpty) fail("model retrain needs --input PARQUET")
+        needsLabel()
+      case "score" =>
+        if (cfg.model.isEmpty) fail("model score needs --model PATH")
+        if (cfg.input.isEmpty) fail("model score needs --input PARQUET")
+      case "drift" =>
+        if (cfg.model.isEmpty) fail("model drift needs --model PATH")
+        if (cfg.other.isEmpty) fail("model drift needs --other PATH")
+      case "eval" =>
+        if (cfg.model.isEmpty) fail("model eval needs --model PATH")
+        if (cfg.input.isEmpty) fail("model eval needs --input PARQUET")
+        needsLabel()
+    }
+    cfg
+  }
+
+  /** Execute one classifier-model lifecycle verb — the band/ivf
+    * artifact ops surface applied to the trained model: train-once,
+    * warm-start retrain (retire-aside swap), deploy-score, drift
+    * report, and the rank-based eval battery.
+    */
+  private[graft] def runModel(spark: SparkSession,
+                              cfg: ModelConfig): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val L = graft.operators.Logistic
+    def label = (cfg.targetSource, cfg.labelCol) match {
+      case (Some(v), _) => col("source") === lit(v)
+      case (_, Some(c)) => col(c)
+      case _ => fail("missing label")
+    }
+    def liveExists(path: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    def promote(path: String, w: Map[String, BigDecimal]): Unit =
+      if (!cfg.dryRun) {
+        if (liveExists(path)) {
+          L.writeModel(spark, s"$path.next", w)
+          Dedup.swapDirs(spark, path, s"$path.next")
+        } else L.writeModel(spark, path, w)
+      }
+    def weightsFrame(w: Map[String, BigDecimal]): DataFrame = {
+      import spark.implicits._
+      w.toSeq.sortBy(_._1).toDF("b", "w")
+    }
+    cfg.verb match {
+      case "train" =>
+        val docs = spark.read.parquet(cfg.input.get)
+        val feats = L.hashedFeatures(docs, label, cfg.idCol, cfg.textCol)
+          .localCheckpoint(false)
+        val w = L.train(spark, feats, docs.count(), cfg.epochs, cfg.lr,
+          cfg.idCol).last
+        promote(cfg.out.get, w)
+        weightsFrame(w)
+      case "retrain" =>
+        val w0 = L.readModel(spark, cfg.model.get)
+        val docs = spark.read.parquet(cfg.input.get)
+        val feats = L.hashedFeatures(docs, label, cfg.idCol, cfg.textCol)
+          .localCheckpoint(false)
+        val w = L.trainFrom(spark, feats, docs.count(), cfg.epochs,
+          cfg.lr, w0, cfg.idCol).last
+        promote(cfg.model.get, w)
+        L.weightDrift(spark, w0, w)
+      case "score" =>
+        val w = L.readModel(spark, cfg.model.get)
+        val res = L.scoreInline(spark.read.parquet(cfg.input.get), w,
+            cfg.idCol, cfg.textCol)
+          .withColumn("kept", col("z") > lit(0))
+        cfg.out.foreach { o =>
+          res.write.mode("overwrite").parquet(o)
+          println(s"Wrote scores to $o")
+        }
+        res
+      case "drift" =>
+        L.weightDrift(spark, L.readModel(spark, cfg.model.get),
+          L.readModel(spark, cfg.other.get))
+      case "eval" =>
+        L.evalReport(spark.read.parquet(cfg.input.get),
+          L.readModel(spark, cfg.model.get), label, cfg.idCol,
+          cfg.textCol)
+    }
+  }
+
   final case class TakedownConfig(
       band: Option[(String, String)],
       ivf: Option[(String, String)],
@@ -733,6 +874,21 @@ object Main {
       cfg.quota.foreach { case (c, n) => println(s"Quota:       $n per $c") }
       val spark = session()
       try runCurate(spark, cfg).show(truncate = false)
+      finally spark.stop()
+      return
+    }
+    if (args.headOption.contains("model")) {
+      val cfg = parseModel(args.toSeq.tail)
+      println(s"Model:       ${cfg.verb}" +
+        (if (cfg.dryRun) " (dry run)" else ""))
+      cfg.model.foreach(p => println(s"Artifact:    $p"))
+      cfg.out.foreach(p => println(s"Out:         $p"))
+      cfg.input.foreach(p => println(s"Input:       $p"))
+      cfg.other.foreach(p => println(s"Compare:     $p"))
+      cfg.targetSource.foreach(v => println(s"Label:       source = $v"))
+      cfg.labelCol.foreach(c => println(s"Label:       column $c"))
+      val spark = session()
+      try runModel(spark, cfg).show(numRows = 300, truncate = false)
       finally spark.stop()
       return
     }

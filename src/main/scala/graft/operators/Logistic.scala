@@ -218,6 +218,52 @@ object Logistic {
           .cast("decimal(12,6)")).cast("decimal(38,6)"))
   }
 
+  /** The rank-based evaluation battery over any labeled document
+    * frame: Mann-Whitney AUC from doubled midranks over the
+    * distinct-logit histogram ([[graft.operators.Ranks.prefixSums]] —
+    * u_x2 = 2U and auc_ppm are EXACT integers), plus the confusion
+    * and precision/recall at the z > 0 deployment threshold. One
+    * scoring scan + a value-grid prefix sum + two single-row aggs —
+    * the monitoring half of training (`t_quality_auc` gates it; the
+    * `model eval` CLI verb serves it).
+    */
+  def evalReport(docs: DataFrame, weights: Map[String, BigDecimal],
+                 label: org.apache.spark.sql.Column,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val scored = scoreInline(docs, weights, idCol, textCol)
+      .filter(col("n_tokens") > 0)
+      .join(docs.select(col(idCol), label.as("__y")), idCol)
+      .select(col("z"), col("__y").as("y"))
+      .localCheckpoint(false) // z-histogram + threshold metrics
+    val hist = scored.groupBy("z").agg(
+        sum(when(col("y"), 1L).otherwise(0L)).as("cp"),
+        sum(when(!col("y"), 1L).otherwise(0L)).as("cn"))
+      .withColumn("cnt", col("cp") + col("cn"))
+    val ranked = Ranks.prefixSums(hist, "z", Seq("cnt"))
+      .withColumn("rank_x2", lit(2L) * col("pre_cnt") + col("cnt") + 1L)
+    val thr = scored.groupBy().agg(
+      sum(when(col("y") && col("z") > 0, 1L).otherwise(0L)).as("tp"),
+      sum(when(!col("y") && col("z") > 0, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("y") && col("z") <= 0, 1L).otherwise(0L)).as("fn"),
+      sum(when(!col("y") && col("z") <= 0, 1L).otherwise(0L)).as("tn"))
+    ranked.groupBy()
+      .agg(sum(col("cp") * col("rank_x2")).as("rp_x2"),
+        sum("cp").as("n_pos"), sum("cn").as("n_neg"))
+      .crossJoin(broadcast(thr))
+      .withColumn("u_x2",
+        col("rp_x2") - col("n_pos") * (col("n_pos") + 1L))
+      .withColumn("auc_ppm",
+        expr("u_x2 * 500000 div (n_pos * n_neg)"))
+      .withColumn("precision_ppm", when(col("tp") + col("fp") > 0,
+        expr("tp * 1000000 div (tp + fp)")))
+      .withColumn("recall_ppm", when(col("tp") + col("fn") > 0,
+        expr("tp * 1000000 div (tp + fn)")))
+      .select(col("n_pos"), col("n_neg"), col("u_x2"), col("auc_ppm"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        col("precision_ppm"), col("recall_ppm"))
+  }
+
   /** Exact-decimal mean log-loss of a weight map over the feature
     * table (ln rounded to 9 dp before the exact sum — the monitoring
     * number an epoch loop logs).

@@ -487,41 +487,12 @@ object CurationQueries {
     //      single-row aggs — no corpus-sized global sort ----
     "t_quality_auc" -> ((s, dir) => {
       val w = qualityModel(s, dir)
-      val d = t(s, dir, "documents")
-      val hold = graft.operators.Sampling.hashSplit(d, "doc_id",
+      val hold = graft.operators.Sampling.hashSplit(
+          t(s, dir, "documents"), "doc_id",
           Seq("train" -> 0.75, "eval" -> 0.25))
         .filter(col("split") === "eval")
-      val scored = graft.operators.Logistic.scoreInline(hold, w)
-        .filter(col("n_tokens") > 0)
-        .join(d.select(col("doc_id"), col("source")), "doc_id")
-        .select(col("z"), (col("source") === lit(DsirTarget)).as("y"))
-        .localCheckpoint(false) // z-histogram + threshold metrics
-      val hist = scored.groupBy("z").agg(
-          sum(when(col("y"), 1L).otherwise(0L)).as("cp"),
-          sum(when(!col("y"), 1L).otherwise(0L)).as("cn"))
-        .withColumn("cnt", col("cp") + col("cn"))
-      val ranked = graft.operators.Ranks.prefixSums(hist, "z", Seq("cnt"))
-        .withColumn("rank_x2", lit(2L) * col("pre_cnt") + col("cnt") + 1L)
-      val thr = scored.groupBy().agg(
-        sum(when(col("y") && col("z") > 0, 1L).otherwise(0L)).as("tp"),
-        sum(when(!col("y") && col("z") > 0, 1L).otherwise(0L)).as("fp"),
-        sum(when(col("y") && col("z") <= 0, 1L).otherwise(0L)).as("fn"),
-        sum(when(!col("y") && col("z") <= 0, 1L).otherwise(0L)).as("tn"))
-      ranked.groupBy()
-        .agg(sum(col("cp") * col("rank_x2")).as("rp_x2"),
-          sum("cp").as("n_pos"), sum("cn").as("n_neg"))
-        .crossJoin(broadcast(thr))
-        .withColumn("u_x2",
-          col("rp_x2") - col("n_pos") * (col("n_pos") + 1L))
-        .withColumn("auc_ppm",
-          expr("u_x2 * 500000 div (n_pos * n_neg)"))
-        .withColumn("precision_ppm", when(col("tp") + col("fp") > 0,
-          expr("tp * 1000000 div (tp + fp)")))
-        .withColumn("recall_ppm", when(col("tp") + col("fn") > 0,
-          expr("tp * 1000000 div (tp + fn)")))
-        .select(col("n_pos"), col("n_neg"), col("u_x2"), col("auc_ppm"),
-          col("tp"), col("fp"), col("fn"), col("tn"),
-          col("precision_ppm"), col("recall_ppm"))
+      graft.operators.Logistic.evalReport(hold, w,
+        col("source") === lit(DsirTarget))
     }),
 
     // ---- the full PR curve of the TRAINED classifier over the same

@@ -315,6 +315,56 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("model CLI: train/retrain/score/drift/eval lifecycle") {
+    val root = Files.createTempDirectory("graft-model-cli")
+    val sf = "/root/testdata/sf0.001/documents.parquet"
+    def run(args: String*) =
+      Main.runModel(spark, Main.parseModel(args.toSeq))
+    // train writes the artifact and returns the 256-bucket weights
+    val w = run("train", "--input", sf, "--out", s"$root/clf",
+      "--target-source", "src18", "--epochs", "2").collect()
+    assert(w.length === 256)
+    val persisted = graft.operators.Logistic.readModel(spark, s"$root/clf")
+    assert(persisted.size === 256)
+    // the CLI artifact equals the library's own 2-epoch training
+    val d = spark.read.parquet(sf).localCheckpoint(false)
+    val feats = graft.operators.Logistic.hashedFeatures(d,
+      org.apache.spark.sql.functions.col("source") === "src18")
+      .localCheckpoint(false)
+    val want = graft.operators.Logistic
+      .train(spark, feats, d.count(), 2, 0.5).last
+    assert(persisted === want)
+    // retrain warm-starts on the SAME corpus == epochs 3-4 of one
+    // schedule; the artifact is swap-promoted
+    val drift = run("retrain", "--model", s"$root/clf", "--input", sf,
+      "--target-source", "src18", "--epochs", "2").collect()
+    assert(drift.length === 256 && !Files.exists(JPath.of(s"$root/clf.next")))
+    val w4 = graft.operators.Logistic.readModel(spark, s"$root/clf")
+    assert(w4 === graft.operators.Logistic
+      .train(spark, feats, d.count(), 4, 0.5).last)
+    // score deploys at scan speed; kept is the decimal sign
+    val scored = run("score", "--model", s"$root/clf", "--input", sf,
+      "--out", s"$root/scores.parquet").collect()
+    assert(scored.nonEmpty)
+    assert(spark.read.parquet(s"$root/scores.parquet").count() ===
+      scored.length.toLong)
+    // drift between the artifact and itself is all-zero
+    val none = run("drift", "--model", s"$root/clf",
+      "--other", s"$root/clf").collect()
+    assert(none.forall(r => BigDecimal(r.getDecimal(3)) == 0))
+    // eval emits the one-row rank battery
+    val ev = run("eval", "--model", s"$root/clf", "--input", sf,
+      "--target-source", "src18").collect()
+    assert(ev.length === 1 && ev.head.getAs[Long]("n_pos") > 0)
+    // validation is loud
+    intercept[IllegalArgumentException] { Main.parseModel(Seq("explode")) }
+    intercept[IllegalArgumentException] { // train without a label
+      Main.parseModel(Seq("train", "--input", "/i", "--out", "/o")) }
+    intercept[IllegalArgumentException] { // two labels
+      Main.parseModel(Seq("eval", "--model", "/m", "--input", "/i",
+        "--target-source", "x", "--label-col", "y")) }
+  }
+
   test("takedown: one command cascades the erase across all artifacts") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-takedown")
