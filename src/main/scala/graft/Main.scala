@@ -662,8 +662,13 @@ object Main {
             cfg.idCol, cfg.textCol)
           .withColumn("kept", col("z") > lit(0))
         cfg.out.foreach { o =>
-          res.write.mode("overwrite").parquet(o)
-          println(s"Wrote scores to $o")
+          // --dry-run guards the write like train/retrain's promote():
+          // a dry scoring run must never clobber an existing artifact
+          if (cfg.dryRun) println(s"[dry-run] would write scores to $o")
+          else {
+            res.write.mode("overwrite").parquet(o)
+            println(s"Wrote scores to $o")
+          }
         }
         res
       case "drift" =>

@@ -96,8 +96,13 @@ object CrawlState {
   def eraseHosts(idx: UrlIndex, hosts: DataFrame,
                  hostCol: String = "host"): UrlIndex =
     // re-select (url, host): the key-first join output would otherwise
-    // persist a column order other readers don't expect
-    UrlIndex(idx.urls.join(hosts.select(col(hostCol).as("host")),
+    // persist a column order other readers don't expect. The caller's
+    // host strings canonicalize (lowercase + trim) before the
+    // anti-join — the index host column is lowercased by URL
+    // canonicalization, and a takedown naming `Gone.ORG` must not
+    // silently erase nothing.
+    UrlIndex(idx.urls.join(
+      hosts.select(lower(trim(col(hostCol))).as("host")),
       Seq("host"), "left_anti").select(col("url"), col("host")))
 
   /** Health histogram (the band-index `stats` shape): how many hosts

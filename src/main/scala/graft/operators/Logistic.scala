@@ -254,7 +254,10 @@ object Logistic {
       .withColumn("u_x2",
         col("rp_x2") - col("n_pos") * (col("n_pos") + 1L))
       .withColumn("auc_ppm",
-        expr("u_x2 * 500000 div (n_pos * n_neg)"))
+        // single-class eval split: AUC is undefined (null), never a
+        // division error — the precision/recall guards' treatment
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("u_x2 * 500000 div (n_pos * n_neg)")))
       .withColumn("precision_ppm", when(col("tp") + col("fp") > 0,
         expr("tp * 1000000 div (tp + fp)")))
       .withColumn("recall_ppm", when(col("tp") + col("fn") > 0,

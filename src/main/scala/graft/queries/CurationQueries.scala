@@ -1006,8 +1006,9 @@ object CurationQueries {
          |SELECT CAST(n_pos AS BIGINT) AS n_pos,
          |  CAST(n_neg AS BIGINT) AS n_neg,
          |  CAST(rp_x2 - n_pos * (n_pos + 1) AS BIGINT) AS u_x2,
-         |  CAST((rp_x2 - n_pos * (n_pos + 1)) * 500000
-         |    // (n_pos * n_neg) AS BIGINT) AS auc_ppm,
+         |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         |    (rp_x2 - n_pos * (n_pos + 1)) * 500000
+         |    // (n_pos * n_neg) END AS BIGINT) AS auc_ppm,
          |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
          |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
          |  CAST(CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp) END

@@ -51,8 +51,10 @@ class CrawlStateSpec extends SparkSpec {
     val bSurface = (1 to 10).map(i => s"HTTPS://GONE.ORG:443/b/$i#x")
     val erased = CrawlState.eraseUrls(whole, bSurface.toDF("url"))
     assert(urlSet(erased) === urlSet(CrawlState.buildUrlIndex(a.toDF("url"))))
-    // host-level takedown drops every url of the host, url list unseen
-    val taken = CrawlState.eraseHosts(whole, Seq("gone.org").toDF("host"))
+    // host-level takedown drops every url of the host, url list unseen;
+    // the request's casing/padding must not matter (hosts canonicalize
+    // before the anti-join — `Gone.ORG` names the same host)
+    val taken = CrawlState.eraseHosts(whole, Seq(" Gone.ORG ").toDF("host"))
     assert(urlSet(taken) === urlSet(erased))
   }
 

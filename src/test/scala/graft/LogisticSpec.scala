@@ -167,4 +167,18 @@ class LogisticSpec extends SparkSpec {
     val auc = got.getAs[Long]("auc_ppm")
     assert(auc >= 0L && auc <= 1000000L)
   }
+
+  test("evalReport on a single-class split: auc_ppm null, no error") {
+    val docs = (1 to 8).map(i =>
+        (i.toLong, "pos", s"steady filler words number $i repeated here"))
+      .toDF("doc_id", "source", "text")
+    val w = Logistic.bucketSpace()
+      .map(_ -> BigDecimal(1).setScale(6)).toMap
+    val r = Logistic.evalReport(docs, w, col("source") === "pos")
+      .collect()(0)
+    assert(r.getAs[Long]("n_pos") === 8L && r.getAs[Long]("n_neg") === 0L)
+    assert(r.isNullAt(r.fieldIndex("auc_ppm"))) // undefined, not an error
+    assert(r.isNullAt(r.fieldIndex("precision_ppm")) ||
+      r.getAs[Long]("tp") + r.getAs[Long]("fp") > 0)
+  }
 }

@@ -348,6 +348,15 @@ class MainSpec extends SparkSpec {
     assert(scored.nonEmpty)
     assert(spark.read.parquet(s"$root/scores.parquet").count() ===
       scored.length.toLong)
+    // a dry scoring run must NOT clobber the existing scores artifact
+    val before = Files.getLastModifiedTime(
+      JPath.of(s"$root/scores.parquet"))
+    run("score", "--model", s"$root/clf", "--input", sf,
+      "--out", s"$root/scores.parquet", "--dry-run").collect()
+    assert(Files.getLastModifiedTime(
+      JPath.of(s"$root/scores.parquet")) === before)
+    assert(spark.read.parquet(s"$root/scores.parquet").count() ===
+      scored.length.toLong)
     // drift between the artifact and itself is all-zero
     val none = run("drift", "--model", s"$root/clf",
       "--other", s"$root/clf").collect()
