@@ -40,9 +40,12 @@ import graft.operators.{CrawlState, Dedup, MoveSink, Report, Similarity}
   *                            index (implies --dedup)
   *     [--langs en,de]        language allow-list stage
   *     [--classifier PATH]    trained-quality stage: the persisted
-  *                            logistic weight artifact gates keep on
-  *                            the decimal sign of the clean text's
-  *                            logit (z > 0)
+  *                            logistic artifact gates keep on the
+  *                            clean text's logit under its RECORDED
+  *                            feature space — z >= the stored
+  *                            PR-curve threshold when one was
+  *                            selected (`model threshold`), else the
+  *                            legacy decimal sign z > 0
   *     [--quota N]            per-group keep cap
   *     [--quota-col source]   the quota group column (default source)
   *     [--update-index]       after a real run, append the KEPT docs
@@ -80,13 +83,24 @@ import graft.operators.{CrawlState, Dedup, MoveSink, Report, Similarity}
   * would-be table sizes without writing anything.
   *
   * Classifier-model lifecycle (the artifact ops surface for the
-  * trained logistic quality model — train once, warm-start retrain,
-  * deploy-score, drift, rank-based eval):
+  * trained logistic quality model — train once recording the feature
+  * space, warm-start retrain, PR-curve threshold selection persisted
+  * into the artifact, deploy-score, drift, rank-based eval):
   *   graft.Main model train --input PARQUET --out PATH
   *     (--target-source V | --label-col C) [--epochs 3] [--lr 0.5]
+  *     [--gram 1|2]           hashed unigram / word-bigram features
+  *                            (recorded in the artifact meta; every
+  *                            later verb resolves it from there)
   *   graft.Main model retrain --model PATH --input PARQUET
-  *     (--target-source V | --label-col C) [--epochs N]  (swap-promote)
+  *     (--target-source V | --label-col C) [--epochs N]  (swap-promote;
+  *     feature space + stored threshold carry over)
+  *   graft.Main model threshold --model PATH --input PARQUET
+  *     (--target-source V | --label-col C) [--min-precision-ppm N]
+  *     selects the operating point from the PR curve over the labeled
+  *     eval set (max-F1, or highest-recall at the precision target)
+  *     and stores it in the artifact meta — deployment gates z >= it
   *   graft.Main model score --model PATH --input PARQUET [--out P]
+  *     (kept = the artifact's own stored operating point)
   *   graft.Main model drift --model PATH --other PATH
   *   graft.Main model eval --model PATH --input PARQUET
   *     (--target-source V | --label-col C)
@@ -241,7 +255,7 @@ object Main {
     import org.apache.spark.sql.functions.col
     val idx = cfg.dedupIndex.map(Dedup.readBandIndex(spark, _))
     val clf = cfg.classifier
-      .map(graft.operators.Logistic.readModel(spark, _))
+      .map(graft.operators.Logistic.readTrained(spark, _))
     val (decisions, written) = Pipelines.pipelineC(
       spark, cfg.input, cfg.output, cfg.dryRun,
       dedup = cfg.dedup, dedupIndex = idx,
@@ -553,13 +567,14 @@ object Main {
       out: Option[String], other: Option[String],
       targetSource: Option[String], labelCol: Option[String],
       idCol: String, textCol: String, epochs: Int, lr: Double,
+      gram: Option[Int], minPrecisionPpm: Option[Long],
       dryRun: Boolean)
 
   private val modelVerbs = Set("train", "retrain", "score", "drift",
-    "eval")
+    "eval", "threshold")
   private val modelFlags = Set("dry-run", "model", "input", "out",
     "other", "target-source", "label-col", "id-col", "text-col",
-    "epochs", "lr")
+    "epochs", "lr", "gram", "min-precision-ppm")
 
   private[graft] def parseModel(args: Seq[String]): ModelConfig = {
     if (args.isEmpty || !modelVerbs(args.head))
@@ -580,6 +595,12 @@ object Main {
       lr = flags.get("lr").map(v => v.toDoubleOption
         .getOrElse(fail(s"--lr needs a number, got: $v")))
         .getOrElse(0.5),
+      gram = flags.get("gram").map(v => v.toIntOption
+        .filter(g => g == 1 || g == 2)
+        .getOrElse(fail(s"--gram must be 1 or 2, got: $v"))),
+      minPrecisionPpm = flags.get("min-precision-ppm").map(v =>
+        v.toLongOption
+          .getOrElse(fail(s"--min-precision-ppm needs an integer, got: $v"))),
       dryRun = flags.contains("dry-run"))
     def needsLabel(): Unit = (cfg.targetSource, cfg.labelCol) match {
       case (Some(_), None) | (None, Some(_)) => ()
@@ -605,14 +626,24 @@ object Main {
         if (cfg.model.isEmpty) fail("model eval needs --model PATH")
         if (cfg.input.isEmpty) fail("model eval needs --input PARQUET")
         needsLabel()
+      case "threshold" =>
+        if (cfg.model.isEmpty) fail("model threshold needs --model PATH")
+        if (cfg.input.isEmpty)
+          fail("model threshold needs --input PARQUET (labeled eval set)")
+        needsLabel()
     }
     cfg
   }
 
   /** Execute one classifier-model lifecycle verb — the band/ivf
-    * artifact ops surface applied to the trained model: train-once,
-    * warm-start retrain (retire-aside swap), deploy-score, drift
-    * report, and the rank-based eval battery.
+    * artifact ops surface applied to the trained model: train-once
+    * (recording the feature space), warm-start retrain (retire-aside
+    * swap; space + operating point carry over), PR-curve threshold
+    * selection persisted into the artifact meta, deploy-score, drift
+    * report, and the rank-based eval battery. Every verb that READS
+    * an artifact resolves the feature space from its meta table —
+    * and hard-fails on a space this build doesn't know, or on a
+    * caller-supplied `--gram` that contradicts the artifact.
     */
   private[graft] def runModel(spark: SparkSession,
                               cfg: ModelConfig): DataFrame = {
@@ -627,40 +658,64 @@ object Main {
       val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
-    def promote(path: String, w: Map[String, BigDecimal]): Unit =
+    def promote(path: String, m: L.Trained): Unit =
       if (!cfg.dryRun) {
         if (liveExists(path)) {
-          L.writeModel(spark, s"$path.next", w)
+          L.writeTrained(spark, s"$path.next", m)
           Dedup.swapDirs(spark, path, s"$path.next")
-        } else L.writeModel(spark, path, w)
+        } else L.writeTrained(spark, path, m)
       }
+    def readArtifact(path: String): L.Trained = {
+      val m = L.readTrained(spark, path)
+      cfg.gram.filter(_ != m.gram).foreach(g => fail(
+        s"--gram $g contradicts the artifact's recorded feature " +
+          s"space ${m.space}: scoring under the wrong featurization " +
+          "is silent garbage — retrain into a new artifact instead"))
+      m
+    }
     def weightsFrame(w: Map[String, BigDecimal]): DataFrame = {
       import spark.implicits._
       w.toSeq.sortBy(_._1).toDF("b", "w")
     }
     cfg.verb match {
       case "train" =>
+        val gram = cfg.gram.getOrElse(1)
         val docs = spark.read.parquet(cfg.input.get)
-        val feats = L.hashedFeatures(docs, label, cfg.idCol, cfg.textCol)
-          .localCheckpoint(false)
+        val feats = L.hashedFeatures(docs, label, cfg.idCol, cfg.textCol,
+          2, gram).localCheckpoint(false)
         val w = L.train(spark, feats, docs.count(), cfg.epochs, cfg.lr,
           cfg.idCol).last
-        promote(cfg.out.get, w)
+        promote(cfg.out.get, L.Trained(w, L.spaceOf(gram)))
         weightsFrame(w)
       case "retrain" =>
-        val w0 = L.readModel(spark, cfg.model.get)
+        val m0 = readArtifact(cfg.model.get)
         val docs = spark.read.parquet(cfg.input.get)
-        val feats = L.hashedFeatures(docs, label, cfg.idCol, cfg.textCol)
-          .localCheckpoint(false)
+        val feats = L.hashedFeatures(docs, label, cfg.idCol, cfg.textCol,
+          2, m0.gram).localCheckpoint(false)
         val w = L.trainFrom(spark, feats, docs.count(), cfg.epochs,
-          cfg.lr, w0, cfg.idCol).last
-        promote(cfg.model.get, w)
-        L.weightDrift(spark, w0, w)
+          cfg.lr, m0.weights, cfg.idCol).last
+        promote(cfg.model.get, m0.copy(weights = w))
+        L.weightDrift(spark, m0.weights, w)
+      case "threshold" =>
+        val m0 = readArtifact(cfg.model.get)
+        val docs = spark.read.parquet(cfg.input.get)
+        val scored = L.scoreInline(docs, m0.weights, cfg.idCol,
+            cfg.textCol, 2, m0.gram)
+          .filter(col("n_tokens") >= m0.gram)
+          .join(docs.select(col(cfg.idCol), label.as("__y")), cfg.idCol)
+          .select(col("z"), col("__y").as("y"))
+        val sel = L.selectOperatingPoint(L.operatingPoints(scored),
+          cfg.minPrecisionPpm).localCheckpoint(true)
+        val t = BigDecimal(sel.collect()(0).getDecimal(0))
+        promote(cfg.model.get, m0.copy(threshold = Some(t)))
+        if (cfg.dryRun) println(s"[dry-run] would store threshold $t")
+        else println(s"Stored operating point $t in ${cfg.model.get}")
+        sel
       case "score" =>
-        val w = L.readModel(spark, cfg.model.get)
-        val res = L.scoreInline(spark.read.parquet(cfg.input.get), w,
-            cfg.idCol, cfg.textCol)
-          .withColumn("kept", col("z") > lit(0))
+        val m = readArtifact(cfg.model.get)
+        val res = L.scoreInline(spark.read.parquet(cfg.input.get),
+            m.weights, cfg.idCol, cfg.textCol, 2, m.gram)
+          .withColumn("kept", m.keepsZ(col("z")))
         cfg.out.foreach { o =>
           // --dry-run guards the write like train/retrain's promote():
           // a dry scoring run must never clobber an existing artifact
@@ -675,9 +730,9 @@ object Main {
         L.weightDrift(spark, L.readModel(spark, cfg.model.get),
           L.readModel(spark, cfg.other.get))
       case "eval" =>
+        val m = readArtifact(cfg.model.get)
         L.evalReport(spark.read.parquet(cfg.input.get),
-          L.readModel(spark, cfg.model.get), label, cfg.idCol,
-          cfg.textCol)
+          m.weights, label, cfg.idCol, cfg.textCol, m.gram, m.threshold)
     }
   }
 

@@ -264,15 +264,18 @@ object Pipelines {
     *
     *   - `allowedLangs`: adds `lang_ok` = marker-based language ID of
     *     the clean text ∈ the allow-list (stateless projection);
-    *   - `classifier`: a TRAINED weight map (the persisted
-    *     [[graft.operators.Logistic]] artifact, read back model-sized)
+    *   - `classifier`: the TRAINED artifact (the persisted
+    *     [[graft.operators.Logistic.Trained]], read back model-sized)
     *     adds `clf_ok` — the exact-decimal logit of the CLEAN text
-    *     under the trained hashed-bag-of-words model is positive
-    *     (z > 0, the decimal-sign contract). The score is
+    *     under the trained hashed-bag-of-features model (the space
+    *     the artifact RECORDS — unigram or bigram) reaches the
+    *     artifact's stored operating point (z >= threshold when one
+    *     was selected from the PR curve; the legacy decimal-sign
+    *     contract z > 0 otherwise). The score is
     *     [[graft.operators.Logistic.zInline]]: one map-side fold over
     *     the document's own tokens, no shuffle, streaming-legal —
-    *     this is where the model the engine trains, persists, and
-    *     deploys actually gates ingest;
+    *     this is where the model the engine trains, persists,
+    *     monitors, and thresholds actually gates ingest;
     *   - `quota`: `(groupCol, n)` adds `quota_ok` — at most `n` KEPT
     *     documents per group, chosen deterministically by md5(id) rank
     *     among the rows that survived every earlier stage (documents
@@ -286,7 +289,7 @@ object Pipelines {
     */
   def curatePolicyDecisions(decisions: DataFrame, idCol: String = "doc_id",
                             allowedLangs: Option[Seq[String]] = None,
-                            classifier: Option[Map[String, BigDecimal]] = None,
+                            classifier: Option[graft.operators.Logistic.Trained] = None,
                             quota: Option[(String, Int)] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Text
@@ -301,10 +304,9 @@ object Pipelines {
     }
     val withClf = classifier match {
       case None => withLang
-      case Some(w) =>
+      case Some(m) =>
         withLang
-          .withColumn("clf_ok",
-            graft.operators.Logistic.zInline(col("clean"), w) > lit(0))
+          .withColumn("clf_ok", m.keeps(col("clean")))
           .withColumn("keep", col("keep") && col("clf_ok"))
     }
     quota match {
@@ -336,7 +338,7 @@ object Pipelines {
                   textCol: String = "text", dedup: Boolean = false,
                   dedupIndex: Option[graft.operators.Dedup.BandIndex] = None,
                   allowedLangs: Option[Seq[String]] = None,
-                  classifier: Option[Map[String, BigDecimal]] = None,
+                  classifier: Option[graft.operators.Logistic.Trained] = None,
                   quota: Option[(String, Int)] = None): DataFrame = {
     val carry = quota.map(_._1).toSeq.filterNot(_ == idCol)
     val screened = curateDecisions(raw, idCol, textCol, carry)
@@ -352,7 +354,7 @@ object Pipelines {
                 textCol: String = "text", dedup: Boolean = false,
                 dedupIndex: Option[graft.operators.Dedup.BandIndex] = None,
                 allowedLangs: Option[Seq[String]] = None,
-                classifier: Option[Map[String, BigDecimal]] = None,
+                classifier: Option[graft.operators.Logistic.Trained] = None,
                 quota: Option[(String, Int)] = None)
       : (DataFrame, Option[Long]) = {
     val decisions = curateChain(spark.read.parquet(input), idCol, textCol,

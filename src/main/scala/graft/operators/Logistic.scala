@@ -28,6 +28,76 @@ object Logistic {
 
   private val Hex = "0123456789abcdef".map(_.toString)
 
+  /** Feature-space ids recorded in the model artifact's meta table —
+    * the versioning that makes a weight vector self-describing:
+    * scoring under the wrong featurization is silent garbage, so every
+    * deploy/warm-start path resolves the space FROM the artifact
+    * ([[gramOf]] hard-fails on an id this build doesn't know).
+    *
+    *   - `md5u2`: hashed unigrams, md5-prefix-2 (256 buckets) — the
+    *     original space.
+    *   - `md5b2`: hashed word BIGRAMS (2-token shingles of the
+    *     non-empty token stream), same 256-bucket md5-prefix-2 hash —
+    *     doubles the effective context per feature without changing
+    *     the bucket-sized model state or any plan shape.
+    */
+  val SpaceUnigram = "md5u2"
+  val SpaceBigram = "md5b2"
+
+  def spaceOf(gram: Int): String = gram match {
+    case 1 => SpaceUnigram
+    case 2 => SpaceBigram
+    case g => throw new IllegalArgumentException(
+      s"unsupported feature gram order: $g (know 1, 2)")
+  }
+
+  /** Gram order of a recorded feature-space id; LOUD on an unknown id
+    * (an artifact from a newer featurization must never silently
+    * mis-score under this build's hash).
+    */
+  def gramOf(space: String): Int = space match {
+    case SpaceUnigram => 1
+    case SpaceBigram => 2
+    case other => throw new IllegalArgumentException(
+      s"unknown classifier feature space: $other " +
+        s"(know $SpaceUnigram, $SpaceBigram)")
+  }
+
+  /** The full trained-classifier artifact: bucket weights + the
+    * feature space they were fit in + the DEPLOYMENT operating point.
+    *
+    * `threshold` is the PR-curve-selected boundary ([[operatingPoints]]
+    * / [[selectOperatingPoint]]): when present, deployment keeps a
+    * document iff its exact-decimal logit REACHES it (z >= t — the
+    * PR row's own "predict positive at this distinct z" semantics);
+    * when absent (never selected, or a pre-meta artifact), the legacy
+    * decimal-sign contract z > 0 applies. Both comparisons run in
+    * exact DECIMAL.
+    */
+  final case class Trained(weights: Map[String, BigDecimal],
+                           space: String = SpaceUnigram,
+                           threshold: Option[BigDecimal] = None) {
+    def gram: Int = gramOf(space)
+
+    /** The deployment keep-clause over a text column — the single
+      * definition the batch curation chain, the streaming screen, and
+      * the `model score` CLI all gate with.
+      */
+    def keeps(text: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column =
+      keepsZ(zInline(text, weights, 2, gram))
+
+    /** The same decision over an already-computed exact-decimal logit
+      * column (callers that surface z alongside the verdict score
+      * once and decide on the scored column).
+      */
+    def keepsZ(z: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column = threshold match {
+      case None => z > lit(0)
+      case Some(t) => z >= lit(t.bigDecimal)
+    }
+  }
+
   /** The full bucket universe for an md5-prefix feature space: 16^n
     * buckets — 256 at the default prefix length 2 (the DSIR feature
     * space), still model-sized next to any corpus.
@@ -37,20 +107,32 @@ object Logistic {
       acc.flatMap(p => Hex.map(p + _))
     }
 
-  /** Hashed bag-of-words features with a binary label:
-    * (idCol, y, b, k) — one corpus-scale job, reused by every epoch
-    * (callers localCheckpoint it).
+  /** Hashed bag-of-features with a binary label: (idCol, y, b, k) —
+    * one corpus-scale job, reused by every epoch (callers
+    * localCheckpoint it). `gram` = 1 hashes the non-empty tokens
+    * themselves; 2 hashes their 2-shingles (word bigrams) — the
+    * bucket space and every downstream plan shape are unchanged, a
+    * doc with fewer than `gram` tokens simply contributes no rows.
     */
   def hashedFeatures(docs: DataFrame, label: org.apache.spark.sql.Column,
                      idCol: String = "doc_id",
                      textCol: String = "text",
-                     prefixLen: Int = 2): DataFrame =
-    docs.select(col(idCol), when(label, 1).otherwise(0).as("y"),
-        explode(graft.functions.Text.tokens(col(textCol))).as("tok"))
-      .filter(col("tok") =!= "")
+                     prefixLen: Int = 2,
+                     gram: Int = 1): DataFrame = {
+    val base = if (gram == 1)
+      docs.select(col(idCol), when(label, 1).otherwise(0).as("y"),
+          explode(graft.functions.Text.tokens(col(textCol))).as("tok"))
+        .filter(col("tok") =!= "")
+    else
+      docs.select(col(idCol), when(label, 1).otherwise(0).as("y"),
+        explode(graft.functions.Text.shingles(
+          filter(graft.functions.Text.tokens(col(textCol)),
+            t => t =!= ""), gram)).as("tok"))
+    base
       .select(col(idCol), col("y"),
         substring(md5(col("tok")), 1, prefixLen).as("b"))
       .groupBy(idCol, "y", "b").agg(count(lit(1)).as("k"))
+  }
 
   /** One batch-GD epoch: returns the updated 16-bucket weight map.
     * All arithmetic runs through Spark expressions (never driver-side
@@ -173,6 +255,125 @@ object Logistic {
     spark.read.parquet(s"$path/weights").collect()
       .map(r => r.getString(0) -> BigDecimal(r.getDecimal(1))).toMap
 
+  /** Persist the FULL trained artifact: the weights table plus a
+    * one-row `meta` table (space, threshold DECIMAL(12,6) — null
+    * until an operating point is selected). Exact decimals round-trip
+    * parquet, so deploy-from-artifact == deploy-from-fit including
+    * the threshold comparison (LogisticSpec law).
+    */
+  def writeTrained(spark: SparkSession, path: String, m: Trained): Unit = {
+    gramOf(m.space) // refuse to persist an id no reader could resolve
+    writeModel(spark, path, m.weights)
+    spark.range(1).select(
+        lit(m.space).as("space"),
+        m.threshold
+          .map(t => lit(t.bigDecimal).cast("decimal(12,6)"))
+          .getOrElse(lit(null).cast("decimal(12,6)")).as("threshold"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Read the full artifact back. A pre-meta artifact (weights table
+    * only — the round-13 on-disk shape) resolves to the unigram space
+    * with no stored operating point, so old artifacts keep deploying
+    * under the legacy z > 0 sign contract unchanged.
+    */
+  def readTrained(spark: SparkSession, path: String): Trained = {
+    val w = readModel(spark, path)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaPath)) {
+      val r = spark.read.parquet(s"$path/meta").collect()(0)
+      val m = Trained(w, r.getString(0),
+        Option(r.getDecimal(1)).map(BigDecimal(_)))
+      gramOf(m.space) // hard-fail on an unknown featurization id
+      m
+    } else Trained(w)
+  }
+
+  /** The operating-point MENU from a labeled scored frame (z exact
+    * decimal, y boolean): one row per DISTINCT achieved logit t with
+    * the confusion of "predict positive when z >= t" — tp/fp from the
+    * totals minus ascending prefix sums over the distinct-z histogram
+    * ([[Ranks.prefixSums]] — a value grid, never a corpus-sized global
+    * sort), precision/recall/F1 in exact integer ppm (F1's closed form
+    * 2tp/(2tp+fp+fn) needs no intermediate rounding).
+    */
+  def operatingPoints(scored: DataFrame): DataFrame = {
+    val hist = scored.groupBy("z").agg(
+      sum(when(col("y"), 1L).otherwise(0L)).as("cp"),
+      sum(when(!col("y"), 1L).otherwise(0L)).as("cn"))
+    val tot = scored.groupBy().agg(
+      sum(when(col("y"), 1L).otherwise(0L)).as("np"),
+      sum(when(!col("y"), 1L).otherwise(0L)).as("nn"))
+    Ranks.prefixSums(hist, "z", Seq("cp", "cn"))
+      .crossJoin(broadcast(tot))
+      .withColumn("tp", col("np") - col("pre_cp"))
+      .withColumn("fp", col("nn") - col("pre_cn"))
+      .withColumn("fn", col("np") - col("tp"))
+      .withColumn("precision_ppm",
+        when(col("tp") + col("fp") > 0,
+          expr("tp * 1000000 div (tp + fp)")))
+      .withColumn("recall_ppm",
+        when(col("np") > 0, expr("tp * 1000000 div np")))
+      .withColumn("f1_ppm",
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          expr("2 * tp * 1000000 div (2 * tp + fp + fn)")))
+      .select(col("z"), col("tp"), col("fp"), col("fn"),
+        col("precision_ppm"), col("recall_ppm"), col("f1_ppm"))
+  }
+
+  /** Select ONE deployment threshold from the operating-point menu —
+    * the number that moves from the monitoring battery into the
+    * artifact's meta table:
+    *
+    *   - with `minPrecisionPpm`: the highest-recall point whose
+    *     precision reaches the target (recall decreases in z, so that
+    *     is the SMALLEST qualifying z; ties cannot occur on a
+    *     distinct-z grid). Falls back to max-F1 when no point
+    *     qualifies — a loud fallback would strand the daily loop on a
+    *     bad day; the selection report makes the achieved numbers
+    *     visible instead.
+    *   - otherwise: the max-F1 point (smallest z among F1 ties — the
+    *     recall-favoring deterministic tie-break).
+    *
+    * Returns the selected menu ROW (threshold + its confusion), all
+    * exact integers — the oracle replays the same ORDER BY/LIMIT.
+    */
+  def selectOperatingPoint(points: DataFrame,
+                           minPrecisionPpm: Option[Long] = None)
+      : DataFrame = {
+    val byF1 = points
+      .orderBy(col("f1_ppm").desc_nulls_last, col("z").asc).limit(1)
+    val chosen = minPrecisionPpm match {
+      case None => byF1
+      case Some(p) =>
+        val q = points.filter(col("precision_ppm") >= p)
+          .orderBy(col("z").asc).limit(1)
+        if (q.isEmpty) byF1 else q
+    }
+    chosen.select(col("z").as("threshold"), col("tp"), col("fp"),
+      col("fn"), col("precision_ppm"), col("recall_ppm"), col("f1_ppm"))
+  }
+
+  /** Driver-side convenience: score a labeled eval frame under a
+    * trained space, select the operating point, and return the
+    * threshold as the exact decimal the meta table stores.
+    */
+  def chooseThreshold(docs: DataFrame, m: Trained,
+                      label: org.apache.spark.sql.Column,
+                      idCol: String = "doc_id",
+                      textCol: String = "text",
+                      minPrecisionPpm: Option[Long] = None): BigDecimal = {
+    val scored = scoreInline(docs, m.weights, idCol, textCol, 2, m.gram)
+      .filter(col("n_tokens") >= m.gram)
+      .join(docs.select(col(idCol), label.as("__y")), idCol)
+      .select(col("z"), col("__y").as("y"))
+    val row = selectOperatingPoint(operatingPoints(scored),
+      minPrecisionPpm).collect()(0)
+    BigDecimal(row.getDecimal(0))
+  }
+
   /** Per-ROW scoring under a weight map — the deployment shape: one
     * exact-decimal fold over the document's own token array (Σ_tok
     * w[bucket] == Σ_b k_b·w_b, the same exact sum [[score]] reaches
@@ -185,11 +386,12 @@ object Logistic {
   def scoreInline(docs: DataFrame, weights: Map[String, BigDecimal],
                   idCol: String = "doc_id",
                   textCol: String = "text",
-                  prefixLen: Int = 2): DataFrame = {
+                  prefixLen: Int = 2,
+                  gram: Int = 1): DataFrame = {
     val toks = filter(graft.functions.Text.tokens(col(textCol)),
       t => t =!= "")
     docs.select(col(idCol), size(toks).cast("long").as("n_tokens"),
-      zInline(col(textCol), weights, prefixLen).as("z"))
+      zInline(col(textCol), weights, prefixLen, gram).as("z"))
   }
 
   /** The per-row exact-decimal logit as a bare COLUMN — the piece a
@@ -201,18 +403,24 @@ object Logistic {
     */
   def zInline(text: org.apache.spark.sql.Column,
               weights: Map[String, BigDecimal],
-              prefixLen: Int = 2): org.apache.spark.sql.Column = {
+              prefixLen: Int = 2,
+              gram: Int = 1): org.apache.spark.sql.Column = {
     // O(1) per-token lookup: a literal MAP's try_element_at is a
     // linear scan of all 16^prefixLen entries PER TOKEN; the bucket
     // id IS the hex value of the md5 prefix, so the weight map
     // flattens to a plan-literal ARRAY indexed positionally by
     // conv(prefix, 16, 10). Missing buckets fill with the exact 0 the
     // map-miss coalesce supplied — the summed values are identical
-    // decimals, so results are bit-identical to the map form.
+    // decimals, so results are bit-identical to the map form. A
+    // bigram-space model folds over the 2-shingles of the same
+    // non-empty token stream (the hashedFeatures stream, so the
+    // fold == aggregation law holds per space).
     val arr = typedLit(bucketSpace(prefixLen)
       .map(b => weights.getOrElse(b, BigDecimal(0).setScale(6))))
     val toks = filter(graft.functions.Text.tokens(text), t => t =!= "")
-    aggregate(toks, lit(0).cast("decimal(38,6)"),
+    val units =
+      if (gram == 1) toks else graft.functions.Text.shingles(toks, gram)
+    aggregate(units, lit(0).cast("decimal(38,6)"),
       (acc, t) => (acc + element_at(arr,
         conv(substring(md5(t), 1, prefixLen), 16, 10).cast("int") + 1)
           .cast("decimal(12,6)")).cast("decimal(38,6)"))
@@ -230,9 +438,17 @@ object Logistic {
   def evalReport(docs: DataFrame, weights: Map[String, BigDecimal],
                  label: org.apache.spark.sql.Column,
                  idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame = {
-    val scored = scoreInline(docs, weights, idCol, textCol)
-      .filter(col("n_tokens") > 0)
+                 textCol: String = "text",
+                 gram: Int = 1,
+                 threshold: Option[BigDecimal] = None): DataFrame = {
+    // confusion at the artifact's own operating point: keep iff
+    // z >= stored threshold, or the legacy sign z > 0 when none —
+    // the Trained.keepsZ contract (defaults reproduce the original
+    // z > 0 report bit-for-bit)
+    val keeps = Trained(weights, spaceOf(gram), threshold)
+      .keepsZ(col("z"))
+    val scored = scoreInline(docs, weights, idCol, textCol, 2, gram)
+      .filter(col("n_tokens") >= gram)
       .join(docs.select(col(idCol), label.as("__y")), idCol)
       .select(col("z"), col("__y").as("y"))
       .localCheckpoint(false) // z-histogram + threshold metrics
@@ -243,10 +459,10 @@ object Logistic {
     val ranked = Ranks.prefixSums(hist, "z", Seq("cnt"))
       .withColumn("rank_x2", lit(2L) * col("pre_cnt") + col("cnt") + 1L)
     val thr = scored.groupBy().agg(
-      sum(when(col("y") && col("z") > 0, 1L).otherwise(0L)).as("tp"),
-      sum(when(!col("y") && col("z") > 0, 1L).otherwise(0L)).as("fp"),
-      sum(when(col("y") && col("z") <= 0, 1L).otherwise(0L)).as("fn"),
-      sum(when(!col("y") && col("z") <= 0, 1L).otherwise(0L)).as("tn"))
+      sum(when(col("y") && keeps, 1L).otherwise(0L)).as("tp"),
+      sum(when(!col("y") && keeps, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("y") && !keeps, 1L).otherwise(0L)).as("fn"),
+      sum(when(!col("y") && !keeps, 1L).otherwise(0L)).as("tn"))
     ranked.groupBy()
       .agg(sum(col("cp") * col("rank_x2")).as("rp_x2"),
         sum("cp").as("n_pos"), sum("cn").as("n_neg"))

@@ -144,6 +144,59 @@ object CurationQueries {
     graft.operators.Logistic.readModel(s, p)
   }
 
+  /** The hash-stable 25% held-out slice every monitoring query of the
+    * trained model evaluates on (the t_split_counts bucket discipline).
+    */
+  private def evalSplit(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    graft.operators.Sampling.hashSplit(d, "doc_id",
+        Seq("train" -> 0.75, "eval" -> 0.25))
+      .filter(col("split") === "eval")
+
+  /** BIGRAM-space sibling of [[qualityModel]] (same 3-epoch schedule,
+    * same label, hashed word-2-shingle features) — trained once per
+    * data directory for the feature-space comparison query.
+    */
+  private val qmodelBMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, BigDecimal]]()
+
+  private def qualityModelBigram(s: SparkSession,
+                                 dir: String): Map[String, BigDecimal] =
+    qmodelBMemo.computeIfAbsent(dir, _ => {
+      val d = t(s, dir, "documents")
+      val feats = graft.operators.Logistic
+        .hashedFeatures(d, col("source") === lit(DsirTarget), gram = 2)
+        .localCheckpoint(false)
+      graft.operators.Logistic.train(s, feats, d.count(),
+        epochs = 3, lr = 0.5).last
+    })
+
+  /** The FULLY-deployed artifact: [[qualityModel]]'s weights plus the
+    * max-F1 operating point selected from the PR curve over the
+    * held-out split, persisted (weights + meta) once per data
+    * directory — the fixture is the WRITE + SELECT;
+    * `a_pipeline_curate_thr` gates the artifact READ + the
+    * threshold-gated deploy path.
+    */
+  private val qthrMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def qualityTrainedThr(s: SparkSession, dir: String)
+      : graft.operators.Logistic.Trained = {
+    val p = qthrMemo.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_qthr").toString + "/clf"
+      val m0 = graft.operators.Logistic.Trained(qualityModel(s, dir))
+      val hold = evalSplit(t(s, dir, "documents"))
+      val thr = graft.operators.Logistic.chooseThreshold(hold, m0,
+        col("source") === lit(DsirTarget))
+      graft.operators.Logistic.writeTrained(s, path,
+        m0.copy(threshold = Some(thr)))
+      path
+    })
+    graft.operators.Logistic.readTrained(s, p)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- the curation pipeline end-to-end (training-data sibling of
     //      a_pipeline_move): a generated raw-crawl corpus — markup
@@ -209,7 +262,26 @@ object CurationQueries {
         s.read.parquet(curateDedupInput(s, dir)),
         dedup = true, dedupIndex = Some(curateIndex(s, dir)),
         allowedLangs = Some(Seq("en")),
-        classifier = Some(qualityModel(s, dir)),
+        classifier =
+          Some(graft.operators.Logistic.Trained(qualityModel(s, dir))),
+        quota = Some(("source", 5)))
+      graft.Pipelines.curationReport(decisions)
+    }),
+
+    // ---- the operating-point loop CLOSED: the same funnel, but the
+    //      classifier stage gates at the threshold STORED IN THE
+    //      ARTIFACT (the max-F1 point the monitoring battery selected
+    //      over the held-out split — t_quality_threshold's number,
+    //      persisted by the fixture into the meta table and READ BACK
+    //      here), keep = z >= threshold in exact decimal instead of
+    //      the hard-coded sign. The oracle replays training, the
+    //      PR-curve selection, and the re-scoring in one statement ----
+    "a_pipeline_curate_thr" -> ((s, dir) => {
+      val decisions = graft.Pipelines.curateChain(
+        s.read.parquet(curateDedupInput(s, dir)),
+        dedup = true, dedupIndex = Some(curateIndex(s, dir)),
+        allowedLangs = Some(Seq("en")),
+        classifier = Some(qualityTrainedThr(s, dir)),
         quota = Some(("source", 5)))
       graft.Pipelines.curationReport(decisions)
     }),
@@ -493,6 +565,51 @@ object CurationQueries {
         .filter(col("split") === "eval")
       graft.operators.Logistic.evalReport(hold, w,
         col("source") === lit(DsirTarget))
+    }),
+
+    // ---- the DEPLOYMENT THRESHOLD chosen from the monitoring
+    //      battery itself: over the same held-out split, the
+    //      operating-point menu (one row per distinct logit — tp/fp
+    //      from totals minus prefix sums, the PR-curve shape) reduces
+    //      to the max-F1 point (exact integer F1 = 2tp/(2tp+fp+fn) in
+    //      ppm, smallest-z tie-break) — the number `model threshold`
+    //      persists into the artifact meta and the curation chain
+    //      gates z >= against. Value-grid shapes only; the selection
+    //      is one TakeOrdered over the distinct-z menu ----
+    "t_quality_threshold" -> ((s, dir) => {
+      val w = qualityModel(s, dir)
+      val d = t(s, dir, "documents")
+      val scored = graft.operators.Logistic.scoreInline(evalSplit(d), w)
+        .filter(col("n_tokens") > 0)
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("z"), (col("source") === lit(DsirTarget)).as("y"))
+      graft.operators.Logistic.selectOperatingPoint(
+          graft.operators.Logistic.operatingPoints(scored))
+        .select(col("threshold").cast("double").as("threshold"),
+          col("tp"), col("fp"), col("fn"),
+          col("precision_ppm"), col("recall_ppm"), col("f1_ppm"))
+    }),
+
+    // ---- FEATURE-SPACE comparison on the same held-out split: the
+    //      unigram artifact vs a bigram-space sibling (same 3-epoch
+    //      exact-decimal GD, hashed word-2-shingles into the same 256
+    //      buckets), each scored by its own space's inline fold and
+    //      measured by rank-sum AUC — the delta that justifies (or
+    //      rejects) a featurization upgrade BEFORE it ships, with the
+    //      space id carried per row exactly as the artifact meta
+    //      records it. Plans: two scoring scans + two value-grid
+    //      prefix sums; the bigram model stays bucket-sized ----
+    "t_quality_auc_bigram" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val hold = evalSplit(d).localCheckpoint(false)
+      val label = col("source") === lit(DsirTarget)
+      def aucRow(w: Map[String, BigDecimal], gram: Int) =
+        graft.operators.Logistic
+          .evalReport(hold, w, label, gram = gram)
+          .select(lit(graft.operators.Logistic.spaceOf(gram)).as("space"),
+            col("n_pos"), col("n_neg"), col("u_x2"), col("auc_ppm"))
+      aucRow(qualityModel(s, dir), 1)
+        .unionByName(aucRow(qualityModelBigram(s, dir), 2))
     }),
 
     // ---- the full PR curve of the TRAINED classifier over the same
@@ -859,6 +976,105 @@ object CurationQueries {
 
   private val QualityTrainCtes: String = qualityTrainCtes(3)
 
+  /** BIGRAM-space training CTEs (bf/bw0..bwN): identical epoch algebra
+    * over hashed word-2-shingle features of the non-empty token
+    * stream; reuses the `n` doc-count CTE from [[qualityTrainCtes]].
+    */
+  private def bigramTrainCtes(epochs: Int): String = {
+    val bucketList = {
+      val hex = "0123456789abcdef".map(_.toString)
+      hex.flatMap(a => hex.map(b => s"'$a$b'")).mkString(",")
+    }
+    def ep(e: Int): String =
+      s"""bz$e AS (SELECT doc_id, y, SUM(CAST(k AS DECIMAL(18,0)) * w) AS z
+         |  FROM bf JOIN bw${e - 1} USING (b) GROUP BY doc_id, y),
+         |bp$e AS (SELECT doc_id, CAST(round(CAST(y AS DOUBLE) -
+         |    round(1/(1+exp(-CAST(z AS DOUBLE))), 9), 9)
+         |    AS DECIMAL(12,9)) AS err FROM bz$e),
+         |bg$e AS (SELECT b, SUM(CAST(k AS DECIMAL(18,0)) * err) AS g
+         |  FROM bf JOIN bp$e USING (doc_id) GROUP BY b),
+         |bw$e AS MATERIALIZED (SELECT w.b,
+         |    CAST(round(CAST(w.w AS DOUBLE)
+         |      + 0.5 * CAST(COALESCE(g.g, 0) AS DOUBLE) / nd, 6)
+         |      AS DECIMAL(12,6)) AS w
+         |  FROM bw${e - 1} w LEFT JOIN bg$e g USING (b) CROSS JOIN n)"""
+        .stripMargin
+    s"""bf AS MATERIALIZED (SELECT doc_id, source, y, b, COUNT(*) AS k
+       |  FROM (SELECT doc_id, source,
+       |      CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END AS y,
+       |      substr(md5(bg), 1, 2) AS b
+       |    FROM (SELECT doc_id, source,
+       |          unnest(list_transform(range(1, len(tk)),
+       |            i -> tk[i] || ' ' || tk[i + 1])) AS bg
+       |      FROM (SELECT doc_id, source,
+       |            list_filter(string_split(text, ' '), x -> x <> '')
+       |              AS tk FROM documents)))
+       |  GROUP BY doc_id, source, y, b),
+       |bw0 AS (SELECT unnest([$bucketList]) AS b,
+       |  CAST(0 AS DECIMAL(12,6)) AS w),
+       |""".stripMargin +
+      (1 to epochs).map(ep).mkString(",\n")
+  }
+
+  private val BigramTrainCtes: String = bigramTrainCtes(3)
+
+  /** Rank-sum AUC block over the held-out split for one feature
+    * space: `${p}sc/${p}h/${p}r/${p}m` CTEs from (feature table,
+    * final weight table); `${p}m` holds (rp_x2, n_pos, n_neg).
+    */
+  private def aucBlock(p: String, fTbl: String, wTbl: String): String =
+    s"""${p}sc AS (SELECT doc_id, y,
+       |    SUM(CAST(k AS DECIMAL(18,0)) * w) AS z
+       |  FROM $fTbl JOIN $wTbl USING (b) JOIN ev USING (doc_id)
+       |  GROUP BY doc_id, y),
+       |${p}h AS (SELECT z,
+       |    SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS cp,
+       |    SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS cn
+       |  FROM ${p}sc GROUP BY z),
+       |${p}r AS (SELECT cp, cn,
+       |    2 * COALESCE(SUM(cp + cn) OVER (ORDER BY z ROWS BETWEEN
+       |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      + (cp + cn) + 1 AS rank_x2
+       |  FROM ${p}h),
+       |${p}m AS (SELECT SUM(cp * rank_x2) AS rp_x2, SUM(cp) AS n_pos,
+       |    SUM(cn) AS n_neg FROM ${p}r)""".stripMargin
+
+  /** Operating-point selection CTEs (the t_quality_threshold /
+    * a_pipeline_curate_thr replay): PR menu over the held-out split
+    * under w3, max-F1 point with the smallest-z tie-break. `tsel`
+    * carries (z, tp, fp, fn, np + the exact-ppm metrics).
+    */
+  private val ThresholdCtes: String =
+    s"""tev AS (SELECT doc_id FROM (SELECT doc_id,
+       |    ${TextQueries.md5Bucket} AS bucket FROM documents)
+       |  WHERE bucket >= 192),
+       |tsc AS (SELECT doc_id, y,
+       |    SUM(CAST(k AS DECIMAL(18,0)) * w) AS z
+       |  FROM f JOIN w3 USING (b) JOIN tev USING (doc_id)
+       |  GROUP BY doc_id, y),
+       |th AS (SELECT z,
+       |    SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS cp,
+       |    SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS cn
+       |  FROM tsc GROUP BY z),
+       |tr AS (SELECT z, cp, cn,
+       |    COALESCE(SUM(cp) OVER (ORDER BY z ROWS BETWEEN
+       |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_cp,
+       |    COALESCE(SUM(cn) OVER (ORDER BY z ROWS BETWEEN
+       |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_cn
+       |  FROM th),
+       |ttot AS (SELECT SUM(cp) AS np, SUM(cn) AS nn FROM th),
+       |tpts AS (SELECT z, np - pre_cp AS tp, nn - pre_cn AS fp,
+       |    pre_cp AS fn, np FROM tr CROSS JOIN ttot),
+       |tsel AS MATERIALIZED (SELECT z, tp, fp, fn,
+       |    CASE WHEN tp + fp > 0
+       |      THEN tp * 1000000 // (tp + fp) END AS precision_ppm,
+       |    CASE WHEN np > 0
+       |      THEN tp * 1000000 // np END AS recall_ppm,
+       |    CASE WHEN 2 * tp + fp + fn > 0
+       |      THEN 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f1_ppm
+       |  FROM tpts
+       |  ORDER BY f1_ppm DESC NULLS LAST, z ASC LIMIT 1)""".stripMargin
+
   private val QualityTrainOracle: String =
     QualityTrainCtes + "\n" +
       """SELECT 1 AS epoch, b AS bucket, CAST(w AS DOUBLE) AS w FROM w1
@@ -1016,6 +1232,46 @@ object CurationQueries {
          |  CAST(CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn) END
          |    AS BIGINT) AS recall_ppm
          |FROM m CROSS JOIN thr""".stripMargin),
+    // the operating-point selection replayed closed-form: training
+    // CTEs, the PR menu over the held-out bucket range, max-F1 with
+    // the smallest-z tie-break — every output an exact integer
+    "t_quality_threshold" ->
+      (QualityTrainCtes + ",\n" + ThresholdCtes + "\n" +
+      """SELECT CAST(z AS DOUBLE) AS threshold,
+        |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CAST(fn AS BIGINT) AS fn,
+        |  CAST(precision_ppm AS BIGINT) AS precision_ppm,
+        |  CAST(recall_ppm AS BIGINT) AS recall_ppm,
+        |  CAST(f1_ppm AS BIGINT) AS f1_ppm
+        |FROM tsel""".stripMargin),
+
+    // both feature spaces trained in unrolled SQL (the unigram CTEs +
+    // the bigram siblings), each scored over the same held-out bucket
+    // range by its own space, rank-sum AUC per space
+    "t_quality_auc_bigram" ->
+      (QualityTrainCtes + ",\n" + BigramTrainCtes + ",\n" +
+      s"""ev AS (SELECT doc_id FROM (SELECT doc_id,
+         |    ${TextQueries.md5Bucket} AS bucket FROM documents)
+         |  WHERE bucket >= 192),
+         |""".stripMargin +
+      aucBlock("u", "f", "w3") + ",\n" + aucBlock("b", "bf", "bw3") +
+      """
+        |SELECT 'md5u2' AS space, CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(n_neg AS BIGINT) AS n_neg,
+        |  CAST(rp_x2 - n_pos * (n_pos + 1) AS BIGINT) AS u_x2,
+        |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    (rp_x2 - n_pos * (n_pos + 1)) * 500000
+        |    // (n_pos * n_neg) END AS BIGINT) AS auc_ppm
+        |FROM um
+        |UNION ALL
+        |SELECT 'md5b2', CAST(n_pos AS BIGINT),
+        |  CAST(n_neg AS BIGINT),
+        |  CAST(rp_x2 - n_pos * (n_pos + 1) AS BIGINT),
+        |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    (rp_x2 - n_pos * (n_pos + 1)) * 500000
+        |    // (n_pos * n_neg) END AS BIGINT)
+        |FROM bm""".stripMargin),
+
     // every stage flag recomputed from the closed-form clean text
     // (the extraction round trip is gated separately by
     // t_html_extract); the PII regexes and the Gopher rules are the
@@ -1129,6 +1385,54 @@ object CurationQueries {
     // round-trip parquet), every clean text re-scores under w3 with
     // the exact-decimal token fold, and clf_ok = z > 0 gates keep
     // between the language stage and the quota rank
+    // the threshold-gated funnel: training CTEs + the PR-curve
+    // selection (tsel) + the dedup chain, clf_ok = the clean text's
+    // exact-decimal logit REACHES the stored max-F1 operating point
+    // (z >= threshold) instead of the hard-coded sign
+    "a_pipeline_curate_thr" ->
+      (QualityTrainCtes + ",\n" + ThresholdCtes + ",\n" +
+        DedupBase + ",\n" + NearDupBlock + ",\n" +
+      s"""lg AS (SELECT *, $LangBest AS best FROM fl2),
+         |lg2 AS (SELECT *, ($LangPred) IN ('en') AS lang_ok FROM lg),
+         |clfz AS (SELECT doc_id, SUM(w3.w) AS z FROM (
+         |    SELECT doc_id, substr(md5(tok), 1, 2) AS b
+         |    FROM (SELECT doc_id, unnest(string_split(clean, ' ')) AS tok
+         |          FROM lg2)
+         |    WHERE tok <> '') tb JOIN w3 USING (b) GROUP BY doc_id),
+         |lg3 AS (SELECT lg2.*,
+         |    COALESCE(clfz.z, CAST(0 AS DECIMAL(12,6))) >= tsel.z
+         |      AS clf_ok
+         |  FROM lg2 LEFT JOIN clfz USING (doc_id) CROSS JOIN tsel),
+         |k0 AS (SELECT *, quality_ok AND NOT has_pii AND lang_ok
+         |    AND clf_ok AND NOT dup_exact AND NOT dup_near AS keep0
+         |  FROM lg3),
+         |q AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source, keep0
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+         |    AS rn FROM k0),
+         |k AS MATERIALIZED (SELECT *, (NOT keep0 OR rn <= 5) AS quota_ok,
+         |    keep0 AND (NOT keep0 OR rn <= 5) AS keep FROM q)
+         |SELECT 'ingested' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM k
+         |UNION ALL SELECT 'markup_stripped', CAST(COUNT(*) AS BIGINT)
+         |  FROM k
+         |UNION ALL SELECT 'mojibake_repaired', CAST(SUM(CASE WHEN repaired
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'pii_flagged', CAST(SUM(CASE WHEN has_pii
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'quality_failed', CAST(SUM(CASE WHEN NOT
+         |  quality_ok THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'lang_failed', CAST(SUM(CASE WHEN NOT lang_ok
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'clf_failed', CAST(SUM(CASE WHEN NOT clf_ok
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'dup_exact', CAST(SUM(CASE WHEN dup_exact
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'dup_near', CAST(SUM(CASE WHEN dup_near
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'quota_failed', CAST(SUM(CASE WHEN NOT quota_ok
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'kept', CAST(SUM(CASE WHEN keep
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k""".stripMargin),
+
     "a_pipeline_curate_clf" ->
       (QualityTrainCtes + ",\n" + DedupBase + ",\n" + NearDupBlock + ",\n" +
       s"""lg AS (SELECT *, $LangBest AS best FROM fl2),

@@ -142,7 +142,7 @@ object CurationStream {
                        textCol: String = "text", dedup: Boolean = false,
                        index: Option[graft.operators.Dedup.BandIndex] = None,
                        allowedLangs: Option[Seq[String]] = None,
-                       classifier: Option[Map[String, BigDecimal]] = None,
+                       classifier: Option[graft.operators.Logistic.Trained] = None,
                        quota: Option[(String, Int)] = None): DataFrame =
     graft.Pipelines.curateChain(batch, idCol, textCol, dedup, index,
       allowedLangs, classifier, quota)
@@ -152,18 +152,22 @@ object CurationStream {
     * (read back model-sized) rides as a plan literal, and each
     * arriving document gets its exact-decimal logit from ONE map-side
     * fold over its own tokens ([[graft.operators.Logistic.scoreInline]]
-    * — stateless, no state store, no watermark). `kept` decides on
-    * the DECIMAL sign (z > 0), the same contract the batch curation
-    * chain's classifier stage applies — so the streamed screen is
-    * bit-equal to batch over the same rows by construction
-    * (StreamingSpec proves it end-to-end through a MemoryStream).
+    * — stateless, no state store, no watermark). `kept` is the
+    * artifact's OWN deployment clause ([[graft.operators.Logistic
+    * .Trained.keeps]]: z reaches the stored PR-curve operating point,
+    * or the legacy decimal sign when none was selected), the same
+    * contract the batch curation chain's classifier stage applies —
+    * so the streamed screen is bit-equal to batch over the same rows
+    * by construction (StreamingSpec proves it end-to-end through a
+    * MemoryStream).
     */
   def classifierScreen(docs: DataFrame,
-                       weights: Map[String, BigDecimal],
+                       model: graft.operators.Logistic.Trained,
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame =
-    graft.operators.Logistic.scoreInline(docs, weights, idCol, textCol)
-      .withColumn("kept", col("z") > lit(0))
+    graft.operators.Logistic.scoreInline(docs, model.weights, idCol,
+        textCol, 2, model.gram)
+      .withColumn("kept", model.keepsZ(col("z")))
 
   /** Frontier screening at ingest — the streaming half of
     * `f_frontier`: typed outlinks (`graft_html_refs`, base-href

@@ -168,6 +168,130 @@ class LogisticSpec extends SparkSpec {
     assert(auc >= 0L && auc <= 1000000L)
   }
 
+  test("Trained artifact: meta round trip, back-compat, space guard") {
+    val w = Logistic.bucketSpace()
+      .map(b => b -> BigDecimal(s"0.${b.head.toInt % 10}").setScale(6))
+      .toMap
+    val dir = java.nio.file.Files.createTempDirectory("qtr").toString
+    // full round trip: weights + space + threshold survive exactly
+    val m = Logistic.Trained(w, Logistic.SpaceBigram,
+      Some(BigDecimal("1.250000")))
+    Logistic.writeTrained(spark, s"$dir/m", m)
+    val back = Logistic.readTrained(spark, s"$dir/m")
+    assert(back.weights === w && back.space === Logistic.SpaceBigram)
+    assert(back.threshold.get == BigDecimal("1.250000") &&
+      back.gram === 2)
+    // a null threshold round-trips as None (legacy sign contract)
+    Logistic.writeTrained(spark, s"$dir/m0", Logistic.Trained(w))
+    val b0 = Logistic.readTrained(spark, s"$dir/m0")
+    assert(b0.threshold.isEmpty && b0.space === Logistic.SpaceUnigram)
+    // a PRE-META artifact (round-13 on-disk shape: weights only)
+    // resolves to the unigram space + sign contract
+    Logistic.writeModel(spark, s"$dir/old", w)
+    val old = Logistic.readTrained(spark, s"$dir/old")
+    assert(old.weights === w && old.space === Logistic.SpaceUnigram &&
+      old.threshold.isEmpty)
+    // unknown feature-space ids are LOUD on write and on read
+    intercept[IllegalArgumentException] {
+      Logistic.writeTrained(spark, s"$dir/bad",
+        Logistic.Trained(w, space = "sha9z"))
+    }
+    intercept[IllegalArgumentException] { Logistic.gramOf("sha9z") }
+    // ...and the deployment clause honors the stored point: >= not >
+    import spark.implicits._
+    val z0 = Seq((1L, BigDecimal("1.250000")),
+      (2L, BigDecimal("1.249999")), (3L, BigDecimal("0.000000")))
+      .toDF("doc_id", "z")
+      .select(col("doc_id"), col("z").cast("decimal(38,6)").as("z"))
+    val kept = z0.select(col("doc_id"), m.keepsZ(col("z")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(kept === Map(1L -> true, 2L -> false, 3L -> false))
+    val keptSign = z0.select(col("doc_id"),
+        Logistic.Trained(w).keepsZ(col("z")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(keptSign === Map(1L -> true, 2L -> true, 3L -> false))
+  }
+
+  test("operating-point selection: naive replay; precision target") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint(false)
+    val feats = Logistic.hashedFeatures(d, col("source") === "src18")
+      .localCheckpoint(false)
+    val w = Logistic.train(spark, feats, d.count(), epochs = 2, lr = 0.5)
+      .last
+    val scored = Logistic.scoreInline(d, w).filter(col("n_tokens") > 0)
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("z"), (col("source") === "src18").as("y"))
+      .localCheckpoint(false)
+    val menu = Logistic.operatingPoints(scored).collect()
+      .map(r => (BigDecimal(r.getDecimal(0)), r.getAs[Long]("tp"),
+        r.getAs[Long]("fp"), r.getAs[Long]("fn"),
+        Option(r.getAs[java.lang.Long]("f1_ppm")).map(_.toLong)))
+    // naive per-threshold replay from the scored rows
+    val rows = scored.collect()
+      .map(r => (BigDecimal(r.getDecimal(0)), r.getBoolean(1)))
+    assert(menu.map(_._1).toSet === rows.map(_._1).toSet)
+    menu.foreach { case (t, tp, fp, fn, f1) =>
+      val wantTp = rows.count(r => r._2 && r._1 >= t).toLong
+      val wantFp = rows.count(r => !r._2 && r._1 >= t).toLong
+      val wantFn = rows.count(r => r._2 && r._1 < t).toLong
+      assert((tp, fp, fn) === ((wantTp, wantFp, wantFn)), s"at $t")
+      val den = 2 * wantTp + wantFp + wantFn
+      assert(f1 === (if (den > 0) Some(2 * wantTp * 1000000L / den)
+        else None), s"f1 at $t")
+    }
+    // max-F1 selection: best F1, smallest z among ties
+    val sel = Logistic.selectOperatingPoint(
+      Logistic.operatingPoints(scored)).collect()(0)
+    val bestF1 = menu.flatMap(_._5).max
+    val wantT = menu.filter(_._5.contains(bestF1)).map(_._1).min
+    assert(BigDecimal(sel.getDecimal(0)) == wantT)
+    assert(sel.getAs[Long]("f1_ppm") === bestF1)
+    // precision target: highest-recall qualifying point == smallest
+    // qualifying z; an unreachable target falls back to max-F1
+    val menuP = Logistic.operatingPoints(scored).collect()
+      .map(r => (BigDecimal(r.getDecimal(0)),
+        Option(r.getAs[java.lang.Long]("precision_ppm")).map(_.toLong)))
+    val pTarget = menuP.flatMap(_._2).max // achievable by construction
+    val selP = Logistic.selectOperatingPoint(
+      Logistic.operatingPoints(scored), Some(pTarget)).collect()(0)
+    assert(BigDecimal(selP.getDecimal(0)) ==
+      menuP.filter(_._2.exists(_ >= pTarget)).map(_._1).min)
+    val selFall = Logistic.selectOperatingPoint(
+      Logistic.operatingPoints(scored), Some(1000001L)).collect()(0)
+    assert(BigDecimal(selFall.getDecimal(0)) == wantT)
+  }
+
+  test("bigram space: fold == aggregation law; fewer-than-2-token docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta"),
+      (2L, "alpha alpha bravo"),
+      (3L, "single"),          // no bigram: zInline folds to exact 0
+      (4L, "")).toDF("doc_id", "text")
+    val w = Logistic.bucketSpace()
+      .map(b => b -> BigDecimal(s"0.${(b.head.toInt * 7) % 10}")
+        .setScale(6)).toMap
+    val feats = Logistic.hashedFeatures(docs, lit(true), gram = 2)
+      .localCheckpoint(false)
+    // per-doc: Σ_bigram w[bucket] via aggregation == the inline fold
+    val agg = Logistic.score(feats, w).collect()
+      .map(r => r.getAs[Long]("doc_id") -> BigDecimal(r.getDecimal(2)))
+      .toMap
+    val inline = Logistic.scoreInline(docs, w, gram = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        BigDecimal(r.getAs[java.math.BigDecimal]("z"))))
+    assert(agg.keySet === Set(1L, 2L)) // <2 tokens ⇒ no feature rows
+    inline.foreach { case (id, nt, z) =>
+      if (nt >= 2) assert(z == agg(id), s"doc $id")
+      else assert(z == BigDecimal(0), s"doc $id folds to exact 0")
+    }
+    // 3 bigrams in doc 1, 2 in doc 2
+    val k = feats.groupBy("doc_id").sum("k").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k === Map(1L -> 3L, 2L -> 2L))
+  }
+
   test("evalReport on a single-class split: auc_ppm null, no error") {
     val docs = (1 to 8).map(i =>
         (i.toLong, "pos", s"steady filler words number $i repeated here"))

@@ -374,6 +374,62 @@ class MainSpec extends SparkSpec {
         "--target-source", "x", "--label-col", "y")) }
   }
 
+  test("model CLI: threshold selection, feature-space record + guard") {
+    val root = Files.createTempDirectory("graft-model-thr")
+    val sf = "/root/testdata/sf0.001/documents.parquet"
+    val L = graft.operators.Logistic
+    def run(args: String*) =
+      Main.runModel(spark, Main.parseModel(args.toSeq))
+    run("train", "--input", sf, "--out", s"$root/clf",
+      "--target-source", "src18", "--epochs", "2")
+    // freshly-trained artifact records the space, no operating point
+    val m0 = L.readTrained(spark, s"$root/clf")
+    assert(m0.space === L.SpaceUnigram && m0.threshold.isEmpty)
+    // threshold selects the max-F1 point and persists it (swap)
+    val sel = run("threshold", "--model", s"$root/clf", "--input", sf,
+      "--target-source", "src18").collect()
+    assert(sel.length === 1)
+    val m1 = L.readTrained(spark, s"$root/clf")
+    assert(m1.threshold.contains(BigDecimal(sel.head.getDecimal(0))))
+    assert(m1.weights === m0.weights) // selection never touches weights
+    // score gates kept at the STORED point: kept == (z >= t)
+    val t = m1.threshold.get
+    val scored = run("score", "--model", s"$root/clf", "--input", sf)
+      .collect()
+    assert(scored.nonEmpty && scored.exists(_.getAs[Boolean]("kept")))
+    scored.foreach { r =>
+      assert(r.getAs[Boolean]("kept") ===
+        (BigDecimal(r.getAs[java.math.BigDecimal]("z")) >= t))
+    }
+    // retrain carries space AND threshold through the swap
+    run("retrain", "--model", s"$root/clf", "--input", sf,
+      "--target-source", "src18", "--epochs", "1")
+    val m2 = L.readTrained(spark, s"$root/clf")
+    assert(m2.space === m1.space && m2.threshold === m1.threshold)
+    assert(m2.weights !== m1.weights)
+    // --dry-run leaves the stored point untouched
+    run("threshold", "--model", s"$root/clf", "--input", sf,
+      "--target-source", "src18", "--min-precision-ppm", "1",
+      "--dry-run")
+    assert(L.readTrained(spark, s"$root/clf").threshold
+      === m1.threshold)
+    // a bigram artifact records its space; --gram contradiction is LOUD
+    run("train", "--input", sf, "--out", s"$root/clf2",
+      "--target-source", "src18", "--epochs", "1", "--gram", "2")
+    assert(L.readTrained(spark, s"$root/clf2").space === L.SpaceBigram)
+    intercept[IllegalArgumentException] {
+      run("score", "--model", s"$root/clf2", "--input", sf,
+        "--gram", "1")
+    }
+    intercept[IllegalArgumentException] {
+      Main.parseModel(Seq("train", "--input", "/i", "--out", "/o",
+        "--target-source", "x", "--gram", "3"))
+    }
+    intercept[IllegalArgumentException] { // threshold needs a label
+      Main.parseModel(Seq("threshold", "--model", "/m", "--input", "/i"))
+    }
+  }
+
   test("takedown: one command cascades the erase across all artifacts") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-takedown")

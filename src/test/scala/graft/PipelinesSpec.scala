@@ -273,26 +273,26 @@ class PipelinesSpec extends SparkSpec {
 
     // positive weights: every token sums positive → clf passes all,
     // keep still honors the earlier quality screen
-    val pos = Pipelines.curateChain(raw, classifier = Some(wmap("0.1")))
+    val pos = Pipelines.curateChain(raw, classifier = Some(graft.operators.Logistic.Trained(wmap("0.1"))))
       .collect().map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Boolean]("clf_ok"), r.getAs[Boolean]("keep")))).toMap
     assert(pos(0L) === ((true, true)) && pos(1L) === ((true, true)))
     assert(pos(2L)._1 && !pos(2L)._2)
 
     // negative weights: clf rejects everything, keep collapses to none
-    val neg = Pipelines.curateChain(raw, classifier = Some(wmap("-0.1")))
+    val neg = Pipelines.curateChain(raw, classifier = Some(graft.operators.Logistic.Trained(wmap("-0.1"))))
       .collect().map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Boolean]("clf_ok"), r.getAs[Boolean]("keep")))).toMap
     assert(neg.values.forall(v => !v._1 && !v._2))
 
     // zero weights: z == 0 is NOT > 0 — the sign contract is strict
-    val zer = Pipelines.curateChain(raw, classifier = Some(wmap("0")))
+    val zer = Pipelines.curateChain(raw, classifier = Some(graft.operators.Logistic.Trained(wmap("0"))))
       .collect().map(r => r.getAs[Boolean]("clf_ok"))
     assert(zer.forall(!_))
 
     // the funnel gains the clf_failed row exactly when the stage is on
     val rep = Pipelines.curationReport(
-      Pipelines.curateChain(raw, classifier = Some(wmap("-0.1"))))
+      Pipelines.curateChain(raw, classifier = Some(graft.operators.Logistic.Trained(wmap("-0.1")))))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rep("clf_failed") === 3L && rep("kept") === 0L)
     val repOff = Pipelines.curationReport(Pipelines.curateChain(raw))
@@ -314,12 +314,46 @@ class PipelinesSpec extends SparkSpec {
     val bucket0 = spark.range(1).select(b0.substr(1, 2)).head.getString(0)
     // 12 copies of the -1.3 bucket outweigh ~12 tokens of +0.1
     val targeted = wmap("0.1") + (bucket0 -> BigDecimal("-1.3").setScale(6))
-    val q = Pipelines.curateChain(raw2, classifier = Some(targeted),
+    val q = Pipelines.curateChain(raw2, classifier = Some(graft.operators.Logistic.Trained(targeted)),
       quota = Some(("source", 1)))
       .collect().map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Boolean]("clf_ok"), r.getAs[Boolean]("keep")))).toMap
     assert(!q(0L)._1 && !q(0L)._2)
     // exactly one of the two clf-survivors keeps under the cap
     assert(Seq(q(1L), q(2L)).count(_._2) === 1)
+  }
+
+  test("curation classifier stage honors the stored operating point") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "walks back home again"
+    val raw = Seq((1L, s"<p>$good one</p>"), (2L, s"<p>$good two</p>"))
+      .toDF("doc_id", "text")
+    val w = graft.operators.Logistic.bucketSpace()
+      .map(_ -> BigDecimal("0.1").setScale(6)).toMap
+    // every clean text scores z = 0.1 * n_tokens; compute the two z's
+    // and thread a threshold BETWEEN them: >= keeps the higher doc
+    // only — proving the gate is the stored point, not the sign
+    val zs = Pipelines.curateDecisions(raw)
+      .select(col("doc_id"), graft.operators.Logistic
+        .zInline(col("clean"), w).as("z"))
+      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1)))
+      .toMap
+    assert(zs(1L) == zs(2L)) // same token count → same z here
+    val zv = zs(1L)
+    def keepOf(m: graft.operators.Logistic.Trained) =
+      Pipelines.curateChain(raw, classifier = Some(m)).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("clf_ok"))
+        .toMap
+    // threshold == the achieved z: z >= t keeps (boundary INCLUSIVE)
+    val at = keepOf(graft.operators.Logistic.Trained(w,
+      threshold = Some(zv)))
+    assert(at.values.forall(identity))
+    // one ulp above: rejects — while the sign contract keeps
+    val above = keepOf(graft.operators.Logistic.Trained(w,
+      threshold = Some(zv + BigDecimal("0.000001"))))
+    assert(above.values.forall(!_))
+    assert(keepOf(graft.operators.Logistic.Trained(w))
+      .values.forall(identity))
   }
 }

@@ -730,7 +730,8 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     val mem = MemoryStream[(Long, String)]
     val q = graft.streaming.CurationStream.classifierScreen(
-        mem.toDF().toDF("doc_id", "text"), w)
+        mem.toDF().toDF("doc_id", "text"),
+        graft.operators.Logistic.Trained(w))
       .writeStream.format("memory").queryName("tclf")
       .outputMode("append").start()
     try {
@@ -743,10 +744,21 @@ class StreamingSpec extends SparkSpec {
         r.getAs[Boolean]("kept"))).sortBy(_._1)
     val got = canon(spark.sql("SELECT * FROM tclf").collect().toSeq)
     val want = canon(graft.streaming.CurationStream.classifierScreen(
-      rows.toDF("doc_id", "text"), w).collect().toSeq)
+      rows.toDF("doc_id", "text"),
+      graft.operators.Logistic.Trained(w)).collect().toSeq)
     assert(got.length === 50 && got === want)
     // kept IS the decimal sign
     assert(got.forall(r => r._4 === (r._3 > 0)))
+    // ...and with a STORED operating point the same screen gates
+    // kept = z >= threshold (boundary inclusive), batch == stream by
+    // the same stateless construction
+    val t0 = got.map(_._3).max // an achieved z (sign irrelevant)
+    val thr = graft.operators.Logistic.Trained(w,
+      threshold = Some(t0))
+    val gotT = canon(graft.streaming.CurationStream.classifierScreen(
+      rows.toDF("doc_id", "text"), thr).collect().toSeq)
+    assert(gotT.forall(r => r._4 === (r._3 >= t0)))
+    assert(gotT.exists(r => r._3 == t0 && r._4)) // inclusive boundary
   }
 
   test("streaming PII screen + mojibake repair bit-equal batch, stateless") {
@@ -1053,7 +1065,8 @@ class StreamingSpec extends SparkSpec {
     val q = mem.toDF().toDF("doc_id", "source", "text").writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
         buf ++= graft.streaming.CurationStream.curateMicroBatch(
-          b, dedup = true, index = Some(idx), classifier = Some(clfW),
+          b, dedup = true, index = Some(idx),
+          classifier = Some(graft.operators.Logistic.Trained(clfW)),
           quota = Some(("source", 2)))
           .collect()
         ()
@@ -1063,7 +1076,8 @@ class StreamingSpec extends SparkSpec {
       rows.map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
     val want = graft.Pipelines.curateChain(
       docs.toDF("doc_id", "source", "text"), dedup = true,
-      dedupIndex = Some(idx), classifier = Some(clfW),
+      dedupIndex = Some(idx),
+      classifier = Some(graft.operators.Logistic.Trained(clfW)),
       quota = Some(("source", 2))).collect()
     assert(canon(buf.toSeq) === canon(want.toSeq))
     assert(buf.forall(_.getAs[Boolean]("clf_ok")))
