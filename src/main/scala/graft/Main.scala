@@ -57,6 +57,11 @@ import graft.operators.{CrawlState, Dedup, MoveSink, Report, Similarity}
   *                            to the URL-seen artifact at P — the
   *                            crawl-loop closure: the next frontier
   *                            wave never re-queues them
+  *     [--ledger P --run-id D] after a real run, append this run's
+  *                            funnel rows to the persisted ledger at
+  *                            P under run key D — the daily-ops
+  *                            trail (CurationLedger.trend shows what
+  *                            moved since the last run)
   * Prints the per-stage funnel report; kept documents land in
   * `--output` as (doc_id, text) clean text. `--dry-run` audits only.
   *
@@ -180,7 +185,9 @@ object Main {
                                 classifier: Option[String] = None,
                                 quota: Option[(String, Int)] = None,
                                 updateIndex: Boolean = false,
-                                updateFrontier: Option[String] = None)
+                                updateFrontier: Option[String] = None,
+                                ledger: Option[String] = None,
+                                runId: Option[String] = None)
 
   /** Collect `--flag value` pairs (plus bare `--dry-run`), failing
     * loudly on anything not in `known` — a typoed flag on an
@@ -214,7 +221,7 @@ object Main {
 
   private val curateFlags = Set("dry-run", "input", "output", "dedup",
     "dedup-index", "langs", "classifier", "quota", "quota-col",
-    "update-index", "update-frontier")
+    "update-index", "update-frontier", "ledger", "run-id")
   private val curateBare = Set("dry-run", "dedup", "update-index")
 
   private[graft] def parseCurate(args: Seq[String]): CurateConfig = {
@@ -227,6 +234,9 @@ object Main {
       fail("--update-index is a mutation; it cannot combine with --dry-run")
     if (flags.contains("update-frontier") && dry)
       fail("--update-frontier is a mutation; it cannot combine with --dry-run")
+    if (flags.contains("ledger") != flags.contains("run-id"))
+      fail("--ledger PATH and --run-id ID come together (each appended " +
+        "funnel needs its run key)")
     CurateConfig(
       input = flags.getOrElse("input", fail("missing --input PARQUET")),
       output = flags.getOrElse("output",
@@ -241,7 +251,9 @@ object Main {
         (flags.getOrElse("quota-col", "source"), q.toIntOption
           .getOrElse(fail(s"--quota needs an integer, got: $q")))),
       updateIndex = upd,
-      updateFrontier = flags.get("update-frontier"))
+      updateFrontier = flags.get("update-frontier"),
+      ledger = flags.get("ledger"),
+      runId = flags.get("run-id"))
   }
 
   /** Execute the curate verb: run [[Pipelines.pipelineC]] with the
@@ -281,6 +293,18 @@ object Main {
     // close the crawl loop: the KEPT documents' outlinks (typed 'a'
     // refs off the RAW payloads, canonicalized) enter the URL-seen
     // artifact, so the next frontier wave never re-queues them
+    // the funnel ledger: this run's report appends under --run-id —
+    // the daily-ops trail CurationLedger.trend alerts on (dry runs
+    // audit, they do not write history)
+    cfg.ledger.foreach { lpath =>
+      if (cfg.dryRun)
+        println(s"[dry-run] would append funnel to $lpath")
+      else {
+        graft.operators.CurationLedger.append(spark, lpath,
+          cfg.runId.get, report)
+        println(s"Appended funnel run ${cfg.runId.get} to $lpath")
+      }
+    }
     cfg.updateFrontier.foreach { fpath =>
       val keptIds = spark.read.parquet(cfg.output).select(col("doc_id"))
       val outlinks = spark.read.parquet(cfg.input)

@@ -197,7 +197,42 @@ object CurationQueries {
     graft.operators.Logistic.readTrained(s, p)
   }
 
+  /** Temp path of the persisted funnel LEDGER, built once per data
+    * directory: three "daily" waves of the raw-crawl corpus
+    * (doc_id % 3) each run through the curation screens, their funnel
+    * reports appended under day-0/1/2 — the fixture is the WRITE;
+    * `a_funnel_ledger` gates the ledger READ + trend path.
+    */
+  private val ledgerMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def funnelLedger(s: SparkSession, dir: String): String =
+    ledgerMemo.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ledger").toString + "/funnel"
+      val raw = s.read.parquet(curatedInput(s, dir))
+      (0 to 2).foreach { w =>
+        val decisions = graft.Pipelines.curateChain(
+          raw.filter(pmod(col("doc_id"), lit(3)) === w))
+        graft.operators.CurationLedger.append(s, path, s"day-$w",
+          graft.Pipelines.curationReport(decisions))
+      }
+      path
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- the funnel LEDGER read + trend path: every pipeline-C run
+    //      appends its per-stage counts under a run key (the fixture
+    //      replays three daily waves of the raw-crawl corpus), and
+    //      the trend view lags each stage across runs — the daily-ops
+    //      number a real ingest pipeline pages on ("kept dropped 40%
+    //      vs yesterday"). The ledger is runs × stages sized; the
+    //      trend is one window over it ----
+    "a_funnel_ledger" -> ((s, dir) =>
+      graft.operators.CurationLedger.trend(
+        graft.operators.CurationLedger.read(s, funnelLedger(s, dir)))),
+
     // ---- the curation pipeline end-to-end (training-data sibling of
     //      a_pipeline_move): a generated raw-crawl corpus — markup
     //      with comment/script decoys, injected PII (doc_id%5),
@@ -1100,6 +1135,48 @@ object CurationQueries {
         |FROM zn GROUP BY source""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // three daily waves (doc_id % 3) of the closed-form curate funnel
+    // appended under day-0/1/2, then the per-stage LAG trend — the
+    // CleanForm/PII/Gopher fragments are the exact ones the
+    // a_pipeline_curate oracle gates
+    "a_funnel_ledger" ->
+      ("""WITH base AS (SELECT doc_id, doc_id % 3 AS wave,
+         |    @CLEAN@ AS clean
+         |  FROM documents),
+         |fl AS MATERIALIZED (SELECT wave, doc_id, clean,
+         |    doc_id % 7 = 0 AS repaired,
+         |    @PII@ AS has_pii,
+         |    @QUALITY@ AS quality_ok
+         |  FROM base),
+         |f AS (
+         |  SELECT wave, 'ingested' AS stage, COUNT(*) AS n
+         |    FROM fl GROUP BY wave
+         |  UNION ALL SELECT wave, 'markup_stripped', COUNT(*)
+         |    FROM fl GROUP BY wave
+         |  UNION ALL SELECT wave, 'mojibake_repaired',
+         |    SUM(CASE WHEN repaired THEN 1 ELSE 0 END)
+         |    FROM fl GROUP BY wave
+         |  UNION ALL SELECT wave, 'pii_flagged',
+         |    SUM(CASE WHEN has_pii THEN 1 ELSE 0 END)
+         |    FROM fl GROUP BY wave
+         |  UNION ALL SELECT wave, 'quality_failed',
+         |    SUM(CASE WHEN NOT quality_ok THEN 1 ELSE 0 END)
+         |    FROM fl GROUP BY wave
+         |  UNION ALL SELECT wave, 'kept',
+         |    SUM(CASE WHEN quality_ok AND NOT has_pii THEN 1 ELSE 0 END)
+         |    FROM fl GROUP BY wave),
+         |led AS (SELECT 'day-' || wave AS run_id, stage,
+         |    CAST(n AS BIGINT) AS n FROM f)
+         |SELECT run_id, stage, n,
+         |  CAST(LAG(n) OVER (PARTITION BY stage ORDER BY run_id)
+         |    AS BIGINT) AS prev_n,
+         |  CAST(n - LAG(n) OVER (PARTITION BY stage ORDER BY run_id)
+         |    AS BIGINT) AS delta
+         |FROM led""".stripMargin
+        .replace("@CLEAN@", CleanForm)
+        .replace("@PII@", PiiExpr)
+        .replace("@QUALITY@", QualityExpr)),
+
     "t_quality_train" -> QualityTrainOracle,
     "t_quality_train_eval" -> QualityTrainEvalOracle,
     // the artifact read+deploy path is DEFINED to equal the eval

@@ -194,6 +194,42 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("curate --ledger: each run's funnel appends under its run id") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-curate-led")
+    val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq((1L, s"<p>$good one</p>"), (2L, "<p>tiny</p>"))
+      .toDF("doc_id", "text").write.parquet(s"$root/in.parquet")
+    def run(day: String, dry: Boolean = false) =
+      Main.runCurate(spark, Main.parseCurate(Seq(
+        "--input", s"$root/in.parquet",
+        "--ledger", s"$root/led", "--run-id", day) ++
+        (if (dry) Seq("--dry-run")
+         else Seq("--output", s"$root/out.parquet")))).collect()
+    run("day-0"); run("day-1")
+    val led = graft.operators.CurationLedger.read(spark, s"$root/led")
+    val byRun = led.collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(byRun === Map("day-0" -> 6, "day-1" -> 6))
+    // identical input, identical funnel → delta 0 everywhere on day-1
+    val tr = graft.operators.CurationLedger.trend(led)
+      .filter(org.apache.spark.sql.functions.col("run_id") === "day-1")
+      .collect()
+      .map(r => r.getAs[Long]("delta"))
+    assert(tr.length === 6 && tr.forall(_ === 0L))
+    // a DRY run audits without writing history
+    run("day-2", dry = true)
+    assert(graft.operators.CurationLedger.read(spark, s"$root/led")
+      .count() === 12L)
+    // --ledger and --run-id come together
+    intercept[IllegalArgumentException] {
+      Main.parseCurate(Seq("--input", "/i", "--dry-run", "--ledger", "/l"))
+    }
+    intercept[IllegalArgumentException] {
+      Main.parseCurate(Seq("--input", "/i", "--dry-run", "--run-id", "d"))
+    }
+  }
+
   test("curate --classifier: the persisted model gates keep from the CLI") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-curate-clf")
