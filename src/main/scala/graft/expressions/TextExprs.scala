@@ -433,9 +433,74 @@ case class CharCounts(child: Expression)
       newChild: Expression): CharCounts = copy(child = newChild)
 }
 
+/** Binary payload → text, transparently inflating gzip: bytes opening
+  * with the gzip magic (0x1f 0x8b) stream through a pure-JDK
+  * GZIPInputStream (null on a corrupt stream — a truncated fetch must
+  * not crash the scan, it must be SELECTABLE), anything else decodes
+  * as UTF-8. The production read path for compressed web artifacts
+  * fetched as opaque blobs (sitemap.xml.gz is the canonical case:
+  * sitemaps.org/protocol.html allows gzip leaf sitemaps); output is
+  * bounded to `maxBytes` decompressed (gzip-bomb guard — the sitemap
+  * protocol itself caps files at 50 MiB uncompressed, which is the
+  * default here). Deterministic one-pass decode; CodegenFallback: the
+  * inflater dominates, not dispatch. Library + spec gated (no SQL
+  * engine exposes gzip).
+  */
+case class GunzipText(child: Expression,
+                      maxBytes: Int = GunzipText.DefaultMaxBytes)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case org.apache.spark.sql.types.BinaryType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_gunzip_text requires binary, got ${other.simpleString}")
+    }
+  }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gunzip_text"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    if (bytes.length >= 2 &&
+        (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
+      try {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        var total = 0
+        while (n > 0 && total <= maxBytes) {
+          out.write(buf, 0, n); total += n; n = in.read(buf)
+        }
+        in.close()
+        if (total > maxBytes) null // bomb guard: over-cap is null, loud
+        else UTF8String.fromBytes(out.toByteArray)
+      } catch { case _: java.io.IOException => null }
+    } else UTF8String.fromBytes(bytes)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GunzipText = copy(child = newChild)
+}
+
+object GunzipText {
+  /** sitemaps.org's own uncompressed-size cap. */
+  val DefaultMaxBytes: Int = 50 * 1024 * 1024
+}
+
 object TextExprs {
   def simhash(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
+
+  def gunzipText(bytes: Column): Column =
+    Bridge.column(GunzipText(Bridge.expression(bytes)))
 
   def deflateLen(s: Column): Column =
     Bridge.column(DeflateLen(Bridge.expression(s)))

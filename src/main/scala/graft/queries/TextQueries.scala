@@ -72,6 +72,67 @@ object TextQueries {
     graft.operators.CrawlState.readUrlIndex(s, p)
   }
 
+  /** Temp path of the fetched-sitemap SPOOL (`<dir>/<host>/<file>`,
+    * the [[graft.sources.Sitemaps.readFrom]] layout), written once per
+    * data directory: every host serves the same URL set as before —
+    * its /d/ pages (whitespace-padded locs) plus one entity-encoded
+    * parameterized extra — but hosts h%3==0 serve it the PRODUCTION
+    * way: `sitemap.xml` is a `sitemapindex` nesting two GZIPPED leaf
+    * sitemaps (/d/ pages in part 1, the extra in part 2), exercising
+    * inflate + classification + index resolution on the read path.
+    * The fixture is the fetcher's WRITE; `f_sitemap_feed` /
+    * `f_sitemap_read` gate the file READ + parse + expand path.
+    */
+  private val sitemapSpoolMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sitemapSpool(s: SparkSession, dir: String): String =
+    sitemapSpoolMemo.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sitemaps").toString
+      val rows = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(10)).as("host"), col("doc_id"))
+        .groupBy("host")
+        .agg(array_join(transform(array_sort(collect_list(col("doc_id"))),
+          i => concat(lit("<url><loc> https://ex"), col("host"),
+            lit(".org/d/"), i, lit(" </loc></url>"))), "").as("durls"))
+        .collect()
+      def write(path: java.nio.file.Path, text: String): Unit =
+        java.nio.file.Files.write(path,
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      def writeGz(path: java.nio.file.Path, text: String): Unit = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        gz.close()
+        java.nio.file.Files.write(path, bos.toByteArray)
+      }
+      rows.foreach { r =>
+        val h = r.getAs[Long]("host")
+        val durls = r.getAs[String]("durls")
+        val extra = s"""<url><loc>https://ex$h.org/extra?b=2&amp;a=1""" +
+          "</loc></url>"
+        val hostDir = java.nio.file.Files
+          .createDirectories(java.nio.file.Paths.get(root, s"ex$h.org"))
+        if (h % 3 == 0) {
+          // production shape: index entry + two gzipped leaves (one
+          // index loc whitespace-padded to exercise the trim)
+          write(hostDir.resolve("sitemap.xml"),
+            s"""<sitemapindex><sitemap><loc>https://ex$h.org/""" +
+              "sitemap_1.xml.gz</loc></sitemap><sitemap><loc> " +
+              s"""https://ex$h.org/sitemap_2.xml.gz """ +
+              "</loc></sitemap></sitemapindex>")
+          writeGz(hostDir.resolve("sitemap_1.xml.gz"),
+            s"<urlset>$durls</urlset>")
+          writeGz(hostDir.resolve("sitemap_2.xml.gz"),
+            s"<urlset>$extra</urlset>")
+        } else
+          write(hostDir.resolve("sitemap.xml"),
+            s"<urlset>$durls$extra</urlset>")
+      }
+      root
+    })
+
   /** Generated markup shared by `t_html_tables` and
     * `t_table_linearize`: three tables — a headered 3-row grid with
     * entity refs, inline tags, a script decoy and implied closes; a
@@ -655,51 +716,49 @@ object TextQueries {
       graft.operators.CrawlState.urlIndexStats(frontierIndex(s, dir))),
 
     // ---- sitemap discovery feeding the frontier — the third leg of
-    //      the crawl-ops chain: each host's robots.txt DECLARES its
-    //      sitemap (group-independent `Sitemap:` line, extracted by
-    //      Robots.sitemapUrls), the served XML payload's <loc>
-    //      entries (whitespace-padded, one &amp;-entity url per host)
-    //      are extracted, entity-decoded and canonicalized, and the
-    //      candidate set screens against the PERSISTED URL-seen
-    //      artifact — per host: how much of the declared sitemap is
-    //      already crawled vs new fetch budget. Shapes: host-bounded
-    //      robots/sitemap frames, one regexp extraction per host
-    //      payload, one equi-join on the canonical url key ----
+    //      the crawl-ops chain, on the PRODUCTION read path: each
+    //      host's robots.txt DECLARES its entry sitemap
+    //      (group-independent `Sitemap:` line, Robots.sitemapUrls),
+    //      the FETCHED payloads are read from the spool as opaque
+    //      blobs (one distributed binaryFile scan), inflated where
+    //      gzipped, classified urlset/sitemapindex, their <loc>s
+    //      extracted (trimmed, entity-decoded, 50k-capped) and
+    //      index-nested hosts resolved entry→leaf by one (host, file)
+    //      equi-join per depth level — then the candidate set screens
+    //      against the PERSISTED URL-seen artifact: per host, how
+    //      much of the declared sitemap is already crawled vs new
+    //      fetch budget. Host-bounded frames end to end ----
     "f_sitemap_feed" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val sm = robotsTxtFixture(d).select(col("host"),
+      val sm = robotsTxtFixture(d).select(
+        concat(lit("ex"), col("host"), lit(".org")).as("host"),
         explode(graft.functions.Robots.sitemapUrls(col("txt")))
           .as("sitemap_url"))
-      // the XML each host serves: its own /d/ pages (padded locs)
-      // plus one parameterized extra with an entity-encoded ampersand
-      val xml = d.select(pmod(col("doc_id"), lit(10)).as("host"),
-          col("doc_id"))
-        .groupBy("host")
-        .agg(concat(lit("<urlset>"),
-          array_join(transform(array_sort(collect_list(col("doc_id"))),
-            i => concat(lit("<url><loc> https://ex"), col("host"),
-              lit(".org/d/"), i, lit(" </loc></url>"))), ""),
-          lit("<url><loc>https://ex"), col("host"),
-          lit(".org/extra?b=2&amp;a=1</loc></url></urlset>")).as("xml"))
-      val locs = sm.join(xml, "host")
-        .select(col("host").as("h"), col("sitemap_url"),
-          explode(expr(
-            "regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)"))
-            .as("raw"))
-        .select(col("h"), col("sitemap_url"),
-          regexp_replace(trim(col("raw")), "&amp;", "&").as("url"))
+      val parsed = graft.sources.Sitemaps
+        .readFrom(s, sitemapSpool(s, dir))
+      val urls = graft.sources.Sitemaps
+        .expand(parsed, sm.select(col("sitemap_url")))
       graft.operators.CrawlState
-        .screenUrls(locs.select("url"), frontierIndex(s, dir))
+        .screenUrls(urls.select("url"), frontierIndex(s, dir))
         .groupBy("host").agg(
           count(lit(1)).as("n_urls"),
           sum(when(col("known"), 1L).otherwise(0L)).as("n_known"),
           sum(when(!col("known"), 1L).otherwise(0L)).as("n_new"))
-        .join(locs.select(
-          concat(lit("ex"), col("h"), lit(".org")).as("host"),
-          col("sitemap_url")).distinct(), "host")
+        .join(sm.distinct(), "host")
         .select(col("host"), col("sitemap_url"), col("n_urls"),
           col("n_known"), col("n_new"))
     }),
+
+    // ---- the parse-level view of the same spool — the per-file
+    //      health report a crawl operator reads before trusting a
+    //      wave ("did host 3's index resolve, how many locs per
+    //      leaf"): one scan + the map-side parse, (host, file, kind,
+    //      loc count) per fetched payload; gzip leaves inflate
+    //      in-executor, the index files report their CHILD counts ----
+    "f_sitemap_read" -> ((s, dir) =>
+      graft.sources.Sitemaps.readFrom(s, sitemapSpool(s, dir))
+        .select(col("host"), col("file"), col("kind"),
+          size(col("locs")).cast("long").as("n_locs"))),
 
     // ---- table extraction from generated markup: header/data cells
     //      across THREE tables with entity refs, inline tags (word
@@ -3629,6 +3688,24 @@ object TextQueries {
         |  CAST(SUM(CASE WHEN NOT known THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_new
         |FROM du GROUP BY h""".stripMargin,
+
+    // the spool's parse-level table in closed form: index hosts
+    // (h%3==0) serve a 2-loc sitemapindex plus two gzipped leaves
+    // (/d/ pages, then the single extra), plain hosts one urlset of
+    // nd + 1 locs
+    "f_sitemap_read" ->
+      """WITH h AS (SELECT doc_id % 10 AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS nd
+        |  FROM documents GROUP BY 1)
+        |SELECT 'ex' || h || '.org' AS host, 'sitemap.xml' AS file,
+        |  CASE WHEN h % 3 = 0 THEN 'sitemapindex' ELSE 'urlset' END
+        |    AS kind,
+        |  CASE WHEN h % 3 = 0 THEN 2 ELSE nd + 1 END AS n_locs
+        |FROM h
+        |UNION ALL SELECT 'ex' || h || '.org', 'sitemap_1.xml.gz',
+        |  'urlset', nd FROM h WHERE h % 3 = 0
+        |UNION ALL SELECT 'ex' || h || '.org', 'sitemap_2.xml.gz',
+        |  'urlset', 1 FROM h WHERE h % 3 = 0""".stripMargin,
 
     // the artifact's seen set in closed form (distinct /d/ urls of the
     // crawled docs), massed per host, then the size histogram

@@ -1,0 +1,132 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Production sitemap ingestion — the file-sourced read path for the
+  * crawl-ops chain (sitemaps.org protocol): fetched sitemap payloads
+  * (plain or gzip `sitemap.xml`, `sitemapindex` documents nesting leaf
+  * sitemaps) are scanned as opaque blobs, inflated/decoded in
+  * executors ([[graft.expressions.GunzipText]]), classified by their
+  * root element, their `<loc>` entries extracted (whitespace-trimmed,
+  * XML-entity-decoded, capped at the protocol's 50,000-URL limit),
+  * and a bounded-depth resolution joins `sitemapindex` entries to the
+  * fetched leaf payloads — so a host's declared entry sitemap expands
+  * to its full URL set without any driver-side parsing.
+  *
+  * Scale shape: one distributed binaryFile scan; parsing is a
+  * map-side projection per payload; index→leaf resolution is an
+  * equi-join on (host, file basename) — the sitemap table is
+  * hosts × files sized, never corpus-sized. The 50k cap and the
+  * depth bound are the protocol's own guards, enforced here so one
+  * hostile host cannot blow up a wave.
+  */
+object Sitemaps {
+
+  /** The sitemap protocol's per-file URL cap. */
+  val MaxUrlsPerSitemap = 50000
+
+  /** Nested `sitemapindex` resolution depth bound (entry → leaf is
+    * depth 1; the protocol forbids indexes of indexes, but crawlers
+    * meet them — bound instead of trusting).
+    */
+  val MaxIndexDepth = 3
+
+  private def decodeEntities(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(c,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&apos;", "'"),
+      "&amp;", "&")
+
+  /** Parse fetched sitemap payloads: (urlCol, bytesCol) →
+    * (sitemap_url, host, file, kind, locs).
+    *
+    *   - `kind`: `sitemapindex` when the document's root region opens
+    *     `<sitemapindex`, `urlset` for `<urlset`, null otherwise (a
+    *     non-sitemap payload stays selectable, never crashes a scan);
+    *   - `locs`: the `<loc>` texts in document order — trimmed,
+    *     entity-decoded, capped at `cap` (protocol limit; the cap is
+    *     a SLICE, so an over-limit hostile file degrades instead of
+    *     exploding downstream joins);
+    *   - `host`/`file`: the join keys resolution uses.
+    */
+  def parse(payloads: DataFrame, urlCol: String = "sitemap_url",
+            bytesCol: String = "content",
+            cap: Int = MaxUrlsPerSitemap): DataFrame = {
+    val text = graft.expressions.TextExprs.gunzipText(col(bytesCol))
+    payloads
+      .withColumn("__text", text)
+      .withColumn("kind",
+        when(col("__text").rlike("<sitemapindex[\\s>]"),
+          lit("sitemapindex"))
+          .when(col("__text").rlike("<urlset[\\s>]"), lit("urlset")))
+      .withColumn("locs", slice(
+        transform(
+          expr(s"regexp_extract_all(__text, '<loc>([^<]*)</loc>', 1)"),
+          l => decodeEntities(trim(l))),
+        1, cap))
+      .select(col(urlCol).as("sitemap_url"),
+        hostOf(col(urlCol)).as("host"),
+        baseNameOf(col(urlCol)).as("file"),
+        col("kind"), col("locs"))
+  }
+
+  private def hostOf(u: Column): Column =
+    regexp_extract(u, "^[a-z]+://([^/]+)", 1)
+
+  private def baseNameOf(u: Column): Column =
+    element_at(split(regexp_replace(u, "[?#].*$", ""), "/"), -1)
+
+  /** Read fetched sitemap payloads from a directory tree laid out as
+    * `<dir>/<host>/<file>` (the fetcher's spool: one subdirectory per
+    * host, the fetched bytes verbatim — gzip stays gzip). One
+    * distributed binaryFile scan; the sitemap_url is reconstructed
+    * from the spool layout as `https://<host>/<file>`.
+    */
+  def readFrom(spark: SparkSession, dir: String,
+               cap: Int = MaxUrlsPerSitemap): DataFrame = {
+    val files = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true").load(dir)
+    val segs = split(col("path"), "/")
+    parse(files.select(
+      concat(lit("https://"), element_at(segs, -2), lit("/"),
+        element_at(segs, -1)).as("sitemap_url"),
+      col("content")), cap = cap)
+  }
+
+  /** Resolve a parsed sitemap table to (entry_sitemap_url, url) —
+    * every crawlable URL each ENTRY sitemap (the one robots.txt
+    * declares) ultimately feeds, walking `sitemapindex` nesting up to
+    * `maxDepth` joins. Each step joins the current frontier's
+    * index-entries to the fetched payload table on (host, file) —
+    * a declared leaf that was never fetched simply contributes
+    * nothing (the honest fetch-gap semantics). URLs attribute to the
+    * entry sitemap, so per-host budgeting sees one row space per
+    * declared sitemap regardless of nesting shape.
+    */
+  def expand(parsed: DataFrame, entries: DataFrame,
+             entryCol: String = "sitemap_url",
+             maxDepth: Int = MaxIndexDepth): DataFrame = {
+    val byKey = parsed.select(col("host"), col("file"), col("kind"),
+      col("locs")).localCheckpoint(false)
+    // frontier: (entry, host, file) sitemaps still to open
+    var frontier = entries
+      .select(col(entryCol).as("entry"), hostOf(col(entryCol)).as("host"),
+        baseNameOf(col(entryCol)).as("file"))
+    var out: DataFrame = null
+    var depth = 0
+    while (depth <= maxDepth) {
+      val opened = frontier.join(byKey, Seq("host", "file"))
+      val urls = opened.filter(col("kind") === "urlset")
+        .select(col("entry").as("sitemap_url"),
+          explode(col("locs")).as("url"))
+      out = if (out == null) urls else out.unionByName(urls)
+      frontier = opened.filter(col("kind") === "sitemapindex")
+        .select(col("entry"), explode(col("locs")).as("child"))
+        .select(col("entry"), hostOf(col("child")).as("host"),
+          baseNameOf(col("child")).as("file"))
+      depth += 1
+    }
+    out
+  }
+}

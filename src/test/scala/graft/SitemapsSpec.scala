@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sitemaps
+
+/** Laws for the production sitemap read path: gzip inflation, root
+  * classification, loc extraction (trim + entity decode + protocol
+  * cap), nested-index resolution with the depth bound, and the
+  * never-crash contract on hostile payloads.
+  */
+class SitemapsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gz(text: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(text.getBytes(StandardCharsets.UTF_8)); g.close()
+    bos.toByteArray
+  }
+
+  private def payloads(rows: (String, Array[Byte])*) =
+    rows.toDF("sitemap_url", "content")
+
+  test("parse: classify, extract, trim, entity-decode; gzip inflates") {
+    val xml = "<urlset><url><loc> https://ex.org/a?x=1&amp;y=2 </loc>" +
+      "</url><url><loc>https://ex.org/&lt;odd&gt;</loc></url></urlset>"
+    val got = Sitemaps.parse(payloads(
+        ("https://ex.org/sitemap.xml",
+          xml.getBytes(StandardCharsets.UTF_8)),
+        ("https://ex.org/sitemap2.xml.gz", gz(xml)),
+        ("https://ex.org/idx.xml",
+          ("<sitemapindex><sitemap><loc>https://ex.org/leaf.xml</loc>" +
+            "</sitemap></sitemapindex>").getBytes(StandardCharsets.UTF_8)),
+        ("https://ex.org/junk.bin", Array[Byte](1, 2, 3))))
+      .collect()
+      .map(r => r.getAs[String]("file") ->
+        ((r.getAs[String]("kind"), r.getAs[scala.collection.Seq[String]]("locs").toSeq)))
+      .toMap
+    val wantLocs =
+      Seq("https://ex.org/a?x=1&y=2", "https://ex.org/<odd>")
+    assert(got("sitemap.xml") === (("urlset", wantLocs)))
+    assert(got("sitemap2.xml.gz") === (("urlset", wantLocs))) // inflated
+    assert(got("idx.xml") ===
+      (("sitemapindex", Seq("https://ex.org/leaf.xml"))))
+    assert(got("junk.bin")._1 === null) // hostile bytes stay selectable
+    // host/file keys come from the url
+    val keys = Sitemaps.parse(payloads(("https://ex.org/sitemap.xml",
+        xml.getBytes(StandardCharsets.UTF_8)))).collect()(0)
+    assert(keys.getAs[String]("host") === "ex.org" &&
+      keys.getAs[String]("file") === "sitemap.xml")
+  }
+
+  test("parse: the protocol's 50k cap is a SLICE (here cap=3)") {
+    val many = (1 to 10)
+      .map(i => s"<url><loc>https://ex.org/p/$i</loc></url>").mkString
+    val got = Sitemaps.parse(payloads(("https://ex.org/sitemap.xml",
+        s"<urlset>$many</urlset>".getBytes(StandardCharsets.UTF_8))),
+        cap = 3)
+      .collect()(0).getAs[scala.collection.Seq[String]]("locs").toSeq
+    assert(got === Seq("https://ex.org/p/1", "https://ex.org/p/2",
+      "https://ex.org/p/3"))
+  }
+
+  test("gunzip expression: magic-gated, corrupt-null, bomb guard") {
+    val T = graft.expressions.TextExprs
+    def run(bytes: Array[Byte]) =
+      Seq(Tuple1(bytes)).toDF("b")
+        .select(T.gunzipText(col("b")).as("t")).collect()(0)
+    assert(run("plain text".getBytes(StandardCharsets.UTF_8))
+      .getString(0) === "plain text")
+    assert(run(gz("inflated text")).getString(0) === "inflated text")
+    // gzip magic but corrupt stream → null, not an exception
+    val corrupt = gz("x").take(6)
+    assert(run(corrupt).isNullAt(0))
+    // over-cap decompressed output → null (bomb guard)
+    val big = gz("a" * 1000)
+    val capped = Seq(Tuple1(big)).toDF("b")
+      .select(org.apache.spark.sql.graft.Bridge.column(
+        graft.expressions.GunzipText(
+          org.apache.spark.sql.graft.Bridge.expression(col("b")),
+          maxBytes = 100)).as("t")).collect()(0)
+    assert(capped.isNullAt(0))
+  }
+
+  test("expand: nested index resolves to leaves; depth bound holds") {
+    val root = Files.createTempDirectory("graft-sm").toString
+    val host = Files.createDirectories(
+      java.nio.file.Paths.get(root, "ex.org"))
+    def write(name: String, text: String): Unit =
+      Files.write(host.resolve(name),
+        text.getBytes(StandardCharsets.UTF_8))
+    // entry index → mid index (gz) → two leaves; plus a never-fetched
+    // declared leaf and a CYCLE back to the entry
+    write("sitemap.xml",
+      "<sitemapindex><sitemap><loc>https://ex.org/mid.xml.gz</loc>" +
+        "</sitemap><sitemap><loc>https://ex.org/ghost.xml</loc>" +
+        "</sitemap></sitemapindex>")
+    Files.write(host.resolve("mid.xml.gz"), gz(
+      "<sitemapindex><sitemap><loc>https://ex.org/leaf1.xml</loc>" +
+        "</sitemap><sitemap><loc>https://ex.org/leaf2.xml</loc>" +
+        "</sitemap><sitemap><loc>https://ex.org/sitemap.xml</loc>" +
+        "</sitemap></sitemapindex>"))
+    write("leaf1.xml",
+      "<urlset><url><loc>https://ex.org/a</loc></url></urlset>")
+    write("leaf2.xml",
+      "<urlset><url><loc>https://ex.org/b</loc></url>" +
+        "<url><loc>https://ex.org/c</loc></url></urlset>")
+    val parsed = Sitemaps.readFrom(spark, root)
+    val urls = Sitemaps.expand(parsed,
+        Seq("https://ex.org/sitemap.xml").toDF("sitemap_url"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // all three leaf urls, attributed to the ENTRY sitemap; the
+    // ghost leaf contributes nothing; the cycle terminates at the
+    // depth bound instead of looping
+    assert(urls.toSet === Set(
+      ("https://ex.org/sitemap.xml", "https://ex.org/a"),
+      ("https://ex.org/sitemap.xml", "https://ex.org/b"),
+      ("https://ex.org/sitemap.xml", "https://ex.org/c")))
+    assert(urls.length === 3)
+  }
+}
