@@ -135,6 +135,71 @@ object CrawlState {
         coalesce(col("__k"), lit(false)).as("known"))
   }
 
+  /** Resolve canonical/redirect CHAINS to their final URLs — real
+    * crawls dedupe by the FINAL url (a page reached via three aliases
+    * must be fetched once), and `<link rel="canonical">` targets
+    * chain (page → www-variant → https-variant). Input: an edge
+    * table (urlCol → targetCol), one hop each (the per-page
+    * extraction `graft_html_refs` kind='canonical' yields). Both
+    * ends canonicalize ([[graft.functions.Urls.canonicalizeUrl]]),
+    * self-loops drop, and a page with several declared targets keeps
+    * the lexicographically smallest (deterministic under any
+    * partitioning).
+    *
+    * Resolution is POINTER DOUBLING, not per-hop iteration: each
+    * round substitutes every mapping through itself (one equi-join),
+    * so ceil(log2(maxDepth)) rounds cover chains up to `maxDepth` —
+    * 3 joins for depth 8, the label-contraction shape
+    * ([[Graph]]'s discipline) instead of a driver loop per hop.
+    * Cycles terminate at the bound with a deterministic endpoint and
+    * hops > chain length — screen joins dedupe them downstream.
+    *
+    * @return (url, final_url, hops) for every chain SOURCE (pages
+    *         that declare a target; terminal pages are their own
+    *         final url by definition and emit no row).
+    */
+  def resolveCanonical(edges: DataFrame, urlCol: String = "url",
+                       targetCol: String = "canonical",
+                       maxDepth: Int = 8): DataFrame = {
+    var m = edges
+      .select(graft.functions.Urls.canonicalizeUrl(col(urlCol)).as("u"),
+        graft.functions.Urls.canonicalizeUrl(col(targetCol)).as("t"))
+      .filter(col("u").isNotNull && col("t").isNotNull &&
+        col("u") =!= col("t"))
+      .groupBy("u").agg(min(col("t")).as("t"))
+      .withColumn("h", lit(1L))
+    val rounds = math.max(1,
+      math.ceil(math.log(maxDepth.toDouble) / math.log(2.0)).toInt)
+    (1 to rounds).foreach { _ =>
+      val hop = m.select(col("u").as("__u"), col("t").as("__t"),
+        col("h").as("__h"))
+      m = m.join(hop, col("t") === col("__u"), "left")
+        .select(col("u"),
+          coalesce(col("__t"), col("t")).as("t"),
+          (col("h") + coalesce(col("__h"), lit(0L))).as("h"))
+    }
+    m.select(col("u").as("url"), col("t").as("final_url"),
+      col("h").as("hops"))
+  }
+
+  /** Map a candidate frame through a [[resolveCanonical]] resolution
+    * before frontier screening: candidates canonicalize, alias
+    * sources rewrite to their final url, everything else passes
+    * through — so [[screenUrls]] sees ONE canonical identity per
+    * page however it was reached (the CrawlStateSpec law:
+    * screen-after-resolve == screen-on-finals).
+    */
+  def resolveUrls(candidates: DataFrame, resolution: DataFrame,
+                  urlCol: String = "url"): DataFrame = {
+    val canon = candidates
+      .select(graft.functions.Urls.canonicalizeUrl(col(urlCol)).as("url"))
+      .filter(col("url").isNotNull)
+    canon.join(resolution.select(col("url"), col("final_url")),
+        Seq("url"), "left")
+      .select(col("url"),
+        coalesce(col("final_url"), col("url")).as("final_url"))
+  }
+
   /** Compact a persisted index in place: rewrite the urls table
     * clustered by url into `partitions` files (the screen join's key),
     * retire-aside swap like every artifact mutation.

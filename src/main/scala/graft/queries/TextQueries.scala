@@ -715,6 +715,32 @@ object TextQueries {
     "f_frontier_stats" -> ((s, dir) =>
       graft.operators.CrawlState.urlIndexStats(frontierIndex(s, dir))),
 
+    // ---- canonical-CHAIN resolution into the frontier: each page's
+    //      <link rel="canonical"> (extracted by graft_html_refs with
+    //      base-href resolution, like every alias in a real crawl)
+    //      points one hop along its alias chain — pages 4k+3 → 4k+2 →
+    //      4k+1 → 4k on one host, chain heads declare none — and the
+    //      resolver collapses every source to its FINAL url by
+    //      pointer doubling (ceil(log2(8)) = 3 equi-joins, never a
+    //      per-hop driver loop), so the frontier fetches one url per
+    //      page identity however many aliases reach it. The oracle
+    //      replays the walk as a recursive CTE ----
+    "f_canonical_resolve" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val own = concat(lit("https://ex"),
+        expr("pmod(doc_id div 4, 10)"), lit(".org/p/"), col("doc_id"))
+      val html = when(pmod(col("doc_id"), lit(4)) =!= 0,
+        concat(lit("<head><base href=\""), own,
+          lit("\"><link rel=\"canonical\" href=\"/p/"),
+          col("doc_id") - 1, lit("\"></head><body>x</body>")))
+        .otherwise(lit("<body>chain head</body>"))
+      val edges = d.select(own.as("url"),
+          explode(graft.expressions.HtmlExprs.htmlRefs(html)).as("r"))
+        .filter(col("r.kind") === "canonical")
+        .select(col("url"), col("r.url").as("canonical"))
+      graft.operators.CrawlState.resolveCanonical(edges)
+    }),
+
     // ---- sitemap discovery feeding the frontier — the third leg of
     //      the crawl-ops chain, on the PRODUCTION read path: each
     //      host's robots.txt DECLARES its entry sitemap
@@ -3688,6 +3714,26 @@ object TextQueries {
         |  CAST(SUM(CASE WHEN NOT known THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_new
         |FROM du GROUP BY h""".stripMargin,
+
+    // the alias walk replayed as a recursive CTE over the one-hop
+    // edge table: follow canonical targets until a url with no
+    // outgoing edge, count the hops
+    "f_canonical_resolve" ->
+      """WITH RECURSIVE e AS MATERIALIZED (SELECT
+        |    'https://ex' || ((doc_id // 4) % 10) || '.org/p/'
+        |      || doc_id AS url,
+        |    'https://ex' || ((doc_id // 4) % 10) || '.org/p/'
+        |      || (doc_id - 1) AS t
+        |  FROM documents WHERE doc_id % 4 <> 0),
+        |walk AS (
+        |  SELECT url, t AS cur, 1 AS hops FROM e
+        |  UNION ALL
+        |  SELECT w.url, e.t, w.hops + 1
+        |  FROM walk w JOIN e ON w.cur = e.url)
+        |SELECT url, cur AS final_url, CAST(hops AS BIGINT) AS hops
+        |FROM walk w
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.url = w.cur)"""
+        .stripMargin,
 
     // the spool's parse-level table in closed form: index hosts
     // (h%3==0) serve a 2-loc sitemapindex plus two gzipped leaves

@@ -75,6 +75,51 @@ class CrawlStateSpec extends SparkSpec {
     assert(hist.toSeq === Seq(3L -> 2L)) // 2 hosts x 3 urls each
   }
 
+  test("canonical resolution: chains collapse; screen law; cycles bound") {
+    // chains a3→a2→a1→a0 and b1→b0; a0/b0 are chain heads (no edge)
+    val edges = Seq(
+      ("https://ex.org/a3", "https://ex.org/a2"),
+      ("HTTPS://EX.ORG/a2?utm_x=1", "https://ex.org/a1#frag"), // canon
+      ("https://ex.org/a1", "https://ex.org/a0"),
+      ("https://ex.org/b1", "https://ex.org/b0"),
+      ("https://ex.org/self", "https://ex.org/self") // self-loop drops
+    ).toDF("url", "canonical")
+    val res = CrawlState.resolveCanonical(edges)
+    val got = res.collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      "https://ex.org/a3" -> (("https://ex.org/a0", 3L)),
+      "https://ex.org/a2" -> (("https://ex.org/a0", 2L)),
+      "https://ex.org/a1" -> (("https://ex.org/a0", 1L)),
+      "https://ex.org/b1" -> (("https://ex.org/b0", 1L))))
+    // LAW: screening candidates after resolution == screening their
+    // final urls directly — a page reached via 3 aliases fetches once
+    val idx = CrawlState.buildUrlIndex(
+      Seq("https://ex.org/a0").toDF("url"))
+    val cands = Seq("https://ex.org/a3", "https://ex.org/a2",
+      "https://ex.org/a0", "https://ex.org/b1").toDF("url")
+    val viaResolve = CrawlState.screenUrls(
+      CrawlState.resolveUrls(cands, res)
+        .select(col("final_url").as("url")), idx)
+    val viaFinals = CrawlState.screenUrls(Seq(
+      "https://ex.org/a0", "https://ex.org/b0").toDF("url"), idx)
+    val canon = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(canon(viaResolve) === canon(viaFinals))
+    assert(canon(viaResolve) === Set(
+      ("https://ex.org/a0", "ex.org", true),   // 3 aliases → ONE row
+      ("https://ex.org/b0", "ex.org", false)))
+    // a CYCLE terminates at the depth bound with a deterministic
+    // endpoint instead of looping
+    val cyc = CrawlState.resolveCanonical(Seq(
+        ("https://ex.org/c1", "https://ex.org/c2"),
+        ("https://ex.org/c2", "https://ex.org/c1")).toDF("url", "canonical"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cyc.keySet === Set("https://ex.org/c1", "https://ex.org/c2"))
+    assert(Set("https://ex.org/c1", "https://ex.org/c2")
+      .contains(cyc("https://ex.org/c1")))
+  }
+
   test("parquet round trip + compact preserve the url set") {
     val root = Files.createTempDirectory("graft-urlseen").toString
     val idx = CrawlState.buildUrlIndex(
