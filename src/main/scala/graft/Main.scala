@@ -119,6 +119,16 @@ import graft.operators.{CrawlState, Dedup, MoveSink, Report, Similarity}
   *     [--band PATH --doc-ids PARQUET]
   *     [--ivf PATH --vec-ids PARQUET]
   *     [--frontier PATH (--urls PARQUET | --hosts PARQUET)]
+  *     [--provenance PATH --doc-ids PARQUET]
+  *                            the training-provenance probe: BEFORE
+  *                            any index mutates, report every artifact
+  *                            the doc ids influenced — row-level kinds
+  *                            erase in place, trained AGGREGATES
+  *                            (classifier weights, vocabularies) are
+  *                            flagged retrain_required with the erased
+  *                            share in ppm (operators.Provenance —
+  *                            provenance-only invocations return the
+  *                            impact report itself)
   * Every ids parquet carries one column `id`.
   */
 object Main {
@@ -764,10 +774,11 @@ object Main {
       band: Option[(String, String)],
       ivf: Option[(String, String)],
       frontier: Option[(String, String, Boolean)],
+      provenance: Option[(String, String)],
       dryRun: Boolean)
 
   private val takedownFlags = Set("dry-run", "band", "doc-ids", "ivf",
-    "vec-ids", "frontier", "urls", "hosts")
+    "vec-ids", "frontier", "urls", "hosts", "provenance")
 
   /** A right-to-be-forgotten request rarely names ONE artifact: a
     * domain removal must leave no trace in the dedup index, the ANN
@@ -795,9 +806,12 @@ object Main {
       band = need("band", "doc-ids"),
       ivf = need("ivf", "vec-ids"),
       frontier = fr,
+      provenance = need("provenance", "doc-ids"),
       dryRun = flags.contains("dry-run"))
-    if (cfg.band.isEmpty && cfg.ivf.isEmpty && cfg.frontier.isEmpty)
-      fail("takedown needs at least one artifact: --band | --ivf | --frontier")
+    if (cfg.band.isEmpty && cfg.ivf.isEmpty && cfg.frontier.isEmpty &&
+        cfg.provenance.isEmpty)
+      fail("takedown needs at least one artifact: --band | --ivf | " +
+        "--frontier | --provenance")
     cfg
   }
 
@@ -812,6 +826,21 @@ object Main {
     def ids(path: String) = spark.read.parquet(path).select(col("id"))
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, Long, Long)]
+
+    // the provenance probe runs FIRST: the impact report must name
+    // the aggregates that need retraining (which no erase below can
+    // touch) before any index mutates
+    val impact = cfg.provenance.map { case (path, idsP) =>
+      val rep = graft.operators.Provenance.influences(
+        graft.operators.Provenance.read(spark, path), ids(idsP))
+        .orderBy(col("artifact"))
+      println("Erasure impact (training provenance):")
+      rep.collect().foreach { r =>
+        println(s"  ${r.getString(0)} [${r.getString(2)}]: " +
+          s"${r.getLong(4)}/${r.getLong(3)} docs (${r.getLong(5)} ppm)")
+      }
+      rep
+    }
 
     cfg.band.foreach { case (path, idsP) =>
       val before = Dedup.readBandIndex(spark, path)
@@ -855,7 +884,10 @@ object Main {
         out += (("frontier", "urls", n0, n1))
       } else out += (("frontier", "urls", n0, erased.urls.count()))
     }
-    out.toSeq.toDF("artifact", "table", "rows_before", "rows_after")
+    // a provenance-only invocation IS the audit: return the impact
+    // report itself instead of an empty erase frame
+    if (out.isEmpty && impact.nonEmpty) impact.get
+    else out.toSeq.toDF("artifact", "table", "rows_before", "rows_after")
   }
 
   /** Run the configured pipeline; returns the status report (dry runs

@@ -23,7 +23,52 @@ import graft.Tables.t
   */
 object GovernanceQueries {
 
+  /** Temp path of the persisted training-provenance ledger, built
+    * once per data directory from deterministic artifact training
+    * sets (the build is the WRITE; `q_erasure_provenance` gates the
+    * READ + influence-report path): the band/frontier artifacts
+    * trained on the history slice (doc_id < 300), the quality
+    * classifier on the whole corpus, a tokenizer vocabulary on the
+    * even docs.
+    */
+  private val provMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def provenanceLedger(s: SparkSession, dir: String): String =
+    provMemo.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_prov").toString + "/prov"
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val P = graft.operators.Provenance
+      P.append(s, path, "band/main", "band",
+        d.filter(col("doc_id") < 300))
+      P.append(s, path, "frontier/urlseen", "frontier",
+        d.filter(col("doc_id") < 300))
+      P.append(s, path, "clf/quality", "model", d)
+      P.append(s, path, "vocab/bpe", "vocab",
+        d.filter(col("doc_id") % 2 === 0))
+      path
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- erasure-impact provenance: trained artifacts are
+    //      AGGREGATES (classifier weights, tokenizer vocabularies) —
+    //      no per-doc row exists to delete, so the right-to-be-
+    //      forgotten remedy is knowing WHICH artifacts a document
+    //      influenced: row-level kinds get erase_rows (the takedown
+    //      path), aggregates get retrain_required, each with the
+    //      erased share in exact ppm (is retraining material?). The
+    //      ledger records training inputs at build time; the report
+    //      is one equi-join + one groupBy. Erasure set: doc_id%17 ----
+    "q_erasure_provenance" -> ((s, dir) => {
+      val ids = t(s, dir, "documents")
+        .filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id").as("id"))
+      graft.operators.Provenance.influences(
+        graft.operators.Provenance.read(s, provenanceLedger(s, dir)),
+        ids)
+    }),
 
     // ---- k-anonymity release with a 2-level generalization
     //      hierarchy: publish (nation, segment) groups of size >= k
@@ -428,6 +473,30 @@ object GovernanceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the four deterministic training sets in closed form, the
+    // erasure probe replayed as one CASE-sum per artifact
+    "q_erasure_provenance" ->
+      """WITH art AS (
+        |  SELECT 'band/main' AS artifact, 'band' AS kind,
+        |    'erase_rows' AS action, doc_id
+        |  FROM documents WHERE doc_id < 300
+        |  UNION ALL SELECT 'frontier/urlseen', 'frontier',
+        |    'erase_rows', doc_id
+        |  FROM documents WHERE doc_id < 300
+        |  UNION ALL SELECT 'clf/quality', 'model',
+        |    'retrain_required', doc_id
+        |  FROM documents
+        |  UNION ALL SELECT 'vocab/bpe', 'vocab',
+        |    'retrain_required', doc_id
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |SELECT artifact, kind, action,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_erased,
+        |  CAST(SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END)
+        |    * 1000000 // COUNT(*) AS BIGINT) AS erased_ppm
+        |FROM art GROUP BY artifact, kind, action""".stripMargin,
+
     "q_k_anonymity" ->
       """WITH g AS (
         |  SELECT CAST(c_nationkey AS VARCHAR) AS nat, c_mktsegment AS seg,
