@@ -86,7 +86,13 @@ object Bench {
       // not retried (the failure, not the time, is the signal).
       val (d1, ok1) = once()
       val (d2, ok2) = if (ok1) once() else (d1, ok1)
-      (name, math.min(d1, d2), ok1 && ok2, once _)
+      // d1 rides along: several query families memoize a persisted
+      // artifact (band/frontier index, trained model, sitemap spool)
+      // whose BUILD lands in the family's first invocation — run 1 is
+      // build+run, run 2 (and the min) is the daily-run cost. The
+      // first_runs section makes the split measurable per query
+      // instead of amortizing it invisibly into min-of-2.
+      (name, math.min(d1, d2), d1, ok1 && ok2, once _)
     }
     // Sweep-position despike: min-of-2 runs back-to-back, so a
     // contention window lasting a few seconds (major GC, page-cache
@@ -106,7 +112,7 @@ object Bench {
     // sub-100 ms jitter doesn't buy extra runs); the absolute 2.5 s
     // rule stays as the fallback for queries with no reference.
     val refTimes = Bench.readBenchTimes("BENCH_FULL.json")
-    val despiked = results.map { case (name, d, ok, rerun) =>
+    val despiked = results.map { case (name, d, d1, ok, rerun) =>
       val spiky = d > 2.5 ||
         (d > 0.3 && refTimes.get(name).exists(r => d > 3.0 * r))
       if (ok && spiky) {
@@ -117,20 +123,24 @@ object Bench {
           // the third-run failure is loud, not swallowed.
           System.err.println(
             s"[bench] $name despike rerun FAILED; keeping min-of-2 timing $d")
-        (name, if (ok3) math.min(d, d3) else d, ok)
-      } else (name, d, ok)
+        (name, if (ok3) math.min(d, d3) else d, d1, ok)
+      } else (name, d, d1, ok)
     }
     // Locale.ROOT: a comma-decimal default locale (de_DE…) would turn
     // every value into invalid JSON
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = despiked.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+    val qs = despiked.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val failed = despiked.collect { case (k, _, false) => "\"" + k + "\"" }
+    // first-run map: build+run where the query's family builds a
+    // memoized artifact fixture on first touch; ~= the min elsewhere
+    val frs = despiked.map { case (k, _, d1, _) => "\"" + k + "\":" + fmt(d1) }
+      .mkString("{", ",", "}")
+    val failed = despiked.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = despiked.map(_._2).sum
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"min_of_2_despiked","queries":$qs,"failed":$failed,"n_queries":${despiked.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"min_of_2_despiked","queries":$qs,"first_runs":$frs,"failed":$failed,"n_queries":${despiked.size},"sf":"$sfDir"}"""
     // Full per-query detail: printed early and persisted to a file. The
     // harness keeps only the LAST ~2000 chars of output, so the full
     // line (120+ queries, ~4 KB) can never be the final line — it would
@@ -153,12 +163,12 @@ object Bench {
       "s_ann_ivf", "s_ann_pq", "t_token_stats", "t_encode_ids",
       "e_sessionize", "e_asof_join", "e_tumbling_hourly", "g_pagerank",
       "q_window_funcs")
-    val byName = despiked.map { case (k, v, _) => k -> v }.toMap
+    val byName = despiked.map { case (k, v, _, _) => k -> v }.toMap
     val hqs = headline.flatMap(h => byName.get(h).map(v => "\"" + h + "\":" + fmt(v)))
       .mkString("{", ",", "}")
     // failed list capped: a systemic failure (bad sfDir) would otherwise
     // push this line past the 2000-char tail exactly when it matters
-    val failedNames = despiked.collect { case (k, _, false) => k }
+    val failedNames = despiked.collect { case (k, _, _, false) => k }
     val failedCompact = failedNames.take(5).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","timing":"min_of_2_despiked","queries":$hqs,"n_failed":${failedNames.size},"failed_sample":$failedCompact,"n_queries":${despiked.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
