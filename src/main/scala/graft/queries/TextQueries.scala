@@ -95,7 +95,15 @@ object TextQueries {
         .groupBy("host")
         .agg(array_join(transform(array_sort(collect_list(col("doc_id"))),
           i => concat(lit("<url><loc> https://ex"), col("host"),
-            lit(".org/d/"), i, lit(" </loc></url>"))), "").as("durls"))
+            lit(".org/d/"), i, lit(" </loc>"),
+            // change signal for incremental recrawl: a W3C-date
+            // lastmod (day = id%28+1), omitted for id%5==0 hosts'
+            // pages (the no-signal case recrawlPlan must classify)
+            when(pmod(i, lit(5)) === 0, lit(""))
+              .otherwise(concat(lit("<lastmod>2024-01-"),
+                lpad((pmod(i, lit(28)) + 1).cast("string"), 2, "0"),
+                lit("</lastmod>"))),
+            lit("</url>"))), "").as("durls"))
         .collect()
       def write(path: java.nio.file.Path, text: String): Unit =
         java.nio.file.Files.write(path,
@@ -773,6 +781,37 @@ object TextQueries {
         .join(sm.distinct(), "host")
         .select(col("host"), col("sitemap_url"), col("n_urls"),
           col("n_known"), col("n_new"))
+    }),
+
+    // ---- INCREMENTAL recrawl off the same spool — the point of
+    //      declaring lastmod: every urlset entry (url + optional
+    //      lastmod, parsed per <url> block) joins the crawler's
+    //      fetch log (the /d/ pages crawled as of 2024-01-15) on the
+    //      canonical url key and classifies new / stale (declared
+    //      lastmod after the fetch) / fresh / unknown (no change
+    //      signal) — the per-host budget that refetches what CHANGED
+    //      instead of everything. One scan + one equi-join ----
+    "f_sitemap_recrawl" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val entries = graft.sources.Sitemaps
+        .readFrom(s, sitemapSpool(s, dir))
+        .filter(col("kind") === "urlset")
+        .select(explode(col("entries")).as("e"))
+        .select(col("e.url").as("url"), col("e.lastmod").as("lastmod"))
+      val fetchLog = d.filter(col("doc_id") < 300)
+        .select(concat(lit("https://ex"), pmod(col("doc_id"), lit(10)),
+            lit(".org/d/"), col("doc_id")).as("url"),
+          to_date(lit("2024-01-15")).as("fetched_at"))
+      graft.sources.Sitemaps.recrawlPlan(entries, fetchLog)
+        .groupBy("host").agg(
+          sum(when(col("status") === "new", 1L).otherwise(0L))
+            .as("n_new"),
+          sum(when(col("status") === "stale", 1L).otherwise(0L))
+            .as("n_stale"),
+          sum(when(col("status") === "fresh", 1L).otherwise(0L))
+            .as("n_fresh"),
+          sum(when(col("status") === "unknown", 1L).otherwise(0L))
+            .as("n_unknown"))
     }),
 
     // ---- the parse-level view of the same spool — the per-file
@@ -3734,6 +3773,32 @@ object TextQueries {
         |FROM walk w
         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.url = w.cur)"""
         .stripMargin,
+
+    // the recrawl classification in closed form: /d/ pages carry
+    // lastmod day id%28+1 (omitted when id%5==0), the fetch log is
+    // the crawled set (id<300) at 2024-01-15, the per-host extra url
+    // is never fetched → new
+    "f_sitemap_recrawl" ->
+      """WITH u AS (
+        |  SELECT doc_id % 10 AS h,
+        |    CASE WHEN doc_id >= 300 THEN 'new'
+        |         WHEN doc_id % 5 = 0 THEN 'unknown'
+        |         WHEN doc_id % 28 + 1 > 15 THEN 'stale'
+        |         ELSE 'fresh' END AS status
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT h, 'new' FROM
+        |    (SELECT DISTINCT doc_id % 10 AS h FROM documents))
+        |SELECT 'ex' || h || '.org' AS host,
+        |  CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new,
+        |  CAST(SUM(CASE WHEN status = 'stale' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_stale,
+        |  CAST(SUM(CASE WHEN status = 'fresh' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_fresh,
+        |  CAST(SUM(CASE WHEN status = 'unknown' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_unknown
+        |FROM u GROUP BY h""".stripMargin,
 
     // the spool's parse-level table in closed form: index hosts
     // (h%3==0) serve a 2-loc sitemapindex plus two gzipped leaves

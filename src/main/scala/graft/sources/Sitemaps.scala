@@ -65,10 +65,24 @@ object Sitemaps {
           expr(s"regexp_extract_all(__text, '<loc>([^<]*)</loc>', 1)"),
           l => decodeEntities(trim(l))),
         1, cap))
+      // per-entry metadata: each <url>/<sitemap> block's loc + its
+      // optional <lastmod> (W3C datetime; crawlers read the date
+      // part) — the signal incremental recrawl schedules on.
+      // (?s): real sitemaps pretty-print blocks across lines
+      .withColumn("entries", slice(
+        transform(
+          expr("regexp_extract_all(__text, " +
+            "'(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>', 1)"),
+          b => struct(
+            decodeEntities(trim(regexp_extract(b,
+              "<loc>([^<]*)</loc>", 1))).as("url"),
+            nullif(trim(regexp_extract(b,
+              "<lastmod>([^<]*)</lastmod>", 1)), lit("")).as("lastmod"))),
+        1, cap))
       .select(col(urlCol).as("sitemap_url"),
         hostOf(col(urlCol)).as("host"),
         baseNameOf(col(urlCol)).as("file"),
-        col("kind"), col("locs"))
+        col("kind"), col("locs"), col("entries"))
   }
 
   private def hostOf(u: Column): Column =
@@ -92,6 +106,46 @@ object Sitemaps {
       concat(lit("https://"), element_at(segs, -2), lit("/"),
         element_at(segs, -1)).as("sitemap_url"),
       col("content")), cap = cap)
+  }
+
+  /** Incremental-recrawl plan: sitemap entries (url, lastmod) against
+    * the crawler's FETCH LOG (url, fetched_at DATE — the when-did-I-
+    * last-fetch sibling of the frontier's have-I-seen artifact). One
+    * equi-join on the canonical url key classifies every declared
+    * url:
+    *
+    *   - `new`: never fetched — the frontier feed;
+    *   - `stale`: fetched, and the host declares a LATER lastmod —
+    *     the incremental recrawl budget (the whole point of lastmod:
+    *     refetch what changed, not everything);
+    *   - `fresh`: fetched on/after the declared lastmod — skip;
+    *   - `unknown`: fetched but the entry declares no lastmod — the
+    *     host gives no change signal; policy (not this operator)
+    *     decides a recrawl interval for these.
+    *
+    * lastmod accepts the W3C datetime forms by reading the date part;
+    * an unparseable value degrades to `unknown`, never an error.
+    */
+  def recrawlPlan(entries: DataFrame, fetchLog: DataFrame,
+                  urlCol: String = "url",
+                  lastmodCol: String = "lastmod"): DataFrame = {
+    val canon = entries.select(
+        graft.functions.Urls.canonicalizeUrl(col(urlCol)).as("url"),
+        to_date(substring(col(lastmodCol), 1, 10)).as("lastmod"))
+      .filter(col("url").isNotNull)
+      // one row per canonical url: the LATEST declared lastmod wins
+      // (mirrored sitemaps re-declare urls)
+      .groupBy("url").agg(max(col("lastmod")).as("lastmod"))
+    canon
+      .join(fetchLog.select(
+        graft.functions.Urls.canonicalizeUrl(col("url")).as("url"),
+        col("fetched_at")), Seq("url"), "left")
+      .select(col("url"), hostOf(col("url")).as("host"),
+        col("lastmod"), col("fetched_at"),
+        when(col("fetched_at").isNull, lit("new"))
+          .when(col("lastmod").isNull, lit("unknown"))
+          .when(col("lastmod") > col("fetched_at"), lit("stale"))
+          .otherwise(lit("fresh")).as("status"))
   }
 
   /** Resolve a parsed sitemap table to (entry_sitemap_url, url) —

@@ -86,6 +86,43 @@ class SitemapsSpec extends SparkSpec {
     assert(capped.isNullAt(0))
   }
 
+  test("entries: per-block loc+lastmod, multiline blocks, w3c forms") {
+    val xml = "<urlset>\n  <url>\n    <loc> https://ex.org/a </loc>\n" +
+      "    <lastmod>2024-03-05T09:30:00+00:00</lastmod>\n  </url>\n" +
+      "  <url><loc>https://ex.org/b?x=1&amp;y=2</loc></url>\n</urlset>"
+    val got = Sitemaps.parse(payloads(("https://ex.org/sitemap.xml",
+        xml.getBytes(StandardCharsets.UTF_8))))
+      .select(explode(col("entries")).as("e"))
+      .select(col("e.url"), col("e.lastmod")).collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+    assert(got.toSeq === Seq(
+      ("https://ex.org/a", Some("2024-03-05T09:30:00+00:00")),
+      ("https://ex.org/b?x=1&y=2", None))) // no lastmod → null
+  }
+
+  test("recrawlPlan: new/stale/fresh/unknown; canonical + latest win") {
+    val entries = Seq(
+      ("https://ex.org/p1", "2024-01-20"),            // stale
+      ("HTTPS://EX.ORG/p1?utm_x=1", "2024-01-02"),    // same canonical:
+      // the LATEST declared lastmod (01-20) wins → still stale
+      ("https://ex.org/p2", "2024-01-10T08:00:00Z"),  // fresh (w3c form)
+      ("https://ex.org/p3", null),                    // fetched, no signal
+      ("https://ex.org/p4", "2024-01-01")             // never fetched
+    ).toDF("url", "lastmod")
+    val log = Seq(("https://ex.org/p1", "2024-01-15"),
+      ("https://ex.org/p2", "2024-01-15"), ("https://ex.org/p3", "2024-01-15"))
+      .toDF("url", "d")
+      .select(col("url"), to_date(col("d")).as("fetched_at"))
+    val got = Sitemaps.recrawlPlan(entries, log).collect()
+      .map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(got === Map(
+      "https://ex.org/p1" -> "stale",
+      "https://ex.org/p2" -> "fresh",
+      "https://ex.org/p3" -> "unknown",
+      "https://ex.org/p4" -> "new"))
+    assert(got.size === 4) // canonical collapse: p1 appears once
+  }
+
   test("expand: nested index resolves to leaves; depth bound holds") {
     val root = Files.createTempDirectory("graft-sm").toString
     val host = Files.createDirectories(
