@@ -147,6 +147,33 @@ object CurationStream {
     graft.Pipelines.curateChain(batch, idCol, textCol, dedup, index,
       allowedLangs, classifier, quota)
 
+  /** The daily-ops loop on a STREAM: the `foreachBatch` body that
+    * curates each micro-batch with the exact batch chain
+    * ([[curateMicroBatch]]) and appends its funnel report to the
+    * persisted ledger under `run-<batchId>` — so a continuously-
+    * ingesting deployment leaves the same run-keyed ops trail a daily
+    * batch job does ([[graft.operators.CurationLedger.trend]] reads
+    * both identically; StreamingSpec proves ledger rows == the batch
+    * funnel per micro-batch). Returns the decision frame for the
+    * caller's own sink routing.
+    */
+  def curateAndLedger(spark: org.apache.spark.sql.SparkSession,
+                      ledgerPath: String,
+                      batch: DataFrame, batchId: Long,
+                      idCol: String = "doc_id",
+                      textCol: String = "text", dedup: Boolean = false,
+                      index: Option[graft.operators.Dedup.BandIndex] = None,
+                      allowedLangs: Option[Seq[String]] = None,
+                      classifier: Option[graft.operators.Logistic.Trained] = None,
+                      quota: Option[(String, Int)] = None): DataFrame = {
+    val decisions = curateMicroBatch(batch, idCol, textCol, dedup,
+      index, allowedLangs, classifier, quota)
+      .localCheckpoint(true) // decisions feed the funnel AND the caller
+    graft.operators.CurationLedger.append(spark, ledgerPath,
+      s"run-$batchId", graft.Pipelines.curationReport(decisions))
+    decisions
+  }
+
   /** TRAINED-classifier screen at ingest — the deployment shape of the
     * persisted [[graft.operators.Logistic]] artifact: the weight map
     * (read back model-sized) rides as a plan literal, and each

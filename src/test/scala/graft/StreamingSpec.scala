@@ -1089,6 +1089,45 @@ class StreamingSpec extends SparkSpec {
     assert(keep.values.count(identity) === 2)
   }
 
+  test("streaming curateAndLedger: per-micro-batch funnel in the ledger") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-led").toString
+    val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val wave1 = Seq((1L, s"<p>$good one</p>"), (2L, "<p>tiny</p>"))
+    val wave2 = Seq((3L, s"<p>$good three</p>"))
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.streaming.CurationStream.curateAndLedger(
+          spark, s"$root/led", b, id).collect()
+        ()
+      }.start()
+    try {
+      mem.addData(wave1); q.processAllAvailable()
+      mem.addData(wave2); q.processAllAvailable()
+    } finally q.stop()
+    val led = graft.operators.CurationLedger.read(spark, s"$root/led")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // each micro-batch's ledger rows == its own batch funnel
+    def want(rows: Seq[(Long, String)]) =
+      Pipelines.curationReport(Pipelines.curateChain(
+        rows.toDF("doc_id", "text"))).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    want(wave1).foreach { case (st, n) =>
+      assert(led(("run-0", st)) === n, s"wave1 $st") }
+    want(wave2).foreach { case (st, n) =>
+      assert(led(("run-1", st)) === n, s"wave2 $st") }
+    // the trend view reads the streamed trail identically
+    val tr = graft.operators.CurationLedger.trend(
+        graft.operators.CurationLedger.read(spark, s"$root/led"))
+      .filter(org.apache.spark.sql.functions.col("run_id") === "run-1")
+      .collect().map(r => r.getString(1) -> r.getAs[Long]("delta")).toMap
+    assert(tr("ingested") === -1L) // 2 docs → 1 doc
+  }
+
   test("streaming DSIR scoring: plan-literal lambda map bit-equals batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
