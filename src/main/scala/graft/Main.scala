@@ -48,6 +48,11 @@ import graft.operators.{CrawlState, Dedup, MoveSink, Report, Similarity}
   *                            legacy decimal sign z > 0
   *     [--quota N]            per-group keep cap
   *     [--quota-col source]   the quota group column (default source)
+  *     [--token-quota N]      per-group TOKEN budget (the training-mix
+  *                            cap): kept docs accumulate clean-text
+  *                            tokens in deterministic md5(id) order,
+  *                            a doc stays iff the running total fits
+  *     [--token-quota-col source]  its group column
   *     [--update-index]       after a real run, append the KEPT docs
   *                            to --dedup-index (retire-aside swap) —
   *                            the daily-loop closure: tomorrow's
@@ -194,6 +199,7 @@ object Main {
                                 langs: Option[Seq[String]] = None,
                                 classifier: Option[String] = None,
                                 quota: Option[(String, Int)] = None,
+                                tokenQuota: Option[(String, Long)] = None,
                                 updateIndex: Boolean = false,
                                 updateFrontier: Option[String] = None,
                                 ledger: Option[String] = None,
@@ -231,6 +237,7 @@ object Main {
 
   private val curateFlags = Set("dry-run", "input", "output", "dedup",
     "dedup-index", "langs", "classifier", "quota", "quota-col",
+    "token-quota", "token-quota-col",
     "update-index", "update-frontier", "ledger", "run-id")
   private val curateBare = Set("dry-run", "dedup", "update-index")
 
@@ -260,6 +267,9 @@ object Main {
       quota = flags.get("quota").map(q =>
         (flags.getOrElse("quota-col", "source"), q.toIntOption
           .getOrElse(fail(s"--quota needs an integer, got: $q")))),
+      tokenQuota = flags.get("token-quota").map(q =>
+        (flags.getOrElse("token-quota-col", "source"), q.toLongOption
+          .getOrElse(fail(s"--token-quota needs an integer, got: $q")))),
       updateIndex = upd,
       updateFrontier = flags.get("update-frontier"),
       ledger = flags.get("ledger"),
@@ -281,7 +291,8 @@ object Main {
     val (decisions, written) = Pipelines.pipelineC(
       spark, cfg.input, cfg.output, cfg.dryRun,
       dedup = cfg.dedup, dedupIndex = idx,
-      allowedLangs = cfg.langs, classifier = clf, quota = cfg.quota)
+      allowedLangs = cfg.langs, classifier = clf, quota = cfg.quota,
+      tokenQuota = cfg.tokenQuota)
     written.foreach(n => println(s"Wrote $n documents to ${cfg.output}"))
     // materialize the report BEFORE any artifact mutation: its plan
     // scans the pre-swap artifact files, which the swap retires

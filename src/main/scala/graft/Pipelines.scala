@@ -281,7 +281,16 @@ object Pipelines {
     *     among the rows that survived every earlier stage (documents
     *     already dropped consume no quota). One keyed window — shuffle
     *     on the group key, the per-domain cap shape of
-    *     [[graft.operators.Sampling.quotaCap]].
+    *     [[graft.operators.Sampling.quotaCap]];
+    *   - `tokenQuota`: `(groupCol, budget)` adds `tq_ok` — the
+    *     TRAINING-MIX cap: a data mix budgets TOKENS per source, not
+    *     documents. Kept rows accumulate their clean-text token count
+    *     in the same deterministic md5(id) order, and a document
+    *     stays kept iff the running total INCLUDING it fits the
+    *     budget (the prefix rule — an over-budget doc and everything
+    *     after it in the order drop, so the kept set is a
+    *     deterministic prefix, never a knapsack search). Same keyed
+    *     window shuffle as `quota`; composes after it.
     *
     * `keep` is ANDed with each enabled stage's flag; the quota ranks
     * AFTER the language and classifier stages, so rejected documents
@@ -290,7 +299,8 @@ object Pipelines {
   def curatePolicyDecisions(decisions: DataFrame, idCol: String = "doc_id",
                             allowedLangs: Option[Seq[String]] = None,
                             classifier: Option[graft.operators.Logistic.Trained] = None,
-                            quota: Option[(String, Int)] = None): DataFrame = {
+                            quota: Option[(String, Int)] = None,
+                            tokenQuota: Option[(String, Long)] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Text
     val withLang = allowedLangs match {
@@ -309,7 +319,7 @@ object Pipelines {
           .withColumn("clf_ok", m.keeps(col("clean")))
           .withColumn("keep", col("keep") && col("clf_ok"))
     }
-    quota match {
+    val withQuota = quota match {
       case None => withClf
       case Some((groupCol, n)) =>
         // rank only rows still kept: partitioning by (group, keep)
@@ -320,6 +330,20 @@ object Pipelines {
           .withColumn("quota_ok", !col("keep") || col("__rn") <= n)
           .withColumn("keep", col("keep") && col("quota_ok"))
           .drop("__rn")
+    }
+    tokenQuota match {
+      case None => withQuota
+      case Some((groupCol, budget)) =>
+        val w = Window.partitionBy(col(groupCol), col("keep"))
+          .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        withQuota
+          .withColumn("__cum",
+            sum(size(graft.functions.Text.tokens(col("clean")))
+              .cast("long")).over(w))
+          .withColumn("tq_ok", !col("keep") || col("__cum") <= budget)
+          .withColumn("keep", col("keep") && col("tq_ok"))
+          .drop("__cum")
     }
   }
 
@@ -339,14 +363,17 @@ object Pipelines {
                   dedupIndex: Option[graft.operators.Dedup.BandIndex] = None,
                   allowedLangs: Option[Seq[String]] = None,
                   classifier: Option[graft.operators.Logistic.Trained] = None,
-                  quota: Option[(String, Int)] = None): DataFrame = {
-    val carry = quota.map(_._1).toSeq.filterNot(_ == idCol)
+                  quota: Option[(String, Int)] = None,
+                  tokenQuota: Option[(String, Long)] = None): DataFrame = {
+    val carry = (quota.map(_._1).toSeq ++ tokenQuota.map(_._1))
+      .distinct.filterNot(_ == idCol)
     val screened = curateDecisions(raw, idCol, textCol, carry)
     val deduped =
       if (dedup || dedupIndex.nonEmpty)
         curateDedupDecisions(screened, dedupIndex, idCol)
       else screened
-    curatePolicyDecisions(deduped, idCol, allowedLangs, classifier, quota)
+    curatePolicyDecisions(deduped, idCol, allowedLangs, classifier,
+      quota, tokenQuota)
   }
 
   def pipelineC(spark: SparkSession, input: String, output: String,
@@ -355,10 +382,11 @@ object Pipelines {
                 dedupIndex: Option[graft.operators.Dedup.BandIndex] = None,
                 allowedLangs: Option[Seq[String]] = None,
                 classifier: Option[graft.operators.Logistic.Trained] = None,
-                quota: Option[(String, Int)] = None)
+                quota: Option[(String, Int)] = None,
+                tokenQuota: Option[(String, Long)] = None)
       : (DataFrame, Option[Long]) = {
     val decisions = curateChain(spark.read.parquet(input), idCol, textCol,
-      dedup, dedupIndex, allowedLangs, classifier, quota)
+      dedup, dedupIndex, allowedLangs, classifier, quota, tokenQuota)
     if (dryRun) (decisions, None)
     else {
       val kept = decisions.filter(col("keep"))
@@ -382,7 +410,8 @@ object Pipelines {
       ("clf_ok", "clf_failed", () => !col("clf_ok")),
       ("dup_exact", "dup_exact", () => col("dup_exact")),
       ("dup_near", "dup_near", () => col("dup_near")),
-      ("quota_ok", "quota_failed", () => !col("quota_ok"))
+      ("quota_ok", "quota_failed", () => !col("quota_ok")),
+      ("tq_ok", "token_quota_failed", () => !col("tq_ok"))
     ).filter(c => have(c._1))
     val aggs = Seq(
       ("ingested", count(lit(1)).as("ingested")),

@@ -282,6 +282,23 @@ object CurationQueries {
       graft.Pipelines.curationReport(decisions)
     }),
 
+    // ---- pipeline C with the TRAINING-MIX token budget: the same
+    //      dedup + language chain, but the final cap is TOKENS per
+    //      source (500), the unit data mixes actually budget — kept
+    //      docs accumulate clean-text token counts in deterministic
+    //      md5(id) order and survive while the running total
+    //      (including themselves) fits; the funnel gains
+    //      token_quota_failed. One keyed window, same shuffle as the
+    //      doc quota ----
+    "a_pipeline_curate_tokens" -> ((s, dir) => {
+      val decisions = graft.Pipelines.curateChain(
+        s.read.parquet(curateDedupInput(s, dir)),
+        dedup = true, dedupIndex = Some(curateIndex(s, dir)),
+        allowedLangs = Some(Seq("en")),
+        tokenQuota = Some(("source", 500L)))
+      graft.Pipelines.curationReport(decisions)
+    }),
+
     // ---- pipeline C with the TRAINED classifier deployed as a
     //      quality stage — the train → persist → deploy → curate loop
     //      closed: the persisted logistic artifact (3-epoch GD over
@@ -1425,6 +1442,42 @@ object CurationQueries {
 
     // the full policy chain: dedup + language allow-list + per-source
     // quota (rank by md5(id) among surviving docs only)
+    // the token-budget funnel: the dedup + language chain, then the
+    // running clean-text token total per (source, keep0) in md5(id)
+    // order — a doc survives iff its INCLUSIVE prefix sum fits 500
+    "a_pipeline_curate_tokens" ->
+      (s"WITH $DedupBase,\n$NearDupBlock,\n" +
+      s"""lg AS (SELECT *, $LangBest AS best FROM fl2),
+         |lg2 AS (SELECT *, ($LangPred) IN ('en') AS lang_ok FROM lg),
+         |k0 AS (SELECT *, quality_ok AND NOT has_pii AND lang_ok
+         |    AND NOT dup_exact AND NOT dup_near AS keep0 FROM lg2),
+         |q AS (SELECT *, SUM(len(string_split(clean, ' ')))
+         |    OVER (PARTITION BY source, keep0
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         |      ROWS UNBOUNDED PRECEDING) AS cum FROM k0),
+         |k AS MATERIALIZED (SELECT *,
+         |    (NOT keep0 OR cum <= 500) AS tq_ok,
+         |    keep0 AND (NOT keep0 OR cum <= 500) AS keep FROM q)
+         |SELECT 'ingested' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM k
+         |UNION ALL SELECT 'markup_stripped', CAST(COUNT(*) AS BIGINT)
+         |  FROM k
+         |UNION ALL SELECT 'mojibake_repaired', CAST(SUM(CASE WHEN repaired
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'pii_flagged', CAST(SUM(CASE WHEN has_pii
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'quality_failed', CAST(SUM(CASE WHEN NOT
+         |  quality_ok THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'lang_failed', CAST(SUM(CASE WHEN NOT lang_ok
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'dup_exact', CAST(SUM(CASE WHEN dup_exact
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'dup_near', CAST(SUM(CASE WHEN dup_near
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'token_quota_failed', CAST(SUM(CASE WHEN NOT
+         |  tq_ok THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'kept', CAST(SUM(CASE WHEN keep
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k""".stripMargin),
+
     "a_pipeline_curate_policy" ->
       (s"WITH $DedupBase,\n$NearDupBlock,\n" +
       s"""lg AS (SELECT *, $LangBest AS best FROM fl2),

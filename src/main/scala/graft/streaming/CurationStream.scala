@@ -143,9 +143,10 @@ object CurationStream {
                        index: Option[graft.operators.Dedup.BandIndex] = None,
                        allowedLangs: Option[Seq[String]] = None,
                        classifier: Option[graft.operators.Logistic.Trained] = None,
-                       quota: Option[(String, Int)] = None): DataFrame =
+                       quota: Option[(String, Int)] = None,
+                       tokenQuota: Option[(String, Long)] = None): DataFrame =
     graft.Pipelines.curateChain(batch, idCol, textCol, dedup, index,
-      allowedLangs, classifier, quota)
+      allowedLangs, classifier, quota, tokenQuota)
 
   /** The daily-ops loop on a STREAM: the `foreachBatch` body that
     * curates each micro-batch with the exact batch chain

@@ -323,6 +323,39 @@ class PipelinesSpec extends SparkSpec {
     assert(Seq(q(1L), q(2L)).count(_._2) === 1)
   }
 
+  test("token quota: deterministic prefix rule over kept docs") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "walks back home again" // 15 tokens clean
+    val raw = Seq(1L, 2L, 3L, 4L).map(i => (i, s"<p>$good v$i</p>"))
+      .toDF("doc_id", "text") // each doc: 16 tokens
+      .unionByName(Seq((5L, "<p>tiny</p>")).toDF("doc_id", "text"))
+    def run(budget: Long) =
+      Pipelines.curateChain(raw.withColumn("source", lit("s")),
+          tokenQuota = Some(("source", budget)))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Boolean]("tq_ok"), r.getAs[Boolean]("keep")))).toMap
+    // budget 32 = exactly two docs (16+16): the INCLUSIVE prefix rule
+    // keeps the first two in md5(id) order and drops the rest
+    val got = run(32L)
+    assert(got.values.count(_._2) === 2)
+    // quality-failed docs consume no budget and stay dropped
+    assert(!got(5L)._2 && got(5L)._1)
+    // one token less: the second doc no longer fits → only one keeps
+    assert(run(31L).values.count(_._2) === 1)
+    // a huge budget keeps all four survivors
+    assert(run(1000L).values.count(_._2) === 4)
+    // the funnel gains the stage row exactly when the stage is on
+    val rep = Pipelines.curationReport(Pipelines.curateChain(
+        raw.withColumn("source", lit("s")),
+        tokenQuota = Some(("source", 32L))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("token_quota_failed") === 2L && rep("kept") === 2L)
+    assert(!Pipelines.curationReport(Pipelines.curateChain(
+        raw.withColumn("source", lit("s"))))
+      .collect().map(_.getString(0)).contains("token_quota_failed"))
+  }
+
   test("curation classifier stage honors the stored operating point") {
     import spark.implicits._
     val good = "the quick brown fox jumps over the lazy dog and then " +
