@@ -733,6 +733,8 @@ class PlanSpec extends SparkSpec {
     "e_kaplan_meier", "e_theil_sen", "q_ks_test", "q_mannwhitney_u",
     "t_quality_auc", // distinct-z histogram + #partitions-row offsets
     "t_quality_pr_curve", // same distinct-z grid via Ranks.prefixSums
+    "t_quality_threshold", // same grid: the PR menu the selection reads
+    "t_quality_auc_bigram", // two distinct-z grids (one per space)
     "q_spearman", "q_bh_fdr", "q_bootstrap_ci", "q_conformal_coverage",
     "q_dp_quantile", "q_group_median", "q_group_percentiles",
     "q_median_price", "q_skyline",
