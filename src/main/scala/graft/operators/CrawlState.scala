@@ -135,6 +135,70 @@ object CrawlState {
         coalesce(col("__k"), lit(false)).as("known"))
   }
 
+  /** Persisted FETCH LOG — the when-did-I-last-fetch sibling of the
+    * URL-seen index: one parquet table `fetches` (url, fetched_at
+    * DATE), canonical urls, ONE row per url carrying the LATEST
+    * fetch date (refetches collapse by max — the artifact answers
+    * "how stale is my copy", which only the newest fetch defines).
+    * Laws (CrawlStateSpec): append is idempotent; append of an older
+    * date is a no-op row-for-row; merge == build-of-union under max.
+    * [[graft.sources.Sitemaps.recrawlPlan]] reads it to classify
+    * declared lastmod against the crawler's own copy age. URL-sized
+    * like every crawl-state artifact; maintenance is one keyed agg.
+    */
+  final case class FetchLog(fetches: DataFrame)
+
+  def buildFetchLog(fetches: DataFrame, urlCol: String = "url",
+                    dateCol: String = "fetched_at"): FetchLog = {
+    val canon = fetches
+      .select(graft.functions.Urls.canonicalizeUrl(col(urlCol)).as("url"),
+        col(dateCol).cast("date").as("fetched_at"))
+      .filter(col("url").isNotNull && col("fetched_at").isNotNull)
+      .groupBy("url").agg(max(col("fetched_at")).as("fetched_at"))
+    FetchLog(canon)
+  }
+
+  def writeFetchLog(log: FetchLog, path: String): Unit =
+    log.fetches.write.mode("overwrite").parquet(s"$path/fetches")
+
+  def readFetchLog(spark: SparkSession, path: String): FetchLog =
+    FetchLog(spark.read.parquet(s"$path/fetches"))
+
+  /** Merge two logs: per url the LATEST fetch wins —
+    * merge(build(A), build(B)) == build(A ∪ B) row-for-row.
+    */
+  def mergeFetchLog(a: FetchLog, b: FetchLog): FetchLog =
+    FetchLog(a.fetches.unionByName(b.fetches)
+      .groupBy("url").agg(max(col("fetched_at")).as("fetched_at")))
+
+  /** Append a completed wave's fetches (canonicalized here): newer
+    * dates advance their url's row, older ones are no-ops, re-appends
+    * are idempotent.
+    */
+  def appendFetches(log: FetchLog, fresh: DataFrame,
+                    urlCol: String = "url",
+                    dateCol: String = "fetched_at"): FetchLog =
+    mergeFetchLog(log, buildFetchLog(fresh, urlCol, dateCol))
+
+  /** Erase urls from the log (canonicalized; any surface form) — the
+    * takedown treatment: a forgotten page must not even leave a
+    * fetch-date trace.
+    */
+  def eraseFetches(log: FetchLog, urls: DataFrame,
+                   urlCol: String = "url"): FetchLog = {
+    val gone = urls
+      .select(graft.functions.Urls.canonicalizeUrl(col(urlCol)).as("url"))
+      .filter(col("url").isNotNull)
+    FetchLog(log.fetches.join(gone, Seq("url"), "left_anti"))
+  }
+
+  /** Copy-age histogram: urls per fetch date — the staleness gate a
+    * recrawl scheduler budgets from.
+    */
+  def fetchLogStats(log: FetchLog): DataFrame =
+    log.fetches.groupBy("fetched_at").agg(count(lit(1)).as("n_urls"))
+      .orderBy("fetched_at")
+
   /** Resolve canonical/redirect CHAINS to their final URLs — real
     * crawls dedupe by the FINAL url (a page reached via three aliases
     * must be fetched once), and `<link rel="canonical">` targets

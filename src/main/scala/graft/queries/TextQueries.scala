@@ -141,6 +141,32 @@ object TextQueries {
       root
     })
 
+  /** Temp path of the persisted FETCH LOG artifact (the
+    * when-did-I-fetch sibling of the frontier: crawled docs < 300,
+    * each /d/ url fetched at 2024-01-(10 + id%10)), written once per
+    * data directory — the fixture is the WRITE; `f_sitemap_recrawl` /
+    * `f_fetch_log_stats` gate the artifact READ path.
+    */
+  private val fetchLogMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def fetchLogArt(s: SparkSession, dir: String)
+      : graft.operators.CrawlState.FetchLog = {
+    val p = fetchLogMemo.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_fetchlog").toString + "/log"
+      val fetched = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(concat(lit("https://ex"), pmod(col("doc_id"), lit(10)),
+            lit(".org/d/"), col("doc_id")).as("url"),
+          date_add(lit("2024-01-10").cast("date"),
+            pmod(col("doc_id"), lit(10)).cast("int")).as("fetched_at"))
+      graft.operators.CrawlState.writeFetchLog(
+        graft.operators.CrawlState.buildFetchLog(fetched), path)
+      path
+    })
+    graft.operators.CrawlState.readFetchLog(s, p)
+  }
+
   /** Generated markup shared by `t_html_tables` and
     * `t_table_linearize`: three tables — a headered 3-row grid with
     * entity refs, inline tags, a script decoy and implied closes; a
@@ -792,17 +818,13 @@ object TextQueries {
     //      signal) — the per-host budget that refetches what CHANGED
     //      instead of everything. One scan + one equi-join ----
     "f_sitemap_recrawl" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
       val entries = graft.sources.Sitemaps
         .readFrom(s, sitemapSpool(s, dir))
         .filter(col("kind") === "urlset")
         .select(explode(col("entries")).as("e"))
         .select(col("e.url").as("url"), col("e.lastmod").as("lastmod"))
-      val fetchLog = d.filter(col("doc_id") < 300)
-        .select(concat(lit("https://ex"), pmod(col("doc_id"), lit(10)),
-            lit(".org/d/"), col("doc_id")).as("url"),
-          to_date(lit("2024-01-15")).as("fetched_at"))
-      graft.sources.Sitemaps.recrawlPlan(entries, fetchLog)
+      graft.sources.Sitemaps.recrawlPlan(entries,
+          fetchLogArt(s, dir).fetches)
         .groupBy("host").agg(
           sum(when(col("status") === "new", 1L).otherwise(0L))
             .as("n_new"),
@@ -813,6 +835,14 @@ object TextQueries {
           sum(when(col("status") === "unknown", 1L).otherwise(0L))
             .as("n_unknown"))
     }),
+
+    // ---- the fetch-log artifact's staleness histogram: urls per
+    //      last-fetch DATE off the persisted log (the copy-age gate a
+    //      recrawl scheduler budgets from — "how much of my corpus is
+    //      a week old"). Reads the artifact table only; one
+    //      map-combinable agg ----
+    "f_fetch_log_stats" -> ((s, dir) =>
+      graft.operators.CrawlState.fetchLogStats(fetchLogArt(s, dir))),
 
     // ---- the parse-level view of the same spool — the per-file
     //      health report a crawl operator reads before trusting a
@@ -3774,16 +3804,26 @@ object TextQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.url = w.cur)"""
         .stripMargin,
 
+    // the log's date histogram in closed form: crawled docs (<300)
+    // fetched at 2024-01-10 + id%10
+    "f_fetch_log_stats" ->
+      """SELECT DATE '2024-01-10' + CAST(doc_id % 10 AS INT)
+        |    AS fetched_at,
+        |  CAST(COUNT(*) AS BIGINT) AS n_urls
+        |FROM documents WHERE doc_id < 300
+        |GROUP BY 1""".stripMargin,
+
     // the recrawl classification in closed form: /d/ pages carry
     // lastmod day id%28+1 (omitted when id%5==0), the fetch log is
-    // the crawled set (id<300) at 2024-01-15, the per-host extra url
+    // the persisted artifact (crawled ids<300 at 2024-01-10 + id%10),
+    // the per-host extra url
     // is never fetched → new
     "f_sitemap_recrawl" ->
       """WITH u AS (
         |  SELECT doc_id % 10 AS h,
         |    CASE WHEN doc_id >= 300 THEN 'new'
         |         WHEN doc_id % 5 = 0 THEN 'unknown'
-        |         WHEN doc_id % 28 + 1 > 15 THEN 'stale'
+        |         WHEN doc_id % 28 + 1 > 10 + doc_id % 10 THEN 'stale'
         |         ELSE 'fresh' END AS status
         |  FROM documents
         |  UNION ALL

@@ -120,6 +120,46 @@ class CrawlStateSpec extends SparkSpec {
       .contains(cyc("https://ex.org/c1")))
   }
 
+  test("fetch log: latest-wins laws, idempotent append, erase, stats") {
+    def logSet(l: CrawlState.FetchLog): Set[(String, String)] =
+      l.fetches.collect().map(r =>
+        (r.getString(0), r.getDate(1).toString)).toSet
+    val a = Seq(("https://ex.org/p1", "2024-01-10"),
+      ("https://ex.org/p2", "2024-01-12")).toDF("url", "fetched_at")
+    val b = Seq(
+      ("HTTPS://EX.ORG/p1?utm_x=1", "2024-01-20"), // refetch, canonical
+      ("https://ex.org/p3", "2024-01-05")).toDF("url", "fetched_at")
+    val merged = CrawlState.mergeFetchLog(
+      CrawlState.buildFetchLog(a), CrawlState.buildFetchLog(b))
+    // merge == build of the union under max
+    assert(logSet(merged) ===
+      logSet(CrawlState.buildFetchLog(a.unionByName(b))))
+    assert(logSet(merged) === Set(
+      ("https://ex.org/p1", "2024-01-20"), // newer fetch advanced it
+      ("https://ex.org/p2", "2024-01-12"),
+      ("https://ex.org/p3", "2024-01-05")))
+    // appending an OLDER fetch is a row-for-row no-op; re-append idem
+    val older = CrawlState.appendFetches(merged,
+      Seq(("https://ex.org/p1", "2024-01-01")).toDF("url", "fetched_at"))
+    assert(logSet(older) === logSet(merged))
+    assert(logSet(CrawlState.appendFetches(merged, b)) === logSet(merged))
+    // erase accepts any surface form
+    val gone = CrawlState.eraseFetches(merged,
+      Seq("HTTPS://EX.ORG:443/p1#top").toDF("url"))
+    assert(logSet(gone).map(_._1) ===
+      Set("https://ex.org/p2", "https://ex.org/p3"))
+    // round trip + stats histogram
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-fetchlog").toString
+    CrawlState.writeFetchLog(merged, s"$root/log")
+    assert(logSet(CrawlState.readFetchLog(spark, s"$root/log")) ===
+      logSet(merged))
+    val st = CrawlState.fetchLogStats(merged).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1))
+    assert(st.toSeq === Seq("2024-01-05" -> 1L, "2024-01-12" -> 1L,
+      "2024-01-20" -> 1L))
+  }
+
   test("parquet round trip + compact preserve the url set") {
     val root = Files.createTempDirectory("graft-urlseen").toString
     val idx = CrawlState.buildUrlIndex(
