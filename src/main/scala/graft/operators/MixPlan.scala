@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-mix PLANNING: allocate a total token budget across
+  * sources under a per-source repetition cap — the data-constrained
+  * scaling decision (after Muennighoff et al. 2023: repeating a
+  * source beyond a few epochs stops paying, so a mix cannot just
+  * sample proportionally when the budget exceeds unique supply).
+  *
+  * Each source i has `available` unique tokens a_i and may contribute
+  * at most c_i = a_i · maxRep tokens. The allocation is WATER-FILLING:
+  * every source gets min(c_i, θ) with the level θ chosen so the total
+  * spends the budget — small sources saturate at their cap, large
+  * ones share the rest evenly. Solved EXACTLY in integers over the
+  * sources-sized frame (never the corpus):
+  *
+  *   1. sort by (cap, group); k = rank, prefix_k = Σ_{j≤k} cap_j;
+  *   2. source k saturates iff giving every source from k on its own
+  *      cap_k still fits: prefix_{k-1} + cap_k·(n−k+1) ≤ budget —
+  *      with caps ascending the saturated set is the maximal prefix
+  *      kstar of the sort order;
+  *   3. the m = n−kstar unsaturated sources split the remainder
+  *      rem = budget − prefix_kstar as base = rem div m each, with
+  *      the mod-m leftover distributed +1 to the FIRST leftover
+  *      unsaturated sources in sort order (fully deterministic; by
+  *      kstar's maximality base+1 never exceeds the next cap).
+  *
+  * Total allocated = min(budget, Σ cap) exactly. One window + two
+  * single-row aggregates over #sources rows; at 100 TB the only
+  * corpus-sized work is the upstream token count.
+  */
+object MixPlan {
+
+  /** @param avail (groupCol, availCol) — unique tokens per source
+    * @return (group, available, cap, alloc, repetition_ppm,
+    *         saturated), one row per source; repetition_ppm =
+    *         alloc·1e6 div available (1e6 = one epoch over the
+    *         source's unique supply)
+    */
+  def allocate(avail: DataFrame, budget: Long, maxRep: Int,
+               groupCol: String = "source",
+               availCol: String = "available"): DataFrame = {
+    require(maxRep >= 1, s"maxRep must be >= 1, got $maxRep")
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val c = avail.select(col(groupCol).as("group"),
+      col(availCol).cast("long").as("available"),
+      (col(availCol).cast("long") * maxRep).as("cap"))
+    val w = Window.orderBy(col("cap").asc, col("group").asc)
+    val o = c.withColumn("k", row_number().over(w))
+      .withColumn("prefix", sum(col("cap")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint(false) // feeds kstar agg + the final projection
+    // n first, then kstar (each a single-row agg over #sources rows;
+    // the saturation test needs n inside its predicate)
+    val n = o.agg(count(lit(1))).collect()(0).getLong(0)
+    val kstar = o.agg(coalesce(max(when(
+        col("prefix") - col("cap") + col("cap") * (lit(n) - col("k") + 1L)
+          <= budget, col("k"))), lit(0))).collect()(0).getInt(0).toLong
+    val pks =
+      if (kstar == 0L) 0L
+      else o.filter(col("k") === kstar).select(col("prefix"))
+        .collect()(0).getLong(0)
+    val m = n - kstar
+    val rem = budget - pks
+    val base = if (m > 0) rem / m else 0L
+    val leftover = if (m > 0) rem % m else 0L
+    o.select(col("group").as(groupCol), col("available"), col("cap"),
+        when(col("k") <= kstar, col("cap"))
+          .otherwise(lit(base) +
+            when(col("k") - kstar <= leftover, 1L).otherwise(0L))
+          .as("alloc"),
+        (col("k") <= kstar).as("saturated"))
+      .withColumn("repetition_ppm",
+        expr("alloc * 1000000 div available"))
+      .select(col(groupCol), col("available"), col("cap"), col("alloc"),
+        col("repetition_ppm"), col("saturated"))
+  }
+}

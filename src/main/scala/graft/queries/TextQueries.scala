@@ -1369,6 +1369,32 @@ object TextQueries {
             .as("temp_share"))
     }),
 
+    // ---- data-CONSTRAINED mix planning (MixPlan.allocate): the
+    //      max-min sibling of t_mix_waterfall for the repeated-epochs
+    //      regime — every source may contribute at most
+    //      available × maxRep tokens (repeating past a few epochs
+    //      stops paying), and the budget water-fills: small sources
+    //      saturate at their cap, the rest split the remainder evenly
+    //      (exact integers, deterministic leftover distribution).
+    //      Availability is TIERED by a documented per-source
+    //      multiplier (1 + NN%3 from srcNN) so both the saturated and
+    //      unsaturated branches provably exercise at every SF; budget
+    //      = 3/4 of total cap, maxRep = 2. All algebra over the
+    //      #sources frame — the one corpus-scale job is the token
+    //      count ----
+    "t_mix_plan" -> ((s, dir) => {
+      val a = t(s, dir, "documents")
+        .groupBy("source")
+        .agg((sum(size(Text.tokens(col("text"))).cast("long")) *
+          (substring(col("source"), 4, 10).cast("int") % 3 + 1))
+          .as("available"))
+        .localCheckpoint(false) // budget agg + the allocation
+      val totalCap = a.agg(sum(col("available") * 2L))
+        .collect()(0).getLong(0)
+      graft.operators.MixPlan.allocate(a, budget = totalCap * 3 / 4,
+        maxRep = 2)
+    }),
+
     // ---- data-mixing budget waterfall: allocate a token budget B
     //      (60% of the corpus) across sources proportionally to
     //      weights, capping every source at its actual size and
@@ -3290,6 +3316,42 @@ object TextQueries {
     // the same closed-form water-filling, windows over the source
     // table: integer cross-multiplied cap test under a running-AND
     // prefix, floor shares with largest-remainder top-up
+    // the water-filling replayed in closed form: caps sorted, the
+    // saturated prefix via the integer test, remainder split with
+    // first-r top-up — every number exact
+    "t_mix_plan" ->
+      """WITH a AS (SELECT source,
+        |    SUM(len(string_split(text, ' ')))
+        |      * (1 + CAST(substr(source, 4) AS INT) % 3) AS available
+        |  FROM documents GROUP BY source),
+        |c AS (SELECT source, available, available * 2 AS cap FROM a),
+        |t AS (SELECT SUM(cap) AS sc, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM c),
+        |b AS (SELECT (sc * 3) // 4 AS budget, n FROM t),
+        |o AS (SELECT source, available, cap,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cap, source) AS BIGINT)
+        |      AS k,
+        |    SUM(cap) OVER (ORDER BY cap, source
+        |      ROWS UNBOUNDED PRECEDING) AS prefix
+        |  FROM c),
+        |sat AS (SELECT COALESCE(MAX(CASE WHEN prefix - cap
+        |      + cap * (n - k + 1) <= budget THEN k END), 0) AS kstar
+        |  FROM o CROSS JOIN b),
+        |pk AS (SELECT COALESCE((SELECT prefix FROM o, sat
+        |    WHERE o.k = sat.kstar), 0) AS pks),
+        |f AS (SELECT o.source, o.available, o.cap,
+        |    CASE WHEN o.k <= kstar THEN o.cap
+        |      ELSE (budget - pks) // (n - kstar)
+        |        + (CASE WHEN o.k - kstar <= (budget - pks) % (n - kstar)
+        |           THEN 1 ELSE 0 END) END AS alloc,
+        |    o.k <= kstar AS saturated
+        |  FROM o CROSS JOIN b CROSS JOIN sat CROSS JOIN pk)
+        |SELECT source, CAST(available AS BIGINT) AS available,
+        |  CAST(cap AS BIGINT) AS cap, CAST(alloc AS BIGINT) AS alloc,
+        |  CAST(alloc * 1000000 // available AS BIGINT)
+        |    AS repetition_ppm, saturated
+        |FROM f""".stripMargin,
+
     "t_mix_waterfall" ->
       """WITH d0 AS (SELECT source,
         |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.MixPlan
+
+/** Laws for the water-filling mix planner: exact budget conservation,
+  * cap respect, max-min fairness, determinism of the leftover
+  * distribution, and the degenerate edges.
+  */
+class MixPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(avail: Seq[(String, Long)], budget: Long, rep: Int) =
+    MixPlan.allocate(avail.toDF("source", "available"), budget, rep)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+
+  test("conservation, caps, max-min, deterministic leftovers") {
+    val avail = Seq("a" -> 100L, "b" -> 1000L, "c" -> 1000L, "d" -> 40L)
+    val got = plan(avail, budget = 1003L, rep = 2)
+    // caps respected everywhere; total == budget (budget < Σcap)
+    got.foreach { case (s, (a, c, al, _, _)) =>
+      assert(c === a * 2 && al <= c, s) }
+    assert(got.values.map(_._3).sum === 1003L)
+    // small sources saturate (cap 80, 200 both under the level),
+    // the two big ones split the rest: 723 = 362 + 361, +1 to the
+    // FIRST in (cap, source) order — b before c
+    assert(got("d") === ((40L, 80L, 80L, 2000000L, true)))
+    assert(got("a") === ((100L, 200L, 200L, 2000000L, true)))
+    assert(got("b")._3 === 362L && got("c")._3 === 361L)
+    assert(!got("b")._5 && !got("c")._5)
+    // repetition_ppm is exact: 362e6 div 1000
+    assert(got("b")._4 === 362000L)
+  }
+
+  test("edges: budget exceeds supply; budget zero; single source") {
+    // budget >= Σcap: everyone saturates, total == Σcap (unspent is
+    // the caller's signal to go find more data)
+    val over = plan(Seq("a" -> 10L, "b" -> 20L), budget = 1000L, rep = 3)
+    assert(over.values.forall(_._5) &&
+      over.values.map(_._3).sum === 90L)
+    // zero budget: all zero, nothing saturated (no cap reached)
+    val zero = plan(Seq("a" -> 10L, "b" -> 20L), budget = 0L, rep = 2)
+    assert(zero.values.forall(v => v._3 === 0L && !v._5))
+    // single source: min(cap, budget)
+    assert(plan(Seq("a" -> 10L), 15L, 2)("a")._3 === 15L)
+    assert(plan(Seq("a" -> 10L), 99L, 2)("a")._3 === 20L)
+    intercept[IllegalArgumentException] {
+      MixPlan.allocate(Seq(("a", 1L)).toDF("source", "available"), -1L, 2)
+    }
+    intercept[IllegalArgumentException] {
+      MixPlan.allocate(Seq(("a", 1L)).toDF("source", "available"), 1L, 0)
+    }
+  }
+
+  test("water-filling optimality: no unsaturated source above the level+1") {
+    // max-min: every unsaturated allocation is within 1 token of every
+    // other unsaturated allocation (the integer water level), and no
+    // saturated cap exceeds any unsaturated allocation + 1
+    val avail = (1 to 9).map(i => s"s$i" -> (i * i * 7L))
+    val got = plan(avail, budget = 600L, rep = 2)
+    assert(got.values.map(_._3).sum === 600L)
+    val unsat = got.values.filter(!_._5).map(_._3)
+    assert(unsat.nonEmpty && unsat.max - unsat.min <= 1L)
+    val satCaps = got.values.filter(_._5).map(_._2)
+    satCaps.foreach(c => assert(c <= unsat.max))
+  }
+}

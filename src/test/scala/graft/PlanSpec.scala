@@ -751,6 +751,7 @@ class PlanSpec extends SparkSpec {
     "t_shuffle_order", "t_shuffle_decorrelation",
     // model-sized preference/source tables
     "p_copeland_borda", "t_mix_waterfall",
+    "t_mix_plan", // water-filling over the #sources frame
     // Ranks.rowNumbers offsets: one row per partition, never the corpus
     "t_ppl_buckets", "t_curriculum_order")
 
