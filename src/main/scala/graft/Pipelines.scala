@@ -300,7 +300,11 @@ object Pipelines {
                             allowedLangs: Option[Seq[String]] = None,
                             classifier: Option[graft.operators.Logistic.Trained] = None,
                             quota: Option[(String, Int)] = None,
-                            tokenQuota: Option[(String, Long)] = None): DataFrame = {
+                            tokenQuota: Option[(String, Long)] = None,
+                            tokenBudgets: Option[(String, DataFrame)] = None): DataFrame = {
+    require(tokenQuota.isEmpty || tokenBudgets.isEmpty,
+      "tokenQuota (one budget for every group) and tokenBudgets " +
+        "(per-group budgets) are the same stage — pass one")
     import org.apache.spark.sql.expressions.Window
     import graft.functions.Text
     val withLang = allowedLangs match {
@@ -331,19 +335,33 @@ object Pipelines {
           .withColumn("keep", col("keep") && col("quota_ok"))
           .drop("__rn")
     }
-    tokenQuota match {
-      case None => withQuota
-      case Some((groupCol, budget)) =>
-        val w = Window.partitionBy(col(groupCol), col("keep"))
-          .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        withQuota
+    def tokenStage(groupCol: String, budgetOf: DataFrame => DataFrame)
+        : DataFrame = {
+      val w = Window.partitionBy(col(groupCol), col("keep"))
+        .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      budgetOf(withQuota
           .withColumn("__cum",
             sum(size(graft.functions.Text.tokens(col("clean")))
-              .cast("long")).over(w))
-          .withColumn("tq_ok", !col("keep") || col("__cum") <= budget)
-          .withColumn("keep", col("keep") && col("tq_ok"))
-          .drop("__cum")
+              .cast("long")).over(w)))
+        .withColumn("tq_ok", !col("keep") ||
+          col("__cum") <= coalesce(col("__budget"),
+            lit(Long.MaxValue)))
+        .withColumn("keep", col("keep") && col("tq_ok"))
+        .drop("__cum", "__budget")
+    }
+    (tokenQuota, tokenBudgets) match {
+      case (None, None) => withQuota
+      case (Some((groupCol, budget)), _) =>
+        tokenStage(groupCol, _.withColumn("__budget", lit(budget)))
+      case (_, Some((groupCol, budgets))) =>
+        // per-group budgets (the MixPlan.allocate output): a group
+        // with no budget row is UNBOUNDED — the planner names what it
+        // constrains, absence is not a zero
+        tokenStage(groupCol, df => df.join(
+          broadcast(budgets.select(col(groupCol),
+            col("budget").cast("long").as("__budget"))),
+          Seq(groupCol), "left"))
     }
   }
 
@@ -364,8 +382,10 @@ object Pipelines {
                   allowedLangs: Option[Seq[String]] = None,
                   classifier: Option[graft.operators.Logistic.Trained] = None,
                   quota: Option[(String, Int)] = None,
-                  tokenQuota: Option[(String, Long)] = None): DataFrame = {
-    val carry = (quota.map(_._1).toSeq ++ tokenQuota.map(_._1))
+                  tokenQuota: Option[(String, Long)] = None,
+                  tokenBudgets: Option[(String, DataFrame)] = None): DataFrame = {
+    val carry = (quota.map(_._1).toSeq ++ tokenQuota.map(_._1) ++
+        tokenBudgets.map(_._1))
       .distinct.filterNot(_ == idCol)
     val screened = curateDecisions(raw, idCol, textCol, carry)
     val deduped =
@@ -373,7 +393,7 @@ object Pipelines {
         curateDedupDecisions(screened, dedupIndex, idCol)
       else screened
     curatePolicyDecisions(deduped, idCol, allowedLangs, classifier,
-      quota, tokenQuota)
+      quota, tokenQuota, tokenBudgets)
   }
 
   def pipelineC(spark: SparkSession, input: String, output: String,

@@ -299,6 +299,33 @@ object CurationQueries {
       graft.Pipelines.curationReport(decisions)
     }),
 
+    // ---- the PLAN → ENFORCE loop closed: MixPlan.allocate
+    //      water-fills a third of the corpus's token supply across
+    //      sources (maxRep 1 — cap at unique supply), and the
+    //      resulting PER-SOURCE budgets are handed to the curation
+    //      chain's tokenBudgets stage, which enforces each source's
+    //      own allocation with the deterministic inclusive prefix
+    //      rule — the planner's numbers are literally what the
+    //      pipeline executes. Budgets frame is #sources-sized →
+    //      broadcast join onto the funnel ----
+    "a_pipeline_curate_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val a = d.groupBy("source")
+        .agg(sum(size(Text.tokens(col("text"))).cast("long"))
+          .as("available"))
+        .localCheckpoint(false) // total agg + the allocation
+      val total = a.agg(sum("available")).collect()(0).getLong(0)
+      val alloc = graft.operators.MixPlan
+        .allocate(a, budget = total / 3, maxRep = 1)
+        .select(col("source"), col("alloc").as("budget"))
+      val decisions = graft.Pipelines.curateChain(
+        s.read.parquet(curateDedupInput(s, dir)),
+        dedup = true, dedupIndex = Some(curateIndex(s, dir)),
+        allowedLangs = Some(Seq("en")),
+        tokenBudgets = Some(("source", alloc)))
+      graft.Pipelines.curationReport(decisions)
+    }),
+
     // ---- pipeline C with the TRAINED classifier deployed as a
     //      quality stage — the train → persist → deploy → curate loop
     //      closed: the persisted logistic artifact (3-epoch GD over
@@ -1442,6 +1469,69 @@ object CurationQueries {
 
     // the full policy chain: dedup + language allow-list + per-source
     // quota (rank by md5(id) among surviving docs only)
+    // the plan replayed (water-filling with cap = available, budget =
+    // total // 3) + the dedup/lang funnel enforcing each source's own
+    // allocation via the inclusive prefix rule
+    "a_pipeline_curate_mix" ->
+      (s"""WITH ma AS (SELECT source,
+         |    SUM(len(string_split(text, ' '))) AS available
+         |  FROM documents GROUP BY source),
+         |mc AS (SELECT source, available, available AS cap FROM ma),
+         |mt AS (SELECT SUM(cap) AS sc, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM mc),
+         |mb AS (SELECT sc // 3 AS budget, n FROM mt),
+         |mo AS (SELECT source, cap,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY cap, source) AS BIGINT)
+         |      AS k,
+         |    SUM(cap) OVER (ORDER BY cap, source
+         |      ROWS UNBOUNDED PRECEDING) AS prefix
+         |  FROM mc),
+         |msat AS (SELECT COALESCE(MAX(CASE WHEN prefix - cap
+         |      + cap * (n - k + 1) <= budget THEN k END), 0) AS kstar
+         |  FROM mo CROSS JOIN mb),
+         |mpk AS (SELECT COALESCE((SELECT prefix FROM mo, msat
+         |    WHERE mo.k = msat.kstar), 0) AS pks),
+         |mf AS (SELECT mo.source,
+         |    CASE WHEN mo.k <= kstar THEN mo.cap
+         |      ELSE (budget - pks) // (n - kstar)
+         |        + (CASE WHEN mo.k - kstar <= (budget - pks)
+         |             % (n - kstar) THEN 1 ELSE 0 END) END AS budget
+         |  FROM mo CROSS JOIN mb CROSS JOIN msat CROSS JOIN mpk),
+         |""".stripMargin + DedupBase + ",\n" + NearDupBlock + ",\n" +
+      s"""lg AS (SELECT *, $LangBest AS best FROM fl2),
+         |lg2 AS (SELECT *, ($LangPred) IN ('en') AS lang_ok FROM lg),
+         |k0 AS (SELECT *, quality_ok AND NOT has_pii AND lang_ok
+         |    AND NOT dup_exact AND NOT dup_near AS keep0 FROM lg2),
+         |q AS (SELECT *, SUM(len(string_split(clean, ' ')))
+         |    OVER (PARTITION BY source, keep0
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         |      ROWS UNBOUNDED PRECEDING) AS cum FROM k0),
+         |k AS MATERIALIZED (SELECT q.*,
+         |    (NOT keep0 OR cum <= COALESCE(mf.budget,
+         |      9223372036854775807)) AS tq_ok,
+         |    keep0 AND (NOT keep0 OR cum <= COALESCE(mf.budget,
+         |      9223372036854775807)) AS keep
+         |  FROM q LEFT JOIN mf USING (source))
+         |SELECT 'ingested' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM k
+         |UNION ALL SELECT 'markup_stripped', CAST(COUNT(*) AS BIGINT)
+         |  FROM k
+         |UNION ALL SELECT 'mojibake_repaired', CAST(SUM(CASE WHEN repaired
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'pii_flagged', CAST(SUM(CASE WHEN has_pii
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'quality_failed', CAST(SUM(CASE WHEN NOT
+         |  quality_ok THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'lang_failed', CAST(SUM(CASE WHEN NOT lang_ok
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'dup_exact', CAST(SUM(CASE WHEN dup_exact
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'dup_near', CAST(SUM(CASE WHEN dup_near
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'token_quota_failed', CAST(SUM(CASE WHEN NOT
+         |  tq_ok THEN 1 ELSE 0 END) AS BIGINT) FROM k
+         |UNION ALL SELECT 'kept', CAST(SUM(CASE WHEN keep
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM k""".stripMargin),
+
     // the token-budget funnel: the dedup + language chain, then the
     // running clean-text token total per (source, keep0) in md5(id)
     // order — a doc survives iff its INCLUSIVE prefix sum fits 500

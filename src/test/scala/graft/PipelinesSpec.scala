@@ -356,6 +356,30 @@ class PipelinesSpec extends SparkSpec {
       .collect().map(_.getString(0)).contains("token_quota_failed"))
   }
 
+  test("per-group token budgets: each source enforces its own plan") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "walks back home again"
+    val raw = Seq(
+      (1L, "a", s"<p>$good a1</p>"), (2L, "a", s"<p>$good a2</p>"),
+      (3L, "b", s"<p>$good b1</p>"), (4L, "b", s"<p>$good b2</p>"),
+      (5L, "c", s"<p>$good c1</p>")).toDF("doc_id", "source", "text")
+    // 16 clean tokens per doc: a gets 1 doc's worth, b gets plenty,
+    // c has NO budget row → unbounded
+    val budgets = Seq(("a", 16L), ("b", 1000L)).toDF("source", "budget")
+    val got = Pipelines.curateChain(raw,
+        tokenBudgets = Some(("source", budgets)))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("keep")).toMap
+    assert(Seq(got(1L), got(2L)).count(identity) === 1) // a capped at 1
+    assert(got(3L) && got(4L) && got(5L))
+    // the two budget shapes are one stage — passing both is loud
+    intercept[IllegalArgumentException] {
+      Pipelines.curateChain(raw, tokenQuota = Some(("source", 5L)),
+        tokenBudgets = Some(("source", budgets)))
+    }
+  }
+
   test("curation classifier stage honors the stored operating point") {
     import spark.implicits._
     val good = "the quick brown fox jumps over the lazy dog and then " +
