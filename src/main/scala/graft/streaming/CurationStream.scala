@@ -225,6 +225,42 @@ object CurationStream {
         coalesce(col("__k"), lit(false)).as("known"))
   }
 
+  /** Recrawl classification at ingest — the streaming half of
+    * `f_sitemap_recrawl`: declared sitemap entries (url, lastmod)
+    * stream in (a sitemap-discovery feed), the persisted FETCH LOG
+    * rides as the static side, and each entry gets its
+    * new/stale/fresh/unknown verdict from the same
+    * [[graft.sources.Sitemaps.recrawlPlan]] algebra — stream-static
+    * left join on the canonical url key, append-legal, no state. A
+    * scheduler consumes `stale` + `new` rows as change signals arrive
+    * instead of waiting for the nightly recrawl sweep.
+    *
+    * One batch/stream divergence is inherent and documented:
+    * recrawlPlan's batch form dedupes mirrors (latest lastmod per
+    * canonical url) with a keyed agg, which an append stream cannot
+    * do across micro-batches — so this screen classifies EVERY
+    * arriving entry independently (a mirror re-declaring an url
+    * yields another row; the consumer's seen-set dedupes). Over
+    * mirror-free input the two are bit-equal (StreamingSpec).
+    */
+  def recrawlScreen(entries: DataFrame,
+                    log: graft.operators.CrawlState.FetchLog,
+                    urlCol: String = "url",
+                    lastmodCol: String = "lastmod"): DataFrame = {
+    val canon = entries.select(
+        graft.functions.Urls.canonicalizeUrl(col(urlCol)).as("url"),
+        to_date(substring(col(lastmodCol), 1, 10)).as("lastmod"))
+      .filter(col("url").isNotNull)
+    canon.join(log.fetches, Seq("url"), "left")
+      .select(col("url"),
+        regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1).as("host"),
+        col("lastmod"), col("fetched_at"),
+        when(col("fetched_at").isNull, lit("new"))
+          .when(col("lastmod").isNull, lit("unknown"))
+          .when(col("lastmod") > col("fetched_at"), lit("stale"))
+          .otherwise(lit("fresh")).as("status"))
+  }
+
   /** Robots gate at fetch time — the streaming half of
     * `f_robots_gate`/`f_fetch_slots`: candidate URLs stream in, the
     * host-bounded PARSED rule table (host, rules, delay_s — built
