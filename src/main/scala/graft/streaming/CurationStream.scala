@@ -144,9 +144,10 @@ object CurationStream {
                        allowedLangs: Option[Seq[String]] = None,
                        classifier: Option[graft.operators.Logistic.Trained] = None,
                        quota: Option[(String, Int)] = None,
-                       tokenQuota: Option[(String, Long)] = None): DataFrame =
+                       tokenQuota: Option[(String, Long)] = None,
+                       tokenBudgets: Option[(String, org.apache.spark.sql.DataFrame)] = None): DataFrame =
     graft.Pipelines.curateChain(batch, idCol, textCol, dedup, index,
-      allowedLangs, classifier, quota, tokenQuota)
+      allowedLangs, classifier, quota, tokenQuota, tokenBudgets)
 
   /** The daily-ops loop on a STREAM: the `foreachBatch` body that
     * curates each micro-batch with the exact batch chain
