@@ -76,7 +76,7 @@ import graft.operators.{CrawlState, Dedup, MoveSink, Report, Similarity}
   * [[Dedup.buildBandIndex]]/[[Similarity.buildIvfIndex]]/
   * [[CrawlState.buildUrlIndex]] and friends, exposed as verbs):
   *   graft.Main index build|append|merge|compact|erase|stats|check
-  *     --kind band|ivf|frontier --index PATH [--dry-run]
+  *     --kind band|ivf|frontier|fetchlog --index PATH [--dry-run]
   *     [--input PARQUET]      build/append/check: the (new) corpus
   *     [--other PATH]         merge: the second persisted index
   *     [--ids PARQUET]        erase: ids to forget (column `id` —
@@ -84,7 +84,11 @@ import graft.operators.{CrawlState, Dedup, MoveSink, Report, Similarity}
   *                            treat them as hosts: per-host takedown)
   *     [--centroids PARQUET]  ivf build: the trained quantizer (cid, cv)
   *     [--id-col doc_id|vec_id] [--text-col text] [--vec-col embedding]
-  *     [--url-col url]        frontier: the URL column of --input
+  *     [--url-col url]        frontier/fetchlog: the URL column
+  *     [--date-col fetched_at] fetchlog: the fetch-date column;
+  *                            check --kind fetchlog classifies
+  *                            (url, lastmod) entries new/stale/
+  *                            fresh/unknown against the log
   *     [--ngram 5] [--bands 3] [--rows-per-band 2] [--partitions 32]
   *     [--threshold 0.5]      band check: Jaccard verify threshold
   *     [--k 3] [--nprobe 2]   ivf check: neighbors per query / probes
@@ -124,6 +128,7 @@ import graft.operators.{CrawlState, Dedup, MoveSink, Report, Similarity}
   *     [--band PATH --doc-ids PARQUET]
   *     [--ivf PATH --vec-ids PARQUET]
   *     [--frontier PATH (--urls PARQUET | --hosts PARQUET)]
+  *     [--fetchlog PATH --urls PARQUET]
   *     [--provenance PATH --doc-ids PARQUET]
   *                            the training-provenance probe: BEFORE
   *                            any index mutates, report every artifact
@@ -347,6 +352,7 @@ object Main {
       input: Option[String], other: Option[String], ids: Option[String],
       centroids: Option[String],
       idCol: String, textCol: String, vecCol: String, urlCol: String,
+      dateCol: String,
       ngram: Int, bands: Int, rowsPerBand: Int,
       partitions: Int, threshold: Double, k: Int, nProbe: Int,
       byHost: Boolean, dryRun: Boolean)
@@ -356,8 +362,8 @@ object Main {
 
   private val indexFlags = Set("dry-run", "kind", "index", "input",
     "other", "ids", "centroids", "id-col", "text-col", "vec-col",
-    "url-col", "ngram", "bands", "rows-per-band", "partitions",
-    "threshold", "k", "nprobe", "by-host")
+    "url-col", "date-col", "ngram", "bands", "rows-per-band",
+    "partitions", "threshold", "k", "nprobe", "by-host")
 
   private[graft] def parseIndex(args: Seq[String]): IndexConfig = {
     if (args.isEmpty || !indexVerbs(args.head))
@@ -366,8 +372,9 @@ object Main {
     val flags = parseFlags(args.tail, indexFlags,
       bare = Set("dry-run", "by-host"))
     val kind = flags.getOrElse("kind",
-      fail("missing --kind band|ivf|frontier"))
-    if (kind != "band" && kind != "ivf" && kind != "frontier")
+      fail("missing --kind band|ivf|frontier|fetchlog"))
+    if (kind != "band" && kind != "ivf" && kind != "frontier" &&
+        kind != "fetchlog")
       fail(s"unknown kind: $kind")
     def intFlag(name: String, dflt: Int): Int =
       flags.get(name).map(v => v.toIntOption
@@ -383,6 +390,7 @@ object Main {
       textCol = flags.getOrElse("text-col", "text"),
       vecCol = flags.getOrElse("vec-col", "embedding"),
       urlCol = flags.getOrElse("url-col", "url"),
+      dateCol = flags.getOrElse("date-col", "fetched_at"),
       ngram = intFlag("ngram", 5), bands = intFlag("bands", 3),
       rowsPerBand = intFlag("rows-per-band", 2),
       partitions = intFlag("partitions", 32),
@@ -426,6 +434,8 @@ object Main {
       ("centroids", idx.centroids.count()), ("lists", idx.lists.count()))
     def frontierReport(idx: CrawlState.UrlIndex): Seq[(String, Long)] =
       Seq(("urls", idx.urls.count()))
+    def fetchLogReport(log: CrawlState.FetchLog): Seq[(String, Long)] =
+      Seq(("fetches", log.fetches.count()))
     val col0 = if (cfg.dryRun) "would_write" else "wrote"
     def report(rows: Seq[(String, Long)]): DataFrame =
       rows.toDF("table", "rows").select(lit(col0).as("action"),
@@ -466,6 +476,15 @@ object Main {
         CrawlState.writeUrlIndex(idx, s"${cfg.index}.next")
         val r = frontierReport(
           CrawlState.readUrlIndex(spark, s"${cfg.index}.next"))
+        Dedup.swapDirs(spark, cfg.index, s"${cfg.index}.next")
+        r
+      }
+    def promoteFetchLog(log: CrawlState.FetchLog): Seq[(String, Long)] =
+      if (cfg.dryRun) fetchLogReport(log)
+      else {
+        CrawlState.writeFetchLog(log, s"${cfg.index}.next")
+        val r = fetchLogReport(
+          CrawlState.readFetchLog(spark, s"${cfg.index}.next"))
         Dedup.swapDirs(spark, cfg.index, s"${cfg.index}.next")
         r
       }
@@ -529,6 +548,35 @@ object Main {
           CrawlState.readUrlIndex(spark, cfg.index), cfg.urlCol)
       case ("stats", "frontier") =>
         CrawlState.urlIndexStats(CrawlState.readUrlIndex(spark, cfg.index))
+
+      case ("build", "fetchlog") =>
+        val log = CrawlState.buildFetchLog(
+          spark.read.parquet(cfg.input.get), cfg.urlCol, cfg.dateCol)
+        if (cfg.dryRun || liveExists()) report(promoteFetchLog(log))
+        else {
+          CrawlState.writeFetchLog(log, cfg.index)
+          report(fetchLogReport(CrawlState.readFetchLog(spark, cfg.index)))
+        }
+      case ("append", "fetchlog") =>
+        report(promoteFetchLog(CrawlState.appendFetches(
+          CrawlState.readFetchLog(spark, cfg.index),
+          spark.read.parquet(cfg.input.get), cfg.urlCol, cfg.dateCol)))
+      case ("merge", "fetchlog") =>
+        report(promoteFetchLog(CrawlState.mergeFetchLog(
+          CrawlState.readFetchLog(spark, cfg.index),
+          CrawlState.readFetchLog(spark, cfg.other.get))))
+      case ("erase", "fetchlog") =>
+        report(promoteFetchLog(CrawlState.eraseFetches(
+          CrawlState.readFetchLog(spark, cfg.index),
+          spark.read.parquet(cfg.ids.get).select(col("id")), "id")))
+      // the recrawl check: declared (url, lastmod) entries classified
+      // against the log's copy age — new/stale/fresh/unknown
+      case ("check", "fetchlog") =>
+        graft.sources.Sitemaps.recrawlPlan(
+          spark.read.parquet(cfg.input.get),
+          CrawlState.readFetchLog(spark, cfg.index).fetches, cfg.urlCol)
+      case ("stats", "fetchlog") =>
+        CrawlState.fetchLogStats(CrawlState.readFetchLog(spark, cfg.index))
 
       case ("append", "band") =>
         report(promoteBand(Dedup.mergeBandIndex(
@@ -785,11 +833,12 @@ object Main {
       band: Option[(String, String)],
       ivf: Option[(String, String)],
       frontier: Option[(String, String, Boolean)],
+      fetchlog: Option[(String, String)],
       provenance: Option[(String, String)],
       dryRun: Boolean)
 
   private val takedownFlags = Set("dry-run", "band", "doc-ids", "ivf",
-    "vec-ids", "frontier", "urls", "hosts", "provenance")
+    "vec-ids", "frontier", "urls", "hosts", "fetchlog", "provenance")
 
   /** A right-to-be-forgotten request rarely names ONE artifact: a
     * domain removal must leave no trace in the dedup index, the ANN
@@ -817,12 +866,13 @@ object Main {
       band = need("band", "doc-ids"),
       ivf = need("ivf", "vec-ids"),
       frontier = fr,
+      fetchlog = need("fetchlog", "urls"),
       provenance = need("provenance", "doc-ids"),
       dryRun = flags.contains("dry-run"))
     if (cfg.band.isEmpty && cfg.ivf.isEmpty && cfg.frontier.isEmpty &&
-        cfg.provenance.isEmpty)
+        cfg.fetchlog.isEmpty && cfg.provenance.isEmpty)
       fail("takedown needs at least one artifact: --band | --ivf | " +
-        "--frontier | --provenance")
+        "--frontier | --fetchlog | --provenance")
     cfg
   }
 
@@ -894,6 +944,18 @@ object Main {
         Dedup.swapDirs(spark, path, s"$path.next")
         out += (("frontier", "urls", n0, n1))
       } else out += (("frontier", "urls", n0, erased.urls.count()))
+    }
+    cfg.fetchlog.foreach { case (path, idsP) =>
+      val before = CrawlState.readFetchLog(spark, path)
+      val erased = CrawlState.eraseFetches(before, ids(idsP), "id")
+      val n0 = before.fetches.count()
+      if (!cfg.dryRun) {
+        CrawlState.writeFetchLog(erased, s"$path.next")
+        val n1 = CrawlState.readFetchLog(spark, s"$path.next")
+          .fetches.count()
+        Dedup.swapDirs(spark, path, s"$path.next")
+        out += (("fetchlog", "fetches", n0, n1))
+      } else out += (("fetchlog", "fetches", n0, erased.fetches.count()))
     }
     // a provenance-only invocation IS the audit: return the impact
     // report itself instead of an empty erase frame

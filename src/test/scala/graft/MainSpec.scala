@@ -351,6 +351,49 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("index CLI: fetchlog lifecycle — build/append/check/erase/stats") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-fetchlog-cli")
+    Seq(("https://ex.org/p1", "2024-01-10"), ("https://ex.org/p2", "2024-01-12"))
+      .toDF("url", "fetched_at").write.parquet(s"$root/w0.parquet")
+    Seq(("HTTPS://EX.ORG/p1?utm_x=1", "2024-01-20"), // refetch advances
+      ("https://ex.org/p3", "2024-01-05"))
+      .toDF("url", "fetched_at").write.parquet(s"$root/w1.parquet")
+    def run(args: String*) =
+      Main.runIndex(spark, Main.parseIndex(args.toSeq))
+    val b = run("build", "--kind", "fetchlog", "--index", s"$root/log",
+      "--input", s"$root/w0.parquet").collect()
+    assert(b.head.getString(0) === "wrote" && b.head.getLong(2) === 2L)
+    val a = run("append", "--kind", "fetchlog", "--index", s"$root/log",
+      "--input", s"$root/w1.parquet").collect()
+    assert(a.head.getLong(2) === 3L &&
+      !Files.exists(JPath.of(s"$root/log.next")))
+    // check: declared entries classify against the log's copy age
+    Seq(("https://ex.org/p1", "2024-01-25"), ("https://ex.org/p2", null),
+      ("https://ex.org/p9", "2024-01-01"))
+      .toDF("url", "lastmod").write.parquet(s"$root/entries.parquet")
+    val chk = run("check", "--kind", "fetchlog", "--index", s"$root/log",
+        "--input", s"$root/entries.parquet").collect()
+      .map(r => r.getString(0) -> r.getAs[String]("status")).toMap
+    assert(chk === Map("https://ex.org/p1" -> "stale",
+      "https://ex.org/p2" -> "unknown", "https://ex.org/p9" -> "new"))
+    // erase by any surface form; stats histogram
+    Seq("HTTPS://EX.ORG:443/p1#x").toDF("id")
+      .write.parquet(s"$root/gone.parquet")
+    val e = run("erase", "--kind", "fetchlog", "--index", s"$root/log",
+      "--ids", s"$root/gone.parquet").collect()
+    assert(e.head.getLong(2) === 2L)
+    val st = run("stats", "--kind", "fetchlog", "--index", s"$root/log")
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1))
+    assert(st.toSeq === Seq("2024-01-05" -> 1L, "2024-01-12" -> 1L))
+    // takedown cascade covers the log too
+    val td = Main.runTakedown(spark, Main.parseTakedown(Seq(
+        "--fetchlog", s"$root/log", "--urls", s"$root/gone.parquet",
+        "--dry-run"))).collect()
+    assert(td.head.getString(0) === "fetchlog" &&
+      td.head.getLong(2) === 2L && td.head.getLong(3) === 2L)
+  }
+
   test("model CLI: train/retrain/score/drift/eval lifecycle") {
     val root = Files.createTempDirectory("graft-model-cli")
     val sf = "/root/testdata/sf0.001/documents.parquet"
