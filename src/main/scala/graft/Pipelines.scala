@@ -357,7 +357,18 @@ object Pipelines {
       case (_, Some((groupCol, budgets))) =>
         // per-group budgets (the MixPlan.allocate output): a group
         // with no budget row is UNBOUNDED — the planner names what it
-        // constrains, absence is not a zero
+        // constrains, absence is not a zero. A DUPLICATE group row
+        // (e.g. plans unioned across runs) would silently multiply
+        // decision rows through the left join — fail loudly; the
+        // budgets frame is #sources-sized, so the check is one tiny
+        // agg.
+        val dup = budgets.groupBy(col(groupCol))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+          .limit(1).collect()
+        require(dup.isEmpty,
+          s"tokenBudgets: duplicate budget row(s) for $groupCol=" +
+            s"'${dup.headOption.map(_.get(0)).orNull}' — the budgets " +
+            "frame must carry exactly one row per group")
         tokenStage(groupCol, df => df.join(
           broadcast(budgets.select(col(groupCol),
             col("budget").cast("long").as("__budget"))),

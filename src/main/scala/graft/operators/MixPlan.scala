@@ -45,6 +45,24 @@ object MixPlan {
                availCol: String = "available"): DataFrame = {
     require(maxRep >= 1, s"maxRep must be >= 1, got $maxRep")
     require(budget >= 0, s"budget must be >= 0, got $budget")
+    // a null/zero/negative availability would poison the water-fill
+    // silently (null caps sort first and null the prefix arithmetic;
+    // available = 0 divides by zero in repetition_ppm), and
+    // available * maxRep can overflow Long — fail loudly instead.
+    // One single-row agg over the #sources frame (allocate collects
+    // source-sized scalars below anyway).
+    val guard = avail.agg(
+      sum(when(col(availCol).isNull || col(availCol).cast("long") <= 0,
+        1L).otherwise(0L)).as("n_bad"),
+      max(col(availCol).cast("long")).as("max_avail")).collect()(0)
+    require(guard.getLong(0) == 0,
+      s"allocate: ${guard.getLong(0)} source row(s) have null/zero/" +
+        s"negative '$availCol' — every source must declare a positive " +
+        "unique-token supply")
+    require(guard.isNullAt(1) ||
+      guard.getLong(1) <= Long.MaxValue / maxRep,
+      s"allocate: available * maxRep overflows Long " +
+        s"(max available ${guard.getLong(1)}, maxRep $maxRep)")
     val c = avail.select(col(groupCol).as("group"),
       col(availCol).cast("long").as("available"),
       (col(availCol).cast("long") * maxRep).as("cap"))

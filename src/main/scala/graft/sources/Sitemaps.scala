@@ -85,8 +85,11 @@ object Sitemaps {
         col("kind"), col("locs"), col("entries"))
   }
 
+  // scheme matches case-insensitively and the host lowercases — a
+  // declared child loc of `HTTPS://EX.ORG/leaf.xml` must join the
+  // fetched payload exactly like the canonicalized frontier paths do
   private def hostOf(u: Column): Column =
-    regexp_extract(u, "^[a-z]+://([^/]+)", 1)
+    lower(regexp_extract(u, "(?i)^[a-z]+://([^/]+)", 1))
 
   private def baseNameOf(u: Column): Column =
     element_at(split(regexp_replace(u, "[?#].*$", ""), "/"), -1)

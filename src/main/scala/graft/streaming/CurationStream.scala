@@ -158,6 +158,11 @@ object CurationStream {
     * both identically; StreamingSpec proves ledger rows == the batch
     * funnel per micro-batch). Returns the decision frame for the
     * caller's own sink routing.
+    *
+    * The run key is the batch id ZERO-PADDED to 12 digits: trend
+    * orders runs lexicographically by run_id, and an unpadded
+    * `run-10` would sort before `run-2`, silently computing every
+    * delta against the wrong previous micro-batch.
     */
   def curateAndLedger(spark: org.apache.spark.sql.SparkSession,
                       ledgerPath: String,
@@ -172,7 +177,7 @@ object CurationStream {
       index, allowedLangs, classifier, quota)
       .localCheckpoint(true) // decisions feed the funnel AND the caller
     graft.operators.CurationLedger.append(spark, ledgerPath,
-      s"run-$batchId", graft.Pipelines.curationReport(decisions))
+      f"run-$batchId%012d", graft.Pipelines.curationReport(decisions))
     decisions
   }
 

@@ -53,6 +53,34 @@ class MixPlanSpec extends SparkSpec {
     }
   }
 
+  test("availability guard: null/zero/negative supply and cap overflow fail loudly") {
+    import spark.implicits._
+    // zero and negative availability must not poison the water-fill
+    intercept[IllegalArgumentException] {
+      MixPlan.allocate(Seq(("a", 0L), ("b", 5L))
+        .toDF("source", "available"), 10L, 2).collect()
+    }
+    intercept[IllegalArgumentException] {
+      MixPlan.allocate(Seq(("a", -3L), ("b", 5L))
+        .toDF("source", "available"), 10L, 2).collect()
+    }
+    // a null availability (cap would sort first and null the prefix)
+    intercept[IllegalArgumentException] {
+      MixPlan.allocate(
+        Seq(("a", Some(4L)), ("b", Option.empty[Long]))
+          .toDF("source", "available"), 10L, 2).collect()
+    }
+    // available * maxRep overflowing Long must be rejected, not wrapped
+    intercept[IllegalArgumentException] {
+      MixPlan.allocate(Seq(("a", Long.MaxValue / 2 + 1))
+        .toDF("source", "available"), 10L, 2).collect()
+    }
+    // boundary: max available exactly at the overflow edge still works
+    val edge = MixPlan.allocate(Seq(("a", Long.MaxValue / 2))
+      .toDF("source", "available"), 10L, 2).collect()
+    assert(edge.length === 1 && edge(0).getAs[Long]("alloc") === 10L)
+  }
+
   test("water-filling optimality: no unsaturated source above the level+1") {
     // max-min: every unsaturated allocation is within 1 token of every
     // other unsaturated allocation (the integer water level), and no

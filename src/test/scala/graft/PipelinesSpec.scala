@@ -378,6 +378,14 @@ class PipelinesSpec extends SparkSpec {
       Pipelines.curateChain(raw, tokenQuota = Some(("source", 5L)),
         tokenBudgets = Some(("source", budgets)))
     }
+    // a duplicate budget row would silently multiply decision rows
+    // through the left join — the stage must reject it loudly
+    val duped = budgets.unionByName(
+      Seq(("a", 99L)).toDF("source", "budget"))
+    val ex = intercept[IllegalArgumentException] {
+      Pipelines.curateChain(raw, tokenBudgets = Some(("source", duped)))
+    }
+    assert(ex.getMessage.contains("duplicate budget"))
   }
 
   test("curation classifier stage honors the stored operating point") {

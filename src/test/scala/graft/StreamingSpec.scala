@@ -1116,14 +1116,17 @@ class StreamingSpec extends SparkSpec {
       Pipelines.curationReport(Pipelines.curateChain(
         rows.toDF("doc_id", "text"))).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // run keys zero-pad so trend's lexicographic run order matches
+    // batch order past micro-batch 9 (run-10 must not sort < run-2)
     want(wave1).foreach { case (st, n) =>
-      assert(led(("run-0", st)) === n, s"wave1 $st") }
+      assert(led(("run-000000000000", st)) === n, s"wave1 $st") }
     want(wave2).foreach { case (st, n) =>
-      assert(led(("run-1", st)) === n, s"wave2 $st") }
+      assert(led(("run-000000000001", st)) === n, s"wave2 $st") }
     // the trend view reads the streamed trail identically
     val tr = graft.operators.CurationLedger.trend(
         graft.operators.CurationLedger.read(spark, s"$root/led"))
-      .filter(org.apache.spark.sql.functions.col("run_id") === "run-1")
+      .filter(org.apache.spark.sql.functions.col("run_id") ===
+        "run-000000000001")
       .collect().map(r => r.getString(1) -> r.getAs[Long]("delta")).toMap
     assert(tr("ingested") === -1L) // 2 docs → 1 doc
   }
