@@ -137,11 +137,15 @@ object CrawlState {
 
   /** Persisted FETCH LOG — the when-did-I-last-fetch sibling of the
     * URL-seen index: one parquet table `fetches` (url, fetched_at
-    * DATE), canonical urls, ONE row per url carrying the LATEST
-    * fetch date (refetches collapse by max — the artifact answers
+    * TIMESTAMP), canonical urls, ONE row per url carrying the LATEST
+    * fetch instant (refetches collapse by max — the artifact answers
     * "how stale is my copy", which only the newest fetch defines).
+    * TIMESTAMP, not DATE: recrawl classification must see that a page
+    * fetched at 09:00 is stale against a same-day 17:00 lastmod — a
+    * date-granularity log silently misses every intraday update. A
+    * DATE input casts to midnight, so date-only producers still work.
     * Laws (CrawlStateSpec): append is idempotent; append of an older
-    * date is a no-op row-for-row; merge == build-of-union under max.
+    * fetch is a no-op row-for-row; merge == build-of-union under max.
     * [[graft.sources.Sitemaps.recrawlPlan]] reads it to classify
     * declared lastmod against the crawler's own copy age. URL-sized
     * like every crawl-state artifact; maintenance is one keyed agg.
@@ -152,7 +156,7 @@ object CrawlState {
                     dateCol: String = "fetched_at"): FetchLog = {
     val canon = fetches
       .select(graft.functions.Urls.canonicalizeUrl(col(urlCol)).as("url"),
-        col(dateCol).cast("date").as("fetched_at"))
+        col(dateCol).cast("timestamp").as("fetched_at"))
       .filter(col("url").isNotNull && col("fetched_at").isNotNull)
       .groupBy("url").agg(max(col("fetched_at")).as("fetched_at"))
     FetchLog(canon)
@@ -192,11 +196,13 @@ object CrawlState {
     FetchLog(log.fetches.join(gone, Seq("url"), "left_anti"))
   }
 
-  /** Copy-age histogram: urls per fetch date — the staleness gate a
-    * recrawl scheduler budgets from.
+  /** Copy-age histogram: urls per fetch DATE (the log stores
+    * timestamps; the budgeting view rolls them up to days) — the
+    * staleness gate a recrawl scheduler budgets from.
     */
   def fetchLogStats(log: FetchLog): DataFrame =
-    log.fetches.groupBy("fetched_at").agg(count(lit(1)).as("n_urls"))
+    log.fetches.groupBy(to_date(col("fetched_at")).as("fetched_at"))
+      .agg(count(lit(1)).as("n_urls"))
       .orderBy("fetched_at")
 
   /** Resolve canonical/redirect CHAINS to their final URLs — real

@@ -96,10 +96,19 @@ object TextQueries {
         .agg(array_join(transform(array_sort(collect_list(col("doc_id"))),
           i => concat(lit("<url><loc> https://ex"), col("host"),
             lit(".org/d/"), i, lit(" </loc>"),
-            // change signal for incremental recrawl: a W3C-date
-            // lastmod (day = id%28+1), omitted for id%5==0 hosts'
-            // pages (the no-signal case recrawlPlan must classify)
+            // change signal for incremental recrawl: omitted for
+            // id%5==0 (the no-signal case recrawlPlan must
+            // classify); id%4==1 declares a FULL W3C datetime on
+            // the page's own fetch day (10+id%10) at 17:00Z — the
+            // same-day-after-fetch update that MUST classify stale
+            // at timestamp precision (fetches happen 09:00); the
+            // rest declare a date-only lastmod (day = id%28+1) that
+            // degrades to date-granularity comparison
             when(pmod(i, lit(5)) === 0, lit(""))
+              .when(pmod(i, lit(4)) === 1,
+                concat(lit("<lastmod>2024-01-"),
+                  (pmod(i, lit(10)) + 10).cast("string"),
+                  lit("T17:00:00Z</lastmod>")))
               .otherwise(concat(lit("<lastmod>2024-01-"),
                 lpad((pmod(i, lit(28)) + 1).cast("string"), 2, "0"),
                 lit("</lastmod>"))),
@@ -143,9 +152,12 @@ object TextQueries {
 
   /** Temp path of the persisted FETCH LOG artifact (the
     * when-did-I-fetch sibling of the frontier: crawled docs < 300,
-    * each /d/ url fetched at 2024-01-(10 + id%10)), written once per
-    * data directory — the fixture is the WRITE; `f_sitemap_recrawl` /
-    * `f_fetch_log_stats` gate the artifact READ path.
+    * each /d/ url fetched at 2024-01-(10 + id%10) 09:00 — a morning
+    * fetch, so a same-day 17:00Z lastmod is a REAL intraday update
+    * the timestamp-precision recrawl plan must catch), written once
+    * per data directory — the fixture is the WRITE;
+    * `f_sitemap_recrawl` / `f_fetch_log_stats` gate the artifact READ
+    * path.
     */
   private val fetchLogMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -158,8 +170,9 @@ object TextQueries {
       val fetched = t(s, dir, "documents").filter(col("doc_id") < 300)
         .select(concat(lit("https://ex"), pmod(col("doc_id"), lit(10)),
             lit(".org/d/"), col("doc_id")).as("url"),
-          date_add(lit("2024-01-10").cast("date"),
-            pmod(col("doc_id"), lit(10)).cast("int")).as("fetched_at"))
+          expr("cast(date_add(date '2024-01-10', " +
+            "cast(doc_id % 10 as int)) as timestamp) " +
+            "+ interval 9 hour").as("fetched_at"))
       graft.operators.CrawlState.writeFetchLog(
         graft.operators.CrawlState.buildFetchLog(fetched), path)
       path
@@ -812,11 +825,15 @@ object TextQueries {
     // ---- INCREMENTAL recrawl off the same spool — the point of
     //      declaring lastmod: every urlset entry (url + optional
     //      lastmod, parsed per <url> block) joins the crawler's
-    //      fetch log (the /d/ pages crawled as of 2024-01-15) on the
-    //      canonical url key and classifies new / stale (declared
-    //      lastmod after the fetch) / fresh / unknown (no change
-    //      signal) — the per-host budget that refetches what CHANGED
-    //      instead of everything. One scan + one equi-join ----
+    //      fetch log (the /d/ pages crawled at 09:00 of their fetch
+    //      day) on the canonical url key and classifies new / stale
+    //      (declared lastmod after the fetch — at TIMESTAMP precision
+    //      for full W3C datetime declarations, so the id%4==1 pages
+    //      modified 17:00Z on their own fetch day classify stale;
+    //      date granularity for date-only ones) / fresh / unknown
+    //      (no change signal) — the per-host budget that refetches
+    //      what CHANGED instead of everything. One scan + one
+    //      equi-join ----
     "f_sitemap_recrawl" -> ((s, dir) => {
       val entries = graft.sources.Sitemaps
         .readFrom(s, sitemapSpool(s, dir))
@@ -3875,16 +3892,19 @@ object TextQueries {
         |FROM documents WHERE doc_id < 300
         |GROUP BY 1""".stripMargin,
 
-    // the recrawl classification in closed form: /d/ pages carry
-    // lastmod day id%28+1 (omitted when id%5==0), the fetch log is
-    // the persisted artifact (crawled ids<300 at 2024-01-10 + id%10),
-    // the per-host extra url
-    // is never fetched → new
+    // the recrawl classification in closed form: id%4==1 pages
+    // declare a FULL datetime on their own fetch day at 17:00Z —
+    // fetched 09:00, so timestamp precision makes every crawled one
+    // stale (date truncation would have said fresh); date-only pages
+    // (the rest, lastmod day id%28+1, omitted when id%5==0) compare
+    // at date granularity against the fetch day 10+id%10; the
+    // per-host extra url is never fetched → new
     "f_sitemap_recrawl" ->
       """WITH u AS (
         |  SELECT doc_id % 10 AS h,
         |    CASE WHEN doc_id >= 300 THEN 'new'
         |         WHEN doc_id % 5 = 0 THEN 'unknown'
+        |         WHEN doc_id % 4 = 1 THEN 'stale'
         |         WHEN doc_id % 28 + 1 > 10 + doc_id % 10 THEN 'stale'
         |         ELSE 'fresh' END AS status
         |  FROM documents

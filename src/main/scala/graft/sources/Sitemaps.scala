@@ -111,11 +111,44 @@ object Sitemaps {
       col("content")), cap = cap)
   }
 
+  /** Parse a W3C-datetime `lastmod` value into
+    * struct(ts TIMESTAMP, has_time BOOLEAN):
+    *
+    *   - full datetime forms (`2024-01-05T17:00:00Z`,
+    *     `…T17:00+01:00`, with or without fractional seconds — the
+    *     fraction truncates) parse to their instant with
+    *     `has_time = true`, so recrawl classification compares at
+    *     TIMESTAMP precision;
+    *   - date-only declarations degrade to midnight with
+    *     `has_time = false` — the comparison then happens at DATE
+    *     granularity, matching what the host actually asserted;
+    *   - anything unparseable yields a null ts (classified `unknown`
+    *     downstream), never an error.
+    *
+    * Same-day updates are the point: a page fetched at 09:00 whose
+    * host declares `…T17:00:00Z` the same day is STALE; truncating to
+    * dates (the old behavior) silently classified it fresh until its
+    * NEXT declared change — the common case for intraday-updating
+    * hosts.
+    */
+  private[graft] def lastmodParsed(lm: Column): Column = {
+    val noFrac = regexp_replace(lm, "\\.\\d+", "")
+    val full = coalesce(
+      try_to_timestamp(noFrac, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+      try_to_timestamp(noFrac, lit("yyyy-MM-dd'T'HH:mm:ss")),
+      try_to_timestamp(noFrac, lit("yyyy-MM-dd'T'HH:mmXXX")),
+      try_to_timestamp(noFrac, lit("yyyy-MM-dd'T'HH:mm")))
+    val dateOnly =
+      try_to_timestamp(substring(lm, 1, 10), lit("yyyy-MM-dd"))
+    struct(coalesce(full, dateOnly).as("ts"),
+      full.isNotNull.as("has_time"))
+  }
+
   /** Incremental-recrawl plan: sitemap entries (url, lastmod) against
-    * the crawler's FETCH LOG (url, fetched_at DATE — the when-did-I-
-    * last-fetch sibling of the frontier's have-I-seen artifact). One
-    * equi-join on the canonical url key classifies every declared
-    * url:
+    * the crawler's FETCH LOG (url, fetched_at TIMESTAMP — the
+    * when-did-I-last-fetch sibling of the frontier's have-I-seen
+    * artifact). One equi-join on the canonical url key classifies
+    * every declared url:
     *
     *   - `new`: never fetched — the frontier feed;
     *   - `stale`: fetched, and the host declares a LATER lastmod —
@@ -126,30 +159,50 @@ object Sitemaps {
     *     host gives no change signal; policy (not this operator)
     *     decides a recrawl interval for these.
     *
-    * lastmod accepts the W3C datetime forms by reading the date part;
-    * an unparseable value degrades to `unknown`, never an error.
+    * lastmod parses the full W3C datetime forms ([[lastmodParsed]]):
+    * a timestamped declaration compares at TIMESTAMP precision (a
+    * same-day-after-fetch update classifies `stale`), a date-only one
+    * degrades to DATE granularity per entry, and an unparseable value
+    * degrades to `unknown`, never an error.
     */
   def recrawlPlan(entries: DataFrame, fetchLog: DataFrame,
                   urlCol: String = "url",
                   lastmodCol: String = "lastmod"): DataFrame = {
+    val p = lastmodParsed(col(lastmodCol))
     val canon = entries.select(
         graft.functions.Urls.canonicalizeUrl(col(urlCol)).as("url"),
-        to_date(substring(col(lastmodCol), 1, 10)).as("lastmod"))
+        p.getField("ts").as("__ts"), p.getField("has_time").as("__ht"))
       .filter(col("url").isNotNull)
       // one row per canonical url: the LATEST declared lastmod wins
-      // (mirrored sitemaps re-declare urls)
-      .groupBy("url").agg(max(col("lastmod")).as("lastmod"))
+      // (mirrored sitemaps re-declare urls); a tie at the same
+      // instant prefers the timestamped declaration, and null-ts
+      // entries sort below any dated one
+      .groupBy("url").agg(max(struct(col("__ts"), col("__ht"))).as("m"))
+      .select(col("url"), col("m.__ts").as("lastmod"),
+        col("m.__ht").as("lastmod_has_time"))
     canon
       .join(fetchLog.select(
         graft.functions.Urls.canonicalizeUrl(col("url")).as("url"),
-        col("fetched_at")), Seq("url"), "left")
+        col("fetched_at").cast("timestamp").as("fetched_at")),
+        Seq("url"), "left")
       .select(col("url"), hostOf(col("url")).as("host"),
-        col("lastmod"), col("fetched_at"),
-        when(col("fetched_at").isNull, lit("new"))
-          .when(col("lastmod").isNull, lit("unknown"))
-          .when(col("lastmod") > col("fetched_at"), lit("stale"))
-          .otherwise(lit("fresh")).as("status"))
+        col("lastmod"), col("lastmod_has_time"), col("fetched_at"),
+        recrawlStatus(col("lastmod"), col("lastmod_has_time"),
+          col("fetched_at")).as("status"))
   }
+
+  /** The shared classification clause (batch [[recrawlPlan]] and the
+    * streaming twin apply the identical algebra): timestamped
+    * declarations compare instants, date-only ones compare dates.
+    */
+  private[graft] def recrawlStatus(ts: Column, hasTime: Column,
+                                   fetchedAt: Column): Column =
+    when(fetchedAt.isNull, lit("new"))
+      .when(ts.isNull, lit("unknown"))
+      .when(hasTime,
+        when(ts > fetchedAt, lit("stale")).otherwise(lit("fresh")))
+      .when(to_date(ts) > to_date(fetchedAt), lit("stale"))
+      .otherwise(lit("fresh"))
 
   /** Resolve a parsed sitemap table to (entry_sitemap_url, url) —
     * every crawlable URL each ENTRY sitemap (the one robots.txt

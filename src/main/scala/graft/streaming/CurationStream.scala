@@ -253,18 +253,21 @@ object CurationStream {
                     log: graft.operators.CrawlState.FetchLog,
                     urlCol: String = "url",
                     lastmodCol: String = "lastmod"): DataFrame = {
+    val p = graft.sources.Sitemaps.lastmodParsed(col(lastmodCol))
     val canon = entries.select(
         graft.functions.Urls.canonicalizeUrl(col(urlCol)).as("url"),
-        to_date(substring(col(lastmodCol), 1, 10)).as("lastmod"))
+        p.getField("ts").as("lastmod"),
+        p.getField("has_time").as("lastmod_has_time"))
       .filter(col("url").isNotNull)
-    canon.join(log.fetches, Seq("url"), "left")
+    canon.join(log.fetches
+        .select(col("url"),
+          col("fetched_at").cast("timestamp").as("fetched_at")),
+        Seq("url"), "left")
       .select(col("url"),
         regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1).as("host"),
-        col("lastmod"), col("fetched_at"),
-        when(col("fetched_at").isNull, lit("new"))
-          .when(col("lastmod").isNull, lit("unknown"))
-          .when(col("lastmod") > col("fetched_at"), lit("stale"))
-          .otherwise(lit("fresh")).as("status"))
+        col("lastmod"), col("lastmod_has_time"), col("fetched_at"),
+        graft.sources.Sitemaps.recrawlStatus(col("lastmod"),
+          col("lastmod_has_time"), col("fetched_at")).as("status"))
   }
 
   /** Robots gate at fetch time — the streaming half of

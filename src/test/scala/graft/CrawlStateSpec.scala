@@ -121,9 +121,11 @@ class CrawlStateSpec extends SparkSpec {
   }
 
   test("fetch log: latest-wins laws, idempotent append, erase, stats") {
+    // the log stores TIMESTAMPS (intraday staleness); date-string
+    // inputs cast to midnight, and all laws hold at the new type
     def logSet(l: CrawlState.FetchLog): Set[(String, String)] =
       l.fetches.collect().map(r =>
-        (r.getString(0), r.getDate(1).toString)).toSet
+        (r.getString(0), r.getTimestamp(1).toString)).toSet
     val a = Seq(("https://ex.org/p1", "2024-01-10"),
       ("https://ex.org/p2", "2024-01-12")).toDF("url", "fetched_at")
     val b = Seq(
@@ -135,9 +137,15 @@ class CrawlStateSpec extends SparkSpec {
     assert(logSet(merged) ===
       logSet(CrawlState.buildFetchLog(a.unionByName(b))))
     assert(logSet(merged) === Set(
-      ("https://ex.org/p1", "2024-01-20"), // newer fetch advanced it
-      ("https://ex.org/p2", "2024-01-12"),
-      ("https://ex.org/p3", "2024-01-05")))
+      ("https://ex.org/p1", "2024-01-20 00:00:00.0"), // newer fetch won
+      ("https://ex.org/p2", "2024-01-12 00:00:00.0"),
+      ("https://ex.org/p3", "2024-01-05 00:00:00.0")))
+    // an INTRADAY refetch advances the row at timestamp precision
+    val intraday = CrawlState.appendFetches(merged,
+      Seq(("https://ex.org/p2", "2024-01-12 15:30:00"))
+        .toDF("url", "fetched_at"))
+    assert(logSet(intraday).contains(
+      ("https://ex.org/p2", "2024-01-12 15:30:00.0")))
     // appending an OLDER fetch is a row-for-row no-op; re-append idem
     val older = CrawlState.appendFetches(merged,
       Seq(("https://ex.org/p1", "2024-01-01")).toDF("url", "fetched_at"))

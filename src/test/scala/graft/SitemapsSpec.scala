@@ -114,13 +114,55 @@ class SitemapsSpec extends SparkSpec {
       .toDF("url", "d")
       .select(col("url"), to_date(col("d")).as("fetched_at"))
     val got = Sitemaps.recrawlPlan(entries, log).collect()
-      .map(r => r.getString(0) -> r.getString(4)).toMap
+      .map(r => r.getString(0) -> r.getAs[String]("status")).toMap
     assert(got === Map(
       "https://ex.org/p1" -> "stale",
       "https://ex.org/p2" -> "fresh",
       "https://ex.org/p3" -> "unknown",
       "https://ex.org/p4" -> "new"))
     assert(got.size === 4) // canonical collapse: p1 appears once
+  }
+
+  test("recrawlPlan: timestamp precision — same-day updates are stale") {
+    // every page fetched 09:00 on 2024-01-15
+    val log = Seq("https://ex.org/a", "https://ex.org/b",
+        "https://ex.org/c", "https://ex.org/d", "https://ex.org/e")
+      .toDF("url")
+      .select(col("url"),
+        to_timestamp(lit("2024-01-15 09:00:00")).as("fetched_at"))
+    val entries = Seq(
+      // declared-modified SAME DAY after the fetch → stale (the old
+      // date-granularity semantics silently said fresh)
+      ("https://ex.org/a", "2024-01-15T17:00:00Z"),
+      // same day BEFORE the fetch → fresh (timestamp precision cuts
+      // both ways)
+      ("https://ex.org/b", "2024-01-15T08:30:00+00:00"),
+      // date-ONLY declaration on the fetch day degrades to date
+      // granularity: not after → fresh
+      ("https://ex.org/c", "2024-01-15"),
+      // offset form: 18:00+02:00 = 16:00Z > 09:00Z → stale; the
+      // fractional second truncates
+      ("https://ex.org/d", "2024-01-15T18:00:00.25+02:00"),
+      // unparseable (year-month only) degrades to unknown, no error
+      ("https://ex.org/e", "2024-01")
+    ).toDF("url", "lastmod")
+    val got = Sitemaps.recrawlPlan(entries, log).collect()
+      .map(r => r.getString(0) -> r.getAs[String]("status")).toMap
+    assert(got === Map(
+      "https://ex.org/a" -> "stale",
+      "https://ex.org/b" -> "fresh",
+      "https://ex.org/c" -> "fresh",
+      "https://ex.org/d" -> "stale",
+      "https://ex.org/e" -> "unknown"))
+    // a mirror declaring date-only alongside a SAME-instant
+    // timestamped form keeps the timestamped one (tie prefers
+    // has_time), and a null-lastmod mirror never outranks a dated one
+    val mixed = Seq(
+      ("https://ex.org/a", "2024-01-15T17:00:00Z"),
+      ("https://ex.org/a", null)).toDF("url", "lastmod")
+    val m = Sitemaps.recrawlPlan(mixed, log).collect()
+    assert(m.length === 1 && m(0).getAs[String]("status") === "stale" &&
+      m(0).getAs[Boolean]("lastmod_has_time"))
   }
 
   test("streaming recrawlScreen == batch recrawlPlan on mirror-free input") {
