@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one distributed binaryFile scan; parsing is a
   * map-side projection per payload; index→leaf resolution is an
-  * equi-join on (host, file basename) — the sitemap table is
-  * hosts × files sized, never corpus-sized. The 50k cap and the
-  * depth bound are the protocol's own guards, enforced here so one
-  * hostile host cannot blow up a wave.
+  * equi-join on (host, url path) — the sitemap table is
+  * hosts × files sized, never corpus-sized. The 50k cap, the depth
+  * bound, and a per-entry visited set (cycles and diamonds open each
+  * payload once) are the guards that keep one hostile host from
+  * blowing up a wave.
   */
 object Sitemaps {
 
@@ -39,7 +40,7 @@ object Sitemaps {
       "&amp;", "&")
 
   /** Parse fetched sitemap payloads: (urlCol, bytesCol) →
-    * (sitemap_url, host, file, kind, locs).
+    * (sitemap_url, host, file, path, kind, locs).
     *
     *   - `kind`: `sitemapindex` when the document's root region opens
     *     `<sitemapindex`, `urlset` for `<urlset`, null otherwise (a
@@ -48,7 +49,12 @@ object Sitemaps {
     *     entity-decoded, capped at `cap` (protocol limit; the cap is
     *     a SLICE, so an over-limit hostile file degrades instead of
     *     exploding downstream joins);
-    *   - `host`/`file`: the join keys resolution uses.
+    *   - `host`/`path`: the join keys resolution uses — the FULL url
+    *     path, not the basename: two sitemaps on one host with the
+    *     same file name in different directories
+    *     (`/news/sitemap.xml` vs `/blog/sitemap.xml` — common on
+    *     real hosts) must resolve independently;
+    *   - `file`: the basename, kept for per-file health reports.
     */
   def parse(payloads: DataFrame, urlCol: String = "sitemap_url",
             bytesCol: String = "content",
@@ -82,6 +88,7 @@ object Sitemaps {
       .select(col(urlCol).as("sitemap_url"),
         hostOf(col(urlCol)).as("host"),
         baseNameOf(col(urlCol)).as("file"),
+        pathOf(col(urlCol)).as("path"),
         col("kind"), col("locs"), col("entries"))
   }
 
@@ -94,20 +101,35 @@ object Sitemaps {
   private def baseNameOf(u: Column): Column =
     element_at(split(regexp_replace(u, "[?#].*$", ""), "/"), -1)
 
+  /** Full url PATH (query/fragment stripped) — the resolution key
+    * alongside host. `https://ex.org/news/sitemap.xml?x=1` →
+    * `/news/sitemap.xml`.
+    */
+  private def pathOf(u: Column): Column =
+    regexp_replace(
+      regexp_replace(u, "(?i)^[a-z][a-z0-9+.-]*://[^/]*", ""),
+      "[?#].*$", "")
+
   /** Read fetched sitemap payloads from a directory tree laid out as
-    * `<dir>/<host>/<file>` (the fetcher's spool: one subdirectory per
-    * host, the fetched bytes verbatim — gzip stays gzip). One
-    * distributed binaryFile scan; the sitemap_url is reconstructed
-    * from the spool layout as `https://<host>/<file>`.
+    * `<dir>/<host>/<path...>` (the fetcher's spool: one subdirectory
+    * per host, the url PATH preserved as the relative layout beneath
+    * it — so `/news/sitemap.xml` and `/blog/sitemap.xml` spool to
+    * distinct files — the fetched bytes verbatim: gzip stays gzip).
+    * One distributed binaryFile scan; the sitemap_url is
+    * reconstructed from the spool layout as `https://<host>/<path>`.
     */
   def readFrom(spark: SparkSession, dir: String,
                cap: Int = MaxUrlsPerSitemap): DataFrame = {
     val files = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true").load(dir)
-    val segs = split(col("path"), "/")
+    val rootPath = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+    // strip the scheme+authority, then the spool root: what remains
+    // is <host>/<path...>, the url with its directory layout intact
+    val rel = regexp_replace(
+      regexp_replace(col("path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", ""),
+      "^" + java.util.regex.Pattern.quote(rootPath) + "/+", "")
     parse(files.select(
-      concat(lit("https://"), element_at(segs, -2), lit("/"),
-        element_at(segs, -1)).as("sitemap_url"),
+      concat(lit("https://"), rel).as("sitemap_url"),
       col("content")), cap = cap)
   }
 
@@ -208,35 +230,60 @@ object Sitemaps {
     * every crawlable URL each ENTRY sitemap (the one robots.txt
     * declares) ultimately feeds, walking `sitemapindex` nesting up to
     * `maxDepth` joins. Each step joins the current frontier's
-    * index-entries to the fetched payload table on (host, file) —
-    * a declared leaf that was never fetched simply contributes
-    * nothing (the honest fetch-gap semantics). URLs attribute to the
-    * entry sitemap, so per-host budgeting sees one row space per
-    * declared sitemap regardless of nesting shape.
+    * index-entries to the fetched payload table on (host, PATH) —
+    * same-basename sitemaps in different directories resolve
+    * independently, and a declared leaf that was never fetched simply
+    * contributes nothing (the honest fetch-gap semantics). URLs
+    * attribute to the entry sitemap, so per-host budgeting sees one
+    * row space per declared sitemap regardless of nesting shape.
+    *
+    * Hostile-input guards (each round):
+    *   - a VISITED set per entry (anti-join) — an index cycle
+    *     (A→B→A) or a diamond (two index paths reaching one leaf)
+    *     opens every payload at most ONCE per entry, instead of
+    *     re-reading it every round until the depth bound;
+    *   - the output is `distinct()` — the operator's own contract is
+    *     a url SET per entry, not one row per discovery path;
+    *   - an emptied frontier short-circuits the loop — flat spools
+    *     (no indexes) cost one join, not `maxDepth` of them.
     */
   def expand(parsed: DataFrame, entries: DataFrame,
              entryCol: String = "sitemap_url",
              maxDepth: Int = MaxIndexDepth): DataFrame = {
-    val byKey = parsed.select(col("host"), col("file"), col("kind"),
+    val byKey = parsed.select(col("host"), col("path"), col("kind"),
       col("locs")).localCheckpoint(false)
-    // frontier: (entry, host, file) sitemaps still to open
+    // frontier: (entry, host, path) sitemaps still to open; visited:
+    // everything already queued for opening (both frames are
+    // hosts × files sized — never corpus-sized)
     var frontier = entries
       .select(col(entryCol).as("entry"), hostOf(col(entryCol)).as("host"),
-        baseNameOf(col(entryCol)).as("file"))
+        pathOf(col(entryCol)).as("path"))
+      .distinct()
+      .localCheckpoint(false)
+    var visited = frontier
     var out: DataFrame = null
     var depth = 0
-    while (depth <= maxDepth) {
-      val opened = frontier.join(byKey, Seq("host", "file"))
+    var drained = false
+    while (depth <= maxDepth && !drained) {
+      val opened = frontier.join(byKey, Seq("host", "path"))
       val urls = opened.filter(col("kind") === "urlset")
         .select(col("entry").as("sitemap_url"),
           explode(col("locs")).as("url"))
       out = if (out == null) urls else out.unionByName(urls)
+      // eager per round: the frontier feeds the emptiness probe, the
+      // next join AND the visited union — and each round's lineage
+      // would otherwise stack joins maxDepth deep
       frontier = opened.filter(col("kind") === "sitemapindex")
         .select(col("entry"), explode(col("locs")).as("child"))
         .select(col("entry"), hostOf(col("child")).as("host"),
-          baseNameOf(col("child")).as("file"))
+          pathOf(col("child")).as("path"))
+        .distinct()
+        .join(visited, Seq("entry", "host", "path"), "left_anti")
+        .localCheckpoint(false)
+      visited = visited.unionByName(frontier)
+      drained = frontier.isEmpty
       depth += 1
     }
-    out
+    out.distinct()
   }
 }

@@ -230,4 +230,70 @@ class SitemapsSpec extends SparkSpec {
       ("https://ex.org/sitemap.xml", "https://ex.org/c")))
     assert(urls.length === 3)
   }
+
+  test("expand: hostile cycle + diamond open each payload once; exact output") {
+    val root = Files.createTempDirectory("graft-sm-cyc").toString
+    val host = Files.createDirectories(
+      java.nio.file.Paths.get(root, "ex.org"))
+    def write(name: String, text: String): Unit =
+      Files.write(host.resolve(name),
+        text.getBytes(StandardCharsets.UTF_8))
+    // A→{leaf, B}, B→{leaf, A}: an index CYCLE and a DIAMOND (leaf
+    // reachable via both A and B). Without the visited set the leaf
+    // re-opens every round until the depth bound and its urls emit
+    // once per discovery path.
+    write("a.xml",
+      "<sitemapindex><sitemap><loc>https://ex.org/leaf.xml</loc>" +
+        "</sitemap><sitemap><loc>https://ex.org/b.xml</loc>" +
+        "</sitemap></sitemapindex>")
+    write("b.xml",
+      "<sitemapindex><sitemap><loc>https://ex.org/leaf.xml</loc>" +
+        "</sitemap><sitemap><loc>HTTPS://EX.ORG/a.xml</loc>" + // cased
+        "</sitemap></sitemapindex>")
+    write("leaf.xml",
+      "<urlset><url><loc>https://ex.org/x</loc></url>" +
+        "<url><loc>https://ex.org/y</loc></url></urlset>")
+    val parsed = Sitemaps.readFrom(spark, root)
+    val urls = Sitemaps.expand(parsed,
+        Seq("https://ex.org/a.xml").toDF("sitemap_url"),
+        maxDepth = 10) // a generous bound must not change the output
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(urls.toSet === Set(
+      ("https://ex.org/a.xml", "https://ex.org/x"),
+      ("https://ex.org/a.xml", "https://ex.org/y")))
+    assert(urls.length === 2) // the leaf's urls appear ONCE
+  }
+
+  test("expand: same basename in different directories resolves by path") {
+    val root = Files.createTempDirectory("graft-sm-path").toString
+    val host = java.nio.file.Paths.get(root, "ex.org")
+    Files.createDirectories(host.resolve("news"))
+    Files.createDirectories(host.resolve("blog"))
+    def write(rel: String, text: String): Unit =
+      Files.write(host.resolve(rel),
+        text.getBytes(StandardCharsets.UTF_8))
+    write("sitemap.xml",
+      "<sitemapindex><sitemap><loc>https://ex.org/news/sitemap.xml" +
+        "</loc></sitemap><sitemap><loc>https://ex.org/blog/sitemap.xml" +
+        "</loc></sitemap></sitemapindex>")
+    write("news/sitemap.xml",
+      "<urlset><url><loc>https://ex.org/news/1</loc></url></urlset>")
+    write("blog/sitemap.xml",
+      "<urlset><url><loc>https://ex.org/blog/1</loc></url></urlset>")
+    val parsed = Sitemaps.readFrom(spark, root)
+    // the spool stores both files (path-preserving layout), the
+    // reconstructed urls carry their directories, and resolution
+    // joins on the full path — a basename key would collide
+    assert(parsed.select("sitemap_url").collect().map(_.getString(0))
+      .toSet === Set("https://ex.org/sitemap.xml",
+        "https://ex.org/news/sitemap.xml",
+        "https://ex.org/blog/sitemap.xml"))
+    val urls = Sitemaps.expand(parsed,
+        Seq("https://ex.org/sitemap.xml").toDF("sitemap_url"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(urls.toSet === Set(
+      ("https://ex.org/sitemap.xml", "https://ex.org/news/1"),
+      ("https://ex.org/sitemap.xml", "https://ex.org/blog/1")))
+    assert(urls.length === 2)
+  }
 }
