@@ -355,7 +355,8 @@ object Main {
       dateCol: String,
       ngram: Int, bands: Int, rowsPerBand: Int,
       partitions: Int, threshold: Double, k: Int, nProbe: Int,
-      byHost: Boolean, dryRun: Boolean)
+      byHost: Boolean, dryRun: Boolean,
+      retireBefore: Option[java.sql.Timestamp] = None)
 
   private val indexVerbs =
     Set("build", "append", "merge", "compact", "erase", "stats", "check")
@@ -363,7 +364,8 @@ object Main {
   private val indexFlags = Set("dry-run", "kind", "index", "input",
     "other", "ids", "centroids", "id-col", "text-col", "vec-col",
     "url-col", "date-col", "ngram", "bands", "rows-per-band",
-    "partitions", "threshold", "k", "nprobe", "by-host")
+    "partitions", "threshold", "k", "nprobe", "by-host",
+    "retire-before")
 
   private[graft] def parseIndex(args: Seq[String]): IndexConfig = {
     if (args.isEmpty || !indexVerbs(args.head))
@@ -399,9 +401,19 @@ object Main {
         .getOrElse(0.5),
       k = intFlag("k", 3), nProbe = intFlag("nprobe", 2),
       byHost = flags.contains("by-host"),
-      dryRun = flags.contains("dry-run"))
+      dryRun = flags.contains("dry-run"),
+      retireBefore = flags.get("retire-before").map { v =>
+        // accepts a date or a full timestamp; loud on garbage
+        try java.sql.Timestamp.valueOf(
+          if (v.length == 10) s"$v 00:00:00" else v)
+        catch { case _: IllegalArgumentException =>
+          fail(s"--retire-before needs YYYY-MM-DD[ HH:MM:SS], got: $v") }
+      })
     if (cfg.byHost && !(verb == "erase" && kind == "frontier"))
       fail("--by-host applies only to: erase --kind frontier")
+    if (cfg.retireBefore.nonEmpty &&
+        !(verb == "compact" && kind == "fetchlog"))
+      fail("--retire-before applies only to: compact --kind fetchlog")
     // verb-specific operands fail at parse time, not mid-job
     verb match {
       case "build" | "append" | "check" =>
@@ -577,6 +589,14 @@ object Main {
           CrawlState.readFetchLog(spark, cfg.index).fetches, cfg.urlCol)
       case ("stats", "fetchlog") =>
         CrawlState.fetchLogStats(CrawlState.readFetchLog(spark, cfg.index))
+      // retention + clustering: retire copies older than
+      // --retire-before (they reclassify `new` on next declaration),
+      // rewrite clustered by url, retire-aside swap
+      case ("compact", "fetchlog") =>
+        if (!cfg.dryRun)
+          CrawlState.compactFetchLog(spark, cfg.index, cfg.partitions,
+            cfg.retireBefore)
+        report(fetchLogReport(CrawlState.readFetchLog(spark, cfg.index)))
 
       case ("append", "band") =>
         report(promoteBand(Dedup.mergeBandIndex(

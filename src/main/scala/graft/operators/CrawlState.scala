@@ -205,6 +205,34 @@ object CrawlState {
       .agg(count(lit(1)).as("n_urls"))
       .orderBy("fetched_at")
 
+  /** Staleness BUDGET: the copy-age histogram joined to a
+    * [[graft.sources.Sitemaps.recrawlPlan]] — per fetch date, how
+    * many urls the log holds and how many of them the plan already
+    * classifies `stale` (declared changed) or `unknown` (no change
+    * signal — the rows an age-based recrawl policy owns). This is
+    * the number a scheduler allocates refetch slots from: "my
+    * Jan-12 copies are 40% stale" beats both a blind age cutoff and
+    * a blind lastmod trust. One date-keyed agg over the plan + one
+    * equi-join onto the days × 1 histogram.
+    */
+  def stalenessBudget(log: FetchLog, plan: DataFrame): DataFrame =
+    fetchLogStats(log)
+      .join(plan.filter(col("fetched_at").isNotNull)
+          .groupBy(to_date(col("fetched_at")).as("fetched_at"))
+          .agg(
+            sum(when(col("status") === "stale", 1L).otherwise(0L))
+              .as("__stale"),
+            sum(when(col("status") === "unknown", 1L).otherwise(0L))
+              .as("__unknown")),
+        Seq("fetched_at"), "left")
+      .withColumn("n_stale", coalesce(col("__stale"), lit(0L)))
+      .withColumn("n_unknown", coalesce(col("__unknown"), lit(0L)))
+      .withColumn("stale_ppm",
+        expr("n_stale * 1000000 div n_urls"))
+      .select(col("fetched_at"), col("n_urls"), col("n_stale"),
+        col("n_unknown"), col("stale_ppm"))
+      .orderBy("fetched_at")
+
   /** Resolve canonical/redirect CHAINS to their final URLs — real
     * crawls dedupe by the FINAL url (a page reached via three aliases
     * must be fetched once), and `<link rel="canonical">` targets
@@ -279,6 +307,29 @@ object CrawlState {
     val idx = readUrlIndex(spark, path)
     val tmp = s"$path.compact"
     writeUrlIndex(UrlIndex(idx.urls.repartition(partitions, col("url"))),
+      tmp)
+    Dedup.swapDirs(spark, path, tmp)
+  }
+
+  /** Compact a persisted fetch log in place: optionally RETIRE rows
+    * last fetched before `retireBefore` (age-based retention — the
+    * log otherwise grows one row per url forever; a url retired here
+    * simply classifies `new` on its next declaration, the honest
+    * forgot-my-copy semantics), then rewrite the fetches table
+    * clustered by url (the recrawl join's key) into `partitions`
+    * files, retire-aside swap like every artifact mutation.
+    */
+  def compactFetchLog(spark: SparkSession, path: String,
+                      partitions: Int,
+                      retireBefore: Option[java.sql.Timestamp] = None)
+      : Unit = {
+    val log = readFetchLog(spark, path)
+    val kept = retireBefore match {
+      case None => log.fetches
+      case Some(cutoff) => log.fetches.filter(col("fetched_at") >= cutoff)
+    }
+    val tmp = s"$path.compact"
+    writeFetchLog(FetchLog(kept.repartition(partitions, col("url"))),
       tmp)
     Dedup.swapDirs(spark, path, tmp)
   }

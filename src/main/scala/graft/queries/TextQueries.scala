@@ -861,6 +861,25 @@ object TextQueries {
     "f_fetch_log_stats" -> ((s, dir) =>
       graft.operators.CrawlState.fetchLogStats(fetchLogArt(s, dir))),
 
+    // ---- the STALENESS BUDGET — the copy-age histogram joined to
+    //      the recrawl plan: per fetch date, how many copies the log
+    //      holds and how many the sitemap-declared lastmods already
+    //      classify stale (timestamp-precision) or unknown (no
+    //      signal — the age-policy rows). The number a recrawl
+    //      scheduler allocates refetch slots from. One date-keyed agg
+    //      over the plan + one equi-join onto the days-sized
+    //      histogram ----
+    "f_staleness_budget" -> ((s, dir) => {
+      val entries = graft.sources.Sitemaps
+        .readFrom(s, sitemapSpool(s, dir))
+        .filter(col("kind") === "urlset")
+        .select(explode(col("entries")).as("e"))
+        .select(col("e.url").as("url"), col("e.lastmod").as("lastmod"))
+      val log = fetchLogArt(s, dir)
+      graft.operators.CrawlState.stalenessBudget(log,
+        graft.sources.Sitemaps.recrawlPlan(entries, log.fetches))
+    }),
+
     // ---- the parse-level view of the same spool — the per-file
     //      health report a crawl operator reads before trusting a
     //      wave ("did host 3's index resolve, how many locs per
@@ -3891,6 +3910,28 @@ object TextQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_urls
         |FROM documents WHERE doc_id < 300
         |GROUP BY 1""".stripMargin,
+
+    // the staleness budget in closed form: per fetch date (crawled
+    // ids<300 at 2024-01-(10+id%10) 09:00), the plan's verdicts —
+    // unknown when id%5==0, stale when id%4==1 (same-day 17:00Z) or
+    // the date-only lastmod day id%28+1 is after the fetch day
+    "f_staleness_budget" ->
+      """WITH f AS (
+        |  SELECT DATE '2024-01-10' + CAST(doc_id % 10 AS INT)
+        |      AS fetched_at,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'unknown'
+        |         WHEN doc_id % 4 = 1 THEN 'stale'
+        |         WHEN doc_id % 28 + 1 > 10 + doc_id % 10 THEN 'stale'
+        |         ELSE 'fresh' END AS status
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT fetched_at, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(SUM(CASE WHEN status = 'stale' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_stale,
+        |  CAST(SUM(CASE WHEN status = 'unknown' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_unknown,
+        |  CAST(SUM(CASE WHEN status = 'stale' THEN 1 ELSE 0 END)
+        |    * 1000000 // COUNT(*) AS BIGINT) AS stale_ppm
+        |FROM f GROUP BY fetched_at""".stripMargin,
 
     // the recrawl classification in closed form: id%4==1 pages
     // declare a FULL datetime on their own fetch day at 17:00Z —

@@ -168,6 +168,43 @@ class CrawlStateSpec extends SparkSpec {
       "2024-01-20" -> 1L))
   }
 
+  test("fetch log: compaction preserves the set; retention retires old copies") {
+    def logSet(l: CrawlState.FetchLog): Set[(String, String)] =
+      l.fetches.collect().map(r =>
+        (r.getString(0), r.getTimestamp(1).toString)).toSet
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-fetchlog-cmp").toString
+    val log = CrawlState.buildFetchLog(Seq(
+      ("https://ex.org/p1", "2024-01-05 10:00:00"),
+      ("https://ex.org/p2", "2024-01-12 09:00:00"),
+      ("https://ex.org/p3", "2024-01-20 09:00:00"))
+      .toDF("url", "fetched_at"))
+    CrawlState.writeFetchLog(log, s"$root/log")
+    // plain compaction: set-preserving rewrite clustered by url
+    CrawlState.compactFetchLog(spark, s"$root/log", partitions = 2)
+    assert(logSet(CrawlState.readFetchLog(spark, s"$root/log")) ===
+      logSet(log))
+    // age-based retention: copies older than the cutoff retire; the
+    // cutoff itself is inclusive-kept (>=)
+    CrawlState.compactFetchLog(spark, s"$root/log", 2,
+      Some(java.sql.Timestamp.valueOf("2024-01-12 09:00:00")))
+    assert(logSet(CrawlState.readFetchLog(spark, s"$root/log")) === Set(
+      ("https://ex.org/p2", "2024-01-12 09:00:00.0"),
+      ("https://ex.org/p3", "2024-01-20 09:00:00.0")))
+    // retire-aside swap leaves no residue
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/log.compact")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/log.old")))
+    // a retired url reclassifies `new` on its next declaration — the
+    // forgot-my-copy semantics retention promises
+    val plan = graft.sources.Sitemaps.recrawlPlan(
+      Seq(("https://ex.org/p1", "2024-01-02")).toDF("url", "lastmod"),
+      CrawlState.readFetchLog(spark, s"$root/log").fetches).collect()
+    assert(plan.length === 1 &&
+      plan(0).getAs[String]("status") === "new")
+  }
+
   test("parquet round trip + compact preserve the url set") {
     val root = Files.createTempDirectory("graft-urlseen").toString
     val idx = CrawlState.buildUrlIndex(

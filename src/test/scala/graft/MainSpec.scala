@@ -386,12 +386,26 @@ class MainSpec extends SparkSpec {
     val st = run("stats", "--kind", "fetchlog", "--index", s"$root/log")
       .collect().map(r => r.getDate(0).toString -> r.getLong(1))
     assert(st.toSeq === Seq("2024-01-05" -> 1L, "2024-01-12" -> 1L))
+    // compaction with retention: the 01-05 copy retires, p2 survives
+    val cp = run("compact", "--kind", "fetchlog", "--index", s"$root/log",
+      "--retire-before", "2024-01-10", "--partitions", "2").collect()
+    assert(cp.head.getString(0) === "wrote" && cp.head.getLong(2) === 1L)
+    // --retire-before only applies to compact --kind fetchlog
+    intercept[IllegalArgumentException] {
+      Main.parseIndex(Seq("stats", "--kind", "fetchlog", "--index",
+        s"$root/log", "--retire-before", "2024-01-10"))
+    }
+    intercept[IllegalArgumentException] {
+      Main.parseIndex(Seq("compact", "--kind", "fetchlog", "--index",
+        s"$root/log", "--retire-before", "not-a-date"))
+    }
     // takedown cascade covers the log too
     val td = Main.runTakedown(spark, Main.parseTakedown(Seq(
         "--fetchlog", s"$root/log", "--urls", s"$root/gone.parquet",
         "--dry-run"))).collect()
+    // the log now holds just p2 (p1 erased, the 01-05 copy retired)
     assert(td.head.getString(0) === "fetchlog" &&
-      td.head.getLong(2) === 2L && td.head.getLong(3) === 2L)
+      td.head.getLong(2) === 1L && td.head.getLong(3) === 1L)
   }
 
   test("model CLI: train/retrain/score/drift/eval lifecycle") {
