@@ -96,4 +96,59 @@ object MixPlan {
       .select(col(groupCol), col("available"), col("cap"), col("alloc"),
         col("repetition_ppm"), col("saturated"))
   }
+
+  /** MATERIALIZE a mix plan into the epoch schedule it implies — the
+    * step that turns `alloc > available` (repetition, the
+    * data-constrained regime) into an actual deterministic training
+    * order instead of just a budget:
+    *
+    *   - every document of a source appears in `alloc div available`
+    *     FULL epochs (allocate caps alloc at available·maxRep, so
+    *     this is ≤ maxRep — the explode below is bounded by
+    *     construction);
+    *   - the remainder `alloc mod available` is spent on one PARTIAL
+    *     epoch: documents in deterministic md5(id) order stay in
+    *     while their INCLUSIVE running token total fits (the same
+    *     prefix rule the curation token-budget stage enforces, so
+    *     plan → enforce → materialize all agree on which rows repeat);
+    *   - within each (source, epoch) the training order `ord` ranks
+    *     by md5(epoch:id) — a fresh deterministic shuffle per epoch,
+    *     reproducible under any partitioning.
+    *
+    * @param docs (groupCol, idCol, tokCol) — one row per document
+    *             with its token count
+    * @param plan [[allocate]]'s output for the same groups
+    * @return (groupCol, idCol, epoch, ord) — one row per scheduled
+    *         appearance; a document with no appearance emits nothing
+    *
+    * Scale shape: the plan broadcasts (#sources rows); the schedule
+    * is two keyed windows over the docs frame (source-partitioned,
+    * then (source, epoch)-partitioned) + one bounded explode — no
+    * corpus-sized sort, no driver loop.
+    */
+  def materializeEpochs(docs: DataFrame, plan: DataFrame,
+                        groupCol: String = "source",
+                        idCol: String = "doc_id",
+                        tokCol: String = "n_tokens"): DataFrame = {
+    val p = plan.select(col(groupCol),
+      expr("alloc div available").as("__full"),
+      expr("alloc % available").as("__rem"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scheduled = docs
+      .join(broadcast(p), Seq(groupCol))
+      .withColumn("__cum", sum(col(tokCol)).over(w))
+      .withColumn("__n", col("__full") +
+        when(col("__cum") <= col("__rem"), 1L).otherwise(0L))
+      .filter(col("__n") > 0)
+      .select(col(groupCol), col(idCol),
+        explode(expr("sequence(0L, __n - 1)")).as("epoch"))
+    val wE = Window.partitionBy(col(groupCol), col("epoch"))
+      .orderBy(md5(concat_ws(":", col("epoch"), col(idCol))).asc,
+        col(idCol).asc)
+    scheduled
+      .withColumn("ord", row_number().over(wE).cast("long"))
+      .select(col(groupCol), col(idCol), col("epoch"), col("ord"))
+  }
 }

@@ -326,6 +326,33 @@ object CurationQueries {
       graft.Pipelines.curationReport(decisions)
     }),
 
+    // ---- the mix plan MATERIALIZED into its epoch schedule — the
+    //      Muennighoff step after allocation: budget = the corpus's
+    //      full token supply under maxRep 3, so small sources
+    //      saturate (alloc = 3·available → 3 full epochs) while
+    //      large ones repeat partially; every doc appears in
+    //      alloc div available full epochs plus the md5(id)-ordered
+    //      inclusive-prefix partial epoch spending alloc mod
+    //      available, and each (source, epoch) gets a fresh
+    //      deterministic md5(epoch:id) training order — the plan
+    //      drives actual sequence order, not just budgets. Plan
+    //      broadcasts; two keyed windows + a ≤maxRep-bounded explode;
+    //      the oracle replays allocation and schedule in closed
+    //      form ----
+    "t_mix_epochs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val docs = d.select(col("source"), col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+        .localCheckpoint(false) // feeds the supply agg + the schedule
+      val a = docs.groupBy("source")
+        .agg(sum(col("n_tokens")).as("available"))
+        .localCheckpoint(false) // total agg + the allocation
+      val total = a.agg(sum("available")).collect()(0).getLong(0)
+      val plan = graft.operators.MixPlan
+        .allocate(a, budget = total, maxRep = 3)
+      graft.operators.MixPlan.materializeEpochs(docs, plan)
+    }),
+
     // ---- pipeline C with the TRAINED classifier deployed as a
     //      quality stage — the train → persist → deploy → curate loop
     //      closed: the persisted logistic artifact (3-epoch GD over
@@ -1531,6 +1558,59 @@ object CurationQueries {
          |  tq_ok THEN 1 ELSE 0 END) AS BIGINT) FROM k
          |UNION ALL SELECT 'kept', CAST(SUM(CASE WHEN keep
          |  THEN 1 ELSE 0 END) AS BIGINT) FROM k""".stripMargin),
+
+    // the epoch schedule replayed in closed form: water-fill with
+    // cap = 3·available and budget = the full supply, then per doc
+    // fl = alloc // available full epochs + the md5(id)-ordered
+    // inclusive prefix of the remainder, then a fresh md5(epoch:id)
+    // rank within each (source, epoch)
+    "t_mix_epochs" ->
+      """WITH ma AS (SELECT source,
+        |    SUM(len(string_split(text, ' '))) AS available
+        |  FROM documents GROUP BY source),
+        |mc AS (SELECT source, available, available * 3 AS cap FROM ma),
+        |mt AS (SELECT SUM(available) AS sa, SUM(cap) AS sc,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM mc),
+        |mb AS (SELECT sa AS budget, n FROM mt),
+        |mo AS (SELECT source, available, cap,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cap, source) AS BIGINT)
+        |      AS k,
+        |    SUM(cap) OVER (ORDER BY cap, source
+        |      ROWS UNBOUNDED PRECEDING) AS prefix
+        |  FROM mc),
+        |msat AS (SELECT COALESCE(MAX(CASE WHEN prefix - cap
+        |      + cap * (n - k + 1) <= budget THEN k END), 0) AS kstar
+        |  FROM mo CROSS JOIN mb),
+        |mpk AS (SELECT COALESCE((SELECT prefix FROM mo, msat
+        |    WHERE mo.k = msat.kstar), 0) AS pks),
+        |mf AS (SELECT mo.source, mo.available,
+        |    CASE WHEN mo.k <= kstar THEN mo.cap
+        |      ELSE (budget - pks) // (n - kstar)
+        |        + (CASE WHEN mo.k - kstar <= (budget - pks)
+        |             % (n - kstar) THEN 1 ELSE 0 END) END AS alloc
+        |  FROM mo CROSS JOIN mb CROSS JOIN msat CROSS JOIN mpk),
+        |docs AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |r AS (SELECT d.source, d.doc_id,
+        |    mf.alloc // mf.available AS fl,
+        |    mf.alloc % mf.available AS rem,
+        |    SUM(d.nt) OVER (PARTITION BY d.source
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)) ASC, d.doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM docs d JOIN mf USING (source)),
+        |ne AS (SELECT source, doc_id,
+        |    fl + CASE WHEN cum <= rem THEN 1 ELSE 0 END AS n_ep
+        |  FROM r),
+        |e AS (SELECT source, doc_id,
+        |    unnest(range(0, CAST(n_ep AS BIGINT))) AS epoch
+        |  FROM ne WHERE n_ep > 0)
+        |SELECT source, doc_id, CAST(epoch AS BIGINT) AS epoch,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY source, epoch
+        |    ORDER BY md5(CAST(epoch AS VARCHAR) || ':'
+        |      || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT)
+        |    AS ord
+        |FROM e""".stripMargin,
 
     // the token-budget funnel: the dedup + language chain, then the
     // running clean-text token total per (source, keep0) in md5(id)

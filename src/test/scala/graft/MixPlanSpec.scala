@@ -81,6 +81,51 @@ class MixPlanSpec extends SparkSpec {
     assert(edge.length === 1 && edge(0).getAs[Long]("alloc") === 10L)
   }
 
+  test("materializeEpochs: full epochs + prefix remainder, per-epoch order") {
+    import spark.implicits._
+    // a: 3 docs × 10 tokens (available 30); b: 2 docs × 10 (available
+    // 20). budget 75, maxRep 3 → caps 90/60, nothing saturates,
+    // base = 37 (+1 leftover to b, the cap-ascending first):
+    // a alloc 37 → 1 full epoch, rem 7 → no doc fits the partial;
+    // b alloc 38 → 1 full epoch, rem 18 → exactly one extra doc
+    val docs = Seq(
+      ("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L),
+      ("b", 4L, 10L), ("b", 5L, 10L))
+      .toDF("source", "doc_id", "n_tokens")
+    val plan = MixPlan.allocate(
+      Seq(("a", 30L), ("b", 20L)).toDF("source", "available"),
+      budget = 75L, maxRep = 3)
+    val got = MixPlan.materializeEpochs(docs, plan).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val byEpoch = got.groupBy(t => (t._1, t._3)).view
+      .mapValues(_.length).toMap
+    assert(byEpoch === Map(("a", 0L) -> 3, ("b", 0L) -> 2,
+      ("b", 1L) -> 1))
+    // ord is a contiguous 1..n rank within each (source, epoch)
+    got.groupBy(t => (t._1, t._3)).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to rows.length).map(_.toLong))
+    }
+    // token conservation: materialized tokens never exceed the alloc,
+    // and adding the first excluded doc would overshoot
+    val tok = docs.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val allocs = plan.collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    Seq("a", "b").foreach { s =>
+      val used = got.filter(_._1 == s).map(t => tok((s, t._2))).sum
+      assert(used <= allocs(s), s"source $s overshoots")
+      assert(used + 10L > allocs(s), s"source $s leaves a full doc unspent")
+    }
+    // saturated sources materialize exactly maxRep epochs of every doc
+    val sat = MixPlan.materializeEpochs(docs, MixPlan.allocate(
+      Seq(("a", 30L), ("b", 20L)).toDF("source", "available"),
+      budget = 1000L, maxRep = 3)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(sat.groupBy(t => (t._1, t._2)).values
+      .forall(_.map(_._3).sorted.toSeq === Seq(0L, 1L, 2L)))
+  }
+
   test("water-filling optimality: no unsaturated source above the level+1") {
     // max-min: every unsaturated allocation is within 1 token of every
     // other unsaturated allocation (the integer water level), and no
