@@ -95,6 +95,22 @@ import graft.operators.{CrawlState, Dedup, MoveSink, Report, Similarity}
   * Mutating verbs write to `PATH.next` and promote via the retire-aside
   * swap (exclusive access for the swap window); `--dry-run` reports the
   * would-be table sizes without writing anything.
+  * `compact --kind fetchlog [--retire-before TS]` additionally retires
+  * copies last fetched before TS (age-based retention).
+  *
+  * The crawl wave end-to-end (pipeline D, [[Pipelines.crawlWave]]):
+  * canonicalize + alias-resolve candidates, screen against the
+  * persisted frontier, robots-gate, schedule per host, append the
+  * fetched set to the frontier and fetch log, ledger the funnel:
+  *   graft.Main crawl --candidates PARQUET --robots PARQUET
+  *     --frontier PATH --fetchlog PATH
+  *     --fetched-at 'YYYY-MM-DD[ HH:MM:SS]' --wave-id D [--dry-run]
+  *     [--resolution PARQUET]  (url, final_url) alias resolution —
+  *                             a resolveCanonical output
+  *     [--ledger PATH]         append the wave funnel under --wave-id
+  *     [--url-col url]
+  * robots PARQUET carries (host, txt) — the fetched robots.txt
+  * payloads verbatim; parsing happens in-engine.
   *
   * Classifier-model lifecycle (the artifact ops surface for the
   * trained logistic quality model — train once recording the feature
@@ -345,6 +361,50 @@ object Main {
       println(s"Appended kept documents' outlinks to $fpath")
     }
     report
+  }
+
+  final case class CrawlConfig(
+      candidates: String, robots: String, frontier: String,
+      fetchLog: String, fetchedAt: Timestamp, waveId: String,
+      resolution: Option[String], ledger: Option[String],
+      urlCol: String, dryRun: Boolean)
+
+  private[graft] def parseCrawl(args: Seq[String]): CrawlConfig = {
+    val flags = parseFlags(args, Set("candidates", "robots", "frontier",
+      "fetchlog", "fetched-at", "wave-id", "resolution", "ledger",
+      "url-col", "dry-run"), bare = Set("dry-run"))
+    def req(name: String): String =
+      flags.getOrElse(name, fail(s"missing --$name"))
+    CrawlConfig(
+      candidates = req("candidates"), robots = req("robots"),
+      frontier = req("frontier"), fetchLog = req("fetchlog"),
+      fetchedAt = {
+        val v = req("fetched-at")
+        try Timestamp.valueOf(if (v.length == 10) s"$v 00:00:00" else v)
+        catch { case _: IllegalArgumentException =>
+          fail(s"--fetched-at needs YYYY-MM-DD[ HH:MM:SS], got: $v") }
+      },
+      waveId = req("wave-id"),
+      resolution = flags.get("resolution"), ledger = flags.get("ledger"),
+      urlCol = flags.getOrElse("url-col", "url"),
+      dryRun = flags.contains("dry-run"))
+  }
+
+  /** Execute the crawl verb: [[Pipelines.crawlWave]] over the
+    * candidate parquet — canonicalize/resolve, screen against the
+    * persisted frontier, robots-gate, schedule, append the fetched
+    * set to both crawl-state artifacts, ledger the funnel — and
+    * return the funnel report the CLI prints.
+    */
+  private[graft] def runCrawl(spark: SparkSession,
+                              cfg: CrawlConfig): DataFrame = {
+    val (_, funnel) = Pipelines.crawlWave(spark,
+      spark.read.parquet(cfg.candidates),
+      spark.read.parquet(cfg.robots),
+      cfg.frontier, cfg.fetchLog, cfg.fetchedAt, cfg.waveId,
+      resolution = cfg.resolution.map(spark.read.parquet(_)),
+      ledgerPath = cfg.ledger, urlCol = cfg.urlCol, dryRun = cfg.dryRun)
+    funnel
   }
 
   final case class IndexConfig(
@@ -1110,6 +1170,21 @@ object Main {
         println(s"Frontier:    $p  (${if (byHost) "hosts" else "urls"}: $i)") }
       val spark = session()
       try runTakedown(spark, cfg).show(truncate = false)
+      finally spark.stop()
+      return
+    }
+    if (args.headOption.contains("crawl")) {
+      val cfg = parseCrawl(args.toSeq.tail)
+      println(s"Crawl wave:  ${cfg.waveId}" +
+        (if (cfg.dryRun) " (dry run)" else ""))
+      println(s"Candidates:  ${cfg.candidates}")
+      println(s"Robots:      ${cfg.robots}")
+      println(s"Frontier:    ${cfg.frontier}")
+      println(s"Fetch log:   ${cfg.fetchLog}")
+      cfg.resolution.foreach(p => println(s"Resolution:  $p"))
+      cfg.ledger.foreach(p => println(s"Ledger:      $p"))
+      val spark = session()
+      try runCrawl(spark, cfg).show(truncate = false)
       finally spark.stop()
       return
     }

@@ -427,6 +427,136 @@ object Pipelines {
     }
   }
 
+  /** Pipeline D — the CRAWL WAVE end-to-end, the crawl-ops sibling of
+    * [[pipelineC]] (and of the reference's gated pipeline B,
+    * app/main.py:229-320: read → screen → act → report, re-expressed
+    * for crawl state). One call chains the whole wave the nine
+    * separately-gated crawl operators define:
+    *
+    *   1. CANONICALIZE + ALIAS-RESOLVE: candidates canonicalize
+    *      ([[graft.functions.Urls.canonicalizeUrl]]) and map through
+    *      an optional [[graft.operators.CrawlState.resolveCanonical]]
+    *      resolution, so one page identity survives however many
+    *      aliases reach it;
+    *   2. FRONTIER SCREEN: the distinct identities flag against the
+    *      PERSISTED url-seen index (one equi-join — the crawled set
+    *      is read from the maintained artifact, never re-derived);
+    *   3. ROBOTS GATE: per-host robots.txt payloads parse via the
+    *      [[graft.functions.Robots]] column algebra (broadcast —
+    *      host-bounded) and every NEW url gets its longest-match
+    *      verdict; a host with no robots row passes (crawl default);
+    *   4. SCHEDULE: the wave's fetch set ranks per host by md5(url)
+    *      with fetch_at_ms offsets paced by the PARSED Crawl-delay
+    *      (default 1 s) — the executable queue a fetcher fleet
+    *      drains;
+    *   5. ARTIFACT APPEND: the fetched urls enter the url-seen index
+    *      and the fetch log at `fetchedAt` (both through the
+    *      retire-aside swap), so the NEXT wave screens against them;
+    *   6. LEDGER: the wave's funnel (candidates → aliased →
+    *      identities → known → new → blocked → fetched) appends under
+    *      `waveId` to the persisted ops ledger
+    *      ([[graft.operators.CurationLedger]] — crawl ops page on the
+    *      same trend view curation does).
+    *
+    * Scale shape: candidates are the only corpus-sized frame; the
+    * chain is one distinct, two equi-joins (seen set co-keyed by url,
+    * robots broadcast) and one host-keyed window — no driver loop,
+    * no re-derivation of crawl history. Blocked urls deliberately do
+    * NOT enter the seen set: robots change, and a future wave must
+    * re-gate them.
+    *
+    * @return (decisions, funnel): decisions has one row per distinct
+    *         final identity (url, host, known, allowed, fetch, rank,
+    *         fetch_at_ms) — the auditable replacement for a silent
+    *         drop; funnel is the (stage, n) report appended to the
+    *         ledger.
+    */
+  def crawlWave(spark: SparkSession, candidates: DataFrame,
+                robotsTxt: DataFrame, frontierPath: String,
+                fetchLogPath: String, fetchedAt: Timestamp,
+                waveId: String,
+                resolution: Option[DataFrame] = None,
+                ledgerPath: Option[String] = None,
+                urlCol: String = "url",
+                dryRun: Boolean = false): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.CrawlState
+    val idx = CrawlState.readUrlIndex(spark, frontierPath)
+    // 1. one row per distinct canonical candidate with its final
+    //    identity (identity mapping when no resolution is supplied)
+    val resolved = (resolution match {
+      case Some(r) => CrawlState.resolveUrls(candidates, r, urlCol)
+      case None => candidates
+        .select(graft.functions.Urls.canonicalizeUrl(col(urlCol))
+          .as("url"))
+        .filter(col("url").isNotNull)
+        .withColumn("final_url", col("url"))
+    }).distinct().localCheckpoint(false) // feeds the funnel + the screen
+    // 2. frontier screen on the resolved identities
+    val screened = CrawlState.screenUrls(
+      resolved.select(col("final_url").as("url")), idx)
+    // 3. robots gate (host-bounded rules → broadcast)
+    val rules = robotsTxt.select(lower(trim(col("host"))).as("host"),
+      graft.functions.Robots.parseRules(col("txt")).as("rules"),
+      coalesce(graft.functions.Robots.crawlDelay(col("txt")), lit(1L))
+        .as("delay_s"))
+    val gated = screened.join(broadcast(rules), Seq("host"), "left")
+      .withColumn("allowed", coalesce(
+        graft.functions.Robots.isAllowed(col("rules"),
+          graft.functions.Robots.urlPath(col("url"))), lit(true)))
+      .withColumn("fetch", !col("known") && col("allowed"))
+    // 4. per-host deterministic schedule over this wave's fetch set
+    val w = Window.partitionBy(col("host"), col("fetch"))
+      .orderBy(md5(col("url")).asc, col("url").asc)
+    // eager: the decision plan scans the PRE-swap artifact files,
+    // which step 5's swap retires — materialize before mutating
+    val decisions = gated.withColumn("__rn", row_number().over(w))
+      .withColumn("rank", when(col("fetch"), col("__rn").cast("long")))
+      .withColumn("fetch_at_ms", when(col("fetch"),
+        (col("__rn") - 1).cast("long") *
+          coalesce(col("delay_s"), lit(1L)) * 1000))
+      .select(col("url"), col("host"), col("known"), col("allowed"),
+        col("fetch"), col("rank"), col("fetch_at_ms"))
+      .localCheckpoint(true)
+    // 5. the fetched urls enter both persisted artifacts
+    val fetched = decisions.filter(col("fetch")).select(col("url"))
+    if (!dryRun) {
+      CrawlState.writeUrlIndex(CrawlState.appendUrls(idx, fetched),
+        s"$frontierPath.next")
+      graft.operators.Dedup.swapDirs(spark, frontierPath,
+        s"$frontierPath.next")
+      CrawlState.writeFetchLog(CrawlState.appendFetches(
+          CrawlState.readFetchLog(spark, fetchLogPath),
+          fetched.withColumn("fetched_at", lit(fetchedAt))),
+        s"$fetchLogPath.next")
+      graft.operators.Dedup.swapDirs(spark, fetchLogPath,
+        s"$fetchLogPath.next")
+    }
+    // 6. the per-wave funnel — the crawl-ops trail the ledger trends
+    val resStats = resolved.agg(
+      count(lit(1)).as("s_candidates"),
+      sum(when(col("final_url") =!= col("url"), 1L).otherwise(0L))
+        .as("s_aliased"))
+    val decStats = decisions.agg(
+      count(lit(1)).as("s_identities"),
+      sum(when(col("known"), 1L).otherwise(0L)).as("s_known"),
+      sum(when(!col("known"), 1L).otherwise(0L)).as("s_new"),
+      sum(when(!col("known") && !col("allowed"), 1L).otherwise(0L))
+        .as("s_blocked"),
+      sum(when(col("fetch"), 1L).otherwise(0L)).as("s_fetched"))
+    val stages = Seq("candidates", "aliased", "identities", "known",
+      "new", "blocked", "fetched")
+    val funnel = resStats.crossJoin(decStats)
+      .select(explode(array(stages.map(st =>
+        struct(lit(st).as("stage"), col(s"s_$st").as("n"))): _*)).as("r"))
+      .select(col("r.stage").as("stage"), col("r.n").as("n"))
+    ledgerPath.foreach { lp =>
+      if (!dryRun)
+        graft.operators.CurationLedger.append(spark, lp, waveId, funnel)
+    }
+    (decisions, funnel)
+  }
+
   /** The funnel report over [[pipelineC]] decisions — the per-stage
     * counts an ingest job logs (and alerts on) every day. Optional
     * stage columns (`dup_exact`/`dup_near` from

@@ -180,6 +180,74 @@ object TextQueries {
     graft.operators.CrawlState.readFetchLog(s, p)
   }
 
+  /** Temp path of the PIPELINE-D ledger: two crawl waves run
+    * end-to-end through [[graft.Pipelines.crawlWave]] against fresh
+    * persisted crawl-state artifacts (url-seen = the crawled /d/ set,
+    * fetch log = their 09:00 fetches — pipeline D MUTATES its
+    * artifacts, so it gets its own copies, never the shared f_*
+    * fixtures). Wave 0 feeds every page's /d/ next-page link plus its
+    * /p/ alias (resolved to chain heads by the canonical resolution);
+    * wave 1 replays the same set plus a fresh /q/ section — wave 0's
+    * fetches screen as known, its blocked urls re-block, the /q/ urls
+    * fetch. The fixture is the WRITE; `a_pipeline_crawl` gates the
+    * ledger READ (both waves' funnels).
+    */
+  private val crawlWaveMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def crawlWaveLedger(s: SparkSession, dir: String): String =
+    crawlWaveMemo.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_crawlwave").toString
+      val d = t(s, dir, "documents")
+      val crawled = d.filter(col("doc_id") < 300)
+        .select(concat(lit("https://ex"), pmod(col("doc_id"), lit(10)),
+          lit(".org/d/"), col("doc_id")).as("url"))
+      graft.operators.CrawlState.writeUrlIndex(
+        graft.operators.CrawlState.buildUrlIndex(crawled),
+        s"$root/frontier")
+      graft.operators.CrawlState.writeFetchLog(
+        graft.operators.CrawlState.buildFetchLog(
+          d.filter(col("doc_id") < 300)
+            .select(concat(lit("https://ex"),
+                pmod(col("doc_id"), lit(10)), lit(".org/d/"),
+                col("doc_id")).as("url"),
+              expr("cast(date_add(date '2024-01-10', " +
+                "cast(doc_id % 10 as int)) as timestamp) " +
+                "+ interval 9 hour").as("fetched_at"))),
+        s"$root/log")
+      // per-host robots payloads (the f_robots_gate policy) and the
+      // /p/ alias chains (the f_canonical_resolve edges)
+      val robots = robotsTxtFixture(d).select(
+        concat(lit("ex"), col("host"), lit(".org")).as("host"),
+        col("txt"))
+      val edges = d.filter(pmod(col("doc_id"), lit(4)) =!= 0).select(
+        concat(lit("https://ex"), expr("pmod(doc_id div 4, 10)"),
+          lit(".org/p/"), col("doc_id")).as("url"),
+        concat(lit("https://ex"), expr("pmod(doc_id div 4, 10)"),
+          lit(".org/p/"), col("doc_id") - 1).as("canonical"))
+      val resolution = graft.operators.CrawlState.resolveCanonical(edges)
+        .localCheckpoint(false) // both waves map through it
+      val base = array(
+        concat(lit("https://ex"), pmod(col("doc_id") + 1, lit(10)),
+          lit(".org/d/"), col("doc_id") + 1),
+        concat(lit("https://ex"), expr("pmod(doc_id div 4, 10)"),
+          lit(".org/p/"), col("doc_id")))
+      val w0 = d.select(explode(base).as("url"))
+      val w1 = d.select(explode(concat(base, array(
+        concat(lit("https://ex"), pmod(col("doc_id"), lit(10)),
+          lit(".org/q/"), col("doc_id"))))).as("url"))
+      graft.Pipelines.crawlWave(s, w0, robots, s"$root/frontier",
+        s"$root/log", java.sql.Timestamp.valueOf("2024-02-01 09:00:00"),
+        "wave-0", resolution = Some(resolution),
+        ledgerPath = Some(s"$root/ledger"))
+      graft.Pipelines.crawlWave(s, w1, robots, s"$root/frontier",
+        s"$root/log", java.sql.Timestamp.valueOf("2024-02-02 09:00:00"),
+        "wave-1", resolution = Some(resolution),
+        ledgerPath = Some(s"$root/ledger"))
+      s"$root/ledger"
+    })
+
   /** Generated markup shared by `t_html_tables` and
     * `t_table_linearize`: three tables — a headered 3-row grid with
     * entity refs, inline tags, a script decoy and implied closes; a
@@ -753,6 +821,20 @@ object TextQueries {
         .agg(count(lit(1)).as("n_candidates"),
           sum(when(!col("known"), 1L).otherwise(0L)).as("n_new"))
     }),
+
+    // ---- PIPELINE D end-to-end — the crawl wave as ONE gated chain
+    //      (the a_pipeline_move / a_pipeline_curate treatment for
+    //      crawl ops): candidates canonicalize, alias-resolve to
+    //      chain heads (pointer-doubled resolution), screen against
+    //      the PERSISTED url-seen artifact, robots-gate per host,
+    //      schedule, and the fetched set ADVANCES both artifacts so
+    //      wave 1 sees wave 0's fetches as known while its blocked
+    //      urls re-block and a fresh /q/ section fetches — the
+    //      2-wave loop a real crawl runs daily, its funnels read
+    //      back from the persisted ledger. The oracle replays both
+    //      waves' set algebra in closed form ----
+    "a_pipeline_crawl" -> ((s, dir) =>
+      graft.operators.CurationLedger.read(s, crawlWaveLedger(s, dir))),
 
     // ---- the frontier artifact's health gate: per-host seen-URL
     //      histogram over the PERSISTED index (d_index_stats for the
@@ -3858,6 +3940,83 @@ object TextQueries {
         |  CAST(SUM(CASE WHEN NOT known THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_new
         |FROM j GROUP BY host""".stripMargin,
+
+    // pipeline D replayed in closed form: wave-0 candidates are every
+    // page's /d/ next link + /p/ alias (aliases collapse to chain
+    // heads 4*(id//4)); the seen set is the crawled /d/ pages
+    // (id<300); robots block /d/ on graft-override hosts (h%3=0) and
+    // /p/ elsewhere; wave-0's fetches join the seen set for wave-1,
+    // which adds the always-allowed /q/ section
+    "a_pipeline_crawl" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        |seen0 AS (SELECT DISTINCT
+        |    'https://ex' || (id % 10) || '.org/d/' || id AS url
+        |  FROM ids WHERE id < 300),
+        |m0 AS (
+        |  SELECT DISTINCT
+        |    'https://ex' || ((id + 1) % 10) || '.org/d/' || (id + 1)
+        |      AS url,
+        |    'https://ex' || ((id + 1) % 10) || '.org/d/' || (id + 1)
+        |      AS final,
+        |    (id + 1) % 10 AS fh, 'd' AS kind
+        |  FROM ids
+        |  UNION
+        |  SELECT DISTINCT
+        |    'https://ex' || ((id // 4) % 10) || '.org/p/' || id,
+        |    'https://ex' || ((id // 4) % 10) || '.org/p/'
+        |      || (4 * (id // 4)),
+        |    (id // 4) % 10, 'p'
+        |  FROM ids),
+        |mq AS (SELECT DISTINCT
+        |    'https://ex' || (id % 10) || '.org/q/' || id AS url,
+        |    'https://ex' || (id % 10) || '.org/q/' || id AS final,
+        |    id % 10 AS fh, 'q' AS kind
+        |  FROM ids),
+        |m1 AS (SELECT * FROM m0 UNION SELECT * FROM mq),
+        |idf AS (SELECT DISTINCT final, fh, kind FROM m1),
+        |dec AS (SELECT final AS url, fh, kind,
+        |    final IN (SELECT url FROM seen0) AS known0,
+        |    CASE WHEN fh % 3 = 0 THEN kind <> 'd'
+        |         ELSE kind <> 'p' END AS allowed
+        |  FROM idf),
+        |f0 AS (SELECT url FROM dec
+        |  WHERE kind <> 'q' AND NOT known0 AND allowed),
+        |s0 AS (
+        |  SELECT 'candidates' AS stage, CAST(COUNT(*) AS BIGINT) AS n
+        |    FROM m0
+        |  UNION ALL SELECT 'aliased', CAST(SUM(CASE WHEN url <> final
+        |    THEN 1 ELSE 0 END) AS BIGINT) FROM m0
+        |  UNION ALL SELECT 'identities', CAST(COUNT(*) AS BIGINT)
+        |    FROM dec WHERE kind <> 'q'
+        |  UNION ALL SELECT 'known', CAST(SUM(CASE WHEN known0
+        |    THEN 1 ELSE 0 END) AS BIGINT) FROM dec WHERE kind <> 'q'
+        |  UNION ALL SELECT 'new', CAST(SUM(CASE WHEN NOT known0
+        |    THEN 1 ELSE 0 END) AS BIGINT) FROM dec WHERE kind <> 'q'
+        |  UNION ALL SELECT 'blocked', CAST(SUM(CASE WHEN NOT known0
+        |    AND NOT allowed THEN 1 ELSE 0 END) AS BIGINT)
+        |    FROM dec WHERE kind <> 'q'
+        |  UNION ALL SELECT 'fetched', CAST(COUNT(*) AS BIGINT) FROM f0),
+        |w1 AS (SELECT url, fh, kind, allowed,
+        |    known0 OR url IN (SELECT url FROM f0) AS known
+        |  FROM dec),
+        |s1 AS (
+        |  SELECT 'candidates' AS stage, CAST(COUNT(*) AS BIGINT) AS n
+        |    FROM m1
+        |  UNION ALL SELECT 'aliased', CAST(SUM(CASE WHEN url <> final
+        |    THEN 1 ELSE 0 END) AS BIGINT) FROM m1
+        |  UNION ALL SELECT 'identities', CAST(COUNT(*) AS BIGINT)
+        |    FROM w1
+        |  UNION ALL SELECT 'known', CAST(SUM(CASE WHEN known
+        |    THEN 1 ELSE 0 END) AS BIGINT) FROM w1
+        |  UNION ALL SELECT 'new', CAST(SUM(CASE WHEN NOT known
+        |    THEN 1 ELSE 0 END) AS BIGINT) FROM w1
+        |  UNION ALL SELECT 'blocked', CAST(SUM(CASE WHEN NOT known
+        |    AND NOT allowed THEN 1 ELSE 0 END) AS BIGINT) FROM w1
+        |  UNION ALL SELECT 'fetched', CAST(SUM(CASE WHEN NOT known
+        |    AND allowed THEN 1 ELSE 0 END) AS BIGINT) FROM w1)
+        |SELECT 'wave-0' AS run_id, stage, n FROM s0
+        |UNION ALL SELECT 'wave-1' AS run_id, stage, n FROM s1"""
+        .stripMargin,
 
     // the sitemap chain in closed form: each host declares one
     // sitemap.xml, its locs are the host's /d/ urls (known when the

@@ -408,6 +408,77 @@ class MainSpec extends SparkSpec {
       td.head.getLong(2) === 1L && td.head.getLong(3) === 1L)
   }
 
+  test("crawl CLI: pipeline D day-0/1/2 loop advances the artifacts") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-crawl-cli")
+    // persisted crawl state: one already-crawled page
+    graft.operators.CrawlState.writeUrlIndex(
+      graft.operators.CrawlState.buildUrlIndex(
+        Seq("https://a.org/p1").toDF("url")), s"$root/frontier")
+    graft.operators.CrawlState.writeFetchLog(
+      graft.operators.CrawlState.buildFetchLog(
+        Seq(("https://a.org/p1", "2024-01-01")).toDF("url", "fetched_at")),
+      s"$root/log")
+    // robots: b.org blocks /x/; a.org has no robots → default allow
+    Seq(("b.org", "User-agent: *\nDisallow: /x/\nCrawl-delay: 2\n"))
+      .toDF("host", "txt").write.parquet(s"$root/robots.parquet")
+    // alias resolution: r1 is an alias of p2
+    Seq(("https://a.org/r1", "https://a.org/p2", 1L))
+      .toDF("url", "final_url", "hops")
+      .write.parquet(s"$root/res.parquet")
+    // the wave: a known page, a new page + its alias (and a cased
+    // tracking-param dupe), a robots-blocked page, an allowed page
+    Seq("https://a.org/p1", "https://a.org/p2",
+      "HTTPS://A.ORG/p2?utm_x=1", "https://a.org/r1",
+      "https://b.org/x/1", "https://b.org/ok")
+      .toDF("url").write.parquet(s"$root/wave.parquet")
+    def run(extra: String*) = Main.runCrawl(spark, Main.parseCrawl(Seq(
+        "--candidates", s"$root/wave.parquet",
+        "--robots", s"$root/robots.parquet",
+        "--resolution", s"$root/res.parquet",
+        "--frontier", s"$root/frontier", "--fetchlog", s"$root/log",
+        "--ledger", s"$root/ledger") ++ extra))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val day0 = run("--fetched-at", "2024-02-01 09:00:00",
+      "--wave-id", "day-0")
+    assert(day0 === Map("candidates" -> 5L, "aliased" -> 1L,
+      "identities" -> 4L, "known" -> 1L, "new" -> 3L, "blocked" -> 1L,
+      "fetched" -> 2L))
+    // the fetched set advanced BOTH artifacts
+    assert(graft.operators.CrawlState
+      .readUrlIndex(spark, s"$root/frontier").urls.count() === 3L)
+    assert(graft.operators.CrawlState
+      .readFetchLog(spark, s"$root/log").fetches.count() === 3L)
+    // day-1: the same wave — yesterday's fetches screen known, the
+    // blocked url re-blocks (robots may change; blocked ≠ seen)
+    val day1 = run("--fetched-at", "2024-02-02 09:00:00",
+      "--wave-id", "day-1")
+    assert(day1 === Map("candidates" -> 5L, "aliased" -> 1L,
+      "identities" -> 4L, "known" -> 3L, "new" -> 1L, "blocked" -> 1L,
+      "fetched" -> 0L))
+    // day-2 dry run: reports, but mutates nothing and writes no ledger
+    val day2 = run("--fetched-at", "2024-02-03 09:00:00",
+      "--wave-id", "day-2", "--dry-run")
+    assert(day2("fetched") === 0L)
+    assert(graft.operators.CrawlState
+      .readUrlIndex(spark, s"$root/frontier").urls.count() === 3L)
+    val ledger = graft.operators.CurationLedger
+      .read(spark, s"$root/ledger").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(ledger.size === 14) // 7 stages × 2 real waves, no day-2 row
+    assert(ledger(("day-0", "fetched")) === 2L &&
+      ledger(("day-1", "known")) === 3L)
+    // parse guards are loud
+    intercept[IllegalArgumentException] {
+      Main.parseCrawl(Seq("--candidates", "c", "--robots", "r",
+        "--frontier", "f", "--fetchlog", "l", "--wave-id", "w",
+        "--fetched-at", "nope"))
+    }
+    intercept[IllegalArgumentException] {
+      Main.parseCrawl(Seq("--candidates", "c"))
+    }
+  }
+
   test("model CLI: train/retrain/score/drift/eval lifecycle") {
     val root = Files.createTempDirectory("graft-model-cli")
     val sf = "/root/testdata/sf0.001/documents.parquet"
