@@ -231,6 +231,33 @@ object CurationStream {
         coalesce(col("__k"), lit(false)).as("known"))
   }
 
+  /** Pipeline D on a STREAM — the `foreachBatch` body that runs the
+    * EXACT batch crawl wave ([[graft.Pipelines.crawlWave]]) over each
+    * arriving micro-batch of candidate urls: canonicalize + resolve,
+    * screen against the persisted frontier, robots-gate, schedule,
+    * advance both crawl-state artifacts, ledger the funnel. The
+    * screens are stream-static joins and the artifact appends are the
+    * batch appends, so a candidate stream gets the same semantics a
+    * nightly wave does, micro-batch by micro-batch — urls fetched in
+    * batch N screen as `known` in batch N+1 through the artifact,
+    * exactly like consecutive daily waves (StreamingSpec proves it
+    * end-to-end through a MemoryStream). The wave key zero-pads the
+    * batch id so the ledger trend's lexicographic run order matches
+    * batch order. Returns the decision frame for the caller's own
+    * sink routing.
+    */
+  def crawlWaveBatch(spark: org.apache.spark.sql.SparkSession,
+                     batch: DataFrame, batchId: Long,
+                     robotsTxt: DataFrame, frontierPath: String,
+                     fetchLogPath: String,
+                     fetchedAt: java.sql.Timestamp,
+                     resolution: Option[DataFrame] = None,
+                     ledgerPath: Option[String] = None,
+                     urlCol: String = "url"): DataFrame =
+    graft.Pipelines.crawlWave(spark, batch, robotsTxt, frontierPath,
+      fetchLogPath, fetchedAt, f"wave-$batchId%012d",
+      resolution, ledgerPath, urlCol)._1
+
   /** Recrawl classification at ingest — the streaming half of
     * `f_sitemap_recrawl`: declared sitemap entries (url, lastmod)
     * stream in (a sitemap-discovery feed), the persisted FETCH LOG

@@ -1131,6 +1131,52 @@ class StreamingSpec extends SparkSpec {
     assert(tr("ingested") === -1L) // 2 docs → 1 doc
   }
 
+  test("streaming crawlWaveBatch: micro-batches chain like daily waves") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-crawl").toString
+    graft.operators.CrawlState.writeUrlIndex(
+      graft.operators.CrawlState.buildUrlIndex(
+        Seq("https://a.org/p1").toDF("url")), s"$root/frontier")
+    graft.operators.CrawlState.writeFetchLog(
+      graft.operators.CrawlState.buildFetchLog(
+        Seq(("https://a.org/p1", "2024-01-01")).toDF("url", "fetched_at")),
+      s"$root/log")
+    val robots = Seq(("a.org", "User-agent: *\nDisallow: /x/\n"))
+      .toDF("host", "txt").localCheckpoint(true)
+    val mem = MemoryStream[String]
+    val q = mem.toDF().toDF("url").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.streaming.CurationStream.crawlWaveBatch(
+          spark, b, id, robots, s"$root/frontier", s"$root/log",
+          java.sql.Timestamp.valueOf(f"2024-02-0${id + 1}%d 09:00:00"),
+          ledgerPath = Some(s"$root/ledger")).collect()
+        ()
+      }.start()
+    try {
+      // wave 0: one known, one new-allowed, one new-blocked
+      mem.addData("https://a.org/p1", "https://a.org/p2",
+        "https://a.org/x/1")
+      q.processAllAvailable()
+      // wave 1: p2 must now screen KNOWN through the artifact
+      mem.addData("https://a.org/p2", "https://a.org/p3")
+      q.processAllAvailable()
+    } finally q.stop()
+    val led = graft.operators.CurationLedger.read(spark, s"$root/ledger")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(led(("wave-000000000000", "fetched")) === 1L) // p2
+    assert(led(("wave-000000000000", "blocked")) === 1L) // /x/1
+    assert(led(("wave-000000000001", "known")) === 1L)   // p2 via wave 0
+    assert(led(("wave-000000000001", "fetched")) === 1L) // p3
+    // both artifacts advanced across micro-batches
+    assert(graft.operators.CrawlState
+      .readUrlIndex(spark, s"$root/frontier").urls.count() === 3L)
+    assert(graft.operators.CrawlState
+      .readFetchLog(spark, s"$root/log").fetches.count() === 3L)
+  }
+
   test("streaming DSIR scoring: plan-literal lambda map bit-equals batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
