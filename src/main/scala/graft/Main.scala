@@ -108,6 +108,11 @@ import graft.operators.{CrawlState, Dedup, MoveSink, Report, Similarity}
   *     [--resolution PARQUET]  (url, final_url) alias resolution —
   *                             a resolveCanonical output
   *     [--ledger PATH]         append the wave funnel under --wave-id
+  *     [--refetch]             every candidate is eligible (the
+  *                             recrawl shape: the caller already
+  *                             selected the refetch budget, e.g. the
+  *                             recrawl plan's stale+new rows);
+  *                             default is discovery (unknown only)
   *     [--url-col url]
   * robots PARQUET carries (host, txt) — the fetched robots.txt
   * payloads verbatim; parsing happens in-engine.
@@ -367,12 +372,12 @@ object Main {
       candidates: String, robots: String, frontier: String,
       fetchLog: String, fetchedAt: Timestamp, waveId: String,
       resolution: Option[String], ledger: Option[String],
-      urlCol: String, dryRun: Boolean)
+      urlCol: String, refetch: Boolean, dryRun: Boolean)
 
   private[graft] def parseCrawl(args: Seq[String]): CrawlConfig = {
     val flags = parseFlags(args, Set("candidates", "robots", "frontier",
       "fetchlog", "fetched-at", "wave-id", "resolution", "ledger",
-      "url-col", "dry-run"), bare = Set("dry-run"))
+      "url-col", "refetch", "dry-run"), bare = Set("refetch", "dry-run"))
     def req(name: String): String =
       flags.getOrElse(name, fail(s"missing --$name"))
     CrawlConfig(
@@ -387,6 +392,7 @@ object Main {
       waveId = req("wave-id"),
       resolution = flags.get("resolution"), ledger = flags.get("ledger"),
       urlCol = flags.getOrElse("url-col", "url"),
+      refetch = flags.contains("refetch"),
       dryRun = flags.contains("dry-run"))
   }
 
@@ -403,7 +409,8 @@ object Main {
       spark.read.parquet(cfg.robots),
       cfg.frontier, cfg.fetchLog, cfg.fetchedAt, cfg.waveId,
       resolution = cfg.resolution.map(spark.read.parquet(_)),
-      ledgerPath = cfg.ledger, urlCol = cfg.urlCol, dryRun = cfg.dryRun)
+      ledgerPath = cfg.ledger, urlCol = cfg.urlCol,
+      refetch = cfg.refetch, dryRun = cfg.dryRun)
     funnel
   }
 

@@ -465,6 +465,16 @@ object Pipelines {
     * NOT enter the seen set: robots change, and a future wave must
     * re-gate them.
     *
+    * Two wave shapes share this one chain:
+    *   - DISCOVERY (`refetch = false`, the default): only urls the
+    *     frontier has never seen are eligible — the outlink/sitemap
+    *     feed shape, where known means skip;
+    *   - RECRAWL (`refetch = true`): every candidate is eligible —
+    *     the caller already selected the refetch budget (e.g.
+    *     [[graft.sources.Sitemaps.recrawlPlan]]'s `stale` + `new`
+    *     rows), so the frontier screen is informational and a
+    *     fetched url's log row ADVANCES (latest-wins max).
+    *
     * @return (decisions, funnel): decisions has one row per distinct
     *         final identity (url, host, known, allowed, fetch, rank,
     *         fetch_at_ms) — the auditable replacement for a silent
@@ -478,6 +488,7 @@ object Pipelines {
                 resolution: Option[DataFrame] = None,
                 ledgerPath: Option[String] = None,
                 urlCol: String = "url",
+                refetch: Boolean = false,
                 dryRun: Boolean = false): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.CrawlState
@@ -504,7 +515,9 @@ object Pipelines {
       .withColumn("allowed", coalesce(
         graft.functions.Robots.isAllowed(col("rules"),
           graft.functions.Robots.urlPath(col("url"))), lit(true)))
-      .withColumn("fetch", !col("known") && col("allowed"))
+      .withColumn("__eligible",
+        if (refetch) lit(true) else !col("known"))
+      .withColumn("fetch", col("__eligible") && col("allowed"))
     // 4. per-host deterministic schedule over this wave's fetch set
     val w = Window.partitionBy(col("host"), col("fetch"))
       .orderBy(md5(col("url")).asc, col("url").asc)
@@ -537,12 +550,15 @@ object Pipelines {
       count(lit(1)).as("s_candidates"),
       sum(when(col("final_url") =!= col("url"), 1L).otherwise(0L))
         .as("s_aliased"))
+    // blocked counts the ELIGIBLE urls robots refused: the new ones
+    // in discovery mode, every candidate in refetch mode
+    val blockedCond =
+      if (refetch) !col("allowed") else !col("known") && !col("allowed")
     val decStats = decisions.agg(
       count(lit(1)).as("s_identities"),
       sum(when(col("known"), 1L).otherwise(0L)).as("s_known"),
       sum(when(!col("known"), 1L).otherwise(0L)).as("s_new"),
-      sum(when(!col("known") && !col("allowed"), 1L).otherwise(0L))
-        .as("s_blocked"),
+      sum(when(blockedCond, 1L).otherwise(0L)).as("s_blocked"),
       sum(when(col("fetch"), 1L).otherwise(0L)).as("s_fetched"))
     val stages = Seq("candidates", "aliased", "identities", "known",
       "new", "blocked", "fetched")

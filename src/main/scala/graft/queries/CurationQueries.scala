@@ -249,6 +249,81 @@ object CurationQueries {
       path
     })
 
+  /** Shared DuckDB CTE prefix replaying MixPlan.allocate (cap =
+    * 3·available, budget = the full supply) + materializeEpochs —
+    * ends in `docs(source, doc_id, nt)` and
+    * `sched(source, doc_id, epoch, ord)`; `t_mix_epochs` and
+    * `t_mix_pack` build on it.
+    */
+  private val MixEpochCtes: String =
+    """ma AS (SELECT source,
+      |    SUM(len(string_split(text, ' '))) AS available
+      |  FROM documents GROUP BY source),
+      |mc AS (SELECT source, available, available * 3 AS cap FROM ma),
+      |mt AS (SELECT SUM(available) AS sa, SUM(cap) AS sc,
+      |    CAST(COUNT(*) AS BIGINT) AS n FROM mc),
+      |mb AS (SELECT sa AS budget, n FROM mt),
+      |mo AS (SELECT source, available, cap,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY cap, source) AS BIGINT)
+      |      AS k,
+      |    SUM(cap) OVER (ORDER BY cap, source
+      |      ROWS UNBOUNDED PRECEDING) AS prefix
+      |  FROM mc),
+      |msat AS (SELECT COALESCE(MAX(CASE WHEN prefix - cap
+      |      + cap * (n - k + 1) <= budget THEN k END), 0) AS kstar
+      |  FROM mo CROSS JOIN mb),
+      |mpk AS (SELECT COALESCE((SELECT prefix FROM mo, msat
+      |    WHERE mo.k = msat.kstar), 0) AS pks),
+      |mf AS (SELECT mo.source, mo.available,
+      |    CASE WHEN mo.k <= kstar THEN mo.cap
+      |      ELSE (budget - pks) // (n - kstar)
+      |        + (CASE WHEN mo.k - kstar <= (budget - pks)
+      |             % (n - kstar) THEN 1 ELSE 0 END) END AS alloc
+      |  FROM mo CROSS JOIN mb CROSS JOIN msat CROSS JOIN mpk),
+      |docs AS (SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |  FROM documents),
+      |r AS (SELECT d.source, d.doc_id,
+      |    mf.alloc // mf.available AS fl,
+      |    mf.alloc % mf.available AS rem,
+      |    SUM(d.nt) OVER (PARTITION BY d.source
+      |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)) ASC, d.doc_id ASC
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM docs d JOIN mf USING (source)),
+      |ne AS (SELECT source, doc_id,
+      |    fl + CASE WHEN cum <= rem THEN 1 ELSE 0 END AS n_ep
+      |  FROM r),
+      |e AS (SELECT source, doc_id,
+      |    unnest(range(0, CAST(n_ep AS BIGINT))) AS epoch
+      |  FROM ne WHERE n_ep > 0),
+      |sched AS (SELECT source, doc_id,
+      |    CAST(epoch AS BIGINT) AS epoch,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source, epoch
+      |      ORDER BY md5(CAST(epoch AS VARCHAR) || ':'
+      |        || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT)
+      |      AS ord
+      |  FROM e)""".stripMargin
+
+  /** The shared mix-epoch schedule behind `t_mix_epochs` /
+    * `t_mix_pack`: water-fill the corpus's full token supply under
+    * maxRep 3, then materialize the Muennighoff epoch schedule.
+    * Returns (docs with token counts, schedule).
+    */
+  private def mixEpochSchedule(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .localCheckpoint(false) // feeds the supply agg + the schedule
+    val a = docs.groupBy("source")
+      .agg(sum(col("n_tokens")).as("available"))
+      .localCheckpoint(false) // total agg + the allocation
+    val total = a.agg(sum("available")).collect()(0).getLong(0)
+    val plan = graft.operators.MixPlan
+      .allocate(a, budget = total, maxRep = 3)
+    (docs, graft.operators.MixPlan.materializeEpochs(docs, plan))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- the funnel LEDGER read + trend path: every pipeline-C run
@@ -366,18 +441,26 @@ object CurationQueries {
     //      broadcasts; two keyed windows + a ≤maxRep-bounded explode;
     //      the oracle replays allocation and schedule in closed
     //      form ----
-    "t_mix_epochs" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val docs = d.select(col("source"), col("doc_id"),
-          size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
-        .localCheckpoint(false) // feeds the supply agg + the schedule
-      val a = docs.groupBy("source")
-        .agg(sum(col("n_tokens")).as("available"))
-        .localCheckpoint(false) // total agg + the allocation
-      val total = a.agg(sum("available")).collect()(0).getLong(0)
-      val plan = graft.operators.MixPlan
-        .allocate(a, budget = total, maxRep = 3)
-      graft.operators.MixPlan.materializeEpochs(docs, plan)
+    "t_mix_epochs" -> ((s, dir) => mixEpochSchedule(s, dir)._2),
+
+    // ---- the schedule PACKED: t_mix_epochs composed with the
+    //      t_seq_pack rule — each (source, epoch)'s documents, in
+    //      their deterministic training order, pack greedily into
+    //      512-token sequences (pack_id = the pack the doc STARTS
+    //      in: (cum − n_tokens) div 512) — so the mix plan drives
+    //      budgets, epoch repetition, order AND the physical
+    //      sequence layout a trainer consumes. One more keyed window
+    //      over the schedule; the oracle replays allocation,
+    //      schedule and packing in one statement ----
+    "t_mix_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (docs, sched) = mixEpochSchedule(s, dir)
+      val w = Window.partitionBy("source", "epoch").orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sched.join(docs, Seq("source", "doc_id"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("source"), col("doc_id"), col("epoch"), col("ord"),
+          expr("(cum - n_tokens) div 512").as("pack_id"))
     }),
 
     // ---- pipeline C with the TRAINED classifier deployed as a
@@ -1588,53 +1671,21 @@ object CurationQueries {
     // inclusive prefix of the remainder, then a fresh md5(epoch:id)
     // rank within each (source, epoch)
     "t_mix_epochs" ->
-      """WITH ma AS (SELECT source,
-        |    SUM(len(string_split(text, ' '))) AS available
-        |  FROM documents GROUP BY source),
-        |mc AS (SELECT source, available, available * 3 AS cap FROM ma),
-        |mt AS (SELECT SUM(available) AS sa, SUM(cap) AS sc,
-        |    CAST(COUNT(*) AS BIGINT) AS n FROM mc),
-        |mb AS (SELECT sa AS budget, n FROM mt),
-        |mo AS (SELECT source, available, cap,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY cap, source) AS BIGINT)
-        |      AS k,
-        |    SUM(cap) OVER (ORDER BY cap, source
-        |      ROWS UNBOUNDED PRECEDING) AS prefix
-        |  FROM mc),
-        |msat AS (SELECT COALESCE(MAX(CASE WHEN prefix - cap
-        |      + cap * (n - k + 1) <= budget THEN k END), 0) AS kstar
-        |  FROM mo CROSS JOIN mb),
-        |mpk AS (SELECT COALESCE((SELECT prefix FROM mo, msat
-        |    WHERE mo.k = msat.kstar), 0) AS pks),
-        |mf AS (SELECT mo.source, mo.available,
-        |    CASE WHEN mo.k <= kstar THEN mo.cap
-        |      ELSE (budget - pks) // (n - kstar)
-        |        + (CASE WHEN mo.k - kstar <= (budget - pks)
-        |             % (n - kstar) THEN 1 ELSE 0 END) END AS alloc
-        |  FROM mo CROSS JOIN mb CROSS JOIN msat CROSS JOIN mpk),
-        |docs AS (SELECT source, doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
-        |  FROM documents),
-        |r AS (SELECT d.source, d.doc_id,
-        |    mf.alloc // mf.available AS fl,
-        |    mf.alloc % mf.available AS rem,
-        |    SUM(d.nt) OVER (PARTITION BY d.source
-        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)) ASC, d.doc_id ASC
-        |      ROWS UNBOUNDED PRECEDING) AS cum
-        |  FROM docs d JOIN mf USING (source)),
-        |ne AS (SELECT source, doc_id,
-        |    fl + CASE WHEN cum <= rem THEN 1 ELSE 0 END AS n_ep
-        |  FROM r),
-        |e AS (SELECT source, doc_id,
-        |    unnest(range(0, CAST(n_ep AS BIGINT))) AS epoch
-        |  FROM ne WHERE n_ep > 0)
-        |SELECT source, doc_id, CAST(epoch AS BIGINT) AS epoch,
-        |  CAST(ROW_NUMBER() OVER (PARTITION BY source, epoch
-        |    ORDER BY md5(CAST(epoch AS VARCHAR) || ':'
-        |      || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT)
-        |    AS ord
-        |FROM e""".stripMargin,
+      (s"WITH $MixEpochCtes\n" +
+        "SELECT source, doc_id, epoch, ord FROM sched"),
 
+    // the packed schedule: the same CTEs + the greedy 512-token
+    // start-pack rule over each (source, epoch)'s ord-ordered cumsum
+    "t_mix_pack" ->
+      (s"WITH $MixEpochCtes,\n" +
+      """pk AS (SELECT sc.source, sc.doc_id, sc.epoch, sc.ord, d.nt,
+        |    SUM(d.nt) OVER (PARTITION BY sc.source, sc.epoch
+        |      ORDER BY sc.ord ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM sched sc JOIN docs d
+        |    ON sc.source = d.source AND sc.doc_id = d.doc_id)
+        |SELECT source, doc_id, epoch, ord,
+        |  CAST((cum - nt) // 512 AS BIGINT) AS pack_id
+        |FROM pk""".stripMargin),
     // the token-budget funnel: the dedup + language chain, then the
     // running clean-text token total per (source, keep0) in md5(id)
     // order — a doc survives iff its INCLUSIVE prefix sum fits 500

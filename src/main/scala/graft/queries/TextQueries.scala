@@ -248,6 +248,68 @@ object TextQueries {
       s"$root/ledger"
     })
 
+  /** Temp root of the RECRAWL-driven wave: the lastmod→refetch loop
+    * closed end-to-end. Fresh crawl-state artifacts (pipeline D
+    * mutates them), the spool's recrawl plan classifies every
+    * declared url, the `stale` + `new` rows become the wave's
+    * candidates, and [[graft.Pipelines.crawlWave]] runs in REFETCH
+    * mode (every candidate eligible — the plan already chose the
+    * budget) at 2024-02-01 09:00, advancing the fetch log. The
+    * fixture persists the BEFORE statuses and runs the wave;
+    * `a_pipeline_recrawl` recomputes the plan against the ADVANCED
+    * log and gates the status-transition matrix (stale→fresh for
+    * every fetched url, blocked urls unchanged, fetched no-signal
+    * urls → unknown).
+    */
+  private val recrawlWaveMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def spoolEntries(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Sitemaps.readFrom(s, sitemapSpool(s, dir))
+      .filter(col("kind") === "urlset")
+      .select(explode(col("entries")).as("e"))
+      .select(col("e.url").as("url"), col("e.lastmod").as("lastmod"))
+
+  private def recrawlWaveRoot(s: SparkSession, dir: String): String =
+    recrawlWaveMemo.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_recrawl").toString
+      val d = t(s, dir, "documents")
+      val crawled = d.filter(col("doc_id") < 300)
+        .select(concat(lit("https://ex"), pmod(col("doc_id"), lit(10)),
+          lit(".org/d/"), col("doc_id")).as("url"))
+      graft.operators.CrawlState.writeUrlIndex(
+        graft.operators.CrawlState.buildUrlIndex(crawled),
+        s"$root/frontier")
+      graft.operators.CrawlState.writeFetchLog(
+        graft.operators.CrawlState.buildFetchLog(
+          d.filter(col("doc_id") < 300)
+            .select(concat(lit("https://ex"),
+                pmod(col("doc_id"), lit(10)), lit(".org/d/"),
+                col("doc_id")).as("url"),
+              expr("cast(date_add(date '2024-01-10', " +
+                "cast(doc_id % 10 as int)) as timestamp) " +
+                "+ interval 9 hour").as("fetched_at"))),
+        s"$root/log")
+      val before = graft.sources.Sitemaps.recrawlPlan(
+          spoolEntries(s, dir),
+          graft.operators.CrawlState.readFetchLog(s, s"$root/log")
+            .fetches)
+        .select(col("url"), col("status"))
+        .localCheckpoint(true) // persisted below AND feeds the wave
+      before.write.mode("overwrite").parquet(s"$root/before.parquet")
+      val robots = robotsTxtFixture(d).select(
+        concat(lit("ex"), col("host"), lit(".org")).as("host"),
+        col("txt"))
+      graft.Pipelines.crawlWave(s,
+        before.filter(col("status").isin("new", "stale"))
+          .select(col("url")),
+        robots, s"$root/frontier", s"$root/log",
+        java.sql.Timestamp.valueOf("2024-02-01 09:00:00"),
+        "recrawl-0", refetch = true)
+      root
+    })
+
   /** Generated markup shared by `t_html_tables` and
     * `t_table_linearize`: three tables — a headered 3-row grid with
     * entity refs, inline tags, a script decoy and implied closes; a
@@ -917,12 +979,7 @@ object TextQueries {
     //      what CHANGED instead of everything. One scan + one
     //      equi-join ----
     "f_sitemap_recrawl" -> ((s, dir) => {
-      val entries = graft.sources.Sitemaps
-        .readFrom(s, sitemapSpool(s, dir))
-        .filter(col("kind") === "urlset")
-        .select(explode(col("entries")).as("e"))
-        .select(col("e.url").as("url"), col("e.lastmod").as("lastmod"))
-      graft.sources.Sitemaps.recrawlPlan(entries,
+      graft.sources.Sitemaps.recrawlPlan(spoolEntries(s, dir),
           fetchLogArt(s, dir).fetches)
         .groupBy("host").agg(
           sum(when(col("status") === "new", 1L).otherwise(0L))
@@ -952,14 +1009,35 @@ object TextQueries {
     //      over the plan + one equi-join onto the days-sized
     //      histogram ----
     "f_staleness_budget" -> ((s, dir) => {
-      val entries = graft.sources.Sitemaps
-        .readFrom(s, sitemapSpool(s, dir))
-        .filter(col("kind") === "urlset")
-        .select(explode(col("entries")).as("e"))
-        .select(col("e.url").as("url"), col("e.lastmod").as("lastmod"))
       val log = fetchLogArt(s, dir)
       graft.operators.CrawlState.stalenessBudget(log,
-        graft.sources.Sitemaps.recrawlPlan(entries, log.fetches))
+        graft.sources.Sitemaps.recrawlPlan(spoolEntries(s, dir),
+          log.fetches))
+    }),
+
+    // ---- the RECRAWL loop closed end-to-end: the recrawl plan's
+    //      stale+new rows become a crawl wave in REFETCH mode (every
+    //      candidate eligible — the plan chose the budget), the wave
+    //      advances the fetch log through the retire-aside swap, and
+    //      the plan RECOMPUTED against the advanced artifact shows
+    //      the transitions: every fetched stale url reads fresh,
+    //      robots-blocked urls keep their old status, fetched
+    //      no-signal urls read unknown, untouched fresh/unknown rows
+    //      are fixed points. The gated output is the before→after
+    //      transition matrix; the oracle replays wave + both plans
+    //      in closed form ----
+    "a_pipeline_recrawl" -> ((s, dir) => {
+      val root = recrawlWaveRoot(s, dir)
+      val after = graft.sources.Sitemaps.recrawlPlan(
+          spoolEntries(s, dir),
+          graft.operators.CrawlState.readFetchLog(s, s"$root/log")
+            .fetches)
+        .select(col("url"), col("status").as("status_after"))
+      s.read.parquet(s"$root/before.parquet")
+        .select(col("url"), col("status").as("status_before"))
+        .join(after, Seq("url"))
+        .groupBy("status_before", "status_after")
+        .agg(count(lit(1)).as("n_urls"))
     }),
 
     // ---- the parse-level view of the same spool — the per-file
@@ -4069,6 +4147,36 @@ object TextQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_urls
         |FROM documents WHERE doc_id < 300
         |GROUP BY 1""".stripMargin,
+
+    // the recrawl loop in closed form: the wave refetches stale+new
+    // urls except /d/ pages on graft-override hosts (h%3=0, robots
+    // blocks /d/) — fetched stale urls read fresh against the
+    // advanced log (fetched 2024-02-01 after every january lastmod),
+    // fetched no-signal urls (id%5==0 and the per-host extras) read
+    // unknown, blocked urls keep their status, fresh/unknown rows
+    // are untouched fixed points
+    "a_pipeline_recrawl" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, doc_id % 10 AS h,
+        |    CASE WHEN doc_id >= 300 THEN 'new'
+        |         WHEN doc_id % 5 = 0 THEN 'unknown'
+        |         WHEN doc_id % 4 = 1 THEN 'stale'
+        |         WHEN doc_id % 28 + 1 > 10 + doc_id % 10 THEN 'stale'
+        |         ELSE 'fresh' END AS b
+        |  FROM documents),
+        |dt AS (SELECT b,
+        |    CASE WHEN b IN ('fresh', 'unknown') THEN b
+        |         WHEN h % 3 = 0 THEN b
+        |         WHEN b = 'stale' THEN 'fresh'
+        |         WHEN id % 5 = 0 THEN 'unknown'
+        |         ELSE 'fresh' END AS a
+        |  FROM base),
+        |et AS (SELECT 'new' AS b, 'unknown' AS a
+        |  FROM (SELECT DISTINCT doc_id % 10 AS h FROM documents)),
+        |u AS (SELECT b, a FROM dt UNION ALL SELECT b, a FROM et)
+        |SELECT b AS status_before, a AS status_after,
+        |  CAST(COUNT(*) AS BIGINT) AS n_urls
+        |FROM u GROUP BY b, a""".stripMargin,
 
     // the staleness budget in closed form: per fetch date (crawled
     // ids<300 at 2024-01-(10+id%10) 09:00), the plan's verdicts —

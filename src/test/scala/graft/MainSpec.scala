@@ -468,6 +468,17 @@ class MainSpec extends SparkSpec {
     assert(ledger.size === 14) // 7 stages × 2 real waves, no day-2 row
     assert(ledger(("day-0", "fetched")) === 2L &&
       ledger(("day-1", "known")) === 3L)
+    // day-3 REFETCH mode: every candidate is eligible — the known
+    // urls refetch (advancing their log rows), robots still gates
+    val day3 = run("--fetched-at", "2024-02-04 09:00:00",
+      "--wave-id", "day-3", "--refetch")
+    assert(day3 === Map("candidates" -> 5L, "aliased" -> 1L,
+      "identities" -> 4L, "known" -> 3L, "new" -> 1L, "blocked" -> 1L,
+      "fetched" -> 3L)) // p1, p2, ok refetch; x/1 still blocked
+    val advanced = graft.operators.CrawlState
+      .readFetchLog(spark, s"$root/log").fetches.collect()
+      .map(r => r.getString(0) -> r.getTimestamp(1).toString).toMap
+    assert(advanced("https://a.org/p1") === "2024-02-04 09:00:00.0")
     // parse guards are loud
     intercept[IllegalArgumentException] {
       Main.parseCrawl(Seq("--candidates", "c", "--robots", "r",
