@@ -531,9 +531,12 @@ object Pipelines {
       .select(col("url"), col("host"), col("known"), col("allowed"),
         col("fetch"), col("rank"), col("fetch_at_ms"))
       .localCheckpoint(true)
-    // 5. the fetched urls enter both persisted artifacts
+    // 5. the fetched urls enter both persisted artifacts — skipped
+    //    entirely for an empty fetch set: appending zero rows would
+    //    still REWRITE both artifacts (parquet is immutable), a real
+    //    cost against a billion-url index for a wave that did nothing
     val fetched = decisions.filter(col("fetch")).select(col("url"))
-    if (!dryRun) {
+    if (!dryRun && !fetched.isEmpty) {
       CrawlState.writeUrlIndex(CrawlState.appendUrls(idx, fetched),
         s"$frontierPath.next")
       graft.operators.Dedup.swapDirs(spark, frontierPath,

@@ -451,11 +451,21 @@ class MainSpec extends SparkSpec {
       .readFetchLog(spark, s"$root/log").fetches.count() === 3L)
     // day-1: the same wave — yesterday's fetches screen known, the
     // blocked url re-blocks (robots may change; blocked ≠ seen)
+    def listing(p: String) = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(JPath.of(p)).iterator().asScala
+        .map(_.toString).toSet
+    }
+    val beforeFiles = listing(s"$root/frontier") ++ listing(s"$root/log")
     val day1 = run("--fetched-at", "2024-02-02 09:00:00",
       "--wave-id", "day-1")
     assert(day1 === Map("candidates" -> 5L, "aliased" -> 1L,
       "identities" -> 4L, "known" -> 3L, "new" -> 1L, "blocked" -> 1L,
       "fetched" -> 0L))
+    // a zero-fetch wave must not REWRITE the artifacts (at scale that
+    // is a billion-row rewrite for a wave that did nothing)
+    assert(listing(s"$root/frontier") ++ listing(s"$root/log") ===
+      beforeFiles)
     // day-2 dry run: reports, but mutates nothing and writes no ledger
     val day2 = run("--fetched-at", "2024-02-03 09:00:00",
       "--wave-id", "day-2", "--dry-run")

@@ -241,6 +241,40 @@ class PropertySpec extends SparkSpec {
     assert(n === random.length + magics.length)
   }
 
+  test("lastmod parsing never throws; status total on arbitrary strings (fuzz)") {
+    import spark.implicits._
+    // random strings plus adversarial near-W3C forms: the parse must
+    // yield (ts, has_time) without erroring (ANSI mode is on — a bare
+    // to_date/to_timestamp would throw), and recrawl classification
+    // must stay total over every (lastmod, fetched_at) combination
+    val rnd = new scala.util.Random(7L)
+    val junk = (1 to 200).map { _ =>
+      val len = rnd.nextInt(30)
+      (1 to len).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+    }
+    val nearMiss = Seq("2024", "2024-1-5", "2024-13-40",
+      "2024-01-05T", "2024-01-05T25:00:00Z", "2024-01-05 17:00:00",
+      "2024-01-05T17:00:00+25:00", "T17:00:00Z", "99999-01-01",
+      "2024-01-05T17:00:00.123456789+00:00", "-2024-01-05", "")
+    val entries = (junk ++ nearMiss).zipWithIndex
+      .map { case (lm, i) => (s"https://ex.org/f/$i", lm) }
+      .toDF("url", "lastmod")
+    val log = Seq(("https://ex.org/f/1", "2024-01-15 09:00:00"))
+      .toDF("url", "fetched_at")
+      .select(col("url"), col("fetched_at").cast("timestamp")
+        .as("fetched_at"))
+    val got = graft.sources.Sitemaps.recrawlPlan(entries, log)
+      .collect()
+    assert(got.length === junk.length + nearMiss.length)
+    // every row classified into exactly the four statuses
+    assert(got.forall(r => Set("new", "stale", "fresh", "unknown")
+      .contains(r.getAs[String]("status"))))
+    // a well-formed fractional+offset form still parses (not junk)
+    val frac = got.find(_.getString(0).endsWith(
+      s"/f/${junk.length + 9}")).get // the .123456789+00:00 row
+    assert(frac.getAs[Boolean]("lastmod_has_time"))
+  }
+
   test("prefix-filtered Jaccard == exact inverted index on random corpora") {
     import spark.implicits._
     // small alphabet forces heavy shingle sharing (the prefix filter's
