@@ -118,18 +118,27 @@ object MixPlan {
     * @param docs (groupCol, idCol, tokCol) — one row per document
     *             with its token count
     * @param plan [[allocate]]'s output for the same groups
-    * @return (groupCol, idCol, epoch, ord) — one row per scheduled
-    *         appearance; a document with no appearance emits nothing
+    * @param carry extra doc columns carried through to the output —
+    *              a downstream consumer (e.g. sequence packing) that
+    *              needs per-doc attributes takes them HERE instead of
+    *              joining the schedule back to the corpus-sized docs
+    *              frame (that join broadcasts at test scale and
+    *              silently becomes a full shuffle join at 100 TB)
+    * @return (groupCol, idCol, carry..., epoch, ord) — one row per
+    *         scheduled appearance; a document with no appearance
+    *         emits nothing
     *
     * Scale shape: the plan broadcasts (#sources rows); the schedule
     * is two keyed windows over the docs frame (source-partitioned,
-    * then (source, epoch)-partitioned) + one bounded explode — no
-    * corpus-sized sort, no driver loop.
+    * then (source, epoch)-partitioned — the second reuses the first's
+    * hash(source) exchange) + one bounded explode — no corpus-sized
+    * sort, no driver loop.
     */
   def materializeEpochs(docs: DataFrame, plan: DataFrame,
                         groupCol: String = "source",
                         idCol: String = "doc_id",
-                        tokCol: String = "n_tokens"): DataFrame = {
+                        tokCol: String = "n_tokens",
+                        carry: Seq[String] = Nil): DataFrame = {
     val p = plan.select(col(groupCol),
       expr("alloc div available").as("__full"),
       expr("alloc % available").as("__rem"))
@@ -142,13 +151,14 @@ object MixPlan {
       .withColumn("__n", col("__full") +
         when(col("__cum") <= col("__rem"), 1L).otherwise(0L))
       .filter(col("__n") > 0)
-      .select(col(groupCol), col(idCol),
-        explode(expr("sequence(0L, __n - 1)")).as("epoch"))
+      .select(col(groupCol) +: col(idCol) +: carry.map(col) :+
+        explode(expr("sequence(0L, __n - 1)")).as("epoch"): _*)
     val wE = Window.partitionBy(col(groupCol), col("epoch"))
       .orderBy(md5(concat_ws(":", col("epoch"), col(idCol))).asc,
         col(idCol).asc)
     scheduled
       .withColumn("ord", row_number().over(wE).cast("long"))
-      .select(col(groupCol), col(idCol), col("epoch"), col("ord"))
+      .select(col(groupCol) +: col(idCol) +: carry.map(col) :+
+        col("epoch") :+ col("ord"): _*)
   }
 }

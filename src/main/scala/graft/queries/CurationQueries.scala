@@ -306,11 +306,11 @@ object CurationQueries {
 
   /** The shared mix-epoch schedule behind `t_mix_epochs` /
     * `t_mix_pack`: water-fill the corpus's full token supply under
-    * maxRep 3, then materialize the Muennighoff epoch schedule.
-    * Returns (docs with token counts, schedule).
+    * maxRep 3, then materialize the Muennighoff epoch schedule with
+    * the token counts CARRIED THROUGH (so packing never joins the
+    * schedule back to the corpus-sized docs frame).
     */
-  private def mixEpochSchedule(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
+  private def mixEpochSchedule(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("source"), col("doc_id"),
         size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
@@ -321,7 +321,8 @@ object CurationQueries {
     val total = a.agg(sum("available")).collect()(0).getLong(0)
     val plan = graft.operators.MixPlan
       .allocate(a, budget = total, maxRep = 3)
-    (docs, graft.operators.MixPlan.materializeEpochs(docs, plan))
+    graft.operators.MixPlan.materializeEpochs(docs, plan,
+      carry = Seq("n_tokens"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -441,7 +442,8 @@ object CurationQueries {
     //      broadcasts; two keyed windows + a ≤maxRep-bounded explode;
     //      the oracle replays allocation and schedule in closed
     //      form ----
-    "t_mix_epochs" -> ((s, dir) => mixEpochSchedule(s, dir)._2),
+    "t_mix_epochs" -> ((s, dir) => mixEpochSchedule(s, dir)
+      .select("source", "doc_id", "epoch", "ord")),
 
     // ---- the schedule PACKED: t_mix_epochs composed with the
     //      t_seq_pack rule — each (source, epoch)'s documents, in
@@ -449,15 +451,15 @@ object CurationQueries {
     //      512-token sequences (pack_id = the pack the doc STARTS
     //      in: (cum − n_tokens) div 512) — so the mix plan drives
     //      budgets, epoch repetition, order AND the physical
-    //      sequence layout a trainer consumes. One more keyed window
-    //      over the schedule; the oracle replays allocation,
-    //      schedule and packing in one statement ----
+    //      sequence layout a trainer consumes. Token counts ride the
+    //      schedule (materializeEpochs carry), so this is one more
+    //      keyed window — NO join back to the corpus; the oracle
+    //      replays allocation, schedule and packing in one statement ----
     "t_mix_pack" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val (docs, sched) = mixEpochSchedule(s, dir)
       val w = Window.partitionBy("source", "epoch").orderBy("ord")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      sched.join(docs, Seq("source", "doc_id"))
+      mixEpochSchedule(s, dir)
         .withColumn("cum", sum(col("n_tokens")).over(w))
         .select(col("source"), col("doc_id"), col("epoch"), col("ord"),
           expr("(cum - n_tokens) div 512").as("pack_id"))
