@@ -233,6 +233,37 @@ object CrawlState {
         col("n_unknown"), col("stale_ppm"))
       .orderBy("fetched_at")
 
+  /** URL-TEMPLATE mass report — the crawler-trap signal: each
+    * canonical url collapses to its path TEMPLATE (query values →
+    * `=#`, digit runs → `#`), and the report masses distinct urls per
+    * (host, template). A template whose url count explodes is a
+    * generated url space — calendar pages, session ids, faceted
+    * search — that a frontier must CAP per template instead of
+    * crawling to exhaustion (the budget is per url-shape, not per
+    * host: one trap template must not starve the host's real pages).
+    *
+    * Scale shape: one distinct on the canonical url (the frontier
+    * already maintains exactly this set), a map-side template
+    * projection, one (host, template) agg — template cardinality is
+    * site-structure-sized, never corpus-sized. `minUrls` drops
+    * singleton templates so the report stays shape-sized.
+    */
+  def urlTemplateStats(urls: DataFrame, urlCol: String = "url",
+                       minUrls: Long = 2L): DataFrame = {
+    val canon = urls
+      .select(graft.functions.Urls.canonicalizeUrl(col(urlCol)).as("url"))
+      .filter(col("url").isNotNull)
+      .distinct()
+    canon
+      .select(hostOf(col("url")).as("host"),
+        regexp_replace(regexp_replace(regexp_replace(col("url"),
+          "(?i)^[a-z][a-z0-9+.-]*://[^/]*", ""),
+          "=[^&#]*", "=#"),
+          "[0-9]+", "#").as("template"))
+      .groupBy("host", "template").agg(count(lit(1)).as("n_urls"))
+      .filter(col("n_urls") >= minUrls)
+  }
+
   /** Resolve canonical/redirect CHAINS to their final URLs — real
     * crawls dedupe by the FINAL url (a page reached via three aliases
     * must be fetched once), and `<link rel="canonical">` targets

@@ -898,6 +898,28 @@ object TextQueries {
     "a_pipeline_crawl" -> ((s, dir) =>
       graft.operators.CurationLedger.read(s, crawlWaveLedger(s, dir))),
 
+    // ---- crawler-TRAP detection: every url collapses to its path
+    //      template (query values → =#, digit runs → #) and the
+    //      report masses distinct urls per (host, template) — the
+    //      per-url-shape budget signal: host 7's calendar pages
+    //      (/cal?m=&y= with per-doc values) show up as ONE template
+    //      carrying a whole host's worth of urls, exactly the
+    //      generated space a frontier caps per template instead of
+    //      crawling to exhaustion. One distinct + map-side template
+    //      + one keyed agg ----
+    "f_trap_report" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val urls = d.select(explode(concat(
+        array(concat(lit("https://ex"), pmod(col("doc_id"), lit(10)),
+          lit(".org/d/"), col("doc_id"))),
+        when(pmod(col("doc_id"), lit(10)) === 7,
+          array(concat(lit("https://ex7.org/cal?y="),
+            col("doc_id") + 2000, lit("&m="),
+            pmod(col("doc_id"), lit(12)))))
+          .otherwise(array().cast("array<string>")))).as("url"))
+      graft.operators.CrawlState.urlTemplateStats(urls)
+    }),
+
     // ---- the frontier artifact's health gate: per-host seen-URL
     //      histogram over the PERSISTED index (d_index_stats for the
     //      crawl state — one runaway host is one hot partition in
@@ -3996,6 +4018,21 @@ object TextQueries {
         |  CAST(CASE WHEN host % 3 = 0 THEN 5 ELSE 2 END AS BIGINT)
         |    AS delay_s
         |FROM dec GROUP BY host""".stripMargin,
+
+    // the trap report in closed form: /d/ pages collapse to one
+    // template per host; host 7's calendar urls (params sort under
+    // canonicalization: m before y) collapse to one exploding
+    // template
+    "f_trap_report" ->
+      """WITH u AS (
+        |  SELECT 'ex' || (doc_id % 10) || '.org' AS host,
+        |    '/d/#' AS template
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'ex7.org', '/cal?m=#&y=#'
+        |  FROM documents WHERE doc_id % 10 = 7)
+        |SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls
+        |FROM u GROUP BY host, template""".stripMargin,
 
     // the frontier in closed form: the three 'a' links canonicalize to
     // two urls (the cased/ported variant collapses onto the protocol-

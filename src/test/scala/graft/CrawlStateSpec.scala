@@ -168,6 +168,26 @@ class CrawlStateSpec extends SparkSpec {
       "2024-01-20" -> 1L))
   }
 
+  test("urlTemplateStats: traps collapse to one template; singletons drop") {
+    val urls = (
+      // a calendar trap: 5 distinct urls, ONE template (values +
+      // digits collapse; canonicalization sorts the params)
+      (1 to 5).map(i => s"https://ex.org/cal?y=${2000 + i}&m=$i") ++
+      // distinct page ids under one path shape
+      (1 to 3).map(i => s"https://ex.org/d/$i") ++
+      // surface variants of ONE url must not double-count (distinct
+      // on the canonical form)
+      Seq("https://ex.org/d/1?utm_source=x", "HTTPS://EX.ORG:443/d/1") ++
+      // a singleton template drops under minUrls = 2
+      Seq("https://ex.org/about")
+    ).toDF("url")
+    val got = CrawlState.urlTemplateStats(urls).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("ex.org", "/cal?m=#&y=#") -> 5L,
+      ("ex.org", "/d/#") -> 3L))
+  }
+
   test("fetch log: compaction preserves the set; retention retires old copies") {
     def logSet(l: CrawlState.FetchLog): Set[(String, String)] =
       l.fetches.collect().map(r =>
