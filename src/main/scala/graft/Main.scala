@@ -102,8 +102,8 @@ import graft.operators.{CrawlState, Dedup, MoveSink, Report, Similarity}
   * canonicalize + alias-resolve candidates, screen against the
   * persisted frontier, robots-gate, schedule per host, append the
   * fetched set to the frontier and fetch log, ledger the funnel:
-  *   graft.Main crawl --candidates PARQUET --robots PARQUET
-  *     --frontier PATH --fetchlog PATH
+  *   graft.Main crawl (--candidates PARQUET | --spool DIR)
+  *     --robots PARQUET --frontier PATH --fetchlog PATH
   *     --fetched-at 'YYYY-MM-DD[ HH:MM:SS]' --wave-id D [--dry-run]
   *     [--resolution PARQUET]  (url, final_url) alias resolution —
   *                             a resolveCanonical output
@@ -113,9 +113,19 @@ import graft.operators.{CrawlState, Dedup, MoveSink, Report, Similarity}
   *                             selected the refetch budget, e.g. the
   *                             recrawl plan's stale+new rows);
   *                             default is discovery (unknown only)
+  *     [--trap-cap N]          per-(host, url-template) fetch budget:
+  *                             a generated url space (calendar pages,
+  *                             session ids, facets) schedules at most
+  *                             N fetches per template this wave,
+  *                             flagged trap_capped in the funnel
   *     [--url-col url]
   * robots PARQUET carries (host, txt) — the fetched robots.txt
-  * payloads verbatim; parsing happens in-engine.
+  * payloads verbatim; parsing happens in-engine. `--spool DIR` runs
+  * SITEMAP DISCOVERY instead of reading a candidate parquet: the
+  * robots table's `Sitemap:` declarations resolve against the fetched
+  * sitemap spool at DIR ([[graft.sources.Sitemaps.readFrom]] +
+  * [[graft.sources.Sitemaps.expand]]) and the declared url set IS the
+  * wave — robots → spool → expand → wave as one verb.
   *
   * Classifier-model lifecycle (the artifact ops surface for the
   * trained logistic quality model — train once recording the feature
@@ -179,6 +189,24 @@ object Main {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(msg)
 
+  /** Parse a CLI `YYYY-MM-DD[ HH:MM:SS]` wall-clock string as a UTC
+    * instant. `Timestamp.valueOf` would interpret it in the driver
+    * JVM's DEFAULT timezone while the session pins
+    * `spark.sql.session.timeZone=UTC` — on a non-UTC driver every CLI
+    * timestamp would silently shift by the JVM offset relative to the
+    * artifacts' stored instants (and to recrawl lastmods parsed with
+    * explicit offsets), skewing exactly the boundary classifications
+    * the timestamp-precision fetch log exists to catch. Throws
+    * IllegalArgumentException on garbage like the rest of the parser.
+    */
+  private[graft] def utcTimestamp(v: String): Timestamp =
+    try Timestamp.from(java.time.LocalDateTime
+      .parse(if (v.length == 10) s"${v}T00:00:00" else v.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC))
+    catch { case e: java.time.format.DateTimeParseException =>
+      throw new IllegalArgumentException(e.getMessage)
+    }
+
   /** Flags beat env vars; both mirror the reference's knob names. */
   private[graft] def parse(args: Seq[String],
                            env: Map[String, String] = sys.env): Config = {
@@ -195,9 +223,7 @@ object Main {
     def required(flag: String, envKey: String): String =
       knob(flag, envKey).getOrElse(fail(s"missing --$flag (or $envKey)"))
     def ts(flag: String, envKey: String): Option[Timestamp] =
-      knob(flag, envKey).map { s =>
-        Timestamp.valueOf(if (s.contains(" ")) s else s + " 00:00:00")
-      }
+      knob(flag, envKey).map(utcTimestamp)
     val mode = knob("mode", "GRAFT_MODE").map(_.toLowerCase) match {
       case None | Some("copy") => MoveSink.Copy
       case Some("copyasync")   => MoveSink.CopyAsync
@@ -369,23 +395,27 @@ object Main {
   }
 
   final case class CrawlConfig(
-      candidates: String, robots: String, frontier: String,
+      candidates: Option[String], spool: Option[String], robots: String,
+      frontier: String,
       fetchLog: String, fetchedAt: Timestamp, waveId: String,
       resolution: Option[String], ledger: Option[String],
-      urlCol: String, refetch: Boolean, dryRun: Boolean)
+      urlCol: String, refetch: Boolean, trapCap: Option[Long],
+      dryRun: Boolean)
 
   private[graft] def parseCrawl(args: Seq[String]): CrawlConfig = {
-    val flags = parseFlags(args, Set("candidates", "robots", "frontier",
-      "fetchlog", "fetched-at", "wave-id", "resolution", "ledger",
-      "url-col", "refetch", "dry-run"), bare = Set("refetch", "dry-run"))
+    val flags = parseFlags(args, Set("candidates", "spool", "robots",
+      "frontier", "fetchlog", "fetched-at", "wave-id", "resolution",
+      "ledger", "url-col", "refetch", "trap-cap", "dry-run"),
+      bare = Set("refetch", "dry-run"))
     def req(name: String): String =
       flags.getOrElse(name, fail(s"missing --$name"))
-    CrawlConfig(
-      candidates = req("candidates"), robots = req("robots"),
+    val cfg = CrawlConfig(
+      candidates = flags.get("candidates"), spool = flags.get("spool"),
+      robots = req("robots"),
       frontier = req("frontier"), fetchLog = req("fetchlog"),
       fetchedAt = {
         val v = req("fetched-at")
-        try Timestamp.valueOf(if (v.length == 10) s"$v 00:00:00" else v)
+        try utcTimestamp(v)
         catch { case _: IllegalArgumentException =>
           fail(s"--fetched-at needs YYYY-MM-DD[ HH:MM:SS], got: $v") }
       },
@@ -393,7 +423,14 @@ object Main {
       resolution = flags.get("resolution"), ledger = flags.get("ledger"),
       urlCol = flags.getOrElse("url-col", "url"),
       refetch = flags.contains("refetch"),
+      trapCap = flags.get("trap-cap").map { v =>
+        v.toLongOption.filter(_ >= 1L)
+          .getOrElse(fail(s"--trap-cap needs a positive integer, got: $v"))
+      },
       dryRun = flags.contains("dry-run"))
+    if (cfg.candidates.isEmpty == cfg.spool.isEmpty)
+      fail("crawl needs exactly one of --candidates or --spool")
+    cfg
   }
 
   /** Execute the crawl verb: [[Pipelines.crawlWave]] over the
@@ -404,13 +441,28 @@ object Main {
     */
   private[graft] def runCrawl(spark: SparkSession,
                               cfg: CrawlConfig): DataFrame = {
-    val (_, funnel) = Pipelines.crawlWave(spark,
-      spark.read.parquet(cfg.candidates),
-      spark.read.parquet(cfg.robots),
+    import org.apache.spark.sql.functions.{col, explode}
+    val robots = spark.read.parquet(cfg.robots)
+    // --spool: sitemap DISCOVERY is the wave — the robots table's
+    // Sitemap: declarations expand against the fetched spool and the
+    // declared url set feeds the chain (one verb for the whole
+    // robots → spool → expand → wave composition)
+    val candidates = (cfg.candidates, cfg.spool) match {
+      case (Some(p), _) => spark.read.parquet(p)
+      case (None, Some(sp)) =>
+        graft.sources.Sitemaps.expand(
+            graft.sources.Sitemaps.readFrom(spark, sp),
+            robots.select(explode(
+              graft.functions.Robots.sitemapUrls(col("txt")))
+              .as("sitemap_url")))
+          .select(col("url"))
+      case _ => fail("crawl needs exactly one of --candidates or --spool")
+    }
+    val (_, funnel) = Pipelines.crawlWave(spark, candidates, robots,
       cfg.frontier, cfg.fetchLog, cfg.fetchedAt, cfg.waveId,
       resolution = cfg.resolution.map(spark.read.parquet(_)),
       ledgerPath = cfg.ledger, urlCol = cfg.urlCol,
-      refetch = cfg.refetch, dryRun = cfg.dryRun)
+      refetch = cfg.refetch, trapCap = cfg.trapCap, dryRun = cfg.dryRun)
     funnel
   }
 
@@ -471,8 +523,7 @@ object Main {
       dryRun = flags.contains("dry-run"),
       retireBefore = flags.get("retire-before").map { v =>
         // accepts a date or a full timestamp; loud on garbage
-        try java.sql.Timestamp.valueOf(
-          if (v.length == 10) s"$v 00:00:00" else v)
+        try utcTimestamp(v)
         catch { case _: IllegalArgumentException =>
           fail(s"--retire-before needs YYYY-MM-DD[ HH:MM:SS], got: $v") }
       })

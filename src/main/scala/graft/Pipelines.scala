@@ -441,14 +441,37 @@ object Pipelines {
     *   2. FRONTIER SCREEN: the distinct identities flag against the
     *      PERSISTED url-seen index (one equi-join — the crawled set
     *      is read from the maintained artifact, never re-derived);
-    *   3. ROBOTS GATE: per-host robots.txt payloads parse via the
-    *      [[graft.functions.Robots]] column algebra (broadcast —
-    *      host-bounded) and every NEW url gets its longest-match
-    *      verdict; a host with no robots row passes (crawl default);
+    *   3. ROBOTS GATE: the robots table is first BOUNDED to the
+    *      wave's own distinct hosts (one left-semi join — the robots
+    *      input is every host ever seen, unbounded at crawl scale,
+    *      and an explicit broadcast of it is the one hint AQE can
+    *      never escape), THEN parsed via the [[graft.functions.
+    *      Robots]] column algebra; every NEW url gets its
+    *      longest-match verdict and a host with no robots row passes
+    *      (crawl default). No forced broadcast: the bounded rules
+    *      frame is wave-host-sized and AQE picks broadcast at
+    *      runtime when it fits;
+    *   3b. TRAP BUDGET (when `trapCap` is set): every gate-passing
+    *      url collapses to its path TEMPLATE ([[graft.operators.
+    *      CrawlState.urlTemplate]] — the SAME key the
+    *      `f_trap_report` detector masses on) and each
+    *      (host, template)'s fetch set is capped at `trapCap` urls
+    *      in deterministic md5 order — a calendar/session/facet
+    *      generator gets a bounded budget per url SHAPE instead of
+    *      crawling to exhaustion, without starving the host's real
+    *      pages; capped urls flag `trap_capped` in the decisions and
+    *      funnel (never silently dropped) and do NOT enter the seen
+    *      set — a later wave may spend budget on them;
     *   4. SCHEDULE: the wave's fetch set ranks per host by md5(url)
     *      with fetch_at_ms offsets paced by the PARSED Crawl-delay
     *      (default 1 s) — the executable queue a fetcher fleet
-    *      drains;
+    *      drains. The rank is computed BANDED (rank within
+    *      (host, md5-prefix band), offset by the bands' closed-form
+    *      cumulative counts): a mega-host that owns most of a wave —
+    *      the most common crawl skew — sorts across 256 tasks
+    *      instead of one, and because the band is a PREFIX of the
+    *      md5 sort key the banded rank equals the single-window rank
+    *      row for row;
     *   5. ARTIFACT APPEND: the fetched urls enter the url-seen index
     *      and the fetch log at `fetchedAt` (both through the
     *      retire-aside swap), so the NEXT wave screens against them;
@@ -460,10 +483,11 @@ object Pipelines {
     *
     * Scale shape: candidates are the only corpus-sized frame; the
     * chain is one distinct, two equi-joins (seen set co-keyed by url,
-    * robots broadcast) and one host-keyed window — no driver loop,
-    * no re-derivation of crawl history. Blocked urls deliberately do
-    * NOT enter the seen set: robots change, and a future wave must
-    * re-gate them.
+    * robots bounded to the wave's hosts then joined per host) and
+    * banded keyed windows — no driver loop, no unbounded broadcast,
+    * no single-task sort under host skew, no re-derivation of crawl
+    * history. Blocked urls deliberately do NOT enter the seen set:
+    * robots change, and a future wave must re-gate them.
     *
     * Two wave shapes share this one chain:
     *   - DISCOVERY (`refetch = false`, the default): only urls the
@@ -475,11 +499,15 @@ object Pipelines {
     *     rows), so the frontier screen is informational and a
     *     fetched url's log row ADVANCES (latest-wins max).
     *
+    * @param trapCap per-(host, url-template) fetch budget for this
+    *                 wave — the ENFORCEMENT of the `f_trap_report`
+    *                 signal; None (the default) disables the stage
+    *                 entirely (no extra column, no extra funnel row)
     * @return (decisions, funnel): decisions has one row per distinct
     *         final identity (url, host, known, allowed, fetch, rank,
-    *         fetch_at_ms) — the auditable replacement for a silent
-    *         drop; funnel is the (stage, n) report appended to the
-    *         ledger.
+    *         fetch_at_ms, and trap_capped when `trapCap` is set) —
+    *         the auditable replacement for a silent drop; funnel is
+    *         the (stage, n) report appended to the ledger.
     */
   def crawlWave(spark: SparkSession, candidates: DataFrame,
                 robotsTxt: DataFrame, frontierPath: String,
@@ -489,6 +517,7 @@ object Pipelines {
                 ledgerPath: Option[String] = None,
                 urlCol: String = "url",
                 refetch: Boolean = false,
+                trapCap: Option[Long] = None,
                 dryRun: Boolean = false): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.CrawlState
@@ -506,30 +535,52 @@ object Pipelines {
     // 2. frontier screen on the resolved identities
     val screened = CrawlState.screenUrls(
       resolved.select(col("final_url").as("url")), idx)
-    // 3. robots gate (host-bounded rules → broadcast)
-    val rules = robotsTxt.select(lower(trim(col("host"))).as("host"),
-      graft.functions.Robots.parseRules(col("txt")).as("rules"),
-      coalesce(graft.functions.Robots.crawlDelay(col("txt")), lit(1L))
-        .as("delay_s"))
-    val gated = screened.join(broadcast(rules), Seq("host"), "left")
+    // 3. robots gate — rules BOUNDED to the wave's own hosts before
+    //    parsing (the robots input is every host ever seen; the
+    //    wave's host set is the bound that actually holds), and NO
+    //    forced broadcast: AQE picks broadcast at runtime when the
+    //    bounded frame fits, instead of a hint that OOMs the driver
+    //    at web-crawl host counts
+    val rules = boundedRobotsRules(robotsTxt,
+      screened.select(col("host")).distinct())
+    val gated = screened.join(rules, Seq("host"), "left")
       .withColumn("allowed", coalesce(
         graft.functions.Robots.isAllowed(col("rules"),
           graft.functions.Robots.urlPath(col("url"))), lit(true)))
       .withColumn("__eligible",
         if (refetch) lit(true) else !col("known"))
-      .withColumn("fetch", col("__eligible") && col("allowed"))
-    // 4. per-host deterministic schedule over this wave's fetch set
-    val w = Window.partitionBy(col("host"), col("fetch"))
-      .orderBy(md5(col("url")).asc, col("url").asc)
+      .withColumn("__fetch0", col("__eligible") && col("allowed"))
+    // 3b. trap budget: cap each (host, template)'s fetch set — the
+    //     f_trap_report signal acted on instead of reported. The
+    //     capped urls stay in the decisions (trap_capped) and the
+    //     funnel; banded rank for the same skew reason as step 4
+    //     (the trap template IS the mega-mass key by definition).
+    val trapped = trapCap match {
+      case Some(cap) =>
+        require(cap >= 1, s"trapCap must be >= 1, got $cap")
+        bandedRank(
+          gated.withColumn("__tmpl",
+            graft.operators.CrawlState.urlTemplate(col("url"))),
+          Seq("host", "__tmpl", "__fetch0"), "__trank")
+          .withColumn("trap_capped",
+            col("__fetch0") && col("__trank") > cap)
+          .withColumn("fetch", col("__fetch0") && !col("trap_capped"))
+          .drop("__tmpl", "__trank")
+      case None => gated.withColumn("fetch", col("__fetch0"))
+    }
+    // 4. per-host deterministic schedule over this wave's fetch set —
+    //    banded against single-host skew (rank == the one-window rank
+    //    row for row; see the Scaladoc)
     // eager: the decision plan scans the PRE-swap artifact files,
-    // which step 5's swap retires — materialize before mutating
-    val decisions = gated.withColumn("__rn", row_number().over(w))
-      .withColumn("rank", when(col("fetch"), col("__rn").cast("long")))
+    //    which step 5's swap retires — materialize before mutating
+    val decisions = bandedRank(trapped, Seq("host", "fetch"), "__rn")
+      .withColumn("rank", when(col("fetch"), col("__rn")))
       .withColumn("fetch_at_ms", when(col("fetch"),
-        (col("__rn") - 1).cast("long") *
-          coalesce(col("delay_s"), lit(1L)) * 1000))
-      .select(col("url"), col("host"), col("known"), col("allowed"),
-        col("fetch"), col("rank"), col("fetch_at_ms"))
+        (col("__rn") - 1) * coalesce(col("delay_s"), lit(1L)) * 1000))
+      .select(col("url") +: col("host") +: col("known") +:
+        col("allowed") +: col("fetch") +: col("rank") +:
+        col("fetch_at_ms") +:
+        (if (trapCap.nonEmpty) Seq(col("trap_capped")) else Nil): _*)
       .localCheckpoint(true)
     // 5. the fetched urls enter both persisted artifacts — skipped
     //    entirely for an empty fetch set: appending zero rows would
@@ -557,14 +608,21 @@ object Pipelines {
     // in discovery mode, every candidate in refetch mode
     val blockedCond =
       if (refetch) !col("allowed") else !col("known") && !col("allowed")
-    val decStats = decisions.agg(
+    val decAggs = Seq(
       count(lit(1)).as("s_identities"),
       sum(when(col("known"), 1L).otherwise(0L)).as("s_known"),
       sum(when(!col("known"), 1L).otherwise(0L)).as("s_new"),
       sum(when(blockedCond, 1L).otherwise(0L)).as("s_blocked"),
-      sum(when(col("fetch"), 1L).otherwise(0L)).as("s_fetched"))
+      sum(when(col("fetch"), 1L).otherwise(0L)).as("s_fetched")) ++
+      (if (trapCap.nonEmpty)
+        Seq(sum(when(col("trap_capped"), 1L).otherwise(0L))
+          .as("s_trap_capped"))
+       else Nil)
+    val decStats = decisions.agg(decAggs.head, decAggs.tail: _*)
     val stages = Seq("candidates", "aliased", "identities", "known",
-      "new", "blocked", "fetched")
+      "new", "blocked") ++
+      (if (trapCap.nonEmpty) Seq("trap_capped") else Nil) ++
+      Seq("fetched")
     val funnel = resStats.crossJoin(decStats)
       .select(explode(array(stages.map(st =>
         struct(lit(st).as("stage"), col(s"s_$st").as("n"))): _*)).as("r"))
@@ -574,6 +632,58 @@ object Pipelines {
         graft.operators.CurationLedger.append(spark, lp, waveId, funnel)
     }
     (decisions, funnel)
+  }
+
+  /** The robots table BOUNDED to a host frame, then parsed: one
+    * left-semi join restricts the (host, txt) payloads to the hosts
+    * actually in play before the per-host rule arrays exist at all —
+    * the robots input is every host ever seen (unbounded at crawl
+    * scale), so parsing or broadcasting it unrestricted is the first
+    * plan to die at 100×. No broadcast hint here: the bounded frame
+    * is wave-host-sized and AQE converts the downstream join to
+    * broadcast at runtime when it fits.
+    */
+  private[graft] def boundedRobotsRules(robotsTxt: DataFrame,
+                                        hosts: DataFrame): DataFrame =
+    robotsTxt.select(lower(trim(col("host"))).as("host"), col("txt"))
+      .join(hosts, Seq("host"), "left_semi")
+      .select(col("host"),
+        graft.functions.Robots.parseRules(col("txt")).as("rules"),
+        coalesce(graft.functions.Robots.crawlDelay(col("txt")), lit(1L))
+          .as("delay_s"))
+
+  /** Deterministic per-key rank by (md5(url), url), computed BANDED:
+    * rank within (keys..., 2-hex-char md5-prefix band) plus the
+    * closed-form cumulative count of the key's preceding bands.
+    * Because the band is a PREFIX of the primary sort key, the result
+    * equals `row_number over (partition by keys order by md5(url),
+    * url)` row for row — but a key that owns most of the frame (the
+    * mega-host skew every crawl has) sorts across up to 256 tasks
+    * instead of one. The offsets frame is keys × ≤256 rows; its
+    * window and the join stay keyed, never corpus-global.
+    */
+  private def bandedRank(df: DataFrame, keys: Seq[String],
+                         rankCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bandCol = s"__band_$rankCol"
+    val wIn = Window.partitionBy((keys :+ bandCol).map(col): _*)
+      .orderBy(md5(col("url")).asc, col("url").asc)
+    val banded = df
+      .withColumn(bandCol, substring(md5(col("url")), 1, 2))
+      .withColumn(s"__bn_$rankCol", row_number().over(wIn))
+    val wOff = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(bandCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = banded
+      .groupBy((keys :+ bandCol).map(col): _*)
+      .agg(count(lit(1)).as(s"__bc_$rankCol"))
+      .withColumn(s"__off_$rankCol",
+        coalesce(sum(col(s"__bc_$rankCol")).over(wOff), lit(0L)))
+      .drop(s"__bc_$rankCol")
+    banded.join(offsets, keys :+ bandCol)
+      .withColumn(rankCol,
+        (col(s"__off_$rankCol") + col(s"__bn_$rankCol")).cast("long"))
+      .drop(bandCol, s"__bn_$rankCol", s"__off_$rankCol")
   }
 
   /** The funnel report over [[pipelineC]] decisions — the per-stage

@@ -256,12 +256,51 @@ object CrawlState {
       .distinct()
     canon
       .select(hostOf(col("url")).as("host"),
-        regexp_replace(regexp_replace(regexp_replace(col("url"),
-          "(?i)^[a-z][a-z0-9+.-]*://[^/]*", ""),
-          "=[^&#]*", "=#"),
-          "[0-9]+", "#").as("template"))
+        urlTemplate(col("url")).as("template"))
       .groupBy("host", "template").agg(count(lit(1)).as("n_urls"))
       .filter(col("n_urls") >= minUrls)
+  }
+
+  /** Path TEMPLATE of a canonical url (query values → `=#`, digit
+    * runs → `#`) — the per-url-shape key [[urlTemplateStats]] masses
+    * on and [[graft.Pipelines.crawlWave]]'s trap budget caps on (one
+    * definition, so detection and enforcement can never disagree on
+    * what a template is).
+    */
+  def urlTemplate(url: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(url,
+      "(?i)^[a-z][a-z0-9+.-]*://[^/]*", ""),
+      "=[^&#]*", "=#"),
+      "[0-9]+", "#")
+
+  /** Select each host's REFETCH WAVE from a
+    * [[graft.sources.Sitemaps.recrawlPlan]] under a per-host budget —
+    * the step that closes plan → budget → wave into one chain (the
+    * [[stalenessBudget]] histogram tells an operator HOW MUCH is
+    * stale; this picks WHICH urls the wave actually spends its slots
+    * on). Eligible rows are the plan's `stale` + `new` statuses;
+    * within a host, stale urls come first ordered by copy age
+    * (oldest `fetched_at` first — the copies most behind their
+    * declared change), then never-fetched `new` urls, tiebroken by
+    * url — fully deterministic under any partitioning. Rows ranked
+    * past `perHost` are dropped from the wave (they remain in the
+    * plan; the next wave re-ranks what is still stale).
+    *
+    * Scale shape: one filter + one host-keyed window over the
+    * plan-sized frame. The per-host partition is bounded by the
+    * host's own declared sitemap entries (the protocol caps 50k urls
+    * per sitemap file), not by the corpus.
+    */
+  def refetchBudget(plan: DataFrame, perHost: Long): DataFrame = {
+    require(perHost >= 1, s"perHost must be >= 1, got $perHost")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("host")).orderBy(
+      when(col("status") === "stale", 0).otherwise(1).asc,
+      col("fetched_at").asc_nulls_last, col("url").asc)
+    plan.filter(col("status").isin("stale", "new"))
+      .withColumn("budget_rank", row_number().over(w).cast("long"))
+      .filter(col("budget_rank") <= perHost)
+      .select(col("url"), col("host"), col("status"), col("budget_rank"))
   }
 
   /** Resolve canonical/redirect CHAINS to their final URLs — real

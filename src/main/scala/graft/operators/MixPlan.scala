@@ -50,10 +50,14 @@ object MixPlan {
     // available = 0 divides by zero in repetition_ppm), and
     // available * maxRep can overflow Long — fail loudly instead.
     // One single-row agg over the #sources frame (allocate collects
-    // source-sized scalars below anyway).
+    // source-sized scalars below anyway). The sum coalesces so an
+    // EMPTY avail frame reads n_bad = 0 (sum over zero rows is null)
+    // and falls through to the empty-plan output instead of a bare
+    // NullPointerException out of getLong.
     val guard = avail.agg(
-      sum(when(col(availCol).isNull || col(availCol).cast("long") <= 0,
-        1L).otherwise(0L)).as("n_bad"),
+      coalesce(sum(when(
+        col(availCol).isNull || col(availCol).cast("long") <= 0,
+        1L).otherwise(0L)), lit(0L)).as("n_bad"),
       max(col(availCol).cast("long")).as("max_avail")).collect()(0)
     require(guard.getLong(0) == 0,
       s"allocate: ${guard.getLong(0)} source row(s) have null/zero/" +

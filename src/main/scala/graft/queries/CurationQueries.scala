@@ -1345,11 +1345,12 @@ object CurationQueries {
          |    SUM(CASE WHEN quality_ok AND NOT has_pii THEN 1 ELSE 0 END)
          |    FROM fl GROUP BY wave),
          |led AS (SELECT 'day-' || wave AS run_id, stage,
-         |    CAST(n AS BIGINT) AS n FROM f)
-         |SELECT run_id, stage, n,
-         |  CAST(LAG(n) OVER (PARTITION BY stage ORDER BY run_id)
+         |    CAST(n AS BIGINT) AS n,
+         |    CAST(wave + 1 AS BIGINT) AS seq FROM f)
+         |SELECT run_id, stage, n, seq,
+         |  CAST(LAG(n) OVER (PARTITION BY stage ORDER BY seq)
          |    AS BIGINT) AS prev_n,
-         |  CAST(n - LAG(n) OVER (PARTITION BY stage ORDER BY run_id)
+         |  CAST(n - LAG(n) OVER (PARTITION BY stage ORDER BY seq)
          |    AS BIGINT) AS delta
          |FROM led""".stripMargin
         .replace("@CLEAN@", CleanForm)

@@ -58,8 +58,16 @@ object TextQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def frontierIndex(s: SparkSession, dir: String)
-      : graft.operators.CrawlState.UrlIndex = {
-    val p = frontierMemo.computeIfAbsent(dir, _ => {
+      : graft.operators.CrawlState.UrlIndex =
+    graft.operators.CrawlState.readUrlIndex(s, frontierPath(s, dir))
+
+  /** The shared frontier artifact's PATH — for read-only consumers
+    * (dry-run waves); anything that MUTATES crawl state builds its
+    * own copies (the fixture discipline every a_pipeline_* root
+    * follows).
+    */
+  private def frontierPath(s: SparkSession, dir: String): String =
+    frontierMemo.computeIfAbsent(dir, _ => {
       val path = java.nio.file.Files
         .createTempDirectory("graft_frontier").toString + "/urlseen"
       val crawled = t(s, dir, "documents").filter(col("doc_id") < 300)
@@ -69,8 +77,6 @@ object TextQueries {
         graft.operators.CrawlState.buildUrlIndex(crawled), path)
       path
     })
-    graft.operators.CrawlState.readUrlIndex(s, p)
-  }
 
   /** Temp path of the fetched-sitemap SPOOL (`<dir>/<host>/<file>`,
     * the [[graft.sources.Sitemaps.readFrom]] layout), written once per
@@ -163,8 +169,12 @@ object TextQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def fetchLogArt(s: SparkSession, dir: String)
-      : graft.operators.CrawlState.FetchLog = {
-    val p = fetchLogMemo.computeIfAbsent(dir, _ => {
+      : graft.operators.CrawlState.FetchLog =
+    graft.operators.CrawlState.readFetchLog(s, fetchLogPath(s, dir))
+
+  /** The shared fetch-log artifact's PATH (read-only consumers). */
+  private def fetchLogPath(s: SparkSession, dir: String): String =
+    fetchLogMemo.computeIfAbsent(dir, _ => {
       val path = java.nio.file.Files
         .createTempDirectory("graft_fetchlog").toString + "/log"
       val fetched = t(s, dir, "documents").filter(col("doc_id") < 300)
@@ -177,8 +187,6 @@ object TextQueries {
         graft.operators.CrawlState.buildFetchLog(fetched), path)
       path
     })
-    graft.operators.CrawlState.readFetchLog(s, p)
-  }
 
   /** Temp path of the PIPELINE-D ledger: two crawl waves run
     * end-to-end through [[graft.Pipelines.crawlWave]] against fresh
@@ -307,6 +315,118 @@ object TextQueries {
         robots, s"$root/frontier", s"$root/log",
         java.sql.Timestamp.valueOf("2024-02-01 09:00:00"),
         "recrawl-0", refetch = true)
+      root
+    })
+
+  /** Temp root of the BUDGETED refetch wave — plan → budget → wave as
+    * ONE chain: fresh crawl-state artifacts (the wave mutates them),
+    * the spool's recrawl plan classifies every declared url, the
+    * per-host staleness budget ([[graft.operators.CrawlState
+    * .refetchBudget]], 20 slots/host — oldest stale copies first,
+    * then never-fetched urls) picks WHICH urls this wave spends its
+    * slots on, and [[graft.Pipelines.crawlWave]] refetches exactly
+    * that set at 2024-02-01 09:00. The fixture persists the BEFORE
+    * statuses and the budgeted selection; `a_pipeline_budget` gates
+    * the (budgeted, before, after) transition matrix — unbudgeted
+    * stale urls must stay stale (the budget REALLY limited the
+    * wave), budgeted allowed urls advance, robots-blocked budgeted
+    * urls keep their status.
+    */
+  private val budgetWaveMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def budgetWaveRoot(s: SparkSession, dir: String): String =
+    budgetWaveMemo.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_budgetwave").toString
+      val d = t(s, dir, "documents")
+      val crawled = d.filter(col("doc_id") < 300)
+        .select(concat(lit("https://ex"), pmod(col("doc_id"), lit(10)),
+          lit(".org/d/"), col("doc_id")).as("url"))
+      graft.operators.CrawlState.writeUrlIndex(
+        graft.operators.CrawlState.buildUrlIndex(crawled),
+        s"$root/frontier")
+      graft.operators.CrawlState.writeFetchLog(
+        graft.operators.CrawlState.buildFetchLog(
+          d.filter(col("doc_id") < 300)
+            .select(concat(lit("https://ex"),
+                pmod(col("doc_id"), lit(10)), lit(".org/d/"),
+                col("doc_id")).as("url"),
+              expr("cast(date_add(date '2024-01-10', " +
+                "cast(doc_id % 10 as int)) as timestamp) " +
+                "+ interval 9 hour").as("fetched_at"))),
+        s"$root/log")
+      val before = graft.sources.Sitemaps.recrawlPlan(
+          spoolEntries(s, dir),
+          graft.operators.CrawlState.readFetchLog(s, s"$root/log")
+            .fetches)
+        .localCheckpoint(true) // persisted AND feeds the budget
+      before.select(col("url"), col("status"))
+        .write.mode("overwrite").parquet(s"$root/before.parquet")
+      val budget = graft.operators.CrawlState
+        .refetchBudget(before, perHost = 20L)
+        .localCheckpoint(true) // persisted AND feeds the wave
+      budget.write.mode("overwrite").parquet(s"$root/budget.parquet")
+      val robots = robotsTxtFixture(d).select(
+        concat(lit("ex"), col("host"), lit(".org")).as("host"),
+        col("txt"))
+      graft.Pipelines.crawlWave(s, budget.select(col("url")),
+        robots, s"$root/frontier", s"$root/log",
+        java.sql.Timestamp.valueOf("2024-02-01 09:00:00"),
+        "budget-0", refetch = true)
+      root
+    })
+
+  /** Temp root of the SITEMAP-DISCOVERY wave — the crawl-ops chain's
+    * last composition seam closed: each host's robots.txt DECLARES
+    * its entry sitemap (`Sitemap:` lines), the fetched spool payloads
+    * read + parse + expand to the declared url set, and that feed
+    * runs through [[graft.Pipelines.crawlWave]] in DISCOVERY mode
+    * against fresh crawl-state artifacts at 2024-02-01 09:00 (known
+    * urls skip, robots gate per host, fetched urls advance both
+    * artifacts, funnel to the ledger) — robots → spool → expand →
+    * wave as ONE verb, the way `a_pipeline_recrawl` composes
+    * plan → refetch. The fixture is the WRITE; `a_pipeline_sitemap`
+    * gates the wave's ledger funnel.
+    */
+  private val sitemapWaveMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sitemapWaveRoot(s: SparkSession, dir: String): String =
+    sitemapWaveMemo.computeIfAbsent(dir, _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sitemapwave").toString
+      val d = t(s, dir, "documents")
+      val crawled = d.filter(col("doc_id") < 300)
+        .select(concat(lit("https://ex"), pmod(col("doc_id"), lit(10)),
+          lit(".org/d/"), col("doc_id")).as("url"))
+      graft.operators.CrawlState.writeUrlIndex(
+        graft.operators.CrawlState.buildUrlIndex(crawled),
+        s"$root/frontier")
+      graft.operators.CrawlState.writeFetchLog(
+        graft.operators.CrawlState.buildFetchLog(
+          d.filter(col("doc_id") < 300)
+            .select(concat(lit("https://ex"),
+                pmod(col("doc_id"), lit(10)), lit(".org/d/"),
+                col("doc_id")).as("url"),
+              expr("cast(date_add(date '2024-01-10', " +
+                "cast(doc_id % 10 as int)) as timestamp) " +
+                "+ interval 9 hour").as("fetched_at"))),
+        s"$root/log")
+      val robotsTxt = robotsTxtFixture(d).select(
+        concat(lit("ex"), col("host"), lit(".org")).as("host"),
+        col("txt"))
+      val sm = robotsTxt.select(
+        explode(graft.functions.Robots.sitemapUrls(col("txt")))
+          .as("sitemap_url"))
+      val candidates = graft.sources.Sitemaps.expand(
+          graft.sources.Sitemaps.readFrom(s, sitemapSpool(s, dir)),
+          sm)
+        .select(col("url"))
+      graft.Pipelines.crawlWave(s, candidates, robotsTxt,
+        s"$root/frontier", s"$root/log",
+        java.sql.Timestamp.valueOf("2024-02-01 09:00:00"),
+        "sitemap-0", ledgerPath = Some(s"$root/ledger"))
       root
     })
 
@@ -898,6 +1018,19 @@ object TextQueries {
     "a_pipeline_crawl" -> ((s, dir) =>
       graft.operators.CurationLedger.read(s, crawlWaveLedger(s, dir))),
 
+    // ---- SITEMAP DISCOVERY composed into pipeline D — robots
+    //      `Sitemap:` lines → spool read (binaryFile + inflate +
+    //      classify) → index expand → crawlWave DISCOVERY mode, one
+    //      chain against fresh artifacts: known /d/ urls skip, the
+    //      graft-override hosts' new /d/ urls block, every host's
+    //      parameterized extra (and the non-override hosts' new /d/
+    //      pages) fetch and advance the artifacts; the gated output
+    //      is the wave's ledger funnel. The oracle replays the set
+    //      algebra in closed form ----
+    "a_pipeline_sitemap" -> ((s, dir) =>
+      graft.operators.CurationLedger.read(s,
+        s"${sitemapWaveRoot(s, dir)}/ledger")),
+
     // ---- crawler-TRAP detection: every url collapses to its path
     //      template (query values → =#, digit runs → #) and the
     //      report masses distinct urls per (host, template) — the
@@ -918,6 +1051,39 @@ object TextQueries {
             pmod(col("doc_id"), lit(12)))))
           .otherwise(array().cast("array<string>")))).as("url"))
       graft.operators.CrawlState.urlTemplateStats(urls)
+    }),
+
+    // ---- crawler-trap ENFORCEMENT: the f_trap_report signal acted
+    //      on inside pipeline D — the same candidate shape (every /d/
+    //      page + host 7's calendar-trap urls) runs a DRY crawl wave
+    //      with trapCap = 5, and each (host, template)'s fetch set is
+    //      capped at 5 urls: host 7's calendar space schedules 5
+    //      fetches instead of its whole generated space, the capped
+    //      urls stay auditable (trap_capped decisions + funnel
+    //      stage), and real pages on other templates/hosts are not
+    //      starved. Dry run — the shared frontier artifact is
+    //      read-only here ----
+    "f_trap_gate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val urls = d.select(explode(concat(
+        array(concat(lit("https://ex"), pmod(col("doc_id"), lit(10)),
+          lit(".org/d/"), col("doc_id"))),
+        when(pmod(col("doc_id"), lit(10)) === 7,
+          array(concat(lit("https://ex7.org/cal?y="),
+            col("doc_id") + 2000, lit("&m="),
+            pmod(col("doc_id"), lit(12)))))
+          .otherwise(array().cast("array<string>")))).as("url"))
+      val robots = robotsTxtFixture(d).select(
+        concat(lit("ex"), col("host"), lit(".org")).as("host"),
+        col("txt"))
+      val (dec, _) = graft.Pipelines.crawlWave(s, urls, robots,
+        frontierPath(s, dir), fetchLogPath(s, dir),
+        java.sql.Timestamp.valueOf("2024-02-01 09:00:00"), "trap-0",
+        trapCap = Some(5L), dryRun = true)
+      dec.groupBy("host").agg(
+        count(lit(1)).as("n_urls"),
+        sum(when(col("fetch"), 1L).otherwise(0L)).as("n_fetch"),
+        sum(when(col("trap_capped"), 1L).otherwise(0L)).as("n_capped"))
     }),
 
     // ---- the frontier artifact's health gate: per-host seen-URL
@@ -1035,6 +1201,55 @@ object TextQueries {
       graft.operators.CrawlState.stalenessBudget(log,
         graft.sources.Sitemaps.recrawlPlan(spoolEntries(s, dir),
           log.fetches))
+    }),
+
+    // ---- the per-host REFETCH BUDGET selection: the recrawl plan's
+    //      stale + new rows ranked per host (oldest stale copies
+    //      first, then never-fetched urls, url tiebreak) and capped
+    //      at 20 slots — WHICH urls a budgeted wave spends its slots
+    //      on, not just how many are stale. Gated per host with the
+    //      selection's lexicographic envelope (first/last url) so the
+    //      oracle pins the actual picks, not only the counts ----
+    "f_refetch_budget" -> ((s, dir) => {
+      val log = fetchLogArt(s, dir)
+      graft.operators.CrawlState.refetchBudget(
+          graft.sources.Sitemaps.recrawlPlan(spoolEntries(s, dir),
+            log.fetches), perHost = 20L)
+        .groupBy("host").agg(
+          count(lit(1)).as("n_budgeted"),
+          sum(when(col("status") === "stale", 1L).otherwise(0L))
+            .as("n_stale_sel"),
+          sum(when(col("status") === "new", 1L).otherwise(0L))
+            .as("n_new_sel"),
+          min(col("url")).as("first_url"),
+          max(col("url")).as("last_url"))
+    }),
+
+    // ---- the BUDGETED recrawl loop end-to-end: plan → per-host
+    //      budget (20 slots: oldest stale first, then new) → refetch
+    //      wave → plan recomputed against the advanced log. The gated
+    //      transition matrix proves the budget LIMITED the wave:
+    //      budgeted allowed urls advance (stale→fresh, or →unknown
+    //      when the entry declares no lastmod), budgeted
+    //      robots-blocked urls keep their status, and every
+    //      UNBUDGETED stale url stays stale — the rows a
+    //      cap-free wave would have refetched ----
+    "a_pipeline_budget" -> ((s, dir) => {
+      val root = budgetWaveRoot(s, dir)
+      val after = graft.sources.Sitemaps.recrawlPlan(
+          spoolEntries(s, dir),
+          graft.operators.CrawlState.readFetchLog(s, s"$root/log")
+            .fetches)
+        .select(col("url"), col("status").as("status_after"))
+      s.read.parquet(s"$root/before.parquet")
+        .select(col("url"), col("status").as("status_before"))
+        .join(after, Seq("url"))
+        .join(s.read.parquet(s"$root/budget.parquet")
+            .select(col("url"), lit(true).as("__b")),
+          Seq("url"), "left")
+        .withColumn("budgeted", coalesce(col("__b"), lit(false)))
+        .groupBy("budgeted", "status_before", "status_after")
+        .agg(count(lit(1)).as("n_urls"))
     }),
 
     // ---- the RECRAWL loop closed end-to-end: the recrawl plan's
@@ -4034,6 +4249,29 @@ object TextQueries {
         |SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls
         |FROM u GROUP BY host, template""".stripMargin,
 
+    // trap ENFORCEMENT in closed form: per host, the fetch-eligible
+    // /d/ urls (new and not robots-blocked: id>=300 on h%3<>0 hosts)
+    // cap at 5; host 7's calendar template (all eligible) caps at 5;
+    // identities = one /d/ url per doc + one cal url per host-7 doc
+    "f_trap_gate" ->
+      """WITH b AS (SELECT doc_id % 10 AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(CASE WHEN doc_id >= 300 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new
+        |  FROM documents GROUP BY 1),
+        |d AS (SELECT h, nd,
+        |    CASE WHEN h % 3 = 0 THEN 0 ELSE n_new END AS f0 FROM b)
+        |SELECT 'ex' || h || '.org' AS host,
+        |  CAST(nd + CASE WHEN h = 7 THEN nd ELSE 0 END AS BIGINT)
+        |    AS n_urls,
+        |  CAST(LEAST(f0, 5)
+        |    + CASE WHEN h = 7 THEN LEAST(nd, 5) ELSE 0 END
+        |    AS BIGINT) AS n_fetch,
+        |  CAST(GREATEST(f0 - 5, 0)
+        |    + CASE WHEN h = 7 THEN GREATEST(nd - 5, 0) ELSE 0 END
+        |    AS BIGINT) AS n_capped
+        |FROM d""".stripMargin,
+
     // the frontier in closed form: the three 'a' links canonicalize to
     // two urls (the cased/ported variant collapses onto the protocol-
     // relative one, tracking param and fragment vanish), /p/ pages are
@@ -4129,9 +4367,40 @@ object TextQueries {
         |    AND NOT allowed THEN 1 ELSE 0 END) AS BIGINT) FROM w1
         |  UNION ALL SELECT 'fetched', CAST(SUM(CASE WHEN NOT known
         |    AND allowed THEN 1 ELSE 0 END) AS BIGINT) FROM w1)
-        |SELECT 'wave-0' AS run_id, stage, n FROM s0
-        |UNION ALL SELECT 'wave-1' AS run_id, stage, n FROM s1"""
+        |SELECT 'wave-0' AS run_id, stage, n, CAST(1 AS BIGINT) AS seq
+        |  FROM s0
+        |UNION ALL SELECT 'wave-1' AS run_id, stage, n,
+        |  CAST(2 AS BIGINT) AS seq FROM s1"""
         .stripMargin,
+
+    // the sitemap-discovery wave in closed form: the declared set is
+    // every host's /d/ urls + its one extra; /d/ urls of crawled docs
+    // (id<300) screen known, new /d/ urls block on graft-override
+    // hosts (h%3=0), extras always fetch; no aliases in a sitemap
+    // feed
+    "a_pipeline_sitemap" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id % 10 AS h
+        |  FROM documents),
+        |nh AS (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS nh
+        |  FROM ids),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN id < 300 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_known,
+        |    CAST(SUM(CASE WHEN id >= 300 AND h % 3 = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+        |  FROM ids),
+        |f AS (
+        |  SELECT 'candidates' AS stage, n_docs + nh AS n FROM m, nh
+        |  UNION ALL SELECT 'aliased', 0 FROM m
+        |  UNION ALL SELECT 'identities', n_docs + nh FROM m, nh
+        |  UNION ALL SELECT 'known', n_known FROM m
+        |  UNION ALL SELECT 'new', n_docs + nh - n_known FROM m, nh
+        |  UNION ALL SELECT 'blocked', n_blocked FROM m
+        |  UNION ALL SELECT 'fetched',
+        |    n_docs + nh - n_known - n_blocked FROM m, nh)
+        |SELECT 'sitemap-0' AS run_id, stage, CAST(n AS BIGINT) AS n,
+        |  CAST(1 AS BIGINT) AS seq
+        |FROM f""".stripMargin,
 
     // the sitemap chain in closed form: each host declares one
     // sitemap.xml, its locs are the host's /d/ urls (known when the
@@ -4236,6 +4505,89 @@ object TextQueries {
         |  CAST(SUM(CASE WHEN status = 'stale' THEN 1 ELSE 0 END)
         |    * 1000000 // COUNT(*) AS BIGINT) AS stale_ppm
         |FROM f GROUP BY fetched_at""".stripMargin,
+
+    // the per-host budget selection replayed with the SAME window:
+    // stale first by copy age (fetch day 10+id%10 at 09:00) then url,
+    // new (never fetched) after, 20 slots — the envelope (min/max
+    // selected url) pins the actual picks
+    "f_refetch_budget" ->
+      """WITH s AS (
+        |  SELECT 'https://ex' || (doc_id % 10) || '.org/d/'
+        |      || doc_id AS url,
+        |    'ex' || (doc_id % 10) || '.org' AS host,
+        |    CASE WHEN doc_id >= 300 THEN 'new'
+        |         WHEN doc_id % 5 = 0 THEN 'unknown'
+        |         WHEN doc_id % 4 = 1 THEN 'stale'
+        |         WHEN doc_id % 28 + 1 > 10 + doc_id % 10 THEN 'stale'
+        |         ELSE 'fresh' END AS status,
+        |    CASE WHEN doc_id < 300 THEN
+        |      TIMESTAMP '2024-01-10 09:00:00'
+        |        + (doc_id % 10) * INTERVAL 1 DAY END AS fetched_at
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://ex' || h || '.org/extra?a=1&b=2',
+        |    'ex' || h || '.org', 'new', NULL
+        |  FROM (SELECT DISTINCT doc_id % 10 AS h FROM documents)),
+        |e AS (SELECT host, url, status,
+        |    ROW_NUMBER() OVER (PARTITION BY host ORDER BY
+        |      CASE WHEN status = 'stale' THEN 0 ELSE 1 END,
+        |      fetched_at ASC NULLS LAST, url ASC) AS rk
+        |  FROM s WHERE status IN ('stale', 'new'))
+        |SELECT host,
+        |  CAST(COUNT(*) AS BIGINT) AS n_budgeted,
+        |  CAST(SUM(CASE WHEN status = 'stale' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_stale_sel,
+        |  CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new_sel,
+        |  MIN(url) AS first_url,
+        |  MAX(url) AS last_url
+        |FROM e WHERE rk <= 20 GROUP BY host""".stripMargin,
+
+    // the budgeted wave's transition matrix in closed form: the same
+    // selection window picks 20 urls per host; a selected url that
+    // robots allows (/d/ blocked on h%3=0 hosts, extras always
+    // allowed) refetches at 2024-02-01 and reads fresh (or unknown
+    // when its entry declares no lastmod — id%5=0 pages and the
+    // extras); everything else — blocked picks and every unbudgeted
+    // row — is a fixed point
+    "a_pipeline_budget" ->
+      """WITH s AS (
+        |  SELECT 'https://ex' || (doc_id % 10) || '.org/d/'
+        |      || doc_id AS url,
+        |    doc_id % 10 AS h,
+        |    CASE WHEN doc_id >= 300 THEN 'new'
+        |         WHEN doc_id % 5 = 0 THEN 'unknown'
+        |         WHEN doc_id % 4 = 1 THEN 'stale'
+        |         WHEN doc_id % 28 + 1 > 10 + doc_id % 10 THEN 'stale'
+        |         ELSE 'fresh' END AS status,
+        |    CASE WHEN doc_id < 300 THEN
+        |      TIMESTAMP '2024-01-10 09:00:00'
+        |        + (doc_id % 10) * INTERVAL 1 DAY END AS fetched_at,
+        |    NOT (doc_id % 5 = 0) AS has_lm,
+        |    (doc_id % 10) % 3 = 0 AS blocked
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://ex' || h || '.org/extra?a=1&b=2', h,
+        |    'new', NULL, false, false
+        |  FROM (SELECT DISTINCT doc_id % 10 AS h FROM documents)),
+        |e AS (SELECT url,
+        |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY
+        |      CASE WHEN status = 'stale' THEN 0 ELSE 1 END,
+        |      fetched_at ASC NULLS LAST, url ASC) AS rk
+        |  FROM s WHERE status IN ('stale', 'new')),
+        |sel AS (SELECT url FROM e WHERE rk <= 20),
+        |tr AS (SELECT s.url,
+        |    s.url IN (SELECT url FROM sel) AS budgeted,
+        |    s.status AS status_before,
+        |    CASE WHEN s.url NOT IN (SELECT url FROM sel)
+        |           THEN s.status
+        |         WHEN s.blocked THEN s.status
+        |         WHEN NOT s.has_lm THEN 'unknown'
+        |         ELSE 'fresh' END AS status_after
+        |  FROM s)
+        |SELECT budgeted, status_before, status_after,
+        |  CAST(COUNT(*) AS BIGINT) AS n_urls
+        |FROM tr GROUP BY 1, 2, 3""".stripMargin,
 
     // the recrawl classification in closed form: id%4==1 pages
     // declare a FULL datetime on their own fetch day at 17:00Z —

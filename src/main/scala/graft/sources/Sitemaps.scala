@@ -122,7 +122,15 @@ object Sitemaps {
                cap: Int = MaxUrlsPerSitemap): DataFrame = {
     val files = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true").load(dir)
-    val rootPath = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+    // qualify the spool root through the SAME FileSystem resolution
+    // binaryFile applies before taking the path component: a relative
+    // dir (or one whose authority spelling differs) would otherwise
+    // never prefix-match the absolutized `path` column and the
+    // reconstructed sitemap_url would keep spool-root segments,
+    // silently breaking (host, path) resolution
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val rootPath = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(p).toUri.getPath
     // strip the scheme+authority, then the spool root: what remains
     // is <host>/<path...>, the url with its directory layout intact
     val rel = regexp_replace(
@@ -250,6 +258,10 @@ object Sitemaps {
   def expand(parsed: DataFrame, entries: DataFrame,
              entryCol: String = "sitemap_url",
              maxDepth: Int = MaxIndexDepth): DataFrame = {
+    // a negative depth would skip the loop entirely and dereference
+    // the null accumulator below — refuse loudly like the other
+    // argument guards instead of an opaque NullPointerException
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
     val byKey = parsed.select(col("host"), col("path"), col("kind"),
       col("locs")).localCheckpoint(false)
     // frontier: (entry, host, path) sitemaps still to open; visited:

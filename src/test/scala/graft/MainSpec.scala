@@ -500,6 +500,90 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("crawl CLI: --spool discovery day-0 chains into recrawl day-1") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-spool-cli").toString
+    // fetched spool: one host, one sitemap declaring three pages —
+    // p1 carries a lastmod AFTER day-0 (stale by day-1), p2 one far
+    // in the past (fresh after day-0 fetch), p3 none (unknown)
+    val host = JPath.of(root, "spool", "a.org")
+    java.nio.file.Files.createDirectories(host)
+    java.nio.file.Files.write(host.resolve("sitemap.xml"),
+      ("<urlset>" +
+        "<url><loc>https://a.org/p1</loc>" +
+        "<lastmod>2024-02-01T17:00:00Z</lastmod></url>" +
+        "<url><loc>https://a.org/p2</loc>" +
+        "<lastmod>2023-01-01</lastmod></url>" +
+        "<url><loc>https://a.org/p3</loc></url>" +
+        "</urlset>").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // robots declares the entry sitemap; empty artifacts
+    Seq(("a.org", "Sitemap: https://a.org/sitemap.xml\n" +
+        "User-agent: *\nDisallow: /x/\n"))
+      .toDF("host", "txt").write.parquet(s"$root/robots.parquet")
+    graft.operators.CrawlState.writeUrlIndex(
+      graft.operators.CrawlState.buildUrlIndex(
+        Seq.empty[String].toDF("url")), s"$root/frontier")
+    graft.operators.CrawlState.writeFetchLog(
+      graft.operators.CrawlState.buildFetchLog(
+        Seq.empty[(String, String)].toDF("url", "fetched_at")),
+      s"$root/log")
+    // day-0: DISCOVERY straight off the spool — one verb
+    val day0 = Main.runCrawl(spark, Main.parseCrawl(Seq(
+        "--spool", s"$root/spool", "--robots", s"$root/robots.parquet",
+        "--frontier", s"$root/frontier", "--fetchlog", s"$root/log",
+        "--fetched-at", "2024-02-01 09:00:00", "--wave-id", "day-0")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(day0("candidates") === 3L && day0("fetched") === 3L)
+    // day-1: the recrawl plan reads the SAME artifacts the discovery
+    // wave advanced — p1's 17:00Z lastmod is after the 09:00 fetch
+    val plan = graft.sources.Sitemaps.recrawlPlan(
+        graft.sources.Sitemaps.readFrom(spark, s"$root/spool")
+          .select(org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.col("entries")).as("e"))
+          .select($"e.url".as("url"), $"e.lastmod".as("lastmod")),
+        graft.operators.CrawlState.readFetchLog(spark, s"$root/log")
+          .fetches)
+      .collect().map(r => r.getAs[String]("url") ->
+        r.getAs[String]("status")).toMap
+    assert(plan === Map(
+      "https://a.org/p1" -> "stale",
+      "https://a.org/p2" -> "fresh",
+      "https://a.org/p3" -> "unknown"))
+    // exactly one of --candidates / --spool
+    intercept[IllegalArgumentException] {
+      Main.parseCrawl(Seq("--robots", "r", "--frontier", "f",
+        "--fetchlog", "l", "--wave-id", "w",
+        "--fetched-at", "2024-02-01"))
+    }
+    intercept[IllegalArgumentException] {
+      Main.parseCrawl(Seq("--candidates", "c", "--spool", "s",
+        "--robots", "r", "--frontier", "f", "--fetchlog", "l",
+        "--wave-id", "w", "--fetched-at", "2024-02-01"))
+    }
+    intercept[IllegalArgumentException] {
+      Main.parseCrawl(Seq("--candidates", "c", "--robots", "r",
+        "--frontier", "f", "--fetchlog", "l", "--wave-id", "w",
+        "--fetched-at", "2024-02-01", "--trap-cap", "0"))
+    }
+  }
+
+  test("CLI timestamps parse as UTC instants regardless of driver TZ") {
+    // the session pins spark.sql.session.timeZone=UTC and artifact
+    // instants/lastmods are absolute — a CLI wall-clock parsed in the
+    // driver JVM's default zone would silently shift stale/fresh
+    // boundaries on any non-UTC driver
+    val prev = java.util.TimeZone.getDefault
+    try {
+      java.util.TimeZone.setDefault(
+        java.util.TimeZone.getTimeZone("America/New_York"))
+      assert(Main.utcTimestamp("2024-02-01 09:00:00").toInstant ===
+        java.time.Instant.parse("2024-02-01T09:00:00Z"))
+      assert(Main.utcTimestamp("2024-02-01").toInstant ===
+        java.time.Instant.parse("2024-02-01T00:00:00Z"))
+    } finally java.util.TimeZone.setDefault(prev)
+    intercept[IllegalArgumentException] { Main.utcTimestamp("garbage") }
+  }
+
   test("model CLI: train/retrain/score/drift/eval lifecycle") {
     val root = Files.createTempDirectory("graft-model-cli")
     val sf = "/root/testdata/sf0.001/documents.parquet"

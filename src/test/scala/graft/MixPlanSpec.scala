@@ -81,6 +81,18 @@ class MixPlanSpec extends SparkSpec {
     assert(edge.length === 1 && edge(0).getAs[Long]("alloc") === 10L)
   }
 
+  test("empty avail frame yields an empty plan, not an NPE") {
+    import spark.implicits._
+    // sum() over zero rows is null; the guard must coalesce it to 0
+    // and fall through to the empty-plan path (an empty corpus is a
+    // legal input for mixEpochSchedule-style callers)
+    val out = MixPlan.allocate(
+      Seq.empty[(String, Long)].toDF("source", "available"), 100L, 3)
+    assert(out.collect().isEmpty)
+    assert(out.columns.toSeq === Seq("source", "available", "cap",
+      "alloc", "repetition_ppm", "saturated"))
+  }
+
   test("materializeEpochs: full epochs + prefix remainder, per-epoch order") {
     import spark.implicits._
     // a: 3 docs × 10 tokens (available 30); b: 2 docs × 10 (available

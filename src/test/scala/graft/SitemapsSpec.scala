@@ -264,6 +264,46 @@ class SitemapsSpec extends SparkSpec {
     assert(urls.length === 2) // the leaf's urls appear ONCE
   }
 
+  test("readFrom: relative and scheme-qualified spool dirs resolve") {
+    // the spool root must qualify through the same FileSystem
+    // resolution binaryFile applies — a relative dir previously never
+    // prefix-matched the absolutized path column, so reconstructed
+    // sitemap_urls kept the spool root as leading path segments
+    val base = java.nio.file.Paths.get("target", "graft-sm-rel")
+    val host = base.resolve("ex.org")
+    Files.createDirectories(host)
+    Files.write(host.resolve("sitemap.xml"),
+      "<urlset><url><loc>https://ex.org/1</loc></url></urlset>"
+        .getBytes(StandardCharsets.UTF_8))
+    try {
+      // relative path (resolves against the working directory)
+      val rel = Sitemaps.readFrom(spark, "target/graft-sm-rel")
+        .select("sitemap_url").collect().map(_.getString(0))
+      assert(rel.toSeq === Seq("https://ex.org/sitemap.xml"))
+      // explicit file: scheme over the absolute form
+      val abs = base.toAbsolutePath.toString
+      val sch = Sitemaps.readFrom(spark, s"file:$abs")
+        .select("sitemap_url").collect().map(_.getString(0))
+      assert(sch.toSeq === Seq("https://ex.org/sitemap.xml"))
+    } finally {
+      Files.deleteIfExists(host.resolve("sitemap.xml"))
+      Files.deleteIfExists(host)
+      Files.deleteIfExists(base)
+    }
+  }
+
+  test("expand: negative maxDepth is refused loudly") {
+    val parsed = Sitemaps.parse(payloads(
+      "https://ex.org/sitemap.xml" ->
+        "<urlset><url><loc>https://ex.org/1</loc></url></urlset>"
+          .getBytes(StandardCharsets.UTF_8)))
+    intercept[IllegalArgumentException] {
+      Sitemaps.expand(parsed,
+        Seq("https://ex.org/sitemap.xml").toDF("sitemap_url"),
+        maxDepth = -1)
+    }
+  }
+
   test("expand: same basename in different directories resolves by path") {
     val root = Files.createTempDirectory("graft-sm-path").toString
     val host = java.nio.file.Paths.get(root, "ex.org")
