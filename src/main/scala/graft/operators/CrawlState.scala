@@ -303,6 +303,64 @@ object CrawlState {
       .select(col("url"), col("host"), col("status"), col("budget_rank"))
   }
 
+  /** In-degree FRONTIER PRIORITY — the OPIC-lite ordering policy a
+    * production crawler runs over its discovery feed: each candidate
+    * url's priority is the number of DISTINCT known pages linking to
+    * it, so link evidence from pages already crawled (the only pages
+    * we can trust) votes what to fetch first. Input: an edge table
+    * (srcCol → dstCol), one row per extracted outlink. Both ends
+    * canonicalize; edges are kept only when the SOURCE is in the
+    * seen index (an uncrawled page's links are hearsay); self-links
+    * and duplicate (src, dst) pairs collapse. Emits (url, host,
+    * known, priority) for every distinct destination — priority 0
+    * for candidates nobody known links to (they still fetch, last).
+    *
+    * Scale shape: one distinct over the edge frame, one left-semi
+    * equi-join against the url-sized artifact, one keyed count, and
+    * the frontier screen's own join — never a quadratic dominance
+    * pass, never a driver loop. The caller takes top-N per host by
+    * (priority desc, url) into the wave, exactly like
+    * [[refetchBudget]] takes the stalest.
+    */
+  def frontierPriority(edges: DataFrame, idx: UrlIndex,
+                       srcCol: String = "src",
+                       dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(
+        graft.functions.Urls.canonicalizeUrl(col(srcCol)).as("src"),
+        graft.functions.Urls.canonicalizeUrl(col(dstCol)).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(false) // feeds the vote count AND the screen
+    val votes = e
+      .join(idx.urls.select(col("url").as("src")), Seq("src"),
+        "left_semi")
+      .groupBy(col("dst").as("url"))
+      .agg(count(lit(1)).as("__votes"))
+    screenUrls(e.select(col("dst").as("url")), idx)
+      .join(votes, Seq("url"), "left")
+      .withColumn("priority", coalesce(col("__votes"), lit(0L)))
+      .select(col("url"), col("host"), col("known"), col("priority"))
+  }
+
+  /** Per-host drain ESTIMATE for a [[graft.Pipelines.crawlWave]]
+    * schedule — "will this wave finish inside the politeness budget":
+    * the schedule's fetch_at_ms slots are already paced by each
+    * host's parsed Crawl-delay, so the host's drain time IS its last
+    * slot. One keyed agg over the decisions frame; `horizonMs` flags
+    * the hosts that cannot drain in time (the operator sizes the
+    * NEXT wave down — or shards the host — instead of discovering
+    * the overrun mid-flight).
+    */
+  def scheduleEta(decisions: DataFrame, horizonMs: Long): DataFrame = {
+    require(horizonMs >= 0, s"horizonMs must be >= 0, got $horizonMs")
+    decisions.groupBy("host").agg(
+        sum(when(col("fetch"), 1L).otherwise(0L)).as("n_fetch"),
+        max(when(col("fetch"), col("fetch_at_ms"))).as("last_slot_ms"))
+      .withColumn("drains",
+        coalesce(col("last_slot_ms") <= horizonMs, lit(true)))
+  }
+
   /** Resolve canonical/redirect CHAINS to their final URLs — real
     * crawls dedupe by the FINAL url (a page reached via three aliases
     * must be fetched once), and `<link rel="canonical">` targets

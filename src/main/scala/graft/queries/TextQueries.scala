@@ -1086,6 +1086,59 @@ object TextQueries {
         sum(when(col("trap_capped"), 1L).otherwise(0L)).as("n_capped"))
     }),
 
+    // ---- in-degree FRONTIER PRIORITY — the ordering policy over the
+    //      discovery feed: each page links to its host's hub and to
+    //      its next page, edges from UNCRAWLED pages (id>=300) are
+    //      hearsay and drop, and every candidate gets its distinct
+    //      known-linker count — hubs collect a whole host's crawled
+    //      votes, next-page urls get one vote when their linker was
+    //      crawled, hearsay-only urls ride at priority 0 (fetch
+    //      last, never silently dropped). Two equi-joins + one keyed
+    //      count; gated per host ----
+    "f_frontier_priority" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val own = concat(lit("https://ex"), pmod(col("doc_id"), lit(10)),
+        lit(".org/d/"), col("doc_id"))
+      val edges = d.select(own.as("src"), explode(array(
+        concat(lit("https://ex"), pmod(col("doc_id"), lit(10)),
+          lit(".org/hub")),
+        concat(lit("https://ex"), pmod(col("doc_id") + 1, lit(10)),
+          lit(".org/d/"), col("doc_id") + 1))).as("dst"))
+      graft.operators.CrawlState
+        .frontierPriority(edges, frontierIndex(s, dir))
+        .groupBy("host").agg(
+          count(lit(1)).as("n_candidates"),
+          sum(col("priority")).as("total_votes"),
+          max(col("priority")).as("max_votes"),
+          sum(when(col("known"), 1L).otherwise(0L)).as("n_known"),
+          sum(when(col("priority") === 0, 1L).otherwise(0L))
+            .as("n_hearsay"))
+    }),
+
+    // ---- per-host wave drain ESTIMATE: a dry wave over every /d/
+    //      and /q/ page schedules politeness-paced slots (Crawl-delay
+    //      5 s on graft-override hosts, 2 s elsewhere), and the eta
+    //      report reads each host's LAST slot against a 2500 s
+    //      horizon — the will-it-drain number that sizes the next
+    //      wave down (or shards the host) before the overrun happens.
+    //      One keyed agg over the schedule ----
+    "f_wave_eta" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val urls = d.select(explode(array(
+        concat(lit("https://ex"), pmod(col("doc_id"), lit(10)),
+          lit(".org/d/"), col("doc_id")),
+        concat(lit("https://ex"), pmod(col("doc_id"), lit(10)),
+          lit(".org/q/"), col("doc_id")))).as("url"))
+      val robots = robotsTxtFixture(d).select(
+        concat(lit("ex"), col("host"), lit(".org")).as("host"),
+        col("txt"))
+      val (dec, _) = graft.Pipelines.crawlWave(s, urls, robots,
+        frontierPath(s, dir), fetchLogPath(s, dir),
+        java.sql.Timestamp.valueOf("2024-02-01 09:00:00"), "eta-0",
+        dryRun = true)
+      graft.operators.CrawlState.scheduleEta(dec, horizonMs = 2500000L)
+    }),
+
     // ---- the frontier artifact's health gate: per-host seen-URL
     //      histogram over the PERSISTED index (d_index_stats for the
     //      crawl state — one runaway host is one hot partition in
@@ -4271,6 +4324,53 @@ object TextQueries {
         |    + CASE WHEN h = 7 THEN GREATEST(nd - 5, 0) ELSE 0 END
         |    AS BIGINT) AS n_capped
         |FROM d""".stripMargin,
+
+    // the priority votes in closed form: the hub of host h collects
+    // one vote per CRAWLED doc of h; /d/(id+1) gets one vote when its
+    // linker id was crawled; edges from uncrawled pages drop, so
+    // next-pages of id>=300 ride at priority 0
+    "f_frontier_priority" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        |du AS (SELECT (id + 1) % 10 AS h,
+        |    CAST(CASE WHEN id < 300 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS priority,
+        |    id + 1 < 300 AS known
+        |  FROM ids),
+        |hub AS (SELECT id % 10 AS h,
+        |    CAST(SUM(CASE WHEN id < 300 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS priority,
+        |    false AS known
+        |  FROM ids GROUP BY 1),
+        |u AS (SELECT h, priority, known FROM du
+        |  UNION ALL SELECT h, priority, known FROM hub)
+        |SELECT 'ex' || h || '.org' AS host,
+        |  CAST(COUNT(*) AS BIGINT) AS n_candidates,
+        |  CAST(SUM(priority) AS BIGINT) AS total_votes,
+        |  CAST(MAX(priority) AS BIGINT) AS max_votes,
+        |  CAST(SUM(CASE WHEN known THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_known,
+        |  CAST(SUM(CASE WHEN priority = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hearsay
+        |FROM u GROUP BY h""".stripMargin,
+
+    // the drain estimate in closed form: the fetch set per host is
+    // every /q/ page plus (on non-override hosts) the new /d/ pages;
+    // slots pace at the parsed Crawl-delay (5 s override, 2 s base)
+    "f_wave_eta" ->
+      """WITH b AS (SELECT doc_id % 10 AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(CASE WHEN doc_id >= 300 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new
+        |  FROM documents GROUP BY 1),
+        |f AS (SELECT h,
+        |    CASE WHEN h % 3 = 0 THEN nd ELSE nd + n_new END AS n_fetch,
+        |    CASE WHEN h % 3 = 0 THEN 5000 ELSE 2000 END AS delay_ms
+        |  FROM b)
+        |SELECT 'ex' || h || '.org' AS host,
+        |  CAST(n_fetch AS BIGINT) AS n_fetch,
+        |  CAST((n_fetch - 1) * delay_ms AS BIGINT) AS last_slot_ms,
+        |  (n_fetch - 1) * delay_ms <= 2500000 AS drains
+        |FROM f""".stripMargin,
 
     // the frontier in closed form: the three 'a' links canonicalize to
     // two urls (the cased/ported variant collapses onto the protocol-

@@ -188,6 +188,53 @@ class CrawlStateSpec extends SparkSpec {
       ("ex.org", "/d/#") -> 3L))
   }
 
+  test("frontierPriority: known linkers vote, hearsay drops, zero rides") {
+    val idx = CrawlState.buildUrlIndex(Seq(
+      "https://a.org/1", "https://a.org/2").toDF("url"))
+    val edges = Seq(
+      // two known pages vote for /t — priority 2
+      ("https://a.org/1", "https://a.org/t"),
+      ("https://a.org/2", "https://a.org/t"),
+      // duplicate (src,dst) after canonicalization collapses to one
+      ("HTTPS://A.ORG:443/2?utm_x=1", "https://a.org/t#frag"),
+      // a known page votes for an already-known page too
+      ("https://a.org/1", "https://a.org/2"),
+      // hearsay: the linker was never crawled — vote drops, but the
+      // candidate still appears at priority 0
+      ("https://a.org/unseen", "https://b.org/h"),
+      // self-link drops entirely
+      ("https://a.org/1", "https://a.org/1")).toDF("src", "dst")
+    val got = CrawlState.frontierPriority(edges, idx).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getBoolean(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      "https://a.org/t" -> (("a.org", false, 2L)),
+      "https://a.org/2" -> (("a.org", true, 1L)),
+      "https://b.org/h" -> (("b.org", false, 0L))))
+  }
+
+  test("scheduleEta: last politeness slot per host against the horizon") {
+    val dec = Seq(
+      ("a.org", true, Some(0L)), ("a.org", true, Some(2000L)),
+      ("a.org", true, Some(4000L)),
+      ("b.org", true, Some(0L)), ("b.org", true, Some(5000L)),
+      // blocked/known rows carry no slot and must not count
+      ("b.org", false, None), ("c.org", false, None))
+      .toDF("host", "fetch", "fetch_at_ms")
+    val got = CrawlState.scheduleEta(dec, horizonMs = 4000L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        Option(r.getAs[java.lang.Long]("last_slot_ms")).map(_.toLong),
+        r.getBoolean(3)))).toMap
+    assert(got === Map(
+      "a.org" -> ((3L, Some(4000L), true)),
+      "b.org" -> ((2L, Some(5000L), false)),
+      // a host with nothing to fetch trivially drains
+      "c.org" -> ((0L, None, true))))
+    intercept[IllegalArgumentException] {
+      CrawlState.scheduleEta(dec, horizonMs = -1L)
+    }
+  }
+
   test("fetch log: compaction preserves the set; retention retires old copies") {
     def logSet(l: CrawlState.FetchLog): Set[(String, String)] =
       l.fetches.collect().map(r =>
