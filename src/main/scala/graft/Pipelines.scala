@@ -541,8 +541,13 @@ object Pipelines {
     //    forced broadcast: AQE picks broadcast at runtime when the
     //    bounded frame fits, instead of a hint that OOMs the driver
     //    at web-crawl host counts
+    //    The host bound reads off the CHECKPOINTED resolved frame,
+    //    not `screened` — deriving it from screened would plant the
+    //    corpus-sized screen join UNDER the rules branch too and
+    //    execute it twice per wave
     val rules = boundedRobotsRules(robotsTxt,
-      screened.select(col("host")).distinct())
+      resolved.select(graft.operators.CrawlState
+        .hostOf(col("final_url")).as("host")).distinct())
     val gated = screened.join(rules, Seq("host"), "left")
       .withColumn("allowed", coalesce(
         graft.functions.Robots.isAllowed(col("rules"),
@@ -668,9 +673,15 @@ object Pipelines {
     val bandCol = s"__band_$rankCol"
     val wIn = Window.partitionBy((keys :+ bandCol).map(col): _*)
       .orderBy(md5(col("url")).asc, col("url").asc)
+    // lazy-materialized: the banded frame feeds BOTH the offsets agg
+    // and the outer join — without the checkpoint the entire input
+    // subtree (screen join, robots gate, prior ranks) would execute
+    // twice per bandedRank call (and 4x when the trap stage chains
+    // into the schedule)
     val banded = df
       .withColumn(bandCol, substring(md5(col("url")), 1, 2))
       .withColumn(s"__bn_$rankCol", row_number().over(wIn))
+      .localCheckpoint(false)
     val wOff = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(bandCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
