@@ -667,8 +667,8 @@ object Pipelines {
     * instead of one. The offsets frame is keys × ≤256 rows; its
     * window and the join stay keyed, never corpus-global.
     */
-  private def bandedRank(df: DataFrame, keys: Seq[String],
-                         rankCol: String): DataFrame = {
+  private[graft] def bandedRank(df: DataFrame, keys: Seq[String],
+                                rankCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bandCol = s"__band_$rankCol"
     val wIn = Window.partitionBy((keys :+ bandCol).map(col): _*)

@@ -303,6 +303,87 @@ object CrawlState {
       .select(col("url"), col("host"), col("status"), col("budget_rank"))
   }
 
+  /** Persisted per-host ROBOTS CACHE — the third crawl-state artifact
+    * (alongside the url-seen index and the fetch log): RFC 9309 lets
+    * a crawler CACHE robots.txt (typically ~24 h), so a fleet keeps
+    * one maintained (host, txt, fetched_at) table, serves every
+    * wave's robots gate from it, and refetches policies only for the
+    * hosts whose copy aged out — instead of hitting /robots.txt once
+    * per wave per host. One row per host, LATEST observation wins
+    * (the same latest-wins algebra as the fetch log, keyed by host;
+    * ties at one instant break deterministically by payload).
+    * Host-sized, never corpus-sized.
+    */
+  final case class RobotsCache(robots: DataFrame)
+
+  def buildRobotsCache(obs: DataFrame, hostCol: String = "host",
+                       txtCol: String = "txt",
+                       atCol: String = "fetched_at"): RobotsCache = {
+    val canon = obs.select(lower(trim(col(hostCol))).as("host"),
+        col(txtCol).as("txt"),
+        col(atCol).cast("timestamp").as("fetched_at"))
+      .filter(col("host").isNotNull && length(col("host")) > 0 &&
+        col("fetched_at").isNotNull)
+      .groupBy("host")
+      .agg(max(struct(col("fetched_at"), col("txt"))).as("m"))
+      .select(col("host"), col("m.txt").as("txt"),
+        col("m.fetched_at").as("fetched_at"))
+    RobotsCache(canon)
+  }
+
+  def writeRobotsCache(c: RobotsCache, path: String): Unit =
+    c.robots.write.mode("overwrite").parquet(s"$path/robots")
+
+  def readRobotsCache(spark: SparkSession, path: String): RobotsCache =
+    RobotsCache(spark.read.parquet(s"$path/robots"))
+
+  /** Latest-wins merge: merge(build(A), build(B)) == build(A ∪ B)
+    * row-for-row; re-appending an observation is a no-op, an OLDER
+    * observation never regresses a host's policy.
+    */
+  def mergeRobotsCache(a: RobotsCache, b: RobotsCache): RobotsCache =
+    buildRobotsCache(a.robots.unionByName(b.robots))
+
+  def appendRobots(c: RobotsCache, fresh: DataFrame,
+                   hostCol: String = "host", txtCol: String = "txt",
+                   atCol: String = "fetched_at"): RobotsCache =
+    mergeRobotsCache(c, buildRobotsCache(fresh, hostCol, txtCol, atCol))
+
+  /** Per-host takedown for the cache (the erase leg every crawl-state
+    * artifact carries): a removed host must not even leave its policy
+    * text behind.
+    */
+  def eraseRobots(c: RobotsCache, hosts: DataFrame,
+                  hostCol: String = "host"): RobotsCache =
+    RobotsCache(c.robots.join(
+      hosts.select(lower(trim(col(hostCol))).as("host")),
+      Seq("host"), "left_anti"))
+
+  /** Copy-age report against a TTL: per cached host, the copy's age
+    * in whole hours at `at` and whether it aged out (`age_h` strictly
+    * past `ttlHours`) — the robots-refetch list the NEXT wave's
+    * fetcher drains before the gate runs. One map-side projection.
+    */
+  def staleRobots(c: RobotsCache, at: java.sql.Timestamp,
+                  ttlHours: Long): DataFrame = {
+    require(ttlHours >= 0, s"ttlHours must be >= 0, got $ttlHours")
+    c.robots.withColumn("age_h",
+        floor((unix_timestamp(lit(at)) -
+          unix_timestamp(col("fetched_at"))) / 3600L))
+      .withColumn("stale", col("age_h") > ttlHours)
+  }
+
+  /** The cache rows fresh enough to SERVE a wave at `at` — exactly
+    * the (host, txt) frame [[graft.Pipelines.crawlWave]]'s robots
+    * gate takes; stale hosts are withheld (crawl default applies
+    * until their policy refetches) rather than enforced from a copy
+    * the site may have changed.
+    */
+  def freshRobots(c: RobotsCache, at: java.sql.Timestamp,
+                  ttlHours: Long): DataFrame =
+    staleRobots(c, at, ttlHours).filter(!col("stale"))
+      .select(col("host"), col("txt"))
+
   /** In-degree FRONTIER PRIORITY — the OPIC-lite ordering policy a
     * production crawler runs over its discovery feed: each candidate
     * url's priority is the number of DISTINCT known pages linking to

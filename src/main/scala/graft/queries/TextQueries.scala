@@ -1139,6 +1139,35 @@ object TextQueries {
       graft.operators.CrawlState.scheduleEta(dec, horizonMs = 2500000L)
     }),
 
+    // ---- the per-host ROBOTS CACHE (third crawl-state artifact):
+    //      two observations per host — a Jan-1 policy and a newer
+    //      Jan-(h+2) refetch — collapse latest-wins, and the TTL
+    //      report at Feb-1 against a 504 h (21 day) budget flags
+    //      every host but the freshest for robots refetch. The
+    //      will-I-enforce-a-stale-policy gate a fleet drains before
+    //      each wave; one keyed agg + a map-side age projection ----
+    "f_robots_cache" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val hosts = d.select(pmod(col("doc_id"), lit(10)).as("h"))
+        .distinct()
+      val obs = hosts.select(
+          concat(lit("ex"), col("h"), lit(".org")).as("host"),
+          concat(lit("old-"), col("h")).as("txt"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("fetched_at"))
+        .unionByName(hosts.select(
+          concat(lit("ex"), col("h"), lit(".org")).as("host"),
+          concat(lit("new-"), col("h")).as("txt"),
+          expr("cast(date_add(date '2024-01-02', cast(h as int)) " +
+            "as timestamp)").as("fetched_at")))
+      graft.operators.CrawlState.staleRobots(
+          graft.operators.CrawlState.buildRobotsCache(obs),
+          java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
+          ttlHours = 504L)
+        .select(col("host"), col("txt"),
+          to_date(col("fetched_at")).as("fetched_day"),
+          col("age_h"), col("stale"))
+    }),
+
     // ---- the frontier artifact's health gate: per-host seen-URL
     //      histogram over the PERSISTED index (d_index_stats for the
     //      crawl state — one runaway host is one hot partition in
@@ -4324,6 +4353,19 @@ object TextQueries {
         |    + CASE WHEN h = 7 THEN GREATEST(nd - 5, 0) ELSE 0 END
         |    AS BIGINT) AS n_capped
         |FROM d""".stripMargin,
+
+    // the robots cache in closed form: the Jan-(h+2) refetch wins
+    // per host, its age at Feb-1 is (30-h) days, and only h=9 (age
+    // 504 h exactly, not strictly past the TTL) is still fresh
+    "f_robots_cache" ->
+      """WITH h AS (SELECT DISTINCT doc_id % 10 AS h FROM documents)
+        |SELECT 'ex' || h || '.org' AS host,
+        |  'new-' || h AS txt,
+        |  CAST(DATE '2024-01-02' + CAST(h AS INT) AS DATE)
+        |    AS fetched_day,
+        |  CAST((30 - h) * 24 AS BIGINT) AS age_h,
+        |  (30 - h) * 24 > 504 AS stale
+        |FROM h""".stripMargin,
 
     // the priority votes in closed form: the hub of host h collects
     // one vote per CRAWLED doc of h; /d/(id+1) gets one vote when its

@@ -188,6 +188,44 @@ class CrawlStateSpec extends SparkSpec {
       ("ex.org", "/d/#") -> 3L))
   }
 
+  test("robots cache: latest wins, older is a no-op, TTL report, erase") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val obs = Seq(
+      ("A.ORG ", "v1", "2024-01-01 00:00:00"),
+      ("a.org", "v2", "2024-01-10 00:00:00"),
+      ("b.org", "w1", "2024-01-31 12:00:00")).toDF("host", "txt", "fetched_at")
+    val c = CrawlState.buildRobotsCache(obs)
+    // hosts canonicalize; the newer observation wins
+    assert(c.robots.collect().map(r =>
+        r.getString(0) -> r.getString(1)).toMap ===
+      Map("a.org" -> "v2", "b.org" -> "w1"))
+    // merge == build-of-union; appending an OLDER policy is a no-op
+    val older = Seq(("a.org", "v0", "2023-12-01 00:00:00"))
+      .toDF("host", "txt", "fetched_at")
+    val app = CrawlState.appendRobots(c, older)
+    assert(app.robots.collect().toSet === c.robots.collect().toSet)
+    // round trip + TTL: at Feb-1 with ttl 48h, a.org (22 days) is
+    // stale, b.org (12h) is fresh — and freshRobots serves only b
+    val root = Files.createTempDirectory("graft-robots").toString
+    CrawlState.writeRobotsCache(c, s"$root/cache")
+    val rt = CrawlState.readRobotsCache(spark, s"$root/cache")
+    val rep = CrawlState.staleRobots(rt, ts("2024-02-01 00:00:00"), 48L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("age_h"), r.getAs[Boolean]("stale")))).toMap
+    assert(rep === Map("a.org" -> ((528L, true)),
+      "b.org" -> ((12L, false))))
+    assert(CrawlState.freshRobots(rt, ts("2024-02-01 00:00:00"), 48L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("b.org", "w1")))
+    // per-host takedown erases the policy text too
+    val erased = CrawlState.eraseRobots(rt, Seq("A.org").toDF("host"))
+    assert(erased.robots.collect().map(_.getString(0)).toSeq ===
+      Seq("b.org"))
+    intercept[IllegalArgumentException] {
+      CrawlState.staleRobots(rt, ts("2024-02-01 00:00:00"), -1L)
+    }
+  }
+
   test("frontierPriority: known linkers vote, hearsay drops, zero rides") {
     val idx = CrawlState.buildUrlIndex(Seq(
       "https://a.org/1", "https://a.org/2").toDF("url"))

@@ -62,6 +62,32 @@ class CrawlWaveSpec extends SparkSpec {
     assert(!plan.contains("ResolvedHint"), plan)
   }
 
+  test("wave served from the robots cache: stale policies withhold") {
+    // a.org's cached policy aged out (withheld → crawl default
+    // allows), b.org's fresh policy enforces — the robots gate runs
+    // off freshRobots(cache), never off a copy the site may have
+    // changed
+    val root = freshArtifacts(Seq("https://a.org/d/999"))
+    val cache = CrawlState.buildRobotsCache(Seq(
+      ("a.org", "User-agent: *\nDisallow: /\n", "2024-01-01 00:00:00"),
+      ("b.org", "User-agent: *\nDisallow: /p/\n", "2024-01-31 12:00:00"))
+      .toDF("host", "txt", "fetched_at"))
+    val wave = Seq("https://a.org/p/1", "https://b.org/p/1",
+      "https://b.org/ok").toDF("url")
+    val (dec, _) = Pipelines.crawlWave(spark, wave,
+      CrawlState.freshRobots(cache,
+        java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), 48L),
+      s"$root/frontier", s"$root/log",
+      java.sql.Timestamp.valueOf("2024-02-01 09:00:00"), "w",
+      dryRun = true)
+    val got = dec.collect().map(r => r.getString(0) ->
+      r.getBoolean(4)).toMap // fetch
+    assert(got === Map(
+      "https://a.org/p/1" -> true,  // stale policy withheld
+      "https://b.org/p/1" -> false, // fresh policy enforced
+      "https://b.org/ok" -> true))
+  }
+
   test("banded schedule == single-window rank under mega-host skew") {
     // one host owns 90% of the wave — the skew that used to put the
     // whole host's sort into ONE task; the banded rank must equal
