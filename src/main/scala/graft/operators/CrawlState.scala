@@ -424,6 +424,29 @@ object CrawlState {
       .select(col("url"), col("host"), col("known"), col("priority"))
   }
 
+  /** Select each host's DISCOVERY wave from a [[frontierPriority]]
+    * frame under a per-host budget — the symmetric twin of
+    * [[refetchBudget]] for the discovery side: unknown urls only,
+    * highest-priority first (link evidence from crawled pages),
+    * deterministic url tiebreak, rows past `perHost` wait for the
+    * next wave (their priority only grows as more linkers crawl).
+    * Scale shape: one filter + one host-keyed window whose
+    * `rank <= k` filter Catalyst rewrites to a WindowGroupLimit
+    * (per-partition top-k heaps before the final per-host sort), so
+    * a mega-host never materializes its full candidate sort.
+    */
+  def discoveryBudget(priorities: DataFrame, perHost: Long): DataFrame = {
+    require(perHost >= 1, s"perHost must be >= 1, got $perHost")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("priority").desc, col("url").asc)
+    priorities.filter(!col("known"))
+      .withColumn("budget_rank", row_number().over(w).cast("long"))
+      .filter(col("budget_rank") <= perHost)
+      .select(col("url"), col("host"), col("priority"),
+        col("budget_rank"))
+  }
+
   /** Per-host drain ESTIMATE for a [[graft.Pipelines.crawlWave]]
     * schedule — "will this wave finish inside the politeness budget":
     * the schedule's fetch_at_ms slots are already paced by each

@@ -1115,6 +1115,47 @@ object TextQueries {
             .as("n_hearsay"))
     }),
 
+    // ---- priority → budget → wave: the discovery twin of the
+    //      refetch-budget chain — frontierPriority's votes rank each
+    //      host's unknown candidates (hub first: it carries a whole
+    //      host's crawled votes; /d/300 outranks the zero-vote urls
+    //      on its host), the per-host budget keeps the top 5, and a
+    //      dry crawl wave gates the selection (robots still blocks
+    //      /d/ picks on graft-override hosts — priority never
+    //      overrides policy). n_votes_sel pins WHICH rows the budget
+    //      picked, top_url pins the ordering ----
+    "f_priority_budget" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val own = concat(lit("https://ex"), pmod(col("doc_id"), lit(10)),
+        lit(".org/d/"), col("doc_id"))
+      val edges = d.select(own.as("src"), explode(array(
+        concat(lit("https://ex"), pmod(col("doc_id"), lit(10)),
+          lit(".org/hub")),
+        concat(lit("https://ex"), pmod(col("doc_id") + 1, lit(10)),
+          lit(".org/d/"), col("doc_id") + 1))).as("dst"))
+      val budget = graft.operators.CrawlState.discoveryBudget(
+        graft.operators.CrawlState
+          .frontierPriority(edges, frontierIndex(s, dir)),
+        perHost = 5L)
+        .localCheckpoint(false) // feeds the wave AND the report join
+      val robots = robotsTxtFixture(d).select(
+        concat(lit("ex"), col("host"), lit(".org")).as("host"),
+        col("txt"))
+      val (dec, _) = graft.Pipelines.crawlWave(s,
+        budget.select(col("url")), robots,
+        frontierPath(s, dir), fetchLogPath(s, dir),
+        java.sql.Timestamp.valueOf("2024-02-01 09:00:00"), "prio-0",
+        dryRun = true)
+      dec.groupBy("host").agg(
+          count(lit(1)).as("n_selected"),
+          sum(when(col("fetch"), 1L).otherwise(0L)).as("n_fetched"))
+        .join(budget.groupBy("host").agg(
+            sum(col("priority")).as("n_votes_sel"),
+            min(when(col("budget_rank") === 1, col("url")))
+              .as("top_url")),
+          Seq("host"))
+    }),
+
     // ---- per-host wave drain ESTIMATE: a dry wave over every /d/
     //      and /q/ page schedules politeness-paced slots (Crawl-delay
     //      5 s on graft-override hosts, 2 s elsewhere), and the eta
@@ -4394,6 +4435,40 @@ object TextQueries {
         |  CAST(SUM(CASE WHEN priority = 0 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_hearsay
         |FROM u GROUP BY h""".stripMargin,
+
+    // the priority budget replayed with the SAME window: per host the
+    // eligible set is the hub (a whole host's crawled votes) + the
+    // never-crawled /d/ pages (one vote only for /d/300 — its linker
+    // 299 was crawled); top-5 by (priority desc, url), hub always
+    // first; robots still blocks /d/ picks on h%3=0 hosts
+    "f_priority_budget" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        |c3 AS (SELECT id % 10 AS h,
+        |    CAST(SUM(CASE WHEN id < 300 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS votes
+        |  FROM ids GROUP BY 1),
+        |cand AS (
+        |  SELECT (id + 1) % 10 AS h,
+        |    'https://ex' || ((id + 1) % 10) || '.org/d/' || (id + 1)
+        |      AS url,
+        |    CAST(CASE WHEN id < 300 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS priority,
+        |    true AS is_d
+        |  FROM ids WHERE id + 1 >= 300
+        |  UNION ALL
+        |  SELECT h, 'https://ex' || h || '.org/hub', votes, false
+        |  FROM c3),
+        |e AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY h
+        |    ORDER BY priority DESC, url ASC) AS rk
+        |  FROM cand),
+        |sel AS (SELECT * FROM e WHERE rk <= 5)
+        |SELECT 'ex' || h || '.org' AS host,
+        |  CAST(COUNT(*) AS BIGINT) AS n_selected,
+        |  CAST(SUM(CASE WHEN NOT is_d OR h % 3 <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_fetched,
+        |  CAST(SUM(priority) AS BIGINT) AS n_votes_sel,
+        |  MIN(CASE WHEN rk = 1 THEN url END) AS top_url
+        |FROM sel GROUP BY h""".stripMargin,
 
     // the drain estimate in closed form: the fetch set per host is
     // every /q/ page plus (on non-override hosts) the new /d/ pages;

@@ -251,6 +251,28 @@ class CrawlStateSpec extends SparkSpec {
       "https://b.org/h" -> (("b.org", false, 0L))))
   }
 
+  test("discoveryBudget: top-k by priority, known excluded, group-limit plan") {
+    val pr = Seq(
+      ("https://a.org/hub", "a.org", false, 9L),
+      ("https://a.org/n1", "a.org", false, 1L),
+      ("https://a.org/n2", "a.org", false, 1L), // tie → url asc
+      ("https://a.org/n3", "a.org", false, 0L),
+      ("https://a.org/old", "a.org", true, 50L), // known never selects
+      ("https://b.org/x", "b.org", false, 0L))
+      .toDF("url", "host", "known", "priority")
+    val sel = CrawlState.discoveryBudget(pr, perHost = 3L)
+    assert(sel.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      === Map("https://a.org/hub" -> 1L, "https://a.org/n1" -> 2L,
+        "https://a.org/n2" -> 3L, "https://b.org/x" -> 1L))
+    // the rank<=k filter must compile to WindowGroupLimit: per-
+    // partition top-k heaps, never a mega-host's full sort
+    assert(sel.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"))
+    intercept[IllegalArgumentException] {
+      CrawlState.discoveryBudget(pr, perHost = 0L)
+    }
+  }
+
   test("scheduleEta: last politeness slot per host against the horizon") {
     val dec = Seq(
       ("a.org", true, Some(0L)), ("a.org", true, Some(2000L)),
