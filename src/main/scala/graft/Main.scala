@@ -76,7 +76,7 @@ import graft.operators.{CrawlState, Dedup, MoveSink, Report, Similarity}
   * [[Dedup.buildBandIndex]]/[[Similarity.buildIvfIndex]]/
   * [[CrawlState.buildUrlIndex]] and friends, exposed as verbs):
   *   graft.Main index build|append|merge|compact|erase|stats|check
-  *     --kind band|ivf|frontier|fetchlog --index PATH [--dry-run]
+  *     --kind band|ivf|frontier|fetchlog|robots --index PATH [--dry-run]
   *     [--input PARQUET]      build/append/check: the (new) corpus
   *     [--other PATH]         merge: the second persisted index
   *     [--ids PARQUET]        erase: ids to forget (column `id` —
@@ -97,6 +97,13 @@ import graft.operators.{CrawlState, Dedup, MoveSink, Report, Similarity}
   * would-be table sizes without writing anything.
   * `compact --kind fetchlog [--retire-before TS]` additionally retires
   * copies last fetched before TS (age-based retention).
+  * `--kind robots` is the per-host robots-policy cache
+  * ([[CrawlState.RobotsCache]], RFC 9309-style TTL caching):
+  * build/append take (host, txt, fetched_at) observation parquet
+  * (latest per host wins), `erase --ids` is the per-host takedown,
+  * `stats` the hosts-per-fetch-date histogram, and
+  * `check --as-of TS [--ttl-hours 24]` prints the TTL report — the
+  * robots-refetch list a fleet drains before the next wave.
   *
   * The crawl wave end-to-end (pipeline D, [[Pipelines.crawlWave]]):
   * canonicalize + alias-resolve candidates, screen against the
@@ -160,6 +167,9 @@ import graft.operators.{CrawlState, Dedup, MoveSink, Report, Similarity}
   *     [--ivf PATH --vec-ids PARQUET]
   *     [--frontier PATH (--urls PARQUET | --hosts PARQUET)]
   *     [--fetchlog PATH --urls PARQUET]
+  *     [--robots PATH --hosts PARQUET]
+  *                            the robots-policy cache: a removed host
+  *                            must not even leave its policy text
   *     [--provenance PATH --doc-ids PARQUET]
   *                            the training-provenance probe: BEFORE
   *                            any index mutates, report every artifact
@@ -475,7 +485,9 @@ object Main {
       ngram: Int, bands: Int, rowsPerBand: Int,
       partitions: Int, threshold: Double, k: Int, nProbe: Int,
       byHost: Boolean, dryRun: Boolean,
-      retireBefore: Option[java.sql.Timestamp] = None)
+      retireBefore: Option[java.sql.Timestamp] = None,
+      asOf: Option[java.sql.Timestamp] = None,
+      ttlHours: Long = 24L)
 
   private val indexVerbs =
     Set("build", "append", "merge", "compact", "erase", "stats", "check")
@@ -484,7 +496,7 @@ object Main {
     "other", "ids", "centroids", "id-col", "text-col", "vec-col",
     "url-col", "date-col", "ngram", "bands", "rows-per-band",
     "partitions", "threshold", "k", "nprobe", "by-host",
-    "retire-before")
+    "retire-before", "as-of", "ttl-hours")
 
   private[graft] def parseIndex(args: Seq[String]): IndexConfig = {
     if (args.isEmpty || !indexVerbs(args.head))
@@ -493,9 +505,9 @@ object Main {
     val flags = parseFlags(args.tail, indexFlags,
       bare = Set("dry-run", "by-host"))
     val kind = flags.getOrElse("kind",
-      fail("missing --kind band|ivf|frontier|fetchlog"))
+      fail("missing --kind band|ivf|frontier|fetchlog|robots"))
     if (kind != "band" && kind != "ivf" && kind != "frontier" &&
-        kind != "fetchlog")
+        kind != "fetchlog" && kind != "robots")
       fail(s"unknown kind: $kind")
     def intFlag(name: String, dflt: Int): Int =
       flags.get(name).map(v => v.toIntOption
@@ -526,16 +538,32 @@ object Main {
         try utcTimestamp(v)
         catch { case _: IllegalArgumentException =>
           fail(s"--retire-before needs YYYY-MM-DD[ HH:MM:SS], got: $v") }
-      })
+      },
+      asOf = flags.get("as-of").map { v =>
+        try utcTimestamp(v)
+        catch { case _: IllegalArgumentException =>
+          fail(s"--as-of needs YYYY-MM-DD[ HH:MM:SS], got: $v") }
+      },
+      ttlHours = flags.get("ttl-hours").map(v =>
+        v.toLongOption.filter(_ >= 0L)
+          .getOrElse(fail(s"--ttl-hours needs an integer >= 0, got: $v")))
+        .getOrElse(24L))
     if (cfg.byHost && !(verb == "erase" && kind == "frontier"))
       fail("--by-host applies only to: erase --kind frontier")
     if (cfg.retireBefore.nonEmpty &&
         !(verb == "compact" && kind == "fetchlog"))
       fail("--retire-before applies only to: compact --kind fetchlog")
+    if ((cfg.asOf.nonEmpty || flags.contains("ttl-hours")) &&
+        !(verb == "check" && kind == "robots"))
+      fail("--as-of/--ttl-hours apply only to: check --kind robots")
+    if (verb == "check" && kind == "robots" && cfg.asOf.isEmpty)
+      fail("check --kind robots needs --as-of TS (the staleness instant)")
     // verb-specific operands fail at parse time, not mid-job
     verb match {
       case "build" | "append" | "check" =>
-        if (cfg.input.isEmpty) fail(s"index $verb needs --input PARQUET")
+        // check --kind robots reads the artifact only (the TTL report)
+        if (cfg.input.isEmpty && !(verb == "check" && kind == "robots"))
+          fail(s"index $verb needs --input PARQUET")
         if (kind == "ivf" && verb == "build" && cfg.centroids.isEmpty)
           fail("ivf build needs --centroids PARQUET (cid, cv)")
       case "merge" =>
@@ -566,6 +594,8 @@ object Main {
       Seq(("urls", idx.urls.count()))
     def fetchLogReport(log: CrawlState.FetchLog): Seq[(String, Long)] =
       Seq(("fetches", log.fetches.count()))
+    def robotsReport(c: CrawlState.RobotsCache): Seq[(String, Long)] =
+      Seq(("robots", c.robots.count()))
     val col0 = if (cfg.dryRun) "would_write" else "wrote"
     def report(rows: Seq[(String, Long)]): DataFrame =
       rows.toDF("table", "rows").select(lit(col0).as("action"),
@@ -615,6 +645,15 @@ object Main {
         CrawlState.writeFetchLog(log, s"${cfg.index}.next")
         val r = fetchLogReport(
           CrawlState.readFetchLog(spark, s"${cfg.index}.next"))
+        Dedup.swapDirs(spark, cfg.index, s"${cfg.index}.next")
+        r
+      }
+    def promoteRobots(c: CrawlState.RobotsCache): Seq[(String, Long)] =
+      if (cfg.dryRun) robotsReport(c)
+      else {
+        CrawlState.writeRobotsCache(c, s"${cfg.index}.next")
+        val r = robotsReport(
+          CrawlState.readRobotsCache(spark, s"${cfg.index}.next"))
         Dedup.swapDirs(spark, cfg.index, s"${cfg.index}.next")
         r
       }
@@ -715,6 +754,40 @@ object Main {
           CrawlState.compactFetchLog(spark, cfg.index, cfg.partitions,
             cfg.retireBefore)
         report(fetchLogReport(CrawlState.readFetchLog(spark, cfg.index)))
+
+      case ("build", "robots") =>
+        val c = CrawlState.buildRobotsCache(
+          spark.read.parquet(cfg.input.get), atCol = cfg.dateCol)
+        if (cfg.dryRun || liveExists()) report(promoteRobots(c))
+        else {
+          CrawlState.writeRobotsCache(c, cfg.index)
+          report(robotsReport(CrawlState.readRobotsCache(spark, cfg.index)))
+        }
+      case ("append", "robots") =>
+        report(promoteRobots(CrawlState.appendRobots(
+          CrawlState.readRobotsCache(spark, cfg.index),
+          spark.read.parquet(cfg.input.get), atCol = cfg.dateCol)))
+      case ("merge", "robots") =>
+        report(promoteRobots(CrawlState.mergeRobotsCache(
+          CrawlState.readRobotsCache(spark, cfg.index),
+          CrawlState.readRobotsCache(spark, cfg.other.get))))
+      case ("erase", "robots") =>
+        report(promoteRobots(CrawlState.eraseRobots(
+          CrawlState.readRobotsCache(spark, cfg.index),
+          spark.read.parquet(cfg.ids.get).select(col("id")), "id")))
+      // the pre-wave TTL report: which hosts' cached policies aged
+      // out (robots refetch list) — --as-of is the wave instant
+      case ("check", "robots") =>
+        CrawlState.staleRobots(
+          CrawlState.readRobotsCache(spark, cfg.index),
+          cfg.asOf.get, cfg.ttlHours)
+      // copy-age histogram: hosts per fetch date (the fetchlog stats
+      // shape over the policy cache)
+      case ("stats", "robots") =>
+        CrawlState.readRobotsCache(spark, cfg.index).robots
+          .groupBy(to_date(col("fetched_at")).as("fetched_at"))
+          .agg(count(lit(1)).as("n_hosts"))
+          .orderBy("fetched_at")
 
       case ("append", "band") =>
         report(promoteBand(Dedup.mergeBandIndex(
@@ -972,11 +1045,13 @@ object Main {
       ivf: Option[(String, String)],
       frontier: Option[(String, String, Boolean)],
       fetchlog: Option[(String, String)],
+      robots: Option[(String, String)],
       provenance: Option[(String, String)],
       dryRun: Boolean)
 
   private val takedownFlags = Set("dry-run", "band", "doc-ids", "ivf",
-    "vec-ids", "frontier", "urls", "hosts", "fetchlog", "provenance")
+    "vec-ids", "frontier", "urls", "hosts", "fetchlog", "robots",
+    "provenance")
 
   /** A right-to-be-forgotten request rarely names ONE artifact: a
     * domain removal must leave no trace in the dedup index, the ANN
@@ -1005,12 +1080,14 @@ object Main {
       ivf = need("ivf", "vec-ids"),
       frontier = fr,
       fetchlog = need("fetchlog", "urls"),
+      robots = need("robots", "hosts"),
       provenance = need("provenance", "doc-ids"),
       dryRun = flags.contains("dry-run"))
     if (cfg.band.isEmpty && cfg.ivf.isEmpty && cfg.frontier.isEmpty &&
-        cfg.fetchlog.isEmpty && cfg.provenance.isEmpty)
+        cfg.fetchlog.isEmpty && cfg.robots.isEmpty &&
+        cfg.provenance.isEmpty)
       fail("takedown needs at least one artifact: --band | --ivf | " +
-        "--frontier | --fetchlog | --provenance")
+        "--frontier | --fetchlog | --robots | --provenance")
     cfg
   }
 
@@ -1094,6 +1171,18 @@ object Main {
         Dedup.swapDirs(spark, path, s"$path.next")
         out += (("fetchlog", "fetches", n0, n1))
       } else out += (("fetchlog", "fetches", n0, erased.fetches.count()))
+    }
+    cfg.robots.foreach { case (path, idsP) =>
+      val before = CrawlState.readRobotsCache(spark, path)
+      val erased = CrawlState.eraseRobots(before, ids(idsP), "id")
+      val n0 = before.robots.count()
+      if (!cfg.dryRun) {
+        CrawlState.writeRobotsCache(erased, s"$path.next")
+        val n1 = CrawlState.readRobotsCache(spark, s"$path.next")
+          .robots.count()
+        Dedup.swapDirs(spark, path, s"$path.next")
+        out += (("robots", "robots", n0, n1))
+      } else out += (("robots", "robots", n0, erased.robots.count()))
     }
     // a provenance-only invocation IS the audit: return the impact
     // report itself instead of an empty erase frame

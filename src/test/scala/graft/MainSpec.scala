@@ -500,6 +500,57 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("index CLI: robots lifecycle — build/append/check/stats/erase") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-robots-cli").toString
+    Seq(("a.org", "User-agent: *\nDisallow: /x/\n", "2024-01-01 00:00:00"),
+        ("b.org", "User-agent: *\nDisallow: /\n", "2024-01-30 00:00:00"))
+      .toDF("host", "txt", "fetched_at")
+      .write.parquet(s"$root/obs.parquet")
+    def run(args: String*) =
+      Main.runIndex(spark, Main.parseIndex(args.toSeq)).collect()
+    val built = run("build", "--kind", "robots",
+      "--index", s"$root/cache", "--input", s"$root/obs.parquet")
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(built === Map("robots" -> 2L))
+    // a NEWER a.org policy advances it; an echo of b.org is a no-op
+    Seq(("a.org", "User-agent: *\nAllow: /\n", "2024-01-31 00:00:00"),
+        ("b.org", "User-agent: *\nDisallow: /\n", "2024-01-30 00:00:00"))
+      .toDF("host", "txt", "fetched_at")
+      .write.parquet(s"$root/obs2.parquet")
+    run("append", "--kind", "robots", "--index", s"$root/cache",
+      "--input", s"$root/obs2.parquet")
+    // check: TTL report at Feb-1 with 48h — a.org fresh, b.org stale
+    val rep = run("check", "--kind", "robots", "--index", s"$root/cache",
+      "--as-of", "2024-02-01", "--ttl-hours", "48")
+      .map(r => r.getString(0) -> ((r.getAs[Long]("age_h"),
+        r.getAs[Boolean]("stale")))).toMap
+    assert(rep === Map("a.org" -> ((24L, false)),
+      "b.org" -> ((48L, false))))
+    val rep24 = run("check", "--kind", "robots",
+      "--index", s"$root/cache", "--as-of", "2024-02-01")
+      .map(r => r.getString(0) -> r.getAs[Boolean]("stale")).toMap
+    assert(rep24 === Map("a.org" -> false, "b.org" -> true))
+    // stats: hosts per fetch date (the advanced a.org moved days)
+    val st = run("stats", "--kind", "robots", "--index", s"$root/cache")
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(st === Map("2024-01-31" -> 1L, "2024-01-30" -> 1L))
+    // per-host takedown through the retire-aside swap
+    Seq("b.org").toDF("id").write.parquet(s"$root/gone.parquet")
+    val left = run("erase", "--kind", "robots", "--index", s"$root/cache",
+      "--ids", s"$root/gone.parquet")
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(left === Map("robots" -> 1L))
+    // guards: --as-of only for check robots; check robots needs --as-of
+    intercept[IllegalArgumentException] {
+      Main.parseIndex(Seq("stats", "--kind", "robots",
+        "--index", "i", "--as-of", "2024-02-01"))
+    }
+    intercept[IllegalArgumentException] {
+      Main.parseIndex(Seq("check", "--kind", "robots", "--index", "i"))
+    }
+  }
+
   test("crawl CLI: --spool discovery day-0 chains into recrawl day-1") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-spool-cli").toString
@@ -718,28 +769,41 @@ class MainSpec extends SparkSpec {
         "https://gone.org/a", "https://gone.org/b",
         "https://keep.org/c").toDF("url")), s"$root/fr")
     Seq("gone.org").toDF("id").write.parquet(s"$root/hosts.parquet")
+    // robots cache over the same 2 hosts: the takedown must erase the
+    // policy TEXT too, not just the urls
+    graft.operators.CrawlState.writeRobotsCache(
+      graft.operators.CrawlState.buildRobotsCache(Seq(
+        ("gone.org", "User-agent: *\nDisallow: /\n", "2024-01-01"),
+        ("keep.org", "User-agent: *\nAllow: /\n", "2024-01-01"))
+        .toDF("host", "txt", "fetched_at")), s"$root/rc")
 
     // dry run reports would-be counts and writes nothing
     val dry = Main.runTakedown(spark, Main.parseTakedown(Seq(
         "--dry-run", "--band", s"$root/band",
         "--doc-ids", s"$root/docids.parquet",
-        "--frontier", s"$root/fr", "--hosts", s"$root/hosts.parquet")))
+        "--frontier", s"$root/fr", "--hosts", s"$root/hosts.parquet",
+        "--robots", s"$root/rc")))
       .collect().map(r => (r.getString(0), r.getString(1),
         r.getLong(2), r.getLong(3)))
     val dm = dry.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
     assert(dm(("band", "sets")) === ((4L, 2L)))
     assert(dm(("frontier", "urls")) === ((3L, 1L)))
+    assert(dm(("robots", "robots")) === ((2L, 1L)))
     assert(graft.operators.Dedup.readBandIndex(spark, s"$root/band")
       .sets.count() === 4L) // unchanged
 
     // real run mutates through the swap
     val got = Main.runTakedown(spark, Main.parseTakedown(Seq(
         "--band", s"$root/band", "--doc-ids", s"$root/docids.parquet",
-        "--frontier", s"$root/fr", "--hosts", s"$root/hosts.parquet")))
+        "--frontier", s"$root/fr", "--hosts", s"$root/hosts.parquet",
+        "--robots", s"$root/rc")))
       .collect().map(r => (r.getString(0), r.getString(1)) ->
         ((r.getLong(2), r.getLong(3)))).toMap
     assert(got(("band", "sets")) === ((4L, 2L)))
     assert(got(("frontier", "urls")) === ((3L, 1L)))
+    assert(got(("robots", "robots")) === ((2L, 1L)))
+    assert(graft.operators.CrawlState.readRobotsCache(spark, s"$root/rc")
+      .robots.collect().map(_.getString(0)).toSeq === Seq("keep.org"))
     assert(!Files.exists(JPath.of(s"$root/band.next")))
     assert(graft.operators.Dedup.readBandIndex(spark, s"$root/band")
       .sets.collect().map(_.getAs[Long]("id")).sorted.toSeq ===
