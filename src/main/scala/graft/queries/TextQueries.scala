@@ -1400,6 +1400,33 @@ object TextQueries {
         .agg(count(lit(1)).as("n_urls"))
     }),
 
+    // ---- sitemap CHURN between generations: today's spool against
+    //      yesterday's declared set (docs id%9!=0 plus a since-
+    //      retired /gone page per host) — today-only urls (the
+    //      id%9==0 pages and every host's extra) are the wave's new
+    //      work, vanished urls are retirement checks, the rest carry
+    //      on. For lastmod-less hosts the sitemap delta IS the only
+    //      change signal. One canonical full-outer equi-join ----
+    "f_sitemap_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val yesterday = d.filter(pmod(col("doc_id"), lit(9)) =!= 0)
+        .select(concat(lit("https://ex"), pmod(col("doc_id"), lit(10)),
+          lit(".org/d/"), col("doc_id")).as("url"))
+        .unionByName(d.select(pmod(col("doc_id"), lit(10)).as("h"))
+          .distinct()
+          .select(concat(lit("https://ex"), col("h"), lit(".org/gone/"),
+            col("h")).as("url")))
+      graft.sources.Sitemaps.sitemapDiff(
+          spoolEntries(s, dir).select(col("url")), yesterday)
+        .groupBy("host").agg(
+          sum(when(col("change") === "added", 1L).otherwise(0L))
+            .as("n_added"),
+          sum(when(col("change") === "removed", 1L).otherwise(0L))
+            .as("n_removed"),
+          sum(when(col("change") === "kept", 1L).otherwise(0L))
+            .as("n_kept"))
+    }),
+
     // ---- the parse-level view of the same spool — the per-file
     //      health report a crawl operator reads before trusting a
     //      wave ("did host 3's index resolve, how many locs per
@@ -4835,6 +4862,21 @@ object TextQueries {
         |  CAST(SUM(CASE WHEN status = 'unknown' THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_unknown
         |FROM u GROUP BY h""".stripMargin,
+
+    // the churn in closed form: added = the id%9==0 pages (absent
+    // yesterday) + each host's extra; removed = the one /gone page;
+    // kept = the rest of the /d/ set
+    "f_sitemap_diff" ->
+      """WITH b AS (SELECT doc_id % 10 AS h,
+        |    CAST(SUM(CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n9,
+        |    CAST(COUNT(*) AS BIGINT) AS nd
+        |  FROM documents GROUP BY 1)
+        |SELECT 'ex' || h || '.org' AS host,
+        |  CAST(n9 + 1 AS BIGINT) AS n_added,
+        |  CAST(1 AS BIGINT) AS n_removed,
+        |  CAST(nd - n9 AS BIGINT) AS n_kept
+        |FROM b""".stripMargin,
 
     // the spool's parse-level table in closed form: index hosts
     // (h%3==0) serve a 2-loc sitemapindex plus two gzipped leaves

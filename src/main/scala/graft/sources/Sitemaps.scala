@@ -234,6 +234,33 @@ object Sitemaps {
       .when(to_date(ts) > to_date(fetchedAt), lit("stale"))
       .otherwise(lit("fresh"))
 
+  /** Set DIFF between two sitemap GENERATIONS — the churn signal an
+    * incremental discovery pipeline feeds on: urls declared today but
+    * not yesterday are the crawl's new work (for hosts that declare
+    * no lastmod, the sitemap delta IS the only change signal), urls
+    * that vanished are retirement-check candidates, the rest carry
+    * on. Both sides canonicalize ([[graft.functions.Urls
+    * .canonicalizeUrl]] — a re-spelled surface form is not churn) and
+    * dedupe; one full-outer equi-join on the canonical url key.
+    *
+    * @return (url, host, change ∈ added|removed|kept), one row per
+    *         distinct canonical url across both generations
+    */
+  def sitemapDiff(today: DataFrame, yesterday: DataFrame,
+                  urlCol: String = "url"): DataFrame = {
+    def canon(df: DataFrame) = df
+      .select(graft.functions.Urls.canonicalizeUrl(col(urlCol)).as("url"))
+      .filter(col("url").isNotNull)
+      .distinct()
+    canon(today).withColumn("__t", lit(true))
+      .join(canon(yesterday).select(col("url"), lit(true).as("__y")),
+        Seq("url"), "full_outer")
+      .select(col("url"), hostOf(col("url")).as("host"),
+        when(col("__y").isNull, lit("added"))
+          .when(col("__t").isNull, lit("removed"))
+          .otherwise(lit("kept")).as("change"))
+  }
+
   /** Resolve a parsed sitemap table to (entry_sitemap_url, url) —
     * every crawlable URL each ENTRY sitemap (the one robots.txt
     * declares) ultimately feeds, walking `sitemapindex` nesting up to

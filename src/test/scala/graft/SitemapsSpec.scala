@@ -292,6 +292,23 @@ class SitemapsSpec extends SparkSpec {
     }
   }
 
+  test("sitemapDiff: added/removed/kept; canonical forms are not churn") {
+    val today = Seq(
+      "https://ex.org/a", "https://ex.org/new",
+      // a re-spelled surface form of yesterday's /b must read KEPT
+      "HTTPS://EX.ORG:443/b?utm_x=1").toDF("url")
+    val yesterday = Seq(
+      "https://ex.org/a", "https://ex.org/b",
+      "https://ex.org/gone").toDF("url")
+    val got = Sitemaps.sitemapDiff(today, yesterday).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(got === Map(
+      "https://ex.org/a" -> "kept",
+      "https://ex.org/b" -> "kept",
+      "https://ex.org/new" -> "added",
+      "https://ex.org/gone" -> "removed"))
+  }
+
   test("expand: negative maxDepth is refused loudly") {
     val parsed = Sitemaps.parse(payloads(
       "https://ex.org/sitemap.xml" ->
