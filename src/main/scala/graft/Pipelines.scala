@@ -327,23 +327,26 @@ object Pipelines {
       case None => withClf
       case Some((groupCol, n)) =>
         // rank only rows still kept: partitioning by (group, keep)
-        // gives each group's keepers their own contiguous rank space
-        val w = Window.partitionBy(col(groupCol), col("keep"))
-          .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
-        withClf.withColumn("__rn", row_number().over(w))
+        // gives each group's keepers their own contiguous rank space.
+        // BANDED (Banded.rank): every row keeps its flag, so the
+        // rank is not top-k-filterable, and a mega source would
+        // otherwise sort in ONE task
+        graft.operators.Banded
+          .rank(withClf, Seq(groupCol, "keep"), idCol, "__rn")
           .withColumn("quota_ok", !col("keep") || col("__rn") <= n)
           .withColumn("keep", col("keep") && col("quota_ok"))
           .drop("__rn")
     }
     def tokenStage(groupCol: String, budgetOf: DataFrame => DataFrame)
         : DataFrame = {
-      val w = Window.partitionBy(col(groupCol), col("keep"))
-        .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      budgetOf(withQuota
-          .withColumn("__cum",
-            sum(size(graft.functions.Text.tokens(col("clean")))
-              .cast("long")).over(w)))
+      // BANDED inclusive prefix sum (Banded.prefixSum): the running
+      // token total needs every predecessor, so WindowGroupLimit can
+      // never help and a mega source is a single-task sort without
+      // the banding
+      budgetOf(graft.operators.Banded.prefixSum(withQuota,
+          Seq(groupCol, "keep"), idCol,
+          size(graft.functions.Text.tokens(col("clean"))).cast("long"),
+          "__cum"))
         .withColumn("tq_ok", !col("keep") ||
           col("__cum") <= coalesce(col("__budget"),
             lit(Long.MaxValue)))
@@ -657,45 +660,15 @@ object Pipelines {
         coalesce(graft.functions.Robots.crawlDelay(col("txt")), lit(1L))
           .as("delay_s"))
 
-  /** Deterministic per-key rank by (md5(url), url), computed BANDED:
-    * rank within (keys..., 2-hex-char md5-prefix band) plus the
-    * closed-form cumulative count of the key's preceding bands.
-    * Because the band is a PREFIX of the primary sort key, the result
-    * equals `row_number over (partition by keys order by md5(url),
-    * url)` row for row — but a key that owns most of the frame (the
-    * mega-host skew every crawl has) sorts across up to 256 tasks
-    * instead of one. The offsets frame is keys × ≤256 rows; its
-    * window and the join stay keyed, never corpus-global.
+  /** Deterministic per-key rank by (md5(url), url), computed BANDED
+    * ([[graft.operators.Banded.rank]]): equals `row_number over
+    * (partition by keys order by md5(url), url)` row for row — but a
+    * key that owns most of the frame (the mega-host skew every crawl
+    * has) sorts across up to 256 tasks instead of one.
     */
   private[graft] def bandedRank(df: DataFrame, keys: Seq[String],
-                                rankCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bandCol = s"__band_$rankCol"
-    val wIn = Window.partitionBy((keys :+ bandCol).map(col): _*)
-      .orderBy(md5(col("url")).asc, col("url").asc)
-    // lazy-materialized: the banded frame feeds BOTH the offsets agg
-    // and the outer join — without the checkpoint the entire input
-    // subtree (screen join, robots gate, prior ranks) would execute
-    // twice per bandedRank call (and 4x when the trap stage chains
-    // into the schedule)
-    val banded = df
-      .withColumn(bandCol, substring(md5(col("url")), 1, 2))
-      .withColumn(s"__bn_$rankCol", row_number().over(wIn))
-      .localCheckpoint(false)
-    val wOff = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(bandCol).asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = banded
-      .groupBy((keys :+ bandCol).map(col): _*)
-      .agg(count(lit(1)).as(s"__bc_$rankCol"))
-      .withColumn(s"__off_$rankCol",
-        coalesce(sum(col(s"__bc_$rankCol")).over(wOff), lit(0L)))
-      .drop(s"__bc_$rankCol")
-    banded.join(offsets, keys :+ bandCol)
-      .withColumn(rankCol,
-        (col(s"__off_$rankCol") + col(s"__bn_$rankCol")).cast("long"))
-      .drop(bandCol, s"__bn_$rankCol", s"__off_$rankCol")
-  }
+                                rankCol: String): DataFrame =
+    graft.operators.Banded.rank(df, keys, "url", rankCol)
 
   /** The funnel report over [[pipelineC]] decisions — the per-stage
     * counts an ingest job logs (and alerts on) every day. Optional

@@ -146,12 +146,13 @@ object MixPlan {
     val p = plan.select(col(groupCol),
       expr("alloc div available").as("__full"),
       expr("alloc % available").as("__rem"))
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val scheduled = docs
-      .join(broadcast(p), Seq(groupCol))
-      .withColumn("__cum", sum(col(tokCol)).over(w))
+    // BANDED inclusive prefix sum (Banded.prefixSum): the partial
+    // epoch spends the remainder on the md5(id)-ordered token prefix,
+    // and a mega source's cumulative window would otherwise sort in
+    // ONE task at corpus scale
+    val scheduled = Banded.prefixSum(
+        docs.join(broadcast(p), Seq(groupCol)),
+        Seq(groupCol), idCol, col(tokCol), "__cum")
       .withColumn("__n", col("__full") +
         when(col("__cum") <= col("__rem"), 1L).otherwise(0L))
       .filter(col("__n") > 0)
