@@ -35,7 +35,10 @@ object Dedup {
     */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String,
                           n: Int, dfCap: Option[Int]): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
+    // Par.spread: tokenize+shingle+distinct is the CPU-dense pass; an
+    // under-split input (single-row-group fixture file) would run it
+    // on one core (identity at real scan widths)
+    val sh = Par.spread(df).select(col(idCol).as("id"),
       array_distinct(Text.shingles(Text.tokens(col(textCol)), n)).as("sh"))
     dfCap match {
       case None => sh
@@ -93,7 +96,11 @@ object Dedup {
   def jaccardCandidates(df: DataFrame, idCol: String, textCol: String,
                         n: Int,
                         dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
+    // checkpointed: BOTH sides of the candidate self-join read the
+    // shingled frame — uncheckpointed, the tokenize+shingle pass (THE
+    // expensive pass at corpus scale) runs once per side
     val sh = shingleSets(df, idCol, textCol, n, dfCap)
+      .localCheckpoint(false)
     val ex = sh.select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
     ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
@@ -116,7 +123,10 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int, threshold: Double,
                        dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
+    // checkpointed: both sides of the candidate self-join read the
+    // shingled frame (same reasoning as jaccardCandidates)
     val sh = shingleSets(df, idCol, textCol, n, dfCap)
+      .localCheckpoint(false)
     val ex = sh.select(col("id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("s"))
     val common = ex.as("a").join(ex.as("b"),
@@ -160,7 +170,10 @@ object Dedup {
     // caller wrote, and decimal multiply/ceil/compare are exact.
     val tDec = lit(BigDecimal(threshold))
     def nshDec(c: Column): Column = c.cast("decimal(20,10)")
+    // checkpointed: the shingled frame feeds the prefix index AND both
+    // verify joins — uncheckpointed, tokenize+shingle runs three times
     val sh = shingleSets(df, idCol, textCol, n, None)
+      .localCheckpoint(false)
     val ex = sh.select(col("id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("s"))
     val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
@@ -208,7 +221,10 @@ object Dedup {
       s"containment threshold must be in (0, 1], got $threshold")
     val tDec = lit(BigDecimal(threshold))
     def nshDec(c: Column): Column = c.cast("decimal(20,10)")
+    // checkpointed: feeds the subject prefix, the candidate side, and
+    // both verify joins (same reasoning as jaccardPairsPrefix)
     val sh = shingleSets(df, idCol, textCol, n, None)
+      .localCheckpoint(false)
     val ex = sh.select(col("id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("s"))
     val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
@@ -255,8 +271,12 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, bands: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
+    // checkpointed: both sides of the band self-join read the signed
+    // frame — uncheckpointed, shingling AND the k-permutation MinHash
+    // (the heaviest map in the family) run once per side
     val sh = shingleSets(df, idCol, textCol, n, None)
       .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
+      .localCheckpoint(false)
     val banded = sh.select(col("id"), col("sh"),
       posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bkey")))
     val cands = banded.as("a").join(banded.as("b"),
@@ -689,7 +709,10 @@ object Dedup {
                 k: Int, divisor: Int): DataFrame = {
     require(k >= 1 && divisor >= 1, s"k=$k, divisor=$divisor must be >= 1")
     val tk = graft.functions.Text.tokens(col(textCol))
-    val base = df.select(col(idCol).as("doc_id"), tk.as("tk"),
+    // Par.spread: one 52-bit hash per token position is the heaviest
+    // per-row map in the dedup family — don't serialize it onto an
+    // under-split scan's single task (identity at real scan widths)
+    val base = Par.spread(df).select(col(idCol).as("doc_id"), tk.as("tk"),
       size(tk).as("n"))
     val cuts = when(col("n") >= k,
       filter(sequence(lit(k), col("n")), p =>

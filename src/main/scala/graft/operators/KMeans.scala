@@ -51,6 +51,9 @@ object KMeans {
     require(k >= 1 && iters >= 1 && dim >= 1,
       s"k, dim, iters must all be >= 1; got k=$k dim=$dim iters=$iters")
     val vq = transform(col(vecCol).cast("array<double>"), x => round(x, 9))
+    // measured r16: Par.spread here is neutral-to-negative (the typed
+    // aggregation per iteration is combine-bound, not map-bound) —
+    // left unspread deliberately
     val pts = df.select(col(idCol).cast("long").as("id"), vq.as("v"))
       .localCheckpoint(false) // consumed once per iteration + final assign
 

@@ -119,12 +119,16 @@ object Logistic {
                      textCol: String = "text",
                      prefixLen: Int = 2,
                      gram: Int = 1): DataFrame = {
+    // Par.spread: tokenize+md5-bucket is the CPU-dense pass; an
+    // under-split input would run it on one core (identity at real
+    // scan widths)
+    val spreadDocs = Par.spread(docs)
     val base = if (gram == 1)
-      docs.select(col(idCol), when(label, 1).otherwise(0).as("y"),
+      spreadDocs.select(col(idCol), when(label, 1).otherwise(0).as("y"),
           explode(graft.functions.Text.tokens(col(textCol))).as("tok"))
         .filter(col("tok") =!= "")
     else
-      docs.select(col(idCol), when(label, 1).otherwise(0).as("y"),
+      spreadDocs.select(col(idCol), when(label, 1).otherwise(0).as("y"),
         explode(graft.functions.Text.shingles(
           filter(graft.functions.Text.tokens(col(textCol)),
             t => t =!= ""), gram)).as("tok"))

@@ -33,6 +33,9 @@ object Sparse {
   def tfidfWeights(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val nDocs = docs.count().toDouble // scalar to driver: corpus size
+    // measured r16: Par.spread here is a net LOSS (s_sparse_topk
+    // 3.05 → 3.5 s) — topK is window/join-bound downstream, the plain
+    // split() explode is cheap next to a shingle+md5 pass
     val tf = docs
       .select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("term"))

@@ -616,7 +616,7 @@ object CurationQueries {
     //      BATCH-count-bounded series. First-occurrence attribution
     //      is by batch id, deterministic under any partitioning ----
     "t_novelty_curve" -> ((s, dir) => {
-      val g = t(s, dir, "documents")
+      val g = graft.operators.Par.spread(t(s, dir, "documents"))
         .select(expr("doc_id div 50").as("batch"),
           explode(Text.shingles(Text.tokens(col("text")), 3)).as("g"))
         .distinct()
@@ -650,7 +650,10 @@ object CurationQueries {
     //      per-bucket ln rounds to 4 dp into DECIMAL, the per-doc sum
     //      is exact DECIMAL (partition-order independent) ----
     "t_dsir_weights" -> ((s, dir) => {
-      val d = t(s, dir, "documents").localCheckpoint(false)
+      // spread BEFORE the checkpoint: a checkpoint of a one-task scan
+      // pins ONE partition, serializing both LM passes downstream
+      val d = graft.operators.Par.spread(t(s, dir, "documents"))
+        .localCheckpoint(false)
       val lam = graft.operators.Dsir.lamTable(
         d, "text", col("source") === lit(DsirTarget))
       graft.operators.Dsir.scoreRelational(d, lam, "doc_id", "text")

@@ -36,6 +36,9 @@ object MiningQueries {
     //      lift. Brand vocabulary is 25, so the rule space is bounded
     //      (≤ 600 directed pairs) at ANY corpus scale ----
     "t_assoc_rules" -> ((s, dir) => {
+      // measured r16: Par.spread here is a net LOSS (2.13 → 2.5 s) —
+      // the basket build is a broadcast join + project, not a
+      // CPU-dense map; the rule mining downstream is shuffle-bound
       val baskets = t(s, dir, "lineitem")
         .join(t(s, dir, "part"),
           col("l_partkey") === col("p_partkey"))

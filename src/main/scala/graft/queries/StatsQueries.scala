@@ -286,6 +286,9 @@ object StatsQueries {
     //      corpus scan, two model-or-histogram-sized rank joins, one
     //      closing IEEE tree. ----
     "q_spearman" -> ((s, dir) => {
+      // measured r16: Par.spread here is a net LOSS (2.56 → 3.07 s) —
+      // the rank fits are sort/agg-bound, not map-bound, so the extra
+      // exchange buys nothing the shuffle doesn't already provide
       val l = t(s, dir, "lineitem")
         .select(col("l_quantity").as("x"),
           col("l_extendedprice").as("y"))

@@ -2378,7 +2378,7 @@ object TextQueries {
           "mask — chunk the domain catalog into multiple mask words")
       val srcBits = srcList.zipWithIndex
         .map { case (src, i) => (src, 1L << i) }.toDF("source", "bit")
-      val maskHist = d.select(col("source"),
+      val maskHist = graft.operators.Par.spread(d).select(col("source"),
           explode(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
         .join(broadcast(srcBits), "source")
         .groupBy("sh").agg(expr("bit_or(bit)").as("mask"))
@@ -2420,7 +2420,7 @@ object TextQueries {
     //      to 8 BEFORE the normalization sum (taken as exact DECIMAL),
     //      so Z is partition-order invariant ----
     "t_domain_reweight" -> ((s, dir) => {
-      val bg = t(s, dir, "documents")
+      val bg = graft.operators.Par.spread(t(s, dir, "documents"))
         .select(col("source"),
           explode(Text.shingles(Text.tokens(col("text")), 2)).as("bigram"))
         .groupBy("source", "bigram").agg(count(lit(1)).as("k"))
@@ -2521,7 +2521,8 @@ object TextQueries {
       val d = graft.operators.Sampling.hashSplit(
         t(s, dir, "documents"), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-      d.select((col("split") === "train").as("in_train"),
+      graft.operators.Par.spread(d)
+        .select((col("split") === "train").as("in_train"),
           explode(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
         .groupBy("sh").agg(
           max(when(col("in_train"), 1).otherwise(0)).as("seen_train"),
@@ -2587,7 +2588,7 @@ object TextQueries {
     }),
 
     "t_ngram_freq" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = graft.operators.Par.spread(t(s, dir, "documents"))
       d.select(explode(Text.shingles(Text.tokens(col("text")), 2)).as("ngram"))
         .groupBy("ngram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram").asc).limit(100)
@@ -2655,7 +2656,7 @@ object TextQueries {
     //      numerator/denominator division is a single shared IEEE
     //      tree ----
     "t_bigram_lm" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = graft.operators.Par.spread(t(s, dir, "documents"))
       val bi = d.select(explode(Text.shingles(Text.tokens(col("text")), 2))
           .as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("c"))
@@ -2854,7 +2855,7 @@ object TextQueries {
     //      identical tree in both engines — the emitted double hashes
     //      bit-identically, unrounded ----
     "t_kneser_ney" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = graft.operators.Par.spread(t(s, dir, "documents"))
       val cnt = d.select(explode(Text.shingles(Text.tokens(col("text")), 2))
           .as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("c"))
@@ -2888,7 +2889,7 @@ object TextQueries {
     //      11 orders under the rounding boundary) and sums as exact
     //      DECIMAL (partition-order independent) ----
     "t_perplexity" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = graft.operators.Par.spread(t(s, dir, "documents"))
       // Pre-aggregate to (doc, bigram, multiplicity) so the corpus-sized
       // explode runs ONCE; localCheckpoint because both the LM build and
       // the scoring join consume this frame (Catalyst would otherwise
