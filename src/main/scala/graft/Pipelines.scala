@@ -193,7 +193,12 @@ object Pipelines {
     import graft.expressions.{HtmlExprs, TextExprs}
     import graft.functions.Text
     val stripped = HtmlExprs.htmlToText(col(textCol))
-    raw
+    // Par.spread: the screen chain (markup strip, mojibake repair,
+    // PII regexes, Gopher tokenization) is the most CPU-dense map in
+    // the repo — an under-split input (the two-file dedup-corpus
+    // artifact: measured 5.4 s of CPU across 2 tasks) must not
+    // serialize it; identity at real scan widths and for streaming
+    graft.operators.Par.spread(raw)
       .select(col(idCol) +: carry.map(col) :+ col(textCol).as("__raw") :+
         stripped.as("__st") :+
         TextExprs.fixMojibake(stripped).as("clean"): _*)
@@ -525,11 +530,15 @@ object Pipelines {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.CrawlState
     val idx = CrawlState.readUrlIndex(spark, frontierPath)
+    // Par.spread: per-url regex canonicalization is the wave's
+    // CPU-dense map; an under-split candidate feed (one fixture file)
+    // must not serialize it (identity at real scan widths)
+    val spreadCands = graft.operators.Par.spread(candidates)
     // 1. one row per distinct canonical candidate with its final
     //    identity (identity mapping when no resolution is supplied)
     val resolved = (resolution match {
-      case Some(r) => CrawlState.resolveUrls(candidates, r, urlCol)
-      case None => candidates
+      case Some(r) => CrawlState.resolveUrls(spreadCands, r, urlCol)
+      case None => spreadCands
         .select(graft.functions.Urls.canonicalizeUrl(col(urlCol))
           .as("url"))
         .filter(col("url").isNotNull)

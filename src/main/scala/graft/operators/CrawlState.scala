@@ -406,7 +406,10 @@ object CrawlState {
   def frontierPriority(edges: DataFrame, idx: UrlIndex,
                        srcCol: String = "src",
                        dstCol: String = "dst"): DataFrame = {
-    val e = edges.select(
+    // Par.spread: two regex canonicalizations per edge row is a
+    // CPU-dense map — don't serialize it onto an under-split scan's
+    // single task (identity at real scan widths)
+    val e = Par.spread(edges).select(
         graft.functions.Urls.canonicalizeUrl(col(srcCol)).as("src"),
         graft.functions.Urls.canonicalizeUrl(col(dstCol)).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&

@@ -673,7 +673,10 @@ object Dedup {
     */
   def winnowPairs(df: DataFrame, idCol: String, tokensCol: Column,
                   k: Int, w: Int, dfCap: Int, minShared: Int): DataFrame = {
-    val fps = df
+    // Par.spread: one md5 per k-gram position + the sliding min is a
+    // CPU-dense map — don't serialize it onto an under-split scan's
+    // single task (identity at real scan widths)
+    val fps = Par.spread(df)
       .select(col(idCol).as("doc_id"),
         explode(winnowFingerprints(tokensCol, k, w)).as("fp"))
       .localCheckpoint(false) // feeds the df count AND the pair join —

@@ -31,6 +31,9 @@ import org.apache.spark.sql.execution.exchange.Exchange
 object Par {
 
   def spread(df: DataFrame): DataFrame = {
+    // streaming frames keep their micro-batch partitioning (probing
+    // the physical plan below is a batch-only operation anyway)
+    if (df.isStreaming) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
     val plan = df.queryExecution.sparkPlan
     val hasExchange = plan.exists(_.isInstanceOf[Exchange])

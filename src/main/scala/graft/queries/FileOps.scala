@@ -173,8 +173,9 @@ object FileOps {
       val rawUri = s"file:$root/raw"
       // fixture build stays distributed: each task writes its partition's
       // files through the Hadoop FS API — no driver collect()
-      t(s, dir, "documents").filter(col("doc_id") < 400)
-        .select("doc_id", "text")
+      graft.operators.Par.spread(
+          t(s, dir, "documents").filter(col("doc_id") < 400)
+            .select("doc_id", "text"))
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
           val fs = new org.apache.hadoop.fs.Path(rawUri)
             .getFileSystem(new org.apache.hadoop.conf.Configuration())

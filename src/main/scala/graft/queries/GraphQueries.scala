@@ -25,6 +25,24 @@ object GraphQueries {
 
   private val iters = 3
 
+  /** The customer↔supplier trading edge list every rank-family query
+    * builds: orders⋈lineitem on orderkey, vertex ids packed to longs
+    * (customer 2k, supplier 2k+1), distinct. The lineitem projection
+    * is Par.spread BEFORE the join: the broadcast probe + the
+    * distinct's partial aggregation otherwise run inside the scan
+    * task, and the fixture's single-row-group file plans as one
+    * effective task (measured 0.8 s single-threaded of a 1.3 s edge
+    * build; identity at real scan widths).
+    */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Par.spread(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- damped PageRank on the bipartite customer↔supplier graph
     //      (an edge per distinct trading pair), top 100 by centrality.
@@ -35,12 +53,7 @@ object GraphQueries {
       // supplier 2k+1) — fixed-width keys hash, sort and compare far
       // cheaper than "c123"-style strings at 100 TB; the readable
       // label is projected only onto the final 100 rows.
-      val edges = t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
+      val edges = tradeEdges(s, dir)
       Graph.pageRank(edges, iters, dampNum = 85L)
         .orderBy(col("rank_e9").desc, col("id").asc).limit(100)
         .select(
@@ -60,12 +73,7 @@ object GraphQueries {
     //      g_pagerank: score⋈edge equi-join + keyed sum + 1-row max
     //      broadcast; the oracle unrolls the half-rounds exactly ----
     "g_hits" -> ((s, dir) => {
-      val edges = t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
+      val edges = tradeEdges(s, dir)
       Graph.hits(edges, iters)
         .orderBy(col("score_e9").desc, col("kind").asc, col("id").asc)
         .limit(100)
@@ -86,12 +94,7 @@ object GraphQueries {
     //      BIGINT contract and per-round join shape as g_pagerank;
     //      the oracle unrolls the rounds with the seed-gated restart ----
     "g_trustrank" -> ((s, dir) => {
-      val edges = t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
+      val edges = tradeEdges(s, dir)
       val seeds = t(s, dir, "supplier")
         .filter(col("s_suppkey") % 10 === 0)
         .select((col("s_suppkey") * 2 + 1).as("id"))
@@ -117,12 +120,7 @@ object GraphQueries {
     //      (vertex, label) count + an argmax window bounded by
     //      #classes after the collapse — never by vertex degree ----
     "g_label_prop" -> ((s, dir) => {
-      val edges = t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
+      val edges = tradeEdges(s, dir)
       val seeds = edges.select(col("src").as("id")).distinct()
         .filter(col("id") % 6 === 0)
         .select(col("id"), expr("(id div 2) % 25").as("label"))
@@ -143,12 +141,7 @@ object GraphQueries {
     //      The quality gate for g_label_prop's partitioning that a
     //      clustering run reads before trusting its communities. ----
     "g_modularity" -> ((s, dir) => {
-      val edges = t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
+      val edges = tradeEdges(s, dir)
         .localCheckpoint(false) // feeds label prop + 3 edge aggs
       val seeds = edges.select(col("src").as("id")).distinct()
         .filter(col("id") % 6 === 0)
@@ -192,12 +185,8 @@ object GraphQueries {
     //      degree equi-joins); ONE closing IEEE tree with per-factor
     //      sqrt (the q_kendall_tau overflow discipline). ----
     "g_assortativity" -> ((s, dir) => {
-      val e0 = t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("u"),
-          (col("l_suppkey") * 2 + 1).as("v"))
-        .distinct()
+      val e0 = tradeEdges(s, dir)
+        .select(col("src").as("u"), col("dst").as("v"))
       val both = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
         .localCheckpoint(false) // degree source + tagged sums
       val deg = both.groupBy(col("u").as("id"))

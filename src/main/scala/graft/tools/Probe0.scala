@@ -75,8 +75,8 @@ object Probe0 {
       }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
-    for (q <- Seq("t_perplexity", "d_cdc_chunks", "d_minhash_bbit",
-                  "d_jaccard_capped", "d_winnow_pairs", "d_contamination");
+    for (q <- Seq("f_priority_budget", "f_trap_gate", "f_frontier_priority",
+                  "f_wave_eta", "a_pipeline_curate_dedup", "g_link_predict");
          r <- 1 to 2)
       report(s"$q r$r") { graft.SparkEntry.queries(q)(s, sfDir).count() }
     spark.stop()
