@@ -20,8 +20,10 @@ object Explain {
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // comma-separated names supported: one sbt/session spin-up per
+    // optimization batch instead of one per query
     val targets = name match {
-      case Some(n) => Seq(n -> SparkEntry.queries(n))
+      case Some(n) => n.split(",").toSeq.map(q => q -> SparkEntry.queries(q))
       case None    => SparkEntry.queries.toSeq.sortBy(_._1)
     }
     targets.foreach { case (n, fn) =>

@@ -35,23 +35,46 @@ object Urls {
   /** Canonical form of `url`; null for strings that do not parse as
     * absolute `scheme://authority...` URLs (no guessing — a relative
     * or garbage "URL" must not silently canonicalize to itself).
+    *
+    * Hot-path shape (guide §1.2 per-task work — this projection runs
+    * on every candidate of every crawl wave): the master regex is
+    * matched ONCE per row — `regexp_replace` rewrites the url into a
+    * ``-delimited scheme/host/path/tail record and one split
+    * recovers the groups. The previous four `regexp_extract(url,
+    * UrlRe, i)` calls each re-ran the full match (r17 probe: the
+    * canonicalize stages carried 10–18 task-seconds per f_* query).
+    * Port/trailing-slash/query trims are startsWith/substr algebra
+    * instead of three more anchored regexes. A non-matching url
+    * passes through regexp_replace unchanged (size ≠ 4 ⇒ null,
+    * exactly the old no-match test); `` cannot occur in a valid
+    * absolute URL (control chars must be %-encoded).
     */
   def canonicalizeUrl(url: Column): Column = {
-    val scheme = lower(regexp_extract(url, UrlRe, 1))
-    val host0 = lower(regexp_extract(url, UrlRe, 2))
-    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
-      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+    val arr = split(
+      regexp_replace(url, UrlRe, "$1$2$3$4"),
+      "", -1)
+    val scheme = lower(get(arr, lit(0)))
+    val host0 = lower(get(arr, lit(1)))
+    val host = when(scheme === "http" && host0.endsWith(":80"),
+        host0.substr(lit(1), length(host0) - 3))
+      .when(scheme === "https" && host0.endsWith(":443"),
+        host0.substr(lit(1), length(host0) - 4))
       .otherwise(host0)
-    val path0 = regexp_replace(regexp_extract(url, UrlRe, 3), "/{2,}", "/")
-    val path = when(path0 === "" , lit("/"))
-      .when(path0 =!= "/", regexp_replace(path0, "/$", ""))
+    val path0 = regexp_replace(get(arr, lit(2)), "/{2,}", "/")
+    val path = when(path0 === "", lit("/"))
+      // after //-collapse at most ONE trailing slash exists, so the
+      // substr trim equals the old regexp_replace(path0, "/$", "")
+      .when(path0 =!= "/" && path0.endsWith("/"),
+        path0.substr(lit(1), length(path0) - 1))
       .otherwise(path0)
     // tail = "?query#frag" | "?query" | "#frag" | ""; keep query only
-    val tail = regexp_extract(url, UrlRe, 4)
-    val query = regexp_extract(tail, "^\\?([^#]*)", 1)
+    val tail = get(arr, lit(3))
+    val query = when(tail.startsWith("?"),
+        element_at(split(tail.substr(lit(2), length(tail)), "#", 2), 1))
+      .otherwise(lit(""))
     val params = array_join(
       array_sort(filter(split(query, "&"), p => !trackingParam(p))), "&")
-    when(scheme === "" || host0 === "", lit(null).cast("string"))
+    when(size(arr) =!= 4 || host0 === "", lit(null).cast("string"))
       .otherwise(concat(scheme, lit("://"), host, path,
         when(params === "", lit("")).otherwise(concat(lit("?"), params))))
   }

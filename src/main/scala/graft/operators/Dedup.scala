@@ -32,9 +32,17 @@ object Dedup {
   /** Distinct-shingle sets per doc, optionally dropping shingles whose
     * document frequency exceeds `dfCap` (stop-shingle removal — the
     * standard skew guard for inverted-index joins at scale).
+    *
+    * Package-visible so a query that needs BOTH a signature pass and a
+    * candidate pass over the same corpus (d_minhash_bbit), or several
+    * pair passes against the same base (d_cluster_incremental), can
+    * build the shingled frame ONCE, checkpoint it, and hand it to the
+    * `*FromSets` variants — instead of re-running tokenize+shingle
+    * (THE expensive map at corpus scale) once per pass.
     */
-  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
-                          n: Int, dfCap: Option[Int]): DataFrame = {
+  private[graft] def shingleSets(df: DataFrame, idCol: String,
+                                 textCol: String,
+                                 n: Int, dfCap: Option[Int]): DataFrame = {
     // Par.spread: tokenize+shingle+distinct is the CPU-dense pass; an
     // under-split input (single-row-group fixture file) would run it
     // on one core (identity at real scan widths)
@@ -101,6 +109,14 @@ object Dedup {
     // expensive pass at corpus scale) runs once per side
     val sh = shingleSets(df, idCol, textCol, n, dfCap)
       .localCheckpoint(false)
+    jaccardCandidatesFromSets(sh)
+  }
+
+  /** [[jaccardCandidates]] over a PRE-BUILT (id, sh) shingle frame —
+    * the caller owns the checkpoint (the frame is read by both sides
+    * of the self-join, so pass it checkpointed).
+    */
+  private[graft] def jaccardCandidatesFromSets(sh: DataFrame): DataFrame = {
     val ex = sh.select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
     ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
@@ -161,6 +177,20 @@ object Dedup {
     */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                          n: Int, threshold: Double): DataFrame = {
+    // checkpointed: the shingled frame feeds the prefix index AND both
+    // verify joins — uncheckpointed, tokenize+shingle runs three times
+    val sh = shingleSets(df, idCol, textCol, n, None)
+      .localCheckpoint(false)
+    jaccardPairsPrefixFromSets(sh, threshold)
+  }
+
+  /** [[jaccardPairsPrefix]] over a PRE-BUILT (id, sh) shingle frame —
+    * the caller owns the checkpoint (the frame feeds the prefix index
+    * and both verify joins, so pass it checkpointed).
+    */
+  private[graft] def jaccardPairsPrefixFromSets(sh: DataFrame,
+                                                threshold: Double)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // The required-overlap bound ceil(t·|X|) must be computed EXACTLY:
     // in double arithmetic t·|X| can land one ulp above an integer
@@ -170,10 +200,6 @@ object Dedup {
     // caller wrote, and decimal multiply/ceil/compare are exact.
     val tDec = lit(BigDecimal(threshold))
     def nshDec(c: Column): Column = c.cast("decimal(20,10)")
-    // checkpointed: the shingled frame feeds the prefix index AND both
-    // verify joins — uncheckpointed, tokenize+shingle runs three times
-    val sh = shingleSets(df, idCol, textCol, n, None)
-      .localCheckpoint(false)
     val ex = sh.select(col("id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("s"))
     val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
@@ -304,8 +330,11 @@ object Dedup {
                           idCol: String, textCol: String,
                           n: Int, threshold: Double,
                           dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
+    // Par.spread (inside ex): tokenize+shingle is the CPU-dense map —
+    // an under-split input must not serialize it onto the scan's one
+    // task (identity at real scan widths)
     def ex(df: DataFrame) = {
-      val sh = df.select(col(idCol).as("id"),
+      val sh = Par.spread(df).select(col(idCol).as("id"),
         array_distinct(Text.shingles(Text.tokens(col(textCol)), n)).as("sh"))
       sh.select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
     }
@@ -322,6 +351,28 @@ object Dedup {
             org.apache.spark.sql.expressions.Window.partitionBy("id")))
         (capped(exBase0), capped(ex(newDocs)))
     }
+    againstJoin(exNew, exBase, threshold)
+  }
+
+  /** The uncapped [[jaccardPairsAgainst]] over PRE-BUILT (id, sh)
+    * shingle frames for both sides — the incremental-maintenance
+    * caller (d_cluster_incremental) shares ONE checkpointed base
+    * frame between this and its prefix-pair pass instead of
+    * re-shingling the base corpus per pass.
+    */
+  private[graft] def jaccardPairsAgainstFromSets(newSets: DataFrame,
+                                                 baseSets: DataFrame,
+                                                 threshold: Double)
+      : DataFrame = {
+    def ex(sh: DataFrame) = sh.select(col("id"),
+      size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+    againstJoin(ex(newSets), ex(baseSets), threshold)
+  }
+
+  /** Shared new×base candidate join + exact-Jaccard verify over
+    * exploded (id, n_sh, s) frames. */
+  private def againstJoin(exNew: DataFrame, exBase: DataFrame,
+                          threshold: Double): DataFrame =
     exNew.as("a").join(exBase.as("b"), col("a.s") === col("b.s"))
       .groupBy(col("a.id").as("new_id"), col("b.id").as("base_id"),
         col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
@@ -330,7 +381,6 @@ object Dedup {
         (col("na") + col("nb") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("new_id", "base_id", "jaccard")
-  }
 
   /** Benchmark decontamination: ids of training documents sharing ANY
     * n-gram with the benchmark set (the standard eval-leakage sweep
@@ -343,7 +393,10 @@ object Dedup {
                    idCol: String, textCol: String, n: Int): DataFrame = {
     def ex(df: DataFrame) = df.select(col(idCol).as("id"),
       explode(array_distinct(Text.shingles(Text.tokens(col(textCol)), n))).as("s"))
-    ex(train)
+    // Par.spread on the TRAIN side only: its tokenize+shingle explode
+    // is the corpus-sized CPU map (identity at real scan widths); the
+    // benchmark side is eval-sized by nature and goes out broadcast
+    ex(Par.spread(train))
       .join(broadcast(ex(benchmark).select("s").distinct()), Seq("s"), "left_semi")
       .select("id").distinct()
       .withColumnRenamed("id", idCol)

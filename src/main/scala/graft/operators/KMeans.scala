@@ -72,15 +72,22 @@ object KMeans {
     // SKIP nulls, so they'd sail through the size bounds and still
     // funnel to cid 0 (and an all-null corpus would NPE on getInt
     // instead of raising the intended message).
-    val nBad = pts.filter(col("v").isNull ||
-      exists(col("v"), x => x.isNull)).count()
+    // ONE fused guard pass (r17: the separate count + agg were two
+    // full-scan jobs in an already job-latency-bound serial chain);
+    // same checks, same failure messages, same order (nulls first).
+    // size(null) is null under the non-legacy default, so min/max
+    // skip exactly the rows the null guard counts — as before.
+    val g = pts.agg(
+      sum(when(col("v").isNull || exists(col("v"), x => x.isNull), 1L)
+        .otherwise(0L)).as("nBad"),
+      min(size(col("v"))).as("mn"),
+      max(size(col("v"))).as("mx")).head()
+    val nBad = if (g.isNullAt(0)) 0L else g.getLong(0)
     require(nBad == 0L,
       s"KMeans: $nBad vectors are null or contain null elements")
-    val szs = pts.agg(min(size(col("v"))).as("mn"),
-      max(size(col("v"))).as("mx")).head()
-    require(szs.getInt(0) == dim && szs.getInt(1) == dim,
-      s"KMeans: corpus vector lengths span [${szs.getInt(0)}, " +
-        s"${szs.getInt(1)}], dim=$dim given")
+    require(g.getInt(1) == dim && g.getInt(2) == dim,
+      s"KMeans: corpus vector lengths span [${g.getInt(1)}, " +
+        s"${g.getInt(2)}], dim=$dim given")
 
     def assign(cs: Seq[(Int, Seq[Double])]): org.apache.spark.sql.Column = {
       // argmin over k literal centroids via array_min on (d, cid)

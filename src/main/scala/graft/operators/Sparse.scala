@@ -69,7 +69,17 @@ object Sparse {
     require(k >= 1 && championK >= 1 && candK >= k,
       s"need k >= 1, championK >= 1, candK >= k; " +
         s"got k=$k championK=$championK candK=$candK")
-    val w = tfidfWeights(docs, idCol, textCol).localCheckpoint(false)
+    // Repartitioned on id BEFORE the checkpoint: AQE coalesces the
+    // weights frame's few shuffled MB to ~1 partition at fixture
+    // scale, and the checkpoint PINS that width — the r17 probe showed
+    // the whole query as ~20 serial one-task stages. Keyed by id, the
+    // pinned partitioning is REUSED by the norms groupBy and the
+    // champion window (one exchange instead of three on the same key,
+    // guide §2.4), at the session's shuffle width.
+    val w = tfidfWeights(docs, idCol, textCol)
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id"))
+      .localCheckpoint(false)
     val norms = w
       .select(col("id"),
         round(col("wt") * col("wt"), 12).cast("decimal(38,12)").as("w2"))

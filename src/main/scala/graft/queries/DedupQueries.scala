@@ -152,13 +152,17 @@ object DedupQueries {
     "d_minhash_bbit" -> ((s, dir) => {
       val k = 32
       val base = withNearCopies(s, dir)
-      val sh = array_distinct(Text.shingles(Text.tokens(col("text")), 5))
-      val bits = transform(Dedup.minhashSignature(sh, k),
+      // ONE spread + checkpointed shingle frame feeds BOTH the k=32
+      // b-bit signature map and the candidate self-join (r16 verdict:
+      // the inline sigs map ran at scan width — a 2-task 3.8 s stage —
+      // and base was tokenize+shingled twice)
+      val shSets = Dedup.shingleSets(base, "doc_id", "text", 5, None)
+        .localCheckpoint(false)
+      val bits = transform(Dedup.minhashSignature(col("sh"), k),
         mh => conv(substring(mh, 32, 1), 16, 10).cast("long") % 2L)
-      val sigs = base.select(col("doc_id"), bits.as("b"))
+      val sigs = shSets.select(col("id").as("doc_id"), bits.as("b"))
         .localCheckpoint(false) // both pair sides
-      val cand = Dedup.jaccardCandidates(base, "doc_id", "text",
-          n = 5, dfCap = None)
+      val cand = Dedup.jaccardCandidatesFromSets(shSets)
         .withColumn("j_ppm",
           expr("common * 1000000L div (na + nb - common)"))
         .filter(col("j_ppm") >= 300000L)
@@ -491,19 +495,25 @@ object DedupQueries {
     //      generations ----
     "d_cluster_incremental" -> ((s, dir) => {
       val base = tripledCorpus(s, dir)
-      val basePairs = Dedup.jaccardPairsPrefix(base, "doc_id", "text",
-        n = 5, threshold = 0.5).localCheckpoint(false)
+      // ONE spread + checkpointed shingle frame of the base corpus
+      // shared by the prefix pair pass AND the new×old pass (r16
+      // verdict: base was tokenize+shingled twice, once inside each
+      // pair generator); same treatment for the new batch, whose
+      // shingle frame feeds new×old AND new×new
+      val shBase = Dedup.shingleSets(base, "doc_id", "text", 5, None)
+        .localCheckpoint(false)
+      val basePairs = Dedup.jaccardPairsPrefixFromSets(shBase, 0.5)
+        .localCheckpoint(false)
       val baseLabels = Dedup.dupClusters(basePairs)
       val tok = Text.tokens(col("text"))
       val newBatch = t(s, dir, "documents").filter(col("doc_id") < 150)
         .select((col("doc_id") + 300000).as("doc_id"),
           array_join(slice(tok, lit(4), size(tok) - 3), " ").as("text"))
+      val shNew = Dedup.shingleSets(newBatch, "doc_id", "text", 5, None)
         .localCheckpoint(false) // feeds new×old AND new×new passes
-      val newOld = Dedup.jaccardPairsAgainst(newBatch, base,
-          "doc_id", "text", n = 5, threshold = 0.5, dfCap = None)
+      val newOld = Dedup.jaccardPairsAgainstFromSets(shNew, shBase, 0.5)
         .select(col("new_id").as("a_id"), col("base_id").as("b_id"))
-      val newNew = Dedup.jaccardPairsPrefix(newBatch, "doc_id", "text",
-          n = 5, threshold = 0.5)
+      val newNew = Dedup.jaccardPairsPrefixFromSets(shNew, 0.5)
         .select("a_id", "b_id")
       Dedup.updateClusters(baseLabels, newOld.unionByName(newNew))
     }),

@@ -262,8 +262,13 @@ object GraphQueries {
     //      is the suite's 4dp-ln-absorbed exact decimal; the top-100 is
     //      a TakeOrdered with full tiebreak, not a global sort. ----
     "g_link_predict" -> ((s, dir) => {
-      val e = t(s, dir, "lineitem")
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      // Par.spread BEFORE the distinct (the tradeEdges treatment): the
+      // fixture's single-row-group lineitem scan plans as one task, so
+      // the distinct's partial aggregation — the corpus-sized pass
+      // here — would otherwise run single-threaded
+      val e = graft.operators.Par.spread(
+          t(s, dir, "lineitem")
+            .select(col("l_partkey").as("p"), col("l_suppkey").as("s")))
         .distinct()
       val deg = e.groupBy("p").agg(count(lit(1)).as("d"))
         .filter(col("d") >= 2 && col("d") <= 64)
@@ -272,10 +277,19 @@ object GraphQueries {
       // scale formulation bit-for-bit, without wide-decimal partials.
       // Checkpointed: BOTH sides of the 2-path self-join read this —
       // uncheckpointed, the 600k-row distinct shuffle runs twice.
+      // Repartitioned+sorted on p BEFORE the checkpoint (the
+      // rankScaffold discipline): AQE coalesces the join output by
+      // its few shuffled MB, so the unpinned checkpoint held ~5
+      // partitions and the CPU-dense 2-path self-join + partial agg
+      // ran ~5-wide (r17 probe: 7.4 task-seconds, 1.8 s wall); pinned
+      // at session width the self-join is also exchange- and
+      // sort-free (co-partitioned, co-ordered on p).
       val ew = e.join(deg, "p")
         .withColumn("w_e4",
           (round(lit(1.0) / log(col("d").cast("double")), 4)
             .cast("decimal(18,4)") * 10000).cast("long"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("p"))
+        .sortWithinPartitions("p")
         .localCheckpoint(false)
       val ea = ew.select(col("p"), col("s").as("supp_a"), col("w_e4"))
       val eb = ew.select(col("p").as("p2"), col("s").as("supp_b"))

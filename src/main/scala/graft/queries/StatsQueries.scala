@@ -738,12 +738,16 @@ object StatsQueries {
     //      rounded, no decimal-rounding step), so the oracle replays
     //      the identical double from its own COUNT(*). ----
     "s_grid_knn" -> ((s, dir) => {
-      val pts0 = t(s, dir, "embeddings")
-        .select(col("vec_id"),
-          round(element_at(col("embedding"), 1).cast("double"), 9)
-            .as("x"),
-          round(element_at(col("embedding"), 2).cast("double"), 9)
-            .as("y"))
+      // Par.spread BEFORE the checkpoint (the t_dsir_weights lesson:
+      // a checkpoint PINS partitioning, and the fixture scan is one
+      // task) — the ×9 probe explode and the cell-key join probe both
+      // read this frame at the pinned width
+      val pts0 = graft.operators.Par.spread(t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            round(element_at(col("embedding"), 1).cast("double"), 9)
+              .as("x"),
+            round(element_at(col("embedding"), 2).cast("double"), 9)
+              .as("y")))
         .localCheckpoint(false) // count + probe side + build side
       val n = pts0.count()
       val r = 0.2 * math.sqrt(500.0 / n.toDouble)

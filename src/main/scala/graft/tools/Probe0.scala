@@ -75,9 +75,36 @@ object Probe0 {
       }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
-    for (q <- Seq("f_priority_budget", "f_trap_gate", "f_frontier_priority",
-                  "f_wave_eta", "a_pipeline_curate_dedup", "g_link_predict");
-         r <- 1 to 2)
+    // --- current targets: decompose the hot queries stage by stage ---
+    // g_link_predict pieces
+    def lp_e = graft.operators.Par.spread(
+        t(s, sfDir, "lineitem")
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("s")))
+      .distinct()
+    def lp_deg = lp_e.groupBy("p").agg(count(lit(1)).as("d"))
+      .filter(col("d") >= 2 && col("d") <= 64)
+    def lp_ew = lp_e.join(lp_deg, "p")
+      .withColumn("w_e4",
+        (round(lit(1.0) / log(col("d").cast("double")), 4)
+          .cast("decimal(18,4)") * 10000).cast("long"))
+    report("lp: e.distinct")(noop(lp_e))
+    report("lp: ew (no ckpt)")(noop(lp_ew))
+    for (r <- 1 to 2)
+      report(s"g_link_predict r$r") {
+        graft.SparkEntry.queries("g_link_predict")(s, sfDir).count() }
+    // s_sparse_topk pieces
+    def docs = t(s, sfDir, "documents")
+    report("sp: tfidfWeights") {
+      noop(graft.operators.Sparse.tfidfWeights(docs, "doc_id", "text")) }
+    for (r <- 1 to 2)
+      report(s"s_sparse_topk r$r") {
+        graft.SparkEntry.queries("s_sparse_topk")(s, sfDir).count() }
+    // s_kmeans
+    for (r <- 1 to 2)
+      report(s"s_kmeans r$r") {
+        graft.SparkEntry.queries("s_kmeans")(s, sfDir).count() }
+    // crawl wave family
+    for (q <- Seq("f_priority_budget", "f_trap_gate"); r <- 1 to 2)
       report(s"$q r$r") { graft.SparkEntry.queries(q)(s, sfDir).count() }
     spark.stop()
   }
