@@ -49,5 +49,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32], sf0.1): 26.9 s under G1 vs 23.4 s under ParallelGC —
   // the allocation-heavy dedup/minhash family alone dropped ~30%
   // (d_minhash_bbit 3.9 -> 2.6 s). Overridable via GRAFT_GC=UseG1GC.
-  s"-XX:+${sys.env.getOrElse("GRAFT_GC", "UseParallelGC")}",
+  // Allowlisted: a typo'd/empty GRAFT_GC would otherwise interpolate
+  // into a malformed -XX flag that aborts every forked JVM at startup
+  // with a far-from-the-cause error.
+  s"-XX:+${
+    val gc = sys.env.getOrElse("GRAFT_GC", "UseParallelGC")
+    val allowed = Set("UseParallelGC", "UseG1GC", "UseZGC", "UseSerialGC")
+    require(allowed.contains(gc),
+      s"GRAFT_GC must be one of ${allowed.mkString(", ")}; got '$gc'")
+    gc
+  }",
 )

@@ -31,6 +31,9 @@ object Frontier {
     */
   def skyline2d(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
     val defined = df.filter(col(minCol).isNotNull && col(maxCol).isNotNull)
+    // unpartitioned window: BOUNDED — runs over the groupBy(minCol)
+    // collapse below (one row per distinct minCol value; callers pass
+    // bucketed/score-grid dimensions), never over `df` itself
     val w = Window.orderBy(col(minCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val perKey = defined.groupBy(col(minCol))

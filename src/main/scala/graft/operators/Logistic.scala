@@ -136,6 +136,13 @@ object Logistic {
       .select(col(idCol), col("y"),
         substring(md5(col("tok")), 1, prefixLen).as("b"))
       .groupBy(idCol, "y", "b").agg(count(lit(1)).as("k"))
+    // measured r17: a repartition(id) here (widening the checkpoint the
+    // callers pin, so epochs run 32-wide) is a net LOSS — A/B probe:
+    // t_quality_train_eval 2.1→2.9 s, warm_start 1.4→1.9 s, and total
+    // epoch task CPU 9–15 s → 35–50 s. The per-epoch aggregations over
+    // this bucket-collapsed table are too small to amortize 32-way
+    // task overhead; at corpus scale the groupBy output is wide on its
+    // own. Left at the planner's width deliberately.
   }
 
   /** One batch-GD epoch: returns the updated 16-bucket weight map.

@@ -70,6 +70,8 @@ object MixPlan {
     val c = avail.select(col(groupCol).as("group"),
       col(availCol).cast("long").as("available"),
       (col(availCol).cast("long") * maxRep).as("cap"))
+    // unpartitioned window: BOUNDED — one row per source group (the
+    // mix catalog), never corpus rows
     val w = Window.orderBy(col("cap").asc, col("group").asc)
     val o = c.withColumn("k", row_number().over(w))
       .withColumn("prefix", sum(col("cap")).over(

@@ -625,6 +625,8 @@ object CurationQueries {
       val perBatch = g.groupBy("batch").agg(count(lit(1)).as("batch_vocab"))
       val news = first.groupBy(col("fb").as("batch"))
         .agg(count(lit(1)).as("new_grams"))
+      // unpartitioned window: BOUNDED — one row per ingest batch
+      // (doc_id div 50), a batch-count bound, never corpus rows
       val wCum = Window.orderBy("batch")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       perBatch.join(news, Seq("batch"), "left")

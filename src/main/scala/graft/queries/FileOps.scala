@@ -172,10 +172,14 @@ object FileOps {
         "/graft_move_lake_" + java.util.UUID.randomUUID().toString.take(8)
       val rawUri = s"file:$root/raw"
       // fixture build stays distributed: each task writes its partition's
-      // files through the Hadoop FS API — no driver collect()
+      // files through the Hadoop FS API — no driver collect(). Spread
+      // CAPPED at 8: the per-file FS create is latency-bound, not
+      // CPU-bound, and r16's driver measured the uncapped 32-way
+      // spread SLOWER than 8 cores on this site (scaling ratio 0.60) —
+      // 8 concurrent writers saturate the filesystem round-trip.
       graft.operators.Par.spread(
           t(s, dir, "documents").filter(col("doc_id") < 400)
-            .select("doc_id", "text"))
+            .select("doc_id", "text"), cap = 8)
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
           val fs = new org.apache.hadoop.fs.Path(rawUri)
             .getFileSystem(new org.apache.hadoop.conf.Configuration())

@@ -294,6 +294,8 @@ object GovernanceQueries {
         .groupBy("b").agg(count(lit(1)).as("cnt"))
         .localCheckpoint(false) // total + cumsum
       val n = per.agg(sum("cnt").as("n"))
+      // unpartitioned window: BOUNDED — over the `n_chars div 50`
+      // bucket grid (value-domain bound), never corpus rows
       val wCum = Window.orderBy("b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       per.withColumn("cum", sum("cnt").over(wCum))
@@ -463,6 +465,7 @@ object GovernanceQueries {
         max(col("cnt")).as("max_cnt"))
       kc.orderBy(col("cnt").desc, col("key").asc).limit(5)
         .crossJoin(broadcast(tot))
+        // unpartitioned window: BOUNDED — runs after limit(5)
         .withColumn("hot_rank", row_number().over(
           Window.orderBy(col("cnt").desc, col("key").asc)))
         .select(col("hot_rank"), col("key"), col("cnt"),

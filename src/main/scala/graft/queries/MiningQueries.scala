@@ -38,11 +38,19 @@ object MiningQueries {
     "t_assoc_rules" -> ((s, dir) => {
       // measured r16: Par.spread here is a net LOSS (2.13 → 2.5 s) —
       // the basket build is a broadcast join + project, not a
-      // CPU-dense map; the rule mining downstream is shuffle-bound
+      // CPU-dense map; the rule mining downstream is shuffle-bound.
+      // r17: repartition on the dedup keys BEFORE the checkpoint pins
+      // it — unpinned, the broadcast-join output kept the scan's one
+      // partition and the 600k-row distinct's partial aggregation ran
+      // single-task. The win is WIDTH (the distinct's exchange
+      // remains — checkpoint partitioning is invisible to the planner
+      // under AQE, measured r17 — but its partial agg runs wide).
       val baskets = t(s, dir, "lineitem")
         .join(t(s, dir, "part"),
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("bk"), col("p_brand").as("item"))
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("bk"), col("item"))
         .localCheckpoint(false)
       Mining.associationRules(baskets, col("bk"), col("item"),
         minSupport = 50)

@@ -250,6 +250,11 @@ object MultimodalQueries {
     //      zero shuffles before the driver collects nothing. ----
     "m_spectrogram" -> ((s, dir) => {
       import s.implicits._
+      // measured r17: Par.spread before the render maps is a net LOSS
+      // across the whole m_* render family (m_spectrogram 0.73→1.64 s
+      // warm; total task CPU 0.5→40 s) — the per-doc render/decode is
+      // tiny and the per-task media-framework setup dominates once the
+      // work is split 32 ways. Left at scan width deliberately.
       val wavs = t(s, dir, "documents").select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id => (id, Multimodal.renderWav(id))))
         .toDF("id", "content")

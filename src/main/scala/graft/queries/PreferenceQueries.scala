@@ -265,6 +265,8 @@ object PreferenceQueries {
           coalesce(col("ml"), lit(0L)).as("maj_losses"),
           coalesce(col("wins"), lit(0L)).as("borda"))
         .withColumn("copeland_net", col("maj_wins") - col("maj_losses"))
+      // unpartitioned windows: BOUNDED — `g` has one row per source
+      // (catalog-sized), never per comparison
       g.withColumn("copeland_rank", dense_rank().over(
           Window.orderBy(col("copeland_net").desc, col("source").asc)))
         .withColumn("borda_rank", dense_rank().over(

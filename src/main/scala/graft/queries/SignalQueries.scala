@@ -95,6 +95,8 @@ object SignalQueries {
     //      the seasonal fit, as in textbook MA decomposition. ----
     "e_seasonal_decompose" -> ((s, dir) => {
       val hourly = denseHourly(s, dir)
+      // unpartitioned window: BOUNDED — one row per wall-clock hour of
+      // the dataset's span (the dense hourly spine), never corpus rows
       val w = Window.orderBy("h").rowsBetween(-trendHalf, trendHalf)
       val det = hourly
         .withColumn("win_n", count(lit(1)).over(w))
@@ -134,6 +136,8 @@ object SignalQueries {
         .localCheckpoint(false) // scanned for μ AND for the series
       val tgt = hourly.agg(
         expr("(sum(x) * 1000000L) div count(1)").as("target_e6"))
+      // unpartitioned window: BOUNDED — one row per wall-clock hour of
+      // the span (dense spine), never corpus rows
       val wRun = Window.orderBy("h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       hourly.crossJoin(broadcast(tgt))
@@ -214,6 +218,8 @@ object SignalQueries {
                                 // join — uncheckpointed, the scan and
                                 // per-event md5 jitter run twice
       val bm = e.groupBy("batch").agg(max(col("ts_s")).as("b_max"))
+      // unpartitioned window: BOUNDED — one row per 60 s trigger batch
+      // of the dataset's wall-clock span, never raw events
       val wPrior = Window.orderBy("batch")
         .rowsBetween(Window.unboundedPreceding, -1)
       val wm = bm
@@ -249,6 +255,8 @@ object SignalQueries {
     //      run over the wall-clock-bounded hourly series. Exact
     //      integer ppm / x100 arithmetic throughout. ----
     "e_slo_burn" -> ((s, dir) => {
+      // unpartitioned window: BOUNDED — runs over the post-agg hourly
+      // series (one row per wall-clock hour), never raw events
       val wTrail = Window.orderBy("he").rowsBetween(-5, 0)
       t(s, dir, "events")
         .select(expr("unix_micros(date_trunc('hour', ts))" +

@@ -592,6 +592,9 @@ object StatsQueries {
       val cal = sc.filter(col("doc_id") % 2 === 0)
       val nc = cal.agg(count(lit(1)).as("n_cal"),
         expr("(9 * count(1) + 18) div 10").as("k_rank"))
+      // unpartitioned window: BOUNDED — runs over the groupBy("score")
+      // grid (one row per distinct |n_chars − 6·tokens| value, a
+      // value-domain bound), never corpus rows
       val wCum = Window.orderBy("score")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val thr = cal.groupBy("score").agg(count(lit(1)).as("c"))
@@ -633,6 +636,8 @@ object StatsQueries {
           when(col("last_ts") < cutoff, 1L).otherwise(0L).as("death"))
       val rt = u.groupBy("t_h").agg(sum("death").as("d"),
         (count(lit(1)) - sum("death")).as("c"))
+      // unpartitioned windows: BOUNDED — the life table has one row
+      // per whole-hour lifetime (wall-clock-span bound), never users
       val wRev = Window.orderBy(col("t_h").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wFwd = Window.orderBy(col("t_h").asc)
@@ -666,6 +671,7 @@ object StatsQueries {
         .filter(col("tm") =!= "")
         .groupBy("tm").agg(count(lit(1)).as("f"))
       val top = freq.orderBy(col("f").desc, col("tm").asc).limit(1000)
+        // unpartitioned window: BOUNDED — runs after limit(1000)
         .withColumn("rnk", row_number().over(
           Window.orderBy(col("f").desc, col("tm").asc)))
         .withColumn("lx", round(log(col("rnk").cast("double")), 9))
@@ -818,6 +824,7 @@ object StatsQueries {
       // interpolation, no fractional-position float to agree on)
       val loIdx = math.ceil(0.025 * B).toInt - 1
       val hiIdx = math.ceil(0.975 * B).toInt - 1
+      // unpartitioned window: BOUNDED — over the B=200 replica means
       val rn = row_number().over(
         Window.orderBy(col("mean"), col("b"))) - 1
       means.withColumn("rn", rn)
@@ -1145,6 +1152,8 @@ object StatsQueries {
               col("tt") * (lit(-1.821255978) +
                 col("tt") * lit(1.330274429)))))), 8))
       val mAll = scored.groupBy().agg(count(lit(1)).as("m"))
+      // unpartitioned windows: BOUNDED — `scored` has one row per
+      // event_type (enum-sized), never raw events
       val ord = Window.orderBy(col("p").asc, col("event_type").asc)
       val tail = Window.orderBy(col("p").asc, col("event_type").asc)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)

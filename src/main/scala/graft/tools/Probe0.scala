@@ -75,36 +75,79 @@ object Probe0 {
       }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
-    // --- current targets: decompose the hot queries stage by stage ---
-    // g_link_predict pieces
-    def lp_e = graft.operators.Par.spread(
-        t(s, sfDir, "lineitem")
-          .select(col("l_partkey").as("p"), col("l_suppkey").as("s")))
-      .distinct()
-    def lp_deg = lp_e.groupBy("p").agg(count(lit(1)).as("d"))
-      .filter(col("d") >= 2 && col("d") <= 64)
-    def lp_ew = lp_e.join(lp_deg, "p")
-      .withColumn("w_e4",
-        (round(lit(1.0) / log(col("d").cast("double")), 4)
-          .cast("decimal(18,4)") * 10000).cast("long"))
-    report("lp: e.distinct")(noop(lp_e))
-    report("lp: ew (no ckpt)")(noop(lp_ew))
-    for (r <- 1 to 2)
-      report(s"g_link_predict r$r") {
-        graft.SparkEntry.queries("g_link_predict")(s, sfDir).count() }
-    // s_sparse_topk pieces
-    def docs = t(s, sfDir, "documents")
-    report("sp: tfidfWeights") {
-      noop(graft.operators.Sparse.tfidfWeights(docs, "doc_id", "text")) }
-    for (r <- 1 to 2)
-      report(s"s_sparse_topk r$r") {
-        graft.SparkEntry.queries("s_sparse_topk")(s, sfDir).count() }
-    // s_kmeans
-    for (r <- 1 to 2)
-      report(s"s_kmeans r$r") {
-        graft.SparkEntry.queries("s_kmeans")(s, sfDir).count() }
-    // crawl wave family
-    for (q <- Seq("f_priority_budget", "f_trap_gate"); r <- 1 to 2)
+    // --- current targets ---
+    for (q <- Seq("t_quality_train", "t_quality_train_eval",
+                  "t_quality_warm_start", "t_quality_calibration",
+                  "t_dsir_weights", "t_domain_reweight");
+         r <- 1 to 3)
+      report(s"$q r$r") { graft.SparkEntry.queries(q)(s, sfDir).count() }
+    if (sys.env.contains("GRAFT_PROBE_SHORT")) { spark.stop(); return }
+    // FileOps fixture-write A/B: spread cap 8 vs uncapped
+    def moveFixture(cap: Int): Unit = {
+      val root = System.getProperty("java.io.tmpdir") +
+        "/graft_probe_move_" + java.util.UUID.randomUUID().toString.take(8)
+      val rawUri = s"file:$root/raw"
+      graft.operators.Par.spread(
+          t(s, sfDir, "documents").filter(col("doc_id") < 400)
+            .select("doc_id", "text"), cap = cap)
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val fs = new org.apache.hadoop.fs.Path(rawUri)
+            .getFileSystem(new org.apache.hadoop.conf.Configuration())
+          it.foreach { r =>
+            val p = new org.apache.hadoop.fs.Path(rawUri, s"doc_${r.getLong(0)}.json")
+            val out = fs.create(p, true)
+            out.write(s"""{"x":"${r.getString(1)}"}"""
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            out.close()
+          }
+        }
+      val rp = new org.apache.hadoop.fs.Path(s"file:$root")
+      rp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(rp, true)
+    }
+    for (r <- 1 to 3) {
+      report(s"move cap8 r$r")(moveFixture(8))
+      report(s"move uncapped r$r")(moveFixture(Int.MaxValue))
+    }
+    for (q <- Seq("m_spectrogram", "m_audio_segments",
+                  "a_pipeline_move"); r <- 1 to 2)
+      report(s"$q r$r") { graft.SparkEntry.queries(q)(s, sfDir).count() }
+    // q_spearman A/B: current (unspread checkpoint) vs spread-first
+    def spearman(l0: org.apache.spark.sql.DataFrame): Long = {
+      val l = l0.localCheckpoint(false)
+      val rx = graft.operators.Ranks.avgRanks(l.select("x"), "x")
+        .select(col("x"), col("rank_x2").as("rx2"))
+      val ry = graft.operators.Ranks.avgRanks(l.select("y"), "y")
+        .select(col("y"), col("rank_x2").as("ry2"))
+      val n1 = l.groupBy().agg((count(lit(1)) + 1L).as("np1"))
+      l.join(broadcast(rx), "x").join(ry, "y")
+        .crossJoin(broadcast(n1))
+        .withColumn("cx", col("rx2") - col("np1"))
+        .withColumn("cy", col("ry2") - col("np1"))
+        .groupBy()
+        .agg((max("np1") - 1L).as("n"),
+          sum((col("cx") * col("cy")).cast("decimal(38,0)"))
+            .cast("double").as("sxy"),
+          sum((col("cx") * col("cx")).cast("decimal(38,0)"))
+            .cast("double").as("sxx"),
+          sum((col("cy") * col("cy")).cast("decimal(38,0)"))
+            .cast("double").as("syy"))
+        .count()
+    }
+    def spearL = t(s, sfDir, "lineitem")
+      .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    for (r <- 1 to 2) {
+      report(s"spearman cur r$r")(spearman(spearL))
+      report(s"spearman spread r$r")(spearman(graft.operators.Par.spread(spearL)))
+    }
+    // changed queries, whole
+    for (q <- Seq("t_assoc_rules", "t_quality_train", "t_dsir_weights",
+                  "t_domain_reweight"); r <- 1 to 2)
+      report(s"$q r$r") { graft.SparkEntry.queries(q)(s, sfDir).count() }
+    // unexamined hot queries: stage shape
+    for (q <- Seq("g_pagerank", "d_cdc_chunks", "t_ppl_buckets",
+                  "q2_min_cost_supplier", "sql_latest_per_key",
+                  "m_spectrogram", "s_nn_descent", "g_kcore",
+                  "a_pipeline_curate_dedup"); r <- 1 to 2)
       report(s"$q r$r") { graft.SparkEntry.queries(q)(s, sfDir).count() }
     spark.stop()
   }
