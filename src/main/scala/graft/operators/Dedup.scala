@@ -106,7 +106,13 @@ object Dedup {
                         dfCap: Option[Int] = Some(DefaultDfCap)): DataFrame = {
     // checkpointed: BOTH sides of the candidate self-join read the
     // shingled frame — uncheckpointed, the tokenize+shingle pass (THE
-    // expensive pass at corpus scale) runs once per side
+    // expensive pass at corpus scale) runs once per side.
+    // localCheckpoint (here and at every dedup site) trades executor-
+    // loss recovery for zero-I/O block reuse WITHIN one query: on an
+    // executor loss the job fails and the caller reruns — acceptable
+    // for idempotent batch dedup; a pipeline needing per-executor
+    // fault tolerance should pass a reliably-checkpointed df instead
+    // (the *FromSets entry points exist for exactly that).
     val sh = shingleSets(df, idCol, textCol, n, dfCap)
       .localCheckpoint(false)
     jaccardCandidatesFromSets(sh)

@@ -147,13 +147,17 @@ object Graph {
     * @return (id, rank_e9) for every vertex; rank_e9 = rank · 1e9
     */
   /** Shared loop-invariant scaffold for the rank family: undirected
-    * edge list, degree table, and their join checkpointed
-    * hash-partitioned + sorted on the join key (checkpoint preserves
-    * outputPartitioning/ordering), so every iteration's sort-merge
-    * join reuses the edge side as-is and only exchanges the
-    * vertex-sized rank vector. Partition count is pinned to the
-    * session shuffle setting so the rank side (a groupBy output on
-    * the same key arity) stays co-partitioned.
+    * edge list, degree table, and their join checkpointed at the
+    * session shuffle width. The repartition exists for WIDTH, not
+    * partitioning reuse: under AQE a checkpoint's LogicalRDD records
+    * UnknownPartitioning (measured r17 — lazy AND eager, the probe's
+    * downstream groupBy re-exchanged either way), so iterations DO
+    * re-exchange the edge side; but unpinned, AQE coalesces the join
+    * output to ~1 partition at fixture scale and every iteration's
+    * join probe + partial agg would run single-task. A
+    * sortWithinPartitions before the checkpoint was removed for the
+    * same reason: the ordering is equally invisible to the planner
+    * downstream, so it was a pure extra sort inside the timed region.
     *
     * NOTE: deliberately the naive union-then-distinct (not
     * undirectedBoth): the scaffold immediately groupBys und on "s",
@@ -173,7 +177,7 @@ object Graph {
       .localCheckpoint(false)
     val nShuffle = edges.sparkSession.sessionState.conf.numShufflePartitions
     val undeg = und.join(deg, Seq("s"))
-      .repartition(nShuffle, col("s")).sortWithinPartitions("s")
+      .repartition(nShuffle, col("s"))
       .localCheckpoint(false)
     (deg, undeg, nShuffle)
   }
@@ -224,10 +228,11 @@ object Graph {
     require(iters >= 1 && dampNum > 0L && dampNum < 100L)
     val scale = 1000000000L
     val (deg, undeg, nShuffle) = rankScaffold(edges)
-    // loop-invariant vertex table, checkpointed hash-partitioned +
-    // sorted on the join key (same trick as undeg): every round's
-    // nodes⋈in_sum sort-merge join then only exchanges the in_sum
-    // side, which is already hash-partitioned by its groupBy
+    // loop-invariant vertex table, checkpointed at session width
+    // (same trick as undeg — width, not partitioning reuse: the
+    // checkpoint's partitioning is invisible to the planner under
+    // AQE, but unpinned it materializes ~1 partition and every
+    // round's join probe runs single-task)
     val nodes = deg.select(col("s").as("id"))
       // distinct: a duplicated seed id would duplicate the vertex row
       // through the join — doubling its outflow every round, halving
@@ -235,7 +240,7 @@ object Graph {
       // duplicate output rows
       .join(seeds.toDF("sid").distinct(), col("id") === col("sid"), "left")
       .select(col("id"), col("sid").isNotNull.as("seed"))
-      .repartition(nShuffle, col("id")).sortWithinPartitions("id")
+      .repartition(nShuffle, col("id"))
       .localCheckpoint(false) // read every round for the restart mass
     val nSeeds = nodes.filter(col("seed")).count()
     require(nSeeds > 0, "trustRank: no seed id present in the graph")

@@ -72,10 +72,12 @@ object Sparse {
     // Repartitioned on id BEFORE the checkpoint: AQE coalesces the
     // weights frame's few shuffled MB to ~1 partition at fixture
     // scale, and the checkpoint PINS that width — the r17 probe showed
-    // the whole query as ~20 serial one-task stages. Keyed by id, the
-    // pinned partitioning is REUSED by the norms groupBy and the
-    // champion window (one exchange instead of three on the same key,
-    // guide §2.4), at the session's shuffle width.
+    // the whole query as ~20 serial one-task stages. The win is
+    // WIDTH: the norms agg, the champion window sort, and both rerank
+    // join probes now run at session width instead of single-task.
+    // (Their exchanges on id remain — a checkpoint's partitioning is
+    // invisible to the planner under AQE, measured r17 — but their
+    // map sides no longer serialize.)
     val w = tfidfWeights(docs, idCol, textCol)
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
         col("id"))

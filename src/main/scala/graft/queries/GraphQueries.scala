@@ -277,19 +277,20 @@ object GraphQueries {
       // scale formulation bit-for-bit, without wide-decimal partials.
       // Checkpointed: BOTH sides of the 2-path self-join read this —
       // uncheckpointed, the 600k-row distinct shuffle runs twice.
-      // Repartitioned+sorted on p BEFORE the checkpoint (the
-      // rankScaffold discipline): AQE coalesces the join output by
-      // its few shuffled MB, so the unpinned checkpoint held ~5
-      // partitions and the CPU-dense 2-path self-join + partial agg
-      // ran ~5-wide (r17 probe: 7.4 task-seconds, 1.8 s wall); pinned
-      // at session width the self-join is also exchange- and
-      // sort-free (co-partitioned, co-ordered on p).
+      // Repartitioned on p BEFORE the checkpoint (the rankScaffold
+      // discipline): AQE coalesces the join output by its few
+      // shuffled MB, so the unpinned checkpoint held ~5 partitions
+      // and the CPU-dense 2-path self-join + partial agg ran ~5-wide
+      // (r17 probe: 7.4 task-seconds, 1.8 s wall). The win is WIDTH:
+      // the checkpoint's partitioning is invisible to the planner
+      // under AQE (LogicalRDD records UnknownPartitioning — measured
+      // r17), so the self-join still plans its own exchanges; a
+      // sortWithinPartitions here was removed as a pure extra sort.
       val ew = e.join(deg, "p")
         .withColumn("w_e4",
           (round(lit(1.0) / log(col("d").cast("double")), 4)
             .cast("decimal(18,4)") * 10000).cast("long"))
         .repartition(s.sessionState.conf.numShufflePartitions, col("p"))
-        .sortWithinPartitions("p")
         .localCheckpoint(false)
       val ea = ew.select(col("p"), col("s").as("supp_a"), col("w_e4"))
       val eb = ew.select(col("p").as("p2"), col("s").as("supp_b"))
